@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * The reference's dedup surface is whatever SQL its backing engine runs
+  * (SURVEY.md §2.5, Q24); at training-data scale the interesting variants
+  * are near-duplicate detectors. All hashes here are md5 — chosen because
+  * it is deterministic, available identically in Spark and in the DuckDB
+  * oracle, and (unlike `hash()`/`xxhash64`) engine-portable, so every
+  * operator below is oracle-checkable end to end.
+  *
+  * Scale notes (100 TB design point), per operator:
+  *  - exact:    one hash-shuffle on the dedup key; map-side partial
+  *    aggregation bounds shuffle volume by #distinct keys.
+  *  - minhash:  per-doc signatures are tiny (k hashes); the LSH band
+  *    self-join shuffles on (band, bucket) so only colliding docs meet —
+  *    never the O(n²) all-pairs. Skewed buckets (boilerplate text) should
+  *    be capped with a bucket-size guard in production.
+  *  - simhash:  linear per-doc bit-vote aggregation; grouping equal
+  *    fingerprints is one shuffle on a 16-char key.
+  *  - ngram Jaccard: exact all-pairs on shingle-colliding docs only
+  *    (inverted-index join), used as the verifier behind minhash LSH.
+  */
+object Dedup {
+
+  /** Tokens of `textCol` split on single spaces. */
+  private def tokens(textCol: Column): Column = split(textCol, " ")
+
+  /** Distinct w-shingles (w-word windows) per doc: (id, shingle) rows.
+    * Guarded for docs shorter than w tokens (Spark's `sequence(1,0)` would
+    * count DOWN, so the guard is required, not cosmetic).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
+    val toks = tokens(col(textCol))
+    val idxs = when(size(toks) >= w, sequence(lit(1), size(toks) - (w - 1)))
+      .otherwise(array().cast("array<int>"))
+    val shingle = transform(
+      idxs,
+      i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*))
+    df.select(col(idCol).as("doc_id"), explode(shingle).as("s")).distinct()
+  }
+
+  /** Exact dedup: one representative row (min id) per identical value of
+    * `keyCol`. Equivalent SQL: GROUP BY key. Single shuffle, map-side
+    * combine; at 100 TB prefer hashing the key first (md5) so the shuffle
+    * key is fixed-width instead of document-sized.
+    */
+  def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.select(col(idCol), md5(col(keyCol)).as("_k"))
+      .groupBy(col("_k"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
+      .select(col(idCol), col("_k").as("content_hash"), col("n_dupes"))
+
+  /** MinHash signature: for seed i in [0, k), min over shingles of
+    * md5("i|" + shingle). Hex-string min == numeric min on the uniform
+    * md5 space; identical in DuckDB, which makes LSH oracle-checkable.
+    */
+  def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the k-minhash signature into `bands` bands
+    * of k/bands rows each; docs sharing any (band, bucket-hash) are
+    * candidates. Returns (d1, d2) with d1 < d2, distinct.
+    */
+  def lshCandidates(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws("", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("h"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Exact w-shingle Jaccard for the given candidate pairs (the verify
+    * stage behind LSH). Joins through the shingle inverted index, so cost
+    * is proportional to shared shingles, not |docs|².
+    */
+  def jaccardForPairs(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val s1 = sh.select(col("doc_id").as("d1"), col("s"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("s"))
+    val inter = pairs
+      .join(s1, "d1")
+      .join(s2, Seq("d2", "s"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.withColumnsRenamed(Map("doc_id" -> "d1", "n" -> "n1")), "d1")
+      .join(cnt.withColumnsRenamed(Map("doc_id" -> "d2", "n" -> "n2")), "d2")
+      .select(
+        col("d1"), col("d2"),
+        (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).as("jaccard"))
+  }
+
+  /** MinHash + LSH near-duplicate pipeline: shingle → sign → band →
+    * candidate pairs → exact-Jaccard verify ≥ `threshold`.
+    */
+  def minHashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, w)
+    val cand = lshCandidates(minHashSignatures(sh, k), k, bands)
+    jaccardForPairs(sh, cand)
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
+  }
+
+  /** SimHash fingerprint (16-bit, majority vote per bit over token md5s).
+    * Bit i of a token = high bit of hex digit i of md5(token); fingerprint
+    * bit i = 1 iff strictly more than half the token occurrences set it.
+    * Output: (doc_id, simhash: 16-char '0'/'1' string, n_dupes = docs
+    * sharing the fingerprint). Linear aggregation — one shuffle on doc id,
+    * one on the fingerprint.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val bitSums = (0 until bits).map(i =>
+      sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(0)).as(s"b$i"))
+    val agg = tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
+    val fp = concat((0 until bits).map(i =>
+      when(col(s"b$i") * 2 > col("n"), "1").otherwise("0").cast("string")): _*)
+    agg.select(col("doc_id"), fp.as("simhash"))
+      .withColumn("n_dupes",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
+  }
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via the shingle inverted
+    * index (no LSH screen — the verifier itself, exposed as an operator).
+    */
+  def ngramJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, w)
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    jaccardForPairs(sh, pairs)
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
+  }
+}

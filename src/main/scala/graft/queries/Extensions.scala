@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline extension queries (q27+): dedup family,
+  * similarity search, text analysis, multimodal plumbing, sessionization.
+  * Built on the graft.ops library; oracle twins (where SQL-expressible)
+  * live in [[graft.SparkEntry.oracleSql]].
+  */
+object Extensions {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // q27 exact dedup with representative + multiplicity.
+  val q27_dedup_exact: Q = (s, d) =>
+    Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // q28 MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→verify).
+  val q28_dedup_minhash_lsh: Q = (s, d) =>
+    Dedup.minHashLsh(t(s, d, "documents"), "doc_id", "text",
+        w = 3, k = 8, bands = 4, threshold = 0.5)
+      .orderBy(col("d1"), col("d2"))
+
+  // q29 SimHash fingerprints with duplicate-cluster size.
+  val q29_dedup_simhash: Q = (s, d) =>
+    Dedup.simHash(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // q30 exact n-gram Jaccard pairs (the LSH verifier as an operator).
+  val q30_dedup_ngram_jaccard: Q = (s, d) =>
+    Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text",
+        w = 3, threshold = 0.3)
+      .orderBy(col("d1"), col("d2"))
+
+  // q31 embedding-cosine near-dup: top-20 most-similar pairs.
+  val q31_neardup_embedding: Q = (s, d) =>
+    Similarity.topPairs(t(s, d, "embeddings"), "vec_id", "embedding", k = 20)
+      .orderBy(col("cos_sim").desc, col("d1"), col("d2"))
+
+  // q32 ANN top-k via random-hyperplane LSH buckets (approx → no oracle;
+  // rows-only check). The scale path behind q25's brute-force anchor.
+  val q32_ann_lsh: Q = (s, d) =>
+    Similarity.annTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, queryId = 0L, k = 10, nBits = 4)
+      .orderBy(col("vec_id"))
+
+  // q33 language ID (stopword heuristic).
+  val q33_langid: Q = (s, d) =>
+    TextAnalysis.languageId(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // q34 quality scoring.
+  val q34_quality: Q = (s, d) =>
+    TextAnalysis.qualityScore(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // q35 token counting (whitespace + BPE-ish pre-tokenizer regex).
+  val q35_token_count: Q = (s, d) =>
+    TextAnalysis.tokenCounts(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // q36 content fingerprinting.
+  val q36_fingerprint: Q = (s, d) =>
+    TextAnalysis.fingerprint(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // q37 multimodal metadata extraction over a binary payload column
+  // (mapPartitions plumbing; decoder stubbed — see graft.ops.Multimodal).
+  val q37_multimodal_meta: Q = (s, d) => {
+    val bin = Multimodal.withBinaryPayload(t(s, d, "documents"), "doc_id", "text")
+    Multimodal.extractMeta(s, bin).toDF().orderBy(col("doc_id"))
+  }
+
+  // q38 sessionization (gaps-and-islands; batch twin of session_window).
+  val q38_sessionize: Q = (s, d) =>
+    Sessionize(t(s, d, "events"), "user_id", "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("sess"))
+
+  val all: Map[String, Q] = Map(
+    "q27_dedup_exact" -> q27_dedup_exact,
+    "q28_dedup_minhash_lsh" -> q28_dedup_minhash_lsh,
+    "q29_dedup_simhash" -> q29_dedup_simhash,
+    "q30_dedup_ngram_jaccard" -> q30_dedup_ngram_jaccard,
+    "q31_neardup_embedding" -> q31_neardup_embedding,
+    "q32_ann_lsh" -> q32_ann_lsh,
+    "q33_langid" -> q33_langid,
+    "q34_quality" -> q34_quality,
+    "q35_token_count" -> q35_token_count,
+    "q36_fingerprint" -> q36_fingerprint,
+    "q37_multimodal_meta" -> q37_multimodal_meta,
+    "q38_sessionize" -> q38_sessionize)
+}
