@@ -1,0 +1,149 @@
+package graft.connections
+
+import graft.config.TaskConfig.{Node, TaskFile}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Connection registry: named connections with per-vendor JDBC URL builders,
+  * `$env.` indirection, environment injection, and `initializing` SQL —
+  * mirroring the reference driver layer
+  * (/root/reference/dasladen/taskdriver.py:73-212; env injection
+  * task.py:62-69) on a single JDBC path.
+  *
+  * Two families:
+  *  - driver "Spark" — the internal catalog. The reference pushes arbitrary
+  *    SQL to its backing RDBMS (task.py:180,256,534); ours IS Spark SQL, so
+  *    source SQL runs over registered tables/views and sinks are catalog
+  *    tables. This is the 100 TB path: reads stay distributed, Catalyst
+  *    optimizes the pushed statement.
+  *  - vendor JDBC (MySQL/Oracle/MSSQL/PostgreSQL + Derby for offline
+  *    tests) — external copies, batched via the JDBC writer.
+  */
+class Connections(file: TaskFile, spark: SparkSession) {
+
+  def get(name: String): Node = {
+    val node = file.connection(name)
+    // environment injection before first use (reference task.py:62-69);
+    // JVMs cannot set real env vars, so these land in system properties,
+    // which $env. resolution also consults.
+    node.arr("environment").foreach { e =>
+      System.setProperty(e.str("key"), e.str("value"))
+    }
+    node
+  }
+
+  def isInternal(node: Node): Boolean =
+    node.str("driver", "").equalsIgnoreCase("spark")
+
+  /** Per-vendor JDBC URL (explicit "url" key wins). Port defaults follow
+    * the reference (taskdriver.py:82,116,154,198).
+    */
+  def jdbcUrl(node: Node): String = node.strOpt("url").getOrElse {
+    val host = node.str("host", "localhost")
+    node.str("driver") match {
+      case "MySQL" =>
+        val port = node.str("port", "3306")
+        val cs = node.str("charset", "utf8")
+        s"jdbc:mysql://$host:$port/${node.str("database")}?characterEncoding=$cs&allowLoadLocalInfile=true"
+      case "PostgreSQL" =>
+        val port = node.str("port", "5432")
+        s"jdbc:postgresql://$host:$port/${node.str("database")}"
+      case "Oracle" =>
+        val port = node.str("port", "1521")
+        s"jdbc:oracle:thin:@//$host:$port/${node.str("service")}"
+      case "MSSQL" =>
+        val port = node.str("port", "1433")
+        val trusted = if (node.str("user", "").isEmpty) ";integratedSecurity=true" else ""
+        s"jdbc:sqlserver://$host:$port;databaseName=${node.str("database")}$trusted"
+      case "Derby" => // offline-test stand-in for the vendor RDBMS
+        s"jdbc:derby:${node.str("database")};create=true"
+      case other =>
+        throw new IllegalArgumentException(s"unsupported connection driver: $other")
+    }
+  }
+
+  private def jdbcProps(node: Node): java.util.Properties = {
+    val p = new java.util.Properties()
+    node.strOpt("user").filter(_.nonEmpty).foreach(p.setProperty("user", _))
+    node.strOpt("pass").filter(_.nonEmpty).foreach(p.setProperty("password", _))
+    p.setProperty("batchsize", node.str("batchsize", "10000"))
+    val init = initSql(node)
+    if (init.nonEmpty) p.setProperty("sessionInitStatement", init.mkString("; "))
+    p
+  }
+
+  /** `initializing` statements; MySQL always gets ANSI_QUOTES first, as the
+    * reference does for petl compatibility (taskdriver.py:164).
+    */
+  private def initSql(node: Node): Seq[String] = {
+    val base =
+      if (node.str("driver", "") == "MySQL") Seq("SET SQL_MODE=ANSI_QUOTES") else Seq.empty
+    base ++ node.strArr("initializing")
+  }
+
+  /** Source SQL scan. Internal → Catalyst executes it (full optimization);
+    * external → whole statement pushed to the RDBMS via the JDBC `query`
+    * option, matching the reference's full-pushdown semantics.
+    */
+  def readSql(node: Node, sql: String): DataFrame =
+    if (isInternal(node)) spark.sql(sql)
+    else spark.read
+      .format("jdbc")
+      .option("url", jdbcUrl(node))
+      .option("query", sql)
+      .options(jdbcProps(node).entrySet().toArray.map { e =>
+        val kv = e.asInstanceOf[java.util.Map.Entry[AnyRef, AnyRef]]
+        kv.getKey.toString -> kv.getValue.toString
+      }.toMap)
+      .load()
+
+  /** Table write with the reference's truncate-vs-append semantics
+    * (petl todb truncates then bulk-inserts; appenddb inserts —
+    * task.py:243-245 et al.).
+    */
+  def writeTable(node: Node, df: DataFrame, table: String,
+                 schema: Option[String], truncate: Boolean): Unit = {
+    val qualified = schema.map(s => s"$s.$table").getOrElse(table)
+    if (isInternal(node)) {
+      if (truncate)
+        df.write.mode(SaveMode.Overwrite).saveAsTable(qualified)
+      else {
+        if (spark.catalog.tableExists(qualified))
+          df.write.mode(SaveMode.Append).insertInto(qualified)
+        else
+          df.write.mode(SaveMode.Append).saveAsTable(qualified)
+      }
+    } else {
+      val writer = df.write
+        .format("jdbc")
+        .option("url", jdbcUrl(node))
+        .option("dbtable", qualified)
+        .option("batchsize", node.str("batchsize", "10000"))
+      node.strOpt("user").filter(_.nonEmpty).foreach(writer.option("user", _))
+      node.strOpt("pass").filter(_.nonEmpty).foreach(writer.option("password", _))
+      if (truncate)
+        // truncate=true keeps the target table's DDL and empties it — the
+        // exact petl todb contract (truncate, then insert).
+        writer.option("truncate", "true").mode(SaveMode.Overwrite).save()
+      else
+        writer.mode(SaveMode.Append).save()
+    }
+  }
+
+  /** DDL/DML execution with commit — the sql-exec task
+    * (task.py:527-536). Internal → spark.sql; external → raw JDBC.
+    */
+  def execSql(node: Node, sql: String): Unit =
+    if (isInternal(node)) { spark.sql(sql).collect(); () }
+    else {
+      val props = new java.util.Properties()
+      node.strOpt("user").filter(_.nonEmpty).foreach(props.setProperty("user", _))
+      node.strOpt("pass").filter(_.nonEmpty).foreach(props.setProperty("password", _))
+      val conn = java.sql.DriverManager.getConnection(jdbcUrl(node), props)
+      try {
+        val st = conn.createStatement()
+        initSql(node).foreach(st.execute)
+        st.execute(sql)
+        if (!conn.getAutoCommit) conn.commit()
+      } finally conn.close()
+    }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators — the engine's streaming surface
+  * (SURVEY.md §2.6). The reference's only "streaming" is the capture-folder
+  * poller re-running whole batches (/root/reference/dasladen/processor.py:
+  * 298-338); these are the Spark-native generalizations exercised by the
+  * `events` fixture, each the streaming twin of an oracle-checked batch
+  * query:
+  *
+  *  - tumbling/sliding window agg + watermark  ⇔ q20 (date_trunc hour)
+  *  - session windows                          ⇔ q38 (gaps-and-islands)
+  *
+  * All functions take/return DataFrames so they compose with readStream
+  * sources (file, rate, memory) and writeStream sinks unchanged. They also
+  * run verbatim on BATCH frames — used by the specs to pin agreement with
+  * the oracle-checked batch twins.
+  */
+object Streams {
+
+  /** File-source intake over a capture directory — streaming version of the
+    * watcher (processor.py:330-338). `schema` is required: streaming file
+    * sources do not infer.
+    */
+  def captureStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    format: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.format(format).schema(schema).load(dir)
+
+  /** Event-time tumbling-window aggregation with late-data handling.
+    * Watermark bounds state: at 100 TB of events/day the state store holds
+    * only windows within the watermark horizon.
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, windowLen: String,
+                     watermark: String, keyCols: Seq[String] = Seq("event_type"),
+                     valueCol: String = "value"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), round(sum(col(valueCol)), 2).as("sv"))
+      .select(col("window.start").as("h") +: keyCols.map(col) :+
+        col("cnt") :+ col("sv"): _*)
+
+  /** Sliding-window variant. */
+  def slidingCounts(events: DataFrame, tsCol: String, windowLen: String,
+                    slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"), col("cnt"))
+
+  /** Session-window aggregation (native session_window) — the streaming
+    * twin of [[graft.ops.Sessionize]]. Same 30-min default gap.
+    */
+  def sessionAgg(events: DataFrame, tsCol: String, keyCol: String,
+                 gap: String = "30 minutes", watermark: String = "1 hour",
+                 valueCol: String = "value"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), round(sum(col(valueCol)), 2).as("sval"))
+      .select(col(keyCol), col("session_window.start").as("sess_start"),
+        col("n_events"), col("sval"))
+}

@@ -1,0 +1,58 @@
+package graft.transform
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.json4s._
+
+/** The `convert` transform: petl spec forms reachable from the reference's
+  * JSON DSL (/root/reference/dasladen/task.py:146-149) compiled to Column
+  * functions (codegen'd — never UDFs).
+  *
+  * String spec = no-arg method invoked per cell (petl semantics); mapped
+  * here to the Spark equivalent. Object spec = value→value dictionary
+  * mapping with passthrough for unmapped values (petl `convert` dict form).
+  */
+object ConvertRegistry {
+
+  val methods: Map[String, Column => Column] = Map(
+    "upper"      -> (c => upper(c)),
+    "lower"      -> (c => lower(c)),
+    "strip"      -> (c => trim(c)),
+    "lstrip"     -> (c => ltrim(c)),
+    "rstrip"     -> (c => rtrim(c)),
+    "title"      -> (c => initcap(c)),
+    "capitalize" -> (c => concat(upper(substring(c, 1, 1)), lower(substring(c, 2, Int.MaxValue)))),
+    // type coercions (petl passes int/float/str callables by name)
+    "int"        -> (c => c.cast("long")),
+    "float"      -> (c => c.cast("double")),
+    "str"        -> (c => c.cast("string")),
+    "bool"       -> (c => c.cast("boolean")))
+
+  /** Compile one convert spec (string method name or dict mapping) into a
+    * Column transformation of `col`.
+    */
+  def compile(colName: String, spec: JValue): Column = spec match {
+    case JString(method) =>
+      methods.getOrElse(method,
+        throw new IllegalArgumentException(
+          s"unsupported convert method '$method' (supported: ${methods.keys.toSeq.sorted.mkString(", ")})"))
+        .apply(col(colName))
+    case JObject(fields) =>
+      // dictionary mapping with passthrough default — chained when()s keep
+      // it codegen-friendly for the small maps this DSL carries.
+      val c = col(colName)
+      fields.foldRight(c: Column) { case ((from, to), rest) =>
+        val target = to match {
+          case JString(s) => lit(s)
+          case JInt(i)    => lit(i.toLong)
+          case JDouble(d) => lit(d)
+          case JBool(b)   => lit(b)
+          case JNull      => lit(null)
+          case other      => lit(other.toString)
+        }
+        when(c === lit(from), target).otherwise(rest)
+      }
+    case other =>
+      throw new IllegalArgumentException(s"unsupported convert spec: $other")
+  }
+}

@@ -1,0 +1,116 @@
+package graft.transform
+
+import graft.config.TaskConfig.Node
+import graft.runner.TaskLog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SPI for user transform modules — the reference's Python-module transform
+  * surface (/root/reference/dasladen/task.py:110-140) re-expressed as a
+  * Scala trait loaded by reflection. Implementations must have a no-arg
+  * constructor.
+  */
+trait TransformModule {
+  def transform(df: DataFrame, fields: Seq[String], args: Map[String, String]): DataFrame
+}
+
+/** Shipped module: '' → null on given fields, else all string fields
+  * (reference util/empty_as_null.py:4-17).
+  */
+class EmptyAsNull extends TransformModule {
+  def transform(df: DataFrame, fields: Seq[String], args: Map[String, String]): DataFrame = {
+    val targets =
+      if (fields.nonEmpty) fields
+      else df.schema.fields.filter(_.dataType.typeName == "string").map(_.name).toSeq
+    targets.foldLeft(df) { (d, f) =>
+      d.withColumn(f, when(col(f) === "", lit(null)).otherwise(col(f)))
+    }
+  }
+}
+
+/** Shipped module: control chars (codepoint < 32) → space on given or all
+  * string fields (reference util/sanitize_string.py:4-17). Pure Column op.
+  */
+class SanitizeString extends TransformModule {
+  def transform(df: DataFrame, fields: Seq[String], args: Map[String, String]): DataFrame = {
+    val targets =
+      if (fields.nonEmpty) fields
+      else df.schema.fields.filter(_.dataType.typeName == "string").map(_.name).toSeq
+    targets.foldLeft(df) { (d, f) =>
+      d.withColumn(f, regexp_replace(col(f), "[\\x00-\\x1F]", " "))
+    }
+  }
+}
+
+/** The ordered transform block applied by every ETL task: module transforms
+  * first, then convert → filter → remove → rename — order fixed by the
+  * reference code, not config order (task.py:168-171 calling 142-166).
+  *
+  * Dispatch note: the reference crashes (KeyError) when a singular
+  * `transform` node carries petl keys because `_modules_transform`
+  * unconditionally reads `transform["module"]` (task.py:119-120,127). We
+  * implement the evident intent (README.md:21-22): module key present →
+  * module transform; absent → petl transforms (SURVEY.md §2.3).
+  */
+object Transforms {
+
+  /** Short names for shipped modules, mirroring the reference's
+    * `module/empty_as_null.py` import-by-name convention.
+    */
+  val builtins: Map[String, () => TransformModule] = Map(
+    "empty_as_null"   -> (() => new EmptyAsNull),
+    "sanitize_string" -> (() => new SanitizeString))
+
+  def loadModule(name: String): TransformModule =
+    builtins.get(name).map(_.apply()).getOrElse {
+      val cls = Class.forName(name)
+      cls.getDeclaredConstructor().newInstance().asInstanceOf[TransformModule]
+    }
+
+  def apply(df: DataFrame, task: Node, log: TaskLog): DataFrame = {
+    val afterModules = applyModules(df, task, log)
+    applyPetl(afterModules, task)
+  }
+
+  private def applyModules(df: DataFrame, task: Node, log: TaskLog): DataFrame = {
+    val nodes: Seq[Node] =
+      if (task.has("transforms")) task.arr("transforms")
+      else if (task.has("transform") && task("transform").has("module")) Seq(task("transform"))
+      else Seq.empty
+    nodes.foldLeft(df) { (d, t) =>
+      val name = t.str("module")
+      log.write(s"Transform data with $name")
+      val fields = t.strArr("fields")
+      val args = t.objMap("args").collect {
+        case (k, org.json4s.JString(v)) => k -> v
+        case (k, org.json4s.JInt(v))    => k -> v.toString
+        case (k, org.json4s.JDouble(v)) => k -> v.toString
+        case (k, org.json4s.JBool(v))   => k -> v.toString
+      }
+      loadModule(name).transform(d, fields, args)
+    }
+  }
+
+  private def applyPetl(df: DataFrame, task: Node): DataFrame = {
+    if (!task.has("transform") || task("transform").has("module")) return df
+    val t = task("transform")
+    var d = df
+    // convert
+    t.pairs("convert").foreach { case (field, spec) =>
+      d = d.withColumn(field, ConvertRegistry.compile(field, spec))
+    }
+    // filter (petl expression subset → Spark SQL predicate)
+    t.strOpt("filter").foreach { f =>
+      d = d.filter(expr(PetlExpr.compile(f)))
+    }
+    // remove
+    val removes = t.strArr("remove")
+    if (removes.nonEmpty) d = d.drop(removes: _*)
+    // rename
+    val renames = t.pairs("rename").collect {
+      case (old, org.json4s.JString(n)) => old -> n
+    }.toMap
+    if (renames.nonEmpty) d = d.withColumnsRenamed(renames)
+    d
+  }
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Semantics specs for the library operators on small fixed datasets
+  * (the sf0.01 oracle pins them against DuckDB end-to-end; these pin the
+  * corner cases the fixtures may not hit).
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("AsOfJoin picks latest point <= query time, ties include the point") {
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 12:00:00"), "b"),
+      (2L, ts("2024-01-01 11:00:00"), "c"))
+      .toDF("k", "t", "v")
+    val queries = Seq(
+      (100L, 1L, ts("2024-01-01 11:00:00")), // after a, before b -> a
+      (101L, 1L, ts("2024-01-01 12:00:00")), // exactly b -> b (<= semantics)
+      (102L, 2L, ts("2024-01-01 10:59:59")), // before c -> null
+      (103L, 3L, ts("2024-01-01 23:00:00"))) // no points for key -> null
+      .toDF("id", "k", "t")
+    val out = AsOfJoin(points, queries, "k", "t", "t", "v", "asof")
+      .select("id", "asof").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(100L -> Some("a"), 101L -> Some("b"), 102L -> None, 103L -> None))
+  }
+
+  test("Sessionize splits on gaps > threshold and aggregates per session") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2L, 2.0),  // same session (10 min)
+      (1L, ts("2024-01-01 11:30:00"), 3L, 3.0),  // gap 80 min -> new session
+      (2L, ts("2024-01-01 10:00:00"), 4L, 4.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Sessionize(events, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "sess")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0), (2L, 1L, 1L, 4.0)))
+  }
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val docs = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id", "n_dupes").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("shingles guard docs shorter than w") {
+    val docs = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", w = 3)
+    val byDoc = sh.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(!byDoc.contains(1L), "2-token doc has no 3-shingles")
+    assert(byDoc(2L) == 2L) // "a b c", "b c d"
+  }
+
+  test("minhash LSH finds identical docs with jaccard 1.0") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text with no overlap at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minHashLsh(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1.0)))
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queryId = 0L, k = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(out(0L) == 1.0 && out(1L) == 1.0 && out(2L) == 0.0)
+  }
+
+  test("ANN LSH buckets put identical vectors together and find them") {
+    val emb = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == i % 2) 1.0f else 0.1f * i)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.annTopK(emb, "vec_id", "embedding",
+      dim = 4, queryId = 0L, k = 3, nBits = 2)
+    val ids = out.select("vec_id").as[Long].collect()
+    assert(ids.contains(0L), "query vector must be in its own bucket")
+  }
+
+  test("language ID picks the dominant stopword language") {
+    val docs = Seq(
+      (1L, "the cat and the dog of it"),
+      (2L, "el perro y la casa que no"),
+      (3L, "zzz qqq www"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val docs = Seq((1L, "hello world, it's 42")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().head
+    assert(out._2 == 4)          // whitespace tokens
+    // hello | world | , | it | ' | s | 42
+    assert(out._3 == 7)
+  }
+
+  test("multimodal plumbing: payload bytes flow through mapPartitions") {
+    val docs = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val bin = Multimodal.withBinaryPayload(docs, "doc_id", "text")
+    val meta = Multimodal.extractMeta(spark, bin).collect().head
+    assert(meta.doc_id == 1L && meta.width == 4L && meta.format == "stub")
+  }
+}

@@ -1,0 +1,174 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+/** XlsReader spec over a hand-built BIFF8 workbook in a minimal OLE2
+  * container (no XLS writer exists offline, so the fixture is constructed
+  * byte-by-byte — which also pins the container/record layouts we claim to
+  * parse).
+  */
+class XlsReaderSpec extends SparkSpec {
+
+  // ---- BIFF8 record builders ----------------------------------------------
+
+  private def rec(id: Int, data: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(4 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(id.toShort).putShort(data.length.toShort).put(data)
+    b.array()
+  }
+
+  private def bof(substreamType: Int): Array[Byte] = {
+    val d = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    d.putShort(0x0600.toShort).putShort(substreamType.toShort)
+    rec(0x809, d.array())
+  }
+
+  private def sst(strings: Seq[String]): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    head.putInt(strings.size).putInt(strings.size)
+    body.write(head.array())
+    strings.foreach { s =>
+      val b = ByteBuffer.allocate(3 + s.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(s.length.toShort).put(0.toByte).put(s.getBytes("ISO-8859-1"))
+      body.write(b.array())
+    }
+    rec(0xFC, body.toByteArray)
+  }
+
+  private def boundsheet(bofPos: Int, name: String): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + name.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(bofPos).putShort(0).put(name.length.toByte).put(0.toByte)
+      .put(name.getBytes("ISO-8859-1"))
+    rec(0x85, b.array())
+  }
+
+  private def labelSst(row: Int, col: Int, isst: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(row.toShort).putShort(col.toShort).putShort(0).putInt(isst)
+    rec(0xFD, b.array())
+  }
+
+  private def number(row: Int, col: Int, v: Double): Array[Byte] = {
+    val b = ByteBuffer.allocate(14).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(row.toShort).putShort(col.toShort).putShort(0).putDouble(v)
+    rec(0x203, b.array())
+  }
+
+  private def rkNum(row: Int, col: Int, intVal: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(row.toShort).putShort(col.toShort).putShort(0)
+      .putInt((intVal << 2) | 2) // integer RK encoding
+    rec(0x27E, b.array())
+  }
+
+  private val eofRec = rec(0x0A, Array.empty)
+
+  private def concat(parts: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    parts.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Workbook stream: globals (BOF, SST, BOUNDSHEET, EOF) + one sheet. */
+  private def workbook(): Array[Byte] = {
+    val strings = Seq("name", "qty", "apple", "pear")
+    val sheetCells = concat(
+      bof(0x10),
+      labelSst(0, 0, 0), labelSst(0, 1, 1),  // header: name, qty
+      labelSst(1, 0, 2), number(1, 1, 5.0),  // apple, 5
+      labelSst(2, 0, 3), rkNum(2, 1, 7),     // pear, 7
+      eofRec)
+    // globals size depends on the boundsheet record itself (fixed name)
+    val globalsFor = (pos: Int) => concat(bof(0x05), sst(strings), boundsheet(pos, "Sheet1"), eofRec)
+    val globalsLen = globalsFor(0).length
+    concat(globalsFor(globalsLen), sheetCells)
+  }
+
+  /** Wrap a stream as an OLE2 compound file: FAT sector + directory sector
+    * + stream sectors; mini-cutoff forced to 0 so the stream always lives
+    * in the regular FAT.
+    */
+  private def ole2(stream: Array[Byte]): Array[Byte] = {
+    val sectorSize = 512
+    val nStreamSectors = (stream.length + sectorSize - 1) / sectorSize
+    val totalSectors = 2 + nStreamSectors // 0=FAT, 1=dir, 2..=stream
+    val out = ByteBuffer.allocate(512 + totalSectors * sectorSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    // header
+    out.putLong(0, 0xE11AB1A1E011CFD0L)
+    out.putShort(30, 9)   // sector shift (512)
+    out.putShort(32, 6)   // mini sector shift
+    out.putInt(44, 1)     // number of FAT sectors
+    out.putInt(48, 1)     // first directory sector
+    out.putInt(56, 0)     // mini stream cutoff: 0 → never use ministream
+    out.putInt(60, -2)    // first miniFAT sector
+    out.putInt(64, 0)     // miniFAT count
+    out.putInt(68, -2)    // first DIFAT sector
+    out.putInt(72, 0)     // DIFAT sector count
+    out.putInt(76, 0)     // DIFAT[0] = FAT at sector 0
+    for (i <- 1 until 109) out.putInt(76 + i * 4, -1)
+    // FAT (sector 0)
+    val fatBase = 512
+    out.putInt(fatBase, -3)     // sector 0: FAT itself
+    out.putInt(fatBase + 4, -2) // sector 1: directory, end of chain
+    for (i <- 0 until nStreamSectors) {
+      val sector = 2 + i
+      val next = if (i == nStreamSectors - 1) -2 else sector + 1
+      out.putInt(fatBase + sector * 4, next)
+    }
+    for (i <- (2 + nStreamSectors) until sectorSize / 4) out.putInt(fatBase + i * 4, -1)
+    // directory (sector 1): Root Entry + Workbook
+    val dirBase = 512 + sectorSize
+    def dirEntry(idx: Int, name: String, objType: Byte, start: Int, size: Int): Unit = {
+      val base = dirBase + idx * 128
+      val utf16 = name.getBytes("UTF-16LE")
+      for (i <- utf16.indices) out.put(base + i, utf16(i))
+      out.putShort(base + 64, (utf16.length + 2).toShort)
+      out.put(base + 66, objType)
+      out.putInt(base + 116, start)
+      out.putInt(base + 120, size)
+    }
+    dirEntry(0, "Root Entry", 5, -2, 0)
+    dirEntry(1, "Workbook", 2, 2, stream.length)
+    // stream sectors
+    for (i <- stream.indices) out.put(512 + 2 * sectorSize + i, stream(i))
+    out.array()
+  }
+
+  private def fixture(): String = {
+    val path = s"${tmpDir("graft_xls_")}/test.xls"
+    Files.write(Paths.get(path), ole2(workbook()))
+    path
+  }
+
+  test("reads header + typed cells from a BIFF8 workbook") {
+    val rows = XlsReader.readRows(fixture(), None)
+    assert(rows == Seq(
+      Seq("name", "qty"),
+      Seq("apple", "5"),
+      Seq("pear", "7")))
+  }
+
+  test("sheet selection by name and by index") {
+    val path = fixture()
+    assert(XlsReader.readRows(path, Some("Sheet1")).size == 3)
+    assert(XlsReader.readRows(path, Some("0")).size == 3)
+    assertThrows[IllegalArgumentException](XlsReader.readRows(path, Some("Nope")))
+  }
+
+  test("read() yields an all-string DataFrame with the header as schema") {
+    val df = XlsReader.read(spark, fixture(), None)
+    assert(df.columns.toSeq == Seq("name", "qty"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.count() == 2)
+  }
+
+  test("non-OLE2 input is rejected") {
+    val path = s"${tmpDir("graft_xls_")}/bad.xls"
+    Files.write(Paths.get(path), "not an xls".getBytes)
+    assertThrows[IllegalArgumentException](XlsReader.readRows(path, None))
+  }
+}

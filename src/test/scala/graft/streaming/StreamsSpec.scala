@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window agg matches the batch date_trunc twin (q20 shape)") {
+    val events = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "click", 4.0),
+      (ts("2024-01-01 10:30:00"), "view", 8.0))
+      .toDF("ts", "event_type", "value")
+    val windowed = Streams.tumblingCounts(events, "ts", "1 hour", "1 hour")
+      .orderBy("h", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    val batch = events
+      .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("sv"))
+      .orderBy("h", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(windowed == batch)
+    assert(windowed == Seq(
+      (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+      (ts("2024-01-01 10:00:00"), "view", 1L, 8.0),
+      (ts("2024-01-01 11:00:00"), "click", 1L, 4.0)))
+  }
+
+  test("session windows agree with the batch Sessionize twin (q38 shape)") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2L, 2.0),
+      (1L, ts("2024-01-01 11:30:00"), 3L, 3.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val sessions = Streams.sessionAgg(events, "ts", "user_id")
+      .orderBy("sess_start")
+      .select("n_events", "sval").as[(Long, Double)].collect().toSeq
+    val batch = graft.ops.Sessionize(events, "user_id", "ts", "event_id", "value")
+      .orderBy("sess")
+      .select("n_events", "sval").as[(Long, Double)].collect().toSeq
+    assert(sessions == batch)
+    assert(sessions == Seq((2L, 3.0), (1L, 3.0)))
+  }
+
+  test("true streaming execution: MemoryStream through tumbling agg") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.tumblingCounts(streamDf, "ts", "1 hour", "10 minutes")
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("tumbling_out")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:15:00"), "click", 2.0))
+      q.processAllAvailable()
+      // advance the watermark past the first window so it finalizes
+      mem.addData((ts("2024-01-01 12:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      assert(rows.contains((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("capture stream reads files dropped into a directory") {
+    val dir = tmpDir("graft_capture_")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
+      """{"v": "one"}
+        |{"v": "two"}""".stripMargin)
+    val stream = Streams.captureStream(spark, dir, "json", schema)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("capture_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("capture_out").count() == 2)
+    } finally q.stop()
+  }
+}
