@@ -29,19 +29,26 @@ object Dedup {
   /** Tokens of `textCol` split on single spaces. */
   private def tokens(textCol: Column): Column = split(textCol, " ")
 
-  /** Distinct w-shingles (w-word windows) per doc: (id, shingle) rows.
-    * Guarded for docs shorter than w tokens (Spark's `sequence(1,0)` would
-    * count DOWN, so the guard is required, not cosmetic).
+  /** Distinct w-shingles per doc AS A SET COLUMN: (doc_id, set, n).
+    * Computed entirely with array higher-order functions — a narrow
+    * projection, NO shuffle (the exploded+distinct formulation costs a
+    * full shuffle of every shingle occurrence). Guarded for docs shorter
+    * than w tokens (Spark's `sequence(1,0)` would count DOWN, so the guard
+    * is required, not cosmetic). Docs with no shingles drop out, matching
+    * the exploded form.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
-    val toks = tokens(col(textCol))
-    val idxs = when(size(toks) >= w, sequence(lit(1), size(toks) - (w - 1)))
-      .otherwise(array().cast("array<int>"))
-    val shingle = transform(
-      idxs,
-      i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*))
-    df.select(col(idCol).as("doc_id"), explode(shingle).as("s")).distinct()
-  }
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.VectorFunctions.wordShingles(col(textCol), w).as("set"))
+      .filter(size(col("set")) > 0)
+      .withColumn("n", size(col("set")).cast("long"))
+
+  /** Exploded (doc_id, shingle) view — the inverted-index shape used for
+    * candidate-pair discovery.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame =
+    shingleSets(df, idCol, textCol, w)
+      .select(col("doc_id"), explode(col("set")).as("s"))
 
   /** Exact dedup: one representative row (min id) per identical value of
     * `keyCol`. Equivalent SQL: GROUP BY key. Single shuffle, map-side
@@ -57,11 +64,13 @@ object Dedup {
   /** MinHash signature: for seed i in [0, k), min over shingles of
     * md5("i|" + shingle). Hex-string min == numeric min on the uniform
     * md5 space; identical in DuckDB, which makes LSH oracle-checkable.
+    * Computed per-row from the set column (array_min over a transform) —
+    * a projection, NOT a groupBy: zero shuffles.
     */
-  def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  def minHashSignatures(sets: DataFrame, k: Int): DataFrame = {
+    val sigs = (0 until k).map(i =>
+      array_min(transform(col("set"), s => md5(concat(lit(s"$i|"), s)))).as(s"mh$i"))
+    sets.select(col("doc_id") +: sigs: _*)
   }
 
   /** LSH candidate pairs: band the k-minhash signature into `bands` bands
@@ -75,9 +84,14 @@ object Dedup {
         lit(b).as("band"),
         md5(concat_ws("", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("h"))
     }
+    // The explicit repartition on the join keys makes both self-join
+    // branches share ONE exchange (ReusedExchange): the whole
+    // shingle→minhash→band chain is computed once, and the join needs no
+    // further shuffle since the partitioning already matches.
     val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+      .repartition(col("band"), col("h"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -88,36 +102,38 @@ object Dedup {
   }
 
   /** Exact w-shingle Jaccard for the given candidate pairs (the verify
-    * stage behind LSH). Joins through the shingle inverted index, so cost
-    * is proportional to shared shingles, not |docs|².
+    * stage behind LSH): two hash joins against the per-doc set column and
+    * an `array_intersect` per pair — cost proportional to |pairs| ×
+    * set-size, with no row explosion (the inverted-index re-join
+    * formulation explodes every pair by every shingle and re-shuffles).
     */
-  def jaccardForPairs(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val s1 = sh.select(col("doc_id").as("d1"), col("s"))
-    val s2 = sh.select(col("doc_id").as("d2"), col("s"))
-    val inter = pairs
+  def jaccardForPairs(sets: DataFrame, pairs: DataFrame): DataFrame = {
+    val s1 = sets.select(col("doc_id").as("d1"), col("set").as("set1"), col("n").as("n1"))
+    val s2 = sets.select(col("doc_id").as("d2"), col("set").as("set2"), col("n").as("n2"))
+    pairs
       .join(s1, "d1")
-      .join(s2, Seq("d2", "s"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(cnt.withColumnsRenamed(Map("doc_id" -> "d1", "n" -> "n1")), "d1")
-      .join(cnt.withColumnsRenamed(Map("doc_id" -> "d2", "n" -> "n2")), "d2")
+      .join(s2, "d2")
+      .withColumn("i", size(array_intersect(col("set1"), col("set2"))).cast("long"))
       .select(
         col("d1"), col("d2"),
         (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).as("jaccard"))
   }
 
-  /** MinHash + LSH near-duplicate pipeline: shingle → sign → band →
-    * candidate pairs → exact-Jaccard verify ≥ `threshold`.
+  /** MinHash + LSH near-duplicate pipeline: shingle-sets → sign → band →
+    * candidate pairs → exact-Jaccard verify ≥ `threshold`. Shuffles only
+    * at the band self-join and the two verify joins — signature
+    * computation is projection-only.
     */
   def minHashLsh(
       df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, k: Int = 8, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, idCol, textCol, w)
-    val cand = lshCandidates(minHashSignatures(sh, k), k, bands)
-    jaccardForPairs(sh, cand)
+    // Repartition once by doc_id: the signature branch and BOTH verify
+    // joins then hang off the same reused exchange, so shingle sets are
+    // computed exactly once across the whole pipeline.
+    val sets = shingleSets(df, idCol, textCol, w).repartition(col("doc_id"))
+    val cand = lshCandidates(minHashSignatures(sets, k), k, bands)
+    jaccardForPairs(sets, cand)
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
   }
@@ -146,16 +162,26 @@ object Dedup {
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via the shingle inverted
     * index (no LSH screen — the verifier itself, exposed as an operator).
+    * ONE self-join: the per-(d1,d2) match count from the inverted index IS
+    * the intersection size, so no distinct-candidates stage and no re-join
+    * of the index (3 joins → 1).
     */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh = shingles(df, idCol, textCol, w)
-    val pairs = sh.as("a")
+    val sets = shingleSets(df, idCol, textCol, w).repartition(col("doc_id"))
+    val sh = sets.select(col("doc_id"), explode(col("set")).as("s"))
+      .repartition(col("s")) // one reused exchange feeds both self-join sides
+    val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    jaccardForPairs(sh, pairs)
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    val cnt = sets.select(col("doc_id"), col("n"))
+    inter
+      .join(cnt.withColumnsRenamed(Map("doc_id" -> "d1", "n" -> "n1")), "d1")
+      .join(cnt.withColumnsRenamed(Map("doc_id" -> "d2", "n" -> "n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
   }
