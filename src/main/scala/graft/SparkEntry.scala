@@ -170,19 +170,7 @@ object SparkEntry {
     "q28_dedup_minhash_lsh" -> minhashLshSql,
     "q29_dedup_simhash" -> simhashSql,
     "q30_dedup_ngram_jaccard" -> ngramJaccardSql,
-    "q31_neardup_embedding" ->
-      """SELECT d1, d2, cos_sim FROM (
-        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
-        |         ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-        |                                CAST(b.embedding AS DOUBLE[]))
-        |           / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-        |                                    CAST(a.embedding AS DOUBLE[])))
-        |            * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-        |                                    CAST(b.embedding AS DOUBLE[])))), 4)
-        |           AS cos_sim
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  ORDER BY cos_sim DESC, d1, d2 LIMIT 20) t
-        |ORDER BY cos_sim DESC, d1, d2""".stripMargin,
+    "q31_neardup_embedding" -> neardupLshSql,
     "q33_langid" ->
       s"""WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
          |sc AS (SELECT doc_id,
@@ -241,9 +229,45 @@ object SparkEntry {
         |SELECT user_id, sess, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sval
         |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin)
 
+  /** q31 oracle: banded random-hyperplane LSH (8 bands × 4 sign bits over
+    * md5-derived plane constants — the exact values
+    * RandomHyperplanes.planeMatrix computes, inlined as literals), bucket
+    * cap, candidate pairs, exact-cosine top-20. Mirrors
+    * graft.ops.Similarity.nearDupPairs(dim=64,k=20,bands=8,bitsPerBand=4).
+    */
+  private def neardupLshSql: String = {
+    import org.apache.spark.sql.graft.RandomHyperplanes
+    val bands = 8; val bits = 4; val dim = 64
+    val bucketExprs = (0 until bands).map { b =>
+      val bitExprs = (0 until bits).map { p =>
+        val plane = (0 until dim).map(j => RandomHyperplanes.component(b * bits + p, j))
+        s"(CASE WHEN list_dot_product(v, [${plane.mkString(",")}]) >= 0 THEN '1' ELSE '0' END)"
+      }
+      s"'$b|' || " + bitExprs.mkString(" || ")
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |x AS (SELECT vec_id, UNNEST([
+       |  ${bucketExprs.mkString(",\n  ")}]) AS bk FROM e),
+       |xc AS (SELECT vec_id, bk FROM x
+       |       QUALIFY COUNT(*) OVER (PARTITION BY bk) <= 1000),
+       |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+       |         FROM xc a JOIN xc b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+       |SELECT d1, d2, cos_sim FROM (
+       |  SELECT c.d1, c.d2,
+       |         ROUND(list_dot_product(e1.v, e2.v)
+       |           / (SQRT(list_dot_product(e1.v, e1.v))
+       |            * SQRT(list_dot_product(e2.v, e2.v))), 4) AS cos_sim
+       |  FROM cand c
+       |  JOIN e e1 ON e1.vec_id = c.d1
+       |  JOIN e e2 ON e2.vec_id = c.d2
+       |  ORDER BY cos_sim DESC, d1, d2 LIMIT 20) t
+       |ORDER BY cos_sim DESC, d1, d2""".stripMargin
+  }
+
   /** q28 oracle: shingle → 8 minhashes → 4 bands → candidate pairs →
     * exact-Jaccard ≥ 0.5. Mirrors graft.ops.Dedup.minHashLsh(w=3,k=8,bands=4)
-    * exactly (md5-based minhash is engine-portable by construction).
+    * exactly (md5-based minhash is engine-portable by construction),
+    * including the maxBucket=1000 suspect-bucket cap.
     */
   private def minhashLshSql: String = {
     val mh = (0 until 8).map(i => s"MIN(MD5('$i|' || s)) AS mh$i").mkString(",\n  ")
@@ -257,8 +281,10 @@ object SparkEntry {
        |sig AS (SELECT doc_id,
        |  $mh
        |  FROM sh GROUP BY doc_id),
-       |banded AS (
+       |banded0 AS (
        |  $bandRows),
+       |banded AS (SELECT doc_id, band, h FROM banded0
+       |           QUALIFY COUNT(*) OVER (PARTITION BY band, h) <= 1000),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |         FROM banded a JOIN banded b
        |           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
@@ -296,20 +322,24 @@ object SparkEntry {
   }
 
   /** q30 oracle: exact all-pairs 3-gram Jaccard ≥ 0.3 via the shingle
-    * inverted index (no LSH screen).
+    * inverted index (no LSH screen), with the maxDf=1000 suspect-shingle
+    * cap mirrored from Dedup.ngramJaccard (capped shingles leave the
+    * inverted index but still count toward set sizes).
     */
   private def ngramJaccardSql: String =
     """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |       FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)),
+      |shc AS (SELECT doc_id, s FROM sh
+      |        QUALIFY COUNT(*) OVER (PARTITION BY s) <= 1000),
       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |         FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id),
       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (SELECT c.d1, c.d2, COUNT(*) AS i
       |          FROM cand c
-      |          JOIN sh s1 ON s1.doc_id = c.d1
-      |          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+      |          JOIN shc s1 ON s1.doc_id = c.d1
+      |          JOIN shc s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
       |          GROUP BY c.d1, c.d2)
       |SELECT i.d1, i.d2,
       |       ROUND(CAST(i.i AS DOUBLE) / (n1.n + n2.n - i.i), 3) AS jaccard

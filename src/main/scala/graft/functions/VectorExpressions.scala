@@ -124,6 +124,95 @@ case class WordShingles(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH bucket of an `array<double>` vector: the sign bits
+  * of `nBits` fixed pseudo-random hyperplanes, as a '0'/'1' string.
+  *
+  * Plane component j of global plane `band * nBits + p` is a deterministic
+  * value in [-0.5, 0.5) derived from md5 — reproducible across runs, JVMs
+  * and engines (the DuckDB oracle can inline the same constants), with no
+  * RNG state on executors.
+  *
+  * Why an expression and not `array(lit, lit, ...)` composition: the literal
+  * form puts O(dim × nBits) constants INTO the plan — at dim=1536, nBits=16
+  * that is ~25k expression nodes per projection, blowing up analysis and
+  * codegen time. Here the plane matrix lives in the expression object
+  * (shipped once as a codegen reference object), so plan size is O(1) in
+  * both dim and nBits, and the hot loop is one fused dim×nBits pass.
+  */
+case class RandomHyperplanes(child: Expression, dim: Int, nBits: Int, band: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes {
+
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  @transient lazy val planes: Array[Array[Double]] =
+    RandomHyperplanes.planeMatrix(dim, nBits, band)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Byte](nBits)
+    var p = 0
+    while (p < nBits) {
+      val plane = planes(p)
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += plane(j) * v.getDouble(j); j += 1 }
+      out(p) = if (s >= 0) '1' else '0'
+      p += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |byte[] $out = new byte[$nBits];
+         |for (int $p = 0; $p < $nBits; $p++) {
+         |  double $s = 0.0;
+         |  double[] _pl = $planesRef[$p];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += _pl[$i] * $v.getDouble($i);
+         |  }
+         |  $out[$p] = $s >= 0 ? (byte) '1' : (byte) '0';
+         |}
+         |${ev.value} = UTF8String.fromBytes($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RandomHyperplanes =
+    copy(child = newChild)
+}
+
+object RandomHyperplanes {
+  /** Deterministic plane component: first 4 md5 bytes of "plane|component"
+    * as a signed int scaled into [-0.5, 0.5). Identical to the literal
+    * construction this expression replaced (graft.ops.Similarity round 1),
+    * so bucket assignments are stable across rounds and engines.
+    */
+  def component(plane: Int, j: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane|$j".getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(hex).getInt.toDouble / (2.0 * Int.MaxValue)
+  }
+
+  def planeMatrix(dim: Int, nBits: Int, band: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, dim)((p, j) => component(band * nBits + p, j))
+}
+
 object VectorBridge {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -131,4 +220,8 @@ object VectorBridge {
 
   def wordShingles(text: Column, w: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), w))
+
+  def lshBucket(vec: Column, dim: Int, nBits: Int, band: Int): Column =
+    ExpressionUtils.column(
+      RandomHyperplanes(ExpressionUtils.expression(vec), dim, nBits, band))
 }

@@ -14,4 +14,12 @@ object VectorFunctions {
   /** Distinct w-word shingles of a space-split text column, single pass. */
   def wordShingles(text: Column, w: Int): Column =
     org.apache.spark.sql.graft.VectorBridge.wordShingles(text, w)
+
+  /** Random-hyperplane LSH bucket ('0'/'1' sign-bit string) of an
+    * array<double> vector; `band` selects an independent plane family.
+    * Plan size is O(1) in dim and nBits (planes ride along as a codegen
+    * reference object, not literals).
+    */
+  def lshBucket(vec: Column, dim: Int, nBits: Int, band: Int = 0): Column =
+    org.apache.spark.sql.graft.VectorBridge.lshBucket(vec, dim, nBits, band)
 }

@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   *    aggregation bounds shuffle volume by #distinct keys.
   *  - minhash:  per-doc signatures are tiny (k hashes); the LSH band
   *    self-join shuffles on (band, bucket) so only colliding docs meet —
-  *    never the O(n²) all-pairs. Skewed buckets (boilerplate text) should
-  *    be capped with a bucket-size guard in production.
+  *    never the O(n²) all-pairs. Skewed buckets (boilerplate text) are
+  *    dropped by the `maxBucket` guard in [[lshCandidates]].
   *  - simhash:  linear per-doc bit-vote aggregation; grouping equal
   *    fingerprints is one shuffle on a 16-char key.
   *  - ngram Jaccard: exact all-pairs on shingle-colliding docs only
@@ -76,8 +76,17 @@ object Dedup {
   /** LSH candidate pairs: band the k-minhash signature into `bands` bands
     * of k/bands rows each; docs sharing any (band, bucket-hash) are
     * candidates. Returns (d1, d2) with d1 < d2, distinct.
+    *
+    * `maxBucket` is the skew guard: a degenerate bucket (boilerplate text
+    * — "click here to unsubscribe" — hashing thousands of docs into one
+    * (band, h)) would emit O(b²) join rows and dominate the job. Buckets
+    * above the cap are dropped from candidate discovery (standard suspect-
+    * bucket filtering); their members still pair up via any non-degenerate
+    * band. The count rides the (band, h) partitioning already required by
+    * the join, as a window — no extra shuffle.
     */
-  def lshCandidates(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+  def lshCandidates(sig: DataFrame, k: Int, bands: Int,
+                    maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(
@@ -92,6 +101,11 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
       .repartition(col("band"), col("h"))
+      .withColumn("_bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("h"))))
+      .filter(col("_bn") <= maxBucket)
+      .select(col("doc_id"), col("band"), col("h"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -127,12 +141,12 @@ object Dedup {
   def minHashLsh(
       df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, k: Int = 8, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     // Repartition once by doc_id: the signature branch and BOTH verify
     // joins then hang off the same reused exchange, so shingle sets are
     // computed exactly once across the whole pipeline.
     val sets = shingleSets(df, idCol, textCol, w).repartition(col("doc_id"))
-    val cand = lshCandidates(minHashSignatures(sets, k), k, bands)
+    val cand = lshCandidates(minHashSignatures(sets, k), k, bands, maxBucket)
     jaccardForPairs(sets, cand)
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
@@ -168,10 +182,22 @@ object Dedup {
     */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
-      w: Int = 3, threshold: Double = 0.3): DataFrame = {
+      w: Int = 3, threshold: Double = 0.3, maxDf: Int = 1000): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, w).repartition(col("doc_id"))
+    // Skew guard: a shingle appearing in df docs emits O(df²) join rows,
+    // so one boilerplate phrase shared by 100k docs would dominate the
+    // job. Shingles with document frequency > maxDf are dropped from the
+    // inverted index (suspect-shingle filtering — they carry no near-dup
+    // signal); they still count toward set sizes, so the reported jaccard
+    // is a lower bound that is exact whenever no shingle exceeds the cap.
+    // The df count rides the repartition(s) the join needs anyway, as a
+    // window — no extra shuffle.
     val sh = sets.select(col("doc_id"), explode(col("set")).as("s"))
       .repartition(col("s")) // one reused exchange feeds both self-join sides
+      .withColumn("_df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("_df") <= maxDf)
+      .select(col("doc_id"), col("s"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: brute-force top-k broadcasts the single query vector and
   * is one scan + one TakeOrdered — the right baseline even at 100 TB.
-  * All-pairs uses a block-nested join and belongs behind an LSH/IVF screen
-  * at scale; both screens are provided.
+  * Near-dup pair mining is banded LSH with per-bucket caps
+  * ([[nearDupPairs]]) — every join an equi-join; the O(n²) all-pairs form
+  * ([[topPairs]]) is kept only as the small-data exactness anchor.
   */
 object Similarity {
 
@@ -65,49 +66,105 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane LSH bucket id (sign bits of `nBits` fixed pseudo
-    * hyperplanes). Hyperplane component j of plane p is a deterministic
-    * value in [-0.5, 0.5) derived from md5 — reproducible across runs and
-    * engines, no RNG state on executors.
+  /** Random-hyperplane LSH bucket (sign bits of `nBits` fixed pseudo
+    * hyperplanes, as a '0'/'1' string). Plane components are deterministic
+    * md5-derived values — reproducible across runs and engines, no RNG
+    * state on executors. Backed by the codegen'd `RandomHyperplanes`
+    * expression, so plan size is O(1) in dim and nBits (round 1 inlined
+    * O(dim × nBits) literals, which blew up codegen at real embedding
+    * dims). `band` selects an independent plane family for banded LSH.
     */
-  def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
-    val bits = (0 until nBits).map { p =>
-      // plane(p) . vec, with plane components folded in via zip_with over
-      // a literal array built once per plane.
-      val plane = array((0 until dim).map { j =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$p|$j".getBytes("UTF-8"))
-        // first 4 bytes as signed int scaled into [-0.5, 0.5)
-        val v = java.nio.ByteBuffer.wrap(hex).getInt.toDouble / (2.0 * Int.MaxValue)
-        lit(v)
-      }: _*)
-      when(dot(plane, vec) >= 0, lit(1)).otherwise(lit(0)).cast("string")
-    }
-    concat(bits: _*)
-  }
+  def lshBucket(vec: Column, dim: Int, nBits: Int, band: Int = 0): Column =
+    graft.functions.VectorFunctions.lshBucket(vec, dim, nBits, band)
 
   /** Assign every vector an LSH bucket; ANN search = brute force within
-    * the query's bucket (optionally multi-probe by hamming-adjacent
-    * buckets at scale). One narrow projection, shuffles only on the
-    * bucket key for downstream joins.
+    * the query's bucket (multi-probed by hamming-adjacent buckets). One
+    * narrow projection, shuffles only on the bucket key for downstream
+    * joins.
     */
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
                  dim: Int, nBits: Int = 8): DataFrame =
     emb.select(col(idCol), col(vecCol),
       lshBucket(asDouble(col(vecCol)), dim, nBits).as("bucket"))
 
-  /** ANN top-k via LSH: restrict the scan to the query vector's bucket,
-    * then exact cosine rank inside it.
+  /** The query bucket plus its `nBits` hamming-1 neighbors (multi-probe):
+    * raises recall without raising nBits' bucket-population cost. Input is
+    * the 1-row (bucket, qv) frame; output one row per probe bucket.
+    */
+  private def hamming1Probes(qb: DataFrame, nBits: Int): DataFrame = {
+    val probes = col("_qb") +: (1 to nBits).map { i =>
+      concat(
+        substring(col("_qb"), 1, i - 1),
+        when(substring(col("_qb"), i, 1) === "1", "0").otherwise("1"),
+        substring(col("_qb"), i + 1, nBits - i))
+    }
+    qb.select(explode(array(probes: _*)).as("_qb"), col("_qv"))
+  }
+
+  /** ANN top-k via LSH: restrict the scan to the query vector's bucket
+    * plus (if `multiProbe`) its hamming-1 neighbor buckets, then exact
+    * cosine rank inside that slice. The probe set is a broadcast of
+    * nBits+1 rows, so the scan side never shuffles; with nBits bits the
+    * scanned fraction is ≈ (nBits+1)/2^nBits of the corpus.
     */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
-              dim: Int, queryId: Long, k: Int, nBits: Int = 4): DataFrame = {
+              dim: Int, queryId: Long, k: Int, nBits: Int = 8,
+              multiProbe: Boolean = true): DataFrame = {
     val bucketed = lshBuckets(emb, idCol, vecCol, dim, nBits)
     val qb = bucketed.filter(col(idCol) === queryId)
       .select(col("bucket").as("_qb"), asDouble(col(vecCol)).as("_qv"))
-    bucketed.join(broadcast(qb), col("bucket") === col("_qb"))
+    val probes = if (multiProbe) hamming1Probes(qb, nBits) else qb
+    bucketed.join(broadcast(probes), col("bucket") === col("_qb"))
       .select(col(idCol),
         round(cosine(asDouble(col(vecCol)), col("_qv")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Top-k most-similar pairs via banded random-hyperplane LSH: each
+    * vector gets `bands` independent bucket ids (bitsPerBand sign bits
+    * each); docs colliding in ANY band are candidates; candidates are
+    * ranked by exact cosine. This is the scale-correct formulation of
+    * embedding near-dup ([[topPairs]] is the O(n²) exactness anchor, kept
+    * for small-data verification): every join is an equi-join on the
+    * bucket key — no BroadcastNestedLoopJoin anywhere — and the one
+    * quadratic term is per-bucket, bounded by `maxBucket`.
+    *
+    * `maxBucket` drops degenerate buckets (near-identical boilerplate
+    * embeddings, or a zero-region of the space): a bucket of b docs emits
+    * O(b²) candidate pairs, so one hot bucket can dominate the whole job.
+    * Dropped buckets lose nothing in practice — their pairs still meet in
+    * the other bands unless they are degenerate in ALL bands, the
+    * signature of boilerplate.
+    */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, k: Int, bands: Int = 8, bitsPerBand: Int = 4,
+                   maxBucket: Int = 1000, scale: Int = 4): DataFrame = {
+    val e = emb.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))
+      .repartition(col("_id"))
+    val bucketCols = (0 until bands).map(b =>
+      concat(lit(s"$b|"), lshBucket(col("_v"), dim, bitsPerBand, b)))
+    // (id, bucket) inverted index; one exchange on the bucket key feeds
+    // both self-join sides (ReusedExchange), and the per-bucket count cap
+    // rides the same partitioning as a window — no extra shuffle.
+    val banded = e
+      .select(col("_id"), explode(array(bucketCols: _*)).as("bk"))
+      .repartition(col("bk"))
+      .withColumn("_bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .filter(col("_bn") <= maxBucket)
+      .select(col("_id"), col("bk"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("d1"), col("b._id").as("d2"))
+      .distinct()
+    val v1 = e.select(col("_id").as("d1"), col("_v").as("v1"), norm(col("_v")).as("n1"))
+    val v2 = e.select(col("_id").as("d2"), col("_v").as("v2"), norm(col("_v")).as("n2"))
+    cand.join(v1, "d1").join(v2, "d2")
+      .select(col("d1"), col("d2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), scale).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("d1"), col("d2"))
       .limit(k)
   }
 }

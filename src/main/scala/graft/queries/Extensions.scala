@@ -38,16 +38,24 @@ object Extensions {
         w = 3, threshold = 0.3)
       .orderBy(col("d1"), col("d2"))
 
-  // q31 embedding-cosine near-dup: top-20 most-similar pairs.
+  // q31 embedding-cosine near-dup: top-20 candidate pairs from 8 banded
+  // LSH families (4 sign bits each), ranked by exact cosine. Every join is
+  // an equi-join on the bucket key (no BroadcastNestedLoopJoin); the
+  // oracle mirrors the deterministic md5-derived planes, so the result is
+  // exactly hash-checkable. Similarity.topPairs remains the O(n²)
+  // exactness anchor, exercised in OpsSpec.
   val q31_neardup_embedding: Q = (s, d) =>
-    Similarity.topPairs(t(s, d, "embeddings"), "vec_id", "embedding", k = 20)
+    Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, k = 20, bands = 8, bitsPerBand = 4)
       .orderBy(col("cos_sim").desc, col("d1"), col("d2"))
 
   // q32 ANN top-k via random-hyperplane LSH buckets (approx → no oracle;
-  // rows-only check). The scale path behind q25's brute-force anchor.
+  // rows-only check). The scale path behind q25's brute-force anchor:
+  // 6 sign bits = 64 buckets, multi-probed to the 7 hamming-≤1 buckets,
+  // so ~11% of the corpus is scanned regardless of corpus size.
   val q32_ann_lsh: Q = (s, d) =>
     Similarity.annTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, queryId = 0L, k = 10, nBits = 4)
+        dim = 64, queryId = 0L, k = 10, nBits = 6)
       .orderBy(col("vec_id"))
 
   // q33 language ID (stopword heuristic).

@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Scale-safety pins for the near-dup / similarity family (VERDICT r01
+  * items 1 and 4): plan shape (no BroadcastNestedLoopJoin in q31), the
+  * skew caps on the LSH band join and the shingle inverted index, the
+  * banded-LSH recall anchors against the exact formulations, and O(1)
+  * plan size for the RandomHyperplanes expression.
+  */
+class ScaleSafetySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(42)
+
+  /** Unit-ish random vector with a seeded RNG (deterministic fixture). */
+  private def randVec(dim: Int): Array[Float] =
+    Array.fill(dim)((rng.nextDouble() - 0.5).toFloat)
+
+  private def perturb(v: Array[Float], eps: Float): Array[Float] =
+    v.map(x => x + (rng.nextDouble() - 0.5).toFloat * eps)
+
+  test("q31 plan is equi-join only: no BroadcastNestedLoopJoin, no CartesianProduct") {
+    val df = graft.queries.Extensions.q31_neardup_embedding(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "banded LSH must not plan a BNLJ")
+    assert(!plan.contains("CartesianProduct"), "banded LSH must not plan a cartesian")
+  }
+
+  test("ngramJaccard df-cap drops boilerplate shingles: degenerate corpus completes empty") {
+    // 300 docs sharing every shingle of a boilerplate prefix (df = 300 for
+    // each) with unique tails: uncapped this is a C(300,2) pair blowup;
+    // with the cap the suspect shingles leave the index and nothing pairs.
+    val docs = (0 until 300)
+      .map(i => (i.toLong, s"click here to unsubscribe from this list now tail$i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", w = 3, threshold = 0.1, maxDf = 10)
+    assert(out.count() == 0, "all shingles above the df cap must be dropped")
+  }
+
+  test("minHashLsh bucket-cap drops degenerate buckets: identical-corpus completes empty") {
+    // 300 identical docs land in ONE (band, bucket) of size 300 in every
+    // band — the O(b²) blowup shape. Cap 10 drops the bucket entirely.
+    val docs = (0 until 300)
+      .map(i => (i.toLong, "the exact same boilerplate text in every single document"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minHashLsh(docs, "doc_id", "text", maxBucket = 10)
+    assert(out.count() == 0, "buckets above the cap must be dropped")
+  }
+
+  test("caps are inert below threshold: tiny-cap result equals default-cap result") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text with no overlap at all"))
+      .toDF("doc_id", "text")
+    val tight = Dedup.minHashLsh(docs, "doc_id", "text", maxBucket = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    val loose = Dedup.minHashLsh(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tight == loose && tight == Set((1L, 2L, 1.0)))
+    val jTight = Dedup.ngramJaccard(docs, "doc_id", "text", maxDf = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    val jLoose = Dedup.ngramJaccard(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(jTight == jLoose && jTight.map(p => (p._1, p._2)) == Set((1L, 2L)))
+  }
+
+  test("nearDupPairs recovers the exact top pairs on a planted near-dup corpus") {
+    val dim = 16
+    val base = (0 until 40).map(i => (i.toLong, randVec(dim)))
+    // ids 100+i are near-identical twins of ids 0..9: cosine ≈ 1 ≫ the
+    // background pair similarity, so exact top-10 = the 10 planted pairs.
+    val twins = (0 until 10).map(i => (100L + i, perturb(base(i)._2, 0.001f)))
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    val exact = Similarity.topPairs(emb, "vec_id", "embedding", k = 10)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val banded = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        dim = dim, k = 10, bands = 8, bitsPerBand = 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exact == (0 until 10).map(i => (i.toLong, 100L + i)).toSet)
+    assert(banded == exact, "near-identical pairs must collide in some band")
+  }
+
+  test("annTopK multi-probe recall >= 0.8 vs exact top-10 at nBits=8") {
+    val dim = 16
+    val q = randVec(dim)
+    val neighbors = (1 to 10).map(i => (i.toLong, perturb(q, 0.001f)))
+    val noise = (11 until 200).map(i => (i.toLong, randVec(dim)))
+    val emb = ((0L, q) +: (neighbors ++ noise)).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, k = 11)
+      .select("vec_id").as[Long].collect().toSet - 0L
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding",
+        dim = dim, queryId = 0L, k = 11, nBits = 8, multiProbe = true)
+      .select("vec_id").as[Long].collect().toSet - 0L
+    val recall = (ann & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"multi-probe recall $recall below 0.8 (ann=$ann exact=$exact)")
+  }
+
+  test("RandomHyperplanes plan size is O(1) in dim and nBits") {
+    val emb = Seq((0L, Array.fill(1536)(0.1))).toDF("vec_id", "v")
+    val df = emb.select(
+      graft.functions.VectorFunctions.lshBucket(col("v"), dim = 1536, nBits = 16).as("b"))
+    val planLen = df.queryExecution.optimizedPlan.toString.length
+    // The round-1 literal construction put dim × nBits = 24,576 constants
+    // in the plan; the expression form stays a few hundred chars.
+    assert(planLen < 5000, s"plan unexpectedly large: $planLen chars")
+  }
+
+  test("RandomHyperplanes matches the plane matrix it advertises") {
+    import org.apache.spark.sql.graft.RandomHyperplanes
+    val dim = 8
+    val v = Array.tabulate(dim)(j => 0.25 * (j - 3))
+    val bucket = Seq(Tuple1(v)).toDF("v")
+      .select(graft.functions.VectorFunctions.lshBucket(col("v"), dim, 4, band = 2).as("b"))
+      .as[String].collect().head
+    val expected = RandomHyperplanes.planeMatrix(dim, 4, 2).map { plane =>
+      val s = plane.zip(v).map { case (p, x) => p * x }.sum
+      if (s >= 0) '1' else '0'
+    }.mkString
+    assert(bucket == expected)
+  }
+}
