@@ -46,13 +46,17 @@ trait CustomTask {
 object Tasks {
 
   private def etl(ctx: TaskContext, task: Node, log: TaskLog, taskType: String)
-                 (source: => DataFrame)(sink: (DataFrame, TaskLog) => Unit): Unit = {
+                 (source: => DataFrame)
+                 (sink: (DataFrame, TaskLog, graft.runner.ProgressMeter) => Unit): Unit = {
     val df = source
     if (df.isEmpty) log.write("Task skipped. No rows on source")
     else {
       val out = Transforms(df, task, log)
       val taskLog = TaskLog.forTask(ctx.logDir, taskType, task.str("name", "task"))
-      try sink(out, taskLog)
+      // K5 progress metering (task.py:200): 10k-row ticks into the
+      // per-task log while the sink job runs, plus a final total line.
+      val meter = new graft.runner.ProgressMeter(taskLog)
+      try meter.metered(ctx.spark) { sink(out, taskLog, meter) }
       finally taskLog.close()
     }
   }
@@ -63,19 +67,23 @@ object Tasks {
     Sources.csv(ctx.spark, s"${ctx.dir(folder)}/${src.str("file")}", src)
   }
 
-  private def csvTarget(ctx: TaskContext, task: Node)(df: DataFrame, lg: TaskLog): Unit = {
+  private def csvTarget(ctx: TaskContext, task: Node)
+                       (df: DataFrame, lg: TaskLog, meter: graft.runner.ProgressMeter): Unit = {
     val tgt = task("target")
     val folder = tgt.str("folder", "output")
     val out = s"${ctx.dir(folder)}/${tgt.str("file")}"
     val truncate = tgt.bool("truncate")
-    CsvSink.write(df, out, tgt, truncate)
+    CsvSink.write(df, out, tgt, truncate) // file sink: rows metered via native output metrics
     lg.write(s"wrote $out (truncate=$truncate)")
   }
 
-  private def dbTarget(ctx: TaskContext, task: Node)(df: DataFrame, lg: TaskLog): Unit = {
+  private def dbTarget(ctx: TaskContext, task: Node)
+                      (df: DataFrame, lg: TaskLog, meter: graft.runner.ProgressMeter): Unit = {
     val tgt = task("target")
     val conn = ctx.connections.get(tgt.str("connection"))
-    ctx.connections.writeTable(conn, df, tgt.str("table"),
+    // JDBC writes report no output metrics — meter.wrap counts rows in-task.
+    val counted = if (ctx.connections.isInternal(conn)) df else meter.wrap(df)
+    ctx.connections.writeTable(conn, counted, tgt.str("table"),
       tgt.strOpt("schema"), tgt.bool("truncate"))
     lg.write(s"wrote table ${tgt.str("table")}")
   }

@@ -95,6 +95,25 @@ class CsvTaskSpec extends SparkSpec {
     assert(df.schema.fields.forall(_.dataType.typeName == "string"))
   }
 
+  test("progress meter ticks every 10k rows into the per-task log (K5)") {
+    val wd = setup()
+    val rows = (1 to 25000).map(i => s"n$i;$i;m").mkString("\n")
+    writeFile(s"$wd/input/big.csv", s"name;bal;seg\n$rows\n")
+    runTasks(wd,
+      """{"tasks": [{
+        |  "type": "csv-csv", "name": "big",
+        |  "source": {"file": "big.csv"},
+        |  "target": {"file": "big_out.csv", "truncate": true}
+        |}]}""".stripMargin)
+    val logFile = Files.list(Paths.get(s"$wd/log")).toArray.map(_.toString)
+      .find(_.contains("csv-csv_big_")).getOrElse(fail("no per-task log file"))
+    val log = read(logFile)
+    // 25k rows -> ticks at 10k and 20k, then the final total
+    assert(log.contains("10000 rows in"), s"missing 10k tick:\n$log")
+    assert(log.contains("20000 rows in"), s"missing 20k tick:\n$log")
+    assert(log.contains("25000 rows written in"), s"missing final total:\n$log")
+  }
+
   test("distributed sink mode writes a directory") {
     val wd = setup()
     runTasks(wd,

@@ -96,6 +96,27 @@ class JdbcTaskSpec extends SparkSpec {
     assert(out.toLowerCase == "name\nbob\n")
   }
 
+  test("JDBC sink progress meter: 10k ticks via the accumulator path (K5)") {
+    val (wd, db) = setup()
+    val rows = (1 to 12000).map(i => s"n$i;$i").mkString("\n")
+    Files.writeString(Paths.get(s"$wd/input/big.csv"), s"name;bal\n$rows\n")
+    run(wd,
+      s"""{${connections(db)}, "tasks": [
+         |  {"type": "sql-exec", "name": "ddl",
+         |   "source": {"command": "CREATE TABLE bigt (name VARCHAR(50), bal VARCHAR(20))"},
+         |   "target": {"connection": "main"}},
+         |  {"type": "csv-db", "name": "bigload",
+         |   "source": {"file": "big.csv"},
+         |   "target": {"connection": "main", "table": "bigt"}}
+         |]}""".stripMargin)
+    val logFile = Files.list(Paths.get(s"$wd/log")).toArray.map(_.toString)
+      .find(_.contains("csv-db_bigload_")).getOrElse(fail("no per-task log file"))
+    val log = Files.readString(Paths.get(logFile))
+    // JDBC reports no output metrics; the wrap-accumulator must meter it.
+    assert(log.contains("10000 rows in"), s"missing 10k tick:\n$log")
+    assert(log.contains("12000 rows written in"), s"missing final total:\n$log")
+  }
+
   test("internal Spark connection: db-csv over a registered view") {
     val (wd, _) = setup()
     import spark.implicits._
