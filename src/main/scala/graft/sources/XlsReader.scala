@@ -11,8 +11,18 @@ import scala.collection.mutable
   * SURVEY.md §7.5: OLE2 compound container (FAT + miniFAT), the Workbook
   * stream, first-or-named sheet, cell types LABELSST/LABEL/NUMBER/RK/
   * MULRK/BOOLERR/FORMULA-with-cached-result. Numbers render via a
-  * compact-decimal format; date display formatting (xlrd `use_view`) is
-  * out of scope — dates surface as Excel serial numbers.
+  * compact-decimal format.
+  *
+  * Date cells follow the reference's `use_view=True` view semantics
+  * (task.py:326 → petl fromxls → xlutils.view): a numeric cell whose XF
+  * points at a date/time number format (built-in ids or a custom FORMAT
+  * string with date tokens) is decoded through the Excel serial-date
+  * rules (1900/1904 DATEMODE, the phantom-1900-leap-day offset xlrd
+  * applies at serial 61) and rendered the way petl's CSV sink prints the
+  * resulting datetime/time object: `yyyy-MM-dd HH:mm:ss`, or `HH:mm:ss`
+  * for time-only values. One deviation: xlrd raises XLDateAmbiguous for
+  * 1900-mode serials below 61; we render them proleptically instead of
+  * failing the whole file.
   *
   * Matching the reference pipeline (xls-csv, task.py:319-347), the first
   * row is the header and every value is a string. Parsing is driver-side
@@ -173,12 +183,19 @@ object XlsReader {
   private val BOOLERR = 0x205
   private val FORMULA = 0x06
   private val STRING_R = 0x207
+  private val XF = 0xE0
+  private val FORMAT_R = 0x41E
+  private val DATEMODE = 0x22
 
   private[sources] def parseWorkbook(stream: Array[Byte], sheet: Option[String]): Seq[Seq[String]] = {
-    // Pass 1 (globals): SST + BOUNDSHEET positions
+    // Pass 1 (globals): SST, BOUNDSHEET positions, XF → format index,
+    // custom FORMAT strings, 1900/1904 DATEMODE
     var sst = Vector.empty[String]
     val sheets = mutable.ArrayBuffer[(String, Int)]() // name -> BOF offset
     val pending = mutable.ArrayBuffer[Record]()
+    val xfFormats = mutable.ArrayBuffer[Int]()       // XF index -> ifmt
+    val customFormats = mutable.Map[Int, String]()   // ifmt -> format string
+    var date1904 = false
     var lastWasSst = false
     records(stream).foreach { r =>
       r.id match {
@@ -194,10 +211,31 @@ object XlsReader {
           lastWasSst = false
         case SST => pending += r; lastWasSst = true
         case CONTINUE if lastWasSst => pending += r
+        case XF =>
+          xfFormats += (le(r.data).getShort(2) & 0xFFFF)
+          lastWasSst = false
+        case FORMAT_R =>
+          val b = le(r.data)
+          val ifmt = b.getShort(0) & 0xFFFF
+          val cch = b.getShort(2) & 0xFFFF
+          val grbit = r.data(4) & 0xFF
+          customFormats(ifmt) =
+            if ((grbit & 1) == 0) new String(r.data, 5, cch, "ISO-8859-1")
+            else new String(r.data, 5, cch * 2, "UTF-16LE")
+          lastWasSst = false
+        case DATEMODE =>
+          date1904 = (le(r.data).getShort(0) & 0xFFFF) == 1
+          lastWasSst = false
         case _ => lastWasSst = false
       }
     }
     if (pending.nonEmpty) sst = parseSst(pending.toSeq)
+
+    // use_view rendering: numeric cell + date XF -> formatted date string
+    def renderNum(v: Double, xf: Int): String =
+      if (v >= 0 && xf < xfFormats.length &&
+          isDateFormat(xfFormats(xf), customFormats)) xlDateString(v, date1904)
+      else fmtNum(v)
 
     val sheetPos = sheet match {
       case Some(s) =>
@@ -233,15 +271,18 @@ object XlsReader {
             else new String(r.data, 9, cch * 2, "UTF-16LE")
           cells((b.getShort(0) & 0xFFFF, b.getShort(2) & 0xFFFF)) = s
         case NUMBER =>
-          cells((b.getShort(0) & 0xFFFF, b.getShort(2) & 0xFFFF)) = fmtNum(b.getDouble(6))
+          cells((b.getShort(0) & 0xFFFF, b.getShort(2) & 0xFFFF)) =
+            renderNum(b.getDouble(6), b.getShort(4) & 0xFFFF)
         case RK =>
-          cells((b.getShort(0) & 0xFFFF, b.getShort(2) & 0xFFFF)) = fmtNum(decodeRk(b.getInt(6)))
+          cells((b.getShort(0) & 0xFFFF, b.getShort(2) & 0xFFFF)) =
+            renderNum(decodeRk(b.getInt(6)), b.getShort(4) & 0xFFFF)
         case MULRK =>
           val row = b.getShort(0) & 0xFFFF
           val firstCol = b.getShort(2) & 0xFFFF
           val nCells = (r.data.length - 6) / 6
           for (i <- 0 until nCells)
-            cells((row, firstCol + i)) = fmtNum(decodeRk(b.getInt(4 + i * 6 + 2)))
+            cells((row, firstCol + i)) =
+              renderNum(decodeRk(b.getInt(4 + i * 6 + 2)), b.getShort(4 + i * 6) & 0xFFFF)
         case BOOLERR =>
           val isErr = r.data(7) != 0
           val v = r.data(6) & 0xFF
@@ -258,7 +299,7 @@ object XlsReader {
               case 1 => cells((row, colIdx)) = if (resultBytes(2) != 0) "true" else "false"
               case _ => cells((row, colIdx)) = ""
             }
-          } else cells((row, colIdx)) = fmtNum(rb.getDouble(0))
+          } else cells((row, colIdx)) = renderNum(rb.getDouble(0), b.getShort(4) & 0xFFFF)
         case STRING_R =>
           pendingFormulaCell.foreach { rc =>
             val cch = b.getShort(0) & 0xFFFF
@@ -343,4 +384,63 @@ object XlsReader {
   private def fmtNum(d: Double): String =
     if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
+
+  /** Built-in date/time number-format ids (xlrd's is_date_format_string
+    * tables): 14-22 date/time, 27-36 East-Asian date, 45-47 elapsed,
+    * 50-58 East-Asian date.
+    */
+  private val builtinDateFmts: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  /** Is the XF's number format a date/time display? Custom format strings
+    * are scanned for date tokens (y/m/d/h/s) after stripping `"quoted"`
+    * literals, `[bracketed]` colors/locales, and `\`-escaped chars — the
+    * shape of xlrd's heuristic. Elapsed `[h]:mm` still matches via its
+    * `mm` body.
+    */
+  private def isDateFormat(ifmt: Int, custom: collection.Map[Int, String]): Boolean =
+    builtinDateFmts(ifmt) || custom.get(ifmt).exists { f =>
+      val sb = new StringBuilder
+      var i = 0
+      var inQ = false
+      var inB = false
+      while (i < f.length) {
+        val c = f.charAt(i)
+        if (inQ) { if (c == '"') inQ = false }
+        else if (inB) { if (c == ']') inB = false }
+        else c match {
+          case '"'  => inQ = true
+          case '['  => inB = true
+          case '\\' => i += 1
+          case _    => sb.append(c)
+        }
+        i += 1
+      }
+      sb.toString.toLowerCase.exists("ymdhs".contains(_))
+    }
+
+  /** Excel serial → the string petl's CSV sink prints for the
+    * datetime/time object xlutils.view yields: xlrd xldate_as_tuple rules
+    * (round the day fraction to whole seconds, carry 86400 into the next
+    * day, serial-61 phantom-leap-day offset in 1900 mode, 1904 epoch),
+    * then `yyyy-MM-dd HH:mm:ss` — or `HH:mm:ss` when the day part is 0.
+    */
+  private[sources] def xlDateString(serial: Double, date1904: Boolean): String = {
+    var xldays = serial.toLong
+    var seconds = math.round((serial - xldays) * 86400.0)
+    if (seconds == 86400L) { seconds = 0; xldays += 1 }
+    val h = seconds / 3600
+    val mi = (seconds / 60) % 60
+    val s = seconds % 60
+    if (xldays == 0) f"$h%02d:$mi%02d:$s%02d"
+    else {
+      val d =
+        if (date1904) java.time.LocalDate.of(1904, 1, 1).plusDays(xldays)
+        // xlrd raises XLDateAmbiguous below 61 (the phantom 1900-02-29);
+        // we render proleptically rather than fail the file
+        else if (xldays < 61) java.time.LocalDate.of(1899, 12, 31).plusDays(xldays)
+        else java.time.LocalDate.of(1899, 12, 31).plusDays(xldays - 1)
+      f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d $h%02d:$mi%02d:$s%02d"
+    }
+  }
 }

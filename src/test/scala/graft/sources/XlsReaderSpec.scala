@@ -51,17 +51,38 @@ class XlsReaderSpec extends SparkSpec {
     rec(0xFD, b.array())
   }
 
-  private def number(row: Int, col: Int, v: Double): Array[Byte] = {
+  private def number(row: Int, col: Int, v: Double, xf: Int = 0): Array[Byte] = {
     val b = ByteBuffer.allocate(14).order(ByteOrder.LITTLE_ENDIAN)
-    b.putShort(row.toShort).putShort(col.toShort).putShort(0).putDouble(v)
+    b.putShort(row.toShort).putShort(col.toShort).putShort(xf.toShort).putDouble(v)
     rec(0x203, b.array())
   }
 
-  private def rkNum(row: Int, col: Int, intVal: Int): Array[Byte] = {
+  private def rkNum(row: Int, col: Int, intVal: Int, xf: Int = 0): Array[Byte] = {
     val b = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
-    b.putShort(row.toShort).putShort(col.toShort).putShort(0)
+    b.putShort(row.toShort).putShort(col.toShort).putShort(xf.toShort)
       .putInt((intVal << 2) | 2) // integer RK encoding
     rec(0x27E, b.array())
+  }
+
+  /** XF record: only the ifmt (offset 2) is read; rest zeroed. */
+  private def xf(ifmt: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(0).putShort(ifmt.toShort)
+    rec(0xE0, b.array())
+  }
+
+  /** Custom FORMAT record (compressed 8-bit string form). */
+  private def format(ifmt: Int, fmt: String): Array[Byte] = {
+    val b = ByteBuffer.allocate(5 + fmt.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(ifmt.toShort).putShort(fmt.length.toShort).put(0.toByte)
+      .put(fmt.getBytes("ISO-8859-1"))
+    rec(0x41E, b.array())
+  }
+
+  private def datemode(is1904: Boolean): Array[Byte] = {
+    val b = ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(if (is1904) 1.toShort else 0.toShort)
+    rec(0x22, b.array())
   }
 
   private val eofRec = rec(0x0A, Array.empty)
@@ -144,6 +165,38 @@ class XlsReaderSpec extends SparkSpec {
     path
   }
 
+  /** Workbook with XF/FORMAT/DATEMODE records and date-formatted cells.
+    * XF 0: general; XF 1: built-in 14 (m/d/yy); XF 2: custom date;
+    * XF 3: custom non-date number; XF 4: built-in 21 (h:mm:ss).
+    */
+  private def dateWorkbook(is1904: Boolean): Array[Byte] = {
+    val strings = Seq("d")
+    val sheetCells = concat(
+      bof(0x10),
+      labelSst(0, 0, 0),
+      number(1, 0, 44927.0, xf = 1),          // 2023-01-01, built-in date
+      number(2, 0, 44927.520833333336, xf = 2), // custom date fmt, 12:30:00
+      number(3, 0, 44927.0, xf = 3),          // custom NON-date fmt: stays numeric
+      number(4, 0, 0.75, xf = 4),             // time-only
+      rkNum(5, 0, 100, xf = 1),               // RK cell with date XF
+      eofRec)
+    val globalsFor = (pos: Int) => concat(
+      bof(0x05),
+      datemode(is1904),
+      format(164, "dd/mm/yyyy hh:mm"),
+      format(165, "#,##0.00"),
+      xf(0), xf(14), xf(164), xf(165), xf(21),
+      sst(strings), boundsheet(pos, "Sheet1"), eofRec)
+    val globalsLen = globalsFor(0).length
+    concat(globalsFor(globalsLen), sheetCells)
+  }
+
+  private def dateFixture(is1904: Boolean = false): String = {
+    val path = s"${tmpDir("graft_xls_")}/dates.xls"
+    Files.write(Paths.get(path), ole2(dateWorkbook(is1904)))
+    path
+  }
+
   test("reads header + typed cells from a BIFF8 workbook") {
     val rows = XlsReader.readRows(fixture(), None)
     assert(rows == Seq(
@@ -164,6 +217,24 @@ class XlsReaderSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("name", "qty"))
     assert(df.schema.fields.forall(_.dataType.typeName == "string"))
     assert(df.count() == 2)
+  }
+
+  test("use_view date formatting: date XFs render as date strings, 1900 mode") {
+    val rows = XlsReader.readRows(dateFixture(), None)
+    assert(rows(1) == Seq("2023-01-01 00:00:00"), "built-in date format id")
+    assert(rows(2) == Seq("2023-01-01 12:30:00"), "custom date format string")
+    assert(rows(3) == Seq("44927"), "custom non-date format stays numeric")
+    assert(rows(4) == Seq("18:00:00"), "day part 0 renders time-only")
+    // serial 100 in 1900 mode, < 61 region rule does not apply: 1900-04-09
+    assert(rows(5) == Seq("1900-04-09 00:00:00"), "RK cell honours its date XF")
+  }
+
+  test("use_view date formatting: 1904 datemode shifts the epoch") {
+    val rows = XlsReader.readRows(dateFixture(is1904 = true), None)
+    // serial 44927 in the 1904 system = 2027-01-02
+    assert(rows(1) == Seq("2027-01-02 00:00:00"))
+    // serial 100 = 1904-01-01 + 100 days
+    assert(rows(5) == Seq("1904-04-10 00:00:00"))
   }
 
   test("non-OLE2 input is rejected") {
