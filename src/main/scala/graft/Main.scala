@@ -58,14 +58,22 @@ object Main {
     spark.stop()
   }
 
-  private def parseArgs(args: Array[String]): Map[String, String] = {
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map[String, String]()
+    def value(i: Int, flag: String): String =
+      if (i + 1 < args.length) args(i + 1)
+      else {
+        System.err.println(
+          s"missing value for $flag\nusage: graft.Main [-task FILE] " +
+            "[-watch-time SECONDS] [-work-dir DIR] [-verbose]")
+        throw new IllegalArgumentException(s"missing value for $flag")
+      }
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "-task"       => m("task") = args(i + 1); i += 2
-        case "-watch-time" => m("watch-time") = args(i + 1); i += 2
-        case "-work-dir"   => m("work-dir") = args(i + 1); i += 2
+        case "-task"       => m("task") = value(i, "-task"); i += 2
+        case "-watch-time" => m("watch-time") = value(i, "-watch-time"); i += 2
+        case "-work-dir"   => m("work-dir") = value(i, "-work-dir"); i += 2
         case "-verbose"    => m("verbose") = "true"; i += 1
         case other =>
           System.err.println(s"unknown argument: $other"); i += 1

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** Loaders for the driver-generated parquet fixture tables (TESTDATA.md).
   *
@@ -16,15 +17,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** events.parquet fixture schema, `ts` typed long: TIMESTAMP(NANOS) is
+    * rejected by schema INFERENCE, but an explicit user schema reads the
+    * physical INT64 directly — no session conf involved (the legacy
+    * `nanosAsLong` conf this replaced was global state that bled into
+    * concurrent readers of other nanos parquet in the same session).
+    */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-      // nanosAsLong surfaces it as raw nanos; `div 1000` (integral — a
-      // double division would lose precision at 1.7e18) truncates to the
-      // micros Spark can represent, exactly like DuckDB's NS→TIMESTAMP cast,
-      // so oracle twins cast the same column the same way.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      // `ts div 1000` (integral — a double division would lose precision
+      // at 1.7e18) truncates nanos to the micros Spark can represent,
+      // exactly like DuckDB's NS→TIMESTAMP cast, so oracle twins cast the
+      // same column the same way.
+      spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 

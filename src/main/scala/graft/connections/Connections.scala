@@ -133,7 +133,13 @@ class Connections(file: TaskFile, spark: SparkSession) {
     * (task.py:527-536). Internal → spark.sql; external → raw JDBC.
     */
   def execSql(node: Node, sql: String): Unit =
-    if (isInternal(node)) { spark.sql(sql).collect(); () }
+    if (isInternal(node)) {
+      // Commands (DDL/DML) run eagerly inside sql(); anything with a
+      // result (a user's SELECT through sql-exec) is executed
+      // distributedly and discarded via the noop sink — never collected
+      // to the driver, which at scale would OOM it.
+      spark.sql(sql).write.format("noop").mode("overwrite").save()
+    }
     else {
       val props = new java.util.Properties()
       node.strOpt("user").filter(_.nonEmpty).foreach(props.setProperty("user", _))

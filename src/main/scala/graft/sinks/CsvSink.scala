@@ -31,6 +31,7 @@ object CsvSink {
         .option("header", truncate.toString) // append carries no header (petl appendcsv)
         .option("sep", sep)
         .option("encoding", enc)
+        .option("emptyValue", "") // same cell serialization as single-file mode
         .mode(if (truncate) "overwrite" else "append")
       writer.csv(targetFile)
     }
@@ -56,9 +57,11 @@ object CsvSink {
     if (truncate)
       Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
     else {
-      val bytes = Files.readAllBytes(part.toPath)
-      Files.write(target, bytes,
+      // stream the part into the target — never buffer the whole file in
+      // driver memory
+      val out = Files.newOutputStream(target,
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      try Files.copy(part.toPath, out) finally out.close()
     }
     deleteRecursively(new File(tmp))
   }

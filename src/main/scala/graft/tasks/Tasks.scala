@@ -190,6 +190,9 @@ object Tasks {
     def run(ctx: TaskContext, task: Node, log: TaskLog): Unit = {
       val src = task("source")
       val files = src.strArr("files")
+      if (files.isEmpty)
+        throw new IllegalArgumentException(
+          "zip task requires a non-empty source.files array")
       val sourcePath = ctx.dir(src.str("path", "output"))
       val (targetName, targetPath) =
         if (task.has("target")) {

@@ -47,10 +47,12 @@ class SanitizeString extends TransformModule {
   * reference code, not config order (task.py:168-171 calling 142-166).
   *
   * Dispatch note: the reference crashes (KeyError) when a singular
-  * `transform` node carries petl keys because `_modules_transform`
-  * unconditionally reads `transform["module"]` (task.py:119-120,127). We
-  * implement the evident intent (README.md:21-22): module key present →
-  * module transform; absent → petl transforms (SURVEY.md §2.3).
+  * `transform` node carries petl keys but NO module key, because
+  * `_modules_transform` unconditionally reads `transform["module"]`
+  * (task.py:119-120,127). We implement the evident intent
+  * (README.md:21-22): the module transform runs when a module key is
+  * present, and the petl sub-keys of the same node apply afterwards
+  * either way (get_result order, task.py:168-171; SURVEY.md §2.3).
   */
 object Transforms {
 
@@ -92,7 +94,11 @@ object Transforms {
   }
 
   private def applyPetl(df: DataFrame, task: Node): DataFrame = {
-    if (!task.has("transform") || task("transform").has("module")) return df
+    // A singular transform node may carry BOTH a module key and petl keys:
+    // the reference applies the module first, then the petl transforms
+    // from the same node (get_result, task.py:168-171) — so no early
+    // return on `module` here; applyModules already consumed that key.
+    if (!task.has("transform")) return df
     val t = task("transform")
     var d = df
     // convert

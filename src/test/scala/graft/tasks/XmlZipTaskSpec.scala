@@ -104,6 +104,18 @@ class XmlZipTaskSpec extends SparkSpec {
     assert(Files.readString(Paths.get(s"$wd/input/b.txt")) == "world")
   }
 
+  test("zip task with empty files array fails with a clear message") {
+    val wd = setup()
+    val e = intercept[IllegalArgumentException] {
+      run(wd,
+        """{"tasks": [{"type": "zip", "name": "z",
+          |  "source": {"files": [], "path": "output"},
+          |  "target": {"file": "pack.zip", "path": "output"}}]}""".stripMargin)
+    }
+    assert(e.getMessage.contains("non-empty"))
+    assert(!Files.exists(Paths.get(s"$wd/output/pack.zip")), "no empty zip left behind")
+  }
+
   test("custom task SPI and exec task dispatch") {
     val wd = setup()
     run(wd,

@@ -44,6 +44,17 @@ class TransformsSpec extends SparkSpec {
     assert(rows.contains(Row(null, "a")) && rows.contains(Row("b", null)))
   }
 
+  test("singular node with module AND petl keys applies module, then petl (task.py:168-171)") {
+    val df = Seq(("", "a"), ("b", "c")).toDF("x", "y")
+    val task = taskNode(
+      """{"transform": {"module": "empty_as_null",
+        |               "remove": ["y"], "rename": [["x", "z"]]}}""".stripMargin)
+    val out = Transforms(df, task, TaskLog.Silent)
+    assert(out.columns.toSeq == Seq("z"))
+    val vals = out.collect().map(r => Option(r.getString(0))).toSet
+    assert(vals == Set(None, Some("b")), "module (empty→null) must run before petl keys")
+  }
+
   test("empty_as_null restricted to given fields") {
     val df = Seq(("", "")).toDF("x", "y")
     val task = taskNode(
