@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns plus typed metadata, with decode / feature-extract as
   * partition-local batch functions.
   *
-  * The Spark-side plumbing is real (binary columns, typed Dataset,
-  * mapPartitions batching, schema); the media DECODER IS A STUB — this
-  * container ships no image/audio codecs — clearly marked below. Swap
-  * [[StubDecoder]] for a real codec (e.g. TwelveMonkeys/JavaCV) without
-  * touching the pipeline: the contract is bytes-in, metadata-out.
+  * Image payloads decode for REAL through JDK ImageIO ([[ImageDecoder]]:
+  * PNG/JPEG/GIF/BMP — the formats the JDK ships codecs for; header-only
+  * reads, so metadata extraction never pays full pixel decode). Audio and
+  * video payloads, and bytes no installed reader recognises, fall back to
+  * the clearly-marked [[StubDecoder]] — this container ships no AV
+  * codecs. Swap the stub for a codec (e.g. JavaCV) without touching the
+  * pipeline: the contract is bytes-in, metadata-out.
   *
   * Scale notes: decode is embarrassingly parallel; `mapPartitions` keeps
   * codec init per-partition (not per-row). Binary payloads should live in
@@ -22,8 +24,44 @@ object Multimodal {
 
   case class MediaMeta(doc_id: Long, width: Long, height: Long, format: String)
 
+  /** Real image decode via JDK ImageIO. Format detection is by magic
+    * bytes (cheap, no reader probe for non-images); dimensions come from
+    * the format reader's HEADER ONLY (`ImageReader.getWidth/getHeight`),
+    * never a full `ImageIO.read` pixel decode — at training-data scale
+    * metadata extraction must not decompress every image.
+    */
+  object ImageDecoder {
+    /** Magic-byte sniff: PNG / JPEG / GIF / BMP (the JDK-shipped codecs). */
+    def detectFormat(p: Array[Byte]): Option[String] =
+      if (p.length < 4) None
+      else if ((p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') Some("png")
+      else if ((p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 && (p(2) & 0xFF) == 0xFF) Some("jpeg")
+      else if (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') Some("gif")
+      else if (p(0) == 'B' && p(1) == 'M') Some("bmp")
+      else None
+
+    def decode(payload: Array[Byte]): Option[(Long, Long, String)] =
+      detectFormat(payload).flatMap { fmt =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              Some((r.getWidth(0).toLong, r.getHeight(0).toLong, fmt))
+            } catch { case _: java.io.IOException => None }
+            finally r.dispose()
+          }
+        } finally iis.close()
+      }
+  }
+
   /** STUB decoder — deterministic arithmetic on payload size standing in
-    * for a real image decode. Replace with a codec; keep the signature.
+    * for the audio/video decode this container cannot ship. Replace with
+    * a codec; keep the signature.
     */
   object StubDecoder {
     def decode(payload: Array[Byte]): (Long, Long, String) = {
@@ -31,6 +69,12 @@ object Multimodal {
       (n % 640, (n * 7) % 480, "stub")
     }
   }
+
+  /** Bytes-in, metadata-out: real ImageIO decode for recognised image
+    * payloads, stub for everything else (audio/video/unknown).
+    */
+  def decodeMeta(payload: Array[Byte]): (Long, Long, String) =
+    ImageDecoder.decode(payload).getOrElse(StubDecoder.decode(payload))
 
   /** Attach a binary payload column (here: utf-8 bytes of a text column —
     * the fixtures ship no real media; the pipeline does not care).
@@ -48,9 +92,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder init would go here (codec contexts are
-        // expensive; never per-row)
+        // expensive; never per-row). ImageIO's reader registry is
+        // JVM-global, so images need none.
         it.map { case (id, bytes) =>
-          val (w, h, f) = StubDecoder.decode(bytes)
+          val (w, h, f) = decodeMeta(bytes)
           MediaMeta(id, w, h, f)
         }
       }

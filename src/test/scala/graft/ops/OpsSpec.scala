@@ -117,4 +117,29 @@ class OpsSpec extends SparkSpec {
     val meta = Multimodal.extractMeta(spark, bin).collect().head
     assert(meta.doc_id == 1L && meta.width == 4L && meta.format == "stub")
   }
+
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK cannot encode $fmt")
+    out.toByteArray
+  }
+
+  test("multimodal: real image payloads decode actual dimensions via ImageIO") {
+    val payloads = Seq(
+      (1L, imageBytes("png", 123, 45)),
+      (2L, imageBytes("jpg", 64, 32)),
+      (3L, imageBytes("gif", 10, 20)),
+      (4L, imageBytes("bmp", 7, 9)),
+      (5L, "not an image".getBytes("UTF-8")))
+    val df = payloads.toDF("doc_id", "payload")
+    val meta = Multimodal.extractMeta(spark, df)
+      .collect().map(m => m.doc_id -> ((m.width, m.height, m.format))).toMap
+    assert(meta(1L) == ((123L, 45L, "png")))
+    assert(meta(2L) == ((64L, 32L, "jpeg")))
+    assert(meta(3L) == ((10L, 20L, "gif")))
+    assert(meta(4L) == ((7L, 9L, "bmp")))
+    assert(meta(5L)._3 == "stub", "unrecognised bytes fall back to the stub")
+  }
 }
