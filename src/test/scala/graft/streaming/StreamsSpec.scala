@@ -72,6 +72,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped (Streams.tumblingCounts pin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.tumblingCounts(
+      mem.toDF().toDF("ts", "event_type", "value"), "ts", "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 10:05:00"), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 12:00:00"), "click", 1.0)) // watermark -> 11:50
+      q.processAllAvailable()
+      val before = spark.table("late_out")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      assert(before.contains((ts("2024-01-01 10:00:00"), "click", 1L, 1.0)),
+        "10:00 window must finalize once the watermark passes it")
+      // a row for the finalized 10:00 window, far behind the watermark
+      mem.addData((ts("2024-01-01 10:20:00"), "click", 100.0))
+      mem.addData((ts("2024-01-01 13:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val after = spark.table("late_out")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      assert(after.count(_._1 == ts("2024-01-01 10:00:00")) == 1,
+        "finalized window must not re-emit")
+      assert(after.contains((ts("2024-01-01 10:00:00"), "click", 1L, 1.0)),
+        "late row must not mutate the finalized window")
+      assert(!after.exists(_._4 >= 100.0), "the late row's value must be dropped")
+    } finally q.stop()
+  }
+
   test("capture stream reads files dropped into a directory") {
     val dir = tmpDir("graft_capture_")
     val schema = org.apache.spark.sql.types.StructType(Seq(
