@@ -1,23 +1,52 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Bench protocol (BASELINE.md): fixed query order (sorted by name), one
+  * untimed warm-up pass (JVM/codegen/file-listing warm-up — round 1 showed
+  * a 4.5 s first-query outlier that was pure warm-up), then 3 timed passes
+  * per query; the reported figure is the per-query MEDIAN, so round-over-
+  * round regressions are signal, not scheduling noise.
+  *
+  * Execution is a noop-sink write: unlike `count()`, which lets Catalyst
+  * prune every column not needed for counting, the noop sink materializes
+  * the full result of the declared plan — the honest cost of the query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    // warm-up pass: untimed
+    queries.foreach { case (_, fn) =>
+      try exec(fn) catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // timed passes
+    val timings = queries.map { case (name, fn) =>
+      val samples = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { exec(fn); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      val ok = samples.filter(_ >= 0).sorted
+      val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      name -> median
+    }
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = timings.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
