@@ -213,6 +213,63 @@ object RandomHyperplanes {
     Array.tabulate(nBits, dim)((p, j) => component(band * nBits + p, j))
 }
 
+/** Per-document SimHash fingerprint in one pass: majority vote per bit
+  * over the md5 of each space-split token occurrence; bit i of a token is
+  * the high bit of hex digit i of its md5 (i.e. nibble i >= 8).
+  *
+  * Semantics exactly match the explode+groupBy formulation this replaced
+  * (graft.ops.Dedup.simHash round 1) and its DuckDB oracle twin — but as
+  * a deterministic unary projection: the round-1 form shuffled EVERY
+  * token occurrence of the corpus just to re-group per-row math by doc
+  * id, which at 100 TB is a full-corpus shuffle for zero information
+  * gain.
+  */
+case class SimHashBits(child: Expression, bits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(bits <= 32, "simhash bits bounded by the md5 nibble count")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](bits)
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val h = md.digest(toks(t).getBytes("UTF-8"))
+      var i = 0
+      while (i < bits) {
+        val nibble =
+          if ((i & 1) == 0) (h(i >> 1) >> 4) & 0xF
+          else h(i >> 1) & 0xF
+        if (nibble >= 8) votes(i) += 1
+        i += 1
+      }
+      t += 1
+    }
+    val n = toks.length
+    val out = new Array[Byte](bits)
+    var i = 0
+    while (i < bits) {
+      out(i) = if (votes(i) * 2 > n) '1' else '0'
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
 object VectorBridge {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -224,4 +281,7 @@ object VectorBridge {
   def lshBucket(vec: Column, dim: Int, nBits: Int, band: Int): Column =
     ExpressionUtils.column(
       RandomHyperplanes(ExpressionUtils.expression(vec), dim, nBits, band))
+
+  def simHashBits(text: Column, bits: Int): Column =
+    ExpressionUtils.column(SimHashBits(ExpressionUtils.expression(text), bits))
 }

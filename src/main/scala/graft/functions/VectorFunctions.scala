@@ -22,4 +22,8 @@ object VectorFunctions {
     */
   def lshBucket(vec: Column, dim: Int, nBits: Int, band: Int = 0): Column =
     org.apache.spark.sql.graft.VectorBridge.lshBucket(vec, dim, nBits, band)
+
+  /** Per-document SimHash fingerprint ('0'/'1' string) in one pass. */
+  def simHashBits(text: Column, bits: Int): Column =
+    org.apache.spark.sql.graft.VectorBridge.simHashBits(text, bits)
 }

@@ -19,15 +19,12 @@ import org.apache.spark.sql.functions._
   *    self-join shuffles on (band, bucket) so only colliding docs meet —
   *    never the O(n²) all-pairs. Skewed buckets (boilerplate text) are
   *    dropped by the `maxBucket` guard in [[lshCandidates]].
-  *  - simhash:  linear per-doc bit-vote aggregation; grouping equal
-  *    fingerprints is one shuffle on a 16-char key.
+  *  - simhash:  one projection (custom SimHashBits expression); grouping
+  *    equal fingerprints is one shuffle on a 16-char key.
   *  - ngram Jaccard: exact all-pairs on shingle-colliding docs only
   *    (inverted-index join), used as the verifier behind minhash LSH.
   */
 object Dedup {
-
-  /** Tokens of `textCol` split on single spaces. */
-  private def tokens(textCol: Column): Column = split(textCol, " ")
 
   /** Distinct w-shingles per doc AS A SET COLUMN: (doc_id, set, n).
     * Computed entirely with array higher-order functions — a narrow
@@ -156,23 +153,19 @@ object Dedup {
     * Bit i of a token = high bit of hex digit i of md5(token); fingerprint
     * bit i = 1 iff strictly more than half the token occurrences set it.
     * Output: (doc_id, simhash: 16-char '0'/'1' string, n_dupes = docs
-    * sharing the fingerprint). Linear aggregation — one shuffle on doc id,
-    * one on the fingerprint.
+    * sharing the fingerprint).
+    *
+    * The fingerprint is ONE projection (custom SimHashBits expression);
+    * the only shuffle is the n_dupes window on the 16-char fingerprint.
+    * The round-1 explode+groupBy form shuffled every token occurrence of
+    * the corpus — a full-corpus shuffle for per-row math.
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    val tok = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
-      .withColumn("h", md5(col("w")))
-    val bitSums = (0 until bits).map(i =>
-      sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-        .otherwise(0)).as(s"b$i"))
-    val agg = tok.groupBy(col("doc_id"))
-      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
-    val fp = concat((0 until bits).map(i =>
-      when(col(s"b$i") * 2 > col("n"), "1").otherwise("0").cast("string")): _*)
-    agg.select(col("doc_id"), fp.as("simhash"))
+  def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
+    df.where(col(textCol).isNotNull) // explode-form dropped null-text docs; keep that contract
+      .select(col(idCol).as("doc_id"),
+        graft.functions.VectorFunctions.simHashBits(col(textCol), bits).as("simhash"))
       .withColumn("n_dupes",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
-  }
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via the shingle inverted
     * index (no LSH screen — the verifier itself, exposed as an operator).

@@ -23,17 +23,31 @@ object TextAnalysis {
 
   private def toks(textCol: Column): Column = split(textCol, " ")
 
+  /** Per-language stopword hit count as a PURE PROJECTION: `size(filter(
+    * tokens, w -> w IN list))` per language — same occurrence counts the
+    * explode+groupBy formulation produced, with ZERO shuffle (round 1
+    * shuffled every token occurrence to re-group by doc id; at corpus
+    * scale that is a shuffle of the whole tokenized corpus for a per-row
+    * answer).
+    */
+  private def stopwordHits(t: Column, words: Seq[String]): Column =
+    size(filter(t, w => w.isin(words: _*))).cast("long")
+
   /** Language ID: per-language stopword hit count over token occurrences;
     * argmax with (1) 'und' (undetermined) when no list matches, (2)
-    * alphabetical language order as tie-break. One explode + one groupBy
-    * shuffle on doc id.
+    * alphabetical language order as tie-break. Pure projection — no
+    * explode, no shuffle.
     */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("w"))
     val langs = stopwords.keys.toSeq.sorted
-    val scoreAggs = langs.map(l =>
-      sum(when(col("w").isin(stopwords(l): _*), 1).otherwise(0)).as(s"s_$l"))
-    val scored = tok.groupBy(col("doc_id")).agg(scoreAggs.head, scoreAggs.tail: _*)
+    // tokenize ONCE into an intermediate column: the per-language filter
+    // lambdas carry distinct exprIds, which defeats common-subexpression
+    // elimination — inlining `split` into each would tokenize 4×.
+    val scored = df
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("_t"))
+      .select(
+        col("doc_id") +:
+          langs.map(l => stopwordHits(col("_t"), stopwords(l)).as(s"s_$l")): _*)
     val best = greatest(langs.map(l => col(s"s_$l")): _*)
     val pred = langs.foldRight(lit("und")) { (l, rest) =>
       when(best > 0 && col(s"s_$l") === best, lit(l)).otherwise(rest)
@@ -45,15 +59,19 @@ object TextAnalysis {
 
   /** Quality score in [0,1]: length saturation + type-token ratio +
     * stopword ratio (an n-gram-free proxy for "looks like language").
-    * Components exposed for downstream filtering.
+    * Pure projection: token count = `size(tokens)`, distinct count =
+    * `size(array_distinct(tokens))`, stopword count via `filter` — the
+    * explode+groupBy round-1 form shuffled every token for per-row math.
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("w"))
-    val en = stopwords("en")
-    val agg = tok.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_tokens"),
-      countDistinct(col("w")).as("n_distinct"),
-      sum(when(col("w").isin(en: _*), 1).otherwise(0)).as("n_stop"))
+    // same tokenize-once shape as languageId
+    val agg = df
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("_t"))
+      .select(
+        col("doc_id"),
+        size(col("_t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("_t"))).cast("long").as("n_distinct"),
+        stopwordHits(col("_t"), stopwords("en")).as("n_stop"))
     agg.select(
       col("doc_id"),
       col("n_tokens"),

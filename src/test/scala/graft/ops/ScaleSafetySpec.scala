@@ -98,6 +98,27 @@ class ScaleSafetySpec extends SparkSpec {
     assert(recall >= 0.8, s"multi-probe recall $recall below 0.8 (ann=$ann exact=$exact)")
   }
 
+  test("text ops tokenize once and never shuffle (q29/q33/q34 plan pins)") {
+    val d = "/root/testdata/sf0.001"
+    // projection-only: no Exchange in langid / quality; simhash's only
+    // exchange is the n_dupes window on the fingerprint
+    val langPlan = graft.queries.Extensions.q33_langid(spark, d)
+      .queryExecution.optimizedPlan.toString
+    assert("split\\(".r.findAllIn(langPlan).length == 1,
+      s"langid must tokenize exactly once:\n$langPlan")
+    val qualPlan = graft.queries.Extensions.q34_quality(spark, d)
+      .queryExecution.optimizedPlan.toString
+    assert("split\\(".r.findAllIn(qualPlan).length == 1,
+      s"quality must tokenize exactly once:\n$qualPlan")
+    Seq("q33" -> langPlan, "q34" -> qualPlan).foreach { case (q, p) =>
+      assert(!p.contains("Aggregate"), s"$q must not aggregate (projection-only)")
+    }
+    val simPlan = graft.queries.Extensions.q29_dedup_simhash(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!simPlan.contains("HashAggregate"),
+      s"simhash must not shuffle token occurrences:\n$simPlan")
+  }
+
   test("RandomHyperplanes plan size is O(1) in dim and nBits") {
     val emb = Seq((0L, Array.fill(1536)(0.1))).toDF("vec_id", "v")
     val df = emb.select(
