@@ -213,6 +213,86 @@ object RandomHyperplanes {
     Array.tabulate(nBits, dim)((p, j) => component(band * nBits + p, j))
 }
 
+/** Index of the nearest centroid (max cosine similarity, ties to the
+  * lowest index) for an `array<double>` vector — the IVF coarse-quantizer
+  * assignment as a single fused projection.
+  *
+  * The centroid matrix rides along as a codegen reference object (same
+  * plan-size-O(1) pattern as [[RandomHyperplanes]]): k×dim doubles live in
+  * the expression, not the plan, so cell assignment is zero-shuffle and
+  * the alternative — a broadcast crossJoin + groupBy-argmin, which
+  * shuffles one row per vector — is never needed.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes {
+
+  import org.apache.spark.sql.types.IntegerType
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    NearestCentroid.nearest(centroids, norms, v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val nRef = ctx.addReferenceObj("norms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"${ev.value} = org.apache.spark.sql.graft.NearestCentroid.nearest($cRef, $nRef, $v);"
+    })
+  }
+
+  // array contents define equality; the default case-class equality on
+  // Array is identity-based, which breaks plan canonicalization (and so
+  // ReusedExchange) across copies
+  override def equals(o: Any): Boolean = o match {
+    case NearestCentroid(c, cs) =>
+      c == child && cs.length == centroids.length &&
+        cs.zip(centroids).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + centroids.map(java.util.Arrays.hashCode).toSeq.hashCode()
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  /** Shared by interpreted eval and codegen: argmax of cosine(v, c_i),
+    * ties to the lowest index.
+    */
+  def nearest(centroids: Array[Array[Double]], norms: Array[Double], v: ArrayData): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var vnorm = 0.0
+    val n = v.numElements()
+    var j = 0
+    while (j < n) { val x = v.getDouble(j); vnorm += x * x; j += 1 }
+    vnorm = math.sqrt(vnorm)
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      val d = math.min(c.length, n)
+      var dot = 0.0
+      var k = 0
+      while (k < d) { dot += c(k) * v.getDouble(k); k += 1 }
+      val denom = norms(i) * vnorm
+      val sim = if (denom == 0) 0.0 else dot / denom
+      if (sim > bestSim) { bestSim = sim; best = i }
+      i += 1
+    }
+    best
+  }
+}
+
 /** Per-document SimHash fingerprint in one pass: majority vote per bit
   * over the md5 of each space-split token occurrence; bit i of a token is
   * the high bit of hex digit i of its md5 (i.e. nibble i >= 8).
@@ -284,4 +364,7 @@ object VectorBridge {
 
   def simHashBits(text: Column, bits: Int): Column =
     ExpressionUtils.column(SimHashBits(ExpressionUtils.expression(text), bits))
+
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    ExpressionUtils.column(NearestCentroid(ExpressionUtils.expression(vec), centroids))
 }

@@ -26,4 +26,11 @@ object VectorFunctions {
   /** Per-document SimHash fingerprint ('0'/'1' string) in one pass. */
   def simHashBits(text: Column, bits: Int): Column =
     org.apache.spark.sql.graft.VectorBridge.simHashBits(text, bits)
+
+  /** IVF coarse-quantizer assignment: index of the nearest centroid by
+    * cosine, as a zero-shuffle projection (centroids ride as a reference
+    * object, not plan literals).
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.VectorBridge.nearestCentroid(vec, centroids)
 }

@@ -121,6 +121,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path beside LSH.
+    *
+    * Coarse quantizer: `nCells` seed centroids drawn deterministically
+    * from the corpus itself (ids ordered by md5 — an unbiased, reprodu-
+    * cible sample; a k-means refinement can replace the seed list without
+    * touching anything downstream). Every vector is assigned its nearest
+    * centroid by the zero-shuffle [[graft.functions.VectorFunctions
+    * .nearestCentroid]] expression; a query probes the `nProbe` cells
+    * whose centroids are nearest to it and brute-forces only those.
+    *
+    * Plan shape at any scale: one tiny driver job to collect k centroids
+    * (k×dim doubles — broadcast-sized by construction), then scan +
+    * filter(cell ∈ probes) + TakeOrderedAndProject. No shuffle anywhere.
+    * Scanned fraction ≈ nProbe/nCells of the corpus. For a persisted
+    * index, write the corpus partitioned BY cell so probing prunes files
+    * instead of filtering rows.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nCells: Int = 16, nProbe: Int = 3,
+              scale: Int = 6): DataFrame = {
+    val e = emb.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    val centroids: Array[Array[Double]] = e
+      .select(col(idCol), col("_v"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nCells)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cellOf = graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids)
+    val qv: Array[Double] = e.filter(col(idCol) === queryId)
+      .select(col("_v")).collect().head.getSeq[Double](0).toArray
+    // nProbe nearest centroids to the query, computed on the driver over
+    // the k-row centroid table
+    val qnorm = math.sqrt(qv.map(x => x * x).sum)
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      val denom = math.sqrt(c.map(x => x * x).sum) * qnorm
+      val sim = if (denom == 0) 0.0 else c.zip(qv).map { case (a, b) => a * b }.sum / denom
+      (i, sim)
+    }.sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1)
+    val q = e.filter(col(idCol) === queryId).select(col("_v").as("_qv"))
+    e.withColumn("_cell", cellOf)
+      .filter(col("_cell").isin(probes.toIndexedSeq: _*))
+      .crossJoin(broadcast(q)) // 1-row broadcast, not dim literals in the plan
+      .select(col(idCol),
+        round(cosine(col("_v"), col("_qv")), scale).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Top-k most-similar pairs via banded random-hyperplane LSH: each
     * vector gets `bands` independent bucket ids (bitsPerBand sign bits
     * each); docs colliding in ANY band are candidates; candidates are

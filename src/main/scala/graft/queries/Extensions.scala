@@ -59,6 +59,14 @@ object Extensions {
       .orderBy(col("vec_id"))
 
   // q33 language ID (stopword heuristic).
+  // q39 ANN top-k via IVF (seed-centroid coarse quantizer, nProbe=3 of 16
+  // cells; approx → no oracle; rows-only check). The second scale path
+  // beside q32's LSH: scan ∝ nProbe/nCells, zero shuffle.
+  val q39_ann_ivf: Q = (s, d) =>
+    Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, nCells = 16, nProbe = 3)
+      .orderBy(col("vec_id"))
+
   val q33_langid: Q = (s, d) =>
     TextAnalysis.languageId(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -102,5 +110,6 @@ object Extensions {
     "q35_token_count" -> q35_token_count,
     "q36_fingerprint" -> q36_fingerprint,
     "q37_multimodal_meta" -> q37_multimodal_meta,
-    "q38_sessionize" -> q38_sessionize)
+    "q38_sessionize" -> q38_sessionize,
+    "q39_ann_ivf" -> q39_ann_ivf)
 }

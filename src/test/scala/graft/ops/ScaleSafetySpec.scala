@@ -119,6 +119,46 @@ class ScaleSafetySpec extends SparkSpec {
       s"simhash must not shuffle token occurrences:\n$simPlan")
   }
 
+  test("IVF top-k: probes the right cells and recovers planted neighbors") {
+    val dim = 16
+    val q = randVec(dim)
+    val neighbors = (1 to 10).map(i => (i.toLong, perturb(q, 0.001f)))
+    val noise = (11 until 200).map(i => (i.toLong, randVec(dim)))
+    val emb = ((0L, q) +: (neighbors ++ noise)).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, k = 11)
+      .select("vec_id").as[Long].collect().toSet - 0L
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queryId = 0L, k = 11, nCells = 16, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet - 0L
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // near-identical twins share the query's cell by construction, so IVF
+    // recall on planted dups should be essentially total
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8 (ivf=$ivf exact=$exact)")
+    // scan side is filter-only: no exchange other than the 1-row broadcast
+    val plan = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 11, nCells = 16, nProbe = 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"IVF scan must not shuffle:\n$plan")
+  }
+
+  test("NearestCentroid assigns the argmax-cosine cell, ties to lowest index") {
+    val centroids = Array(
+      Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0)) // index 2 duplicates 0
+    val df = Seq(
+      (1L, Array(0.9, 0.1)),   // nearest: centroid 0 (tie with 2 -> 0)
+      (2L, Array(0.1, 0.9)),   // nearest: centroid 1
+      (3L, Array(-1.0, -0.1))) // most-negative cosine to 0/2; 1 is less bad? no: argmax
+      .toDF("vec_id", "v")
+    val out = df.select(col("vec_id"),
+      graft.functions.VectorFunctions.nearestCentroid(
+        transform(col("v"), _.cast("double")), centroids).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(out(1L) == 0, "tie must resolve to the lowest centroid index")
+    assert(out(2L) == 1)
+    // v3: cos to c0/c2 ≈ -0.995, cos to c1 ≈ -0.0995 -> argmax is c1
+    assert(out(3L) == 1)
+  }
+
   test("RandomHyperplanes plan size is O(1) in dim and nBits") {
     val emb = Seq((0L, Array.fill(1536)(0.1))).toDF("vec_id", "v")
     val df = emb.select(
