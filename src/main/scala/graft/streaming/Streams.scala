@@ -28,6 +28,20 @@ object Streams {
                     format: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.format(format).schema(schema).load(dir)
 
+  /** Streaming exact dedup — the streaming twin of [[graft.ops.Dedup
+    * .exact]] for continuous ingestion (a training-data firehose keeps
+    * only the first occurrence of each content key). State is bounded by
+    * the watermark: `dropDuplicatesWithinWatermark` evicts keys once the
+    * event-time watermark passes them, so state size ∝ key arrival rate ×
+    * horizon, not the full history — the property that makes exact dedup
+    * runnable on an unbounded stream.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+                  keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Event-time tumbling-window aggregation with late-data handling.
     * Watermark bounds state: at 100 TB of events/day the state store holds
     * only windows within the watermark horizon.

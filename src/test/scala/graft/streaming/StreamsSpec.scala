@@ -72,6 +72,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrence per key within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val deduped = Streams.dedupStream(
+      mem.toDF().toDF("ts", "content_hash", "value"), "ts", "10 minutes",
+      Seq("content_hash"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), "aaa", 1.0),
+        (ts("2024-01-01 10:01:00"), "aaa", 2.0), // dup within watermark
+        (ts("2024-01-01 10:02:00"), "bbb", 3.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 10:03:00"), "aaa", 4.0)) // still a dup
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .as[(Timestamp, String, Double)].collect().toSeq
+      assert(rows.map(_._2).sorted == Seq("aaa", "bbb"),
+        s"exactly one row per key, got $rows")
+      assert(rows.find(_._2 == "aaa").get._3 == 1.0, "first occurrence wins")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped (Streams.tumblingCounts pin)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
