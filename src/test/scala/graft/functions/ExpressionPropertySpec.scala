@@ -1,0 +1,108 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Randomized equivalence tests: every custom Catalyst expression must
+  * agree with the composable Spark formulation it replaced, over seeded
+  * random inputs — the expressions exist for plan shape and speed, never
+  * for different semantics. (Seeded `scala.util.Random` rather than
+  * scalacheck: deterministic fixtures, and the scalatest-scalacheck
+  * bridge artifact is not in the offline cache.)
+  */
+class ExpressionPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(7)
+
+  private def word(): String = {
+    val n = rng.nextInt(7)
+    List.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+  }
+  private def text(): String = List.fill(rng.nextInt(13))(word()).mkString(" ")
+  private def vec(dim: Int = 8): Array[Double] =
+    Array.fill(dim)(rng.nextDouble() * 10 - 5)
+
+  test("DotProduct == aggregate(zip_with(...)) composition") {
+    val pairs = List.fill(40)((vec(), vec()))
+    val out = pairs.toDF("a", "b").select(
+      VectorFunctions.dot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _).as("ref"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (fast, ref) => assert(math.abs(fast - ref) < 1e-9) }
+  }
+
+  test("WordShingles == HOF distinct-shingle composition") {
+    val texts = List.fill(40)(text()) :+ "" :+ "a" :+ "a b" :+ "  double  spaces "
+    val w = 3
+    // NB the when-guard: Spark's sequence(1, 0) counts DOWN — the exact
+    // pitfall WordShingles' scaladoc documents about the composable form
+    val nToks = size(split(col("t"), " "))
+    val out = texts.toDF("t").select(
+      VectorFunctions.wordShingles(col("t"), w).as("fast"),
+      when(nToks >= w,
+        array_distinct(transform(
+          sequence(lit(1), nToks - (w - 1)),
+          i => concat_ws(" ",
+            element_at(split(col("t"), " "), i),
+            element_at(split(col("t"), " "), i + 1),
+            element_at(split(col("t"), " "), i + 2)))))
+        .otherwise(array().cast("array<string>")).as("ref"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
+  test("SimHashBits == explode+groupBy majority-vote composition") {
+    val bits = 16
+    val df = (List.fill(40)(text()) :+ "" :+ "x")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val fast = df.select(col("doc_id"),
+      VectorFunctions.simHashBits(col("text"), bits).as("s"))
+      .as[(Long, String)].collect().toMap
+    val tok = df.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", md5(col("w")))
+    val bitSums = (0 until bits).map(i =>
+      sum(when(substring(col("h"), i + 1, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(0)).as(s"b$i"))
+    val agg = tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
+    val fp = concat((0 until bits).map(i =>
+      when(col(s"b$i") * 2 > col("n"), "1").otherwise("0").cast("string")): _*)
+    val ref = agg.select(col("doc_id"), fp.as("s")).as[(Long, String)].collect().toMap
+    ref.foreach { case (id, s) => assert(fast(id) == s, s"doc $id") }
+    assert(fast.size == ref.size, "explode form and expression agree on row coverage")
+  }
+
+  test("RandomHyperplanes == literal-plane dot-sign composition") {
+    val dim = 8; val nBits = 4; val band = 1
+    val df = List.fill(40)(vec(dim)).map(Tuple1(_)).toDF("v")
+    val planes = org.apache.spark.sql.graft.RandomHyperplanes.planeMatrix(dim, nBits, band)
+    val refCols = (0 until nBits).map { p =>
+      val plane = array(planes(p).toIndexedSeq.map(lit): _*)
+      when(VectorFunctions.dot(plane, col("v")) >= 0, "1").otherwise("0")
+    }
+    val out = df.select(
+      VectorFunctions.lshBucket(col("v"), dim, nBits, band).as("fast"),
+      concat(refCols: _*).as("ref"))
+      .as[(String, String)].collect()
+    out.foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
+  test("NearestCentroid == per-row argmax over the centroid table") {
+    val centroids = Array.fill(4)(vec())
+    val vecs = List.fill(40)(vec())
+    val fast = vecs.map(Tuple1(_)).toDF("v").select(
+      VectorFunctions.nearestCentroid(col("v"), centroids).as("c"))
+      .as[Int].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (d == 0) 0.0 else dot / d
+    }
+    val ref = vecs.map { v =>
+      centroids.zipWithIndex.map { case (c, i) => (i, cos(v, c)) }
+        .maxBy { case (i, s) => (s, -i) }._1
+    }
+    assert(fast.toSeq == ref)
+  }
+}
