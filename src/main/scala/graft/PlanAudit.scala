@@ -1,0 +1,32 @@
+package graft
+
+/** Ad-hoc plan auditor (diagnostic main, not part of the library surface):
+  * executes headline queries with auto-broadcast disabled — the join
+  * shape a 100 TB input would plan, since fixture-sized inputs broadcast
+  * everywhere — and reports the FINAL adaptive plan: under AQE, exchange/
+  * stage reuse is a runtime decision invisible in the pre-execution plan.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val interesting = Seq(
+      "q01_scan_project", "q02_filter", "q05_join_broadcast", "q07_join_semi",
+      "q10_asof", "q16_topk", "q28_dedup_minhash_lsh",
+      "q30_dedup_ngram_jaccard", "q31_neardup_embedding", "q32_ann_lsh")
+    for (q <- interesting) {
+      val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
+      qe.executedPlan.executeCollect()
+      val plan = qe.executedPlan.toString
+      def n(s: String) = s.r.findAllIn(plan).length
+      println(f"$q%-26s shuffleStages=${n("ShuffleQueryStage")}%2d reused=${n("ReusedQueryStage|ReusedExchange")}%2d " +
+        f"bcast=${n("BroadcastHashJoin")}%2d smj=${n("SortMergeJoin")}%2d " +
+        f"bnlj=${n("BroadcastNestedLoop")}%2d pushed=${plan.contains("PushedFilters: [I")}")
+    }
+    spark.stop()
+  }
+}

@@ -119,6 +119,30 @@ class ScaleSafetySpec extends SparkSpec {
       s"simhash must not shuffle token occurrences:\n$simPlan")
   }
 
+  test("self-join family reuses shuffle stages at runtime (q28/q30/q31, SMJ shape)") {
+    // Fixture-sized inputs broadcast everywhere, hiding the 100 TB shape;
+    // disabling auto-broadcast forces the SMJ plan a large input gets.
+    // Under AQE, exchange reuse is a RUNTIME decision — assert on the
+    // final adaptive plan after execution.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq(
+        graft.queries.Extensions.q28_dedup_minhash_lsh,
+        graft.queries.Extensions.q30_dedup_ngram_jaccard,
+        graft.queries.Extensions.q31_neardup_embedding
+      ).zip(Seq("q28", "q30", "q31")).foreach { case (q, name) =>
+        val qe = q(spark, "/root/testdata/sf0.001").queryExecution
+        qe.executedPlan.executeCollect()
+        val plan = qe.executedPlan.toString
+        assert(plan.contains("isFinalPlan=true"))
+        val reused = "ReusedQueryStage|ReusedExchange".r.findAllIn(plan).length
+        assert(reused >= 1,
+          s"$name self-join branches must share the repartition exchange:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("IVF top-k: probes the right cells and recovers planted neighbors") {
     val dim = 16
     val q = randVec(dim)
