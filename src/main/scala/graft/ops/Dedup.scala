@@ -176,7 +176,7 @@ object Dedup {
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, threshold: Double = 0.3, maxDf: Int = 1000): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, w).repartition(col("doc_id"))
+    val sets = shingleSets(df, idCol, textCol, w)
     // Skew guard: a shingle appearing in df docs emits O(df²) join rows,
     // so one boilerplate phrase shared by 100k docs would dominate the
     // job. Shingles with document frequency > maxDf are dropped from the
@@ -185,20 +185,22 @@ object Dedup {
     // is a lower bound that is exact whenever no shingle exceeds the cap.
     // The df count rides the repartition(s) the join needs anyway, as a
     // window — no extra shuffle.
-    val sh = sets.select(col("doc_id"), explode(col("set")).as("s"))
+    //
+    // The per-doc set size `n` is CARRIED through the inverted index
+    // (8 bytes per shuffle row) and recovered in the pair aggregation via
+    // first(): the alternative — re-joining a (doc_id, n) table onto d1
+    // and then d2 — costs two extra shuffles of the full pair set.
+    val sh = sets.select(col("doc_id"), col("n"), explode(col("set")).as("s"))
       .repartition(col("s")) // one reused exchange feeds both self-join sides
       .withColumn("_df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
       .filter(col("_df") <= maxDf)
-      .select(col("doc_id"), col("s"))
-    val inter = sh.as("a")
+      .select(col("doc_id"), col("n"), col("s"))
+    sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("i"))
-    val cnt = sets.select(col("doc_id"), col("n"))
-    inter
-      .join(cnt.withColumnsRenamed(Map("doc_id" -> "d1", "n" -> "n1")), "d1")
-      .join(cnt.withColumnsRenamed(Map("doc_id" -> "d2", "n" -> "n2")), "d2")
+      .agg(count(lit(1)).as("i"),
+        first(col("a.n")).as("n1"), first(col("b.n")).as("n2"))
       .select(col("d1"), col("d2"),
         (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
