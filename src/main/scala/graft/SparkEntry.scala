@@ -211,6 +211,21 @@ object SparkEntry {
         |       CAST((OCTET_LENGTH(ENCODE(text)) * 7) % 480 AS BIGINT) AS height,
         |       'stub' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q40_winnow" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |        CASE WHEN LENGTH(text) >= 8
+        |             THEN LIST_TRANSFORM(RANGE(1, LENGTH(text) - 6),
+        |                                 i -> MD5(SUBSTRING(text, i, 8)))
+        |             ELSE [MD5(text)] END AS hs
+        |      FROM d),
+        |m AS (SELECT doc_id,
+        |        CASE WHEN LEN(hs) >= 9
+        |             THEN LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(hs) - 8),
+        |                                               j -> LIST_MIN(hs[j+1:j+9])))
+        |             ELSE [LIST_MIN(hs)] END AS fps
+        |      FROM h)
+        |SELECT doc_id, UNNEST(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin,
     "q38_sessionize" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
         |                   value FROM events),

@@ -67,6 +67,12 @@ object Extensions {
         queryId = 0L, k = 10, nCells = 16, nProbe = 3)
       .orderBy(col("vec_id"))
 
+  // q40 winnowing fingerprints (SWA '03): guarantee-t local-similarity
+  // screen, hash-checked against a DuckDB list-HOF twin.
+  val q40_winnow: Q = (s, d) =>
+    TextAnalysis.winnow(t(s, d, "documents"), "doc_id", "text", k = 8, t = 16)
+      .orderBy(col("doc_id"), col("fp"))
+
   val q33_langid: Q = (s, d) =>
     TextAnalysis.languageId(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -111,5 +117,6 @@ object Extensions {
     "q36_fingerprint" -> q36_fingerprint,
     "q37_multimodal_meta" -> q37_multimodal_meta,
     "q38_sessionize" -> q38_sessionize,
-    "q39_ann_ivf" -> q39_ann_ivf)
+    "q39_ann_ivf" -> q39_ann_ivf,
+    "q40_winnow" -> q40_winnow)
 }

@@ -118,6 +118,27 @@ class OpsSpec extends SparkSpec {
     assert(meta.doc_id == 1L && meta.width == 4L && meta.format == "stub")
   }
 
+  test("winnowing: docs sharing a >=t match share a fingerprint; short docs covered") {
+    val shared = "zqxjkvbnmw-shared-run-0123456789" // 32 chars >= t=16
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different head $shared tail omega"),
+      (3L, "no overlap with the others at all, promise"),
+      (4L, "tiny"), // shorter than k=8: whole-text gram
+      (5L, "")) // empty text still fingerprints
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(docs, "doc_id", "text", k = 8, t = 16)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "guarantee: a common substring of length >= t must yield a shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs share nothing")
+    assert(fps(4L).nonEmpty && fps(5L).nonEmpty, "short/empty docs still fingerprint")
+    // density: selected fingerprints are a strict subset of all gram hashes
+    val allGrams1 = (0 to docs.where($"doc_id" === 1L).as[(Long, String)].collect()
+      .head._2.length - 8).size
+    assert(fps(1L).size < allGrams1, "winnowing must select a sparse subset")
+  }
+
   private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
