@@ -350,6 +350,100 @@ case class SimHashBits(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken) in one
+  * pass: md5-hex every k-char-gram, slide a window of `t - k + 1` hashes,
+  * keep each window's minimum, dedup in first-occurrence order.
+  *
+  * Semantics exactly match the HOF composition it replaced (hash array →
+  * `slice`/`array_min` per window → `array_distinct`) and the DuckDB
+  * oracle twin — but with a monotonic deque (O(m) total instead of
+  * O(m × window)) and no materialized intermediate arrays: the HOF form
+  * allocated an m-element hex-string array plus a fresh window slice per
+  * position, which dominated its runtime.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, t: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(t >= k, "guarantee threshold t must be >= gram size k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String]
+    val len = text.numChars()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hexOut = new Array[Char](32)
+    def toHex(d: Array[Byte]): String = {
+      var i = 0
+      while (i < 16) {
+        hexOut(2 * i) = Character.forDigit((d(i) >> 4) & 0xF, 16)
+        hexOut(2 * i + 1) = Character.forDigit(d(i) & 0xF, 16)
+        i += 1
+      }
+      new String(hexOut)
+    }
+    // ASCII fast path: gram bytes are a slice of the backing bytes — no
+    // substring/UTF8String allocation per gram (chars == bytes).
+    val raw = text.getBytes
+    val ascii = raw.length == len
+    def gramHash(i: Int): String = {
+      md.reset()
+      if (ascii) md.update(raw, i, k)
+      else md.update(text.substringSQL(i + 1, k).getBytes)
+      toHex(md.digest())
+    }
+    val selected = new java.util.LinkedHashSet[String]()
+    if (len < k) {
+      md.reset()
+      selected.add(toHex(md.digest(raw)))
+    } else {
+      val m = len - k + 1
+      val win = t - k + 1
+      if (m < win) {
+        // fewer grams than one window: single global minimum
+        var min: String = null
+        var i = 0
+        while (i < m) {
+          val h = gramHash(i)
+          if (min == null || h.compareTo(min) < 0) min = h
+          i += 1
+        }
+        selected.add(min)
+      } else {
+        // monotonic deque of (index, hash), increasing by hash
+        val idx = new Array[Int](m)
+        val hsh = new Array[String](m)
+        var head = 0
+        var tail = 0 // exclusive
+        var i = 0
+        while (i < m) {
+          val h = gramHash(i)
+          while (tail > head && hsh(tail - 1).compareTo(h) > 0) tail -= 1
+          idx(tail) = i; hsh(tail) = h; tail += 1
+          if (idx(head) <= i - win) head += 1
+          if (i >= win - 1) selected.add(hsh(head))
+          i += 1
+        }
+      }
+    }
+    val arr = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 object VectorBridge {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -364,6 +458,9 @@ object VectorBridge {
 
   def simHashBits(text: Column, bits: Int): Column =
     ExpressionUtils.column(SimHashBits(ExpressionUtils.expression(text), bits))
+
+  def winnow(text: Column, k: Int, t: Int): Column =
+    ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(text), k, t))
 
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ExpressionUtils.column(NearestCentroid(ExpressionUtils.expression(vec), centroids))

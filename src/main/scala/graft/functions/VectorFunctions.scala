@@ -27,6 +27,12 @@ object VectorFunctions {
   def simHashBits(text: Column, bits: Int): Column =
     org.apache.spark.sql.graft.VectorBridge.simHashBits(text, bits)
 
+  /** Winnowing fingerprint selection (distinct window-min k-gram md5s) in
+    * one deque pass.
+    */
+  def winnow(text: Column, k: Int, t: Int): Column =
+    org.apache.spark.sql.graft.VectorBridge.winnow(text, k, t)
+
   /** IVF coarse-quantizer assignment: index of the nearest centroid by
     * cosine, as a zero-shuffle projection (centroids ride as a reference
     * object, not plan literals).

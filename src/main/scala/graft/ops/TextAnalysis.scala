@@ -110,29 +110,16 @@ object TextAnalysis {
     * similarity screen (plagiarism/near-dup detection) where whole-text
     * hashing (q36) only catches exact duplicates.
     *
-    * Pure projection over array HOFs (k-gram hashes via substring — no
-    * tokenize-split re-evaluation problem — window minima via
-    * `slice`/`array_min`), then one distinct per doc; md5-hex min is
-    * engine-portable, so the DuckDB oracle checks it hash-for-hash.
-    * Output: (doc_id, fp) exploded — the shape an inverted fingerprint
-    * index wants.
+    * One projection through the `WinnowFingerprints` expression (a
+    * monotonic-deque pass — O(grams), no materialized hash arrays; the
+    * HOF composition it replaced is pinned equivalent in
+    * ExpressionPropertySpec); md5-hex min is engine-portable, so the
+    * DuckDB oracle checks it hash-for-hash. Output: (doc_id, fp)
+    * exploded — the shape an inverted fingerprint index wants.
     */
   def winnow(df: DataFrame, idCol: String, textCol: String,
-             k: Int = 8, t: Int = 16): DataFrame = {
-    require(t >= k, "guarantee threshold t must be >= gram size k")
-    val win = t - k + 1
-    val hs = when(length(col(textCol)) >= k,
-      transform(
-        sequence(lit(1), length(col(textCol)) - (k - 1)),
-        i => md5(col(textCol).substr(i, lit(k)))))
-      .otherwise(array(md5(col(textCol)))) // short doc: whole text is the gram
-    val mins = when(size(col("_hs")) >= win,
-      array_distinct(transform(
-        sequence(lit(0), size(col("_hs")) - win),
-        j => array_min(slice(col("_hs"), j + lit(1), lit(win))))))
-      .otherwise(array(array_min(col("_hs"))))
+             k: Int = 8, t: Int = 16): DataFrame =
     df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), hs.as("_hs"))
-      .select(col("doc_id"), explode(mins).as("fp"))
-  }
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.VectorFunctions.winnow(col(textCol), k, t)).as("fp"))
 }

@@ -88,6 +88,30 @@ class ExpressionPropertySpec extends SparkSpec {
     out.foreach { case (fast, ref) => assert(fast == ref) }
   }
 
+  test("WinnowFingerprints == slice/array_min HOF composition") {
+    val k = 4; val t = 8; val win = t - k + 1
+    // char-heavy random texts plus edges: empty, shorter than k, between
+    // k and t (fewer grams than one window)
+    val texts = List.fill(40)(text()) ++ List("", "ab", "abcde", "abcdefg")
+    val hs = when(length(col("t")) >= k,
+      transform(
+        sequence(lit(1), length(col("t")) - (k - 1)),
+        i => md5(col("t").substr(i, lit(k)))))
+      .otherwise(array(md5(col("t"))))
+    val mins = when(size(col("_hs")) >= win,
+      array_distinct(transform(
+        sequence(lit(0), size(col("_hs")) - win),
+        j => array_min(slice(col("_hs"), j + lit(1), lit(win))))))
+      .otherwise(array(array_min(col("_hs"))))
+    val out = texts.toDF("t")
+      .select(col("t"), VectorFunctions.winnow(col("t"), k, t).as("fast"), hs.as("_hs"))
+      .select(col("t"), col("fast"), mins.as("ref"))
+      .as[(String, Seq[String], Seq[String])].collect()
+    out.foreach { case (txt, fast, ref) =>
+      assert(fast.toSet == ref.toSet, s"text: '$txt'")
+    }
+  }
+
   test("NearestCentroid == per-row argmax over the centroid table") {
     val centroids = Array.fill(4)(vec())
     val vecs = List.fill(40)(vec())
