@@ -168,6 +168,7 @@ object SparkEntry {
         |       COUNT(*) AS n_dupes
         |FROM documents GROUP BY MD5(text) ORDER BY doc_id""".stripMargin,
     "q28_dedup_minhash_lsh" -> minhashLshSql,
+    "q41_dedup_clusters" -> dedupClustersSql,
     "q29_dedup_simhash" -> simhashSql,
     "q30_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q31_neardup_embedding" -> neardupLshSql,
@@ -284,12 +285,16 @@ object SparkEntry {
     * exactly (md5-based minhash is engine-portable by construction),
     * including the maxBucket=1000 suspect-bucket cap.
     */
-  private def minhashLshSql: String = {
+  /** Shared CTE chain for the q28/q41 oracles: shingle → 8 minhashes →
+    * 4 bands (with the maxBucket=1000 cap) → candidate pairs → exact
+    * intersection counts.
+    */
+  private def minhashCtes: String = {
     val mh = (0 until 8).map(i => s"MIN(MD5('$i|' || s)) AS mh$i").mkString(",\n  ")
     val bandRows = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, MD5(mh${2 * b} || mh${2 * b + 1}) AS h FROM sig")
       .mkString("\n  UNION ALL ")
-    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
        |sh AS (SELECT DISTINCT doc_id,
        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
        |       FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)),
@@ -308,7 +313,11 @@ object SparkEntry {
        |          FROM cand c
        |          JOIN sh s1 ON s1.doc_id = c.d1
        |          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
-       |          GROUP BY c.d1, c.d2)
+       |          GROUP BY c.d1, c.d2)""".stripMargin
+  }
+
+  private def minhashLshSql: String =
+    s"""WITH $minhashCtes
        |SELECT i.d1, i.d2,
        |       ROUND(CAST(i.i AS DOUBLE) / (n1.n + n2.n - i.i), 3) AS jaccard
        |FROM inter i
@@ -316,7 +325,26 @@ object SparkEntry {
        |JOIN cnt n2 ON n2.doc_id = i.d2
        |WHERE CAST(i.i AS DOUBLE) / (n1.n + n2.n - i.i) >= 0.5
        |ORDER BY i.d1, i.d2""".stripMargin
-  }
+
+  /** q41 oracle: q28's near-dup pairs, closed transitively via a
+    * recursive CTE; a component's label is its minimum member — exactly
+    * the fixpoint Dedup.components' min-label propagation reaches.
+    */
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |p AS (SELECT i.d1, i.d2
+       |      FROM inter i
+       |      JOIN cnt n1 ON n1.doc_id = i.d1
+       |      JOIN cnt n2 ON n2.doc_id = i.d2
+       |      WHERE CAST(i.i AS DOUBLE) / (n1.n + n2.n - i.i) >= 0.5),
+       |edges AS (SELECT d1 AS u, d2 AS v FROM p
+       |          UNION SELECT d2, d1 FROM p),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
   /** q29 oracle: 16-bit simhash, majority vote per bit over token md5s. */
   private def simhashSql: String = {

@@ -67,6 +67,16 @@ object Extensions {
         queryId = 0L, k = 10, nCells = 16, nProbe = 3)
       .orderBy(col("vec_id"))
 
+  // q41 near-dup clustering: q28's pairs closed into connected components
+  // (min-label propagation ⇔ the oracle's recursive-CTE closure) — the
+  // step that turns pairwise matches into keep/drop decisions.
+  val q41_dedup_clusters: Q = (s, d) => {
+    val pairs = Dedup.minHashLsh(t(s, d, "documents"), "doc_id", "text",
+      w = 3, k = 8, bands = 4, threshold = 0.5)
+    Dedup.components(pairs.select(col("d1"), col("d2")))
+      .orderBy(col("doc_id"))
+  }
+
   // q40 winnowing fingerprints (SWA '03): guarantee-t local-similarity
   // screen, hash-checked against a DuckDB list-HOF twin.
   val q40_winnow: Q = (s, d) =>
@@ -118,5 +128,6 @@ object Extensions {
     "q37_multimodal_meta" -> q37_multimodal_meta,
     "q38_sessionize" -> q38_sessionize,
     "q39_ann_ivf" -> q39_ann_ivf,
-    "q40_winnow" -> q40_winnow)
+    "q40_winnow" -> q40_winnow,
+    "q41_dedup_clusters" -> q41_dedup_clusters)
 }

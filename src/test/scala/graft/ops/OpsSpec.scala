@@ -118,6 +118,21 @@ class OpsSpec extends SparkSpec {
     assert(meta.doc_id == 1L && meta.width == 4L && meta.format == "stub")
   }
 
+  test("components: transitive chains collapse to min-label clusters") {
+    // chain 1-2-3-4 (via pairwise links), separate pair 10-11, and a
+    // long path 20-21-22-23-24 exercising multi-round propagation
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L))
+      .toDF("d1", "d2")
+    val out = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 4L).forall(out(_) == 1L), "chain collapses to min member")
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert((20L to 24L).forall(out(_) == 20L), "long path needs >1 round and converges")
+    assert(out.size == 11, "every doc in a pair gets exactly one label")
+  }
+
   test("winnowing: docs sharing a >=t match share a fingerprint; short docs covered") {
     val shared = "zqxjkvbnmw-shared-run-0123456789" // 32 chars >= t=16
     val docs = Seq(
