@@ -83,6 +83,51 @@ object Multimodal {
     df.select(col(idCol).cast("bigint").as("doc_id"),
       encode(col(srcCol), "UTF-8").as("payload"))
 
+  case class ResizedMedia(doc_id: Long, payload: Array[Byte], width: Long,
+                          height: Long, format: String)
+
+  /** Resize image payloads to fit within (maxW, maxH), preserving aspect
+    * ratio, re-encoded as PNG — the standard normalize-before-training
+    * step, real end-to-end via JDK ImageIO. Non-image payloads pass
+    * through untouched (format 'passthrough'). Partition-local batches,
+    * no shuffle; at corpus scale this is the canonical mapPartitions
+    * shape: CPU-bound, embarrassingly parallel, output column replaces
+    * the input payload column.
+    */
+  def resizeImages(spark: SparkSession, withPayload: DataFrame,
+                   maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          ImageDecoder.detectFormat(bytes) match {
+            case Some(_) =>
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (img == null) ResizedMedia(id, bytes, -1, -1, "passthrough")
+              else {
+                val scale = math.min(
+                  math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight), 1.0)
+                val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+                  math.max(1, (img.getHeight * scale).toInt))
+                val out = new java.awt.image.BufferedImage(w, h,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = out.createGraphics()
+                try {
+                  g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, w, h, null)
+                } finally g.dispose()
+                val buf = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "png", buf)
+                ResizedMedia(id, buf.toByteArray, w.toLong, h.toLong, "png")
+              }
+            case None => ResizedMedia(id, bytes, -1, -1, "passthrough")
+          }
+        }
+      }
+  }
+
   /** Decode a binary payload column into typed metadata via
     * partition-local batches. One narrow stage, no shuffle.
     */

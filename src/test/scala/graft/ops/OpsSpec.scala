@@ -162,6 +162,23 @@ class OpsSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("multimodal: resize shrinks oversized images, keeps aspect, passes non-images") {
+    val payloads = Seq(
+      (1L, imageBytes("png", 200, 100)), // shrink 2x -> 100x50
+      (2L, imageBytes("png", 50, 40)),   // under the cap: untouched dims
+      (3L, "not an image".getBytes("UTF-8")))
+    val out = Multimodal.resizeImages(spark, payloads.toDF("doc_id", "payload"),
+        maxW = 100, maxH = 100)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).width == 100 && out(1L).height == 50 && out(1L).format == "png")
+    // re-decode the resized payload: round-trips at the new dimensions
+    val meta1 = Multimodal.ImageDecoder.decode(out(1L).payload)
+    assert(meta1.contains((100L, 50L, "png")))
+    assert(out(2L).width == 50 && out(2L).height == 40)
+    assert(out(3L).format == "passthrough" &&
+      (out(3L).payload sameElements "not an image".getBytes("UTF-8")))
+  }
+
   test("multimodal: real image payloads decode actual dimensions via ImageIO") {
     val payloads = Seq(
       (1L, imageBytes("png", 123, 45)),
