@@ -85,6 +85,43 @@ class XlsReaderSpec extends SparkSpec {
     rec(0x22, b.array())
   }
 
+  /** MULRK: run of integer RK cells from firstCol, one (xf, rk) pair each. */
+  private def mulRk(row: Int, firstCol: Int, vals: Seq[Int], xf: Int = 0): Array[Byte] = {
+    val b = ByteBuffer.allocate(4 + vals.size * 6 + 2).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(row.toShort).putShort(firstCol.toShort)
+    vals.foreach { v => b.putShort(xf.toShort).putInt((v << 2) | 2) }
+    b.putShort((firstCol + vals.size - 1).toShort)
+    rec(0xBD, b.array())
+  }
+
+  private def boolErr(row: Int, col: Int, value: Boolean): Array[Byte] = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(row.toShort).putShort(col.toShort).putShort(0)
+      .put((if (value) 1 else 0).toByte).put(0.toByte) // fErr=0 -> boolean
+    rec(0x205, b.array())
+  }
+
+  /** FORMULA with a cached numeric result. */
+  private def formulaNum(row: Int, col: Int, v: Double): Array[Byte] = {
+    val b = ByteBuffer.allocate(22).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(row.toShort).putShort(col.toShort).putShort(0)
+    b.putDouble(v)          // cached result (not the 0xFFFF-tagged form)
+    b.putShort(0).putInt(0) // grbit + chn
+    b.putShort(0)           // cce = 0 (no formula tokens needed for parsing)
+    rec(0x06, b.array())
+  }
+
+  /** FORMULA whose cached result is a string (tag 0) + following STRING record. */
+  private def formulaStr(row: Int, col: Int, s: String): Array[Byte] = {
+    val f = ByteBuffer.allocate(22).order(ByteOrder.LITTLE_ENDIAN)
+    f.putShort(row.toShort).putShort(col.toShort).putShort(0)
+    f.put(0.toByte).put(0.toByte).putInt(0).putShort(0xFFFF.toShort) // string-result tag
+    f.putShort(0).putInt(0).putShort(0)
+    val sr = ByteBuffer.allocate(3 + s.length).order(ByteOrder.LITTLE_ENDIAN)
+    sr.putShort(s.length.toShort).put(0.toByte).put(s.getBytes("ISO-8859-1"))
+    concat(rec(0x06, f.array()), rec(0x207, sr.array()))
+  }
+
   private val eofRec = rec(0x0A, Array.empty)
 
   private def concat(parts: Array[Byte]*): Array[Byte] = {
@@ -217,6 +254,28 @@ class XlsReaderSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("name", "qty"))
     assert(df.schema.fields.forall(_.dataType.typeName == "string"))
     assert(df.count() == 2)
+  }
+
+  test("MULRK, BOOLERR and FORMULA (numeric + cached-string) cells parse") {
+    val strings = Seq("h")
+    val sheetCells = concat(
+      bof(0x10),
+      labelSst(0, 0, 0),
+      mulRk(1, 0, Seq(10, 20, 30)),
+      boolErr(2, 0, value = true), boolErr(2, 1, value = false),
+      formulaNum(3, 0, 6.25),
+      formulaStr(3, 1, "cached"),
+      eofRec)
+    val globalsFor = (pos: Int) =>
+      concat(bof(0x05), sst(strings), boundsheet(pos, "S"), eofRec)
+    val globalsLen = globalsFor(0).length
+    val wb = concat(globalsFor(globalsLen), sheetCells)
+    val path = s"${tmpDir("graft_xls_")}/records.xls"
+    Files.write(Paths.get(path), ole2(wb))
+    val rows = XlsReader.readRows(path, None)
+    assert(rows(1) == Seq("10", "20", "30"))
+    assert(rows(2).take(2) == Seq("true", "false"))
+    assert(rows(3) == Seq("6.25", "cached", null)) // dense grid pads to maxCol
   }
 
   test("use_view date formatting: date XFs render as date strings, 1900 mode") {
