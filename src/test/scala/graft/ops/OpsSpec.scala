@@ -124,13 +124,15 @@ class OpsSpec extends SparkSpec {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L),
-      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L))
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L),
+      (30L, 31L), (31L, 32L), (32L, 30L)) // cycle
       .toDF("d1", "d2")
     val out = Dedup.components(pairs).as[(Long, Long)].collect().toMap
     assert((1L to 4L).forall(out(_) == 1L), "chain collapses to min member")
     assert(out(10L) == 10L && out(11L) == 10L)
     assert((20L to 24L).forall(out(_) == 20L), "long path needs >1 round and converges")
-    assert(out.size == 11, "every doc in a pair gets exactly one label")
+    assert((30L to 32L).forall(out(_) == 30L), "cycles converge, no oscillation")
+    assert(out.size == 14, "every doc in a pair gets exactly one label")
   }
 
   test("winnowing: docs sharing a >=t match share a fingerprint; short docs covered") {
