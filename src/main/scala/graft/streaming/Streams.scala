@@ -28,6 +28,16 @@ object Streams {
                     format: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.format(format).schema(schema).load(dir)
 
+  /** Stream–static enrichment: join a stream against a bounded dimension
+    * table, broadcast so each micro-batch pays zero shuffle. The static
+    * side is re-read per batch by Structured Streaming's contract, so a
+    * slowly-changing dimension backed by a file source picks up updates
+    * without restarting the query.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+             joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
   /** Streaming exact dedup — the streaming twin of [[graft.ops.Dedup
     * .exact]] for continuous ingestion (a training-data firehose keeps
     * only the first occurrence of each content key). State is bounded by

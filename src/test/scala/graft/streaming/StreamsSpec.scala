@@ -72,6 +72,23 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrich joins each micro-batch against the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val out = Streams.enrich(mem.toDF().toDF("user_id", "value"), dim, Seq("user_id"))
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .as[(Long, Double, Option[String])].collect().toSet
+      assert(rows == Set((1L, 10.0, Some("gold")), (2L, 20.0, Some("silver")),
+        (3L, 30.0, None)), "left enrich keeps unmatched stream rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per key within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
