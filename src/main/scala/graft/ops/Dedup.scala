@@ -210,6 +210,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      // a silent iter-limit exit would return SPLIT clusters (labels not
+      // yet propagated across a diameter > maxIter chain) as if correct
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"components() hit maxIter=$maxIter without converging; " +
+          "cluster labels may be split — raise maxIter or use a " +
+          "star-contraction pass (componentsStar) for deep graphs")
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
 

@@ -103,7 +103,12 @@ object Multimodal {
         it.map { case (id, bytes) =>
           ImageDecoder.detectFormat(bytes) match {
             case Some(_) =>
-              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              // ImageIO.read THROWS (not just returns null) on truncated
+              // payloads with valid magic bytes; a corrupt image must not
+              // fail the whole job, so both outcomes become passthrough.
+              val img =
+                try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+                catch { case _: java.io.IOException => null }
               if (img == null) ResizedMedia(id, bytes, -1, -1, "passthrough")
               else {
                 val scale = math.min(

@@ -44,6 +44,7 @@ object TextAnalysis {
     // lambdas carry distinct exprIds, which defeats common-subexpression
     // elimination — inlining `split` into each would tokenize 4×.
     val scored = df
+      .where(col(textCol).isNotNull) // explode-form dropped null-text docs; keep that contract
       .select(col(idCol).as("doc_id"), toks(col(textCol)).as("_t"))
       .select(
         col("doc_id") +:
@@ -66,6 +67,7 @@ object TextAnalysis {
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // same tokenize-once shape as languageId
     val agg = df
+      .where(col(textCol).isNotNull) // explode-form dropped null-text docs; keep that contract
       .select(col(idCol).as("doc_id"), toks(col(textCol)).as("_t"))
       .select(
         col("doc_id"),

@@ -34,6 +34,10 @@ final class ProgressMeter(log: TaskLog, every: Long = 10000L) extends SparkListe
   private val accName = s"graft.progress.${System.identityHashCode(this)}"
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    // failed / killed (speculative) attempts still report partial
+    // recordsWritten and accumulator updates; counting them would inflate
+    // the authoritative final total
+    if (e.reason != org.apache.spark.Success) return
     val fromMetrics =
       Option(e.taskMetrics).map(_.outputMetrics.recordsWritten).getOrElse(0L)
     val fromAcc = e.taskInfo.accumulables

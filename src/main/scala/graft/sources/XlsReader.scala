@@ -425,6 +425,15 @@ object XlsReader {
     * day, serial-61 phantom-leap-day offset in 1900 mode, 1904 epoch),
     * then `yyyy-MM-dd HH:mm:ss` — or `HH:mm:ss` when the day part is 0.
     */
+  private val ambiguous1900Warned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def warnAmbiguous1900(xldays: Long): Unit =
+    if (ambiguous1900Warned.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ambiguous 1900-mode Excel serial $xldays (< 61): rendering " +
+          "proleptically from 1899-12-31 where xlrd raises XLDateAmbiguous " +
+          "(further occurrences not logged)")
+
   private[sources] def xlDateString(serial: Double, date1904: Boolean): String = {
     var xldays = serial.toLong
     var seconds = math.round((serial - xldays) * 86400.0)
@@ -437,8 +446,15 @@ object XlsReader {
       val d =
         if (date1904) java.time.LocalDate.of(1904, 1, 1).plusDays(xldays)
         // xlrd raises XLDateAmbiguous below 61 (the phantom 1900-02-29);
-        // we render proleptically rather than fail the file
-        else if (xldays < 61) java.time.LocalDate.of(1899, 12, 31).plusDays(xldays)
+        // we render proleptically rather than fail the file — a DELIBERATE
+        // deviation (serial 60 prints 1900-03-01 where Excel shows the
+        // phantom 1900-02-29, and serials 1-59 render where xlrd errors),
+        // surfaced via a once-per-JVM warning so the substitution is
+        // observable
+        else if (xldays < 61) {
+          warnAmbiguous1900(xldays)
+          java.time.LocalDate.of(1899, 12, 31).plusDays(xldays)
+        }
         else java.time.LocalDate.of(1899, 12, 31).plusDays(xldays - 1)
       f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d $h%02d:$mi%02d:$s%02d"
     }

@@ -102,6 +102,15 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "und"))
   }
 
+  test("language ID and quality score drop null-text docs (oracle contract)") {
+    val docs = Seq((1L, Some("the cat and the dog")), (2L, None))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.languageId(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap == Map(1L -> "en"))
+    assert(TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("token counts: whitespace vs BPE-ish regex") {
     val docs = Seq((1L, "hello world, it's 42")).toDF("doc_id", "text")
     val out = TextAnalysis.tokenCounts(docs, "doc_id", "text")
@@ -179,6 +188,15 @@ class OpsSpec extends SparkSpec {
     assert(out(2L).width == 50 && out(2L).height == 40)
     assert(out(3L).format == "passthrough" &&
       (out(3L).payload sameElements "not an image".getBytes("UTF-8")))
+  }
+
+  test("multimodal: truncated image payload passes through instead of failing the job") {
+    // valid PNG magic, body cut off mid-stream: ImageIO.read throws
+    val truncated = imageBytes("png", 64, 64).take(24)
+    val out = Multimodal.resizeImages(spark,
+        Seq((1L, truncated)).toDF("doc_id", "payload"), maxW = 32, maxH = 32)
+      .collect().head
+    assert(out.format == "passthrough" && (out.payload sameElements truncated))
   }
 
   test("multimodal: real image payloads decode actual dimensions via ImageIO") {
