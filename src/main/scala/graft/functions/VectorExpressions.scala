@@ -86,8 +86,7 @@ case class DotProduct(left: Expression, right: Expression)
   */
 case class WordShingles(child: Expression, w: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with ExpectsInputTypes
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  with ExpectsInputTypes {
 
   import org.apache.spark.sql.types.StringType
   import org.apache.spark.unsafe.types.UTF8String
@@ -96,8 +95,26 @@ case class WordShingles(child: Expression, w: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_shingles"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = org.apache.spark.sql.graft.WordShingles.compute($in, $w);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Shared by interpreted eval and codegen: first-occurrence-ordered
+    * distinct w-shingles of the space-split text.
+    */
+  def compute(input: UTF8String, w: Int): ArrayData = {
+    val toks = input.toString.split(" ", -1)
     val out = new java.util.LinkedHashSet[String]()
     var i = 0
     val last = toks.length - w
@@ -119,9 +136,6 @@ case class WordShingles(child: Expression, w: Int)
     while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
 }
 
 /** Random-hyperplane LSH bucket of an `array<double>` vector: the sign bits
@@ -306,8 +320,7 @@ object NearestCentroid {
   */
 case class SimHashBits(child: Expression, bits: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with ExpectsInputTypes
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  with ExpectsInputTypes {
 
   import org.apache.spark.sql.types.StringType
   import org.apache.spark.unsafe.types.UTF8String
@@ -318,9 +331,27 @@ case class SimHashBits(child: Expression, bits: Int)
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_simhash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val md = java.security.MessageDigest.getInstance("MD5")
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashBits.compute(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = org.apache.spark.sql.graft.SimHashBits.compute($in, $bits);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
+object SimHashBits {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Shared by interpreted eval and codegen: per-bit majority vote over
+    * md5 of each space-split token occurrence.
+    */
+  def compute(input: UTF8String, bits: Int): UTF8String = {
+    val toks = input.toString.split(" ", -1)
+    val md = GraftDigest.md5()
     val votes = new Array[Int](bits)
     var t = 0
     while (t < toks.length) {
@@ -345,9 +376,18 @@ case class SimHashBits(child: Expression, bits: Int)
     }
     UTF8String.fromBytes(out)
   }
+}
 
-  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
-    copy(child = newChild)
+/** Per-thread MD5 instance: `MessageDigest.getInstance` walks the provider
+  * list on every call, which is measurable in per-token/per-gram loops.
+  * One instance per executor thread, reset per use.
+  */
+object GraftDigest {
+  private val local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def md5(): java.security.MessageDigest = { val m = local.get(); m.reset(); m }
 }
 
 /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken) in one
@@ -363,8 +403,7 @@ case class SimHashBits(child: Expression, bits: Int)
   */
 case class WinnowFingerprints(child: Expression, k: Int, t: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with ExpectsInputTypes
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  with ExpectsInputTypes {
 
   import org.apache.spark.sql.types.StringType
   import org.apache.spark.unsafe.types.UTF8String
@@ -375,10 +414,28 @@ case class WinnowFingerprints(child: Expression, k: Int, t: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_winnow"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String]
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.compute(input.asInstanceOf[UTF8String], k, t)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = org.apache.spark.sql.graft.WinnowFingerprints.compute($in, $k, $t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Shared by interpreted eval and codegen: winnowed fingerprint set via
+    * a monotonic deque over md5-hex k-gram hashes.
+    */
+  def compute(input: UTF8String, k: Int, t: Int): ArrayData = {
+    val text = input
     val len = text.numChars()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = GraftDigest.md5()
     val hexOut = new Array[Char](32)
     def toHex(d: Array[Byte]): String = {
       var i = 0
@@ -439,9 +496,6 @@ case class WinnowFingerprints(child: Expression, k: Int, t: Int)
     while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
-    copy(child = newChild)
 }
 
 object VectorBridge {

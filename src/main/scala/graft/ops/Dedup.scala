@@ -179,8 +179,10 @@ object Dedup {
     * Each round is one join + one aggregation, both on the node key, and
     * labels are `localCheckpoint`ed to truncate lineage — without it the
     * plan doubles every iteration and analysis time explodes by round 10.
-    * For billion-edge graphs swap in the large-star/small-star
-    * formulation (Kiveris et al.); the contract here stays the same.
+    * If the graph turns out deeper than `maxIter` (diameter > rounds), the
+    * result would be silently split — so non-convergence falls back to
+    * [[componentsStar]], which converges in O(log n) rounds regardless of
+    * diameter.
     *
     * Input: (d1, d2) pairs. Output: (doc_id, cluster) for every doc
     * appearing in at least one pair; docs in no pair are their own
@@ -210,14 +212,86 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    if (!converged)
+    if (!converged) {
       // a silent iter-limit exit would return SPLIT clusters (labels not
-      // yet propagated across a diameter > maxIter chain) as if correct
+      // yet propagated across a diameter > maxIter chain) as if correct —
+      // hand the deep graph to the diameter-independent formulation
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"components() hit maxIter=$maxIter without converging; " +
-          "cluster labels may be split — raise maxIter or use a " +
-          "star-contraction pass (componentsStar) for deep graphs")
+        s"components() hit maxIter=$maxIter without converging " +
+          "(component diameter exceeds the round budget); falling back to " +
+          "large-star/small-star (componentsStar)")
+      return componentsStar(pairs)
+    }
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the billion-edge formulation: converges in
+    * O(log n) rounds independent of component diameter, where min-label
+    * propagation ([[components]]) needs O(diameter) rounds and dies on a
+    * long chain.
+    *
+    * Edges are kept oriented larger→smaller id. Per round:
+    *  - large-star: every node links each strictly-larger neighbour to the
+    *    minimum of its closed neighbourhood (one groupBy + one equi-join on
+    *    the node key);
+    *  - small-star: every node links its smaller neighbours — and itself —
+    *    to their minimum (same shape, grouped on the larger endpoint).
+    * At the fixpoint the edge set is exactly the star of each component
+    * centred on its minimum id, which is read off as the labelling. Same
+    * contract as [[components]]: (doc_id, cluster) for every doc in ≥1
+    * pair, cluster = min doc id of the component.
+    */
+  def componentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // self-pairs carry no connectivity but do declare the node: keep them
+    // aside so the output node set matches components() exactly
+    val selfNodes = pairs.filter(col("d1") === col("d2"))
+      .select(col("d1").as("doc_id"), col("d1").as("cluster")).distinct()
+    var edges = pairs.filter(col("d1") =!= col("d2"))
+      .select(greatest(col("d1"), col("d2")).as("u"), least(col("d1"), col("d2")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetric adjacency
+      val adj = edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b")))
+      val nbrMin = adj.groupBy(col("a")).agg(min(col("b")).as("_mb"))
+        .select(col("a"), least(col("_mb"), col("a")).as("m"))
+      val ls = adj.join(nbrMin, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star on the larger endpoint (edges already larger→smaller)
+      val smallMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withMin = ls.join(smallMin, "u")
+      val ss = withMin
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(withMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint test: same orientation + distinct on both sides, so
+      // equality ⇔ one-way difference empty and counts equal
+      converged =
+        ss.count() == edges.count() && ss.except(edges).isEmpty
+      edges = ss
+      iter += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"componentsStar() hit maxIter=$maxIter without a stable edge set; " +
+          "labels may be split — raise maxIter")
+    val starLabels = edges.select(col("u").as("doc_id"), col("v").as("cluster"))
+      .union(edges.select(col("v"), col("v")).distinct())
+      .distinct()
+    // self-pair-only nodes label themselves; nodes also in a real pair
+    // already carry their component label (anti-join, not blind union)
+    starLabels.union(
+      selfNodes.join(starLabels.select(col("doc_id")), Seq("doc_id"), "left_anti"))
   }
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via the shingle inverted

@@ -104,11 +104,14 @@ object Multimodal {
           ImageDecoder.detectFormat(bytes) match {
             case Some(_) =>
               // ImageIO.read THROWS (not just returns null) on truncated
-              // payloads with valid magic bytes; a corrupt image must not
-              // fail the whole job, so both outcomes become passthrough.
+              // payloads with valid magic bytes — and plugin decoders throw
+              // RuntimeExceptions (CMMException, IllegalArgumentException,
+              // ArrayIndexOutOfBounds) on crafted/corrupt payloads; a corrupt
+              // image must not fail the whole job, so every decode failure
+              // becomes passthrough.
               val img =
                 try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-                catch { case _: java.io.IOException => null }
+                catch { case scala.util.control.NonFatal(_) => null }
               if (img == null) ResizedMedia(id, bytes, -1, -1, "passthrough")
               else {
                 val scale = math.min(

@@ -112,6 +112,33 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("custom expressions stay inside whole-stage codegen (no fallback)") {
+    // Every Project line in the executed plan must carry the `*(n)` codegen
+    // marker: a bare `Project` means some expression fell back to
+    // interpreted eval (the round-2 state for WordShingles / SimHashBits /
+    // WinnowFingerprints, fixed in round 4 via static-helper doGenCode).
+    // spark.range, not toDF: a local Seq plans as LocalTableScan and the
+    // projection is evaluated on the driver with no codegen stage at all
+    val df = spark.range(8)
+      .select(
+        concat_ws(" ", lit("tok"), col("id").cast("string"), lit("b c d e f")).as("text"),
+        array((1 to 8).map(i => col("id").cast("double") + i): _*).as("v"))
+      .select(
+        VectorFunctions.wordShingles(col("text"), 3).as("sh"),
+        VectorFunctions.simHashBits(col("text"), 16).as("sim"),
+        VectorFunctions.winnow(col("text"), 4, 8).as("win"),
+        VectorFunctions.lshBucket(col("v"), 8, 4, 0).as("bk"),
+        VectorFunctions.nearestCentroid(col("v"), Array.fill(3)(vec())).as("cell"),
+        VectorFunctions.dot(col("v"), col("v")).as("d"))
+    df.collect() // force execution so the plan is final
+    val planStr = df.queryExecution.executedPlan.toString
+    val projectLines = planStr.linesIterator.filter(_.contains("Project [")).toList
+    assert(projectLines.nonEmpty, s"expected a Project in:\n$planStr")
+    projectLines.foreach { line =>
+      assert(line.contains("*("), s"Project fell out of whole-stage codegen:\n$line")
+    }
+  }
+
   test("NearestCentroid == per-row argmax over the centroid table") {
     val centroids = Array.fill(4)(vec())
     val vecs = List.fill(40)(vec())

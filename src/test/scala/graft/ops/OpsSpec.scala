@@ -144,6 +144,38 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 14, "every doc in a pair gets exactly one label")
   }
 
+  test("componentsStar == components on seeded random graphs") {
+    val rng = new scala.util.Random(41)
+    (1 to 3).foreach { trial =>
+      val n = 60
+      val pairs = List.fill(80)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .toDF("d1", "d2")
+      val lp = Dedup.components(pairs, maxIter = 40).as[(Long, Long)].collect().toMap
+      val st = Dedup.componentsStar(pairs).as[(Long, Long)].collect().toMap
+      assert(st == lp, s"trial $trial: star and label-prop disagree")
+    }
+  }
+
+  test("componentsStar: long-chain worst case converges in O(log n) rounds") {
+    // a 200-node path — diameter 199, far beyond any label-prop round
+    // budget; star contraction must still collapse it to one cluster
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val out = Dedup.componentsStar(pairs, maxIter = 15).as[(Long, Long)].collect().toMap
+    assert(out.size == 200 && out.values.forall(_ == 0L), "one cluster rooted at 0")
+    // self-pair-only nodes label themselves; mixed nodes keep the component label
+    val withSelf = pairs.union(Seq((500L, 500L), (0L, 0L)).toDF("d1", "d2"))
+    val out2 = Dedup.componentsStar(withSelf).as[(Long, Long)].collect().toMap
+    assert(out2(500L) == 500L && out2(0L) == 0L && out2.size == 201)
+  }
+
+  test("components falls back to star contraction when maxIter is too small") {
+    val pairs = (0L until 80L).map(i => (i, i + 1)).toDF("d1", "d2")
+    // diameter 80 >> maxIter 3: label-prop cannot converge; the fallback
+    // must still return the correct single cluster
+    val out = Dedup.components(pairs, maxIter = 3).as[(Long, Long)].collect().toMap
+    assert(out.size == 81 && out.values.forall(_ == 0L))
+  }
+
   test("winnowing: docs sharing a >=t match share a fingerprint; short docs covered") {
     val shared = "zqxjkvbnmw-shared-run-0123456789" // 32 chars >= t=16
     val docs = Seq(
