@@ -23,6 +23,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.registerSql(spark)
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
@@ -33,7 +34,10 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try exec(fn) catch { case _: Throwable => () }
     }
-    // timed passes
+    // timed passes; keep every sample so a one-off outlier (GC pause, page
+    // cache miss, driver contention) is visible in the artifact instead of
+    // silently shaping the median — both prior rounds' driver runs had
+    // invisible outliers that needed a manual rerun to adjudicate
     val timings = queries.map { case (name, fn) =>
       val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -42,12 +46,22 @@ object Bench {
       }
       val ok = samples.filter(_ >= 0).sorted
       val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
-      name -> median
+      (name, median, samples)
     }
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(d: Double): String = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = timings.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val ss = timings.map { case (k, _, s) => "\"" + k + "\":" + s.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = timings.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"runs":$runs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout through sbt gets an [info] prefix that log-scraping parsers
+    // trip over — the file is the machine-readable artifact of record
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

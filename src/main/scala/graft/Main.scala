@@ -18,14 +18,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
 
-  def buildSession(cpus: String): SparkSession =
-    SparkSession.builder()
+  def buildSession(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.functions.VectorFunctions.registerSql(spark)
+    spark
+  }
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)

@@ -20,6 +20,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 class Connections(file: TaskFile, spark: SparkSession) {
 
+  // a task's source SQL on the internal connection must see the extension
+  // functions (graft_dot, graft_simhash, ...) like any built-in
+  graft.functions.VectorFunctions.registerSql(spark)
+
   def get(name: String): Node = {
     val node = file.connection(name)
     // environment injection before first use (reference task.py:62-69);

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -26,7 +26,7 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * are fixed-dimension, so lengths always agree).
   */
 case class DotProduct(left: Expression, right: Expression)
-  extends BinaryExpression with ExpectsInputTypes {
+  extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
@@ -86,7 +86,7 @@ case class DotProduct(left: Expression, right: Expression)
   */
 case class WordShingles(child: Expression, w: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with ExpectsInputTypes {
+  with ImplicitCastInputTypes {
 
   import org.apache.spark.sql.types.StringType
   import org.apache.spark.unsafe.types.UTF8String
@@ -155,7 +155,7 @@ object WordShingles {
   */
 case class RandomHyperplanes(child: Expression, dim: Int, nBits: Int, band: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with ExpectsInputTypes {
+  with ImplicitCastInputTypes {
 
   import org.apache.spark.sql.types.StringType
   import org.apache.spark.unsafe.types.UTF8String
@@ -225,6 +225,25 @@ object RandomHyperplanes {
 
   def planeMatrix(dim: Int, nBits: Int, band: Int): Array[Array[Double]] =
     Array.tabulate(nBits, dim)((p, j) => component(band * nBits + p, j))
+
+  /** Driver-side twin of the expression: the bucket of one query vector,
+    * computed with the same plane matrix — lets an index probe pick its
+    * partitions without launching a Spark job.
+    */
+  def bucketOf(v: Array[Double], dim: Int, nBits: Int, band: Int = 0): String = {
+    val planes = planeMatrix(dim, nBits, band)
+    val n = math.min(dim, v.length)
+    val out = new Array[Char](nBits)
+    var p = 0
+    while (p < nBits) {
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += planes(p)(j) * v(j); j += 1 }
+      out(p) = if (s >= 0) '1' else '0'
+      p += 1
+    }
+    new String(out)
+  }
 }
 
 /** Index of the nearest centroid (max cosine similarity, ties to the
@@ -239,7 +258,7 @@ object RandomHyperplanes {
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with ExpectsInputTypes {
+  with ImplicitCastInputTypes {
 
   import org.apache.spark.sql.types.IntegerType
 
@@ -320,7 +339,7 @@ object NearestCentroid {
   */
 case class SimHashBits(child: Expression, bits: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with ExpectsInputTypes {
+  with ImplicitCastInputTypes {
 
   import org.apache.spark.sql.types.StringType
   import org.apache.spark.unsafe.types.UTF8String
@@ -403,7 +422,7 @@ object GraftDigest {
   */
 case class WinnowFingerprints(child: Expression, k: Int, t: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with ExpectsInputTypes {
+  with ImplicitCastInputTypes {
 
   import org.apache.spark.sql.types.StringType
   import org.apache.spark.unsafe.types.UTF8String

@@ -39,4 +39,11 @@ object VectorFunctions {
     */
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     org.apache.spark.sql.graft.VectorBridge.nearestCentroid(vec, centroids)
+
+  /** Expose the extension functions to SQL (`SELECT graft_dot(a, b) ...`)
+    * on this session — the internal-catalog task path registers them
+    * automatically; call this for hand-built sessions. Idempotent.
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graft.GraftSqlFunctions.register(spark)
 }

@@ -131,40 +131,167 @@ object Similarity {
     * .nearestCentroid]] expression; a query probes the `nProbe` cells
     * whose centroids are nearest to it and brute-forces only those.
     *
-    * Plan shape at any scale: one tiny driver job to collect k centroids
-    * (k×dim doubles — broadcast-sized by construction), then scan +
-    * filter(cell ∈ probes) + TakeOrderedAndProject. No shuffle anywhere.
-    * Scanned fraction ≈ nProbe/nCells of the corpus. For a persisted
-    * index, write the corpus partitioned BY cell so probing prunes files
-    * instead of filtering rows.
+    * Plan shape at any scale: one tiny driver job collecting BOTH the k
+    * seed centroids and the query vector (k+1 rows — broadcast-sized by
+    * construction), then scan + filter(cell ∈ probes) +
+    * TakeOrderedAndProject. No shuffle anywhere. Scanned fraction ≈
+    * nProbe/nCells of the corpus. For a standing corpus use the persisted
+    * layout instead ([[buildIvfIndex]]/[[ivfIndexTopK]]): there the cell
+    * filter prunes partition DIRECTORIES, so the non-probed fraction is
+    * never read at all.
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, nCells: Int = 16, nProbe: Int = 3,
               scale: Int = 6): DataFrame = {
     val e = emb.select(col(idCol), asDouble(col(vecCol)).as("_v"))
-    val centroids: Array[Array[Double]] = e
-      .select(col(idCol), col("_v"))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    // ONE bounded driver job for both setup fetches (nCells seed rows +
+    // the query vector, tagged and unioned) instead of two
+    val seeded = e
+      .select(col(idCol).as("_id"), col("_v"), md5(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("_id"))
       .limit(nCells)
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
+      .select(lit(0).as("_t"), col("_h"), col("_v"))
+    val qrow = e.filter(col(idCol) === queryId)
+      .select(lit(1).as("_t"), lit("").as("_h"), col("_v"))
+    val setup = seeded.unionAll(qrow).collect()
+    val centroids: Array[Array[Double]] = setup.filter(_.getInt(0) == 0)
+      .sortBy(_.getString(1)) // restore md5 sample order (union keeps no order)
+      .map(_.getSeq[Double](2).toArray)
+    val qv: Array[Double] = setup.find(_.getInt(0) == 1)
+      .map(_.getSeq[Double](2).toArray)
+      .getOrElse(throw new NoSuchElementException(s"query id $queryId not in corpus"))
     val cellOf = graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids)
-    val qv: Array[Double] = e.filter(col(idCol) === queryId)
-      .select(col("_v")).collect().head.getSeq[Double](0).toArray
-    // nProbe nearest centroids to the query, computed on the driver over
-    // the k-row centroid table
-    val qnorm = math.sqrt(qv.map(x => x * x).sum)
-    val probes = centroids.zipWithIndex.map { case (c, i) =>
-      val denom = math.sqrt(c.map(x => x * x).sum) * qnorm
-      val sim = if (denom == 0) 0.0 else c.zip(qv).map { case (a, b) => a * b }.sum / denom
-      (i, sim)
-    }.sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1)
+    val probes = nearestCells(centroids, qv, nProbe)
     val q = e.filter(col(idCol) === queryId).select(col("_v").as("_qv"))
     e.withColumn("_cell", cellOf)
       .filter(col("_cell").isin(probes.toIndexedSeq: _*))
       .crossJoin(broadcast(q)) // 1-row broadcast, not dim literals in the plan
       .select(col(idCol),
         round(cosine(col("_v"), col("_qv")), scale).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Driver-side probe selection: the `nProbe` cells whose centroids are
+    * nearest the query by cosine — over a table bounded at nCells rows.
+    */
+  private def nearestCells(centroids: Array[Array[Double]], qv: Array[Double],
+                           nProbe: Int): Array[Int] = {
+    val qnorm = math.sqrt(qv.map(x => x * x).sum)
+    centroids.zipWithIndex.map { case (c, i) =>
+      val denom = math.sqrt(c.map(x => x * x).sum) * qnorm
+      val sim = if (denom == 0) 0.0 else c.zip(qv).map { case (a, b) => a * b }.sum / denom
+      (i, sim)
+    }.sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1)
+  }
+
+  // ─── Persisted index layouts ─────────────────────────────────────────
+  //
+  // The in-query forms above compute buckets/cells per query — right for
+  // ad-hoc search, wrong for a standing corpus: at 100 TB the scan-and-
+  // filter still READS every file. The persisted layouts write the corpus
+  // partitioned by cell / bucket once, so a probe prunes at file-listing
+  // time (PartitionFilters in the scan) and touches only nProbe/nCells
+  // (IVF) or (nBits+1)/2^nBits (LSH) of the data on disk.
+
+  /** Build an IVF index at `path`:
+    *   `path/centroids` — (cell, centroid), nCells rows;
+    *   `path/data`      — the corpus + `cell`, partitioned by cell.
+    * Seed centroids are the deterministic md5-ordered corpus sample (same
+    * as [[ivfTopK]]); `kmeansIters` Lloyd rounds refine them. Each round
+    * is posexplode → (cell, pos) mean → rebuild: both shuffles partially
+    * aggregate map-side, so refinement never shuffles raw vectors.
+    */
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
+                    nCells: Int = 16, kmeansIters: Int = 0): Unit = {
+    val spark = emb.sparkSession
+    val e = emb.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    var centroids: Array[Array[Double]] = e
+      .select(col(idCol).as("_id"), col("_v"), md5(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("_id"))
+      .limit(nCells)
+      .select(col("_v")).collect().map(_.getSeq[Double](0).toArray)
+    var iter = 0
+    while (iter < kmeansIters) {
+      val cellOf = graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids)
+      val means = e.select(cellOf.as("cell"), posexplode(col("_v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cell"), col("ps").getField("m").as("mv"))
+        .collect() // bounded: nCells rows
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getInt(0)) = r.getSeq[Double](1).toArray)
+      centroids = next
+      iter += 1
+    }
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    emb.withColumn("cell",
+        graft.functions.VectorFunctions.nearestCentroid(asDouble(col(vecCol)), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+  }
+
+  /** Top-k over a persisted IVF index. Probe selection happens on the
+    * driver over the nCells-row centroid table (bounded by construction);
+    * the cell filter lands on the PARTITION column, so the scan's
+    * PartitionFilters prune non-probed directories before any I/O.
+    * Zero Spark jobs before the single pruned scan.
+    */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   idCol: String, vecCol: String, queryVec: Array[Double],
+                   k: Int, nProbe: Int = 3, scale: Int = 6): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val probes = nearestCells(cents, queryVec, nProbe)
+    val q = Seq(Tuple1(queryVec.toSeq)).toDF("_qv")
+    spark.read.parquet(s"$path/data")
+      .filter(col("cell").isin(probes.toIndexedSeq: _*))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Build an LSH index at `path/data`: corpus + `bucket`, partitioned by
+    * bucket. The partition value is prefixed 'b' ("b0101") so Hive-style
+    * partition type inference cannot misread a bit string as an integer
+    * (e.g. "0111" → 111), which would silently break probe matching.
+    */
+  def buildLshIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
+                    dim: Int, nBits: Int = 8): Unit =
+    emb.withColumn("bucket",
+        concat(lit("b"), lshBucket(asDouble(col(vecCol)), dim, nBits)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
+
+  /** ANN top-k over a persisted LSH index: the query's bucket (and its
+    * hamming-1 neighbors when `multiProbe`) are computed on the DRIVER
+    * with the same deterministic plane matrix, so the probe set is known
+    * before any job runs and the scan prunes to nBits+1 of 2^nBits
+    * partitions via PartitionFilters.
+    */
+  def lshIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   idCol: String, vecCol: String, queryVec: Array[Double],
+                   dim: Int, k: Int, nBits: Int = 8,
+                   multiProbe: Boolean = true, scale: Int = 6): DataFrame = {
+    import spark.implicits._
+    val qb = org.apache.spark.sql.graft.RandomHyperplanes.bucketOf(queryVec, dim, nBits)
+    val probes = (if (multiProbe)
+      qb +: (0 until nBits).map(i =>
+        qb.updated(i, if (qb(i) == '1') '0' else '1'))
+    else Seq(qb)).map("b" + _)
+    val q = Seq(Tuple1(queryVec.toSeq)).toDF("_qv")
+    spark.read.parquet(s"$path/data")
+      .filter(col("bucket").isin(probes: _*))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }

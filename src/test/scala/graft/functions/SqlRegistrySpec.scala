@@ -1,0 +1,94 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.runner.{TaskLog, TaskRunner}
+import java.nio.file.{Files, Paths}
+
+/** The extension expressions must be first-class on the SQL surface — the
+  * reference's primary interface is SQL pushed to the backing engine, so a
+  * task's source SQL has to be able to call graft_* like any built-in.
+  */
+class SqlRegistrySpec extends SparkSpec {
+
+  VectorFunctions.registerSql(spark)
+
+  test("graft_* functions callable from SQL, agreeing with the typed API") {
+    val row = spark.sql(
+      """SELECT
+        |  graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d,
+        |  graft_word_shingles('a b c d', 3) AS sh,
+        |  graft_simhash('hello world hello', 16) AS sim,
+        |  graft_lsh_bucket(array(1.0d, -2.0d, 0.5d, 3.0d), 4, 4) AS bk,
+        |  graft_winnow('abcdefghij', 4, 8) AS win
+        |""".stripMargin).head()
+    assert(row.getDouble(0) == 32.0)
+    assert(row.getSeq[String](1) == Seq("a b c", "b c d"))
+
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val typed = Seq(("hello world hello", "abcdefghij"))
+      .toDF("t", "g")
+      .select(
+        VectorFunctions.simHashBits(col("t"), 16).as("sim"),
+        VectorFunctions.lshBucket(
+          org.apache.spark.sql.functions.array(lit(1.0), lit(-2.0), lit(0.5), lit(3.0)),
+          4, 4).as("bk"),
+        VectorFunctions.winnow(col("g"), 4, 8).as("win"))
+      .head()
+    assert(row.getString(2) == typed.getString(0))
+    assert(row.getString(3) == typed.getString(1))
+    assert(row.getSeq[String](4) == typed.getSeq[String](2))
+  }
+
+  test("implicit casts admit float embeddings and non-double literals") {
+    // embeddings tables carry array<float>; SQL callers must not need a
+    // hand-written cast for every argument
+    val d = spark.sql(
+      "SELECT graft_dot(cast(array(1, 2) AS array<float>), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(d == 11.0)
+  }
+
+  test("shape arguments must be integer literals, with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_simhash('x', 'not-an-int')").head()
+    }
+    assert(e.getMessage.contains("integer literal"),
+      s"unexpected error: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0d))").head()
+    }
+    assert(e2.getMessage.contains("2 arguments"), s"unexpected error: ${e2.getMessage}")
+  }
+
+  test("db-csv task: internal-catalog source SQL calls extension functions") {
+    val wd = tmpDir("graft_sqlreg_")
+    Seq("input", "output", "log").foreach(d => Files.createDirectories(Paths.get(s"$wd/$d")))
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW sqlreg_docs AS
+        |SELECT * FROM VALUES (1, 'aa bb aa'), (2, 'cc dd') AS t(doc_id, text)
+        |""".stripMargin)
+    val taskFile = s"$wd/task.json"
+    Files.writeString(Paths.get(taskFile),
+      """{"connections": [{"name": "cat", "driver": "Spark"}],
+        | "tasks": [{
+        |  "type": "db-csv", "name": "fp",
+        |  "source": {"connection": "cat",
+        |             "command": "SELECT doc_id, graft_simhash(text, 8) AS sh FROM sqlreg_docs ORDER BY doc_id"},
+        |  "target": {"file": "fp.csv", "truncate": true, "delimiter": ","}
+        |}]}""".stripMargin)
+    TaskRunner.runFile(taskFile, spark, wd, TaskLog.Silent)
+    val out = Files.readString(Paths.get(s"$wd/output/fp.csv"))
+    val lines = out.trim.linesIterator.toList
+    assert(lines.head == "doc_id,sh")
+    assert(lines.size == 3)
+    // fingerprints match the typed API exactly
+    import org.apache.spark.sql.functions.col
+    val expected = spark.table("sqlreg_docs")
+      .select(col("doc_id"), VectorFunctions.simHashBits(col("text"), 8).as("sh"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => s"${r.get(0)},${r.getString(1)}")
+    assert(lines.tail == expected.toList)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index layouts (round-2 verdict item 1): the corpus is
+  * written partitioned by IVF cell / LSH bucket, so a probe prunes whole
+  * partition directories at file-listing time instead of filtering rows —
+  * the difference between reading nProbe/nCells of 100 TB and reading all
+  * of it. Pins: the scan's PartitionFilters carries the probe IN-list, the
+  * on-disk layout is hive-partitioned, and recall against brute force
+  * matches the in-query formulations.
+  */
+class IndexLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(42)
+
+  private def randVec(dim: Int): Array[Float] =
+    Array.fill(dim)((rng.nextDouble() - 0.5).toFloat)
+
+  private def perturb(v: Array[Float], eps: Float): Array[Float] =
+    v.map(x => x + (rng.nextDouble() - 0.5).toFloat * eps)
+
+  private val dim = 16
+  private val queryVec: Array[Float] = randVec(dim)
+  private lazy val emb = {
+    val neighbors = (1 to 10).map(i => (i.toLong, perturb(queryVec, 0.001f)))
+    val noise = (11 until 200).map(i => (i.toLong, randVec(dim)))
+    ((0L, queryVec) +: (neighbors ++ noise)).toDF("vec_id", "embedding")
+  }
+  private def qv: Array[Double] = queryVec.map(_.toDouble)
+
+  private def exactTop10: Set[Long] =
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, k = 11)
+      .select("vec_id").as[Long].collect().toSet - 0L
+
+  /** The probe IN-list inside the scan's PartitionFilters — the proof the
+    * filter reached partition pruning rather than a row-level Filter node.
+    */
+  private def partitionFilterInList(plan: String, key: String): Seq[String] = {
+    val re = ("PartitionFilters: \\[[^\\]]*" + key + "[^\\]]*IN \\(([^)]*)\\)").r
+    re.findFirstMatchIn(plan).map(_.group(1).split(",").map(_.trim).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  test("IVF index: partitioned layout, PartitionFilters prunes to nProbe cells, recall holds") {
+    val dir = tmpDir("graft_ivfidx_")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCells = 16)
+    // hive layout on disk: cell=N directories
+    val dirs = new java.io.File(s"$dir/data").list().filter(_.startsWith("cell="))
+    assert(dirs.nonEmpty && dirs.length <= 16, s"expected cell= dirs, got ${dirs.toList}")
+
+    val df = Similarity.ivfIndexTopK(spark, dir, "vec_id", "embedding", qv,
+      k = 11, nProbe = 4)
+    val got = df.select("vec_id").as[Long].collect().toSet - 0L
+    val recall = (got & exactTop10).size.toDouble / exactTop10.size
+    assert(recall >= 0.8, s"IVF-index recall $recall below 0.8")
+
+    val plan = df.queryExecution.executedPlan.toString
+    val probes = partitionFilterInList(plan, "cell")
+    assert(probes.length == 4,
+      s"PartitionFilters must prune to exactly nProbe cells, got $probes in:\n$plan")
+  }
+
+  test("IVF index: k-means refinement keeps the contract and the recall") {
+    val dir = tmpDir("graft_ivfkm_")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCells = 8, kmeansIters = 2)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    assert(cents.count() == 8)
+    // refined centroids are means, not corpus members: at least one must
+    // differ from every raw corpus vector
+    val corpusVecs = emb.select(transform(col("embedding"), _.cast("double")))
+      .as[Seq[Double]].collect().toSet
+    val centVecs = cents.select(col("centroid")).as[Seq[Double]].collect()
+    assert(centVecs.exists(c => !corpusVecs.contains(c)),
+      "k-means rounds must move the seed centroids off the sample points")
+    val got = Similarity.ivfIndexTopK(spark, dir, "vec_id", "embedding", qv,
+        k = 11, nProbe = 3)
+      .select("vec_id").as[Long].collect().toSet - 0L
+    val recall = (got & exactTop10).size.toDouble / exactTop10.size
+    assert(recall >= 0.8, s"refined-IVF recall $recall below 0.8")
+  }
+
+  test("LSH index: bucket-partitioned layout, multi-probe prunes to nBits+1 partitions, recall holds") {
+    val dir = tmpDir("graft_lshidx_")
+    Similarity.buildLshIndex(emb, "vec_id", "embedding", dir, dim = dim, nBits = 6)
+    // partition values carry the 'b' prefix so type inference cannot
+    // collapse bit strings into integers
+    val dirs = new java.io.File(s"$dir/data").list().filter(_.startsWith("bucket=b"))
+    assert(dirs.nonEmpty, "expected bucket=bXXXXXX partition dirs")
+
+    val df = Similarity.lshIndexTopK(spark, dir, "vec_id", "embedding", qv,
+      dim = dim, k = 11, nBits = 6, multiProbe = true)
+    val got = df.select("vec_id").as[Long].collect().toSet - 0L
+    val recall = (got & exactTop10).size.toDouble / exactTop10.size
+    assert(recall >= 0.8, s"LSH-index recall $recall below 0.8")
+
+    val plan = df.queryExecution.executedPlan.toString
+    val probes = partitionFilterInList(plan, "bucket")
+    assert(probes.length == 7, // query bucket + 6 hamming-1 neighbors
+      s"PartitionFilters must prune to nBits+1 buckets, got $probes in:\n$plan")
+  }
+
+  test("ivfTopK setup is one driver job (seed sample + query vector unioned)") {
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    sc.addSparkListener(listener)
+    try {
+      // construction alone runs the bounded setup fetch; the returned plan
+      // is lazy — so every job counted here is setup cost
+      Similarity.ivfTopK(emb, "vec_id", "embedding", queryId = 0L, k = 5,
+        nCells = 8, nProbe = 2)
+      org.apache.spark.graft.ListenerBridge.drain(sc, 10000)
+      assert(jobs.get() == 1, s"IVF setup must be a single driver job, saw ${jobs.get()}")
+    } finally sc.removeSparkListener(listener)
+  }
+
+  test("LSH index: driver-side bucket matches the expression's bucket") {
+    val fromExpr = emb.filter(col("vec_id") === 0L)
+      .select(graft.functions.VectorFunctions.lshBucket(
+        transform(col("embedding"), _.cast("double")), dim, 6).as("b"))
+      .as[String].collect().head
+    val onDriver = org.apache.spark.sql.graft.RandomHyperplanes.bucketOf(qv, dim, 6)
+    assert(fromExpr == onDriver,
+      "probe selection must agree with the stored bucket assignment")
+  }
+}
