@@ -85,6 +85,15 @@ object TaskConfig {
       case _               => Map.empty
     }
 
+    /** Object fields in DECLARATION order — for nodes where order is part
+      * of the contract (a CSV `schema` maps fields to file columns by
+      * position).
+      */
+    def objFields(key: String): Seq[(String, JValue)] = j \ key match {
+      case JObject(fields) => fields
+      case _               => Seq.empty
+    }
+
     def asString: Option[String] = j match {
       case JString(s) => Some(s)
       case _          => None

@@ -59,9 +59,22 @@ object Multimodal {
       }
   }
 
+  /** SPI for pluggable audio/video decoders (same reflection pattern as
+    * [[graft.transform.TransformModule]]): a codec jar implements this
+    * with a no-arg constructor and is injected by CLASS NAME — the name
+    * ships to executors and the instance is built once per partition, the
+    * right place for expensive codec-context init. Return None for
+    * payloads the decoder does not recognise so the chain can fall
+    * through.
+    */
+  trait MediaDecoder {
+    def decode(payload: Array[Byte]): Option[(Long, Long, String)]
+  }
+
   /** STUB decoder — deterministic arithmetic on payload size standing in
-    * for the audio/video decode this container cannot ship. Replace with
-    * a codec; keep the signature.
+    * for the audio/video decode this container cannot ship (no AV codecs
+    * offline). The terminal fallback of the decode chain; inject a real
+    * [[MediaDecoder]] to take its place for recognised payloads.
     */
   object StubDecoder {
     def decode(payload: Array[Byte]): (Long, Long, String) = {
@@ -70,11 +83,18 @@ object Multimodal {
     }
   }
 
+  private def instantiateDecoder(className: String): MediaDecoder =
+    Class.forName(className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[MediaDecoder]
+
   /** Bytes-in, metadata-out: real ImageIO decode for recognised image
-    * payloads, stub for everything else (audio/video/unknown).
+    * payloads, then the injected decoder (if any), then the stub.
     */
-  def decodeMeta(payload: Array[Byte]): (Long, Long, String) =
-    ImageDecoder.decode(payload).getOrElse(StubDecoder.decode(payload))
+  def decodeMeta(payload: Array[Byte],
+                 custom: Option[MediaDecoder] = None): (Long, Long, String) =
+    ImageDecoder.decode(payload)
+      .orElse(custom.flatMap(_.decode(payload)))
+      .getOrElse(StubDecoder.decode(payload))
 
   /** Attach a binary payload column (here: utf-8 bytes of a text column —
     * the fixtures ship no real media; the pipeline does not care).
@@ -138,17 +158,21 @@ object Multimodal {
 
   /** Decode a binary payload column into typed metadata via
     * partition-local batches. One narrow stage, no shuffle.
+    * `decoderClass` injects an AV [[MediaDecoder]] by name (task config /
+    * caller choice); only the NAME is captured by the closure, and the
+    * instance is constructed once per partition — codec contexts are
+    * expensive and must never be built per row (ImageIO's reader registry
+    * is JVM-global, so the image path needs none).
     */
-  def extractMeta(spark: SparkSession, withPayload: DataFrame): Dataset[MediaMeta] = {
+  def extractMeta(spark: SparkSession, withPayload: DataFrame,
+                  decoderClass: Option[String] = None): Dataset[MediaMeta] = {
     import spark.implicits._
     withPayload.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition decoder init would go here (codec contexts are
-        // expensive; never per-row). ImageIO's reader registry is
-        // JVM-global, so images need none.
+        val custom = decoderClass.map(instantiateDecoder)
         it.map { case (id, bytes) =>
-          val (w, h, f) = decodeMeta(bytes)
+          val (w, h, f) = decodeMeta(bytes, custom)
           MediaMeta(id, w, h, f)
         }
       }

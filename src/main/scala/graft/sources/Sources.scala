@@ -11,7 +11,9 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * names, every value a string, delimiter default `;`, encoding default
   * utf-8. We read with inferSchema=false so all columns are StringType —
   * petl parity ('' vs null, string comparisons in filters behave alike).
-  * Typed schemas are opt-in via an explicit "schema" in the task config.
+  * Typed columns are opt-in via a source `"schema"` node —
+  * `{"schema": {"name": "string", "bal": "int"}}` — parsed as Spark DDL
+  * in declaration order (position-mapped to the file, like the header).
   *
   * XML (task.py:361-367,403-409 — petl fromxml): two shapes. The
   * value-match form's "first row is the header" contract is inherently
@@ -22,13 +24,30 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object Sources {
 
-  def csv(spark: SparkSession, path: String, node: Node): DataFrame =
-    spark.read
+  def csv(spark: SparkSession, path: String, node: Node): DataFrame = {
+    val reader = spark.read
       .option("header", "true")
       .option("inferSchema", "false")
       .option("sep", node.str("delimiter", ";"))
       .option("encoding", node.str("encoding", "utf-8"))
-      .csv(path)
+    val fields = node.objFields("schema")
+    if (fields.isEmpty) reader.csv(path)
+    else {
+      // {"schema": {"col": "type", ...}} — declaration order maps to file
+      // column order, types are Spark DDL (int, bigint, double, date,
+      // decimal(10,2), ...). Never inference: the declared schema is the
+      // contract, malformed cells become null (Spark's permissive mode)
+      // exactly like a failed petl convert.
+      val ddl = fields.map { case (name, t) =>
+        val tpe = t match {
+          case org.json4s.JString(s) => s
+          case other                 => other.values.toString
+        }
+        s"`$name` $tpe"
+      }.mkString(", ")
+      reader.schema(StructType.fromDDL(ddl)).csv(path)
+    }
+  }
 
   /** SQL statement assembly (reference _parse_sql, task.py:94-107):
     * inline `command`, or `query` file under `path` (default "input"),

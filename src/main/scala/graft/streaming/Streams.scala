@@ -52,6 +52,27 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup screen — the streaming twin of the q29/q36
+    * SimHash collapse: every document is reduced to its `bits`-bit SimHash
+    * fingerprint and only the FIRST arrival of each fingerprint within the
+    * watermark horizon survives. Near-identical variants (token noise
+    * below the fingerprint's granularity) hash to the same key and are
+    * dropped; state is watermark-bounded exactly like [[dedupStream]].
+    * This is the cheap continuous screen a training-data firehose runs
+    * before the heavier batch LSH/Jaccard passes. Null-text docs are
+    * dropped, matching the batch operator's contract
+    * ([[graft.ops.Dedup.simHash]]).
+    */
+  def nearDupScreen(docs: DataFrame, tsCol: String, watermark: String,
+                    textCol: String, bits: Int = 16): DataFrame =
+    docs
+      .where(col(textCol).isNotNull)
+      .withColumn("_fp",
+        graft.functions.VectorFunctions.simHashBits(col(textCol), bits))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("_fp"))
+      .drop("_fp")
+
   /** Event-time tumbling-window aggregation with late-data handling.
     * Watermark bounds state: at 100 TB of events/day the state store holds
     * only windows within the watermark horizon.

@@ -127,6 +127,32 @@ class OpsSpec extends SparkSpec {
     assert(meta.doc_id == 1L && meta.width == 4L && meta.format == "stub")
   }
 
+  test("multimodal: injected MediaDecoder handles AV payloads; image and stub paths untouched") {
+    // payloads: one fake-video (FAKV magic), one unknown blob, one real PNG
+    val png = {
+      val img = new java.awt.image.BufferedImage(5, 3,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val docs = Seq(
+      (1L, "FAKV-a-video-container".getBytes("UTF-8")),
+      (2L, "just some text bytes".getBytes("UTF-8")),
+      (3L, png)).toDF("doc_id", "payload")
+    // with the SPI decoder injected by class name
+    val metas = Multimodal.extractMeta(spark, docs,
+        decoderClass = Some(classOf[FakeAvDecoder].getName))
+      .collect().map(m => m.doc_id -> ((m.width, m.height, m.format))).toMap
+    assert(metas(1L) == ((1920L, 1080L, "fakevideo")), "SPI decoder owns its magic")
+    assert(metas(2L)._3 == "stub", "unrecognised payloads still fall to the stub")
+    assert(metas(3L) == ((5L, 3L, "png")), "image path bypasses the SPI decoder")
+    // without injection the FAKV payload falls back to the stub
+    val plain = Multimodal.extractMeta(spark, docs).collect()
+      .map(m => m.doc_id -> m.format).toMap
+    assert(plain(1L) == "stub")
+  }
+
   test("components: transitive chains collapse to min-label clusters") {
     // chain 1-2-3-4 (via pairwise links), separate pair 10-11, and a
     // long path 20-21-22-23-24 exercising multi-round propagation
@@ -247,4 +273,15 @@ class OpsSpec extends SparkSpec {
     assert(meta(4L) == ((7L, 9L, "bmp")))
     assert(meta(5L)._3 == "stub", "unrecognised bytes fall back to the stub")
   }
+}
+
+/** Fake AV codec for the MediaDecoder SPI test: claims payloads with the
+  * 'FAKV' magic, declines everything else (so the chain falls through).
+  * Top-level with a no-arg constructor, as the reflection contract needs.
+  */
+class FakeAvDecoder extends Multimodal.MediaDecoder {
+  def decode(p: Array[Byte]): Option[(Long, Long, String)] =
+    if (p.length >= 4 && p(0) == 'F' && p(1) == 'A' && p(2) == 'K' && p(3) == 'V')
+      Some((1920L, 1080L, "fakevideo"))
+    else None
 }

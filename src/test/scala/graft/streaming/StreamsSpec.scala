@@ -113,6 +113,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup screen drops reordered-token variants within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val screened = Streams.nearDupScreen(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes", "text")
+    val q = screened.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "the quick brown fox jumps"),
+        // token-reordered variant: SimHash's per-token majority vote is
+        // order-independent, so this is the same fingerprint — a near-dup
+        (ts("2024-01-01 10:01:00"), 2L, "quick the brown fox jumps"),
+        (ts("2024-01-01 10:02:00"), 3L, "completely different content here"))
+      q.processAllAvailable()
+      // a later near-identical arrival, still inside the watermark horizon
+      mem.addData((ts("2024-01-01 10:03:00"), 4L, "brown fox the quick jumps"))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_out")
+        .as[(Timestamp, Long, String)].collect().toSeq
+      assert(rows.map(_._2).sorted == Seq(1L, 3L),
+        s"only the first of each fingerprint survives, got $rows")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped (Streams.tumblingCounts pin)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]

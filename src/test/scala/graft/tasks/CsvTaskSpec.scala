@@ -49,6 +49,52 @@ class CsvTaskSpec extends SparkSpec {
     assert(out == "name;bal\nBOB;2000\nCAROL;1500\n")
   }
 
+  test("typed schema opt-in: declared types flow through filter; default stays all-string") {
+    val wd = setup()
+    // all-string default: '{bal} < 500' compares lexicographically, so
+    // "2000" < "500" ('2' < '5') keeps everyone — the petl-parity baseline
+    runTasks(wd,
+      """{"tasks": [{
+        |  "type": "csv-csv", "name": "strings",
+        |  "source": {"file": "people.csv"},
+        |  "transform": {"filter": "{bal} < '500'"},
+        |  "target": {"file": "str.csv", "truncate": true, "delimiter": ","}
+        |}]}""".stripMargin)
+    val strOut = read(s"$wd/output/str.csv")
+    assert(strOut.linesIterator.size == 4,
+      s"lexicographic compare keeps all three rows, got:\n$strOut")
+    // typed opt-in: bal is int, the same comparison is numeric
+    runTasks(wd,
+      """{"tasks": [{
+        |  "type": "csv-csv", "name": "typed",
+        |  "source": {"file": "people.csv",
+        |             "schema": {"name": "string", "bal": "int", "seg": "string"}},
+        |  "transform": {"filter": "{bal} < 500", "convert": [["name", "upper"]]},
+        |  "target": {"file": "typed.csv", "truncate": true, "delimiter": ","}
+        |}]}""".stripMargin)
+    val out = read(s"$wd/output/typed.csv")
+    assert(out == "name,bal,seg\nALICE,10,m1\n",
+      s"numeric filter + convert over typed columns, got:\n$out")
+  }
+
+  test("typed schema: Sources.csv parses DDL types; malformed cells null out") {
+    val wd = setup()
+    writeFile(s"$wd/input/typed.csv", "id;amt;day\n1;2.5;2024-01-31\nx;oops;not-a-date\n")
+    val node = TaskConfig.Node(org.json4s.jackson.JsonMethods.parse(
+      """{"file": "typed.csv",
+        |  "schema": {"id": "bigint", "amt": "double", "day": "date"}}""".stripMargin))
+    val df = graft.sources.Sources.csv(spark, s"$wd/input/typed.csv", node)
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("id", "bigint"), ("amt", "double"), ("day", "date")))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    val bad = rows.find(_.isNullAt(0)).get
+    assert(bad.isNullAt(1) && bad.isNullAt(2),
+      "malformed cells must become null, not fail the read")
+    val good = rows.find(!_.isNullAt(0)).get
+    assert(good.getLong(0) == 1L && good.getDouble(1) == 2.5)
+  }
+
   test("append mode adds data rows only, no header") {
     val wd = setup()
     val task =
