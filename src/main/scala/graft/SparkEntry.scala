@@ -169,6 +169,11 @@ object SparkEntry {
         |FROM documents GROUP BY MD5(text) ORDER BY doc_id""".stripMargin,
     "q28_dedup_minhash_lsh" -> minhashLshSql,
     "q41_dedup_clusters" -> dedupClustersSql,
+    // q42 is the star-contraction formulation of the SAME closure — one
+    // oracle, two engine-side algorithms, both hash-checked
+    "q42_dedup_clusters_star" -> dedupClustersSql,
+    "q43_sql_surface" -> sqlSurfaceSql,
+    "q44_decontaminate" -> decontaminateSql,
     "q29_dedup_simhash" -> simhashSql,
     "q30_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q31_neardup_embedding" -> neardupLshSql,
@@ -345,6 +350,51 @@ object SparkEntry {
        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
        |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
+  /** q43 oracle: the simhash fingerprint (q29's construction, sans
+    * n_dupes) plus the distinct-3-shingle count per doc — twins of the
+    * two graft_* functions the SQL-surface query calls.
+    */
+  private def sqlSurfaceSql: String = {
+    val hexHigh = "('8','9','a','b','c','d','e','f')"
+    val bitSums = (0 until 16).map(i =>
+      s"SUM(CASE WHEN SUBSTRING(h, ${i + 1}, 1) IN $hexHigh THEN 1 ELSE 0 END) AS b$i")
+      .mkString(",\n  ")
+    val fp = (0 until 16).map(i =>
+      s"(CASE WHEN b$i * 2 > n THEN '1' ELSE '0' END)").mkString(" || ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM d),
+       |h AS (SELECT doc_id, MD5(w) AS h FROM tok),
+       |agg AS (SELECT doc_id, COUNT(*) AS n,
+       |  $bitSums
+       |  FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fp AS simhash FROM agg),
+       |toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM d),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |       FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)),
+       |shc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)
+       |SELECT f.doc_id, f.simhash, COALESCE(shc.n_shingles, 0) AS n_shingles
+       |FROM fp f LEFT JOIN shc ON shc.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
+  /** q44 oracle: distinct-shingle overlap between the corpus slice and
+    * the benchmark slice, with the corpus-side df cap mirrored via
+    * QUALIFY (same trick as the q30 oracle).
+    */
+  private def decontaminateSql: String =
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |       FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)),
+      |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0
+      |         QUALIFY COUNT(*) OVER (PARTITION BY s) <= 1000),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+      |SELECT c.doc_id, COUNT(*) AS n_hits
+      |FROM corp c JOIN bench b ON b.s = c.s
+      |GROUP BY c.doc_id HAVING COUNT(*) >= 1
+      |ORDER BY c.doc_id""".stripMargin
 
   /** q29 oracle: 16-bit simhash, majority vote per bit over token md5s. */
   private def simhashSql: String = {

@@ -294,6 +294,38 @@ object Dedup {
       selfNodes.join(starLabels.select(col("doc_id")), Seq("doc_id"), "left_anti"))
   }
 
+  /** Benchmark decontamination — the training-data hygiene step: flag
+    * corpus docs sharing at least `minHits` distinct w-gram shingles with
+    * ANY benchmark/eval document (the n-gram-overlap rule used to scrub
+    * eval sets out of pretraining corpora). Output: (doc_id, n_hits) for
+    * flagged docs.
+    *
+    * Shape at 100 TB: shingling is a projection on both sides (no
+    * shuffle); the benchmark shingle set is `distinct`-ed at eval-suite
+    * size — tiny next to the corpus, so the join broadcasts — and the
+    * per-doc hit count shuffles only matching (doc, shingle) rows. A
+    * shingle whose corpus document frequency exceeds `maxDf` is
+    * boilerplate, not contamination, and leaves the index (same skew
+    * guard as [[ngramJaccard]]).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, w: Int = 3, maxDf: Int = 1000,
+                    minHits: Int = 1): DataFrame = {
+    val corpusSh = shingles(corpus, idCol, textCol, w)
+      .withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("_df") <= maxDf)
+      .select(col("doc_id"), col("s"))
+    val benchSh = shingles(benchmark, idCol, textCol, w)
+      .select(col("s")).distinct()
+    // shingles are distinct per doc already (wordShingles emits a set),
+    // so the post-join count IS the distinct overlap size
+    corpusSh.join(benchSh, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** Exact all-pairs n-gram Jaccard ≥ threshold via the shingle inverted
     * index (no LSH screen — the verifier itself, exposed as an operator).
     * ONE self-join: the per-(d1,d2) match count from the inverted index IS

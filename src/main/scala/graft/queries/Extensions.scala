@@ -77,6 +77,42 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q42 near-dup clustering via large-star/small-star contraction — the
+  // same pairs and the SAME recursive-CTE oracle as q41, so the
+  // diameter-independent formulation is hash-checked against DuckDB's
+  // transitive closure directly (not just against components()).
+  val q42_dedup_clusters_star: Q = (s, d) => {
+    val pairs = Dedup.minHashLsh(t(s, d, "documents"), "doc_id", "text",
+      w = 3, k = 8, bands = 4, threshold = 0.5)
+    Dedup.componentsStar(pairs.select(col("d1"), col("d2")))
+      .orderBy(col("doc_id"))
+  }
+
+  // q43 the SQL surface end-to-end: the query text is pushed through
+  // spark.sql with the registered graft_* extension functions — the
+  // reference's primary interface (source SQL on the internal catalog),
+  // proven against a DuckDB twin of both expressions.
+  val q43_sql_surface: Q = (s, d) => {
+    graft.functions.VectorFunctions.registerSql(s)
+    t(s, d, "documents").createOrReplaceTempView("documents_sqlv")
+    s.sql(
+      """SELECT doc_id, graft_simhash(text, 16) AS simhash,
+        |       CAST(size(graft_word_shingles(text, 3)) AS BIGINT) AS n_shingles
+        |FROM documents_sqlv WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin)
+  }
+
+  // q44 benchmark decontamination: docs sharing any 3-gram shingle with
+  // the held-out "benchmark" slice (doc_id ≡ 0 mod 20 stands in for an
+  // eval suite) are flagged with their overlap size.
+  val q44_decontaminate: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    Dedup.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", w = 3)
+      .orderBy(col("doc_id"))
+  }
+
   // q40 winnowing fingerprints (SWA '03): guarantee-t local-similarity
   // screen, hash-checked against a DuckDB list-HOF twin.
   val q40_winnow: Q = (s, d) =>
@@ -129,5 +165,8 @@ object Extensions {
     "q38_sessionize" -> q38_sessionize,
     "q39_ann_ivf" -> q39_ann_ivf,
     "q40_winnow" -> q40_winnow,
-    "q41_dedup_clusters" -> q41_dedup_clusters)
+    "q41_dedup_clusters" -> q41_dedup_clusters,
+    "q42_dedup_clusters_star" -> q42_dedup_clusters_star,
+    "q43_sql_surface" -> q43_sql_surface,
+    "q44_decontaminate" -> q44_decontaminate)
 }
