@@ -174,6 +174,8 @@ object SparkEntry {
     "q42_dedup_clusters_star" -> dedupClustersSql,
     "q43_sql_surface" -> sqlSurfaceSql,
     "q44_decontaminate" -> decontaminateSql,
+    "q45_pii_redact" -> piiRedactSql,
+    "q46_quality_signals" -> qualitySignalsSql,
     "q29_dedup_simhash" -> simhashSql,
     "q30_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q31_neardup_embedding" -> neardupLshSql,
@@ -395,6 +397,42 @@ object SparkEntry {
       |FROM corp c JOIN bench b ON b.s = c.s
       |GROUP BY c.doc_id HAVING COUNT(*) >= 1
       |ORDER BY c.doc_id""".stripMargin
+
+  /** q45 oracle: same synthetic PII construction, same pattern chain
+    * (patterns shared from TextAnalysis.piiPatterns — the common
+    * Java-regex ∩ RE2 dialect; DuckDB needs the explicit 'g' flag where
+    * Spark's regexp_replace is global by default).
+    */
+  private def piiRedactSql: String = {
+    // patterns embed verbatim: DuckDB single-quoted strings do not
+    // process backslash escapes, so the runtime regex text is identical
+    val chain = graft.ops.TextAnalysis.piiPatterns.foldLeft("text") {
+      case (inner, (re, token)) => s"REGEXP_REPLACE($inner, '$re', '$token', 'g')"
+    }
+    s"""WITH d AS (SELECT doc_id,
+       |  text || ' contact user' || doc_id || '@example.com at +1-555-0'
+       |       || doc_id || ' ip 10.0.0.' || (doc_id % 256) AS text
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id, $chain AS redacted
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  /** q46 oracle: token-level shape signals via explode + per-token
+    * counts — the groupBy twin of the row-local array formulation.
+    */
+  private def qualitySignalsSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM d),
+      |cnts AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+      |agg AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS mx,
+      |        SUM(LENGTH(w) * c) AS totlen,
+      |        SUM(CASE WHEN REGEXP_MATCHES(w, '^[0-9]+$') THEN c ELSE 0 END) AS dig
+      |        FROM cnts GROUP BY doc_id)
+      |SELECT doc_id,
+      |  ROUND(CAST(totlen AS DOUBLE) / n, 4) AS mean_word_len,
+      |  ROUND(CAST(dig AS DOUBLE) / n, 4) AS digit_frac,
+      |  ROUND(CAST(mx AS DOUBLE) / n, 4) AS top_token_share
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   /** q29 oracle: 16-bit simhash, majority vote per bit over token md5s. */
   private def simhashSql: String = {

@@ -124,4 +124,49 @@ object TextAnalysis {
     df.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.VectorFunctions.winnow(col(textCol), k, t)).as("fp"))
+
+  /** PII patterns shared by the Spark operator and its DuckDB oracle twin.
+    * Written in the common Java-regex ∩ RE2 dialect (character classes,
+    * greedy counted quantifiers, `\b` — no backrefs, no lookaround) so
+    * both engines match identically.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("\\+[0-9][0-9-]{6,}[0-9]", "<PHONE>"))
+
+  /** PII redaction — the scrub-before-training step: emails, IPv4
+    * addresses and +-prefixed phone numbers are replaced with typed
+    * placeholder tokens. A chain of `regexp_replace` projections:
+    * codegen'd, zero shuffle, order fixed (email → ip → phone) so the
+    * result is deterministic and oracle-checkable. Null text passes
+    * through as null.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (re, token)) => regexp_replace(c, re, token)
+    }
+    df.select(col(idCol).as("doc_id"), redacted.as("redacted"))
+  }
+
+  /** Repetition/shape quality signals (the Gopher-rule family): mean word
+    * length, fraction of purely-numeric tokens, and the highest single-
+    * token share of the document (boilerplate/spam repeats one token).
+    * Pure projections over the tokenized-once array — the top-token share
+    * is row-local O(distinct × tokens), never a corpus shuffle.
+    */
+  def qualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col("_t")
+    val n = size(t).cast("double")
+    val meanLen = aggregate(t, lit(0L), (acc, w) => acc + length(w), _.cast("double") / n)
+    val digitFrac = size(filter(t, w => w.rlike("^[0-9]+$"))).cast("double") / n
+    val topShare = array_max(
+      transform(array_distinct(t), d => size(filter(t, w => w === d)))).cast("double") / n
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("_t"))
+      .select(col("doc_id"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(digitFrac, 4).as("digit_frac"),
+        round(topShare, 4).as("top_token_share"))
+  }
 }

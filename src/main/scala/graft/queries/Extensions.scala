@@ -113,6 +113,26 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q45 PII redaction: deterministic synthetic PII (email/phone/IP derived
+  // from doc_id, identically in the oracle) appended to each doc, then
+  // scrubbed by the shared pattern chain — so the redaction machinery is
+  // exercised on real matches and stays hash-checkable.
+  val q45_pii_redact: Q = (s, d) => {
+    val withPii = t(s, d, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com at +1-555-0"),
+          col("doc_id"), lit(" ip 10.0.0."), col("doc_id") % 256).as("text"))
+    TextAnalysis.redactPii(withPii, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  // q46 repetition/shape quality signals (Gopher-rule family): mean word
+  // length, numeric-token fraction, top single-token share.
+  val q46_quality_signals: Q = (s, d) =>
+    TextAnalysis.qualitySignals(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // q40 winnowing fingerprints (SWA '03): guarantee-t local-similarity
   // screen, hash-checked against a DuckDB list-HOF twin.
   val q40_winnow: Q = (s, d) =>
@@ -168,5 +188,7 @@ object Extensions {
     "q41_dedup_clusters" -> q41_dedup_clusters,
     "q42_dedup_clusters_star" -> q42_dedup_clusters_star,
     "q43_sql_surface" -> q43_sql_surface,
-    "q44_decontaminate" -> q44_decontaminate)
+    "q44_decontaminate" -> q44_decontaminate,
+    "q45_pii_redact" -> q45_pii_redact,
+    "q46_quality_signals" -> q46_quality_signals)
 }

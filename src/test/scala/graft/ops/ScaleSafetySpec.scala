@@ -143,6 +143,28 @@ class ScaleSafetySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("round-4 queries keep scale shapes: q44 equi-join only, q45/q46 projection-only") {
+    val d = "/root/testdata/sf0.001"
+    // decontamination joins must all be equi-joins (shingle key), never a
+    // nested-loop — same invariant as the q31 pin
+    val p44 = graft.queries.Extensions.q44_decontaminate(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!p44.contains("BroadcastNestedLoopJoin") && !p44.contains("CartesianProduct"),
+      s"q44 must stay equi-join only:\n$p44")
+    // redaction and shape signals are per-row math: no join, no aggregate
+    // (the only exchange is the final presentation sort)
+    val p45 = graft.queries.Extensions.q45_pii_redact(spark, d)
+      .queryExecution.optimizedPlan.toString
+    assert(!p45.contains("Aggregate") && !p45.contains("Join"),
+      s"q45 must be projection-only:\n$p45")
+    val p46 = graft.queries.Extensions.q46_quality_signals(spark, d)
+      .queryExecution.optimizedPlan.toString
+    assert(!p46.contains("Aggregate") && !p46.contains("Join"),
+      s"q46 must be projection-only:\n$p46")
+    assert("split\\(".r.findAllIn(p46).length == 1,
+      s"q46 must tokenize exactly once:\n$p46")
+  }
+
   test("IVF top-k: probes the right cells and recovers planted neighbors") {
     val dim = 16
     val q = randVec(dim)
