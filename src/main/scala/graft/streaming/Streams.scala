@@ -108,4 +108,69 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), round(sum(col(valueCol)), 2).as("sval"))
       .select(col(keyCol), col("session_window.start").as("sess_start"),
         col("n_events"), col("sval"))
+
+  /** Running session accumulator carried in the state store, keyed by
+    * user: [start, lastTs] in epoch millis plus the running aggregates.
+    */
+  case class SessState(start: Long, lastTs: Long, n: Long, sval: Double)
+  case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
+                        n_events: Long, sval: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * arbitrary-state tool for session semantics the declarative
+    * `session_window` cannot express (per-session running aggregates,
+    * custom close rules). Per key: batch events are sorted and folded
+    * into the held session; an event-time gap > `gapMinutes` closes the
+    * current session and emits it; the open session survives in the
+    * state store with an event-time TIMEOUT at lastTs + gap, so it is
+    * emitted — and its state evicted — when the watermark passes the
+    * gap with no further events. State per key is O(1) (one running
+    * session), and eviction is watermark-driven: the properties that
+    * keep the state store bounded on an unbounded firehose.
+    */
+  def sessionizeWithState(spark: org.apache.spark.sql.SparkSession,
+                          events: DataFrame, gapMinutes: Int = 30,
+                          watermark: String = "1 hour"): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, it, state) =>
+          def out(s: SessState) =
+            SessionOut(uid, new java.sql.Timestamp(s.start), s.n,
+              math.round(s.sval * 100.0) / 100.0)
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap with no new events: the held
+            // session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(out(s))
+          } else {
+            val evs = it.toIndexedSeq.sortBy(_._2.getTime)
+            var closed = List.empty[SessState]
+            var cur = state.getOption.orNull
+            evs.foreach { case (_, t, v) =>
+              val ms = t.getTime
+              if (cur == null) cur = SessState(ms, ms, 1, v)
+              else if (ms - cur.lastTs > gapMs) {
+                closed ::= cur
+                cur = SessState(ms, ms, 1, v)
+              } else
+                cur = SessState(cur.start, math.max(cur.lastTs, ms),
+                  cur.n + 1, cur.sval + v)
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.lastTs + gapMs)
+            closed.reverse.iterator.map(out)
+          }
+      }
+  }
 }

@@ -168,6 +168,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization: in-batch gap splits + timeout-driven close") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val out = Streams.sessionizeWithState(spark,
+      mem.toDF().toDF("user_id", "ts", "value"), gapMinutes = 30, watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("state_sess_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:10:00"), 2.0), // same session (10-min gap)
+        (1L, ts("2024-01-01 11:30:00"), 3.0)) // 80-min gap -> closes session 1
+      q.processAllAvailable()
+      // user 2 far ahead: watermark -> 13:00, past session 2's 12:00
+      // timeout, so the held session must emit and its state evict
+      mem.addData((2L, ts("2024-01-01 14:00:00"), 9.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-01 14:00:01"), 0.0)) // extra trigger to fire the timeout
+      q.processAllAvailable()
+      val rows = spark.table("state_sess_out")
+        .as[(Long, Timestamp, Long, Double)].collect().toSet
+      assert(rows.contains((1L, ts("2024-01-01 10:00:00"), 2L, 3.0)),
+        s"in-batch gap split must close session 1, got $rows")
+      assert(rows.contains((1L, ts("2024-01-01 11:30:00"), 1L, 3.0)),
+        s"watermark-driven timeout must close session 2, got $rows")
+      // matches the batch Sessionize twin on the same events
+      val batch = graft.ops.Sessionize(
+        Seq((1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+            (1L, ts("2024-01-01 10:10:00"), 2L, 2.0),
+            (1L, ts("2024-01-01 11:30:00"), 3L, 3.0))
+          .toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value")
+        .select("n_events", "sval").as[(Long, Double)].collect().toSet
+      assert(rows.filter(_._1 == 1L).map(r => (r._3, r._4)) == batch)
+    } finally q.stop()
+  }
+
   test("capture stream reads files dropped into a directory") {
     val dir = tmpDir("graft_capture_")
     val schema = org.apache.spark.sql.types.StructType(Seq(
