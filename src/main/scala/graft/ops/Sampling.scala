@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training pipelines.
+  *
+  * Everything keys off `md5(id)` compared against hex-string thresholds:
+  * no RNG state, no seed plumbing, stable across runs, partitionings and
+  * engines (the DuckDB oracle computes the identical predicate), and a
+  * document keeps its split assignment forever — the property that makes
+  * held-out sets trustworthy across pipeline re-runs. Each operator is a
+  * pure filter/projection: predicate-pushdown-eligible, zero shuffle.
+  */
+object Sampling {
+
+  /** 32-char hex threshold below which a uniform md5 falls with
+    * probability `frac` (first 8 nibbles carry the fraction; md5 is
+    * uniform enough for split purposes at any corpus size).
+    */
+  def hexThreshold(frac: Double): String = {
+    require(frac >= 0 && frac <= 1, s"fraction out of range: $frac")
+    if (frac >= 1) "g" // compares above any hex digit
+    else f"${(frac * 4294967296L).toLong}%08x" + "0" * 24
+  }
+
+  private def key(idCol: Column): Column = md5(idCol.cast("string"))
+
+  /** Deterministic `frac` sample: keep rows whose md5(id) falls under the
+    * threshold. Re-running, repartitioning, or porting engines yields the
+    * SAME sample.
+    */
+  def sample(df: DataFrame, idCol: String, frac: Double): DataFrame =
+    df.filter(key(col(idCol)) < hexThreshold(frac))
+
+  /** Train/val/test assignment from cumulative fractions, e.g.
+    * (0.8, 0.9) → 80% train, 10% val, 10% test. A row's label is a pure
+    * function of its id — stable under corpus growth (new docs never move
+    * old docs across splits).
+    */
+  def splitLabel(df: DataFrame, idCol: String,
+                 trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac + valFrac <= 1, "train + val fractions exceed 1")
+    val k = key(col(idCol))
+    df.withColumn("split",
+      when(k < hexThreshold(trainFrac), "train")
+        .when(k < hexThreshold(trainFrac + valFrac), "val")
+        .otherwise("test"))
+  }
+}
