@@ -17,7 +17,9 @@ object PlanAudit {
     val interesting = Seq(
       "q01_scan_project", "q02_filter", "q05_join_broadcast", "q07_join_semi",
       "q10_asof", "q16_topk", "q28_dedup_minhash_lsh",
-      "q30_dedup_ngram_jaccard", "q31_neardup_embedding", "q32_ann_lsh")
+      "q30_dedup_ngram_jaccard", "q31_neardup_embedding", "q32_ann_lsh",
+      "q42_dedup_clusters_star", "q43_sql_surface", "q44_decontaminate",
+      "q45_pii_redact", "q46_quality_signals")
     for (q <- interesting) {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       qe.executedPlan.executeCollect()

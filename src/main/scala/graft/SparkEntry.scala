@@ -176,6 +176,7 @@ object SparkEntry {
     "q44_decontaminate" -> decontaminateSql,
     "q45_pii_redact" -> piiRedactSql,
     "q46_quality_signals" -> qualitySignalsSql,
+    "q47_train_split" -> trainSplitSql,
     "q29_dedup_simhash" -> simhashSql,
     "q30_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q31_neardup_embedding" -> neardupLshSql,
@@ -433,6 +434,19 @@ object SparkEntry {
       |  ROUND(CAST(dig AS DOUBLE) / n, 4) AS digit_frac,
       |  ROUND(CAST(mx AS DOUBLE) / n, 4) AS top_token_share
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** q47 oracle: the same md5-hex-threshold split predicate, thresholds
+    * generated by the same [[graft.ops.Sampling.hexThreshold]].
+    */
+  private def trainSplitSql: String = {
+    val t1 = graft.ops.Sampling.hexThreshold(0.8)
+    val t2 = graft.ops.Sampling.hexThreshold(0.9)
+    s"""SELECT doc_id, CASE
+       |  WHEN MD5(CAST(doc_id AS VARCHAR)) < '$t1' THEN 'train'
+       |  WHEN MD5(CAST(doc_id AS VARCHAR)) < '$t2' THEN 'val'
+       |  ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   /** q29 oracle: 16-bit simhash, majority vote per bit over token md5s. */
   private def simhashSql: String = {

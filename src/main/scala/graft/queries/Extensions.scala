@@ -133,6 +133,13 @@ object Extensions {
     TextAnalysis.qualitySignals(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  // q47 deterministic train/val/test split: md5-threshold assignment —
+  // stable across runs, partitionings and engines, so held-out sets
+  // survive pipeline re-runs and corpus growth.
+  val q47_train_split: Q = (s, d) =>
+    Sampling.splitLabel(t(s, d, "documents").select(col("doc_id")), "doc_id")
+      .orderBy(col("doc_id"))
+
   // q40 winnowing fingerprints (SWA '03): guarantee-t local-similarity
   // screen, hash-checked against a DuckDB list-HOF twin.
   val q40_winnow: Q = (s, d) =>
@@ -190,5 +197,6 @@ object Extensions {
     "q43_sql_surface" -> q43_sql_surface,
     "q44_decontaminate" -> q44_decontaminate,
     "q45_pii_redact" -> q45_pii_redact,
-    "q46_quality_signals" -> q46_quality_signals)
+    "q46_quality_signals" -> q46_quality_signals,
+    "q47_train_split" -> q47_train_split)
 }

@@ -153,6 +153,24 @@ class OpsSpec extends SparkSpec {
     assert(plain(1L) == "stub")
   }
 
+  test("deterministic sampling: repartition-stable, growth-stable, fractions honored") {
+    val df = spark.range(2000).toDF("doc_id")
+    val s1 = Sampling.sample(df, "doc_id", 0.25).select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.sample(df.repartition(13), "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+    assert(math.abs(s1.size / 2000.0 - 0.25) < 0.05, s"got ${s1.size}/2000")
+    val splits = Sampling.splitLabel(df, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits.values.sum == 2000 && splits.keySet == Set("train", "val", "test"))
+    assert(math.abs(splits("train") / 2000.0 - 0.8) < 0.05, s"train=${splits("train")}")
+    // corpus growth must never move an existing doc across splits
+    val small = Sampling.splitLabel(spark.range(1000).toDF("doc_id"), "doc_id")
+      .as[(Long, String)].collect().toMap
+    val large = Sampling.splitLabel(df, "doc_id").as[(Long, String)].collect().toMap
+    assert(small.forall { case (id, l) => large(id) == l })
+  }
+
   test("components: transitive chains collapse to min-label clusters") {
     // chain 1-2-3-4 (via pairwise links), separate pair 10-11, and a
     // long path 20-21-22-23-24 exercising multi-round propagation
