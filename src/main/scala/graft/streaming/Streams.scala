@@ -109,6 +109,28 @@ object Streams {
       .select(col(keyCol), col("session_window.start").as("sess_start"),
         col("n_events"), col("sval"))
 
+  /** Continuously maintain a persisted LSH index from an embedding
+    * stream — the streaming twin of [[graft.ops.Similarity.buildLshIndex]]:
+    * buckets are assigned in-flight (same deterministic plane matrix, so
+    * batch-built and stream-appended rows land in the same partitions)
+    * and appended as bucket-partitioned parquet. The file sink's commit
+    * log makes every micro-batch exactly-once; probes
+    * ([[graft.ops.Similarity.lshIndexTopK]]) see new vectors as soon as
+    * their batch commits, still pruning to nBits+1 partition directories.
+    */
+  def lshIndexSink(stream: DataFrame, vecCol: String, path: String,
+                   checkpoint: String, dim: Int,
+                   nBits: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    stream
+      .withColumn("bucket", concat(lit("b"),
+        graft.functions.VectorFunctions.lshBucket(
+          transform(col(vecCol), _.cast("double")), dim, nBits)))
+      .writeStream.format("parquet").partitionBy("bucket")
+      .option("path", s"$path/data")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** Running session accumulator carried in the state store, keyed by
     * user: [start, lastTs] in epoch millis plus the running aggregates.
     */

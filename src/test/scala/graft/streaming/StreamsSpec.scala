@@ -205,6 +205,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH index sink: bucket-partitioned appends, probed by lshIndexTopK") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(7)
+    def vec(): Seq[Double] = Seq.fill(16)(rng.nextDouble() - 0.5)
+    val query = vec()
+    val neighbors = (1 to 5).map(i =>
+      (i.toLong, query.map(_ + (rng.nextDouble() - 0.5) * 0.001)))
+    val noise = (6 until 60).map(i => (i.toLong, vec()))
+    val dir = tmpDir("graft_lshsink_")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.lshIndexSink(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding",
+      dir, s"$dir/ckpt", dim = 16, nBits = 4)
+    try {
+      mem.addData(((0L, query) +: neighbors) ++ noise: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // stream-appended rows land in the same 'b'-prefixed partitions the
+    // batch builder writes, so the same probe path works unchanged
+    val dirs = new java.io.File(s"$dir/data").list().filter(_.startsWith("bucket=b"))
+    assert(dirs.nonEmpty, "expected bucket=bXXXX partition dirs")
+    val got = graft.ops.Similarity.lshIndexTopK(spark, dir, "vec_id", "embedding",
+        query.toArray, dim = 16, k = 6, nBits = 4)
+      .select("vec_id").as[Long].collect().toSet - 0L
+    val hits = (got & (1L to 5L).toSet).size
+    assert(hits >= 4, s"planted near-identical neighbors must be found, got $got")
+  }
+
   test("capture stream reads files dropped into a directory") {
     val dir = tmpDir("graft_capture_")
     val schema = org.apache.spark.sql.types.StructType(Seq(
