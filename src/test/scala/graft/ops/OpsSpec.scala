@@ -171,6 +171,57 @@ class OpsSpec extends SparkSpec {
     assert(small.forall { case (id, l) => large(id) == l })
   }
 
+  test("decontaminate: empty benchmark flags nothing; df-cap drops boilerplate overlap") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "totally unrelated words here now"))
+      .toDF("doc_id", "text")
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.decontaminate(corpus, emptyBench, "doc_id", "text").count() == 0)
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(corpus, bench, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 3L), "3 shared 3-shingles of the 5-token overlap")
+    // a shingle in every corpus doc is boilerplate: df-cap removes it
+    val boiler = (1L to 50L).map(i => (i, s"click here to unsubscribe tail$i"))
+      .toDF("doc_id", "text")
+    val bench2 = Seq((100L, "click here to unsubscribe now")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(boiler, bench2, "doc_id", "text", maxDf = 10).count() == 0,
+      "df-capped boilerplate shingles must not count as contamination")
+  }
+
+  test("redactPii: multiple and adjacent matches, null text, clean text untouched") {
+    val docs = Seq(
+      (1L, Some("mail a@b.co and c.d+x@e-f.org now")),
+      (2L, Some("ip 192.168.0.1 phone +44-20-7946-0958 end")),
+      (3L, Some("nothing sensitive here")),
+      (4L, None))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs, "doc_id", "text")
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).get == "mail <EMAIL> and <EMAIL> now")
+    assert(out(2L).get == "ip <IP> phone <PHONE> end")
+    assert(out(3L).get == "nothing sensitive here")
+    assert(out(4L).isEmpty, "null text passes through as null")
+  }
+
+  test("hexThreshold edges: frac 0 keeps nothing, frac 1 keeps everything") {
+    val df = spark.range(100).toDF("doc_id")
+    assert(Sampling.sample(df, "doc_id", 0.0).count() == 0)
+    assert(Sampling.sample(df, "doc_id", 1.0).count() == 100)
+    val splits = Sampling.splitLabel(df, "doc_id", trainFrac = 1.0, valFrac = 0.0)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits == Map("train" -> 100L))
+  }
+
+  test("componentsStar: empty and single-pair inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.componentsStar(empty).count() == 0)
+    val one = Seq((7L, 3L)).toDF("d1", "d2")
+    val out = Dedup.componentsStar(one).as[(Long, Long)].collect().toMap
+    assert(out == Map(3L -> 3L, 7L -> 3L))
+  }
+
   test("components: transitive chains collapse to min-label clusters") {
     // chain 1-2-3-4 (via pairwise links), separate pair 10-11, and a
     // long path 20-21-22-23-24 exercising multi-round propagation
