@@ -152,16 +152,26 @@ object TextAnalysis {
   /** Repetition/shape quality signals (the Gopher-rule family): mean word
     * length, fraction of purely-numeric tokens, and the highest single-
     * token share of the document (boilerplate/spam repeats one token).
-    * Pure projections over the tokenized-once array — the top-token share
-    * is row-local O(distinct × tokens), never a corpus shuffle.
+    * Pure projections over the tokenized-once array — row-local, never a
+    * corpus shuffle. Top-token share is sort + one run-length fold:
+    * O(n log n) per row, where the distinct×filter formulation is
+    * O(distinct × n) — quadratic on the long high-diversity documents a
+    * real corpus is full of.
     */
   def qualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col("_t")
     val n = size(t).cast("double")
     val meanLen = aggregate(t, lit(0L), (acc, w) => acc + length(w), _.cast("double") / n)
     val digitFrac = size(filter(t, w => w.rlike("^[0-9]+$"))).cast("double") / n
-    val topShare = array_max(
-      transform(array_distinct(t), d => size(filter(t, w => w === d)))).cast("double") / n
+    val topShare = aggregate(
+      sort_array(t),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best")).cast("double") / n
     df.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), toks(col(textCol)).as("_t"))
       .select(col("doc_id"),

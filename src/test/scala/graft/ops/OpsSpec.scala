@@ -171,6 +171,24 @@ class OpsSpec extends SparkSpec {
     assert(small.forall { case (id, l) => large(id) == l })
   }
 
+  test("qualitySignals: top-token share via sorted run-length == distinct-count form") {
+    val rng = new scala.util.Random(11)
+    def doc(): String = List.fill(rng.nextInt(30) + 1)(
+      ('a' + rng.nextInt(4)).toChar.toString * (rng.nextInt(3) + 1)).mkString(" ")
+    val docs = ((1 to 30).map(i => (i.toLong, doc())) :+
+      (98L, "solo") :+ (99L, "x x x y")).toDF("doc_id", "text")
+    val fast = TextAnalysis.qualitySignals(docs, "doc_id", "text")
+      .select("doc_id", "top_token_share").as[(Long, Double)].collect().toMap
+    // reference: explicit per-token counts on the driver
+    val ref = docs.as[(Long, String)].collect().map { case (id, txt) =>
+      val toks = txt.split(" ", -1)
+      id -> math.rint(toks.groupBy(identity).values.map(_.length).max.toDouble
+        / toks.length * 10000) / 10000
+    }.toMap
+    fast.foreach { case (id, v) => assert(math.abs(v - ref(id)) < 1e-9, s"doc $id") }
+    assert(fast(99L) == 0.75)
+  }
+
   test("decontaminate: empty benchmark flags nothing; df-cap drops boilerplate overlap") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),
