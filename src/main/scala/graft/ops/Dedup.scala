@@ -302,25 +302,27 @@ object Dedup {
     *
     * Shape at 100 TB: shingling is a projection on both sides (no
     * shuffle); the benchmark shingle set is `distinct`-ed at eval-suite
-    * size — tiny next to the corpus, so the join broadcasts — and the
-    * per-doc hit count shuffles only matching (doc, shingle) rows. A
-    * shingle whose corpus document frequency exceeds `maxDf` is
-    * boilerplate, not contamination, and leaves the index (same skew
-    * guard as [[ngramJaccard]]).
+    * size — tiny next to the corpus, so the join broadcasts. The
+    * boilerplate guard (a shingle whose corpus document frequency
+    * exceeds `maxDf` is boilerplate, not contamination — same skew guard
+    * as [[ngramJaccard]]) runs AFTER the benchmark join: for a matched
+    * shingle every corpus occurrence survives the join, so its df over
+    * the matched subset equals its corpus df — identical semantics, but
+    * the df window shuffles only benchmark-matching occurrences instead
+    * of the entire corpus shingle set.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, w: Int = 3, maxDf: Int = 1000,
                     minHits: Int = 1): DataFrame = {
     val corpusSh = shingles(corpus, idCol, textCol, w)
-      .withColumn("_df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .filter(col("_df") <= maxDf)
-      .select(col("doc_id"), col("s"))
     val benchSh = shingles(benchmark, idCol, textCol, w)
       .select(col("s")).distinct()
     // shingles are distinct per doc already (wordShingles emits a set),
     // so the post-join count IS the distinct overlap size
     corpusSh.join(benchSh, "s")
+      .withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("_df") <= maxDf)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
