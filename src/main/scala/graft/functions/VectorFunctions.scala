@@ -40,10 +40,19 @@ object VectorFunctions {
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     org.apache.spark.sql.graft.VectorBridge.nearestCentroid(vec, centroids)
 
+  /** Element-wise mean of array<double> vectors — the typed-Aggregator
+    * UDAF (SURVEY §2.7). Map-side partial aggregation into a dim-width
+    * buffer: per-group centroids without exploding n×dim rows.
+    */
+  lazy val vectorMean: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(VectorMean)
+
   /** Expose the extension functions to SQL (`SELECT graft_dot(a, b) ...`)
     * on this session — the internal-catalog task path registers them
     * automatically; call this for hand-built sessions. Idempotent.
     */
-  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graft.GraftSqlFunctions.register(spark)
+    spark.udf.register("graft_vector_mean", vectorMean)
+  }
 }

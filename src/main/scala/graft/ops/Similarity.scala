@@ -199,8 +199,10 @@ object Similarity {
     *   `path/data`      — the corpus + `cell`, partitioned by cell.
     * Seed centroids are the deterministic md5-ordered corpus sample (same
     * as [[ivfTopK]]); `kmeansIters` Lloyd rounds refine them. Each round
-    * is posexplode → (cell, pos) mean → rebuild: both shuffles partially
-    * aggregate map-side, so refinement never shuffles raw vectors.
+    * is one groupBy(cell) with the [[graft.functions.VectorMean]] typed
+    * Aggregator: map-side reduce into a dim-width buffer, so the shuffle
+    * carries nCells × dim doubles per partition — never raw vectors, and
+    * never an n×dim exploded intermediate.
     */
   def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
                     nCells: Int = 16, kmeansIters: Int = 0): Unit = {
@@ -214,11 +216,9 @@ object Similarity {
     var iter = 0
     while (iter < kmeansIters) {
       val cellOf = graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids)
-      val means = e.select(cellOf.as("cell"), posexplode(col("_v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+      val means = e.select(cellOf.as("cell"), col("_v"))
         .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
-        .select(col("cell"), col("ps").getField("m").as("mv"))
+        .agg(graft.functions.VectorFunctions.vectorMean(col("_v")).as("mv"))
         .collect() // bounded: nCells rows
       val next = centroids.map(_.clone())
       means.foreach(r => next(r.getInt(0)) = r.getSeq[Double](1).toArray)

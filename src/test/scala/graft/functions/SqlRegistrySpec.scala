@@ -61,6 +61,33 @@ class SqlRegistrySpec extends SparkSpec {
     assert(e2.getMessage.contains("2 arguments"), s"unexpected error: ${e2.getMessage}")
   }
 
+  test("graft_vector_mean UDAF: matches explode-mean, callable from SQL group-by") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = List.fill(60)((rng.nextInt(4), Seq.fill(6)(rng.nextDouble() * 10 - 5)))
+    val df = rows.toDF("g", "v")
+    val fast = df.groupBy(col("g"))
+      .agg(VectorFunctions.vectorMean(col("v")).as("m"))
+      .as[(Int, Seq[Double])].collect().toMap
+    val ref = rows.groupBy(_._1).map { case (g, vs) =>
+      val n = vs.size
+      g -> (0 until 6).map(i => vs.map(_._2(i)).sum / n)
+    }
+    ref.foreach { case (g, m) =>
+      fast(g).zip(m).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, s"group $g") }
+    }
+    // SQL path through the registry
+    df.createOrReplaceTempView("vm_in")
+    val viaSql = spark.sql(
+      "SELECT g, graft_vector_mean(v) AS m FROM vm_in GROUP BY g")
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(viaSql.keySet == fast.keySet)
+    viaSql.foreach { case (g, m) =>
+      fast(g).zip(m).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
   test("db-csv task: internal-catalog source SQL calls extension functions") {
     val wd = tmpDir("graft_sqlreg_")
     Seq("input", "output", "log").foreach(d => Files.createDirectories(Paths.get(s"$wd/$d")))
