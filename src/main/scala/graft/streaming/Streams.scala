@@ -113,10 +113,14 @@ object Streams {
     * stream — the streaming twin of [[graft.ops.Similarity.buildLshIndex]]:
     * buckets are assigned in-flight (same deterministic plane matrix, so
     * batch-built and stream-appended rows land in the same partitions)
-    * and appended as bucket-partitioned parquet. The file sink's commit
-    * log makes every micro-batch exactly-once; probes
+    * and appended as bucket-partitioned parquet. Probes
     * ([[graft.ops.Similarity.lshIndexTopK]]) see new vectors as soon as
-    * their batch commits, still pruning to nBits+1 partition directories.
+    * their batch commits, still pruning to nBits+1 partition
+    * directories. Appends run through `foreachBatch`, not the parquet
+    * file sink, so a batch-built layout and streamed appends coexist
+    * (the file sink's `_spark_metadata` log would hide non-log files
+    * from later reads — see [[ivfIndexSink]]); replayed micro-batches
+    * are at-least-once.
     */
   def lshIndexSink(stream: DataFrame, vecCol: String, path: String,
                    checkpoint: String, dim: Int,
@@ -125,11 +129,48 @@ object Streams {
       .withColumn("bucket", concat(lit("b"),
         graft.functions.VectorFunctions.lshBucket(
           transform(col(vecCol), _.cast("double")), dim, nBits)))
-      .writeStream.format("parquet").partitionBy("bucket")
-      .option("path", s"$path/data")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("bucket").parquet(s"$path/data")
+      }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+
+  /** Continuously maintain a persisted IVF index built by
+    * [[graft.ops.Similarity.buildIvfIndex]]: the index's OWN centroid
+    * table (bounded, one driver read at query start) rides into the
+    * stream as a `NearestCentroid` projection, and rows append into the
+    * same cell-partitioned layout batch probes already prune. Centroids
+    * are frozen at sink start — the IVF contract: assignments must match
+    * the stored table, so refinement means rebuild, not drift.
+    *
+    * Writes go through `foreachBatch` as plain partitioned appends, NOT
+    * the parquet file sink: the file sink's `_spark_metadata` log makes
+    * later batch reads of the directory see ONLY log-recorded files,
+    * silently hiding the batch-built corpus (pinned by the mixed-layout
+    * spec). Cost: a replayed micro-batch after crash recovery may append
+    * twice (at-least-once) — acceptable for an ANN index, where a
+    * duplicate vector only re-ranks as itself; rebuild to compact.
+    */
+  def ivfIndexSink(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
+                   vecCol: String, indexPath: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    stream
+      .withColumn("cell", graft.functions.VectorFunctions.nearestCentroid(
+        transform(col(vecCol), _.cast("double")), centroids))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("cell").parquet(s"$indexPath/data")
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
 
   /** Running session accumulator carried in the state store, keyed by
     * user: [start, lastTs] in epoch millis plus the running aggregates.

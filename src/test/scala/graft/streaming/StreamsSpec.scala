@@ -233,6 +233,38 @@ class StreamsSpec extends SparkSpec {
     assert(hits >= 4, s"planted near-identical neighbors must be found, got $got")
   }
 
+  test("streaming IVF index sink: appended rows join the batch-built layout and are probed") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(13)
+    def vec(): Seq[Double] = Seq.fill(16)(rng.nextDouble() - 0.5)
+    val query = vec()
+    // batch-build the index from an initial corpus (no planted neighbors)
+    val initial = (100L until 160L).map(i => (i, vec()))
+    val dir = tmpDir("graft_ivfsink_")
+    graft.ops.Similarity.buildIvfIndex(
+      initial.toDF("vec_id", "embedding"), "vec_id", "embedding", dir, nCells = 8)
+    // stream in the query's near-identical neighbors afterwards
+    val neighbors = (1L to 5L).map(i =>
+      (i, query.map(_ + (rng.nextDouble() - 0.5) * 0.001)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.ivfIndexSink(spark,
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", dir, s"$dir/ckpt")
+    try {
+      mem.addData(neighbors: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the streaming sink's _spark_metadata log must NOT hide the
+    // batch-built corpus from subsequent reads — both populations count
+    val total = spark.read.parquet(s"$dir/data").count()
+    assert(total == 65, s"batch (60) + streamed (5) rows must all be visible, got $total")
+    // probes see the streamed rows: all five planted neighbors surface
+    val got = graft.ops.Similarity.ivfIndexTopK(spark, dir, "vec_id", "embedding",
+        query.toArray, k = 5, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == (1L to 5L).toSet,
+      s"streamed near-identical neighbors must dominate top-5, got $got")
+  }
+
   test("capture stream reads files dropped into a directory") {
     val dir = tmpDir("graft_capture_")
     val schema = org.apache.spark.sql.types.StructType(Seq(
