@@ -64,6 +64,10 @@ object GraftSqlFunctions {
       arity("graft_winnow", args, 3)
       WinnowFingerprints(args(0),
         intLit("graft_winnow", args, 1), intLit("graft_winnow", args, 2))
+    },
+    "graft_token_stats" -> { args =>
+      arity("graft_token_stats", args, 1)
+      TokenStats(args(0))
     })
 
   /** Idempotent per-session registration (temp functions live in the

@@ -517,6 +517,78 @@ object WinnowFingerprints {
   }
 }
 
+/** Token shape statistics — (mean_word_len, digit_frac, top_token_share)
+  * — in ONE pass over the space-split tokens.
+  *
+  * The composable form (graft.ops.TextAnalysis.qualitySignals round 4 v1)
+  * chained `aggregate` / `filter` / `sort_array` higher-order functions:
+  * every one of them is interpreter-only in Spark, so the projection
+  * stage fell out of whole-stage codegen AND materialized the token
+  * array three times. This expression tokenizes once, keeps a per-row
+  * count map for the top-token share (O(n) per row), and code-generates
+  * like any other unary expression. `length` semantics match Spark's
+  * `length()` (Unicode code points).
+  */
+case class TokenStats(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("mean_word_len", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("digit_frac", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_token_share", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_token_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = org.apache.spark.sql.graft.TokenStats.compute($in);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
+object TokenStats {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Shared by interpreted eval and codegen. */
+  def compute(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = input.toString.split(" ", -1)
+    val n = toks.length
+    val counts = new java.util.HashMap[String, Int](n * 2)
+    var lenSum = 0L
+    var digits = 0
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val w = toks(i)
+      lenSum += w.codePointCount(0, w.length)
+      if (w.nonEmpty) {
+        var j = 0
+        var allDigit = true
+        while (allDigit && j < w.length) {
+          if (w.charAt(j) < '0' || w.charAt(j) > '9') allDigit = false
+          j += 1
+        }
+        if (allDigit) digits += 1
+      }
+      val c = counts.merge(w, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    val d = n.toDouble
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lenSum / d, digits / d, top / d))
+  }
+}
+
 object VectorBridge {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -537,4 +609,7 @@ object VectorBridge {
 
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ExpressionUtils.column(NearestCentroid(ExpressionUtils.expression(vec), centroids))
+
+  def tokenStats(text: Column): Column =
+    ExpressionUtils.column(TokenStats(ExpressionUtils.expression(text)))
 }

@@ -40,6 +40,12 @@ object VectorFunctions {
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     org.apache.spark.sql.graft.VectorBridge.nearestCentroid(vec, centroids)
 
+  /** Token shape statistics struct (mean_word_len, digit_frac,
+    * top_token_share) in one pass — backs qualitySignals (q46).
+    */
+  def tokenStats(text: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.tokenStats(text)
+
   /** Element-wise mean of array<double> vectors — the typed-Aggregator
     * UDAF (SURVEY §2.7). Map-side partial aggregation into a dim-width
     * buffer: per-group centroids without exploding n×dim rows.

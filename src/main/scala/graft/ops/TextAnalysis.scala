@@ -152,31 +152,19 @@ object TextAnalysis {
   /** Repetition/shape quality signals (the Gopher-rule family): mean word
     * length, fraction of purely-numeric tokens, and the highest single-
     * token share of the document (boilerplate/spam repeats one token).
-    * Pure projections over the tokenized-once array — row-local, never a
-    * corpus shuffle. Top-token share is sort + one run-length fold:
-    * O(n log n) per row, where the distinct×filter formulation is
-    * O(distinct × n) — quadratic on the long high-diversity documents a
-    * real corpus is full of.
+    * One `TokenStats` expression per row — a single token pass inside
+    * whole-stage codegen. (The HOF composition this replaced —
+    * aggregate/filter/sort_array chains — is interpreter-only in Spark
+    * AND materialized the token array three times; round-4 v1's
+    * sort+run-length fold was O(n log n) per row, this is O(n).)
     */
   def qualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col("_t")
-    val n = size(t).cast("double")
-    val meanLen = aggregate(t, lit(0L), (acc, w) => acc + length(w), _.cast("double") / n)
-    val digitFrac = size(filter(t, w => w.rlike("^[0-9]+$"))).cast("double") / n
-    val topShare = aggregate(
-      sort_array(t),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, w) => {
-        val run = when(w === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
-        struct(w.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best")).cast("double") / n
+    val s = graft.functions.VectorFunctions.tokenStats(col(textCol))
     df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("_t"))
+      .select(col(idCol).as("doc_id"), s.as("_s"))
       .select(col("doc_id"),
-        round(meanLen, 4).as("mean_word_len"),
-        round(digitFrac, 4).as("digit_frac"),
-        round(topShare, 4).as("top_token_share"))
+        round(col("_s.mean_word_len"), 4).as("mean_word_len"),
+        round(col("_s.digit_frac"), 4).as("digit_frac"),
+        round(col("_s.top_token_share"), 4).as("top_token_share"))
   }
 }

@@ -129,6 +129,7 @@ class ExpressionPropertySpec extends SparkSpec {
         VectorFunctions.winnow(col("text"), 4, 8).as("win"),
         VectorFunctions.lshBucket(col("v"), 8, 4, 0).as("bk"),
         VectorFunctions.nearestCentroid(col("v"), Array.fill(3)(vec())).as("cell"),
+        VectorFunctions.tokenStats(col("text")).as("ts"),
         VectorFunctions.dot(col("v"), col("v")).as("d"))
     df.collect() // force execution so the plan is final
     val planStr = df.queryExecution.executedPlan.toString

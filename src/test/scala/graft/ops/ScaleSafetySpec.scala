@@ -161,8 +161,8 @@ class ScaleSafetySpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!p46.contains("Aggregate") && !p46.contains("Join"),
       s"q46 must be projection-only:\n$p46")
-    assert("split\\(".r.findAllIn(p46).length == 1,
-      s"q46 must tokenize exactly once:\n$p46")
+    assert("graft_token_stats".r.findAllIn(p46).length == 1 && !p46.contains("split("),
+      s"q46 must be one TokenStats pass, no split() array materialization:\n$p46")
   }
 
   test("IVF top-k: probes the right cells and recovers planted neighbors") {
