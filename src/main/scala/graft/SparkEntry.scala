@@ -180,6 +180,10 @@ object SparkEntry {
     "q29_dedup_simhash" -> simhashSql,
     "q30_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q31_neardup_embedding" -> neardupLshSql,
+    // deterministic approximations hash-check like exact queries: the
+    // md5-derived planes / seed centroids are mirrored literally
+    "q32_ann_lsh" -> annLshSql,
+    "q39_ann_ivf" -> annIvfSql,
     "q33_langid" ->
       s"""WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
          |sc AS (SELECT doc_id,
@@ -252,6 +256,69 @@ object SparkEntry {
         |  FROM e)
         |SELECT user_id, sess, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sval
         |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin)
+
+  /** DuckDB cosine with the exact operation order every Spark-side op
+    * uses (sequential-fold dot, sqrt-product denominator) — bit-identical
+    * doubles across engines, proven by q25/q31's hash matches.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_dot_product($a, $b)
+       | / (SQRT(list_dot_product($a, $a)) * SQRT(list_dot_product($b, $b))))""".stripMargin
+
+  /** q32 oracle: the LSH ANN path mirrored exactly — same md5-derived
+    * plane literals (band 0, 6 bits), the query's bucket plus its 6
+    * hamming-1 probes, exact cosine rank within the probed slice. The
+    * approximation is DETERMINISTIC, so it hash-checks like any exact
+    * query (was rows-only through round 3).
+    */
+  private def annLshSql: String = {
+    import org.apache.spark.sql.graft.RandomHyperplanes
+    val dim = 64; val nBits = 6
+    val bitExprs = (0 until nBits).map { p =>
+      val plane = (0 until dim).map(j => RandomHyperplanes.component(p, j))
+      s"(CASE WHEN list_dot_product(v, [${plane.mkString(",")}]) >= 0 THEN '1' ELSE '0' END)"
+    }
+    // single-line arms: an embedded line starting with '||' would be
+    // mangled by the outer stripMargin ('|' is the margin marker)
+    val flips = (1 to nBits).map { i =>
+      val pre = if (i == 1) "''" else s"SUBSTRING(bk, 1, ${i - 1})"
+      val post = if (i == nBits) "''" else s"SUBSTRING(bk, ${i + 1}, ${nBits - i})"
+      s"SELECT $pre || (CASE WHEN SUBSTRING(bk, $i, 1) = '1' THEN '0' ELSE '1' END) || $post AS pb, qv FROM qb"
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bitExprs.mkString(" || ")} AS bk FROM e),
+       |qb AS (SELECT bk, v AS qv FROM b WHERE vec_id = 0),
+       |probes AS (SELECT bk AS pb, qv FROM qb
+       |  UNION ALL ${flips.mkString("\n  UNION ALL ")}),
+       |ranked AS (SELECT b.vec_id, ROUND(${cosSql("b.v", "p.qv")}, 6) AS cos_sim
+       |           FROM b JOIN probes p ON b.bk = p.pb
+       |           ORDER BY cos_sim DESC, b.vec_id LIMIT 10)
+       |SELECT vec_id, cos_sim FROM ranked ORDER BY vec_id""".stripMargin
+  }
+
+  /** q39 oracle: the IVF path mirrored exactly — seed centroids are the
+    * md5-ordered 16-row sample, cell assignment is argmax cosine (ties to
+    * the lowest cell), the query probes its 3 nearest cells, exact cosine
+    * rank within them. Deterministic → hash-checkable (was rows-only).
+    */
+  private def annIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
+       |         FROM seeds),
+       |asgn AS (SELECT e.vec_id, e.v, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
+       |         FROM e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, v, cell FROM asgn WHERE rn = 1),
+       |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+       |probes AS (SELECT c.cell FROM cent c, qv
+       |           ORDER BY ${cosSql("c.cv", "qv.q")} DESC, c.cell LIMIT 3),
+       |ranked AS (SELECT cells.vec_id, ROUND(${cosSql("cells.v", "qv.q")}, 6) AS cos_sim
+       |           FROM cells, qv WHERE cells.cell IN (SELECT cell FROM probes)
+       |           ORDER BY cos_sim DESC, cells.vec_id LIMIT 10)
+       |SELECT vec_id, cos_sim FROM ranked ORDER BY vec_id""".stripMargin
 
   /** q31 oracle: banded random-hyperplane LSH (8 bands × 4 sign bits over
     * md5-derived plane constants — the exact values
