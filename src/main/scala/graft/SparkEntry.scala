@@ -421,17 +421,26 @@ object SparkEntry {
        |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
-  /** q43 oracle: the simhash fingerprint (q29's construction, sans
-    * n_dupes) plus the distinct-3-shingle count per doc — twins of the
-    * two graft_* functions the SQL-surface query calls.
+  /** Shared 16-bit simhash SQL fragments (per-bit majority-vote sums and
+    * the fingerprint concat) — ONE construction for the q29 and q43
+    * oracles, so the two can never drift apart.
     */
-  private def sqlSurfaceSql: String = {
+  private def simhashFragments: (String, String) = {
     val hexHigh = "('8','9','a','b','c','d','e','f')"
     val bitSums = (0 until 16).map(i =>
       s"SUM(CASE WHEN SUBSTRING(h, ${i + 1}, 1) IN $hexHigh THEN 1 ELSE 0 END) AS b$i")
       .mkString(",\n  ")
     val fp = (0 until 16).map(i =>
       s"(CASE WHEN b$i * 2 > n THEN '1' ELSE '0' END)").mkString(" || ")
+    (bitSums, fp)
+  }
+
+  /** q43 oracle: the simhash fingerprint (q29's construction, sans
+    * n_dupes) plus the distinct-3-shingle count per doc — twins of the
+    * two graft_* functions the SQL-surface query calls.
+    */
+  private def sqlSurfaceSql: String = {
+    val (bitSums, fp) = simhashFragments
     s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
        |tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM d),
        |h AS (SELECT doc_id, MD5(w) AS h FROM tok),
@@ -517,12 +526,7 @@ object SparkEntry {
 
   /** q29 oracle: 16-bit simhash, majority vote per bit over token md5s. */
   private def simhashSql: String = {
-    val hexHigh = "('8','9','a','b','c','d','e','f')"
-    val bitSums = (0 until 16).map(i =>
-      s"SUM(CASE WHEN SUBSTRING(h, ${i + 1}, 1) IN $hexHigh THEN 1 ELSE 0 END) AS b$i")
-      .mkString(",\n  ")
-    val fp = (0 until 16).map(i =>
-      s"(CASE WHEN b$i * 2 > n THEN '1' ELSE '0' END)").mkString(" || ")
+    val (bitSums, fp) = simhashFragments
     s"""WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
        |h AS (SELECT doc_id, MD5(w) AS h FROM tok),
        |agg AS (SELECT doc_id, COUNT(*) AS n,

@@ -253,7 +253,8 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     var iter = 0
-    var converged = edges.isEmpty
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     while (!converged && iter < maxIter) {
       // large-star over the symmetric adjacency
       val adj = edges.select(col("u").as("a"), col("v").as("b"))
@@ -275,9 +276,12 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       // fixpoint test: same orientation + distinct on both sides, so
-      // equality ⇔ one-way difference empty and counts equal
-      converged =
-        ss.count() == edges.count() && ss.except(edges).isEmpty
+      // equality ⇔ one-way difference empty and counts equal (the
+      // previous round's count is reused — two actions per round, not
+      // three)
+      val ssCount = ss.count()
+      converged = ssCount == edgeCount && ss.except(edges).isEmpty
+      edgeCount = ssCount
       edges = ss
       iter += 1
     }

@@ -88,12 +88,18 @@ object Multimodal {
       .newInstance().asInstanceOf[MediaDecoder]
 
   /** Bytes-in, metadata-out: real ImageIO decode for recognised image
-    * payloads, then the injected decoder (if any), then the stub.
+    * payloads, then the injected decoder (if any), then the stub. A
+    * throwing plugin decoder (corrupt payload behind recognised magic
+    * bytes — the same failure class the ImageIO path guards) falls
+    * through instead of failing the job.
     */
   def decodeMeta(payload: Array[Byte],
                  custom: Option[MediaDecoder] = None): (Long, Long, String) =
     ImageDecoder.decode(payload)
-      .orElse(custom.flatMap(_.decode(payload)))
+      .orElse(custom.flatMap { d =>
+        try d.decode(payload)
+        catch { case scala.util.control.NonFatal(_) => None }
+      })
       .getOrElse(StubDecoder.decode(payload))
 
   /** Attach a binary payload column (here: utf-8 bytes of a text column —

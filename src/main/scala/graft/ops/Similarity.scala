@@ -143,6 +143,8 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, nCells: Int = 16, nProbe: Int = 3,
               scale: Int = 6): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val e = emb.select(col(idCol), asDouble(col(vecCol)).as("_v"))
     // ONE bounded driver job for both setup fetches (nCells seed rows +
     // the query vector, tagged and unioned) instead of two
@@ -150,22 +152,27 @@ object Similarity {
       .select(col(idCol).as("_id"), col("_v"), md5(col(idCol).cast("string")).as("_h"))
       .orderBy(col("_h"), col("_id"))
       .limit(nCells)
-      .select(lit(0).as("_t"), col("_h"), col("_v"))
+      .select(lit(0).as("_t"), col("_h"), col("_id").cast("string").as("_id"), col("_v"))
     val qrow = e.filter(col(idCol) === queryId)
-      .select(lit(1).as("_t"), lit("").as("_h"), col("_v"))
+      .select(lit(1).as("_t"), lit("").as("_h"), lit("").as("_id"), col("_v"))
     val setup = seeded.unionAll(qrow).collect()
     val centroids: Array[Array[Double]] = setup.filter(_.getInt(0) == 0)
-      .sortBy(_.getString(1)) // restore md5 sample order (union keeps no order)
-      .map(_.getSeq[Double](2).toArray)
+      // restore the sample's (md5, id) order — union keeps no order, and
+      // the id tie-break must match the orderBy above (and the oracle)
+      .sortBy(r => (r.getString(1), r.getString(2)))
+      .map(_.getSeq[Double](3).toArray)
     val qv: Array[Double] = setup.find(_.getInt(0) == 1)
-      .map(_.getSeq[Double](2).toArray)
+      .map(_.getSeq[Double](3).toArray)
       .getOrElse(throw new NoSuchElementException(s"query id $queryId not in corpus"))
     val cellOf = graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids)
     val probes = nearestCells(centroids, qv, nProbe)
-    val q = e.filter(col(idCol) === queryId).select(col("_v").as("_qv"))
+    // 1-row broadcast built from the ALREADY-COLLECTED vector — the
+    // filter-the-corpus form would re-scan everything at execution time
+    // just to re-fetch one row the driver holds
+    val q = Seq(Tuple1(qv.toSeq)).toDF("_qv")
     e.withColumn("_cell", cellOf)
       .filter(col("_cell").isin(probes.toIndexedSeq: _*))
-      .crossJoin(broadcast(q)) // 1-row broadcast, not dim literals in the plan
+      .crossJoin(broadcast(q))
       .select(col(idCol),
         round(cosine(col("_v"), col("_qv")), scale).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
@@ -207,7 +214,11 @@ object Similarity {
   def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
                     nCells: Int = 16, kmeansIters: Int = 0): Unit = {
     val spark = emb.sparkSession
-    val e = emb.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    // null/empty vectors carry no geometry: they cannot seed, refine or
+    // be assigned a cell (a null assignment would NPE the refinement's
+    // cell lookup and an all-empty cell would zero a centroid)
+    val clean = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    val e = clean.select(col(idCol), asDouble(col(vecCol)).as("_v"))
     var centroids: Array[Array[Double]] = e
       .select(col(idCol).as("_id"), col("_v"), md5(col(idCol).cast("string")).as("_h"))
       .orderBy(col("_h"), col("_id"))
@@ -221,7 +232,10 @@ object Similarity {
         .agg(graft.functions.VectorFunctions.vectorMean(col("_v")).as("mv"))
         .collect() // bounded: nCells rows
       val next = centroids.map(_.clone())
-      means.foreach(r => next(r.getInt(0)) = r.getSeq[Double](1).toArray)
+      means.foreach { r =>
+        val mv = r.getSeq[Double](1)
+        if (mv.nonEmpty) next(r.getInt(0)) = mv.toArray // empty mean: keep the seed
+      }
       centroids = next
       iter += 1
     }
@@ -229,7 +243,7 @@ object Similarity {
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    emb.withColumn("cell",
+    clean.withColumn("cell",
         graft.functions.VectorFunctions.nearestCentroid(asDouble(col(vecCol)), centroids))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
   }

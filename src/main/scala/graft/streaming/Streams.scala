@@ -182,14 +182,20 @@ object Streams {
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * arbitrary-state tool for session semantics the declarative
     * `session_window` cannot express (per-session running aggregates,
-    * custom close rules). Per key: batch events are sorted and folded
-    * into the held session; an event-time gap > `gapMinutes` closes the
-    * current session and emits it; the open session survives in the
-    * state store with an event-time TIMEOUT at lastTs + gap, so it is
-    * emitted — and its state evicted — when the watermark passes the
-    * gap with no further events. State per key is O(1) (one running
-    * session), and eviction is watermark-driven: the properties that
-    * keep the state store bounded on an unbounded firehose.
+    * custom close rules). Per key and micro-batch: events are sorted and
+    * folded with interval-merge gap logic; the session held in state is
+    * treated as a time INTERVAL, so late-but-within-watermark events
+    * that precede it chain among themselves and merge into it only when
+    * within the gap — a late event gap-separated before the held
+    * session becomes its own session rather than corrupting the held
+    * one's start. The open session survives with an event-time TIMEOUT
+    * at lastTs + gap and is emitted (state evicted) when the watermark
+    * passes it quiet. State per key is O(1); eviction is
+    * watermark-driven — the properties that keep the state store bounded
+    * on an unbounded firehose. (Matches batch sessionization whenever
+    * each session's events arrive within the watermark; history already
+    * emitted is never reopened, the inherent streaming/batch divergence
+    * any append-mode sessionizer has.)
     */
   def sessionizeWithState(spark: org.apache.spark.sql.SparkSession,
                           events: DataFrame, gapMinutes: Int = 30,
@@ -219,19 +225,43 @@ object Streams {
           } else {
             val evs = it.toIndexedSeq.sortBy(_._2.getTime)
             var closed = List.empty[SessState]
-            var cur = state.getOption.orNull
+            def ivlMerge(a: SessState, b: SessState) = SessState(
+              math.min(a.start, b.start), math.max(a.lastTs, b.lastTs),
+              a.n + b.n, a.sval + b.sval)
+            // the held session is an interval possibly LATER than some of
+            // this batch's (late) events: fold events in time order and
+            // splice the held interval in when its neighborhood is reached
+            var future = state.getOption.orNull
+            var cur: SessState = null
+            def spliceFuture(): Unit = if (future != null) {
+              cur =
+                if (cur == null) future
+                else if (future.start - cur.lastTs <= gapMs) ivlMerge(cur, future)
+                else { closed ::= cur; future }
+              future = null
+            }
             evs.foreach { case (_, t, v) =>
               val ms = t.getTime
+              if (future != null && ms >= future.start - gapMs) spliceFuture()
               if (cur == null) cur = SessState(ms, ms, 1, v)
               else if (ms - cur.lastTs > gapMs) {
                 closed ::= cur
                 cur = SessState(ms, ms, 1, v)
               } else
-                cur = SessState(cur.start, math.max(cur.lastTs, ms),
-                  cur.n + 1, cur.sval + v)
+                cur = ivlMerge(cur, SessState(ms, ms, 1, v))
             }
-            state.update(cur)
-            state.setTimeoutTimestamp(cur.lastTs + gapMs)
+            spliceFuture()
+            // a fully-late session may already be beyond the watermark's
+            // reach: setTimeoutTimestamp at/below the watermark is
+            // illegal, and the session can never grow — emit it now
+            val wm = state.getCurrentWatermarkMs()
+            if (cur.lastTs + gapMs <= wm) {
+              closed ::= cur
+              state.remove()
+            } else {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.lastTs + gapMs)
+            }
             closed.reverse.iterator.map(out)
           }
       }

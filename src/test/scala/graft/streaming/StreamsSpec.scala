@@ -205,6 +205,58 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization: late gap-separated events do not corrupt the held session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val out = Streams.sessionizeWithState(spark,
+      mem.toDF().toDF("user_id", "ts", "value"), gapMinutes = 30, watermark = "3 hours")
+    val q = out.writeStream.format("memory").queryName("state_sess_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: the held session starts at 12:00
+      mem.addData((1L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event at 10:00 — 120 min before the held start,
+      // far beyond the 30-min gap. It must become its own session, and
+      // the held session's start must stay 12:00. A second late event at
+      // 10:10 chains with the first (late events chain among themselves).
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 2.0),
+        (1L, ts("2024-01-01 10:10:00"), 4.0))
+      q.processAllAvailable()
+      // advance the watermark (3h behind) far enough to flush everything
+      mem.addData((2L, ts("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-02 00:00:01"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("state_sess_late")
+        .as[(Long, Timestamp, Long, Double)].collect().filter(_._1 == 1L).toSet
+      assert(rows == Set(
+        (1L, ts("2024-01-01 10:00:00"), 2L, 6.0),
+        (1L, ts("2024-01-01 12:00:00"), 1L, 1.0)),
+        s"late chain is its own session, held session uncorrupted; got $rows")
+      // a late event WITHIN the gap of the held session must merge into it
+      val mem2 = MemoryStream[(Long, Timestamp, Double)]
+      val out2 = Streams.sessionizeWithState(spark,
+        mem2.toDF().toDF("user_id", "ts", "value"), gapMinutes = 30, watermark = "3 hours")
+      val q2 = out2.writeStream.format("memory").queryName("state_sess_late2")
+        .outputMode("append").start()
+      try {
+        mem2.addData((1L, ts("2024-01-01 12:00:00"), 1.0))
+        q2.processAllAvailable()
+        mem2.addData((1L, ts("2024-01-01 11:45:00"), 2.0)) // within 30-min gap
+        q2.processAllAvailable()
+        mem2.addData((2L, ts("2024-01-02 00:00:00"), 0.0))
+        q2.processAllAvailable()
+        mem2.addData((2L, ts("2024-01-02 00:00:01"), 0.0))
+        q2.processAllAvailable()
+        val rows2 = spark.table("state_sess_late2")
+          .as[(Long, Timestamp, Long, Double)].collect().filter(_._1 == 1L).toSet
+        assert(rows2 == Set((1L, ts("2024-01-01 11:45:00"), 2L, 3.0)),
+          s"in-gap late event merges and extends the start backward; got $rows2")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("streaming LSH index sink: bucket-partitioned appends, probed by lshIndexTopK") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(7)
