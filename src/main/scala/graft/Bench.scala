@@ -49,19 +49,26 @@ object Bench {
       (name, median, samples)
     }
     def fmt(d: Double): String = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    // stdout line stays SHORT (3-decimal medians, no samples): the driver
+    // scrapes a bounded tail of the sbt log, and rounds 1-4 all recorded
+    // "parsed": null because the full samples JSON outgrew that window and
+    // was truncated mid-line
+    def fmt3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = timings.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val qs3 = timings.map { case (k, v, _) => "\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
     val ss = timings.map { case (k, _, s) => "\"" + k + "\":" + s.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = timings.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"runs":$runs,"sf":"$sfDir"}"""
-    println(json)
-    // stdout through sbt gets an [info] prefix that log-scraping parsers
-    // trip over — the file is the machine-readable artifact of record
+    // full JSON (with per-sample arrays) is the file artifact of record
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    println(
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,6 +38,19 @@ object GraftSqlFunctions {
       throw new IllegalArgumentException(
         s"$fn expects ${expected.mkString(" or ")} arguments, got ${args.length}")
 
+  /** Shape arguments parameterize the expression object (digest nibble
+    * counts, plane matrices, deque sizes); an out-of-range value would
+    * otherwise surface as an ArrayIndexOutOfBounds per row inside the
+    * executor loop, or silently return empty results. Fail at
+    * registration/analysis time like the arity/literal checks do.
+    */
+  private def inRange(fn: String, name: String, v: Int, lo: Int, hi: Int = Int.MaxValue): Int = {
+    if (v < lo || v > hi)
+      throw new IllegalArgumentException(
+        s"$fn: $name must be in [$lo, ${if (hi == Int.MaxValue) "∞" else hi}], got $v")
+    v
+  }
+
   /** name → builder for every SQL-exposed extension function. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> { args =>
@@ -46,24 +59,31 @@ object GraftSqlFunctions {
     },
     "graft_word_shingles" -> { args =>
       arity("graft_word_shingles", args, 2)
-      WordShingles(args(0), intLit("graft_word_shingles", args, 1))
+      WordShingles(args(0),
+        inRange("graft_word_shingles", "w", intLit("graft_word_shingles", args, 1), 1))
     },
     "graft_simhash" -> { args =>
       arity("graft_simhash", args, 2)
-      SimHashBits(args(0), intLit("graft_simhash", args, 1))
+      // 32 md5 nibbles back the bit vector
+      SimHashBits(args(0),
+        inRange("graft_simhash", "bits", intLit("graft_simhash", args, 1), 1, 32))
     },
     // graft_lsh_bucket(vec, dim, nBits[, band])
     "graft_lsh_bucket" -> { args =>
       arity("graft_lsh_bucket", args, 3, 4)
-      val band = if (args.length == 4) intLit("graft_lsh_bucket", args, 3) else 0
+      val band = if (args.length == 4)
+        inRange("graft_lsh_bucket", "band", intLit("graft_lsh_bucket", args, 3), 0) else 0
       RandomHyperplanes(args(0),
-        intLit("graft_lsh_bucket", args, 1), intLit("graft_lsh_bucket", args, 2), band)
+        inRange("graft_lsh_bucket", "dim", intLit("graft_lsh_bucket", args, 1), 1),
+        inRange("graft_lsh_bucket", "nBits", intLit("graft_lsh_bucket", args, 2), 1, 30),
+        band)
     },
     // graft_winnow(text, k, t)
     "graft_winnow" -> { args =>
       arity("graft_winnow", args, 3)
-      WinnowFingerprints(args(0),
-        intLit("graft_winnow", args, 1), intLit("graft_winnow", args, 2))
+      val k = inRange("graft_winnow", "k", intLit("graft_winnow", args, 1), 1)
+      WinnowFingerprints(args(0), k,
+        inRange("graft_winnow", "t", intLit("graft_winnow", args, 2), k))
     },
     "graft_token_stats" -> { args =>
       arity("graft_token_stats", args, 1)

@@ -21,7 +21,13 @@ object Sampling {
   def hexThreshold(frac: Double): String = {
     require(frac >= 0 && frac <= 1, s"fraction out of range: $frac")
     if (frac >= 1) "g" // compares above any hex digit
-    else f"${(frac * 4294967296L).toLong}%08x" + "0" * 24
+    else {
+      // frac within ~2^-33 of 1 rounds up to exactly 2^32 in double
+      // arithmetic, which would format as 9 nibbles and lexicographically
+      // keep only ~1/16 of rows — clamp to the largest 8-nibble value
+      val t = math.min((frac * 4294967296L).toLong, 0xffffffffL)
+      f"$t%08x" + "0" * 24
+    }
   }
 
   private def key(idCol: Column): Column = md5(idCol.cast("string"))

@@ -280,7 +280,8 @@ object Similarity {
     */
   def buildLshIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
                     dim: Int, nBits: Int = 8): Unit =
-    emb.withColumn("bucket",
+    emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .withColumn("bucket",
         concat(lit("b"), lshBucket(asDouble(col(vecCol)), dim, nBits)))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
 

@@ -126,6 +126,9 @@ object Streams {
                    checkpoint: String, dim: Int,
                    nBits: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     stream
+      // same admission rule as the batch builders: a null/empty vector
+      // would land in __HIVE_DEFAULT_PARTITION__, invisible to every probe
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .withColumn("bucket", concat(lit("b"),
         graft.functions.VectorFunctions.lshBucket(
           transform(col(vecCol), _.cast("double")), dim, nBits)))
@@ -161,6 +164,7 @@ object Streams {
       .sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
     stream
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .withColumn("cell", graft.functions.VectorFunctions.nearestCentroid(
         transform(col(vecCol), _.cast("double")), centroids))
       .writeStream
@@ -172,30 +176,35 @@ object Streams {
       .start()
   }
 
-  /** Running session accumulator carried in the state store, keyed by
-    * user: [start, lastTs] in epoch millis plus the running aggregates.
+  /** One session interval carried in the state store: [start, lastTs] in
+    * epoch millis plus the running aggregates.
     */
   case class SessState(start: Long, lastTs: Long, n: Long, sval: Double)
+  /** Per-key state: EVERY session not yet past the watermark, in start
+    * order. Bounded: a key holds at most the sessions inside the
+    * watermark horizon (horizon/gap of them in the worst case).
+    */
+  case class SessBag(sessions: Seq[SessState])
   case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
                         n_events: Long, sval: Double)
 
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * arbitrary-state tool for session semantics the declarative
     * `session_window` cannot express (per-session running aggregates,
-    * custom close rules). Per key and micro-batch: events are sorted and
-    * folded with interval-merge gap logic; the session held in state is
-    * treated as a time INTERVAL, so late-but-within-watermark events
-    * that precede it chain among themselves and merge into it only when
-    * within the gap — a late event gap-separated before the held
-    * session becomes its own session rather than corrupting the held
-    * one's start. The open session survives with an event-time TIMEOUT
-    * at lastTs + gap and is emitted (state evicted) when the watermark
-    * passes it quiet. State per key is O(1); eviction is
+    * custom close rules). The state holds ALL of a key's sessions still
+    * inside the watermark horizon as time intervals; each micro-batch
+    * merge-folds the held intervals with the batch's events in start
+    * order (gap-joined intervals coalesce), and a session is emitted
+    * ONLY once the watermark passes `lastTs + gap` — via event-time
+    * timeout or the next batch, whichever comes first. Until then any
+    * in-watermark late event can still merge into it, so cross-batch
+    * late arrivals extend or bridge held sessions instead of splitting
+    * them. State per key is O(horizon/gap) intervals and eviction is
     * watermark-driven — the properties that keep the state store bounded
-    * on an unbounded firehose. (Matches batch sessionization whenever
-    * each session's events arrive within the watermark; history already
-    * emitted is never reopened, the inherent streaming/batch divergence
-    * any append-mode sessionizer has.)
+    * on an unbounded firehose. Output matches batch sessionization
+    * exactly whenever each session's events arrive within the watermark
+    * (beyond-watermark events are dropped by the stream's late-data
+    * filter — the inherent divergence any watermarked sessionizer has).
     */
   def sessionizeWithState(spark: org.apache.spark.sql.SparkSession,
                           events: DataFrame, gapMinutes: Int = 30,
@@ -210,60 +219,42 @@ object Streams {
       .withWatermark("ts", watermark)
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessState, SessionOut](
+      .flatMapGroupsWithState[SessBag, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid, it, state) =>
           def out(s: SessState) =
             SessionOut(uid, new java.sql.Timestamp(s.start), s.n,
               math.round(s.sval * 100.0) / 100.0)
-          if (state.hasTimedOut) {
-            // watermark passed lastTs + gap with no new events: the held
-            // session is final
-            val s = state.get
-            state.remove()
-            Iterator.single(out(s))
-          } else {
-            val evs = it.toIndexedSeq.sortBy(_._2.getTime)
-            var closed = List.empty[SessState]
-            def ivlMerge(a: SessState, b: SessState) = SessState(
-              math.min(a.start, b.start), math.max(a.lastTs, b.lastTs),
-              a.n + b.n, a.sval + b.sval)
-            // the held session is an interval possibly LATER than some of
-            // this batch's (late) events: fold events in time order and
-            // splice the held interval in when its neighborhood is reached
-            var future = state.getOption.orNull
-            var cur: SessState = null
-            def spliceFuture(): Unit = if (future != null) {
-              cur =
-                if (cur == null) future
-                else if (future.start - cur.lastTs <= gapMs) ivlMerge(cur, future)
-                else { closed ::= cur; future }
-              future = null
+          // one code path serves both the event and the timeout call: fold
+          // held intervals + new singleton intervals in start order,
+          // coalescing any pair within the gap (an event inside or
+          // adjacent to a held interval merges; gap-separated late events
+          // chain among themselves into their own sessions)
+          val held = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val incoming = it.map { case (_, t, v) =>
+            SessState(t.getTime, t.getTime, 1, v)
+          }.toSeq
+          var merged = List.empty[SessState]
+          (held ++ incoming).sortBy(s => (s.start, s.lastTs)).foreach { s =>
+            merged match {
+              case h :: rest if s.start - h.lastTs <= gapMs =>
+                merged = SessState(h.start, math.max(h.lastTs, s.lastTs),
+                  h.n + s.n, h.sval + s.sval) :: rest
+              case _ => merged = s :: merged
             }
-            evs.foreach { case (_, t, v) =>
-              val ms = t.getTime
-              if (future != null && ms >= future.start - gapMs) spliceFuture()
-              if (cur == null) cur = SessState(ms, ms, 1, v)
-              else if (ms - cur.lastTs > gapMs) {
-                closed ::= cur
-                cur = SessState(ms, ms, 1, v)
-              } else
-                cur = ivlMerge(cur, SessState(ms, ms, 1, v))
-            }
-            spliceFuture()
-            // a fully-late session may already be beyond the watermark's
-            // reach: setTimeoutTimestamp at/below the watermark is
-            // illegal, and the session can never grow — emit it now
-            val wm = state.getCurrentWatermarkMs()
-            if (cur.lastTs + gapMs <= wm) {
-              closed ::= cur
-              state.remove()
-            } else {
-              state.update(cur)
-              state.setTimeoutTimestamp(cur.lastTs + gapMs)
-            }
-            closed.reverse.iterator.map(out)
           }
+          // emit only sessions the watermark has passed: any event that
+          // could still merge into them would be below the watermark and
+          // dropped by the late-data filter, so they are final
+          val wm = state.getCurrentWatermarkMs()
+          val (expired, live) = merged.reverse.partition(_.lastTs + gapMs <= wm)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(SessBag(live))
+            // earliest close first; > wm by construction, so legal
+            state.setTimeoutTimestamp(live.map(_.lastTs).min + gapMs)
+          }
+          expired.iterator.map(out)
       }
   }
 }

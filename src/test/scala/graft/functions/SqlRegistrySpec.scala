@@ -61,6 +61,29 @@ class SqlRegistrySpec extends SparkSpec {
     assert(e2.getMessage.contains("2 arguments"), s"unexpected error: ${e2.getMessage}")
   }
 
+  test("shape arguments are range-validated at analysis time, not per-row") {
+    // each of these would otherwise fail (or silently return nothing) deep
+    // inside the executor loop — e.g. simhash bits=200 indexes past the md5
+    // digest per row
+    val bad = Seq(
+      "SELECT graft_simhash('x', 200)",
+      "SELECT graft_simhash('x', 0)",
+      "SELECT graft_word_shingles('a b', 0)",
+      "SELECT graft_lsh_bucket(array(1.0d), 0, 4)",
+      "SELECT graft_lsh_bucket(array(1.0d), 1, 31)",
+      "SELECT graft_lsh_bucket(array(1.0d), 1, 4, -1)",
+      "SELECT graft_winnow('abc', 0, 4)",
+      "SELECT graft_winnow('abc', 5, 4)")
+    bad.foreach { sql =>
+      val e = intercept[Exception] { spark.sql(sql).head() }
+      assert(e.getMessage.contains("must be in ["),
+        s"$sql: expected an analysis-time range error, got ${e.getMessage}")
+    }
+    // boundary values stay legal
+    assert(spark.sql("SELECT graft_simhash('x', 32)").head().getString(0).length == 32)
+    assert(spark.sql("SELECT graft_winnow('abcdef', 4, 4)").head().getSeq[String](0).nonEmpty)
+  }
+
   test("graft_vector_mean UDAF: matches explode-mean, callable from SQL group-by") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -230,6 +230,13 @@ class OpsSpec extends SparkSpec {
     val splits = Sampling.splitLabel(df, "doc_id", trainFrac = 1.0, valFrac = 0.0)
       .groupBy("split").count().as[(String, Long)].collect().toMap
     assert(splits == Map("train" -> 100L))
+    // frac within 2^-33 of 1 rounds to exactly 2^32 in double arithmetic:
+    // unclamped it would format as 9 nibbles ("100000000…") and keep only
+    // hashes starting with '0' (~1/16) — the clamp pins the 8-nibble max
+    val nearOne = math.nextDown(1.0)
+    assert(Sampling.hexThreshold(nearOne) == "ffffffff" + "0" * 24)
+    assert(Sampling.hexThreshold(nearOne).length == 32)
+    assert(Sampling.sample(df, "doc_id", nearOne).count() >= 95)
   }
 
   test("componentsStar: empty and single-pair inputs") {

@@ -257,6 +257,52 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization: in-watermark late events merge into HELD sessions across batches") {
+    // the round-4 advice scenario: a session must not be emitted before the
+    // watermark passes its close, so a cross-batch late event that belongs
+    // to it MERGES instead of spawning a split/duplicate session
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val out = Streams.sessionizeWithState(spark,
+      mem.toDF().toDF("user_id", "ts", "value"), gapMinutes = 30, watermark = "3 hours")
+    val q = out.writeStream.format("memory").queryName("state_sess_merge")
+      .outputMode("append").start()
+    try {
+      // batch 1: two gap-separated sessions — BOTH must be held, not emitted
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 11:30:00"), 3.0))
+      q.processAllAvailable()
+      assert(spark.table("state_sess_merge").count() == 0,
+        "nothing may emit before the watermark passes a session's close")
+      // batch 2: a late event INSIDE the first held session's gap window —
+      // it must merge into [10:00], not become its own session
+      mem.addData((1L, ts("2024-01-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      // advance the watermark past both sessions' closes, then trigger the
+      // timeout
+      mem.addData((2L, ts("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-02 00:00:01"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("state_sess_merge")
+        .as[(Long, Timestamp, Long, Double)].collect().filter(_._1 == 1L).toSet
+      assert(rows == Set(
+        (1L, ts("2024-01-01 10:00:00"), 2L, 3.0),
+        (1L, ts("2024-01-01 11:30:00"), 1L, 3.0)),
+        s"late event merges into the held session; got $rows")
+      // exact agreement with the batch twin over the same events
+      val batch = graft.ops.Sessionize(
+        Seq((1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+            (1L, ts("2024-01-01 11:30:00"), 2L, 3.0),
+            (1L, ts("2024-01-01 10:10:00"), 3L, 2.0))
+          .toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value")
+        .select("n_events", "sval").as[(Long, Double)].collect().toSet
+      assert(rows.map(r => (r._3, r._4)) == batch,
+        "streaming must match batch sessionization when all events are in-watermark")
+    } finally q.stop()
+  }
+
   test("streaming LSH index sink: bucket-partitioned appends, probed by lshIndexTopK") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(7)
@@ -272,12 +318,21 @@ class StreamsSpec extends SparkSpec {
       dir, s"$dir/ckpt", dim = 16, nBits = 4)
     try {
       mem.addData(((0L, query) +: neighbors) ++ noise: _*)
+      // null/empty vectors must be refused at the door, same as the batch
+      // builders — unguarded they'd land in __HIVE_DEFAULT_PARTITION__,
+      // invisible to every probe
+      mem.addData((997L, null.asInstanceOf[Seq[Double]]), (998L, Seq.empty[Double]))
       q.processAllAvailable()
     } finally q.stop()
     // stream-appended rows land in the same 'b'-prefixed partitions the
     // batch builder writes, so the same probe path works unchanged
-    val dirs = new java.io.File(s"$dir/data").list().filter(_.startsWith("bucket=b"))
+    val allDirs = new java.io.File(s"$dir/data").list()
+    val dirs = allDirs.filter(_.startsWith("bucket=b"))
     assert(dirs.nonEmpty, "expected bucket=bXXXX partition dirs")
+    assert(!allDirs.exists(_.contains("HIVE_DEFAULT_PARTITION")),
+      s"null/empty vectors must not create a default partition: ${allDirs.toList}")
+    assert(spark.read.parquet(s"$dir/data").count() == 60,
+      "the null and empty vectors must be dropped")
     val got = graft.ops.Similarity.lshIndexTopK(spark, dir, "vec_id", "embedding",
         query.toArray, dim = 16, k = 6, nBits = 4)
       .select("vec_id").as[Long].collect().toSet - 0L
