@@ -173,7 +173,14 @@ object SparkEntry {
     // oracle, two engine-side algorithms, both hash-checked
     "q42_dedup_clusters_star" -> dedupClustersSql,
     "q43_sql_surface" -> sqlSurfaceSql,
-    "q44_decontaminate" -> decontaminateSql,
+    "q44_decontaminate" -> decontaminateSql(20),
+    // q50 is the Bloom-prefiltered formulation of the SAME overlap (no
+    // false negatives + exact verify ⇒ row-identical): one oracle shape,
+    // two engine-side algorithms, both hash-checked
+    "q50_bloom_decontaminate" -> decontaminateSql(10),
+    "q48_mixture_sample" -> mixtureSampleSql,
+    "q49_dup_span_frac" -> dupSpanFracSql,
+    "q51_repetition_signals" -> repetitionSignalsSql,
     "q45_pii_redact" -> piiRedactSql,
     "q46_quality_signals" -> qualitySignalsSql,
     "q47_train_split" -> trainSplitSql,
@@ -225,20 +232,8 @@ object SparkEntry {
         |       'stub' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q40_winnow" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-        |h AS (SELECT doc_id,
-        |        CASE WHEN LENGTH(text) >= 8
-        |             THEN LIST_TRANSFORM(RANGE(1, LENGTH(text) - 6),
-        |                                 i -> MD5(SUBSTRING(text, i, 8)))
-        |             ELSE [MD5(text)] END AS hs
-        |      FROM d),
-        |m AS (SELECT doc_id,
-        |        CASE WHEN LEN(hs) >= 9
-        |             THEN LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(hs) - 8),
-        |                                               j -> LIST_MIN(hs[j+1:j+9])))
-        |             ELSE [LIST_MIN(hs)] END AS fps
-        |      FROM h)
-        |SELECT doc_id, UNNEST(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin,
+      s"""WITH $winnowCtes
+         |SELECT doc_id, UNNEST(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin,
     "q38_sessionize" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
         |                   value FROM events),
@@ -458,22 +453,102 @@ object SparkEntry {
        |ORDER BY f.doc_id""".stripMargin
   }
 
-  /** q44 oracle: distinct-shingle overlap between the corpus slice and
-    * the benchmark slice, with the corpus-side df cap mirrored via
-    * QUALIFY (same trick as the q30 oracle).
+  /** q44/q50 oracle: distinct-shingle overlap between the corpus slice
+    * (doc_id % mod ≠ 0) and the benchmark slice (doc_id % mod = 0), with
+    * the corpus-side df cap mirrored via QUALIFY (same trick as the q30
+    * oracle). One shape serves both the exact (q44) and Bloom-prefiltered
+    * (q50) engine paths — the Bloom form is row-identical by construction.
     */
-  private def decontaminateSql: String =
-    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-      |       FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)),
-      |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0
-      |         QUALIFY COUNT(*) OVER (PARTITION BY s) <= 1000),
-      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
-      |SELECT c.doc_id, COUNT(*) AS n_hits
-      |FROM corp c JOIN bench b ON b.s = c.s
-      |GROUP BY c.doc_id HAVING COUNT(*) >= 1
-      |ORDER BY c.doc_id""".stripMargin
+  private def decontaminateSql(mod: Int): String =
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |       FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)),
+       |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % $mod <> 0
+       |         QUALIFY COUNT(*) OVER (PARTITION BY s) <= 1000),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $mod = 0)
+       |SELECT c.doc_id, COUNT(*) AS n_hits
+       |FROM corp c JOIN bench b ON b.s = c.s
+       |GROUP BY c.doc_id HAVING COUNT(*) >= 1
+       |ORDER BY c.doc_id""".stripMargin
+
+  /** Shared CTE chain for the q40/q49 oracles: char-8-gram md5s → window
+    * minima (t=16 ⇒ window 9) → per-doc distinct winnowing fingerprints.
+    */
+  private def winnowCtes: String =
+    """d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |h AS (SELECT doc_id,
+      |        CASE WHEN LENGTH(text) >= 8
+      |             THEN LIST_TRANSFORM(RANGE(1, LENGTH(text) - 6),
+      |                                 i -> MD5(SUBSTRING(text, i, 8)))
+      |             ELSE [MD5(text)] END AS hs
+      |      FROM d),
+      |m AS (SELECT doc_id,
+      |        CASE WHEN LEN(hs) >= 9
+      |             THEN LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(hs) - 8),
+      |                                               j -> LIST_MIN(hs[j+1:j+9])))
+      |             ELSE [LIST_MIN(hs)] END AS fps
+      |      FROM h)""".stripMargin
+
+  /** q48 oracle: the same per-source literal hex thresholds
+    * [[graft.queries.Extensions.mixtureWeights]] compiles to — one CASE,
+    * evaluated over the identical md5 predicate.
+    */
+  private def mixtureSampleSql: String = {
+    val arms = graft.queries.Extensions.mixtureWeights.toSeq.sorted.map {
+      case (src, f) => s"WHEN '$src' THEN '${graft.ops.Sampling.hexThreshold(f)}'"
+    }.mkString("\n  ")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE MD5(CAST(doc_id AS VARCHAR)) < CASE source
+       |  $arms
+       |  ELSE '${graft.ops.Sampling.hexThreshold(0.0)}' END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q49 oracle: q40's winnowing fingerprints, cross-doc frequency via a
+    * window, per-doc shared fraction + keep flag (threshold 0.5).
+    */
+  private def dupSpanFracSql: String =
+    s"""WITH $winnowCtes,
+       |fp AS (SELECT doc_id, UNNEST(fps) AS fp FROM m),
+       |wc AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) AS dfc FROM fp),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+       |        SUM(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS n_shared
+       |        FROM wc GROUP BY doc_id)
+       |SELECT doc_id, n_spans,
+       |  ROUND(CAST(n_shared AS DOUBLE) / n_spans, 4) AS dup_span_frac,
+       |  CAST(CASE WHEN CAST(n_shared AS DOUBLE) / n_spans < 0.5
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** q51 oracle: per-doc n-gram multiplicity profile via explode +
+    * group-count — the shuffle twin of the row-local NgramRepetition
+    * expression. Docs with fewer than n tokens have no n-grams ⇒ 0.0.
+    */
+  private def repetitionSignalsSql: String = {
+    def gramCtes(n: Int): String = {
+      val gram = (0 until n).map(j => if (j == 0) "t[i]" else s"t[i+$j]")
+        .mkString(" || ' ' || ")
+      val hi = if (n == 2) "LEN(t)" else s"LEN(t) - ${n - 2}"
+      s"""g$n AS (SELECT doc_id, $gram AS g
+         |        FROM toks, UNNEST(RANGE(1, $hi)) AS u$n(i)),
+         |c$n AS (SELECT doc_id, g, COUNT(*) AS c FROM g$n GROUP BY doc_id, g),
+         |a$n AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist, MAX(c) AS mx
+         |        FROM c$n GROUP BY doc_id)""".stripMargin
+    }
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM d),
+       |${gramCtes(2)},
+       |${gramCtes(3)}
+       |SELECT d.doc_id,
+       |  COALESCE(ROUND(CAST(a2.total - a2.dist AS DOUBLE) / a2.total, 4), 0.0) AS dup_2gram_frac,
+       |  COALESCE(ROUND(CAST(a2.mx AS DOUBLE) / a2.total, 4), 0.0) AS top_2gram_share,
+       |  COALESCE(ROUND(CAST(a3.total - a3.dist AS DOUBLE) / a3.total, 4), 0.0) AS dup_3gram_frac,
+       |  COALESCE(ROUND(CAST(a3.mx AS DOUBLE) / a3.total, 4), 0.0) AS top_3gram_share
+       |FROM d LEFT JOIN a2 ON a2.doc_id = d.doc_id
+       |LEFT JOIN a3 ON a3.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** q45 oracle: same synthetic PII construction, same pattern chain
     * (patterns shared from TextAnalysis.piiPatterns — the common

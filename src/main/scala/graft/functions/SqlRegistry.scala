@@ -88,6 +88,12 @@ object GraftSqlFunctions {
     "graft_token_stats" -> { args =>
       arity("graft_token_stats", args, 1)
       TokenStats(args(0))
+    },
+    // graft_ngram_rep(text, n)
+    "graft_ngram_rep" -> { args =>
+      arity("graft_ngram_rep", args, 2)
+      NgramRepetition(args(0),
+        inRange("graft_ngram_rep", "n", intLit("graft_ngram_rep", args, 1), 1))
     })
 
   /** Idempotent per-session registration (temp functions live in the

@@ -589,6 +589,114 @@ object TokenStats {
   }
 }
 
+/** N-gram repetition statistics — (total, n_distinct, max_count) over the
+  * space-split token stream's n-grams — in ONE pass per row.
+  *
+  * Backs the Gopher-style repetition filters (duplicate-n-gram fraction,
+  * top-n-gram share): the explode-groupBy formulation shuffles every gram
+  * of the corpus twice; this keeps the whole computation row-local inside
+  * whole-stage codegen, the same shape win as [[TokenStats]]. Integer
+  * outputs so the derived fractions round identically in any engine.
+  */
+case class NgramRepetition(child: Expression, n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  require(n >= 1, "n-gram size must be >= 1")
+
+  import org.apache.spark.sql.types.{LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("total", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("max_count", LongType, nullable = false)))
+  override def prettyName: String = "graft_ngram_rep"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramRepetition.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = org.apache.spark.sql.graft.NgramRepetition.compute($in, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NgramRepetition =
+    copy(child = newChild)
+}
+
+object NgramRepetition {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Shared by interpreted eval and codegen. */
+  def compute(input: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = input.toString.split(" ", -1)
+    val m = toks.length - (n - 1)
+    var total = 0L
+    var distinct = 0L
+    var top = 0L
+    if (m > 0) {
+      val counts = new java.util.HashMap[String, Int](m * 2)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+        if (c > top) top = c
+        i += 1
+      }
+      total = m.toLong
+      distinct = counts.size.toLong
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, distinct, top))
+  }
+}
+
+/** Membership probe against a driver-built Bloom filter, shipped once as a
+  * codegen reference object (same pattern as [[NearestCentroid]]'s
+  * centroid matrix) — the broadcast "runtime filter" that lets a 100 TB
+  * scan discard rows BEFORE any shuffle or join. No false negatives, so
+  * an exact verify join over the tiny surviving slice restores exactness.
+  *
+  * Probes with `mightContainBinary` over the UTF8String's bytes —
+  * byte-identical to the `putString` the builder uses (putString hashes
+  * the UTF-8 encoding), with no per-row String allocation.
+  */
+case class BloomMightContain(child: Expression,
+                             bloom: org.apache.spark.util.sketch.BloomFilter)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.{BooleanType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = $ref.mightContainBinary($in.getBytes());"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 object VectorBridge {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -612,4 +720,12 @@ object VectorBridge {
 
   def tokenStats(text: Column): Column =
     ExpressionUtils.column(TokenStats(ExpressionUtils.expression(text)))
+
+  def ngramRep(text: Column, n: Int): Column =
+    ExpressionUtils.column(NgramRepetition(ExpressionUtils.expression(text), n))
+
+  def bloomMightContain(text: Column,
+                        bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    ExpressionUtils.column(
+      BloomMightContain(ExpressionUtils.expression(text), bloom))
 }

@@ -46,6 +46,20 @@ object VectorFunctions {
   def tokenStats(text: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.tokenStats(text)
 
+  /** N-gram repetition statistics struct (total, n_distinct, max_count)
+    * over the token stream's n-grams in one pass — backs the Gopher
+    * repetition filters (q51).
+    */
+  def ngramRep(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.VectorBridge.ngramRep(text, n)
+
+  /** Probe a driver-built Bloom filter (no false negatives) — the
+    * broadcast runtime-filter primitive behind decontaminateBloom (q50).
+    */
+  def bloomMightContain(text: Column,
+                        bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    org.apache.spark.sql.graft.VectorBridge.bloomMightContain(text, bloom)
+
   /** Element-wise mean of array<double> vectors — the typed-Aggregator
     * UDAF (SURVEY §2.7). Map-side partial aggregation into a dim-width
     * buffer: per-group centroids without exploding n×dim rows.

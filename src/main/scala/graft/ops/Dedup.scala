@@ -332,6 +332,79 @@ object Dedup {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** [[decontaminate]] with a Bloom-filter prefilter — the 100 TB shape.
+    * The plain form shuffles EVERY corpus shingle into the overlap join;
+    * here a Bloom filter of the benchmark's distinct shingles (the small,
+    * bounded side — an eval suite, not the corpus) is built once,
+    * shipped to every task as a codegen reference object, and the corpus
+    * scan discards non-members BEFORE any exchange. Bloom filters have no
+    * false negatives, so the exact verify join over the tiny surviving
+    * slice (false positives only) restores the exact result: output is
+    * row-identical to [[decontaminate]] — same oracle — while the
+    * shuffled volume drops from |corpus shingles| to |true overlap| ×
+    * (1 + fpp).
+    *
+    * The two driver actions (benchmark distinct-shingle count + filter
+    * aggregation) run on the benchmark side only — bounded by
+    * construction, like the IVF centroid fetch.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, w: Int = 3,
+                         maxDf: Int = 1000, minHits: Int = 1,
+                         fpp: Double = 0.01): DataFrame = {
+    val benchSh = shingles(benchmark, idCol, textCol, w)
+      .select(col("s")).distinct()
+    val nBench = benchSh.count()
+    if (nBench == 0)
+      // BloomFilter.create requires a positive size; the exact path's
+      // empty-join result is already the right (empty) answer
+      return decontaminate(corpus, benchmark, idCol, textCol, w, maxDf, minHits)
+    val bloom = benchSh.rdd.mapPartitions { it =>
+      val b = org.apache.spark.util.sketch.BloomFilter.create(nBench, fpp)
+      it.foreach(r => b.putString(r.getString(0)))
+      Iterator.single(b)
+    }.treeReduce { (a, b) => a.mergeInPlace(b); a }
+    shingles(corpus, idCol, textCol, w)
+      .where(graft.functions.VectorFunctions.bloomMightContain(col("s"), bloom))
+      .join(broadcast(benchSh), "s") // exact verify: kills false positives
+      .withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("_df") <= maxDf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
+  /** Duplicated-span pressure per document: the fraction of a doc's
+    * winnowing fingerprints ([[graft.ops.TextAnalysis.winnow]], SWA '03)
+    * that also occur in at least one OTHER document — the distributed
+    * stand-in for exact substring dedup (Lee et al. '21: duplicated
+    * 50-token spans): a doc made of passages copied from elsewhere in the
+    * corpus scores near 1 and is dropped. Two exchanges total — the
+    * fingerprint-frequency window and the per-doc aggregation — both on
+    * fixed-width keys; fingerprints per doc ∝ chars/(t−k), so shuffle
+    * volume is a fraction of corpus size.
+    *
+    * `keep` (1/0) applies `dupThreshold`; spans shared only WITHIN a doc
+    * don't count (winnow emits distinct fps per doc, so cross-doc
+    * frequency is exactly doc frequency).
+    */
+  def dupSpanFrac(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, t: Int = 16,
+                  dupThreshold: Double = 0.5): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.VectorFunctions.winnow(col(textCol), k, t)).as("fp"))
+      .withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_spans"),
+        round(col("n_shared") / col("n_spans"), 4).as("dup_span_frac"),
+        when(col("n_shared") / col("n_spans") < dupThreshold, 1L)
+          .otherwise(0L).as("keep"))
+
   /** Exact all-pairs n-gram Jaccard ≥ threshold via the shingle inverted
     * index (no LSH screen — the verifier itself, exposed as an operator).
     * ONE self-join: the per-(d1,d2) match count from the inverted index IS

@@ -39,6 +39,49 @@ object Sampling {
   def sample(df: DataFrame, idCol: String, frac: Double): DataFrame =
     df.filter(key(col(idCol)) < hexThreshold(frac))
 
+  /** Per-stratum deterministic sampling — the domain-mixture primitive: a
+    * training recipe says "keep 100% of books, 25% of web, 5% of logs",
+    * and every row's fate is a pure function of (stratum, id). Compiles to
+    * one CASE over literal hex thresholds: a zero-shuffle,
+    * pushdown-eligible filter whatever the corpus size, and re-runs /
+    * engine ports keep the identical sample (the DuckDB oracle evaluates
+    * the same predicate).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fracs: Map[String, Double],
+                       defaultFrac: Double = 0.0): DataFrame = {
+    val thr = fracs.foldLeft(lit(hexThreshold(defaultFrac))) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.filter(key(col(idCol)) < thr)
+  }
+
+  /** Temperature-flattened mixture weights from observed stratum sizes:
+    * keep fraction (minCount / count)^(1-temperature) per stratum —
+    * temperature 1 keeps everything (natural mixture), temperature 0
+    * fully balances down to the smallest stratum, values between
+    * interpolate on the log scale (the standard multilingual/domain
+    * re-balancing rule). The per-stratum count collect is bounded by the
+    * number of strata (domains/languages — tens, not rows), same bounded-
+    * driver-action contract as the IVF centroid fetch. Feed the result to
+    * [[stratifiedSample]].
+    */
+  def temperatureFracs(df: DataFrame, stratumCol: String,
+                       temperature: Double): Map[String, Double] = {
+    require(temperature >= 0 && temperature <= 1,
+      s"temperature out of range: $temperature")
+    val counts = df.groupBy(col(stratumCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) Map.empty
+    else {
+      val minC = counts.values.min.toDouble
+      counts.map { case (s, c) =>
+        s -> math.pow(minC / c, 1.0 - temperature)
+      }
+    }
+  }
+
   /** Train/val/test assignment from cumulative fractions, e.g.
     * (0.8, 0.9) → 80% train, 10% val, 10% test. A row's label is a pure
     * function of its id — stable under corpus growth (new docs never move

@@ -167,4 +167,30 @@ object TextAnalysis {
         round(col("_s.digit_frac"), 4).as("digit_frac"),
         round(col("_s.top_token_share"), 4).as("top_token_share"))
   }
+
+  /** Gopher-style n-gram repetition signals: duplicate-2/3-gram fraction
+    * ((total − distinct) / total) and top-2/3-gram share (max count /
+    * total). Docs dominated by repeated phrases (boilerplate, templated
+    * spam, degenerate generations) score high and get filtered before
+    * training. Pure projection — the [[graft.functions.VectorFunctions
+    * .ngramRep]] expression keeps each doc's gram counting row-local and
+    * codegen'd, zero exchange at any corpus size (the explode-groupBy
+    * form shuffles every gram occurrence twice). Docs with fewer than n
+    * tokens have no n-grams: both fractions are 0 by convention.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def fracs(r: String, tag: String): Seq[Column] = Seq(
+      when(col(s"$r.total") > 0,
+        round((col(s"$r.total") - col(s"$r.n_distinct")) / col(s"$r.total"), 4))
+        .otherwise(0.0).as(s"dup_${tag}_frac"),
+      when(col(s"$r.total") > 0,
+        round(col(s"$r.max_count") / col(s"$r.total"), 4))
+        .otherwise(0.0).as(s"top_${tag}_share"))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.VectorFunctions.ngramRep(col(textCol), 2).as("_r2"),
+        graft.functions.VectorFunctions.ngramRep(col(textCol), 3).as("_r3"))
+      .select(col("doc_id") +: (fracs("_r2", "2gram") ++
+        fracs("_r3", "3gram")): _*)
+  }
 }

@@ -140,6 +140,46 @@ object Extensions {
     Sampling.splitLabel(t(s, d, "documents").select(col("doc_id")), "doc_id")
       .orderBy(col("doc_id"))
 
+  // q48 mixture sampling: the per-source keep fractions a training recipe
+  // declares (shared with the oracle so both engines evaluate the same
+  // literal thresholds). Five mixture tiers cycling over the 20 sources.
+  val mixtureWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" ->
+      Seq(1.0, 0.5, 0.25, 0.1, 0.05)(i % 5)).toMap
+
+  val q48_mixture_sample: Q = (s, d) =>
+    Sampling.stratifiedSample(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", mixtureWeights)
+      .orderBy(col("doc_id"))
+
+  // q49 duplicated-span pressure: fraction of each doc's winnowing spans
+  // (q40's fingerprints, k=8/t=16) shared with other docs + keep flag —
+  // the span-dedup screen.
+  val q49_dup_span_frac: Q = (s, d) =>
+    Dedup.dupSpanFrac(t(s, d, "documents"), "doc_id", "text", k = 8, t = 16)
+      .orderBy(col("doc_id"))
+
+  // q50 Bloom-prefiltered decontamination: row-identical to the exact
+  // overlap (no false negatives + exact verify join), but the corpus
+  // shuffles only Bloom survivors — the broadcast runtime-filter shape.
+  // Benchmark slice = doc_id ≡ 0 mod 10 (distinct from q44's mod-20 so
+  // the two queries exercise different overlap sets).
+  val q50_bloom_decontaminate: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", w = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  // q51 Gopher repetition signals: duplicate/top 2-gram and 3-gram
+  // fractions as one codegen'd projection (zero exchange).
+  val q51_repetition_signals: Q = (s, d) =>
+    TextAnalysis.repetitionSignals(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // q40 winnowing fingerprints (SWA '03): guarantee-t local-similarity
   // screen, hash-checked against a DuckDB list-HOF twin.
   val q40_winnow: Q = (s, d) =>
@@ -198,5 +238,9 @@ object Extensions {
     "q44_decontaminate" -> q44_decontaminate,
     "q45_pii_redact" -> q45_pii_redact,
     "q46_quality_signals" -> q46_quality_signals,
-    "q47_train_split" -> q47_train_split)
+    "q47_train_split" -> q47_train_split,
+    "q48_mixture_sample" -> q48_mixture_sample,
+    "q49_dup_span_frac" -> q49_dup_span_frac,
+    "q50_bloom_decontaminate" -> q50_bloom_decontaminate,
+    "q51_repetition_signals" -> q51_repetition_signals)
 }

@@ -140,6 +140,58 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("NgramRepetition == per-row multiplicity profile (incl. short docs)") {
+    val texts = List.fill(60)(text()) ++ List("", "solo", "a a a a a", "x y x y x y")
+    Seq(1, 2, 3).foreach { n =>
+      val fast = texts.map(Tuple1(_)).toDF("t")
+        .select(VectorFunctions.ngramRep(col("t"), n).as("r"))
+        .select(col("r.total"), col("r.n_distinct"), col("r.max_count"))
+        .as[(Long, Long, Long)].collect()
+      val ref = texts.map { txt =>
+        val toks = txt.split(" ", -1)
+        val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        if (toks.length < n) (0L, 0L, 0L)
+        else {
+          val counts = grams.groupBy(identity).map(_._2.length)
+          (grams.length.toLong, counts.size.toLong, counts.max.toLong)
+        }
+      }
+      fast.toSeq.zip(ref).zipWithIndex.foreach { case ((f, r), i) =>
+        assert(f == r, s"n=$n text='${texts(i)}'")
+      }
+    }
+  }
+
+  test("BloomMightContain: no false negatives, codegen'd filter, low fpp") {
+    val members = (0 until 2000).map(i => s"member_$i")
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(2000, 0.01)
+    members.foreach(bloom.putString)
+    // every inserted element must pass (Bloom contract: zero false negatives)
+    val kept = members.map(Tuple1(_)).toDF("s")
+      .where(VectorFunctions.bloomMightContain(col("s"), bloom))
+      .count()
+    assert(kept == 2000, "a Bloom filter may never drop a true member")
+    // non-members are mostly rejected (fpp 1% — allow generous slack)
+    val strangers = (0 until 2000).map(i => s"stranger_$i")
+    val leaked = strangers.map(Tuple1(_)).toDF("s")
+      .where(VectorFunctions.bloomMightContain(col("s"), bloom))
+      .count()
+    assert(leaked < 200, s"false-positive rate far above fpp: $leaked/2000")
+    // the probe stays inside whole-stage codegen (reference-object probe,
+    // same pattern as NearestCentroid)
+    val df = spark.range(64)
+      .select(concat_ws("_", lit("member"), col("id")).as("s"))
+      .select(VectorFunctions.bloomMightContain(col("s"), bloom).as("m"),
+        VectorFunctions.ngramRep(col("s"), 2).as("nr"))
+    df.collect()
+    val planStr = df.queryExecution.executedPlan.toString
+    val projectLines = planStr.linesIterator.filter(_.contains("Project [")).toList
+    assert(projectLines.nonEmpty)
+    projectLines.foreach { line =>
+      assert(line.contains("*("), s"Project fell out of whole-stage codegen:\n$line")
+    }
+  }
+
   test("NearestCentroid == per-row argmax over the centroid table") {
     val centroids = Array.fill(4)(vec())
     val vecs = List.fill(40)(vec())

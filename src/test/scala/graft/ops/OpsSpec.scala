@@ -239,6 +239,107 @@ class OpsSpec extends SparkSpec {
     assert(Sampling.sample(df, "doc_id", nearOne).count() >= 95)
   }
 
+  test("stratifiedSample: per-stratum rates, unknown strata dropped, repartition-stable") {
+    val df = spark.range(4000)
+      .select(col("id").as("doc_id"),
+        concat(lit("s"), (col("id") % 4).cast("string")).as("src"))
+    val fracs = Map("s0" -> 1.0, "s1" -> 0.5, "s2" -> 0.1)
+    val out = Sampling.stratifiedSample(df, "doc_id", "src", fracs)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(out.getOrElse("s3", 0L) == 0L, "stratum without a weight defaults to 0")
+    assert(out("s0") == 1000L, "frac 1.0 keeps the whole stratum")
+    assert(math.abs(out("s1") / 1000.0 - 0.5) < 0.08, s"s1=${out("s1")}")
+    assert(math.abs(out("s2") / 1000.0 - 0.1) < 0.05, s"s2=${out("s2")}")
+    // same rows regardless of partitioning (md5 threshold, no RNG)
+    val a = Sampling.stratifiedSample(df, "doc_id", "src", fracs)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.stratifiedSample(df.repartition(17), "doc_id", "src", fracs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("temperatureFracs: t=1 natural, t=0 balanced to the smallest stratum") {
+    val df = (Seq.fill(800)("big") ++ Seq.fill(200)("mid") ++ Seq.fill(50)("small"))
+      .toDF("src")
+    val natural = Sampling.temperatureFracs(df, "src", 1.0)
+    assert(natural.values.forall(f => math.abs(f - 1.0) < 1e-12),
+      "temperature 1 must not resample")
+    val balanced = Sampling.temperatureFracs(df, "src", 0.0)
+    assert(math.abs(balanced("big") - 50.0 / 800) < 1e-12)
+    assert(math.abs(balanced("mid") - 50.0 / 200) < 1e-12)
+    assert(balanced("small") == 1.0)
+    val mid = Sampling.temperatureFracs(df, "src", 0.5)
+    assert(mid("big") > balanced("big") && mid("big") < 1.0,
+      "intermediate temperature interpolates")
+    assert(Sampling.temperatureFracs(spark.emptyDataFrame
+      .select(lit("x").as("src")).limit(0), "src", 0.5).isEmpty)
+  }
+
+  test("decontaminateBloom == decontaminate row-identical (incl. df-cap and empty bench)") {
+    val rng = new scala.util.Random(23)
+    def doc(): String = List.fill(20)(('a' + rng.nextInt(6)).toChar.toString
+      * (rng.nextInt(2) + 1)).mkString(" ")
+    // corpus with some docs copying benchmark passages, plus boilerplate
+    val benchDocs = (100L to 104L).map(i => (i, doc()))
+    val contaminated = benchDocs.take(3).map { case (i, t) =>
+      (i + 900, t + " extra tail tokens here") }
+    val clean = (1L to 40L).map(i => (i, doc()))
+    val boiler = (200L to 260L).map(i => (i, s"click here to unsubscribe t$i"))
+    val corpus = (clean ++ contaminated ++ boiler).toDF("doc_id", "text")
+    val bench = (benchDocs :+ (105L, "click here to unsubscribe now")).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val exact = norm(Dedup.decontaminate(corpus, bench, "doc_id", "text", maxDf = 10))
+    val bloomed = norm(Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", maxDf = 10))
+    assert(bloomed == exact,
+      "Bloom prefilter + exact verify must be row-identical to the exact overlap")
+    assert(exact.keySet.intersect(contaminated.map(_._1).toSet).size == 3,
+      "planted contamination must be flagged")
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.decontaminateBloom(corpus, emptyBench, "doc_id", "text").count() == 0)
+  }
+
+  test("dupSpanFrac: copied passages score high, unique docs zero") {
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, passage + " unique tail for doc one after the shared passage runs out"),
+      (2L, passage + " differing continuation for the second copy of the passage"),
+      (3L, "совершенно другой текст без общих отрезков с остальными документами"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpanFrac(docs, "doc_id", "text", k = 8, t = 16)
+      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(3L)._3 == 0.0 && out(3L)._4 == 1L, "unique doc keeps, frac 0")
+    assert(out(1L)._3 > 0.2, s"copied passage must register shared spans: ${out(1L)}")
+    assert(out(2L)._3 > 0.2, s"copied passage must register shared spans: ${out(2L)}")
+    // a doc that is ENTIRELY a copy drops
+    val twins = Seq((1L, passage), (2L, passage)).toDF("doc_id", "text")
+    val t2 = Dedup.dupSpanFrac(twins, "doc_id", "text", k = 8, t = 16)
+      .as[(Long, Long, Double, Long)].collect()
+    t2.foreach { r =>
+      assert(r._3 == 1.0 && r._4 == 0L, s"full copy must be dropped: $r")
+    }
+  }
+
+  test("repetitionSignals: degenerate repetition flagged, diverse text low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "all work and no play makes jack a dull boy since forever"),
+      (3L, "ab cd ab cd ab cd ab cd"),
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // 8×"spam": 7 bigrams, 1 distinct → dup 6/7, share 7/7
+    assert(out(1L)._2 == math.rint(6.0 / 7 * 10000) / 10000)
+    assert(out(1L)._3 == 1.0)
+    assert(out(2L)._2 == 0.0 && out(2L)._3 < 0.15, "diverse text scores low")
+    // "ab cd"×4: 7 bigrams, 2 distinct ("ab cd"×4, "cd ab"×3)
+    assert(out(3L)._2 == math.rint(5.0 / 7 * 10000) / 10000)
+    assert(out(3L)._3 == math.rint(4.0 / 7 * 10000) / 10000)
+    assert(out(4L) == ((4L, 0.0, 0.0, 0.0, 0.0)), "sub-n-gram doc is all zeros")
+  }
+
   test("componentsStar: empty and single-pair inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
     assert(Dedup.componentsStar(empty).count() == 0)
