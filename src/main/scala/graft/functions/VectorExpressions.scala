@@ -660,6 +660,157 @@ object NgramRepetition {
   }
 }
 
+/** Token profile against a family of stopword lists — (n_tokens,
+  * n_distinct, hits[i] per list) — in ONE pass over the space-split
+  * tokens.
+  *
+  * Backs languageId (argmax over per-language stopword hits) and
+  * qualityScore (length/type-token/stopword ratios): the `filter(tokens,
+  * w -> w.isin(...))` HOF form those used is interpreter-only in Spark
+  * (lambda expressions never codegen), so the hottest text projections
+  * fell out of whole-stage codegen and walked the token array once per
+  * language. The stopword sets ride along as a codegen reference object.
+  */
+case class TokenProfile(child: Expression, lists: Seq[Seq[String]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.{LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("hits",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_token_profile"
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    TokenProfile.buildSets(lists)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenProfile.compute(input.asInstanceOf[UTF8String], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sets", sets, "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = org.apache.spark.sql.graft.TokenProfile.compute($in, $ref);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenProfile =
+    copy(child = newChild)
+}
+
+object TokenProfile {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def buildSets(lists: Seq[Seq[String]]): Array[java.util.HashSet[String]] =
+    lists.map { l =>
+      val s = new java.util.HashSet[String](l.size * 2)
+      l.foreach(s.add)
+      s
+    }.toArray
+
+  /** Shared by interpreted eval and codegen. */
+  def compute(input: UTF8String,
+              sets: Array[java.util.HashSet[String]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = input.toString.split(" ", -1)
+    val n = toks.length
+    val seen = new java.util.HashSet[String](n * 2)
+    val hits = new Array[Long](sets.length)
+    var i = 0
+    while (i < n) {
+      val w = toks(i)
+      seen.add(w)
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(w)) hits(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, seen.size.toLong,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          hits.map(h => h: Any))))
+  }
+}
+
+/** Both token counts of the q35 contract — whitespace fields and the
+  * BPE-ish pre-tokenizer count — in ONE pass over the code points.
+  *
+  * The pre-tokenizer rule is the regex `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`:
+  * a maximal ASCII-letter run, a maximal digit run, or any single other
+  * non-whitespace code point. That alternation is a three-state DFA, so
+  * running java.util.regex (NFA backtracker, one Matcher per row) for it
+  * pays an order of magnitude over a hand walk — and the walk also yields
+  * the whitespace-field count (spaces + 1, the `split(' ')` contract)
+  * for free, without materializing the token array. Code-point iteration
+  * keeps supplementary characters counting once, exactly as the regex
+  * engines do.
+  */
+case class TokenCountsExpr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.{LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("ws_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("bpe_tokens", LongType, nullable = false)))
+  override def prettyName: String = "graft_token_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenCountsExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = org.apache.spark.sql.graft.TokenCountsExpr.compute($in);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountsExpr =
+    copy(child = newChild)
+}
+
+object TokenCountsExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  // Java regex \s
+  private def isSpace(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+  private def isLetter(cp: Int): Boolean =
+    (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+  private def isDigit(cp: Int): Boolean = cp >= '0' && cp <= '9'
+
+  /** Shared by interpreted eval and codegen. */
+  def compute(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = input.toString
+    val len = s.length
+    var ws = 1L // split(' ') fields = single-space separators + 1
+    var bpe = 0L
+    var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      if (cp == ' ') ws += 1
+      if (isLetter(cp)) {
+        bpe += 1
+        while (i < len && isLetter(s.codePointAt(i))) i += Character.charCount(s.codePointAt(i))
+      } else if (isDigit(cp)) {
+        bpe += 1
+        while (i < len && isDigit(s.codePointAt(i))) i += Character.charCount(s.codePointAt(i))
+      } else {
+        if (!isSpace(cp)) bpe += 1
+        i += Character.charCount(cp)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](ws, bpe))
+  }
+}
+
 /** Membership probe against a driver-built Bloom filter, shipped once as a
   * codegen reference object (same pattern as [[NearestCentroid]]'s
   * centroid matrix) — the broadcast "runtime filter" that lets a 100 TB
@@ -723,6 +874,12 @@ object VectorBridge {
 
   def ngramRep(text: Column, n: Int): Column =
     ExpressionUtils.column(NgramRepetition(ExpressionUtils.expression(text), n))
+
+  def tokenProfile(text: Column, lists: Seq[Seq[String]]): Column =
+    ExpressionUtils.column(TokenProfile(ExpressionUtils.expression(text), lists))
+
+  def tokenCounts(text: Column): Column =
+    ExpressionUtils.column(TokenCountsExpr(ExpressionUtils.expression(text)))
 
   def bloomMightContain(text: Column,
                         bloom: org.apache.spark.util.sketch.BloomFilter): Column =

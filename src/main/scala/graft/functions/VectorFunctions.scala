@@ -53,6 +53,18 @@ object VectorFunctions {
   def ngramRep(text: Column, n: Int): Column =
     org.apache.spark.sql.graft.VectorBridge.ngramRep(text, n)
 
+  /** Token profile struct (n_tokens, n_distinct, hits per stopword list)
+    * in one pass — backs languageId (q33) and qualityScore (q34).
+    */
+  def tokenProfile(text: Column, lists: Seq[Seq[String]]): Column =
+    org.apache.spark.sql.graft.VectorBridge.tokenProfile(text, lists)
+
+  /** Both q35 token counts (whitespace fields, BPE-ish pre-tokenizer
+    * runs) as one code-point pass — no regex engine, no token array.
+    */
+  def tokenCountsStruct(text: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.tokenCounts(text)
+
   /** Probe a driver-built Bloom filter (no false negatives) — the
     * broadcast runtime-filter primitive behind decontaminateBloom (q50).
     */

@@ -200,16 +200,16 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("v") === labels("node"))
         .groupBy(col("u")).agg(min(col("label")).as("_nl"))
+      // the changed flag rides the SAME join that builds the next labels,
+      // so the convergence test is a trivial scan of the materialized
+      // checkpoint instead of a per-round re-join of old vs new
       val next = labels.join(neighborMin, labels("node") === neighborMin("u"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"),
+          (coalesce(col("_nl"), col("label")) < col("label")).as("_chg"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("_chg")).isEmpty
+      labels = next.drop("_chg")
       iter += 1
     }
     if (!converged) {
@@ -352,8 +352,10 @@ object Dedup {
                          idCol: String, textCol: String, w: Int = 3,
                          maxDf: Int = 1000, minHits: Int = 1,
                          fpp: Double = 0.01): DataFrame = {
+    // materialized once (eager, bounded side): it feeds three consumers —
+    // the size probe, the filter aggregation, and the verify join
     val benchSh = shingles(benchmark, idCol, textCol, w)
-      .select(col("s")).distinct()
+      .select(col("s")).distinct().localCheckpoint(true)
     val nBench = benchSh.count()
     if (nBench == 0)
       // BloomFilter.create requires a positive size; the exact path's

@@ -23,32 +23,26 @@ object TextAnalysis {
 
   private def toks(textCol: Column): Column = split(textCol, " ")
 
-  /** Per-language stopword hit count as a PURE PROJECTION: `size(filter(
-    * tokens, w -> w IN list))` per language — same occurrence counts the
-    * explode+groupBy formulation produced, with ZERO shuffle (round 1
-    * shuffled every token occurrence to re-group by doc id; at corpus
-    * scale that is a shuffle of the whole tokenized corpus for a per-row
-    * answer).
-    */
-  private def stopwordHits(t: Column, words: Seq[String]): Column =
-    size(filter(t, w => w.isin(words: _*))).cast("long")
-
   /** Language ID: per-language stopword hit count over token occurrences;
     * argmax with (1) 'und' (undetermined) when no list matches, (2)
     * alphabetical language order as tie-break. Pure projection — no
-    * explode, no shuffle.
+    * explode, no shuffle; all four language scores come out of ONE
+    * [[graft.functions.VectorFunctions.tokenProfile]] pass (the
+    * `filter(tokens, ...)` HOF form this replaced is interpreter-only in
+    * Spark — it dropped the projection out of whole-stage codegen and
+    * walked the token array once per language).
     */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val langs = stopwords.keys.toSeq.sorted
-    // tokenize ONCE into an intermediate column: the per-language filter
-    // lambdas carry distinct exprIds, which defeats common-subexpression
-    // elimination — inlining `split` into each would tokenize 4×.
     val scored = df
       .where(col(textCol).isNotNull) // explode-form dropped null-text docs; keep that contract
-      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("_t"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.VectorFunctions
+          .tokenProfile(col(textCol), langs.map(stopwords)).as("_p"))
       .select(
         col("doc_id") +:
-          langs.map(l => stopwordHits(col("_t"), stopwords(l)).as(s"s_$l")): _*)
+          langs.zipWithIndex.map { case (l, i) =>
+            col("_p.hits").getItem(i).as(s"s_$l") }: _*)
     val best = greatest(langs.map(l => col(s"s_$l")): _*)
     val pred = langs.foldRight(lit("und")) { (l, rest) =>
       when(best > 0 && col(s"s_$l") === best, lit(l)).otherwise(rest)
@@ -60,20 +54,22 @@ object TextAnalysis {
 
   /** Quality score in [0,1]: length saturation + type-token ratio +
     * stopword ratio (an n-gram-free proxy for "looks like language").
-    * Pure projection: token count = `size(tokens)`, distinct count =
-    * `size(array_distinct(tokens))`, stopword count via `filter` — the
-    * explode+groupBy round-1 form shuffled every token for per-row math.
+    * Pure projection: one [[graft.functions.VectorFunctions
+    * .tokenProfile]] pass yields token count, distinct count and the
+    * stopword hits together (the array_distinct + filter-HOF chain this
+    * replaced materialized the token array three times, interpreted).
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // same tokenize-once shape as languageId
     val agg = df
       .where(col(textCol).isNotNull) // explode-form dropped null-text docs; keep that contract
-      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("_t"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.VectorFunctions
+          .tokenProfile(col(textCol), Seq(stopwords("en"))).as("_p"))
       .select(
         col("doc_id"),
-        size(col("_t")).cast("long").as("n_tokens"),
-        size(array_distinct(col("_t"))).cast("long").as("n_distinct"),
-        stopwordHits(col("_t"), stopwords("en")).as("n_stop"))
+        col("_p.n_tokens").as("n_tokens"),
+        col("_p.n_distinct").as("n_distinct"),
+        col("_p.hits").getItem(0).as("n_stop"))
     agg.select(
       col("doc_id"),
       col("n_tokens"),
@@ -86,14 +82,17 @@ object TextAnalysis {
 
   /** Whitespace token count + a BPE-ish subword proxy: count of maximal
     * letter runs, digit runs, and single non-alphanumerics — the classic
-    * pre-tokenizer regex. Pure projection, no shuffle.
+    * pre-tokenizer regex, evaluated as a hand DFA in one code-point pass
+    * ([[graft.functions.VectorFunctions.tokenCountsStruct]]; the
+    * regexp_count form ran a java.util.regex Matcher per row). Pure
+    * projection, no shuffle.
     */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol).as("doc_id"),
-      size(toks(col(textCol))).cast("bigint").as("ws_tokens"),
-      regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
-        .cast("bigint").as("bpe_tokens"))
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.VectorFunctions.tokenCountsStruct(col(textCol)).as("_c"))
+      .select(col("doc_id"),
+        col("_c.ws_tokens").as("ws_tokens"),
+        col("_c.bpe_tokens").as("bpe_tokens"))
 
   /** Content fingerprint: md5 of case-normalized text, plus an 8-hex-char
     * prefix usable as a cluster/shard key. Pure projection.

@@ -130,6 +130,8 @@ class ExpressionPropertySpec extends SparkSpec {
         VectorFunctions.lshBucket(col("v"), 8, 4, 0).as("bk"),
         VectorFunctions.nearestCentroid(col("v"), Array.fill(3)(vec())).as("cell"),
         VectorFunctions.tokenStats(col("text")).as("ts"),
+        VectorFunctions.tokenProfile(col("text"),
+          Seq(Seq("tok", "b"), Seq("c"))).as("tp"),
         VectorFunctions.dot(col("v"), col("v")).as("d"))
     df.collect() // force execution so the plan is final
     val planStr = df.queryExecution.executedPlan.toString
@@ -137,6 +139,42 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(projectLines.nonEmpty, s"expected a Project in:\n$planStr")
     projectLines.foreach { line =>
       assert(line.contains("*("), s"Project fell out of whole-stage codegen:\n$line")
+    }
+  }
+
+  test("TokenProfile == size/array_distinct/filter-HOF composition") {
+    val lists = Seq(Seq("the", "and", "of"), Seq("le", "la"), Seq.empty[String])
+    val texts = List.fill(60)(text()) ++
+      List("", "the the the", "le of and la", "solo")
+    val fast = texts.map(Tuple1(_)).toDF("t")
+      .select(VectorFunctions.tokenProfile(col("t"), lists).as("p"))
+      .select(col("p.n_tokens"), col("p.n_distinct"), col("p.hits"))
+      .as[(Long, Long, Seq[Long])].collect()
+    val ref = texts.map { txt =>
+      val toks = txt.split(" ", -1)
+      (toks.length.toLong, toks.distinct.length.toLong,
+        lists.map(l => toks.count(l.contains).toLong))
+    }
+    fast.toSeq.zip(ref).zipWithIndex.foreach { case (((fn, fd, fh), (rn, rd, rh)), i) =>
+      assert((fn, fd, fh.toSeq) == ((rn, rd, rh)), s"text='${texts(i)}'")
+    }
+  }
+
+  test("TokenCountsExpr == size(split)/regexp_count composition (incl. unicode)") {
+    val texts = List.fill(50)(text()) ++ List(
+      "", " ", "  ", "abc123!?x", "中文 字符 mixed ascii42",
+      "tabs\tand\nnewlines stay", "πρό σ2 ω!", "a+b=c (1,2) [x]",
+      new String(Character.toChars(0x1F600)) + " emoji 42")
+    val df = texts.map(Tuple1(_)).toDF("t")
+    val fast = df.select(VectorFunctions.tokenCountsStruct(col("t")).as("c"))
+      .select(col("c.ws_tokens"), col("c.bpe_tokens"))
+      .as[(Long, Long)].collect()
+    val ref = df.select(
+        size(split(col("t"), " ")).cast("long"),
+        regexp_count(col("t"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
+      .as[(Long, Long)].collect()
+    fast.toSeq.zip(ref).zipWithIndex.foreach { case ((f, r), i) =>
+      assert(f == r, s"text='${texts(i)}'")
     }
   }
 

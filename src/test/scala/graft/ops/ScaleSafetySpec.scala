@@ -102,14 +102,20 @@ class ScaleSafetySpec extends SparkSpec {
     val d = "/root/testdata/sf0.001"
     // projection-only: no Exchange in langid / quality; simhash's only
     // exchange is the n_dupes window on the fingerprint
+    // round 5: tokenization lives INSIDE the one-pass TokenProfile
+    // expression — no split() in the plan at all, one profile call
     val langPlan = graft.queries.Extensions.q33_langid(spark, d)
       .queryExecution.optimizedPlan.toString
-    assert("split\\(".r.findAllIn(langPlan).length == 1,
-      s"langid must tokenize exactly once:\n$langPlan")
+    assert("graft_token_profile".r.findAllIn(langPlan).length == 1,
+      s"langid must profile tokens exactly once:\n$langPlan")
+    assert(!langPlan.contains("split("),
+      s"langid must not re-tokenize outside the profile pass:\n$langPlan")
     val qualPlan = graft.queries.Extensions.q34_quality(spark, d)
       .queryExecution.optimizedPlan.toString
-    assert("split\\(".r.findAllIn(qualPlan).length == 1,
-      s"quality must tokenize exactly once:\n$qualPlan")
+    assert("graft_token_profile".r.findAllIn(qualPlan).length == 1,
+      s"quality must profile tokens exactly once:\n$qualPlan")
+    assert(!qualPlan.contains("split("),
+      s"quality must not re-tokenize outside the profile pass:\n$qualPlan")
     Seq("q33" -> langPlan, "q34" -> qualPlan).foreach { case (q, p) =>
       assert(!p.contains("Aggregate"), s"$q must not aggregate (projection-only)")
     }
