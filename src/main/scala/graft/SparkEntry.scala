@@ -181,6 +181,19 @@ object SparkEntry {
     "q48_mixture_sample" -> mixtureSampleSql,
     "q49_dup_span_frac" -> dupSpanFracSql,
     "q51_repetition_signals" -> repetitionSignalsSql,
+    "q52_pack" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+        |      FROM d)
+        |SELECT doc_id, source, n_tokens,
+        |  e - n_tokens AS start_off,
+        |  CAST(FLOOR((e - n_tokens) / 512.0) AS BIGINT) AS seq_first,
+        |  CAST(FLOOR((e - 1) / 512.0) AS BIGINT) AS seq_last
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q45_pii_redact" -> piiRedactSql,
     "q46_quality_signals" -> qualitySignalsSql,
     "q47_train_split" -> trainSplitSql,

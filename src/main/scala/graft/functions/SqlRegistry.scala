@@ -94,6 +94,10 @@ object GraftSqlFunctions {
       arity("graft_ngram_rep", args, 2)
       NgramRepetition(args(0),
         inRange("graft_ngram_rep", "n", intLit("graft_ngram_rep", args, 1), 1))
+    },
+    "graft_token_counts" -> { args =>
+      arity("graft_token_counts", args, 1)
+      TokenCountsExpr(args(0))
     })
 
   /** Idempotent per-session registration (temp functions live in the

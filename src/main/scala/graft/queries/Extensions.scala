@@ -180,6 +180,18 @@ object Extensions {
     TextAnalysis.repetitionSignals(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  // q52 sequence packing: concat-and-chunk layout of each source shard's
+  // token stream into 512-token training sequences — one window shuffle
+  // per shard, exact integer math (hash-checked).
+  val q52_pack: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.functions.VectorFunctions.tokenCountsStruct(col("text"))
+          .getField("ws_tokens").as("n_tokens"))
+    Packing.pack(docs, "doc_id", "n_tokens", "source", seqLen = 512)
+      .orderBy(col("doc_id"))
+  }
+
   // q40 winnowing fingerprints (SWA '03): guarantee-t local-similarity
   // screen, hash-checked against a DuckDB list-HOF twin.
   val q40_winnow: Q = (s, d) =>
@@ -242,5 +254,6 @@ object Extensions {
     "q48_mixture_sample" -> q48_mixture_sample,
     "q49_dup_span_frac" -> q49_dup_span_frac,
     "q50_bloom_decontaminate" -> q50_bloom_decontaminate,
-    "q51_repetition_signals" -> q51_repetition_signals)
+    "q51_repetition_signals" -> q51_repetition_signals,
+    "q52_pack" -> q52_pack)
 }

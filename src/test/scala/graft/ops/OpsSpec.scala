@@ -340,6 +340,37 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == ((4L, 0.0, 0.0, 0.0, 0.0)), "sub-n-gram doc is all zeros")
   }
 
+  test("pack: straddling docs span chunks, shards independent, repartition-stable") {
+    val docs = Seq(
+      // shard A: 300 + 300 + 100 tokens, seqLen 256
+      (1L, "A", 300L), (2L, "A", 300L), (3L, "A", 100L),
+      // shard B independent stream
+      (10L, "B", 10L), (11L, "B", 250L))
+      .toDF("doc_id", "shard", "n")
+    val out = Packing.pack(docs, "doc_id", "n", "shard", seqLen = 256)
+      .select("doc_id", "start_off", "seq_first", "seq_last")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 0L, 0L, 1L)), "doc 1 straddles chunks 0-1 (0..299)")
+    assert(out(2L) == ((2L, 300L, 1L, 2L)), "doc 2 spans 300..599 -> chunks 1-2")
+    assert(out(3L) == ((3L, 600L, 2L, 2L)), "doc 3 fits inside chunk 2")
+    assert(out(10L) == ((10L, 0L, 0L, 0L)), "shard B restarts at offset 0")
+    assert(out(11L) == ((11L, 10L, 0L, 1L)), "10..259 straddles chunks 0-1")
+    // exact-boundary doc: ends precisely at a chunk edge
+    val edge = Packing.pack(
+      Seq((1L, "X", 256L), (2L, "X", 256L)).toDF("doc_id", "shard", "n"),
+      "doc_id", "n", "shard", seqLen = 256)
+      .select("doc_id", "seq_first", "seq_last")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(edge(1L) == ((1L, 0L, 0L)) && edge(2L) == ((2L, 1L, 1L)),
+      "a doc ending exactly on a boundary must not bleed into the next chunk")
+    // offsets are a pure function of (shard, id) order — not partitioning
+    val a = Packing.pack(docs, "doc_id", "n", "shard", 256)
+      .select("doc_id", "start_off").as[(Long, Long)].collect().toSet
+    val b = Packing.pack(docs.repartition(7), "doc_id", "n", "shard", 256)
+      .select("doc_id", "start_off").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("componentsStar: empty and single-pair inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
     assert(Dedup.componentsStar(empty).count() == 0)

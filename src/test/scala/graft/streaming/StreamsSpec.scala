@@ -372,6 +372,32 @@ class StreamsSpec extends SparkSpec {
       s"streamed near-identical neighbors must dominate top-5, got $got")
   }
 
+  test("stratifiedSample runs unchanged on a stream (stateless md5 filter)") {
+    // mixture sampling is a pure deterministic filter, so the SAME
+    // operator screens a firehose with zero state — and batch/stream
+    // agree row-for-row on identical input
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val fracs = Map("keepall" -> 1.0, "half" -> 0.5, "drop" -> 0.0)
+    val q = graft.ops.Sampling.stratifiedSample(
+        mem.toDF().toDF("doc_id", "src"), "doc_id", "src", fracs)
+      .writeStream.format("memory").queryName("strat_stream")
+      .outputMode("append").start()
+    val rows = (1L to 300L).map(i =>
+      (i, Seq("keepall", "half", "drop")(((i - 1) % 3).toInt)))
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("strat_stream")
+      .as[(Long, String)].collect().toSet
+    val batch = graft.ops.Sampling.stratifiedSample(
+        rows.toDF("doc_id", "src"), "doc_id", "src", fracs)
+      .as[(Long, String)].collect().toSet
+    assert(streamed == batch, "stream and batch must select identical rows")
+    assert(!streamed.exists(_._2 == "drop") && streamed.count(_._2 == "keepall") == 100)
+  }
+
   test("capture stream reads files dropped into a directory") {
     val dir = tmpDir("graft_capture_")
     val schema = org.apache.spark.sql.types.StructType(Seq(
