@@ -19,7 +19,9 @@ object PlanAudit {
       "q10_asof", "q16_topk", "q28_dedup_minhash_lsh",
       "q30_dedup_ngram_jaccard", "q31_neardup_embedding", "q32_ann_lsh",
       "q42_dedup_clusters_star", "q43_sql_surface", "q44_decontaminate",
-      "q45_pii_redact", "q46_quality_signals")
+      "q45_pii_redact", "q46_quality_signals",
+      "q48_mixture_sample", "q49_dup_span_frac", "q50_bloom_decontaminate",
+      "q51_repetition_signals", "q52_pack")
     for (q <- interesting) {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       qe.executedPlan.executeCollect()

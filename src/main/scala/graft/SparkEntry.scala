@@ -172,6 +172,7 @@ object SparkEntry {
     // q42 is the star-contraction formulation of the SAME closure — one
     // oracle, two engine-side algorithms, both hash-checked
     "q42_dedup_clusters_star" -> dedupClustersSql,
+    "q53_dedup_keep" -> dedupKeepSql,
     "q43_sql_surface" -> sqlSurfaceSql,
     "q44_decontaminate" -> decontaminateSql(20),
     // q50 is the Bloom-prefiltered formulation of the SAME overlap (no
@@ -409,12 +410,13 @@ object SparkEntry {
        |WHERE CAST(i.i AS DOUBLE) / (n1.n + n2.n - i.i) >= 0.5
        |ORDER BY i.d1, i.d2""".stripMargin
 
-  /** q41 oracle: q28's near-dup pairs, closed transitively via a
-    * recursive CTE; a component's label is its minimum member — exactly
-    * the fixpoint Dedup.components' min-label propagation reaches.
+  /** Shared closure CTE chain for the q41/q42/q53 oracles: q28's near-dup
+    * pairs, closed transitively via a recursive CTE into `clu(doc_id,
+    * cluster)` — a component's label is its minimum member, exactly the
+    * fixpoint the engine-side propagation/contraction reaches.
     */
-  private def dedupClustersSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
+  private def closureCtes: String =
+    s"""$minhashCtes,
        |p AS (SELECT i.d1, i.d2
        |      FROM inter i
        |      JOIN cnt n1 ON n1.doc_id = i.d1
@@ -425,9 +427,36 @@ object SparkEntry {
        |reach(u, v) AS (
        |  SELECT u, v FROM edges
        |  UNION
-       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-       |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
-       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |clu AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+       |        FROM reach GROUP BY u)""".stripMargin
+
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE $closureCtes
+       |SELECT doc_id, cluster FROM clu ORDER BY doc_id""".stripMargin
+
+  /** q53 oracle: the closure's clusters joined with the q34 quality
+    * score; the top-rounded-quality member per cluster (ties to lowest
+    * id) is the keep — ROW_NUMBER over (quality DESC, doc_id).
+    */
+  private def dedupKeepSql: String =
+    s"""WITH RECURSIVE $closureCtes,
+       |tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+       |qagg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |  COUNT(DISTINCT w) AS n_distinct,
+       |  SUM(CASE WHEN w IN $enIn THEN 1 ELSE 0 END) AS n_stop
+       |  FROM tok GROUP BY doc_id),
+       |qual AS (SELECT doc_id,
+       |  ROUND(0.4 * LEAST(1.0, n_tokens / 25.0)
+       |      + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+       |      + 0.2 * (CAST(n_stop AS DOUBLE) / n_tokens), 4) AS quality
+       |  FROM qagg)
+       |SELECT c.doc_id, c.cluster,
+       |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY c.cluster
+       |       ORDER BY q.quality DESC, c.doc_id) = 1
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM clu c JOIN qual q ON q.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
 
   /** Shared 16-bit simhash SQL fragments (per-bit majority-vote sums and
     * the fingerprint concat) — ONE construction for the q29 and q43

@@ -332,6 +332,28 @@ object Dedup {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Keep-list materialization — the step that turns near-dup CLUSTERS
+    * into per-document keep/drop decisions: within each cluster the
+    * highest-scoring member (ties to the lowest id) is kept, everything
+    * else drops. Min-id representative selection ([[exact]]) is arbitrary;
+    * real pipelines keep the BEST copy (longest, cleanest, highest
+    * quality) of a duplicate group. One window shuffle on the cluster key;
+    * the score join broadcasts when the cluster table is small or
+    * shuffles on doc_id otherwise — both fixed-width keys.
+    *
+    * `scores` must carry deterministic, engine-portable values (e.g. the
+    * ROUNDED quality of [[TextAnalysis.qualityScore]]) so ordering cannot
+    * diverge across runs or engines.
+    */
+  def representatives(clusters: DataFrame, scores: DataFrame,
+                      scoreCol: String): DataFrame =
+    clusters.join(scores, "doc_id")
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+          .orderBy(col(scoreCol).desc, col("doc_id"))))
+      .select(col("doc_id"), col("cluster"),
+        when(col("_rk") === 1, 1L).otherwise(0L).as("keep"))
+
   /** [[decontaminate]] with a Bloom-filter prefilter — the 100 TB shape.
     * The plain form shuffles EVERY corpus shingle into the overlap join;
     * here a Bloom filter of the benchmark's distinct shingles (the small,

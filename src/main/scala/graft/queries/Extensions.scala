@@ -180,6 +180,21 @@ object Extensions {
     TextAnalysis.repetitionSignals(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  // q53 dedup keep-list: q42's clusters resolved to keep/drop per doc —
+  // the highest-quality member of each near-dup cluster survives (ties
+  // to the lowest id). The end-to-end dedup decision: pairs → clusters →
+  // representative selection.
+  val q53_dedup_keep: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      w = 3, k = 8, bands = 4, threshold = 0.5)
+    val clusters = Dedup.componentsStar(pairs.select(col("d1"), col("d2")))
+    val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality"))
+    Dedup.representatives(clusters, quality, "quality")
+      .orderBy(col("doc_id"))
+  }
+
   // q52 sequence packing: concat-and-chunk layout of each source shard's
   // token stream into 512-token training sequences — one window shuffle
   // per shard, exact integer math (hash-checked).
@@ -255,5 +270,6 @@ object Extensions {
     "q49_dup_span_frac" -> q49_dup_span_frac,
     "q50_bloom_decontaminate" -> q50_bloom_decontaminate,
     "q51_repetition_signals" -> q51_repetition_signals,
-    "q52_pack" -> q52_pack)
+    "q52_pack" -> q52_pack,
+    "q53_dedup_keep" -> q53_dedup_keep)
 }

@@ -371,6 +371,21 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("representatives: best-scoring member kept per cluster, ties to lowest id") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
+      (10L, 10L), (11L, 10L))       // cluster 10
+      .toDF("doc_id", "cluster")
+    val scores = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9), // 2 and 3 tie on score -> keep 2
+      (10L, 0.3), (11L, 0.8))
+      .toDF("doc_id", "score")
+    val out = Dedup.representatives(clusters, scores, "score")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 10L -> 0L, 11L -> 1L),
+      s"got $out")
+  }
+
   test("componentsStar: empty and single-pair inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
     assert(Dedup.componentsStar(empty).count() == 0)
