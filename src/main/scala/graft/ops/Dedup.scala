@@ -187,11 +187,22 @@ object Dedup {
     * Input: (d1, d2) pairs. Output: (doc_id, cluster) for every doc
     * appearing in at least one pair; docs in no pair are their own
     * singleton cluster by definition and are not emitted.
+    *
+    * Pair sets at or below `localThreshold` solve on the driver in one
+    * union-find pass over the already-materialized checkpoint
+    * (a bounded collect, like the IVF centroid fetch): iterative rounds
+    * on a small graph cost more in job scheduling than the whole
+    * answer. Above the threshold the distributed propagation runs
+    * unchanged — near-dup pair sets at 100 TB can be billions of edges,
+    * and that is the path sized for them. Pass 0 to force distributed.
     */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 20,
+                 localThreshold: Long = LocalCcThreshold): DataFrame = {
     val edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
       .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
       .localCheckpoint(true)
+    if (edges.count() <= localThreshold * 2) // edges = 2 rows per pair
+      return localComponents(edges)
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -220,9 +231,47 @@ object Dedup {
         s"components() hit maxIter=$maxIter without converging " +
           "(component diameter exceeds the round budget); falling back to " +
           "large-star/small-star (componentsStar)")
-      return componentsStar(pairs)
+      return componentsStar(pairs, localThreshold = localThreshold)
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** Pair count at or below which the component closure solves on the
+    * driver: ~1M pairs collect to ~16 MB of longs — far cheaper than even
+    * one distributed round's job scheduling — while anything beyond runs
+    * the shuffle-based algorithms actually sized for billion-edge graphs.
+    */
+  val LocalCcThreshold: Long = 1L << 20
+
+  /** Bounded driver union-find over a collected edge list (rows are
+    * undirected (u, v) links). Union-by-smaller-root with path
+    * compression, so every root IS its component's minimum id — the same
+    * labelling the distributed fixpoints reach (equivalence spec-pinned
+    * on seeded graphs).
+    */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val sp = edges.sparkSession
+    import sp.implicits._
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+    def find(x0: Long): Long = {
+      var r = x0
+      while (parent.get(r).longValue != r) r = parent.get(r).longValue
+      var c = x0
+      while (c != r) { val nx = parent.get(c).longValue; parent.put(c, r); c = nx }
+      r
+    }
+    edges.collect().foreach { row =>
+      val u = row.getLong(0); val v = row.getLong(1)
+      add(u); add(v)
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet().forEach(k => out += ((k.longValue, find(k.longValue))))
+    out.toSeq.toDF("doc_id", "cluster")
   }
 
   /** Connected components via alternating large-star / small-star
@@ -243,7 +292,8 @@ object Dedup {
     * contract as [[components]]: (doc_id, cluster) for every doc in ≥1
     * pair, cluster = min doc id of the component.
     */
-  def componentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def componentsStar(pairs: DataFrame, maxIter: Int = 30,
+                     localThreshold: Long = LocalCcThreshold): DataFrame = {
     // self-pairs carry no connectivity but do declare the node: keep them
     // aside so the output node set matches components() exactly
     val selfNodes = pairs.filter(col("d1") === col("d2"))
@@ -254,6 +304,13 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var edgeCount = edges.count()
+    if (edgeCount > 0 && edgeCount <= localThreshold) {
+      // small graph: one driver union-find over the materialized
+      // checkpoint beats any number of distributed star rounds
+      val labels = localComponents(edges)
+      return labels.union(
+        selfNodes.join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    }
     var converged = edgeCount == 0
     while (!converged && iter < maxIter) {
       // large-star over the symmetric adjacency

@@ -411,35 +411,50 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 14, "every doc in a pair gets exactly one label")
   }
 
-  test("componentsStar == components on seeded random graphs") {
+  test("componentsStar == components == local union-find on seeded random graphs") {
     val rng = new scala.util.Random(41)
     (1 to 3).foreach { trial =>
       val n = 60
       val pairs = List.fill(80)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
         .toDF("d1", "d2")
-      val lp = Dedup.components(pairs, maxIter = 40).as[(Long, Long)].collect().toMap
-      val st = Dedup.componentsStar(pairs).as[(Long, Long)].collect().toMap
+      // localThreshold = 0 forces the distributed paths; the default runs
+      // the driver union-find — all three labellings must agree exactly
+      val lp = Dedup.components(pairs, maxIter = 40, localThreshold = 0)
+        .as[(Long, Long)].collect().toMap
+      val st = Dedup.componentsStar(pairs, localThreshold = 0)
+        .as[(Long, Long)].collect().toMap
+      val uf = Dedup.componentsStar(pairs).as[(Long, Long)].collect().toMap
       assert(st == lp, s"trial $trial: star and label-prop disagree")
+      assert(uf == lp, s"trial $trial: local union-find and label-prop disagree")
+      assert(Dedup.components(pairs).as[(Long, Long)].collect().toMap == lp,
+        s"trial $trial: components' local path disagrees")
     }
   }
 
   test("componentsStar: long-chain worst case converges in O(log n) rounds") {
     // a 200-node path — diameter 199, far beyond any label-prop round
-    // budget; star contraction must still collapse it to one cluster
+    // budget; star contraction (forced distributed) must still collapse
+    // it to one cluster within the 15-round budget
     val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val out = Dedup.componentsStar(pairs, maxIter = 15).as[(Long, Long)].collect().toMap
+    val out = Dedup.componentsStar(pairs, maxIter = 15, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
     assert(out.size == 200 && out.values.forall(_ == 0L), "one cluster rooted at 0")
     // self-pair-only nodes label themselves; mixed nodes keep the component label
     val withSelf = pairs.union(Seq((500L, 500L), (0L, 0L)).toDF("d1", "d2"))
-    val out2 = Dedup.componentsStar(withSelf).as[(Long, Long)].collect().toMap
+    val out2 = Dedup.componentsStar(withSelf, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
     assert(out2(500L) == 500L && out2(0L) == 0L && out2.size == 201)
+    // the default (local union-find) path handles the same self-pair mix
+    val out3 = Dedup.componentsStar(withSelf).as[(Long, Long)].collect().toMap
+    assert(out3 == out2, "local path must agree on the self-pair mix")
   }
 
   test("components falls back to star contraction when maxIter is too small") {
     val pairs = (0L until 80L).map(i => (i, i + 1)).toDF("d1", "d2")
-    // diameter 80 >> maxIter 3: label-prop cannot converge; the fallback
-    // must still return the correct single cluster
-    val out = Dedup.components(pairs, maxIter = 3).as[(Long, Long)].collect().toMap
+    // diameter 80 >> maxIter 3: label-prop (forced distributed) cannot
+    // converge; the fallback must still return the correct single cluster
+    val out = Dedup.components(pairs, maxIter = 3, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
     assert(out.size == 81 && out.values.forall(_ == 0L))
   }
 
