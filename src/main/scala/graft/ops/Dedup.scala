@@ -198,11 +198,12 @@ object Dedup {
     */
   def components(pairs: DataFrame, maxIter: Int = 20,
                  localThreshold: Long = LocalCcThreshold): DataFrame = {
-    val edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
-      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
-      .localCheckpoint(true)
-    if (edges.count() <= localThreshold * 2) // edges = 2 rows per pair
-      return localComponents(edges)
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
+    if (isLongPair(p) && p.count() <= localThreshold)
+      return localComponents(p)
+    // p is already materialized, so the doubled view is a narrow re-read
+    val edges = p.select(col("d1").as("u"), col("d2").as("v"))
+      .union(p.select(col("d2").as("u"), col("d1").as("v")))
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -243,14 +244,24 @@ object Dedup {
     */
   val LocalCcThreshold: Long = 1L << 20
 
-  /** Bounded driver union-find over a collected edge list (rows are
-    * undirected (u, v) links). Union-by-smaller-root with path
+  /** The local fast path only applies to bigint ids: for any other id
+    * type (int, string content hashes, …) the distributed algorithms —
+    * which are type-agnostic — run regardless of size, so the
+    * `localThreshold` default never narrows the public contract.
+    */
+  private def isLongPair(df: DataFrame): Boolean =
+    df.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
+
+  /** Bounded driver union-find over a collected pair list (rows are
+    * undirected (a, b) links, one row per pair — no doubled view).
+    * Collected as specialized (Long, Long) tuples, ~32 B/pair on the
+    * driver at the threshold. Union-by-smaller-root with path
     * compression, so every root IS its component's minimum id — the same
     * labelling the distributed fixpoints reach (equivalence spec-pinned
     * on seeded graphs).
     */
-  private def localComponents(edges: DataFrame): DataFrame = {
-    val sp = edges.sparkSession
+  private def localComponents(pairRows: DataFrame): DataFrame = {
+    val sp = pairRows.sparkSession
     import sp.implicits._
     val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
     def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
@@ -261,8 +272,7 @@ object Dedup {
       while (c != r) { val nx = parent.get(c).longValue; parent.put(c, r); c = nx }
       r
     }
-    edges.collect().foreach { row =>
-      val u = row.getLong(0); val v = row.getLong(1)
+    pairRows.as[(Long, Long)].collect().foreach { case (u, v) =>
       add(u); add(v)
       val ru = find(u); val rv = find(v)
       if (ru != rv) {
@@ -304,7 +314,7 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var edgeCount = edges.count()
-    if (edgeCount > 0 && edgeCount <= localThreshold) {
+    if (edgeCount > 0 && edgeCount <= localThreshold && isLongPair(edges)) {
       // small graph: one driver union-find over the materialized
       // checkpoint beats any number of distributed star rounds
       val labels = localComponents(edges)
@@ -440,11 +450,11 @@ object Dedup {
       // BloomFilter.create requires a positive size; the exact path's
       // empty-join result is already the right (empty) answer
       return decontaminate(corpus, benchmark, idCol, textCol, w, maxDf, minHits)
-    val bloom = benchSh.rdd.mapPartitions { it =>
-      val b = org.apache.spark.util.sketch.BloomFilter.create(nBench, fpp)
-      it.foreach(r => b.putString(r.getString(0)))
-      Iterator.single(b)
-    }.treeReduce { (a, b) => a.mergeInPlace(b); a }
+    // putString-compatible with BloomMightContain's mightContainBinary
+    // probe (putString hashes the UTF-8 bytes) — pinned by the
+    // decontaminateBloom == decontaminate equivalence spec, which would
+    // lose planted hits on any false negative
+    val bloom = benchSh.stat.bloomFilter("s", nBench, fpp)
     shingles(corpus, idCol, textCol, w)
       .where(graft.functions.VectorFunctions.bloomMightContain(col("s"), bloom))
       .join(broadcast(benchSh), "s") // exact verify: kills false positives

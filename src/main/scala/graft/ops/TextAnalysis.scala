@@ -21,8 +21,6 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "no"),
     "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "que"))
 
-  private def toks(textCol: Column): Column = split(textCol, " ")
-
   /** Language ID: per-language stopword hit count over token occurrences;
     * argmax with (1) 'und' (undetermined) when no list matches, (2)
     * alphabetical language order as tie-break. Pure projection — no
