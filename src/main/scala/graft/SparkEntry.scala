@@ -205,6 +205,12 @@ object SparkEntry {
     // md5-derived planes / seed centroids are mirrored literally
     "q32_ann_lsh" -> annLshSql,
     "q39_ann_ivf" -> annIvfSql,
+    "q54_ivf_knn_join" -> ivfKnnJoinSql,
+    "q55_exact_size_sample" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+        |  ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) <= 10
+        |ORDER BY doc_id""".stripMargin,
     "q33_langid" ->
       s"""WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
          |sc AS (SELECT doc_id,
@@ -328,6 +334,38 @@ object SparkEntry {
        |           FROM cells, qv WHERE cells.cell IN (SELECT cell FROM probes)
        |           ORDER BY cos_sim DESC, cells.vec_id LIMIT 10)
        |SELECT vec_id, cos_sim FROM ranked ORDER BY vec_id""".stripMargin
+
+  /** q54 oracle: the IVF k-NN join mirrored exactly — same md5-ordered
+    * seed centroids and argmax-cosine assignment as the q39 oracle, every
+    * 100th vector as a query, nProbe=3 probe cells per query by unrounded
+    * cosine (ties to the lower cell — NearestCentroids' rule), exact
+    * rounded-cosine rank within the probed union, top-10 per query.
+    */
+  private def ivfKnnJoinSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
+       |         FROM seeds),
+       |asgn AS (SELECT e.vec_id, e.v, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
+       |         FROM e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, v, cell FROM asgn WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |probes AS (SELECT q_id, qv, cell FROM (
+       |  SELECT q.q_id, q.qv, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${cosSql("c.cv", "q.qv")} DESC, c.cell) AS rn
+       |  FROM q CROSS JOIN cent c) t WHERE rn <= 3),
+       |cand AS (SELECT p.q_id, cells.vec_id,
+       |           ROUND(${cosSql("cells.v", "p.qv")}, 6) AS cos_sim
+       |         FROM cells JOIN probes p ON cells.cell = p.cell),
+       |ranked AS (SELECT q_id, vec_id, cos_sim,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rk FROM cand)
+       |SELECT q_id, vec_id, cos_sim FROM ranked WHERE rk <= 10
+       |ORDER BY q_id, vec_id""".stripMargin
 
   /** q31 oracle: banded random-hyperplane LSH (8 bands × 4 sign bits over
     * md5-derived plane constants — the exact values

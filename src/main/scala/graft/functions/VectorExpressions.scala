@@ -660,6 +660,100 @@ object NgramRepetition {
   }
 }
 
+/** The `nProbe` nearest centroids by cosine (ties to the lower index),
+  * as an array<int> — the multi-cell generalization of [[NearestCentroid]]
+  * that IVF batch probes need: each QUERY row expands to its probe cells
+  * in one zero-shuffle projection, instead of a queries × centroids join
+  * plus a per-query window rank. Same cosine arithmetic as
+  * [[NearestCentroid.nearest]], so assignments and probes can never
+  * disagree about geometry.
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
+                            nProbe: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  require(nProbe >= 1 && nProbe <= centroids.length,
+    s"nProbe must be in [1, ${centroids.length}]: $nProbe")
+
+  import org.apache.spark.sql.types.IntegerType
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_centroids"
+
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCentroids.nearestK(centroids, norms, input.asInstanceOf[ArrayData], nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val nRef = ctx.addReferenceObj("norms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"${ev.value} = org.apache.spark.sql.graft.NearestCentroids.nearestK($cRef, $nRef, $v, $nProbe);"
+    })
+  }
+
+  // same array-content equality rationale as NearestCentroid
+  override def equals(o: Any): Boolean = o match {
+    case NearestCentroids(c, cs, p) =>
+      c == child && p == nProbe && cs.length == centroids.length &&
+        cs.zip(centroids).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + nProbe) +
+      centroids.map(java.util.Arrays.hashCode).toSeq.hashCode()
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
+object NearestCentroids {
+  /** Shared by interpreted eval and codegen: indices of the top-nProbe
+    * centroids by (cosine desc, index asc) — selection sort over the
+    * bounded centroid table (nCells is tens, not thousands).
+    */
+  def nearestK(centroids: Array[Array[Double]], norms: Array[Double],
+               v: ArrayData, nProbe: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    var vnorm = 0.0
+    var j = 0
+    while (j < n) { val x = v.getDouble(j); vnorm += x * x; j += 1 }
+    vnorm = math.sqrt(vnorm)
+    val sims = new Array[Double](centroids.length)
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      val d = math.min(c.length, n)
+      var dot = 0.0
+      var k = 0
+      while (k < d) { dot += c(k) * v.getDouble(k); k += 1 }
+      val denom = norms(i) * vnorm
+      sims(i) = if (denom == 0) 0.0 else dot / denom
+      i += 1
+    }
+    val taken = new Array[Boolean](sims.length)
+    val out = new Array[Any](nProbe)
+    var p = 0
+    while (p < nProbe) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var q = 0
+      while (q < sims.length) {
+        if (!taken(q) && sims(q) > bestSim) { bestSim = sims(q); best = q }
+        q += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Token profile against a family of stopword lists — (n_tokens,
   * n_distinct, hits[i] per list) — in ONE pass over the space-split
   * tokens.
@@ -868,6 +962,10 @@ object VectorBridge {
 
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ExpressionUtils.column(NearestCentroid(ExpressionUtils.expression(vec), centroids))
+
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    ExpressionUtils.column(
+      NearestCentroids(ExpressionUtils.expression(vec), centroids, nProbe))
 
   def tokenStats(text: Column): Column =
     ExpressionUtils.column(TokenStats(ExpressionUtils.expression(text)))

@@ -40,6 +40,12 @@ object VectorFunctions {
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     org.apache.spark.sql.graft.VectorBridge.nearestCentroid(vec, centroids)
 
+  /** The nProbe nearest centroid indices by cosine as array<int> — the
+    * batch-probe twin of [[nearestCentroid]] (backs ivfKnnJoin, q54).
+    */
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    org.apache.spark.sql.graft.VectorBridge.nearestCentroids(vec, centroids, nProbe)
+
   /** Token shape statistics struct (mean_word_len, digit_frac,
     * top_token_share) in one pass — backs qualitySignals (q46).
     */

@@ -57,6 +57,23 @@ object Sampling {
     df.filter(key(col(idCol)) < thr)
   }
 
+  /** EXACTLY `n` rows per stratum (or all of a smaller stratum),
+    * deterministically: rank each stratum's rows by (md5(id), id) — a
+    * uniform, reproducible shuffle order — and keep the first n. The
+    * fixed-size companion to [[stratifiedSample]]'s fixed-rate form
+    * (eval subsets, per-domain caps). One window shuffle on the stratum
+    * key; rank ties are impossible (id is unique).
+    */
+  def exactSizeSample(df: DataFrame, idCol: String, stratumCol: String,
+                      n: Int): DataFrame = {
+    require(n >= 0, s"sample size must be non-negative: $n")
+    df.withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+          .orderBy(key(col(idCol)), col(idCol))))
+      .filter(col("_rk") <= n)
+      .drop("_rk")
+  }
+
   /** Temperature-flattened mixture weights from observed stratum sizes:
     * keep fraction (minCount / count)^(1-temperature) per stratum —
     * temperature 1 keeps everything (natural mixture), temperature 0

@@ -179,6 +179,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN — the k-NN JOIN: top-k corpus neighbours for EVERY query
+    * row, via the same IVF coarse quantizer as [[ivfTopK]]. This is the
+    * embedding-retrieval/dedup primitive at scale: "for each of these M
+    * documents, find its k nearest in the 100 TB corpus" as ONE job
+    * instead of M point queries.
+    *
+    * Shape: seed centroids are one bounded driver fetch (nCells rows);
+    * corpus cell assignment and per-query probe selection are both
+    * zero-shuffle projections ([[graft.functions.VectorFunctions
+    * .nearestCentroid]] / `.nearestCentroids` — the probe list explodes
+    * to nProbe rows per query, no queries × centroids join); then one
+    * equi-join on the cell key and one per-query window for the top-k.
+    * Each (query, doc) pair arises at most once (a doc has ONE cell).
+    * Scanned fraction ≈ nProbe/nCells per query. Deterministic end to
+    * end — the DuckDB oracle mirrors it exactly (q54).
+    */
+  def ivfKnnJoin(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String,
+                 qIdCol: String, qVecCol: String,
+                 k: Int, nCells: Int = 16, nProbe: Int = 3,
+                 scale: Int = 6): DataFrame = {
+    val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    val centroids: Array[Array[Double]] = e
+      .select(col(idCol).as("_id"), col("_v"), md5(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("_id"))
+      .limit(nCells)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val corpusCells = e.withColumn("_cell",
+      graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids))
+    val probed = queries
+      .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_probe", explode(
+        graft.functions.VectorFunctions.nearestCentroids(col("_qv"), centroids, nProbe)))
+    corpusCells.join(probed, col("_cell") === col("_probe"))
+      .select(col("q_id"), col(idCol),
+        round(cosine(col("_v"), col("_qv")), scale).as("cos_sim"))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col(idCol))))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** Driver-side probe selection: the `nProbe` cells whose centroids are
     * nearest the query by cosine — over a table bounded at nCells rows.
     */

@@ -180,6 +180,26 @@ object Extensions {
     TextAnalysis.repetitionSignals(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  // q54 IVF k-NN JOIN: top-10 corpus neighbours for every 100th vector —
+  // batch ANN as one job (cell equi-join + per-query window), the
+  // embedding retrieval/dedup primitive. Deterministic → hash-checked.
+  val q54_ivf_knn_join: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    Similarity.ivfKnnJoin(
+        emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, nCells = 16, nProbe = 3)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
+  // q55 exact-size stratified sample: deterministically exactly 10 docs
+  // per source (md5-rank order) — fixed-size eval subsets per domain.
+  val q55_exact_size_sample: Q = (s, d) =>
+    Sampling.exactSizeSample(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", n = 10)
+      .orderBy(col("doc_id"))
+
   // q53 dedup keep-list: q42's clusters resolved to keep/drop per doc —
   // the highest-quality member of each near-dup cluster survives (ties
   // to the lowest id). The end-to-end dedup decision: pairs → clusters →
@@ -271,5 +291,7 @@ object Extensions {
     "q50_bloom_decontaminate" -> q50_bloom_decontaminate,
     "q51_repetition_signals" -> q51_repetition_signals,
     "q52_pack" -> q52_pack,
-    "q53_dedup_keep" -> q53_dedup_keep)
+    "q53_dedup_keep" -> q53_dedup_keep,
+    "q54_ivf_knn_join" -> q54_ivf_knn_join,
+    "q55_exact_size_sample" -> q55_exact_size_sample)
 }

@@ -230,6 +230,27 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("NearestCentroids == per-row top-k argsort; head agrees with NearestCentroid") {
+    val centroids = Array.fill(6)(vec())
+    val vecs = List.fill(40)(vec())
+    val fast = vecs.map(Tuple1(_)).toDF("v").select(
+        VectorFunctions.nearestCentroids(col("v"), centroids, 3).as("p"),
+        VectorFunctions.nearestCentroid(col("v"), centroids).as("c"))
+      .as[(Seq[Int], Int)].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (d == 0) 0.0 else dot / d
+    }
+    vecs.zip(fast).foreach { case (v, (probes, top1)) =>
+      val ref = centroids.zipWithIndex
+        .map { case (c, i) => (i, cos(v, c)) }
+        .sortBy { case (i, s) => (-s, i) }.take(3).map(_._1).toSeq
+      assert(probes == ref, s"probe order mismatch for $v")
+      assert(probes.head == top1, "first probe must be the argmax cell")
+    }
+  }
+
   test("NearestCentroid == per-row argmax over the centroid table") {
     val centroids = Array.fill(4)(vec())
     val vecs = List.fill(40)(vec())

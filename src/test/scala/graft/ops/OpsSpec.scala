@@ -258,6 +258,40 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("exactSizeSample: exactly n per stratum, small strata whole, repartition-stable") {
+    val df = spark.range(900)
+      .select(col("id").as("doc_id"),
+        concat(lit("g"), (col("id") % 3).cast("string")).as("g"))
+      .union(Seq((9000L, "tiny"), (9001L, "tiny")).toDF("doc_id", "g"))
+    val out = Sampling.exactSizeSample(df, "doc_id", "g", 25)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(out == Map("g0" -> 25L, "g1" -> 25L, "g2" -> 25L, "tiny" -> 2L),
+      s"got $out")
+    val a = Sampling.exactSizeSample(df, "doc_id", "g", 25)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.exactSizeSample(df.repartition(11), "doc_id", "g", 25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "md5-rank selection must not depend on partitioning")
+  }
+
+  test("ivfKnnJoin: self is each query's top hit; k and probe bounds hold") {
+    val rng = new scala.util.Random(31)
+    def vec(): Seq[Double] = Seq.fill(16)(rng.nextDouble() - 0.5)
+    val corpus = (0L until 120L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 40 === 0)
+    val out = graft.ops.Similarity.ivfKnnJoin(corpus, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, nCells = 8, nProbe = 3)
+      .as[(Long, Long, Double)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 40L, 80L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 5, s"query $q must get exactly k rows")
+      val top = rows.maxBy(r => (r._3, -r._2))
+      assert(top._2 == q && top._3 == 1.0,
+        s"query $q's own vector must rank first: $rows")
+    }
+  }
+
   test("temperatureFracs: t=1 natural, t=0 balanced to the smallest stratum") {
     val df = (Seq.fill(800)("big") ++ Seq.fill(200)("mid") ++ Seq.fill(50)("small"))
       .toDF("src")
