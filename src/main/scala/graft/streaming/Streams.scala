@@ -73,6 +73,22 @@ object Streams {
       .dropDuplicatesWithinWatermark(Seq("_fp"))
       .drop("_fp")
 
+  /** Streaming decontamination screen — the streaming twin of
+    * [[graft.ops.Dedup.decontaminateBloom]]'s prefilter: drop any
+    * arriving document that shares a w-gram shingle with the benchmark
+    * Bloom filter. STATELESS (the filter is a driver-built reference
+    * object shipped once), so it composes with any stream unchanged; as
+    * with the batch form, Bloom false positives (rate `fpp`) may drop a
+    * clean doc — the conservative direction for eval hygiene. Docs too
+    * short to have a shingle pass (no overlap evidence).
+    */
+  def decontaminateScreen(docs: DataFrame, textCol: String,
+                          bloom: org.apache.spark.util.sketch.BloomFilter,
+                          w: Int = 3): DataFrame =
+    docs.where(col(textCol).isNull || !exists(
+      graft.functions.VectorFunctions.wordShingles(col(textCol), w),
+      s => graft.functions.VectorFunctions.bloomMightContain(s, bloom)))
+
   /** Event-time tumbling-window aggregation with late-data handling.
     * Watermark bounds state: at 100 TB of events/day the state store holds
     * only windows within the watermark horizon.

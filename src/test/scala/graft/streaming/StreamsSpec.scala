@@ -372,6 +372,32 @@ class StreamsSpec extends SparkSpec {
       s"streamed near-identical neighbors must dominate top-5, got $got")
   }
 
+  test("decontaminateScreen drops benchmark-overlapping docs from a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val benchText = "alpha beta gamma delta epsilon zeta"
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    // the benchmark's 3-gram shingles, same tokenization as the operator
+    benchText.split(" ").sliding(3).foreach(g => bloom.putString(g.mkString(" ")))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.decontaminateScreen(
+        mem.toDF().toDF("doc_id", "text"), "text", bloom)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "prefix words then alpha beta gamma copied from the benchmark"),
+        (2L, "совершенно чистый документ без общих отрезков"),
+        (3L, "clean text with no benchmark overlap at all"),
+        (4L, "al"), // too short for any shingle: passes
+        (5L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("decon_stream").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L, 5L),
+      s"contaminated doc 1 must be screened out, got $kept")
+  }
+
   test("stratifiedSample runs unchanged on a stream (stateless md5 filter)") {
     // mixture sampling is a pure deterministic filter, so the SAME
     // operator screens a firehose with zero state — and batch/stream
