@@ -206,6 +206,7 @@ object SparkEntry {
     "q32_ann_lsh" -> annLshSql,
     "q39_ann_ivf" -> annIvfSql,
     "q54_ivf_knn_join" -> ivfKnnJoinSql,
+    "q56_lsh_knn_join" -> lshKnnJoinSql,
     "q55_exact_size_sample" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY source
@@ -334,6 +335,39 @@ object SparkEntry {
        |           FROM cells, qv WHERE cells.cell IN (SELECT cell FROM probes)
        |           ORDER BY cos_sim DESC, cells.vec_id LIMIT 10)
        |SELECT vec_id, cos_sim FROM ranked ORDER BY vec_id""".stripMargin
+
+  /** q56 oracle: the LSH k-NN join mirrored exactly — q32's plane
+    * literals (band 0, 6 bits), every 100th vector as a query, each
+    * probing its bucket + 6 hamming-1 flips, rounded-cosine rank within
+    * the probed union, top-10 per query.
+    */
+  private def lshKnnJoinSql: String = {
+    import org.apache.spark.sql.graft.RandomHyperplanes
+    val dim = 64; val nBits = 6
+    val bitExprs = (0 until nBits).map { p =>
+      val plane = (0 until dim).map(j => RandomHyperplanes.component(p, j))
+      s"(CASE WHEN list_dot_product(v, [${plane.mkString(",")}]) >= 0 THEN '1' ELSE '0' END)"
+    }
+    // single-line arms (see annLshSql: '|' is the stripMargin marker)
+    val flips = (1 to nBits).map { i =>
+      val pre = if (i == 1) "''" else s"SUBSTRING(bk, 1, ${i - 1})"
+      val post = if (i == nBits) "''" else s"SUBSTRING(bk, ${i + 1}, ${nBits - i})"
+      s"SELECT q_id, qv, $pre || (CASE WHEN SUBSTRING(bk, $i, 1) = '1' THEN '0' ELSE '1' END) || $post AS pb FROM qb"
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bitExprs.mkString(" || ")} AS bk FROM e),
+       |qb AS (SELECT vec_id AS q_id, v AS qv, bk FROM b WHERE vec_id % 100 = 0),
+       |probes AS (SELECT q_id, qv, bk AS pb FROM qb
+       |  UNION ALL ${flips.mkString("\n  UNION ALL ")}),
+       |cand AS (SELECT p.q_id, b.vec_id,
+       |           ROUND(${cosSql("b.v", "p.qv")}, 6) AS cos_sim
+       |         FROM b JOIN probes p ON b.bk = p.pb),
+       |ranked AS (SELECT q_id, vec_id, cos_sim,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rk FROM cand)
+       |SELECT q_id, vec_id, cos_sim FROM ranked WHERE rk <= 10
+       |ORDER BY q_id, vec_id""".stripMargin
+  }
 
   /** q54 oracle: the IVF k-NN join mirrored exactly — same md5-ordered
     * seed centroids and argmax-cosine assignment as the q39 oracle, every

@@ -179,6 +179,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN via LSH — the hyperplane-bucket twin of [[ivfKnnJoin]]:
+    * top-k corpus neighbours for every query row, each query probing its
+    * own bucket plus the `nBits` hamming-1 neighbours. Probe expansion is
+    * a projection (explode of nBits+1 computed strings, q_id carried),
+    * then ONE equi-join on the bucket key and a per-query window. Each
+    * (query, doc) pair arises at most once (a doc has one bucket; a
+    * query's probes are distinct). Scanned fraction ≈ (nBits+1)/2^nBits
+    * per query. Deterministic (md5-derived planes) → hash-checked (q56).
+    */
+  def lshKnnJoin(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String,
+                 qIdCol: String, qVecCol: String,
+                 k: Int, dim: Int, nBits: Int = 6,
+                 multiProbe: Boolean = true, scale: Int = 6): DataFrame = {
+    val bucketed = lshBuckets(corpus, idCol, vecCol, dim, nBits)
+    val qb = queries
+      .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_qb", lshBucket(col("_qv"), dim, nBits))
+    val probeCols = col("_qb") +: (if (multiProbe) (1 to nBits).map { i =>
+      concat(
+        substring(col("_qb"), 1, i - 1),
+        when(substring(col("_qb"), i, 1) === "1", "0").otherwise("1"),
+        substring(col("_qb"), i + 1, nBits - i))
+    } else Nil)
+    val probed = qb.select(col("q_id"), col("_qv"),
+      explode(array(probeCols: _*)).as("_pb"))
+    bucketed.join(probed, col("bucket") === col("_pb"))
+      .select(col("q_id"), col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col(idCol))))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** Batch ANN — the k-NN JOIN: top-k corpus neighbours for EVERY query
     * row, via the same IVF coarse quantizer as [[ivfTopK]]. This is the
     * embedding-retrieval/dedup primitive at scale: "for each of these M
@@ -328,6 +364,42 @@ object Similarity {
       .withColumn("bucket",
         concat(lit("b"), lshBucket(asDouble(col(vecCol)), dim, nBits)))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
+
+  /** Batch probes against a persisted LSH index ([[buildLshIndex]]):
+    * the k-NN join where the corpus side is the bucket-partitioned
+    * layout. Probe buckets are computed per query as a projection and
+    * BROADCAST into the join, so the scan side prunes partition
+    * directories via dynamic partition pruning — the non-probed fraction
+    * of the index is never read, per batch, without any driver-side
+    * probe enumeration. The standing-corpus form of [[lshKnnJoin]].
+    */
+  def lshIndexKnnJoin(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String, vecCol: String,
+                      queries: DataFrame, qIdCol: String, qVecCol: String,
+                      k: Int, dim: Int, nBits: Int = 8,
+                      multiProbe: Boolean = true, scale: Int = 6): DataFrame = {
+    val qb = queries
+      .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_qb", lshBucket(col("_qv"), dim, nBits))
+    val probeCols = col("_qb") +: (if (multiProbe) (1 to nBits).map { i =>
+      concat(
+        substring(col("_qb"), 1, i - 1),
+        when(substring(col("_qb"), i, 1) === "1", "0").otherwise("1"),
+        substring(col("_qb"), i + 1, nBits - i))
+    } else Nil)
+    val probed = qb.select(col("q_id"), col("_qv"),
+        explode(array(probeCols: _*)).as("_p0"))
+      .select(col("q_id"), col("_qv"), concat(lit("b"), col("_p0")).as("_pb"))
+    spark.read.parquet(s"$path/data")
+      .join(broadcast(probed), col("bucket") === col("_pb"))
+      .select(col("q_id"), col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col(idCol))))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
 
   /** ANN top-k over a persisted LSH index: the query's bucket (and its
     * hamming-1 neighbors when `multiProbe`) are computed on the DRIVER

@@ -192,6 +192,17 @@ object Extensions {
       .orderBy(col("q_id"), col("vec_id"))
   }
 
+  // q56 LSH k-NN JOIN: the hyperplane-bucket twin of q54 — every 100th
+  // vector probes its bucket + hamming-1 neighbours in one equi-join.
+  val q56_lsh_knn_join: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    Similarity.lshKnnJoin(
+        emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, dim = 64, nBits = 6)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
   // q55 exact-size stratified sample: deterministically exactly 10 docs
   // per source (md5-rank order) — fixed-size eval subsets per domain.
   val q55_exact_size_sample: Q = (s, d) =>
@@ -293,5 +304,6 @@ object Extensions {
     "q52_pack" -> q52_pack,
     "q53_dedup_keep" -> q53_dedup_keep,
     "q54_ivf_knn_join" -> q54_ivf_knn_join,
-    "q55_exact_size_sample" -> q55_exact_size_sample)
+    "q55_exact_size_sample" -> q55_exact_size_sample,
+    "q56_lsh_knn_join" -> q56_lsh_knn_join)
 }

@@ -102,6 +102,36 @@ class IndexLayoutSpec extends SparkSpec {
       s"PartitionFilters must prune to nBits+1 buckets, got $probes in:\n$plan")
   }
 
+  test("LSH index batch k-NN join: per-query hits via dynamic partition pruning") {
+    val dir = tmpDir("graft_lshknn_")
+    Similarity.buildLshIndex(emb, "vec_id", "embedding", dir, dim = dim, nBits = 6)
+    // three query vectors straight from the corpus: each must find itself.
+    // The query side must be FILE-backed with a surviving Filter node: a
+    // local Seq collapses to a LocalRelation (filters constant-folded),
+    // and Spark's PartitionPruning rule requires a selective predicate on
+    // the probe side before it inserts the pruning subquery.
+    emb.write.mode("overwrite").parquet(s"$dir/queries_src")
+    val queries = spark.read.parquet(s"$dir/queries_src")
+      .filter(col("vec_id").isin(0L, 50L, 150L))
+    val df = Similarity.lshIndexKnnJoin(spark, dir, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, dim = dim, nBits = 6)
+    val rows = df.as[(Long, Long, Double)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 50L, 150L))
+    byQ.foreach { case (q, rs) =>
+      val top = rs.maxBy(r => (r._3, -r._2))
+      assert(top._2 == q && top._3 == 1.0, s"query $q must find itself first: $rs")
+    }
+    // query 0's planted neighbours dominate its top-5
+    assert((byQ(0L).map(_._2).toSet - 0L).subsetOf((1L to 10L).toSet))
+    // the probe side is broadcast and the bucket is the partition key, so
+    // the scan must carry a dynamic-pruning predicate: the non-probed
+    // partition directories of the index are never read
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"index scan must be dynamically partition-pruned:\n$plan")
+  }
+
   test("ivfTopK setup is one driver job (seed sample + query vector unioned)") {
     val sc = spark.sparkContext
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
