@@ -192,6 +192,47 @@ object Streams {
       .start()
   }
 
+  /** Running token offset per shard for [[packStream]]. */
+  case class PackState(offset: Long)
+  case class PackOut(doc_id: Long, shard: String, n_tokens: Long,
+                     start_off: Long, seq_first: Long, seq_last: Long)
+
+  /** Continuous sequence packing — the streaming twin of
+    * [[graft.ops.Packing.pack]]: each shard keeps a running token offset
+    * in the state store, and every arriving document is assigned its
+    * stream offset and spanned seqLen-chunk range on the spot. State is
+    * O(1) per shard and shards are bounded (sources/splits), so no
+    * timeout/eviction is needed. Docs are processed in doc-id order
+    * WITHIN a micro-batch; across batches offsets follow arrival order —
+    * the inherent streaming contract (a deterministic feed yields
+    * deterministic offsets, pinned against the batch twin in the spec).
+    */
+  def packStream(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                 seqLen: Int): org.apache.spark.sql.Dataset[PackOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("shard").cast("string").as("shard"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard, it, state) =>
+          var off = state.getOption.map(_.offset).getOrElse(0L)
+          val out = it.toIndexedSeq.sortBy(_._1).map { case (id, _, n) =>
+            val start = off
+            off += n
+            PackOut(id, shard, n, start, start / seqLen,
+              math.max(start, off - 1) / seqLen)
+          }
+          state.update(PackState(off))
+          out.iterator
+      }
+  }
+
   /** One session interval carried in the state store: [start, lastTs] in
     * epoch millis plus the running aggregates.
     */

@@ -372,6 +372,35 @@ class StreamsSpec extends SparkSpec {
       s"streamed near-identical neighbors must dominate top-5, got $got")
   }
 
+  test("packStream: offsets continue across micro-batches and match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val out = Streams.packStream(spark,
+      mem.toDF().toDF("doc_id", "shard", "n_tokens"), seqLen = 256)
+    val q = out.writeStream.format("memory").queryName("pack_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: shard A fills 600 tokens, shard B 10
+      mem.addData((1L, "A", 300L), (2L, "A", 300L), (10L, "B", 10L))
+      q.processAllAvailable()
+      // batch 2: offsets must CONTINUE from the held state
+      mem.addData((3L, "A", 100L), (11L, "B", 250L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("pack_stream")
+      .select("doc_id", "start_off", "seq_first", "seq_last")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // identical to the batch twin fed the same docs in id order
+    val batch = graft.ops.Packing.pack(
+        Seq((1L, "A", 300L), (2L, "A", 300L), (3L, "A", 100L),
+            (10L, "B", 10L), (11L, "B", 250L)).toDF("doc_id", "shard", "n"),
+        "doc_id", "n", "shard", seqLen = 256)
+      .select("doc_id", "start_off", "seq_first", "seq_last")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows == batch,
+      s"streaming offsets must match the batch layout; got $rows vs $batch")
+  }
+
   test("decontaminateScreen drops benchmark-overlapping docs from a stream") {
     implicit val sqlCtx = spark.sqlContext
     val benchText = "alpha beta gamma delta epsilon zeta"
