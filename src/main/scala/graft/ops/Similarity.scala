@@ -208,11 +208,10 @@ object Similarity {
     bucketed.join(probed, col("bucket") === col("_pb"))
       .select(col("q_id"), col(idCol),
         round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
-      .withColumn("_rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
-          .orderBy(col("cos_sim").desc, col(idCol))))
-      .filter(col("_rk") <= k)
-      .drop("_rk")
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col(idCol), col("cos_sim")).as("_top"))
+      .select(col("q_id"), explode(col("_top")).as("_e"))
+      .select(col("q_id"), col("_e._1").as(idCol), col("_e._2").as("cos_sim"))
   }
 
   /** Batch ANN — the k-NN JOIN: top-k corpus neighbours for EVERY query
@@ -252,11 +251,10 @@ object Similarity {
     corpusCells.join(probed, col("_cell") === col("_probe"))
       .select(col("q_id"), col(idCol),
         round(cosine(col("_v"), col("_qv")), scale).as("cos_sim"))
-      .withColumn("_rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
-          .orderBy(col("cos_sim").desc, col(idCol))))
-      .filter(col("_rk") <= k)
-      .drop("_rk")
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col(idCol), col("cos_sim")).as("_top"))
+      .select(col("q_id"), explode(col("_top")).as("_e"))
+      .select(col("q_id"), col("_e._1").as(idCol), col("_e._2").as("cos_sim"))
   }
 
   /** Driver-side probe selection: the `nProbe` cells whose centroids are
@@ -394,11 +392,10 @@ object Similarity {
       .join(broadcast(probed), col("bucket") === col("_pb"))
       .select(col("q_id"), col(idCol),
         round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
-      .withColumn("_rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
-          .orderBy(col("cos_sim").desc, col(idCol))))
-      .filter(col("_rk") <= k)
-      .drop("_rk")
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col(idCol), col("cos_sim")).as("_top"))
+      .select(col("q_id"), explode(col("_top")).as("_e"))
+      .select(col("q_id"), col("_e._1").as(idCol), col("_e._2").as("cos_sim"))
   }
 
   /** ANN top-k over a persisted LSH index: the query's bucket (and its

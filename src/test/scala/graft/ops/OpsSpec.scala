@@ -290,6 +290,15 @@ class OpsSpec extends SparkSpec {
       assert(top._2 == q && top._3 == 1.0,
         s"query $q's own vector must rank first: $rows")
     }
+    // the rank is a map-side-combined bounded aggregation, NOT a window:
+    // a window would shuffle+sort EVERY probed candidate per query, the
+    // aggregator ships at most k rows per (query × partition)
+    val plan = graft.ops.Similarity.ivfKnnJoin(corpus, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, nCells = 8, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"top-k must aggregate, not window:\n$plan")
+    assert(!plan.contains("Window"), s"no window rank expected:\n$plan")
   }
 
   test("temperatureFracs: t=1 natural, t=0 balanced to the smallest stratum") {
