@@ -49,10 +49,43 @@ class TopKAgg(k: Int) extends Aggregator[(Long, Double), TopKBuf, Seq[(Long, Dou
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
 }
 
+/** The n lexicographically-smallest string keys per group — the bounded
+  * rank behind [[graft.ops.Sampling.exactSizeSample]]: ranking md5-hex
+  * keys keeps it generic over the underlying id type (any id hashes to
+  * the same 32-char string space).
+  */
+case class MinNBuf(entries: Seq[String])
+
+class MinNAgg(n: Int) extends Aggregator[String, MinNBuf, Seq[String]] {
+  require(n >= 1, s"n must be positive: $n")
+
+  override def zero: MinNBuf = MinNBuf(Seq.empty)
+
+  override def reduce(b: MinNBuf, key: String): MinNBuf =
+    if (key == null) b
+    else if (b.entries.size >= n && key >= b.entries.last) b
+    else MinNBuf((b.entries :+ key).sorted.take(n))
+
+  override def merge(a: MinNBuf, b: MinNBuf): MinNBuf =
+    if (a.entries.isEmpty) b
+    else if (b.entries.isEmpty) a
+    else MinNBuf((a.entries ++ b.entries).sorted.take(n))
+
+  override def finish(b: MinNBuf): Seq[String] = b.entries
+
+  override def bufferEncoder: Encoder[MinNBuf] = Encoders.product[MinNBuf]
+  override def outputEncoder: Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+}
+
 object TopKAgg {
   /** top-k of (id, score) rows as array<struct<_1: id, _2: score>>,
     * sorted by (score desc, id asc).
     */
   def topK(k: Int)(id: Column, score: Column): Column =
     org.apache.spark.sql.functions.udaf(new TopKAgg(k)).apply(id, score)
+
+  /** n smallest string keys per group, ascending. */
+  def minN(n: Int)(key: Column): Column =
+    org.apache.spark.sql.functions.udaf(new MinNAgg(n)).apply(key)
 }

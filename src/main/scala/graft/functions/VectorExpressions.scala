@@ -739,11 +739,17 @@ object NearestCentroids {
     val out = new Array[Any](nProbe)
     var p = 0
     while (p < nProbe) {
+      // `best == -1` seed (not a bare `>` against -Inf): a NaN component
+      // makes every sim NaN and no comparison fires — degrade to
+      // first-untaken, like NearestCentroid's best=0 seed, instead of
+      // indexing with -1
       var best = -1
       var bestSim = Double.NegativeInfinity
       var q = 0
       while (q < sims.length) {
-        if (!taken(q) && sims(q) > bestSim) { bestSim = sims(q); best = q }
+        if (!taken(q) && (best == -1 || sims(q) > bestSim)) {
+          bestSim = sims(q); best = q
+        }
         q += 1
       }
       taken(best) = true

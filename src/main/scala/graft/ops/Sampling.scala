@@ -58,20 +58,32 @@ object Sampling {
   }
 
   /** EXACTLY `n` rows per stratum (or all of a smaller stratum),
-    * deterministically: rank each stratum's rows by (md5(id), id) — a
-    * uniform, reproducible shuffle order — and keep the first n. The
+    * deterministically: each stratum keeps the rows whose md5(id) keys
+    * are its n smallest — a uniform, reproducible shuffle order. The
     * fixed-size companion to [[stratifiedSample]]'s fixed-rate form
-    * (eval subsets, per-domain caps). One window shuffle on the stratum
-    * key; rank ties are impossible (id is unique).
+    * (eval subsets, per-domain caps).
+    *
+    * Ranked with the bounded [[graft.functions.MinNAgg]] aggregation,
+    * NOT a window: a window would shuffle and sort the ENTIRE corpus
+    * per stratum to discard all but n rows, where the aggregator's
+    * map-side combine ships at most n keys per (stratum × partition).
+    * The picked key set is n × strata rows — broadcast-sized by
+    * construction — so the semi-join back adds no corpus shuffle
+    * either. Ranking the md5-hex key (unique per unique id) keeps the
+    * operator generic over the id type.
     */
   def exactSizeSample(df: DataFrame, idCol: String, stratumCol: String,
                       n: Int): DataFrame = {
     require(n >= 0, s"sample size must be non-negative: $n")
-    df.withColumn("_rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
-          .orderBy(key(col(idCol)), col(idCol))))
-      .filter(col("_rk") <= n)
-      .drop("_rk")
+    if (n == 0) return df.limit(0)
+    val picked = df
+      .select(col(stratumCol).as("_s"), key(col(idCol)).as("_k"))
+      .groupBy(col("_s"))
+      .agg(graft.functions.TopKAgg.minN(n)(col("_k")).as("_ks"))
+      .select(col("_s"), explode(col("_ks")).as("_k"))
+    df.join(broadcast(picked),
+      col(stratumCol) === col("_s") && key(col(idCol)) === col("_k"),
+      "left_semi")
   }
 
   /** Temperature-flattened mixture weights from observed stratum sizes:

@@ -179,39 +179,77 @@ object Similarity {
       .limit(k)
   }
 
-  /** Batch ANN via LSH — the hyperplane-bucket twin of [[ivfKnnJoin]]:
-    * top-k corpus neighbours for every query row, each query probing its
-    * own bucket plus the `nBits` hamming-1 neighbours. Probe expansion is
-    * a projection (explode of nBits+1 computed strings, q_id carried),
-    * then ONE equi-join on the bucket key and a per-query window. Each
-    * (query, doc) pair arises at most once (a doc has one bucket; a
-    * query's probes are distinct). Scanned fraction ≈ (nBits+1)/2^nBits
-    * per query. Deterministic (md5-derived planes) → hash-checked (q56).
+  /** Shared k-NN-join plumbing. The id column must be integral: the
+    * bounded [[graft.functions.TopKAgg]] rank buffers bigint ids, and a
+    * silent string→bigint cast would null ids (or fail under ANSI) —
+    * fail fast with the reason instead.
     */
-  def lshKnnJoin(corpus: DataFrame, queries: DataFrame,
-                 idCol: String, vecCol: String,
-                 qIdCol: String, qVecCol: String,
-                 k: Int, dim: Int, nBits: Int = 6,
-                 multiProbe: Boolean = true, scale: Int = 6): DataFrame = {
-    val bucketed = lshBuckets(corpus, idCol, vecCol, dim, nBits)
-    val qb = queries
-      .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
-      .withColumn("_qb", lshBucket(col("_qv"), dim, nBits))
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op needs an integral id column (the bounded top-k rank carries bigint ids); " +
+        s"'$idCol' is $dt")
+  }
+
+  /** Each query row fanned out to its probe buckets — its own plus (when
+    * `multiProbe`) the nBits hamming-1 flips — with q_id carried. Input:
+    * (q_id, _qv, _qb); output one (q_id, _qv, _pb) row per probe.
+    */
+  private def hammingProbesPerQuery(qb: DataFrame, nBits: Int,
+                                    multiProbe: Boolean): DataFrame = {
     val probeCols = col("_qb") +: (if (multiProbe) (1 to nBits).map { i =>
       concat(
         substring(col("_qb"), 1, i - 1),
         when(substring(col("_qb"), i, 1) === "1", "0").otherwise("1"),
         substring(col("_qb"), i + 1, nBits - i))
     } else Nil)
-    val probed = qb.select(col("q_id"), col("_qv"),
-      explode(array(probeCols: _*)).as("_pb"))
-    bucketed.join(probed, col("bucket") === col("_pb"))
-      .select(col("q_id"), col(idCol),
-        round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
-      .groupBy(col("q_id"))
+    qb.select(col("q_id"), col("_qv"), explode(array(probeCols: _*)).as("_pb"))
+  }
+
+  /** Bounded per-query top-k over (q_id, idCol, cos_sim) candidates —
+    * map-side-combined [[graft.functions.TopKAgg]], never a window (a
+    * window would shuffle and sort every candidate).
+    */
+  private def topKPerQuery(cand: DataFrame, idCol: String, k: Int): DataFrame =
+    cand.groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg.topK(k)(col(idCol), col("cos_sim")).as("_top"))
       .select(col("q_id"), explode(col("_top")).as("_e"))
       .select(col("q_id"), col("_e._1").as(idCol), col("_e._2").as("cos_sim"))
+
+  /** Batch ANN via LSH — the hyperplane-bucket twin of [[ivfKnnJoin]]:
+    * top-k corpus neighbours for every query row, each query probing its
+    * own bucket plus the `nBits` hamming-1 neighbours. Probe expansion is
+    * a projection (explode of nBits+1 computed strings, q_id carried),
+    * then ONE equi-join on the bucket key and a bounded per-query top-k
+    * aggregation. Each (query, doc) pair arises at most once (a doc has
+    * one bucket; a query's probes are distinct). Scanned fraction ≈
+    * (nBits+1)/2^nBits per query. Deterministic (md5-derived planes) →
+    * hash-checked (q56).
+    *
+    * `broadcastQueries` (default true — the typical queries ≪ corpus
+    * case) pins the probe side as the broadcast build so the CORPUS side
+    * never shuffles; set false for huge query sets, where a two-sided
+    * shuffle on the bucket key is the correct plan.
+    */
+  def lshKnnJoin(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String,
+                 qIdCol: String, qVecCol: String,
+                 k: Int, dim: Int, nBits: Int = 6,
+                 multiProbe: Boolean = true, scale: Int = 6,
+                 broadcastQueries: Boolean = true): DataFrame = {
+    requireIntegralId(corpus, idCol, "lshKnnJoin")
+    val bucketed = lshBuckets(corpus, idCol, vecCol, dim, nBits)
+    val qb = queries
+      .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_qb", lshBucket(col("_qv"), dim, nBits))
+    val probed = hammingProbesPerQuery(qb, nBits, multiProbe)
+    val probeSide = if (broadcastQueries) broadcast(probed) else probed
+    topKPerQuery(
+      bucketed.join(probeSide, col("bucket") === col("_pb"))
+        .select(col("q_id"), col(idCol),
+          round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim")),
+      idCol, k)
   }
 
   /** Batch ANN — the k-NN JOIN: top-k corpus neighbours for EVERY query
@@ -225,16 +263,18 @@ object Similarity {
     * zero-shuffle projections ([[graft.functions.VectorFunctions
     * .nearestCentroid]] / `.nearestCentroids` — the probe list explodes
     * to nProbe rows per query, no queries × centroids join); then one
-    * equi-join on the cell key and one per-query window for the top-k.
+    * equi-join on the cell key and a bounded per-query top-k aggregation.
     * Each (query, doc) pair arises at most once (a doc has ONE cell).
     * Scanned fraction ≈ nProbe/nCells per query. Deterministic end to
     * end — the DuckDB oracle mirrors it exactly (q54).
+    * `broadcastQueries` as in [[lshKnnJoin]].
     */
   def ivfKnnJoin(corpus: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String,
                  qIdCol: String, qVecCol: String,
                  k: Int, nCells: Int = 16, nProbe: Int = 3,
-                 scale: Int = 6): DataFrame = {
+                 scale: Int = 6, broadcastQueries: Boolean = true): DataFrame = {
+    requireIntegralId(corpus, idCol, "ivfKnnJoin")
     val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("_v"))
     val centroids: Array[Array[Double]] = e
       .select(col(idCol).as("_id"), col("_v"), md5(col(idCol).cast("string")).as("_h"))
@@ -248,13 +288,12 @@ object Similarity {
       .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
       .withColumn("_probe", explode(
         graft.functions.VectorFunctions.nearestCentroids(col("_qv"), centroids, nProbe)))
-    corpusCells.join(probed, col("_cell") === col("_probe"))
-      .select(col("q_id"), col(idCol),
-        round(cosine(col("_v"), col("_qv")), scale).as("cos_sim"))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopKAgg.topK(k)(col(idCol), col("cos_sim")).as("_top"))
-      .select(col("q_id"), explode(col("_top")).as("_e"))
-      .select(col("q_id"), col("_e._1").as(idCol), col("_e._2").as("cos_sim"))
+    val probeSide = if (broadcastQueries) broadcast(probed) else probed
+    topKPerQuery(
+      corpusCells.join(probeSide, col("_cell") === col("_probe"))
+        .select(col("q_id"), col(idCol),
+          round(cosine(col("_v"), col("_qv")), scale).as("cos_sim")),
+      idCol, k)
   }
 
   /** Driver-side probe selection: the `nProbe` cells whose centroids are
@@ -379,23 +418,18 @@ object Similarity {
     val qb = queries
       .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
       .withColumn("_qb", lshBucket(col("_qv"), dim, nBits))
-    val probeCols = col("_qb") +: (if (multiProbe) (1 to nBits).map { i =>
-      concat(
-        substring(col("_qb"), 1, i - 1),
-        when(substring(col("_qb"), i, 1) === "1", "0").otherwise("1"),
-        substring(col("_qb"), i + 1, nBits - i))
-    } else Nil)
-    val probed = qb.select(col("q_id"), col("_qv"),
-        explode(array(probeCols: _*)).as("_p0"))
-      .select(col("q_id"), col("_qv"), concat(lit("b"), col("_p0")).as("_pb"))
-    spark.read.parquet(s"$path/data")
-      .join(broadcast(probed), col("bucket") === col("_pb"))
-      .select(col("q_id"), col(idCol),
-        round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopKAgg.topK(k)(col(idCol), col("cos_sim")).as("_top"))
-      .select(col("q_id"), explode(col("_top")).as("_e"))
-      .select(col("q_id"), col("_e._1").as(idCol), col("_e._2").as("cos_sim"))
+    // the on-disk partition values carry the 'b' prefix (anti type
+    // inference); broadcast is mandatory here — it is what lets the scan
+    // prune partitions dynamically
+    val probed = hammingProbesPerQuery(qb, nBits, multiProbe)
+      .select(col("q_id"), col("_qv"), concat(lit("b"), col("_pb")).as("_pb"))
+    val index = spark.read.parquet(s"$path/data")
+    requireIntegralId(index, idCol, "lshIndexKnnJoin")
+    topKPerQuery(
+      index.join(broadcast(probed), col("bucket") === col("_pb"))
+        .select(col("q_id"), col(idCol),
+          round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim")),
+      idCol, k)
   }
 
   /** ANN top-k over a persisted LSH index: the query's bucket (and its

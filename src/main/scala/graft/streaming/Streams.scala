@@ -225,8 +225,11 @@ object Streams {
           val out = it.toIndexedSeq.sortBy(_._1).map { case (id, _, n) =>
             val start = off
             off += n
-            PackOut(id, shard, n, start, start / seqLen,
-              math.max(start, off - 1) / seqLen)
+            // floorDiv, and (end-1) for the last chunk — the exact batch
+            // twin arithmetic (Packing.pack), including zero-token docs
+            // (empty span: seq_last < seq_first)
+            PackOut(id, shard, n, start, Math.floorDiv(start, seqLen),
+              Math.floorDiv(off - 1, seqLen))
           }
           state.update(PackState(off))
           out.iterator

@@ -383,8 +383,9 @@ class StreamsSpec extends SparkSpec {
       // batch 1: shard A fills 600 tokens, shard B 10
       mem.addData((1L, "A", 300L), (2L, "A", 300L), (10L, "B", 10L))
       q.processAllAvailable()
-      // batch 2: offsets must CONTINUE from the held state
-      mem.addData((3L, "A", 100L), (11L, "B", 250L))
+      // batch 2: offsets must CONTINUE from the held state; doc 4 is a
+      // ZERO-token doc (empty span — seq_last < seq_first in both twins)
+      mem.addData((3L, "A", 100L), (4L, "A", 0L), (11L, "B", 250L))
       q.processAllAvailable()
     } finally q.stop()
     val rows = spark.table("pack_stream")
@@ -392,7 +393,7 @@ class StreamsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     // identical to the batch twin fed the same docs in id order
     val batch = graft.ops.Packing.pack(
-        Seq((1L, "A", 300L), (2L, "A", 300L), (3L, "A", 100L),
+        Seq((1L, "A", 300L), (2L, "A", 300L), (3L, "A", 100L), (4L, "A", 0L),
             (10L, "B", 10L), (11L, "B", 250L)).toDF("doc_id", "shard", "n"),
         "doc_id", "n", "shard", seqLen = 256)
       .select("doc_id", "start_off", "seq_first", "seq_last")
