@@ -83,20 +83,30 @@ object Dedup {
     * the join, as a window — no extra shuffle.
     */
   def lshCandidates(sig: DataFrame, k: Int, bands: Int,
-                    maxBucket: Int = 1000): DataFrame = {
+                    maxBucket: Int = 1000): DataFrame =
+    candidatesFromBandKeys(bandKeys(sig, k, bands), maxBucket)
+
+  /** The (doc_id, band, h) band-key rows of a k-minhash signature table —
+    * the projection [[buildTextIndex]] persists.
+    */
+  def bandKeys(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
         md5(concat_ws("", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("h"))
     }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+  }
+
+  /** Candidate pairs from (doc_id, band, h) band-key rows. */
+  def candidatesFromBandKeys(keys: DataFrame, maxBucket: Int = 1000): DataFrame = {
     // The explicit repartition on the join keys makes both self-join
     // branches share ONE exchange (ReusedExchange): the whole
     // shingle→minhash→band chain is computed once, and the join needs no
     // further shuffle since the partitioning already matches.
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
-      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val banded = keys
       .repartition(col("band"), col("h"))
       .withColumn("_bn",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -397,6 +407,48 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
+  }
+
+  /** Persist the text-dedup preprocessing — the standing-corpus form of
+    * [[minHashLsh]], extending the persisted-index story (IVF/LSH vector
+    * layouts) to the TEXT family. Two tables under `path`:
+    *
+    *   `sets/`  — (doc_id, set, n): distinct shingle sets (the verify
+    *              side), so re-runs never re-tokenize the corpus;
+    *   `bands/` — (doc_id, band, h): banded minhash keys, partitioned by
+    *              band, so candidate mining reads fixed-width keys only
+    *              and a single band can be (re)processed alone.
+    *
+    * At 100 TB the tokenize+md5 pass IS the dominant CPU of every dedup
+    * run; a pipeline that clusters (q41/q42), picks representatives
+    * (q53) and re-screens with different thresholds pays it once here
+    * instead of per query. Deterministic (md5 minhash), so an index
+    * rebuild reproduces itself bit-for-bit.
+    */
+  def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, w: Int = 3, k: Int = 8,
+                     bands: Int = 4): Unit = {
+    val sets = shingleSets(docs, idCol, textCol, w)
+    sets.write.mode("overwrite").parquet(s"$path/sets")
+    bandKeys(minHashSignatures(sets, k), k, bands)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+  }
+
+  /** [[minHashLsh]] served from a [[buildTextIndex]] layout: same output
+    * (pair-identical, same oracle), zero re-tokenization — candidate
+    * mining reads `bands/`, the exact-Jaccard verify reads `sets/`.
+    * `threshold`/`maxBucket` are probe-time parameters: re-screening at a
+    * different strictness is a re-read, not a rebuild.
+    */
+  def minHashLshFromIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, threshold: Double = 0.5,
+                          maxBucket: Int = 1000): DataFrame = {
+    val sets = spark.read.parquet(s"$path/sets").repartition(col("doc_id"))
+    val cand = candidatesFromBandKeys(
+      spark.read.parquet(s"$path/bands"), maxBucket)
+    jaccardForPairs(sets, cand)
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
   }
 
   /** Keep-list materialization — the step that turns near-dup CLUSTERS

@@ -132,6 +132,33 @@ class IndexLayoutSpec extends SparkSpec {
       s"index scan must be dynamically partition-pruned:\n$plan")
   }
 
+  test("text-dedup index: pairs from the layout == direct minHashLsh; re-screen without rebuild") {
+    val rng2 = new scala.util.Random(77)
+    def doc(): String = List.fill(25)(('a' + rng2.nextInt(8)).toChar.toString
+      * (rng2.nextInt(2) + 1)).mkString(" ")
+    val base = (1L to 30L).map(i => (i, doc()))
+    // planted near-dups: shared prefix, small tail edits
+    val dups = base.take(5).map { case (i, t) =>
+      (i + 100, t.split(" ").dropRight(2).mkString(" ") + " zz qq") }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val dir = tmpDir("graft_textidx_")
+    Dedup.buildTextIndex(docs, "doc_id", "text", dir)
+    // band-partitioned on disk: single-band reprocessing is file pruning
+    val bandDirs = new java.io.File(s"$dir/bands").list().filter(_.startsWith("band="))
+    assert(bandDirs.sorted.toSeq == Seq("band=0", "band=1", "band=2", "band=3"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val direct = canon(Dedup.minHashLsh(docs, "doc_id", "text"))
+    val indexed = canon(Dedup.minHashLshFromIndex(spark, dir))
+    assert(indexed == direct, "index-served pairs must equal the direct pipeline")
+    assert(direct.nonEmpty, "planted near-dups must surface")
+    // probe-time strictness: a looser threshold is a re-read, not a rebuild,
+    // and still equals the direct pipeline at that threshold
+    val loose = canon(Dedup.minHashLshFromIndex(spark, dir, threshold = 0.2))
+    assert(loose == canon(Dedup.minHashLsh(docs, "doc_id", "text", threshold = 0.2)))
+    assert(loose.size >= direct.size)
+  }
+
   test("ivfTopK setup is one driver job (seed sample + query vector unioned)") {
     val sc = spark.sparkContext
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
