@@ -206,6 +206,10 @@ object SparkEntry {
     "q32_ann_lsh" -> annLshSql,
     "q39_ann_ivf" -> annIvfSql,
     "q54_ivf_knn_join" -> ivfKnnJoinSql,
+    // q57 serves the SAME retrieval from the persisted cell-partitioned
+    // index (seed centroids identical by construction) — one oracle
+    // shape, in-query and standing-index formulations both hash-checked
+    "q57_ivf_index_knn_join" -> ivfKnnJoinSql,
     "q56_lsh_knn_join" -> lshKnnJoinSql,
     "q55_exact_size_sample" ->
       """SELECT doc_id, source FROM documents

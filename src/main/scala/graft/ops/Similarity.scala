@@ -402,13 +402,48 @@ object Similarity {
         concat(lit("b"), lshBucket(asDouble(col(vecCol)), dim, nBits)))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
 
+  /** Dynamic-partition-pruning self-repair for the persisted-index k-NN
+    * joins. Spark's PartitionPruning rule inserts the pruning subquery
+    * only when the probe side is a file-backed scan with a surviving
+    * selective Filter: a `Seq(...).toDF` probe set collapses to a
+    * LocalRelation (its filters constant-fold away) and the index scan
+    * would silently read EVERY partition directory — correct, but the
+    * opposite of what the layout is for. So: build the join, and if the
+    * optimized plan carries no DynamicPruningSubquery, enumerate the
+    * distinct probe keys on the driver (bounded: ≤ queries ×
+    * probes-per-query, capped at `maxEnum`) and pin them as a static
+    * `isin` on the partition column — the same directory pruning, as
+    * PartitionFilters instead of dynamicpruning. Above the cap the join
+    * is returned as-is (still correct): a probe set that large should be
+    * file-backed, which is exactly the case DPP already handles.
+    */
+  private def repairPartitionPruning(
+      index: DataFrame, partCol: String,
+      probed: DataFrame, probeCol: String,
+      join: DataFrame => DataFrame, maxEnum: Int = 4096): DataFrame = {
+    val candidate = join(index)
+    val pruned = candidate.queryExecution.optimizedPlan.exists(p =>
+      p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery])))
+    if (pruned) candidate
+    else {
+      val keys = probed.select(col(probeCol)).distinct()
+        .limit(maxEnum + 1).collect().map(_.get(0))
+      if (keys.length > maxEnum) candidate
+      else join(index.filter(col(partCol).isin(keys.toIndexedSeq: _*)))
+    }
+  }
+
   /** Batch probes against a persisted LSH index ([[buildLshIndex]]):
     * the k-NN join where the corpus side is the bucket-partitioned
     * layout. Probe buckets are computed per query as a projection and
     * BROADCAST into the join, so the scan side prunes partition
     * directories via dynamic partition pruning — the non-probed fraction
     * of the index is never read, per batch, without any driver-side
-    * probe enumeration. The standing-corpus form of [[lshKnnJoin]].
+    * probe enumeration. When the probe side cannot trigger DPP (e.g. a
+    * local in-memory query set) the pruning self-repairs to a static
+    * probe IN-list ([[repairPartitionPruning]]). The standing-corpus
+    * form of [[lshKnnJoin]].
     */
   def lshIndexKnnJoin(spark: org.apache.spark.sql.SparkSession, path: String,
                       idCol: String, vecCol: String,
@@ -425,11 +460,47 @@ object Similarity {
       .select(col("q_id"), col("_qv"), concat(lit("b"), col("_pb")).as("_pb"))
     val index = spark.read.parquet(s"$path/data")
     requireIntegralId(index, idCol, "lshIndexKnnJoin")
-    topKPerQuery(
-      index.join(broadcast(probed), col("bucket") === col("_pb"))
+    def joinWith(idx: DataFrame): DataFrame =
+      idx.join(broadcast(probed), col("bucket") === col("_pb"))
         .select(col("q_id"), col(idCol),
-          round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim")),
-      idCol, k)
+          round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
+    topKPerQuery(
+      repairPartitionPruning(index, "bucket", probed, "_pb", joinWith), idCol, k)
+  }
+
+  /** Batch probes against a persisted IVF index ([[buildIvfIndex]]): the
+    * cell-partitioned twin of [[lshIndexKnnJoin]], serving [[ivfKnnJoin]]
+    * (q54)'s shape from the standing layout. Centroids are ONE bounded
+    * driver fetch (nCells rows from `path/centroids`); per-query probe
+    * cells are a zero-shuffle projection ([[graft.functions
+    * .VectorFunctions.nearestCentroids]] exploded, q_id carried); then
+    * ONE equi-join on the `cell` partition column with the probe side
+    * broadcast, so the index scan prunes non-probed cell directories via
+    * dynamic partition pruning — per batch, only ≈ nProbe/nCells of the
+    * data on disk is read. Non-file-backed probe sides self-repair to a
+    * static cell IN-list ([[repairPartitionPruning]]). Bounded
+    * per-query top-k via [[graft.functions.TopKAgg]] — never a window.
+    */
+  def ivfIndexKnnJoin(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String, vecCol: String,
+                      queries: DataFrame, qIdCol: String, qVecCol: String,
+                      k: Int, nProbe: Int = 3, scale: Int = 6): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid")).collect() // bounded: nCells rows
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val probed = queries
+      .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_probe", explode(
+        graft.functions.VectorFunctions.nearestCentroids(col("_qv"), cents, nProbe)))
+    val index = spark.read.parquet(s"$path/data")
+    requireIntegralId(index, idCol, "ivfIndexKnnJoin")
+    def joinWith(idx: DataFrame): DataFrame =
+      idx.join(broadcast(probed), col("cell") === col("_probe"))
+        .select(col("q_id"), col(idCol),
+          round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
+    topKPerQuery(
+      repairPartitionPruning(index, "cell", probed, "_probe", joinWith), idCol, k)
   }
 
   /** ANN top-k over a persisted LSH index: the query's bucket (and its

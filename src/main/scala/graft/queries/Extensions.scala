@@ -203,6 +203,27 @@ object Extensions {
       .orderBy(col("q_id"), col("vec_id"))
   }
 
+  // q57 IVF INDEX k-NN join: q54's batch retrieval served from the
+  // PERSISTED cell-partitioned layout — the standing-corpus form. The
+  // index is built once per corpus dir (memoized: in a real pipeline the
+  // layout is an input, not per-query work) with the same md5-ordered
+  // seed centroids as q54, so the probe results hash-check against q54's
+  // oracle verbatim. The index scan prunes non-probed cell directories
+  // (DPP, or the self-repaired static IN-list).
+  private val ivfIndexDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q57_ivf_index_knn_join: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val dir = ivfIndexDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_q57_ivfidx_").toString
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", p, nCells = 16)
+      p
+    })
+    Similarity.ivfIndexKnnJoin(s, dir, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10, nProbe = 3)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
   // q55 exact-size stratified sample: deterministically exactly 10 docs
   // per source (md5-rank order) — fixed-size eval subsets per domain.
   val q55_exact_size_sample: Q = (s, d) =>
@@ -305,5 +326,6 @@ object Extensions {
     "q53_dedup_keep" -> q53_dedup_keep,
     "q54_ivf_knn_join" -> q54_ivf_knn_join,
     "q55_exact_size_sample" -> q55_exact_size_sample,
-    "q56_lsh_knn_join" -> q56_lsh_knn_join)
+    "q56_lsh_knn_join" -> q56_lsh_knn_join,
+    "q57_ivf_index_knn_join" -> q57_ivf_index_knn_join)
 }

@@ -132,6 +132,67 @@ class IndexLayoutSpec extends SparkSpec {
       s"index scan must be dynamically partition-pruned:\n$plan")
   }
 
+  test("IVF index batch k-NN join: per-query hits via dynamic partition pruning") {
+    val dir = tmpDir("graft_ivfknn_")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCells = 16)
+    // file-backed query side with a surviving Filter — the DPP-eligible
+    // shape (same contract as the LSH join above)
+    emb.write.mode("overwrite").parquet(s"$dir/queries_src")
+    val queries = spark.read.parquet(s"$dir/queries_src")
+      .filter(col("vec_id").isin(0L, 50L, 150L))
+    val df = Similarity.ivfIndexKnnJoin(spark, dir, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nProbe = 4)
+    val rows = df.as[(Long, Long, Double)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 50L, 150L))
+    byQ.foreach { case (q, rs) =>
+      val top = rs.maxBy(r => (r._3, -r._2))
+      assert(top._2 == q && top._3 == 1.0, s"query $q must find itself first: $rs")
+    }
+    // query 0's planted neighbours dominate its top-5
+    assert((byQ(0L).map(_._2).toSet - 0L).subsetOf((1L to 10L).toSet))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"index scan must be dynamically partition-pruned:\n$plan")
+  }
+
+  test("index k-NN joins self-repair pruning for a local (non-file) probe side") {
+    val dir = tmpDir("graft_repair_")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCells = 16)
+    Similarity.buildLshIndex(emb, "vec_id", "embedding", s"$dir/lsh", dim = dim, nBits = 6)
+    // emb IS a Seq.toDF — a LocalRelation; its filter constant-folds, so
+    // Spark's PartitionPruning rule can never fire. The join must fall
+    // back to a driver-enumerated static IN-list on the partition column
+    // (bounded: queries × probes), not silently scan every directory.
+    val localQueries = emb.filter(col("vec_id").isin(0L, 50L, 150L))
+    // the enumerated IN-list renders as `col INSET v1, v2, ...` (and is
+    // truncated by toString past ~25 values), so pin membership, not count
+    // — boundedness (≤ queries × probes keys) is the collect's limit()
+    def pinnedPartitionFilter(plan: String, key: String): Boolean =
+      ("PartitionFilters: \\[[^\\]]*" + key + "#\\d+ IN").r.findFirstIn(plan).nonEmpty
+    val ivf = Similarity.ivfIndexKnnJoin(spark, dir, "vec_id", "embedding",
+      localQueries, "vec_id", "embedding", k = 5, nProbe = 4)
+    val ivfPlan = ivf.queryExecution.executedPlan.toString
+    assert(pinnedPartitionFilter(ivfPlan, "cell"),
+      s"repaired IVF join must pin probe cells in PartitionFilters:\n$ivfPlan")
+    val lsh = Similarity.lshIndexKnnJoin(spark, s"$dir/lsh", "vec_id", "embedding",
+      localQueries, "vec_id", "embedding", k = 5, dim = dim, nBits = 6)
+    val lshPlan = lsh.queryExecution.executedPlan.toString
+    assert(pinnedPartitionFilter(lshPlan, "bucket"),
+      s"repaired LSH join must pin probe buckets in PartitionFilters:\n$lshPlan")
+    // repair changes the pruning mechanism, never the result: equal to the
+    // file-backed (DPP) path on the same queries
+    emb.write.mode("overwrite").parquet(s"$dir/queries_src")
+    val fileQueries = spark.read.parquet(s"$dir/queries_src")
+      .filter(col("vec_id").isin(0L, 50L, 150L))
+    def canonKnn(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    assert(canonKnn(ivf) == canonKnn(Similarity.ivfIndexKnnJoin(spark, dir,
+      "vec_id", "embedding", fileQueries, "vec_id", "embedding", k = 5, nProbe = 4)))
+    assert(canonKnn(lsh) == canonKnn(Similarity.lshIndexKnnJoin(spark, s"$dir/lsh",
+      "vec_id", "embedding", fileQueries, "vec_id", "embedding", k = 5, dim = dim, nBits = 6)))
+  }
+
   test("text-dedup index: pairs from the layout == direct minHashLsh; re-screen without rebuild") {
     val rng2 = new scala.util.Random(77)
     def doc(): String = List.fill(25)(('a' + rng2.nextInt(8)).toChar.toString
