@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * Image payloads decode for REAL through JDK ImageIO ([[ImageDecoder]]:
   * PNG/JPEG/GIF/BMP — the formats the JDK ships codecs for; header-only
-  * reads, so metadata extraction never pays full pixel decode). Audio and
-  * video payloads, and bytes no installed reader recognises, fall back to
-  * the clearly-marked [[StubDecoder]] — this container ships no AV
-  * codecs. Swap the stub for a codec (e.g. JavaCV) without touching the
-  * pipeline: the contract is bytes-in, metadata-out.
+  * reads, so metadata extraction never pays full pixel decode). Audio
+  * payloads decode for real too: WAV/PCM headers parse with JDK-only
+  * `javax.sound.sampled` ([[AudioDecoder]] — duration, channels, sample
+  * rate; no codec jar involved). Video payloads, and bytes no installed
+  * reader recognises, fall back to the clearly-marked [[StubDecoder]] —
+  * this container ships no video codecs. Swap the stub for a codec (e.g.
+  * JavaCV) without touching the pipeline: the contract is bytes-in,
+  * metadata-out.
   *
   * Scale notes: decode is embarrassingly parallel; `mapPartitions` keeps
   * codec init per-partition (not per-row). Binary payloads should live in
@@ -59,6 +62,46 @@ object Multimodal {
       }
   }
 
+  case class AudioMeta(doc_id: Long, duration_ms: Long, channels: Long,
+                       sample_rate: Long, bits_per_sample: Long, encoding: String)
+
+  /** Real audio header parsing via JDK `javax.sound.sampled` — no codec
+    * jar needed for RIFF/WAVE (PCM, A-law, μ-law): `AudioSystem
+    * .getAudioFileFormat` reads ONLY the header, never the sample data.
+    * Magic-byte sniff first (`RIFF....WAVE`) so non-audio payloads never
+    * pay a reader probe, mirroring [[ImageDecoder]].
+    */
+  object AudioDecoder {
+    def isWav(p: Array[Byte]): Boolean =
+      p.length >= 12 &&
+        p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+    /** Full header parse. None when the bytes are not a readable WAV. */
+    def decodeFull(payload: Array[Byte]): Option[AudioMeta] =
+      if (!isWav(payload)) None
+      else try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength.toLong
+        val durationMs =
+          if (frames >= 0 && fmt.getFrameRate > 0)
+            math.round(frames * 1000.0 / fmt.getFrameRate)
+          else -1L
+        Some(AudioMeta(-1L, durationMs, fmt.getChannels.toLong,
+          math.round(fmt.getSampleRate.toDouble),
+          fmt.getSampleSizeInBits.toLong, fmt.getEncoding.toString))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+
+    /** The decode-chain slot: (duration ms, channels, "wav"). */
+    def decode(payload: Array[Byte]): Option[(Long, Long, String)] =
+      decodeFull(payload).map(m => (m.duration_ms, m.channels, "wav"))
+  }
+
   /** SPI for pluggable audio/video decoders (same reflection pattern as
     * [[graft.transform.TransformModule]]): a codec jar implements this
     * with a no-arg constructor and is injected by CLASS NAME — the name
@@ -72,9 +115,10 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic arithmetic on payload size standing in
-    * for the audio/video decode this container cannot ship (no AV codecs
-    * offline). The terminal fallback of the decode chain; inject a real
-    * [[MediaDecoder]] to take its place for recognised payloads.
+    * for the VIDEO decode this container cannot ship (no video codecs
+    * offline; images decode via ImageIO, WAV audio via javax.sound). The
+    * terminal fallback of the decode chain; inject a real [[MediaDecoder]]
+    * to take its place for recognised payloads.
     */
   object StubDecoder {
     def decode(payload: Array[Byte]): (Long, Long, String) = {
@@ -88,14 +132,15 @@ object Multimodal {
       .newInstance().asInstanceOf[MediaDecoder]
 
   /** Bytes-in, metadata-out: real ImageIO decode for recognised image
-    * payloads, then the injected decoder (if any), then the stub. A
-    * throwing plugin decoder (corrupt payload behind recognised magic
-    * bytes — the same failure class the ImageIO path guards) falls
-    * through instead of failing the job.
+    * payloads, then JDK WAV header parsing, then the injected decoder
+    * (if any), then the stub. A throwing plugin decoder (corrupt payload
+    * behind recognised magic bytes — the same failure class the ImageIO
+    * path guards) falls through instead of failing the job.
     */
   def decodeMeta(payload: Array[Byte],
                  custom: Option[MediaDecoder] = None): (Long, Long, String) =
     ImageDecoder.decode(payload)
+      .orElse(AudioDecoder.decode(payload))
       .orElse(custom.flatMap { d =>
         try d.decode(payload)
         catch { case scala.util.control.NonFatal(_) => None }
@@ -170,6 +215,26 @@ object Multimodal {
     * expensive and must never be built per row (ImageIO's reader registry
     * is JVM-global, so the image path needs none).
     */
+  /** Typed audio-metadata extraction: WAV payloads yield the full header
+    * (duration/channels/sample rate/bit depth/encoding); anything else
+    * yields encoding 'unknown' with -1 fields, preserving row identity so
+    * the caller can filter or join back. Same partition-local shape as
+    * [[extractMeta]] — header parse only, one narrow stage, no shuffle.
+    */
+  def extractAudioMeta(spark: SparkSession,
+                       withPayload: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          AudioDecoder.decodeFull(bytes)
+            .map(_.copy(doc_id = id))
+            .getOrElse(AudioMeta(id, -1L, -1L, -1L, -1L, "unknown"))
+        }
+      }
+  }
+
   def extractMeta(spark: SparkSession, withPayload: DataFrame,
                   decoderClass: Option[String] = None): Dataset[MediaMeta] = {
     import spark.implicits._

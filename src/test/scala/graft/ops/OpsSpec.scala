@@ -153,6 +153,37 @@ class OpsSpec extends SparkSpec {
     assert(plain(1L) == "stub")
   }
 
+  test("multimodal: synthetic WAV decodes via the default path (JDK javax.sound, no stub)") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    // 0.5 s of silence: 16-bit PCM mono @ 8000 Hz
+    def wav(sampleRate: Float, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    val docs = Seq(
+      (1L, wav(8000f, 1, 4000)),                  // 500 ms mono
+      (2L, wav(44100f, 2, 44100)),                // 1 s stereo
+      (3L, "not audio at all".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    // the generic decode chain recognises WAV without any injection
+    val metas = Multimodal.extractMeta(spark, docs).collect()
+      .map(m => m.doc_id -> ((m.width, m.height, m.format))).toMap
+    assert(metas(1L) == ((500L, 1L, "wav")), "duration ms + channels via javax.sound")
+    assert(metas(2L) == ((1000L, 2L, "wav")))
+    assert(metas(3L)._3 == "stub", "non-audio still falls to the stub")
+    // the typed form carries the full header
+    val full = Multimodal.extractAudioMeta(spark, docs).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(full(1L) == Multimodal.AudioMeta(1L, 500L, 1L, 8000L, 16L, "PCM_SIGNED"))
+    assert(full(2L) == Multimodal.AudioMeta(2L, 1000L, 2L, 44100L, 16L, "PCM_SIGNED"))
+    assert(full(3L).encoding == "unknown" && full(3L).sample_rate == -1L)
+  }
+
   test("deterministic sampling: repartition-stable, growth-stable, fractions honored") {
     val df = spark.range(2000).toDF("doc_id")
     val s1 = Sampling.sample(df, "doc_id", 0.25).select("doc_id").as[Long].collect().toSet
