@@ -1,7 +1,9 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, Literal}
 import org.apache.spark.sql.classic.SparkSession
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Registers the graft extension expressions in a session's SQL function
   * registry, so the engine's primary surface — SQL pushed through the
@@ -51,6 +53,34 @@ object GraftSqlFunctions {
     v
   }
 
+  /** Word-list argument for `graft_token_profile`: either a string literal
+    * naming a built-in stopword list (`'en'`, `'de'`, …) or an
+    * `array('w1', 'w2', …)` of string literals for a custom list. Lists
+    * parameterize the expression object (codegen reference HashSets), so —
+    * like the integer shape arguments — they must be literal at analysis
+    * time, with the same fail-fast contract.
+    */
+  private def stringListArg(fn: String, args: Seq[Expression], pos: Int): Seq[String] =
+    args(pos) match {
+      case Literal(s: UTF8String, StringType) =>
+        val key = s.toString
+        graft.ops.TextAnalysis.stopwords.getOrElse(key,
+          throw new IllegalArgumentException(
+            s"$fn: unknown stopword list '$key' (argument ${pos + 1}); " +
+              s"built-ins: ${graft.ops.TextAnalysis.stopwords.keys.toSeq.sorted.mkString(", ")} " +
+              "— or pass a custom list as array('w1', 'w2', ...)"))
+      case CreateArray(children, _) if children.nonEmpty =>
+        children.map {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"$fn: argument ${pos + 1} must be an array of string literals, " +
+              s"found non-literal element $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a string literal naming a built-in " +
+          s"stopword list or an array of string literals, got $other")
+    }
+
   /** name → builder for every SQL-exposed extension function. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> { args =>
@@ -98,6 +128,18 @@ object GraftSqlFunctions {
     "graft_token_counts" -> { args =>
       arity("graft_token_counts", args, 1)
       TokenCountsExpr(args(0))
+    },
+    // graft_token_profile(text, listRef, ...) — one pass over the token
+    // stream yielding (n_tokens, n_distinct, hits[i] per list); the SQL
+    // form of q33/q34's projection. Each listRef is 'en'/'de'/… (built-in)
+    // or array('w1','w2',...) (custom).
+    "graft_token_profile" -> { args =>
+      if (args.length < 2)
+        throw new IllegalArgumentException(
+          s"graft_token_profile expects at least 2 arguments " +
+            s"(text, list, ...), got ${args.length}")
+      TokenProfile(args(0),
+        (1 until args.length).map(stringListArg("graft_token_profile", args, _)))
     })
 
   /** Idempotent per-session registration (temp functions live in the

@@ -111,6 +111,78 @@ class SqlRegistrySpec extends SparkSpec {
     }
   }
 
+  test("graft_token_profile from SQL: built-in lists + custom array, agreeing with typed API") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq((1, "the cat and the dog"), (2, "der hund und die katze"), (3, "xyzzy"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tp_docs")
+    // built-in list names — the q33 multi-language one-pass shape
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_token_profile(text, 'de', 'en') AS p
+        |FROM tp_docs ORDER BY doc_id""".stripMargin).collect()
+    val typed = docs
+      .select(col("doc_id"), VectorFunctions.tokenProfile(col("text"),
+        Seq(graft.ops.TextAnalysis.stopwords("de"),
+          graft.ops.TextAnalysis.stopwords("en"))).as("p"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(_.toString).toSeq == typed.map(_.toString).toSeq)
+    // custom array('w1','w2',...) list
+    val custom = spark.sql(
+      "SELECT graft_token_profile('aa bb aa cc', array('aa', 'cc')).hits AS h").head()
+    assert(custom.getSeq[Long](0) == Seq(3L))
+  }
+
+  test("graft_token_profile list arguments validated at analysis time") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_token_profile('x', 'klingon')").head()
+    }
+    assert(e.getMessage.contains("unknown stopword list"),
+      s"unexpected error: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_token_profile('x')").head()
+    }
+    assert(e2.getMessage.contains("at least 2"), s"unexpected error: ${e2.getMessage}")
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_token_profile('x', 42)").head()
+    }
+    assert(e3.getMessage.contains("string literal"), s"unexpected error: ${e3.getMessage}")
+  }
+
+  test("db-csv task: pushed SQL reproduces q34's one-pass quality form via graft_token_profile") {
+    val wd = tmpDir("graft_sqlreg_tp_")
+    Seq("input", "output", "log").foreach(d => Files.createDirectories(Paths.get(s"$wd/$d")))
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW tp_task_docs AS
+        |SELECT * FROM VALUES
+        |  (1, 'the quick brown fox jumps over the lazy dog and runs'),
+        |  (2, 'aa aa aa aa'),
+        |  (3, 'one of the best ways to learn is to teach it')
+        |AS t(doc_id, text)
+        |""".stripMargin)
+    val taskFile = s"$wd/task.json"
+    // the q34 projection, expressed entirely in pushed SQL over the
+    // one-pass profile struct (reference surface: task source = engine SQL)
+    Files.writeString(Paths.get(taskFile),
+      """{"connections": [{"name": "cat", "driver": "Spark"}],
+        | "tasks": [{
+        |  "type": "db-csv", "name": "quality",
+        |  "source": {"connection": "cat",
+        |             "command": "SELECT doc_id, p.n_tokens AS n_tokens, round(0.4 * least(1.0, p.n_tokens / 25.0) + 0.4 * (cast(p.n_distinct AS double) / p.n_tokens) + 0.2 * (cast(p.hits[0] AS double) / p.n_tokens), 4) AS quality FROM (SELECT doc_id, graft_token_profile(text, 'en') AS p FROM tp_task_docs) ORDER BY doc_id"},
+        |  "target": {"file": "quality.csv", "truncate": true, "delimiter": ","}
+        |}]}""".stripMargin)
+    TaskRunner.runFile(taskFile, spark, wd, TaskLog.Silent)
+    val lines = Files.readString(Paths.get(s"$wd/output/quality.csv"))
+      .trim.linesIterator.toList
+    assert(lines.head == "doc_id,n_tokens,quality")
+    // oracle: the typed q34 operator on the same rows
+    val expected = graft.ops.TextAnalysis
+      .qualityScore(spark.table("tp_task_docs"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => s"${r.get(0)},${r.get(1)},${r.get(2)}")
+    assert(lines.tail == expected.toList)
+  }
+
   test("db-csv task: internal-catalog source SQL calls extension functions") {
     val wd = tmpDir("graft_sqlreg_")
     Seq("input", "output", "log").foreach(d => Files.createDirectories(Paths.get(s"$wd/$d")))
