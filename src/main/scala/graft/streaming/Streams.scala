@@ -192,6 +192,46 @@ object Streams {
       .start()
   }
 
+  /** Continuously maintain a persisted TEXT-dedup index built by
+    * [[graft.ops.Dedup.buildTextIndex]] — the streaming member of the
+    * index-sink family (LSH/IVF vector sinks above): each arriving
+    * document pays its tokenize+md5 pass ONCE, in-flight, and lands as
+    *
+    *   `sets/`  — its distinct shingle set (the exact-Jaccard verify side)
+    *   `bands/` — its banded minhash keys, into the same band partitions
+    *
+    * so [[graft.ops.Dedup.minHashLshFromIndex]] probes see new documents
+    * as soon as their batch commits, with zero corpus re-tokenization.
+    * `w`/`k`/`bands` must match the values the batch builder used —
+    * minhash keys are deterministic functions of them, so a mismatch
+    * would silently partition streamed docs away from the batch corpus.
+    * Docs with no shingles (null/too-short text) are refused at the door,
+    * matching the batch builder. Appends run through `foreachBatch` like
+    * the vector sinks (the parquet file sink's `_spark_metadata` log
+    * would hide the batch-built corpus from later reads); replayed
+    * micro-batches are at-least-once — a duplicate (doc_id, band, h) row
+    * only re-proposes an existing candidate pair, which the candidate
+    * `distinct()` collapses.
+    */
+  def textIndexSink(stream: DataFrame, idCol: String, textCol: String,
+                    path: String, checkpoint: String, w: Int = 3, k: Int = 8,
+                    bands: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // one tokenize pass serves both tables — the index's whole point
+        val sets = graft.ops.Dedup.shingleSets(batch, idCol, textCol, w).persist()
+        try {
+          sets.write.mode("append").parquet(s"$path/sets")
+          graft.ops.Dedup.bandKeys(
+              graft.ops.Dedup.minHashSignatures(sets, k), k, bands)
+            .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+        } finally sets.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** Running token offset per shard for [[packStream]]. */
   case class PackState(offset: Long)
   case class PackOut(doc_id: Long, shard: String, n_tokens: Long,

@@ -372,6 +372,49 @@ class StreamsSpec extends SparkSpec {
       s"streamed near-identical neighbors must dominate top-5, got $got")
   }
 
+  test("streaming text-index sink: streamed docs pair with the batch corpus, no re-tokenization") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely unrelated text about parquet file formats and shuffles"),
+      (3L, "another distinct document mentioning catalyst rules and codegen"))
+    val dir = tmpDir("graft_textsink_")
+    graft.ops.Dedup.buildTextIndex(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    // stream in a near-duplicate of doc 1, an unrelated doc, and a
+    // null-text doc (must be refused at the door like the batch builder)
+    val nearDup = base.replace("today", "tonight")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.textIndexSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, s"$dir/ckpt")
+    try {
+      mem.addData((100L, nearDup), (101L, "fresh stream-only content here"),
+        (102L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the appended sets join the batch corpus; null-text doc dropped
+    val setIds = spark.read.parquet(s"$dir/sets")
+      .select("doc_id").as[Long].collect().toSet
+    assert(setIds == Set(1L, 2L, 3L, 100L, 101L),
+      s"streamed docs must land in sets/ and null text must be refused, got $setIds")
+    // probes served from the index alone find the cross-population pair
+    val pairs = graft.ops.Dedup.minHashLshFromIndex(spark, dir, threshold = 0.3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 100L)),
+      s"streamed near-dup must pair with the batch-built corpus, got $pairs")
+    // pair-identical to an index rebuilt from scratch over the union —
+    // the streamed appends ARE the index, not an approximation of it
+    val dir2 = tmpDir("graft_textsink_full_")
+    graft.ops.Dedup.buildTextIndex(
+      (corpus ++ Seq((100L, nearDup), (101L, "fresh stream-only content here")))
+        .toDF("doc_id", "text"), "doc_id", "text", dir2)
+    val full = graft.ops.Dedup.minHashLshFromIndex(spark, dir2, threshold = 0.3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs == full,
+      s"streamed index must be pair-identical to a from-scratch build: $pairs vs $full")
+  }
+
   test("packStream: offsets continue across micro-batches and match the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]
