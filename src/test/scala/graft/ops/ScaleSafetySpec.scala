@@ -193,6 +193,51 @@ class ScaleSafetySpec extends SparkSpec {
       s"IVF scan must not shuffle:\n$plan")
   }
 
+  test("k-NN joins with broadcastQueries=false: shuffle-join plan, results identical to broadcast path") {
+    // The default (broadcastQueries=true) pins the probe side as the
+    // broadcast build — right when queries ≪ corpus. Flip it false when
+    // the query set is itself too large to broadcast (e.g. corpus-vs-
+    // corpus dedup): the correct plan is then a two-sided shuffle on the
+    // bucket/cell key — and must never degrade to a BNLJ or broadcast
+    // the CORPUS side.
+    val dim = 16
+    val corpus = (0 until 120).map(i => (i.toLong, randVec(dim))).toDF("vec_id", "embedding")
+    val queries = (0 until 15).map(i => (1000L + i, randVec(dim))).toDF("q_id", "q_vec")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double)].collect().toSet
+      val cases = Seq(
+        "lsh" -> ((bq: Boolean) => Similarity.lshKnnJoin(corpus, queries,
+          "vec_id", "embedding", "q_id", "q_vec", k = 3, dim = dim, nBits = 4,
+          broadcastQueries = bq)),
+        "ivf" -> ((bq: Boolean) => Similarity.ivfKnnJoin(corpus, queries,
+          "vec_id", "embedding", "q_id", "q_vec", k = 3, nCells = 8, nProbe = 3,
+          broadcastQueries = bq)))
+      cases.foreach { case (name, join) =>
+        val bcRows = rows(join(true))
+        val qe = join(false).queryExecution
+        qe.executedPlan.executeCollect()
+        val plan = qe.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+          s"$name broadcastQueries=false must stay an equi-join:\n$plan")
+        assert(!plan.contains("BroadcastExchange"),
+          s"$name broadcastQueries=false must not broadcast either side " +
+            s"(the corpus side would be the 100 TB one):\n$plan")
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"$name broadcastQueries=false must plan a two-sided shuffle join:\n$plan")
+        assert(rows(join(false)) == bcRows,
+          s"$name: both paths must produce identical neighbour sets")
+        // and the default path keeps its explicit probe-side broadcast
+        // even with auto-broadcast off (the hint, not the sizer, drives it)
+        val bcPlan = join(true).queryExecution.executedPlan.toString
+        assert(bcPlan.contains("BroadcastExchange"),
+          s"$name broadcastQueries=true must pin the probe-side broadcast:\n$bcPlan")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("NearestCentroid assigns the argmax-cosine cell, ties to lowest index") {
     val centroids = Array(
       Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0)) // index 2 duplicates 0
