@@ -72,6 +72,16 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             print(f"PASS {name} ({len(eng)} rows)")
             n_pass += 1
+    # q12b carries a measured-error bound instead of a SQL oracle
+    bound_file = f"{out_dir}/q12b_bound.json"
+    if os.path.exists(bound_file):
+        b = json.load(open(bound_file))
+        if b.get("pass"):
+            print(f"PASS {b['query']} (rel_err {b['rel_err']:.4f} <= {b['bound']})")
+            n_pass += 1
+        else:
+            print(f"FAIL {b['query']}: rel_err {b['rel_err']:.4f} > {b['bound']}")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
