@@ -22,7 +22,8 @@ object PlanAudit {
       "q45_pii_redact", "q46_quality_signals",
       "q48_mixture_sample", "q49_dup_span_frac", "q50_bloom_decontaminate",
       "q51_repetition_signals", "q52_pack", "q53_dedup_keep",
-      "q54_ivf_knn_join", "q55_exact_size_sample", "q56_lsh_knn_join")
+      "q54_ivf_knn_join", "q55_exact_size_sample", "q56_lsh_knn_join",
+      "q57_ivf_index_knn_join")
     for (q <- interesting) {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       qe.executedPlan.executeCollect()
