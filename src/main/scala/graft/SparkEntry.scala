@@ -180,6 +180,7 @@ object SparkEntry {
     // two engine-side algorithms, both hash-checked
     "q50_bloom_decontaminate" -> decontaminateSql(10),
     "q48_mixture_sample" -> mixtureSampleSql,
+    "q58_token_budget_sample" -> tokenBudgetSampleSql,
     "q49_dup_span_frac" -> dupSpanFracSql,
     "q51_repetition_signals" -> repetitionSignalsSql,
     "q52_pack" ->
@@ -621,6 +622,38 @@ object SparkEntry {
        |  $arms
        |  ELSE '${graft.ops.Sampling.hexThreshold(0.0)}' END
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q58 oracle: unlike q48 (config fractions → thresholds inlined as
+    * literals), the fractions here are DATA-dependent, so the oracle
+    * recomputes them in SQL — per-source token totals, frac = min(1,
+    * budget/total), and hexThreshold's exact truncate-clamp-%08x
+    * arithmetic (FLOOR+CAST mirrors Scala's toLong truncation for
+    * non-negative values; frac ≥ 1 takes the same 'g' branch).
+    */
+  private def tokenBudgetSampleSql: String = {
+    val arms = graft.queries.Extensions.tokenBudgets.toSeq.sorted.map {
+      case (src, b) => s"WHEN '$src' THEN ${b}.0"
+    }.mkString("\n  ")
+    s"""WITH tok AS (SELECT source,
+       |               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+       |             FROM documents),
+       |tot AS (SELECT source, SUM(n_tok) AS tot FROM tok GROUP BY source),
+       |fr AS (SELECT source,
+       |         LEAST(1.0, (CASE source
+       |  $arms
+       |  ELSE 0.0 END) / CAST(tot AS DOUBLE)) AS frac
+       |       FROM tot),
+       |thr AS (SELECT source,
+       |          CASE WHEN frac >= 1 THEN 'g'
+       |               ELSE printf('%08x', CAST(LEAST(FLOOR(frac * 4294967296),
+       |                                              4294967295) AS BIGINT))
+       |                    || REPEAT('0', 24) END AS thr
+       |        FROM fr)
+       |SELECT d.doc_id, d.source FROM documents d
+       |JOIN thr ON d.source = thr.source
+       |WHERE MD5(CAST(d.doc_id AS VARCHAR)) < thr.thr
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** q49 oracle: q40's winnowing fingerprints, cross-doc frequency via a

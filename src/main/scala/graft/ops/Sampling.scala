@@ -111,6 +111,33 @@ object Sampling {
     }
   }
 
+  /** Keep fractions that hit a per-stratum TOKEN budget in expectation —
+    * the "sample each domain down to its token allocation" step of a
+    * training-mix recipe ("x billion books tokens, y billion web
+    * tokens"). fraction = min(1, budget / observed token total): a
+    * stratum under its budget is kept whole, never upsampled. The
+    * per-stratum total collect is bounded by the number of strata
+    * (domains — tens, not rows; same bounded-driver-action contract as
+    * [[temperatureFracs]]). Strata absent from `budgets` (or with no
+    * tokens) get no fraction — feed the result to [[stratifiedSample]],
+    * whose defaultFrac 0 drops them: the "not in the recipe" semantics.
+    * The md5-rate sample then hits each budget in expectation — the
+    * deterministic, engine-portable analogue of sampling without
+    * replacement at corpus scale (the DuckDB oracle recomputes the same
+    * totals, fractions and hex thresholds in SQL).
+    */
+  def tokenBudgetFracs(df: DataFrame, stratumCol: String, tokenCol: String,
+                       budgets: Map[String, Long]): Map[String, Double] = {
+    require(budgets.values.forall(_ >= 0),
+      "token budgets must be non-negative")
+    val totals = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol)).as("_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    budgets.flatMap { case (s, b) =>
+      totals.get(s).filter(_ > 0).map(t => s -> math.min(1.0, b.toDouble / t))
+    }
+  }
+
   /** Train/val/test assignment from cumulative fractions, e.g.
     * (0.8, 0.9) → 80% train, 10% val, 10% test. A row's label is a pure
     * function of its id — stable under corpus growth (new docs never move

@@ -153,6 +153,30 @@ object Extensions {
         "doc_id", "source", mixtureWeights)
       .orderBy(col("doc_id"))
 
+  // q58 token-budget mixture sampling: per-source TOKEN allocations (the
+  // form a training recipe is actually written in) resolved against the
+  // observed per-source token totals into keep fractions, then the same
+  // deterministic md5-threshold filter as q48. Budgets are config
+  // (shared with the oracle); fractions/thresholds are DATA-dependent —
+  // the oracle recomputes them in SQL, mirroring hexThreshold's
+  // truncate-clamp-format arithmetic exactly. Ascending budgets over the
+  // 20 sources exercise both the sampled (<1) and whole-stratum ('g')
+  // threshold branches.
+  val tokenBudgets: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> 120L * (i + 1)).toMap
+
+  val q58_token_budget_sample: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val toks = docs.select(col("source"),
+      graft.functions.VectorFunctions.tokenCountsStruct(col("text"))
+        .getField("ws_tokens").as("n_tok"))
+    val fracs = Sampling.tokenBudgetFracs(toks, "source", "n_tok", tokenBudgets)
+    Sampling.stratifiedSample(
+        docs.select(col("doc_id"), col("source")),
+        "doc_id", "source", fracs)
+      .orderBy(col("doc_id"))
+  }
+
   // q49 duplicated-span pressure: fraction of each doc's winnowing spans
   // (q40's fingerprints, k=8/t=16) shared with other docs + keep flag —
   // the span-dedup screen.
@@ -327,5 +351,6 @@ object Extensions {
     "q54_ivf_knn_join" -> q54_ivf_knn_join,
     "q55_exact_size_sample" -> q55_exact_size_sample,
     "q56_lsh_knn_join" -> q56_lsh_knn_join,
-    "q57_ivf_index_knn_join" -> q57_ivf_index_knn_join)
+    "q57_ivf_index_knn_join" -> q57_ivf_index_knn_join,
+    "q58_token_budget_sample" -> q58_token_budget_sample)
 }

@@ -349,6 +349,30 @@ class OpsSpec extends SparkSpec {
       .select(lit("x").as("src")).limit(0), "src", 0.5).isEmpty)
   }
 
+  test("tokenBudgetFracs: budget/total capped at 1, absent strata dropped, expectation hit") {
+    val rows = (1 to 400).map { i =>
+      val src = Seq("web", "books", "code")(i % 3)
+      (i.toLong, src, 100L) // 100 tokens each
+    }
+    val df = rows.toDF("doc_id", "src", "n_tok")
+    // web/books: ~133-134 docs × 100 tokens ≈ 13.3k each
+    val fracs = Sampling.tokenBudgetFracs(df, "src", "n_tok",
+      Map("web" -> 4000L, "books" -> 1000000L, "ghost" -> 50L))
+    assert(math.abs(fracs("web") - 4000.0 / 13300) < 0.001 ||
+      math.abs(fracs("web") - 4000.0 / 13400) < 0.001)
+    assert(fracs("books") == 1.0, "under-budget stratum kept whole")
+    assert(!fracs.contains("ghost"), "budget for an absent stratum yields no fraction")
+    assert(!fracs.contains("code"), "stratum without a budget yields no fraction")
+    // end-to-end: sampled token mass ≈ budget, unbudgeted stratum dropped
+    val kept = Sampling.stratifiedSample(df, "doc_id", "src", fracs)
+      .groupBy("src").agg(sum("n_tok").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(!kept.contains("code"))
+    assert(kept("books") > 13000, "whole stratum survives")
+    assert(kept("web") > 1500 && kept("web") < 7000,
+      s"sampled mass should be near the 4000-token budget, got ${kept.get("web")}")
+  }
+
   test("decontaminateBloom == decontaminate row-identical (incl. df-cap and empty bench)") {
     val rng = new scala.util.Random(23)
     def doc(): String = List.fill(20)(('a' + rng.nextInt(6)).toChar.toString
