@@ -181,6 +181,7 @@ object SparkEntry {
     "q50_bloom_decontaminate" -> decontaminateSql(10),
     "q48_mixture_sample" -> mixtureSampleSql,
     "q58_token_budget_sample" -> tokenBudgetSampleSql,
+    "q59_quantized_topk" -> quantizedTopKSql,
     "q49_dup_span_frac" -> dupSpanFracSql,
     "q51_repetition_signals" -> repetitionSignalsSql,
     "q52_pack" ->
@@ -655,6 +656,26 @@ object SparkEntry {
        |WHERE MD5(CAST(d.doc_id AS VARCHAR)) < thr.thr
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** q59 oracle: the int8 quantization mirrored in SQL — scale = max |x|,
+    * q_i = FLOOR(x·127/scale + 0.5) (identical IEEE ops to the Scala
+    * expression), cosine over the integer-valued arrays (scale cancels),
+    * exact top-10. Deterministic → hash-checked like q25.
+    */
+  private def quantizedTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |        list_max(list_transform(v, x -> abs(x))) AS sc FROM e),
+       |qz AS (SELECT vec_id,
+       |         CASE WHEN sc > 0
+       |              THEN list_transform(v, x -> FLOOR(x * 127 / sc + 0.5))
+       |              ELSE list_transform(v, x -> 0.0) END AS q
+       |       FROM s),
+       |qq AS (SELECT q AS qv FROM qz WHERE vec_id = 0),
+       |ranked AS (SELECT z.vec_id, ROUND(${cosSql("z.q", "qq.qv")}, 6) AS qcos_sim
+       |           FROM qz z CROSS JOIN qq
+       |           ORDER BY qcos_sim DESC, z.vec_id LIMIT 10)
+       |SELECT vec_id, qcos_sim FROM ranked ORDER BY vec_id""".stripMargin
 
   /** q49 oracle: q40's winnowing fingerprints, cross-doc frequency via a
     * window, per-doc shared fraction + keep flag (threshold 0.5).

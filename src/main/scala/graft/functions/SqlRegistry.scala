@@ -129,6 +129,10 @@ object GraftSqlFunctions {
       arity("graft_token_counts", args, 1)
       TokenCountsExpr(args(0))
     },
+    "graft_quantize_int8" -> { args =>
+      arity("graft_quantize_int8", args, 1)
+      QuantizeInt8(args(0))
+    },
     // graft_token_profile(text, listRef, ...) — one pass over the token
     // stream yielding (n_tokens, n_distinct, hits[i] per list); the SQL
     // form of q33/q34's projection. Each listRef is 'en'/'de'/… (built-in)

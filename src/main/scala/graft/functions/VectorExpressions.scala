@@ -948,6 +948,66 @@ case class BloomMightContain(child: Expression,
     copy(child = newChild)
 }
 
+/** Symmetric per-vector int8 quantization: scale = max |x|, q_i =
+  * floor(x_i · 127 / scale + 0.5) — the storage form that shrinks an
+  * embedding index 4× (byte vs float) with cosine ranks preserved to
+  * quantization precision; at 100 TB of vectors the scan-and-rank cost
+  * IS the byte volume read. One fused pass per row in both interpreted
+  * and codegen paths; output struct(scale, q) so magnitudes remain
+  * reconstructible (q_i · scale / 127). floor(+0.5) rather than a
+  * half-even round because both engines (Java and the DuckDB oracle)
+  * define FLOOR identically — rounding-mode parity for free. Zero
+  * vectors quantize to all-zero q with scale 0.
+  */
+case class QuantizeInt8(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.ByteType
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("scale", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("q",
+      ArrayType(ByteType, containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_quantize_int8"
+
+  override protected def nullSafeEval(input: Any): Any =
+    QuantizeInt8.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = org.apache.spark.sql.graft.QuantizeInt8.compute($in);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
+object QuantizeInt8 {
+  /** Shared by interpreted eval and codegen. */
+  def compute(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i))
+      if (a > s) s = a
+      i += 1
+    }
+    val q = new Array[Byte](n)
+    if (s > 0) {
+      i = 0
+      while (i < n) {
+        q(i) = math.floor(v.getDouble(i) * 127 / s + 0.5).toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](s, org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(q)))
+  }
+}
+
 object VectorBridge {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -984,6 +1044,9 @@ object VectorBridge {
 
   def tokenCounts(text: Column): Column =
     ExpressionUtils.column(TokenCountsExpr(ExpressionUtils.expression(text)))
+
+  def quantizeInt8(vec: Column): Column =
+    ExpressionUtils.column(QuantizeInt8(ExpressionUtils.expression(vec)))
 
   def bloomMightContain(text: Column,
                         bloom: org.apache.spark.util.sketch.BloomFilter): Column =

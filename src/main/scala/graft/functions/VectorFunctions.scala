@@ -71,6 +71,13 @@ object VectorFunctions {
   def tokenCountsStruct(text: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.tokenCounts(text)
 
+  /** Symmetric int8 quantization struct (scale, q: array<byte>) — the 4×
+    * index-storage reduction behind quantizedTopK (q59); cosine over the
+    * q arrays is scale-free, so ranks survive to quantization precision.
+    */
+  def quantizeInt8(vec: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.quantizeInt8(vec)
+
   /** Probe a driver-built Bloom filter (no false negatives) — the
     * broadcast runtime-filter primitive behind decontaminateBloom (q50).
     */

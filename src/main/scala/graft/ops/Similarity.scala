@@ -49,6 +49,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Brute-force cosine top-k over int8-QUANTIZED vectors — the
+    * bandwidth-bound scan path: at 100 TB of embeddings the rank cost is
+    * the bytes read, and int8 reads (and stores) 4× less than float.
+    * Quantization (codegen'd [[graft.functions.VectorFunctions
+    * .quantizeInt8]]) is symmetric per vector, and cosine is scale-free,
+    * so ranking the q arrays directly needs no dequantization — exact
+    * ranks survive to quantization precision (~1/254 per element).
+    * Deterministic floor(+0.5) rounding keeps the DuckDB oracle
+    * bit-identical (q59). Same TakeOrderedAndProject shape as
+    * [[bruteForceTopK]], which remains the full-precision anchor.
+    */
+  def quantizedTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, scale: Int = 6): DataFrame = {
+    val e = emb.select(col(idCol),
+      graft.functions.VectorFunctions.quantizeInt8(asDouble(col(vecCol)))
+        .getField("q")
+        .cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+        .as("_q8"))
+    val q = e.filter(col(idCol) === queryId).select(col("_q8").as("_qq"))
+    e.crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(col("_q8"), col("_qq")), scale).as("qcos_sim"))
+      .orderBy(col("qcos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Top-k most-similar pairs across the corpus (embedding near-dup
     * detection). All-pairs — O(n²/2) — correct as the exactness anchor;
     * at scale run it per LSH bucket instead (see [[lshBuckets]]).

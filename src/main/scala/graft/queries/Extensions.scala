@@ -177,6 +177,16 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q59 int8-quantized brute-force top-k: q25's retrieval over 4×-smaller
+  // vectors (symmetric per-vector quantization, scale-free cosine on the
+  // byte arrays — no dequantization in the rank). Deterministic
+  // floor(+0.5) rounding → the oracle mirrors the quantization in SQL
+  // and the result hash-checks like the exact query.
+  val q59_quantized_topk: Q = (s, d) =>
+    Similarity.quantizedTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+      .orderBy(col("vec_id"))
+
   // q49 duplicated-span pressure: fraction of each doc's winnowing spans
   // (q40's fingerprints, k=8/t=16) shared with other docs + keep flag —
   // the span-dedup screen.
@@ -352,5 +362,6 @@ object Extensions {
     "q55_exact_size_sample" -> q55_exact_size_sample,
     "q56_lsh_knn_join" -> q56_lsh_knn_join,
     "q57_ivf_index_knn_join" -> q57_ivf_index_knn_join,
-    "q58_token_budget_sample" -> q58_token_budget_sample)
+    "q58_token_budget_sample" -> q58_token_budget_sample,
+    "q59_quantized_topk" -> q59_quantized_topk)
 }

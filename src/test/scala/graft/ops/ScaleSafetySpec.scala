@@ -238,6 +238,38 @@ class ScaleSafetySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("quantizeInt8: exact scale, bounded roundtrip error, top-k agrees with full precision") {
+    import graft.functions.VectorFunctions
+    val vecs = (0L until 60L).map(i => (i, Seq.fill(16)(rng.nextDouble() * 4 - 2)))
+    val df = vecs.toDF("vec_id", "v")
+    val rows = df.select(col("vec_id"),
+      VectorFunctions.quantizeInt8(col("v")).as("z"), col("v")).collect()
+    rows.foreach { r =>
+      val z = r.getStruct(1)
+      val scale = z.getDouble(0)
+      val q = z.getSeq[Byte](1)
+      val v = r.getSeq[Double](2)
+      assert(scale == v.map(math.abs).max, "scale must be the max abs component")
+      // |q_i·s/127 − x_i| ≤ s/254: the half-step bound of floor(+0.5)
+      q.zip(v).foreach { case (qi, x) =>
+        assert(math.abs(qi * scale / 127 - x) <= scale / 254 + 1e-12,
+          s"roundtrip error above the half-step bound at $x") }
+    }
+    // retrieval agreement: planted near-identical neighbors survive the
+    // precision loss — quantized top-k recovers the exact top-k
+    val dim = 16
+    val q0 = randVec(dim)
+    val neighbors = (1 to 10).map(i => (i.toLong, perturb(q0, 0.001f)))
+    val noise = (11 until 200).map(i => (i.toLong, randVec(dim)))
+    val emb = ((0L, q0) +: (neighbors ++ noise)).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, k = 11)
+      .select("vec_id").as[Long].collect().toSet - 0L
+    val quant = Similarity.quantizedTopK(emb, "vec_id", "embedding", 0L, k = 11)
+      .select("vec_id").as[Long].collect().toSet - 0L
+    val recall = (quant & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall $recall below 0.9 (quant=$quant exact=$exact)")
+  }
+
   test("NearestCentroid assigns the argmax-cosine cell, ties to lowest index") {
     val centroids = Array(
       Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0)) // index 2 duplicates 0
