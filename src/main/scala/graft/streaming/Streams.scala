@@ -262,6 +262,10 @@ object Streams {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (shard, it, state) =>
           var off = state.getOption.map(_.offset).getOrElse(0L)
+          // CONTRACT: one micro-batch's rows for ONE shard are buffered
+          // here to sort by doc id — memory ∝ the shard's share of a
+          // micro-batch (bounded by trigger size), never the stream;
+          // the HELD state stays O(1) per shard (one offset)
           val out = it.toIndexedSeq.sortBy(_._1).map { case (id, _, n) =>
             val start = off
             off += n
