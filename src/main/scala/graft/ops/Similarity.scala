@@ -364,6 +364,18 @@ object Similarity {
     // cell lookup and an all-empty cell would zero a centroid)
     val clean = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
     val e = clean.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    val centroids = ivfCentroids(e, idCol, nCells, kmeansIters)
+    writeCentroids(spark, centroids, path)
+    clean.withColumn("cell",
+        graft.functions.VectorFunctions.nearestCentroid(asDouble(col(vecCol)), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+  }
+
+  /** Seed + Lloyd-refine the IVF centroids (shared by the full-precision
+    * and quantized builders — both layouts carry the same geometry).
+    */
+  private def ivfCentroids(e: DataFrame, idCol: String, nCells: Int,
+                           kmeansIters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = e
       .select(col(idCol).as("_id"), col("_v"), md5(col(idCol).cast("string")).as("_h"))
       .orderBy(col("_h"), col("_id"))
@@ -384,13 +396,73 @@ object Similarity {
       centroids = next
       iter += 1
     }
+    centroids
+  }
+
+  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+                             centroids: Array[Array[Double]], path: String): Unit = {
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    clean.withColumn("cell",
-        graft.functions.VectorFunctions.nearestCentroid(asDouble(col(vecCol)), centroids))
+  }
+
+  /** [[buildIvfIndex]] with int8-QUANTIZED storage: data rows are
+    * (id, scale, q: array<byte>) instead of the full vector — the place
+    * the quantization (q59) pays off, since a standing index is read on
+    * every probe and byte values are 4× narrower than floats in the scan.
+    * Cell assignment uses the FULL-precision vector (quantize after
+    * placing), so the layout's geometry is identical to the full index;
+    * in-probe ranks are scale-free quantized cosine. Magnitudes remain
+    * reconstructible from (scale, q) when a consumer needs them.
+    */
+  def buildIvfIndexQuantized(emb: DataFrame, idCol: String, vecCol: String,
+                             path: String, nCells: Int = 16,
+                             kmeansIters: Int = 0): Unit = {
+    val spark = emb.sparkSession
+    val clean = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    val e = clean.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    val centroids = ivfCentroids(e, idCol, nCells, kmeansIters)
+    writeCentroids(spark, centroids, path)
+    e.select(col(idCol),
+        graft.functions.VectorFunctions.quantizeInt8(col("_v")).as("_z"),
+        graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids).as("cell"))
+      .select(col(idCol), col("_z.scale").as("scale"), col("_z.q").as("q"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+  }
+
+  /** Driver-side twin of the QuantizeInt8 expression's rounding (one
+    * query vector, bounded).
+    */
+  private def quantizeDriver(v: Array[Double]): Array[Double] = {
+    val s = v.foldLeft(0.0)((m, x) => math.max(m, math.abs(x)))
+    if (s == 0) Array.fill(v.length)(0.0)
+    else v.map(x => math.floor(x * 127 / s + 0.5))
+  }
+
+  /** Top-k over a quantized IVF index ([[buildIvfIndexQuantized]]): same
+    * bounded driver probe selection and PartitionFilters pruning as
+    * [[ivfIndexTopK]], ranking by scale-free cosine between the stored
+    * byte arrays and the identically-quantized query.
+    */
+  def ivfIndexQuantizedTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                            idCol: String, queryVec: Array[Double],
+                            k: Int, nProbe: Int = 3, scale: Int = 6): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val probes = nearestCells(cents, queryVec, nProbe)
+    val q = Seq(Tuple1(quantizeDriver(queryVec).toSeq)).toDF("_qq")
+    spark.read.parquet(s"$path/data")
+      .filter(col("cell").isin(probes.toIndexedSeq: _*))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(col("q").cast("array<double>"), col("_qq")), scale)
+          .as("qcos_sim"))
+      .orderBy(col("qcos_sim").desc, col(idCol))
+      .limit(k)
   }
 
   /** Top-k over a persisted IVF index. Probe selection happens on the

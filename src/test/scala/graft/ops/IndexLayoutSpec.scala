@@ -82,6 +82,41 @@ class IndexLayoutSpec extends SparkSpec {
     assert(recall >= 0.8, s"refined-IVF recall $recall below 0.8")
   }
 
+  test("quantized IVF index: byte storage, same geometry, pruned probes, recall holds") {
+    val dir = tmpDir("graft_ivfq_")
+    Similarity.buildIvfIndexQuantized(emb, "vec_id", "embedding", dir, nCells = 16)
+    // the data rows store (scale, q: array<tinyint>) — the 4×-narrower
+    // value layout — not the float vector
+    val schema = spark.read.parquet(s"$dir/data").schema
+    assert(schema.fieldNames.toSet == Set("vec_id", "scale", "q", "cell"),
+      s"unexpected layout: ${schema.treeString}")
+    // (parquet reads lists back with containsNull=true; the element type
+    // is the storage claim)
+    assert(schema("q").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType,
+      s"q must be array<byte>: ${schema("q").dataType}")
+    // same geometry as the full-precision index: identical centroid table
+    // and identical per-id cell assignment
+    val full = tmpDir("graft_ivfq_full_")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", full, nCells = 16)
+    def cents(d: String) = spark.read.parquet(s"$d/centroids")
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(cents(dir) == cents(full))
+    def cells(d: String) = spark.read.parquet(s"$d/data")
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+    assert(cells(dir) == cells(full))
+    // probe: pruned to nProbe partition directories, planted recall holds
+    val df = Similarity.ivfIndexQuantizedTopK(spark, dir, "vec_id", qv,
+      k = 11, nProbe = 4)
+    val got = df.select("vec_id").as[Long].collect().toSet - 0L
+    val recall = (got & exactTop10).size.toDouble / exactTop10.size
+    assert(recall >= 0.8, s"quantized-IVF recall $recall below 0.8")
+    val plan = df.queryExecution.executedPlan.toString
+    val probes = partitionFilterInList(plan, "cell")
+    assert(probes.length == 4,
+      s"PartitionFilters must prune to exactly nProbe cells, got $probes in:\n$plan")
+  }
+
   test("LSH index: bucket-partitioned layout, multi-probe prunes to nBits+1 partitions, recall holds") {
     val dir = tmpDir("graft_lshidx_")
     Similarity.buildLshIndex(emb, "vec_id", "embedding", dir, dim = dim, nBits = 6)
