@@ -5,6 +5,14 @@ package graft
   * shape a 100 TB input would plan, since fixture-sized inputs broadcast
   * everywhere — and reports the FINAL adaptive plan: under AQE, exchange/
   * stage reuse is a runtime decision invisible in the pre-execution plan.
+  *
+  * Reading the bnlj column: the brute-force top-k family (q25/q59)
+  * intentionally plans a BroadcastNestedLoopJoin whose BUILD SIDE IS ONE
+  * ROW — the query vector attached to every corpus row (a scalar
+  * broadcast; there is no join key by construction). That is the
+  * documented scan shape (Similarity.bruteForceTopK), not a scale risk;
+  * the invariant the audit guards is that no MULTI-ROW join is ever a
+  * nested loop — every relation-to-relation join stays equi-keyed.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -16,14 +24,14 @@ object PlanAudit {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val interesting = Seq(
       "q01_scan_project", "q02_filter", "q05_join_broadcast", "q07_join_semi",
-      "q10_asof", "q16_topk", "q28_dedup_minhash_lsh",
+      "q10_asof", "q16_topk", "q25_similarity_topk", "q28_dedup_minhash_lsh",
       "q30_dedup_ngram_jaccard", "q31_neardup_embedding", "q32_ann_lsh",
       "q42_dedup_clusters_star", "q43_sql_surface", "q44_decontaminate",
       "q45_pii_redact", "q46_quality_signals",
       "q48_mixture_sample", "q49_dup_span_frac", "q50_bloom_decontaminate",
       "q51_repetition_signals", "q52_pack", "q53_dedup_keep",
       "q54_ivf_knn_join", "q55_exact_size_sample", "q56_lsh_knn_join",
-      "q57_ivf_index_knn_join")
+      "q57_ivf_index_knn_join", "q58_token_budget_sample", "q59_quantized_topk")
     for (q <- interesting) {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       qe.executedPlan.executeCollect()

@@ -133,6 +133,18 @@ class SqlRegistrySpec extends SparkSpec {
     assert(custom.getSeq[Long](0) == Seq(3L))
   }
 
+  test("graft_quantize_int8 from SQL: scale and byte values, arity validated") {
+    val r = spark.sql(
+      "SELECT graft_quantize_int8(array(2.0d, -1.0d, 0.5d)) AS z").head().getStruct(0)
+    assert(r.getDouble(0) == 2.0, "scale must be max |x|")
+    assert(r.getSeq[Byte](1) == Seq[Byte](127, -63, 32),
+      s"floor(x*127/scale + 0.5): got ${r.getSeq[Byte](1)}")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_quantize_int8(array(1.0d), 2)").head()
+    }
+    assert(e.getMessage.contains("1 arguments"), s"unexpected error: ${e.getMessage}")
+  }
+
   test("graft_token_profile list arguments validated at analysis time") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_token_profile('x', 'klingon')").head()
