@@ -163,6 +163,12 @@ object SparkEntry {
       """SELECT w, COUNT(*) AS c FROM (
         |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents) t
         |WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 25""".stripMargin,
+    "q60_percentiles" ->
+      """SELECT source,
+        |  ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(n_chars, 0.9), 4) AS p90
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q27_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, MD5(text) AS content_hash,
         |       COUNT(*) AS n_dupes

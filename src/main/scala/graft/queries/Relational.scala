@@ -283,6 +283,23 @@ object Relational {
       .orderBy(col("c").desc, col("w"))
       .limit(25)
 
+  // Q60 exact grouped percentiles (median/quantile reporting — the
+  // distribution-summary aggregate the suite lacked). Spark's exact
+  // `percentile` buffers each group's values, so like topPairs this is
+  // the small-group/oracle EXACTNESS ANCHOR; at 100 TB-scale group sizes
+  // the same query swaps in `approx_percentile` (t-digest, mergeable
+  // map-side sketches) — the q12/q12b relationship, percentile edition.
+  // Both engines define the exact quantile identically (linear
+  // interpolation at rank p·(n−1)), so the result hash-checks.
+  val q60_percentiles: Q = (s, d) =>
+    t(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(
+        round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90"))
+      .orderBy(col("source"))
+
   val all: Map[String, Q] = Map(
     "q01_scan_project" -> q01_scan_project,
     "q02_filter" -> q02_filter,
@@ -311,5 +328,6 @@ object Relational {
     "q23_json_extract" -> q23_json_extract,
     "q24_dedup_distinct" -> q24_dedup_distinct,
     "q25_similarity_topk" -> q25_similarity_topk,
-    "q26_text_tokens" -> q26_text_tokens)
+    "q26_text_tokens" -> q26_text_tokens,
+    "q60_percentiles" -> q60_percentiles)
 }
