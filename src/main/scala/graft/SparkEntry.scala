@@ -218,6 +218,7 @@ object SparkEntry {
     // index (seed centroids identical by construction) — one oracle
     // shape, in-query and standing-index formulations both hash-checked
     "q57_ivf_index_knn_join" -> ivfKnnJoinSql,
+    "q61_ivf_quantized_knn_join" -> ivfQuantizedKnnJoinSql,
     "q56_lsh_knn_join" -> lshKnnJoinSql,
     "q55_exact_size_sample" ->
       """SELECT doc_id, source FROM documents
@@ -411,6 +412,49 @@ object SparkEntry {
        |  ROW_NUMBER() OVER (PARTITION BY q_id
        |    ORDER BY cos_sim DESC, vec_id) AS rk FROM cand)
        |SELECT q_id, vec_id, cos_sim FROM ranked WHERE rk <= 10
+       |ORDER BY q_id, vec_id""".stripMargin
+
+  /** q61 oracle: the QUANTIZED IVF-index k-NN join mirrored exactly —
+    * q54's cell CTEs verbatim (full-precision md5-seed centroids,
+    * argmax-cosine assignment, nProbe=3 probe cells by full-precision
+    * cosine) composed with q59's quantization arithmetic (scale = max
+    * |x|, q_i = FLOOR(x·127/scale + 0.5)); ranks are cosine over the
+    * integer-valued arrays of corpus member and query, rounded to 6.
+    */
+  private def ivfQuantizedKnnJoinSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
+       |         FROM seeds),
+       |asgn AS (SELECT e.vec_id, e.v, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
+       |         FROM e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, v, cell FROM asgn WHERE rn = 1),
+       |sc AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) AS sc FROM e),
+       |qz AS (SELECT vec_id,
+       |         CASE WHEN sc > 0
+       |              THEN list_transform(v, x -> FLOOR(x * 127 / sc + 0.5))
+       |              ELSE list_transform(v, x -> 0.0) END AS q
+       |       FROM sc),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |probes AS (SELECT q_id, cell FROM (
+       |  SELECT q.q_id, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${cosSql("c.cv", "q.qv")} DESC, c.cell) AS rn
+       |  FROM q CROSS JOIN cent c) t WHERE rn <= 3),
+       |cand AS (SELECT p.q_id, cells.vec_id,
+       |           ROUND(${cosSql("z.q", "zq.q")}, 6) AS qcos_sim
+       |         FROM cells
+       |         JOIN probes p ON cells.cell = p.cell
+       |         JOIN qz z ON z.vec_id = cells.vec_id
+       |         JOIN qz zq ON zq.vec_id = p.q_id),
+       |ranked AS (SELECT q_id, vec_id, qcos_sim,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY qcos_sim DESC, vec_id) AS rk FROM cand)
+       |SELECT q_id, vec_id, qcos_sim FROM ranked WHERE rk <= 10
        |ORDER BY q_id, vec_id""".stripMargin
 
   /** q31 oracle: banded random-hyperplane LSH (8 bands × 4 sign bits over

@@ -603,6 +603,45 @@ object Similarity {
       repairPartitionPruning(index, "cell", probed, "_probe", joinWith), idCol, k)
   }
 
+  /** Batch probes against a QUANTIZED persisted IVF index
+    * ([[buildIvfIndexQuantized]]): [[ivfIndexKnnJoin]]'s shape served
+    * from the int8 layout — the scan reads (id, scale, q) byte arrays,
+    * 4× narrower than the float index, which is where the quantization
+    * pays per batch. Probe-cell selection uses the FULL-precision query
+    * vector (matching the build side, which assigns cells before
+    * quantizing — identical geometry), while ranks are scale-free
+    * quantized cosine between the stored byte arrays and the
+    * identically-quantized query (the q59 rank, so point probes and
+    * batch joins agree). Same DPP-or-static-IN-list pruning and bounded
+    * [[graft.functions.TopKAgg]] per-query top-k as the float join.
+    */
+  def ivfIndexQuantizedKnnJoin(spark: org.apache.spark.sql.SparkSession,
+                               path: String, idCol: String,
+                               queries: DataFrame, qIdCol: String, qVecCol: String,
+                               k: Int, nProbe: Int = 3, scale: Int = 6): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid")).collect() // bounded: nCells rows
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val probed = queries
+      .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_qq", graft.functions.VectorFunctions.quantizeInt8(col("_qv"))
+        .getField("q").cast("array<double>"))
+      .withColumn("_probe", explode(
+        graft.functions.VectorFunctions.nearestCentroids(col("_qv"), cents, nProbe)))
+      .select(col("q_id"), col("_qq"), col("_probe"))
+    val index = spark.read.parquet(s"$path/data")
+    requireIntegralId(index, idCol, "ivfIndexQuantizedKnnJoin")
+    def joinWith(idx: DataFrame): DataFrame =
+      idx.join(broadcast(probed), col("cell") === col("_probe"))
+        .select(col("q_id"), col(idCol),
+          round(cosine(col("q").cast("array<double>"), col("_qq")), scale)
+            .as("cos_sim"))
+    topKPerQuery(
+      repairPartitionPruning(index, "cell", probed, "_probe", joinWith), idCol, k)
+      .withColumnRenamed("cos_sim", "qcos_sim")
+  }
+
   /** ANN top-k over a persisted LSH index: the query's bucket (and its
     * hamming-1 neighbors when `multiProbe`) are computed on the DRIVER
     * with the same deterministic plane matrix, so the probe set is known

@@ -258,6 +258,26 @@ object Extensions {
       .orderBy(col("q_id"), col("vec_id"))
   }
 
+  // q61 QUANTIZED IVF-index k-NN join: q57's batch retrieval served from
+  // the int8 layout ([[Similarity.buildIvfIndexQuantized]]) — identical
+  // cell geometry (assignment happens before quantizing), ranks are the
+  // q59 scale-free quantized cosine, and the probed scan reads byte
+  // arrays 4× narrower than the float index. Memoized per corpus dir
+  // like q57 (a standing index is an input, not per-query work).
+  private val ivfQIndexDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q61_ivf_quantized_knn_join: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val dir = ivfQIndexDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_q61_ivfqidx_").toString
+      Similarity.buildIvfIndexQuantized(emb, "vec_id", "embedding", p, nCells = 16)
+      p
+    })
+    Similarity.ivfIndexQuantizedKnnJoin(s, dir, "vec_id",
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10, nProbe = 3)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
   // q55 exact-size stratified sample: deterministically exactly 10 docs
   // per source (md5-rank order) — fixed-size eval subsets per domain.
   val q55_exact_size_sample: Q = (s, d) =>
@@ -363,5 +383,6 @@ object Extensions {
     "q56_lsh_knn_join" -> q56_lsh_knn_join,
     "q57_ivf_index_knn_join" -> q57_ivf_index_knn_join,
     "q58_token_budget_sample" -> q58_token_budget_sample,
-    "q59_quantized_topk" -> q59_quantized_topk)
+    "q59_quantized_topk" -> q59_quantized_topk,
+    "q61_ivf_quantized_knn_join" -> q61_ivf_quantized_knn_join)
 }

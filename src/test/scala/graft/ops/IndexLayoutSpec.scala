@@ -191,6 +191,41 @@ class IndexLayoutSpec extends SparkSpec {
       s"index scan must be dynamically partition-pruned:\n$plan")
   }
 
+  test("quantized IVF index batch k-NN join: DPP, point-probe agreement, repaired local probes") {
+    val dir = tmpDir("graft_ivfqknn_")
+    Similarity.buildIvfIndexQuantized(emb, "vec_id", "embedding", dir, nCells = 16)
+    emb.write.mode("overwrite").parquet(s"$dir/queries_src")
+    val queries = spark.read.parquet(s"$dir/queries_src")
+      .filter(col("vec_id").isin(0L, 50L, 150L))
+    val df = Similarity.ivfIndexQuantizedKnnJoin(spark, dir, "vec_id",
+      queries, "vec_id", "embedding", k = 5, nProbe = 4)
+    val rows = df.as[(Long, Long, Double)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 50L, 150L))
+    byQ.foreach { case (q, rs) =>
+      // a vector's quantized cosine with itself is exactly 1
+      val top = rs.maxBy(r => (r._3, -r._2))
+      assert(top._2 == q && top._3 == 1.0, s"query $q must find itself first: $rs")
+    }
+    // the scan side reads the byte layout under dynamic partition pruning
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"quantized index scan must be dynamically partition-pruned:\n$plan")
+    // batch join and point probe serve the SAME rank from the same layout
+    val point = Similarity.ivfIndexQuantizedTopK(spark, dir, "vec_id", qv,
+      k = 5, nProbe = 4).as[(Long, Double)].collect().toSet
+    assert(byQ(0L).map(r => (r._2, r._3)).toSet == point,
+      "batch join must agree with the point probe for the same query")
+    // local (non-file) probe side self-repairs to a static cell IN-list
+    val local = Similarity.ivfIndexQuantizedKnnJoin(spark, dir, "vec_id",
+      emb.filter(col("vec_id").isin(0L, 50L, 150L)), "vec_id", "embedding",
+      k = 5, nProbe = 4)
+    val localPlan = local.queryExecution.executedPlan.toString
+    assert(("PartitionFilters: \\[[^\\]]*cell#\\d+ IN").r.findFirstIn(localPlan).nonEmpty,
+      s"repaired quantized join must pin probe cells in PartitionFilters:\n$localPlan")
+    assert(local.as[(Long, Long, Double)].collect().toSet == rows.toSet)
+  }
+
   test("index k-NN joins self-repair pruning for a local (non-file) probe side") {
     val dir = tmpDir("graft_repair_")
     Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCells = 16)
