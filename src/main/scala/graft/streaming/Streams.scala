@@ -192,6 +192,42 @@ object Streams {
       .start()
   }
 
+  /** Continuously maintain a QUANTIZED persisted IVF index built by
+    * [[graft.ops.Similarity.buildIvfIndexQuantized]]: same frozen-centroid
+    * contract and `foreachBatch` append discipline as [[ivfIndexSink]],
+    * but each arriving vector is int8-quantized in-flight — cells are
+    * assigned from the FULL-precision vector (the builder's rule, so
+    * batch-built and streamed rows share geometry) and the row lands as
+    * (id, scale, q: array<byte>), the 4×-narrower layout every
+    * quantized probe reads. Replayed micro-batches are at-least-once,
+    * like the float sink.
+    */
+  def ivfIndexQuantizedSink(spark: org.apache.spark.sql.SparkSession,
+                            stream: DataFrame, idCol: String, vecCol: String,
+                            indexPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    stream
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol),
+        graft.functions.VectorFunctions.quantizeInt8(
+          transform(col(vecCol), _.cast("double"))).as("_z"),
+        graft.functions.VectorFunctions.nearestCentroid(
+          transform(col(vecCol), _.cast("double")), centroids).as("cell"))
+      .select(col(idCol), col("_z.scale").as("scale"), col("_z.q").as("q"),
+        col("cell"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("cell").parquet(s"$indexPath/data")
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
   /** Continuously maintain a persisted TEXT-dedup index built by
     * [[graft.ops.Dedup.buildTextIndex]] — the streaming member of the
     * index-sink family (LSH/IVF vector sinks above): each arriving

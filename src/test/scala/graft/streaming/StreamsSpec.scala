@@ -372,6 +372,41 @@ class StreamsSpec extends SparkSpec {
       s"streamed near-identical neighbors must dominate top-5, got $got")
   }
 
+  test("streaming quantized IVF index sink: in-flight int8 rows join the batch layout and are probed") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(29)
+    def vec(): Seq[Double] = Seq.fill(16)(rng.nextDouble() - 0.5)
+    val query = vec()
+    val initial = (100L until 160L).map(i => (i, vec()))
+    val dir = tmpDir("graft_ivfqsink_")
+    graft.ops.Similarity.buildIvfIndexQuantized(
+      initial.toDF("vec_id", "embedding"), "vec_id", "embedding", dir, nCells = 8)
+    val neighbors = (1L to 5L).map(i =>
+      (i, query.map(_ + (rng.nextDouble() - 0.5) * 0.001)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.ivfIndexQuantizedSink(spark,
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, s"$dir/ckpt")
+    try {
+      mem.addData(neighbors: _*)
+      // admission guard: null/empty vectors refused like the batch builder
+      mem.addData((997L, null.asInstanceOf[Seq[Double]]), (998L, Seq.empty[Double]))
+      q.processAllAvailable()
+    } finally q.stop()
+    // streamed rows carry the byte layout, not float vectors, and the
+    // batch-built corpus stays visible (no _spark_metadata shadowing)
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.schema.fieldNames.toSet == Set("vec_id", "scale", "q", "cell"))
+    assert(data.count() == 65,
+      s"batch (60) + streamed (5) rows must all be visible, got ${data.count()}")
+    // quantized probes see the streamed neighbors
+    val got = graft.ops.Similarity.ivfIndexQuantizedTopK(spark, dir, "vec_id",
+        query.toArray, k = 5, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == (1L to 5L).toSet,
+      s"streamed near-identical neighbors must dominate top-5, got $got")
+  }
+
   test("streaming text-index sink: streamed docs pair with the batch corpus, no re-tokenization") {
     implicit val sqlCtx = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"
