@@ -219,6 +219,18 @@ object SparkEntry {
     // shape, in-query and standing-index formulations both hash-checked
     "q57_ivf_index_knn_join" -> ivfKnnJoinSql,
     "q61_ivf_quantized_knn_join" -> ivfQuantizedKnnJoinSql,
+    // q62 oracle: the Bloom stage is a pure prefilter (no false
+    // negatives) and the verify restores exactness, so the engine result
+    // equals the plain NOT EXISTS on the content hash. Null-text rows
+    // are admitted (no key to collide on).
+    "q62_incremental_dedup" ->
+      """SELECT b.doc_id, b.source FROM documents b
+        |WHERE b.doc_id % 3 = 0
+        |  AND (b.text IS NULL OR NOT EXISTS (
+        |    SELECT 1 FROM documents c
+        |    WHERE c.doc_id % 2 = 0 AND c.text IS NOT NULL
+        |      AND MD5(c.text) = MD5(b.text)))
+        |ORDER BY b.doc_id""".stripMargin,
     "q56_lsh_knn_join" -> lshKnnJoinSql,
     "q55_exact_size_sample" ->
       """SELECT doc_id, source FROM documents

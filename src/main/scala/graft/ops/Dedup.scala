@@ -451,6 +451,79 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** Persist the standing corpus's EXACT-dedup key index — the
+    * ingest-time form of [[exact]], completing the persisted-index family
+    * (IVF/LSH vector layouts, [[buildTextIndex]]): every admitted batch
+    * is screened against the corpus it joins, without ever re-hashing the
+    * corpus. Two artifacts under `path`:
+    *
+    *   `keys/`  — (key: md5 hex) distinct content hashes, fixed-width;
+    *   `bloom/` — one serialized Bloom filter over those keys (`fpp`),
+    *              rebuilt with the index (a stale filter would miss
+    *              newly-admitted keys — no-false-negatives is the whole
+    *              contract, so refresh = rebuild, like IVF centroids).
+    *
+    * Null-text docs contribute no key: they can never collide, and the
+    * probe side admits them unconditionally.
+    */
+  def buildExactKeyIndex(docs: DataFrame, textCol: String, path: String,
+                         fpp: Double = 0.01): Unit = {
+    val spark = docs.sparkSession
+    docs.where(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("key")).distinct()
+      .write.mode("overwrite").parquet(s"$path/keys")
+    val keys = spark.read.parquet(s"$path/keys")
+    val n = math.max(1L, keys.count())
+    val bloom = keys.stat.bloomFilter("key", n, fpp)
+    val p = new org.apache.hadoop.fs.Path(s"$path/bloom/filter.bin")
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  /** Screen a new batch against a [[buildExactKeyIndex]] layout: rows
+    * whose content hash is NOT in the standing corpus — the re-ingest /
+    * re-crawl admission gate. Exactness comes in two stages:
+    *
+    *  1. the persisted Bloom (no false negatives) clears definitely-new
+    *     rows in the scan itself — zero joins for the typical
+    *     mostly-fresh dump;
+    *  2. possible members (true dups + fpp noise) are verified exactly.
+    *     With `broadcastBatch` (default — an ingest batch ≪ the corpus)
+    *     the verify never shuffles the corpus: the batch's candidate
+    *     keys BROADCAST into a semi-join that slims the key index to
+    *     batch-bounded matches, and those matches broadcast back into
+    *     the anti-join. Set false for a huge batch, where a two-sided
+    *     shuffle on the fixed-width key is the correct plan.
+    *
+    * Output: the admitted subset of `newDocs`, schema unchanged.
+    * Null-text rows are admitted (the index holds no null key).
+    */
+  def exactDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                             newDocs: DataFrame, textCol: String, path: String,
+                             broadcastBatch: Boolean = true): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/bloom/filter.bin")
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    val bloom =
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    val keys = spark.read.parquet(s"$path/keys")
+    val keyed = newDocs.withColumn("_key", md5(col(textCol)))
+    val might = col(textCol).isNotNull &&
+      graft.functions.VectorFunctions.bloomMightContain(col("_key"), bloom)
+    val maybe = keyed.where(might)
+    val verified =
+      if (broadcastBatch) {
+        // corpus keys are only SCANNED (broadcast semi-join), never
+        // shuffled; both joins' build sides are batch-bounded
+        val present = keys.join(
+          broadcast(maybe.select(col("_key").as("key")).distinct()),
+          Seq("key"), "left_semi")
+        maybe.join(broadcast(present), col("_key") === col("key"), "left_anti")
+      } else maybe.join(keys, col("_key") === col("key"), "left_anti")
+    keyed.where(!might).unionByName(verified).drop("_key")
+  }
+
   /** Keep-list materialization — the step that turns near-dup CLUSTERS
     * into per-document keep/drop decisions: within each cluster the
     * highest-scoring member (ties to the lowest id) is kept, everything

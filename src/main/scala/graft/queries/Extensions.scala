@@ -278,6 +278,26 @@ object Extensions {
       .orderBy(col("q_id"), col("vec_id"))
   }
 
+  // q62 incremental exact-dedup: a new dump (doc_id % 3 = 0) screened
+  // against the standing corpus's persisted key index (doc_id % 2 = 0) —
+  // the re-ingest admission gate. The overlap (doc_id % 6 = 0) is real:
+  // those rows ARE the corpus rows, the re-crawl case. Bloom prefilter
+  // clears definitely-new rows in the scan; the exact verify never
+  // shuffles the corpus keys (broadcast semi-join). Memoized like the
+  // vector indexes — a standing index is an input, not per-query work.
+  private val exactKeyDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q62_incremental_dedup: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val dir = exactKeyDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_q62_keys_").toString
+      Dedup.buildExactKeyIndex(docs.filter(col("doc_id") % 2 === 0), "text", p)
+      p
+    })
+    Dedup.exactDedupAgainstIndex(s, docs.filter(col("doc_id") % 3 === 0), "text", dir)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   // q55 exact-size stratified sample: deterministically exactly 10 docs
   // per source (md5-rank order) — fixed-size eval subsets per domain.
   val q55_exact_size_sample: Q = (s, d) =>
@@ -384,5 +404,6 @@ object Extensions {
     "q57_ivf_index_knn_join" -> q57_ivf_index_knn_join,
     "q58_token_budget_sample" -> q58_token_budget_sample,
     "q59_quantized_topk" -> q59_quantized_topk,
-    "q61_ivf_quantized_knn_join" -> q61_ivf_quantized_knn_join)
+    "q61_ivf_quantized_knn_join" -> q61_ivf_quantized_knn_join,
+    "q62_incremental_dedup" -> q62_incremental_dedup)
 }

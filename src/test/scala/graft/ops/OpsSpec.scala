@@ -373,6 +373,35 @@ class OpsSpec extends SparkSpec {
       s"sampled mass should be near the 4000-token budget, got ${kept.get("web")}")
   }
 
+  test("exactDedupAgainstIndex: Bloom-cleared and verified rows, nulls admitted, corpus never shuffled") {
+    val corpus = Seq(
+      (2L, "shared content already ingested"),
+      (4L, "another standing document"),
+      (6L, "a third corpus member")).toDF("doc_id", "text")
+    val dir = tmpDir("graft_keyidx_")
+    Dedup.buildExactKeyIndex(corpus, "text", dir)
+    // layout: fixed-width distinct keys + one serialized Bloom
+    assert(spark.read.parquet(s"$dir/keys").columns.toSeq == Seq("key"))
+    assert(new java.io.File(s"$dir/bloom/filter.bin").exists())
+    val batch = Seq(
+      (3L, "a genuinely new document"),            // fresh -> admitted
+      (9L, "shared content already ingested"),     // re-crawl dup -> dropped
+      (12L, null.asInstanceOf[String]),            // null text -> admitted
+      (15L, "another standing document"))          // dup -> dropped
+      .toDF("doc_id", "text")
+    val admitted = Dedup.exactDedupAgainstIndex(spark, batch, "text", dir)
+    assert(admitted.columns.toSeq == batch.columns.toSeq, "schema must be unchanged")
+    assert(admitted.select("doc_id").as[Long].collect().toSet == Set(3L, 12L))
+    // the broadcast path must never shuffle the corpus keys: every join
+    // in the plan is a broadcast join
+    assert(!admitted.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "broadcastBatch path must not sort-merge the key index")
+    // the huge-batch (two-sided shuffle) path is result-identical
+    val shuffled = Dedup.exactDedupAgainstIndex(spark, batch, "text", dir,
+      broadcastBatch = false)
+    assert(shuffled.select("doc_id").as[Long].collect().toSet == Set(3L, 12L))
+  }
+
   test("decontaminateBloom == decontaminate row-identical (incl. df-cap and empty bench)") {
     val rng = new scala.util.Random(23)
     def doc(): String = List.fill(20)(('a' + rng.nextInt(6)).toChar.toString
