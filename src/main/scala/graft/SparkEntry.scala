@@ -231,6 +231,19 @@ object SparkEntry {
         |    WHERE c.doc_id % 2 = 0 AND c.text IS NOT NULL
         |      AND MD5(c.text) = MD5(b.text)))
         |ORDER BY b.doc_id""".stripMargin,
+    // q63 oracle: same empty-filtered whitespace token stream, count
+    // floor, and (cnt desc, token) top-20 cut; the selected SET is
+    // re-sorted by token like the engine output.
+    "q63_vocab" ->
+      """SELECT token, cnt FROM (
+        |  SELECT x AS token, COUNT(*) AS cnt
+        |  FROM (SELECT UNNEST(list_filter(STRING_SPLIT(text, ' '),
+        |                                  x -> x <> '')) AS x
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1 HAVING COUNT(*) >= 5
+        |  ORDER BY cnt DESC, token LIMIT 20)
+        |ORDER BY token""".stripMargin,
+    "q64_collocations" -> collocationsSql,
     "q56_lsh_knn_join" -> lshKnnJoinSql,
     "q55_exact_size_sample" ->
       """SELECT doc_id, source FROM documents
@@ -468,6 +481,33 @@ object SparkEntry {
        |    ORDER BY qcos_sim DESC, vec_id) AS rk FROM cand)
        |SELECT q_id, vec_id, qcos_sim FROM ranked WHERE rk <= 10
        |ORDER BY q_id, vec_id""".stripMargin
+
+  /** q64 oracle: bigram collocations by the log-free PMI ratio,
+    * (pair·N)/(c1·c2) in exactly the engine's association order — every
+    * factor is an integer-valued double < 2^53 (exact products) and the
+    * one division is correctly rounded, so the score hash-matches where
+    * `ln` would not. Same empty-filtered token stream as q63.
+    */
+  private def collocationsSql: String =
+    s"""WITH tl AS (SELECT list_filter(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+       |            FROM documents WHERE text IS NOT NULL),
+       |bg AS (SELECT t[i+1] AS w1, t[i+2] AS w2
+       |       FROM tl, UNNEST(RANGE(LEN(t) - 1)) AS u(i)),
+       |big AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bg GROUP BY 1, 2),
+       |uni AS (SELECT x AS w, COUNT(*) AS c
+       |        FROM (SELECT UNNEST(t) AS x FROM tl) GROUP BY 1),
+       |tot AS (SELECT SUM(pair_count) AS n FROM big),
+       |sc AS (SELECT b.w1, b.w2, b.pair_count,
+       |         ROUND((CAST(b.pair_count AS DOUBLE) * tot.n)
+       |               / (CAST(u1.c AS DOUBLE) * u2.c), 6) AS pmi_ratio
+       |       FROM big b
+       |       CROSS JOIN tot
+       |       JOIN uni u1 ON u1.w = b.w1
+       |       JOIN uni u2 ON u2.w = b.w2
+       |       WHERE b.pair_count >= 5)
+       |SELECT w1, w2, pair_count, pmi_ratio FROM (
+       |  SELECT * FROM sc ORDER BY pmi_ratio DESC, w1, w2 LIMIT 50)
+       |ORDER BY w1, w2""".stripMargin
 
   /** q31 oracle: banded random-hyperplane LSH (8 bands × 4 sign bits over
     * md5-derived plane constants — the exact values

@@ -92,6 +92,78 @@ object TextAnalysis {
         col("_c.ws_tokens").as("ws_tokens"),
         col("_c.bpe_tokens").as("bpe_tokens"))
 
+  /** Corpus vocabulary: whitespace-token → frequency over the whole
+    * corpus, `minCount` floor, deterministic top-`topN` (count desc, then
+    * token) — the tokenizer-training / vocab-audit primitive.
+    *
+    * Shape at 100 TB: the token stream is a projection (split + filter +
+    * explode, no shuffle); the count is ONE exchange on the token key
+    * with map-side partial aggregation, so the shuffle carries one row
+    * per (mapper, distinct token), not per token occurrence; the final
+    * top-N plans as TakeOrderedAndProject — no global sort. Junk-token
+    * cardinality (the classic vocab blow-up) is bounded by the partial
+    * aggregation hash maps spilling, not by driver memory: only topN
+    * rows ever leave the cluster.
+    */
+  def vocab(df: DataFrame, textCol: String,
+            minCount: Long = 2, topN: Int = 1000): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(explode(expr(s"filter(split($textCol, ' '), x -> x <> '')"))
+        .as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topN)
+
+  /** Bigram collocations ranked by PMI ratio — which adjacent token
+    * pairs co-occur more than their unigram frequencies predict (the
+    * phrase-mining / tokenizer-merge-candidate primitive). The score is
+    * the LOG-FREE pointwise-mutual-information ratio
+    *
+    *   score(w1,w2) = c(w1,w2) · N / (c(w1) · c(w2)),  N = Σ c(w1,w2)
+    *
+    * kept as a raw ratio deliberately: it is monotonic in PMI and uses
+    * only IEEE-exact integer-valued products and one correctly-rounded
+    * division, so the DuckDB oracle hash-matches — `ln` is not
+    * correctly-rounded across engines. Bigrams/unigrams are drawn from
+    * the same empty-filtered token stream; `minCount` floors the pair
+    * count (rare-pair PMI is noise).
+    *
+    * Shape at 100 TB: bigrams are a projection (one struct per adjacent
+    * pair); pair and unigram counts are each one map-side-combined
+    * exchange; N is a 1-row aggregate broadcast into the score; the two
+    * unigram joins are key joins on the token (AQE broadcasts the vocab
+    * side when it is small); top-N is TakeOrderedAndProject.
+    */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long = 5, topN: Int = 100): DataFrame = {
+    val toks = df.where(col(textCol).isNotNull)
+      .select(expr(s"filter(split($textCol, ' '), x -> x <> '')").as("t"))
+    val bigrams = toks.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = big.agg(sum(col("pair_count")).as("_n"))
+    big.where(col("pair_count") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("_c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("_c2")), "w2")
+      .crossJoin(broadcast(total))
+      // association order pinned to the oracle: (pair·N) / (c1·c2), all
+      // factors integer-valued doubles < 2^53 -> exact products, one
+      // correctly-rounded division
+      .select(col("w1"), col("w2"), col("pair_count"),
+        round((col("pair_count").cast("double") * col("_n")) /
+          (col("_c1").cast("double") * col("_c2")), 6).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Content fingerprint: md5 of case-normalized text, plus an 8-hex-char
     * prefix usable as a cluster/shard key. Pure projection.
     */

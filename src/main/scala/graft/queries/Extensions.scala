@@ -298,6 +298,22 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q63 corpus vocabulary: top-20 whitespace tokens by frequency (ties to
+  // token order), minCount floor — one map-side-combined exchange, then
+  // TakeOrderedAndProject. Sorted by token on output (the top-20 SET is
+  // what the query pins; the oracle re-sorts the same set).
+  val q63_vocab: Q = (s, d) =>
+    TextAnalysis.vocab(t(s, d, "documents"), "text", minCount = 5, topN = 20)
+      .orderBy(col("token"))
+
+  // q64 bigram collocations by PMI ratio: adjacent pairs co-occurring
+  // more than their unigram frequencies predict — log-free ratio so the
+  // oracle hash-matches (ln is not correctly-rounded across engines).
+  val q64_collocations: Q = (s, d) =>
+    TextAnalysis.collocations(t(s, d, "documents"), "text",
+        minCount = 5, topN = 50)
+      .orderBy(col("w1"), col("w2"))
+
   // q55 exact-size stratified sample: deterministically exactly 10 docs
   // per source (md5-rank order) — fixed-size eval subsets per domain.
   val q55_exact_size_sample: Q = (s, d) =>
@@ -405,5 +421,7 @@ object Extensions {
     "q58_token_budget_sample" -> q58_token_budget_sample,
     "q59_quantized_topk" -> q59_quantized_topk,
     "q61_ivf_quantized_knn_join" -> q61_ivf_quantized_knn_join,
-    "q62_incremental_dedup" -> q62_incremental_dedup)
+    "q62_incremental_dedup" -> q62_incremental_dedup,
+    "q63_vocab" -> q63_vocab,
+    "q64_collocations" -> q64_collocations)
 }

@@ -402,6 +402,27 @@ class OpsSpec extends SparkSpec {
     assert(shuffled.select("doc_id").as[Long].collect().toSet == Set(3L, 12L))
   }
 
+  test("vocab and collocations: empty tokens dropped, floors, exact PMI ratios") {
+    val docs = Seq(
+      (1L, "a b a b a"),
+      (2L, "a  b c"), // double space -> empty token dropped, bigram (a,b)
+      (3L, null.asInstanceOf[String]),
+      (4L, "c a b a")).toDF("doc_id", "text")
+    // totals: a=6, b=4, c=2; topN=2 cuts c, minCount=2 would too
+    val v = TextAnalysis.vocab(docs, "text", minCount = 2, topN = 2)
+      .as[(String, Long)].collect()
+    assert(v.toSeq == Seq(("a", 6L), ("b", 4L)))
+    // bigrams: (a,b)=4, (b,a)=3, (b,c)=1, (c,a)=1 -> N=9; minCount=2
+    // keeps ab, ba; scores 4·9/(6·4)=1.5 and 3·9/(4·6)=1.125 exactly
+    val c = TextAnalysis.collocations(docs, "text", minCount = 2, topN = 10)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(c == Set(("a", "b", 4L, 1.5), ("b", "a", 3L, 1.125)))
+    // single-token docs contribute unigrams but no bigrams (no
+    // sequence(0,-1) blow-up)
+    val one = Seq((1L, "x")).toDF("doc_id", "text")
+    assert(TextAnalysis.collocations(one, "text", minCount = 1).count() == 0)
+  }
+
   test("decontaminateBloom == decontaminate row-identical (incl. df-cap and empty bench)") {
     val rng = new scala.util.Random(23)
     def doc(): String = List.fill(20)(('a' + rng.nextInt(6)).toChar.toString
