@@ -244,6 +244,7 @@ object SparkEntry {
         |  ORDER BY cnt DESC, token LIMIT 20)
         |ORDER BY token""".stripMargin,
     "q64_collocations" -> collocationsSql,
+    "q65_contamination_matrix" -> contaminationMatrixSql,
     "q56_lsh_knn_join" -> lshKnnJoinSql,
     "q55_exact_size_sample" ->
       """SELECT doc_id, source FROM documents
@@ -579,6 +580,24 @@ object SparkEntry {
        |          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
        |          GROUP BY c.d1, c.d2)""".stripMargin
   }
+
+  /** q65 oracle: q28's near-dup pairs (same minhash CTE chain and 0.5
+    * threshold) rolled up to least/greatest-normalized source cells.
+    */
+  private def contaminationMatrixSql: String =
+    s"""WITH $minhashCtes,
+       |pairs AS (SELECT i.d1, i.d2
+       |          FROM inter i
+       |          JOIN cnt n1 ON n1.doc_id = i.d1
+       |          JOIN cnt n2 ON n2.doc_id = i.d2
+       |          WHERE CAST(i.i AS DOUBLE) / (n1.n + n2.n - i.i) >= 0.5),
+       |ps AS (SELECT LEAST(a.source, b.source) AS src_a,
+       |              GREATEST(a.source, b.source) AS src_b
+       |       FROM pairs p
+       |       JOIN documents a ON a.doc_id = p.d1
+       |       JOIN documents b ON b.doc_id = p.d2)
+       |SELECT src_a, src_b, COUNT(*) AS n_pairs FROM ps
+       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
 
   private def minhashLshSql: String =
     s"""WITH $minhashCtes

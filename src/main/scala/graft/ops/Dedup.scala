@@ -159,6 +159,33 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** Cross-source contamination matrix: near-dup pair counts per
+    * unordered (source, source) cell — the dataset-audit view that says
+    * WHERE duplication lives (a hot diagonal cell = a self-duplicating
+    * dump; a hot off-diagonal cell = two dumps crawling the same sites,
+    * the thing mixture weights silently double-count). Source order is
+    * normalized (least/greatest) so each cell counts one triangle.
+    *
+    * Cost on top of [[minHashLsh]]: two id-key joins to attach sources
+    * (the pair side is the small side — true near-dup pairs, not the
+    * corpus) and one aggregation on the (src, src) key, whose
+    * cardinality is #sources² — broadcast-sized output.
+    */
+  def contaminationMatrix(docs: DataFrame, idCol: String, textCol: String,
+                          srcCol: String, w: Int = 3, k: Int = 8,
+                          bands: Int = 4, threshold: Double = 0.5,
+                          maxBucket: Int = 1000): DataFrame = {
+    val pairs = minHashLsh(docs, idCol, textCol, w, k, bands, threshold, maxBucket)
+    val src = docs.select(col(idCol), col(srcCol))
+    pairs
+      .join(src.select(col(idCol).as("d1"), col(srcCol).as("_s1")), "d1")
+      .join(src.select(col(idCol).as("d2"), col(srcCol).as("_s2")), "d2")
+      .select(least(col("_s1"), col("_s2")).as("src_a"),
+        greatest(col("_s1"), col("_s2")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** SimHash fingerprint (16-bit, majority vote per bit over token md5s).
     * Bit i of a token = high bit of hex digit i of md5(token); fingerprint
     * bit i = 1 iff strictly more than half the token occurrences set it.

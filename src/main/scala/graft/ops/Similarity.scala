@@ -502,6 +502,79 @@ object Similarity {
         concat(lit("b"), lshBucket(asDouble(col(vecCol)), dim, nBits)))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
 
+  /** [[buildLshIndex]] with int8-QUANTIZED storage — the bucket-
+    * partitioned member of the quantized-layout family
+    * ([[buildIvfIndexQuantized]]): buckets are assigned from the
+    * FULL-precision vector (identical geometry to the float index), data
+    * rows store (id, scale, q: array<byte>) — 4× narrower than floats in
+    * every probed scan.
+    */
+  def buildLshIndexQuantized(emb: DataFrame, idCol: String, vecCol: String,
+                             path: String, dim: Int, nBits: Int = 8): Unit =
+    emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol),
+        graft.functions.VectorFunctions.quantizeInt8(asDouble(col(vecCol))).as("_z"),
+        concat(lit("b"), lshBucket(asDouble(col(vecCol)), dim, nBits)).as("bucket"))
+      .select(col(idCol), col("_z.scale").as("scale"), col("_z.q").as("q"),
+        col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
+
+  /** Top-k over a quantized LSH index ([[buildLshIndexQuantized]]): same
+    * driver-side probe selection and PartitionFilters pruning as
+    * [[lshIndexTopK]], ranking by scale-free quantized cosine (the q59
+    * rank).
+    */
+  def lshIndexQuantizedTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                            idCol: String, queryVec: Array[Double],
+                            dim: Int, k: Int, nBits: Int = 8,
+                            multiProbe: Boolean = true, scale: Int = 6): DataFrame = {
+    import spark.implicits._
+    val qb = org.apache.spark.sql.graft.RandomHyperplanes.bucketOf(queryVec, dim, nBits)
+    val probes = (if (multiProbe)
+      qb +: (0 until nBits).map(i =>
+        qb.updated(i, if (qb(i) == '1') '0' else '1'))
+    else Seq(qb)).map("b" + _)
+    val q = Seq(Tuple1(quantizeDriver(queryVec).toSeq)).toDF("_qq")
+    spark.read.parquet(s"$path/data")
+      .filter(col("bucket").isin(probes: _*))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(col("q").cast("array<double>"), col("_qq")), scale)
+          .as("qcos_sim"))
+      .orderBy(col("qcos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Batch probes against a quantized LSH index: [[lshIndexKnnJoin]]'s
+    * shape (per-query hamming probes broadcast, DPP-or-repaired
+    * directory pruning, bounded TopKAgg) reading the byte layout, with
+    * per-row in-flight query quantization — probe buckets from the
+    * full-precision vector, ranks quantized.
+    */
+  def lshIndexQuantizedKnnJoin(spark: org.apache.spark.sql.SparkSession,
+                               path: String, idCol: String,
+                               queries: DataFrame, qIdCol: String, qVecCol: String,
+                               k: Int, dim: Int, nBits: Int = 8,
+                               multiProbe: Boolean = true, scale: Int = 6): DataFrame = {
+    val qb = queries
+      .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_qb", lshBucket(col("_qv"), dim, nBits))
+    val probed = hammingProbesPerQuery(qb, nBits, multiProbe)
+      .withColumn("_qq", graft.functions.VectorFunctions.quantizeInt8(col("_qv"))
+        .getField("q").cast("array<double>"))
+      .select(col("q_id"), col("_qq"), concat(lit("b"), col("_pb")).as("_pb"))
+    val index = spark.read.parquet(s"$path/data")
+    requireIntegralId(index, idCol, "lshIndexQuantizedKnnJoin")
+    def joinWith(idx: DataFrame): DataFrame =
+      idx.join(broadcast(probed), col("bucket") === col("_pb"))
+        .select(col("q_id"), col(idCol),
+          round(cosine(col("q").cast("array<double>"), col("_qq")), scale)
+            .as("cos_sim"))
+    topKPerQuery(
+      repairPartitionPruning(index, "bucket", probed, "_pb", joinWith), idCol, k)
+      .withColumnRenamed("cos_sim", "qcos_sim")
+  }
+
   /** Dynamic-partition-pruning self-repair for the persisted-index k-NN
     * joins. Spark's PartitionPruning rule inserts the pruning subquery
     * only when the probe side is a file-backed scan with a surviving

@@ -27,6 +27,15 @@ object Extensions {
         w = 3, k = 8, bands = 4, threshold = 0.5)
       .orderBy(col("d1"), col("d2"))
 
+  // q65 cross-source contamination matrix: q28's near-dup pairs rolled up
+  // to (source, source) cells — where duplication lives, the audit that
+  // catches two dumps crawling the same sites before mixture weights
+  // double-count them.
+  val q65_contamination_matrix: Q = (s, d) =>
+    Dedup.contaminationMatrix(t(s, d, "documents"), "doc_id", "text",
+        "source", w = 3, k = 8, bands = 4, threshold = 0.5)
+      .orderBy(col("src_a"), col("src_b"))
+
   // q29 SimHash fingerprints with duplicate-cluster size.
   val q29_dedup_simhash: Q = (s, d) =>
     Dedup.simHash(t(s, d, "documents"), "doc_id", "text")
@@ -423,5 +432,6 @@ object Extensions {
     "q61_ivf_quantized_knn_join" -> q61_ivf_quantized_knn_join,
     "q62_incremental_dedup" -> q62_incremental_dedup,
     "q63_vocab" -> q63_vocab,
-    "q64_collocations" -> q64_collocations)
+    "q64_collocations" -> q64_collocations,
+    "q65_contamination_matrix" -> q65_contamination_matrix)
 }

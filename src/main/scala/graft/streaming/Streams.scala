@@ -192,6 +192,33 @@ object Streams {
       .start()
   }
 
+  /** Continuously maintain a QUANTIZED persisted LSH index built by
+    * [[graft.ops.Similarity.buildLshIndexQuantized]]: buckets from the
+    * full-precision vector (the builder's geometry rule), rows land as
+    * (id, scale, q: array<byte>) — the bucket-partitioned twin of
+    * [[ivfIndexQuantizedSink]], with [[lshIndexSink]]'s admission guard
+    * and `foreachBatch` append discipline.
+    */
+  def lshIndexQuantizedSink(stream: DataFrame, idCol: String, vecCol: String,
+                            path: String, checkpoint: String, dim: Int,
+                            nBits: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    stream
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol),
+        graft.functions.VectorFunctions.quantizeInt8(
+          transform(col(vecCol), _.cast("double"))).as("_z"),
+        concat(lit("b"), graft.functions.VectorFunctions.lshBucket(
+          transform(col(vecCol), _.cast("double")), dim, nBits)).as("bucket"))
+      .select(col(idCol), col("_z.scale").as("scale"), col("_z.q").as("q"),
+        col("bucket"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("bucket").parquet(s"$path/data")
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** Continuously maintain a QUANTIZED persisted IVF index built by
     * [[graft.ops.Similarity.buildIvfIndexQuantized]]: same frozen-centroid
     * contract and `foreachBatch` append discipline as [[ivfIndexSink]],

@@ -226,6 +226,43 @@ class IndexLayoutSpec extends SparkSpec {
     assert(local.as[(Long, Long, Double)].collect().toSet == rows.toSet)
   }
 
+  test("quantized LSH index: byte storage, same buckets, pruned probes, batch join agrees") {
+    val dir = tmpDir("graft_lshq_")
+    Similarity.buildLshIndexQuantized(emb, "vec_id", "embedding", dir, dim = dim, nBits = 6)
+    // byte layout, and bucket geometry identical to the float index
+    val schema = spark.read.parquet(s"$dir/data").schema
+    assert(schema.fieldNames.toSet == Set("vec_id", "scale", "q", "bucket"))
+    assert(schema("q").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType)
+    val full = tmpDir("graft_lshq_full_")
+    Similarity.buildLshIndex(emb, "vec_id", "embedding", full, dim = dim, nBits = 6)
+    def buckets(d: String) = spark.read.parquet(s"$d/data")
+      .select(col("vec_id"), col("bucket").cast("string")).as[(Long, String)]
+      .collect().toMap
+    assert(buckets(dir) == buckets(full))
+    // point probe: pruned to nBits+1 bucket directories, planted recall
+    val df = Similarity.lshIndexQuantizedTopK(spark, dir, "vec_id", qv,
+      dim = dim, k = 11, nBits = 6, multiProbe = true)
+    val got = df.select("vec_id").as[Long].collect().toSet - 0L
+    val recall = (got & exactTop10).size.toDouble / exactTop10.size
+    assert(recall >= 0.8, s"quantized-LSH recall $recall below 0.8")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(partitionFilterInList(plan, "bucket").length == 7,
+      s"PartitionFilters must prune to nBits+1 buckets:\n$plan")
+    // batch join (file-backed probes -> DPP) agrees with the point probe
+    emb.write.mode("overwrite").parquet(s"$dir/queries_src")
+    val queries = spark.read.parquet(s"$dir/queries_src")
+      .filter(col("vec_id") === 0L)
+    val join = Similarity.lshIndexQuantizedKnnJoin(spark, dir, "vec_id",
+      queries, "vec_id", "embedding", k = 11, dim = dim, nBits = 6)
+    assert(join.queryExecution.executedPlan.toString.toLowerCase
+      .contains("dynamicpruning"))
+    val point = Similarity.lshIndexQuantizedTopK(spark, dir, "vec_id", qv,
+      dim = dim, k = 11, nBits = 6).as[(Long, Double)].collect().toSet
+    assert(join.as[(Long, Long, Double)].collect().map(r => (r._2, r._3)).toSet
+      == point, "batch join must agree with the point probe")
+  }
+
   test("index k-NN joins self-repair pruning for a local (non-file) probe side") {
     val dir = tmpDir("graft_repair_")
     Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCells = 16)

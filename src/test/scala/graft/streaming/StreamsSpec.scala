@@ -372,6 +372,38 @@ class StreamsSpec extends SparkSpec {
       s"streamed near-identical neighbors must dominate top-5, got $got")
   }
 
+  test("streaming quantized LSH index sink: int8 rows land in float-identical buckets and are probed") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(31)
+    def vec(): Seq[Double] = Seq.fill(16)(rng.nextDouble() - 0.5)
+    val query = vec()
+    val initial = (100L until 160L).map(i => (i, vec()))
+    val dir = tmpDir("graft_lshqsink_")
+    graft.ops.Similarity.buildLshIndexQuantized(
+      initial.toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+      dim = 16, nBits = 4)
+    val neighbors = (1L to 5L).map(i =>
+      (i, query.map(_ + (rng.nextDouble() - 0.5) * 0.001)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.lshIndexQuantizedSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, s"$dir/ckpt", dim = 16, nBits = 4)
+    try {
+      mem.addData(neighbors: _*)
+      mem.addData((997L, null.asInstanceOf[Seq[Double]]), (998L, Seq.empty[Double]))
+      q.processAllAvailable()
+    } finally q.stop()
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.schema.fieldNames.toSet == Set("vec_id", "scale", "q", "bucket"))
+    assert(data.count() == 65,
+      s"batch (60) + streamed (5) rows must all be visible, got ${data.count()}")
+    val got = graft.ops.Similarity.lshIndexQuantizedTopK(spark, dir, "vec_id",
+        query.toArray, dim = 16, k = 5, nBits = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert((got & (1L to 5L).toSet).size >= 4,
+      s"streamed near-identical neighbors must surface in top-5, got $got")
+  }
+
   test("streaming quantized IVF index sink: in-flight int8 rows join the batch layout and are probed") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(29)
