@@ -6,10 +6,11 @@ package graft
   * everywhere — and reports the FINAL adaptive plan: under AQE, exchange/
   * stage reuse is a runtime decision invisible in the pre-execution plan.
   *
-  * Reading the bnlj column: the brute-force top-k family (q25/q59)
-  * intentionally plans a BroadcastNestedLoopJoin whose BUILD SIDE IS ONE
-  * ROW — the query vector attached to every corpus row (a scalar
-  * broadcast; there is no join key by construction). That is the
+  * Reading the bnlj column: the brute-force top-k family (q25/q59) and
+  * the scalar-total attach in q64 intentionally plan a
+  * BroadcastNestedLoopJoin whose BUILD SIDE IS ONE ROW — the query
+  * vector / 1-row aggregate attached to every row (a scalar broadcast;
+  * there is no join key by construction). That is the
   * documented scan shape (Similarity.bruteForceTopK), not a scale risk;
   * the invariant the audit guards is that no MULTI-ROW join is ever a
   * nested loop — every relation-to-relation join stays equi-keyed.
@@ -31,7 +32,9 @@ object PlanAudit {
       "q48_mixture_sample", "q49_dup_span_frac", "q50_bloom_decontaminate",
       "q51_repetition_signals", "q52_pack", "q53_dedup_keep",
       "q54_ivf_knn_join", "q55_exact_size_sample", "q56_lsh_knn_join",
-      "q57_ivf_index_knn_join", "q58_token_budget_sample", "q59_quantized_topk")
+      "q57_ivf_index_knn_join", "q58_token_budget_sample", "q59_quantized_topk",
+      "q61_ivf_quantized_knn_join", "q62_incremental_dedup", "q63_vocab",
+      "q64_collocations", "q65_contamination_matrix")
     for (q <- interesting) {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       qe.executedPlan.executeCollect()
