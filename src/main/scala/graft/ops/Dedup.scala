@@ -496,16 +496,57 @@ object Dedup {
   def buildExactKeyIndex(docs: DataFrame, textCol: String, path: String,
                          fpp: Double = 0.01): Unit = {
     val spark = docs.sparkSession
+    import spark.implicits._
     docs.where(col(textCol).isNotNull)
       .select(md5(col(textCol)).as("key")).distinct()
       .write.mode("overwrite").parquet(s"$path/keys")
     val keys = spark.read.parquet(s"$path/keys")
     val n = math.max(1L, keys.count())
     val bloom = keys.stat.bloomFilter("key", n, fpp)
+    writeBloom(spark, bloom, path)
+    // sizing params: streamed appends build per-batch filters with the
+    // SAME (n, fpp) so their bit arrays are mergeable into this one
+    Seq((n, fpp)).toDF("n", "fpp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  private def writeBloom(spark: org.apache.spark.sql.SparkSession,
+                         bloom: org.apache.spark.util.sketch.BloomFilter,
+                         path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/bloom/filter.bin")
     val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .create(p, true)
     try bloom.writeTo(out) finally out.close()
+  }
+
+  private[graft] def readBloom(spark: org.apache.spark.sql.SparkSession,
+                               path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/bloom/filter.bin")
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+  }
+
+  /** Admit one micro-batch's keys into a [[buildExactKeyIndex]] layout:
+    * append the batch's distinct new keys to `keys/` and MERGE a
+    * same-sized Bloom of them into the persisted filter — Bloom union is
+    * bitwise-or, so the no-false-negative contract survives appends (the
+    * filter can only get more inclusive; `fpp` degrades gradually as the
+    * key count outgrows the original sizing — rebuild to re-size).
+    * Backs [[graft.streaming.Streams.exactKeyIndexSink]].
+    */
+  def appendExactKeys(spark: org.apache.spark.sql.SparkSession,
+                      docs: DataFrame, textCol: String, path: String): Unit = {
+    val newKeys = docs.where(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("key")).distinct()
+    if (newKeys.isEmpty) return
+    newKeys.write.mode("append").parquet(s"$path/keys")
+    val params = spark.read.parquet(s"$path/params")
+      .select(col("n"), col("fpp")).head()
+    val delta = newKeys.stat.bloomFilter("key", params.getLong(0),
+      params.getDouble(1))
+    val merged = readBloom(spark, path).mergeInPlace(delta)
+    writeBloom(spark, merged, path)
   }
 
   /** Screen a new batch against a [[buildExactKeyIndex]] layout: rows
@@ -529,11 +570,7 @@ object Dedup {
   def exactDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                              newDocs: DataFrame, textCol: String, path: String,
                              broadcastBatch: Boolean = true): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/bloom/filter.bin")
-    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
-    val bloom =
-      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-      finally in.close()
+    val bloom = readBloom(spark, path)
     val keys = spark.read.parquet(s"$path/keys")
     val keyed = newDocs.withColumn("_key", md5(col(textCol)))
     val might = col(textCol).isNotNull &&

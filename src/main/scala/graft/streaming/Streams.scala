@@ -192,6 +192,34 @@ object Streams {
       .start()
   }
 
+  /** Continuously maintain a persisted EXACT-dedup key index built by
+    * [[graft.ops.Dedup.buildExactKeyIndex]] — admitted documents'
+    * content hashes append to `keys/` and Bloom-union into the persisted
+    * filter ([[graft.ops.Dedup.appendExactKeys]]), so later batches
+    * screen against everything already admitted. Union is bitwise-or:
+    * the no-false-negative contract survives appends; fpp degrades as
+    * the key count outgrows the build-time sizing — rebuild to re-size.
+    * Replays are harmless (appending a present key is a no-op for
+    * screening semantics; `keys/` dups collapse in the verify
+    * semi-join's distinct probe set).
+    *
+    * The typical loop pairs this with
+    * [[graft.ops.Dedup.exactDedupAgainstIndex]] in the same
+    * `foreachBatch`: screen the batch, write survivors downstream, admit
+    * their keys — but the sink stands alone when admission is
+    * unconditional.
+    */
+  def exactKeyIndexSink(spark: org.apache.spark.sql.SparkSession,
+                        stream: DataFrame, textCol: String, path: String,
+                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Dedup.appendExactKeys(spark, batch, textCol, path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** Continuously maintain a QUANTIZED persisted LSH index built by
     * [[graft.ops.Similarity.buildLshIndexQuantized]]: buckets from the
     * full-precision vector (the builder's geometry rule), rows land as

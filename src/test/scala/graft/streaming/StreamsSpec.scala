@@ -372,6 +372,36 @@ class StreamsSpec extends SparkSpec {
       s"streamed near-identical neighbors must dominate top-5, got $got")
   }
 
+  test("streaming exact-key index sink: streamed keys screen later batches, Bloom stays no-false-negative") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (2L, "standing corpus document one"),
+      (4L, "standing corpus document two")).toDF("doc_id", "text")
+    val dir = tmpDir("graft_keysink_")
+    graft.ops.Dedup.buildExactKeyIndex(corpus, "text", dir)
+    // stream in two admitted docs (plus a null to refuse)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.exactKeyIndexSink(spark,
+      mem.toDF().toDF("doc_id", "text"), "text", dir, s"$dir/ckpt")
+    try {
+      mem.addData((10L, "streamed admission alpha"), (11L, "streamed admission beta"),
+        (12L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$dir/keys").count() == 4,
+      "two built + two streamed keys (null refused)")
+    // a later batch duplicating BOTH populations is screened by both:
+    // a stale (non-merged) Bloom would wave the streamed dup through
+    val batch = Seq(
+      (20L, "standing corpus document one"),  // dup of built corpus
+      (21L, "streamed admission alpha"),      // dup of streamed admission
+      (22L, "genuinely new content")).toDF("doc_id", "text")
+    val admitted = graft.ops.Dedup.exactDedupAgainstIndex(spark, batch, "text", dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(22L),
+      s"dups of built AND streamed keys must be dropped, got $admitted")
+  }
+
   test("streaming quantized LSH index sink: int8 rows land in float-identical buckets and are probed") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(31)
