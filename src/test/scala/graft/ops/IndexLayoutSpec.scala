@@ -327,6 +327,46 @@ class IndexLayoutSpec extends SparkSpec {
     assert(loose.size >= direct.size)
   }
 
+  test("index compaction: fragmented appends collapse to one file per partition, rows and probes intact") {
+    val dir = tmpDir("graft_compact_")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCells = 8)
+    // fragment the layout the way a long-running sink would: several
+    // small appends into the same partition directories
+    val rng2 = new scala.util.Random(3)
+    (0 until 4).foreach { i =>
+      val extra = (1000L + i * 10 until 1000L + i * 10 + 5)
+        .map(j => (j, Seq.fill(dim)((rng2.nextDouble() - 0.5).toFloat)))
+      extra.toDF("vec_id", "embedding")
+        .withColumn("cell", graft.functions.VectorFunctions.nearestCentroid(
+          transform(col("embedding"), _.cast("double")),
+          spark.read.parquet(s"$dir/centroids").select(col("cell"), col("centroid"))
+            .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
+    }
+    val before = IndexMaintenance.dataFileCount(spark, s"$dir/data")
+    val rowsBefore = spark.read.parquet(s"$dir/data")
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+    val dirsBefore = new java.io.File(s"$dir/data").list()
+      .filter(_.startsWith("cell=")).toSet
+    IndexMaintenance.compact(spark, s"$dir/data", Some("cell"))
+    val after = IndexMaintenance.dataFileCount(spark, s"$dir/data")
+    assert(after < before, s"compaction must reduce files: $before -> $after")
+    assert(after == dirsBefore.size, "one file per partition directory")
+    // content, assignment, and layout are untouched
+    val rowsAfter = spark.read.parquet(s"$dir/data")
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+    assert(rowsAfter == rowsBefore)
+    assert(new java.io.File(s"$dir/data").list().filter(_.startsWith("cell="))
+      .toSet == dirsBefore)
+    // probes keep pruning against the compacted layout
+    val df = Similarity.ivfIndexTopK(spark, dir, "vec_id", "embedding", qv,
+      k = 11, nProbe = 4)
+    assert(partitionFilterInList(df.queryExecution.executedPlan.toString,
+      "cell").length == 4)
+    val got = df.select("vec_id").as[Long].collect().toSet - 0L
+    assert((got & exactTop10).size.toDouble / exactTop10.size >= 0.8)
+  }
+
   test("ivfTopK setup is one driver job (seed sample + query vector unioned)") {
     val sc = spark.sparkContext
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
