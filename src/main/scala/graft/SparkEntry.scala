@@ -245,6 +245,7 @@ object SparkEntry {
         |ORDER BY token""".stripMargin,
     "q64_collocations" -> collocationsSql,
     "q65_contamination_matrix" -> contaminationMatrixSql,
+    "q66_upsample_epochs" -> upsampleEpochsSql,
     "q56_lsh_knn_join" -> lshKnnJoinSql,
     "q55_exact_size_sample" ->
       """SELECT doc_id, source FROM documents
@@ -482,6 +483,33 @@ object SparkEntry {
        |    ORDER BY qcos_sim DESC, vec_id) AS rk FROM cand)
        |SELECT q_id, vec_id, qcos_sim FROM ranked WHERE rk <= 10
        |ORDER BY q_id, vec_id""".stripMargin
+
+  /** q66 oracle: the with-replacement mixture mirrored exactly — per
+    * source floor(frac) whole copies plus one more when md5(doc_id)
+    * falls under the FRACTIONAL remainder's threshold. The CASE
+    * literals (floors and hex thresholds) are generated by the same
+    * Scala arithmetic the engine's `upsample` uses, so IEEE remainder
+    * quirks (2.3 − 2 ≠ 0.3) cannot diverge; sources outside the recipe
+    * get 0 copies and RANGE(0) drops them.
+    */
+  private def upsampleEpochsSql: String = {
+    val fr = graft.queries.Extensions.upsampleFracs.toSeq.sorted
+    val wholeArms = fr.map { case (s, f) =>
+      s"WHEN '$s' THEN ${math.floor(f).toLong}" }.mkString("\n  ")
+    val thrArms = fr.map { case (s, f) =>
+      s"WHEN '$s' THEN '${graft.ops.Sampling.hexThreshold(f - math.floor(f))}'"
+    }.mkString("\n  ")
+    s"""WITH n AS (SELECT doc_id, source,
+       |  (CASE source
+       |  $wholeArms
+       |  ELSE 0 END)
+       |  + (CASE WHEN MD5(CAST(doc_id AS VARCHAR)) < (CASE source
+       |  $thrArms
+       |  ELSE '0' END) THEN 1 ELSE 0 END) AS n_copies
+       |  FROM documents)
+       |SELECT doc_id, source, copy FROM n, UNNEST(RANGE(n_copies)) AS u(copy)
+       |ORDER BY doc_id, copy""".stripMargin
+  }
 
   /** q64 oracle: bigram collocations by the log-free PMI ratio,
     * (pair·N)/(c1·c2) in exactly the engine's association order — every

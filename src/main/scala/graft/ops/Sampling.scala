@@ -127,15 +127,52 @@ object Sampling {
     * totals, fractions and hex thresholds in SQL).
     */
   def tokenBudgetFracs(df: DataFrame, stratumCol: String, tokenCol: String,
-                       budgets: Map[String, Long]): Map[String, Double] = {
+                       budgets: Map[String, Long],
+                       allowReplacement: Boolean = false): Map[String, Double] = {
     require(budgets.values.forall(_ >= 0),
       "token budgets must be non-negative")
     val totals = df.groupBy(col(stratumCol))
       .agg(sum(col(tokenCol)).as("_t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     budgets.flatMap { case (s, b) =>
-      totals.get(s).filter(_ > 0).map(t => s -> math.min(1.0, b.toDouble / t))
+      totals.get(s).filter(_ > 0).map { t =>
+        val f = b.toDouble / t
+        s -> (if (allowReplacement) f else math.min(1.0, f))
+      }
     }
+  }
+
+  /** Mixture sampling WITH replacement — the epochs case
+    * [[tokenBudgetFracs]]' cap deliberately refuses: when a stratum's
+    * allocation EXCEEDS its size ("3.4 epochs of books"), every row
+    * keeps `floor(frac)` whole copies and the fractional remainder is
+    * the same md5-threshold coin as [[stratifiedSample]]:
+    *
+    *   copies(id) = floor(frac) + (md5(id) < thr(frac − floor(frac)) ? 1 : 0)
+    *
+    * Output duplicates each kept row with a `copy` index (0-based), so
+    * downstream sequence packing / shuffling sees distinguishable
+    * epochs. Deterministic and engine-portable like every sampler here;
+    * strata absent from `fracs` drop (not-in-the-recipe semantics).
+    * Still a projection + filter — the explode fans rows out in place
+    * (no shuffle), and row count grows by exactly the mixture weight,
+    * which is the point.
+    */
+  def upsample(df: DataFrame, idCol: String, stratumCol: String,
+               fracs: Map[String, Double]): DataFrame = {
+    require(fracs.values.forall(_ >= 0), "fractions must be non-negative")
+    val whole = fracs.foldLeft(lit(0L)) { case (acc, (s, f)) =>
+      when(col(stratumCol) === s, lit(math.floor(f).toLong)).otherwise(acc)
+    }
+    val remThr = fracs.foldLeft(lit(hexThreshold(0.0))) { case (acc, (s, f)) =>
+      when(col(stratumCol) === s, lit(hexThreshold(f - math.floor(f))))
+        .otherwise(acc)
+    }
+    df.withColumn("_n",
+        whole + when(key(col(idCol)) < remThr, 1L).otherwise(0L))
+      .where(col("_n") > 0)
+      .withColumn("copy", explode(expr("sequence(0L, _n - 1)")))
+      .drop("_n")
   }
 
   /** Train/val/test assignment from cumulative fractions, e.g.

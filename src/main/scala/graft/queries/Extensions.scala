@@ -174,6 +174,19 @@ object Extensions {
   val tokenBudgets: Map[String, Long] =
     (0 until 20).map(i => s"src$i" -> 120L * (i + 1)).toMap
 
+  // q66 epochs recipe: fixed per-source mixture weights, including
+  // with-replacement strata (>1 = whole epochs + an md5-coin fractional
+  // epoch). Fixed fractions keep the query sf-independent; the oracle
+  // inlines the identical floor/threshold literals.
+  val upsampleFracs: Map[String, Double] =
+    Map("src0" -> 2.3, "src1" -> 0.4, "src2" -> 1.0)
+
+  val q66_upsample_epochs: Q = (s, d) =>
+    Sampling.upsample(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", upsampleFracs)
+      .orderBy(col("doc_id"), col("copy"))
+
   val q58_token_budget_sample: Q = (s, d) => {
     val docs = t(s, d, "documents")
     val toks = docs.select(col("source"),
@@ -433,5 +446,6 @@ object Extensions {
     "q62_incremental_dedup" -> q62_incremental_dedup,
     "q63_vocab" -> q63_vocab,
     "q64_collocations" -> q64_collocations,
-    "q65_contamination_matrix" -> q65_contamination_matrix)
+    "q65_contamination_matrix" -> q65_contamination_matrix,
+    "q66_upsample_epochs" -> q66_upsample_epochs)
 }

@@ -402,6 +402,35 @@ class OpsSpec extends SparkSpec {
     assert(shuffled.select("doc_id").as[Long].collect().toSet == Set(3L, 12L))
   }
 
+  test("upsample: whole epochs exact, fractional epoch is the md5 coin, absent strata drop") {
+    val rows = (1L to 40L).map(i => (i, if (i <= 10) "a" else if (i <= 30) "b" else "c"))
+    val df = rows.toDF("doc_id", "source")
+    val out = Sampling.upsample(df, "doc_id", "source",
+      Map("a" -> 2.0, "b" -> 0.5, "c" -> 3.25))
+      .as[(Long, String, Long)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // stratum a: exactly 2 copies each, indices 0 and 1
+    (1L to 10L).foreach(i => assert(byDoc(i) == Seq(0L, 1L), s"doc $i: ${byDoc.get(i)}"))
+    // stratum b: 0 or 1 copies, decided by the same md5 coin as the
+    // rate sampler — identical kept set
+    val kept = Sampling.sample(df.filter($"source" === "b"), "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert((11L to 30L).filter(byDoc.contains).toSet == kept)
+    // stratum c: 3 whole copies + the 0.25 coin
+    (31L to 40L).foreach { i =>
+      val n = byDoc(i).size
+      assert(n == 3 || n == 4); assert(byDoc(i) == (0L until n.toLong))
+    }
+    // deterministic under repartition
+    val again = Sampling.upsample(df.repartition(7), "doc_id", "source",
+      Map("a" -> 2.0, "b" -> 0.5, "c" -> 3.25))
+      .as[(Long, String, Long)].collect()
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+    // a stratum not in the recipe vanishes
+    assert(Sampling.upsample(df, "doc_id", "source", Map("a" -> 1.0))
+      .select("source").distinct().as[String].collect().toSeq == Seq("a"))
+  }
+
   test("vocab and collocations: empty tokens dropped, floors, exact PMI ratios") {
     val docs = Seq(
       (1L, "a b a b a"),
