@@ -60,6 +60,41 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] q12b bound check failed to run: ${e.getMessage}")
     }
+    // q60b likewise: the percentile sketch has no SQL oracle, so check
+    // the contract it actually makes — RANK error: a returned value v
+    // for percentile p must sit at empirical CDF position within eps of
+    // p (approx_percentile guarantees 1/accuracy = 1e-4; the recorded
+    // bound leaves 50× slack). Value-distance to the interpolated exact
+    // percentile is NOT the sketch's contract: the sketch returns an
+    // actual data value, and a sparse value neighborhood makes that gap
+    // arbitrarily large at zero rank error.
+    try {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("source"), col("n_chars"))
+      val melted = spark.read.parquet(s"$outDir/q60b_percentiles_approx")
+        .select(col("source"), explode(map(
+          lit(0.25), col("p25"), lit(0.5), col("p50"), lit(0.9), col("p90")))
+          .as(Seq("p", "v")))
+      val relErr = docs.join(melted, "source")
+        .groupBy(col("source"), col("p"), col("v"))
+        .agg(
+          (sum(when(col("n_chars") <= col("v"), 1L).otherwise(0L))
+            / count(lit(1))).as("cdf_le"),
+          (sum(when(col("n_chars") < col("v"), 1L).otherwise(0L))
+            / count(lit(1))).as("cdf_lt"))
+        .select(greatest(lit(0.0), col("p") - col("cdf_le"),
+          col("cdf_lt") - col("p")).as("err"))
+        .collect().map(_.getDouble(0)).max // bounded: sources × 3 rows
+      val bound = 0.005
+      Files.writeString(Paths.get(s"$outDir/q60b_bound.json"),
+        f"""{"query": "q60b_percentiles_approx", "rel_err": $relErr%.6f, "bound": $bound, "pass": ${relErr <= bound}}""")
+      if (relErr > bound)
+        System.err.println(
+          f"[verify] q60b_percentiles_approx bound FAILED: max rank err $relErr%.4f > $bound")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] q60b bound check failed to run: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -300,6 +300,23 @@ object Relational {
         round(expr("percentile(n_chars, 0.9)"), 4).as("p90"))
       .orderBy(col("source"))
 
+  // q60b: the 100 TB path q60's scaladoc promises — approx_percentile's
+  // fixed-size per-group sketches mergeable map-side, instead of exact
+  // percentile's full per-group value collection. No SQL oracle (the
+  // sketch is engine-specific, the q12/q12b relationship); Verify
+  // measures it against q60's exact values and records the bound in
+  // q60b_bound.json.
+  val q60b_percentiles_approx: Q = (s, d) =>
+    t(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(expr("approx_percentile(n_chars, array(0.25D, 0.5D, 0.9D), 10000)")
+        .as("ps"))
+      .select(col("source"),
+        col("ps")(0).cast("double").as("p25"),
+        col("ps")(1).cast("double").as("p50"),
+        col("ps")(2).cast("double").as("p90"))
+      .orderBy(col("source"))
+
   val all: Map[String, Q] = Map(
     "q01_scan_project" -> q01_scan_project,
     "q02_filter" -> q02_filter,
@@ -329,5 +346,6 @@ object Relational {
     "q24_dedup_distinct" -> q24_dedup_distinct,
     "q25_similarity_topk" -> q25_similarity_topk,
     "q26_text_tokens" -> q26_text_tokens,
-    "q60_percentiles" -> q60_percentiles)
+    "q60_percentiles" -> q60_percentiles,
+    "q60b_percentiles_approx" -> q60b_percentiles_approx)
 }

@@ -72,9 +72,9 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             print(f"PASS {name} ({len(eng)} rows)")
             n_pass += 1
-    # q12b carries a measured-error bound instead of a SQL oracle
-    bound_file = f"{out_dir}/q12b_bound.json"
-    if os.path.exists(bound_file):
+    # the approximate twins (q12b HLL, q60b percentile sketch) carry a
+    # measured-error bound instead of a SQL oracle
+    for bound_file in sorted(glob.glob(f"{out_dir}/*_bound.json")):
         b = json.load(open(bound_file))
         if b.get("pass"):
             print(f"PASS {b['query']} (rel_err {b['rel_err']:.4f} <= {b['bound']})")
