@@ -246,6 +246,36 @@ object SparkEntry {
     "q64_collocations" -> collocationsSql,
     "q65_contamination_matrix" -> contaminationMatrixSql,
     "q66_upsample_epochs" -> upsampleEpochsSql,
+    // q67 oracle: sequential-min funnel — t1 = min ts(view), each later
+    // step the min ts strictly after the previous stage's time, counted
+    // per stage. ts is TIMESTAMP(NANOS) on disk: cast like the engine's
+    // micros truncation (Tables.load contract).
+    "q67_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', COUNT(*) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', COUNT(*) FROM s3
+        |ORDER BY step""".stripMargin,
+    // q68 oracle: hottest join keys with exact share — same (pair·total)
+    // division order as the engine.
+    "q68_skew_report" ->
+      """WITH c AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(cnt) AS n FROM c)
+        |SELECT o_custkey, cnt,
+        |       ROUND(CAST(cnt AS DOUBLE) / t.n, 6) AS share
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, o_custkey LIMIT 10""".stripMargin,
     "q56_lsh_knn_join" -> lshKnnJoinSql,
     "q55_exact_size_sample" ->
       """SELECT doc_id, source FROM documents

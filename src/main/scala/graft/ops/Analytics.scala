@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence and distribution diagnostics — the analytics the
+  * reference reaches through pushed SQL (dasladen task.py:180,256 hands
+  * arbitrary SQL to its backing engine) expressed as first-class
+  * operators with oracle twins.
+  */
+object Analytics {
+
+  /** Strict-order funnel: for steps A → B → C…, a user completes step k
+    * when an event of step k's type occurs STRICTLY AFTER the user's
+    * earliest completion time of step k−1 (the sequential-min
+    * definition: t₁ = min ts(A), tₖ = min ts(step k) > tₖ₋₁). Output is
+    * one row per step: (step, event_type, n_users), n_users
+    * monotonically non-increasing.
+    *
+    * Shape at 100 TB: step 1 is a filtered map-side-combined
+    * aggregation on the user key; each later step is ONE equi-join of
+    * the filtered event stream against the previous stage's (user,
+    * time) — both sides shuffle on the fixed-width user key and AQE
+    * broadcasts the stage side once the funnel narrows (stages only
+    * shrink). No window over a user's full history, no per-user event
+    * collection: state per user per stage is one timestamp.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stages = steps.zipWithIndex
+      .scanLeft(Option.empty[DataFrame]) { case (prev, (step, _)) =>
+        val hits = events.where(col(typeCol) === step)
+        Some(prev match {
+          case None =>
+            hits.groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+          case Some(p) =>
+            hits.join(p.select(col(userCol), col("_t").as("_pt")), userCol)
+              .where(col(tsCol) > col("_pt"))
+              .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+        })
+      }.flatten
+    stages.zip(steps).zipWithIndex.map { case ((stage, name), i) =>
+      stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(name).as("event_type"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Key-skew report: the `topK` hottest values of `keyCol` with their
+    * counts and corpus share — the measurement behind every salting /
+    * skew-join decision (AQE handles runtime skew, but a standing hot
+    * key in a LAYOUT — partition column, join key, LSH bucket — needs
+    * redesign, and this is the query that finds it). One
+    * map-side-combined count on the key, a 1-row total broadcast, and a
+    * TakeOrderedAndProject cut; only topK rows reach the driver side of
+    * anything. Share is one correctly-rounded division of exact
+    * integer-valued doubles — hash-safe.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10,
+                 scale: Int = 6): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("_n"))
+    counts.crossJoin(broadcast(total))
+      .select(col(keyCol), col("cnt"),
+        round(col("cnt").cast("double") / col("_n"), scale).as("share"))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(topK)
+  }
+}

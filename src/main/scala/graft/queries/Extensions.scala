@@ -336,6 +336,20 @@ object Extensions {
         minCount = 5, topN = 50)
       .orderBy(col("w1"), col("w2"))
 
+  // q67 strict-order funnel over the events stream: view → click →
+  // purchase, sequential-min semantics (each step strictly after the
+  // user's earliest completion of the previous one).
+  val q67_funnel: Q = (s, d) =>
+    Analytics.funnel(t(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+
+  // q68 key-skew report: the 10 hottest customers of the orders table
+  // with counts and corpus share — the salting-decision measurement.
+  val q68_skew_report: Q = (s, d) =>
+    Analytics.skewReport(t(s, d, "orders"), "o_custkey", topK = 10)
+      .orderBy(col("cnt").desc, col("o_custkey"))
+
   // q55 exact-size stratified sample: deterministically exactly 10 docs
   // per source (md5-rank order) — fixed-size eval subsets per domain.
   val q55_exact_size_sample: Q = (s, d) =>
@@ -447,5 +461,7 @@ object Extensions {
     "q63_vocab" -> q63_vocab,
     "q64_collocations" -> q64_collocations,
     "q65_contamination_matrix" -> q65_contamination_matrix,
-    "q66_upsample_epochs" -> q66_upsample_epochs)
+    "q66_upsample_epochs" -> q66_upsample_epochs,
+    "q67_funnel" -> q67_funnel,
+    "q68_skew_report" -> q68_skew_report)
 }

@@ -402,6 +402,39 @@ class OpsSpec extends SparkSpec {
     assert(shuffled.select("doc_id").as[Long].collect().toSet == Set(3L, 12L))
   }
 
+  test("funnel: strict order, equal timestamps don't count, monotone stages") {
+    val e = Seq(
+      // user 1 completes all three in order
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // user 2: click BEFORE view -> stops after view
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      // user 3: click at the SAME instant as view -> strictly-after fails
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:00:00"), "click"),
+      // user 4: purchase only -> no stage
+      (4L, ts("2024-01-01 10:00:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Analytics.funnel(e, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+    // user 2's later re-view does not resurrect the click: sequential-min
+    // uses the EARLIEST view, and 09:00 < 10:00 — pinned by the count
+  }
+
+  test("skewReport: exact shares, deterministic cut on count ties") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq.fill(3)("warm2")
+      ++ Seq("cold")).toDF("k")
+    val out = Analytics.skewReport(df, "k", topK = 3)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("hot", 6L, 6.0 / 13), ("warm", 3L, 3.0 / 13),
+      ("warm2", 3L, 3.0 / 13)).map { case (k, c, s) =>
+      (k, c, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
+  }
+
   test("upsample: whole epochs exact, fractional epoch is the md5 coin, absent strata drop") {
     val rows = (1L to 40L).map(i => (i, if (i <= 10) "a" else if (i <= 30) "b" else "c"))
     val df = rows.toDF("doc_id", "source")
