@@ -267,6 +267,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, 'purchase', COUNT(*) FROM s3
         |ORDER BY step""".stripMargin,
+    // q69 oracle: the hashing-trick bucket recomputed in SQL — first 8
+    // md5 nibbles as an unsigned int mod dim, grouped with multiplicity
+    // over the same empty-filtered token stream.
+    "q69_hash_embed" ->
+      """WITH tok AS (SELECT doc_id,
+        |  UNNEST(list_filter(STRING_SPLIT(text, ' '), x -> x <> '')) AS tk
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |       ('0x' || SUBSTR(MD5(tk), 1, 8))::BIGINT % 32 AS bucket,
+        |       COUNT(*) AS cnt
+        |FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
     // q68 oracle: hottest join keys with exact share — same (pair·total)
     // division order as the engine.
     "q68_skew_report" ->

@@ -133,6 +133,12 @@ object GraftSqlFunctions {
       arity("graft_quantize_int8", args, 1)
       QuantizeInt8(args(0))
     },
+    "graft_hash_embed" -> { args =>
+      arity("graft_hash_embed", args, 2)
+      HashEmbed(args(0),
+        inRange("graft_hash_embed", "dim", intLit("graft_hash_embed", args, 1),
+          1, 1 << 20))
+    },
     // graft_token_profile(text, listRef, ...) — one pass over the token
     // stream yielding (n_tokens, n_distinct, hits[i] per list); the SQL
     // form of q33/q34's projection. Each listRef is 'en'/'de'/… (built-in)

@@ -1008,6 +1008,69 @@ object QuantizeInt8 {
   }
 }
 
+/** Hashing-trick text featurizer: one pass over the space-split tokens
+  * (empties skipped — the q63/q64 token stream), each token's first 8
+  * md5 nibbles read as an unsigned 32-bit value mod `dim` picks a
+  * bucket, and the output is the `dim`-wide int array of bucket
+  * multiplicities — a deterministic, vocabulary-free document vector
+  * that feeds the whole similarity family (cosine top-k, LSH/IVF
+  * indexes, quantization) from raw text, no trained embedder required.
+  *
+  * As a row-local projection it replaces the explode + groupBy(doc,
+  * bucket) formulation that would shuffle every token occurrence of the
+  * corpus; the md5-derived bucket is engine-portable, so the oracle
+  * recomputes it in SQL.
+  */
+case class HashEmbed(child: Expression, dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+
+  require(dim >= 1 && dim <= (1 << 20), s"hash-embed dim out of range: $dim")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_hash_embed"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashEmbed.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = org.apache.spark.sql.graft.HashEmbed.compute($in, $dim);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashEmbed =
+    copy(child = newChild)
+}
+
+object HashEmbed {
+  /** Shared by interpreted eval and codegen: bucket = unsigned int of
+    * md5 bytes 0–3 (= first 8 hex nibbles) mod dim, counts with
+    * multiplicity.
+    */
+  def compute(input: org.apache.spark.unsafe.types.UTF8String,
+              dim: Int): ArrayData = {
+    val toks = input.toString.split(" ", -1)
+    val counts = new Array[Int](dim)
+    val md = GraftDigest.md5()
+    var t = 0
+    while (t < toks.length) {
+      val s = toks(t)
+      if (s.nonEmpty) {
+        md.reset()
+        val h = md.digest(s.getBytes("UTF-8"))
+        val v = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
+          ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+        counts((v % dim).toInt) += 1
+      }
+      t += 1
+    }
+    ArrayData.toArrayData(counts)
+  }
+}
+
 object VectorBridge {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -1047,6 +1110,9 @@ object VectorBridge {
 
   def quantizeInt8(vec: Column): Column =
     ExpressionUtils.column(QuantizeInt8(ExpressionUtils.expression(vec)))
+
+  def hashEmbed(text: Column, dim: Int): Column =
+    ExpressionUtils.column(HashEmbed(ExpressionUtils.expression(text), dim))
 
   def bloomMightContain(text: Column,
                         bloom: org.apache.spark.util.sketch.BloomFilter): Column =

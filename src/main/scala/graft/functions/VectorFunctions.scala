@@ -78,6 +78,13 @@ object VectorFunctions {
   def quantizeInt8(vec: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.quantizeInt8(vec)
 
+  /** Hashing-trick document vector: dim-wide token-bucket multiplicity
+    * counts in one pass (md5-bucketed, engine-portable) — raw text into
+    * the similarity family without a trained embedder.
+    */
+  def hashEmbed(text: Column, dim: Int): Column =
+    org.apache.spark.sql.graft.VectorBridge.hashEmbed(text, dim)
+
   /** Probe a driver-built Bloom filter (no false negatives) — the
     * broadcast runtime-filter primitive behind decontaminateBloom (q50).
     */

@@ -350,6 +350,21 @@ object Extensions {
     Analytics.skewReport(t(s, d, "orders"), "o_custkey", topK = 10)
       .orderBy(col("cnt").desc, col("o_custkey"))
 
+  // q69 hashing-trick featurizer: each doc's 32-bucket token-multiplicity
+  // vector (one-pass HashEmbed expression — zero shuffle; the explode +
+  // groupBy form would shuffle every token occurrence), emitted sparse
+  // (doc_id, bucket, cnt) for the oracle compare. The md5-derived bucket
+  // is engine-portable, so even bucket assignment hash-checks.
+  val q69_hash_embed: Q = (s, d) =>
+    t(s, d, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(graft.functions.VectorFunctions.hashEmbed(col("text"), 32))
+          .as(Seq("bucket", "cnt")))
+      .where(col("cnt") > 0)
+      .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+        col("cnt").cast("long").as("cnt"))
+      .orderBy(col("doc_id"), col("bucket"))
+
   // q55 exact-size stratified sample: deterministically exactly 10 docs
   // per source (md5-rank order) — fixed-size eval subsets per domain.
   val q55_exact_size_sample: Q = (s, d) =>
@@ -463,5 +478,6 @@ object Extensions {
     "q65_contamination_matrix" -> q65_contamination_matrix,
     "q66_upsample_epochs" -> q66_upsample_epochs,
     "q67_funnel" -> q67_funnel,
-    "q68_skew_report" -> q68_skew_report)
+    "q68_skew_report" -> q68_skew_report,
+    "q69_hash_embed" -> q69_hash_embed)
 }

@@ -132,7 +132,8 @@ class ExpressionPropertySpec extends SparkSpec {
         VectorFunctions.tokenStats(col("text")).as("ts"),
         VectorFunctions.tokenProfile(col("text"),
           Seq(Seq("tok", "b"), Seq("c"))).as("tp"),
-        VectorFunctions.dot(col("v"), col("v")).as("d"))
+        VectorFunctions.dot(col("v"), col("v")).as("d"),
+        VectorFunctions.hashEmbed(col("text"), 16).as("he"))
     df.collect() // force execution so the plan is final
     val planStr = df.queryExecution.executedPlan.toString
     val projectLines = planStr.linesIterator.filter(_.contains("Project [")).toList
@@ -140,6 +141,33 @@ class ExpressionPropertySpec extends SparkSpec {
     projectLines.foreach { line =>
       assert(line.contains("*("), s"Project fell out of whole-stage codegen:\n$line")
     }
+  }
+
+  test("HashEmbed == explode+groupBy bucket-count composition") {
+    val docs = Seq(
+      (1L, "a b a  c"),          // double space: empty token skipped
+      (2L, "solo"),
+      (3L, ""),                  // no tokens -> all-zero vector
+      (4L, "x y z x y x")).toDF("doc_id", "text")
+    val dim = 8
+    val viaExpr = docs
+      .select(col("doc_id"),
+        posexplode(VectorFunctions.hashEmbed(col("text"), dim)).as(Seq("b", "c")))
+      .where(col("c") > 0)
+      .as[(Long, Int, Int)].collect().toSet
+    val viaShuffle = docs
+      .select(col("doc_id"), explode(expr(
+        "filter(split(text, ' '), x -> x <> '')")).as("tk"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tk")), 1, 8), 16, 10).cast("long") % dim)
+          .cast("int").as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).cast("int").as("c"))
+      .as[(Long, Int, Int)].collect().toSet
+    assert(viaExpr == viaShuffle)
+    // dimension is the vector width even for empty docs
+    val widths = docs.select(size(VectorFunctions.hashEmbed(col("text"), dim)))
+      .as[Int].collect().toSet
+    assert(widths == Set(dim))
   }
 
   test("TokenProfile == size/array_distinct/filter-HOF composition") {
