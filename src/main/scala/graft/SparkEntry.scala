@@ -267,6 +267,32 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, 'purchase', COUNT(*) FROM s3
         |ORDER BY step""".stripMargin,
+    // q70 oracle: cosine top-10 over the hash vectors, ranked from the
+    // SPARSE (bucket, cnt) form — counts are integers, so dots and
+    // norms² are exact doubles in any summation order; the one division
+    // and sqrts are correctly rounded in both engines.
+    "q70_text_knn" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents
+        |            WHERE text IS NOT NULL AND TRIM(text) <> ''),
+        |tok AS (SELECT doc_id,
+        |  UNNEST(list_filter(STRING_SPLIT(text, ' '), x -> x <> '')) AS tk
+        |  FROM d0),
+        |c AS (SELECT doc_id,
+        |        ('0x' || SUBSTR(MD5(tk), 1, 8))::BIGINT % 64 AS b,
+        |        COUNT(*) AS n
+        |      FROM tok GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, SQRT(SUM(CAST(n AS DOUBLE) * n)) AS nn
+        |        FROM c GROUP BY 1),
+        |q AS (SELECT b, n FROM c WHERE doc_id = 0),
+        |qn AS (SELECT nn FROM nrm WHERE doc_id = 0),
+        |dots AS (SELECT c.doc_id, SUM(CAST(c.n AS DOUBLE) * q.n) AS dp
+        |         FROM c JOIN q ON c.b = q.b GROUP BY 1),
+        |ranked AS (SELECT n2.doc_id,
+        |             ROUND(COALESCE(d.dp, 0) / (n2.nn * qn.nn), 6) AS cos_sim
+        |           FROM nrm n2 CROSS JOIN qn
+        |           LEFT JOIN dots d ON d.doc_id = n2.doc_id
+        |           ORDER BY cos_sim DESC, n2.doc_id LIMIT 10)
+        |SELECT doc_id, cos_sim FROM ranked ORDER BY doc_id""".stripMargin,
     // q69 oracle: the hashing-trick bucket recomputed in SQL — first 8
     // md5 nibbles as an unsigned int mod dim, grouped with multiplicity
     // over the same empty-filtered token stream.

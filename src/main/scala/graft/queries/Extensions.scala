@@ -365,6 +365,21 @@ object Extensions {
         col("cnt").cast("long").as("cnt"))
       .orderBy(col("doc_id"), col("bucket"))
 
+  // q70 text k-NN without an embedder: q69's hash vectors fed straight
+  // into the brute-force cosine ranker — the composition the featurizer
+  // exists for (raw text into the whole similarity family). Counts are
+  // integer-valued, so dot products and norms² are EXACT doubles
+  // whatever the summation order — the oracle can rank from the sparse
+  // (bucket, cnt) form and still hash-match.
+  val q70_text_knn: Q = (s, d) => {
+    val hashed = t(s, d, "documents")
+      .where(col("text").isNotNull && trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.hashEmbed(col("text"), 64).as("hvec"))
+    Similarity.bruteForceTopK(hashed, "doc_id", "hvec", queryId = 0L, k = 10)
+      .orderBy(col("doc_id"))
+  }
+
   // q55 exact-size stratified sample: deterministically exactly 10 docs
   // per source (md5-rank order) — fixed-size eval subsets per domain.
   val q55_exact_size_sample: Q = (s, d) =>
@@ -479,5 +494,6 @@ object Extensions {
     "q66_upsample_epochs" -> q66_upsample_epochs,
     "q67_funnel" -> q67_funnel,
     "q68_skew_report" -> q68_skew_report,
-    "q69_hash_embed" -> q69_hash_embed)
+    "q69_hash_embed" -> q69_hash_embed,
+    "q70_text_knn" -> q70_text_knn)
 }
