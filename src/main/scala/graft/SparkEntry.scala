@@ -267,6 +267,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, 'purchase', COUNT(*) FROM s3
         |ORDER BY step""".stripMargin,
+    // q71 oracle: first-event week cohorts × integer-micros week offsets
+    // (// is DuckDB floor division — exact on the non-negative integer
+    // micros diff, matching Spark's `div`), Monday-start date_trunc in
+    // both engines.
+    "q71_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, MIN(ts) AS ft FROM e GROUP BY 1)
+        |SELECT STRFTIME(DATE_TRUNC('week', f.ft), '%Y-%m-%d') AS cohort_week,
+        |       (epoch_us(e.ts) - epoch_us(f.ft)) // 604800000000 AS week_offset,
+        |       COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q70 oracle: cosine top-10 over the hash vectors, ranked from the
     // SPARSE (bucket, cnt) form — counts are integers, so dots and
     // norms² are exact doubles in any summation order; the one division

@@ -47,6 +47,32 @@ object Analytics {
     }.reduce(_.unionByName(_))
   }
 
+  /** Retention cohorts: users grouped by the week of their FIRST event,
+    * counted distinct per whole-week offset of later activity — the
+    * (cohort × age) activity matrix. Week offsets are exact integer
+    * micros division (engine-portable floor); cohort labels are
+    * Monday-start `date_trunc('week')` in both engines.
+    *
+    * Shape at 100 TB: one map-side-combined min per user, one equi-join
+    * of events against the (user, first-ts) side on the fixed-width user
+    * key, and a distinct-count whose grouping key (cohort, offset, user)
+    * partial-aggregates before the exchange.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("_f"))
+    events.select(col(userCol), col(tsCol)).join(first, userCol)
+      .select(col(userCol),
+        // yyyy-MM-dd string, not a DATE: date physical types canonicalize
+        // differently across engines in the oracle compare
+        date_format(date_trunc("week", col("_f")), "yyyy-MM-dd")
+          .as("cohort_week"),
+        expr(s"(unix_micros($tsCol) - unix_micros(_f)) div 604800000000")
+          .as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   /** Key-skew report: the `topK` hottest values of `keyCol` with their
     * counts and corpus share — the measurement behind every salting /
     * skew-join decision (AQE handles runtime skew, but a standing hot

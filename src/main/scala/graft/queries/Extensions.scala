@@ -380,6 +380,13 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q71 retention cohorts: first-event week × whole-week activity offset
+  // × distinct users — the funnel's companion audit over the events
+  // stream.
+  val q71_retention: Q = (s, d) =>
+    Analytics.retention(t(s, d, "events"), "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_offset"))
+
   // q55 exact-size stratified sample: deterministically exactly 10 docs
   // per source (md5-rank order) — fixed-size eval subsets per domain.
   val q55_exact_size_sample: Q = (s, d) =>
@@ -495,5 +502,6 @@ object Extensions {
     "q67_funnel" -> q67_funnel,
     "q68_skew_report" -> q68_skew_report,
     "q69_hash_embed" -> q69_hash_embed,
-    "q70_text_knn" -> q70_text_knn)
+    "q70_text_knn" -> q70_text_knn,
+    "q71_retention" -> q71_retention)
 }
