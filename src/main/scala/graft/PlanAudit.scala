@@ -6,8 +6,8 @@ package graft
   * everywhere — and reports the FINAL adaptive plan: under AQE, exchange/
   * stage reuse is a runtime decision invisible in the pre-execution plan.
   *
-  * Reading the bnlj column: the brute-force top-k family (q25/q59) and
-  * the scalar-total attach in q64 intentionally plan a
+  * Reading the bnlj column: the brute-force top-k family (q25/q59/q70)
+  * and the scalar-total attaches (q64/q68) intentionally plan a
   * BroadcastNestedLoopJoin whose BUILD SIDE IS ONE ROW — the query
   * vector / 1-row aggregate attached to every row (a scalar broadcast;
   * there is no join key by construction). That is the
@@ -34,7 +34,9 @@ object PlanAudit {
       "q54_ivf_knn_join", "q55_exact_size_sample", "q56_lsh_knn_join",
       "q57_ivf_index_knn_join", "q58_token_budget_sample", "q59_quantized_topk",
       "q61_ivf_quantized_knn_join", "q62_incremental_dedup", "q63_vocab",
-      "q64_collocations", "q65_contamination_matrix")
+      "q64_collocations", "q65_contamination_matrix", "q66_upsample_epochs",
+      "q67_funnel", "q68_skew_report", "q69_hash_embed", "q70_text_knn",
+      "q71_retention")
     for (q <- interesting) {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       qe.executedPlan.executeCollect()
