@@ -267,6 +267,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, 'purchase', COUNT(*) FROM s3
         |ORDER BY step""".stripMargin,
+    // q72 oracle: the pivot as conditional aggregation — COUNT FILTER
+    // per pinned value, same 0-for-absent semantics as the engine's
+    // na.fill(0).
+    "q72_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // q71 oracle: first-event week cohorts × integer-micros week offsets
     // (// is DuckDB floor division — exact on the non-negative integer
     // micros diff, matching Spark's `div`), Monday-start date_trunc in

@@ -317,6 +317,18 @@ object Relational {
         col("ps")(2).cast("double").as("p90"))
       .orderBy(col("source"))
 
+  // q72 PIVOT: per-user event-type counts widened to columns — Spark's
+  // `.pivot(col, values)` with the value list pinned (an unpinned pivot
+  // runs a distinct-scan job first and its column order is data-
+  // dependent); absent combinations are 0 like the oracle's COUNT FILTER.
+  val q72_pivot: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy(col("user_id"))
+
   val all: Map[String, Q] = Map(
     "q01_scan_project" -> q01_scan_project,
     "q02_filter" -> q02_filter,
@@ -347,5 +359,6 @@ object Relational {
     "q25_similarity_topk" -> q25_similarity_topk,
     "q26_text_tokens" -> q26_text_tokens,
     "q60_percentiles" -> q60_percentiles,
-    "q60b_percentiles_approx" -> q60b_percentiles_approx)
+    "q60b_percentiles_approx" -> q60b_percentiles_approx,
+    "q72_pivot" -> q72_pivot)
 }

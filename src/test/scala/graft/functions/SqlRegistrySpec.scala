@@ -145,6 +145,30 @@ class SqlRegistrySpec extends SparkSpec {
     assert(e.getMessage.contains("1 arguments"), s"unexpected error: ${e.getMessage}")
   }
 
+  test("graft_hash_embed from SQL: typed-API agreement, dim validated") {
+    val viaSql = spark.sql(
+      "SELECT graft_hash_embed('a b a', 8) AS v").head().getSeq[Int](0)
+    val viaApi = {
+      import spark.implicits._
+      Seq("a b a").toDF("t")
+        .select(VectorFunctions.hashEmbed(
+          org.apache.spark.sql.functions.col("t"), 8))
+        .head().getSeq[Int](0)
+    }
+    assert(viaSql == viaApi)
+    assert(viaSql.sum == 3, "multiplicity counts: 3 tokens")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_hash_embed('x', 0)").head()
+    }
+    assert(e.getMessage.contains("dim"), s"unexpected error: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_hash_embed('x', y) FROM (SELECT 5 AS y)")
+    }
+    assert(e2.getMessage.toLowerCase.contains("literal")
+      || e2.getMessage.contains("integer"),
+      s"unexpected error: ${e2.getMessage}")
+  }
+
   test("graft_token_profile list arguments validated at analysis time") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_token_profile('x', 'klingon')").head()
