@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Spot-bench for the persisted ANN index layouts at a volume where scan
+  * bandwidth is measurable — the evidence behind two claims the sf0.1
+  * suite is too small to show:
+  *
+  *  1. **int8 quantization is ~4× less index on disk** (the q59/q61
+  *     story): byte arrays vs float arrays in the probed partitions.
+  *  2. **Partition pruning beats full scans by ~nCells/nProbe**: a
+  *     pruned probe reads only its probe directories, so widening
+  *     nCells at constant corpus shrinks per-probe I/O.
+  *
+  * Corpus: `SPARK_GRAFT_VECS` (default 200k) deterministic 64-dim
+  * vectors derived from md5 of the row id (seedless, reproducible).
+  * Measures build once, then warm-median point probes and one batch
+  * k-NN join per layout. One JSON line on stdout (the [[Bench]]
+  * discipline); recorded in BASELINE.md.
+  */
+object IndexBench {
+  def main(args: Array[String]): Unit = {
+    val nVecs = sys.env.getOrElse("SPARK_GRAFT_VECS", "200000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val dim = 64
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def medianOf(runs: Int)(f: => Unit): Double = {
+      val ts = (1 to runs).map(_ => time(f)._2).sorted
+      ts(runs / 2)
+    }
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
+    }
+    def fmt(d: Double): String = f"$d%.3f"
+
+    // deterministic corpus: component j of row i = centered md5 nibbles
+    val base = java.nio.file.Files.createTempDirectory("graft_idxbench_").toString
+    spark.range(nVecs.toLong)
+      .select(col("id").as("vec_id"),
+        expr(s"""transform(sequence(0, ${dim - 1}), j ->
+          cast(conv(substring(md5(concat(cast(id as string), '|', cast(j as string))), 1, 4), 16, 10) as double) / 65536.0 - 0.5)""")
+          .as("embedding"))
+      .write.mode("overwrite").parquet(s"$base/corpus")
+    val emb = spark.read.parquet(s"$base/corpus")
+    val queryVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).as[Seq[Double]].head().toArray
+
+    val (_, tBuildF) = time(graft.ops.Similarity.buildIvfIndex(
+      emb, "vec_id", "embedding", s"$base/ivf", nCells = 64))
+    val (_, tBuildQ) = time(graft.ops.Similarity.buildIvfIndexQuantized(
+      emb, "vec_id", "embedding", s"$base/ivfq", nCells = 64))
+    val floatBytes = dirBytes(s"$base/ivf/data")
+    val quantBytes = dirBytes(s"$base/ivfq/data")
+
+    val tPointF = medianOf(5)(graft.ops.Similarity.ivfIndexTopK(
+      spark, s"$base/ivf", "vec_id", "embedding", queryVec,
+      k = 10, nProbe = 4).collect())
+    val tPointQ = medianOf(5)(graft.ops.Similarity.ivfIndexQuantizedTopK(
+      spark, s"$base/ivfq", "vec_id", queryVec,
+      k = 10, nProbe = 4).collect())
+
+    // batch join: every 1000th vector probes (file-backed -> DPP)
+    emb.filter(col("vec_id") % 1000 === 0)
+      .write.mode("overwrite").parquet(s"$base/queries")
+    val queries = spark.read.parquet(s"$base/queries")
+    val tJoinF = medianOf(3)(graft.ops.Similarity.ivfIndexKnnJoin(
+      spark, s"$base/ivf", "vec_id", "embedding", queries,
+      "vec_id", "embedding", k = 10, nProbe = 4).collect())
+    val tJoinQ = medianOf(3)(graft.ops.Similarity.ivfIndexQuantizedKnnJoin(
+      spark, s"$base/ivfq", "vec_id", queries,
+      "vec_id", "embedding", k = 10, nProbe = 4).collect())
+
+    println(s"""{"metric":"index_bench","vecs":$nVecs,"dim":$dim,""" +
+      s""""float_mb":${fmt(floatBytes / 1e6)},"int8_mb":${fmt(quantBytes / 1e6)},""" +
+      s""""size_ratio":${fmt(floatBytes.toDouble / quantBytes)},""" +
+      s""""build_s":{"float":${fmt(tBuildF)},"int8":${fmt(tBuildQ)}},""" +
+      s""""point_s":{"float":${fmt(tPointF)},"int8":${fmt(tPointQ)}},""" +
+      s""""join_s":{"float":${fmt(tJoinF)},"int8":${fmt(tJoinQ)}}}""")
+    spark.stop()
+  }
+}
