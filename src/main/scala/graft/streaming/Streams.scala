@@ -371,6 +371,55 @@ object Streams {
       }
   }
 
+  /** Furthest funnel stage reached and when (epoch millis) — the whole
+    * per-user state of [[funnelStream]].
+    */
+  case class FunnelState(stage: Int, t: Long)
+  case class FunnelProgress(user_id: Long, stage: Int, event_type: String,
+                            reached_at: java.sql.Timestamp)
+
+  /** Real-time funnel tracking — the streaming twin of
+    * [[graft.ops.Analytics.funnel]]: per-user state is ONE (stage,
+    * timestamp) pair, and a [[FunnelProgress]] row is emitted each time
+    * a user ADVANCES a stage (strictly-after semantics, like batch), so
+    * stage counts at any moment are one count per emitted stage value.
+    * Events are folded in event-time order within each micro-batch; an
+    * in-order, in-watermark feed reproduces the batch funnel exactly
+    * (pinned in the spec — batch sequential-min is order-insensitive,
+    * a stream can only advance forward, the inherent streaming
+    * contract). State is O(1) per user with no timeout to manage.
+    */
+  def funnelStream(spark: org.apache.spark.sql.SparkSession,
+                   events: DataFrame, steps: Seq[String],
+                   watermark: String = "1 hour")
+      : org.apache.spark.sql.Dataset[FunnelProgress] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_type").cast("string").as("event_type"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid, it, state) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val advances = scala.collection.mutable.ListBuffer.empty[FunnelProgress]
+          it.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, tpe) =>
+            if (st.stage < steps.length && tpe == steps(st.stage) &&
+                (st.stage == 0 || ts.getTime > st.t)) {
+              st = FunnelState(st.stage + 1, ts.getTime)
+              advances += FunnelProgress(uid, st.stage, tpe, ts)
+            }
+          }
+          if (advances.nonEmpty) state.update(st)
+          advances.iterator
+      }
+  }
+
   /** One session interval carried in the state store: [start, lastTs] in
     * epoch millis plus the running aggregates.
     */

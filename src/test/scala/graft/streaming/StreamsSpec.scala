@@ -372,6 +372,44 @@ class StreamsSpec extends SparkSpec {
       s"streamed near-identical neighbors must dominate top-5, got $got")
   }
 
+  test("streaming funnel: advances match the batch funnel, O(1) state, no rewind") {
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      (2L, ts("2024-01-01 09:00:00"), "click"),    // before view: no credit
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:00:00"), "click"),    // same instant: not after
+      (4L, ts("2024-01-01 10:00:00"), "purchase")) // skipped steps: no stage
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val progress = Streams.funnelStream(spark,
+      mem.toDF().toDF("user_id", "ts", "event_type"),
+      Seq("view", "click", "purchase"))
+    val q = progress.writeStream.format("memory")
+      .queryName("funnel_progress").outputMode("append").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      // a later batch replays user 2's early click (ts before their view):
+      // the stream must not advance them retroactively
+      mem.addData((2L, ts("2024-01-01 09:30:00"), "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("funnel_progress")
+      .select("user_id", "stage").as[(Long, Int)].collect().toSet
+    // stage counts == the batch funnel on the same fixture
+    val batch = graft.ops.Analytics.funnel(
+        fixture.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .select("step", "n_users").as[(Int, Long)].collect().toMap
+    val streamed = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert((1 to 3).forall(k => streamed.getOrElse(k, 0L) == batch(k)),
+      s"stream stages $streamed must match batch $batch")
+    assert(rows == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (3L, 1)))
+  }
+
   test("streaming exact-key index sink: streamed keys screen later batches, Bloom stays no-false-negative") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
