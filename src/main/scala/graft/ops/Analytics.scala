@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-sequence and distribution diagnostics — the analytics the
@@ -26,8 +26,16 @@ object Analytics {
     * collection: state per user per stage is one timestamp.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
+             typeCol: String, steps: Seq[String],
+             within: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // `within` is a per-transition conversion window ("30 days", "1
+    // hour"): step k only counts within that interval of completing
+    // step k−1 — the form product funnels are actually defined in
+    val windowOk: Column => Column = within match {
+      case Some(iv) => pt => col(tsCol) <= pt + expr(s"INTERVAL $iv")
+      case None => _ => lit(true)
+    }
     val stages = steps.zipWithIndex
       .scanLeft(Option.empty[DataFrame]) { case (prev, (step, _)) =>
         val hits = events.where(col(typeCol) === step)
@@ -36,7 +44,7 @@ object Analytics {
             hits.groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
           case Some(p) =>
             hits.join(p.select(col(userCol), col("_t").as("_pt")), userCol)
-              .where(col(tsCol) > col("_pt"))
+              .where(col(tsCol) > col("_pt") && windowOk(col("_pt")))
               .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
         })
       }.flatten

@@ -365,6 +365,17 @@ class IndexLayoutSpec extends SparkSpec {
       "cell").length == 4)
     val got = df.select("vec_id").as[Long].collect().toSet - 0L
     assert((got & exactTop10).size.toDouble / exactTop10.size >= 0.8)
+    // flat (unpartitioned) directory: the exact-key layout's keys/ form
+    val flat = tmpDir("graft_compactflat_")
+    (1L to 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .repartition(8).write.parquet(s"$flat/keys")
+    val fb = IndexMaintenance.dataFileCount(spark, s"$flat/keys")
+    val keysBefore = spark.read.parquet(s"$flat/keys")
+      .as[(Long, String)].collect().toSet
+    IndexMaintenance.compact(spark, s"$flat/keys", None)
+    assert(IndexMaintenance.dataFileCount(spark, s"$flat/keys") == 1 && fb > 1)
+    assert(spark.read.parquet(s"$flat/keys")
+      .as[(Long, String)].collect().toSet == keysBefore)
   }
 
   test("ivfTopK setup is one driver job (seed sample + query vector unioned)") {

@@ -423,6 +423,13 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
     // user 2's later re-view does not resurrect the click: sequential-min
     // uses the EARLIEST view, and 09:00 < 10:00 — pinned by the count
+    // conversion window: user 1's click is 60 min after the view, so a
+    // 30-minute window cuts the funnel there
+    val windowed = Analytics.funnel(e, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), within = Some("30 minutes"))
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(windowed.toSeq == Seq((1, "view", 3L), (2, "click", 0L),
+      (3, "purchase", 0L)))
   }
 
   test("skewReport: exact shares, deterministic cut on count ties") {
