@@ -245,6 +245,7 @@ object SparkEntry {
         |ORDER BY token""".stripMargin,
     "q64_collocations" -> collocationsSql,
     "q65_contamination_matrix" -> contaminationMatrixSql,
+    "q73_lm_score" -> lmScoreSql,
     "q66_upsample_epochs" -> upsampleEpochsSql,
     // q67 oracle: sequential-min funnel — t1 = min ts(view), each later
     // step the min ts strictly after the previous stage's time, counted
@@ -600,6 +601,32 @@ object SparkEntry {
        |SELECT doc_id, source, copy FROM n, UNNEST(RANGE(n_copies)) AS u(copy)
        |ORDER BY doc_id, copy""".stripMargin
   }
+
+  /** q73 oracle: the bigram LM mirrored term by term — the smoothing
+    * arithmetic is exact in both engines ((c12+0.5) and (c1+0.5·V) are
+    * exactly representable, the division correctly rounded), so the
+    * probabilities agree bit-for-bit; LOG2 differs by ≤1 ulp and AVG's
+    * summation order is engine-dependent, but both sit ~10 orders of
+    * magnitude below the 3-decimal rounding grain.
+    */
+  private def lmScoreSql: String =
+    s"""WITH tl AS (SELECT doc_id,
+       |              list_filter(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+       |            FROM documents WHERE text IS NOT NULL),
+       |bg AS (SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+       |       FROM tl, UNNEST(RANGE(LEN(t) - 1)) AS u(i)),
+       |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+       |uni AS (SELECT x AS w, COUNT(*) AS c1
+       |        FROM (SELECT UNNEST(t) AS x FROM tl) GROUP BY 1),
+       |v AS (SELECT COUNT(*) AS nv FROM uni),
+       |pr AS (SELECT b.w1, b.w2,
+       |         (CAST(b.c12 AS DOUBLE) + 0.5)
+       |           / (CAST(u.c1 AS DOUBLE) + 0.5 * v.nv) AS p
+       |       FROM big b JOIN uni u ON u.w = b.w1 CROSS JOIN v)
+       |SELECT g.doc_id, ROUND(AVG(-LOG2(pr.p)), 3) AS xent_bits,
+       |       COUNT(*) AS n_bigrams
+       |FROM bg g JOIN pr ON pr.w1 = g.w1 AND pr.w2 = g.w2
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q64 oracle: bigram collocations by the log-free PMI ratio,
     * (pair·N)/(c1·c2) in exactly the engine's association order — every

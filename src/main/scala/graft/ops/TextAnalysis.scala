@@ -164,6 +164,52 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Bigram-LM cross-entropy score — the KenLM-style statistical quality
+    * filter: train add-k-smoothed bigram probabilities on the corpus,
+    * p(w2|w1) = (c(w1,w2)+k)/(c(w1)+k·V), and score every document by
+    * its average bits per bigram, −mean log₂ p. Templated / repetitive
+    * documents score LOW (their transitions are corpus-typical to the
+    * point of degeneracy); lexically incoherent ones score HIGH — both
+    * tails are what the filter trims. Scoring the training corpus itself
+    * (self-perplexity) needs no external model and every scored bigram
+    * is in the table, so the probability join is inner.
+    *
+    * Shape at 100 TB: the bigram stream is a projection; model training
+    * is two map-side-combined counts + a 1-row vocab broadcast; scoring
+    * is one fixed-width-key join of the doc bigram stream against the
+    * model and a per-doc aggregation. The smoothing arithmetic is exact
+    * (integer-valued doubles, one correctly-rounded division), so the
+    * probabilities match the oracle bit-for-bit; log₂ is within an ulp
+    * across engines and the score rounds at 3 decimals — noise sits ten
+    * orders below the rounding grain.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    smoothK: Double = 0.5): DataFrame = {
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("t"))
+    val bigrams = toks.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("_v"))
+    val probs = big
+      .join(uni.select(col("w").as("w1"), col("c1")), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        ((col("c12").cast("double") + smoothK) /
+          (col("c1").cast("double") + lit(smoothK) * col("_v"))).as("_p"))
+    bigrams.join(probs, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log2(col("_p"))), 3).as("xent_bits"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Content fingerprint: md5 of case-normalized text, plus an 8-hex-char
     * prefix usable as a cluster/shard key. Pure projection.
     */

@@ -387,6 +387,14 @@ object Extensions {
     Analytics.retention(t(s, d, "events"), "user_id", "ts")
       .orderBy(col("cohort_week"), col("week_offset"))
 
+  // q73 bigram-LM self-perplexity: add-0.5-smoothed bigram model trained
+  // on the corpus, every doc scored by average bits per bigram — the
+  // statistical quality filter (both tails trim: degenerate-templated
+  // low, incoherent high).
+  val q73_lm_score: Q = (s, d) =>
+    TextAnalysis.bigramLmScore(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // q55 exact-size stratified sample: deterministically exactly 10 docs
   // per source (md5-rank order) — fixed-size eval subsets per domain.
   val q55_exact_size_sample: Q = (s, d) =>
@@ -503,5 +511,6 @@ object Extensions {
     "q68_skew_report" -> q68_skew_report,
     "q69_hash_embed" -> q69_hash_embed,
     "q70_text_knn" -> q70_text_knn,
-    "q71_retention" -> q71_retention)
+    "q71_retention" -> q71_retention,
+    "q73_lm_score" -> q73_lm_score)
 }
