@@ -246,6 +246,7 @@ object SparkEntry {
     "q64_collocations" -> collocationsSql,
     "q65_contamination_matrix" -> contaminationMatrixSql,
     "q73_lm_score" -> lmScoreSql,
+    "q74_clean_corpus" -> cleanCorpusSql,
     "q66_upsample_epochs" -> upsampleEpochsSql,
     // q67 oracle: sequential-min funnel — t1 = min ts(view), each later
     // step the min ts strictly after the previous stage's time, counted
@@ -601,6 +602,48 @@ object SparkEntry {
        |SELECT doc_id, source, copy FROM n, UNNEST(RANGE(n_copies)) AS u(copy)
        |ORDER BY doc_id, copy""".stripMargin
   }
+
+  /** q74 oracle: the three screens' own oracle fragments (q27's min-id
+    * representative, q49's winnow span-pressure keep, q34's rounded
+    * quality formula) conjoined per doc — renamed CTEs to avoid clashes,
+    * same COALESCE defaults as the engine (no spans ⇒ keep_span 1).
+    */
+  private def cleanCorpusSql: String =
+    s"""WITH $winnowCtes,
+       |reps AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY MD5(text)),
+       |fp AS (SELECT doc_id, UNNEST(fps) AS fp FROM m),
+       |wc AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) AS dfc FROM fp),
+       |sagg AS (SELECT doc_id, COUNT(*) AS n_spans,
+       |         SUM(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS n_shared
+       |         FROM wc GROUP BY doc_id),
+       |spanf AS (SELECT doc_id,
+       |            CASE WHEN CAST(n_shared AS DOUBLE) / n_spans < 0.5
+       |                 THEN 1 ELSE 0 END AS keep_span
+       |          FROM sagg),
+       |qtok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM d),
+       |qagg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |           COUNT(DISTINCT w) AS n_distinct,
+       |           SUM(CASE WHEN w IN $enIn THEN 1 ELSE 0 END) AS n_stop
+       |         FROM qtok GROUP BY doc_id),
+       |qual AS (SELECT doc_id,
+       |           CASE WHEN ROUND(0.4 * LEAST(1.0, n_tokens / 25.0)
+       |               + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+       |               + 0.2 * (CAST(n_stop AS DOUBLE) / n_tokens), 4) >= 0.5
+       |                THEN 1 ELSE 0 END AS keep_quality
+       |         FROM qagg)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS keep_exact,
+       |  CAST(COALESCE(f.keep_span, 1) AS BIGINT) AS keep_span,
+       |  CAST(COALESCE(q.keep_quality, 0) AS BIGINT) AS keep_quality,
+       |  CAST(CASE WHEN r.doc_id IS NOT NULL AND COALESCE(f.keep_span, 1) = 1
+       |            AND COALESCE(q.keep_quality, 0) = 1
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM d
+       |LEFT JOIN reps r ON r.doc_id = d.doc_id
+       |LEFT JOIN spanf f ON f.doc_id = d.doc_id
+       |LEFT JOIN qual q ON q.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** q73 oracle: the bigram LM mirrored term by term — the smoothing
     * arithmetic is exact in both engines ((c12+0.5) and (c1+0.5·V) are

@@ -395,6 +395,35 @@ object Extensions {
     TextAnalysis.bigramLmScore(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  // q74 the composed cleaning pass — the flagship pipeline shape: every
+  // doc gets a keep-decision table from three independently-oracle'd
+  // screens (exact-dedup representative, span-pressure, quality floor),
+  // and `keep` is their conjunction. One DataFrame, one job; each screen
+  // is the same operator the standalone query checks.
+  val q74_clean_corpus: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+    val reps = Dedup.exact(docs, "doc_id", "text")
+      .select(col("doc_id"), lit(1L).as("keep_exact"))
+    val span = Dedup.dupSpanFrac(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep").as("keep_span"))
+    val qual = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        when(col("quality") >= 0.5, 1L).otherwise(0L).as("keep_quality"))
+    docs.select(col("doc_id"))
+      .join(reps, Seq("doc_id"), "left")
+      .join(span, Seq("doc_id"), "left")
+      .join(qual, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keep_exact"), lit(0L)).as("keep_exact"),
+        // a doc with no shareable spans has nothing duplicated
+        coalesce(col("keep_span"), lit(1L)).as("keep_span"),
+        coalesce(col("keep_quality"), lit(0L)).as("keep_quality"))
+      .withColumn("keep",
+        (col("keep_exact") === 1 && col("keep_span") === 1 &&
+          col("keep_quality") === 1).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   // q55 exact-size stratified sample: deterministically exactly 10 docs
   // per source (md5-rank order) — fixed-size eval subsets per domain.
   val q55_exact_size_sample: Q = (s, d) =>
@@ -512,5 +541,6 @@ object Extensions {
     "q69_hash_embed" -> q69_hash_embed,
     "q70_text_knn" -> q70_text_knn,
     "q71_retention" -> q71_retention,
-    "q73_lm_score" -> q73_lm_score)
+    "q73_lm_score" -> q73_lm_score,
+    "q74_clean_corpus" -> q74_clean_corpus)
 }
