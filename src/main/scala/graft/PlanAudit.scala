@@ -7,7 +7,7 @@ package graft
   * stage reuse is a runtime decision invisible in the pre-execution plan.
   *
   * Reading the bnlj column: the brute-force top-k family (q25/q59/q70)
-  * and the scalar-total attaches (q64/q68) intentionally plan a
+  * and the scalar-total attaches (q64/q68/q73's vocab size) intentionally plan a
   * BroadcastNestedLoopJoin whose BUILD SIDE IS ONE ROW — the query
   * vector / 1-row aggregate attached to every row (a scalar broadcast;
   * there is no join key by construction). That is the
@@ -36,7 +36,7 @@ object PlanAudit {
       "q61_ivf_quantized_knn_join", "q62_incremental_dedup", "q63_vocab",
       "q64_collocations", "q65_contamination_matrix", "q66_upsample_epochs",
       "q67_funnel", "q68_skew_report", "q69_hash_embed", "q70_text_knn",
-      "q71_retention")
+      "q71_retention", "q72_pivot", "q73_lm_score", "q74_clean_corpus")
     for (q <- interesting) {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       qe.executedPlan.executeCollect()
