@@ -220,6 +220,55 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** The streaming ADMISSION PIPELINE — the shape a continuous corpus
+    * ingest actually has, composed from the oracle-checked batch
+    * operators, per micro-batch:
+    *
+    *  1. within-batch exact dedup (min-id representative per content
+    *     hash — a dump often self-duplicates);
+    *  2. quality floor ([[graft.ops.TextAnalysis.qualityScore]] ≥
+    *     `minQuality`);
+    *  3. standing-corpus screen ([[graft.ops.Dedup
+    *     .exactDedupAgainstIndex]]: Bloom clears definitely-new rows in
+    *     the scan, the exact verify never shuffles the corpus keys);
+    *  4. survivors append to `outPath` AND their keys admit into the
+    *     key index ([[graft.ops.Dedup.appendExactKeys]], Bloom-union) —
+    *     so batch N+1 screens against batch N's admissions, not just
+    *     the original corpus.
+    *
+    * Replayed micro-batches re-screen against their own admitted keys,
+    * so a crash-replay appends duplicates to `outPath` only for rows
+    * the failed attempt admitted but whose key append did not commit —
+    * the usual at-least-once window, compacted away by the exact-dedup
+    * any downstream read applies.
+    */
+  def ingestGate(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
+                 idCol: String, textCol: String, keyIndexPath: String,
+                 outPath: String, checkpoint: String,
+                 minQuality: Double = 0.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val reps = graft.ops.Dedup.exact(batch, idCol, textCol)
+          .select(col(idCol))
+        val deduped = batch.join(broadcast(reps), Seq(idCol), "left_semi")
+        val scored =
+          if (minQuality <= 0.0) deduped
+          else deduped.join(
+            broadcast(graft.ops.TextAnalysis
+              .qualityScore(deduped, idCol, textCol)
+              .where(col("quality") >= minQuality)
+              .select(col("doc_id").as(idCol))),
+            Seq(idCol), "left_semi")
+        val admitted = graft.ops.Dedup.exactDedupAgainstIndex(
+          spark, scored, textCol, keyIndexPath)
+        admitted.write.mode("append").parquet(outPath)
+        graft.ops.Dedup.appendExactKeys(spark, admitted, textCol, keyIndexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** Continuously maintain a QUANTIZED persisted LSH index built by
     * [[graft.ops.Similarity.buildLshIndexQuantized]]: buckets from the
     * full-precision vector (the builder's geometry rule), rows land as

@@ -410,6 +410,38 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (3L, 1)))
   }
 
+  test("ingest gate: within-batch dedup, quality floor, corpus screen, cross-batch admission") {
+    implicit val sqlCtx = spark.sqlContext
+    val goodText = "the quick brown fox jumps over a lazy dog and runs to " +
+      "the river bank where it finds a quiet place in the shade today"
+    val corpus = Seq((1L, "standing corpus content one")).toDF("doc_id", "text")
+    val dir = tmpDir("graft_ingest_")
+    graft.ops.Dedup.buildExactKeyIndex(corpus, "text", dir)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.ingestGate(spark,
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      dir, s"$dir/out", s"$dir/ckpt", minQuality = 0.3)
+    try {
+      mem.addData(
+        (10L, goodText),                      // fresh, good -> admitted
+        (11L, "standing corpus content one"), // corpus dup -> dropped
+        (12L, goodText),                      // within-batch dup of 10 -> dropped
+        (13L, "zz zz zz zz"))                 // low quality -> dropped
+      q.processAllAvailable()
+      // batch 2 re-sends 10's text: batch 1's admission screens it out
+      mem.addData((20L, goodText), (21L, "another fresh well formed text " +
+        "with many different words that reads like a normal document " +
+        "about rivers and shade and dogs in it"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(10L, 21L),
+      s"only the fresh good docs may pass the gate, got $out")
+    // admitted keys joined the index: corpus + 2 admissions
+    assert(spark.read.parquet(s"$dir/keys").count() == 3)
+  }
+
   test("streaming exact-key index sink: streamed keys screen later batches, Bloom stays no-false-negative") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
