@@ -537,16 +537,20 @@ object Dedup {
     */
   def appendExactKeys(spark: org.apache.spark.sql.SparkSession,
                       docs: DataFrame, textCol: String, path: String): Unit = {
+    // persisted: three consumers (emptiness probe, keys append, Bloom
+    // build) must not re-run the caller's upstream pipeline
     val newKeys = docs.where(col(textCol).isNotNull)
-      .select(md5(col(textCol)).as("key")).distinct()
-    if (newKeys.isEmpty) return
-    newKeys.write.mode("append").parquet(s"$path/keys")
-    val params = spark.read.parquet(s"$path/params")
-      .select(col("n"), col("fpp")).head()
-    val delta = newKeys.stat.bloomFilter("key", params.getLong(0),
-      params.getDouble(1))
-    val merged = readBloom(spark, path).mergeInPlace(delta)
-    writeBloom(spark, merged, path)
+      .select(md5(col(textCol)).as("key")).distinct().persist()
+    try {
+      if (newKeys.isEmpty) return
+      newKeys.write.mode("append").parquet(s"$path/keys")
+      val params = spark.read.parquet(s"$path/params")
+        .select(col("n"), col("fpp")).head()
+      val delta = newKeys.stat.bloomFilter("key", params.getLong(0),
+        params.getDouble(1))
+      val merged = readBloom(spark, path).mergeInPlace(delta)
+      writeBloom(spark, merged, path)
+    } finally newKeys.unpersist()
   }
 
   /** Screen a new batch against a [[buildExactKeyIndex]] layout: rows

@@ -45,8 +45,14 @@ object IndexMaintenance {
     }
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    // Hadoop FS signals failure by RETURN VALUE: an unchecked false from
+    // delete would make the rename nest the staged copy INSIDE the old
+    // layout (doubling rows), an unchecked false from rename would leave
+    // no layout at all — both must abort loudly
+    require(fs.delete(p, true),
+      s"compaction aborted: could not delete $dir (staged copy intact at $tmp)")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"compaction aborted: could not rename $tmp to $dir (data is at $tmp)")
   }
 
   /** Parquet data files under `dir`, recursively — the fragmentation

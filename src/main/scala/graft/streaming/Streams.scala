@@ -249,11 +249,16 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val reps = graft.ops.Dedup.exact(batch, idCol, textCol)
+        // null-text rows can never collide (the key-index contract), so
+        // they bypass both dedup stages; a positive quality floor drops
+        // them (no content to score), minQuality = 0 admits them
+        val withText = batch.where(col(textCol).isNotNull)
+        val nullText = batch.where(col(textCol).isNull)
+        val reps = graft.ops.Dedup.exact(withText, idCol, textCol)
           .select(col(idCol))
-        val deduped = batch.join(broadcast(reps), Seq(idCol), "left_semi")
+        val deduped = withText.join(broadcast(reps), Seq(idCol), "left_semi")
         val scored =
-          if (minQuality <= 0.0) deduped
+          if (minQuality <= 0.0) deduped.unionByName(nullText)
           else deduped.join(
             broadcast(graft.ops.TextAnalysis
               .qualityScore(deduped, idCol, textCol)
@@ -261,9 +266,12 @@ object Streams {
               .select(col("doc_id").as(idCol))),
             Seq(idCol), "left_semi")
         val admitted = graft.ops.Dedup.exactDedupAgainstIndex(
-          spark, scored, textCol, keyIndexPath)
-        admitted.write.mode("append").parquet(outPath)
-        graft.ops.Dedup.appendExactKeys(spark, admitted, textCol, keyIndexPath)
+          spark, scored, textCol, keyIndexPath).persist()
+        try {
+          admitted.write.mode("append").parquet(outPath)
+          graft.ops.Dedup.appendExactKeys(spark, admitted, textCol, keyIndexPath)
+        } finally admitted.unpersist()
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -446,6 +454,10 @@ object Streams {
     import spark.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
     events
+      // null user/ts refused at the door: the typed Long key cannot hold
+      // null and a null timestamp cannot order a funnel transition (the
+      // batch twin's min/comparison semantics ignore such rows too)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id").cast("long").as("user_id"),
         col("ts").cast("timestamp").as("ts"),
         col("event_type").cast("string").as("event_type"))

@@ -371,6 +371,17 @@ class OpsSpec extends SparkSpec {
     assert(kept("books") > 13000, "whole stratum survives")
     assert(kept("web") > 1500 && kept("web") < 7000,
       s"sampled mass should be near the 4000-token budget, got ${kept.get("web")}")
+    // allowReplacement: an over-total budget returns the RAW ratio (>1),
+    // and upsample turns it into epochs — books at ~5x its mass
+    val rep = Sampling.tokenBudgetFracs(df, "src", "n_tok",
+      Map("books" -> 66500L), allowReplacement = true)
+    assert(rep("books") > 4.9 && rep("books") < 5.1,
+      s"uncapped ratio expected ~5, got ${rep.get("books")}")
+    // upsample passes df's columns through, so the token mass sums directly
+    val mass = Sampling.upsample(df, "doc_id", "src", rep)
+      .agg(sum("n_tok")).as[Long].head()
+    assert(math.abs(mass - 66500L) < 8000,
+      s"upsampled token mass should approximate the budget, got $mass")
   }
 
   test("exactDedupAgainstIndex: Bloom-cleared and verified rows, nulls admitted, corpus never shuffled") {
