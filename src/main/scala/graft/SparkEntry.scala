@@ -247,6 +247,11 @@ object SparkEntry {
     "q65_contamination_matrix" -> contaminationMatrixSql,
     "q73_lm_score" -> lmScoreSql,
     "q74_clean_corpus" -> cleanCorpusSql,
+    "q75_tfidf" -> tfidfSql,
+    "q76_bm25" -> bm25Sql,
+    "q77_containment" -> containmentSql,
+    "q78_data_card" -> dataCardSql,
+    "q79_stop_prune" -> stopPruneSql,
     "q66_upsample_epochs" -> upsampleEpochsSql,
     // q67 oracle: sequential-min funnel — t1 = min ts(view), each later
     // step the min ts strictly after the previous stage's time, counted
@@ -1120,4 +1125,128 @@ object SparkEntry {
       |JOIN cnt n2 ON n2.doc_id = i.d2
       |WHERE CAST(i.i AS DOUBLE) / (n1.n + n2.n - i.i) >= 0.3
       |ORDER BY i.d1, i.d2""".stripMargin
+
+  // q75 oracle: same tf/df/N pipeline, sklearn-style smooth idf
+  // LOG2((N+1)/(df+1)) + 1 — exact integer-valued quotient, log2 within
+  // an ulp, score rounded at 4 decimals (the q73 determinism contract);
+  // the per-doc top-3 cut breaks ties on the rounded score by token asc
+  // in both engines.
+  private def tfidfSql: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |tok AS (SELECT doc_id,
+      |          UNNEST(list_filter(STRING_SPLIT(text, ' '), x -> x <> '')) AS token
+      |        FROM docs),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM docs),
+      |scored AS (SELECT t.doc_id, t.token, t.tf,
+      |    ROUND(CAST(t.tf AS DOUBLE) *
+      |      (LOG2((CAST(n.n AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0))
+      |        + 1.0), 4) AS score
+      |  FROM tf t JOIN dfreq d USING (token) CROSS JOIN n)
+      |SELECT doc_id, token, tf, score FROM scored
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                           ORDER BY score DESC, token) <= 3
+      |ORDER BY doc_id, score DESC, token""".stripMargin
+
+  // q76 oracle: Okapi BM25 with the Lucene idf. avgdl is an exact
+  // integer-sum / count quotient (identical across engines); the scoring
+  // arithmetic is written in the same textual evaluation order as the
+  // engine; constants are spelled as the same foldable expressions
+  // ((1.2 + 1.0), (1.0 - 0.75)) so both engines hold bit-identical
+  // doubles; the 4-decimal round absorbs the per-doc sum's
+  // association-order ulps.
+  private def bm25Sql: String =
+    """WITH docs AS (SELECT doc_id,
+      |          list_filter(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+      |        FROM documents WHERE text IS NOT NULL),
+      |dl AS (SELECT doc_id, CAST(LEN(t) AS DOUBLE) AS dl FROM docs),
+      |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+      |tok AS (SELECT doc_id, UNNEST(t) AS token FROM docs),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      |       WHERE token IN ('spark', 'query', 'join', 'window')
+      |       GROUP BY 1, 2),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT t.doc_id,
+      |    LOG2(1.0 + (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+      |               / (CAST(d.df AS DOUBLE) + 0.5)) *
+      |    (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+      |    (CAST(t.tf AS DOUBLE) +
+      |      1.2 * ((1.0 - 0.75) + 0.75 * l.dl / s.avgdl)) AS s
+      |  FROM tf t JOIN dfreq d USING (token) JOIN dl l USING (doc_id)
+      |  CROSS JOIN stats s)
+      |SELECT doc_id, ROUND(SUM(s), 4) AS score FROM sc GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // q77 oracle: the q30 candidate pipeline (df-capped inverted index,
+  // uncapped set sizes) resolved to asymmetric containments i/n1, i/n2;
+  // the threshold tests the unrounded max like the engine.
+  private def containmentSql: String =
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |       FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)),
+      |shc AS (SELECT doc_id, s FROM sh
+      |        QUALIFY COUNT(*) OVER (PARTITION BY s) <= 1000),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.d1, c.d2, COUNT(*) AS i
+      |          FROM cand c
+      |          JOIN shc s1 ON s1.doc_id = c.d1
+      |          JOIN shc s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+      |          GROUP BY c.d1, c.d2)
+      |SELECT i.d1, i.d2,
+      |       ROUND(CAST(i.i AS DOUBLE) / n1.n, 3) AS c12,
+      |       ROUND(CAST(i.i AS DOUBLE) / n2.n, 3) AS c21
+      |FROM inter i
+      |JOIN cnt n1 ON n1.doc_id = i.d1
+      |JOIN cnt n2 ON n2.doc_id = i.d2
+      |WHERE GREATEST(CAST(i.i AS DOUBLE) / n1.n,
+      |               CAST(i.i AS DOUBLE) / n2.n) >= 0.5
+      |ORDER BY i.d1, i.d2""".stripMargin
+
+  // q78 oracle: corpus-wide dup keys (md5 of text, > 1 occurrence) and a
+  // per-source rollup. Counting sums are CAST to BIGINT so DuckDB's
+  // HUGEINT SUM matches the engine's LongType; AVG of integer-valued
+  // n_chars is an exact-sum quotient.
+  private def dataCardSql: String =
+    """WITH keyed AS (SELECT source, lang, n_chars, text,
+      |          CASE WHEN text IS NOT NULL THEN MD5(text) END AS k
+      |        FROM documents),
+      |dup AS (SELECT k FROM keyed WHERE k IS NOT NULL
+      |        GROUP BY k HAVING COUNT(*) > 1)
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_null_text,
+      |  CAST(SUM(CASE WHEN k IN (SELECT k FROM dup) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_duped,
+      |  CAST(SUM(COALESCE(
+      |    LEN(list_filter(STRING_SPLIT(text, ' '), x -> x <> '')), 0))
+      |    AS BIGINT) AS ws_tokens,
+      |  ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+      |  COUNT(DISTINCT lang) AS n_langs
+      |FROM keyed GROUP BY source ORDER BY source""".stripMargin
+
+  // q79 oracle: the q63 vocabulary cut (cnt desc, token; top 10, floor 1)
+  // as the stop list; per-doc reassembly keeps original order via the
+  // RANGE-subscript ordinal (the q30 idiom) and STRING_AGG ORDER BY;
+  // fully-pruned docs survive through the left join with ('' , 0).
+  private def stopPruneSql: String =
+    """WITH docs AS (SELECT doc_id,
+      |          list_filter(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+      |        FROM documents WHERE text IS NOT NULL),
+      |stop AS (SELECT x AS token FROM (SELECT UNNEST(t) AS x FROM docs)
+      |         GROUP BY 1 ORDER BY COUNT(*) DESC, token LIMIT 10),
+      |tok AS (SELECT doc_id, t[i] AS w, i AS ord
+      |        FROM docs, UNNEST(RANGE(1, LEN(t) + 1)) AS u(i)),
+      |kept AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+      |           STRING_AGG(w, ' ' ORDER BY ord) AS text_pruned
+      |         FROM tok WHERE w NOT IN (SELECT token FROM stop)
+      |         GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(k.kept_tokens, 0) AS kept_tokens,
+      |       COALESCE(k.text_pruned, '') AS text_pruned
+      |FROM docs d LEFT JOIN kept k USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 }

@@ -728,4 +728,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
   }
+
+  /** Asymmetric shingle containment — the sub-document duplication
+    * screen. For a candidate pair (A, B) with shingle sets of sizes n1,
+    * n2 and intersection i:
+    *
+    *   c12 = i / n1   (how much of A is inside B)
+    *   c21 = i / n2   (how much of B is inside A)
+    *
+    * kept when max(c12, c21) ≥ `threshold`. Jaccard ([[ngramJaccard]])
+    * misses the classic case — a short document wholly quoted inside a
+    * long one scores i/(n1+n2−i) ≈ n1/n2 ≈ 0, while its containment is
+    * 1.0. This is the Lee et al. "Deduplicating Training Data Makes
+    * Language Models Better" substring-dup signal at shingle
+    * granularity.
+    *
+    * Same candidate mining and skew guard as [[ngramJaccard]] (one
+    * reused exchange feeds both self-join sides, document-frequency cap
+    * `maxDf` drops boilerplate shingles from the inverted index), so the
+    * 100 TB shape is identical: fixed-width md5 shingle keys, pair rows
+    * ∝ true shingle co-occurrence. Divisions are exact-input
+    * correctly-rounded; rounded at 3 decimals like the Jaccard twin.
+    */
+  def containment(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, w)
+    val sh = sets.select(col("doc_id"), col("n"), explode(col("set")).as("s"))
+      .repartition(col("s"))
+      .withColumn("_df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("_df") <= maxDf)
+      .select(col("doc_id"), col("n"), col("s"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"),
+        first(col("a.n")).as("n1"), first(col("b.n")).as("n2"))
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") / col("n1")).as("_c12"),
+        (col("i").cast("double") / col("n2")).as("_c21"))
+      .filter(greatest(col("_c12"), col("_c21")) >= threshold)
+      .select(col("d1"), col("d2"),
+        round(col("_c12"), 3).as("c12"), round(col("_c21"), 3).as("c21"))
+  }
 }

@@ -210,6 +210,143 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** TF-IDF top terms per document — the keyword/topic-signal primitive
+    * (domain tagging, mixture labeling, boilerplate spotting). For each
+    * document's distinct tokens: tf = occurrences in the doc, df = number
+    * of docs containing the token, and the sklearn-style smooth idf
+    *
+    *   idf(t) = log₂((N + 1) / (df + 1)) + 1,   score = tf · idf
+    *
+    * keeping the top `perDoc` terms per document by (rounded score desc,
+    * token asc). The ratio (N+1)/(df+1) is an exact quotient of
+    * integer-valued doubles, log₂ is within an ulp across engines, and
+    * the score rounds at 4 decimals — the same determinism contract as
+    * [[bigramLmScore]], so the DuckDB oracle hash-matches.
+    *
+    * Shape at 100 TB: tf is one map-side-combined exchange on
+    * (doc, token); df re-aggregates the tf table (one exchange on the
+    * token, rows = distinct (doc, token), not occurrences); N is a 1-row
+    * broadcast; the per-doc top-k is a window over the doc key riding
+    * the tf exchange's partitioning. No row ever carries the document
+    * text past the tokenizer.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String,
+            perDoc: Int = 3): DataFrame = {
+    val tf = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(expr(s"filter(split($textCol, ' '), x -> x <> '')")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    val n = df.where(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("_n"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"),
+        round(col("tf").cast("double") *
+          (log2((col("_n").cast("double") + 1.0d) /
+                (col("_df").cast("double") + 1.0d)) + 1.0d), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= perDoc)
+      .select(col("doc_id"), col("token"), col("tf"), col("score"))
+  }
+
+  /** BM25 retrieval over the corpus for a fixed bag of query terms — the
+    * lexical-search primitive (benchmark decontamination by query,
+    * targeted corpus audits, seed-document mining). Okapi BM25 with the
+    * Lucene idf (always positive, no negative-idf clamping needed):
+    *
+    *   idf(t)    = log₂(1 + (N − df + 0.5)/(df + 0.5))
+    *   score(d)  = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * with dl = whitespace-token length of d and avgdl its corpus mean.
+    * All divisions are IEEE-exact-input correctly-rounded operations
+    * evaluated in the same textual order as the oracle; log₂ is within
+    * an ulp; the final score rounds at 4 decimals ([[bigramLmScore]]'s
+    * contract). Top `topN` docs by (score desc, doc_id).
+    *
+    * Shape at 100 TB: doc lengths and the query-term tf table are
+    * projections + ONE map-side-combined exchange each (the tf stream is
+    * pre-filtered to the query terms, so the exchange carries ≤ |terms|
+    * rows per doc); N/avgdl are a 1-row broadcast; df per term
+    * re-aggregates the tiny tf table; the ranking plans as
+    * TakeOrderedAndProject — no global sort.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topN: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("t"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("_n"), avg(col("dl")).as("_avgdl"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("t")).as("token"))
+      .where(col("token").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    tf.join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log2(lit(1.0d) +
+            (col("_n").cast("double") - col("_df").cast("double") + 0.5d) /
+            (col("_df").cast("double") + 0.5d)) *
+          (col("tf").cast("double") * (k1 + 1.0d)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0d - b) + lit(b) * col("dl") / col("_avgdl"))))
+          .as("_s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("_s")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  /** Corpus-driven stop-token pruning — the boilerplate-trimming step:
+    * the `stopN` most frequent tokens corpus-wide (ties broken token-asc,
+    * the [[vocab]] cut) become the stop list, and every document is
+    * rewritten with those tokens removed, original order preserved.
+    * Output: (doc_id, kept_tokens, text_pruned), one row per non-null-text
+    * document — documents whose every token was pruned survive with
+    * kept_tokens = 0 and an empty string (they are exactly the docs a
+    * downstream quality floor should now drop).
+    *
+    * Shape at 100 TB: the stop list is a [[vocab]] aggregation cut to
+    * `stopN` rows and BROADCAST into a left_anti join on the exploded
+    * (pos, token) stream — no shuffle touches the corpus until the
+    * per-doc reassembly, which is ONE exchange on the doc key; the
+    * order-preserving concat is array_sort over the collected (pos,
+    * token) structs, bounded by the document length. The final left join
+    * restoring fully-pruned docs is a key join of doc ids only.
+    */
+  def pruneTopTokens(df: DataFrame, idCol: String, textCol: String,
+                     stopN: Int = 10): DataFrame = {
+    val docs = df.where(col(textCol).isNotNull)
+    val stop = vocab(docs, textCol, minCount = 1, topN = stopN)
+      .select(col("token"))
+    val kept = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(expr(s"filter(split($textCol, ' '), x -> x <> '')"))
+          .as(Seq("pos", "w")))
+      .join(broadcast(stop), col("w") === col("token"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("pos"), col("w"))).as("_ps"))
+      .select(col("doc_id"),
+        size(col("_ps")).cast("long").as("kept_tokens"),
+        array_join(expr("transform(array_sort(_ps), s -> s.w)"), " ")
+          .as("text_pruned"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("text_pruned"), lit("")).as("text_pruned"))
+  }
+
   /** Content fingerprint: md5 of case-normalized text, plus an 8-hex-char
     * prefix usable as a cluster/shard key. Pure projection.
     */

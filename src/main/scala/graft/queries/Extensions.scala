@@ -424,6 +424,38 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q75 TF-IDF top terms per doc — keyword/topic signal for domain
+  // tagging and mixture labeling (smooth log2 idf, top-3 per doc).
+  val q75_tfidf: Q = (s, d) =>
+    TextAnalysis.tfidf(t(s, d, "documents"), "doc_id", "text", perDoc = 3)
+      .orderBy(col("doc_id"), col("score").desc, col("token"))
+
+  // q76 BM25 retrieval for a fixed query-term bag — the lexical-search
+  // audit primitive (top-20 docs, Lucene idf, k1=1.2 b=0.75).
+  val q76_bm25: Q = (s, d) =>
+    TextAnalysis.bm25(t(s, d, "documents"), "doc_id", "text",
+      queryTerms = Seq("spark", "query", "join", "window"))
+
+  // q77 asymmetric shingle containment — the sub-document duplication
+  // screen Jaccard misses (short doc quoted inside a long one).
+  val q77_containment: Q = (s, d) =>
+    Dedup.containment(t(s, d, "documents"), "doc_id", "text",
+        w = 3, threshold = 0.5)
+      .orderBy(col("d1"), col("d2"))
+
+  // q78 per-source corpus data card — the source-triage audit: doc/dup/
+  // token/length/language summary per source, corpus-wide dup keys.
+  val q78_data_card: Q = (s, d) =>
+    Analytics.dataCard(t(s, d, "documents"), "doc_id", "text",
+      "source", "lang", "n_chars")
+
+  // q79 corpus-driven stop-token pruning — boilerplate trimming: top-10
+  // corpus tokens removed from every doc, order preserved.
+  val q79_stop_prune: Q = (s, d) =>
+    TextAnalysis.pruneTopTokens(t(s, d, "documents"), "doc_id", "text",
+        stopN = 10)
+      .orderBy(col("doc_id"))
+
   // q55 exact-size stratified sample: deterministically exactly 10 docs
   // per source (md5-rank order) — fixed-size eval subsets per domain.
   val q55_exact_size_sample: Q = (s, d) =>
@@ -542,5 +574,10 @@ object Extensions {
     "q70_text_knn" -> q70_text_knn,
     "q71_retention" -> q71_retention,
     "q73_lm_score" -> q73_lm_score,
-    "q74_clean_corpus" -> q74_clean_corpus)
+    "q74_clean_corpus" -> q74_clean_corpus,
+    "q75_tfidf" -> q75_tfidf,
+    "q76_bm25" -> q76_bm25,
+    "q77_containment" -> q77_containment,
+    "q78_data_card" -> q78_data_card,
+    "q79_stop_prune" -> q79_stop_prune)
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-6 text-retrieval / corpus-audit family: TF-IDF top terms, BM25
+  * retrieval, asymmetric shingle containment, per-source data card,
+  * corpus-driven stop-token pruning. Oracle twins live in
+  * SparkEntry.oracleSql (q75–q79); these pin the operator semantics on
+  * hand-computable fixtures.
+  */
+class TextRetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidf ranks doc-specific terms above corpus-wide ones") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, "doc_id", "text", perDoc = 2)
+      .orderBy(col("doc_id"), col("score").desc, col("token"))
+      .as[(Long, String, Long, Double)].collect()
+    // N=2; df(a)=2 -> idf=log2(3/3)+1=1; df(b)=df(c)=1 -> idf=log2(1.5)+1
+    val idfRare = math.log(1.5) / math.log(2.0) + 1.0
+    val r = BigDecimal(idfRare).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(out.toSeq == Seq(
+      (1L, "a", 2L, 2.0),      // tf 2 · idf 1 beats tf 1 · idf 1.585
+      (1L, "b", 1L, r),
+      (2L, "c", 1L, r),        // rare c outranks ubiquitous a
+      (2L, "a", 1L, 1.0)))
+  }
+
+  test("bm25 scores the matching doc with the hand-computed okapi value") {
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("x"))
+      .as[(Long, Double)].collect()
+    // tf=2 df=1 N=2 dl=3 avgdl=2.5: idf=log2(1+1.5/1.5)=1,
+    // score = (2·2.2)/(2 + 1.2·(0.25 + 0.75·3/2.5)) = 4.4/3.38
+    assert(out.length == 1 && out.head._1 == 1L)
+    assert(out.head._2 == BigDecimal(4.4 / 3.38)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("containment catches a short doc embedded in a long one where jaccard misses") {
+    val docs = Seq(
+      (1L, "a b c d"),                 // 2 shingles, both inside doc 2
+      (2L, "a b c d e f g h")).toDF("doc_id", "text") // 6 shingles
+    val cont = Dedup.containment(docs, "doc_id", "text", w = 3, threshold = 0.5)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.toSeq == Seq((1L, 2L, 1.0, 0.333)))
+    val jac = Dedup.ngramJaccard(docs, "doc_id", "text", w = 3, threshold = 0.5)
+    assert(jac.count() == 0, "jaccard 2/6=0.333 misses the full containment")
+  }
+
+  test("data card rolls up docs, cross-source dups, tokens, chars, langs per source") {
+    val docs = Seq(
+      (1L, "dup text", "en", "web", 8L),
+      (2L, "dup text", "en", "books", 8L),   // cross-source exact dup
+      (3L, "unique here", "fr", "web", 11L),
+      (4L, null.asInstanceOf[String], "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Analytics.dataCard(docs, "doc_id", "text", "source", "lang", "n_chars")
+      .as[(String, Long, Long, Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      ("books", 1L, 0L, 1L, 2L, 8.0, 1L),
+      ("web", 3L, 1L, 1L, 4L, 19.0 / 3, 2L)
+        .copy(_6 = BigDecimal(19.0 / 3).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("stop-token pruning removes the top token, keeps order, keeps emptied docs") {
+    val docs = Seq(
+      (1L, "a b a"),
+      (2L, "a"),
+      (3L, "b a c")).toDF("doc_id", "text")
+    // corpus counts: a=4, b=2, c=1 -> stop list (top 1) = {a}
+    val out = TextAnalysis.pruneTopTokens(docs, "doc_id", "text", stopN = 1)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 1L, "b"), (2L, 0L, ""), (3L, 2L, "b c")))
+  }
+}
