@@ -36,7 +36,9 @@ object PlanAudit {
       "q61_ivf_quantized_knn_join", "q62_incremental_dedup", "q63_vocab",
       "q64_collocations", "q65_contamination_matrix", "q66_upsample_epochs",
       "q67_funnel", "q68_skew_report", "q69_hash_embed", "q70_text_knn",
-      "q71_retention", "q72_pivot", "q73_lm_score", "q74_clean_corpus")
+      "q71_retention", "q72_pivot", "q73_lm_score", "q74_clean_corpus",
+      "q75_tfidf", "q76_bm25", "q77_containment", "q78_data_card",
+      "q79_stop_prune")
     for (q <- interesting) {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       qe.executedPlan.executeCollect()

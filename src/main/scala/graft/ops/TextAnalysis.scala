@@ -224,11 +224,12 @@ object TextAnalysis {
     * [[bigramLmScore]], so the DuckDB oracle hash-matches.
     *
     * Shape at 100 TB: tf is one map-side-combined exchange on
-    * (doc, token); df re-aggregates the tf table (one exchange on the
-    * token, rows = distinct (doc, token), not occurrences); N is a 1-row
-    * broadcast; the per-doc top-k is a window over the doc key riding
-    * the tf exchange's partitioning. No row ever carries the document
-    * text past the tokenizer.
+    * (doc, token); df is a COUNT WINDOW over the token key on the tf
+    * table (one exchange of fixed-width rows — distinct (doc, token),
+    * not occurrences — instead of a df-aggregate plus a join back, the
+    * [[Dedup.ngramJaccard]] idiom); N is a 1-row broadcast; the per-doc
+    * top-k is a window over the doc key. No row ever carries the
+    * document text past the tokenizer.
     */
   def tfidf(df: DataFrame, idCol: String, textCol: String,
             perDoc: Int = 3): DataFrame = {
@@ -237,10 +238,11 @@ object TextAnalysis {
         explode(expr(s"filter(split($textCol, ' '), x -> x <> '')")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
     val n = df.where(col(textCol).isNotNull)
       .agg(count(lit(1)).as("_n"))
-    val scored = tf.join(dfreq, "token")
+    val scored = tf
+      .withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"),
         round(col("tf").cast("double") *
@@ -268,12 +270,16 @@ object TextAnalysis {
     * an ulp; the final score rounds at 4 decimals ([[bigramLmScore]]'s
     * contract). Top `topN` docs by (score desc, doc_id).
     *
-    * Shape at 100 TB: doc lengths and the query-term tf table are
-    * projections + ONE map-side-combined exchange each (the tf stream is
-    * pre-filtered to the query terms, so the exchange carries ≤ |terms|
-    * rows per doc); N/avgdl are a 1-row broadcast; df per term
-    * re-aggregates the tiny tf table; the ranking plans as
-    * TakeOrderedAndProject — no global sort.
+    * Shape at 100 TB: the tf table is a projection + ONE map-side-
+    * combined exchange (the token stream is pre-filtered to the query
+    * terms, so it carries ≤ |terms| rows per doc), with the doc length
+    * CARRIED through the aggregation as first(dl) — 8 bytes per row
+    * instead of a doc-keyed join of the full length table back onto tf;
+    * N/avgdl are a 1-row broadcast; df per term aggregates the tiny tf
+    * table to ≤ |terms| rows and is broadcast (a window over the token
+    * key would put every row of a term on one reducer — ≤ |terms| live
+    * keys is exactly the degenerate case for a key-partitioned window);
+    * the ranking plans as TakeOrderedAndProject — no global sort.
     */
   def bm25(df: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
@@ -282,16 +288,16 @@ object TextAnalysis {
     val toks = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         expr(s"filter(split($textCol, ' '), x -> x <> '')").as("t"))
-    val dl = toks.select(col("doc_id"), size(col("t")).cast("double").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("_n"), avg(col("dl")).as("_avgdl"))
+    val stats = toks.select(size(col("t")).cast("double").as("dl"))
+      .agg(count(lit(1)).as("_n"), avg(col("dl")).as("_avgdl"))
     val tf = toks
-      .select(col("doc_id"), explode(col("t")).as("token"))
+      .select(col("doc_id"), size(col("t")).cast("double").as("dl"),
+        explode(col("t")).as("token"))
       .where(col("token").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
     tf.join(broadcast(dfreq), "token")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (log2(lit(1.0d) +
@@ -317,34 +323,33 @@ object TextAnalysis {
     * downstream quality floor should now drop).
     *
     * Shape at 100 TB: the stop list is a [[vocab]] aggregation cut to
-    * `stopN` rows and BROADCAST into a left_anti join on the exploded
-    * (pos, token) stream — no shuffle touches the corpus until the
-    * per-doc reassembly, which is ONE exchange on the doc key; the
-    * order-preserving concat is array_sort over the collected (pos,
-    * token) structs, bounded by the document length. The final left join
-    * restoring fully-pruned docs is a key join of doc ids only.
+    * `stopN` rows and BROADCAST as a FLAGGING left join onto the
+    * exploded (pos, token) stream (not an anti-join — a doc whose every
+    * token is a stop token must survive to its empty row, and
+    * posexplode_outer keeps zero-token docs alive through a null
+    * marker); collect_list skips the null entries, so the per-doc
+    * reassembly is the operator's ONLY corpus exchange, on the doc key.
+    * The order-preserving concat is array_sort over the collected
+    * (pos, token) structs, bounded by the document length.
     */
   def pruneTopTokens(df: DataFrame, idCol: String, textCol: String,
                      stopN: Int = 10): DataFrame = {
     val docs = df.where(col(textCol).isNotNull)
     val stop = vocab(docs, textCol, minCount = 1, topN = stopN)
       .select(col("token"))
-    val kept = docs
+    docs
       .select(col(idCol).as("doc_id"),
-        posexplode(expr(s"filter(split($textCol, ' '), x -> x <> '')"))
+        posexplode_outer(expr(s"filter(split($textCol, ' '), x -> x <> '')"))
           .as(Seq("pos", "w")))
-      .join(broadcast(stop), col("w") === col("token"), "left_anti")
+      .join(broadcast(stop), col("w") === col("token"), "left")
       .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("pos"), col("w"))).as("_ps"))
+      .agg(collect_list(
+          when(col("w").isNotNull && col("token").isNull,
+            struct(col("pos"), col("w")))).as("_ps"))
       .select(col("doc_id"),
         size(col("_ps")).cast("long").as("kept_tokens"),
         array_join(expr("transform(array_sort(_ps), s -> s.w)"), " ")
           .as("text_pruned"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-        coalesce(col("text_pruned"), lit("")).as("text_pruned"))
   }
 
   /** Content fingerprint: md5 of case-normalized text, plus an 8-hex-char
