@@ -252,6 +252,11 @@ object SparkEntry {
     "q77_containment" -> containmentSql,
     "q78_data_card" -> dataCardSql,
     "q79_stop_prune" -> stopPruneSql,
+    // q80 oracle: q39's md5-ordered seed centroids and argmax-cosine
+    // assignment, then the greedy-by-id within-cell screen — drop when a
+    // lower-id cellmate's cosine clears tau (threshold on the unrounded
+    // value, like q30/q77)
+    "q80_semdedup" -> semDedupSql,
     "q66_upsample_epochs" -> upsampleEpochsSql,
     // q67 oracle: sequential-min funnel — t1 = min ts(view), each later
     // step the min ts strictly after the previous stage's time, counted
@@ -454,6 +459,26 @@ object SparkEntry {
     * the lowest cell), the query probes its 3 nearest cells, exact cosine
     * rank within them. Deterministic → hash-checkable (was rows-only).
     */
+  private def semDedupSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL AND LEN(embedding) > 0),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
+       |         FROM seeds),
+       |asgn AS (SELECT e.vec_id, e.v, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
+       |         FROM e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, v, cell FROM asgn WHERE rn = 1),
+       |drops AS (SELECT DISTINCT a.vec_id FROM cells a JOIN cells b
+       |          ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |          AND ${cosSql("a.v", "b.v")} >= 0.4)
+       |SELECT c.vec_id, c.cell,
+       |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM cells c LEFT JOIN drops d ON d.vec_id = c.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+
   private def annIvfSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e

@@ -337,6 +337,53 @@ object Similarity {
     }.sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1)
   }
 
+  /** SemDeDup — semantic deduplication in embedding space (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): cluster the corpus with the IVF coarse
+    * quantizer, then WITHIN each cell mark a vector as a semantic
+    * duplicate when a lower-id vector in the same cell has cosine ≥
+    * `tau`. Exact dedup (q27) catches byte-identity, MinHash (q28)
+    * lexical overlap; this catches paraphrases and re-renderings that
+    * share no tokens. Output: (id, cell, keep) for every vector — the
+    * keep-list form the cleaning pass consumes.
+    *
+    * Deterministic end to end: md5-ordered seed centroids (the [[ivfTopK]]
+    * sample — the DuckDB oracle mirrors them literally), argmax-cosine
+    * cell assignment (ties to the lower cell), greedy-by-id dup marking
+    * (no RNG, no iteration-order dependence).
+    *
+    * Shape at 100 TB: assignment is the zero-shuffle [[graft.functions
+    * .VectorFunctions.nearestCentroid]] projection (centroids are a
+    * bounded nCells-row driver collect); the within-cell pair scan is a
+    * self-join on the cell key with ONE repartition feeding both sides
+    * (reused exchange, the [[Dedup.ngramJaccard]] idiom). Within-cell
+    * work is quadratic in cell population BY DESIGN — that is SemDeDup's
+    * cost model; size nCells ≈ corpus/1k so cells stay ~10³ (the paper
+    * uses 50k cells for LAION-440M), and the keep-flag join back is a
+    * fixed-width id join of the small drop set.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               nCells: Int = 16, tau: Double = 0.4): DataFrame = {
+    val e = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    val centroids = ivfCentroids(e, idCol, nCells, kmeansIters = 0)
+    val cells = e.select(col(idCol), col("_v"),
+      graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids)
+        .as("cell"))
+    val part = cells.repartition(col("cell"))
+    val drops = part.as("a")
+      .join(part.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col(s"b.$idCol") < col(s"a.$idCol") &&
+          cosine(col("a._v"), col("b._v")) >= tau)
+      .select(col(s"a.$idCol")).distinct()
+      .withColumn("_dup", lit(1))
+    cells.select(col(idCol), col("cell"))
+      .join(drops, Seq(idCol), "left")
+      .select(col(idCol), col("cell").cast("long").as("cell"),
+        when(col("_dup").isNotNull, 0L).otherwise(1L).as("keep"))
+  }
+
   // ─── Persisted index layouts ─────────────────────────────────────────
   //
   // The in-query forms above compute buckets/cells per query — right for

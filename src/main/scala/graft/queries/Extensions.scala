@@ -456,6 +456,13 @@ object Extensions {
         stopN = 10)
       .orderBy(col("doc_id"))
 
+  // q80 SemDeDup: IVF-cell clustering + within-cell cosine screen —
+  // semantic near-dup keep-list (paraphrases that share no tokens).
+  val q80_semdedup: Q = (s, d) =>
+    Similarity.semDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        nCells = 16, tau = 0.4)
+      .orderBy(col("vec_id"))
+
   // q55 exact-size stratified sample: deterministically exactly 10 docs
   // per source (md5-rank order) — fixed-size eval subsets per domain.
   val q55_exact_size_sample: Q = (s, d) =>
@@ -579,5 +586,6 @@ object Extensions {
     "q76_bm25" -> q76_bm25,
     "q77_containment" -> q77_containment,
     "q78_data_card" -> q78_data_card,
-    "q79_stop_prune" -> q79_stop_prune)
+    "q79_stop_prune" -> q79_stop_prune,
+    "q80_semdedup" -> q80_semdedup)
 }

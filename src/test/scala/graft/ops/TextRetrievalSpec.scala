@@ -66,6 +66,32 @@ class TextRetrievalSpec extends SparkSpec {
           BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("semDedup drops the higher-id member of a same-cell near-identical pair") {
+    // 8 vectors: ids 1,2 nearly parallel (cos ~ 1), the rest orthogonal-ish
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.01f, 0.0f, 0.0f)),   // semantic dup of 1
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),
+      (6L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (7L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (8L, Seq(0.0f, 1.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+        nCells = 2, tau = 0.95)
+      .orderBy(col("vec_id"))
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 8)
+    val keep = out.map(r => r._1 -> r._3).toMap
+    assert(keep(1L) == 1L, "lower id of the dup pair survives")
+    assert(keep(2L) == 0L, "higher id of the dup pair is dropped")
+    assert((3L to 8L).forall(keep(_) == 1L), "non-dups all survive")
+    // the dup pair landed in the same cell by construction
+    val cells = out.map(r => r._1 -> r._2).toMap
+    assert(cells(1L) == cells(2L))
+  }
+
   test("stop-token pruning removes the top token, keeps order, keeps emptied docs") {
     val docs = Seq(
       (1L, "a b a"),
