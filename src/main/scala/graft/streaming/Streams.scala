@@ -277,6 +277,74 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** The SEMANTIC admission gate — [[graft.ops.Similarity.semDedup]]'s
+    * streaming twin over a persisted IVF index
+    * ([[graft.ops.Similarity.buildIvfIndex]]), per micro-batch:
+    *
+    *  1. cell assignment with the index's own frozen centroids (bounded
+    *     driver read at sink start, the [[ivfIndexSink]] contract);
+    *  2. within-batch screen: the q80 greedy-by-id rule — a row drops
+    *     when a lower-id batchmate in the same cell has cosine ≥ `tau`;
+    *  3. standing-corpus screen: survivors anti-join the index data
+    *     RESTRICTED to the batch's own cells (a bounded `isin` on the
+    *     partition column — directory pruning, never a full index read)
+    *     against cosine ≥ `tau`;
+    *  4. admitted rows append into the cell-partitioned layout — so
+    *     batch N+1 screens against batch N's admissions (each batch
+    *     re-lists the index), and a replayed row meets itself at
+    *     cosine 1 and drops (at-least-once replays cannot re-admit).
+    *
+    * The dedup ladder's streaming end: exact keys ([[ingestGate]]),
+    * lexical bands ([[textIndexSink]]-fed screens), and semantic cells
+    * all admit through the same foreachBatch append discipline.
+    */
+  def semanticGateSink(spark: org.apache.spark.sql.SparkSession,
+                       stream: DataFrame, idCol: String, vecCol: String,
+                       indexPath: String, checkpoint: String,
+                       tau: Double = 0.4): org.apache.spark.sql.streaming.StreamingQuery = {
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    stream
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch
+          .withColumn("_v", transform(col(vecCol), _.cast("double")))
+          .withColumn("cell", graft.functions.VectorFunctions.nearestCentroid(
+            col("_v"), centroids))
+        val part = b.select(col(idCol), col("cell"), col("_v"))
+          .repartition(col("cell"))
+        val inBatchDups = part.as("a")
+          .join(part.as("b"),
+            col("a.cell") === col("b.cell") &&
+              col(s"b.$idCol") < col(s"a.$idCol") &&
+              graft.ops.Similarity.cosine(col("a._v"), col("b._v")) >= tau)
+          .select(col(s"a.$idCol")).distinct()
+        val surv = b.join(inBatchDups, Seq(idCol), "left_anti")
+        val probeCells = surv.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)) // bounded by nCells
+        val admitted =
+          if (probeCells.isEmpty) surv
+          else {
+            val idx = spark.read.parquet(s"$indexPath/data")
+              .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+              .select(col("cell").as("_icell"),
+                transform(col(vecCol), _.cast("double")).as("_iv"))
+            surv.join(idx,
+              col("cell") === col("_icell") &&
+                graft.ops.Similarity.cosine(col("_v"), col("_iv")) >= tau,
+              "left_anti")
+          }
+        admitted.drop("_v")
+          .write.mode("append").partitionBy("cell").parquet(s"$indexPath/data")
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
   /** Continuously maintain a QUANTIZED persisted LSH index built by
     * [[graft.ops.Similarity.buildLshIndexQuantized]]: buckets from the
     * full-precision vector (the builder's geometry rule), rows land as

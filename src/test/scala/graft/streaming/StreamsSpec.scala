@@ -664,6 +664,39 @@ class StreamsSpec extends SparkSpec {
     assert(!streamed.exists(_._2 == "drop") && streamed.count(_._2 == "keepall") == 100)
   }
 
+  test("semantic gate drops standing, within-batch and cross-batch near-dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val p = tmpDir("graft_semgate_")
+    graft.ops.Similarity.buildIvfIndex(base, "vec_id", "embedding", p, nCells = 2)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.semanticGateSink(spark,
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      p, tmpDir("graft_semgate_ck_"), tau = 0.95)
+    try {
+      // 10 ~= index vec 1 (standing dup); 11 novel; 12/13 a within-batch
+      // near-identical pair (13 loses on id)
+      mem.addData(
+        (10L, Seq(0.999f, 0.01f, 0.0f, 0.0f)),
+        (11L, Seq(0.5f, -0.5f, 0.5f, -0.5f)),
+        (12L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)),
+        (13L, Seq(-0.999f, -0.01f, 0.0f, 0.0f)))
+      q.processAllAvailable()
+      // 14 ~= 11, which was admitted LAST batch -> the standing screen
+      // sees it (cross-batch)
+      mem.addData((14L, Seq(0.5f, -0.5f, 0.5f, -0.5f)))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$p/data")
+        .select("vec_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 3L, 4L, 11L, 12L),
+        "novel + lower-id reps admitted; standing/batch/cross-batch dups dropped")
+    } finally q.stop()
+  }
+
   test("capture stream reads files dropped into a directory") {
     val dir = tmpDir("graft_capture_")
     val schema = org.apache.spark.sql.types.StructType(Seq(
