@@ -257,6 +257,9 @@ object SparkEntry {
     // lower-id cellmate's cosine clears tau (threshold on the unrounded
     // value, like q30/q77)
     "q80_semdedup" -> semDedupSql,
+    // q81 oracle: q74's fragments + q80's semantic CTEs conjoined on
+    // doc_id = vec_id, COALESCE(keep_semantic, 1) for vectorless docs
+    "q81_clean_corpus_multimodal" -> multimodalCleanSql,
     "q66_upsample_epochs" -> upsampleEpochsSql,
     // q67 oracle: sequential-min funnel — t1 = min ts(view), each later
     // step the min ts strictly after the previous stage's time, counted
@@ -459,6 +462,63 @@ object SparkEntry {
     * the lowest cell), the query probes its 3 nearest cells, exact cosine
     * rank within them. Deterministic → hash-checkable (was rows-only).
     */
+  private def multimodalCleanSql: String =
+    s"""WITH $winnowCtes,
+       |reps AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY MD5(text)),
+       |fp AS (SELECT doc_id, UNNEST(fps) AS fp FROM m),
+       |wc AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) AS dfc FROM fp),
+       |sagg AS (SELECT doc_id, COUNT(*) AS n_spans,
+       |         SUM(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS n_shared
+       |         FROM wc GROUP BY doc_id),
+       |spanf AS (SELECT doc_id,
+       |            CASE WHEN CAST(n_shared AS DOUBLE) / n_spans < 0.5
+       |                 THEN 1 ELSE 0 END AS keep_span
+       |          FROM sagg),
+       |qtok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM d),
+       |qagg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |           COUNT(DISTINCT w) AS n_distinct,
+       |           SUM(CASE WHEN w IN $enIn THEN 1 ELSE 0 END) AS n_stop
+       |         FROM qtok GROUP BY doc_id),
+       |qual AS (SELECT doc_id,
+       |           CASE WHEN ROUND(0.4 * LEAST(1.0, n_tokens / 25.0)
+       |               + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+       |               + 0.2 * (CAST(n_stop AS DOUBLE) / n_tokens), 4) >= 0.5
+       |                THEN 1 ELSE 0 END AS keep_quality
+       |         FROM qagg),
+       |ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |       WHERE embedding IS NOT NULL AND LEN(embedding) > 0),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM ee
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
+       |         FROM seeds),
+       |asgn AS (SELECT ee.vec_id, ee.v, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY ee.vec_id
+       |             ORDER BY ${cosSql("ee.v", "c.cv")} DESC, c.cell) AS rn
+       |         FROM ee CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, v, cell FROM asgn WHERE rn = 1),
+       |sdrops AS (SELECT DISTINCT a.vec_id FROM cells a JOIN cells b
+       |           ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |           AND ${cosSql("a.v", "b.v")} >= 0.4),
+       |sem AS (SELECT c.vec_id AS doc_id,
+       |          CASE WHEN sd.vec_id IS NULL THEN 1 ELSE 0 END AS keep_semantic
+       |        FROM cells c LEFT JOIN sdrops sd ON sd.vec_id = c.vec_id)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS keep_exact,
+       |  CAST(COALESCE(f.keep_span, 1) AS BIGINT) AS keep_span,
+       |  CAST(COALESCE(q.keep_quality, 0) AS BIGINT) AS keep_quality,
+       |  CAST(COALESCE(s.keep_semantic, 1) AS BIGINT) AS keep_semantic,
+       |  CAST(CASE WHEN r.doc_id IS NOT NULL AND COALESCE(f.keep_span, 1) = 1
+       |            AND COALESCE(q.keep_quality, 0) = 1
+       |            AND COALESCE(s.keep_semantic, 1) = 1
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM d
+       |LEFT JOIN reps r ON r.doc_id = d.doc_id
+       |LEFT JOIN spanf f ON f.doc_id = d.doc_id
+       |LEFT JOIN qual q ON q.doc_id = d.doc_id
+       |LEFT JOIN sem s ON s.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   private def semDedupSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |           WHERE embedding IS NOT NULL AND LEN(embedding) > 0),

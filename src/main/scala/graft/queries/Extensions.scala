@@ -463,6 +463,40 @@ object Extensions {
         nCells = 16, tau = 0.4)
       .orderBy(col("vec_id"))
 
+  // q81 the MULTIMODAL cleaning pass: q74's three text screens plus
+  // q80's semantic screen joined across modalities on the doc↔vec id —
+  // the keep-decision a text+embedding corpus actually wants. Docs with
+  // no (non-empty) embedding default to keep_semantic = 1: absence of a
+  // vector is not evidence of duplication.
+  val q81_clean_corpus_multimodal: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+    val reps = Dedup.exact(docs, "doc_id", "text")
+      .select(col("doc_id"), lit(1L).as("keep_exact"))
+    val span = Dedup.dupSpanFrac(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep").as("keep_span"))
+    val qual = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        when(col("quality") >= 0.5, 1L).otherwise(0L).as("keep_quality"))
+    val sem = Similarity.semDedup(t(s, d, "embeddings"), "vec_id",
+        "embedding", nCells = 16, tau = 0.4)
+      .select(col("vec_id").as("doc_id"), col("keep").as("keep_semantic"))
+    docs.select(col("doc_id"))
+      .join(reps, Seq("doc_id"), "left")
+      .join(span, Seq("doc_id"), "left")
+      .join(qual, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keep_exact"), lit(0L)).as("keep_exact"),
+        coalesce(col("keep_span"), lit(1L)).as("keep_span"),
+        coalesce(col("keep_quality"), lit(0L)).as("keep_quality"),
+        coalesce(col("keep_semantic"), lit(1L)).as("keep_semantic"))
+      .withColumn("keep",
+        (col("keep_exact") === 1 && col("keep_span") === 1 &&
+          col("keep_quality") === 1 && col("keep_semantic") === 1)
+          .cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   // q55 exact-size stratified sample: deterministically exactly 10 docs
   // per source (md5-rank order) — fixed-size eval subsets per domain.
   val q55_exact_size_sample: Q = (s, d) =>
@@ -587,5 +621,6 @@ object Extensions {
     "q77_containment" -> q77_containment,
     "q78_data_card" -> q78_data_card,
     "q79_stop_prune" -> q79_stop_prune,
-    "q80_semdedup" -> q80_semdedup)
+    "q80_semdedup" -> q80_semdedup,
+    "q81_clean_corpus_multimodal" -> q81_clean_corpus_multimodal)
 }
