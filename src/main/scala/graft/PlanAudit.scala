@@ -38,7 +38,8 @@ object PlanAudit {
       "q67_funnel", "q68_skew_report", "q69_hash_embed", "q70_text_knn",
       "q71_retention", "q72_pivot", "q73_lm_score", "q74_clean_corpus",
       "q75_tfidf", "q76_bm25", "q77_containment", "q78_data_card",
-      "q79_stop_prune", "q80_semdedup", "q81_clean_corpus_multimodal")
+      "q79_stop_prune", "q80_semdedup", "q81_clean_corpus_multimodal",
+      "q82_ivf_cell_profile", "q83_embedding_card")
     for (q <- interesting) {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       qe.executedPlan.executeCollect()

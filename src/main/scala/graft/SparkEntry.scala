@@ -260,6 +260,25 @@ object SparkEntry {
     // q81 oracle: q74's fragments + q80's semantic CTEs conjoined on
     // doc_id = vec_id, COALESCE(keep_semantic, 1) for vectorless docs
     "q81_clean_corpus_multimodal" -> multimodalCleanSql,
+    // q82 oracle: the q39/q80 assignment CTEs rolled up per cell;
+    // share is an exact-integer quotient rounded at 6
+    "q82_ivf_cell_profile" -> ivfCellProfileSql,
+    "q83_embedding_card" ->
+      """SELECT label,
+        |  COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN embedding IS NULL OR LEN(embedding) = 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        |  COUNT(DISTINCT CASE WHEN embedding IS NOT NULL AND LEN(embedding) > 0
+        |                 THEN LEN(embedding) END) AS n_dims,
+        |  CAST(SUM(CASE WHEN embedding IS NOT NULL AND LEN(embedding) > 0
+        |                AND SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                          CAST(embedding AS DOUBLE[]))) = 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |  ROUND(AVG(CASE WHEN embedding IS NOT NULL AND LEN(embedding) > 0
+        |            THEN SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                       CAST(embedding AS DOUBLE[]))) END), 4)
+        |    AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "q66_upsample_epochs" -> upsampleEpochsSql,
     // q67 oracle: sequential-min funnel — t1 = min ts(view), each later
     // step the min ts strictly after the previous stage's time, counted
@@ -518,6 +537,24 @@ object SparkEntry {
        |LEFT JOIN qual q ON q.doc_id = d.doc_id
        |LEFT JOIN sem s ON s.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  private def ivfCellProfileSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL AND LEN(embedding) > 0),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
+       |         FROM seeds),
+       |asgn AS (SELECT e.vec_id, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
+       |         FROM e CROSS JOIN cent c),
+       |counts AS (SELECT cell, COUNT(*) AS n_vecs FROM asgn WHERE rn = 1
+       |           GROUP BY cell),
+       |t AS (SELECT SUM(n_vecs) AS n FROM counts)
+       |SELECT cell, n_vecs,
+       |       ROUND(CAST(n_vecs AS DOUBLE) / t.n, 6) AS share
+       |FROM counts, t ORDER BY cell""".stripMargin
 
   private def semDedupSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -384,6 +384,61 @@ object Similarity {
         when(col("_dup").isNotNull, 0L).otherwise(1L).as("keep"))
   }
 
+  /** IVF cell-balance profile — the index-health audit run BEFORE
+    * committing to a layout: per cell, its population and corpus share.
+    * Unbalanced cells are the IVF failure mode (a 40%-share cell makes
+    * every probe of it a near-full scan; empty cells waste probe
+    * budget), and the profile is what sizes nCells / decides whether
+    * k-means refinement is worth a rebuild. Same seed centroids and
+    * assignment as [[ivfTopK]]/[[buildIvfIndex]], so the profile
+    * describes exactly the layout those would build.
+    *
+    * Shape at 100 TB: assignment is the zero-shuffle nearestCentroid
+    * projection; the profile is ONE map-side-combined exchange of
+    * (cell) keys — nCells rows out; total is a 1-row broadcast.
+    */
+  def ivfCellProfile(emb: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int = 16): DataFrame = {
+    val e = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    val centroids = ivfCentroids(e, idCol, nCells, kmeansIters = 0)
+    val counts = e
+      .select(graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids)
+        .cast("long").as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val total = counts.agg(sum(col("n_vecs")).as("_n"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("_n"), 6).as("share"))
+      .orderBy(col("cell"))
+  }
+
+  /** Per-label embedding data card — [[Analytics.dataCard]]'s vector-side
+    * twin: per label, the vector count, missing (null/empty) payloads,
+    * distinct dimensionalities (anything but 1 means a mixed-encoder
+    * corpus — the bug this audit exists to catch), zero-norm count
+    * (cosine-undefined vectors that silently rank last), and mean L2
+    * norm (un-normalized embeddings break dot-for-cosine shortcuts).
+    * One aggregation, zero joins; norms come from the codegen'd
+    * [[dot]] expression so the card is a single projection + exchange.
+    */
+  def embeddingCard(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String): DataFrame = {
+    val hasVec = col(vecCol).isNotNull && size(col(vecCol)) > 0
+    emb.select(col(labelCol).as("label"),
+        when(hasVec, lit(0L)).otherwise(1L).as("_novec"),
+        when(hasVec, size(col(vecCol))).as("_dim"),
+        when(hasVec, norm(asDouble(col(vecCol)))).as("_norm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("_novec")).as("n_missing"),
+        countDistinct(col("_dim")).as("n_dims"),
+        sum(when(col("_norm") === 0.0d, 1L).otherwise(0L)).as("n_zero_norm"),
+        round(avg(col("_norm")), 4).as("avg_norm"))
+      .orderBy(col("label"))
+  }
+
   // ─── Persisted index layouts ─────────────────────────────────────────
   //
   // The in-query forms above compute buckets/cells per query — right for

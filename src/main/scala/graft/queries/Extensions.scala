@@ -463,6 +463,18 @@ object Extensions {
         nCells = 16, tau = 0.4)
       .orderBy(col("vec_id"))
 
+  // q82 IVF cell-balance profile — the index-health audit that sizes
+  // nCells and flags hot/empty cells before a layout is committed.
+  val q82_ivf_cell_profile: Q = (s, d) =>
+    Similarity.ivfCellProfile(t(s, d, "embeddings"), "vec_id", "embedding",
+        nCells = 16)
+
+  // q83 per-label embedding data card — missing payloads, mixed dims,
+  // zero norms, mean L2 per label (q78's vector-side twin).
+  val q83_embedding_card: Q = (s, d) =>
+    Similarity.embeddingCard(t(s, d, "embeddings"), "vec_id", "embedding",
+        "label")
+
   // q81 the MULTIMODAL cleaning pass: q74's three text screens plus
   // q80's semantic screen joined across modalities on the doc↔vec id —
   // the keep-decision a text+embedding corpus actually wants. Docs with
@@ -622,5 +634,7 @@ object Extensions {
     "q78_data_card" -> q78_data_card,
     "q79_stop_prune" -> q79_stop_prune,
     "q80_semdedup" -> q80_semdedup,
-    "q81_clean_corpus_multimodal" -> q81_clean_corpus_multimodal)
+    "q81_clean_corpus_multimodal" -> q81_clean_corpus_multimodal,
+    "q82_ivf_cell_profile" -> q82_ivf_cell_profile,
+    "q83_embedding_card" -> q83_embedding_card)
 }

@@ -92,6 +92,31 @@ class TextRetrievalSpec extends SparkSpec {
     assert(cells(1L) == cells(2L))
   }
 
+  test("ivf cell profile counts every vector once and shares sum to 1") {
+    val vecs = (1L to 40L).map(i =>
+      (i, Seq(math.cos(i.toDouble).toFloat, math.sin(i.toDouble).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfCellProfile(vecs, "vec_id", "embedding", nCells = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._2).sum == 40L, "every vector assigned exactly once")
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4, "shares sum to ~1")
+    assert(out.map(_._1).distinct.length == out.length, "one row per cell")
+  }
+
+  test("embedding card flags missing payloads, mixed dims and zero norms") {
+    val vecs = Seq(
+      (1L, Seq(3.0f, 4.0f), 0),            // norm 5
+      (2L, Seq(0.0f, 0.0f), 0),            // zero norm
+      (3L, null.asInstanceOf[Seq[Float]], 0), // missing
+      (4L, Seq(1.0f, 0.0f, 0.0f), 1))      // dim 3
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingCard(vecs, "vec_id", "embedding", "label")
+      .as[(Int, Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (0, 3L, 1L, 1L, 1L, Some(2.5)),      // avg(5, 0) = 2.5
+      (1, 1L, 0L, 1L, 0L, Some(1.0))))
+  }
+
   test("stop-token pruning removes the top token, keeps order, keeps emptied docs") {
     val docs = Seq(
       (1L, "a b a"),
