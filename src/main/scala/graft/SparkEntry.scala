@@ -481,9 +481,12 @@ object SparkEntry {
     * the lowest cell), the query probes its 3 nearest cells, exact cosine
     * rank within them. Deterministic → hash-checkable (was rows-only).
     */
-  private def multimodalCleanSql: String =
-    s"""WITH $winnowCtes,
-       |reps AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY MD5(text)),
+  /** q74's three screens (exact reps, span pressure, quality floor),
+    * shared verbatim with q81 — one definition so the standalone and
+    * composed cleaning oracles cannot drift.
+    */
+  private def cleanScreenCtes: String =
+    s"""reps AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY MD5(text)),
        |fp AS (SELECT doc_id, UNNEST(fps) AS fp FROM m),
        |wc AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) AS dfc FROM fp),
        |sagg AS (SELECT doc_id, COUNT(*) AS n_spans,
@@ -503,21 +506,13 @@ object SparkEntry {
        |               + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
        |               + 0.2 * (CAST(n_stop AS DOUBLE) / n_tokens), 4) >= 0.5
        |                THEN 1 ELSE 0 END AS keep_quality
-       |         FROM qagg),
-       |ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |       WHERE embedding IS NOT NULL AND LEN(embedding) > 0),
-       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM ee
-       |          ORDER BY h, vec_id LIMIT 16),
-       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
-       |         FROM seeds),
-       |asgn AS (SELECT ee.vec_id, ee.v, c.cell,
-       |           ROW_NUMBER() OVER (PARTITION BY ee.vec_id
-       |             ORDER BY ${cosSql("ee.v", "c.cv")} DESC, c.cell) AS rn
-       |         FROM ee CROSS JOIN cent c),
-       |cells AS (SELECT vec_id, v, cell FROM asgn WHERE rn = 1),
-       |sdrops AS (SELECT DISTINCT a.vec_id FROM cells a JOIN cells b
-       |           ON a.cell = b.cell AND b.vec_id < a.vec_id
-       |           AND ${cosSql("a.v", "b.v")} >= 0.4),
+       |         FROM qagg)""".stripMargin
+
+  private def multimodalCleanSql: String =
+    s"""WITH $winnowCtes,
+       |$cleanScreenCtes,
+       |$ivfCtes,
+       |$semDropsCte,
        |sem AS (SELECT c.vec_id AS doc_id,
        |          CASE WHEN sd.vec_id IS NULL THEN 1 ELSE 0 END AS keep_semantic
        |        FROM cells c LEFT JOIN sdrops sd ON sd.vec_id = c.vec_id)
@@ -538,27 +533,15 @@ object SparkEntry {
        |LEFT JOIN sem s ON s.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
-  private def ivfCellProfileSql: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |           WHERE embedding IS NOT NULL AND LEN(embedding) > 0),
-       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
-       |          ORDER BY h, vec_id LIMIT 16),
-       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
-       |         FROM seeds),
-       |asgn AS (SELECT e.vec_id, c.cell,
-       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
-       |         FROM e CROSS JOIN cent c),
-       |counts AS (SELECT cell, COUNT(*) AS n_vecs FROM asgn WHERE rn = 1
-       |           GROUP BY cell),
-       |t AS (SELECT SUM(n_vecs) AS n FROM counts)
-       |SELECT cell, n_vecs,
-       |       ROUND(CAST(n_vecs AS DOUBLE) / t.n, 6) AS share
-       |FROM counts, t ORDER BY cell""".stripMargin
-
-  private def semDedupSql: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |           WHERE embedding IS NOT NULL AND LEN(embedding) > 0),
+  /** Shared IVF oracle fragment (q80/q81/q82): null/empty-filtered
+    * vectors, md5-ordered seed centroids, argmax-cosine cell assignment
+    * — the literal mirror of [[graft.ops.Similarity]]'s `ivfCentroids`
+    * seeding + `nearestCentroid` assignment. One definition so the
+    * three oracles cannot drift apart.
+    */
+  private def ivfCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |      WHERE embedding IS NOT NULL AND LEN(embedding) > 0),
        |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
        |          ORDER BY h, vec_id LIMIT 16),
        |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
@@ -567,13 +550,28 @@ object SparkEntry {
        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
        |         FROM e CROSS JOIN cent c),
-       |cells AS (SELECT vec_id, v, cell FROM asgn WHERE rn = 1),
-       |drops AS (SELECT DISTINCT a.vec_id FROM cells a JOIN cells b
-       |          ON a.cell = b.cell AND b.vec_id < a.vec_id
-       |          AND ${cosSql("a.v", "b.v")} >= 0.4)
+       |cells AS (SELECT vec_id, v, cell FROM asgn WHERE rn = 1)""".stripMargin
+
+  /** q80's within-cell screen, shared with q81. */
+  private def semDropsCte: String =
+    s"""sdrops AS (SELECT DISTINCT a.vec_id FROM cells a JOIN cells b
+       |           ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |           AND ${cosSql("a.v", "b.v")} >= 0.4)""".stripMargin
+
+  private def ivfCellProfileSql: String =
+    s"""WITH $ivfCtes,
+       |counts AS (SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY cell),
+       |t AS (SELECT SUM(n_vecs) AS n FROM counts)
+       |SELECT cell, n_vecs,
+       |       ROUND(CAST(n_vecs AS DOUBLE) / t.n, 6) AS share
+       |FROM counts, t ORDER BY cell""".stripMargin
+
+  private def semDedupSql: String =
+    s"""WITH $ivfCtes,
+       |$semDropsCte
        |SELECT c.vec_id, c.cell,
        |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
-       |FROM cells c LEFT JOIN drops d ON d.vec_id = c.vec_id
+       |FROM cells c LEFT JOIN sdrops d ON d.vec_id = c.vec_id
        |ORDER BY c.vec_id""".stripMargin
 
   private def annIvfSql: String =
@@ -737,27 +735,7 @@ object SparkEntry {
     */
   private def cleanCorpusSql: String =
     s"""WITH $winnowCtes,
-       |reps AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY MD5(text)),
-       |fp AS (SELECT doc_id, UNNEST(fps) AS fp FROM m),
-       |wc AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) AS dfc FROM fp),
-       |sagg AS (SELECT doc_id, COUNT(*) AS n_spans,
-       |         SUM(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS n_shared
-       |         FROM wc GROUP BY doc_id),
-       |spanf AS (SELECT doc_id,
-       |            CASE WHEN CAST(n_shared AS DOUBLE) / n_spans < 0.5
-       |                 THEN 1 ELSE 0 END AS keep_span
-       |          FROM sagg),
-       |qtok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM d),
-       |qagg AS (SELECT doc_id, COUNT(*) AS n_tokens,
-       |           COUNT(DISTINCT w) AS n_distinct,
-       |           SUM(CASE WHEN w IN $enIn THEN 1 ELSE 0 END) AS n_stop
-       |         FROM qtok GROUP BY doc_id),
-       |qual AS (SELECT doc_id,
-       |           CASE WHEN ROUND(0.4 * LEAST(1.0, n_tokens / 25.0)
-       |               + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
-       |               + 0.2 * (CAST(n_stop AS DOUBLE) / n_tokens), 4) >= 0.5
-       |                THEN 1 ELSE 0 END AS keep_quality
-       |         FROM qagg)
+       |$cleanScreenCtes
        |SELECT d.doc_id,
        |  CAST(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
        |    AS keep_exact,

@@ -698,20 +698,34 @@ object Dedup {
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, threshold: Double = 0.3, maxDf: Int = 1000): DataFrame = {
+    shinglePairStats(df, idCol, textCol, w, maxDf)
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
+  }
+
+  /** Shared candidate-mining stage of [[ngramJaccard]] and
+    * [[containment]]: (d1, d2, i, n1, n2) — distinct-shingle overlap and
+    * set sizes per co-occurring pair.
+    *
+    * Skew guard: a shingle appearing in df docs emits O(df²) join rows,
+    * so one boilerplate phrase shared by 100k docs would dominate the
+    * job. Shingles with document frequency > maxDf are dropped from the
+    * inverted index (suspect-shingle filtering — they carry no near-dup
+    * signal); they still count toward set sizes, so the derived scores
+    * are lower bounds that are exact whenever no shingle exceeds the cap.
+    * The df count rides the repartition(s) the join needs anyway, as a
+    * window — no extra shuffle.
+    *
+    * The per-doc set size `n` is CARRIED through the inverted index
+    * (8 bytes per shuffle row) and recovered in the pair aggregation via
+    * first(): the alternative — re-joining a (doc_id, n) table onto d1
+    * and then d2 — costs two extra shuffles of the full pair set.
+    */
+  private def shinglePairStats(df: DataFrame, idCol: String, textCol: String,
+                               w: Int, maxDf: Int): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, w)
-    // Skew guard: a shingle appearing in df docs emits O(df²) join rows,
-    // so one boilerplate phrase shared by 100k docs would dominate the
-    // job. Shingles with document frequency > maxDf are dropped from the
-    // inverted index (suspect-shingle filtering — they carry no near-dup
-    // signal); they still count toward set sizes, so the reported jaccard
-    // is a lower bound that is exact whenever no shingle exceeds the cap.
-    // The df count rides the repartition(s) the join needs anyway, as a
-    // window — no extra shuffle.
-    //
-    // The per-doc set size `n` is CARRIED through the inverted index
-    // (8 bytes per shuffle row) and recovered in the pair aggregation via
-    // first(): the alternative — re-joining a (doc_id, n) table onto d1
-    // and then d2 — costs two extra shuffles of the full pair set.
     val sh = sets.select(col("doc_id"), col("n"), explode(col("set")).as("s"))
       .repartition(col("s")) // one reused exchange feeds both self-join sides
       .withColumn("_df",
@@ -723,10 +737,6 @@ object Dedup {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("i"),
         first(col("a.n")).as("n1"), first(col("b.n")).as("n2"))
-      .select(col("d1"), col("d2"),
-        (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
   }
 
   /** Asymmetric shingle containment — the sub-document duplication
@@ -743,28 +753,18 @@ object Dedup {
     * Language Models Better" substring-dup signal at shingle
     * granularity.
     *
-    * Same candidate mining and skew guard as [[ngramJaccard]] (one
-    * reused exchange feeds both self-join sides, document-frequency cap
-    * `maxDf` drops boilerplate shingles from the inverted index), so the
-    * 100 TB shape is identical: fixed-width md5 shingle keys, pair rows
-    * ∝ true shingle co-occurrence. Divisions are exact-input
-    * correctly-rounded; rounded at 3 decimals like the Jaccard twin.
+    * Same candidate mining and skew guard as [[ngramJaccard]] (the
+    * shared [[shinglePairStats]] stage: one reused exchange feeds both
+    * self-join sides, document-frequency cap `maxDf` drops boilerplate
+    * shingles from the inverted index), so the 100 TB shape is
+    * identical: fixed-width md5 shingle keys, pair rows ∝ true shingle
+    * co-occurrence. Divisions are exact-input correctly-rounded;
+    * rounded at 3 decimals like the Jaccard twin.
     */
   def containment(
       df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, w)
-    val sh = sets.select(col("doc_id"), col("n"), explode(col("set")).as("s"))
-      .repartition(col("s"))
-      .withColumn("_df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .filter(col("_df") <= maxDf)
-      .select(col("doc_id"), col("n"), col("s"))
-    sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("i"),
-        first(col("a.n")).as("n1"), first(col("b.n")).as("n2"))
+    shinglePairStats(df, idCol, textCol, w, maxDf)
       .select(col("d1"), col("d2"),
         (col("i").cast("double") / col("n1")).as("_c12"),
         (col("i").cast("double") / col("n2")).as("_c21"))

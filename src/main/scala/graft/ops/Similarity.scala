@@ -31,6 +31,19 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** [[cosine]] that yields 0 instead of dividing by a zero norm —
+    * for SCREENING joins, where "cosine undefined" must mean "not a
+    * match", not a query-killing DIVIDE_BY_ZERO (Spark 4 runs ANSI mode
+    * by default, so 0.0/0.0 throws rather than producing NaN). Matches
+    * the DuckDB-oracle semantics, where 0/0 is NULL and NULL ≥ tau is
+    * not satisfied. The branch keeps zero-norm rows out of every
+    * pair WITHOUT dropping them from the output side.
+    */
+  def cosineGuarded(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0.0d, dot(a, b) / d).otherwise(lit(0.0d))
+  }
+
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
   /** Brute-force cosine top-k against one query vector (by id).
@@ -375,7 +388,7 @@ object Similarity {
       .join(part.as("b"),
         col("a.cell") === col("b.cell") &&
           col(s"b.$idCol") < col(s"a.$idCol") &&
-          cosine(col("a._v"), col("b._v")) >= tau)
+          cosineGuarded(col("a._v"), col("b._v")) >= tau)
       .select(col(s"a.$idCol")).distinct()
       .withColumn("_dup", lit(1))
     cells.select(col(idCol), col("cell"))

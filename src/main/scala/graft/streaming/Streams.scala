@@ -316,29 +316,38 @@ object Streams {
             col("_v"), centroids))
         val part = b.select(col(idCol), col("cell"), col("_v"))
           .repartition(col("cell"))
+        // cosineGuarded: a zero-norm vector (cosine undefined) can never
+        // match a screen — it admits rather than killing the batch with
+        // an ANSI DIVIDE_BY_ZERO that checkpoint replay would re-throw
+        // forever
         val inBatchDups = part.as("a")
           .join(part.as("b"),
             col("a.cell") === col("b.cell") &&
               col(s"b.$idCol") < col(s"a.$idCol") &&
-              graft.ops.Similarity.cosine(col("a._v"), col("b._v")) >= tau)
+              graft.ops.Similarity.cosineGuarded(col("a._v"), col("b._v")) >= tau)
           .select(col(s"a.$idCol")).distinct()
-        val surv = b.join(inBatchDups, Seq(idCol), "left_anti")
-        val probeCells = surv.select(col("cell")).distinct()
-          .collect().map(_.getInt(0)) // bounded by nCells
-        val admitted =
-          if (probeCells.isEmpty) surv
-          else {
-            val idx = spark.read.parquet(s"$indexPath/data")
-              .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
-              .select(col("cell").as("_icell"),
-                transform(col(vecCol), _.cast("double")).as("_iv"))
-            surv.join(idx,
-              col("cell") === col("_icell") &&
-                graft.ops.Similarity.cosine(col("_v"), col("_iv")) >= tau,
-              "left_anti")
-          }
-        admitted.drop("_v")
-          .write.mode("append").partitionBy("cell").parquet(s"$indexPath/data")
+        // persisted: both the probe-cell collect and the admitted write
+        // replay this DAG (assignment + quadratic within-batch screen) —
+        // without the cache it would execute twice per batch
+        val surv = b.join(inBatchDups, Seq(idCol), "left_anti").persist()
+        try {
+          val probeCells = surv.select(col("cell")).distinct()
+            .collect().map(_.getInt(0)) // bounded by nCells
+          val admitted =
+            if (probeCells.isEmpty) surv
+            else {
+              val idx = spark.read.parquet(s"$indexPath/data")
+                .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+                .select(col("cell").as("_icell"),
+                  transform(col(vecCol), _.cast("double")).as("_iv"))
+              surv.join(idx,
+                col("cell") === col("_icell") &&
+                  graft.ops.Similarity.cosineGuarded(col("_v"), col("_iv")) >= tau,
+                "left_anti")
+            }
+          admitted.drop("_v")
+            .write.mode("append").partitionBy("cell").parquet(s"$indexPath/data")
+        } finally surv.unpersist()
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

@@ -92,6 +92,19 @@ class TextRetrievalSpec extends SparkSpec {
     assert(cells(1L) == cells(2L))
   }
 
+  test("semDedup survives zero-norm vectors (ANSI divide guard) and keeps them") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.001f)),   // dup of 1
+      (3L, Seq(0.0f, 0.0f)),       // zero norm: cosine undefined, never a dup
+      (4L, Seq(0.0f, 0.0f)))       // second zero norm: not a dup of 3 either
+      .toDF("vec_id", "embedding")
+    val keep = Similarity.semDedup(vecs, "vec_id", "embedding",
+        nCells = 1, tau = 0.95)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(keep == Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("ivf cell profile counts every vector once and shares sum to 1") {
     val vecs = (1L to 40L).map(i =>
       (i, Seq(math.cos(i.toDouble).toFloat, math.sin(i.toDouble).toFloat)))
