@@ -39,7 +39,8 @@ object PlanAudit {
       "q71_retention", "q72_pivot", "q73_lm_score", "q74_clean_corpus",
       "q75_tfidf", "q76_bm25", "q77_containment", "q78_data_card",
       "q79_stop_prune", "q80_semdedup", "q81_clean_corpus_multimodal",
-      "q82_ivf_cell_profile", "q83_embedding_card")
+      "q82_ivf_cell_profile", "q83_embedding_card",
+      "q84_semantic_contamination")
     for (q <- interesting) {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       qe.executedPlan.executeCollect()

@@ -263,6 +263,21 @@ object SparkEntry {
     // q82 oracle: the q39/q80 assignment CTEs rolled up per cell;
     // share is an exact-integer quotient rounded at 6
     "q82_ivf_cell_profile" -> ivfCellProfileSql,
+    // q84 oracle: q80's within-cell pairs rolled up to unordered source
+    // pairs via the doc↔vec id (the q65 rollup shape)
+    "q84_semantic_contamination" ->
+      s"""WITH $ivfCtes,
+         |spairs AS (SELECT b.vec_id AS d1, a.vec_id AS d2
+         |           FROM cells a JOIN cells b
+         |           ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |           AND ${cosSql("a.v", "b.v")} >= 0.4)
+         |SELECT LEAST(s1.source, s2.source) AS src_a,
+         |       GREATEST(s1.source, s2.source) AS src_b,
+         |       COUNT(*) AS n_pairs
+         |FROM spairs p
+         |JOIN documents s1 ON s1.doc_id = p.d1
+         |JOIN documents s2 ON s2.doc_id = p.d2
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q83_embedding_card" ->
       """SELECT label,
         |  COUNT(*) AS n_vecs,

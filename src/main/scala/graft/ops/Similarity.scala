@@ -377,24 +377,44 @@ object Similarity {
     */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                nCells: Int = 16, tau: Double = 0.4): DataFrame = {
-    val e = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-      .select(col(idCol), asDouble(col(vecCol)).as("_v"))
-    val centroids = ivfCentroids(e, idCol, nCells, kmeansIters = 0)
-    val cells = e.select(col(idCol), col("_v"),
-      graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids)
-        .as("cell"))
-    val part = cells.repartition(col("cell"))
-    val drops = part.as("a")
-      .join(part.as("b"),
-        col("a.cell") === col("b.cell") &&
-          col(s"b.$idCol") < col(s"a.$idCol") &&
-          cosineGuarded(col("a._v"), col("b._v")) >= tau)
-      .select(col(s"a.$idCol")).distinct()
+    val cells = semCells(emb, idCol, vecCol, nCells)
+    val drops = semPairsFromCells(cells, idCol, tau)
+      .select(col("d2").as(idCol)).distinct()
       .withColumn("_dup", lit(1))
     cells.select(col(idCol), col("cell"))
       .join(drops, Seq(idCol), "left")
       .select(col(idCol), col("cell").cast("long").as("cell"),
         when(col("_dup").isNotNull, 0L).otherwise(1L).as("keep"))
+  }
+
+  /** Within-cell semantic near-dup PAIRS (d1 < d2) — [[semDedup]]'s
+    * candidate stage exposed for rollups (the cross-source semantic
+    * contamination matrix) and audits. Same determinism and 100 TB
+    * shape as [[semDedup]].
+    */
+  def semPairs(emb: DataFrame, idCol: String, vecCol: String,
+               nCells: Int = 16, tau: Double = 0.4): DataFrame =
+    semPairsFromCells(semCells(emb, idCol, vecCol, nCells), idCol, tau)
+
+  private def semCells(emb: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int): DataFrame = {
+    val e = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    val centroids = ivfCentroids(e, idCol, nCells, kmeansIters = 0)
+    e.select(col(idCol), col("_v"),
+      graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids)
+        .as("cell"))
+  }
+
+  private def semPairsFromCells(cells: DataFrame, idCol: String,
+                                tau: Double): DataFrame = {
+    val part = cells.repartition(col("cell"))
+    part.as("a")
+      .join(part.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col(s"b.$idCol") < col(s"a.$idCol") &&
+          cosineGuarded(col("a._v"), col("b._v")) >= tau)
+      .select(col(s"b.$idCol").as("d1"), col(s"a.$idCol").as("d2"))
   }
 
   /** IVF cell-balance profile — the index-health audit run BEFORE

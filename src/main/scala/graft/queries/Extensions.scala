@@ -475,6 +475,24 @@ object Extensions {
     Similarity.embeddingCard(t(s, d, "embeddings"), "vec_id", "embedding",
         "label")
 
+  // q84 cross-source SEMANTIC contamination matrix — q65's rollup over
+  // q80's pairs: where paraphrase-level duplication lives between
+  // sources (two dumps re-rendering the same pages), the audit that
+  // catches double-counting no lexical matrix can see.
+  val q84_semantic_contamination: Q = (s, d) => {
+    val pairs = Similarity.semPairs(t(s, d, "embeddings"), "vec_id",
+      "embedding", nCells = 16, tau = 0.4)
+    val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("d1"), col("source").as("_s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("_s2")), "d2")
+      .select(least(col("_s1"), col("_s2")).as("src_a"),
+        greatest(col("_s1"), col("_s2")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   // q81 the MULTIMODAL cleaning pass: q74's three text screens plus
   // q80's semantic screen joined across modalities on the doc↔vec id —
   // the keep-decision a text+embedding corpus actually wants. Docs with
@@ -636,5 +654,6 @@ object Extensions {
     "q80_semdedup" -> q80_semdedup,
     "q81_clean_corpus_multimodal" -> q81_clean_corpus_multimodal,
     "q82_ivf_cell_profile" -> q82_ivf_cell_profile,
-    "q83_embedding_card" -> q83_embedding_card)
+    "q83_embedding_card" -> q83_embedding_card,
+    "q84_semantic_contamination" -> q84_semantic_contamination)
 }
