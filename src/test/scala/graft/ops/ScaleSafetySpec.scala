@@ -149,6 +149,40 @@ class ScaleSafetySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("round-6 retrieval family keeps scale shapes: no SMJ in q75/q76/q78/q79, reuse in q77/q80") {
+    // The shuffle-minimal claims behind the q75-q84 plan audit, pinned as
+    // regressions: df-counts ride windows (q75), doc length is carried
+    // not joined (q76), the data card and stop-prune never SMJ, and the
+    // shingle/semantic self-joins reuse their repartition exchange.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = "/root/testdata/sf0.001"
+      Seq(
+        "q75" -> graft.queries.Extensions.q75_tfidf,
+        "q76" -> graft.queries.Extensions.q76_bm25,
+        "q78" -> graft.queries.Extensions.q78_data_card,
+        "q79" -> graft.queries.Extensions.q79_stop_prune
+      ).foreach { case (name, q) =>
+        val qe = q(spark, d).queryExecution
+        qe.executedPlan.executeCollect()
+        val plan = qe.executedPlan.toString
+        assert(!plan.contains("SortMergeJoin"),
+          s"$name must not plan a relation-to-relation shuffle join:\n$plan")
+      }
+      Seq(
+        "q77" -> graft.queries.Extensions.q77_containment,
+        "q80" -> graft.queries.Extensions.q80_semdedup
+      ).foreach { case (name, q) =>
+        val qe = q(spark, d).queryExecution
+        qe.executedPlan.executeCollect()
+        val plan = qe.executedPlan.toString
+        assert("ReusedQueryStage|ReusedExchange".r.findAllIn(plan).nonEmpty,
+          s"$name self-join branches must share the repartition exchange:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("round-4 queries keep scale shapes: q44 equi-join only, q45/q46 projection-only") {
     val d = "/root/testdata/sf0.001"
     // decontamination joins must all be equi-joins (shingle key), never a
