@@ -263,6 +263,11 @@ object SparkEntry {
     // q82 oracle: the q39/q80 assignment CTEs rolled up per cell;
     // share is an exact-integer quotient rounded at 6
     "q82_ivf_cell_profile" -> ivfCellProfileSql,
+    // q85 oracle: q76's arithmetic per (query, posting) pair — distinct
+    // query terms, corpus df restricted to the query vocabulary (both
+    // engines compute df from the same filtered tf table), per-query
+    // top-10 by (rounded score, doc)
+    "q85_bm25_join" -> bm25JoinSql,
     // q84 oracle: q80's within-cell pairs rolled up to unordered source
     // pairs via the doc↔vec id (the q65 rollup shape)
     "q84_semantic_contamination" ->
@@ -1292,6 +1297,36 @@ object SparkEntry {
       |  CROSS JOIN stats s)
       |SELECT doc_id, ROUND(SUM(s), 4) AS score FROM sc GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  private def bm25JoinSql: String =
+    """WITH docs AS (SELECT doc_id,
+      |          list_filter(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+      |        FROM documents WHERE text IS NOT NULL),
+      |q AS (SELECT DISTINCT doc_id AS q_id, UNNEST(t) AS token FROM docs
+      |      WHERE doc_id % 100 = 0),
+      |dl AS (SELECT doc_id, CAST(LEN(t) AS DOUBLE) AS dl FROM docs),
+      |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+      |tok AS (SELECT doc_id, UNNEST(t) AS token FROM docs),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      |       WHERE token IN (SELECT token FROM q)
+      |       GROUP BY 1, 2),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT q.q_id, tf.doc_id,
+      |    LOG2(1.0 + (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+      |               / (CAST(d.df AS DOUBLE) + 0.5)) *
+      |    (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+      |    (CAST(tf.tf AS DOUBLE) +
+      |      1.2 * ((1.0 - 0.75) + 0.75 * l.dl / s.avgdl)) AS sc
+      |  FROM q JOIN tf ON tf.token = q.token
+      |  JOIN dfreq d ON d.token = q.token
+      |  JOIN dl l ON l.doc_id = tf.doc_id
+      |  CROSS JOIN stats s),
+      |agg AS (SELECT q_id, doc_id, ROUND(SUM(sc), 4) AS score FROM sc
+      |        GROUP BY 1, 2)
+      |SELECT q_id, doc_id, score FROM agg
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+      |                           ORDER BY score DESC, doc_id) <= 10
+      |ORDER BY q_id, score DESC, doc_id""".stripMargin
 
   // q77 oracle: the q30 candidate pipeline (df-capped inverted index,
   // uncapped set sizes) resolved to asymmetric containments i/n1, i/n2;

@@ -313,6 +313,67 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Batch BM25 retrieval JOIN — [[bm25]] generalized from one query bag
+    * to a QUERY TABLE: top `topN` corpus docs per query, scored with the
+    * same Okapi/Lucene-idf arithmetic. The lexical twin of the vector
+    * k-NN joins (ivfKnnJoin/lshKnnJoin): benchmark decontamination runs
+    * this with the benchmark as the query side and drops every corpus
+    * doc that ranks for any benchmark item. Query terms are the DISTINCT
+    * tokens of each query text.
+    *
+    * Shape at 100 TB: the corpus tf table is prefiltered by a semi-join
+    * against the (small) query vocabulary BEFORE its exchange — the
+    * shuffle carries only query-relevant (doc, token) rows; df per term
+    * is a count window riding that same exchange's token key ([[tfidf]]
+    * idiom — valid here because the live key count is the query vocab,
+    * not ≤|terms| of one bag); the retrieval itself is ONE
+    * inverted-index equi-join (query terms × posting rows) and one
+    * (query, doc) aggregation; N/avgdl are a 1-row broadcast; the
+    * per-query cut is a window over the query key.
+    */
+  def bm25Join(df: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k1: Double = 1.2, b: Double = 0.75,
+               topN: Int = 10): DataFrame = {
+    val qterms = queries.where(col(qtextCol).isNotNull)
+      .select(col(qidCol).as("q_id"),
+        explode(expr(s"filter(split($qtextCol, ' '), x -> x <> '')"))
+          .as("token"))
+      .distinct()
+    val qvocab = qterms.select(col("token")).distinct()
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("t"))
+    val stats = toks.select(size(col("t")).cast("double").as("dl"))
+      .agg(count(lit(1)).as("_n"), avg(col("dl")).as("_avgdl"))
+    val tf = toks
+      .select(col("doc_id"), size(col("t")).cast("double").as("dl"),
+        explode(col("t")).as("token"))
+      .join(broadcast(qvocab), Seq("token"), "left_semi")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
+    val scored = qterms.join(tf, "token")
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        (log2(lit(1.0d) +
+            (col("_n").cast("double") - col("_df").cast("double") + 0.5d) /
+            (col("_df").cast("double") + 0.5d)) *
+          (col("tf").cast("double") * (k1 + 1.0d)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0d - b) + lit(b) * col("dl") / col("_avgdl"))))
+          .as("_s"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(col("_s")), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= topN)
+      .select(col("q_id"), col("doc_id"), col("score"))
+  }
+
   /** Corpus-driven stop-token pruning — the boilerplate-trimming step:
     * the `stopN` most frequent tokens corpus-wide (ties broken token-asc,
     * the [[vocab]] cut) become the stop list, and every document is

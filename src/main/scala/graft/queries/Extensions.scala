@@ -475,6 +475,16 @@ object Extensions {
     Similarity.embeddingCard(t(s, d, "embeddings"), "vec_id", "embedding",
         "label")
 
+  // q85 batch BM25 retrieval join — every-100th doc as the query side
+  // (the q56 pattern), top-10 corpus docs per query; the lexical twin of
+  // the k-NN joins and the decontamination-by-retrieval form.
+  val q85_bm25_join: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    TextAnalysis.bm25Join(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 100 === 0), "doc_id", "text")
+      .orderBy(col("q_id"), col("score").desc, col("doc_id"))
+  }
+
   // q84 cross-source SEMANTIC contamination matrix — q65's rollup over
   // q80's pairs: where paraphrase-level duplication lives between
   // sources (two dumps re-rendering the same pages), the audit that
@@ -655,5 +665,6 @@ object Extensions {
     "q81_clean_corpus_multimodal" -> q81_clean_corpus_multimodal,
     "q82_ivf_cell_profile" -> q82_ivf_cell_profile,
     "q83_embedding_card" -> q83_embedding_card,
-    "q84_semantic_contamination" -> q84_semantic_contamination)
+    "q84_semantic_contamination" -> q84_semantic_contamination,
+    "q85_bm25_join" -> q85_bm25_join)
 }

@@ -66,6 +66,22 @@ class TextRetrievalSpec extends SparkSpec {
           BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("bm25Join ranks each query's own document first in self-retrieval") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "epsilon zeta eta theta"),
+      (4L, "unrelated words entirely here")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Join(docs, "doc_id", "text",
+        docs.where(col("doc_id").isin(1L, 3L)), "doc_id", "text", topN = 2)
+      .orderBy(col("q_id"), col("score").desc, col("doc_id"))
+      .as[(Long, Long, Double)].collect()
+    val byQ = out.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byQ(1L).head == 1L, "query 1's own doc ranks first")
+    assert(byQ(1L) == Seq(1L, 2L), "doc 2 shares alpha+beta, ranks second")
+    assert(byQ(3L) == Seq(3L), "no other doc shares query 3's terms")
+  }
+
   test("semDedup drops the higher-id member of a same-cell near-identical pair") {
     // 8 vectors: ids 1,2 nearly parallel (cos ~ 1), the rest orthogonal-ish
     val vecs = Seq(
