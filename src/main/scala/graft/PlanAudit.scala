@@ -40,7 +40,8 @@ object PlanAudit {
       "q75_tfidf", "q76_bm25", "q77_containment", "q78_data_card",
       "q79_stop_prune", "q80_semdedup", "q81_clean_corpus_multimodal",
       "q82_ivf_cell_profile", "q83_embedding_card",
-      "q84_semantic_contamination", "q85_bm25_join")
+      "q84_semantic_contamination", "q85_bm25_join",
+      "q86_retrieval_decontaminate")
     for (q <- interesting) {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       qe.executedPlan.executeCollect()

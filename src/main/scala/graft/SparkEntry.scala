@@ -268,6 +268,9 @@ object SparkEntry {
     // engines compute df from the same filtered tf table), per-query
     // top-10 by (rounded score, doc)
     "q85_bm25_join" -> bm25JoinSql,
+    // q86 oracle: the q85 chain cut at rank 3, resolved to a keep table
+    // over ALL documents (null-text docs never rank -> keep)
+    "q86_retrieval_decontaminate" -> retrievalDecontaminateSql,
     // q84 oracle: q80's within-cell pairs rolled up to unordered source
     // pairs via the doc↔vec id (the q65 rollup shape)
     "q84_semantic_contamination" ->
@@ -1298,8 +1301,12 @@ object SparkEntry {
       |SELECT doc_id, ROUND(SUM(s), 4) AS score FROM sc GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
-  private def bm25JoinSql: String =
-    """WITH docs AS (SELECT doc_id,
+  /** q85/q86's shared retrieval chain: every-100th-doc query side,
+    * query-vocab-restricted corpus tf, Okapi/Lucene-idf scoring, per-
+    * (query, doc) rounded sums in `agg`.
+    */
+  private def bm25JoinCtes: String =
+    """docs AS (SELECT doc_id,
       |          list_filter(STRING_SPLIT(text, ' '), x -> x <> '') AS t
       |        FROM documents WHERE text IS NOT NULL),
       |q AS (SELECT DISTINCT doc_id AS q_id, UNNEST(t) AS token FROM docs
@@ -1322,11 +1329,25 @@ object SparkEntry {
       |  JOIN dl l ON l.doc_id = tf.doc_id
       |  CROSS JOIN stats s),
       |agg AS (SELECT q_id, doc_id, ROUND(SUM(sc), 4) AS score FROM sc
-      |        GROUP BY 1, 2)
-      |SELECT q_id, doc_id, score FROM agg
-      |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
-      |                           ORDER BY score DESC, doc_id) <= 10
-      |ORDER BY q_id, score DESC, doc_id""".stripMargin
+      |        GROUP BY 1, 2)""".stripMargin
+
+  private def bm25JoinSql: String =
+    s"""WITH $bm25JoinCtes
+       |SELECT q_id, doc_id, score FROM agg
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+       |                           ORDER BY score DESC, doc_id) <= 10
+       |ORDER BY q_id, score DESC, doc_id""".stripMargin
+
+  private def retrievalDecontaminateSql: String =
+    s"""WITH $bm25JoinCtes,
+       |ranked AS (SELECT q_id, doc_id FROM agg
+       |           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+       |                                      ORDER BY score DESC, doc_id) <= 3),
+       |cont AS (SELECT DISTINCT doc_id FROM ranked)
+       |SELECT d.doc_id,
+       |       CAST(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM documents d LEFT JOIN cont c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // q77 oracle: the q30 candidate pipeline (df-capped inverted index,
   // uncapped set sizes) resolved to asymmetric containments i/n1, i/n2;

@@ -374,6 +374,31 @@ object TextAnalysis {
       .select(col("q_id"), col("doc_id"), col("score"))
   }
 
+  /** Retrieval-based decontamination — the third industry-standard
+    * screen beside n-gram overlap ([[graft.ops.Dedup.decontaminate]])
+    * and Bloom-prefiltered exact matching: a corpus document is
+    * contaminated when it ranks in ANY benchmark item's BM25 top
+    * `topN`. Rank-based rather than score-thresholded — BM25 scores are
+    * corpus-dependent and uncalibrated, ranks are the stable quantity.
+    * Output is the keep-table form the cleaning passes consume
+    * (benchmark items present in the corpus rank top for themselves and
+    * are correctly dropped). One [[bm25Join]] + a fixed-width id
+    * anti-flag join; null-text docs never rank, so they keep.
+    */
+  def retrievalDecontaminate(corpus: DataFrame, idCol: String,
+                             textCol: String, benchmark: DataFrame,
+                             qidCol: String, qtextCol: String,
+                             topN: Int = 3): DataFrame = {
+    val contaminated = bm25Join(corpus, idCol, textCol,
+        benchmark, qidCol, qtextCol, topN = topN)
+      .select(col("doc_id")).distinct()
+      .withColumn("_hit", lit(1))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_hit").isNotNull, 0L).otherwise(1L).as("keep"))
+  }
+
   /** Corpus-driven stop-token pruning — the boilerplate-trimming step:
     * the `stopN` most frequent tokens corpus-wide (ties broken token-asc,
     * the [[vocab]] cut) become the stop list, and every document is

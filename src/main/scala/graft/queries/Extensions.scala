@@ -485,6 +485,16 @@ object Extensions {
       .orderBy(col("q_id"), col("score").desc, col("doc_id"))
   }
 
+  // q86 retrieval-based decontamination — the third screen beside
+  // n-gram overlap (q44) and Bloom-exact (q50): drop corpus docs that
+  // rank top-3 for any benchmark item (every-100th doc as benchmark).
+  val q86_retrieval_decontaminate: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    TextAnalysis.retrievalDecontaminate(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 100 === 0), "doc_id", "text", topN = 3)
+      .orderBy(col("doc_id"))
+  }
+
   // q84 cross-source SEMANTIC contamination matrix — q65's rollup over
   // q80's pairs: where paraphrase-level duplication lives between
   // sources (two dumps re-rendering the same pages), the audit that
@@ -666,5 +676,6 @@ object Extensions {
     "q82_ivf_cell_profile" -> q82_ivf_cell_profile,
     "q83_embedding_card" -> q83_embedding_card,
     "q84_semantic_contamination" -> q84_semantic_contamination,
-    "q85_bm25_join" -> q85_bm25_join)
+    "q85_bm25_join" -> q85_bm25_join,
+    "q86_retrieval_decontaminate" -> q86_retrieval_decontaminate)
 }

@@ -82,6 +82,19 @@ class TextRetrievalSpec extends SparkSpec {
     assert(byQ(3L) == Seq(3L), "no other doc shares query 3's terms")
   }
 
+  test("retrieval decontamination drops benchmark hits, keeps unrelated docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),          // the benchmark item itself
+      (2L, "alpha beta delta"),          // lexically close -> contaminated
+      (3L, "epsilon zeta eta theta"),    // shares nothing -> keeps
+      (4L, null.asInstanceOf[String]))   // null text never ranks -> keeps
+      .toDF("doc_id", "text")
+    val keep = TextAnalysis.retrievalDecontaminate(docs, "doc_id", "text",
+        docs.where(col("doc_id") === 1L), "doc_id", "text", topN = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(keep == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("semDedup drops the higher-id member of a same-cell near-identical pair") {
     // 8 vectors: ids 1,2 nearly parallel (cos ~ 1), the rest orthogonal-ish
     val vecs = Seq(
