@@ -277,6 +277,35 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming per-source corpus card — [[graft.ops.Analytics.dataCard]]'s
+    * incremental twin for an ingest feed: running n_docs / n_null_text /
+    * ws_tokens / avg_chars / approx language count per source, emitted in
+    * UPDATE mode after every micro-batch. All counters are
+    * incrementally-mergeable aggregates (state per source is one
+    * aggregation buffer, not rows): the exact `n_duped` and
+    * COUNT(DISTINCT lang) of the batch card need corpus-wide row state —
+    * duplication monitoring belongs to the key-index gate
+    * ([[ingestGate]]), and the language tally degrades gracefully to
+    * `approx_count_distinct` here. The projection is the same
+    * fixed-width one as the batch card: no text ever enters the
+    * aggregation state.
+    */
+  def dataCardStream(stream: DataFrame, idCol: String, textCol: String,
+                     srcCol: String, langCol: String,
+                     charsCol: String): DataFrame =
+    stream.select(col(srcCol).as("source"), col(langCol).as("_lang"),
+        col(charsCol).cast("double").as("_chars"),
+        when(col(textCol).isNull, 1L).otherwise(0L).as("_isnull"),
+        coalesce(
+          size(expr(s"filter(split($textCol, ' '), x -> x <> '')")), lit(0))
+          .cast("long").as("_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_isnull")).as("n_null_text"),
+        sum(col("_toks")).as("ws_tokens"),
+        round(avg(col("_chars")), 2).as("avg_chars"),
+        approx_count_distinct(col("_lang")).as("approx_langs"))
+
   /** The SEMANTIC admission gate — [[graft.ops.Similarity.semDedup]]'s
     * streaming twin over a persisted IVF index
     * ([[graft.ops.Similarity.buildIvfIndex]]), per micro-batch:

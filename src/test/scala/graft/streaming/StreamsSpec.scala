@@ -664,6 +664,35 @@ class StreamsSpec extends SparkSpec {
     assert(!streamed.exists(_._2 == "drop") && streamed.count(_._2 == "keepall") == 100)
   }
 
+  test("streaming data card accumulates per-source counters across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val card = Streams.dataCardStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "doc_id", "text", "source", "lang", "n_chars")
+    val q = card.writeStream.format("memory").queryName("card_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        (1L, "a b c", "en", "web", 5L),
+        (2L, null.asInstanceOf[String], "en", "web", 0L))
+      q.processAllAvailable()
+      mem.addData((3L, "d e", "fr", "web", 3L), (4L, "x", "en", "books", 1L))
+      q.processAllAvailable()
+      // update mode re-emits a source's row each time it changes: take the
+      // LAST emission per source
+      val rows = spark.table("card_out")
+        .as[(String, Long, Long, Long, Double, Long)].collect()
+      val last = rows.zipWithIndex.groupBy(_._1._1).view
+        .mapValues(_.maxBy(_._2)._1).values.toSet
+      assert(last == Set(
+        ("web", 3L, 1L, 5L,
+          BigDecimal(8.0 / 3).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble, 2L),
+        ("books", 1L, 0L, 1L, 1.0, 1L)))
+    } finally q.stop()
+  }
+
   test("semantic gate drops standing, within-batch and cross-batch near-dups") {
     implicit val sqlCtx = spark.sqlContext
     val base = Seq(
