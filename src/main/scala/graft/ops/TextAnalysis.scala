@@ -326,10 +326,13 @@ object TextAnalysis {
     * shuffle carries only query-relevant (doc, token) rows; df per term
     * is a count window riding that same exchange's token key ([[tfidf]]
     * idiom — valid here because the live key count is the query vocab,
-    * not ≤|terms| of one bag); the retrieval itself is ONE
-    * inverted-index equi-join (query terms × posting rows) and one
-    * (query, doc) aggregation; N/avgdl are a 1-row broadcast; the
-    * per-query cut is a window over the query key.
+    * not ≤|terms| of one bag); the per-posting weight (a pure function
+    * of tf/df/dl, NOT of the query) is computed ONCE per posting before
+    * the join, so the inverted-index equi-join (query terms × posting
+    * rows) carries one precomputed double and the (query, doc)
+    * aggregation just sums — the fan-out rows never re-evaluate the
+    * scoring arithmetic; N/avgdl are a 1-row broadcast; the per-query
+    * cut is a window over the query key.
     */
   def bm25Join(df: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qidCol: String, qtextCol: String,
@@ -354,9 +357,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .withColumn("_df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
-    val scored = qterms.join(tf, "token")
+    val postings = tf
       .crossJoin(broadcast(stats))
-      .select(col("q_id"), col("doc_id"),
+      .select(col("doc_id"), col("token"),
         (log2(lit(1.0d) +
             (col("_n").cast("double") - col("_df").cast("double") + 0.5d) /
             (col("_df").cast("double") + 0.5d)) *
@@ -364,6 +367,7 @@ object TextAnalysis {
           (col("tf").cast("double") +
             lit(k1) * (lit(1.0d - b) + lit(b) * col("dl") / col("_avgdl"))))
           .as("_s"))
+    val scored = qterms.join(postings, "token")
       .groupBy(col("q_id"), col("doc_id"))
       .agg(round(sum(col("_s")), 4).as("score"))
     val w = org.apache.spark.sql.expressions.Window
