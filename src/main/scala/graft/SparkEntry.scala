@@ -271,6 +271,9 @@ object SparkEntry {
     // q86 oracle: the q85 chain cut at rank 3, resolved to a keep table
     // over ALL documents (null-text docs never rank -> keep)
     "q86_retrieval_decontaminate" -> retrievalDecontaminateSql,
+    // q87 oracle: q34's quality formula, fixed score bands, and the same
+    // literal hex thresholds the engine folds into its CASE
+    "q87_curriculum_sample" -> curriculumSampleSql,
     // q84 oracle: q80's within-cell pairs rolled up to unordered source
     // pairs via the doc↔vec id (the q65 rollup shape)
     "q84_semantic_contamination" ->
@@ -1348,6 +1351,29 @@ object SparkEntry {
        |       CAST(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM documents d LEFT JOIN cont c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  private def curriculumSampleSql: String = {
+    val bandThr = (1 to 10).map { bd =>
+      s"WHEN $bd THEN '${graft.ops.Sampling.hexThreshold(bd / 10.0)}'"
+    }.mkString(" ")
+    s"""WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+       |            FROM documents WHERE text IS NOT NULL),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |          COUNT(DISTINCT w) AS n_distinct,
+       |          SUM(CASE WHEN w IN $enIn THEN 1 ELSE 0 END) AS n_stop
+       |        FROM tok GROUP BY doc_id),
+       |qual AS (SELECT doc_id,
+       |           ROUND(0.4 * LEAST(1.0, n_tokens / 25.0)
+       |             + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+       |             + 0.2 * (CAST(n_stop AS DOUBLE) / n_tokens), 4) AS quality
+       |         FROM agg),
+       |b AS (SELECT doc_id, quality,
+       |        CAST(LEAST(FLOOR(quality * 10) + 1, 10) AS BIGINT) AS band
+       |      FROM qual)
+       |SELECT doc_id, quality, band FROM b
+       |WHERE MD5(CAST(doc_id AS VARCHAR)) < CASE band $bandThr END
+       |ORDER BY doc_id""".stripMargin
+  }
 
   // q77 oracle: the q30 candidate pipeline (df-capped inverted index,
   // uncapped set sizes) resolved to asymmetric containments i/n1, i/n2;

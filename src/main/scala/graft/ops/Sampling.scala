@@ -175,6 +175,32 @@ object Sampling {
       .drop("_n")
   }
 
+  /** Score-band curriculum sampling — quality-WEIGHTED retention: rows
+    * land in `nBands` fixed score bands (band = ⌊score·nBands⌋+1, capped;
+    * scores in [0,1]) and band b keeps fraction b/nBands via the same
+    * md5 coin as [[sample]] — the top band keeps everything, the bottom
+    * keeps 1/nBands. The "don't throw away all low-quality data, but
+    * up-weight the good tail" recipe, as a pure function of (score, id):
+    * re-runs, engine ports, and corpus growth never move a row's fate.
+    *
+    * FIXED bands rather than per-run quantiles (NTILE) deliberately: a
+    * global NTILE needs a total-order window (single-partition sort — a
+    * scale cliff), and quantile cut points move whenever the corpus
+    * grows, silently re-shuffling every row's band. Fixed bands are a
+    * zero-shuffle, pushdown-eligible projection + filter at any size.
+    * Output: input columns + `band`, filtered to kept rows.
+    */
+  def scoreCurriculum(df: DataFrame, idCol: String, scoreCol: String,
+                      nBands: Int = 10): DataFrame = {
+    require(nBands >= 1, s"nBands must be positive: $nBands")
+    val band = least(floor(col(scoreCol) * nBands).cast("int") + 1, lit(nBands))
+    val thr = (1 to nBands).foldLeft(lit(hexThreshold(0.0))) { (acc, bd) =>
+      when(band === bd, lit(hexThreshold(bd.toDouble / nBands))).otherwise(acc)
+    }
+    df.withColumn("band", band.cast("long"))
+      .filter(key(col(idCol)) < thr)
+  }
+
   /** Train/val/test assignment from cumulative fractions, e.g.
     * (0.8, 0.9) → 80% train, 10% val, 10% test. A row's label is a pure
     * function of its id — stable under corpus growth (new docs never move

@@ -495,6 +495,17 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q87 quality-curriculum sample: q34's quality score drives band-wise
+  // retention (band b of 10 keeps b/10 by md5 coin) — keep a sliver of
+  // the low end, everything at the top.
+  val q87_curriculum_sample: Q = (s, d) => {
+    val qual = TextAnalysis.qualityScore(
+        t(s, d, "documents").where(col("text").isNotNull), "doc_id", "text")
+      .select(col("doc_id"), col("quality"))
+    Sampling.scoreCurriculum(qual, "doc_id", "quality", nBands = 10)
+      .orderBy(col("doc_id"))
+  }
+
   // q84 cross-source SEMANTIC contamination matrix — q65's rollup over
   // q80's pairs: where paraphrase-level duplication lives between
   // sources (two dumps re-rendering the same pages), the audit that
@@ -677,5 +688,6 @@ object Extensions {
     "q83_embedding_card" -> q83_embedding_card,
     "q84_semantic_contamination" -> q84_semantic_contamination,
     "q85_bm25_join" -> q85_bm25_join,
-    "q86_retrieval_decontaminate" -> q86_retrieval_decontaminate)
+    "q86_retrieval_decontaminate" -> q86_retrieval_decontaminate,
+    "q87_curriculum_sample" -> q87_curriculum_sample)
 }

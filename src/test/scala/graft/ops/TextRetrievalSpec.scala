@@ -159,6 +159,25 @@ class TextRetrievalSpec extends SparkSpec {
       (1, 1L, 0L, 1L, 0L, Some(1.0))))
   }
 
+  test("score curriculum keeps all of the top band and a monotone share below") {
+    val n = 3000L
+    val rows = (1L to n).map { i =>
+      val score = if (i % 3 == 0) 0.05 else if (i % 3 == 1) 0.45 else 0.95
+      (i, score)
+    }.toDF("doc_id", "score")
+    val kept = Sampling.scoreCurriculum(rows, "doc_id", "score", nBands = 10)
+      .as[(Long, Double, Long)].collect()
+    assert(kept.forall { case (_, s, b) =>
+      b == math.min(math.floor(s * 10).toLong + 1, 10L) }, "band formula")
+    val byBand = kept.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    assert(byBand(10L) == n / 3, "top band keeps every row")
+    val f1 = byBand.getOrElse(1L, 0L).toDouble / (n / 3)
+    val f5 = byBand.getOrElse(5L, 0L).toDouble / (n / 3)
+    assert(f1 < f5 && f5 < 1.0, s"retention ramps with the band: $f1 vs $f5")
+    assert(math.abs(f1 - 0.1) < 0.05 && math.abs(f5 - 0.5) < 0.08,
+      s"md5 coin tracks band/10: $f1, $f5")
+  }
+
   test("stop-token pruning removes the top token, keeps order, keeps emptied docs") {
     val docs = Seq(
       (1L, "a b a"),
