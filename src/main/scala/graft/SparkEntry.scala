@@ -1368,7 +1368,8 @@ object SparkEntry {
        |             + 0.2 * (CAST(n_stop AS DOUBLE) / n_tokens), 4) AS quality
        |         FROM agg),
        |b AS (SELECT doc_id, quality,
-       |        CAST(LEAST(FLOOR(quality * 10) + 1, 10) AS BIGINT) AS band
+       |        CAST(GREATEST(LEAST(FLOOR(quality * 10) + 1, 10), 1) AS BIGINT)
+       |          AS band
        |      FROM qual)
        |SELECT doc_id, quality, band FROM b
        |WHERE MD5(CAST(doc_id AS VARCHAR)) < CASE band $bandThr END

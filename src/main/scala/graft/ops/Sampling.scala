@@ -193,11 +193,19 @@ object Sampling {
   def scoreCurriculum(df: DataFrame, idCol: String, scoreCol: String,
                       nBands: Int = 10): DataFrame = {
     require(nBands >= 1, s"nBands must be positive: $nBands")
-    val band = least(floor(col(scoreCol) * nBands).cast("int") + 1, lit(nBands))
+    // out-of-range scores clamp into the edge bands (a negative score is
+    // bottom-band, >1 is top-band) and null scores are dropped EXPLICITLY
+    // — without the guard a null band would miss every CASE arm and the
+    // row would vanish under the 0.0 threshold, data loss disguised as
+    // sampling
+    val band = greatest(
+      least(floor(col(scoreCol) * nBands).cast("int") + 1, lit(nBands)),
+      lit(1))
     val thr = (1 to nBands).foldLeft(lit(hexThreshold(0.0))) { (acc, bd) =>
       when(band === bd, lit(hexThreshold(bd.toDouble / nBands))).otherwise(acc)
     }
-    df.withColumn("band", band.cast("long"))
+    df.where(col(scoreCol).isNotNull)
+      .withColumn("band", band.cast("long"))
       .filter(key(col(idCol)) < thr)
   }
 

@@ -285,33 +285,56 @@ object TextAnalysis {
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
            topN: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val toks = df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("t"))
-    val stats = toks.select(size(col("t")).cast("double").as("dl"))
-      .agg(count(lit(1)).as("_n"), avg(col("dl")).as("_avgdl"))
-    val tf = toks
-      .select(col("doc_id"), size(col("t")).cast("double").as("dl"),
-        explode(col("t")).as("token"))
-      .where(col("token").isin(queryTerms: _*))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val toks = bm25Toks(df, idCol, textCol)
+    val stats = bm25Stats(toks)
+    val tf = bm25Tf(toks, _.where(col("token").isin(queryTerms: _*)))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
     tf.join(broadcast(dfreq), "token")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        (log2(lit(1.0d) +
-            (col("_n").cast("double") - col("_df").cast("double") + 0.5d) /
-            (col("_df").cast("double") + 0.5d)) *
-          (col("tf").cast("double") * (k1 + 1.0d)) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0d - b) + lit(b) * col("dl") / col("_avgdl"))))
-          .as("_s"))
+      .select(col("doc_id"), okapiWeight(k1, b).as("_s"))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("_s")), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topN)
   }
+
+  // ── Shared scaffolding of [[bm25]] and [[bm25Join]]: ONE definition of
+  // the tokenized view, the (N, avgdl) stats row, the filtered tf table
+  // with the carried doc length, and the Okapi weight — the engine-side
+  // twin of the shared oracle CTE fragments, so the two retrieval forms
+  // (and their DuckDB twins) cannot drift apart.
+
+  private def bm25Toks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("t"))
+
+  private def bm25Stats(toks: DataFrame): DataFrame =
+    toks.select(size(col("t")).cast("double").as("dl"))
+      .agg(count(lit(1)).as("_n"), avg(col("dl")).as("_avgdl"))
+
+  /** tf over the term-filtered token stream, doc length carried through
+    * as first(dl). `termFilter` restricts the exploded stream BEFORE the
+    * exchange.
+    */
+  private def bm25Tf(toks: DataFrame,
+                     termFilter: DataFrame => DataFrame): DataFrame =
+    termFilter(
+      toks.select(col("doc_id"), size(col("t")).cast("double").as("dl"),
+        explode(col("t")).as("token")))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+
+  /** The Okapi/Lucene-idf weight over columns (tf, _df, dl, _n, _avgdl) —
+    * written in the exact textual evaluation order of the oracle SQL.
+    */
+  private def okapiWeight(k1: Double, b: Double): Column =
+    log2(lit(1.0d) +
+        (col("_n").cast("double") - col("_df").cast("double") + 0.5d) /
+        (col("_df").cast("double") + 0.5d)) *
+      (col("tf").cast("double") * (k1 + 1.0d)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0d - b) + lit(b) * col("dl") / col("_avgdl")))
 
   /** Batch BM25 retrieval JOIN — [[bm25]] generalized from one query bag
     * to a QUERY TABLE: top `topN` corpus docs per query, scored with the
@@ -322,17 +345,21 @@ object TextAnalysis {
     * tokens of each query text.
     *
     * Shape at 100 TB: the corpus tf table is prefiltered by a semi-join
-    * against the (small) query vocabulary BEFORE its exchange — the
-    * shuffle carries only query-relevant (doc, token) rows; df per term
-    * is a count window riding that same exchange's token key ([[tfidf]]
-    * idiom — valid here because the live key count is the query vocab,
-    * not ≤|terms| of one bag); the per-posting weight (a pure function
-    * of tf/df/dl, NOT of the query) is computed ONCE per posting before
-    * the join, so the inverted-index equi-join (query terms × posting
-    * rows) carries one precomputed double and the (query, doc)
-    * aggregation just sums — the fan-out rows never re-evaluate the
-    * scoring arithmetic; N/avgdl are a 1-row broadcast; the per-query
-    * cut is a window over the query key.
+    * against the query vocabulary BEFORE its exchange — the shuffle
+    * carries only query-relevant (doc, token) rows. The semi-join
+    * carries NO broadcast hint deliberately: for decontamination-sized
+    * query sets AQE broadcasts it, and a corpus-scale query side (whose
+    * vocabulary approaches the corpus's) degrades to a shuffle
+    * semi-join instead of materializing an unbounded vocab in memory.
+    * df per term is a count window on the tf table's token key — its
+    * own exchange, like [[tfidf]]'s (valid because the live key count
+    * is the query vocab, not ≤|terms| of one bag); the per-posting
+    * weight (a pure function of tf/df/dl, NOT of the query) is computed
+    * ONCE per posting before the join, so the inverted-index equi-join
+    * (query terms × posting rows) carries one precomputed double and
+    * the (query, doc) aggregation just sums — the fan-out rows never
+    * re-evaluate the scoring arithmetic; N/avgdl are a 1-row broadcast;
+    * the per-query cut is a window over the query key.
     */
   def bm25Join(df: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qidCol: String, qtextCol: String,
@@ -344,29 +371,14 @@ object TextAnalysis {
           .as("token"))
       .distinct()
     val qvocab = qterms.select(col("token")).distinct()
-    val toks = df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("t"))
-    val stats = toks.select(size(col("t")).cast("double").as("dl"))
-      .agg(count(lit(1)).as("_n"), avg(col("dl")).as("_avgdl"))
-    val tf = toks
-      .select(col("doc_id"), size(col("t")).cast("double").as("dl"),
-        explode(col("t")).as("token"))
-      .join(broadcast(qvocab), Seq("token"), "left_semi")
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val toks = bm25Toks(df, idCol, textCol)
+    val stats = bm25Stats(toks)
+    val tf = bm25Tf(toks, _.join(qvocab, Seq("token"), "left_semi"))
       .withColumn("_df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
     val postings = tf
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("token"),
-        (log2(lit(1.0d) +
-            (col("_n").cast("double") - col("_df").cast("double") + 0.5d) /
-            (col("_df").cast("double") + 0.5d)) *
-          (col("tf").cast("double") * (k1 + 1.0d)) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0d - b) + lit(b) * col("dl") / col("_avgdl"))))
-          .as("_s"))
+      .select(col("doc_id"), col("token"), okapiWeight(k1, b).as("_s"))
     val scored = qterms.join(postings, "token")
       .groupBy(col("q_id"), col("doc_id"))
       .agg(round(sum(col("_s")), 4).as("score"))

@@ -499,8 +499,7 @@ object Extensions {
   // retention (band b of 10 keeps b/10 by md5 coin) — keep a sliver of
   // the low end, everything at the top.
   val q87_curriculum_sample: Q = (s, d) => {
-    val qual = TextAnalysis.qualityScore(
-        t(s, d, "documents").where(col("text").isNotNull), "doc_id", "text")
+    val qual = TextAnalysis.qualityScore(t(s, d, "documents"), "doc_id", "text")
       .select(col("doc_id"), col("quality"))
     Sampling.scoreCurriculum(qual, "doc_id", "quality", nBands = 10)
       .orderBy(col("doc_id"))

@@ -290,7 +290,7 @@ object Streams {
     * fixed-width one as the batch card: no text ever enters the
     * aggregation state.
     */
-  def dataCardStream(stream: DataFrame, idCol: String, textCol: String,
+  def dataCardStream(stream: DataFrame, textCol: String,
                      srcCol: String, langCol: String,
                      charsCol: String): DataFrame =
     stream.select(col(srcCol).as("source"), col(langCol).as("_lang"),

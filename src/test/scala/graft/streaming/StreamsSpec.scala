@@ -669,7 +669,7 @@ class StreamsSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String, String, String, Long)]
     val card = Streams.dataCardStream(
       mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
-      "doc_id", "text", "source", "lang", "n_chars")
+      "text", "source", "lang", "n_chars")
     val q = card.writeStream.format("memory").queryName("card_out")
       .outputMode("update").start()
     try {
@@ -679,12 +679,13 @@ class StreamsSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData((3L, "d e", "fr", "web", 3L), (4L, "x", "en", "books", 1L))
       q.processAllAvailable()
-      // update mode re-emits a source's row each time it changes: take the
-      // LAST emission per source
+      // update mode re-emits a source's row each time it changes; the
+      // sink's row order is an implementation detail, but n_docs only
+      // grows — the row with the max count per source IS the latest state
       val rows = spark.table("card_out")
         .as[(String, Long, Long, Long, Double, Long)].collect()
-      val last = rows.zipWithIndex.groupBy(_._1._1).view
-        .mapValues(_.maxBy(_._2)._1).values.toSet
+      val last = rows.groupBy(_._1).view
+        .mapValues(_.maxBy(_._2)).values.toSet
       assert(last == Set(
         ("web", 3L, 1L, 5L,
           BigDecimal(8.0 / 3).setScale(2, BigDecimal.RoundingMode.HALF_UP)
