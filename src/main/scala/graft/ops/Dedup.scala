@@ -528,28 +528,36 @@ object Dedup {
   }
 
   /** Admit one micro-batch's keys into a [[buildExactKeyIndex]] layout:
-    * append the batch's distinct new keys to `keys/` and MERGE a
-    * same-sized Bloom of them into the persisted filter — Bloom union is
+    * MERGE a same-sized Bloom of the batch's distinct new keys into the
+    * persisted filter, then append the keys to `keys/` — Bloom union is
     * bitwise-or, so the no-false-negative contract survives appends (the
     * filter can only get more inclusive; `fpp` degrades gradually as the
     * key count outgrows the original sizing — rebuild to re-size).
-    * Backs [[graft.streaming.Streams.exactKeyIndexSink]].
+    *
+    * Write ORDER is the crash-safety contract: the Bloom delta lands
+    * BEFORE the keys append, so a crash between the two leaves at worst
+    * a filter with extra bits — false positives, which the exact verify
+    * join in [[exactDedupAgainstIndex]] already tolerates. The reverse
+    * order would strand keys in `keys/` that the filter never learned:
+    * a persistent false NEGATIVE that silently admits every future
+    * duplicate of those keys. Backs
+    * [[graft.streaming.Streams.exactKeyIndexSink]].
     */
   def appendExactKeys(spark: org.apache.spark.sql.SparkSession,
                       docs: DataFrame, textCol: String, path: String): Unit = {
-    // persisted: three consumers (emptiness probe, keys append, Bloom
-    // build) must not re-run the caller's upstream pipeline
+    // persisted: three consumers (emptiness probe, Bloom build, keys
+    // append) must not re-run the caller's upstream pipeline
     val newKeys = docs.where(col(textCol).isNotNull)
       .select(md5(col(textCol)).as("key")).distinct().persist()
     try {
       if (newKeys.isEmpty) return
-      newKeys.write.mode("append").parquet(s"$path/keys")
       val params = spark.read.parquet(s"$path/params")
         .select(col("n"), col("fpp")).head()
       val delta = newKeys.stat.bloomFilter("key", params.getLong(0),
         params.getDouble(1))
       val merged = readBloom(spark, path).mergeInPlace(delta)
       writeBloom(spark, merged, path)
+      newKeys.write.mode("append").parquet(s"$path/keys")
     } finally newKeys.unpersist()
   }
 
@@ -575,7 +583,11 @@ object Dedup {
                              newDocs: DataFrame, textCol: String, path: String,
                              broadcastBatch: Boolean = true): DataFrame = {
     val bloom = readBloom(spark, path)
+    // the index side joins under a reserved `_idx_key` name: a caller
+    // whose docs already carry a `key` column must not make the join
+    // condition ambiguous (same `_`-prefix convention as `_key`)
     val keys = spark.read.parquet(s"$path/keys")
+      .select(col("key").as("_idx_key"))
     val keyed = newDocs.withColumn("_key", md5(col(textCol)))
     val might = col(textCol).isNotNull &&
       graft.functions.VectorFunctions.bloomMightContain(col("_key"), bloom)
@@ -585,10 +597,10 @@ object Dedup {
         // corpus keys are only SCANNED (broadcast semi-join), never
         // shuffled; both joins' build sides are batch-bounded
         val present = keys.join(
-          broadcast(maybe.select(col("_key").as("key")).distinct()),
-          Seq("key"), "left_semi")
-        maybe.join(broadcast(present), col("_key") === col("key"), "left_anti")
-      } else maybe.join(keys, col("_key") === col("key"), "left_anti")
+          broadcast(maybe.select(col("_key").as("_idx_key")).distinct()),
+          Seq("_idx_key"), "left_semi")
+        maybe.join(broadcast(present), col("_key") === col("_idx_key"), "left_anti")
+      } else maybe.join(keys, col("_key") === col("_idx_key"), "left_anti")
     keyed.where(!might).unionByName(verified).drop("_key")
   }
 

@@ -19,10 +19,17 @@ object IndexMaintenance {
     * (`keys/`, `sets/`), which compacts to `numFiles` files.
     *
     * The rewrite stages into a sibling `_compact_tmp` directory and
-    * swaps via delete+rename, so a crash mid-compaction leaves either
-    * the old layout or the staged one — never a partial mix. The swap
-    * itself is not atomic for concurrent READERS (a probe racing the
-    * rename can miss the directory): compaction is an offline
+    * swaps in two renames: the live dir moves ASIDE to `_compact_old`,
+    * the staged copy renames into place, then the old copy is deleted.
+    * A crash at any point leaves a COMPLETE layout reachable — before
+    * the first rename the live dir is untouched; between the renames
+    * the staged layout is complete at `_compact_tmp` and recovery is
+    * one rename (`_compact_tmp` → dir); after the second rename the
+    * layout is live and `_compact_old` is garbage to delete. (A
+    * delete-then-rename swap has a window where NO layout exists at
+    * `dir` — a resumed stream or probe would fail outright.) The swap
+    * is still not atomic for concurrent READERS (a probe racing the
+    * renames can miss the directory): compaction is an offline
     * maintenance step, run it with the stream stopped — the sinks'
     * checkpoint state is untouched (foreachBatch tracks source offsets,
     * not data files), so the stream resumes against the compacted
@@ -45,14 +52,20 @@ object IndexMaintenance {
     }
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "_compact_old")
     // Hadoop FS signals failure by RETURN VALUE: an unchecked false from
-    // delete would make the rename nest the staged copy INSIDE the old
-    // layout (doubling rows), an unchecked false from rename would leave
-    // no layout at all — both must abort loudly
-    require(fs.delete(p, true),
-      s"compaction aborted: could not delete $dir (staged copy intact at $tmp)")
+    // either rename could nest a directory inside another (doubling
+    // rows) or lose track of the live layout — both must abort loudly
+    if (fs.exists(old)) require(fs.delete(old, true),
+      s"compaction aborted: stale $old exists and could not be deleted")
+    require(fs.rename(p, old),
+      s"compaction aborted: could not move $dir aside (layout untouched; " +
+        s"staged copy at $tmp)")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"compaction aborted: could not rename $tmp to $dir (data is at $tmp)")
+      s"compaction interrupted between renames: recover with ONE rename " +
+        s"($tmp -> $dir); previous layout preserved at $old")
+    require(fs.delete(old, true),
+      s"compaction succeeded but could not delete $old — delete it manually")
   }
 
   /** Parquet data files under `dir`, recursively — the fragmentation

@@ -57,7 +57,7 @@ object Similarity {
     val e = emb.select(col(idCol), asDouble(col(vecCol)).as("_v"))
     val q = e.filter(col(idCol) === queryId).select(col("_v").as("_qv"))
     e.crossJoin(broadcast(q))
-      .select(col(idCol), round(cosine(col("_v"), col("_qv")), scale).as("cos_sim"))
+      .select(col(idCol), round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -85,7 +85,7 @@ object Similarity {
     val q = e.filter(col(idCol) === queryId).select(col("_q8").as("_qq"))
     e.crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosine(col("_q8"), col("_qq")), scale).as("qcos_sim"))
+        round(cosineGuarded(col("_q8"), col("_qq")), scale).as("qcos_sim"))
       .orderBy(col("qcos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -102,7 +102,9 @@ object Similarity {
     val b = e.select(col("_id").as("d2"), col("_v").as("v2"), col("_n").as("n2"))
     a.join(b, col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
-        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), scale).as("cos_sim"))
+        round(when(col("n1") * col("n2") > 0.0d,
+            dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+          .otherwise(lit(0.0d)), scale).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("d1"), col("d2"))
       .limit(k)
   }
@@ -157,7 +159,7 @@ object Similarity {
     val probes = if (multiProbe) hamming1Probes(qb, nBits) else qb
     bucketed.join(broadcast(probes), col("bucket") === col("_qb"))
       .select(col(idCol),
-        round(cosine(asDouble(col(vecCol)), col("_qv")), 6).as("cos_sim"))
+        round(cosineGuarded(asDouble(col(vecCol)), col("_qv")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -215,7 +217,7 @@ object Similarity {
       .filter(col("_cell").isin(probes.toIndexedSeq: _*))
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosine(col("_v"), col("_qv")), scale).as("cos_sim"))
+        round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -289,7 +291,7 @@ object Similarity {
     topKPerQuery(
       bucketed.join(probeSide, col("bucket") === col("_pb"))
         .select(col("q_id"), col(idCol),
-          round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim")),
+          round(cosineGuarded(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim")),
       idCol, k)
   }
 
@@ -333,7 +335,7 @@ object Similarity {
     topKPerQuery(
       corpusCells.join(probeSide, col("_cell") === col("_probe"))
         .select(col("q_id"), col(idCol),
-          round(cosine(col("_v"), col("_qv")), scale).as("cos_sim")),
+          round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim")),
       idCol, k)
   }
 
@@ -451,7 +453,9 @@ object Similarity {
     * twin: per label, the vector count, missing (null/empty) payloads,
     * distinct dimensionalities (anything but 1 means a mixed-encoder
     * corpus — the bug this audit exists to catch), zero-norm count
-    * (cosine-undefined vectors that silently rank last), and mean L2
+    * (cosine-undefined vectors — the index probes rank them 0 via
+    * [[cosineGuarded]], so they drop out of every top-k and screening
+    * join; this card is where they become visible), and mean L2
     * norm (un-normalized embeddings break dot-for-cosine shortcuts).
     * One aggregation, zero joins; norms come from the codegen'd
     * [[dot]] expression so the card is a single projection + exchange.
@@ -594,7 +598,7 @@ object Similarity {
       .filter(col("cell").isin(probes.toIndexedSeq: _*))
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosine(col("q").cast("array<double>"), col("_qq")), scale)
+        round(cosineGuarded(col("q").cast("array<double>"), col("_qq")), scale)
           .as("qcos_sim"))
       .orderBy(col("qcos_sim").desc, col(idCol))
       .limit(k)
@@ -620,7 +624,7 @@ object Similarity {
       .filter(col("cell").isin(probes.toIndexedSeq: _*))
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
+        round(cosineGuarded(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -674,7 +678,7 @@ object Similarity {
       .filter(col("bucket").isin(probes: _*))
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosine(col("q").cast("array<double>"), col("_qq")), scale)
+        round(cosineGuarded(col("q").cast("array<double>"), col("_qq")), scale)
           .as("qcos_sim"))
       .orderBy(col("qcos_sim").desc, col(idCol))
       .limit(k)
@@ -703,7 +707,7 @@ object Similarity {
     def joinWith(idx: DataFrame): DataFrame =
       idx.join(broadcast(probed), col("bucket") === col("_pb"))
         .select(col("q_id"), col(idCol),
-          round(cosine(col("q").cast("array<double>"), col("_qq")), scale)
+          round(cosineGuarded(col("q").cast("array<double>"), col("_qq")), scale)
             .as("cos_sim"))
     topKPerQuery(
       repairPartitionPruning(index, "bucket", probed, "_pb", joinWith), idCol, k)
@@ -771,7 +775,7 @@ object Similarity {
     def joinWith(idx: DataFrame): DataFrame =
       idx.join(broadcast(probed), col("bucket") === col("_pb"))
         .select(col("q_id"), col(idCol),
-          round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
+          round(cosineGuarded(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
     topKPerQuery(
       repairPartitionPruning(index, "bucket", probed, "_pb", joinWith), idCol, k)
   }
@@ -806,7 +810,7 @@ object Similarity {
     def joinWith(idx: DataFrame): DataFrame =
       idx.join(broadcast(probed), col("cell") === col("_probe"))
         .select(col("q_id"), col(idCol),
-          round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
+          round(cosineGuarded(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
     topKPerQuery(
       repairPartitionPruning(index, "cell", probed, "_probe", joinWith), idCol, k)
   }
@@ -843,7 +847,7 @@ object Similarity {
     def joinWith(idx: DataFrame): DataFrame =
       idx.join(broadcast(probed), col("cell") === col("_probe"))
         .select(col("q_id"), col(idCol),
-          round(cosine(col("q").cast("array<double>"), col("_qq")), scale)
+          round(cosineGuarded(col("q").cast("array<double>"), col("_qq")), scale)
             .as("cos_sim"))
     topKPerQuery(
       repairPartitionPruning(index, "cell", probed, "_probe", joinWith), idCol, k)
@@ -871,7 +875,7 @@ object Similarity {
       .filter(col("bucket").isin(probes: _*))
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosine(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
+        round(cosineGuarded(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -918,7 +922,9 @@ object Similarity {
     val v2 = e.select(col("_id").as("d2"), col("_v").as("v2"), norm(col("_v")).as("n2"))
     cand.join(v1, "d1").join(v2, "d2")
       .select(col("d1"), col("d2"),
-        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), scale).as("cos_sim"))
+        round(when(col("n1") * col("n2") > 0.0d,
+            dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+          .otherwise(lit(0.0d)), scale).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("d1"), col("d2"))
       .limit(k)
   }

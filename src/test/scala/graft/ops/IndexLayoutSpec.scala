@@ -378,6 +378,49 @@ class IndexLayoutSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == keysBefore)
   }
 
+  test("compact round-trip under appends: batches before and after compact survive; probes see the union") {
+    val dir = tmpDir("graft_compactappend_")
+    val base = (1L to 50L).map(i => (i, s"base doc $i")).toDF("doc_id", "text")
+    Dedup.buildExactKeyIndex(base, "text", dir)
+    // fragment the layout the way the streaming sink would: small appends
+    (0 until 3).foreach { b =>
+      val batch = (100L + b * 10 until 100L + b * 10 + 5)
+        .map(i => (i, s"batch $b doc $i")).toDF("doc_id", "text")
+      Dedup.appendExactKeys(spark, batch, "text", dir)
+    }
+    val keysBefore = spark.read.parquet(s"$dir/keys")
+      .as[String].collect().toSet
+    // a stale dir_compact_old stranded by an interrupted earlier run must
+    // be cleared, not fatal
+    new java.io.File(s"$dir/keys_compact_old").mkdirs()
+    IndexMaintenance.compact(spark, s"$dir/keys", None)
+    assert(!new java.io.File(s"$dir/keys_compact_old").exists(),
+      "compact must clean up the aside copy")
+    assert(IndexMaintenance.dataFileCount(spark, s"$dir/keys") == 1)
+    // a sink appending AFTER compact (resumed stream): nothing lost
+    val late = (200L to 204L).map(i => (i, s"late doc $i")).toDF("doc_id", "text")
+    Dedup.appendExactKeys(spark, late, "text", dir)
+    val keysAfter = spark.read.parquet(s"$dir/keys")
+      .as[String].collect().toSet
+    assert(keysBefore.subsetOf(keysAfter) && keysAfter.size == keysBefore.size + 5,
+      s"post-compact append lost rows: ${keysBefore.size} -> ${keysAfter.size}")
+    // probes see the UNION of pre-compact, appended, and post-compact keys;
+    // the probe batch carries its own `key` column to pin the reserved
+    // _idx_key join (a user column named `key` must not be ambiguous)
+    val probe = Seq(
+      (1L, "base doc 1"), (102L, "batch 0 doc 102"),
+      (200L, "late doc 200"), (999L, "brand new")
+    ).toDF("doc_id", "text").withColumn("key", col("doc_id").cast("string"))
+    val admitted = Dedup.exactDedupAgainstIndex(spark, probe, "text", dir)
+    assert(admitted.columns.toSeq == Seq("doc_id", "text", "key"),
+      "screen must preserve the caller's schema, including a `key` column")
+    assert(admitted.select("doc_id").as[Long].collect().toSet == Set(999L),
+      "probe must reject every key admitted before, between, or after compacts")
+    // a second compact over the appended layout keeps everything
+    IndexMaintenance.compact(spark, s"$dir/keys", None)
+    assert(spark.read.parquet(s"$dir/keys").as[String].collect().toSet == keysAfter)
+  }
+
   test("ivfTopK setup is one driver job (seed sample + query vector unioned)") {
     val sc = spark.sparkContext
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
