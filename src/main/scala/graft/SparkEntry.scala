@@ -189,6 +189,7 @@ object SparkEntry {
     "q58_token_budget_sample" -> tokenBudgetSampleSql,
     "q59_quantized_topk" -> quantizedTopKSql,
     "q49_dup_span_frac" -> dupSpanFracSql,
+    "q88_excise_spans" -> exciseSpansSql,
     "q51_repetition_signals" -> repetitionSignalsSql,
     "q52_pack" ->
       """WITH d AS (SELECT doc_id, source,
@@ -1132,6 +1133,38 @@ object SparkEntry {
        |  CAST(CASE WHEN CAST(n_shared AS DOUBLE) / n_spans < 0.5
        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** q88 oracle: the span-excision rebuild in SQL — 8-word-gram md5s
+    * with 1-based starts, (distinct-doc count, min-doc keeper) per gram,
+    * positions covered by a shared gram in a non-keeper doc, and the
+    * kept-word concatenation in position order (single-space re-join,
+    * matching the engine's documented whitespace normalization).
+    */
+  private def exciseSpansSql: String =
+    """WITH d AS (SELECT doc_id,
+      |             LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+      |           FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id, i AS st, MD5(ARRAY_TO_STRING(t[i:i+7], ' ')) AS gh
+      |      FROM d, UNNEST(CASE WHEN LEN(t) >= 8
+      |                          THEN RANGE(1, LEN(t) - 6) ELSE [] END) AS u(i)),
+      |s AS (SELECT gh, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
+      |      FROM g GROUP BY gh),
+      |ex AS (SELECT DISTINCT g.doc_id, g.st + o AS pos
+      |       FROM g JOIN s USING (gh), UNNEST(RANGE(0, 8)) AS v(o)
+      |       WHERE s.nd >= 2 AND g.doc_id <> s.keeper),
+      |exa AS (SELECT doc_id, COUNT(*) AS n_ex FROM ex GROUP BY doc_id),
+      |wp AS (SELECT d.doc_id, t[p] AS word, p
+      |       FROM d, UNNEST(RANGE(1, LEN(t) + 1)) AS u(p)),
+      |kept AS (SELECT wp.doc_id, wp.word, wp.p
+      |         FROM wp LEFT JOIN ex ON ex.doc_id = wp.doc_id AND ex.pos = wp.p
+      |         WHERE ex.pos IS NULL),
+      |ct AS (SELECT doc_id, STRING_AGG(word, ' ' ORDER BY p) AS clean_text
+      |       FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(ct.clean_text, '') AS clean_text,
+      |  CAST(LEN(t) AS BIGINT) AS n_words,
+      |  CAST(COALESCE(exa.n_ex, 0) AS BIGINT) AS n_excised
+      |FROM d LEFT JOIN ct USING (doc_id) LEFT JOIN exa USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** q51 oracle: per-doc n-gram multiplicity profile via explode +
     * group-count — the shuffle twin of the row-local NgramRepetition

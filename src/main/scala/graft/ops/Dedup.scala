@@ -701,6 +701,71 @@ object Dedup {
         when(col("n_shared") / col("n_spans") < dupThreshold, 1L)
           .otherwise(0L).as("keep"))
 
+  /** Span EXCISION — the dedup ACTION [[dupSpanFrac]] only measures:
+    * rewrite each document with its cross-doc duplicated word spans
+    * removed, keeping every span in exactly ONE document (Lee et al.
+    * '21 "Deduplicating Training Data Makes Language Models Better" —
+    * remove all but one occurrence of a duplicated span).
+    *
+    * Semantics, chosen deterministic so a SQL oracle can rebuild the
+    * result bit-for-bit:
+    *  - tokens are the single-space word split (the engine's q35/q58
+    *    convention); output text re-joins kept words with single
+    *    spaces, so whitespace is normalized — documented, like petl's
+    *    all-string CSV semantics;
+    *  - a span is `w` consecutive words; two docs share a span when
+    *    their w-gram md5s collide;
+    *  - the KEEPER of a shared span is the lowest doc_id containing
+    *    it; every occurrence in every other doc is excised (a word
+    *    survives only if NO duplicated w-gram covers it);
+    *  - docs with < w words have no spans and pass through (normalized)
+    *    — they can still be exact/near-dup screened by [[exact]]/
+    *    [[minHashLsh]], which is the right tool at that length.
+    *
+    * Scale shape: w-gram volume ∝ corpus words (same as [[shingles]]);
+    * ONE exchange on the md5 gram key feeds the distinct + (count, min)
+    * aggregation; the stats join back to occurrences is linear (one
+    * stats row per gram — never a doc×doc pair term, so a boilerplate
+    * gram in 100k docs costs 100k rows, not 100k²); excised positions
+    * explode bounded by w × duplicated occurrences; the per-doc
+    * position set is bounded by document length (the same per-doc
+    * bound as [[Packing.pack]]'s shard state). No windows, no
+    * collect(), no cross joins.
+    */
+  def exciseDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     w: Int = 8): DataFrame = {
+    val docs = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("_words"))
+    // (doc, 1-based start, gram md5) — empty for docs shorter than w
+    // (sequence() with start > stop counts DOWN, hence the guard)
+    val grams = docs
+      .select(col("doc_id"), posexplode(
+        when(size(col("_words")) >= w,
+          expr(s"transform(sequence(1, size(_words) - ${w - 1}), " +
+            s"i -> md5(concat_ws(' ', slice(_words, i, $w))))"))
+          .otherwise(expr("cast(array() as array<string>)"))
+      ).as(Seq("_p0", "gh")))
+      .select(col("doc_id"), (col("_p0") + 1).as("start"), col("gh"))
+    // grams held by ≥2 docs, with the keeper (min doc_id) attached
+    val stats = grams.select(col("gh"), col("doc_id")).distinct()
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("_nd"), min(col("doc_id")).as("_keeper"))
+      .filter(col("_nd") >= 2)
+    // word positions covered by a duplicated gram in a non-keeper doc
+    val exPos = grams.join(stats, "gh")
+      .filter(col("doc_id") =!= col("_keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("_ex"))
+    docs.join(exPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", expr("filter(_words, (x, i) -> NOT array_contains(" +
+          "coalesce(_ex, cast(array() as array<int>)), i + 1))")).as("clean_text"),
+        size(col("_words")).cast("bigint").as("n_words"),
+        coalesce(size(col("_ex")), lit(0)).cast("bigint").as("n_excised"))
+  }
+
   /** Exact all-pairs n-gram Jaccard ≥ threshold via the shingle inverted
     * index (no LSH screen — the verifier itself, exposed as an operator).
     * ONE self-join: the per-(d1,d2) match count from the inverted index IS

@@ -216,6 +216,14 @@ object Extensions {
     Dedup.dupSpanFrac(t(s, d, "documents"), "doc_id", "text", k = 8, t = 16)
       .orderBy(col("doc_id"))
 
+  // q88 span EXCISION — the dedup ACTION q49 only measures: every
+  // cross-doc duplicated 8-word span is removed from all docs but its
+  // lowest-id keeper; output is the rewritten corpus (whitespace
+  // normalized by the documented single-space re-join).
+  val q88_excise_spans: Q = (s, d) =>
+    Dedup.exciseDupSpans(t(s, d, "documents"), "doc_id", "text", w = 8)
+      .orderBy(col("doc_id"))
+
   // q50 Bloom-prefiltered decontamination: row-identical to the exact
   // overlap (no false negatives + exact verify join), but the corpus
   // shuffles only Bloom survivors — the broadcast runtime-filter shape.
@@ -688,5 +696,6 @@ object Extensions {
     "q84_semantic_contamination" -> q84_semantic_contamination,
     "q85_bm25_join" -> q85_bm25_join,
     "q86_retrieval_decontaminate" -> q86_retrieval_decontaminate,
-    "q87_curriculum_sample" -> q87_curriculum_sample)
+    "q87_curriculum_sample" -> q87_curriculum_sample,
+    "q88_excise_spans" -> q88_excise_spans)
 }

@@ -548,6 +548,44 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("exciseDupSpans: a shared passage is excised from exactly one of two docs") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta" // exactly w=8 words
+    val docs = Seq(
+      (1L, s"one two three $passage four five six seven"),
+      (2L, s"$passage completely different tail words here now then"),
+      (3L, "unique document with no shared span content at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exciseDupSpans(docs, "doc_id", "text", w = 8)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // the keeper (lowest doc_id) keeps the passage verbatim
+    assert(out(1L)._2 == s"one two three $passage four five six seven" &&
+      out(1L)._4 == 0L, s"keeper must be untouched: ${out(1L)}")
+    // the non-keeper loses exactly the 8 shared words, nothing else
+    assert(out(2L)._2 == "completely different tail words here now then",
+      s"non-keeper must lose the shared span only: ${out(2L)}")
+    assert(out(2L)._3 == 15L && out(2L)._4 == 8L)
+    // a doc with no shared span passes through
+    assert(out(3L)._2 == "unique document with no shared span content at all" &&
+      out(3L)._4 == 0L)
+    // overlapping duplicated grams excise the UNION of covered positions:
+    // a 9-word shared passage = two overlapping 8-grams, 9 words removed
+    val nine = passage + " iota"
+    val o2 = Dedup.exciseDupSpans(Seq(
+        (10L, s"$nine left tail padding words making doc long"),
+        (20L, s"right padded intro then $nine closing words end"))
+        .toDF("doc_id", "text"), "doc_id", "text", w = 8)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(o2(10L)._4 == 0L, "lowest id keeps the passage")
+    assert(o2(20L)._2 == "right padded intro then closing words end" &&
+      o2(20L)._4 == 9L, s"overlapping spans must excise their union: ${o2(20L)}")
+    // short docs (< w words) and irregular whitespace pass through normalized
+    val o3 = Dedup.exciseDupSpans(
+      Seq((30L, "tiny  doc   with\tfew words")).toDF("doc_id", "text"),
+      "doc_id", "text", w = 8)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(o3._2 == "tiny doc with\tfew words" && o3._4 == 0L)
+  }
+
   test("repetitionSignals: degenerate repetition flagged, diverse text low") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
