@@ -92,6 +92,39 @@ object TextAnalysis {
         col("_c.ws_tokens").as("ws_tokens"),
         col("_c.bpe_tokens").as("bpe_tokens"))
 
+  /** The pluggable tokenizer seam for every token-count CONSUMER in the
+    * engine ([[Sampling.tokenBudgetFracs]] budgets, [[Packing.pack]]
+    * offsets, …): those operators take a LONG count COLUMN, never a
+    * tokenizer — so a real BPE count computed offline (or by any future
+    * tokenizer expression) flows in as plain data, and whitespace is
+    * only the default, not a baked-in assumption. This factory covers
+    * the built-in approximations:
+    *
+    *  - `"ws"`     — whitespace tokens (the q35/q58 convention; default)
+    *  - `"bpe"`    — the BPE-ish pre-tokenizer proxy (maximal letter
+    *                 runs, digit runs, single non-alphanumerics — q35's
+    *                 second column, same one-pass DFA)
+    *  - `"chars4"` — ceil(chars/4), the classic quick BPE estimate when
+    *                 text is cheap to length but expensive to tokenize
+    *
+    * All three are codegen'd projections; nulls propagate (consumers
+    * filter or coalesce per their own null contract).
+    */
+  def tokenCountColumn(text: Column, tokenizer: String = "ws"): Column =
+    tokenizer match {
+      case "ws" =>
+        graft.functions.VectorFunctions.tokenCountsStruct(text)
+          .getField("ws_tokens")
+      case "bpe" =>
+        graft.functions.VectorFunctions.tokenCountsStruct(text)
+          .getField("bpe_tokens")
+      case "chars4" =>
+        ceil(length(text).cast("double") / 4.0).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"unknown tokenizer '$other' (ws | bpe | chars4); for a real BPE, " +
+          "precompute a count column and pass it to the consumer directly")
+    }
+
   /** Corpus vocabulary: whitespace-token → frequency over the whole
     * corpus, `minCount` floor, deterministic top-`topN` (count desc, then
     * token) — the tokenizer-training / vocab-audit primitive.

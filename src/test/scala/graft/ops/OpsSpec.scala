@@ -384,6 +384,39 @@ class OpsSpec extends SparkSpec {
       s"upsampled token mass should approximate the budget, got $mass")
   }
 
+  test("token counts are pluggable: budgets and packing follow any precomputed count column") {
+    val docs = Seq(
+      (1L, "web", "short text here"),
+      (2L, "web", "a considerably longer document body with many more words in it"),
+      (3L, "books", "mid sized line of words"))
+      .toDF("doc_id", "src", "text")
+    val counted = docs
+      .withColumn("ws_n", TextAnalysis.tokenCountColumn(col("text")))
+      .withColumn("bpe_n", TextAnalysis.tokenCountColumn(col("text"), "bpe"))
+      .withColumn("c4_n", TextAnalysis.tokenCountColumn(col("text"), "chars4"))
+    val r = counted.select("doc_id", "ws_n", "bpe_n", "c4_n")
+      .as[(Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._2 == 3L, s"ws count: ${r(1L)}")
+    assert(r(1L)._4 == math.ceil("short text here".length / 4.0).toLong)
+    assert(r(1L)._3 >= r(1L)._2, "bpe proxy is at least the whitespace count")
+    // budgets resolve against the SUPPLIED column, not whitespace
+    val fr = Sampling.tokenBudgetFracs(counted, "src", "c4_n",
+      Map("web" -> 1000000L, "books" -> 3L))
+    assert(fr("web") == 1.0)
+    assert(math.abs(fr("books") - 3.0 / r(3L)._4) < 1e-9,
+      s"books fraction must follow the chars4 totals: ${fr("books")}")
+    // packing offsets are running sums of the supplied counts
+    val packed = Packing.pack(counted, "doc_id", "bpe_n", "src", seqLen = 8)
+      .select("doc_id", "start_off").as[(Long, Long)].collect().toMap
+    assert(packed(1L) == 0L && packed(3L) == 0L)
+    assert(packed(2L) == r(1L)._3,
+      s"doc 2 must start where doc 1's bpe count ends: $packed")
+    // unknown tokenizers are rejected with the precompute guidance
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tokenCountColumn(col("text"), "gpt9")
+    }
+  }
+
   test("exactDedupAgainstIndex: Bloom-cleared and verified rows, nulls admitted, corpus never shuffled") {
     val corpus = Seq(
       (2L, "shared content already ingested"),
