@@ -219,6 +219,104 @@ class SqlRegistrySpec extends SparkSpec {
     assert(lines.tail == expected.toList)
   }
 
+  test("db-csv task: the FULL q74 cleaning pass composed in pushed SQL (query file + params)") {
+    val wd = tmpDir("graft_sqlreg_clean_")
+    Seq("input", "output", "log").foreach(d => Files.createDirectories(Paths.get(s"$wd/$d")))
+    // planted corpus: 1≡2 exact dups (min-id rep keeps 1), 3 junk quality,
+    // 4 clean — so every screen decides at least one row
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW clean_docs AS
+        |SELECT * FROM VALUES
+        |  (1, 'the quick brown fox jumps over the lazy dog and runs far away from home today'),
+        |  (2, 'the quick brown fox jumps over the lazy dog and runs far away from home today'),
+        |  (3, 'aa aa aa aa'),
+        |  (4, 'one of the best ways to learn something new is to teach it to a friend')
+        |AS t(doc_id, text)
+        |""".stripMargin)
+    // the whole q74 keep-table — exact-dedup representative, span
+    // pressure, quality floor, conjunction — as ONE SQL statement pushed
+    // through the internal connection (reference surface: task source =
+    // engine SQL), with the quality floor as a {param}
+    Files.writeString(Paths.get(s"$wd/input/clean.sql"),
+      """WITH d AS (SELECT doc_id, text FROM clean_docs WHERE text IS NOT NULL),
+        |reps AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)),
+        |wc AS (SELECT doc_id, count(*) OVER (PARTITION BY fp) AS dfc
+        |       FROM (SELECT doc_id, explode(graft_winnow(text, 8, 16)) AS fp FROM d)),
+        |spanf AS (SELECT doc_id,
+        |            CASE WHEN sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) / count(*) < 0.5
+        |                 THEN 1 ELSE 0 END AS keep_span
+        |          FROM wc GROUP BY doc_id),
+        |qual AS (SELECT doc_id,
+        |           CASE WHEN round(0.4 * least(1.0, p.n_tokens / 25.0)
+        |                        + 0.4 * (cast(p.n_distinct AS double) / p.n_tokens)
+        |                        + 0.2 * (cast(p.hits[0] AS double) / p.n_tokens), 4)
+        |                     >= {min_quality}
+        |                THEN 1 ELSE 0 END AS keep_quality
+        |         FROM (SELECT doc_id, graft_token_profile(text, 'en') AS p FROM d))
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS keep_exact,
+        |  CAST(COALESCE(f.keep_span, 1) AS BIGINT) AS keep_span,
+        |  CAST(COALESCE(q.keep_quality, 0) AS BIGINT) AS keep_quality,
+        |  CAST(CASE WHEN r.doc_id IS NOT NULL AND COALESCE(f.keep_span, 1) = 1
+        |            AND COALESCE(q.keep_quality, 0) = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM d
+        |LEFT JOIN reps r ON r.doc_id = d.doc_id
+        |LEFT JOIN spanf f ON f.doc_id = d.doc_id
+        |LEFT JOIN qual q ON q.doc_id = d.doc_id
+        |ORDER BY d.doc_id;
+        |""".stripMargin)
+    val taskFile = s"$wd/task.json"
+    Files.writeString(Paths.get(taskFile),
+      s"""{"connections": [{"name": "cat", "driver": "Spark"}],
+         | "tasks": [{
+         |  "type": "db-csv", "name": "clean",
+         |  "source": {"connection": "cat", "query": "clean.sql",
+         |             "path": "$wd/input",
+         |             "params": {"min_quality": "0.5"}},
+         |  "target": {"file": "clean.csv", "truncate": true, "delimiter": ","}
+         |}]}""".stripMargin)
+    TaskRunner.runFile(taskFile, spark, wd, TaskLog.Silent)
+    val lines = Files.readString(Paths.get(s"$wd/output/clean.csv"))
+      .trim.linesIterator.toList
+    assert(lines.head == "doc_id,keep_exact,keep_span,keep_quality,keep")
+    // oracle: the typed q74 composition (the exact operators the
+    // standalone queries check) over the same view
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val docs = spark.table("clean_docs").where(col("text").isNotNull)
+    val reps = graft.ops.Dedup.exact(docs, "doc_id", "text")
+      .select(col("doc_id"), lit(1L).as("keep_exact"))
+    val span = graft.ops.Dedup.dupSpanFrac(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep").as("keep_span"))
+    val qual = graft.ops.TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        when(col("quality") >= 0.5, 1L).otherwise(0L).as("keep_quality"))
+    val expected = docs.select(col("doc_id"))
+      .join(reps, Seq("doc_id"), "left")
+      .join(span, Seq("doc_id"), "left")
+      .join(qual, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keep_exact"), lit(0L)).as("keep_exact"),
+        coalesce(col("keep_span"), lit(1L)).as("keep_span"),
+        coalesce(col("keep_quality"), lit(0L)).as("keep_quality"))
+      .withColumn("keep",
+        (col("keep_exact") === 1 && col("keep_span") === 1 &&
+          col("keep_quality") === 1).cast("long"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (0 until 5).map(r.get).mkString(","))
+    assert(lines.tail == expected.toList,
+      s"pushed-SQL cleaning pass must match the typed q74 composition:\n${lines.tail}\nvs\n${expected.toList}")
+    // every screen actually fired: doc 1 is the exact-rep (keep_exact 1)
+    // but, being a FULL copy, fails the span screen like its twin (both
+    // span-drop — q74 semantics); doc 2 additionally loses rep status;
+    // doc 3 drops on quality; doc 4 passes all three
+    val rows = lines.tail.map(_.split(",").map(_.toLong))
+      .map(a => a(0) -> (a(1), a(2), a(3), a(4))).toMap
+    assert(rows(1L) == ((1L, 0L, 1L, 0L)), s"doc 1: ${rows(1L)}")
+    assert(rows(2L) == ((0L, 0L, 1L, 0L)), s"doc 2: ${rows(2L)}")
+    assert(rows(3L)._3 == 0L && rows(3L)._4 == 0L, s"doc 3: ${rows(3L)}")
+    assert(rows(4L) == ((1L, 1L, 1L, 1L)), s"doc 4: ${rows(4L)}")
+  }
+
   test("db-csv task: internal-catalog source SQL calls extension functions") {
     val wd = tmpDir("graft_sqlreg_")
     Seq("input", "output", "log").foreach(d => Files.createDirectories(Paths.get(s"$wd/$d")))
