@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-proof for the retrieval family (q75 tfidf / q76 bm25 / q85
+  * bm25Join / q86 retrievalDecontaminate) on a ZIPFIAN corpus at
+  * sf1-equivalent volume — the shape the per-round sf0.1 bench cannot
+  * exercise: its fixture has a ~200-token vocabulary, which makes the
+  * query-vocab semi-join prefilter a no-op and hides hot-token skew
+  * entirely (round-6 verdict: the family's 100 TB story was asserted,
+  * not measured).
+  *
+  * The corpus is synthesized in-plan: per (doc, slot), a deterministic
+  * xxhash64-seeded uniform drives the bounded-Pareto inverse CDF
+  *
+  *   rank(u) = (1 − u + u·V^(1−s))^(1/(1−s)),  s = 1.1, V = vocab size
+  *
+  * — the continuous Zipf(1.1) approximation, so token 't1' lands in
+  * nearly every document (the stopword-grade degenerate case the
+  * round-6 verdict flagged for the df computation).
+  *
+  * Measurements:
+  *
+  *  1. **df microbench** — the contested operation in isolation, on the
+  *     (doc, token, tf) posting table: the ROUND-6 form (count window
+  *     partitioned by token: every posting of 't1' on ONE reducer,
+  *     unsplittable) vs the ROUND-7 form (two-level map-side-combined
+  *     groupBy + join-back: partial rows per (mapper, token), AQE
+  *     broadcast/skew-splittable). Plus the hottest token's posting
+  *     count as the skew witness.
+  *  2. **End-to-end family** — tfidf, bm25 (hot + rare terms in one
+  *     bag), bm25Join and retrievalDecontaminate against a
+  *     decontamination-sized benchmark drawn from the same
+  *     distribution (so query bags contain hot tokens).
+  *
+  * Output: one compact JSON line on stdout (the [[Bench]] discipline);
+  * recorded in BASELINE.md's retrieval section.
+  */
+object RetrievalBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_DOCS", "75000").toLong
+    val vocab = sys.env.getOrElse("SPARK_GRAFT_VOCAB", "50000").toInt
+    val docLen = sys.env.getOrElse("SPARK_GRAFT_DOCLEN", "200").toInt
+    val nQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "500").toLong
+    val qLen = 20
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def fmt(d: Double): String =
+      BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
+    // Zipf(1.1) token for (id, slot, salt): bounded-Pareto inverse CDF
+    // over ranks 1..V, driven by a deterministic per-slot uniform.
+    val s = 1.1
+    def zipfTokens(idCol: String, len: Int, salt: Int): org.apache.spark.sql.Column = {
+      val vPow = math.pow(vocab.toDouble, 1.0 - s) // V^(1-s) < 1
+      expr(
+        s"""transform(sequence(1, $len), j ->
+           |  concat('t', cast(pow(
+           |    1.0d - (pmod(xxhash64($idCol, j, $salt), 1000000000L) / 1.0e9d)
+           |         * (1.0d - ${vPow}d),
+           |    ${1.0 / (1.0 - s)}d) as bigint)))""".stripMargin)
+    }
+
+    val corpus = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", zipfTokens("id", docLen, 1)).as("text"))
+      .repartition(cpus.toInt)
+      .localCheckpoint(true)
+    val benchmark = spark.range(nQueries)
+      .select(col("id").as("q_id"),
+        concat_ws(" ", zipfTokens("id", qLen, 2)).as("q_text"))
+      .localCheckpoint(true)
+    corpus.count(); benchmark.count()
+
+    // ── 1. df microbench on the posting table ────────────────────────
+    val tf = corpus
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val nPostings = tf.count()
+    // skew witness: the hottest token's document frequency
+    val hot = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc).limit(1).collect()(0)
+    val (dfWindow, tDfWindow) = time {
+      tf.withColumn("_df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
+        .agg(sum(col("_df"))).collect()(0).getLong(0)
+    }
+    val (dfTwoLevel, tDfTwoLevel) = time {
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+      tf.join(dfreq, "token")
+        .agg(sum(col("_df"))).collect()(0).getLong(0)
+    }
+    assert(dfWindow == dfTwoLevel,
+      s"df forms must agree: window=$dfWindow twoLevel=$dfTwoLevel")
+
+    // ── 2. end-to-end family ─────────────────────────────────────────
+    def run(df: DataFrame): Double =
+      time(df.write.format("noop").mode("overwrite").save())._2
+    val tTfidf = run(graft.ops.TextAnalysis.tfidf(corpus, "doc_id", "text"))
+    // hot (t1, t3) + mid + rare terms in one bag
+    val tBm25 = run(graft.ops.TextAnalysis.bm25(corpus, "doc_id", "text",
+      queryTerms = Seq("t1", "t3", "t120", "t9999")))
+    val tJoin = run(graft.ops.TextAnalysis.bm25Join(corpus, "doc_id", "text",
+      benchmark, "q_id", "q_text"))
+    // the hot-term throttle: stopword-grade terms (df > N/2 — the ~14
+    // hottest ranks of this Zipf) dropped after df; surviving weights
+    // bit-identical. Time + top-10 agreement with the exact join.
+    val tJoinCap = run(graft.ops.TextAnalysis.bm25Join(corpus, "doc_id", "text",
+      benchmark, "q_id", "q_text", maxDfFrac = 0.5))
+    val exactTop = graft.ops.TextAnalysis.bm25Join(corpus, "doc_id", "text",
+        benchmark, "q_id", "q_text")
+      .select(col("q_id"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedTop = graft.ops.TextAnalysis.bm25Join(corpus, "doc_id", "text",
+        benchmark, "q_id", "q_text", maxDfFrac = 0.5)
+      .select(col("q_id"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exactTop & cappedTop).size.toDouble / exactTop.size
+    val tDecon = run(graft.ops.TextAnalysis.retrievalDecontaminate(
+      corpus, "doc_id", "text", benchmark, "q_id", "q_text"))
+
+    println(
+      s"""{"bench":"retrieval_zipf","n_docs":$nDocs,"vocab":$vocab,""" +
+      s""""doc_len":$docLen,"n_queries":$nQueries,"n_postings":$nPostings,""" +
+      s""""hot_token":"${hot.getString(0)}","hot_df":${hot.getLong(1)},""" +
+      s""""df_window_s":${fmt(tDfWindow)},"df_two_level_s":${fmt(tDfTwoLevel)},""" +
+      s""""tfidf_s":${fmt(tTfidf)},"bm25_s":${fmt(tBm25)},""" +
+      s""""bm25_join_s":${fmt(tJoin)},"bm25_join_capped_s":${fmt(tJoinCap)},""" +
+      s""""capped_top10_overlap":${fmt(overlap)},""" +
+      s""""decontaminate_s":${fmt(tDecon)}}""")
+    spark.stop()
+  }
+}

@@ -273,9 +273,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val n = df.where(col(textCol).isNotNull)
       .agg(count(lit(1)).as("_n"))
-    val scored = tf
-      .withColumn("_df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
+    // df as a TWO-LEVEL aggregate + join-back, NOT a token-partitioned
+    // count window: a window puts every posting of a stopword-grade
+    // token on ONE reducer (unsplittable by construction), while the
+    // groupBy's map-side partial combine shuffles one row per (mapper,
+    // token) and the join back is AQE-broadcastable (vocab-bounded) or
+    // skew-splittable — the Zipfian-corpus bench measures the difference
+    // (BASELINE.md retrieval section). Same value: df = tf rows per token.
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    val scored = tf.join(dfreq, "token")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"),
         round(col("tf").cast("double") *
@@ -384,20 +390,34 @@ object TextAnalysis {
     * query sets AQE broadcasts it, and a corpus-scale query side (whose
     * vocabulary approaches the corpus's) degrades to a shuffle
     * semi-join instead of materializing an unbounded vocab in memory.
-    * df per term is a count window on the tf table's token key — its
-    * own exchange, like [[tfidf]]'s (valid because the live key count
-    * is the query vocab, not ≤|terms| of one bag); the per-posting
+    * df per term is a two-level map-side-combined aggregate joined
+    * back onto the postings (like [[tfidf]]'s — never a token-
+    * partitioned window, whose per-key partitions are unsplittable
+    * and funnel a hot term's postings onto one reducer); the per-posting
     * weight (a pure function of tf/df/dl, NOT of the query) is computed
     * ONCE per posting before the join, so the inverted-index equi-join
     * (query terms × posting rows) carries one precomputed double and
     * the (query, doc) aggregation just sums — the fan-out rows never
     * re-evaluate the scoring arithmetic; N/avgdl are a 1-row broadcast;
     * the per-query cut is a window over the query key.
+    *
+    * `maxDfFrac` is the hot-term throttle the Zipfian bench motivates
+    * (BASELINE.md retrieval section): a stopword-grade query term
+    * matches nearly EVERY document, so its postings × queries fan-out
+    * dominates the join (df × |queries containing it| rows) while its
+    * Lucene idf ≈ log₂(1 + ~0) contributes ≈ nothing to any score.
+    * Postings with df > maxDfFrac·N are dropped AFTER df is computed,
+    * so every surviving term's weight is bit-identical to the exact
+    * form — the cut changes a doc's score by at most the dropped
+    * terms' near-zero idf mass. Default 1.0 = exact (the oracle-checked
+    * q85/q86 path, plan untouched).
     */
   def bm25Join(df: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qidCol: String, qtextCol: String,
                k1: Double = 1.2, b: Double = 0.75,
-               topN: Int = 10): DataFrame = {
+               topN: Int = 10, maxDfFrac: Double = 1.0): DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1]: $maxDfFrac")
     val qterms = queries.where(col(qtextCol).isNotNull)
       .select(col(qidCol).as("q_id"),
         explode(expr(s"filter(split($qtextCol, ' '), x -> x <> '')"))
@@ -406,11 +426,21 @@ object TextAnalysis {
     val qvocab = qterms.select(col("token")).distinct()
     val toks = bm25Toks(df, idCol, textCol)
     val stats = bm25Stats(toks)
-    val tf = bm25Tf(toks, _.join(qvocab, Seq("token"), "left_semi"))
-      .withColumn("_df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
-    val postings = tf
-      .crossJoin(broadcast(stats))
+    // df via two-level aggregate + join-back (see [[tfidf]]): the former
+    // token-partitioned count window was the family's one uncapped
+    // hot-token funnel — a stopword-grade query term put ALL its
+    // postings on one reducer. The tf exchange is shared by both
+    // branches (ReusedExchange); dfreq is query-vocab-bounded and
+    // hint-free like the semi-join, for the same corpus-scale reason.
+    val tf0 = bm25Tf(toks, _.join(qvocab, Seq("token"), "left_semi"))
+    val dfreq = tf0.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    val tf = tf0.join(dfreq, "token")
+    val withStats = tf.crossJoin(broadcast(stats))
+    val capped = if (maxDfFrac < 1.0)
+      withStats.where(col("_df").cast("double") <=
+        lit(maxDfFrac) * col("_n").cast("double"))
+    else withStats
+    val postings = capped
       .select(col("doc_id"), col("token"), okapiWeight(k1, b).as("_s"))
     val scored = qterms.join(postings, "token")
       .groupBy(col("q_id"), col("doc_id"))

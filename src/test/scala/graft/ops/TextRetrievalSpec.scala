@@ -82,6 +82,38 @@ class TextRetrievalSpec extends SparkSpec {
     assert(byQ(3L) == Seq(3L), "no other doc shares query 3's terms")
   }
 
+  test("bm25Join maxDfFrac drops stopword-grade postings, keeps surviving weights exact") {
+    // 'the' is in every doc (df = 4 = N); discriminative terms are rare
+    val docs = Seq(
+      (1L, "the alpha beta"),
+      (2L, "the alpha delta"),
+      (3L, "the epsilon zeta"),
+      (4L, "the unrelated words")).toDF("doc_id", "text")
+    val queries = docs.where(col("doc_id") === 1L)
+    val exact = TextAnalysis.bm25Join(docs, "doc_id", "text",
+        queries, "doc_id", "text", topN = 4)
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    val capped = TextAnalysis.bm25Join(docs, "doc_id", "text",
+        queries, "doc_id", "text", topN = 4, maxDfFrac = 0.9)
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    // 'the' (df/N = 1 > 0.9) is cut; its Lucene idf = log2(1 + 0.5/4.5)
+    // is the ONLY delta — docs sharing real terms shift by exactly that
+    // mass, and doc 4 (only 'the' in common) drops out entirely
+    assert(!capped.contains(4L), "stopword-only match must vanish under the cap")
+    assert(exact.contains(4L), "exact form keeps the stopword-only match")
+    val theIdf = math.log(1.0 + (4.0 - 4.0 + 0.5) / (4.0 + 0.5)) / math.log(2.0)
+    Seq(1L, 2L).foreach { d =>
+      val delta = exact(d) - capped(d)
+      assert(math.abs(delta / theIdf - 1.0) < 0.15,
+        s"doc $d: capped score must differ by ~the stopword's idf mass " +
+          s"(delta $delta vs idf-scale $theIdf)")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Join(docs, "doc_id", "text", queries, "doc_id", "text",
+        maxDfFrac = 0.0)
+    }
+  }
+
   test("retrieval decontamination drops benchmark hits, keeps unrelated docs") {
     val docs = Seq(
       (1L, "alpha beta gamma"),          // the benchmark item itself
