@@ -42,10 +42,19 @@ object XlsReader {
     spark.createDataFrame(spark.sparkContext.parallelize(data.toList), schema)
   }
 
-  /** All cell rows of the selected sheet as strings (dense, null-padded). */
+  /** All cell rows of the selected sheet as strings (dense, null-padded).
+    * Routes by extension: `.xlsx`/`.xlsm` → the [[XlsxReader]] OPC path,
+    * everything else → BIFF8 — one entry point for both formats, so the
+    * `xls-csv` task config is format-agnostic.
+    */
   def readRows(path: String, sheet: Option[String]): Seq[Seq[String]] = {
-    val stream = workbookStream(Files.readAllBytes(Paths.get(path)))
-    parseWorkbook(stream, sheet)
+    val lower = path.toLowerCase
+    if (lower.endsWith(".xlsx") || lower.endsWith(".xlsm"))
+      XlsxReader.readRows(path, sheet)
+    else {
+      val stream = workbookStream(Files.readAllBytes(Paths.get(path)))
+      parseWorkbook(stream, sheet)
+    }
   }
 
   // ---- OLE2 / CFB container ------------------------------------------------
@@ -381,7 +390,7 @@ object XlsReader {
   }
 
   /** Integral doubles print without ".0" — the way a cell displays. */
-  private def fmtNum(d: Double): String =
+  private[sources] def fmtNum(d: Double): String =
     if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
 
@@ -398,7 +407,7 @@ object XlsReader {
     * shape of xlrd's heuristic. Elapsed `[h]:mm` still matches via its
     * `mm` body.
     */
-  private def isDateFormat(ifmt: Int, custom: collection.Map[Int, String]): Boolean =
+  private[sources] def isDateFormat(ifmt: Int, custom: collection.Map[Int, String]): Boolean =
     builtinDateFmts(ifmt) || custom.get(ifmt).exists { f =>
       val sb = new StringBuilder
       var i = 0

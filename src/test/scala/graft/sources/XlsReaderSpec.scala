@@ -301,4 +301,101 @@ class XlsReaderSpec extends SparkSpec {
     Files.write(Paths.get(path), "not an xls".getBytes)
     assertThrows[IllegalArgumentException](XlsReader.readRows(path, None))
   }
+
+  // ── XLSX (OPC) path ──────────────────────────────────────────────────
+
+  private def xlsxFixture(parts: Map[String, String],
+                          suffix: String = ".xlsx"): String = {
+    val f = java.nio.file.Files.createTempFile("graft_xlsx_", suffix)
+    val out = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(f))
+    parts.foreach { case (name, content) =>
+      out.putNextEntry(new java.util.zip.ZipEntry(name))
+      out.write(content.getBytes("UTF-8"))
+      out.closeEntry()
+    }
+    out.close()
+    f.toString
+  }
+
+  private def stdXlsx(date1904: Boolean = false): String = xlsxFixture(Map(
+    "xl/workbook.xml" ->
+      s"""<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+         |  xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+         |  <workbookPr date1904="${if (date1904) "1" else "0"}"/>
+         |  <sheets>
+         |    <sheet name="Data" sheetId="1" r:id="rId1"/>
+         |    <sheet name="Other" sheetId="2" r:id="rId2"/>
+         |  </sheets>
+         |</workbook>""".stripMargin,
+    "xl/_rels/workbook.xml.rels" ->
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |  <Relationship Id="rId1" Target="worksheets/sheet1.xml"/>
+        |  <Relationship Id="rId2" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin,
+    "xl/sharedStrings.xml" ->
+      """<sst><si><t>name</t></si><si><r><t>är</t></r><r><t>ger</t></r></si></sst>""",
+    "xl/styles.xml" ->
+      """<styleSheet>
+        |  <numFmts><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd"/></numFmts>
+        |  <cellXfs>
+        |    <xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/>
+        |  </cellXfs>
+        |</styleSheet>""".stripMargin,
+    "xl/worksheets/sheet1.xml" ->
+      """<worksheet><sheetData>
+        |  <row r="1">
+        |    <c r="A1" t="s"><v>0</v></c>
+        |    <c r="B1" t="inlineStr"><is><t>qty</t></is></c>
+        |    <c r="C1" t="s"><v>0</v></c>
+        |  </row>
+        |  <row r="2">
+        |    <c r="A2" t="s"><v>1</v></c>
+        |    <c r="B2"><v>42</v></c>
+        |    <c r="C2" s="1"><v>45000</v></c>
+        |  </row>
+        |  <row r="3">
+        |    <c r="A3" t="str"><f>X</f><v>cached</v></c>
+        |    <c r="B3" t="b"><v>1</v></c>
+        |    <c r="C3" s="2"><v>0.5</v></c>
+        |  </row>
+        |  <row r="5">
+        |    <c r="C5" t="e"><v>#DIV/0!</v></c>
+        |  </row>
+        |</sheetData></worksheet>""".stripMargin,
+    "xl/worksheets/sheet2.xml" ->
+      """<worksheet><sheetData>
+        |  <row r="1"><c r="A1" t="inlineStr"><is><t>other</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin))
+
+  test("xlsx: shared/inline/formula strings, numbers, bools, errors, sparse rows") {
+    val rows = XlsReader.readRows(stdXlsx(), None)
+    assert(rows(0) == Seq("name", "qty", "name"))
+    assert(rows(1) == Seq("ärger", "42", XlsReader.xlDateString(45000, date1904 = false)),
+      s"shared-string runs concatenate; date style renders: ${rows(1)}")
+    assert(rows(2) == Seq("cached", "true", "12:00:00"),
+      s"formula-cached string, bool, custom-date time-only: ${rows(2)}")
+    assert(rows(3) == Seq(null, null, null), "skipped row is all null")
+    assert(rows(4) == Seq(null, null, "#DIV/0!"), "error cell keeps its display text")
+  }
+
+  test("xlsx: sheet selection by name and index; 1904 epoch honored") {
+    val path = stdXlsx()
+    assert(XlsReader.readRows(path, Some("Other")) == Seq(Seq("other")))
+    assert(XlsReader.readRows(path, Some("1")) == Seq(Seq("other")))
+    assertThrows[IllegalArgumentException](XlsReader.readRows(path, Some("Nope")))
+    val r1904 = XlsReader.readRows(stdXlsx(date1904 = true), None)
+    assert(r1904(1)(2) == XlsReader.xlDateString(45000, date1904 = true))
+    assert(r1904(1)(2) != XlsReader.readRows(path, None)(1)(2),
+      "1904 epoch must shift the rendered date")
+  }
+
+  test("xlsx: read() routes by extension into the same all-string DataFrame contract") {
+    val df = XlsReader.read(spark, stdXlsx(), None)
+    assert(df.columns.length == 3)
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.count() == 4)
+    val bad = xlsxFixture(Map("nope.txt" -> "x"))
+    assertThrows[IllegalArgumentException](XlsReader.readRows(bad, None))
+  }
 }
