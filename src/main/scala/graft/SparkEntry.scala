@@ -269,6 +269,7 @@ object SparkEntry {
     // engines compute df from the same filtered tf table), per-query
     // top-10 by (rounded score, doc)
     "q85_bm25_join" -> bm25JoinSql,
+    "q89_bm25_join_capped" -> bm25JoinCappedSql,
     // q86 oracle: the q85 chain cut at rank 3, resolved to a keep table
     // over ALL documents (null-text docs never rank -> keep)
     "q86_retrieval_decontaminate" -> retrievalDecontaminateSql,
@@ -1341,41 +1342,62 @@ object SparkEntry {
     * query-vocab-restricted corpus tf, Okapi/Lucene-idf scoring, per-
     * (query, doc) rounded sums in `agg`.
     */
-  private def bm25JoinCtes: String =
-    """docs AS (SELECT doc_id,
-      |          list_filter(STRING_SPLIT(text, ' '), x -> x <> '') AS t
-      |        FROM documents WHERE text IS NOT NULL),
-      |q AS (SELECT DISTINCT doc_id AS q_id, UNNEST(t) AS token FROM docs
-      |      WHERE doc_id % 100 = 0),
-      |dl AS (SELECT doc_id, CAST(LEN(t) AS DOUBLE) AS dl FROM docs),
-      |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
-      |tok AS (SELECT doc_id, UNNEST(t) AS token FROM docs),
-      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
-      |       WHERE token IN (SELECT token FROM q)
-      |       GROUP BY 1, 2),
-      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-      |sc AS (SELECT q.q_id, tf.doc_id,
-      |    LOG2(1.0 + (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
-      |               / (CAST(d.df AS DOUBLE) + 0.5)) *
-      |    (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
-      |    (CAST(tf.tf AS DOUBLE) +
-      |      1.2 * ((1.0 - 0.75) + 0.75 * l.dl / s.avgdl)) AS sc
-      |  FROM q JOIN tf ON tf.token = q.token
-      |  JOIN dfreq d ON d.token = q.token
-      |  JOIN dl l ON l.doc_id = tf.doc_id
-      |  CROSS JOIN stats s),
-      |agg AS (SELECT q_id, doc_id, ROUND(SUM(sc), 4) AS score FROM sc
-      |        GROUP BY 1, 2)""".stripMargin
+  /** `maxDfFrac < 1` adds the q89 hot-term cut — postings of terms with
+    * df > frac·N dropped AFTER df (so surviving weights are identical to
+    * the exact chain, mirroring the engine's contract).
+    */
+  private def bm25JoinCtes(maxDfFrac: Double = 1.0): String = {
+    val cap = if (maxDfFrac < 1.0)
+      s" AND CAST(d.df AS DOUBLE) <= $maxDfFrac * CAST(s.n AS DOUBLE)"
+    else ""
+    s"""docs AS (SELECT doc_id,
+       |          list_filter(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+       |        FROM documents WHERE text IS NOT NULL),
+       |q AS (SELECT DISTINCT doc_id AS q_id, UNNEST(t) AS token FROM docs
+       |      WHERE doc_id % 100 = 0),
+       |dl AS (SELECT doc_id, CAST(LEN(t) AS DOUBLE) AS dl FROM docs),
+       |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+       |tok AS (SELECT doc_id, UNNEST(t) AS token FROM docs),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+       |       WHERE token IN (SELECT token FROM q)
+       |       GROUP BY 1, 2),
+       |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT q.q_id, tf.doc_id,
+       |    LOG2(1.0 + (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+       |               / (CAST(d.df AS DOUBLE) + 0.5)) *
+       |    (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+       |    (CAST(tf.tf AS DOUBLE) +
+       |      1.2 * ((1.0 - 0.75) + 0.75 * l.dl / s.avgdl)) AS sc
+       |  FROM q JOIN tf ON tf.token = q.token
+       |  JOIN dfreq d ON d.token = q.token
+       |  JOIN dl l ON l.doc_id = tf.doc_id
+       |  CROSS JOIN stats s
+       |  WHERE 1 = 1$cap),
+       |agg AS (SELECT q_id, doc_id, ROUND(SUM(sc), 4) AS score FROM sc
+       |        GROUP BY 1, 2)""".stripMargin
+  }
 
   private def bm25JoinSql: String =
-    s"""WITH $bm25JoinCtes
+    s"""WITH ${bm25JoinCtes()}
+       |SELECT q_id, doc_id, score FROM agg
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+       |                           ORDER BY score DESC, doc_id) <= 10
+       |ORDER BY q_id, score DESC, doc_id""".stripMargin
+
+  /** q89 oracle: the q85 chain with the hot-term cut at df > 0.8·N —
+    * the fixture's vocabulary is so degenerate (top df/N ≈ 0.80–0.83 in
+    * both sf fixtures) that 0.8 is the fraction where some terms are
+    * cut AND some survive on both, exercising both arms.
+    */
+  private def bm25JoinCappedSql: String =
+    s"""WITH ${bm25JoinCtes(0.8)}
        |SELECT q_id, doc_id, score FROM agg
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
        |                           ORDER BY score DESC, doc_id) <= 10
        |ORDER BY q_id, score DESC, doc_id""".stripMargin
 
   private def retrievalDecontaminateSql: String =
-    s"""WITH $bm25JoinCtes,
+    s"""WITH ${bm25JoinCtes()},
        |ranked AS (SELECT q_id, doc_id FROM agg
        |           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
        |                                      ORDER BY score DESC, doc_id) <= 3),

@@ -279,8 +279,14 @@ object TextAnalysis {
     // groupBy's map-side partial combine shuffles one row per (mapper,
     // token) and the join back is AQE-broadcastable (vocab-bounded) or
     // skew-splittable — the Zipfian-corpus bench measures the difference
-    // (BASELINE.md retrieval section). Same value: df = tf rows per token.
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    // (BASELINE.md retrieval section). Same value: df = tf rows per
+    // token (tf ≥ 1 by construction, so count(tf ≥ 1) = count(*) — the
+    // tf reference exists ONLY so column pruning cannot rewrite this
+    // branch into a distinct with a different subtree; with it, both df
+    // branches share ONE tf exchange and the corpus is scanned once —
+    // plan-pinned by ScaleSafetySpec).
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(when(col("tf") >= 1, true)).as("_df"))
     val scored = tf.join(dfreq, "token")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"),
@@ -433,7 +439,11 @@ object TextAnalysis {
     // branches (ReusedExchange); dfreq is query-vocab-bounded and
     // hint-free like the semi-join, for the same corpus-scale reason.
     val tf0 = bm25Tf(toks, _.join(qvocab, Seq("token"), "left_semi"))
-    val dfreq = tf0.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    // count(tf ≥ 1) = count(*) (tf ≥ 1 by construction): the tf
+    // reference pins this branch to the SAME tf subtree as the join
+    // side so the exchange is reused — see [[tfidf]]
+    val dfreq = tf0.groupBy(col("token"))
+      .agg(count(when(col("tf") >= 1, true)).as("_df"))
     val tf = tf0.join(dfreq, "token")
     val withStats = tf.crossJoin(broadcast(stats))
     val capped = if (maxDfFrac < 1.0)

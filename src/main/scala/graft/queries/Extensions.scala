@@ -493,6 +493,18 @@ object Extensions {
       .orderBy(col("q_id"), col("score").desc, col("doc_id"))
   }
 
+  // q89 the capped form of q85 — maxDfFrac 0.8 drops stopword-grade
+  // postings AFTER df (surviving weights bit-identical; the Zipfian
+  // bench's 3.6× scale lever), oracle-checked so the cut semantics are
+  // pinned cross-engine, not just spec-asserted.
+  val q89_bm25_join_capped: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    TextAnalysis.bm25Join(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 100 === 0), "doc_id", "text",
+        maxDfFrac = 0.8)
+      .orderBy(col("q_id"), col("score").desc, col("doc_id"))
+  }
+
   // q86 retrieval-based decontamination — the third screen beside
   // n-gram overlap (q44) and Bloom-exact (q50): drop corpus docs that
   // rank top-3 for any benchmark item (every-100th doc as benchmark).
@@ -697,5 +709,6 @@ object Extensions {
     "q85_bm25_join" -> q85_bm25_join,
     "q86_retrieval_decontaminate" -> q86_retrieval_decontaminate,
     "q87_curriculum_sample" -> q87_curriculum_sample,
-    "q88_excise_spans" -> q88_excise_spans)
+    "q88_excise_spans" -> q88_excise_spans,
+    "q89_bm25_join_capped" -> q89_bm25_join_capped)
 }

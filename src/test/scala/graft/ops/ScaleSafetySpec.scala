@@ -149,17 +149,20 @@ class ScaleSafetySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("round-6 retrieval family keeps scale shapes: no SMJ in q75/q76/q78/q79, reuse in q77/q80") {
+  test("round-6 retrieval family keeps scale shapes: no SMJ in q76/q78/q79, df reuse in q75, reuse in q77/q80") {
     // The shuffle-minimal claims behind the q75-q84 plan audit, pinned as
-    // regressions: df-counts ride windows (q75), doc length is carried
-    // not joined (q76), the data card and stop-prune never SMJ, and the
-    // shingle/semantic self-joins reuse their repartition exchange.
+    // regressions: doc length is carried not joined (q76), the data card
+    // and stop-prune never SMJ, the shingle/semantic self-joins reuse
+    // their repartition exchange — and q75's df is the round-7 two-level
+    // aggregate + join-back (the SMJ on the token key is DELIBERATE:
+    // unlike the count window it replaced, a join is AQE-skew-splittable;
+    // what's pinned is that both df branches share ONE tf exchange and
+    // no nested-loop appears).
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val d = "/root/testdata/sf0.001"
       Seq(
-        "q75" -> graft.queries.Extensions.q75_tfidf,
         "q76" -> graft.queries.Extensions.q76_bm25,
         "q78" -> graft.queries.Extensions.q78_data_card,
         "q79" -> graft.queries.Extensions.q79_stop_prune
@@ -169,6 +172,22 @@ class ScaleSafetySpec extends SparkSpec {
         val plan = qe.executedPlan.toString
         assert(!plan.contains("SortMergeJoin"),
           s"$name must not plan a relation-to-relation shuffle join:\n$plan")
+      }
+      locally {
+        val qe = graft.queries.Extensions.q75_tfidf(spark, d).queryExecution
+        qe.executedPlan.executeCollect()
+        val plan = qe.executedPlan.toString
+        // the only nested-loop allowed is the documented 1-row corpus-N
+        // broadcast attach (crossJoin(broadcast(n)) — one aggregate row);
+        // count in the FINAL plan only (AQE's toString repeats nodes in
+        // the trailing "== Initial Plan ==" section)
+        val finalPlan = plan.split("== Initial Plan ==")(0)
+        assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size <= 1,
+          s"q75 must not plan a multi-row nested loop:\n$plan")
+        assert(!finalPlan.contains("CartesianProduct"),
+          s"q75 must not plan a cartesian product:\n$plan")
+        assert("ReusedQueryStage|ReusedExchange".r.findAllIn(plan).nonEmpty,
+          s"q75's df branches must share the tf exchange:\n$plan")
       }
       Seq(
         "q77" -> graft.queries.Extensions.q77_containment,
