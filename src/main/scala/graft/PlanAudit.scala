@@ -41,7 +41,8 @@ object PlanAudit {
       "q79_stop_prune", "q80_semdedup", "q81_clean_corpus_multimodal",
       "q82_ivf_cell_profile", "q83_embedding_card",
       "q84_semantic_contamination", "q85_bm25_join",
-      "q86_retrieval_decontaminate", "q87_curriculum_sample")
+      "q86_retrieval_decontaminate", "q87_curriculum_sample",
+      "q88_excise_spans", "q89_bm25_join_capped")
     for (q <- interesting) {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       qe.executedPlan.executeCollect()

@@ -190,6 +190,7 @@ object SparkEntry {
     "q59_quantized_topk" -> quantizedTopKSql,
     "q49_dup_span_frac" -> dupSpanFracSql,
     "q88_excise_spans" -> exciseSpansSql,
+    "q90_collapse_repeats" -> collapseRepeatsSql,
     "q51_repetition_signals" -> repetitionSignalsSql,
     "q52_pack" ->
       """WITH d AS (SELECT doc_id, source,
@@ -1135,25 +1136,21 @@ object SparkEntry {
        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM agg ORDER BY doc_id""".stripMargin
 
-  /** q88 oracle: the span-excision rebuild in SQL — 8-word-gram md5s
-    * with 1-based starts, (distinct-doc count, min-doc keeper) per gram,
-    * positions covered by a shared gram in a non-keeper doc, and the
-    * kept-word concatenation in position order (single-space re-join,
-    * matching the engine's documented whitespace normalization).
+  /** Shared CTE fragments of the q88/q90 excision oracles: word split +
+    * `w`-gram table (`d`, `g`), and the kept-word rebuild (everything
+    * downstream of an `ex(doc_id, pos)` CTE) — the single-space re-join
+    * in position order, matching the engine's documented normalization.
     */
-  private def exciseSpansSql: String =
-    """WITH d AS (SELECT doc_id,
-      |             LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS t
-      |           FROM documents WHERE text IS NOT NULL),
-      |g AS (SELECT doc_id, i AS st, MD5(ARRAY_TO_STRING(t[i:i+7], ' ')) AS gh
-      |      FROM d, UNNEST(CASE WHEN LEN(t) >= 8
-      |                          THEN RANGE(1, LEN(t) - 6) ELSE [] END) AS u(i)),
-      |s AS (SELECT gh, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
-      |      FROM g GROUP BY gh),
-      |ex AS (SELECT DISTINCT g.doc_id, g.st + o AS pos
-      |       FROM g JOIN s USING (gh), UNNEST(RANGE(0, 8)) AS v(o)
-      |       WHERE s.nd >= 2 AND g.doc_id <> s.keeper),
-      |exa AS (SELECT doc_id, COUNT(*) AS n_ex FROM ex GROUP BY doc_id),
+  private def wordGramCtes(w: Int): String =
+    s"""d AS (SELECT doc_id,
+       |             LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+       |           FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id, i AS st, MD5(ARRAY_TO_STRING(t[i:i+${w - 1}], ' ')) AS gh
+       |      FROM d, UNNEST(CASE WHEN LEN(t) >= $w
+       |                          THEN RANGE(1, LEN(t) - ${w - 2}) ELSE [] END) AS u(i))""".stripMargin
+
+  private def excisionRebuildSql: String =
+    """exa AS (SELECT doc_id, COUNT(*) AS n_ex FROM ex GROUP BY doc_id),
       |wp AS (SELECT d.doc_id, t[p] AS word, p
       |       FROM d, UNNEST(RANGE(1, LEN(t) + 1)) AS u(p)),
       |kept AS (SELECT wp.doc_id, wp.word, wp.p
@@ -1166,6 +1163,38 @@ object SparkEntry {
       |  CAST(COALESCE(exa.n_ex, 0) AS BIGINT) AS n_excised
       |FROM d LEFT JOIN ct USING (doc_id) LEFT JOIN exa USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** q88 oracle: the span-excision rebuild in SQL — 8-word-gram md5s
+    * with 1-based starts, (distinct-doc count, min-doc keeper) per gram,
+    * positions covered by a shared gram in a non-keeper doc.
+    */
+  private def exciseSpansSql: String =
+    s"""WITH ${wordGramCtes(8)},
+       |s AS (SELECT gh, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
+       |      FROM g GROUP BY gh),
+       |ex AS (SELECT DISTINCT g.doc_id, g.st + o AS pos
+       |       FROM g JOIN s USING (gh), UNNEST(RANGE(0, 8)) AS v(o)
+       |       WHERE s.nd >= 2 AND g.doc_id <> s.keeper),
+       |$excisionRebuildSql""".stripMargin
+
+  /** q90 oracle: within-doc repeat collapsing — per (doc, gram) first
+    * occurrence; excised = positions covered by a repeat occurrence and
+    * by NO first occurrence (the engine's conservative coverage rule).
+    */
+  private def collapseRepeatsSql: String =
+    s"""WITH ${wordGramCtes(3)},
+       |f AS (SELECT doc_id, gh, MIN(st) AS s1 FROM g GROUP BY 1, 2),
+       |fp AS (SELECT DISTINCT doc_id, s1 + o AS pos
+       |       FROM f, UNNEST(RANGE(0, 3)) AS v(o)),
+       |dpo AS (SELECT g.doc_id, g.st
+       |        FROM g JOIN f ON f.doc_id = g.doc_id AND f.gh = g.gh
+       |        WHERE g.st > f.s1),
+       |dp AS (SELECT DISTINCT doc_id, st + o AS pos
+       |       FROM dpo, UNNEST(RANGE(0, 3)) AS v(o)),
+       |ex AS (SELECT dp.doc_id, dp.pos
+       |       FROM dp LEFT JOIN fp ON fp.doc_id = dp.doc_id AND fp.pos = dp.pos
+       |       WHERE fp.pos IS NULL),
+       |$excisionRebuildSql""".stripMargin
 
   /** q51 oracle: per-doc n-gram multiplicity profile via explode +
     * group-count — the shuffle twin of the row-local NgramRepetition

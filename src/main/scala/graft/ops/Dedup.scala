@@ -734,19 +734,8 @@ object Dedup {
     */
   def exciseDupSpans(df: DataFrame, idCol: String, textCol: String,
                      w: Int = 8): DataFrame = {
-    val docs = df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("_words"))
-    // (doc, 1-based start, gram md5) — empty for docs shorter than w
-    // (sequence() with start > stop counts DOWN, hence the guard)
-    val grams = docs
-      .select(col("doc_id"), posexplode(
-        when(size(col("_words")) >= w,
-          expr(s"transform(sequence(1, size(_words) - ${w - 1}), " +
-            s"i -> md5(concat_ws(' ', slice(_words, i, $w))))"))
-          .otherwise(expr("cast(array() as array<string>)"))
-      ).as(Seq("_p0", "gh")))
-      .select(col("doc_id"), (col("_p0") + 1).as("start"), col("gh"))
+    val docs = splitWords(df, idCol, textCol)
+    val grams = wordGrams(docs, w)
     // grams held by ≥2 docs, with the keeper (min doc_id) attached
     val stats = grams.select(col("gh"), col("doc_id")).distinct()
       .groupBy(col("gh"))
@@ -758,13 +747,81 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
       .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("_ex"))
+    rebuildWithoutPositions(docs, exPos)
+  }
+
+  /** INTRA-doc repeat collapsing — [[exciseDupSpans]]' within-document
+    * twin and the ACTION behind the q51 repetition SIGNALS (Gopher-style
+    * "duplicated n-gram fraction" flags a doc; this rewrites it): every
+    * repeated `w`-gram occurrence AFTER the first is removed, with the
+    * conservative coverage rule that a word survives if ANY first
+    * occurrence (of any gram — unique grams included) covers it. So a
+    * boilerplate line stuttered N times collapses to one copy
+    * ("a a a a a" at w=2 → "a a"), while short echoes whose every word
+    * is still covered by some gram's first occurrence stay intact.
+    * (Like all span excision — q88, Lee et al. — removal can create new
+    * seam adjacencies where a removed run's neighbors meet.)
+    *
+    * Deterministic (first = lowest start; no RNG), oracle-rebuildable,
+    * same single-space normalization contract as [[exciseDupSpans]].
+    * Scale shape: every join/aggregate key carries doc_id ((doc, gh) /
+    * (doc, pos)) so key cardinality is per-document-bounded — there is
+    * no corpus-global hot key at ANY size; per-doc position state
+    * bounded by doc length.
+    */
+  def collapseRepeats(df: DataFrame, idCol: String, textCol: String,
+                      w: Int = 3): DataFrame = {
+    val docs = splitWords(df, idCol, textCol)
+    val grams = wordGrams(docs, w)
+    val firsts = grams.groupBy(col("doc_id"), col("gh"))
+      .agg(min(col("start")).as("_s1"))
+    // positions covered by any gram's FIRST occurrence
+    val firstPos = firsts.select(col("doc_id"),
+      explode(sequence(col("_s1"), col("_s1") + (w - 1))).as("pos"))
+    // positions covered by a repeat occurrence (start > first)
+    val dupPos = grams.join(firsts, Seq("doc_id", "gh"))
+      .filter(col("start") > col("_s1"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
+    val exPos = dupPos.join(firstPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("_ex"))
+    rebuildWithoutPositions(docs, exPos)
+  }
+
+  /** (doc_id, _words): the single-space split with empties dropped —
+    * the q35/q58 tokenization convention.
+    */
+  private def splitWords(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("_words"))
+
+  /** (doc, 1-based start, gram md5) — empty for docs shorter than w
+    * (sequence() with start > stop counts DOWN, hence the guard).
+    */
+  private def wordGrams(docs: DataFrame, w: Int): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(
+        when(size(col("_words")) >= w,
+          expr(s"transform(sequence(1, size(_words) - ${w - 1}), " +
+            s"i -> md5(concat_ws(' ', slice(_words, i, $w))))"))
+          .otherwise(expr("cast(array() as array<string>)"))
+      ).as(Seq("_p0", "gh")))
+      .select(col("doc_id"), (col("_p0") + 1).as("start"), col("gh"))
+
+  /** Re-join each doc's kept words: `exPos` = (doc_id, _ex: array<int>)
+    * of 1-based excised positions; docs absent from it pass through
+    * (normalized). Output (doc_id, clean_text, n_words, n_excised).
+    */
+  private def rebuildWithoutPositions(docs: DataFrame,
+                                      exPos: DataFrame): DataFrame =
     docs.join(exPos, Seq("doc_id"), "left")
       .select(col("doc_id"),
         concat_ws(" ", expr("filter(_words, (x, i) -> NOT array_contains(" +
           "coalesce(_ex, cast(array() as array<int>)), i + 1))")).as("clean_text"),
         size(col("_words")).cast("bigint").as("n_words"),
         coalesce(size(col("_ex")), lit(0)).cast("bigint").as("n_excised"))
-  }
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via the shingle inverted
     * index (no LSH screen — the verifier itself, exposed as an operator).

@@ -224,6 +224,14 @@ object Extensions {
     Dedup.exciseDupSpans(t(s, d, "documents"), "doc_id", "text", w = 8)
       .orderBy(col("doc_id"))
 
+  // q90 intra-doc repeat collapsing — q88's within-document twin and
+  // the ACTION behind q51's repetition signals: repeated 3-gram
+  // occurrences after the first removed under the conservative
+  // first-occurrence-coverage rule.
+  val q90_collapse_repeats: Q = (s, d) =>
+    Dedup.collapseRepeats(t(s, d, "documents"), "doc_id", "text", w = 3)
+      .orderBy(col("doc_id"))
+
   // q50 Bloom-prefiltered decontamination: row-identical to the exact
   // overlap (no false negatives + exact verify join), but the corpus
   // shuffles only Bloom survivors — the broadcast runtime-filter shape.
@@ -710,5 +718,6 @@ object Extensions {
     "q86_retrieval_decontaminate" -> q86_retrieval_decontaminate,
     "q87_curriculum_sample" -> q87_curriculum_sample,
     "q88_excise_spans" -> q88_excise_spans,
-    "q89_bm25_join_capped" -> q89_bm25_join_capped)
+    "q89_bm25_join_capped" -> q89_bm25_join_capped,
+    "q90_collapse_repeats" -> q90_collapse_repeats)
 }

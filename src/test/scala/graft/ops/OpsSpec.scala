@@ -619,6 +619,33 @@ class OpsSpec extends SparkSpec {
     assert(o3._2 == "tiny doc with\tfew words" && o3._4 == 0L)
   }
 
+  test("collapseRepeats: stuttered boilerplate collapses to one copy, covered echoes survive") {
+    val docs = Seq(
+      // "spam spam ... spam" ×8 at w=2: one gram repeated 7× -> "spam spam"
+      (1L, "spam spam spam spam spam spam spam spam"),
+      // a long stuttered line inside normal text collapses, tail kept
+      (2L, "begin alpha beta gamma alpha beta gamma alpha beta gamma end"),
+      (3L, "perfectly normal diverse words with no repeats at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.collapseRepeats(docs, "doc_id", "text", w = 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "spam spam" && out(1L)._4 == 6L,
+      s"pure stutter collapses to the first period: ${out(1L)}")
+    assert(out(3L)._2 == "perfectly normal diverse words with no repeats at all" &&
+      out(3L)._4 == 0L)
+    // doc 2 at w=2: interior repeat positions not covered by any first
+    // occurrence are removed — hand-traced: positions {6,7,8,9} drop
+    assert(out(2L)._2 == "begin alpha beta gamma alpha gamma end" &&
+      out(2L)._4 == 4L, s"stuttered passage shrinks by the traced set: ${out(2L)}")
+    // the conservative coverage rule: "x a a a y" at w=2 keeps everything
+    // (every position is covered by some gram's first occurrence)
+    val echo = Dedup.collapseRepeats(
+      Seq((10L, "x a a a y")).toDF("doc_id", "text"), "doc_id", "text", w = 2)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(echo._2 == "x a a a y" && echo._4 == 0L,
+      s"covered echo must survive: $echo")
+  }
+
   test("repetitionSignals: degenerate repetition flagged, diverse text low") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
