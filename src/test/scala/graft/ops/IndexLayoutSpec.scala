@@ -421,6 +421,26 @@ class IndexLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/keys").as[String].collect().toSet == keysAfter)
   }
 
+  test("exact-key index invariant: the Bloom filter covers every persisted key (no false negatives)") {
+    val dir = tmpDir("graft_bloominv_")
+    Dedup.buildExactKeyIndex(
+      (1L to 40L).map(i => (i, s"seed doc $i")).toDF("doc_id", "text"), "text", dir)
+    (0 until 4).foreach { b =>
+      Dedup.appendExactKeys(spark,
+        (500L + b * 10 until 500L + b * 10 + 7)
+          .map(i => (i, s"batch $b doc $i")).toDF("doc_id", "text"),
+        "text", dir)
+    }
+    // bloom ⊇ keys/ is the crash-safety contract appendExactKeys' write
+    // order exists for: a key the filter does not know would be silently
+    // admitted as "definitely new" forever
+    val bloom = Dedup.readBloom(spark, dir)
+    val missed = spark.read.parquet(s"$dir/keys").as[String].collect()
+      .filterNot(bloom.mightContainString)
+    assert(missed.isEmpty,
+      s"persisted keys absent from the Bloom filter (false negatives): ${missed.take(5).toList}")
+  }
+
   test("ivfTopK setup is one driver job (seed sample + query vector unioned)") {
     val sc = spark.sparkContext
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
