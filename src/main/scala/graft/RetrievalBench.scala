@@ -116,21 +116,19 @@ object RetrievalBench {
     // hot (t1, t3) + mid + rare terms in one bag
     val tBm25 = run(graft.ops.TextAnalysis.bm25(corpus, "doc_id", "text",
       queryTerms = Seq("t1", "t3", "t120", "t9999")))
-    val tJoin = run(graft.ops.TextAnalysis.bm25Join(corpus, "doc_id", "text",
-      benchmark, "q_id", "q_text"))
     // the hot-term throttle: stopword-grade terms (df > N/2 — the ~14
     // hottest ranks of this Zipf) dropped after df; surviving weights
-    // bit-identical. Time + top-10 agreement with the exact join.
-    val tJoinCap = run(graft.ops.TextAnalysis.bm25Join(corpus, "doc_id", "text",
-      benchmark, "q_id", "q_text", maxDfFrac = 0.5))
-    val exactTop = graft.ops.TextAnalysis.bm25Join(corpus, "doc_id", "text",
-        benchmark, "q_id", "q_text")
-      .select(col("q_id"), col("doc_id")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val cappedTop = graft.ops.TextAnalysis.bm25Join(corpus, "doc_id", "text",
-        benchmark, "q_id", "q_text", maxDfFrac = 0.5)
-      .select(col("q_id"), col("doc_id")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bit-identical. Each variant runs ONCE — the timed collect also
+    // yields the top set for the agreement measure.
+    def runJoin(maxDfFrac: Double): (Set[(Long, Long)], Double) =
+      time {
+        graft.ops.TextAnalysis.bm25Join(corpus, "doc_id", "text",
+            benchmark, "q_id", "q_text", maxDfFrac = maxDfFrac)
+          .select(col("q_id"), col("doc_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+    val (exactTop, tJoin) = runJoin(1.0)
+    val (cappedTop, tJoinCap) = runJoin(0.5)
     val overlap = (exactTop & cappedTop).size.toDouble / exactTop.size
     val tDecon = run(graft.ops.TextAnalysis.retrievalDecontaminate(
       corpus, "doc_id", "text", benchmark, "q_id", "q_text"))

@@ -35,9 +35,18 @@ object Similarity {
     * for SCREENING joins, where "cosine undefined" must mean "not a
     * match", not a query-killing DIVIDE_BY_ZERO (Spark 4 runs ANSI mode
     * by default, so 0.0/0.0 throws rather than producing NaN). Matches
-    * the DuckDB-oracle semantics, where 0/0 is NULL and NULL ≥ tau is
-    * not satisfied. The branch keeps zero-norm rows out of every
-    * pair WITHOUT dropping them from the output side.
+    * the DuckDB-oracle THRESHOLD semantics, where 0/0 is NULL and
+    * NULL ≥ tau is not satisfied. The branch keeps zero-norm rows out
+    * of every pair WITHOUT dropping them from the output side.
+    *
+    * Ranking caveat (deliberate): a 0-ranked zero-norm row never
+    * displaces a positive match, but a top-k deep enough to reach
+    * non-positive similarities surfaces it ahead of negative-cosine
+    * rows (where the oracle's NULL would sort last). The 0 form is
+    * kept because the bounded [[graft.functions.TopKAgg]] rank buffers
+    * primitive doubles — a NULL rank would need nullable buffers in
+    * the hot aggregation path for a row the embedding-card audit
+    * ([[embeddingCard]]) exists to surface and purge upstream.
     */
   def cosineGuarded(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
@@ -453,9 +462,11 @@ object Similarity {
     * twin: per label, the vector count, missing (null/empty) payloads,
     * distinct dimensionalities (anything but 1 means a mixed-encoder
     * corpus — the bug this audit exists to catch), zero-norm count
-    * (cosine-undefined vectors — the index probes rank them 0 via
-    * [[cosineGuarded]], so they drop out of every top-k and screening
-    * join; this card is where they become visible), and mean L2
+    * (cosine-undefined vectors — the probes rank them 0 via
+    * [[cosineGuarded]], so they never displace a POSITIVE match and
+    * never satisfy a screening threshold, though a large-k top-k can
+    * surface them ahead of negative-cosine rows; this card is where
+    * they become visible), and mean L2
     * norm (un-normalized embeddings break dot-for-cosine shortcuts).
     * One aggregation, zero joins; norms come from the codegen'd
     * [[dot]] expression so the card is a single projection + exchange.

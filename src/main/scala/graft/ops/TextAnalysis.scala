@@ -257,12 +257,15 @@ object TextAnalysis {
     * [[bigramLmScore]], so the DuckDB oracle hash-matches.
     *
     * Shape at 100 TB: tf is one map-side-combined exchange on
-    * (doc, token); df is a COUNT WINDOW over the token key on the tf
-    * table (one exchange of fixed-width rows — distinct (doc, token),
-    * not occurrences — instead of a df-aggregate plus a join back, the
-    * [[Dedup.ngramJaccard]] idiom); N is a 1-row broadcast; the per-doc
-    * top-k is a window over the doc key. No row ever carries the
-    * document text past the tokenizer.
+    * (doc, token); df is a TWO-LEVEL aggregate over the tf table joined
+    * back onto it (round 7 — the count window this replaced funneled a
+    * stopword-grade token's every posting onto ONE unsplittable
+    * reducer; the aggregate's partials are (mapper, token)-bounded and
+    * the join back is AQE-splittable, with both branches sharing the tf
+    * exchange — see the body comment and BASELINE.md's retrieval
+    * section); N is a 1-row broadcast; the per-doc top-k is a window
+    * over the doc key. No row ever carries the document text past the
+    * tokenizer.
     */
   def tfidf(df: DataFrame, idCol: String, textCol: String,
             perDoc: Int = 3): DataFrame = {

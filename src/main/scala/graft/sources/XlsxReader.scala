@@ -57,7 +57,8 @@ object XlsxReader {
         }
       val sheetPath = (sheet match {
         case Some(s) => s.toIntOption match {
-          case Some(i) if i < sheetsInOrder.size => Some(sheetsInOrder(i))
+          case Some(i) if i >= 0 && i < sheetsInOrder.size =>
+            Some(sheetsInOrder(i))
           case _ => sheetsInOrder.find(_._1 == s).orElse(
             throw new IllegalArgumentException(s"sheet not found: $s"))
         }
@@ -65,8 +66,13 @@ object XlsxReader {
           throw new IllegalArgumentException("workbook has no sheets"))
       }).get._2
 
+      // top-level <t> plus rich-text <r><t> runs ONLY — the descendant
+      // axis would also pick up phonetic-guide runs (<rPh><t>furigana),
+      // corrupting cells from East-Asian workbooks with reading text
+      def siText(si: scala.xml.Node): String =
+        ((si \ "t") ++ (si \ "r" \ "t")).map(_.text).mkString
       val sst: Vector[String] = entry("xl/sharedStrings.xml")
-        .map(e => (e \ "si").map(si => (si \\ "t").map(_.text).mkString).toVector)
+        .map(e => (e \ "si").map(siText).toVector)
         .getOrElse(Vector.empty)
 
       // style index -> numFmtId, plus custom formatCode strings — handed
@@ -94,18 +100,32 @@ object XlsxReader {
       val ws = entry(sheetPath).getOrElse(
         throw new IllegalArgumentException(s"$path: missing $sheetPath"))
       val cells = mutable.Map[(Int, Int), String]()
+      // ECMA-376 makes the r attribute on <row> and <c> OPTIONAL —
+      // streaming writers rely on implied sequential position, so track
+      // "previous + 1" fallbacks alongside the explicit references
+      var impliedRow = -1
       (ws \ "sheetData" \ "row").foreach { row =>
+        val rowIdx = (row \@ "r") match {
+          case "" => impliedRow + 1
+          case r  => r.toInt - 1
+        }
+        impliedRow = rowIdx
+        var impliedCol = -1
         (row \ "c").foreach { c =>
           val ref = c \@ "r" // e.g. "BC12"
           val letters = ref.takeWhile(_.isLetter)
-          val colIdx = letters.foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1
-          val rowIdx = ref.drop(letters.length).toInt - 1
+          val colIdx =
+            if (letters.isEmpty) impliedCol + 1
+            else letters.foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1
+          impliedCol = colIdx
           val t = c \@ "t"
           val v = (c \ "v").headOption.map(_.text)
           val value: Option[String] = t match {
             case "s"         => v.map(i => sst(i.toInt))
             case "str"       => v
-            case "inlineStr" => Some((c \ "is" \\ "t").map(_.text).mkString)
+            case "inlineStr" =>
+              Some((((c \ "is" \ "t") ++ (c \ "is" \ "r" \ "t")))
+                .map(_.text).mkString)
             case "b"         => v.map(b => if (b != "0") "true" else "false")
             case "e"         => v
             case _ =>

@@ -390,6 +390,35 @@ class XlsReaderSpec extends SparkSpec {
       "1904 epoch must shift the rendered date")
   }
 
+  test("xlsx: cells and rows without r attributes take implied sequential positions") {
+    // ECMA-376 makes r optional on <row> and <c>; streaming writers omit
+    // them — and a phonetic-guide run (rPh) must not leak into values
+    val path = xlsxFixture(Map(
+      "xl/workbook.xml" ->
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          |  xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |  <sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |  <Relationship Id="rId1" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/sharedStrings.xml" ->
+        """<sst><si><t>東京</t><rPh sb="0" eb="2"><t>トウキョウ</t></rPh></si></sst>""",
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet><sheetData>
+          |  <row><c t="s"><v>0</v></c><c><v>7</v></c></row>
+          |  <row><c t="inlineStr"><is><t>x</t></is></c><c r="C2"><v>9</v></c></row>
+          |</sheetData></worksheet>""".stripMargin))
+    val rows = XlsReader.readRows(path, None)
+    assert(rows(0) == Seq("東京", "7", null),
+      s"implied positions + phonetic runs excluded: ${rows(0)}")
+    assert(rows(1) == Seq("x", null, "9"),
+      s"explicit ref after implied cells resumes correctly: ${rows(1)}")
+    // negative numeric sheet selector falls through to not-found, not a crash
+    assertThrows[IllegalArgumentException](XlsReader.readRows(path, Some("-1")))
+  }
+
   test("xlsx: read() routes by extension into the same all-string DataFrame contract") {
     val df = XlsReader.read(spark, stdXlsx(), None)
     assert(df.columns.length == 3)
