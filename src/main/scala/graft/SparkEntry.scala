@@ -191,6 +191,7 @@ object SparkEntry {
     "q49_dup_span_frac" -> dupSpanFracSql,
     "q88_excise_spans" -> exciseSpansSql,
     "q90_collapse_repeats" -> collapseRepeatsSql,
+    "q91_excise_against_index" -> exciseAgainstIndexSql,
     "q51_repetition_signals" -> repetitionSignalsSql,
     "q52_pack" ->
       """WITH d AS (SELECT doc_id, source,
@@ -1175,6 +1176,27 @@ object SparkEntry {
        |ex AS (SELECT DISTINCT g.doc_id, g.st + o AS pos
        |       FROM g JOIN s USING (gh), UNNEST(RANGE(0, 8)) AS v(o)
        |       WHERE s.nd >= 2 AND g.doc_id <> s.keeper),
+       |$excisionRebuildSql""".stripMargin
+
+  /** q91 oracle: the incremental excision — grams of the %4==0 slice
+    * are the standing index; every probe-doc position covered by an
+    * indexed gram is excised, and the kept-word rebuild runs over the
+    * probe universe only.
+    */
+  private def exciseAgainstIndexSql: String =
+    s"""WITH raw AS (SELECT doc_id,
+       |             LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+       |           FROM documents WHERE text IS NOT NULL),
+       |ref AS (SELECT DISTINCT MD5(ARRAY_TO_STRING(t[i:i+7], ' ')) AS gh
+       |        FROM raw, UNNEST(CASE WHEN LEN(t) >= 8
+       |                              THEN RANGE(1, LEN(t) - 6) ELSE [] END) AS u(i)
+       |        WHERE doc_id % 4 = 0),
+       |d AS (SELECT doc_id, t FROM raw WHERE doc_id % 4 <> 0),
+       |g AS (SELECT doc_id, i AS st, MD5(ARRAY_TO_STRING(t[i:i+7], ' ')) AS gh
+       |      FROM d, UNNEST(CASE WHEN LEN(t) >= 8
+       |                          THEN RANGE(1, LEN(t) - 6) ELSE [] END) AS u(i)),
+       |ex AS (SELECT DISTINCT g.doc_id, g.st + o AS pos
+       |       FROM g JOIN ref USING (gh), UNNEST(RANGE(0, 8)) AS v(o)),
        |$excisionRebuildSql""".stripMargin
 
   /** q90 oracle: within-doc repeat collapsing — per (doc, gram) first

@@ -801,6 +801,103 @@ object Dedup {
     rebuildWithoutPositions(docs, exPos)
   }
 
+  /** Persist the standing corpus's word-gram index — the INCREMENTAL
+    * end of the span-excision family, symmetric with
+    * [[buildExactKeyIndex]] (exact keys ⇄ lexical bands ⇄ semantic
+    * cells ⇄ span grams): every admitted batch can have its
+    * corpus-duplicated spans excised withOUT ever re-hashing the
+    * corpus. Artifacts under `path`:
+    *
+    *   `grams/`  — (gh: md5 hex) distinct `w`-gram hashes, fixed-width;
+    *   `bloom/`  — one Bloom filter over them (`fpp`), staged-write
+    *               (see [[writeBloom]]);
+    *   `params/` — (w, n, fpp): probes/appends must gram at the SAME
+    *               width, and appended deltas must be Bloom-mergeable.
+    */
+  def buildGramIndex(docs: DataFrame, textCol: String, path: String,
+                     w: Int = 8, fpp: Double = 0.01): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    gramSet(docs, textCol, w)
+      .write.mode("overwrite").parquet(s"$path/grams")
+    val grams = spark.read.parquet(s"$path/grams")
+    val n = math.max(1L, grams.count())
+    val bloom = grams.stat.bloomFilter("gh", n, fpp)
+    writeBloom(spark, bloom, path)
+    Seq((w, n, fpp)).toDF("w", "n", "fpp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Admit a batch's grams into a [[buildGramIndex]] layout — the
+    * [[appendExactKeys]] discipline: Bloom delta merged and staged
+    * BEFORE the grams append, so a crash leaves at worst verify-
+    * tolerated false positives, never a silent false negative.
+    */
+  def appendGrams(spark: org.apache.spark.sql.SparkSession,
+                  docs: DataFrame, textCol: String, path: String): Unit = {
+    val params = spark.read.parquet(s"$path/params")
+      .select(col("w"), col("n"), col("fpp")).head()
+    val newGrams = gramSet(docs, textCol, params.getInt(0)).persist()
+    try {
+      if (newGrams.isEmpty) return
+      val delta = newGrams.stat.bloomFilter("gh", params.getLong(1),
+        params.getDouble(2))
+      val merged = readBloom(spark, path).mergeInPlace(delta)
+      writeBloom(spark, merged, path)
+      newGrams.write.mode("append").parquet(s"$path/grams")
+    } finally newGrams.unpersist()
+  }
+
+  /** Rewrite a new batch with every span the STANDING corpus already
+    * contains removed — [[exciseDupSpans]] where the keeper is the
+    * corpus behind a [[buildGramIndex]] layout (the re-crawl /
+    * re-ingest admission rewrite; backs [[graft.streaming.Streams
+    * .gramExciseSink]]). Two stages, the [[exactDedupAgainstIndex]]
+    * shape: the Bloom clears definitely-new grams in the scan (zero
+    * joins for fresh text), and possible members verify exactly —
+    * with `broadcastBatch` (default) the gram index is only SCANNED,
+    * never shuffled. Output: (doc_id, clean_text, n_words, n_excised),
+    * the [[exciseDupSpans]] contract (null-text rows excluded, docs
+    * shorter than w pass through normalized).
+    */
+  def exciseAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                         newDocs: DataFrame, idCol: String, textCol: String,
+                         path: String,
+                         broadcastBatch: Boolean = true): DataFrame = {
+    val w = spark.read.parquet(s"$path/params").select(col("w")).head().getInt(0)
+    val bloom = readBloom(spark, path)
+    val docs = splitWords(newDocs, idCol, textCol)
+    val grams = wordGrams(docs, w)
+    val maybe = grams.where(
+      graft.functions.VectorFunctions.bloomMightContain(col("gh"), bloom))
+    val index = spark.read.parquet(s"$path/grams")
+      .select(col("gh").as("_idx_gh"))
+    val matched =
+      if (broadcastBatch) {
+        val present = index.join(
+          broadcast(maybe.select(col("gh").as("_idx_gh")).distinct()),
+          Seq("_idx_gh"), "left_semi")
+        maybe.join(broadcast(present), col("gh") === col("_idx_gh"), "left_semi")
+      } else maybe.join(index, col("gh") === col("_idx_gh"), "left_semi")
+    val exPos = matched.select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("_ex"))
+    rebuildWithoutPositions(docs, exPos)
+  }
+
+  /** The distinct `w`-gram hash set of a corpus — shared by
+    * [[buildGramIndex]] and [[appendGrams]].
+    */
+  private def gramSet(docs: DataFrame, textCol: String, w: Int): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(expr(s"filter(split($textCol, ' '), x -> x <> '')").as("_words"))
+      .select(explode(
+        when(size(col("_words")) >= w,
+          expr(s"transform(sequence(1, size(_words) - ${w - 1}), " +
+            s"i -> md5(concat_ws(' ', slice(_words, i, $w))))"))
+          .otherwise(expr("cast(array() as array<string>)"))).as("gh"))
+      .distinct()
+
   /** (doc_id, _words): the single-space split with empties dropped —
     * the q35/q58 tokenization convention.
     */

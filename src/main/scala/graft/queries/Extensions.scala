@@ -232,6 +232,25 @@ object Extensions {
     Dedup.collapseRepeats(t(s, d, "documents"), "doc_id", "text", w = 3)
       .orderBy(col("doc_id"))
 
+  // q91 span excision against a STANDING gram index — q88's incremental
+  // form and q62's excision twin: the %4==0 slice is the persisted
+  // corpus, the rest is the incoming batch whose corpus-duplicated
+  // 8-word spans are excised (Bloom prefilter + exact verify, corpus
+  // grams only scanned). One index build per sf dir, reused across runs
+  // (the q62 pattern).
+  private val gramIndexDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q91_excise_against_index: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val dir = gramIndexDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_q91_grams_").toString
+      Dedup.buildGramIndex(docs.filter(col("doc_id") % 4 === 0), "text", p, w = 8)
+      p
+    })
+    Dedup.exciseAgainstIndex(s, docs.filter(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", dir)
+      .orderBy(col("doc_id"))
+  }
+
   // q50 Bloom-prefiltered decontamination: row-identical to the exact
   // overlap (no false negatives + exact verify join), but the corpus
   // shuffles only Bloom survivors — the broadcast runtime-filter shape.
@@ -719,5 +738,6 @@ object Extensions {
     "q87_curriculum_sample" -> q87_curriculum_sample,
     "q88_excise_spans" -> q88_excise_spans,
     "q89_bm25_join_capped" -> q89_bm25_join_capped,
-    "q90_collapse_repeats" -> q90_collapse_repeats)
+    "q90_collapse_repeats" -> q90_collapse_repeats,
+    "q91_excise_against_index" -> q91_excise_against_index)
 }

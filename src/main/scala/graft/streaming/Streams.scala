@@ -220,6 +220,49 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming SPAN-EXCISION gate over a [[graft.ops.Dedup
+    * .buildGramIndex]] layout — the excision family's streaming end
+    * (beside the exact-key, lexical-band and semantic-cell gates), per
+    * micro-batch:
+    *
+    *  1. every span the standing corpus already contains is excised
+    *     from the batch ([[graft.ops.Dedup.exciseAgainstIndex]]:
+    *     Bloom-cleared in the scan, exactly verified, corpus grams
+    *     only SCANNED — never shuffled);
+    *  2. rows excised to emptiness drop — a doc that is entirely
+    *     corpus-duplicated spans contributes nothing, and this rule is
+    *     what makes at-least-once replay CONVERGE: a replayed row's
+    *     grams are already admitted, so it comes back empty and adds
+    *     nothing;
+    *  3. survivors append to `outPath`;
+    *  4. the batch's ORIGINAL text grams admit into the index
+    *     ([[graft.ops.Dedup.appendGrams]]) — original rather than
+    *     cleaned deliberately: the corpus has SEEN those spans (batch
+    *     N+1 must excise against everything batch N carried), and a
+    *     replay can recompute them without re-running the excision.
+    *
+    * A crash between 3 and 4 replays the batch against an index
+    * missing its grams, re-appending its survivors once more — the
+    * usual at-least-once window, one exact dedup away downstream
+    * (the [[ingestGate]] contract).
+    */
+  def gramExciseSink(spark: org.apache.spark.sql.SparkSession,
+                     stream: DataFrame, idCol: String, textCol: String,
+                     indexPath: String, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Dedup
+          .exciseAgainstIndex(spark, batch, idCol, textCol, indexPath)
+          .where(col("clean_text") =!= "")
+          .write.mode("append").parquet(outPath)
+        graft.ops.Dedup.appendGrams(spark,
+          batch.where(col(textCol).isNotNull), textCol, indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** The streaming ADMISSION PIPELINE — the shape a continuous corpus
     * ingest actually has, composed from the oracle-checked batch
     * operators, per micro-batch:

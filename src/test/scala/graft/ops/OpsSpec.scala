@@ -646,6 +646,43 @@ class OpsSpec extends SparkSpec {
       s"covered echo must survive: $echo")
   }
 
+  test("gram index: standing spans excised from new batches; appends extend the screen") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta" // w=8 words
+    val dir = tmpDir("graft_gramidx_")
+    Dedup.buildGramIndex(Seq(
+        (1L, s"corpus doc carrying $passage inside it for later arrivals"),
+        (2L, "other corpus content entirely unrelated to anything else"))
+        .toDF("doc_id", "text"), "text", dir, w = 8)
+    val batch = Seq(
+      (10L, s"$passage fresh tail that the corpus has never seen"),
+      (11L, "completely novel document with no standing spans at all"),
+      (12L, passage)) // nothing BUT the standing span
+      .toDF("doc_id", "text")
+    val out = Dedup.exciseAgainstIndex(spark, batch, "doc_id", "text", dir)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L)._2 == "fresh tail that the corpus has never seen" &&
+      out(10L)._4 == 8L, s"standing span excised: ${out(10L)}")
+    assert(out(11L)._2 == "completely novel document with no standing spans at all" &&
+      out(11L)._4 == 0L)
+    assert(out(12L)._2 == "" && out(12L)._4 == 8L,
+      s"fully-duplicated doc empties: ${out(12L)}")
+    // admit a new batch's grams; its spans now screen the NEXT batch
+    val novel = "one two three four five six seven eight"
+    Dedup.appendGrams(spark,
+      Seq((20L, s"$novel plus some extra words here")).toDF("doc_id", "text"),
+      "text", dir)
+    val out2 = Dedup.exciseAgainstIndex(spark,
+        Seq((30L, s"intro words then $novel and a closing run"))
+          .toDF("doc_id", "text"), "doc_id", "text", dir)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(out2._2 == "intro words then and a closing run" && out2._4 == 8L,
+      s"appended grams must screen later batches: $out2")
+    // invariant: bloom covers every persisted gram (no false negatives)
+    val bloom = Dedup.readBloom(spark, dir)
+    assert(spark.read.parquet(s"$dir/grams").as[String].collect()
+      .forall(bloom.mightContainString))
+  }
+
   test("repetitionSignals: degenerate repetition flagged, diverse text low") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),

@@ -472,6 +472,42 @@ class StreamsSpec extends SparkSpec {
       s"dups of built AND streamed keys must be dropped, got $admitted")
   }
 
+  test("streaming gram-excise gate: standing and cross-batch spans excised, empty rows dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val passage = "alpha beta gamma delta epsilon zeta eta theta" // w=8
+    val dir = tmpDir("graft_gramsink_")
+    graft.ops.Dedup.buildGramIndex(Seq(
+        (1L, s"standing corpus with $passage embedded in the middle zone"))
+        .toDF("doc_id", "text"), "text", dir, w = 8)
+    val outPath = s"$dir/out"
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.gramExciseSink(spark,
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      dir, outPath, s"$dir/ckpt")
+    try {
+      // batch 1: 10 carries the standing span (excised, remainder kept);
+      // 11 is novel; 12 is ONLY the standing span (empties -> dropped)
+      mem.addData(
+        (10L, s"$passage novel continuation one two three four five six"),
+        (11L, "first batch novel content nine ten eleven twelve now here"),
+        (12L, passage))
+      q.processAllAvailable()
+      // batch 2: 20 duplicates batch 1's doc 11 wholesale (cross-batch:
+      // empties -> dropped); 21 is novel
+      mem.addData(
+        (20L, "first batch novel content nine ten eleven twelve now here"),
+        (21L, "second batch completely fresh material thirteen fourteen fifteen sixteen"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outPath)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(10L, 11L, 21L),
+      s"fully-duplicated rows (12 standing, 20 cross-batch) must drop: ${out.keySet}")
+    assert(out(10L) == "novel continuation one two three four five six",
+      s"standing span excised from the survivor: ${out(10L)}")
+    assert(out(11L) == "first batch novel content nine ten eleven twelve now here")
+  }
+
   test("streaming quantized LSH index sink: int8 rows land in float-identical buckets and are probed") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(31)
