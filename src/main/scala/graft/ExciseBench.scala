@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Spot-bench for the round-7 excision family (q88 cross-doc span
+  * excision / q90 intra-doc collapsing / q91 incremental
+  * excise-against-index) at sf1-equivalent volume — the
+  * [[ClusterBench]] recipe: the sf0.1 documents table replicated
+  * `SPARK_GRAFT_REPL`× (default 15) with doc-id offsets. Replica text
+  * is identical, so every 8-word gram is shared by all replicas — the
+  * WORST case for excision (every non-keeper doc is entirely
+  * duplicated spans, so the position-explode volume approaches
+  * w × corpus grams, and the rebuild rewrites every doc).
+  *
+  * Measurements: q88 end-to-end on the replicated corpus; gram-index
+  * build on one replica slice + the incremental probe of a second
+  * slice against it (the q91/sink path — every probe span matches, the
+  * worst probe case); q90 at the same volume. One JSON line (the
+  * [[Bench]] discipline); recorded in BASELINE.md.
+  */
+object ExciseBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "15").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def fmt(d: Double): String =
+      BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val docs = (0 until repl)
+      .map(r => base.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        col("text")))
+      .reduce(_ union _)
+      .repartition(cpus.toInt)
+      .localCheckpoint(true)
+    val nDocs = docs.count()
+
+    def run(df: org.apache.spark.sql.DataFrame): Double =
+      time(df.write.format("noop").mode("overwrite").save())._2
+
+    val tExcise = run(graft.ops.Dedup.exciseDupSpans(docs, "doc_id", "text"))
+    val tCollapse = run(graft.ops.Dedup.collapseRepeats(docs, "doc_id", "text"))
+
+    // incremental path: standing index = replica 0, probe = replica 1
+    // (every probe span matches — the worst probe case)
+    val idx = java.nio.file.Files.createTempDirectory("graft_excbench_").toString
+    val (_, tBuild) = time(graft.ops.Dedup.buildGramIndex(
+      base, "text", idx, w = 8))
+    val probe = base.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+      col("text"))
+    val (nEmpty, tProbe) = time {
+      graft.ops.Dedup.exciseAgainstIndex(spark, probe, "doc_id", "text", idx)
+        .filter(col("clean_text") === "").count()
+    }
+    // the fully-duplicated probe must excise (almost) everything: only
+    // docs shorter than w survive with text
+    val shortDocs = base.where(col("text").isNotNull)
+      .where(size(expr("filter(split(text, ' '), x -> x <> '')")) < 8).count()
+    val probed = probe.where(col("text").isNotNull).count()
+    assert(nEmpty >= probed - shortDocs,
+      s"full-dup probe should empty all long docs: $nEmpty of $probed (short=$shortDocs)")
+
+    println(
+      s"""{"bench":"excise_sf1","sf":"$sfDir","repl":$repl,"n_docs":$nDocs,""" +
+      s""""excise_s":${fmt(tExcise)},"collapse_s":${fmt(tCollapse)},""" +
+      s""""index_build_s":${fmt(tBuild)},"probe_s":${fmt(tProbe)},""" +
+      s""""probe_emptied":$nEmpty}""")
+    spark.stop()
+  }
+}
