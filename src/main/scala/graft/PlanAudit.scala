@@ -42,7 +42,8 @@ object PlanAudit {
       "q82_ivf_cell_profile", "q83_embedding_card",
       "q84_semantic_contamination", "q85_bm25_join",
       "q86_retrieval_decontaminate", "q87_curriculum_sample",
-      "q88_excise_spans", "q89_bm25_join_capped", "q90_collapse_repeats")
+      "q88_excise_spans", "q89_bm25_join_capped", "q90_collapse_repeats",
+      "q91_excise_against_index")
     for (q <- interesting) {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       qe.executedPlan.executeCollect()
