@@ -1179,9 +1179,10 @@ object SparkEntry {
        |$excisionRebuildSql""".stripMargin
 
   /** q91 oracle: the incremental excision — grams of the %4==0 slice
-    * are the standing index; every probe-doc position covered by an
-    * indexed gram is excised, and the kept-word rebuild runs over the
-    * probe universe only.
+    * are the standing index (docs shorter than 8 words contribute
+    * their full-text hash — the exact-identity screen); every
+    * probe-doc position covered by an indexed gram is excised, and
+    * the kept-word rebuild runs over the probe universe only.
     */
   private def exciseAgainstIndexSql: String =
     s"""WITH raw AS (SELECT doc_id,
@@ -1190,13 +1191,21 @@ object SparkEntry {
        |ref AS (SELECT DISTINCT MD5(ARRAY_TO_STRING(t[i:i+7], ' ')) AS gh
        |        FROM raw, UNNEST(CASE WHEN LEN(t) >= 8
        |                              THEN RANGE(1, LEN(t) - 6) ELSE [] END) AS u(i)
-       |        WHERE doc_id % 4 = 0),
+       |        WHERE doc_id % 4 = 0
+       |        UNION
+       |        SELECT DISTINCT MD5(ARRAY_TO_STRING(t, ' ')) AS gh
+       |        FROM raw WHERE doc_id % 4 = 0 AND LEN(t) > 0 AND LEN(t) < 8),
        |d AS (SELECT doc_id, t FROM raw WHERE doc_id % 4 <> 0),
-       |g AS (SELECT doc_id, i AS st, MD5(ARRAY_TO_STRING(t[i:i+7], ' ')) AS gh
+       |g AS (SELECT doc_id, i AS st, 8 AS glen,
+       |             MD5(ARRAY_TO_STRING(t[i:i+7], ' ')) AS gh
        |      FROM d, UNNEST(CASE WHEN LEN(t) >= 8
-       |                          THEN RANGE(1, LEN(t) - 6) ELSE [] END) AS u(i)),
+       |                          THEN RANGE(1, LEN(t) - 6) ELSE [] END) AS u(i)
+       |      UNION ALL
+       |      SELECT doc_id, 1 AS st, LEN(t) AS glen,
+       |             MD5(ARRAY_TO_STRING(t, ' ')) AS gh
+       |      FROM d WHERE LEN(t) > 0 AND LEN(t) < 8),
        |ex AS (SELECT DISTINCT g.doc_id, g.st + o AS pos
-       |       FROM g JOIN ref USING (gh), UNNEST(RANGE(0, 8)) AS v(o)),
+       |       FROM g JOIN ref USING (gh), UNNEST(RANGE(0, g.glen)) AS v(o)),
        |$excisionRebuildSql""".stripMargin
 
   /** q90 oracle: within-doc repeat collapsing — per (doc, gram) first

@@ -808,7 +808,10 @@ object Dedup {
     * corpus-duplicated spans excised withOUT ever re-hashing the
     * corpus. Artifacts under `path`:
     *
-    *   `grams/`  — (gh: md5 hex) distinct `w`-gram hashes, fixed-width;
+    *   `grams/`  — (gh: md5 hex) distinct `w`-gram hashes, fixed-width
+    *               — plus ONE full-text hash per doc shorter than w
+    *               (its exact-identity screen; see
+    *               [[exciseAgainstIndex]]);
     *   `bloom/`  — one Bloom filter over them (`fpp`), staged-write
     *               (see [[writeBloom]]);
     *   `params/` — (w, n, fpp): probes/appends must gram at the SAME
@@ -837,7 +840,16 @@ object Dedup {
                   docs: DataFrame, textCol: String, path: String): Unit = {
     val params = spark.read.parquet(s"$path/params")
       .select(col("w"), col("n"), col("fpp")).head()
-    val newGrams = gramSet(docs, textCol, params.getInt(0)).persist()
+    // exact anti-join against the standing grams: recurring boilerplate
+    // spans arrive in EVERY batch, and re-appending them would grow
+    // grams/ with the batch count instead of the distinct-gram count
+    // (probe cost would scale with stream lifetime). Exact, so no
+    // false-negative risk — and the Bloom can prefilter nothing here:
+    // its false positives are precisely the rows that must verify.
+    val newGrams = gramSet(docs, textCol, params.getInt(0))
+      .join(spark.read.parquet(s"$path/grams")
+        .select(col("gh")), Seq("gh"), "left_anti")
+      .persist()
     try {
       if (newGrams.isEmpty) return
       val delta = newGrams.stat.bloomFilter("gh", params.getLong(1),
@@ -856,9 +868,12 @@ object Dedup {
     * shape: the Bloom clears definitely-new grams in the scan (zero
     * joins for fresh text), and possible members verify exactly —
     * with `broadcastBatch` (default) the gram index is only SCANNED,
-    * never shuffled. Output: (doc_id, clean_text, n_words, n_excised),
-    * the [[exciseDupSpans]] contract (null-text rows excluded, docs
-    * shorter than w pass through normalized).
+    * never shuffled. Docs SHORTER than w screen by their full-text
+    * hash (the index stores one whole-doc "gram" for them — see
+    * [[buildGramIndex]]): an exact-identity screen, which is also what
+    * lets the streaming gate's replay converge for every doc length.
+    * Output: (doc_id, clean_text, n_words, n_excised), the
+    * [[exciseDupSpans]] contract (null-text rows excluded).
     */
   def exciseAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                          newDocs: DataFrame, idCol: String, textCol: String,
@@ -867,7 +882,14 @@ object Dedup {
     val w = spark.read.parquet(s"$path/params").select(col("w")).head().getInt(0)
     val bloom = readBloom(spark, path)
     val docs = splitWords(newDocs, idCol, textCol)
-    val grams = wordGrams(docs, w)
+    // long docs: w-grams covering w positions; short docs: ONE
+    // full-text hash covering every position
+    val grams = wordGrams(docs, w).withColumn("_len", lit(w))
+      .unionByName(docs
+        .where(size(col("_words")) < w && size(col("_words")) > 0)
+        .select(col("doc_id"), lit(1).as("start"),
+          md5(concat_ws(" ", col("_words"))).as("gh"),
+          size(col("_words")).as("_len")))
     val maybe = grams.where(
       graft.functions.VectorFunctions.bloomMightContain(col("gh"), bloom))
     val index = spark.read.parquet(s"$path/grams")
@@ -880,22 +902,33 @@ object Dedup {
         maybe.join(broadcast(present), col("gh") === col("_idx_gh"), "left_semi")
       } else maybe.join(index, col("gh") === col("_idx_gh"), "left_semi")
     val exPos = matched.select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
+        explode(sequence(col("start"), col("start") + col("_len") - 1)).as("pos"))
       .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("_ex"))
     rebuildWithoutPositions(docs, exPos)
   }
 
-  /** The distinct `w`-gram hash set of a corpus — shared by
+  /** One md5 per w-word window — THE gram formula, shared by
+    * [[wordGrams]] (probe/corpus sides) and [[gramSet]] (index build/
+    * append) so the persisted index and its probes can never
+    * desynchronize.
+    */
+  private def gramArrayExpr(w: Int): String =
+    s"transform(sequence(1, size(_words) - ${w - 1}), " +
+      s"i -> md5(concat_ws(' ', slice(_words, i, $w))))"
+
+  /** The distinct gram-hash set of a corpus — `w`-grams of long docs
+    * plus the full-text hash of docs shorter than w (their
+    * exact-identity screen; a short doc's joined text has < w words,
+    * so it can never collide with a true w-gram). Shared by
     * [[buildGramIndex]] and [[appendGrams]].
     */
   private def gramSet(docs: DataFrame, textCol: String, w: Int): DataFrame =
     docs.where(col(textCol).isNotNull)
       .select(expr(s"filter(split($textCol, ' '), x -> x <> '')").as("_words"))
+      .where(size(col("_words")) > 0)
       .select(explode(
-        when(size(col("_words")) >= w,
-          expr(s"transform(sequence(1, size(_words) - ${w - 1}), " +
-            s"i -> md5(concat_ws(' ', slice(_words, i, $w))))"))
-          .otherwise(expr("cast(array() as array<string>)"))).as("gh"))
+        when(size(col("_words")) >= w, expr(gramArrayExpr(w)))
+          .otherwise(array(md5(concat_ws(" ", col("_words")))))).as("gh"))
       .distinct()
 
   /** (doc_id, _words): the single-space split with empties dropped —
@@ -913,9 +946,7 @@ object Dedup {
   private def wordGrams(docs: DataFrame, w: Int): DataFrame =
     docs
       .select(col("doc_id"), posexplode(
-        when(size(col("_words")) >= w,
-          expr(s"transform(sequence(1, size(_words) - ${w - 1}), " +
-            s"i -> md5(concat_ws(' ', slice(_words, i, $w))))"))
+        when(size(col("_words")) >= w, expr(gramArrayExpr(w)))
           .otherwise(expr("cast(array() as array<string>)"))
       ).as(Seq("_p0", "gh")))
       .select(col("doc_id"), (col("_p0") + 1).as("start"), col("gh"))

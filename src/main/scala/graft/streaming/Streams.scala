@@ -225,23 +225,36 @@ object Streams {
     * (beside the exact-key, lexical-band and semantic-cell gates), per
     * micro-batch:
     *
-    *  1. every span the standing corpus already contains is excised
-    *     from the batch ([[graft.ops.Dedup.exciseAgainstIndex]]:
+    *  0. within-batch EXACT dedup (min-id representative per content
+    *     hash — catches identical rows of every length; span excision
+    *     cannot see duplicate docs shorter than w);
+    *  1. WITHIN-batch excision ([[graft.ops.Dedup
+    *     .exciseDupSpans]] — a dump self-duplicates, the [[ingestGate]]
+    *     stage-1 lesson): a span shared inside the batch survives in
+    *     its lowest-id row only;
+    *  2. every span the standing corpus already contains is excised
+    *     from the survivors ([[graft.ops.Dedup.exciseAgainstIndex]]:
     *     Bloom-cleared in the scan, exactly verified, corpus grams
-    *     only SCANNED — never shuffled);
-    *  2. rows excised to emptiness drop — a doc that is entirely
-    *     corpus-duplicated spans contributes nothing, and this rule is
-    *     what makes at-least-once replay CONVERGE: a replayed row's
-    *     grams are already admitted, so it comes back empty and adds
-    *     nothing;
-    *  3. survivors append to `outPath`;
-    *  4. the batch's ORIGINAL text grams admit into the index
-    *     ([[graft.ops.Dedup.appendGrams]]) — original rather than
-    *     cleaned deliberately: the corpus has SEEN those spans (batch
-    *     N+1 must excise against everything batch N carried), and a
-    *     replay can recompute them without re-running the excision.
+    *     only SCANNED — never shuffled; docs shorter than w screen by
+    *     full-text identity);
+    *  3. rows excised to emptiness drop — a doc that is entirely
+    *     already-seen spans contributes nothing, and this rule is what
+    *     makes at-least-once replay CONVERGE at every doc length: a
+    *     replayed row's grams (or its full-text hash, when short) are
+    *     already admitted, so it comes back empty and adds nothing;
+    *  4. survivors append to `outPath` as (doc_id, clean_text,
+    *     n_words, n_excised) with n_excised totalled across both
+    *     passes; null-text rows pass through as (doc_id, null, 0, 0) —
+    *     the [[ingestGate]] admit-null contract, they carry nothing to
+    *     excise;
+    *  5. the batch's ORIGINAL text grams admit into the index
+    *     ([[graft.ops.Dedup.appendGrams]], duplicate-free append) —
+    *     original rather than cleaned deliberately: the corpus has
+    *     SEEN those spans (batch N+1 must excise against everything
+    *     batch N carried), and a replay can recompute them without
+    *     re-running the excision.
     *
-    * A crash between 3 and 4 replays the batch against an index
+    * A crash between 4 and 5 replays the batch against an index
     * missing its grams, re-appending its survivors once more — the
     * usual at-least-once window, one exact dedup away downstream
     * (the [[ingestGate]] contract).
@@ -252,16 +265,42 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.Dedup
-          .exciseAgainstIndex(spark, batch, idCol, textCol, indexPath)
+        // stage 0, the ingestGate lesson: min-id representative per
+        // content hash — catches identical rows of EVERY length (span
+        // excision cannot see duplicate docs shorter than w)
+        val withText = batch.where(col(textCol).isNotNull)
+        val reps = graft.ops.Dedup.exact(withText, idCol, textCol)
+          .select(col(idCol))
+        val deduped = withText.join(broadcast(reps), Seq(idCol), "left_semi")
+        val withinBatch = graft.ops.Dedup
+          .exciseDupSpans(deduped, idCol, textCol,
+            w = gramWidth(spark, indexPath))
+        val screened = graft.ops.Dedup
+          .exciseAgainstIndex(spark,
+            withinBatch.select(col("doc_id"), col("clean_text").as("text")),
+            "doc_id", "text", indexPath)
+          .join(withinBatch.select(col("doc_id"), col("n_words").as("_nw"),
+            col("n_excised").as("_ex1")), Seq("doc_id"))
+          .select(col("doc_id"), col("clean_text"),
+            col("_nw").as("n_words"),
+            (col("_ex1") + col("n_excised")).as("n_excised"))
           .where(col("clean_text") =!= "")
+        val nulls = batch.where(col(textCol).isNull)
+          .select(col(idCol).as("doc_id"),
+            lit(null).cast("string").as("clean_text"),
+            lit(0L).as("n_words"), lit(0L).as("n_excised"))
+        screened.unionByName(nulls)
           .write.mode("append").parquet(outPath)
-        graft.ops.Dedup.appendGrams(spark,
-          batch.where(col(textCol).isNotNull), textCol, indexPath)
+        graft.ops.Dedup.appendGrams(spark, withText, textCol, indexPath)
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+
+  private def gramWidth(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): Int =
+    spark.read.parquet(s"$indexPath/params")
+      .select(col("w")).head().getInt(0)
 
   /** The streaming ADMISSION PIPELINE — the shape a continuous corpus
     * ingest actually has, composed from the oracle-checked batch

@@ -677,6 +677,25 @@ class OpsSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().head
     assert(out2._2 == "intro words then and a closing run" && out2._4 == 8L,
       s"appended grams must screen later batches: $out2")
+    // docs shorter than w screen by FULL-TEXT identity: an admitted
+    // short doc empties its duplicates, a different short doc survives
+    Dedup.appendGrams(spark,
+      Seq((40L, "tiny short corpus line")).toDF("doc_id", "text"), "text", dir)
+    val shorts = Dedup.exciseAgainstIndex(spark, Seq(
+        (50L, "tiny short corpus line"),
+        (51L, "different tiny short line")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(shorts(50L)._2 == "" && shorts(50L)._4 == 4L,
+      s"duplicate short doc empties: ${shorts(50L)}")
+    assert(shorts(51L)._2 == "different tiny short line" && shorts(51L)._4 == 0L)
+    // duplicate-free append: re-admitting the same docs adds no rows
+    val nGrams = spark.read.parquet(s"$dir/grams").count()
+    Dedup.appendGrams(spark,
+      Seq((60L, s"$novel plus some extra words here"),
+        (61L, "tiny short corpus line")).toDF("doc_id", "text"), "text", dir)
+    assert(spark.read.parquet(s"$dir/grams").count() == nGrams,
+      "recurring spans must not grow the index")
     // invariant: bloom covers every persisted gram (no false negatives)
     val bloom = Dedup.readBloom(spark, dir)
     assert(spark.read.parquet(s"$dir/grams").as[String].collect()

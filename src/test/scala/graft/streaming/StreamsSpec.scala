@@ -486,11 +486,17 @@ class StreamsSpec extends SparkSpec {
       dir, outPath, s"$dir/ckpt")
     try {
       // batch 1: 10 carries the standing span (excised, remainder kept);
-      // 11 is novel; 12 is ONLY the standing span (empties -> dropped)
+      // 11 is novel; 12 is ONLY the standing span (empties -> dropped);
+      // 13 duplicates 11 exactly within the batch (stage-0 exact dedup);
+      // 14 shares a within-batch span with 10's tail (lowest id keeps);
+      // 15 is a null row (passes through)
       mem.addData(
         (10L, s"$passage novel continuation one two three four five six"),
         (11L, "first batch novel content nine ten eleven twelve now here"),
-        (12L, passage))
+        (12L, passage),
+        (13L, "first batch novel content nine ten eleven twelve now here"),
+        (14L, "novel continuation one two three four five six plus tailing"),
+        (15L, null.asInstanceOf[String]))
       q.processAllAvailable()
       // batch 2: 20 duplicates batch 1's doc 11 wholesale (cross-batch:
       // empties -> dropped); 21 is novel
@@ -501,11 +507,16 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
     val out = spark.read.parquet(outPath)
       .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
-    assert(out.keySet == Set(10L, 11L, 21L),
-      s"fully-duplicated rows (12 standing, 20 cross-batch) must drop: ${out.keySet}")
+    assert(out.keySet == Set(10L, 11L, 14L, 15L, 21L),
+      s"dups (12 standing, 13 exact-in-batch, 20 cross-batch) drop; null 15 passes: ${out.keySet}")
+    // doc 10: within-batch it KEEPS the span it shares with 14 (lowest
+    // id), but the STANDING screen still excises the corpus passage
     assert(out(10L) == "novel continuation one two three four five six",
-      s"standing span excised from the survivor: ${out(10L)}")
+      s"standing span excised, within-batch-kept span retained: ${out(10L)}")
+    assert(out(14L) == "plus tailing",
+      s"within-batch shared span excised from the higher id: ${out(14L)}")
     assert(out(11L) == "first batch novel content nine ten eleven twelve now here")
+    assert(out(15L) == null, "null-text rows pass through")
   }
 
   test("streaming quantized LSH index sink: int8 rows land in float-identical buckets and are probed") {
