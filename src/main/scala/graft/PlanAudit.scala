@@ -43,7 +43,7 @@ object PlanAudit {
       "q84_semantic_contamination", "q85_bm25_join",
       "q86_retrieval_decontaminate", "q87_curriculum_sample",
       "q88_excise_spans", "q89_bm25_join_capped", "q90_collapse_repeats",
-      "q91_excise_against_index")
+      "q91_excise_against_index", "q92_training_order")
     for (q <- interesting) {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       qe.executedPlan.executeCollect()

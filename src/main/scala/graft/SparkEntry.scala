@@ -192,6 +192,7 @@ object SparkEntry {
     "q88_excise_spans" -> exciseSpansSql,
     "q90_collapse_repeats" -> collapseRepeatsSql,
     "q91_excise_against_index" -> exciseAgainstIndexSql,
+    "q92_training_order" -> trainingOrderSql,
     "q51_repetition_signals" -> repetitionSignalsSql,
     "q52_pack" ->
       """WITH d AS (SELECT doc_id, source,
@@ -1207,6 +1208,26 @@ object SparkEntry {
        |ex AS (SELECT DISTINCT g.doc_id, g.st + o AS pos
        |       FROM g JOIN ref USING (gh), UNNEST(RANGE(0, g.glen)) AS v(o)),
        |$excisionRebuildSql""".stripMargin
+
+  /** q92 oracle: the training-order shuffle mirrored literally — the
+    * salted md5 key, the SAME hexThreshold bound literals (string
+    * comparisons, so the arithmetic cannot diverge), and the dense
+    * within-shard rank.
+    */
+  private def trainingOrderSql: String = {
+    val bounds = (1 until 8).map { i =>
+      s"(CASE WHEN _k >= '${graft.ops.Sampling.hexThreshold(i / 8.0)}' " +
+        "THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH k AS (SELECT doc_id,
+       |             MD5(CAST(doc_id AS VARCHAR) || '|shuffle') AS _k
+       |           FROM documents),
+       |s AS (SELECT doc_id, _k, $bounds AS shard FROM k)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY _k, doc_id) - 1
+       |       AS BIGINT) AS pos
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
 
   /** q90 oracle: within-doc repeat collapsing — per (doc, gram) first
     * occurrence; excised = positions covered by a repeat occurrence and

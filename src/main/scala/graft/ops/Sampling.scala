@@ -223,4 +223,36 @@ object Sampling {
         .when(k < hexThreshold(trainFrac + valFrac), "val")
         .otherwise("test"))
   }
+
+  /** Deterministic TRAINING-ORDER shuffle — the step after [[Packing
+    * .pack]] every recipe needs: a reproducible pseudo-random global
+    * order, as (shard, pos). The shuffle key is md5(id || "|shuffle")
+    * (salted so the order is independent of every sampler's md5(id)
+    * coin — the same id must not be "early" in both); the shard is the
+    * count of equi-spaced [[hexThreshold]] bounds at or below the key
+    * (uniform by construction, string comparisons only — the exact
+    * arithmetic the DuckDB oracle mirrors); pos is the dense 0-based
+    * rank within the shard by (key, id).
+    *
+    * Scale shape: one window per shard — rows per shard = n/nShards,
+    * and training wants MANY shards anyway (they are the read-
+    * parallelism of the data loader), so the user sizes nShards to
+    * bound partitions exactly as [[Packing.pack]]'s shardCol contract
+    * does. A single global sort — the naive ORDER BY random() — would
+    * be one serialized partition at any real size; reading shards in
+    * id order and rows in pos order IS the shuffled order.
+    */
+  def trainingOrder(df: DataFrame, idCol: String, nShards: Int = 64): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive: $nShards")
+    val k = md5(concat(col(idCol).cast("string"), lit("|shuffle")))
+    val shard = (1 until nShards)
+      .map(i => when(k >= hexThreshold(i.toDouble / nShards), 1L).otherwise(0L))
+      .foldLeft(lit(0L))(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_k"), col(idCol))
+    df.withColumn("_k", k)
+      .withColumn("shard", shard)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("_k")
+  }
 }

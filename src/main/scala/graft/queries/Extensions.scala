@@ -251,6 +251,15 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q92 deterministic training-order shuffle: salted-md5 key, 8
+  // hex-bound shards, dense within-shard rank — reading shards in id
+  // order and rows in pos order IS the reproducible shuffled order
+  // (the post-packing step of every training recipe).
+  val q92_training_order: Q = (s, d) =>
+    Sampling.trainingOrder(t(s, d, "documents").select(col("doc_id")),
+        "doc_id", nShards = 8)
+      .orderBy(col("doc_id"))
+
   // q50 Bloom-prefiltered decontamination: row-identical to the exact
   // overlap (no false negatives + exact verify join), but the corpus
   // shuffles only Bloom survivors — the broadcast runtime-filter shape.
@@ -739,5 +748,6 @@ object Extensions {
     "q88_excise_spans" -> q88_excise_spans,
     "q89_bm25_join_capped" -> q89_bm25_join_capped,
     "q90_collapse_repeats" -> q90_collapse_repeats,
-    "q91_excise_against_index" -> q91_excise_against_index)
+    "q91_excise_against_index" -> q91_excise_against_index,
+    "q92_training_order" -> q92_training_order)
 }

@@ -417,6 +417,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("trainingOrder: reproducible shuffle, dense per-shard ranks, growth-stable order") {
+    val docs = (1L to 400L).map(Tuple1(_)).toDF("doc_id")
+    val out = Sampling.trainingOrder(docs, "doc_id", nShards = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 400)
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    // roughly uniform shards (md5 keys vs equi-spaced hex bounds)
+    assert(byShard.values.map(_.size).max <= 90,
+      s"shard sizes: ${byShard.view.mapValues(_.size).toMap}")
+    // dense 0-based positions within every shard
+    byShard.foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.size).toSeq,
+        s"shard $sh ranks not dense")
+    }
+    // deterministic across runs and input partitioning
+    val again = Sampling.trainingOrder(docs.repartition(7), "doc_id", 8)
+      .as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // the order is NOT the id order (it actually shuffles)
+    val firstShardIds = out.filter(_._2 == out.minBy(_._1)._2)
+      .sortBy(_._3).map(_._1)
+    assert(firstShardIds.toSeq != firstShardIds.sorted.toSeq,
+      "within-shard order must not be id order")
+    // growth stability: adding new docs never reorders existing pairs
+    // WITHIN a shard (relative order is a pure function of keys)
+    val grown = Sampling.trainingOrder(
+      (1L to 500L).map(Tuple1(_)).toDF("doc_id"), "doc_id", 8)
+      .as[(Long, Long, Long)].collect()
+    val oldOrder = out.groupBy(_._2).view.mapValues(_.sortBy(_._3).map(_._1).toSeq).toMap
+    val newOrder = grown.filter(_._1 <= 400L).groupBy(_._2)
+      .view.mapValues(_.sortBy(_._3).map(_._1).toSeq).toMap
+    assert(oldOrder == newOrder,
+      "existing docs' shards and relative order must survive corpus growth")
+  }
+
   test("exactDedupAgainstIndex: Bloom-cleared and verified rows, nulls admitted, corpus never shuffled") {
     val corpus = Seq(
       (2L, "shared content already ingested"),
