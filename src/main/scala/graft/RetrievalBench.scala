@@ -62,15 +62,17 @@ object RetrievalBench {
       BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
 
     // Zipf(1.1) token for (id, slot, salt): bounded-Pareto inverse CDF
-    // over ranks 1..V, driven by a deterministic per-slot uniform.
+    // over ranks lo..V, driven by a deterministic per-slot uniform.
     val s = 1.1
-    def zipfTokens(idCol: String, len: Int, salt: Int): org.apache.spark.sql.Column = {
-      val vPow = math.pow(vocab.toDouble, 1.0 - s) // V^(1-s) < 1
+    def zipfTokens(idCol: String, len: Int, salt: Int,
+                   lo: Int = 1): org.apache.spark.sql.Column = {
+      val loPow = math.pow(lo.toDouble, 1.0 - s)
+      val vPow = math.pow(vocab.toDouble, 1.0 - s) // V^(1-s) < lo^(1-s)
       expr(
         s"""transform(sequence(1, $len), j ->
            |  concat('t', cast(pow(
-           |    1.0d - (pmod(xxhash64($idCol, j, $salt), 1000000000L) / 1.0e9d)
-           |         * (1.0d - ${vPow}d),
+           |    ${loPow}d - (pmod(xxhash64($idCol, j, $salt), 1000000000L) / 1.0e9d)
+           |         * (${loPow}d - ${vPow}d),
            |    ${1.0 / (1.0 - s)}d) as bigint)))""".stripMargin)
     }
 
@@ -83,7 +85,17 @@ object RetrievalBench {
       .select(col("id").as("q_id"),
         concat_ws(" ", zipfTokens("id", qLen, 2)).as("q_text"))
       .localCheckpoint(true)
-    corpus.count(); benchmark.count()
+    // realistic benchmark items: tokens from ranks ≥ 40 — ABOVE the
+    // maxDfFrac=0.5 cut, which in THIS corpus reaches rank ~31 (the
+    // truncated inverse CDF fattens the head well past the analytic
+    // Zipf estimate: measured df(20) = 49.8k, df(30) = 38.3k,
+    // df(40) = 30.2k vs the 37.5k cut) — the way real eval questions
+    // carry discriminative terms, not stopword bags
+    val benchmarkTail = spark.range(nQueries)
+      .select(col("id").as("q_id"),
+        concat_ws(" ", zipfTokens("id", qLen, 3, lo = 40)).as("q_text"))
+      .localCheckpoint(true)
+    corpus.count(); benchmark.count(); benchmarkTail.count()
 
     // ── 1. df microbench on the posting table ────────────────────────
     val tf = corpus
@@ -120,16 +132,21 @@ object RetrievalBench {
     // hottest ranks of this Zipf) dropped after df; surviving weights
     // bit-identical. Each variant runs ONCE — the timed collect also
     // yields the top set for the agreement measure.
-    def runJoin(maxDfFrac: Double): (Set[(Long, Long)], Double) =
+    def runJoin(queries: DataFrame, maxDfFrac: Double): (Set[(Long, Long)], Double) =
       time {
         graft.ops.TextAnalysis.bm25Join(corpus, "doc_id", "text",
-            benchmark, "q_id", "q_text", maxDfFrac = maxDfFrac)
+            queries, "q_id", "q_text", maxDfFrac = maxDfFrac)
           .select(col("q_id"), col("doc_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       }
-    val (exactTop, tJoin) = runJoin(1.0)
-    val (cappedTop, tJoinCap) = runJoin(0.5)
+    val (exactTop, tJoin) = runJoin(benchmark, 1.0)
+    val (cappedTop, tJoinCap) = runJoin(benchmark, 0.5)
     val overlap = (exactTop & cappedTop).size.toDouble / exactTop.size
+    // the discriminative-query case: terms sit above the cut, so the
+    // cap should cost (almost) no agreement
+    val (exactTail, tTailExact) = runJoin(benchmarkTail, 1.0)
+    val (cappedTail, tTailCap) = runJoin(benchmarkTail, 0.5)
+    val overlapTail = (exactTail & cappedTail).size.toDouble / exactTail.size
     val tDecon = run(graft.ops.TextAnalysis.retrievalDecontaminate(
       corpus, "doc_id", "text", benchmark, "q_id", "q_text"))
 
@@ -141,6 +158,8 @@ object RetrievalBench {
       s""""tfidf_s":${fmt(tTfidf)},"bm25_s":${fmt(tBm25)},""" +
       s""""bm25_join_s":${fmt(tJoin)},"bm25_join_capped_s":${fmt(tJoinCap)},""" +
       s""""capped_top10_overlap":${fmt(overlap)},""" +
+      s""""tail_join_s":${fmt(tTailExact)},"tail_capped_s":${fmt(tTailCap)},""" +
+      s""""tail_top10_overlap":${fmt(overlapTail)},""" +
       s""""decontaminate_s":${fmt(tDecon)}}""")
     spark.stop()
   }
