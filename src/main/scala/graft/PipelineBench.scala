@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end bench for the COMPOSED curation pipeline (q93 /
+  * [[graft.ops.Curation.curate]]) at sf1-equivalent volume — the
+  * [[ExciseBench]] recipe: the sf0.1 documents table replicated
+  * `SPARK_GRAFT_REPL`× (default 15) with doc-id offsets, and the text
+  * SALTED with a per-replica prefix token. The salt keeps the clean
+  * stage honest (unsalted replicas are byte-identical, so the exact
+  * screen would collapse the corpus to one replica before the pipeline
+  * does any work; salted replicas are distinct docs whose INTERIOR
+  * 8-word spans are still all cross-replica duplicates — the excision
+  * worst case at full row count, while the boilerplate span screen
+  * stays non-degenerate because the salted winnow fingerprints differ
+  * near the prefix).
+  *
+  * Measured: standing key-index build (the %4==0 slice), the chained
+  * clean → dedup → excise → decontaminate → sample → pack → order job
+  * (one noop write), rows out, and the executed-plan exchange/scan
+  * counts of the final stage chain. One JSON line (the [[Bench]]
+  * discipline); recorded in BASELINE.md.
+  */
+object PipelineBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "15").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def fmt(d: Double): String =
+      BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val docs = (0 until repl)
+      .map(r => base.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        col("source"),
+        concat(lit(s"r$r "), col("text")).as("text")))
+      .reduce(_ union _)
+      .repartition(cpus.toInt)
+      .localCheckpoint(true)
+    val nDocs = docs.count()
+
+    // standing corpus: the %4==0 slice, persisted key index (stage-2
+    // input — an index is a pipeline INPUT, so its build is timed apart)
+    val keyDir = java.nio.file.Files.createTempDirectory("graft_pipebench_").toString
+    val (_, tBuild) = time(graft.ops.Dedup.buildExactKeyIndex(
+      docs.filter(col("doc_id") % 4 === 0), "text", keyDir))
+
+    // per-source budgets scaled to the replicated corpus (~half of each
+    // source's observed tokens, so the sampler has real work both ways)
+    val budgets = graft.queries.Extensions.tokenBudgets
+      .map { case (s, b) => s -> b * repl / 2 }
+
+    val (out, tPipe) = time {
+      val result = graft.ops.Curation.curate(spark,
+        docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", "source",
+        keyIndexPath = Some(keyDir),
+        benchmark = Some(docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))),
+        cfg = graft.ops.Curation.Config(budgets = budgets))
+      result.write.format("noop").mode("overwrite").save()
+      result
+    }
+    val nOut = out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    val nExchange = "(?i)exchange".r.findAllIn(plan).length
+    val nScan = "Scan ".r.findAllIn(plan).length
+
+    println(
+      s"""{"bench":"pipeline_sf1","sf":"$sfDir","repl":$repl,"n_docs":$nDocs,""" +
+      s""""key_index_build_s":${fmt(tBuild)},"pipeline_s":${fmt(tPipe)},""" +
+      s""""rows_out":$nOut,"final_stage_exchanges":$nExchange,""" +
+      s""""final_stage_scans":$nScan}""")
+    spark.stop()
+  }
+}

@@ -193,6 +193,8 @@ object SparkEntry {
     "q90_collapse_repeats" -> collapseRepeatsSql,
     "q91_excise_against_index" -> exciseAgainstIndexSql,
     "q92_training_order" -> trainingOrderSql,
+    // q93: the stages' own fragments chained — see curationPipelineSql
+    "q93_curation_pipeline" -> curationPipelineSql,
     "q51_repetition_signals" -> repetitionSignalsSql,
     "q52_pack" ->
       """WITH d AS (SELECT doc_id, source,
@@ -516,7 +518,13 @@ object SparkEntry {
     * shared verbatim with q81 — one definition so the standalone and
     * composed cleaning oracles cannot drift.
     */
-  private def cleanScreenCtes: String =
+  private def cleanScreenCtes: String = cleanScreenCtes("0.5")
+
+  /** [[cleanScreenCtes]] with a configurable span-pressure threshold —
+    * q93's pipeline screens at 1.0 (pure-boilerplate only; see
+    * [[graft.ops.Curation.Config]]).
+    */
+  private def cleanScreenCtes(spanThr: String): String =
     s"""reps AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY MD5(text)),
        |fp AS (SELECT doc_id, UNNEST(fps) AS fp FROM m),
        |wc AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) AS dfc FROM fp),
@@ -524,7 +532,7 @@ object SparkEntry {
        |         SUM(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS n_shared
        |         FROM wc GROUP BY doc_id),
        |spanf AS (SELECT doc_id,
-       |            CASE WHEN CAST(n_shared AS DOUBLE) / n_spans < 0.5
+       |            CASE WHEN CAST(n_shared AS DOUBLE) / n_spans < $spanThr
        |                 THEN 1 ELSE 0 END AS keep_span
        |          FROM sagg),
        |qtok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM d),
@@ -1041,7 +1049,13 @@ object SparkEntry {
     * minima (t=16 ⇒ window 9) → per-doc distinct winnowing fingerprints.
     */
   private def winnowCtes: String =
-    """d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    winnowCtesFrom("documents WHERE text IS NOT NULL")
+
+  /** [[winnowCtes]] over an arbitrary source relation — the composed
+    * pipeline oracle (q93) runs the same screens over its batch slice.
+    */
+  private def winnowCtesFrom(src: String): String =
+    s"""d AS (SELECT doc_id, text FROM $src),
       |h AS (SELECT doc_id,
       |        CASE WHEN LENGTH(text) >= 8
       |             THEN LIST_TRANSFORM(RANGE(1, LENGTH(text) - 6),
@@ -1227,6 +1241,117 @@ object SparkEntry {
        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY _k, doc_id) - 1
        |       AS BIGINT) AS pos
        |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** q93 oracle: the END-TO-END curation pipeline — the stages' own
+    * oracle fragments chained as CTEs, each renamed to read from its
+    * predecessor instead of `documents`:
+    * q74's screens (winnow + cleanScreenCtes verbatim, over the batch
+    * slice) → q62's NOT-EXISTS exact screen vs the %4==0 standing slice
+    * → q88's span-excision rebuild over the admitted docs → q50's
+    * 3-shingle overlap vs the %10==0 benchmark (benchmark members drop
+    * outright) → q58's data-dependent budget thresholds over the CLEANED
+    * token counts → q52's running-sum pack → q92's salted-shard order.
+    * Mirrors [[graft.ops.Curation.curate]] stage for stage.
+    */
+  private def curationPipelineSql: String = {
+    val arms = graft.queries.Extensions.tokenBudgets.toSeq.sorted.map {
+      case (src, b) => s"WHEN '$src' THEN ${b}.0"
+    }.mkString("\n  ")
+    val bounds = (1 until 8).map { i =>
+      s"(CASE WHEN _k >= '${graft.ops.Sampling.hexThreshold(i / 8.0)}' " +
+        "THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    // 8-word decontamination shingles (Config.shingleW default) — the
+    // q50 w=3 construction widened
+    val shingle8 = (0 until 8)
+      .map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH raw AS (SELECT doc_id, source, text FROM documents
+       |             WHERE text IS NOT NULL AND doc_id % 4 <> 0),
+       |${winnowCtesFrom("raw")},
+       |${cleanScreenCtes("1.0")},
+       |clean AS (SELECT w.doc_id, w.source, w.text
+       |          FROM raw w
+       |          JOIN reps r ON r.doc_id = w.doc_id
+       |          LEFT JOIN spanf f ON f.doc_id = w.doc_id
+       |          LEFT JOIN qual q ON q.doc_id = w.doc_id
+       |          WHERE COALESCE(f.keep_span, 1) = 1
+       |            AND COALESCE(q.keep_quality, 0) = 1),
+       |fresh AS (SELECT c.doc_id, c.source, c.text FROM clean c
+       |          WHERE NOT EXISTS (
+       |            SELECT 1 FROM documents st
+       |            WHERE st.doc_id % 4 = 0 AND st.text IS NOT NULL
+       |              AND MD5(st.text) = MD5(c.text))),
+       |ed AS (SELECT doc_id,
+       |              LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+       |       FROM fresh),
+       |eg AS (SELECT doc_id, i AS st, MD5(ARRAY_TO_STRING(t[i:i+7], ' ')) AS gh
+       |       FROM ed, UNNEST(CASE WHEN LEN(t) >= 8
+       |                            THEN RANGE(1, LEN(t) - 6) ELSE [] END) AS u(i)),
+       |es AS (SELECT gh, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
+       |       FROM eg GROUP BY gh),
+       |eex AS (SELECT DISTINCT eg.doc_id, eg.st + o AS pos
+       |        FROM eg JOIN es USING (gh), UNNEST(RANGE(0, 8)) AS v(o)
+       |        WHERE es.nd >= 2 AND eg.doc_id <> es.keeper),
+       |ewp AS (SELECT ed.doc_id, t[p] AS word, p
+       |        FROM ed, UNNEST(RANGE(1, LEN(t) + 1)) AS u(p)),
+       |ekept AS (SELECT ewp.doc_id, ewp.word, ewp.p
+       |          FROM ewp LEFT JOIN eex
+       |            ON eex.doc_id = ewp.doc_id AND eex.pos = ewp.p
+       |          WHERE eex.pos IS NULL),
+       |exc AS (SELECT f2.doc_id, f2.source, ct.clean_text
+       |        FROM fresh f2
+       |        JOIN (SELECT doc_id, STRING_AGG(word, ' ' ORDER BY p) AS clean_text
+       |              FROM ekept GROUP BY doc_id) ct USING (doc_id)),
+       |ctk AS (SELECT doc_id, STRING_SPLIT(clean_text, ' ') AS t FROM exc
+       |        WHERE doc_id % 10 <> 0),
+       |csh AS (SELECT DISTINCT doc_id, $shingle8 AS sg
+       |        FROM ctk, UNNEST(RANGE(1, LEN(t) - 6)) AS u(i)),
+       |corp AS (SELECT doc_id, sg FROM csh
+       |         QUALIFY COUNT(*) OVER (PARTITION BY sg) <= 1000),
+       |btk AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+       |        WHERE doc_id % 10 = 0),
+       |bsh AS (SELECT DISTINCT $shingle8 AS sg
+       |        FROM btk, UNNEST(RANGE(1, LEN(t) - 6)) AS u(i)),
+       |contam AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bsh b ON b.sg = c.sg),
+       |decon AS (SELECT e.doc_id, e.source, e.clean_text FROM exc e
+       |          WHERE e.doc_id % 10 <> 0
+       |            AND NOT EXISTS (SELECT 1 FROM contam x
+       |                            WHERE x.doc_id = e.doc_id)),
+       |smp0 AS (SELECT doc_id, source,
+       |           CAST(LEN(STRING_SPLIT(clean_text, ' ')) AS BIGINT) AS n_tokens
+       |         FROM decon),
+       |tot AS (SELECT source, SUM(n_tokens) AS tot FROM smp0 GROUP BY source),
+       |fr AS (SELECT source,
+       |         LEAST(1.0, (CASE source
+       |  $arms
+       |  ELSE 0.0 END) / CAST(tot AS DOUBLE)) AS frac
+       |       FROM tot),
+       |thr AS (SELECT source,
+       |          CASE WHEN frac >= 1 THEN 'g'
+       |               ELSE printf('%08x', CAST(LEAST(FLOOR(frac * 4294967296),
+       |                                              4294967295) AS BIGINT))
+       |                    || REPEAT('0', 24) END AS thr
+       |        FROM fr),
+       |samp AS (SELECT s0.doc_id, s0.source, s0.n_tokens FROM smp0 s0
+       |         JOIN thr ON s0.source = thr.source
+       |         WHERE MD5(CAST(s0.doc_id AS VARCHAR)) < thr.thr),
+       |pk AS (SELECT doc_id, source, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+       |       FROM samp),
+       |pkd AS (SELECT doc_id, source, n_tokens, e - n_tokens AS start_off,
+       |          CAST(FLOOR((e - n_tokens) / 512.0) AS BIGINT) AS seq_first,
+       |          CAST(FLOOR((e - 1) / 512.0) AS BIGINT) AS seq_last
+       |        FROM pk),
+       |ks AS (SELECT pkd.*, MD5(CAST(doc_id AS VARCHAR) || '|shuffle') AS _k
+       |       FROM pkd),
+       |sh8 AS (SELECT ks.*, $bounds AS shard FROM ks)
+       |SELECT doc_id, source, n_tokens, start_off, seq_first, seq_last,
+       |  CAST(shard AS BIGINT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY _k, doc_id) - 1
+       |       AS BIGINT) AS pos
+       |FROM sh8 ORDER BY doc_id""".stripMargin
   }
 
   /** q90 oracle: within-doc repeat collapsing — per (doc, gram) first

@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The END-TO-END curation pipeline — the chained job every training-data
+  * recipe actually runs, composed from the individually-oracle-checked
+  * operators (the `tasks`-array semantics of the reference's runner —
+  * taskrun.py:64-76 — applied to the LLM-pipeline families):
+  *
+  *   1. CLEAN     — [[Dedup.exact]] representative + [[Dedup.dupSpanFrac]]
+  *                  span-pressure + [[TextAnalysis.qualityScore]] floor,
+  *                  conjoined (the q74 screens);
+  *   2. DEDUP     — [[Dedup.exactDedupAgainstIndex]] against the standing
+  *                  corpus's persisted key index (the q62 admission gate);
+  *   3. EXCISE    — [[Dedup.exciseDupSpans]]: cross-doc duplicated word
+  *                  spans removed, lowest-id keeper (q88); rows excised to
+  *                  emptiness drop;
+  *   4. DECONTAM  — [[Dedup.decontaminateBloom]] 3-shingle overlap vs the
+  *                  benchmark (q50); benchmark members themselves drop;
+  *   5. SAMPLE    — [[Sampling.tokenBudgetFracs]] + [[Sampling
+  *                  .stratifiedSample]]: per-source token budgets (q58);
+  *   6. PACK      — [[Packing.pack]]: concat-and-chunk into `seqLen`-token
+  *                  training sequences per source shard (q52);
+  *   7. ORDER     — [[Sampling.trainingOrder]]: deterministic shuffled
+  *                  (shard, pos) read order (q92).
+  *
+  * Every stage is deterministic, so the WHOLE chain hash-checks against a
+  * DuckDB oracle that composes the stages' own oracle fragments (q93).
+  *
+  * Scale shape: the stages keep their individual contracts (banded/
+  * bucketed equi-joins, Bloom prefilters, bounded driver actions — the
+  * only collects are the per-source token totals and the benchmark Bloom,
+  * both bounded by strata/benchmark size, not corpus size). Two stage
+  * boundaries are MATERIALIZED (`localCheckpoint`): `fresh` (post-dedup)
+  * because excision consumes it twice (gram pass + source join-back), and
+  * the token-counted survivors because the budget fracs are
+  * data-dependent — computing them requires one pass, and without a
+  * checkpoint the sampler would re-run the entire upstream chain a second
+  * time. At a real 100 TB run each boundary is a parquet write (stage
+  * outputs are restart points, exactly the reference runner's per-task
+  * CSV/DB handoff); `localCheckpoint` is the single-job, in-memory stand-
+  * in with the same run-once semantics. Narrow schemas are cut BEFORE
+  * each checkpoint ((doc_id, source, text) / (doc_id, source, n_tokens)),
+  * so the materialized footprint is the text actually still alive, never
+  * carried-along wide rows.
+  */
+object Curation {
+
+  /** Stage parameters; every default is the matching qNN query's value.
+    *
+    * @param budgets       per-source token budgets (stage 5); sources
+    *                      absent from the map drop — the
+    *                      not-in-the-recipe rule
+    * @param minQuality    quality floor (stage 1)
+    * @param spanThreshold drop a doc when its shared-span fraction
+    *                      ([[Dedup.dupSpanFrac]]) reaches this value.
+    *                      0.5 is the q49/q74 screen; 1.0 means "drop only
+    *                      pure boilerplate — docs consisting ENTIRELY of
+    *                      cross-doc duplicated spans" (the right setting
+    *                      when the excision stage below rewrites partial
+    *                      duplication anyway, and the q93 value)
+    * @param exciseW       duplicated-span width in words (stage 3)
+    * @param shingleW      decontamination overlap width in words
+    *                      (stage 4). q50's standalone screen uses 3;
+    *                      the pipeline default is 8 — a verbatim 8-word
+    *                      run shared with an eval item is contamination,
+    *                      a 3-word collision on a templated corpus is
+    *                      noise (and corpus-internal 8-spans are already
+    *                      excised, so what stage 4 catches is precisely
+    *                      benchmark-only overlap)
+    * @param seqLen        packed training-sequence length in tokens
+    *                      (stage 6)
+    * @param nShards       training-order shard count (stage 7)
+    */
+  case class Config(budgets: Map[String, Long],
+                    minQuality: Double = 0.5,
+                    spanThreshold: Double = 1.0,
+                    exciseW: Int = 8,
+                    shingleW: Int = 8,
+                    seqLen: Int = 512,
+                    nShards: Int = 8)
+
+  /** Run the full pipeline over `batch` (docs with a null `textCol` are
+    * dropped up front — nothing to train on).
+    *
+    * @param keyIndexPath standing-corpus [[Dedup.buildExactKeyIndex]]
+    *                     layout for stage 2; None skips the stage (first
+    *                     ingest, no standing corpus yet)
+    * @param benchmark    (id, text) benchmark/eval docs for stage 4; None
+    *                     skips the stage. Batch rows sharing an id with a
+    *                     benchmark row are dropped outright (they ARE the
+    *                     eval set — eval data must never reach training);
+    *                     the id anti-join broadcasts the benchmark side.
+    * @return one row per surviving doc: (doc_id, source, n_tokens,
+    *         start_off, seq_first, seq_last, shard, pos)
+    */
+  def curate(spark: SparkSession, batch: DataFrame, idCol: String,
+             textCol: String, sourceCol: String,
+             keyIndexPath: Option[String], benchmark: Option[DataFrame],
+             cfg: Config): DataFrame = {
+    val docs = batch.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        col(textCol).as("text"))
+
+    // 1. CLEAN — the q74 screens as survivor filters. Absence semantics
+    // mirror q74's COALESCEs: no quality row => drop (coalesce 0), no
+    // span row => keep (a doc with no shareable spans has nothing
+    // duplicated, coalesce 1) — hence semi vs anti below.
+    val reps = Dedup.exact(docs, "doc_id", "text").select(col("doc_id"))
+    val spanDrop = Dedup.dupSpanFrac(docs, "doc_id", "text",
+        dupThreshold = cfg.spanThreshold)
+      .where(col("keep") === 0).select(col("doc_id"))
+    val qualKeep = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .where(col("quality") >= cfg.minQuality).select(col("doc_id"))
+    val clean = docs
+      .join(reps, Seq("doc_id"), "left_semi")
+      .join(qualKeep, Seq("doc_id"), "left_semi")
+      .join(spanDrop, Seq("doc_id"), "left_anti")
+
+    // 2. DEDUP vs the standing corpus (Bloom-in-scan + exact verify;
+    // the corpus keys are never shuffled)
+    val fresh0 = keyIndexPath match {
+      case Some(p) => Dedup.exactDedupAgainstIndex(spark, clean, "text", p)
+      case None    => clean
+    }
+    // materialized: the excision stage reads it twice (gram pass +
+    // source join-back) — see the object doc on stage boundaries
+    val fresh = fresh0.localCheckpoint(true)
+
+    // 3. EXCISE cross-doc duplicated spans within the admitted batch;
+    // docs excised to emptiness carry nothing to train on
+    val exc = Dedup.exciseDupSpans(fresh, "doc_id", "text", w = cfg.exciseW)
+      .where(col("clean_text") =!= "")
+      .join(fresh.select(col("doc_id"), col("source")), Seq("doc_id"))
+
+    // 4. DECONTAMINATE the cleaned text vs the benchmark; benchmark
+    // members drop outright (they ARE the eval set)
+    val decon = benchmark match {
+      case Some(benchRaw) =>
+        val benchAll = benchRaw
+          .select(col(idCol).as("doc_id"), col(textCol).as("clean_text"))
+        val candidates = exc.join(
+          broadcast(benchAll.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        val contaminated = Dedup.decontaminateBloom(
+          candidates, benchAll.where(col("clean_text").isNotNull),
+          "doc_id", "clean_text", w = cfg.shingleW)
+        candidates.join(contaminated.select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      case None => exc
+    }
+
+    // 5. SAMPLE to per-source token budgets. The fracs collect is one
+    // bounded driver action (per-source totals); the checkpoint makes
+    // the chain above run ONCE for both the totals and the main job.
+    val withTok = decon.select(col("doc_id"), col("source"),
+        graft.functions.VectorFunctions.tokenCountsStruct(col("clean_text"))
+          .getField("ws_tokens").as("n_tokens"))
+      .localCheckpoint(true)
+    val fracs = Sampling.tokenBudgetFracs(withTok, "source", "n_tokens",
+      cfg.budgets)
+    val sampled = Sampling.stratifiedSample(withTok, "doc_id", "source", fracs)
+
+    // 6. PACK into seqLen-token sequences per source shard
+    val packed = Packing.pack(sampled, "doc_id", "n_tokens", "source",
+      seqLen = cfg.seqLen)
+
+    // 7. deterministic TRAINING ORDER over the packed docs
+    Sampling.trainingOrder(packed, "doc_id", nShards = cfg.nShards)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
+        col("seq_first"), col("seq_last"), col("shard"), col("pos"))
+  }
+}

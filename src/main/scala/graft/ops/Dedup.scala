@@ -510,26 +510,28 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
-  /** Write-to-temp + rename: an in-place overwrite would make a crash
-    * mid-write destroy the ONLY copy of the standing filter (bricking
-    * every future probe until a rebuild) — the opposite of the
-    * "at worst extra bits" contract [[appendExactKeys]]' write order
-    * promises. With the staged write, a crash leaves either the old
-    * complete filter or the new complete filter.
+  /** Write-to-temp + overwrite-rename: an in-place overwrite would make
+    * a crash mid-write destroy the ONLY copy of the standing filter
+    * (bricking every future probe until a rebuild) — the opposite of
+    * the "at worst extra bits" contract [[appendExactKeys]]' write
+    * order promises. The swap uses `FileContext.rename(…, OVERWRITE)`
+    * — one metadata operation, no delete-then-rename window in which NO
+    * filter exists at the live path — so a crash leaves either the old
+    * complete filter or the new complete filter, never an absent or
+    * truncated one.
     */
   private def writeBloom(spark: org.apache.spark.sql.SparkSession,
                          bloom: org.apache.spark.util.sketch.BloomFilter,
                          path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/bloom/filter.bin")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/bloom/_filter.bin.tmp")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try bloom.writeTo(out) finally out.close()
-    if (fs.exists(p)) require(fs.delete(p, false),
-      s"could not replace $p (new filter staged at $tmp)")
-    require(fs.rename(tmp, p),
-      s"could not rename $tmp to $p (new filter is at $tmp; old filter deleted " +
-        "— recover with ONE rename)")
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+      .rename(fs.makeQualified(tmp), fs.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private[graft] def readBloom(spark: org.apache.spark.sql.SparkSession,

@@ -260,6 +260,31 @@ object Extensions {
         "doc_id", nShards = 8)
       .orderBy(col("doc_id"))
 
+  // q93 the END-TO-END curation pipeline — the chained job the families
+  // exist for, as ONE DataFrame program (graft.ops.Curation.curate):
+  // q74 screens → q62 exact-dedup vs the %4==0 standing corpus
+  // (persisted key index, memoized per sf dir like q57/q62/q91) → q88
+  // span excision → q50 decontamination vs the %10==0 benchmark slice
+  // (benchmark members drop outright) → q58 token-budget sample → q52
+  // pack → q92 training order. The oracle chains the stages' own SQL
+  // fragments over the same slices.
+  private val pipeKeyDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q93_curation_pipeline: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val keyDir = pipeKeyDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_q93_keys_").toString
+      Dedup.buildExactKeyIndex(docs.filter(col("doc_id") % 4 === 0), "text", p)
+      p
+    })
+    Curation.curate(s, docs.where(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", "source",
+        keyIndexPath = Some(keyDir),
+        benchmark = Some(docs.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))),
+        cfg = Curation.Config(budgets = tokenBudgets))
+      .orderBy(col("doc_id"))
+  }
+
   // q50 Bloom-prefiltered decontamination: row-identical to the exact
   // overlap (no false negatives + exact verify join), but the corpus
   // shuffles only Bloom survivors — the broadcast runtime-filter shape.
@@ -749,5 +774,6 @@ object Extensions {
     "q89_bm25_join_capped" -> q89_bm25_join_capped,
     "q90_collapse_repeats" -> q90_collapse_repeats,
     "q91_excise_against_index" -> q91_excise_against_index,
-    "q92_training_order" -> q92_training_order)
+    "q92_training_order" -> q92_training_order,
+    "q93_curation_pipeline" -> q93_curation_pipeline)
 }

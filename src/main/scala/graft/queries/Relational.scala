@@ -143,15 +143,15 @@ object Relational {
       .orderBy(col("o_orderstatus"))
 
   // Q12b approx distinct (HLL++) — no oracle (bound-checked, not hashed).
-  // rsd 0.02 (vs the 0.05 default): the verify artifact asserts a 5%
+  // rsd 0.015 (vs the 0.05 default): the verify artifact asserts a 5%
   // error bound, which the default sketch only meets at ~1 sigma — a
-  // coin flip per run. At 2% rsd the bound holds with 2.5-sigma headroom
-  // at ~1/16 the register count of rsd 0.01, which round 6 measured at
-  // 5× the EXACT q12's cost — an approx-distinct slower than exact is
-  // backwards; this is the sweet spot of headroom vs sketch width.
+  // coin flip per run. rsd 0.02 left only ~2.5 sigma (≈1% per-run flake);
+  // 0.015 gives ~3.3 sigma at a quarter the register count of rsd 0.01,
+  // which round 6 measured at 5× the EXACT q12's cost — an approx-distinct
+  // slower than exact is backwards. Headroom vs sketch width, re-balanced.
   val q12b_approx_distinct: Q = (s, d) =>
     t(s, d, "orders")
-      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("acd"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.015).as("acd"))
 
   // Q13 rollup.
   val q13_rollup: Q = (s, d) =>

@@ -116,7 +116,9 @@ object XlsxReader {
           val letters = ref.takeWhile(_.isLetter)
           val colIdx =
             if (letters.isEmpty) impliedCol + 1
-            else letters.foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1
+            // toUpper: some non-Excel writers emit lowercase refs, and
+            // 'a' - 'A' + 1 would otherwise fold to column 33
+            else letters.foldLeft(0)((a, ch) => a * 26 + (ch.toUpper - 'A' + 1)) - 1
           impliedCol = colIdx
           val t = c \@ "t"
           val v = (c \ "v").headOption.map(_.text)

@@ -237,27 +237,40 @@ object Streams {
     *     Bloom-cleared in the scan, exactly verified, corpus grams
     *     only SCANNED — never shuffled; docs shorter than w screen by
     *     full-text identity);
-    *  3. rows excised to emptiness drop — a doc that is entirely
-    *     already-seen spans contributes nothing, and this rule is what
-    *     makes at-least-once replay CONVERGE at every doc length: a
-    *     replayed row's grams (or its full-text hash, when short) are
-    *     already admitted, so it comes back empty and adds nothing;
+    *  3. rows excised to EMPTINESS drop — a doc that is entirely
+    *     already-seen spans contributes nothing. Rows whose text had no
+    *     words to begin with (whitespace-only, n_words = 0) are NOT
+    *     "excised to emptiness": nothing was removed from them, so they
+    *     pass through as (id, "", 0, 0) — the same admit-what-carried-
+    *     nothing contract as the null rows below;
     *  4. survivors append to `outPath` as (doc_id, clean_text,
     *     n_words, n_excised) with n_excised totalled across both
     *     passes; null-text rows pass through as (doc_id, null, 0, 0) —
     *     the [[ingestGate]] admit-null contract, they carry nothing to
     *     excise;
-    *  5. the batch's ORIGINAL text grams admit into the index
-    *     ([[graft.ops.Dedup.appendGrams]], duplicate-free append) —
-    *     original rather than cleaned deliberately: the corpus has
-    *     SEEN those spans (batch N+1 must excise against everything
-    *     batch N carried), and a replay can recompute them without
-    *     re-running the excision.
+    *  5. the batch's ORIGINAL text grams AND the emitted clean_text's
+    *     grams admit into the index ([[graft.ops.Dedup.appendGrams]],
+    *     one duplicate-free append over the union). Original, because
+    *     the corpus has SEEN those spans (batch N+1 must excise against
+    *     everything batch N carried); emitted, because excision creates
+    *     SEAM w-grams (a removed span's neighbors become adjacent) that
+    *     now exist in `outPath` — indexing them (and the full-text hash
+    *     of docs excised below w words) is what makes replay converge
+    *     for docs the within-batch pass rewrote.
     *
-    * A crash between 4 and 5 replays the batch against an index
-    * missing its grams, re-appending its survivors once more — the
-    * usual at-least-once window, one exact dedup away downstream
-    * (the [[ingestGate]] contract).
+    * REPLAY contract (a crash between 4 and 5 replays the batch against
+    * an index missing its grams — the usual at-least-once window):
+    * after 5 has committed, a replayed doc whose emitted text's every
+    * word is covered by an indexed gram comes back empty and drops —
+    * exact convergence, which holds for all docs unchanged by
+    * within-batch excision and for the common rewritten shapes. The
+    * residual: a rewritten doc whose replay leaves words standing
+    * re-appends a row under the SAME doc_id whose clean_text is a
+    * (possibly equal) subsequence of the first append — the corpus
+    * grams matched on the first run always match again, so a replay can
+    * only excise MORE. Downstream compaction therefore keys on doc_id
+    * (keep any; they differ only by further excision), not on exact
+    * content equality.
     */
   def gramExciseSink(spark: org.apache.spark.sql.SparkSession,
                      stream: DataFrame, idCol: String, textCol: String,
@@ -284,14 +297,25 @@ object Streams {
           .select(col("doc_id"), col("clean_text"),
             col("_nw").as("n_words"),
             (col("_ex1") + col("n_excised")).as("n_excised"))
-          .where(col("clean_text") =!= "")
-        val nulls = batch.where(col(textCol).isNull)
-          .select(col(idCol).as("doc_id"),
-            lit(null).cast("string").as("clean_text"),
-            lit(0L).as("n_words"), lit(0L).as("n_excised"))
-        screened.unionByName(nulls)
-          .write.mode("append").parquet(outPath)
-        graft.ops.Dedup.appendGrams(spark, withText, textCol, indexPath)
+          // "excised to emptiness" requires something to have been
+          // excisABLE: a whitespace-only row (n_words = 0) passes
+          // through like the nulls below, it carried nothing to excise
+          .where(col("clean_text") =!= "" || col("n_words") === 0)
+          .persist()
+        try {
+          val nulls = batch.where(col(textCol).isNull)
+            .select(col(idCol).as("doc_id"),
+              lit(null).cast("string").as("clean_text"),
+              lit(0L).as("n_words"), lit(0L).as("n_excised"))
+          screened.unionByName(nulls)
+            .write.mode("append").parquet(outPath)
+          // step 5: original grams ∪ emitted-text grams, one append
+          graft.ops.Dedup.appendGrams(spark,
+            withText.select(col(textCol).as("_gram_text"))
+              .unionByName(screened
+                .select(col("clean_text").as("_gram_text"))),
+            "_gram_text", indexPath)
+        } finally screened.unpersist()
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
