@@ -31,8 +31,15 @@ import scala.collection.mutable
   */
 object XlsReader {
 
-  def read(spark: SparkSession, path: String, sheet: Option[String]): DataFrame = {
-    val rows = readRows(path, sheet)
+  /** @param useView `true` (reference default, task.py:325-326) renders
+    *                 date-formatted numerics through the serial-date
+    *                 rules; `false` is xlrd's RAW mode — every numeric
+    *                 cell keeps its stored value (date serials included)
+    *                 and no view formatting is applied.
+    */
+  def read(spark: SparkSession, path: String, sheet: Option[String],
+           useView: Boolean = true): DataFrame = {
+    val rows = readRows(path, sheet, useView)
     if (rows.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], StructType(Nil))
@@ -47,13 +54,14 @@ object XlsReader {
     * everything else → BIFF8 — one entry point for both formats, so the
     * `xls-csv` task config is format-agnostic.
     */
-  def readRows(path: String, sheet: Option[String]): Seq[Seq[String]] = {
+  def readRows(path: String, sheet: Option[String],
+               useView: Boolean = true): Seq[Seq[String]] = {
     val lower = path.toLowerCase
     if (lower.endsWith(".xlsx") || lower.endsWith(".xlsm"))
-      XlsxReader.readRows(path, sheet)
+      XlsxReader.readRows(path, sheet, useView)
     else {
       val stream = workbookStream(Files.readAllBytes(Paths.get(path)))
-      parseWorkbook(stream, sheet)
+      parseWorkbook(stream, sheet, useView)
     }
   }
 
@@ -196,7 +204,8 @@ object XlsReader {
   private val FORMAT_R = 0x41E
   private val DATEMODE = 0x22
 
-  private[sources] def parseWorkbook(stream: Array[Byte], sheet: Option[String]): Seq[Seq[String]] = {
+  private[sources] def parseWorkbook(stream: Array[Byte], sheet: Option[String],
+                                     useView: Boolean = true): Seq[Seq[String]] = {
     // Pass 1 (globals): SST, BOUNDSHEET positions, XF → format index,
     // custom FORMAT strings, 1900/1904 DATEMODE
     var sst = Vector.empty[String]
@@ -240,9 +249,11 @@ object XlsReader {
     }
     if (pending.nonEmpty) sst = parseSst(pending.toSeq)
 
-    // use_view rendering: numeric cell + date XF -> formatted date string
+    // use_view rendering: numeric cell + date XF -> formatted date
+    // string; raw mode (use_view false, task.py:325-326) keeps the
+    // stored serial — no date detection at all
     def renderNum(v: Double, xf: Int): String =
-      if (v >= 0 && xf < xfFormats.length &&
+      if (useView && v >= 0 && xf < xfFormats.length &&
           isDateFormat(xfFormats(xf), customFormats)) xlDateString(v, date1904)
       else fmtNum(v)
 

@@ -27,7 +27,8 @@ import scala.collection.mutable
   */
 object XlsxReader {
 
-  def readRows(path: String, sheet: Option[String]): Seq[Seq[String]] = {
+  def readRows(path: String, sheet: Option[String],
+               useView: Boolean = true): Seq[Seq[String]] = {
     val zip = new java.util.zip.ZipFile(path)
     try {
       def entry(name: String): Option[scala.xml.Elem] =
@@ -91,7 +92,8 @@ object XlsxReader {
       }
       def renderNum(raw: String, styleIdx: Int): String = {
         val v = raw.toDouble
-        if (v >= 0 && styleIdx >= 0 && styleIdx < xfFormats.length &&
+        // raw mode (use_view false): stored serial, no date rendering
+        if (useView && v >= 0 && styleIdx >= 0 && styleIdx < xfFormats.length &&
             XlsReader.isDateFormat(xfFormats(styleIdx), customFormats))
           XlsReader.xlDateString(v, date1904)
         else XlsReader.fmtNum(v)

@@ -51,7 +51,7 @@ object Tasks {
     val df = source
     if (df.isEmpty) log.write("Task skipped. No rows on source")
     else {
-      val out = Transforms(df, task, log)
+      val out = Transforms(df, task, log, Some(ctx.workDir))
       val taskLog = TaskLog.forTask(ctx.logDir, taskType, task.str("name", "task"))
       // K5 progress metering (task.py:200): 10k-row ticks into the
       // per-task log while the sink job runs, plus a final total line.
@@ -155,7 +155,9 @@ object Tasks {
       etl(ctx, task, log, "xls-csv") {
         val src = task("source")
         val path = s"${ctx.dir(src.str("folder", "input"))}/${src.str("file")}"
-        graft.sources.XlsReader.read(ctx.spark, path, src.strOpt("sheet"))
+        // use_view default true, the reference's (task.py:325-326)
+        graft.sources.XlsReader.read(ctx.spark, path, src.strOpt("sheet"),
+          src.bool("use_view", default = true))
       }(csvTarget(ctx, task))
   }
 
@@ -287,9 +289,24 @@ object Tasks {
       val src = task("source")
       val moduleName = src.str("module")
       val args = src.strArr("args").toArray
-      val cls = Class.forName(moduleName + "$") // Scala object
-      val instance = cls.getField("MODULE$").get(null)
-      cls.getMethod("main", classOf[Array[String]]).invoke(instance, args)
+      // module/ jars are consulted after the launch classpath — the
+      // drop-in surface (ModuleClasspath); try the Scala-object form
+      // first, then a plain Java class with a static main
+      val loaded =
+        try Left(graft.transform.ModuleClasspath
+          .classFor(moduleName + "$", Some(ctx.workDir)))
+        catch { case _: ClassNotFoundException =>
+          Right(graft.transform.ModuleClasspath
+            .classFor(moduleName, Some(ctx.workDir)))
+        }
+      loaded match {
+        case Left(cls) => // Scala object
+          val instance = cls.getField("MODULE$").get(null)
+          cls.getMethod("main", classOf[Array[String]]).invoke(instance, args)
+        case Right(cls) => // Java-style static main
+          cls.getMethod("main", classOf[Array[String]])
+            .invoke(null, args)
+      }
       log.write(s"executed $moduleName")
     }
   }
@@ -297,7 +314,8 @@ object Tasks {
   object Custom extends Task {
     def run(ctx: TaskContext, task: Node, log: TaskLog): Unit = {
       log.write("Loading custom task.")
-      val cls = Class.forName(task.str("module"))
+      val cls = graft.transform.ModuleClasspath
+        .classFor(task.str("module"), Some(ctx.workDir))
       val instance = cls.getDeclaredConstructor().newInstance().asInstanceOf[CustomTask]
       instance.run(ctx, task, log)
     }

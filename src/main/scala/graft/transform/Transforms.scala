@@ -63,18 +63,24 @@ object Transforms {
     "empty_as_null"   -> (() => new EmptyAsNull),
     "sanitize_string" -> (() => new SanitizeString))
 
-  def loadModule(name: String): TransformModule =
+  /** Resolve a module: shipped short name, launch classpath, or a jar
+    * dropped into `workDir/module` ([[ModuleClasspath]] — the
+    * reference's hot-import surface, task.py:129-130).
+    */
+  def loadModule(name: String, workDir: Option[String] = None): TransformModule =
     builtins.get(name).map(_.apply()).getOrElse {
-      val cls = Class.forName(name)
+      val cls = ModuleClasspath.classFor(name, workDir)
       cls.getDeclaredConstructor().newInstance().asInstanceOf[TransformModule]
     }
 
-  def apply(df: DataFrame, task: Node, log: TaskLog): DataFrame = {
-    val afterModules = applyModules(df, task, log)
+  def apply(df: DataFrame, task: Node, log: TaskLog,
+            workDir: Option[String] = None): DataFrame = {
+    val afterModules = applyModules(df, task, log, workDir)
     applyPetl(afterModules, task)
   }
 
-  private def applyModules(df: DataFrame, task: Node, log: TaskLog): DataFrame = {
+  private def applyModules(df: DataFrame, task: Node, log: TaskLog,
+                           workDir: Option[String]): DataFrame = {
     val nodes: Seq[Node] =
       if (task.has("transforms")) task.arr("transforms")
       else if (task.has("transform") && task("transform").has("module")) Seq(task("transform"))
@@ -89,7 +95,7 @@ object Transforms {
         case (k, org.json4s.JDouble(v)) => k -> v.toString
         case (k, org.json4s.JBool(v))   => k -> v.toString
       }
-      loadModule(name).transform(d, fields, args)
+      loadModule(name, workDir).transform(d, fields, args)
     }
   }
 

@@ -296,6 +296,18 @@ class XlsReaderSpec extends SparkSpec {
     assert(rows(5) == Seq("1904-04-10 00:00:00"))
   }
 
+  test("use_view false: BIFF numerics keep raw serials, no date rendering") {
+    // xlrd raw mode (reference task.py:325-326): stored values verbatim
+    val rows = XlsReader.readRows(dateFixture(), None, useView = false)
+    assert(rows(1) == Seq("44927"), "built-in date XF stays a serial")
+    assert(rows(2) == Seq("44927.520833333336"), "custom date XF stays a serial")
+    assert(rows(3) == Seq("44927"), "non-date numeric unchanged")
+    assert(rows(4) == Seq("0.75"), "time fraction stays a fraction")
+    assert(rows(5) == Seq("100"), "RK cell with date XF stays a serial")
+    // and the flag must not disturb non-numeric cells
+    assert(rows(0) == Seq("d"))
+  }
+
   test("non-OLE2 input is rejected") {
     val path = s"${tmpDir("graft_xls_")}/bad.xls"
     Files.write(Paths.get(path), "not an xls".getBytes)
@@ -388,6 +400,39 @@ class XlsReaderSpec extends SparkSpec {
     assert(r1904(1)(2) == XlsReader.xlDateString(45000, date1904 = true))
     assert(r1904(1)(2) != XlsReader.readRows(path, None)(1)(2),
       "1904 epoch must shift the rendered date")
+  }
+
+  test("xlsx: use_view false keeps raw stored numerics, no date rendering") {
+    val rows = XlsReader.readRows(stdXlsx(), None, useView = false)
+    assert(rows(1) == Seq("ärger", "42", "45000"),
+      s"date-styled serial stays raw: ${rows(1)}")
+    assert(rows(2) == Seq("cached", "true", "0.5"),
+      s"custom-date 0.5 stays a fraction: ${rows(2)}")
+  }
+
+  test("xlsx: lowercase cell references fold to the correct columns") {
+    // some non-Excel writers emit lowercase refs; 'a' must mean column 0
+    // (and 'aa' column 26), not the garbage 'a'-'A'+1 would produce
+    val path = xlsxFixture(Map(
+      "xl/workbook.xml" ->
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          |  xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |  <sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |  <Relationship Id="rId1" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet><sheetData>
+          |  <row r="1">
+          |    <c r="a1" t="inlineStr"><is><t>x</t></is></c>
+          |    <c r="b1"><v>7</v></c>
+          |  </row>
+          |</sheetData></worksheet>""".stripMargin))
+    val rows = XlsReader.readRows(path, None)
+    assert(rows == Seq(Seq("x", "7")),
+      s"lowercase refs must land in columns 0 and 1: $rows")
   }
 
   test("xlsx: cells and rows without r attributes take implied sequential positions") {
