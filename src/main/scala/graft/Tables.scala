@@ -23,6 +23,8 @@ object Tables {
     * `nanosAsLong` conf this replaced was global state that bled into
     * concurrent readers of other nanos parquet in the same session).
     */
+  private[graft] def eventsRawSchema: StructType = eventsSchema
+
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),

@@ -410,6 +410,19 @@ object TextAnalysis {
     * re-evaluate the scoring arithmetic; N/avgdl are a 1-row broadcast;
     * the per-query cut is a window over the query key.
     *
+    * SIZING GUARDRAIL: when the join runs UNCAPPED (maxDfFrac = 1.0),
+    * an `observe` node collects the query vocabulary's max df during
+    * the job itself (no extra scan, no plan change beyond the metric
+    * collector) and a session listener emits one WARN — recorded in
+    * [[lastSizingWarning]] — if some query term matches more than
+    * [[SizingFracThreshold]] of the corpus AND carries more than
+    * [[SizingMinDf]] postings. Both conditions deliberately: the
+    * Zipfian bench (BASELINE.md) measured that the stopword fan-out is
+    * what the cap trims (3.6×), while on a small-vocabulary corpus the
+    * same FRACTION is a few hundred rows and the cap's filter costs
+    * more than it saves — fraction flags the shape, absolute df flags
+    * that it matters.
+    *
     * `maxDfFrac` is the hot-term throttle the Zipfian bench motivates
     * (BASELINE.md retrieval section): a stopword-grade query term
     * matches nearly EVERY document, so its postings × queries fan-out
@@ -421,6 +434,65 @@ object TextAnalysis {
     * terms' near-zero idf mass. Default 1.0 = exact (the oracle-checked
     * q85/q86 path, plan untouched).
     */
+  /** [[bm25Join]] guardrail policy: warn when some query term's df
+    * exceeds BOTH this fraction of the corpus and [[SizingMinDf]]
+    * postings. 0.5 is the "stopword-grade" line from the Zipfian bench.
+    */
+  val SizingFracThreshold: Double = 0.5
+
+  /** Absolute-posting floor for the guardrail: below this, even a
+    * corpus-dominating term is a trivial fan-out and the cap's filter
+    * would cost more than it trims (the measured fixture inversion,
+    * BASELINE.md retrieval section).
+    */
+  val SizingMinDf: Long = 100000L
+
+  /** Last guardrail warning (None = none fired) — spec/ops visibility;
+    * the warning itself goes to the session log at WARN.
+    */
+  val lastSizingWarning =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
+  private val sizingMetricId = new java.util.concurrent.atomic.AtomicLong()
+  private val sizingListenerSessions =
+    scala.collection.concurrent.TrieMap.empty[org.apache.spark.sql.SparkSession, Boolean]
+
+  /** One QueryExecutionListener per session reads the observe-metrics
+    * rows of uncapped [[bm25Join]] runs — the check rides the job's own
+    * aggregation, costing zero extra scans.
+    */
+  private def ensureSizingListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    sizingListenerSessions.getOrElseUpdate(spark, {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft_bm25_sizing_") &&
+                  !row.isNullAt(0) && !row.isNullAt(1)) {
+                val maxDf = row.getLong(0)
+                val n = row.getLong(1)
+                if (n > 0 && maxDf > SizingFracThreshold * n &&
+                    maxDf > SizingMinDf) {
+                  val msg =
+                    f"bm25Join ran UNCAPPED with a stopword-grade query term: " +
+                    f"max df $maxDf%d of $n%d docs (${100.0 * maxDf / n}%.0f%%) — " +
+                    f"its postings×queries fan-out dominates the join while its " +
+                    f"idf contributes ~nothing; set maxDfFrac (e.g. 0.5) to trim it " +
+                    f"(surviving weights are bit-identical)"
+                  lastSizingWarning.set(Some(msg))
+                  org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+                }
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+      true
+    })
+
   def bm25Join(df: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qidCol: String, qtextCol: String,
                k1: Double = 1.2, b: Double = 0.75,
@@ -448,7 +520,14 @@ object TextAnalysis {
     val dfreq = tf0.groupBy(col("token"))
       .agg(count(when(col("tf") >= 1, true)).as("_df"))
     val tf = tf0.join(dfreq, "token")
-    val withStats = tf.crossJoin(broadcast(stats))
+    val withStats0 = tf.crossJoin(broadcast(stats))
+    val withStats = if (maxDfFrac >= 1.0) {
+      // uncapped: collect the sizing evidence during the job itself
+      ensureSizingListener(df.sparkSession)
+      withStats0.observe(
+        s"graft_bm25_sizing_${sizingMetricId.incrementAndGet()}",
+        max(col("_df")).as("max_df"), max(col("_n")).as("n_docs"))
+    } else withStats0
     val capped = if (maxDfFrac < 1.0)
       withStats.where(col("_df").cast("double") <=
         lit(maxDfFrac) * col("_n").cast("double"))

@@ -1,0 +1,194 @@
+package graft.tasks
+
+import graft.config.TaskConfig.Node
+import graft.ops.{Curation, Dedup, Packing, Sampling}
+import graft.runner.TaskLog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.json4s.{JDouble, JInt}
+
+/** The LLM-curation families exposed as TASK TYPES — the reference's
+  * entire user surface is JSON task files (TaskFactory, task.py:577-599),
+  * so the dedup/excise/sample/pack/shuffle/curate operators are drivable
+  * the same way the ETL shapes are: a config node per stage, mapped 1:1
+  * onto the oracle-checked ops (spec-pinned byte-identical to the
+  * qNN query outputs).
+  *
+  * Sources and targets take a `format` key — `parquet` (the default:
+  * corpora are columnar) or `csv` (the reference's all-string file
+  * surface, single-file writer). The shared [[Tasks.etl]] harness
+  * applies: empty-source skip, the standard transform block BEFORE the
+  * operator (so `convert`/`filter` can pre-shape the corpus), progress
+  * metering, per-task logs.
+  */
+object PipelineTasks {
+
+  private def sourceDf(ctx: TaskContext, task: Node): DataFrame = {
+    val src = task("source")
+    val path = s"${ctx.dir(src.str("folder", "input"))}/${src.str("file")}"
+    src.str("format", "parquet") match {
+      case "parquet" => ctx.spark.read.parquet(path)
+      case "csv"     => graft.sources.Sources.csv(ctx.spark, path, src)
+      case f => throw new IllegalArgumentException(s"unknown source format: $f")
+    }
+  }
+
+  private def sink(ctx: TaskContext, task: Node)(df: DataFrame,
+      lg: TaskLog, meter: graft.runner.ProgressMeter): Unit = {
+    val tgt = task("target")
+    tgt.str("format", "parquet") match {
+      case "parquet" =>
+        val out = s"${ctx.dir(tgt.str("folder", "output"))}/${tgt.str("file")}"
+        df.write.mode(if (tgt.bool("truncate")) "overwrite" else "append")
+          .parquet(out)
+        lg.write(s"wrote $out")
+      case "csv" => Tasks.csvTarget(ctx, task)(df, lg, meter)
+      case f => throw new IllegalArgumentException(s"unknown target format: $f")
+    }
+  }
+
+  private def numMap(node: Node, key: String): Map[String, Double] =
+    node.objMap(key).collect {
+      case (k, JDouble(v)) => k -> v
+      case (k, JInt(v))    => k -> v.toDouble
+    }
+
+  private def longMap(node: Node, key: String): Map[String, Long] =
+    node.objMap(key).collect {
+      case (k, JInt(v))    => k -> v.toLong
+      case (k, JDouble(v)) => k -> v.toLong
+    }
+
+  private def tokenCol(cfg: Node): DataFrame => DataFrame = df =>
+    cfg.strOpt("tokens") match {
+      // an existing numeric column…
+      case Some(c) => df.withColumn("n_tokens", col(c).cast("long"))
+      // …or counted from text (the q52/q58 ws convention)
+      case None => df.withColumn("n_tokens",
+        graft.functions.VectorFunctions.tokenCountsStruct(col(cfg.str("text", "text")))
+          .getField("ws_tokens"))
+    }
+
+  /** `dedup`: keep one representative row per identical key — min-id,
+    * the q27 rule — optionally after screening against a standing
+    * [[Dedup.buildExactKeyIndex]] layout (`index`, the q62 admission
+    * gate). Schema passes through unchanged.
+    */
+  object DedupTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
+      Tasks.etl(ctx, task, log, "dedup")(sourceDf(ctx, task)) { (df, lg, meter) =>
+        val cfg = task("dedup")
+        val id = cfg.str("id", "doc_id")
+        val key = cfg.str("key", cfg.str("text", "text"))
+        val screened = cfg.strOpt("index") match {
+          case Some(p) => Dedup.exactDedupAgainstIndex(ctx.spark, df, key, ctx.dir(p))
+          case None    => df
+        }
+        val reps = Dedup.exact(screened, id, key).select(col(id))
+        sink(ctx, task)(screened.join(reps, Seq(id), "left_semi"), lg, meter)
+      }
+  }
+
+  /** `excise`: duplicated-span rewriting — `mode` `cross-doc` (q88
+    * default), `within-doc` (q90 collapse), or incremental against a
+    * standing gram index when `index` is set (q91). Output is the ops'
+    * (id, clean_text, n_words, n_excised) contract.
+    */
+  object ExciseTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
+      Tasks.etl(ctx, task, log, "excise")(sourceDf(ctx, task)) { (df, lg, meter) =>
+        val cfg = task("excise")
+        val id = cfg.str("id", "doc_id")
+        val text = cfg.str("text", "text")
+        val w = cfg.int("w", 8)
+        val out = cfg.strOpt("index") match {
+          case Some(p) =>
+            Dedup.exciseAgainstIndex(ctx.spark, df, id, text, ctx.dir(p))
+          case None => cfg.str("mode", "cross-doc") match {
+            case "cross-doc"  => Dedup.exciseDupSpans(df, id, text, w)
+            case "within-doc" => Dedup.collapseRepeats(df, id, text, w)
+            case m => throw new IllegalArgumentException(s"unknown excise mode: $m")
+          }
+        }
+        sink(ctx, task)(out, lg, meter)
+      }
+  }
+
+  /** `sample`: deterministic md5 sampling — exactly one of `frac`
+    * (plain rate), `fracs` (per-stratum rates, q48), or `budgets`
+    * (per-stratum token budgets resolved to rates from the observed
+    * totals, q58). Schema passes through unchanged.
+    */
+  object SampleTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
+      Tasks.etl(ctx, task, log, "sample")(sourceDf(ctx, task)) { (df, lg, meter) =>
+        val cfg = task("sample")
+        val id = cfg.str("id", "doc_id")
+        val stratum = cfg.str("stratum", "source")
+        val out =
+          if (cfg.has("budgets")) {
+            val withTok = tokenCol(cfg)(df)
+            val fracs = Sampling.tokenBudgetFracs(withTok, stratum, "n_tokens",
+              longMap(cfg, "budgets"))
+            Sampling.stratifiedSample(df, id, stratum, fracs)
+          } else if (cfg.has("fracs"))
+            Sampling.stratifiedSample(df, id, stratum, numMap(cfg, "fracs"))
+          else Sampling.sample(df, id, cfg.str("frac").toDouble)
+        sink(ctx, task)(out, lg, meter)
+      }
+  }
+
+  /** `pack`: concat-and-chunk sequence layout (q52) — `tokens` names a
+    * numeric column, or token counts come from `text` (ws convention);
+    * one window per `shard` stratum, `seq_len` tokens per sequence.
+    */
+  object PackTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
+      Tasks.etl(ctx, task, log, "pack")(sourceDf(ctx, task)) { (df, lg, meter) =>
+        val cfg = task("pack")
+        val out = Packing.pack(tokenCol(cfg)(df), cfg.str("id", "doc_id"),
+          "n_tokens", cfg.str("shard", "source"), cfg.int("seq_len", 512))
+        sink(ctx, task)(out, lg, meter)
+      }
+  }
+
+  /** `shuffle`: the deterministic training-order assignment (q92) —
+    * adds (shard, pos) for `shards` shards.
+    */
+  object ShuffleTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
+      Tasks.etl(ctx, task, log, "shuffle")(sourceDf(ctx, task)) { (df, lg, meter) =>
+        val cfg = task("shuffle")
+        sink(ctx, task)(Sampling.trainingOrder(df, cfg.str("id", "doc_id"),
+          cfg.int("shards", 64)), lg, meter)
+      }
+  }
+
+  /** `curate`: the COMPOSED pipeline (q93 / [[Curation.curate]]) as one
+    * task — `budgets` required; `key_index` / `benchmark` optional
+    * stage inputs (a path to a standing key index; a parquet of eval
+    * docs). Threshold knobs mirror [[Curation.Config]] defaults.
+    */
+  object CurateTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
+      Tasks.etl(ctx, task, log, "curate")(sourceDf(ctx, task)) { (df, lg, meter) =>
+        val cfg = task("curate")
+        val bench = cfg.strOpt("benchmark")
+          .map(p => ctx.spark.read.parquet(ctx.dir(p)))
+        val out = Curation.curate(ctx.spark, df,
+          cfg.str("id", "doc_id"), cfg.str("text", "text"),
+          cfg.str("stratum", "source"),
+          keyIndexPath = cfg.strOpt("key_index").map(ctx.dir),
+          benchmark = bench,
+          cfg = Curation.Config(
+            budgets = longMap(cfg, "budgets"),
+            minQuality = cfg.str("min_quality", "0.5").toDouble,
+            spanThreshold = cfg.str("span_threshold", "1.0").toDouble,
+            exciseW = cfg.int("excise_w", 8),
+            shingleW = cfg.int("shingle_w", 8),
+            seqLen = cfg.int("seq_len", 512),
+            nShards = cfg.int("shards", 8)))
+        sink(ctx, task)(out, lg, meter)
+      }
+  }
+}

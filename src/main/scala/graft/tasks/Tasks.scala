@@ -45,7 +45,7 @@ trait CustomTask {
   */
 object Tasks {
 
-  private def etl(ctx: TaskContext, task: Node, log: TaskLog, taskType: String)
+  private[tasks] def etl(ctx: TaskContext, task: Node, log: TaskLog, taskType: String)
                  (source: => DataFrame)
                  (sink: (DataFrame, TaskLog, graft.runner.ProgressMeter) => Unit): Unit = {
     val df = source
@@ -67,7 +67,7 @@ object Tasks {
     Sources.csv(ctx.spark, s"${ctx.dir(folder)}/${src.str("file")}", src)
   }
 
-  private def csvTarget(ctx: TaskContext, task: Node)
+  private[tasks] def csvTarget(ctx: TaskContext, task: Node)
                        (df: DataFrame, lg: TaskLog, meter: graft.runner.ProgressMeter): Unit = {
     val tgt = task("target")
     val folder = tgt.str("folder", "output")
@@ -343,7 +343,14 @@ object Tasks {
     "sql-exec"   -> SqlExec,
     "nop"        -> Nop,
     "custom"     -> Custom,
-    "download"   -> Download)
+    "download"   -> Download,
+    // LLM-curation families as first-class task types (PipelineTasks)
+    "dedup"      -> PipelineTasks.DedupTask,
+    "excise"     -> PipelineTasks.ExciseTask,
+    "sample"     -> PipelineTasks.SampleTask,
+    "pack"       -> PipelineTasks.PackTask,
+    "shuffle"    -> PipelineTasks.ShuffleTask,
+    "curate"     -> PipelineTasks.CurateTask)
 
   def get(taskType: String): Task =
     factory.getOrElse(taskType,

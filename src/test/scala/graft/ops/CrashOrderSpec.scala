@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** FAULT-INJECTED proofs of the crash-ordering contracts the persisted
+  * index layouts document ([[FaultyFs]] fails one targeted rename):
+  *
+  *  - appendExactKeys / appendGrams: the Bloom delta commits BEFORE the
+  *    keys/grams append, so a crash between the two leaves extra filter
+  *    bits (false positives, absorbed by the exact verify) — never a
+  *    stranded key the filter doesn't know (a persistent false
+  *    negative). The replay then completes the append.
+  *  - IndexMaintenance.compact: the rename-aside swap leaves a COMPLETE
+  *    layout at every crash point — live dir before the first rename,
+  *    staged `_compact_tmp` between the renames (recovery = one
+  *    rename), live dir again after the second.
+  */
+class CrashOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def faultyDir(prefix: String): String = {
+    FaultyFs.install(spark.sparkContext.hadoopConfiguration)
+    "faulty://" + tmpDir(prefix)
+  }
+
+  private def noInjection(): Unit = FaultyFs.failWhen = None
+
+  // fail final committer renames into `sub/` (task/job commit dsts hold
+  // `_temporary`; only the final files land directly under `sub/`)
+  private def failAppendsInto(sub: String): Unit =
+    FaultyFs.failWhen = Some(p =>
+      p.contains(s"/$sub/") && p.endsWith(".parquet") &&
+        !p.contains("_temporary"))
+
+  test("appendExactKeys crash after Bloom merge: extra bits only, exact replay") {
+    val idx = faultyDir("graft_crash_keys_")
+    try {
+      val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      Dedup.buildExactKeyIndex(corpus, "text", idx)
+      val batch = Seq((10L, "gamma"), (11L, "delta")).toDF("doc_id", "text")
+
+      failAppendsInto("keys")
+      assertThrows[Exception](Dedup.appendExactKeys(spark, batch, "text", idx))
+      noInjection()
+
+      // keys/ unchanged — the append never committed
+      assert(spark.read.parquet(s"$idx/keys").count() == 2)
+      // the filter DID learn the batch (the documented crash residue:
+      // extra bits — these rows now Bloom-positive without a key row)
+      val bloom = Dedup.readBloom(spark, idx)
+      assert(bloom.mightContainString(md5Hex("gamma")),
+        "Bloom delta must commit before the keys append")
+      // contract: extra bits are false POSITIVES, absorbed by the exact
+      // verify — the batch still screens as fresh (no silent drop)
+      val admitted = Dedup.exactDedupAgainstIndex(spark, batch, "text", idx)
+      assert(admitted.count() == 2,
+        "false positives must be verified away, not drop rows")
+
+      // replay completes the append; now the rows screen as duplicates
+      Dedup.appendExactKeys(spark, batch, "text", idx)
+      assert(spark.read.parquet(s"$idx/keys").count() == 4)
+      assert(Dedup.exactDedupAgainstIndex(spark, batch, "text", idx).count() == 0)
+    } finally noInjection()
+  }
+
+  test("appendGrams crash after Bloom merge: no false excision, replay excises") {
+    val idx = faultyDir("graft_crash_grams_")
+    try {
+      val corpus = Seq((1L, "one two three four five six seven eight nine"))
+        .toDF("doc_id", "text")
+      Dedup.buildGramIndex(corpus, "text", idx, w = 8)
+      val batch = Seq((10L, "ten eleven twelve thirteen fourteen fifteen sixteen seventeen"))
+        .toDF("doc_id", "text")
+
+      failAppendsInto("grams")
+      assertThrows[Exception](Dedup.appendGrams(spark, batch, "text", idx))
+      noInjection()
+
+      // the filter knows the batch grams, grams/ does not: probing the
+      // SAME text must not excise a word (Bloom hit -> exact verify
+      // miss), the false-positive-only crash contract
+      val probe = Dedup.exciseAgainstIndex(spark, batch, "doc_id", "text", idx)
+      assert(probe.select("n_excised").as[Long].head() == 0L,
+        "a half-committed append must never excise")
+
+      // replay: grams land; the same text now excises to emptiness
+      Dedup.appendGrams(spark, batch, "text", idx)
+      val after = Dedup.exciseAgainstIndex(spark, batch, "doc_id", "text", idx)
+      assert(after.select("clean_text").as[String].head() == "")
+    } finally noInjection()
+  }
+
+  test("compact interrupted between renames: staged layout complete, one-rename recovery") {
+    val dir = faultyDir("graft_crash_compact_") + "/keys"
+    try {
+      (1 to 100).toDF("k").repartition(8).write.parquet(dir)
+      val before = spark.read.parquet(dir).as[Int].collect().sorted.toSeq
+      val livePath = new java.net.URI(dir).getPath
+
+      FaultyFs.failWhen = Some(_ == livePath) // the SECOND rename's dst
+      val e = intercept[IllegalArgumentException](
+        IndexMaintenance.compact(spark, dir, None))
+      assert(e.getMessage.contains("interrupted between renames"))
+      noInjection()
+
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new Path(dir)), "live dir moved aside")
+      // the staged copy is COMPLETE and the old layout is preserved
+      assert(spark.read.parquet(dir + "_compact_tmp")
+        .as[Int].collect().sorted.toSeq == before)
+      assert(spark.read.parquet(dir + "_compact_old")
+        .as[Int].collect().sorted.toSeq == before)
+      // documented recovery: ONE rename
+      assert(fs.rename(new Path(dir + "_compact_tmp"), new Path(dir)))
+      assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq == before)
+      // count via the plain local path: RawLocalFileSystem cannot load
+      // permissions for a foreign scheme in recursive listings
+      assert(IndexMaintenance.dataFileCount(spark, livePath) == 1, "compacted")
+    } finally noInjection()
+  }
+
+  test("compact aborted at the first rename: live layout untouched, rerun succeeds") {
+    val dir = faultyDir("graft_crash_compact1_") + "/keys"
+    try {
+      (1 to 50).toDF("k").repartition(4).write.parquet(dir)
+      val before = spark.read.parquet(dir).as[Int].collect().sorted.toSeq
+
+      FaultyFs.failWhen = Some(_.endsWith("_compact_old")) // the FIRST rename
+      val e = intercept[IllegalArgumentException](
+        IndexMaintenance.compact(spark, dir, None))
+      assert(e.getMessage.contains("layout untouched"))
+      noInjection()
+
+      // nothing moved: the live dir still serves reads
+      assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq == before)
+      // a rerun (the documented recovery for this window) completes
+      IndexMaintenance.compact(spark, dir, None)
+      assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq == before)
+      assert(IndexMaintenance.dataFileCount(spark,
+        new java.net.URI(dir).getPath) == 1)
+    } finally noInjection()
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}

@@ -1,0 +1,127 @@
+package graft.tasks
+
+import graft.SparkSpec
+import graft.ops.{Curation, Dedup, Packing, Sampling}
+import graft.runner.{TaskLog, TaskRunner}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The curation-family task types drive the SAME ops the qNN queries
+  * pin — each fixture must be byte-identical to calling the op
+  * directly (the q88/q92/... parity contract from the task surface).
+  */
+class PipelineTaskSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def runTask(wd: String, json: String): Unit = {
+    val f = s"$wd/task.json"
+    Files.writeString(Paths.get(f), json)
+    TaskRunner.runFile(f, spark, wd, TaskLog.Silent)
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def outParquet(wd: String, name: String): DataFrame =
+    spark.read.parquet(s"$wd/output/$name")
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("excise task == Dedup.exciseDupSpans, byte for byte") {
+    val wd = tmpDir("graft_pipetask_")
+    runTask(wd,
+      s"""{"tasks": [{"type": "excise", "name": "e",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "excise": {"w": 8},
+         |  "target": {"file": "exc", "truncate": true}}]}""".stripMargin)
+    assert(rows(outParquet(wd, "exc")) ==
+      rows(Dedup.exciseDupSpans(docs, "doc_id", "text", w = 8)))
+  }
+
+  test("excise task within-doc mode == Dedup.collapseRepeats") {
+    val wd = tmpDir("graft_pipetask_")
+    runTask(wd,
+      s"""{"tasks": [{"type": "excise", "name": "c",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "excise": {"mode": "within-doc", "w": 3},
+         |  "target": {"file": "col", "truncate": true}}]}""".stripMargin)
+    assert(rows(outParquet(wd, "col")) ==
+      rows(Dedup.collapseRepeats(docs, "doc_id", "text", w = 3)))
+  }
+
+  test("shuffle task == Sampling.trainingOrder (q92 parity)") {
+    val wd = tmpDir("graft_pipetask_")
+    runTask(wd,
+      s"""{"tasks": [{"type": "shuffle", "name": "s",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "shuffle": {"shards": 8},
+         |  "target": {"file": "ord", "truncate": true}}]}""".stripMargin)
+    assert(rows(outParquet(wd, "ord")) ==
+      rows(Sampling.trainingOrder(docs, "doc_id", nShards = 8)))
+  }
+
+  test("dedup task == exact representatives; sample task == stratified rates") {
+    val wd = tmpDir("graft_pipetask_")
+    runTask(wd,
+      s"""{"tasks": [
+         |  {"type": "dedup", "name": "d",
+         |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |   "dedup": {"text": "text"},
+         |   "target": {"file": "ded", "truncate": true}},
+         |  {"type": "sample", "name": "m",
+         |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |   "sample": {"fracs": {"src1": 1.0, "src2": 0.25}},
+         |   "target": {"file": "smp", "truncate": true}}
+         |]}""".stripMargin)
+    val reps = Dedup.exact(docs, "doc_id", "text").select(col("doc_id"))
+    assert(rows(outParquet(wd, "ded")) ==
+      rows(docs.join(reps, Seq("doc_id"), "left_semi")))
+    assert(rows(outParquet(wd, "smp")) ==
+      rows(Sampling.stratifiedSample(docs, "doc_id", "source",
+        Map("src1" -> 1.0, "src2" -> 0.25))))
+  }
+
+  test("pack task counts ws tokens from text == Packing.pack (q52 parity)") {
+    val wd = tmpDir("graft_pipetask_")
+    runTask(wd,
+      s"""{"tasks": [{"type": "pack", "name": "p",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "pack": {"text": "text", "shard": "source", "seq_len": 512},
+         |  "target": {"file": "pk", "truncate": true}}]}""".stripMargin)
+    val withTok = docs.withColumn("n_tokens",
+      graft.functions.VectorFunctions.tokenCountsStruct(col("text"))
+        .getField("ws_tokens"))
+    assert(rows(outParquet(wd, "pk")) ==
+      rows(Packing.pack(withTok, "doc_id", "n_tokens", "source", 512)))
+  }
+
+  test("curate task == Curation.curate (q93's op from a task file)") {
+    val wd = tmpDir("graft_pipetask_")
+    runTask(wd,
+      s"""{"tasks": [{"type": "curate", "name": "q",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "curate": {"budgets": {"src1": 2000, "src2": 1000}},
+         |  "target": {"file": "cur", "truncate": true}}]}""".stripMargin)
+    assert(rows(outParquet(wd, "cur")) ==
+      rows(Curation.curate(spark, docs, "doc_id", "text", "source",
+        keyIndexPath = None, benchmark = None,
+        cfg = Curation.Config(budgets = Map("src1" -> 2000L, "src2" -> 1000L)))))
+  }
+
+  test("transform block pre-shapes the corpus before the operator") {
+    // the shared ETL transform contract applies to pipeline tasks too:
+    // filter out a slice, then excise — equal to op over the filtered df
+    val wd = tmpDir("graft_pipetask_")
+    runTask(wd,
+      s"""{"tasks": [{"type": "excise", "name": "f",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "transform": {"filter": "{source} == 'src1'"},
+         |  "excise": {"w": 8},
+         |  "target": {"file": "exf", "truncate": true}}]}""".stripMargin)
+    assert(rows(outParquet(wd, "exf")) ==
+      rows(Dedup.exciseDupSpans(docs.where(col("source") === "src1"),
+        "doc_id", "text", w = 8)))
+  }
+}
