@@ -326,6 +326,167 @@ object Streams {
     spark.read.parquet(s"$indexPath/params")
       .select(col("w")).head().getInt(0)
 
+  /** The COMPOSED streaming ingest — [[ingestGate]] →
+    * [[gramExciseSink]] → [[semanticGateSink]] chained inside ONE
+    * `foreachBatch` (the streaming analog of the batch
+    * [[graft.ops.Curation.curate]] pipeline): each micro-batch of
+    * (id, text, vector) rows runs the full dedup ladder — exact keys,
+    * lexical spans, semantic cells — against THREE standing indexes,
+    * and the survivors land in `outPath` with all three indexes
+    * advanced, so batch N+1 screens against everything batch N
+    * admitted at every rung. Per micro-batch:
+    *
+    *  1. the [[ingestGate]] screens: within-batch exact dedup (min-id
+    *     rep), optional quality floor, exact-key screen against
+    *     `keyIndexPath` (Bloom in the scan, corpus keys never
+    *     shuffled);
+    *  2. the [[gramExciseSink]] excisions over the admitted rows:
+    *     within-batch span excision, then standing-gram excision
+    *     against `gramIndexPath`; rows excised to emptiness drop,
+    *     whitespace-only rows pass through;
+    *  3. the [[semanticGateSink]] screens over the SURVIVORS' vectors
+    *     against `ivfIndexPath`: frozen-centroid cell assignment,
+    *     greedy-by-id within-batch screen, standing screen restricted
+    *     to the batch's own cells (directory-pruned) — a row whose
+    *     vector matches at cosine ≥ `tau` drops even though its text
+    *     was novel (the paraphrase case, which is the point of the
+    *     third rung); rows with NO vector pass the rung (absence of
+    *     a vector is not evidence of duplication — the q81 rule);
+    *  4. survivors append to `outPath` as (doc_id, clean_text,
+    *     n_words, n_excised), null-text rows as (id, null, 0, 0); then
+    *     the indexes admit — keys of every STAGE-1 survivor (a row the
+    *     later rungs dropped was still SEEN: its content must not
+    *     re-admit later), grams of original ∪ emitted text (the
+    *     [[gramExciseSink]] step-5 contract), and survivors' vectors
+    *     into the cell layout.
+    *
+    * Replay: each rung keeps its own sink's at-least-once contract
+    * (their docstrings); the output-before-index write order is shared
+    * by all three, so a crash anywhere leaves indexes that are at
+    * worst BEHIND the output — rows re-emitted by a replay are the
+    * same-id stubs/duplicates the component contracts document,
+    * compacted by a per-doc_id downstream dedup.
+    *
+    * The IVF layout's own column names (`ivfIdCol`/`ivfVecCol`,
+    * [[graft.ops.Similarity.buildIvfIndex]]'s arguments) are
+    * parameters because admissions append into the EXISTING
+    * cell-partitioned files — mismatched names would fork the schema.
+    */
+  def curationIngestSink(spark: org.apache.spark.sql.SparkSession,
+                         stream: DataFrame, idCol: String, textCol: String,
+                         vecCol: String, keyIndexPath: String,
+                         gramIndexPath: String, ivfIndexPath: String,
+                         outPath: String, checkpoint: String,
+                         minQuality: Double = 0.0, tau: Double = 0.4,
+                         ivfIdCol: String = "vec_id",
+                         ivfVecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // bounded driver read at sink start — the semanticGateSink contract
+    val centroids = spark.read.parquet(s"$ivfIndexPath/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // ── rung 1: the ingestGate screens ──
+        val withText = batch.where(col(textCol).isNotNull)
+        val reps = graft.ops.Dedup.exact(withText, idCol, textCol)
+          .select(col(idCol))
+        val deduped = withText.join(broadcast(reps), Seq(idCol), "left_semi")
+        val scored =
+          if (minQuality <= 0.0) deduped
+          else deduped.join(
+            broadcast(graft.ops.TextAnalysis
+              .qualityScore(deduped, idCol, textCol)
+              .where(col("quality") >= minQuality)
+              .select(col("doc_id").as(idCol))),
+            Seq(idCol), "left_semi")
+        val fresh = graft.ops.Dedup.exactDedupAgainstIndex(
+          spark, scored, textCol, keyIndexPath).persist()
+        try {
+          // ── rung 2: the gramExciseSink excisions ──
+          val w = gramWidth(spark, gramIndexPath)
+          val withinBatch = graft.ops.Dedup
+            .exciseDupSpans(fresh, idCol, textCol, w)
+          val screened = graft.ops.Dedup
+            .exciseAgainstIndex(spark,
+              withinBatch.select(col("doc_id"), col("clean_text").as("text")),
+              "doc_id", "text", gramIndexPath)
+            .join(withinBatch.select(col("doc_id"), col("n_words").as("_nw"),
+              col("n_excised").as("_ex1")), Seq("doc_id"))
+            .select(col("doc_id"), col("clean_text"),
+              col("_nw").as("n_words"),
+              (col("_ex1") + col("n_excised")).as("n_excised"))
+            .where(col("clean_text") =!= "" || col("n_words") === 0)
+            .persist()
+          try {
+            // ── rung 3: the semanticGateSink screens on survivors ──
+            val vecs = batch
+              .select(col(idCol).as("doc_id"), col(vecCol).as("_vec"))
+              .join(screened.select(col("doc_id")), Seq("doc_id"), "left_semi")
+              .where(col("_vec").isNotNull && size(col("_vec")) > 0)
+              .withColumn("_v", transform(col("_vec"), _.cast("double")))
+              .withColumn("cell", graft.functions.VectorFunctions
+                .nearestCentroid(col("_v"), centroids))
+              .repartition(col("cell"))
+              .persist()
+            try {
+              val inBatchDups = vecs.as("a")
+                .join(vecs.as("b"),
+                  col("a.cell") === col("b.cell") &&
+                    col("b.doc_id") < col("a.doc_id") &&
+                    graft.ops.Similarity
+                      .cosineGuarded(col("a._v"), col("b._v")) >= tau)
+                .select(col("a.doc_id")).distinct()
+              val survVec = vecs.join(inBatchDups, Seq("doc_id"), "left_anti")
+              val probeCells = survVec.select(col("cell")).distinct()
+                .collect().map(_.getInt(0)) // bounded by nCells
+              val standingDups =
+                if (probeCells.isEmpty) inBatchDups.limit(0)
+                else survVec.join(
+                  spark.read.parquet(s"$ivfIndexPath/data")
+                    .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+                    .select(col("cell").as("_icell"),
+                      transform(col(ivfVecCol), _.cast("double")).as("_iv")),
+                  col("cell") === col("_icell") &&
+                    graft.ops.Similarity
+                      .cosineGuarded(col("_v"), col("_iv")) >= tau,
+                  "left_semi").select(col("doc_id"))
+              val semDrop = inBatchDups.unionByName(standingDups).distinct()
+              val survivors = screened
+                .join(semDrop, Seq("doc_id"), "left_anti").persist()
+              try {
+                // ── rung 4: emit, then advance all three indexes ──
+                val nulls = batch.where(col(textCol).isNull)
+                  .select(col(idCol).as("doc_id"),
+                    lit(null).cast("string").as("clean_text"),
+                    lit(0L).as("n_words"), lit(0L).as("n_excised"))
+                survivors.unionByName(nulls)
+                  .write.mode("append").parquet(outPath)
+                graft.ops.Dedup.appendExactKeys(spark, fresh, textCol,
+                  keyIndexPath)
+                graft.ops.Dedup.appendGrams(spark,
+                  fresh.select(col(textCol).as("_gram_text"))
+                    .unionByName(survivors
+                      .select(col("clean_text").as("_gram_text"))),
+                  "_gram_text", gramIndexPath)
+                survVec.join(survivors.select(col("doc_id")),
+                    Seq("doc_id"), "left_semi")
+                  .select(col("doc_id").as(ivfIdCol),
+                    col("_vec").as(ivfVecCol), col("cell"))
+                  .write.mode("append").partitionBy("cell")
+                  .parquet(s"$ivfIndexPath/data")
+              } finally survivors.unpersist()
+            } finally vecs.unpersist()
+          } finally screened.unpersist()
+        } finally fresh.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
   /** The streaming ADMISSION PIPELINE — the shape a continuous corpus
     * ingest actually has, composed from the oracle-checked batch
     * operators, per micro-batch:
