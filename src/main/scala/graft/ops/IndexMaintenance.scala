@@ -41,15 +41,62 @@ object IndexMaintenance {
     * values are preserved bit-for-bit — pinned by the spec.
     */
   def compact(spark: SparkSession, dir: String, partCol: Option[String],
-              numFiles: Int = 1): Unit = {
-    val df = spark.read.parquet(dir)
-    val tmp = dir.stripSuffix("/") + "_compact_tmp"
-    partCol match {
-      case Some(c) =>
-        df.repartition(col(c)).write.partitionBy(c).mode("overwrite").parquet(tmp)
-      case None =>
-        df.repartition(numFiles).write.mode("overwrite").parquet(tmp)
+              numFiles: Int = 1): Unit =
+    stageAndSwap(spark, dir) { tmp =>
+      val df = spark.read.parquet(dir)
+      partCol match {
+        case Some(c) =>
+          df.repartition(col(c)).write.partitionBy(c).mode("overwrite").parquet(tmp)
+        case None =>
+          df.repartition(numFiles).write.mode("overwrite").parquet(tmp)
+      }
     }
+
+  /** COMPACT AWAY the at-least-once output duplicates of the streaming
+    * ingest sinks ([[graft.streaming.Streams.gramExciseSink]] /
+    * [[graft.streaming.Streams.curationIngestSink]]): their replay
+    * contracts append same-`idCol` rows that differ only by FURTHER
+    * excision (a replay re-excises against an index that can only have
+    * grown — it can never excise less), plus byte-identical null-text
+    * stubs. This op is the "downstream compaction keyed on doc_id"
+    * those contracts defer to: keep ONE row per id — the MOST-excised
+    * one (max `n_excised`, then min `n_words`, then min text length /
+    * text, a total order so the pick is deterministic), which is the
+    * convergent state the contract guarantees every duplicate is an
+    * earlier prefix of.
+    *
+    * Scale shape: one partial-aggregatable `min_by` per id (map-side
+    * combine, single hash shuffle on the id — no per-key window sort),
+    * then the [[compact]] rename-aside swap, so a crash at any point
+    * leaves a complete layout and the same one-rename recovery. Run
+    * offline with the stream stopped, like [[compact]] — the sink
+    * checkpoints track source offsets, not output files, so the stream
+    * resumes cleanly against the compacted output.
+    */
+  def compactOutput(spark: SparkSession, dir: String,
+                    idCol: String = "doc_id"): Unit =
+    stageAndSwap(spark, dir) { tmp =>
+      val df = spark.read.parquet(dir)
+      val cols = df.columns.map(col)
+      // lexicographic: most excised first, then fewest words, then
+      // shortest / smallest text (nulls: stubs are identical, any pick)
+      val ord = struct(negate(col("n_excised")), col("n_words"),
+        coalesce(length(col("clean_text")), lit(-1)),
+        coalesce(col("clean_text"), lit("")))
+      df.groupBy(col(idCol))
+        .agg(min_by(struct(cols: _*), ord).as("_row"))
+        .select(col("_row.*"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Stage a rewrite of `dir` into a sibling `_compact_tmp` (the
+    * `write` callback owns the staging write), then swap it live with
+    * the two-rename discipline documented on [[compact]].
+    */
+  private def stageAndSwap(spark: SparkSession, dir: String)
+                          (write: String => Unit): Unit = {
+    val tmp = dir.stripSuffix("/") + "_compact_tmp"
+    write(tmp)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "_compact_old")

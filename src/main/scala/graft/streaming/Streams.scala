@@ -354,18 +354,37 @@ object Streams {
     *     a vector is not evidence of duplication — the q81 rule);
     *  4. survivors append to `outPath` as (doc_id, clean_text,
     *     n_words, n_excised), null-text rows as (id, null, 0, 0); then
-    *     the indexes admit — keys of every STAGE-1 survivor (a row the
-    *     later rungs dropped was still SEEN: its content must not
-    *     re-admit later), grams of original ∪ emitted text (the
-    *     [[gramExciseSink]] step-5 contract), and survivors' vectors
-    *     into the cell layout.
+    *     the indexes admit in REPLAY order — vectors, grams, exact
+    *     keys LAST. The key append is the rung-1 replay gate: were it
+    *     first (and a crash followed it), a replayed batch would
+    *     screen out entirely at rung 1 and the later appends would
+    *     never run. With keys last, every crash window before the key
+    *     append leaves a batch the replay re-admits at rung 1 and
+    *     re-drives forward. What admits: vectors of the emitted
+    *     survivors into the cell layout; grams of original ∪ the
+    *     STAGE-2 survivors' (`screened`) emitted text — stage-2 not
+    *     stage-3, both because a row rung 3 dropped was still SEEN
+    *     (the same contract that admits every stage-1 survivor's key)
+    *     and because `screened` is what a vectors-committed replay
+    *     recomputes byte-identically (below); keys of every stage-1
+    *     survivor.
     *
-    * Replay: each rung keeps its own sink's at-least-once contract
-    * (their docstrings); the output-before-index write order is shared
-    * by all three, so a crash anywhere leaves indexes that are at
-    * worst BEHIND the output — rows re-emitted by a replay are the
-    * same-id stubs/duplicates the component contracts document,
-    * compacted by a per-doc_id downstream dedup.
+    * Replay: all three indexes are at worst BEHIND the output, and
+    * EVERY window converges — (a) crash before the vector append:
+    * nothing advanced, the replay recomputes identically and re-emits
+    * same-id duplicate rows (the [[graft.ops.IndexMaintenance
+    * .compactOutput]] contract), then all appends complete; (b) crash
+    * after vectors, before grams: the replay re-admits at rung 1 and
+    * recomputes `screened` identically (grams unchanged), rung 3 now
+    * drops every vector-carrying survivor against its OWN admitted
+    * vector at cosine 1 — so no duplicate vector append, only
+    * vectorless rows re-emit, and the gram append (sourced from the
+    * identically-recomputed `screened`) lands exactly what the first
+    * attempt would have; (c) crash after grams, before keys: the
+    * replay's rung 2 excises every re-admitted row to emptiness
+    * (original ∪ emitted grams are indexed), nothing re-emits, the
+    * gram re-append is duplicate-free and the key append completes.
+    * Fault-injected per-window in CurationCrashSpec via [[FaultyFs]].
     *
     * The IVF layout's own column names (`ivfIdCol`/`ivfVecCol`,
     * [[graft.ops.Similarity.buildIvfIndex]]'s arguments) are
@@ -421,10 +440,17 @@ object Streams {
             .persist()
           try {
             // ── rung 3: the semanticGateSink screens on survivors ──
+            // zero-norm vectors are excluded like null ones (the q81
+            // absence rule): cosineGuarded reads them as 0 ≥ nothing,
+            // so they can match no row at tau > 0 — and were they
+            // admitted, their IVF append would not be idempotent
+            // under replay (a zero vector cannot meet itself at
+            // cosine 1, the window-(b) convergence argument)
             val vecs = batch
               .select(col(idCol).as("doc_id"), col(vecCol).as("_vec"))
               .join(screened.select(col("doc_id")), Seq("doc_id"), "left_semi")
-              .where(col("_vec").isNotNull && size(col("_vec")) > 0)
+              .where(col("_vec").isNotNull && size(col("_vec")) > 0 &&
+                exists(col("_vec"), _ =!= 0.0f))
               .withColumn("_v", transform(col("_vec"), _.cast("double")))
               .withColumn("cell", graft.functions.VectorFunctions
                 .nearestCentroid(col("_v"), centroids))
@@ -456,26 +482,35 @@ object Streams {
               val survivors = screened
                 .join(semDrop, Seq("doc_id"), "left_anti").persist()
               try {
-                // ── rung 4: emit, then advance all three indexes ──
+                // ── rung 4: emit, then advance the indexes in REPLAY
+                // order — vectors → grams → exact keys LAST (the key
+                // append is the rung-1 replay gate: any crash before
+                // it leaves a batch the replay re-admits and
+                // re-drives through the later appends; see the
+                // docstring's per-window convergence argument) ──
                 val nulls = batch.where(col(textCol).isNull)
                   .select(col(idCol).as("doc_id"),
                     lit(null).cast("string").as("clean_text"),
                     lit(0L).as("n_words"), lit(0L).as("n_excised"))
                 survivors.unionByName(nulls)
                   .write.mode("append").parquet(outPath)
-                graft.ops.Dedup.appendExactKeys(spark, fresh, textCol,
-                  keyIndexPath)
-                graft.ops.Dedup.appendGrams(spark,
-                  fresh.select(col(textCol).as("_gram_text"))
-                    .unionByName(survivors
-                      .select(col("clean_text").as("_gram_text"))),
-                  "_gram_text", gramIndexPath)
                 survVec.join(survivors.select(col("doc_id")),
                     Seq("doc_id"), "left_semi")
                   .select(col("doc_id").as(ivfIdCol),
                     col("_vec").as(ivfVecCol), col("cell"))
                   .write.mode("append").partitionBy("cell")
                   .parquet(s"$ivfIndexPath/data")
+                // grams of original ∪ STAGE-2 survivors' emitted text
+                // (`screened`, not `survivors`): rung-3-dropped
+                // content was SEEN, and `screened` is what a
+                // vectors-committed replay recomputes identically
+                graft.ops.Dedup.appendGrams(spark,
+                  fresh.select(col(textCol).as("_gram_text"))
+                    .unionByName(screened
+                      .select(col("clean_text").as("_gram_text"))),
+                  "_gram_text", gramIndexPath)
+                graft.ops.Dedup.appendExactKeys(spark, fresh, textCol,
+                  keyIndexPath)
               } finally survivors.unpersist()
             } finally vecs.unpersist()
           } finally screened.unpersist()

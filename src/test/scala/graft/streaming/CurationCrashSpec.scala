@@ -1,0 +1,201 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.{Dedup, FaultyFs, IndexMaintenance, Similarity}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** FAULT-INJECTED proofs of [[Streams.curationIngestSink]]'s per-window
+  * replay convergence (the rung-4 append order: output → vectors →
+  * grams → exact keys LAST) plus the downstream
+  * [[graft.ops.IndexMaintenance.compactOutput]] the replay contracts
+  * defer to. One targeted committer rename dies per test ([[FaultyFs]]),
+  * the stream restarts from its checkpoint, and the replayed output —
+  * after compaction — must be CONTENT-IDENTICAL to a crash-free run,
+  * with all three indexes converged and no duplicate vector admissions.
+  */
+class CurationCrashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val passage =
+    "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 words
+
+  private val text11 = s"fresh opening words then $passage and beyond it more"
+  private val emitted11 = "fresh opening words then and beyond it more"
+  private val text13 = "unrelated novel document about something else entirely"
+  private val text15 = "a vectorless row passes the semantic rung untouched"
+  private val text17 = "zero vector rows behave exactly like vectorless ones"
+
+  private def batch1: Seq[(Long, String, Array[Float])] = Seq(
+    // 10: exact duplicate of the standing doc     -> rung 1 drops
+    (10L, s"$passage tail words here", Array(0f, 1f, 0f, 0f)),
+    // 11: carries the standing passage            -> rung 2 excises
+    (11L, text11, Array(0f, 0f, 1f, 0f)),
+    // 13: novel text, well-separated vector       -> admitted intact
+    (13L, text13, Array(0f, 1f, 0f, 0.2f)),
+    // 15: no vector                               -> rung 3 bypassed
+    (15L, text15, Array.empty[Float]),
+    // 17: zero vector = vectorless (the q81 rule) -> rung 3 bypassed
+    (17L, text17, Array(0f, 0f, 0f, 0f)),
+    // 16: null text                               -> (16, null, 0, 0) stub
+    (16L, null.asInstanceOf[String], Array(0f, 0f, 0f, 1f)))
+
+  /** The crash-free output content, post-compaction. */
+  private val expected = Set(
+    (11L, emitted11, 16L, 8L),
+    (13L, text13, 7L, 0L),
+    (15L, text15, 8L, 0L),
+    (17L, text17, 8L, 0L),
+    (16L, null, 0L, 0L))
+
+  private def setupStanding(wd: String): Unit = {
+    val standingDocs = Seq((1L, s"$passage tail words here"))
+      .toDF("doc_id", "text")
+    Dedup.buildExactKeyIndex(standingDocs, "text", s"$wd/keys")
+    Dedup.buildGramIndex(standingDocs, "text", s"$wd/grams", w = 8)
+    val standingVecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    Similarity.buildIvfIndex(standingVecs, "vec_id", "embedding",
+      s"$wd/ivf", nCells = 2)
+  }
+
+  private def faultyDir(prefix: String): String = {
+    FaultyFs.install(spark.sparkContext.hadoopConfiguration)
+    "faulty://" + tmpDir(prefix)
+  }
+
+  private def noInjection(): Unit = FaultyFs.failWhen = None
+
+  /** Fail final committer renames into `wd/.../sub/` (commit dsts hold
+    * `_temporary`; only final files land directly under `sub/`).
+    */
+  private def failAppendsInto(wd: String, sub: String): Unit = {
+    val root = new java.net.URI(wd).getPath
+    FaultyFs.failWhen = Some(p =>
+      p.startsWith(root) && p.contains(s"/$sub/") &&
+        p.endsWith(".parquet") && !p.contains("_temporary"))
+  }
+
+  /** Run batch1 through the sink; with `failSub`, the first attempt's
+    * append into that index dir dies and a restarted query replays.
+    */
+  private def runBatch(wd: String, failSub: Option[String]): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Array[Float])]
+    def start() = Streams.curationIngestSink(spark,
+      mem.toDF().toDF("doc_id", "text", "embedding"),
+      "doc_id", "text", "embedding",
+      s"$wd/keys", s"$wd/grams", s"$wd/ivf", s"$wd/out", s"$wd/ckpt")
+    mem.addData(batch1: _*)
+    failSub match {
+      case None =>
+        val q = start()
+        try q.processAllAvailable() finally q.stop()
+      case Some(sub) =>
+        failAppendsInto(wd, sub)
+        val q1 = start()
+        try intercept[Exception](q1.processAllAvailable())
+        finally { q1.stop(); noInjection() }
+        val q2 = start() // same checkpoint + source: replays the batch
+        try q2.processAllAvailable() finally q2.stop()
+    }
+  }
+
+  private def outRows(wd: String): Seq[(Long, String, Long, Long)] =
+    spark.read.parquet(s"$wd/out")
+      .select("doc_id", "clean_text", "n_words", "n_excised")
+      .as[(Long, String, Long, Long)].collect().toSeq
+
+  /** Post-replay invariants shared by every window: indexes converged
+    * (keys screen, grams excise, vectors admitted exactly once) and the
+    * compacted output is content-identical to a crash-free run.
+    */
+  private def assertConverged(wd: String): Unit = {
+    // keys: a re-sent copy of an admitted text screens out at rung 1
+    assert(Dedup.exactDedupAgainstIndex(spark,
+      Seq((99L, text13)).toDF("doc_id", "text"), "text", s"$wd/keys")
+      .count() == 0, "admitted keys must screen")
+    // grams: the emitted (seam) text of 11 excises to emptiness
+    assert(Dedup.exciseAgainstIndex(spark,
+      Seq((99L, emitted11)).toDF("doc_id", "text"), "doc_id", "text",
+      s"$wd/grams").select("clean_text").as[String].head() == "",
+      "emitted grams must be indexed")
+    // vectors: admitted exactly ONCE each, replay or not
+    val vecCounts = spark.read.parquet(s"$wd/ivf/data")
+      .groupBy("vec_id").count().as[(Long, Long)].collect().toMap
+    assert(vecCounts(11L) == 1 && vecCounts(13L) == 1,
+      s"vector admissions must be idempotent under replay: $vecCounts")
+    assert(!vecCounts.contains(17L),
+      "a zero vector must never admit to the cell layout")
+    // compaction closes the at-least-once window: content-identical
+    IndexMaintenance.compactOutput(spark, s"$wd/out")
+    assert(outRows(wd).toSet == expected && outRows(wd).size == expected.size,
+      s"compacted output must equal the crash-free run: ${outRows(wd)}")
+  }
+
+  private def dupIds(wd: String): Set[Long] =
+    outRows(wd).groupBy(_._1).filter(_._2.size > 1).keySet
+
+  test("compactOutput keeps the most-excised row per id, deterministically") {
+    val dir = tmpDir("graft_compact_out_") + "/out"
+    Seq((1L, "a b c", 5L, 2L), (1L, "a", 1L, 4L), (1L, "a b c", 5L, 2L),
+      (2L, null.asInstanceOf[String], 0L, 0L),
+      (2L, null.asInstanceOf[String], 0L, 0L),
+      (3L, "untouched", 1L, 0L))
+      .toDF("doc_id", "clean_text", "n_words", "n_excised")
+      .repartition(3).write.mode("append").parquet(dir)
+    IndexMaintenance.compactOutput(spark, dir)
+    val rows = spark.read.parquet(dir)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(rows == Set((1L, "a", 1L, 4L), (2L, null, 0L, 0L),
+      (3L, "untouched", 1L, 0L)))
+  }
+
+  test("crash-free run emits the expected content (the reference shape)") {
+    val wd = faultyDir("graft_curcrash_ref_")
+    setupStanding(wd)
+    runBatch(wd, None)
+    assert(outRows(wd).toSet == expected && outRows(wd).size == expected.size)
+    assertConverged(wd)
+  }
+
+  test("window (a) crash before the vector append: full replay, dup output only") {
+    val wd = faultyDir("graft_curcrash_a_")
+    try {
+      setupStanding(wd)
+      runBatch(wd, Some("data")) // ivf/data/... commits die
+      // the replay recomputed identically: EVERY emitted row doubled
+      assert(dupIds(wd) == Set(11L, 13L, 15L, 16L, 17L),
+        s"window (a) re-emits all survivors: ${dupIds(wd)}")
+      assertConverged(wd)
+    } finally noInjection()
+  }
+
+  test("window (b) crash after vectors, before grams: self-match replay, no dup vectors") {
+    val wd = faultyDir("graft_curcrash_b_")
+    try {
+      setupStanding(wd)
+      runBatch(wd, Some("grams")) // grams/... commits die
+      // vector-carrying survivors met their own admitted vectors at
+      // cosine 1 and dropped; only vectorless/zero/null rows re-emit
+      assert(dupIds(wd) == Set(15L, 16L, 17L),
+        s"window (b) re-emits only vectorless rows: ${dupIds(wd)}")
+      assertConverged(wd)
+    } finally noInjection()
+  }
+
+  test("window (c) crash after grams, before keys: replay excises to emptiness") {
+    val wd = faultyDir("graft_curcrash_c_")
+    try {
+      setupStanding(wd)
+      runBatch(wd, Some("keys")) // keys/... commits die
+      // every re-admitted row excised to emptiness; only the null stub
+      // (which bypasses all rungs) re-emits
+      assert(dupIds(wd) == Set(16L),
+        s"window (c) re-emits only the null stub: ${dupIds(wd)}")
+      assertConverged(wd)
+    } finally noInjection()
+  }
+}
