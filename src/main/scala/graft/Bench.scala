@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSession // the exec callback signature
 
 /** Bench protocol (BASELINE.md): fixed query order (sorted by name), one
   * untimed warm-up pass (JVM/codegen/file-listing warm-up — round 1 showed
@@ -13,16 +13,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    import BenchHarness.sfDir
+    val runs = BenchHarness.env("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val spark = BenchHarness.session(BenchHarness.cpus(default = 4))
     graft.functions.VectorFunctions.registerSql(spark)
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -48,12 +41,12 @@ object Bench {
       val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
       (name, median, samples)
     }
-    def fmt(d: Double): String = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt(d: Double): String = BenchHarness.fmt(d, scale = 6)
     // stdout line stays SHORT (3-decimal medians, no samples): the driver
     // scrapes a bounded tail of the sbt log, and rounds 1-4 all recorded
     // "parsed": null because the full samples JSON outgrew that window and
     // was truncated mid-line
-    def fmt3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt3(d: Double): String = BenchHarness.fmt(d, scale = 3)
     val qs = timings.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val qs3 = timings.map { case (k, v, _) => "\"" + k + "\":" + fmt3(v) }

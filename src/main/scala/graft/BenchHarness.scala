@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared plumbing for the bench mains ([[Bench]], [[ClusterBench]],
+  * [[ExciseBench]], [[IndexBench]], [[PipelineBench]],
+  * [[RelationalCoreBench]], [[RetrievalBench]], [[SemBench]],
+  * [[StreamIngestBench]]): one place owning the session recipe, the
+  * timing/formatting helpers, and the corpus-synthesis protocols the
+  * benches share, so each main is only its measurement protocol. The
+  * REPORTING discipline stays with the mains: one compact JSON line on
+  * stdout (the driver log tail is bounded), full artifacts to files.
+  */
+object BenchHarness {
+
+  def env(name: String, default: String): String =
+    sys.env.getOrElse(name, default)
+
+  def sfDir: String = env("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  def cpus(default: Int = 32): Int = env("SPARK_GRAFT_CPUS", default.toString).toInt
+
+  /** The bench session: local[cpus] with shuffle partitions = cores (the
+    * local-mode sizing BASELINE.md's numbers are recorded under), UTC,
+    * no UI.
+    */
+  def session(nCpus: Int, logLevel: String = "WARN"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$nCpus]")
+      .config("spark.sql.shuffle.partitions", nCpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel(logLevel)
+    s
+  }
+
+  def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Materialize the full declared result through the noop sink (unlike
+    * `count()`, which lets Catalyst prune to nothing) and return seconds.
+    */
+  def runNoop(df: DataFrame): Double =
+    time(df.write.format("noop").mode("overwrite").save())._2
+
+  def medianOf(runs: Int)(f: => Unit): Double = {
+    val ts = (1 to runs).map(_ => time(f)._2).sorted
+    ts(runs / 2)
+  }
+
+  def fmt(d: Double, scale: Int = 2): String =
+    BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+
+  def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** The replicated-documents protocol (ClusterBench/ExciseBench
+    * unsalted, PipelineBench/StreamIngestBench salted): the sf-dir
+    * documents table replicated `repl`× with doc-id offsets, checkpointed
+    * so every measurement reads the same materialized corpus. Unsalted,
+    * replica text is byte-identical — every replica group is a true
+    * duplicate cluster and every 8-word interior gram is cross-replica
+    * duplicated (the dedup/excision worst case). With `salt`, each
+    * replica gets a distinct prefix token: replicas stop being EXACT
+    * duplicates (the exact screen can't collapse them), while interior
+    * spans remain all-duplicated — the composed-pipeline worst case at
+    * full row count.
+    */
+  def replicatedDocs(spark: SparkSession, sfDir: String, repl: Int,
+                     nCpus: Int, salt: Boolean,
+                     extraCols: Seq[String] = Nil): DataFrame = {
+    val base = Tables.load(spark, sfDir, "documents")
+      .select((Seq("doc_id", "text") ++ extraCols).map(col): _*)
+    (0 until repl)
+      .map { r =>
+        val shifted = base
+          .withColumn("doc_id", col("doc_id") + lit(r * ReplicaStride))
+        if (salt) shifted
+          .withColumn("text", concat(lit(s"r$r "), col("text")))
+        else shifted
+      }
+      .reduce(_ unionByName _)
+      .repartition(nCpus)
+      .localCheckpoint(true)
+  }
+
+  /** Doc-id stride between replicas — larger than any fixture id. */
+  val ReplicaStride: Long = 10000000L
+
+  /** Deterministic md5-derived `dim`-dim vector for SQL row ref `idRef`
+    * (the IndexBench/SemBench corpus recipe): component j is centered
+    * md5 nibbles of "id|j", plus `eps` × an independent perturbation
+    * keyed off the raw `id` column — eps "0.0d" is the base corpus,
+    * a small eps yields a planted near-duplicate of row `idRef`.
+    */
+  def md5VecSql(idRef: String, dim: Int, eps: String): String =
+    s"""transform(sequence(0, ${dim - 1}), j ->
+       |  cast(conv(substring(md5(concat(cast($idRef as string), '|',
+       |    cast(j as string))), 1, 4), 16, 10) as double) / 65536.0 - 0.5
+       |  + $eps * (cast(conv(substring(md5(concat('p', cast(id as string),
+       |    '|', cast(j as string))), 1, 4), 16, 10) as double) / 65536.0 - 0.5))""".stripMargin
+}

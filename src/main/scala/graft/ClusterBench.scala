@@ -31,34 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object ClusterBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "15").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    def time[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-    def fmt(d: Double): String =
-      BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    import BenchHarness.{fmt, sfDir, time}
+    val repl = BenchHarness.env("SPARK_GRAFT_REPL", "15").toInt
+    val cpus = BenchHarness.cpus()
+    val spark = BenchHarness.session(cpus)
 
     // ── 1. sf1-equivalent corpus ─────────────────────────────────────
-    val base = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
-    val docs = (0 until repl)
-      .map(r => base.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
-        col("text")))
-      .reduce(_ union _)
-      .repartition(cpus.toInt)
-      .localCheckpoint(true)
+    val docs = BenchHarness.replicatedDocs(spark, sfDir, repl, cpus,
+      salt = false)
     val nDocs = docs.count()
 
     val (pairs, tPairs) = time {

@@ -21,47 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object ExciseBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "15").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    def time[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-    def fmt(d: Double): String =
-      BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    import BenchHarness.{fmt, runNoop, sfDir, time}
+    val repl = BenchHarness.env("SPARK_GRAFT_REPL", "15").toInt
+    val cpus = BenchHarness.cpus()
+    val spark = BenchHarness.session(cpus)
 
     val base = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
-    val docs = (0 until repl)
-      .map(r => base.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
-        col("text")))
-      .reduce(_ union _)
-      .repartition(cpus.toInt)
-      .localCheckpoint(true)
+    val docs = BenchHarness.replicatedDocs(spark, sfDir, repl, cpus,
+      salt = false)
     val nDocs = docs.count()
 
-    def run(df: org.apache.spark.sql.DataFrame): Double =
-      time(df.write.format("noop").mode("overwrite").save())._2
-
-    val tExcise = run(graft.ops.Dedup.exciseDupSpans(docs, "doc_id", "text"))
-    val tCollapse = run(graft.ops.Dedup.collapseRepeats(docs, "doc_id", "text"))
+    val tExcise = runNoop(graft.ops.Dedup.exciseDupSpans(docs, "doc_id", "text"))
+    val tCollapse = runNoop(graft.ops.Dedup.collapseRepeats(docs, "doc_id", "text"))
 
     // incremental path: standing index = replica 0, probe = replica 1
     // (every probe span matches — the worst probe case)
-    val idx = java.nio.file.Files.createTempDirectory("graft_excbench_").toString
+    val idx = BenchHarness.tmp("graft_excbench_")
     val (_, tBuild) = time(graft.ops.Dedup.buildGramIndex(
       base, "text", idx, w = 8))
-    val probe = base.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+    val probe = base.select(
+      (col("doc_id") + lit(BenchHarness.ReplicaStride)).as("doc_id"),
       col("text"))
     val (nEmpty, tProbe) = time {
       graft.ops.Dedup.exciseAgainstIndex(spark, probe, "doc_id", "text", idx)

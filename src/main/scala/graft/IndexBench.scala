@@ -21,41 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object IndexBench {
   def main(args: Array[String]): Unit = {
-    val nVecs = sys.env.getOrElse("SPARK_GRAFT_VECS", "200000").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    import BenchHarness.{medianOf, time}
+    val nVecs = BenchHarness.env("SPARK_GRAFT_VECS", "200000").toInt
     val dim = 64
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = BenchHarness.session(BenchHarness.cpus(), logLevel = "ERROR")
     import spark.implicits._
 
-    def time[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-    def medianOf(runs: Int)(f: => Unit): Double = {
-      val ts = (1 to runs).map(_ => time(f)._2).sorted
-      ts(runs / 2)
-    }
     def dirBytes(p: String): Long = {
       def walk(f: java.io.File): Long =
         if (f.isFile) f.length()
         else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
       walk(new java.io.File(p))
     }
-    def fmt(d: Double): String = f"$d%.3f"
+    def fmt(d: Double): String = BenchHarness.fmt(d, scale = 3)
 
     // deterministic corpus: component j of row i = centered md5 nibbles
-    val base = java.nio.file.Files.createTempDirectory("graft_idxbench_").toString
+    // (eps 0 in the shared recipe — the perturbation term vanishes)
+    val base = BenchHarness.tmp("graft_idxbench_")
     spark.range(nVecs.toLong)
       .select(col("id").as("vec_id"),
-        expr(s"""transform(sequence(0, ${dim - 1}), j ->
-          cast(conv(substring(md5(concat(cast(id as string), '|', cast(j as string))), 1, 4), 16, 10) as double) / 65536.0 - 0.5)""")
-          .as("embedding"))
+        expr(BenchHarness.md5VecSql("id", dim, "0.0d")).as("embedding"))
       .write.mode("overwrite").parquet(s"$base/corpus")
     val emb = spark.read.parquet(s"$base/corpus")
     val queryVec = emb.filter(col("vec_id") === 0L)

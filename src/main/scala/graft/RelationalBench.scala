@@ -24,19 +24,12 @@ object RelationalCoreBench {
   private val OFF = 100000000L
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "10").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    import BenchHarness.sfDir
+    val repl = BenchHarness.env("SPARK_GRAFT_REPL", "10").toInt
+    val spark = BenchHarness.session(BenchHarness.cpus())
     graft.functions.VectorFunctions.registerSql(spark)
 
-    val dir = java.nio.file.Files.createTempDirectory("graft_relbench_").toString
+    val dir = BenchHarness.tmp("graft_relbench_")
     replicate(spark, sfDir, dir, repl)
 
     // the relational core: q01..q26 incl. the q12b/q17b twins
@@ -61,8 +54,7 @@ object RelationalCoreBench {
 
     val base = timeAll(sfDir)
     val big = timeAll(dir)
-    def fmt(d: Double): String =
-      BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt(d: Double): String = BenchHarness.fmt(d, scale = 3)
     def obj(ts: Seq[(String, Double)]): String =
       ts.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val ratios = base.zip(big).map { case ((k, b), (_, g)) =>

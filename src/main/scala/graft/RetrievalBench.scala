@@ -39,27 +39,14 @@ import org.apache.spark.sql.functions._
   */
 object RetrievalBench {
   def main(args: Array[String]): Unit = {
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_DOCS", "75000").toLong
-    val vocab = sys.env.getOrElse("SPARK_GRAFT_VOCAB", "50000").toInt
-    val docLen = sys.env.getOrElse("SPARK_GRAFT_DOCLEN", "200").toInt
-    val nQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "500").toLong
+    import BenchHarness.{fmt, time}
+    val nDocs = BenchHarness.env("SPARK_GRAFT_DOCS", "75000").toLong
+    val vocab = BenchHarness.env("SPARK_GRAFT_VOCAB", "50000").toInt
+    val docLen = BenchHarness.env("SPARK_GRAFT_DOCLEN", "200").toInt
+    val nQueries = BenchHarness.env("SPARK_GRAFT_QUERIES", "500").toLong
     val qLen = 20
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    def time[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-    def fmt(d: Double): String =
-      BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val cpus = BenchHarness.cpus()
+    val spark = BenchHarness.session(cpus)
 
     // Zipf(1.1) token for (id, slot, salt): bounded-Pareto inverse CDF
     // over ranks lo..V, driven by a deterministic per-slot uniform.
@@ -122,8 +109,7 @@ object RetrievalBench {
       s"df forms must agree: window=$dfWindow twoLevel=$dfTwoLevel")
 
     // ── 2. end-to-end family ─────────────────────────────────────────
-    def run(df: DataFrame): Double =
-      time(df.write.format("noop").mode("overwrite").save())._2
+    def run(df: DataFrame): Double = BenchHarness.runNoop(df)
     val tTfidf = run(graft.ops.TextAnalysis.tfidf(corpus, "doc_id", "text"))
     // hot (t1, t3) + mid + rare terms in one bag
     val tBm25 = run(graft.ops.TextAnalysis.bm25(corpus, "doc_id", "text",

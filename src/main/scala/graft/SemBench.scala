@@ -37,34 +37,21 @@ import org.apache.spark.sql.functions._
   */
 object SemBench {
   def main(args: Array[String]): Unit = {
-    val nVecs = sys.env.getOrElse("SPARK_GRAFT_VECS", "75000").toLong
-    val batchRows = sys.env.getOrElse("SPARK_GRAFT_BATCH", "2500").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    import BenchHarness.time
+    val nVecs = BenchHarness.env("SPARK_GRAFT_VECS", "75000").toLong
+    val batchRows = BenchHarness.env("SPARK_GRAFT_BATCH", "2500").toInt
+    val cpus = BenchHarness.cpus()
     val dim = 64
     val tau = 0.6
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = BenchHarness.session(cpus, logLevel = "ERROR")
     import spark.implicits._
 
-    def time[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-    def fmt(d: Double): String = f"$d%.2f"
+    def fmt(d: Double): String = BenchHarness.fmt(d)
 
     // deterministic corpus; every 20th row ≈ its predecessor (dup pair)
-    val base = java.nio.file.Files.createTempDirectory("graft_sembench_").toString
+    val base = BenchHarness.tmp("graft_sembench_")
     val vecExpr = (idRef: String, eps: String) =>
-      s"""transform(sequence(0, ${dim - 1}), j ->
-         |  cast(conv(substring(md5(concat(cast($idRef as string), '|',
-         |    cast(j as string))), 1, 4), 16, 10) as double) / 65536.0 - 0.5
-         |  + $eps * (cast(conv(substring(md5(concat('p', cast(id as string),
-         |    '|', cast(j as string))), 1, 4), 16, 10) as double) / 65536.0 - 0.5))""".stripMargin
+      BenchHarness.md5VecSql(idRef, dim, eps)
     val corpus = spark.range(nVecs)
       .select(col("id").as("vec_id"),
         expr(s"""CASE WHEN id % 20 = 0 AND id > 0

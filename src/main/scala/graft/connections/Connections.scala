@@ -39,7 +39,25 @@ class Connections(file: TaskFile, spark: SparkSession) {
     node.str("driver", "").equalsIgnoreCase("spark")
 
   /** Per-vendor JDBC URL (explicit "url" key wins). Port defaults follow
-    * the reference (taskdriver.py:82,116,154,198).
+    * the reference (taskdriver.py:82,116,154,198). Session-scoped vendor
+    * intent rides the URL, not `sessionInitStatement`, because Spark
+    * applies the latter only on the READ path while every executor's
+    * WRITER connection parses the URL:
+    *
+    *  - MySQL: `sessionVariables=sql_mode=ANSI_QUOTES` — the quoting
+    *    mode the reference sets on every fresh connection for petl
+    *    compatibility (taskdriver.py:164); plus the reference's
+    *    `characterEncoding` and `local_infile` intents.
+    *  - PostgreSQL: `reWriteBatchedInserts=true` — the pgjdbc analog of
+    *    the reference's psycopg2 `execute_batch` cursor proxy
+    *    (taskdriver.py:178-186: multi-row batches instead of row-at-a-
+    *    time inserts); `client_encoding` from `charset`.
+    *  - MSSQL: the reference's trusted-connection form when `user` is
+    *    empty. (Its ODBC `CHARSET=` knob has no sqlserver-jdbc
+    *    equivalent — the JDBC wire protocol is UTF-16 — so `charset` is
+    *    intentionally ignored here.)
+    *  - Oracle: service-name thin URL; the string-type intent is a
+    *    driver PROPERTY, see [[vendorProps]].
     */
   def jdbcUrl(node: Node): String = node.strOpt("url").getOrElse {
     val host = node.str("host", "localhost")
@@ -47,10 +65,14 @@ class Connections(file: TaskFile, spark: SparkSession) {
       case "MySQL" =>
         val port = node.str("port", "3306")
         val cs = node.str("charset", "utf8")
-        s"jdbc:mysql://$host:$port/${node.str("database")}?characterEncoding=$cs&allowLoadLocalInfile=true"
+        s"jdbc:mysql://$host:$port/${node.str("database")}" +
+          s"?characterEncoding=$cs&allowLoadLocalInfile=true" +
+          "&sessionVariables=sql_mode=ANSI_QUOTES"
       case "PostgreSQL" =>
         val port = node.str("port", "5432")
-        s"jdbc:postgresql://$host:$port/${node.str("database")}"
+        val cs = node.str("charset", "utf8")
+        s"jdbc:postgresql://$host:$port/${node.str("database")}" +
+          s"?client_encoding=$cs&reWriteBatchedInserts=true"
       case "Oracle" =>
         val port = node.str("port", "1521")
         s"jdbc:oracle:thin:@//$host:$port/${node.str("service")}"
@@ -65,18 +87,43 @@ class Connections(file: TaskFile, spark: SparkSession) {
     }
   }
 
-  private def jdbcProps(node: Node): java.util.Properties = {
+  /** Vendor driver PROPERTIES applied to every connection (reader,
+    * writer, and raw exec). Oracle's `defaultNChar` is the Spark-side
+    * analog of the reference's output-type handler
+    * (taskdriver.py:94-99: force STRING/FIXED_CHAR fetches through the
+    * unicode path) — national-character semantics on both directions
+    * instead of a fetch-time cursor hook.
+    *
+    * NOT verifiable offline (no vendor reachable; Derby/DuckDB stand-ins
+    * don't read these). Manual smoke plan, first time a real vendor is
+    * dialed: run the JdbcTaskSpec round-trip shapes (`db-csv` +
+    * `csv-db`, truncate and append) against the vendor, with (1) a
+    * non-ASCII string column — MySQL needs ANSI_QUOTES + utf8, Oracle
+    * exercises defaultNChar; (2) a >batchsize row count — PostgreSQL
+    * should show rewritten multi-row inserts in `pg_stat_statements`;
+    * (3) MSSQL once with `user` set and once trusted.
+    */
+  private[connections] def vendorProps(node: Node): Map[String, String] =
+    node.str("driver", "") match {
+      case "Oracle" => Map("oracle.jdbc.defaultNChar" -> "true")
+      case _        => Map.empty
+    }
+
+  private[connections] def jdbcProps(node: Node): java.util.Properties = {
     val p = new java.util.Properties()
     node.strOpt("user").filter(_.nonEmpty).foreach(p.setProperty("user", _))
     node.strOpt("pass").filter(_.nonEmpty).foreach(p.setProperty("password", _))
     p.setProperty("batchsize", node.str("batchsize", "10000"))
+    vendorProps(node).foreach { case (k, v) => p.setProperty(k, v) }
     val init = initSql(node)
     if (init.nonEmpty) p.setProperty("sessionInitStatement", init.mkString("; "))
     p
   }
 
   /** `initializing` statements; MySQL always gets ANSI_QUOTES first, as the
-    * reference does for petl compatibility (taskdriver.py:164).
+    * reference does for petl compatibility (taskdriver.py:164). (The URL
+    * also carries it via `sessionVariables` — this copy serves the raw
+    * [[execSql]] path and custom `url` overrides.)
     */
   private def initSql(node: Node): Seq[String] = {
     val base =
@@ -122,6 +169,7 @@ class Connections(file: TaskFile, spark: SparkSession) {
         .option("url", jdbcUrl(node))
         .option("dbtable", qualified)
         .option("batchsize", node.str("batchsize", "10000"))
+      vendorProps(node).foreach { case (k, v) => writer.option(k, v) }
       node.strOpt("user").filter(_.nonEmpty).foreach(writer.option("user", _))
       node.strOpt("pass").filter(_.nonEmpty).foreach(writer.option("password", _))
       if (truncate)
@@ -148,6 +196,7 @@ class Connections(file: TaskFile, spark: SparkSession) {
       val props = new java.util.Properties()
       node.strOpt("user").filter(_.nonEmpty).foreach(props.setProperty("user", _))
       node.strOpt("pass").filter(_.nonEmpty).foreach(props.setProperty("password", _))
+      vendorProps(node).foreach { case (k, v) => props.setProperty(k, v) }
       val conn = java.sql.DriverManager.getConnection(jdbcUrl(node), props)
       try {
         val st = conn.createStatement()

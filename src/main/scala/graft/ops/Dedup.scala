@@ -514,11 +514,17 @@ object Dedup {
     * a crash mid-write destroy the ONLY copy of the standing filter
     * (bricking every future probe until a rebuild) — the opposite of
     * the "at worst extra bits" contract [[appendExactKeys]]' write
-    * order promises. The swap uses `FileContext.rename(…, OVERWRITE)`
-    * — one metadata operation, no delete-then-rename window in which NO
-    * filter exists at the live path — so a crash leaves either the old
-    * complete filter or the new complete filter, never an absent or
-    * truncated one.
+    * order promises. The swap uses `FileContext.rename(…, OVERWRITE)`.
+    * How atomic that is depends on the filesystem: on HDFS-like stores
+    * the overwrite rename is one metadata operation, so a crash leaves
+    * either the old complete filter or the new complete filter, never
+    * an absent or truncated one. The local-path deployment (and the
+    * test FaultyFs) goes through `AbstractFileSystem`'s DEFAULT
+    * `renameInternal(overwrite)`, which deletes the destination and
+    * then renames — a crash inside that window leaves only
+    * `_filter.bin.tmp`, and recovery is ONE rename of the complete tmp
+    * file into place (the filter is still never truncated, merely
+    * momentarily mis-named).
     */
   private def writeBloom(spark: org.apache.spark.sql.SparkSession,
                          bloom: org.apache.spark.util.sketch.BloomFilter,

@@ -447,51 +447,73 @@ object TextAnalysis {
     */
   val SizingMinDf: Long = 100000L
 
-  /** Last guardrail warning (None = none fired) — spec/ops visibility;
-    * the warning itself goes to the session log at WARN.
-    */
-  val lastSizingWarning =
-    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
-
   private val sizingMetricId = new java.util.concurrent.atomic.AtomicLong()
-  private val sizingListenerSessions =
-    scala.collection.concurrent.TrieMap.empty[org.apache.spark.sql.SparkSession, Boolean]
+
+  // per-session guardrail state, keyed WEAKLY: the map must not retain
+  // stopped sessions (or, through them, their listeners) for the
+  // process lifetime, and the value must not reference the session or
+  // the weak key never clears. Presence of a value doubles as the
+  // "listener registered" marker.
+  private val sizingState = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.atomic.AtomicReference[Option[String]]]())
+
+  /** The SESSION's last guardrail warning (None = none fired) —
+    * spec/ops visibility; the warning itself goes to the session log at
+    * WARN. Scoped per session so concurrent sessions never observe each
+    * other's warnings.
+    */
+  def lastSizingWarning(spark: org.apache.spark.sql.SparkSession)
+      : java.util.concurrent.atomic.AtomicReference[Option[String]] =
+    ensureSizingListener(spark)
 
   /** One QueryExecutionListener per session reads the observe-metrics
     * rows of uncapped [[bm25Join]] runs — the check rides the job's own
-    * aggregation, costing zero extra scans.
+    * aggregation, costing zero extra scans. Returns the session's
+    * warning ref.
     */
-  private def ensureSizingListener(spark: org.apache.spark.sql.SparkSession): Unit =
-    sizingListenerSessions.getOrElseUpdate(spark, {
-      spark.listenerManager.register(
-        new org.apache.spark.sql.util.QueryExecutionListener {
-          override def onSuccess(funcName: String,
-              qe: org.apache.spark.sql.execution.QueryExecution,
-              durationNs: Long): Unit =
-            qe.observedMetrics.foreach { case (name, row) =>
-              if (name.startsWith("graft_bm25_sizing_") &&
-                  !row.isNullAt(0) && !row.isNullAt(1)) {
-                val maxDf = row.getLong(0)
-                val n = row.getLong(1)
-                if (n > 0 && maxDf > SizingFracThreshold * n &&
-                    maxDf > SizingMinDf) {
-                  val msg =
-                    f"bm25Join ran UNCAPPED with a stopword-grade query term: " +
-                    f"max df $maxDf%d of $n%d docs (${100.0 * maxDf / n}%.0f%%) — " +
-                    f"its postings×queries fan-out dominates the join while its " +
-                    f"idf contributes ~nothing; set maxDfFrac (e.g. 0.5) to trim it " +
-                    f"(surviving weights are bit-identical)"
-                  lastSizingWarning.set(Some(msg))
-                  org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+  private def ensureSizingListener(spark: org.apache.spark.sql.SparkSession)
+      : java.util.concurrent.atomic.AtomicReference[Option[String]] = {
+    val existing = sizingState.get(spark)
+    if (existing != null) existing
+    else sizingState.synchronized {
+      val again = sizingState.get(spark)
+      if (again != null) again
+      else {
+        val ref =
+          new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+        sizingState.put(spark, ref)
+        spark.listenerManager.register(
+          new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                durationNs: Long): Unit =
+              qe.observedMetrics.foreach { case (name, row) =>
+                if (name.startsWith("graft_bm25_sizing_") &&
+                    !row.isNullAt(0) && !row.isNullAt(1)) {
+                  val maxDf = row.getLong(0)
+                  val n = row.getLong(1)
+                  if (n > 0 && maxDf > SizingFracThreshold * n &&
+                      maxDf > SizingMinDf) {
+                    val msg =
+                      f"bm25Join ran UNCAPPED with a stopword-grade query term: " +
+                      f"max df $maxDf%d of $n%d docs (${100.0 * maxDf / n}%.0f%%) — " +
+                      f"its postings×queries fan-out dominates the join while its " +
+                      f"idf contributes ~nothing; set maxDfFrac (e.g. 0.5) to trim it " +
+                      f"(surviving weights are bit-identical)"
+                    ref.set(Some(msg))
+                    org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+                  }
                 }
               }
-            }
-          override def onFailure(funcName: String,
-              qe: org.apache.spark.sql.execution.QueryExecution,
-              exception: Exception): Unit = ()
-        })
-      true
-    })
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                exception: Exception): Unit = ()
+          })
+        ref
+      }
+    }
+  }
 
   def bm25Join(df: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qidCol: String, qtextCol: String,

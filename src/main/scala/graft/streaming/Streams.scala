@@ -275,7 +275,10 @@ object Streams {
   def gramExciseSink(spark: org.apache.spark.sql.SparkSession,
                      stream: DataFrame, idCol: String, textCol: String,
                      indexPath: String, outPath: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // bounded driver read at sink start — w is fixed at index build,
+    // appends never change it, so one read serves every batch
+    val w = gramWidth(spark, indexPath)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // stage 0, the ingestGate lesson: min-id representative per
@@ -286,8 +289,7 @@ object Streams {
           .select(col(idCol))
         val deduped = withText.join(broadcast(reps), Seq(idCol), "left_semi")
         val withinBatch = graft.ops.Dedup
-          .exciseDupSpans(deduped, idCol, textCol,
-            w = gramWidth(spark, indexPath))
+          .exciseDupSpans(deduped, idCol, textCol, w)
         val screened = graft.ops.Dedup
           .exciseAgainstIndex(spark,
             withinBatch.select(col("doc_id"), col("clean_text").as("text")),
@@ -320,6 +322,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+  }
 
   private def gramWidth(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String): Int =
@@ -400,11 +403,14 @@ object Streams {
                          ivfIdCol: String = "vec_id",
                          ivfVecCol: String = "embedding")
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // bounded driver read at sink start — the semanticGateSink contract
+    // bounded driver reads at sink start — the semanticGateSink
+    // contract (centroids are frozen) and the gram width (fixed at
+    // index build; appends never change either)
     val centroids = spark.read.parquet(s"$ivfIndexPath/centroids")
       .select(col("cell"), col("centroid")).collect()
       .sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
+    val w = gramWidth(spark, gramIndexPath)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // ── rung 1: the ingestGate screens ──
@@ -424,7 +430,6 @@ object Streams {
           spark, scored, textCol, keyIndexPath).persist()
         try {
           // ── rung 2: the gramExciseSink excisions ──
-          val w = gramWidth(spark, gramIndexPath)
           val withinBatch = graft.ops.Dedup
             .exciseDupSpans(fresh, idCol, textCol, w)
           val screened = graft.ops.Dedup

@@ -5,7 +5,7 @@ import graft.ops.{Curation, Dedup, Packing, Sampling}
 import graft.runner.TaskLog
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.json4s.{JDouble, JInt}
+import org.json4s.{JDecimal, JDouble, JInt, JString}
 
 /** The LLM-curation families exposed as TASK TYPES — the reference's
   * entire user surface is JSON task files (TaskFactory, task.py:577-599),
@@ -47,16 +47,30 @@ object PipelineTasks {
     }
   }
 
+  // int-or-string tolerance (the Node.intOpt convention: the reference's
+  // JSON files quote numbers freely) — and a LOUD failure on anything
+  // unparseable: a silently dropped entry here is silent data loss
+  // downstream (a stratum with no budget samples to zero rows)
   private def numMap(node: Node, key: String): Map[String, Double] =
-    node.objMap(key).collect {
-      case (k, JDouble(v)) => k -> v
-      case (k, JInt(v))    => k -> v.toDouble
+    node.objMap(key).map {
+      case (k, JDouble(v))  => k -> v
+      case (k, JDecimal(v)) => k -> v.toDouble
+      case (k, JInt(v))     => k -> v.toDouble
+      case (k, JString(s))  => k -> s.trim.toDoubleOption.getOrElse(
+        throw new IllegalArgumentException(s"$key.$k: not a number: '$s'"))
+      case (k, v) => throw new IllegalArgumentException(
+        s"$key.$k: expected a number, got ${v.getClass.getSimpleName}")
     }
 
   private def longMap(node: Node, key: String): Map[String, Long] =
-    node.objMap(key).collect {
-      case (k, JInt(v))    => k -> v.toLong
-      case (k, JDouble(v)) => k -> v.toLong
+    node.objMap(key).map {
+      case (k, JInt(v))     => k -> v.toLong
+      case (k, JDouble(v))  => k -> v.toLong
+      case (k, JDecimal(v)) => k -> v.toLong
+      case (k, JString(s))  => k -> s.trim.toLongOption.getOrElse(
+        throw new IllegalArgumentException(s"$key.$k: not an integer: '$s'"))
+      case (k, v) => throw new IllegalArgumentException(
+        s"$key.$k: expected an integer, got ${v.getClass.getSimpleName}")
     }
 
   private def tokenCol(cfg: Node): DataFrame => DataFrame = df =>

@@ -27,7 +27,7 @@ class Bm25SizingSpec extends SparkSpec {
   private def awaitWarning(): Option[String] = {
     val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
     while (System.nanoTime() < deadline) {
-      val w = TextAnalysis.lastSizingWarning.get()
+      val w = TextAnalysis.lastSizingWarning(spark).get()
       if (w.nonEmpty) return w
       Thread.sleep(50)
     }
@@ -38,7 +38,7 @@ class Bm25SizingSpec extends SparkSpec {
   private def settle(): Unit = Thread.sleep(1500)
 
   test("uncapped join over a stopword-grade query term warns with the cap hint") {
-    TextAnalysis.lastSizingWarning.set(None)
+    TextAnalysis.lastSizingWarning(spark).set(None)
     TextAnalysis.bm25Join(zipfCorpus, "doc_id", "text",
       oneQuery("the zebra"), "q_id", "text").count()
     val w = awaitWarning()
@@ -47,11 +47,11 @@ class Bm25SizingSpec extends SparkSpec {
   }
 
   test("capped run on the same corpus is silent (the cap IS the remedy)") {
-    TextAnalysis.lastSizingWarning.set(None)
+    TextAnalysis.lastSizingWarning(spark).set(None)
     TextAnalysis.bm25Join(zipfCorpus, "doc_id", "text",
       oneQuery("the zebra"), "q_id", "text", maxDfFrac = 0.5).count()
     settle()
-    assert(TextAnalysis.lastSizingWarning.get().isEmpty)
+    assert(TextAnalysis.lastSizingWarning(spark).get().isEmpty)
   }
 
   test("small absolute fan-out stays silent even at a dominating fraction") {
@@ -59,16 +59,16 @@ class Bm25SizingSpec extends SparkSpec {
     // a few hundred rows — the cap's filter would cost more than the
     // fan-out it trims, so the guardrail must NOT cry wolf
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    TextAnalysis.lastSizingWarning.set(None)
+    TextAnalysis.lastSizingWarning(spark).set(None)
     TextAnalysis.bm25Join(docs, "doc_id", "text",
       docs.where(col("doc_id") % 100 === 0), "doc_id", "text").count()
     settle()
-    assert(TextAnalysis.lastSizingWarning.get().isEmpty,
+    assert(TextAnalysis.lastSizingWarning(spark).get().isEmpty,
       "fixture-scale df must not trigger the warning")
   }
 
   test("retrievalDecontaminate inherits the guardrail") {
-    TextAnalysis.lastSizingWarning.set(None)
+    TextAnalysis.lastSizingWarning(spark).set(None)
     // consume `keep`: a bare count() lets the optimizer eliminate the
     // whole left join (distinct right side, no columns referenced) and
     // with it the bm25 subtree the guardrail rides on
