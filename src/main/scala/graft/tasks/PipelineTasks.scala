@@ -205,4 +205,38 @@ object PipelineTasks {
         sink(ctx, task)(out, lg, meter)
       }
   }
+
+  /** `compact`: offline maintenance for the streaming sinks' append
+    * layouts — not an ETL shape (no source→sink dataflow; it rewrites a
+    * path in place with the [[IndexMaintenance]] rename-aside swap, so
+    * it is schedulable like any task between stream runs). Two modes:
+    *
+    *  - `"mode": "output"` — [[IndexMaintenance.compactOutput]]: drop
+    *    the at-least-once duplicate rows a replayed micro-batch appends
+    *    (keep the most-excised row per `id`, default `doc_id`);
+    *  - `"mode": "files"` (default) — [[IndexMaintenance.compact]]:
+    *    rewrite to one file per partition dir (`part` = the layout's
+    *    partition column: `cell`/`band`/`bucket`; omit for a flat dir,
+    *    which compacts to `files`, default 1) — the small-file remedy
+    *    for per-batch appended index layouts.
+    */
+  object CompactTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit = {
+      val cfg = task("compact")
+      val path = ctx.dir(cfg.str("path"))
+      cfg.str("mode", "files") match {
+        case "output" =>
+          graft.ops.IndexMaintenance.compactOutput(ctx.spark, path,
+            cfg.str("id", "doc_id"))
+          log.write(s"compacted output duplicates at $path")
+        case "files" =>
+          graft.ops.IndexMaintenance.compact(ctx.spark, path,
+            cfg.strOpt("part"), cfg.int("files", 1))
+          log.write(s"compacted $path to " +
+            s"${graft.ops.IndexMaintenance.dataFileCount(ctx.spark, path)} files")
+        case m => throw new IllegalArgumentException(
+          s"compact mode must be 'output' or 'files': $m")
+      }
+    }
+  }
 }

@@ -350,7 +350,8 @@ object Tasks {
     "sample"     -> PipelineTasks.SampleTask,
     "pack"       -> PipelineTasks.PackTask,
     "shuffle"    -> PipelineTasks.ShuffleTask,
-    "curate"     -> PipelineTasks.CurateTask)
+    "curate"     -> PipelineTasks.CurateTask,
+    "compact"    -> PipelineTasks.CompactTask)
 
   def get(taskType: String): Task =
     factory.getOrElse(taskType,

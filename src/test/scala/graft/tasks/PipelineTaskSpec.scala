@@ -124,4 +124,26 @@ class PipelineTaskSpec extends SparkSpec {
       rows(Dedup.exciseDupSpans(docs.where(col("source") === "src1"),
         "doc_id", "text", w = 8)))
   }
+
+  test("compact task: output mode drops replay duplicates, files mode merges files") {
+    import spark.implicits._
+    val wd = tmpDir("graft_pipetask_")
+    // an outPath with an at-least-once duplicate (same id, more excised)
+    Files.createDirectories(Paths.get(s"$wd/output"))
+    Seq((1L, "a b", 4L, 2L), (1L, "a", 1L, 3L), (2L, "keep", 1L, 0L))
+      .toDF("doc_id", "clean_text", "n_words", "n_excised")
+      .repartition(4).write.parquet(s"$wd/output/ingested")
+    runTask(wd,
+      s"""{"tasks": [
+         |  {"type": "compact", "name": "o",
+         |   "compact": {"mode": "output", "path": "output/ingested"}},
+         |  {"type": "compact", "name": "f",
+         |   "compact": {"path": "output/ingested", "files": 1}}]}""".stripMargin)
+    assert(rows(outParquet(wd, "ingested")) ==
+      Seq((1L, "a", 1L, 3L), (2L, "keep", 1L, 0L))
+        .toDF("doc_id", "clean_text", "n_words", "n_excised")
+        .collect().map(_.toString).sorted.toSeq)
+    assert(graft.ops.IndexMaintenance.dataFileCount(spark,
+      s"$wd/output/ingested") == 1)
+  }
 }
