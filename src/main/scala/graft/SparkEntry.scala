@@ -195,6 +195,12 @@ object SparkEntry {
     "q92_training_order" -> trainingOrderSql,
     // q93: the stages' own fragments chained — see curationPipelineSql
     "q93_curation_pipeline" -> curationPipelineSql,
+    // q94: the Spark side reads its own JSONL copy of `documents`; the
+    // oracle reads the ORIGINAL parquet — equality IS the round-trip
+    // fidelity proof (nulls, escapes, long range)
+    "q94_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q51_repetition_signals" -> repetitionSignalsSql,
     "q52_pack" ->
       """WITH d AS (SELECT doc_id, source,

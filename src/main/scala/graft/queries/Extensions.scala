@@ -251,6 +251,31 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q94 JSONL round-trip — newline-delimited JSON is the LLM-corpus
+  // interchange format (public dumps ship as .jsonl); an engine that
+  // claims the curation surface must read and write it without value
+  // loss. The query materializes the documents table as JSONL once per
+  // sf dir (the q91 memo pattern), reads it back under the SOURCE's own
+  // schema (never inference — at corpus scale that is a second full
+  // read with unpredictable type widening), and projects every column.
+  // The oracle reads the ORIGINAL parquet, so the hash match IS the
+  // fidelity proof: nulls (written as omitted fields), string escapes,
+  // and long range all survive the trip.
+  private val jsonlDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q94_jsonl_roundtrip: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val dir = jsonlDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q94_jsonl_").toString + "/docs"
+      docs.write.mode("overwrite").json(p)
+      p
+    })
+    graft.sources.Sources.jsonl(s, dir, docs.schema)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // q92 deterministic training-order shuffle: salted-md5 key, 8
   // hex-bound shards, dense within-shard rank — reading shards in id
   // order and rows in pos order IS the reproducible shuffled order
@@ -775,5 +800,6 @@ object Extensions {
     "q90_collapse_repeats" -> q90_collapse_repeats,
     "q91_excise_against_index" -> q91_excise_against_index,
     "q92_training_order" -> q92_training_order,
-    "q93_curation_pipeline" -> q93_curation_pipeline)
+    "q93_curation_pipeline" -> q93_curation_pipeline,
+    "q94_jsonl_roundtrip" -> q94_jsonl_roundtrip)
 }

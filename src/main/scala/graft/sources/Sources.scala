@@ -24,6 +24,20 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object Sources {
 
+  /** JSONL (newline-delimited JSON) scan — the LLM-corpus interchange
+    * format (public dumps ship as `.jsonl`/`.jsonl.gz`, which Spark's
+    * json source decompresses by extension). Schema is REQUIRED: at
+    * corpus scale, inference is a second full read with unpredictable
+    * type widening — callers pass the target schema (or the writing
+    * table's own `df.schema`, the round-trip form q94 pins). Reads
+    * stay distributed and columns prune like any file scan; a missing
+    * field reads as null (the JSON-writer convention of omitting null
+    * fields round-trips losslessly).
+    */
+  def jsonl(spark: SparkSession, path: String,
+            schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   def csv(spark: SparkSession, path: String, node: Node): DataFrame = {
     val reader = spark.read
       .option("header", "true")

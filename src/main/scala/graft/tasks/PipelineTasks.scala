@@ -29,6 +29,13 @@ object PipelineTasks {
     src.str("format", "parquet") match {
       case "parquet" => ctx.spark.read.parquet(path)
       case "csv"     => graft.sources.Sources.csv(ctx.spark, path, src)
+      case "jsonl"   => src.strOpt("schema") match {
+        // "schema" is a DDL string ("doc_id LONG, text STRING"). Omitting
+        // it falls back to inference — fine for a one-off task file,
+        // but a SECOND full read at corpus scale: declare the schema.
+        case Some(ddl) => ctx.spark.read.schema(ddl).json(path)
+        case None      => ctx.spark.read.json(path)
+      }
       case f => throw new IllegalArgumentException(s"unknown source format: $f")
     }
   }
@@ -41,6 +48,11 @@ object PipelineTasks {
         val out = s"${ctx.dir(tgt.str("folder", "output"))}/${tgt.str("file")}"
         df.write.mode(if (tgt.bool("truncate")) "overwrite" else "append")
           .parquet(out)
+        lg.write(s"wrote $out")
+      case "jsonl" =>
+        val out = s"${ctx.dir(tgt.str("folder", "output"))}/${tgt.str("file")}"
+        df.write.mode(if (tgt.bool("truncate")) "overwrite" else "append")
+          .json(out)
         lg.write(s"wrote $out")
       case "csv" => Tasks.csvTarget(ctx, task)(df, lg, meter)
       case f => throw new IllegalArgumentException(s"unknown target format: $f")
