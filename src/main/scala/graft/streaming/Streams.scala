@@ -643,7 +643,14 @@ object Streams {
       .sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
     stream
-      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      // null, empty AND zero-norm vectors are excluded: a zero vector
+      // carries no direction (cosineGuarded reads it as 0 ≥ nothing),
+      // so admitting it adds un-matchable dead weight — and breaks
+      // replay idempotence: every other admitted row meets ITSELF at
+      // cosine 1 on a post-append replay and is not re-appended, but a
+      // zero vector cannot, so it would duplicate per replay
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+        exists(col(vecCol), _ =!= 0.0f))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch
@@ -652,10 +659,10 @@ object Streams {
             col("_v"), centroids))
         val part = b.select(col(idCol), col("cell"), col("_v"))
           .repartition(col("cell"))
-        // cosineGuarded: a zero-norm vector (cosine undefined) can never
-        // match a screen — it admits rather than killing the batch with
-        // an ANSI DIVIDE_BY_ZERO that checkpoint replay would re-throw
-        // forever
+        // cosineGuarded: defense in depth for zero-norm INDEX rows (a
+        // pre-existing layout may carry them) — an undefined cosine
+        // never matches, rather than killing the batch with an ANSI
+        // DIVIDE_BY_ZERO that checkpoint replay would re-throw forever
         val inBatchDups = part.as("a")
           .join(part.as("b"),
             col("a.cell") === col("b.cell") &&

@@ -764,13 +764,17 @@ class StreamsSpec extends SparkSpec {
         (13L, Seq(-0.999f, -0.01f, 0.0f, 0.0f)))
       q.processAllAvailable()
       // 14 ~= 11, which was admitted LAST batch -> the standing screen
-      // sees it (cross-batch)
-      mem.addData((14L, Seq(0.5f, -0.5f, 0.5f, -0.5f)))
+      // sees it (cross-batch); 15 is zero-norm -> excluded like a null
+      // (un-matchable, and its append would not be replay-idempotent)
+      mem.addData(
+        (14L, Seq(0.5f, -0.5f, 0.5f, -0.5f)),
+        (15L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
       q.processAllAvailable()
       val ids = spark.read.parquet(s"$p/data")
         .select("vec_id").as[Long].collect().toSet
       assert(ids == Set(1L, 2L, 3L, 4L, 11L, 12L),
-        "novel + lower-id reps admitted; standing/batch/cross-batch dups dropped")
+        "novel + lower-id reps admitted; standing/batch/cross-batch dups " +
+          "and zero-norm rows dropped")
     } finally q.stop()
   }
 
