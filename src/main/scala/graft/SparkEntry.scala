@@ -201,6 +201,27 @@ object SparkEntry {
     "q94_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // q95: T=0 temperature mixture — fracs are one IEEE division
+    // (minCount/count), recomputed in SQL with the q58 hexThreshold
+    // arithmetic (FLOOR+CAST mirrors Scala toLong for non-negatives;
+    // the smallest source's frac = 1 takes the same 'g' branch)
+    "q95_balanced_mixture" ->
+      """WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents
+        |           WHERE source IS NOT NULL GROUP BY source),
+        |m AS (SELECT MIN(cnt) AS mc FROM c),
+        |fr AS (SELECT source,
+        |         CAST(mc AS DOUBLE) / CAST(cnt AS DOUBLE) AS frac
+        |       FROM c, m),
+        |thr AS (SELECT source,
+        |          CASE WHEN frac >= 1 THEN 'g'
+        |               ELSE printf('%08x', CAST(LEAST(FLOOR(frac * 4294967296),
+        |                                              4294967295) AS BIGINT))
+        |                    || REPEAT('0', 24) END AS thr
+        |        FROM fr)
+        |SELECT d.doc_id, d.source FROM documents d
+        |JOIN thr ON d.source = thr.source
+        |WHERE MD5(CAST(d.doc_id AS VARCHAR)) < thr.thr
+        |ORDER BY d.doc_id""".stripMargin,
     "q51_repetition_signals" -> repetitionSignalsSql,
     "q52_pack" ->
       """WITH d AS (SELECT doc_id, source,

@@ -276,6 +276,24 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q95 balanced temperature mixture — [[Sampling.temperatureFracs]] at
+  // T=0 feeding the stratified sampler: every source downsampled to the
+  // smallest source's size in expectation (frac = minCount/count), the
+  // "uniform over domains" end of the temperature dial. T=0 is ALSO the
+  // bit-portable point: the frac is one IEEE division (correctly
+  // rounded in every engine), so the DuckDB oracle recomputes counts,
+  // fractions and hex thresholds exactly — pow-based temperatures
+  // between the endpoints are spec-checked (OpsSpec) instead, because
+  // pow is not correctly-rounded across libms and a last-ulp difference
+  // could flip a threshold floor.
+  val q95_balanced_mixture: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("source").isNotNull)
+      .select(col("doc_id"), col("source"))
+    Sampling.stratifiedSample(docs, "doc_id", "source",
+        Sampling.temperatureFracs(docs, "source", 0.0))
+      .orderBy(col("doc_id"))
+  }
+
   // q92 deterministic training-order shuffle: salted-md5 key, 8
   // hex-bound shards, dense within-shard rank — reading shards in id
   // order and rows in pos order IS the reproducible shuffled order
@@ -801,5 +819,6 @@ object Extensions {
     "q91_excise_against_index" -> q91_excise_against_index,
     "q92_training_order" -> q92_training_order,
     "q93_curation_pipeline" -> q93_curation_pipeline,
-    "q94_jsonl_roundtrip" -> q94_jsonl_roundtrip)
+    "q94_jsonl_roundtrip" -> q94_jsonl_roundtrip,
+    "q95_balanced_mixture" -> q95_balanced_mixture)
 }
