@@ -222,6 +222,11 @@ object SparkEntry {
         |JOIN thr ON d.source = thr.source
         |WHERE MD5(CAST(d.doc_id AS VARCHAR)) < thr.thr
         |ORDER BY d.doc_id""".stripMargin,
+    // q96: Spark reads its own ORC copy of `documents`; the oracle reads
+    // the ORIGINAL parquet — equality proves the parquet→ORC bridge
+    "q96_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q51_repetition_signals" -> repetitionSignalsSql,
     "q52_pack" ->
       """WITH d AS (SELECT doc_id, source,

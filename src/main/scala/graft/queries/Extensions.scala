@@ -276,6 +276,29 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q96 ORC round-trip — q94's twin for the columnar interchange
+  // format: write `documents` as ORC once per sf dir, read it back
+  // under the source's declared schema, project every column. The
+  // oracle reads the ORIGINAL parquet, so the hash match is the
+  // fidelity proof across the parquet→ORC→parquet type bridge
+  // (string/long/nullable survive; ORC's own stats/stripes are
+  // exercised by the read). Columnar on both ends: the read prunes
+  // and pushes down like any file scan (OrcSpec pins that too).
+  private val orcDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q96_orc_roundtrip: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val dir = orcDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q96_orc_").toString + "/docs"
+      docs.write.mode("overwrite").orc(p)
+      p
+    })
+    graft.sources.Sources.orc(s, dir, docs.schema)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // q95 balanced temperature mixture — [[Sampling.temperatureFracs]] at
   // T=0 feeding the stratified sampler: every source downsampled to the
   // smallest source's size in expectation (frac = minCount/count), the
@@ -820,5 +843,6 @@ object Extensions {
     "q92_training_order" -> q92_training_order,
     "q93_curation_pipeline" -> q93_curation_pipeline,
     "q94_jsonl_roundtrip" -> q94_jsonl_roundtrip,
-    "q95_balanced_mixture" -> q95_balanced_mixture)
+    "q95_balanced_mixture" -> q95_balanced_mixture,
+    "q96_orc_roundtrip" -> q96_orc_roundtrip)
 }

@@ -38,6 +38,19 @@ object Sources {
             schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC scan — the OTHER columnar interchange format (Hive-era
+    * warehouses ship ORC the way lakes ship parquet). Unlike JSONL the
+    * file is self-describing AND columnar: column pruning and predicate
+    * pushdown reach the stripe level, so a 2-column projection over a
+    * wide corpus reads 2 columns' stripes, not the file. The explicit
+    * schema is still the caller's contract (declared names/types are
+    * enforced at read, not re-derived per file — at corpus scale a
+    * million-file listing must not negotiate schemas per split).
+    */
+  def orc(spark: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   def csv(spark: SparkSession, path: String, node: Node): DataFrame = {
     val reader = spark.read
       .option("header", "true")

@@ -36,6 +36,12 @@ object PipelineTasks {
         case Some(ddl) => ctx.spark.read.schema(ddl).json(path)
         case None      => ctx.spark.read.json(path)
       }
+      case "orc" => src.strOpt("schema") match {
+        // ORC is self-describing, so omitting "schema" costs only the
+        // footer read — but a declared DDL stays the enforced contract.
+        case Some(ddl) => ctx.spark.read.schema(ddl).orc(path)
+        case None      => ctx.spark.read.orc(path)
+      }
       case f => throw new IllegalArgumentException(s"unknown source format: $f")
     }
   }
@@ -53,6 +59,11 @@ object PipelineTasks {
         val out = s"${ctx.dir(tgt.str("folder", "output"))}/${tgt.str("file")}"
         df.write.mode(if (tgt.bool("truncate")) "overwrite" else "append")
           .json(out)
+        lg.write(s"wrote $out")
+      case "orc" =>
+        val out = s"${ctx.dir(tgt.str("folder", "output"))}/${tgt.str("file")}"
+        df.write.mode(if (tgt.bool("truncate")) "overwrite" else "append")
+          .orc(out)
         lg.write(s"wrote $out")
       case "csv" => Tasks.csvTarget(ctx, task)(df, lg, meter)
       case f => throw new IllegalArgumentException(s"unknown target format: $f")
