@@ -43,8 +43,12 @@ object PlanAudit {
       "q84_semantic_contamination", "q85_bm25_join",
       "q86_retrieval_decontaminate", "q87_curriculum_sample",
       "q88_excise_spans", "q89_bm25_join_capped", "q90_collapse_repeats",
-      "q91_excise_against_index", "q92_training_order")
-    for (q <- interesting) {
+      "q91_excise_against_index", "q92_training_order",
+      "q95_balanced_mixture", "q97_boilerplate_lines")
+    // optional args = audit only these queries (iterating on one operator)
+    val selected =
+      if (args.isEmpty) interesting else interesting.filter(args.toSet)
+    for (q <- selected) {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       qe.executedPlan.executeCollect()
       val plan = qe.executedPlan.toString

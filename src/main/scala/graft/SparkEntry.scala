@@ -222,6 +222,7 @@ object SparkEntry {
         |JOIN thr ON d.source = thr.source
         |WHERE MD5(CAST(d.doc_id AS VARCHAR)) < thr.thr
         |ORDER BY d.doc_id""".stripMargin,
+    "q97_boilerplate_lines" -> boilerplateLinesSql,
     // q96: Spark reads its own ORC copy of `documents`; the oracle reads
     // the ORIGINAL parquet — equality proves the parquet→ORC bridge
     "q96_orc_roundtrip" ->
@@ -1390,6 +1391,40 @@ object SparkEntry {
     * occurrence; excised = positions covered by a repeat occurrence and
     * by NO first occurrence (the engine's conservative coverage rule).
     */
+  /** q97 oracle: same 3-word reflow (DuckDB list slicing clamps at the
+    * list end exactly like Spark `slice`), then the no-keeper ban —
+    * df >= 3 lines removed everywhere, blank-after-trim lines exempt.
+    * STRING_AGG(... ORDER BY pos) rebuilds in position order; docs whose
+    * every line banned survive via the LEFT JOIN with clean_text ''.
+    */
+  private def boilerplateLinesSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |lined AS (SELECT doc_id, CASE WHEN LEN(w) = 0 THEN '' ELSE
+       |    ARRAY_TO_STRING(LIST_TRANSFORM(
+       |      RANGE(0, CAST(CEIL(LEN(w) / 3.0) AS BIGINT)),
+       |      i -> ARRAY_TO_STRING(w[i*3+1 : i*3+3], ' ')), CHR(10))
+       |  END AS lined FROM toks),
+       |sp AS (SELECT doc_id, STRING_SPLIT(lined, CHR(10)) AS ls FROM lined),
+       |lines AS (SELECT doc_id, i AS pos, ls[i] AS line
+       |          FROM sp, UNNEST(RANGE(1, LEN(ls) + 1)) AS u(i)),
+       |dfq AS (SELECT line, COUNT(DISTINCT doc_id) AS d FROM lines
+       |        WHERE TRIM(line) <> '' GROUP BY line),
+       |banned AS (SELECT line FROM dfq WHERE d >= 3),
+       |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+       |         LEFT JOIN banned b ON l.line = b.line WHERE b.line IS NULL),
+       |agg AS (SELECT doc_id,
+       |          STRING_AGG(line, CHR(10) ORDER BY pos) AS clean_text,
+       |          COUNT(*) AS kept_n
+       |        FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+       |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       |       t.n_lines AS n_lines,
+       |       t.n_lines - COALESCE(a.kept_n, 0) AS n_removed
+       |FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   private def collapseRepeatsSql: String =
     s"""WITH ${wordGramCtes(3)},
        |f AS (SELECT doc_id, gh, MIN(st) AS s1 FROM g GROUP BY 1, 2),

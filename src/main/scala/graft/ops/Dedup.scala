@@ -809,6 +809,63 @@ object Dedup {
     rebuildWithoutPositions(docs, exPos)
   }
 
+  /** Corpus-frequency LINE removal — the CCNet/RefinedWeb boilerplate
+    * rule, the line-granular member of the excision family: a line
+    * whose corpus document-frequency reaches `minDocFreq` is navigation
+    * chrome / cookie banner / template text, and EVERY occurrence is
+    * removed (no keeper — unlike [[exciseDupSpans]], where the first
+    * doc keeps the span, boilerplate carries no training signal in any
+    * copy). Lines are `\n`-separated verbatim strings; lines blank
+    * after trim are structure, not boilerplate — never counted, never
+    * removed. Docs with null `textCol` are dropped (the [[exciseDupSpans]]
+    * convention); docs whose every line is banned survive with
+    * `clean_text = ''`.
+    *
+    * Scale shape: counting shuffles (doc_id, lh)-distinct rows — the
+    * line hash is md5 (the gram-index `gh` convention: fixed 32-char
+    * shuffle key, never the line text) and doc_id in the key means no
+    * corpus-global hot key; the df count itself is partial-aggregated
+    * (algebraic). The banned side of the final anti-join is DISTINCT
+    * boilerplate lines — by definition few strings however many
+    * occurrences they have — so AQE broadcasts it and the probe side
+    * never shuffles (occurrence skew of a mega-frequent line is
+    * irrelevant in a broadcast anti-join). Rebuild state is per-doc
+    * bounded (a doc's own lines).
+    *
+    * Output: (doc_id, clean_text, n_lines, n_removed).
+    */
+  def removeFrequentLines(df: DataFrame, idCol: String, textCol: String,
+                          minDocFreq: Int = 2): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
+    // n_lines is row-local arithmetic on the un-exploded doc — the
+    // denominator never costs an explode branch or a third scan
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("_t"),
+        size(split(col(textCol), "\n")).cast("bigint").as("n_lines"))
+    val lines = base
+      .select(col("doc_id"),
+        posexplode(split(col("_t"), "\n")).as(Seq("_p0", "line")))
+      .select(col("doc_id"), (col("_p0") + 1).as("pos"), col("line"),
+        md5(col("line")).as("lh"))
+    val banned = lines.where(trim(col("line")) =!= "")
+      .select(col("lh"), col("doc_id")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("lh"))
+    val agg = lines.join(banned, Seq("lh"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("\n",
+        expr("transform(array_sort(collect_list(struct(pos, line))), " +
+          "x -> x.line)")).as("clean_text"),
+        count(lit(1)).as("_kept"))
+    base.select(col("doc_id"), col("n_lines"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Persist the standing corpus's word-gram index — the INCREMENTAL
     * end of the span-excision family, symmetric with
     * [[buildExactKeyIndex]] (exact keys ⇄ lexical bands ⇄ semantic

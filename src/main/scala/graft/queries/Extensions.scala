@@ -276,6 +276,29 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q97 corpus-frequency boilerplate line removal —
+  // [[Dedup.removeFrequentLines]] over a deterministic reflow: the
+  // fixture's docs are single-line, so both engines first re-line them
+  // into 3-word lines (slice arithmetic is integer-exact and identical
+  // in Spark `slice`/DuckDB list slicing), then any line held by >= 3
+  // docs is removed EVERYWHERE (no keeper — the CCNet rule, vs q88's
+  // keep-first span excision). ~250 of ~7.5k distinct lines ban at
+  // both sf0.001 and sf0.01, so removal, blank-doc survival and the
+  // no-keeper property are all exercised.
+  val q97_boilerplate_lines: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("_w"))
+      .select(col("doc_id"),
+        when(size(col("_w")) > 0,
+          expr("concat_ws('\n', transform(" +
+            "sequence(0, cast(ceil(size(_w) / 3.0) as int) - 1), " +
+            "i -> concat_ws(' ', slice(_w, i*3+1, 3))))"))
+          .otherwise(lit("")).as("lined"))
+    Dedup.removeFrequentLines(docs, "doc_id", "lined", minDocFreq = 3)
+      .orderBy(col("doc_id"))
+  }
+
   // q96 ORC round-trip — q94's twin for the columnar interchange
   // format: write `documents` as ORC once per sf dir, read it back
   // under the source's declared schema, project every column. The
@@ -844,5 +867,6 @@ object Extensions {
     "q93_curation_pipeline" -> q93_curation_pipeline,
     "q94_jsonl_roundtrip" -> q94_jsonl_roundtrip,
     "q95_balanced_mixture" -> q95_balanced_mixture,
-    "q96_orc_roundtrip" -> q96_orc_roundtrip)
+    "q96_orc_roundtrip" -> q96_orc_roundtrip,
+    "q97_boilerplate_lines" -> q97_boilerplate_lines)
 }

@@ -655,6 +655,34 @@ class OpsSpec extends SparkSpec {
     assert(o3._2 == "tiny doc with\tfew words" && o3._4 == 0L)
   }
 
+  test("removeFrequentLines: df >= minDocFreq lines drop everywhere, blanks exempt") {
+    val docs = Seq(
+      (1L, "cookie banner\nreal content one\n\nfooter nav"),
+      (2L, "cookie banner\nreal content two\n\nfooter nav"),
+      (3L, "cookie banner\nunique middle\nfooter nav"),
+      // doc of ONLY boilerplate survives as an empty doc
+      (4L, "cookie banner\nfooter nav"),
+      // trim-blank line repeated everywhere is structure, never banned
+      (5L, "   \nreal content five"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeFrequentLines(docs, "doc_id", "text", minDocFreq = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // null text dropped, every other doc present
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // no keeper: the banned lines vanish from EVERY doc, order kept
+    assert(out(1L) == ((1L, "real content one\n", 4L, 2L)), s"${out(1L)}")
+    assert(out(2L) == ((2L, "real content two\n", 4L, 2L)), s"${out(2L)}")
+    assert(out(3L) == ((3L, "unique middle", 3L, 2L)), s"${out(3L)}")
+    assert(out(4L) == ((4L, "", 2L, 2L)), "all-boilerplate doc survives empty")
+    assert(out(5L) == ((5L, "   \nreal content five", 2L, 0L)),
+      s"blank-after-trim lines are never counted or removed: ${out(5L)}")
+    // below the threshold nothing bans (the df-4 lines at minDocFreq=5)
+    val loose = Dedup.removeFrequentLines(docs, "doc_id", "text", minDocFreq = 5)
+      .as[(Long, String, Long, Long)].collect()
+    assert(loose.forall(_._4 == 0L), s"df 4 < minDocFreq 5 must keep all: ${loose.toSeq}")
+  }
+
   test("collapseRepeats: stuttered boilerplate collapses to one copy, covered echoes survive") {
     val docs = Seq(
       // "spam spam ... spam" ×8 at w=2: one gram repeated 7× -> "spam spam"
