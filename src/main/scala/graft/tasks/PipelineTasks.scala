@@ -127,9 +127,11 @@ object PipelineTasks {
   }
 
   /** `excise`: duplicated-span rewriting — `mode` `cross-doc` (q88
-    * default), `within-doc` (q90 collapse), or incremental against a
-    * standing gram index when `index` is set (q91). Output is the ops'
-    * (id, clean_text, n_words, n_excised) contract.
+    * default), `within-doc` (q90 collapse), `lines` (q97 corpus-
+    * frequency boilerplate removal at `min_doc_freq`), or incremental
+    * against a standing gram index when `index` is set (q91). Output is
+    * the ops' (id, clean_text, n_words, n_excised) contract — the
+    * `lines` mode counts lines, not words: (…, n_lines, n_removed).
     */
   object ExciseTask extends Task {
     def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
@@ -144,6 +146,10 @@ object PipelineTasks {
           case None => cfg.str("mode", "cross-doc") match {
             case "cross-doc"  => Dedup.exciseDupSpans(df, id, text, w)
             case "within-doc" => Dedup.collapseRepeats(df, id, text, w)
+            // line-granular, no keeper: "min_doc_freq" is the ban
+            // threshold (w is gram width elsewhere, unused here)
+            case "lines" => Dedup.removeFrequentLines(df, id, text,
+              cfg.int("min_doc_freq", 2))
             case m => throw new IllegalArgumentException(s"unknown excise mode: $m")
           }
         }

@@ -51,6 +51,17 @@ class PipelineTaskSpec extends SparkSpec {
       rows(Dedup.collapseRepeats(docs, "doc_id", "text", w = 3)))
   }
 
+  test("excise task lines mode == Dedup.removeFrequentLines") {
+    val wd = tmpDir("graft_pipetask_")
+    runTask(wd,
+      s"""{"tasks": [{"type": "excise", "name": "l",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "excise": {"mode": "lines", "min_doc_freq": 3},
+         |  "target": {"file": "lin", "truncate": true}}]}""".stripMargin)
+    assert(rows(outParquet(wd, "lin")) ==
+      rows(Dedup.removeFrequentLines(docs, "doc_id", "text", minDocFreq = 3)))
+  }
+
   test("shuffle task == Sampling.trainingOrder (q92 parity)") {
     val wd = tmpDir("graft_pipetask_")
     runTask(wd,
