@@ -35,6 +35,28 @@ object ExciseBench {
     val tExcise = runNoop(graft.ops.Dedup.exciseDupSpans(docs, "doc_id", "text"))
     val tCollapse = runNoop(graft.ops.Dedup.collapseRepeats(docs, "doc_id", "text"))
 
+    // line-granular removal (q97) at the same volume: replicas make
+    // EVERY reflowed 3-word line corpus-frequent, so the ban set is the
+    // entire distinct-line population and every doc rewrites to empty —
+    // the op's worst case (max ban-set broadcast, max removal, full
+    // rebuild). Survivor count is the in-bench correctness assert.
+    val lined = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("_w"))
+      .select(col("doc_id"),
+        when(size(col("_w")) > 0,
+          expr("concat_ws('\n', transform(" +
+            "sequence(0, cast(ceil(size(_w) / 3.0) as int) - 1), " +
+            "i -> concat_ws(' ', slice(_w, i*3+1, 3))))"))
+          .otherwise(lit("")).as("lined"))
+    val (nLineSurvivors, tLines) = time {
+      graft.ops.Dedup.removeFrequentLines(lined, "doc_id", "lined",
+          minDocFreq = 3)
+        .filter(col("clean_text") =!= "").count()
+    }
+    assert(nLineSurvivors == 0,
+      s"every line is shared by $repl replicas, all docs must empty: $nLineSurvivors survived")
+
     // incremental path: standing index = replica 0, probe = replica 1
     // (every probe span matches — the worst probe case)
     val idx = BenchHarness.tmp("graft_excbench_")
@@ -58,6 +80,7 @@ object ExciseBench {
     println(
       s"""{"bench":"excise_sf1","sf":"$sfDir","repl":$repl,"n_docs":$nDocs,""" +
       s""""excise_s":${fmt(tExcise)},"collapse_s":${fmt(tCollapse)},""" +
+      s""""lines_s":${fmt(tLines)},""" +
       s""""index_build_s":${fmt(tBuild)},"probe_s":${fmt(tProbe)},""" +
       s""""probe_emptied":$nEmpty}""")
     spark.stop()
