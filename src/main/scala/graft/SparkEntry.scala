@@ -223,6 +223,23 @@ object SparkEntry {
         |WHERE MD5(CAST(d.doc_id AS VARCHAR)) < thr.thr
         |ORDER BY d.doc_id""".stripMargin,
     "q97_boilerplate_lines" -> boilerplateLinesSql,
+    // q98: stride arithmetic mirrored — maxWords 8, overlap 2, stride 6;
+    // nChunks = 1 + max(0, (n - 8 + 5) div 6); inclusive slices match
+    // Spark's slice(start, len); both engines clamp past the list end
+    "q98_chunk_docs" ->
+      """WITH toks AS (SELECT doc_id,
+        |    LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |nz AS (SELECT doc_id, w, LEN(w) AS n FROM toks WHERE LEN(w) > 0),
+        |nc AS (SELECT doc_id, w,
+        |         1 + GREATEST(0, CAST(FLOOR((n - 3) / 6.0) AS BIGINT)) AS c
+        |       FROM nz),
+        |ch AS (SELECT doc_id, k AS chunk_id,
+        |         ARRAY_TO_STRING(w[k*6+1 : k*6+8], ' ') AS chunk_text
+        |       FROM nc, UNNEST(RANGE(0, c)) AS u(k))
+        |SELECT doc_id, chunk_id, chunk_text,
+        |       LEN(STRING_SPLIT(chunk_text, ' ')) AS n_words
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     // q96: Spark reads its own ORC copy of `documents`; the oracle reads
     // the ORIGINAL parquet — equality proves the parquet→ORC bridge
     "q96_orc_roundtrip" ->

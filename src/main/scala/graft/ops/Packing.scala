@@ -44,4 +44,47 @@ object Packing {
         floor((col("_end") - 1) / lit(seqLen.toLong)).cast("long"))
       .drop("_end")
   }
+
+  /** [[pack]]'s dual — PER-DOC sliding-window chunking, the
+    * embedding/retrieval-context prep step (a doc too long for the
+    * encoder splits into `maxWords`-word chunks overlapping by
+    * `overlap`, so no boundary sentence loses its context): chunk k
+    * covers words [k·stride+1, k·stride+maxWords], stride =
+    * maxWords − overlap, last chunk clamped at the doc end; a doc of
+    * ≤ maxWords words is ONE chunk of itself. Whitespace tokenization
+    * (the q35/q58 single-space convention); docs with null text or no
+    * words produce no chunks.
+    *
+    * Scale shape: row-local arithmetic + one explode — a PROJECTION,
+    * zero shuffle, zero joins; chunk count per row is bounded by doc
+    * length, so output size is corpus tokens × (1 + overlap/stride),
+    * never quadratic. Deterministic: chunk boundaries are pure integer
+    * math, stable under repartition/growth/engine port.
+    *
+    * Output: (doc_id, chunk_id 0-based, chunk_text, n_words).
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                maxWords: Int, overlap: Int = 0): DataFrame = {
+    require(maxWords > 0, s"maxWords must be positive: $maxWords")
+    require(overlap >= 0 && overlap < maxWords,
+      s"overlap must be in [0, maxWords): $overlap")
+    val stride = maxWords - overlap
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("_w"))
+      .where(size(col("_w")) > 0)
+      // nChunks = 1 + ceil((n - maxWords) / stride) for n > maxWords,
+      // else 1 — as integer division: 1 + max(0, (n - maxWords + stride
+      // - 1) div stride)
+      .select(col("doc_id"), col("_w"),
+        (lit(1) + greatest(lit(0),
+          floor((size(col("_w")) - maxWords + stride - 1) /
+            lit(stride.toDouble)).cast("int"))).as("_nc"))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, _nc - 1), " +
+          s"k -> concat_ws(' ', slice(_w, k * $stride + 1, $maxWords)))"))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        size(expr("split(chunk_text, ' ')")).cast("bigint").as("n_words"))
+  }
 }

@@ -276,6 +276,20 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q98 sliding-window doc chunking — [[Packing.chunkDocs]] at
+  // maxWords=8, overlap=2: the embedding/retrieval-context prep step
+  // (pack's per-doc dual). Pure integer boundary math on both engines
+  // (stride arithmetic + inclusive list slicing), so the oracle
+  // recomputes chunk starts exactly; chunk_id cast bigint to match
+  // DuckDB's RANGE type.
+  val q98_chunk_docs: Q = (s, d) => {
+    Packing.chunkDocs(t(s, d, "documents"), "doc_id", "text",
+        maxWords = 8, overlap = 2)
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        col("chunk_text"), col("n_words"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   // q97 corpus-frequency boilerplate line removal —
   // [[Dedup.removeFrequentLines]] over a deterministic reflow: the
   // fixture's docs are single-line, so both engines first re-line them
@@ -868,5 +882,6 @@ object Extensions {
     "q94_jsonl_roundtrip" -> q94_jsonl_roundtrip,
     "q95_balanced_mixture" -> q95_balanced_mixture,
     "q96_orc_roundtrip" -> q96_orc_roundtrip,
-    "q97_boilerplate_lines" -> q97_boilerplate_lines)
+    "q97_boilerplate_lines" -> q97_boilerplate_lines,
+    "q98_chunk_docs" -> q98_chunk_docs)
 }

@@ -195,6 +195,21 @@ object PipelineTasks {
       }
   }
 
+  /** `chunk`: per-doc sliding-window chunking (q98) — `max_words` per
+    * chunk, `overlap` seam words repeated between consecutive chunks.
+    * Output is the op's (doc_id, chunk_id, chunk_text, n_words).
+    */
+  object ChunkTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
+      Tasks.etl(ctx, task, log, "chunk")(sourceDf(ctx, task)) { (df, lg, meter) =>
+        val cfg = task("chunk")
+        val out = Packing.chunkDocs(df, cfg.str("id", "doc_id"),
+          cfg.str("text", "text"), cfg.int("max_words", 512),
+          cfg.int("overlap", 0))
+        sink(ctx, task)(out, lg, meter)
+      }
+  }
+
   /** `shuffle`: the deterministic training-order assignment (q92) —
     * adds (shard, pos) for `shards` shards.
     */

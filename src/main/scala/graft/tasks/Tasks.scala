@@ -349,6 +349,7 @@ object Tasks {
     "excise"     -> PipelineTasks.ExciseTask,
     "sample"     -> PipelineTasks.SampleTask,
     "pack"       -> PipelineTasks.PackTask,
+    "chunk"      -> PipelineTasks.ChunkTask,
     "shuffle"    -> PipelineTasks.ShuffleTask,
     "curate"     -> PipelineTasks.CurateTask,
     "compact"    -> PipelineTasks.CompactTask)

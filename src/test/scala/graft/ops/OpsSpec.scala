@@ -655,6 +655,34 @@ class OpsSpec extends SparkSpec {
     assert(o3._2 == "tiny doc with\tfew words" && o3._4 == 0L)
   }
 
+  test("chunkDocs: sliding windows cover the doc, overlap repeats the seam words") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),   // 10 words
+      (2L, "one two three"),          // <= maxWords: one chunk of itself
+      (3L, "x y z w"),                // exactly maxWords
+      (4L, ""),                       // no words: no chunks
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // maxWords 4, overlap 1 -> stride 3: starts 0,3,6 for n=10
+    val out = Packing.chunkDocs(docs, "doc_id", "text", maxWords = 4, overlap = 1)
+      .as[(Long, Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L), "empty/null docs chunk to nothing")
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._3)).toSeq ==
+      Seq((0, "a b c d"), (1, "d e f g"), (2, "g h i j")),
+      s"seam words d and g must repeat across chunks: ${out.toSeq}")
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "one two three", 3L)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, "x y z w", 4L)))
+    // clamped tail: n=10, maxWords=4, overlap=0 -> chunks 4/4/2
+    val tail = Packing.chunkDocs(docs.where(col("doc_id") === 1L),
+        "doc_id", "text", maxWords = 4)
+      .as[(Long, Int, String, Long)].collect().sortBy(_._2)
+    assert(tail.map(r => (r._3, r._4)).toSeq ==
+      Seq(("a b c d", 4L), ("e f g h", 4L), ("i j", 2L)),
+      s"overlap 0 partitions with a clamped tail: ${tail.toSeq}")
+    // every word of doc 1 appears in some chunk (coverage)
+    assert(tail.flatMap(_._3.split(" ")).toSet == "a b c d e f g h i j".split(" ").toSet)
+  }
+
   test("removeFrequentLines: df >= minDocFreq lines drop everywhere, blanks exempt") {
     val docs = Seq(
       (1L, "cookie banner\nreal content one\n\nfooter nav"),

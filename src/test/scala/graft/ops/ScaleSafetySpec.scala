@@ -224,6 +224,27 @@ class ScaleSafetySpec extends SparkSpec {
       s"q46 must be one TokenStats pass, no split() array materialization:\n$p46")
   }
 
+  test("round-9 queries keep scale shapes: q95 filter-only after bounded fracs, q97 broadcast anti-join") {
+    val d = "/root/testdata/sf0.001"
+    // q95: the mixture is a zero-shuffle threshold filter — after the
+    // bounded per-stratum count collect, the plan is scan → filter →
+    // (presentation sort); no Aggregate, no Join survives optimization
+    val p95 = graft.queries.Extensions.q95_balanced_mixture(spark, d)
+      .queryExecution.optimizedPlan.toString
+    assert(!p95.contains("Aggregate") && !p95.contains("Join"),
+      s"q95 must be a threshold filter, not a shuffle:\n$p95")
+    // q97: the ban side is the distinct-boilerplate population — small by
+    // definition — so the anti-join must broadcast under defaults (probe
+    // side never shuffles, occurrence skew of a hot line is irrelevant);
+    // and nothing in the plan may be a nested loop or cartesian
+    val p97 = graft.queries.Extensions.q97_boilerplate_lines(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p97.contains("BroadcastHashJoin") && p97.contains("LeftAnti"),
+      s"q97's ban anti-join must broadcast the banned-lines side:\n$p97")
+    assert(!p97.contains("BroadcastNestedLoopJoin") && !p97.contains("CartesianProduct"),
+      s"q97 must stay equi-join only:\n$p97")
+  }
+
   test("IVF top-k: probes the right cells and recovers planted neighbors") {
     val dim = 16
     val q = randVec(dim)

@@ -62,6 +62,17 @@ class PipelineTaskSpec extends SparkSpec {
       rows(Dedup.removeFrequentLines(docs, "doc_id", "text", minDocFreq = 3)))
   }
 
+  test("chunk task == Packing.chunkDocs (q98 parity)") {
+    val wd = tmpDir("graft_pipetask_")
+    runTask(wd,
+      s"""{"tasks": [{"type": "chunk", "name": "ch",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "chunk": {"max_words": 8, "overlap": 2},
+         |  "target": {"file": "chk", "truncate": true}}]}""".stripMargin)
+    assert(rows(outParquet(wd, "chk")) ==
+      rows(Packing.chunkDocs(docs, "doc_id", "text", maxWords = 8, overlap = 2)))
+  }
+
   test("shuffle task == Sampling.trainingOrder (q92 parity)") {
     val wd = tmpDir("graft_pipetask_")
     runTask(wd,
