@@ -72,6 +72,14 @@ object Curation {
     * @param seqLen        packed training-sequence length in tokens
     *                      (stage 6)
     * @param nShards       training-order shard count (stage 7)
+    * @param lineMinDocFreq when set, run [[Dedup.removeFrequentLines]]
+    *                      (the q97 CCNet boilerplate rule) between the
+    *                      dedup and excision stages — template lines in
+    *                      ≥ this many docs are removed EVERYWHERE before
+    *                      span excision looks for verbatim runs (the
+    *                      real-pipeline order: chrome first, then
+    *                      spans). None (default) skips the stage, so the
+    *                      q93 contract is byte-identical with it unset
     */
   case class Config(budgets: Map[String, Long],
                     minQuality: Double = 0.5,
@@ -79,7 +87,8 @@ object Curation {
                     exciseW: Int = 8,
                     shingleW: Int = 8,
                     seqLen: Int = 512,
-                    nShards: Int = 8)
+                    nShards: Int = 8,
+                    lineMinDocFreq: Option[Int] = None)
 
   /** Run the full pipeline over `batch` (docs with a null `textCol` are
     * dropped up front — nothing to train on).
@@ -128,11 +137,28 @@ object Curation {
     // source join-back) — see the object doc on stage boundaries
     val fresh = fresh0.localCheckpoint(true)
 
+    // 2b. optional corpus-frequency LINE removal (q97's op) ahead of
+    // span excision — boilerplate chrome goes first, verbatim spans
+    // second; kept newlines re-normalize to the single-space convention
+    // the word-level stages split on. Rows emptied (all-boilerplate
+    // docs) drop here. Checkpointed like `fresh`: stage 3 reads it
+    // twice (gram pass + source join-back).
+    val screened = cfg.lineMinDocFreq match {
+      case Some(n) =>
+        Dedup.removeFrequentLines(fresh, "doc_id", "text", n)
+          .where(col("clean_text") =!= "")
+          .join(fresh.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("doc_id"), col("source"),
+            regexp_replace(col("clean_text"), "\n", " ").as("text"))
+          .localCheckpoint(true)
+      case None => fresh
+    }
+
     // 3. EXCISE cross-doc duplicated spans within the admitted batch;
     // docs excised to emptiness carry nothing to train on
-    val exc = Dedup.exciseDupSpans(fresh, "doc_id", "text", w = cfg.exciseW)
+    val exc = Dedup.exciseDupSpans(screened, "doc_id", "text", w = cfg.exciseW)
       .where(col("clean_text") =!= "")
-      .join(fresh.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .join(screened.select(col("doc_id"), col("source")), Seq("doc_id"))
 
     // 4. DECONTAMINATE the cleaned text vs the benchmark; benchmark
     // members drop outright (they ARE the eval set)

@@ -245,7 +245,8 @@ object PipelineTasks {
             exciseW = cfg.int("excise_w", 8),
             shingleW = cfg.int("shingle_w", 8),
             seqLen = cfg.int("seq_len", 512),
-            nShards = cfg.int("shards", 8)))
+            nShards = cfg.int("shards", 8),
+            lineMinDocFreq = cfg.intOpt("line_min_doc_freq")))
         sink(ctx, task)(out, lg, meter)
       }
   }

@@ -655,6 +655,39 @@ class OpsSpec extends SparkSpec {
     assert(o3._2 == "tiny doc with\tfew words" && o3._4 == 0L)
   }
 
+  test("curate lineMinDocFreq: planted boilerplate line gone before excision, default None unchanged") {
+    // distinct-word tails keep every doc through the q74 screens; the
+    // shared first line is boilerplate in 3 docs, doc 4 is ONLY that
+    val mk = (tail: String) => s"subscribe to our newsletter today friends\n$tail"
+    val docs = Seq(
+      (1L, mk("alpha beta gamma delta epsilon zeta eta theta iota kappa"), "web"),
+      (2L, mk("lambda mu nu xi omicron pi rho sigma tau upsilon"), "web"),
+      (3L, mk("phi chi psi omega one two three four five six"), "web"),
+      (4L, "subscribe to our newsletter today friends", "web"))
+      .toDF("doc_id", "text", "source")
+    // q74 screens off (quality floor 0, span screen unreachable): this
+    // test isolates the LINE stage — doc 4 is pure duplicated content,
+    // so the winnow span screen would (correctly) drop it first and
+    // mask what the line stage does
+    val cfgOff = Curation.Config(budgets = Map("web" -> 1000000L),
+      minQuality = 0.0, spanThreshold = 2.0)
+    val cfgOn = cfgOff.copy(lineMinDocFreq = Some(3))
+    val off = Curation.curate(spark, docs, "doc_id", "text", "source",
+      None, None, cfgOff).select("doc_id", "n_tokens")
+      .as[(Long, Long)].collect().toMap
+    val on = Curation.curate(spark, docs, "doc_id", "text", "source",
+      None, None, cfgOn).select("doc_id", "n_tokens")
+      .as[(Long, Long)].collect().toMap
+    // off: every doc survives whole — 15 ws-tokens for the carriers (the
+    // newline glues line1's last and the tail's first word into one
+    // ws-token; no 8-word span repeats, the 6-word line is below
+    // exciseW), 6 for the all-boilerplate doc
+    assert(off == Map(1L -> 15L, 2L -> 15L, 3L -> 15L, 4L -> 6L), s"$off")
+    // on: the boilerplate line is gone from all three carriers (10-word
+    // tails, newline re-normalized to space) and doc 4 drops entirely
+    assert(on == Map(1L -> 10L, 2L -> 10L, 3L -> 10L), s"$on")
+  }
+
   test("chunkDocs: sliding windows cover the doc, overlap repeats the seam words") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),   // 10 words

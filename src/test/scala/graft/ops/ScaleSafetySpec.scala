@@ -243,6 +243,13 @@ class ScaleSafetySpec extends SparkSpec {
       s"q97's ban anti-join must broadcast the banned-lines side:\n$p97")
     assert(!p97.contains("BroadcastNestedLoopJoin") && !p97.contains("CartesianProduct"),
       s"q97 must stay equi-join only:\n$p97")
+    // q98: chunking is row-local boundary math + one explode — a pure
+    // projection (no join, no aggregate; the only exchange is the
+    // presentation sort)
+    val p98 = graft.queries.Extensions.q98_chunk_docs(spark, d)
+      .queryExecution.optimizedPlan.toString
+    assert(!p98.contains("Aggregate") && !p98.contains("Join"),
+      s"q98 must be projection-only:\n$p98")
   }
 
   test("IVF top-k: probes the right cells and recovers planted neighbors") {
