@@ -223,6 +223,7 @@ object SparkEntry {
         |WHERE MD5(CAST(d.doc_id AS VARCHAR)) < thr.thr
         |ORDER BY d.doc_id""".stripMargin,
     "q97_boilerplate_lines" -> boilerplateLinesSql,
+    "q99_lines_against_index" -> linesAgainstIndexSql,
     // q98: stride arithmetic mirrored — maxWords 8, overlap 2, stride 6;
     // nChunks = 1 + max(0, (n - 8 + 5) div 6); inclusive slices match
     // Spark's slice(start, len); both engines clamp past the list end
@@ -1436,6 +1437,41 @@ object SparkEntry {
        |          COUNT(*) AS kept_n
        |        FROM kept GROUP BY doc_id),
        |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+       |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       |       t.n_lines AS n_lines,
+       |       t.n_lines - COALESCE(a.kept_n, 0) AS n_removed
+       |FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** q99 oracle: the q97 reflow, with the ban set computed from the
+    * EVEN-doc standing slice's line document-frequencies (the persisted
+    * count table's contents) and applied to the ODD probe slice —
+    * standing-only semantics, so probe-internal frequency never bans.
+    */
+  private def linesAgainstIndexSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |lined AS (SELECT doc_id, CASE WHEN LEN(w) = 0 THEN '' ELSE
+       |    ARRAY_TO_STRING(LIST_TRANSFORM(
+       |      RANGE(0, CAST(CEIL(LEN(w) / 3.0) AS BIGINT)),
+       |      i -> ARRAY_TO_STRING(w[i*3+1 : i*3+3], ' ')), CHR(10))
+       |  END AS lined FROM toks),
+       |sp AS (SELECT doc_id, STRING_SPLIT(lined, CHR(10)) AS ls FROM lined),
+       |lines AS (SELECT doc_id, i AS pos, ls[i] AS line
+       |          FROM sp, UNNEST(RANGE(1, LEN(ls) + 1)) AS u(i)),
+       |banned AS (SELECT line FROM (
+       |    SELECT line, COUNT(DISTINCT doc_id) AS d FROM lines
+       |    WHERE doc_id % 2 = 0 AND TRIM(line) <> '' GROUP BY line)
+       |  WHERE d >= 3),
+       |probe AS (SELECT * FROM lines WHERE doc_id % 2 = 1),
+       |kept AS (SELECT p.doc_id, p.pos, p.line FROM probe p
+       |         LEFT JOIN banned b ON p.line = b.line WHERE b.line IS NULL),
+       |agg AS (SELECT doc_id,
+       |          STRING_AGG(line, CHR(10) ORDER BY pos) AS clean_text,
+       |          COUNT(*) AS kept_n
+       |        FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM probe GROUP BY doc_id)
        |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
        |       t.n_lines AS n_lines,
        |       t.n_lines - COALESCE(a.kept_n, 0) AS n_removed

@@ -837,8 +837,21 @@ object Dedup {
   def removeFrequentLines(df: DataFrame, idCol: String, textCol: String,
                           minDocFreq: Int = 2): DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
-    // n_lines is row-local arithmetic on the un-exploded doc — the
-    // denominator never costs an explode branch or a third scan
+    val (base, lines) = splitLines(df, idCol, textCol)
+    val banned = lines.where(trim(col("line")) =!= "")
+      .select(col("lh"), col("doc_id")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("lh"))
+    rebuildWithoutBannedLines(base, lines, banned)
+  }
+
+  /** (base, lines) of the line family: base keeps the un-exploded doc
+    * with row-local n_lines (the denominator never costs an explode
+    * branch), lines is (doc_id, pos 1-based, line, lh md5).
+    */
+  private def splitLines(df: DataFrame, idCol: String,
+                         textCol: String): (DataFrame, DataFrame) = {
     val base = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("_t"),
         size(split(col(textCol), "\n")).cast("bigint").as("n_lines"))
@@ -847,11 +860,16 @@ object Dedup {
         posexplode(split(col("_t"), "\n")).as(Seq("_p0", "line")))
       .select(col("doc_id"), (col("_p0") + 1).as("pos"), col("line"),
         md5(col("line")).as("lh"))
-    val banned = lines.where(trim(col("line")) =!= "")
-      .select(col("lh"), col("doc_id")).distinct()
-      .groupBy(col("lh")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") >= minDocFreq)
-      .select(col("lh"))
+    (base, lines)
+  }
+
+  /** Anti-join `lines` against `banned` (lh) and re-join each doc's kept
+    * lines in position order — the line family's rebuild, shared by the
+    * batch and index forms. Output (doc_id, clean_text, n_lines,
+    * n_removed); docs whose every line banned survive with ''.
+    */
+  private def rebuildWithoutBannedLines(base: DataFrame, lines: DataFrame,
+                                        banned: DataFrame): DataFrame = {
     val agg = lines.join(banned, Seq("lh"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(concat_ws("\n",
@@ -864,6 +882,109 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("n_lines"),
         (col("n_lines") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Per-slice line document-frequency table: one (lh, df) row per
+    * distinct non-blank line — df counts DISTINCT docs (a line
+    * stuttered inside one doc is intra-doc repetition, not corpus
+    * boilerplate). Shared by [[buildLineIndex]] and
+    * [[appendLineCounts]] so the persisted counts and their probes
+    * can never desynchronize.
+    */
+  private def lineDfDelta(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .where(trim(col("line")) =!= "")
+      .select(col("doc_id"), md5(col("line")).as("lh")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("df"))
+
+  private def lineTokenOk(token: String): Unit =
+    require(token.nonEmpty && token.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"line-index append token must be [A-Za-z0-9_-]+: '$token'")
+
+  /** Persist the standing corpus's LINE document-frequencies — the
+    * INCREMENTAL end of the boilerplate-line family
+    * ([[removeFrequentLines]]' standing-corpus form), completing the
+    * index symmetry (exact keys ⇄ lexical bands ⇄ semantic cells ⇄
+    * span grams ⇄ line COUNTS). Unlike the set-valued indexes,
+    * membership cannot decide boilerplate — FREQUENCY does — so the
+    * artifact is a count table and there is no Bloom screen (a line's
+    * ban status needs the summed df, not a maybe-bit). Layout:
+    *
+    *   `lines/delta=<token>/` — (lh: md5 hex, df: long) per appended
+    *       slice. Each append OVERWRITES its own token's directory, so
+    *       an at-least-once replay REPLACES its delta instead of
+    *       double-counting — count idempotence by layout, the property
+    *       the set indexes get from anti-join appends. The token is a
+    *       Spark partition column: probes excluding their own token
+    *       prune it at the scan.
+    *   `params/` — (min_doc_freq): probes ban at the SAME threshold
+    *       the layout was declared with.
+    *
+    * Probe-side aggregation (sum df per lh over the deltas) is
+    * index-sized — distinct lines, not corpus lines; periodic
+    * [[IndexMaintenance.compact]] keeps per-delta small files in
+    * check. Merging deltas into one is deliberately NOT provided: a
+    * merge re-keys tokens and would break the overwrite-idempotence of
+    * any in-flight append.
+    */
+  def buildLineIndex(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, minDocFreq: Int = 2): Unit = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    lineDfDelta(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/lines/delta=base")
+    Seq(minDocFreq).toDF("min_doc_freq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Admit a slice's line counts into a [[buildLineIndex]] layout under
+    * `token` (use the streaming batchId): same-token re-appends
+    * OVERWRITE — the replay-idempotence contract of the layout.
+    */
+  def appendLineCounts(docs: DataFrame, idCol: String, textCol: String,
+                       path: String, token: String): Unit = {
+    lineTokenOk(token)
+    require(token != "base", "token 'base' is reserved for buildLineIndex")
+    lineDfDelta(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/lines/delta=$token")
+  }
+
+  /** Remove lines whose STANDING-corpus document frequency reaches the
+    * layout's `min_doc_freq` — [[removeFrequentLines]] against a
+    * [[buildLineIndex]] layout. Standing-only like
+    * [[exciseAgainstIndex]]: within-batch frequency is the batch op's
+    * job; run it first if the batch can carry its own boilerplate.
+    * `excludeToken` skips that delta when summing — a replaying batch
+    * that already appended its counts probes as if it had not (the
+    * probe that makes the append-then-crash window convergent).
+    *
+    * Scale shape: the ban set (summed df ≥ threshold) is the
+    * distinct-boilerplate population — small by definition, AQE
+    * broadcasts the anti-join; the delta exclusion is partition
+    * pruning on the token column, not a filter over rows.
+    */
+  def removeLinesAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                              df: DataFrame, idCol: String, textCol: String,
+                              path: String,
+                              excludeToken: Option[String] = None): DataFrame = {
+    excludeToken.foreach(lineTokenOk)
+    val minDocFreq = spark.read.parquet(s"$path/params")
+      .select(col("min_doc_freq")).head().getInt(0)
+    val deltas0 = spark.read.parquet(s"$path/lines")
+    val deltas = excludeToken match {
+      case Some(t) => deltas0.where(col("delta") =!= t)
+      case None    => deltas0
+    }
+    val banned = deltas.groupBy(col("lh"))
+      .agg(sum(col("df")).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("lh"))
+    val (base, lines) = splitLines(df, idCol, textCol)
+    rebuildWithoutBannedLines(base, lines, banned)
   }
 
   /** Persist the standing corpus's word-gram index — the INCREMENTAL

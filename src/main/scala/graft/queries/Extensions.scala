@@ -299,8 +299,12 @@ object Extensions {
   // keep-first span excision). ~250 of ~7.5k distinct lines ban at
   // both sf0.001 and sf0.01, so removal, blank-doc survival and the
   // no-keeper property are all exercised.
-  val q97_boilerplate_lines: Q = (s, d) => {
-    val docs = t(s, d, "documents").where(col("text").isNotNull)
+  /** The q97/q99 deterministic re-line: single-line fixture docs
+    * reflowed into 3-word lines (integer slice arithmetic, identical
+    * in Spark `slice` and DuckDB list slicing).
+    */
+  private def reflow3(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x <> '')").as("_w"))
       .select(col("doc_id"),
@@ -309,7 +313,33 @@ object Extensions {
             "sequence(0, cast(ceil(size(_w) / 3.0) as int) - 1), " +
             "i -> concat_ws(' ', slice(_w, i*3+1, 3))))"))
           .otherwise(lit("")).as("lined"))
-    Dedup.removeFrequentLines(docs, "doc_id", "lined", minDocFreq = 3)
+
+  val q97_boilerplate_lines: Q = (s, d) => {
+    Dedup.removeFrequentLines(reflow3(t(s, d, "documents")), "doc_id", "lined",
+        minDocFreq = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  // q99 incremental line removal — q97's standing-corpus form
+  // ([[Dedup.buildLineIndex]] count-table layout): the even-doc_id
+  // slice is the standing corpus whose line document-frequencies are
+  // persisted once per sf dir (the q91 memo pattern); the odd slice
+  // probes against it. STANDING-only semantics (a line frequent only
+  // within the probe batch survives — batch-internal frequency is
+  // q97's job), so the oracle recomputes the even slice's df counts
+  // and bans at the same threshold.
+  private val lineIdxDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q99_lines_against_index: Q = (s, d) => {
+    val lined = reflow3(t(s, d, "documents"))
+    val idx = lineIdxDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q99_lineidx_").toString + "/idx"
+      Dedup.buildLineIndex(lined.where(col("doc_id") % 2 === 0),
+        "doc_id", "lined", p, minDocFreq = 3)
+      p
+    })
+    Dedup.removeLinesAgainstIndex(s, lined.where(col("doc_id") % 2 === 1),
+        "doc_id", "lined", idx)
       .orderBy(col("doc_id"))
   }
 
@@ -883,5 +913,6 @@ object Extensions {
     "q95_balanced_mixture" -> q95_balanced_mixture,
     "q96_orc_roundtrip" -> q96_orc_roundtrip,
     "q97_boilerplate_lines" -> q97_boilerplate_lines,
-    "q98_chunk_docs" -> q98_chunk_docs)
+    "q98_chunk_docs" -> q98_chunk_docs,
+    "q99_lines_against_index" -> q99_lines_against_index)
 }

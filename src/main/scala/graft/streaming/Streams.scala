@@ -329,6 +329,86 @@ object Streams {
     spark.read.parquet(s"$indexPath/params")
       .select(col("w")).head().getInt(0)
 
+  /** Streaming boilerplate-line removal — the [[graft.ops.Dedup
+    * .buildLineIndex]] count layout's sink end, completing the family's
+    * streaming symmetry (keys ⇄ bands ⇄ cells ⇄ grams ⇄ line counts).
+    * Each micro-batch:
+    *
+    *  1. within-batch pass: [[graft.ops.Dedup.removeFrequentLines]] at
+    *     the LAYOUT's threshold (a batch can carry its own chrome);
+    *  2. standing pass: [[graft.ops.Dedup.removeLinesAgainstIndex]]
+    *     probing with `excludeToken = b<batchId>` — a replaying batch
+    *     that already appended its counts sees EXACTLY the standing
+    *     state of its first run;
+    *  3. survivors append to `outPath` as (doc_id, clean_text, n_lines,
+    *     n_removed) with n_removed totalled across both passes; rows
+    *     whose every line was removed drop (all-boilerplate — nothing
+    *     to train on), rows empty WITHOUT removal pass through, and
+    *     null-text rows pass as (doc_id, null, 0, 0) — the
+    *     [[ingestGate]] admit-null contract;
+    *  4. the batch's ORIGINAL line counts admit under token
+    *     `b<batchId>` ([[graft.ops.Dedup.appendLineCounts]]) — an
+    *     OVERWRITE of that token's delta, so the append itself is
+    *     idempotent.
+    *
+    * REPLAY contract — EXACT convergence, no residual: unlike the
+    * set-valued sinks (whose replays probe an index already holding
+    * their own admissions and must argue their way back to the same
+    * output), the count layout gives replays the first run's exact
+    * inputs by construction — step 2's exclusion pins the standing
+    * counts, steps 1/2 are deterministic, and step 4 replaces rather
+    * than accumulates. The only at-least-once artifact is `outPath`
+    * re-appending BYTE-IDENTICAL rows; [[graft.ops.IndexMaintenance
+    * .compactOutput]] keyed on doc_id removes them (keep-any is safe —
+    * they are equal).
+    *
+    * Frequency banning is inherently retrospective: a chrome line
+    * arriving one-per-batch bans only once its summed df crosses the
+    * threshold — earlier carriers passed (the stream cannot know the
+    * future). Closed corpora wanting the global answer run the batch
+    * op (q97) instead.
+    */
+  def lineRemovalSink(spark: org.apache.spark.sql.SparkSession,
+                      stream: DataFrame, idCol: String, textCol: String,
+                      indexPath: String, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val minDocFreq = spark.read.parquet(s"$indexPath/params")
+      .select(col("min_doc_freq")).head().getInt(0)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val token = s"b$batchId"
+        val withText = batch.where(col(textCol).isNotNull)
+        val withinBatch = graft.ops.Dedup
+          .removeFrequentLines(withText, idCol, textCol, minDocFreq)
+        val screened = graft.ops.Dedup
+          .removeLinesAgainstIndex(spark,
+            withinBatch.select(col("doc_id"), col("clean_text").as("text")),
+            "doc_id", "text", indexPath, excludeToken = Some(token))
+          .join(withinBatch.select(col("doc_id"), col("n_lines").as("_nl"),
+            col("n_removed").as("_rm1")), Seq("doc_id"))
+          .select(col("doc_id"), col("clean_text"),
+            col("_nl").as("n_lines"),
+            (col("_rm1") + col("n_removed")).as("n_removed"))
+          // empty + something removed = all-boilerplate, drop; empty
+          // with NOTHING removed was empty on arrival, pass through
+          .where(col("clean_text") =!= "" || col("n_removed") === 0)
+          .persist()
+        try {
+          val nulls = batch.where(col(textCol).isNull)
+            .select(col(idCol).as("doc_id"),
+              lit(null).cast("string").as("clean_text"),
+              lit(0L).as("n_lines"), lit(0L).as("n_removed"))
+          screened.unionByName(nulls)
+            .write.mode("append").parquet(outPath)
+          graft.ops.Dedup.appendLineCounts(withText, idCol, textCol,
+            indexPath, token)
+        } finally screened.unpersist()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
   /** The COMPOSED streaming ingest — [[ingestGate]] →
     * [[gramExciseSink]] → [[semanticGateSink]] chained inside ONE
     * `foreachBatch` (the streaming analog of the batch

@@ -140,18 +140,21 @@ object PipelineTasks {
         val id = cfg.str("id", "doc_id")
         val text = cfg.str("text", "text")
         val w = cfg.int("w", 8)
-        val out = cfg.strOpt("index") match {
-          case Some(p) =>
+        val out = (cfg.strOpt("index"), cfg.str("mode", "cross-doc")) match {
+          // standing-index forms: gram excision (q91) or line-count
+          // removal (q99) depending on mode
+          case (Some(p), "lines") =>
+            Dedup.removeLinesAgainstIndex(ctx.spark, df, id, text, ctx.dir(p))
+          case (Some(p), _) =>
             Dedup.exciseAgainstIndex(ctx.spark, df, id, text, ctx.dir(p))
-          case None => cfg.str("mode", "cross-doc") match {
-            case "cross-doc"  => Dedup.exciseDupSpans(df, id, text, w)
-            case "within-doc" => Dedup.collapseRepeats(df, id, text, w)
-            // line-granular, no keeper: "min_doc_freq" is the ban
-            // threshold (w is gram width elsewhere, unused here)
-            case "lines" => Dedup.removeFrequentLines(df, id, text,
-              cfg.int("min_doc_freq", 2))
-            case m => throw new IllegalArgumentException(s"unknown excise mode: $m")
-          }
+          case (None, "cross-doc")  => Dedup.exciseDupSpans(df, id, text, w)
+          case (None, "within-doc") => Dedup.collapseRepeats(df, id, text, w)
+          // line-granular, no keeper: "min_doc_freq" is the ban
+          // threshold (w is gram width elsewhere, unused here)
+          case (None, "lines") => Dedup.removeFrequentLines(df, id, text,
+            cfg.int("min_doc_freq", 2))
+          case (None, m) =>
+            throw new IllegalArgumentException(s"unknown excise mode: $m")
         }
         sink(ctx, task)(out, lg, meter)
       }

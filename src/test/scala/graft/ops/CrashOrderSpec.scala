@@ -65,6 +65,49 @@ class CrashOrderSpec extends SparkSpec {
     } finally noInjection()
   }
 
+  test("appendLineCounts crash: index unchanged, replay overwrites to the crash-free state") {
+    val idx = faultyDir("graft_crash_lines_")
+    try {
+      // standing "cookie banner" df 2, threshold 3
+      Dedup.buildLineIndex(Seq(
+          (1L, "cookie banner\nstanding one"),
+          (2L, "cookie banner\nstanding two")).toDF("doc_id", "text"),
+        "doc_id", "text", idx, minDocFreq = 3)
+      val batch = Seq((10L, "cookie banner\nbatch ten")).toDF("doc_id", "text")
+      // the sink order: probe (excluding own token) -> output -> append.
+      // First run's probe output:
+      val probe1 = Dedup.removeLinesAgainstIndex(spark, batch, "doc_id",
+        "text", idx, excludeToken = Some("b1"))
+        .collect().map(_.toString).sorted.toSeq
+
+      failAppendsInto("delta=b1")
+      assertThrows[Exception](
+        Dedup.appendLineCounts(batch, "doc_id", "text", idx, token = "b1"))
+      noInjection()
+
+      // a crashed append leaves NO committed delta rows for its token —
+      // counts never partially double
+      assert(spark.read.parquet(s"$idx/lines")
+        .where(col("delta") === "b1").count() == 0,
+        "crashed append must not leave committed count rows")
+      // replay: the excluded probe is BYTE-identical to the first run
+      // (the exact-convergence contract of lineRemovalSink)
+      val probe2 = Dedup.removeLinesAgainstIndex(spark, batch, "doc_id",
+        "text", idx, excludeToken = Some("b1"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(probe2 == probe1, "replayed probe must equal the first run")
+      // replayed append overwrites into the crash-free state: summed df
+      // 3 bans for the NEXT carrier, and a SECOND replay changes nothing
+      Dedup.appendLineCounts(batch, "doc_id", "text", idx, token = "b1")
+      Dedup.appendLineCounts(batch, "doc_id", "text", idx, token = "b1")
+      val next = Dedup.removeLinesAgainstIndex(spark,
+          Seq((20L, "cookie banner\ntwenty")).toDF("doc_id", "text"),
+          "doc_id", "text", idx)
+        .select("clean_text").as[String].head()
+      assert(next == "twenty", s"summed df 3 must ban: '$next'")
+    } finally noInjection()
+  }
+
   test("appendGrams crash after Bloom merge: no false excision, replay excises") {
     val idx = faultyDir("graft_crash_grams_")
     try {

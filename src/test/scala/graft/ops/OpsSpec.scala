@@ -655,6 +655,64 @@ class OpsSpec extends SparkSpec {
     assert(o3._2 == "tiny doc with\tfew words" && o3._4 == 0L)
   }
 
+  test("line index: standing-frequency bans, appends extend, same-token replay never double-counts") {
+    val standing = Seq(
+      (1L, "cookie banner\nalpha one"),
+      (2L, "cookie banner\nbeta two"),
+      (3L, "cookie banner\ngamma three"),
+      (4L, "footer nav\ndelta four"),
+      (5L, "footer nav\nepsilon five"))
+      .toDF("doc_id", "text")
+    val idx = tmpDir("graft_lineidx_") + "/idx"
+    Dedup.buildLineIndex(standing, "doc_id", "text", idx, minDocFreq = 3)
+
+    // probe: standing-frequent line removed; a line frequent only
+    // WITHIN the probe batch (3 copies of "new promo") is standing-df 0
+    // — batch-internal frequency is removeFrequentLines' job
+    val probe = Seq(
+      (10L, "cookie banner\nnew promo\nten"),
+      (11L, "new promo\neleven"),
+      (12L, "new promo\nfooter nav\ntwelve"))
+      .toDF("doc_id", "text")
+    val out1 = Dedup.removeLinesAgainstIndex(spark, probe, "doc_id", "text", idx)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out1(10L) == ((10L, "new promo\nten", 3L, 1L)), s"${out1(10L)}")
+    assert(out1(11L) == ((11L, "new promo\neleven", 2L, 0L)), s"${out1(11L)}")
+    // "footer nav" has standing df 2 < 3: kept
+    assert(out1(12L) == ((12L, "new promo\nfooter nav\ntwelve", 3L, 0L)), s"${out1(12L)}")
+
+    // append a slice carrying "footer nav" once: summed df 3 -> banned
+    Dedup.appendLineCounts(Seq((20L, "footer nav\nzeta"))
+      .toDF("doc_id", "text"), "doc_id", "text", idx, token = "t1")
+    val out2 = Dedup.removeLinesAgainstIndex(spark, probe, "doc_id", "text", idx)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out2(12L) == ((12L, "new promo\ntwelve", 3L, 1L)),
+      s"appended count must push footer nav over the threshold: ${out2(12L)}")
+
+    // excludeToken: the replaying batch probes as if its delta were
+    // absent — footer nav back under the threshold
+    val out3 = Dedup.removeLinesAgainstIndex(spark, probe, "doc_id", "text",
+        idx, excludeToken = Some("t1"))
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out3(12L)._4 == 0L, s"excluded delta must not count: ${out3(12L)}")
+
+    // replay idempotence: a layout at threshold 4 with standing df 2 +
+    // one append of df 1 sums to 3 — re-appending the SAME token must
+    // overwrite, not add (a double-count would reach 4 and ban)
+    val idx4 = tmpDir("graft_lineidx4_") + "/idx"
+    Dedup.buildLineIndex(standing.where(col("doc_id") <= 2), "doc_id", "text",
+      idx4, minDocFreq = 4)   // cookie banner df 2
+    val slice = Seq((30L, "cookie banner\nthirty")).toDF("doc_id", "text")
+    Dedup.appendLineCounts(slice, "doc_id", "text", idx4, token = "b7")
+    Dedup.appendLineCounts(slice, "doc_id", "text", idx4, token = "b7")
+    val out4 = Dedup.removeLinesAgainstIndex(spark,
+        Seq((40L, "cookie banner\nforty")).toDF("doc_id", "text"),
+        "doc_id", "text", idx4)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(out4._4 == 0L,
+      s"replayed same-token append must overwrite (sum 3 < 4), got: $out4")
+  }
+
   test("curate lineMinDocFreq: planted boilerplate line gone before excision, default None unchanged") {
     // distinct-word tails keep every doc through the q74 screens; the
     // shared first line is boilerplate in 3 docs, doc 4 is ONLY that

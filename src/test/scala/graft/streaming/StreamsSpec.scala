@@ -519,6 +519,52 @@ class StreamsSpec extends SparkSpec {
     assert(out(15L) == null, "null-text rows pass through")
   }
 
+  test("streaming line-removal gate: within-batch chrome, retrospective cross-batch ban, empties handled") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("graft_linesink_")
+    // standing: "cookie banner" df 2 — BELOW the threshold of 3
+    graft.ops.Dedup.buildLineIndex(Seq(
+        (1L, "cookie banner\nstanding one"),
+        (2L, "cookie banner\nstanding two")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, minDocFreq = 3)
+    val outPath = s"$dir/out"
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.lineRemovalSink(spark,
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      dir, outPath, s"$dir/ckpt")
+    try {
+      // batch 1: "promo line" is WITHIN-batch chrome (3 carriers);
+      // 12 is only chrome (empties -> drops); 13 carries the standing
+      // line while its df is still 2 -> kept (frequency banning is
+      // retrospective); 14 null and 15 empty pass through
+      mem.addData(
+        (10L, "promo line\nalpha uno"),
+        (11L, "promo line\nbeta dos"),
+        (12L, "promo line"),
+        (13L, "cookie banner\ngamma tres"),
+        (14L, null.asInstanceOf[String]),
+        (15L, ""))
+      q.processAllAvailable()
+      // batch 2: doc 13's count pushed "cookie banner" to df 3 -> the
+      // next carrier has it removed
+      mem.addData((20L, "cookie banner\ndelta quat"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outPath)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(10L, 11L, 13L, 14L, 15L, 20L),
+      s"all-chrome doc 12 must drop: ${out.keySet}")
+    assert(out(10L) == ((10L, "alpha uno", 1L)) && out(11L) == ((11L, "beta dos", 1L)),
+      s"within-batch chrome removed: ${out(10L)}, ${out(11L)}")
+    assert(out(13L) == ((13L, "cookie banner\ngamma tres", 0L)),
+      s"standing df 2 < 3 must keep the line: ${out(13L)}")
+    assert(out(20L) == ((20L, "delta quat", 1L)),
+      s"summed df 3 bans for the NEXT carrier: ${out(20L)}")
+    assert(out(14L)._2 == null && out(15L) == ((15L, "", 0L)),
+      "null and empty-on-arrival rows pass through")
+  }
+
   test("streaming quantized LSH index sink: int8 rows land in float-identical buckets and are probed") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(31)

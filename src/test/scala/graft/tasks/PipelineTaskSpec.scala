@@ -62,6 +62,20 @@ class PipelineTaskSpec extends SparkSpec {
       rows(Dedup.removeFrequentLines(docs, "doc_id", "text", minDocFreq = 3)))
   }
 
+  test("excise task lines mode with index == Dedup.removeLinesAgainstIndex") {
+    val wd = tmpDir("graft_pipetask_")
+    Dedup.buildLineIndex(docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+      s"$wd/lineidx", minDocFreq = 2)
+    runTask(wd,
+      s"""{"tasks": [{"type": "excise", "name": "li",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "excise": {"mode": "lines", "index": "lineidx"},
+         |  "target": {"file": "lix", "truncate": true}}]}""".stripMargin)
+    assert(rows(outParquet(wd, "lix")) ==
+      rows(Dedup.removeLinesAgainstIndex(spark, docs, "doc_id", "text",
+        s"$wd/lineidx")))
+  }
+
   test("chunk task == Packing.chunkDocs (q98 parity)") {
     val wd = tmpDir("graft_pipetask_")
     runTask(wd,
