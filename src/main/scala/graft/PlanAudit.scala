@@ -44,7 +44,8 @@ object PlanAudit {
       "q86_retrieval_decontaminate", "q87_curriculum_sample",
       "q88_excise_spans", "q89_bm25_join_capped", "q90_collapse_repeats",
       "q91_excise_against_index", "q92_training_order",
-      "q95_balanced_mixture", "q97_boilerplate_lines")
+      "q95_balanced_mixture", "q97_boilerplate_lines", "q98_chunk_docs",
+      "q99_lines_against_index")
     // optional args = audit only these queries (iterating on one operator)
     val selected =
       if (args.isEmpty) interesting else interesting.filter(args.toSet)
