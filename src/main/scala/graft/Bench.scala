@@ -19,6 +19,7 @@ object Bench {
     graft.functions.VectorFunctions.registerSql(spark)
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val loadBefore = BenchHarness.loadavg
 
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -54,8 +55,9 @@ object Bench {
     val ss = timings.map { case (k, _, s) => "\"" + k + "\":" + s.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = timings.map(_._2).filter(_ >= 0).sum
+    val loadAfter = BenchHarness.loadavg
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"runs":$runs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
     // full JSON (with per-sample arrays) is the file artifact of record
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
