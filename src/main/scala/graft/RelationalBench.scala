@@ -81,12 +81,10 @@ object RelationalCoreBench {
       "documents"  -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"))
     Tables.names.foreach { t =>
-      // events: read through the RAW long-nanos schema so the copy keeps
-      // the physical INT64 ts the Tables.load contract expects
-      val raw =
-        if (t == "events")
-          spark.read.schema(Tables.eventsRawSchema).parquet(s"$src/$t.parquet")
-        else spark.read.parquet(s"$src/$t.parquet")
+      // plain read for every table: Spark's writer round-trips whatever
+      // timestamp logical type events.ts carries, and Tables.load probes
+      // the footer on the replica just like on the original
+      val raw = spark.read.parquet(s"$src/$t.parquet")
       val out = shift.get(t) match {
         case None => raw // region/nation: the shared broadcast dims
         case Some(keys) =>
