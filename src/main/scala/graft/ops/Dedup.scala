@@ -962,6 +962,12 @@ object Dedup {
     * that already appended its counts probes as if it had not (the
     * probe that makes the append-then-crash window convergent).
     *
+    * `knownMinDocFreq` passes a pre-read `params` threshold so a
+    * long-running caller (the streaming sinks, which hoist the read at
+    * sink start — the threshold is fixed at index build) doesn't re-read
+    * the params parquet from the driver on every micro-batch; None
+    * reads it here.
+    *
     * Scale shape: the ban set (summed df ≥ threshold) is the
     * distinct-boilerplate population — small by definition, AQE
     * broadcasts the anti-join; the delta exclusion is partition
@@ -970,10 +976,12 @@ object Dedup {
   def removeLinesAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                               df: DataFrame, idCol: String, textCol: String,
                               path: String,
-                              excludeToken: Option[String] = None): DataFrame = {
+                              excludeToken: Option[String] = None,
+                              knownMinDocFreq: Option[Int] = None): DataFrame = {
     excludeToken.foreach(lineTokenOk)
-    val minDocFreq = spark.read.parquet(s"$path/params")
-      .select(col("min_doc_freq")).head().getInt(0)
+    val minDocFreq = knownMinDocFreq.getOrElse(
+      spark.read.parquet(s"$path/params")
+        .select(col("min_doc_freq")).head().getInt(0))
     val deltas0 = spark.read.parquet(s"$path/lines")
     val deltas = excludeToken match {
       case Some(t) => deltas0.where(col("delta") =!= t)

@@ -65,6 +65,13 @@ object IndexMaintenance {
     * convergent state the contract guarantees every duplicate is an
     * earlier prefix of.
     *
+    * The "most cleaned" ordering is SCHEMA-DERIVED, because the sinks
+    * emit different counter columns: the gram sinks (n_excised,
+    * n_words), the line sink (n_removed, n_lines). Whatever cleanup /
+    * size counters the layout carries order first (more cleaned, then
+    * smaller), and the text itself breaks remaining ties — a total
+    * order either way, so the pick is deterministic.
+    *
     * Scale shape: one partial-aggregatable `min_by` per id (map-side
     * combine, single hash shuffle on the id — no per-key window sort),
     * then the [[compact]] rename-aside swap, so a crash at any point
@@ -78,13 +85,23 @@ object IndexMaintenance {
     stageAndSwap(spark, dir) { tmp =>
       val df = spark.read.parquet(dir)
       val cols = df.columns.map(col)
-      // lexicographic: most excised first, then fewest words, then
+      val names = df.columns.toSet
+      // lexicographic: most cleaned first, then fewest units, then
       // shortest / smallest text (nulls: stubs are identical, any pick)
-      val ord = struct(negate(col("n_excised")), col("n_words"),
-        coalesce(length(col("clean_text")), lit(-1)),
-        coalesce(col("clean_text"), lit("")))
+      val cleaned = Seq("n_excised", "n_removed").filter(names)
+        .map(c => negate(col(c)))
+      val units = Seq("n_words", "n_lines").filter(names).map(col)
+      val text =
+        if (names("clean_text"))
+          Seq(coalesce(length(col("clean_text")), lit(-1)),
+              coalesce(col("clean_text"), lit("")))
+        else Seq.empty
+      val ordCols = cleaned ++ units ++ text
+      require(ordCols.nonEmpty, s"compactOutput at $dir: none of the sink " +
+        s"ordering columns (n_excised/n_removed/n_words/n_lines/clean_text) " +
+        s"present in schema [${df.columns.mkString(", ")}]")
       df.groupBy(col(idCol))
-        .agg(min_by(struct(cols: _*), ord).as("_row"))
+        .agg(min_by(struct(cols: _*), struct(ordCols: _*)).as("_row"))
         .select(col("_row.*"))
         .write.mode("overwrite").parquet(tmp)
     }

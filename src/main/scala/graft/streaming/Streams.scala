@@ -383,7 +383,8 @@ object Streams {
         val screened = graft.ops.Dedup
           .removeLinesAgainstIndex(spark,
             withinBatch.select(col("doc_id"), col("clean_text").as("text")),
-            "doc_id", "text", indexPath, excludeToken = Some(token))
+            "doc_id", "text", indexPath, excludeToken = Some(token),
+            knownMinDocFreq = Some(minDocFreq))
           .join(withinBatch.select(col("doc_id"), col("n_lines").as("_nl"),
             col("n_removed").as("_rm1")), Seq("doc_id"))
           .select(col("doc_id"), col("clean_text"),
@@ -423,6 +424,17 @@ object Streams {
     *     rep), optional quality floor, exact-key screen against
     *     `keyIndexPath` (Bloom in the scan, corpus keys never
     *     shuffled);
+    *  1b. (with `lineIndexPath`) the [[lineRemovalSink]] passes over
+    *     the rung-1 survivors, in the batch-[[graft.ops.Curation
+    *     .curate]] order (boilerplate chrome first, verbatim spans
+    *     second — CCNet order): within-batch
+    *     [[graft.ops.Dedup.removeFrequentLines]] at the layout's
+    *     threshold, then the standing probe with
+    *     `excludeToken = b<batchId>` (a replaying batch that already
+    *     appended its counts sees exactly the standing state of its
+    *     first run); rows emptied BY removal (all-boilerplate) drop,
+    *     kept newlines re-normalize to the single-space convention the
+    *     word-level rungs split on;
     *  2. the [[gramExciseSink]] excisions over the admitted rows:
     *     within-batch span excision, then standing-gram excision
     *     against `gramIndexPath`; rows excised to emptiness drop,
@@ -449,11 +461,21 @@ object Streams {
     *     stage-3, both because a row rung 3 dropped was still SEEN
     *     (the same contract that admits every stage-1 survivor's key)
     *     and because `screened` is what a vectors-committed replay
-    *     recomputes byte-identically (below); keys of every stage-1
+    *     recomputes byte-identically (below); line COUNTS of every
+    *     stage-1 survivor's original text under token `b<batchId>`
+    *     (an OVERWRITE of that token's delta — idempotent by layout,
+    *     so its position in the chain needs no ordering argument
+    *     beyond sitting before the key gate); keys of every stage-1
     *     survivor.
     *
-    * Replay: all three indexes are at worst BEHIND the output, and
-    * EVERY window converges — (a) crash before the vector append:
+    * Replay: every standing index is at worst BEHIND the output, and
+    * EVERY window converges. The line rung changes nothing in the
+    * argument: its probe pins the standing counts via the `b<batchId>`
+    * exclusion (committed or not, a replay sees the first run's view),
+    * its within-batch pass is deterministic over the identically
+    * re-admitted rung-1 survivors, and its count append REPLACES its
+    * own token's delta — so the rung recomputes byte-identically in
+    * every window below. The set-index windows — (a) crash before the vector append:
     * nothing advanced, the replay recomputes identically and re-emits
     * same-id duplicate rows (the [[graft.ops.IndexMaintenance
     * .compactOutput]] contract), then all appends complete; (b) crash
@@ -481,18 +503,23 @@ object Streams {
                          outPath: String, checkpoint: String,
                          minQuality: Double = 0.0, tau: Double = 0.4,
                          ivfIdCol: String = "vec_id",
-                         ivfVecCol: String = "embedding")
+                         ivfVecCol: String = "embedding",
+                         lineIndexPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // bounded driver reads at sink start — the semanticGateSink
-    // contract (centroids are frozen) and the gram width (fixed at
-    // index build; appends never change either)
+    // contract (centroids are frozen), the gram width, and the line
+    // layout's threshold (all fixed at index build; appends never
+    // change any of them)
     val centroids = spark.read.parquet(s"$ivfIndexPath/centroids")
       .select(col("cell"), col("centroid")).collect()
       .sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
     val w = gramWidth(spark, gramIndexPath)
+    val lineMdf = lineIndexPath.map(p =>
+      spark.read.parquet(s"$p/params")
+        .select(col("min_doc_freq")).head().getInt(0))
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // ── rung 1: the ingestGate screens ──
         val withText = batch.where(col(textCol).isNotNull)
         val reps = graft.ops.Dedup.exact(withText, idCol, textCol)
@@ -509,9 +536,32 @@ object Streams {
         val fresh = graft.ops.Dedup.exactDedupAgainstIndex(
           spark, scored, textCol, keyIndexPath).persist()
         try {
+          // ── rung 1b (optional): boilerplate-line removal, in the
+          // batch-curate order — chrome first, verbatim spans second ──
+          val lined = lineIndexPath match {
+            case Some(p) =>
+              val wb = graft.ops.Dedup.removeFrequentLines(
+                fresh, idCol, textCol, lineMdf.get)
+              graft.ops.Dedup.removeLinesAgainstIndex(spark,
+                  wb.select(col("doc_id"), col("clean_text").as("text")),
+                  "doc_id", "text", p,
+                  excludeToken = Some(s"b$batchId"),
+                  knownMinDocFreq = lineMdf)
+                .join(wb.select(col("doc_id"), col("n_removed").as("_rm1")),
+                  Seq("doc_id"))
+                // emptied BY removal = all-boilerplate, drop; empty
+                // with nothing removed was empty on arrival, keep
+                .where(col("clean_text") =!= "" ||
+                  (col("n_removed") + col("_rm1")) === 0)
+                // kept newlines re-normalize to the single-space
+                // convention the word-level rungs split on
+                .select(col("doc_id").as(idCol),
+                  regexp_replace(col("clean_text"), "\n", " ").as(textCol))
+            case None => fresh.select(col(idCol), col(textCol))
+          }
           // ── rung 2: the gramExciseSink excisions ──
           val withinBatch = graft.ops.Dedup
-            .exciseDupSpans(fresh, idCol, textCol, w)
+            .exciseDupSpans(lined, idCol, textCol, w)
           val screened = graft.ops.Dedup
             .exciseAgainstIndex(spark,
               withinBatch.select(col("doc_id"), col("clean_text").as("text")),
@@ -594,6 +644,13 @@ object Streams {
                     .unionByName(screened
                       .select(col("clean_text").as("_gram_text"))),
                   "_gram_text", gramIndexPath)
+                // line counts of every rung-1 survivor's ORIGINAL
+                // text (the seen contract), token-keyed overwrite —
+                // idempotent, so it needs no window of its own; it
+                // only has to precede the key gate
+                lineIndexPath.foreach(p =>
+                  graft.ops.Dedup.appendLineCounts(fresh, idCol, textCol,
+                    p, s"b$batchId"))
                 graft.ops.Dedup.appendExactKeys(spark, fresh, textCol,
                   keyIndexPath)
               } finally survivors.unpersist()

@@ -153,6 +153,25 @@ class CurationCrashSpec extends SparkSpec {
       (3L, "untouched", 1L, 0L)))
   }
 
+  test("compactOutput handles the lineRemovalSink schema (n_removed/n_lines)") {
+    val dir = tmpDir("graft_compact_line_") + "/out"
+    // (doc_id, clean_text, n_lines, n_removed): the line sink's shape —
+    // replays append byte-identical rows, and a later pass with a grown
+    // index can only have removed MORE lines
+    Seq((1L, "keep\nkeep", 2L, 1L), (1L, "keep\nkeep", 2L, 1L),
+      (1L, "keep", 1L, 2L),
+      (2L, null.asInstanceOf[String], 0L, 0L),
+      (2L, null.asInstanceOf[String], 0L, 0L),
+      (3L, "untouched", 1L, 0L))
+      .toDF("doc_id", "clean_text", "n_lines", "n_removed")
+      .repartition(3).write.mode("append").parquet(dir)
+    IndexMaintenance.compactOutput(spark, dir)
+    val rows = spark.read.parquet(dir)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(rows == Set((1L, "keep", 1L, 2L), (2L, null, 0L, 0L),
+      (3L, "untouched", 1L, 0L)))
+  }
+
   test("crash-free run emits the expected content (the reference shape)") {
     val wd = faultyDir("graft_curcrash_ref_")
     setupStanding(wd)
@@ -196,6 +215,108 @@ class CurationCrashSpec extends SparkSpec {
       assert(dupIds(wd) == Set(16L),
         s"window (c) re-emits only the null stub: ${dupIds(wd)}")
       assertConverged(wd)
+    } finally noInjection()
+  }
+
+  // ── the line rung (`lineIndexPath`): its own fixture + kill window ──
+
+  private val chrome = "subscribe to our newsletter today"
+  private val fresh21 = "fresh line about twenty one"
+
+  private def lineBatch: Seq[(Long, String, Array[Float])] = Seq(
+    // 21: chrome + a novel line -> rung 1b strips the chrome
+    (21L, s"$chrome\n$fresh21", Array(0f, 0f, 1f, 0f)),
+    // 23: all chrome -> rung 1b empties it, drops; its key and line
+    //     counts still admit (the seen contract)
+    (23L, chrome, Array.empty[Float]),
+    // 16: null text -> stub
+    (16L, null.asInstanceOf[String], Array(0f, 0f, 0f, 1f)))
+
+  private val expectedLine = Set(
+    (21L, fresh21, 5L, 0L),
+    (16L, null, 0L, 0L))
+
+  private def setupStandingLines(wd: String): Unit = {
+    setupStanding(wd)
+    Dedup.buildLineIndex(Seq(
+        (1L, s"$chrome\nstanding filler one"),
+        (2L, s"$chrome\nstanding filler two")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$wd/lines", minDocFreq = 2)
+  }
+
+  private def runLineBatch(wd: String, failSub: Option[String]): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Array[Float])]
+    def start() = Streams.curationIngestSink(spark,
+      mem.toDF().toDF("doc_id", "text", "embedding"),
+      "doc_id", "text", "embedding",
+      s"$wd/keys", s"$wd/grams", s"$wd/ivf", s"$wd/out", s"$wd/ckpt",
+      lineIndexPath = Some(s"$wd/lines"))
+    mem.addData(lineBatch: _*)
+    failSub match {
+      case None =>
+        val q = start()
+        try q.processAllAvailable() finally q.stop()
+      case Some(sub) =>
+        failAppendsInto(wd, sub)
+        val q1 = start()
+        try intercept[Exception](q1.processAllAvailable())
+        finally { q1.stop(); noInjection() }
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+    }
+  }
+
+  /** Line-rung invariants: chrome df landed under b0 (both carriers,
+    * including the dropped all-chrome doc — the seen contract), the
+    * all-chrome doc's key screens, and a fresh carrier probes clean.
+    */
+  private def assertLineConverged(wd: String): Unit = {
+    val chromeLh = Seq(chrome).toDF("l").select(md5(col("l")))
+      .head().getString(0)
+    val b0 = spark.read.parquet(s"$wd/lines/lines")
+      .where(col("delta") === "b0" && col("lh") === chromeLh)
+      .select(col("df")).as[Long].collect().toSeq
+    assert(b0 == Seq(2L), s"b0 must count both chrome carriers: $b0")
+    assert(Dedup.exactDedupAgainstIndex(spark,
+      Seq((99L, chrome)).toDF("doc_id", "text"), "text", s"$wd/keys")
+      .count() == 0, "the all-chrome doc's key must screen")
+    val probe = Dedup.removeLinesAgainstIndex(spark,
+      Seq((99L, s"$chrome\nnovel probe line")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$wd/lines")
+      .select(col("clean_text")).as[String].head()
+    assert(probe == "novel probe line", s"standing probe must ban chrome: '$probe'")
+  }
+
+  test("line rung crash-free: chrome stripped, all-chrome dropped but seen") {
+    val wd = faultyDir("graft_curcrash_line_ref_")
+    setupStandingLines(wd)
+    runLineBatch(wd, None)
+    assert(outRows(wd).toSet == expectedLine &&
+      outRows(wd).size == expectedLine.size, s"got ${outRows(wd)}")
+    assertLineConverged(wd)
+  }
+
+  test("window (d) crash at the line-count append: token overwrite replays clean") {
+    val wd = faultyDir("graft_curcrash_line_d_")
+    try {
+      setupStandingLines(wd)
+      runLineBatch(wd, Some("delta=b0")) // lines/delta=b0 commits die
+      // output/vectors/grams all committed before the crash: the
+      // replay's rung 2 excises the re-admitted survivor against its
+      // own grams (short text -> exact-identity screen), so only the
+      // null stub re-emits; the count append REPLACES delta=b0
+      assert(dupIds(wd) == Set(16L),
+        s"window (d) re-emits only the null stub: ${dupIds(wd)}")
+      IndexMaintenance.compactOutput(spark, s"$wd/out")
+      assert(outRows(wd).toSet == expectedLine &&
+        outRows(wd).size == expectedLine.size, s"got ${outRows(wd)}")
+      assertLineConverged(wd)
+      // vector admitted exactly once despite the replay
+      val vecCounts = spark.read.parquet(s"$wd/ivf/data")
+        .groupBy("vec_id").count().as[(Long, Long)].collect().toMap
+      assert(vecCounts(21L) == 1,
+        s"doc 21's vector must admit exactly once: $vecCounts")
     } finally noInjection()
   }
 }

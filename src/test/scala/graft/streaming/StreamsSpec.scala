@@ -824,6 +824,64 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed ingest line rung matches the batch removeFrequentLines twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val wd = tmpDir("graft_cur_line_parity_")
+    graft.ops.Dedup.buildExactKeyIndex(
+      Seq((1L, "standing unrelated text")).toDF("doc_id", "text"),
+      "text", s"$wd/keys")
+    graft.ops.Dedup.buildGramIndex(
+      Seq((1L, "standing unrelated text long enough to carry word grams fine"))
+        .toDF("doc_id", "text"), "text", s"$wd/grams", w = 8)
+    graft.ops.Similarity.buildIvfIndex(
+      Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$wd/ivf", nCells = 1)
+    graft.ops.Dedup.buildLineIndex(Seq(
+        (1L, "cookie banner\nfiller a"),
+        (2L, "cookie banner\nfiller b")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$wd/lines", minDocFreq = 2)
+
+    // 10: standing chrome; 11: intra-doc line repeat (df counts DOCS ->
+    // kept); 12: all chrome -> drops; 13: untouched
+    val docs = Seq(
+      (10L, "cookie banner\nalpha uno"),
+      (11L, "promo line\nbeta dos\npromo line"),
+      (12L, "cookie banner"),
+      (13L, "gamma tres\ndelta quat"))
+
+    // the batch twin, computed BEFORE the sink advances the index (the
+    // sink's own b0 exclusion gives its probe this exact view)
+    val batchDf = docs.toDF("doc_id", "text")
+    val wb = graft.ops.Dedup.removeFrequentLines(batchDf, "doc_id", "text", 2)
+    val twin = graft.ops.Dedup.removeLinesAgainstIndex(spark,
+        wb.select(col("doc_id"), col("clean_text").as("text")),
+        "doc_id", "text", s"$wd/lines")
+      .join(wb.select(col("doc_id"), col("n_removed").as("_r1")), Seq("doc_id"))
+      .where(col("clean_text") =!= "" || (col("n_removed") + col("_r1")) === 0)
+      .select(col("doc_id"),
+        regexp_replace(col("clean_text"), "\n", " ").as("text"))
+      .as[(Long, String)].collect().toMap
+
+    // all-vectorless batch: the gram rung passes these short distinct
+    // texts (exact-identity screens miss) and the semantic rung is
+    // bypassed, so the sink output IS the line rung's output
+    val mem = MemoryStream[(Long, String, Array[Float])]
+    val q = Streams.curationIngestSink(spark,
+      mem.toDF().toDF("doc_id", "text", "embedding"),
+      "doc_id", "text", "embedding",
+      s"$wd/keys", s"$wd/grams", s"$wd/ivf", s"$wd/out", s"$wd/ckpt",
+      lineIndexPath = Some(s"$wd/lines"))
+    try {
+      mem.addData(docs.map(d => (d._1, d._2, Array.empty[Float])): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.read.parquet(s"$wd/out")
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out == twin, s"sink line rung must match the batch twin: " +
+      s"$out vs $twin")
+  }
+
   test("capture stream reads files dropped into a directory") {
     val dir = tmpDir("graft_capture_")
     val schema = org.apache.spark.sql.types.StructType(Seq(
