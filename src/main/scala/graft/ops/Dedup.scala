@@ -926,9 +926,13 @@ object Dedup {
     * Probe-side aggregation (sum df per lh over the deltas) is
     * index-sized — distinct lines, not corpus lines; periodic
     * [[IndexMaintenance.compact]] keeps per-delta small files in
-    * check. Merging deltas into one is deliberately NOT provided: a
-    * merge re-keys tokens and would break the overwrite-idempotence of
-    * any in-flight append.
+    * check, and [[IndexMaintenance.consolidateLineDeltas]] folds
+    * deltas BEHIND the sink's committed checkpoint offset into
+    * `delta=base` (bounding the one-directory-per-batch growth over a
+    * stream's lifetime). Folding an UNCOMMITTED token would break the
+    * overwrite-idempotence and the probe exclusion of its replay,
+    * which is why consolidation is checkpoint-gated rather than a
+    * blind merge.
     */
   def buildLineIndex(docs: DataFrame, idCol: String, textCol: String,
                      path: String, minDocFreq: Int = 2): Unit = {

@@ -106,6 +106,71 @@ object IndexMaintenance {
         .write.mode("overwrite").parquet(tmp)
     }
 
+  /** Fold the line-count index's committed per-batch deltas into
+    * `delta=base`, bounding a layout that otherwise grows one
+    * `lines/delta=b<batchId>/` directory per micro-batch for the
+    * stream's whole lifetime (months of 1-minute batches = hundreds of
+    * thousands of directories — the probe-side sum never loses
+    * correctness, but partition listing becomes the probe's cost).
+    *
+    * A delta is foldable ONLY once its micro-batch is COMMITTED in the
+    * sink's `checkpoint` (the `commits/` epoch files): an uncommitted
+    * batch will REPLAY on restart, and its replay (a) re-appends its
+    * token as an overwrite — double-counting if the counts were already
+    * folded into base — and (b) probes with `excludeToken = b<id>`,
+    * which can only exclude a delta that still exists as its own
+    * partition. Folding strictly behind the committed offset preserves
+    * both contracts, so this is safe to run with the stream STOPPED
+    * (same discipline as [[compact]]; the rename swap is not atomic for
+    * concurrent readers).
+    *
+    * One aggregation job (sum df per lh over base + folded deltas —
+    * index-sized, distinct lines only), per-kept-delta passthrough
+    * rewrites, then the [[compact]] rename-aside swap: a crash at any
+    * point leaves a complete layout. Probe results are byte-identical
+    * before/after — pinned by the spec, including with an in-flight
+    * (uncommitted) delta present.
+    *
+    * @return the folded tokens (empty when nothing was foldable)
+    */
+  def consolidateLineDeltas(spark: SparkSession, path: String,
+                            checkpoint: String): Seq[String] = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val commits = new org.apache.hadoop.fs.Path(
+      s"${checkpoint.stripSuffix("/")}/commits")
+    val cfs = commits.getFileSystem(hc)
+    val lastCommitted: Option[Long] =
+      if (!cfs.exists(commits)) None
+      else cfs.listStatus(commits).toSeq.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        .maxOption
+    lastCommitted.map { last =>
+      val linesDir = s"${path.stripSuffix("/")}/lines"
+      val lp = new org.apache.hadoop.fs.Path(linesDir)
+      val lfs = lp.getFileSystem(hc)
+      val tokens = lfs.listStatus(lp).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("delta=")).map(_.stripPrefix("delta="))
+      val foldable = tokens.filter(t => t != "base" && t.startsWith("b") &&
+        t.drop(1).nonEmpty && t.drop(1).forall(_.isDigit) &&
+        t.drop(1).toLong <= last)
+      if (foldable.isEmpty) Seq.empty[String]
+      else {
+        val folded = (foldable :+ "base").filter(tokens.contains)
+        val kept = tokens.filterNot(folded.contains)
+        stageAndSwap(spark, linesDir) { tmp =>
+          val all = spark.read.parquet(linesDir)
+          all.where(col("delta").isin(folded: _*))
+            .groupBy(col("lh")).agg(sum(col("df")).as("df"))
+            .write.mode("overwrite").parquet(s"$tmp/delta=base")
+          kept.foreach(t =>
+            all.where(col("delta") === t).drop("delta")
+              .write.mode("overwrite").parquet(s"$tmp/delta=$t"))
+        }
+        foldable
+      }
+    }.getOrElse(Seq.empty)
+  }
+
   /** Stage a rewrite of `dir` into a sibling `_compact_tmp` (the
     * `write` callback owns the staging write), then swap it live with
     * the two-rename discipline documented on [[compact]].

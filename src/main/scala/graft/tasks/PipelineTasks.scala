@@ -266,7 +266,12 @@ object PipelineTasks {
     *    rewrite to one file per partition dir (`part` = the layout's
     *    partition column: `cell`/`band`/`bucket`; omit for a flat dir,
     *    which compacts to `files`, default 1) — the small-file remedy
-    *    for per-batch appended index layouts.
+    *    for per-batch appended index layouts;
+    *  - `"mode": "line_deltas"` — [[IndexMaintenance
+    *    .consolidateLineDeltas]]: fold the line-count index's deltas
+    *    behind the sink checkpoint's committed offset (`checkpoint` =
+    *    that checkpoint dir) into `delta=base` — the
+    *    directory-per-batch growth remedy.
     */
   object CompactTask extends Task {
     def run(ctx: TaskContext, task: Node, log: TaskLog): Unit = {
@@ -282,8 +287,13 @@ object PipelineTasks {
             cfg.strOpt("part"), cfg.int("files", 1))
           log.write(s"compacted $path to " +
             s"${graft.ops.IndexMaintenance.dataFileCount(ctx.spark, path)} files")
+        case "line_deltas" =>
+          val folded = graft.ops.IndexMaintenance.consolidateLineDeltas(
+            ctx.spark, path, ctx.dir(cfg.str("checkpoint")))
+          log.write(s"folded ${folded.size} line-count deltas at $path" +
+            (if (folded.isEmpty) "" else s": ${folded.mkString(",")}"))
         case m => throw new IllegalArgumentException(
-          s"compact mode must be 'output' or 'files': $m")
+          s"compact mode must be 'output', 'files' or 'line_deltas': $m")
       }
     }
   }

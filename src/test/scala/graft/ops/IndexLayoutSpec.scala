@@ -421,6 +421,62 @@ class IndexLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/keys").as[String].collect().toSet == keysAfter)
   }
 
+  test("consolidateLineDeltas folds committed deltas, keeps in-flight ones, probes byte-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("graft_linecons_")
+    graft.ops.Dedup.buildLineIndex(Seq(
+        (1L, "cookie banner\nstanding one"),
+        (2L, "cookie banner\nstanding two")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/lines_idx", minDocFreq = 3)
+    // two COMMITTED micro-batches through the real sink (so checkpoint
+    // commits/ is the genuine artifact, not a hand-rolled fake)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.lineRemovalSink(spark,
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/lines_idx", s"$dir/out", s"$dir/ckpt")
+    try {
+      mem.addData((10L, "cookie banner\nalpha uno"))
+      q.processAllAvailable()
+      mem.addData((11L, "promo line\nbeta dos"), (12L, "promo line\ngamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // an IN-FLIGHT delta: appended counts whose batch never committed
+    graft.ops.Dedup.appendLineCounts(
+      Seq((20L, "cookie banner\nuncommitted")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/lines_idx", "b2")
+
+    def probe(exclude: Option[String]) = graft.ops.Dedup
+      .removeLinesAgainstIndex(spark,
+        Seq((99L, "cookie banner\npromo line\nnovel probe"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/lines_idx", excludeToken = exclude)
+      .select("doc_id", "clean_text", "n_lines", "n_removed")
+      .as[(Long, String, Long, Long)].collect().toSet
+    def deltaDirs() = new java.io.File(s"$dir/lines_idx/lines").list()
+      .filter(_.startsWith("delta=")).map(_.stripPrefix("delta=")).toSet
+    def counts() = spark.read.parquet(s"$dir/lines_idx/lines")
+      .groupBy("lh").agg(sum("df").as("df"))
+      .as[(String, Long)].collect().toSet
+
+    val (before, beforeB2, beforeCounts) =
+      (probe(None), probe(Some("b2")), counts())
+    assert(deltaDirs() == Set("base", "b0", "b1", "b2"))
+    val folded = graft.ops.IndexMaintenance.consolidateLineDeltas(
+      spark, s"$dir/lines_idx", s"$dir/ckpt")
+    assert(folded.toSet == Set("b0", "b1"),
+      s"only the committed tokens fold: $folded")
+    assert(deltaDirs() == Set("base", "b2"),
+      s"in-flight b2 must survive as its own partition: ${deltaDirs().toSet}")
+    assert(counts() == beforeCounts, "summed counts must be unchanged")
+    assert(probe(None) == before && probe(Some("b2")) == beforeB2,
+      "probe results must be byte-identical before/after, with and " +
+        "without the in-flight exclusion")
+    // idempotent: nothing left to fold
+    assert(graft.ops.IndexMaintenance.consolidateLineDeltas(
+      spark, s"$dir/lines_idx", s"$dir/ckpt").isEmpty)
+  }
+
   test("exact-key index invariant: the Bloom filter covers every persisted key (no false negatives)") {
     val dir = tmpDir("graft_bloominv_")
     Dedup.buildExactKeyIndex(

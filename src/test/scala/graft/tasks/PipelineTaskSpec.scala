@@ -182,4 +182,29 @@ class PipelineTaskSpec extends SparkSpec {
     assert(graft.ops.IndexMaintenance.dataFileCount(spark,
       s"$wd/output/ingested") == 1)
   }
+
+  test("compact task: line_deltas mode folds committed tokens via the checkpoint") {
+    import spark.implicits._
+    val wd = tmpDir("graft_pipetask_lines_")
+    Dedup.buildLineIndex(
+      Seq((1L, "chrome line\none"), (2L, "chrome line\ntwo"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", s"$wd/output/lidx", minDocFreq = 2)
+    Dedup.appendLineCounts(Seq((10L, "chrome line\nten")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$wd/output/lidx", "b0")
+    Dedup.appendLineCounts(Seq((11L, "chrome line\neleven")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$wd/output/lidx", "b1")
+    // a checkpoint whose commits say batch 0 committed, batch 1 did not
+    Files.createDirectories(Paths.get(s"$wd/output/ckpt/commits"))
+    Files.writeString(Paths.get(s"$wd/output/ckpt/commits/0"), "{}")
+    runTask(wd,
+      s"""{"tasks": [
+         |  {"type": "compact", "name": "l",
+         |   "compact": {"mode": "line_deltas", "path": "output/lidx",
+         |               "checkpoint": "output/ckpt"}}]}""".stripMargin)
+    val dirs = new java.io.File(s"$wd/output/lidx/lines").list()
+      .filter(_.startsWith("delta=")).toSet
+    assert(dirs == Set("delta=base", "delta=b1"),
+      s"b0 folds (committed), b1 stays (in-flight): $dirs")
+  }
 }
