@@ -187,6 +187,8 @@ object SparkEntry {
     "q50_bloom_decontaminate" -> decontaminateSql(10),
     "q48_mixture_sample" -> mixtureSampleSql,
     "q58_token_budget_sample" -> tokenBudgetSampleSql,
+    "q58b_token_budget_bpe" -> tokenBudgetBpeSql,
+    "q52b_pack_bpe" -> packBpeSql,
     "q59_quantized_topk" -> quantizedTopKSql,
     "q49_dup_span_frac" -> dupSpanFracSql,
     "q88_excise_spans" -> exciseSpansSql,
@@ -1166,6 +1168,95 @@ object SparkEntry {
        |WHERE MD5(CAST(d.doc_id AS VARCHAR)) < thr.thr
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** Shared CTEs of the q52b/q58b tokenizer-SPI oracles: per-word greedy
+    * BPE token counts under the SAME pinned merges table the engine's
+    * `bpe` built-in uses ([[graft.functions.TokenCounters.tinyMerges]] —
+    * single source of truth; the rank CASE below is generated from it).
+    *
+    * The recursive CTE applies the tokenizer's exact rule: start from the
+    * word's characters; each step merges the LEFTMOST pair with the
+    * LOWEST rank (`list_position(rk, list_min(rk))` is leftmost-min,
+    * matching the engine's strict `<` scan); stop when no adjacent pair
+    * is in the table. Each step shrinks the symbol list by one, so the
+    * final state per word is the MIN-length row. Words are deduplicated
+    * first (the fixture vocabulary is tiny), then counts join back to
+    * occurrences — `wocc` keeps doc_id/source for the consumers.
+    */
+  private def bpeWordCtes: String = {
+    val arms = graft.functions.TokenCounters.tinyMerges.zipWithIndex.map {
+      case ((l, r), i) => s"WHEN '$l $r' THEN ${i + 1}"
+    }.mkString(" ")
+    s"""wocc AS (SELECT doc_id, source,
+       |           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS w
+       |         FROM documents WHERE text IS NOT NULL),
+       |wd AS (SELECT DISTINCT w FROM wocc),
+       |bpe AS (
+       |  SELECT w, LIST_TRANSFORM(RANGE(1, LENGTH(w) + 1), i -> w[i]) AS syms
+       |  FROM wd
+       |  UNION ALL
+       |  SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+       |  FROM (SELECT w, syms,
+       |          LIST_POSITION(rk, LIST_MIN(rk)) AS bi, LIST_MIN(rk) AS mr
+       |        FROM (SELECT w, syms,
+       |                LIST_TRANSFORM(RANGE(1, LEN(syms)), i ->
+       |                  CASE syms[i] || ' ' || syms[i+1]
+       |                    $arms
+       |                    ELSE 999999 END) AS rk
+       |              FROM bpe WHERE LEN(syms) > 1))
+       |  WHERE mr < 999999),
+       |wtok AS (SELECT w, MIN(LEN(syms)) AS n FROM bpe GROUP BY w)""".stripMargin
+  }
+
+  /** q58b oracle: [[tokenBudgetSampleSql]]'s budget arithmetic verbatim,
+    * with per-source totals summed over the BPE word counts instead of
+    * whitespace fields.
+    */
+  private def tokenBudgetBpeSql: String = {
+    val arms = graft.queries.Extensions.tokenBudgets.toSeq.sorted.map {
+      case (src, b) => s"WHEN '$src' THEN ${b}.0"
+    }.mkString("\n  ")
+    s"""WITH RECURSIVE $bpeWordCtes,
+       |tot AS (SELECT o.source, SUM(t.n) AS tot
+       |        FROM wocc o JOIN wtok t USING (w) GROUP BY o.source),
+       |fr AS (SELECT source,
+       |         LEAST(1.0, (CASE source
+       |  $arms
+       |  ELSE 0.0 END) / CAST(tot AS DOUBLE)) AS frac
+       |       FROM tot),
+       |thr AS (SELECT source,
+       |          CASE WHEN frac >= 1 THEN 'g'
+       |               ELSE printf('%08x', CAST(LEAST(FLOOR(frac * 4294967296),
+       |                                              4294967295) AS BIGINT))
+       |                    || REPEAT('0', 24) END AS thr
+       |        FROM fr)
+       |SELECT d.doc_id, d.source FROM documents d
+       |JOIN thr ON d.source = thr.source
+       |WHERE MD5(CAST(d.doc_id AS VARCHAR)) < thr.thr
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q52b oracle: q52's packing arithmetic verbatim over BPE per-doc
+    * counts (LEFT JOIN keeps wordless docs at zero tokens, matching the
+    * engine's count of an empty text).
+    */
+  private def packBpeSql: String =
+    s"""WITH RECURSIVE $bpeWordCtes,
+       |dt AS (SELECT o.doc_id, SUM(t.n) AS n
+       |       FROM wocc o JOIN wtok t USING (w) GROUP BY o.doc_id),
+       |d AS (SELECT doc.doc_id, doc.source,
+       |        CAST(COALESCE(dt.n, 0) AS BIGINT) AS n_tokens
+       |      FROM documents doc LEFT JOIN dt ON doc.doc_id = dt.doc_id
+       |      WHERE doc.text IS NOT NULL),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+       |      FROM d)
+       |SELECT doc_id, source, n_tokens,
+       |  e - n_tokens AS start_off,
+       |  CAST(FLOOR((e - n_tokens) / 512.0) AS BIGINT) AS seq_first,
+       |  CAST(FLOOR((e - 1) / 512.0) AS BIGINT) AS seq_last
+       |FROM c ORDER BY doc_id""".stripMargin
 
   /** q59 oracle: the int8 quantization mirrored in SQL — scale = max |x|,
     * q_i = FLOOR(x·127/scale + 0.5) (identical IEEE ops to the Scala

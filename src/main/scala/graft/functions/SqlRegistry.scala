@@ -129,6 +129,19 @@ object GraftSqlFunctions {
       arity("graft_token_counts", args, 1)
       TokenCountsExpr(args(0))
     },
+    // graft_tokens(text, 'counter') — the tokenizer-SPI count; the
+    // counter NAME is a literal (it resolves to an engine object shipped
+    // with the plan, exactly like the shape arguments).
+    "graft_tokens" -> { args =>
+      arity("graft_tokens", args, 2)
+      val cname = args(1) match {
+        case Literal(s: UTF8String, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_tokens: argument 2 must be a string literal naming a " +
+            s"tokenizer (built-ins: whitespace, bpe), got $other")
+      }
+      TokenCountExpr(args(0), graft.functions.TokenCounters.forName(cname))
+    },
     "graft_quantize_int8" -> { args =>
       arity("graft_quantize_int8", args, 1)
       QuantizeInt8(args(0))

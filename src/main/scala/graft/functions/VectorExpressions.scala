@@ -911,6 +911,42 @@ object TokenCountsExpr {
   }
 }
 
+/** Token count under a pluggable [[graft.functions.TokenCounter]] — the
+  * SPI's single column-evaluation path. The counter object ships to
+  * executors as a plan reference object (the [[BloomMightContain]] /
+  * [[NearestCentroid]] pattern), so ANY SPI implementation — the built-in
+  * greedy-BPE counter included — evaluates inside whole-stage codegen
+  * with no UDF boundary and no token array materialized. Pure map-side
+  * work: at 100 TB this adds zero shuffles to the budget operators that
+  * consume it (q52b packing, q58b token-budget sampling).
+  */
+case class TokenCountExpr(child: Expression,
+                          counter: graft.functions.TokenCounter)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.{LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = s"graft_tokens_${counter.name}"
+
+  override protected def nullSafeEval(input: Any): Any =
+    counter.countTokens(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("counter", counter,
+      classOf[graft.functions.TokenCounter].getName)
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = $ref.countTokens($in.toString());"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountExpr =
+    copy(child = newChild)
+}
+
 /** Membership probe against a driver-built Bloom filter, shipped once as a
   * codegen reference object (same pattern as [[NearestCentroid]]'s
   * centroid matrix) — the broadcast "runtime filter" that lets a 100 TB
@@ -1107,6 +1143,9 @@ object VectorBridge {
 
   def tokenCounts(text: Column): Column =
     ExpressionUtils.column(TokenCountsExpr(ExpressionUtils.expression(text)))
+
+  def tokenCount(text: Column, counter: graft.functions.TokenCounter): Column =
+    ExpressionUtils.column(TokenCountExpr(ExpressionUtils.expression(text), counter))
 
   def quantizeInt8(vec: Column): Column =
     ExpressionUtils.column(QuantizeInt8(ExpressionUtils.expression(vec)))

@@ -199,6 +199,34 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q58b/q52b: the tokenizer-SPI twins — the SAME budget operators with
+  // the pinned greedy-BPE counter (graft.functions.TokenCounters.tinyBpe)
+  // swapped in for the whitespace default. Whitespace fields undercount a
+  // real subword vocabulary's budget; the SPI makes the counting rule a
+  // parameter, and the pinned table keeps both twins hash-checkable
+  // against a recursive-CTE oracle that applies the identical
+  // leftmost-lowest-rank merge rule.
+  val q58b_token_budget_bpe: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val toks = docs.select(col("source"),
+      graft.functions.TokenCounters.count(
+        graft.functions.TokenCounters.tinyBpe, col("text")).as("n_tok"))
+    val fracs = Sampling.tokenBudgetFracs(toks, "source", "n_tok", tokenBudgets)
+    Sampling.stratifiedSample(
+        docs.select(col("doc_id"), col("source")),
+        "doc_id", "source", fracs)
+      .orderBy(col("doc_id"))
+  }
+
+  val q52b_pack_bpe: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TokenCounters.count(
+          graft.functions.TokenCounters.tinyBpe, col("text")).as("n_tokens"))
+    Packing.pack(docs, "doc_id", "n_tokens", "source", seqLen = 512)
+      .orderBy(col("doc_id"))
+  }
+
   // q59 int8-quantized brute-force top-k: q25's retrieval over 4×-smaller
   // vectors (symmetric per-vector quantization, scale-free cosine on the
   // byte arrays — no dequantization in the rank). Deterministic
@@ -870,12 +898,14 @@ object Extensions {
     "q50_bloom_decontaminate" -> q50_bloom_decontaminate,
     "q51_repetition_signals" -> q51_repetition_signals,
     "q52_pack" -> q52_pack,
+    "q52b_pack_bpe" -> q52b_pack_bpe,
     "q53_dedup_keep" -> q53_dedup_keep,
     "q54_ivf_knn_join" -> q54_ivf_knn_join,
     "q55_exact_size_sample" -> q55_exact_size_sample,
     "q56_lsh_knn_join" -> q56_lsh_knn_join,
     "q57_ivf_index_knn_join" -> q57_ivf_index_knn_join,
     "q58_token_budget_sample" -> q58_token_budget_sample,
+    "q58b_token_budget_bpe" -> q58b_token_budget_bpe,
     "q59_quantized_topk" -> q59_quantized_topk,
     "q61_ivf_quantized_knn_join" -> q61_ivf_quantized_knn_join,
     "q62_incremental_dedup" -> q62_incremental_dedup,

@@ -100,10 +100,14 @@ object PipelineTasks {
     cfg.strOpt("tokens") match {
       // an existing numeric column…
       case Some(c) => df.withColumn("n_tokens", col(c).cast("long"))
-      // …or counted from text (the q52/q58 ws convention)
-      case None => df.withColumn("n_tokens",
-        graft.functions.VectorFunctions.tokenCountsStruct(col(cfg.str("text", "text")))
-          .getField("ws_tokens"))
+      // …or counted from text under a named tokenizer-SPI counter
+      // (`"tokenizer": "bpe"` — graft.functions.TokenCounters), default
+      // the q52/q58 ws convention
+      case None =>
+        val counter = graft.functions.TokenCounters.forName(
+          cfg.str("tokenizer", "whitespace"))
+        df.withColumn("n_tokens",
+          graft.functions.TokenCounters.count(counter, col(cfg.str("text", "text"))))
     }
 
   /** `dedup`: keep one representative row per identical key — min-id,

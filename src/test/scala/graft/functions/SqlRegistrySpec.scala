@@ -40,6 +40,18 @@ class SqlRegistrySpec extends SparkSpec {
     assert(row.getSeq[String](4) == typed.getSeq[String](2))
   }
 
+  test("graft_tokens: tokenizer SPI on the SQL surface, literal-name contract") {
+    val row = spark.sql(
+      """SELECT graft_tokens('table row zzz', 'bpe') AS b,
+        |       graft_tokens('table row zzz', 'whitespace') AS w
+        |""".stripMargin).head()
+    assert(row.getLong(0) == 5L) // 1 + 1 + 3
+    assert(row.getLong(1) == 3L)
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_tokens('x', 'nope')").head())
+    assert(e.getMessage.contains("unknown tokenizer"))
+  }
+
   test("implicit casts admit float embeddings and non-double literals") {
     // embeddings tables carry array<float>; SQL callers must not need a
     // hand-written cast for every argument

@@ -1,0 +1,94 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The tokenizer SPI (q52b/q58b): the whitespace default's field
+  * contract, the greedy-BPE counter's pinned merge semantics (leftmost
+  * lowest-rank, deep chains, rank priority), SPI resolution, and the
+  * column path's null handling + codegen residency.
+  */
+class TokenizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bpe = TokenCounters.tinyBpe
+
+  test("whitespace counter matches the split(' ') field contract") {
+    assert(WhitespaceTokenCounter.countTokens("a b c") == 3L)
+    assert(WhitespaceTokenCounter.countTokens("") == 1L)       // one empty field
+    assert(WhitespaceTokenCounter.countTokens("  a  ") == 5L)  // empties count
+    assert(WhitespaceTokenCounter.countTokens("a\tb") == 1L)   // only ' ' splits
+  }
+
+  test("greedy BPE: four-deep chain collapses 'table' to one token") {
+    assert(bpe.countTokens("table") == 1L)
+    assert(bpe.countTokens("row") == 1L) // o+w then r+ow
+  }
+
+  test("greedy BPE: rank priority — 't a' (rank 0) beats 'a t' inside 'data'") {
+    // d-a-t-a: (t,a) merges first → d,a,ta → no more rules → 3
+    assert(bpe.countTokens("data") == 3L)
+    // b-a-t-c-h: only (a,t) applies → b,at,c,h → 4
+    assert(bpe.countTokens("batch") == 4L)
+  }
+
+  test("greedy BPE: multi-char symbols on both sides ('st r', 'e a')") {
+    // s-t-r-e-a-m → st,r,e,a,m → str,e,a,m → str,ea,m
+    assert(bpe.countTokens("stream") == 3L)
+  }
+
+  test("greedy BPE: repeated-character pair and unknown characters") {
+    assert(bpe.countTokens("agg") == 2L)   // a + gg
+    assert(bpe.countTokens("zzz") == 3L)   // no rules apply
+    assert(bpe.countTokens("x") == 1L)
+  }
+
+  test("greedy BPE: document count sums pre-token occurrences; empties drop") {
+    assert(bpe.countTokens("table table") == 2L)
+    assert(bpe.countTokens("  table   row ") == 2L)
+    assert(bpe.countTokens("") == 0L)
+    assert(bpe.countTokens("   ") == 0L)
+  }
+
+  test("SPI resolution: built-ins by name, unknown names fail loudly") {
+    assert(TokenCounters.forName("whitespace") eq TokenCounters.whitespace)
+    assert(TokenCounters.forName("bpe") == TokenCounters.tinyBpe)
+    val e = intercept[IllegalArgumentException](TokenCounters.forName("nope"))
+    assert(e.getMessage.contains("unknown tokenizer"))
+  }
+
+  test("column path: null text → null count, non-null counts match eval") {
+    val df = Seq((1L, "table row"), (2L, null), (3L, ""))
+      .toDF("id", "text")
+      .select(col("id"),
+        TokenCounters.count(bpe, col("text")).as("n"),
+        TokenCounters.count(TokenCounters.whitespace, col("text")).as("ws"))
+      .orderBy("id")
+    val rows = df.collect()
+    assert(rows(0).getLong(1) == 2L && rows(0).getLong(2) == 2L)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(2).getLong(1) == 0L && rows(2).getLong(2) == 1L)
+  }
+
+  test("column path stays inside whole-stage codegen (no UDF boundary)") {
+    // a parquet scan, so ConvertToLocalRelation can't fold the projection
+    val dir = tmpDir("graft_tok_")
+    Seq("table").toDF("text").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(TokenCounters.count(bpe, col("text")).as("n"))
+    val hasWsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty
+    assert(hasWsc, df.queryExecution.executedPlan.toString)
+    // and the generated code actually compiles/runs
+    assert(df.head().getLong(0) == 1L)
+  }
+
+  test("whitespace column path equals the tokenCountsStruct ws leg") {
+    val texts = Seq("a b", "", "  x ", "one two three four").toDF("text")
+    val both = texts.select(
+      TokenCounters.count(TokenCounters.whitespace, col("text")).as("spi"),
+      VectorFunctions.tokenCountsStruct(col("text")).getField("ws_tokens").as("ws"))
+    assert(both.where(col("spi") =!= col("ws")).count() == 0L)
+  }
+}
