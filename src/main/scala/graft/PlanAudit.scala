@@ -30,9 +30,10 @@ object PlanAudit {
       "q42_dedup_clusters_star", "q43_sql_surface", "q44_decontaminate",
       "q45_pii_redact", "q46_quality_signals",
       "q48_mixture_sample", "q49_dup_span_frac", "q50_bloom_decontaminate",
-      "q51_repetition_signals", "q52_pack", "q53_dedup_keep",
+      "q51_repetition_signals", "q52_pack", "q52b_pack_bpe", "q53_dedup_keep",
       "q54_ivf_knn_join", "q55_exact_size_sample", "q56_lsh_knn_join",
-      "q57_ivf_index_knn_join", "q58_token_budget_sample", "q59_quantized_topk",
+      "q57_ivf_index_knn_join", "q58_token_budget_sample",
+      "q58b_token_budget_bpe", "q59_quantized_topk",
       "q61_ivf_quantized_knn_join", "q62_incremental_dedup", "q63_vocab",
       "q64_collocations", "q65_contamination_matrix", "q66_upsample_epochs",
       "q67_funnel", "q68_skew_report", "q69_hash_embed", "q70_text_knn",
@@ -46,17 +47,36 @@ object PlanAudit {
       "q91_excise_against_index", "q92_training_order",
       "q95_balanced_mixture", "q97_boilerplate_lines", "q98_chunk_docs",
       "q99_lines_against_index")
-    // optional args = audit only these queries (iterating on one operator)
+    // optional args = audit only these queries (iterating on one
+    // operator); a trailing `--json <path>` additionally writes the
+    // table as the per-round PLANAUDIT artifact, so plan-shape
+    // regressions between rounds are diffable instead of invisible
+    val (jsonPath, qargs) = args.indexOf("--json") match {
+      case -1 => (None, args.toSeq)
+      case i  => (Some(args(i + 1)), args.take(i).toSeq ++ args.drop(i + 2))
+    }
     val selected =
-      if (args.isEmpty) interesting else interesting.filter(args.toSet)
-    for (q <- selected) {
+      if (qargs.isEmpty) interesting else interesting.filter(qargs.toSet)
+    val rows = for (q <- selected) yield {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       qe.executedPlan.executeCollect()
       val plan = qe.executedPlan.toString
       def n(s: String) = s.r.findAllIn(plan).length
-      println(f"$q%-26s shuffleStages=${n("ShuffleQueryStage")}%2d reused=${n("ReusedQueryStage|ReusedExchange")}%2d " +
-        f"bcast=${n("BroadcastHashJoin")}%2d smj=${n("SortMergeJoin")}%2d " +
-        f"bnlj=${n("BroadcastNestedLoop")}%2d pushed=${plan.contains("PushedFilters: [I")}")
+      val r = (q, n("ShuffleQueryStage"), n("ReusedQueryStage|ReusedExchange"),
+        n("BroadcastHashJoin"), n("SortMergeJoin"), n("BroadcastNestedLoop"),
+        plan.contains("PushedFilters: [I"))
+      println(f"$q%-26s shuffleStages=${r._2}%2d reused=${r._3}%2d " +
+        f"bcast=${r._4}%2d smj=${r._5}%2d bnlj=${r._6}%2d pushed=${r._7}")
+      r
+    }
+    jsonPath.foreach { p =>
+      val body = rows.map { case (q, sh, re, bc, smj, bnlj, pushed) =>
+        s"""  "$q": {"shuffle_stages": $sh, "reused": $re, "bcast": $bc,""" +
+          s""" "smj": $smj, "bnlj": $bnlj, "pushed": $pushed}"""
+      }.mkString(",\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        s"{\n$body\n}\n")
+      println(s"[planaudit] wrote $p")
     }
     spark.stop()
   }

@@ -51,7 +51,11 @@ class Connections(file: TaskFile, spark: SparkSession) {
     *  - PostgreSQL: `reWriteBatchedInserts=true` — the pgjdbc analog of
     *    the reference's psycopg2 `execute_batch` cursor proxy
     *    (taskdriver.py:178-186: multi-row batches instead of row-at-a-
-    *    time inserts); `client_encoding` from `charset`.
+    *    time inserts). (The reference's `charset` intent has no pgjdbc
+    *    carrier — the driver is UTF-8-only on the wire and warns-and-
+    *    ignores unknown URL params, so a `client_encoding` param would
+    *    be a silent no-op; `charset` is intentionally ignored here,
+    *    like MSSQL's.)
     *  - MSSQL: the reference's trusted-connection form when `user` is
     *    empty. (Its ODBC `CHARSET=` knob has no sqlserver-jdbc
     *    equivalent — the JDBC wire protocol is UTF-16 — so `charset` is
@@ -70,9 +74,8 @@ class Connections(file: TaskFile, spark: SparkSession) {
           "&sessionVariables=sql_mode=ANSI_QUOTES"
       case "PostgreSQL" =>
         val port = node.str("port", "5432")
-        val cs = node.str("charset", "utf8")
         s"jdbc:postgresql://$host:$port/${node.str("database")}" +
-          s"?client_encoding=$cs&reWriteBatchedInserts=true"
+          "?reWriteBatchedInserts=true"
       case "Oracle" =>
         val port = node.str("port", "1521")
         s"jdbc:oracle:thin:@//$host:$port/${node.str("service")}"

@@ -487,7 +487,11 @@ object Streams {
     * identically-recomputed `screened`) lands exactly what the first
     * attempt would have; (c) crash after grams, before keys: the
     * replay's rung 2 excises every re-admitted row to emptiness
-    * (original ∪ emitted grams are indexed), nothing re-emits, the
+    * (original ∪ emitted grams are indexed — and a doc shorter than w
+    * is covered too, because the gram set carries the FULL-TEXT hash
+    * of sub-w docs as their exact-identity screen, so even a
+    * vectorless short doc excises away instead of re-emitting;
+    * CurationCrashSpec pins this with doc 19), nothing re-emits, the
     * gram re-append is duplicate-free and the key append completes.
     * Fault-injected per-window in CurationCrashSpec via [[FaultyFs]].
     *
@@ -495,6 +499,11 @@ object Streams {
     * [[graft.ops.Similarity.buildIvfIndex]]'s arguments) are
     * parameters because admissions append into the EXISTING
     * cell-partitioned files — mismatched names would fork the schema.
+    *
+    * `metrics` attaches the per-rung admission ladder ([[RungMetrics]]):
+    * one per-task-log line per completed batch with rows_in / keys /
+    * lines / grams / semantic / out_rows / vec_rows. Zero cost when
+    * absent; cache scans of this batch's persisted frames when present.
     */
   def curationIngestSink(spark: org.apache.spark.sql.SparkSession,
                          stream: DataFrame, idCol: String, textCol: String,
@@ -504,7 +513,8 @@ object Streams {
                          minQuality: Double = 0.0, tau: Double = 0.4,
                          ivfIdCol: String = "vec_id",
                          ivfVecCol: String = "embedding",
-                         lineIndexPath: Option[String] = None)
+                         lineIndexPath: Option[String] = None,
+                         metrics: Option[RungMetrics] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // bounded driver reads at sink start — the semanticGateSink
     // contract (centroids are frozen), the gram width, and the line
@@ -535,10 +545,13 @@ object Streams {
             Seq(idCol), "left_semi")
         val fresh = graft.ops.Dedup.exactDedupAgainstIndex(
           spark, scored, textCol, keyIndexPath).persist()
+        // metrics count the line rung's survivors; persisted so that
+        // count is a cache scan, never a second standing-index probe
+        var linedP: Option[DataFrame] = None
         try {
           // ── rung 1b (optional): boilerplate-line removal, in the
           // batch-curate order — chrome first, verbatim spans second ──
-          val lined = lineIndexPath match {
+          val lined0 = lineIndexPath match {
             case Some(p) =>
               val wb = graft.ops.Dedup.removeFrequentLines(
                 fresh, idCol, textCol, lineMdf.get)
@@ -559,6 +572,10 @@ object Streams {
                   regexp_replace(col("clean_text"), "\n", " ").as(textCol))
             case None => fresh.select(col(idCol), col(textCol))
           }
+          val lined =
+            if (metrics.isDefined && lineIndexPath.isDefined) {
+              linedP = Some(lined0.persist()); lined0
+            } else lined0
           // ── rung 2: the gramExciseSink excisions ──
           val withinBatch = graft.ops.Dedup
             .exciseDupSpans(lined, idCol, textCol, w)
@@ -627,6 +644,26 @@ object Streams {
                   .select(col(idCol).as("doc_id"),
                     lit(null).cast("string").as("clean_text"),
                     lit(0L).as("n_words"), lit(0L).as("n_excised"))
+                // ── metrics: the ladder's admission counts, taken
+                // BEFORE the appends — the appends recache-by-path
+                // every frame that reads a standing index (survivors
+                // probes the IVF data it is about to advance), so a
+                // post-append count would recompute against the
+                // advanced index, not this batch's view. Every count
+                // is a cache scan (or populates the cache the write
+                // below reuses) ──
+                val ladder = metrics.map { _ =>
+                  val emitted = survivors.count()
+                  Seq("rows_in" -> batch.count(),
+                      "keys" -> fresh.count()) ++
+                    linedP.map(l => "lines" -> l.count()) ++
+                    Seq("grams" -> screened.count(),
+                      "semantic" -> emitted,
+                      "out_rows" -> (emitted + nulls.count()),
+                      "vec_rows" -> survVec
+                        .join(survivors.select(col("doc_id")),
+                          Seq("doc_id"), "left_semi").count())
+                }
                 survivors.unionByName(nulls)
                   .write.mode("append").parquet(outPath)
                 survVec.join(survivors.select(col("doc_id")),
@@ -653,10 +690,17 @@ object Streams {
                     p, s"b$batchId"))
                 graft.ops.Dedup.appendExactKeys(spark, fresh, textCol,
                   keyIndexPath)
+                // recorded only once the batch's appends all committed
+                // (a crashed batch leaves no line, its replay logs its
+                // own)
+                ladder.foreach(metrics.get.record(batchId, _))
               } finally survivors.unpersist()
             } finally vecs.unpersist()
           } finally screened.unpersist()
-        } finally fresh.unpersist()
+        } finally {
+          fresh.unpersist()
+          linedP.foreach(_.unpersist())
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -689,10 +733,11 @@ object Streams {
   def ingestGate(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
                  idCol: String, textCol: String, keyIndexPath: String,
                  outPath: String, checkpoint: String,
-                 minQuality: Double = 0.0)
+                 minQuality: Double = 0.0,
+                 metrics: Option[RungMetrics] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // null-text rows can never collide (the key-index contract), so
         // they bypass both dedup stages; a positive quality floor drops
         // them (no content to score), minQuality = 0 admits them
@@ -712,8 +757,13 @@ object Streams {
         val admitted = graft.ops.Dedup.exactDedupAgainstIndex(
           spark, scored, textCol, keyIndexPath).persist()
         try {
+          // counts before the key append (which recaches-by-path the
+          // very frame that probed the index), recorded after it
+          val gateLadder = metrics.map(_ =>
+            Seq("rows_in" -> batch.count(), "out_rows" -> admitted.count()))
           admitted.write.mode("append").parquet(outPath)
           graft.ops.Dedup.appendExactKeys(spark, admitted, textCol, keyIndexPath)
+          gateLadder.foreach(metrics.get.record(batchId, _))
         } finally admitted.unpersist()
         ()
       }

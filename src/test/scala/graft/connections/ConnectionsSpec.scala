@@ -31,7 +31,7 @@ class ConnectionsSpec extends SparkSpec {
         "&sessionVariables=sql_mode=ANSI_QUOTES")
     // reWriteBatchedInserts = the psycopg2 execute_batch analog
     assert(c.jdbcUrl(c.get("pg")) ==
-      "jdbc:postgresql://h2:5544/db2?client_encoding=utf8&reWriteBatchedInserts=true")
+      "jdbc:postgresql://h2:5544/db2?reWriteBatchedInserts=true")
     assert(c.jdbcUrl(c.get("ora")) == "jdbc:oracle:thin:@//h3:1521/svc")
     // empty user -> integratedSecurity, like the reference's trusted mode
     assert(c.jdbcUrl(c.get("ms")) ==
@@ -46,12 +46,15 @@ class ConnectionsSpec extends SparkSpec {
     assert(c.jdbcUrl(c.get("ms")) == "jdbc:sqlserver://h:1433;databaseName=db")
   }
 
-  test("PostgreSQL charset maps to client_encoding") {
+  test("PostgreSQL charset is ignored by design (pgjdbc is UTF-8-only)") {
+    // a client_encoding URL param would be warn-and-ignored by pgjdbc —
+    // carrying it would present the reference's charset intent as
+    // honored when it silently isn't
     val c = conns(
       """{"name": "pg", "driver": "PostgreSQL", "host": "h", "database": "db",
         | "charset": "latin1"}""".stripMargin)
     assert(c.jdbcUrl(c.get("pg")) ==
-      "jdbc:postgresql://h:5432/db?client_encoding=latin1&reWriteBatchedInserts=true")
+      "jdbc:postgresql://h:5432/db?reWriteBatchedInserts=true")
   }
 
   test("Oracle gets the defaultNChar property (the output-type-handler analog)") {

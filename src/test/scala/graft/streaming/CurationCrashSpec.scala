@@ -25,6 +25,7 @@ class CurationCrashSpec extends SparkSpec {
   private val text13 = "unrelated novel document about something else entirely"
   private val text15 = "a vectorless row passes the semantic rung untouched"
   private val text17 = "zero vector rows behave exactly like vectorless ones"
+  private val text19 = "tiny short doc" // < w words: carries NO gram
 
   private def batch1: Seq[(Long, String, Array[Float])] = Seq(
     // 10: exact duplicate of the standing doc     -> rung 1 drops
@@ -38,7 +39,12 @@ class CurationCrashSpec extends SparkSpec {
     // 17: zero vector = vectorless (the q81 rule) -> rung 3 bypassed
     (17L, text17, Array(0f, 0f, 0f, 0f)),
     // 16: null text                               -> (16, null, 0, 0) stub
-    (16L, null.asInstanceOf[String], Array(0f, 0f, 0f, 1f)))
+    (16L, null.asInstanceOf[String], Array(0f, 0f, 0f, 1f)),
+    // 19: vectorless AND shorter than w           -> admitted; its
+    //     window-(c) coverage comes from the gram set's FULL-TEXT hash
+    //     of sub-w docs (no w-gram, no vector — the excision screen is
+    //     all it has)
+    (19L, text19, Array.empty[Float]))
 
   /** The crash-free output content, post-compaction. */
   private val expected = Set(
@@ -46,7 +52,8 @@ class CurationCrashSpec extends SparkSpec {
     (13L, text13, 7L, 0L),
     (15L, text15, 8L, 0L),
     (17L, text17, 8L, 0L),
-    (16L, null, 0L, 0L))
+    (16L, null, 0L, 0L),
+    (19L, text19, 3L, 0L))
 
   private def setupStanding(wd: String): Unit = {
     val standingDocs = Seq((1L, s"$passage tail words here"))
@@ -186,7 +193,7 @@ class CurationCrashSpec extends SparkSpec {
       setupStanding(wd)
       runBatch(wd, Some("data")) // ivf/data/... commits die
       // the replay recomputed identically: EVERY emitted row doubled
-      assert(dupIds(wd) == Set(11L, 13L, 15L, 16L, 17L),
+      assert(dupIds(wd) == Set(11L, 13L, 15L, 16L, 17L, 19L),
         s"window (a) re-emits all survivors: ${dupIds(wd)}")
       assertConverged(wd)
     } finally noInjection()
@@ -199,7 +206,7 @@ class CurationCrashSpec extends SparkSpec {
       runBatch(wd, Some("grams")) // grams/... commits die
       // vector-carrying survivors met their own admitted vectors at
       // cosine 1 and dropped; only vectorless/zero/null rows re-emit
-      assert(dupIds(wd) == Set(15L, 16L, 17L),
+      assert(dupIds(wd) == Set(15L, 16L, 17L, 19L),
         s"window (b) re-emits only vectorless rows: ${dupIds(wd)}")
       assertConverged(wd)
     } finally noInjection()
@@ -210,8 +217,11 @@ class CurationCrashSpec extends SparkSpec {
     try {
       setupStanding(wd)
       runBatch(wd, Some("keys")) // keys/... commits die
-      // every re-admitted row excised to emptiness; only the null stub
-      // (which bypasses all rungs) re-emits
+      // every re-admitted row excised to emptiness — INCLUDING the
+      // short vectorless doc 19: the gram set indexes the full-text
+      // hash of sub-w docs as their exact-identity screen, so even a
+      // row with no w-gram and no self-matching vector excises away.
+      // Only the null stub (which bypasses all rungs) re-emits.
       assert(dupIds(wd) == Set(16L),
         s"window (c) re-emits only the null stub: ${dupIds(wd)}")
       assertConverged(wd)

@@ -34,10 +34,12 @@ class CurationIngestSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Array[Float])]
     val outPath = s"$wd/out"
+    val metrics = new RungMetrics()
     val q = Streams.curationIngestSink(spark,
       mem.toDF().toDF("doc_id", "text", "embedding"),
       "doc_id", "text", "embedding",
-      keyIdx, gramIdx, ivfIdx, outPath, s"$wd/ckpt")
+      keyIdx, gramIdx, ivfIdx, outPath, s"$wd/ckpt",
+      metrics = Some(metrics))
     try {
       // A 10: exact duplicate of the standing doc  -> rung 1 drops
       // B 11: novel text carrying the standing 8-word passage -> excised
@@ -87,5 +89,26 @@ class CurationIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$ivfIdx/data")
       .where(col("vec_id") === 13L).count() == 1,
       "admitted vectors must land in the IVF layout")
+
+    // the per-rung admission ladder, pinned per batch: each metric is
+    // the row count SURVIVING that rung (rung 1b absent — no line index)
+    val ladders = metrics.batches
+    assert(ladders.map(_._1) == Seq(0L, 1L), s"one line per completed batch")
+    assert(ladders(0)._2 == Map(
+      "rows_in" -> 5L,   // A..E
+      "keys" -> 3L,      // A(10) dropped by the standing key screen
+      "grams" -> 3L,     // B(11) excised but kept, C, D pass
+      "semantic" -> 2L,  // C(12) dropped at the cell screen
+      "out_rows" -> 3L,  // survivors + the null-text pass-through E
+      "vec_rows" -> 2L), s"batch-0 ladder: ${ladders(0)._2}")
+    assert(ladders(1)._2 == Map(
+      "rows_in" -> 4L,
+      "keys" -> 3L,      // F(20) dropped by batch-0's ADVANCED keys
+      "grams" -> 2L,     // H(22) excised to emptiness by advanced grams
+      "semantic" -> 1L,  // G(21) dropped by batch-0's admitted vector
+      "out_rows" -> 1L,
+      "vec_rows" -> 1L), s"batch-1 ladder: ${ladders(1)._2}")
+    assert(metrics.totals("rows_in") == 9L &&
+      metrics.totals("out_rows") == 4L)
   }
 }

@@ -418,9 +418,11 @@ class StreamsSpec extends SparkSpec {
     val dir = tmpDir("graft_ingest_")
     graft.ops.Dedup.buildExactKeyIndex(corpus, "text", dir)
     val mem = MemoryStream[(Long, String)]
+    val gateMetrics = new RungMetrics()
     val q = Streams.ingestGate(spark,
       mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
-      dir, s"$dir/out", s"$dir/ckpt", minQuality = 0.3)
+      dir, s"$dir/out", s"$dir/ckpt", minQuality = 0.3,
+      metrics = Some(gateMetrics))
     try {
       mem.addData(
         (10L, goodText),                      // fresh, good -> admitted
@@ -438,6 +440,9 @@ class StreamsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(10L, 21L),
       s"only the fresh good docs may pass the gate, got $out")
+    assert(gateMetrics.batches.map { case (b, c) =>
+        (b, c("rows_in"), c("out_rows")) } == Seq((0L, 4L, 1L), (1L, 2L, 1L)),
+      s"gate admission metrics: ${gateMetrics.batches}")
     // admitted keys joined the index: corpus + 2 admissions
     assert(spark.read.parquet(s"$dir/keys").count() == 3)
   }
@@ -866,11 +871,12 @@ class StreamsSpec extends SparkSpec {
     // texts (exact-identity screens miss) and the semantic rung is
     // bypassed, so the sink output IS the line rung's output
     val mem = MemoryStream[(Long, String, Array[Float])]
+    val lineMetrics = new RungMetrics()
     val q = Streams.curationIngestSink(spark,
       mem.toDF().toDF("doc_id", "text", "embedding"),
       "doc_id", "text", "embedding",
       s"$wd/keys", s"$wd/grams", s"$wd/ivf", s"$wd/out", s"$wd/ckpt",
-      lineIndexPath = Some(s"$wd/lines"))
+      lineIndexPath = Some(s"$wd/lines"), metrics = Some(lineMetrics))
     try {
       mem.addData(docs.map(d => (d._1, d._2, Array.empty[Float])): _*)
       q.processAllAvailable()
@@ -880,6 +886,13 @@ class StreamsSpec extends SparkSpec {
       .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
     assert(out == twin, s"sink line rung must match the batch twin: " +
       s"$out vs $twin")
+
+    // with the line rung composed, the ladder carries its admission
+    // count: 4 in, all past keys, 12 (all-chrome) drops at the line rung
+    val ladder = lineMetrics.batches.head._2
+    assert(ladder("rows_in") == 4L && ladder("keys") == 4L &&
+      ladder("lines") == 3L && ladder("out_rows") == 3L,
+      s"line-rung ladder: $ladder")
   }
 
   test("capture stream reads files dropped into a directory") {
