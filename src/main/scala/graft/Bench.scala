@@ -18,7 +18,13 @@ object Bench {
     val spark = BenchHarness.session(BenchHarness.cpus(default = 4))
     graft.functions.VectorFunctions.registerSql(spark)
 
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated name prefixes — iterate on
+    // one query family without paying the full-suite wall clock. Unset =
+    // the full protocol run (the only form BASELINE.md records).
+    val only = BenchHarness.env("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
     val loadBefore = BenchHarness.loadavg
 
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
@@ -58,9 +64,13 @@ object Bench {
     val loadAfter = BenchHarness.loadavg
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"runs":$runs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
-    // full JSON (with per-sample arrays) is the file artifact of record
+    // full JSON (with per-sample arrays) is the file artifact of record;
+    // a filtered run is NOT the record — it lands in BENCH_FILTERED.json
+    // (gitignored scratch) so iterating on one family can never clobber
+    // the full-suite BENCH_LOCAL.json
     val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_FILTERED.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     println(
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"runs":$runs,"sf":"$sfDir"}""")

@@ -517,6 +517,99 @@ object WinnowFingerprints {
   }
 }
 
+/** Positional w-gram md5-hex hashes of a pre-split word array — THE gram
+  * formula of the span-excision family (graft.ops.Dedup: exciseDupSpans /
+  * collapseRepeats / buildGramIndex / exciseAgainstIndex, q88/q90/q91 and
+  * the gram index layouts), byte-identical to the HOF composition it
+  * replaced:
+  *
+  *   transform(sequence(1, size(_words) - w + 1),
+  *             i -> md5(concat_ws(' ', slice(_words, i, w))))
+  *
+  * and therefore to the DuckDB oracle twins. Element k (0-based) is the
+  * hash of words [k+1, k+w]; arrays shorter than w yield an empty array
+  * (`sequence` with start > stop counts DOWN — the composable form needed
+  * a `when` guard for exactly that pitfall; here it's just the loop
+  * bound).
+  *
+  * Why an expression: the HOF form allocates a slice array, a concat_ws
+  * UTF8String and the lambda-eval machinery PER WINDOW — at w=8 that
+  * copies every word ~8 times and the resulting garbage dominated q88's
+  * bench variance (GC-pause outliers). Here the word bytes are fetched
+  * once per row and each window is fed straight into a per-thread digest:
+  * per-window allocation is just the 16-byte digest output and its 32-byte
+  * hex rendering, and the projection stays inside whole-stage codegen.
+  *
+  * Input arrays must be null-free (the `_words` contract: a filtered
+  * `split`, which never yields null elements).
+  */
+case class WordGramHashes(child: Expression, w: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.StringType
+
+  require(w >= 1, "gram width w must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordGramHashes.compute(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = org.apache.spark.sql.graft.WordGramHashes.compute($in, $w);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
+    copy(child = newChild)
+}
+
+object WordGramHashes {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val HEX = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** Shared by interpreted eval and codegen: md5-hex per w-word window,
+    * one digest pass per window over byte arrays fetched once per row.
+    */
+  def compute(words: ArrayData, w: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { bytes(i) = words.getUTF8String(i).getBytes; i += 1 }
+    val md = GraftDigest.md5()
+    val out = new Array[Any](n - w + 1)
+    i = 0
+    while (i <= n - w) {
+      md.reset()
+      var j = 0
+      while (j < w) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(bytes(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HEX((d(b) >> 4) & 0xF)
+        hex(2 * b + 1) = HEX(d(b) & 0xF)
+        b += 1
+      }
+      out(i) = UTF8String.fromBytes(hex)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Token shape statistics — (mean_word_len, digit_frac, top_token_share)
   * — in ONE pass over the space-split tokens.
   *
@@ -1124,6 +1217,9 @@ object VectorBridge {
 
   def winnow(text: Column, k: Int, t: Int): Column =
     ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(text), k, t))
+
+  def wordGramHashes(words: Column, w: Int): Column =
+    ExpressionUtils.column(WordGramHashes(ExpressionUtils.expression(words), w))
 
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ExpressionUtils.column(NearestCentroid(ExpressionUtils.expression(vec), centroids))

@@ -33,6 +33,14 @@ object VectorFunctions {
   def winnow(text: Column, k: Int, t: Int): Column =
     org.apache.spark.sql.graft.VectorBridge.winnow(text, k, t)
 
+  /** Positional w-gram md5-hex hashes of a pre-split word array in one
+    * digest pass per window — the span-excision family's gram formula
+    * (q88/q90/q91 and the gram index layouts); byte-identical to the
+    * `transform(sequence, md5∘concat_ws∘slice)` composition it replaced.
+    */
+  def wordGramHashes(words: Column, w: Int): Column =
+    org.apache.spark.sql.graft.VectorBridge.wordGramHashes(words, w)
+
   /** IVF coarse-quantizer assignment: index of the nearest centroid by
     * cosine, as a zero-shuffle projection (centroids ride as a reference
     * object, not plan literals).

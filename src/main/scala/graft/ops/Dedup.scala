@@ -1108,11 +1108,18 @@ object Dedup {
   /** One md5 per w-word window — THE gram formula, shared by
     * [[wordGrams]] (probe/corpus sides) and [[gramSet]] (index build/
     * append) so the persisted index and its probes can never
-    * desynchronize.
+    * desynchronize. One codegen'd digest pass per window
+    * ([[org.apache.spark.sql.graft.WordGramHashes]]) — byte-identical to
+    * the `transform(sequence(1, size(_words) - w + 1), i ->
+    * md5(concat_ws(' ', slice(_words, i, w))))` composition it replaced
+    * (pinned by ExpressionPropertySpec), whose per-window slice/concat
+    * allocations dominated the excision queries' GC noise. Arrays
+    * shorter than w yield an empty array, so the call sites' short-doc
+    * guards keep their `when` only to supply the full-text-hash
+    * alternative.
     */
-  private def gramArrayExpr(w: Int): String =
-    s"transform(sequence(1, size(_words) - ${w - 1}), " +
-      s"i -> md5(concat_ws(' ', slice(_words, i, $w))))"
+  private def gramArray(w: Int) =
+    graft.functions.VectorFunctions.wordGramHashes(col("_words"), w)
 
   /** The distinct gram-hash set of a corpus — `w`-grams of long docs
     * plus the full-text hash of docs shorter than w (their
@@ -1125,7 +1132,7 @@ object Dedup {
       .select(expr(s"filter(split($textCol, ' '), x -> x <> '')").as("_words"))
       .where(size(col("_words")) > 0)
       .select(explode(
-        when(size(col("_words")) >= w, expr(gramArrayExpr(w)))
+        when(size(col("_words")) >= w, gramArray(w))
           .otherwise(array(md5(concat_ws(" ", col("_words")))))).as("gh"))
       .distinct()
 
@@ -1139,14 +1146,11 @@ object Dedup {
         expr(s"filter(split($textCol, ' '), x -> x <> '')").as("_words"))
 
   /** (doc, 1-based start, gram md5) — empty for docs shorter than w
-    * (sequence() with start > stop counts DOWN, hence the guard).
+    * ([[gramArray]] yields an empty array below w).
     */
   private def wordGrams(docs: DataFrame, w: Int): DataFrame =
     docs
-      .select(col("doc_id"), posexplode(
-        when(size(col("_words")) >= w, expr(gramArrayExpr(w)))
-          .otherwise(expr("cast(array() as array<string>)"))
-      ).as(Seq("_p0", "gh")))
+      .select(col("doc_id"), posexplode(gramArray(w)).as(Seq("_p0", "gh")))
       .select(col("doc_id"), (col("_p0") + 1).as("start"), col("gh"))
 
   /** Re-join each doc's kept words: `exPos` = (doc_id, _ex: array<int>)

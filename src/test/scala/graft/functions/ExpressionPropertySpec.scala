@@ -52,6 +52,25 @@ class ExpressionPropertySpec extends SparkSpec {
     out.foreach { case (fast, ref) => assert(fast == ref) }
   }
 
+  test("WordGramHashes == HOF md5-concat_ws-slice composition") {
+    val texts = List.fill(40)(text()) :+ "" :+ "a" :+ "a b c" :+
+      "exactly three words" :+ "  leading  and  doubled  spaces "
+    for (w <- Seq(1, 3, 8)) {
+      val out = texts.toDF("t")
+        .select(expr("filter(split(t, ' '), x -> x <> '')").as("_words"))
+        .select(
+          VectorFunctions.wordGramHashes(col("_words"), w).as("fast"),
+          // the composable form this expression replaced (Dedup's old
+          // gramArrayExpr), when-guarded because sequence(1, 0) counts DOWN
+          when(size(col("_words")) >= w,
+            expr(s"transform(sequence(1, size(_words) - ${w - 1}), " +
+              s"i -> md5(concat_ws(' ', slice(_words, i, $w))))"))
+            .otherwise(array().cast("array<string>")).as("ref"))
+        .as[(Seq[String], Seq[String])].collect()
+      out.foreach { case (fast, ref) => assert(fast == ref, s"w=$w") }
+    }
+  }
+
   test("SimHashBits == explode+groupBy majority-vote composition") {
     val bits = 16
     val df = (List.fill(40)(text()) :+ "" :+ "x")
@@ -133,7 +152,8 @@ class ExpressionPropertySpec extends SparkSpec {
         VectorFunctions.tokenProfile(col("text"),
           Seq(Seq("tok", "b"), Seq("c"))).as("tp"),
         VectorFunctions.dot(col("v"), col("v")).as("d"),
-        VectorFunctions.hashEmbed(col("text"), 16).as("he"))
+        VectorFunctions.hashEmbed(col("text"), 16).as("he"),
+        VectorFunctions.wordGramHashes(split(col("text"), " "), 3).as("gh"))
     df.collect() // force execution so the plan is final
     val planStr = df.queryExecution.executedPlan.toString
     val projectLines = planStr.linesIterator.filter(_.contains("Project [")).toList
