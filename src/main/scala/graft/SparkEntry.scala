@@ -278,6 +278,11 @@ object SparkEntry {
     // shape, in-query and standing-index formulations both hash-checked
     "q57_ivf_index_knn_join" -> ivfKnnJoinSql,
     "q61_ivf_quantized_knn_join" -> ivfQuantizedKnnJoinSql,
+    // q100/q101: one oracle shape — the persisted-layout probe returns
+    // exactly the in-memory op's results (identical md5-seeded
+    // codebooks), the q57-vs-q54 convention
+    "q100_pq_topk" -> pqTopKSql,
+    "q101_pq_index_topk" -> pqTopKSql,
     // q62 oracle: the Bloom stage is a pure prefilter (no false
     // negatives) and the verify restores exactness, so the engine result
     // equals the plain NOT EXISTS on the content hash. Null-text rows
@@ -665,6 +670,47 @@ object SparkEntry {
        |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM cells c LEFT JOIN sdrops d ON d.vec_id = c.vec_id
        |ORDER BY c.vec_id""".stripMargin
+
+  /** q100/q101 oracle: product quantization mirrored literally — the
+    * md5-ordered seed sample sliced into m=4 subspace codebooks of 16
+    * codewords (sub-width 16 of dim 64), per-subspace argmin of the
+    * identical `x·x − 2·x·w + w·w` arithmetic (ties to the lowest code),
+    * ADC cosine `Σ dot(q_s, w) / (|q|·√Σ|w|²)` summed per vector. The
+    * engine's [[graft.ops.Similarity.pqTopK]] computes every dot in the
+    * same ascending-index order as `list_dot_product`, so the
+    * deterministic approximation hash-checks like an exact query.
+    */
+  private def pqTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL AND LEN(embedding) > 0),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cbs AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, v
+       |        FROM seeds),
+       |cw AS (SELECT t.s, c.code, c.v[t.s*16+1 : t.s*16+16] AS w
+       |       FROM cbs c CROSS JOIN range(4) t(s)),
+       |enc AS (SELECT e.vec_id, w.s, w.code,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id, w.s
+       |            ORDER BY (list_dot_product(e.v[w.s*16+1 : w.s*16+16],
+       |                                       e.v[w.s*16+1 : w.s*16+16])
+       |                      - 2*list_dot_product(e.v[w.s*16+1 : w.s*16+16], w.w)
+       |                      + list_dot_product(w.w, w.w)), w.code) AS rn
+       |        FROM e CROSS JOIN cw w),
+       |codes AS (SELECT vec_id, s, code FROM enc WHERE rn = 1),
+       |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+       |parts AS (SELECT c.vec_id, c.s AS s,
+       |            list_dot_product(qv.q[c.s*16+1 : c.s*16+16], w.w) AS dp,
+       |            list_dot_product(w.w, w.w) AS n2
+       |          FROM codes c JOIN cw w ON w.s = c.s AND w.code = c.code, qv),
+       |sums AS (SELECT vec_id, list_sum(list(dp ORDER BY s)) AS sd,
+       |                list_sum(list(n2 ORDER BY s)) AS sn2
+       |         FROM parts GROUP BY vec_id),
+       |ranked AS (SELECT sums.vec_id,
+       |             ROUND(sd / (SQRT(list_dot_product(qv.q, qv.q)) * SQRT(sn2)),
+       |                   6) AS pq_score
+       |           FROM sums, qv
+       |           ORDER BY pq_score DESC, sums.vec_id LIMIT 10)
+       |SELECT vec_id, pq_score FROM ranked ORDER BY vec_id""".stripMargin
 
   private def annIvfSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

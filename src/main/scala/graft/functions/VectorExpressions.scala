@@ -610,6 +610,185 @@ object WordGramHashes {
   }
 }
 
+/** Product-quantization ENCODE: assign each of `m` subvectors of an
+  * `array<double>` vector its nearest codeword (squared-L2, ties to the
+  * lowest code), returning the `array<int>` of m codes — the
+  * memory-compression step of PQ ANN (Jégou et al. '11, "Product
+  * Quantization for Nearest Neighbor Search"): m small ints replace
+  * m·subDim doubles in every stored row.
+  *
+  * `codebooks(s)(c)` is codeword c of subspace s; all codewords of a
+  * subspace have the same width subDim, and input vectors must have
+  * exactly m·subDim components (fail fast — a silent prefix match would
+  * desynchronize the engine from the oracle's list slices).
+  *
+  * The squared distance is computed as `x·x − 2·x·w + w·w` (each dot an
+  * ascending-index loop, `w·w` precomputed per codeword) — the exact
+  * arithmetic the DuckDB oracle writes with `list_dot_product`, so the
+  * argmin can never diverge between engines, even at ULP-level ties.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.IntegerType
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "PqEncode needs at least one codeword per subspace")
+  require(codebooks.flatten.map(_.length).distinct.length == 1,
+    "all PQ codewords must share one subspace width")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  @transient private lazy val norm2: Array[Array[Double]] =
+    codebooks.map(_.map { w =>
+      var s = 0.0; var j = 0
+      while (j < w.length) { s += w(j) * w(j); j += 1 }
+      s
+    })
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqEncode.encode(codebooks, norm2, input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val n2Ref = ctx.addReferenceObj("norm2", norm2, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"${ev.value} = org.apache.spark.sql.graft.PqEncode.encode($cbRef, $n2Ref, $v);"
+    })
+  }
+
+  // content-based equality: the default identity equality on nested
+  // arrays breaks plan canonicalization (see NearestCentroid)
+  override def equals(o: Any): Boolean = o match {
+    case PqEncode(c, cbs) =>
+      c == child && cbs.length == codebooks.length &&
+        cbs.zip(codebooks).forall { case (a, b) =>
+          a.length == b.length &&
+            a.zip(b).forall { case (x, y) => java.util.Arrays.equals(x, y) }
+        }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      codebooks.map(_.map(java.util.Arrays.hashCode).toSeq).toSeq.hashCode()
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  /** Shared by interpreted eval and codegen: per-subspace argmin of
+    * `x·x − 2·x·w + w·w`, ties to the lowest code.
+    */
+  def encode(cb: Array[Array[Array[Double]]], n2: Array[Array[Double]],
+             v: ArrayData): ArrayData = {
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    val n = v.numElements()
+    if (n != m * subDim)
+      throw new IllegalArgumentException(
+        s"PqEncode: vector has $n components, codebooks expect ${m * subDim}")
+    val codes = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      var xx = 0.0
+      var j = 0
+      while (j < subDim) { val x = v.getDouble(off + j); xx += x * x; j += 1 }
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      val words = cb(s)
+      var c = 0
+      while (c < words.length) {
+        val w = words(c)
+        var xw = 0.0
+        j = 0
+        while (j < subDim) { xw += v.getDouble(off + j) * w(j); j += 1 }
+        val d = xx - 2.0 * xw + n2(s)(c)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+}
+
+/** Product-quantization ADC (asymmetric distance computation) scoring:
+  * approximate cosine between the LIVE query vector and a PQ-encoded
+  * corpus vector, from the codes alone — `Σ_s dot(q_s, w_{s,code_s})`
+  * over a per-query lookup table, normalized by the query norm and the
+  * reconstruction norm `√(Σ_s |w|²)`. One array probe and two adds per
+  * subspace — the scan never touches a stored float.
+  *
+  * `dots(s)(c)` = dot(q_s, codeword c of subspace s) and `norm2(s)(c)` =
+  * |codeword|² are driver-computed per query (m·nCodes doubles — LUT
+  * rides as a codegen reference object). Zero-norm guard returns 0 like
+  * cosineGuarded.
+  */
+case class PqAdcScore(child: Expression, dots: Array[Array[Double]],
+                      norm2: Array[Array[Double]], qNorm: Double)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.IntegerType
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqAdcScore.score(dots, norm2, qNorm, input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dRef = ctx.addReferenceObj("dots", dots, "double[][]")
+    val nRef = ctx.addReferenceObj("norm2", norm2, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"${ev.value} = org.apache.spark.sql.graft.PqAdcScore.score($dRef, $nRef, $qNorm, $v);"
+    })
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case PqAdcScore(c, ds, ns, qn) =>
+      c == child && qn == qNorm &&
+        ds.length == dots.length && ns.length == norm2.length &&
+        ds.zip(dots).forall { case (a, b) => java.util.Arrays.equals(a, b) } &&
+        ns.zip(norm2).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + qNorm.hashCode()) +
+      dots.map(java.util.Arrays.hashCode).toSeq.hashCode()
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcScore =
+    copy(child = newChild)
+}
+
+object PqAdcScore {
+  /** Shared by interpreted eval and codegen: LUT sum, ascending subspace
+    * order (the DuckDB oracle sums the same m terms), cosine-normalized.
+    */
+  def score(dots: Array[Array[Double]], norm2: Array[Array[Double]],
+            qNorm: Double, codes: ArrayData): Double = {
+    val m = codes.numElements()
+    var sd = 0.0
+    var sn2 = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      sd += dots(s)(c)
+      sn2 += norm2(s)(c)
+      s += 1
+    }
+    val denom = qNorm * math.sqrt(sn2)
+    if (denom == 0) 0.0 else sd / denom
+  }
+}
+
 /** Token shape statistics — (mean_word_len, digit_frac, top_token_share)
   * — in ONE pass over the space-split tokens.
   *
@@ -1220,6 +1399,14 @@ object VectorBridge {
 
   def wordGramHashes(words: Column, w: Int): Column =
     ExpressionUtils.column(WordGramHashes(ExpressionUtils.expression(words), w))
+
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ExpressionUtils.column(PqEncode(ExpressionUtils.expression(vec), codebooks))
+
+  def pqAdcScore(codes: Column, dots: Array[Array[Double]],
+                 norm2: Array[Array[Double]], qNorm: Double): Column =
+    ExpressionUtils.column(
+      PqAdcScore(ExpressionUtils.expression(codes), dots, norm2, qNorm))
 
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ExpressionUtils.column(NearestCentroid(ExpressionUtils.expression(vec), centroids))

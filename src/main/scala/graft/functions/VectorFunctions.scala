@@ -86,6 +86,21 @@ object VectorFunctions {
   def quantizeInt8(vec: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.quantizeInt8(vec)
 
+  /** Product-quantization encode: per-subspace nearest-codeword codes
+    * (array<int>, squared-L2, ties to the lowest code) — m small ints
+    * replace m·subDim doubles in a stored ANN row.
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.graft.VectorBridge.pqEncode(vec, codebooks)
+
+  /** Product-quantization ADC scoring: approximate cosine from the codes
+    * alone via a driver-built per-query lookup table (no stored floats
+    * touched in the scan).
+    */
+  def pqAdcScore(codes: Column, dots: Array[Array[Double]],
+                 norm2: Array[Array[Double]], qNorm: Double): Column =
+    org.apache.spark.sql.graft.VectorBridge.pqAdcScore(codes, dots, norm2, qNorm)
+
   /** Hashing-trick document vector: dim-wide token-bucket multiplicity
     * counts in one pass (md5-bucketed, engine-portable) — raw text into
     * the similarity family without a trained embedder.

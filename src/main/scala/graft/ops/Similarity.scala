@@ -725,6 +725,163 @@ object Similarity {
       .withColumnRenamed("cos_sim", "qcos_sim")
   }
 
+  // ──────────────────── Product quantization (PQ) ────────────────────
+  // The third compression rung of the ANN family, beside float and int8:
+  // PQ (Jégou et al. '11, "Product Quantization for Nearest Neighbor
+  // Search") splits each vector into m subvectors, snaps each to its
+  // nearest codeword from a per-subspace codebook, and stores only the m
+  // SMALL INTS — at dim=64/m=4 a stored row shrinks from 64 doubles to 4
+  // ints (~64×), and a probe scores candidates from a per-query lookup
+  // table without touching a stored float. At 100 TB of embeddings this
+  // is the difference between an index that fits the page cache and one
+  // that doesn't.
+
+  /** Slice `nCodes` seed vectors into `m` per-subspace codebooks —
+    * codeword c of subspace s is components [s·subDim, (s+1)·subDim) of
+    * seed c. Seeds come from the md5-ordered corpus sample (the
+    * [[ivfTopK]]/`ivfCentroids` convention), so codebooks are
+    * reproducible across runs and engines with no RNG state.
+    */
+  private def pqCodebooks(seeds: Array[Array[Double]],
+                          m: Int): Array[Array[Array[Double]]] = {
+    require(seeds.nonEmpty, "PQ needs at least one seed vector")
+    val dim = seeds.head.length
+    require(m >= 1 && dim % m == 0,
+      s"PQ: dim $dim must divide into m=$m equal subspaces")
+    val sub = dim / m
+    Array.tabulate(m)(s =>
+      seeds.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)))
+  }
+
+  /** Driver-side per-query ADC lookup tables: `dots(s)(c)` = dot of the
+    * query's subvector s with codeword (s, c); `norm2(s)(c)` = |codeword|²;
+    * plus the query norm. Ascending-index loops — the same summation
+    * order the DuckDB oracle's `list_dot_product` walks.
+    */
+  private def pqLut(cb: Array[Array[Array[Double]]], qv: Array[Double])
+      : (Array[Array[Double]], Array[Array[Double]], Double) = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    require(qv.length == m * sub,
+      s"PQ query vector has ${qv.length} components, codebooks expect ${m * sub}")
+    val dots = Array.tabulate(m) { s =>
+      cb(s).map { w =>
+        var d = 0.0; var j = 0
+        while (j < sub) { d += qv(s * sub + j) * w(j); j += 1 }
+        d
+      }
+    }
+    val n2 = cb.map(_.map { w =>
+      var t = 0.0; var j = 0
+      while (j < w.length) { t += w(j) * w(j); j += 1 }
+      t
+    })
+    var qq = 0.0
+    var j = 0
+    while (j < qv.length) { qq += qv(j) * qv(j); j += 1 }
+    (dots, n2, math.sqrt(qq))
+  }
+
+  /** PQ ANN top-k, in-memory form: codebooks seeded from the corpus
+    * (md5-ordered sample, like [[ivfTopK]]'s centroids), every vector
+    * encoded to m codes by the codegen'd [[graft.functions
+    * .VectorFunctions.pqEncode]] projection, candidates scored by the
+    * ADC lookup table ([[graft.functions.VectorFunctions.pqAdcScore]]).
+    *
+    * Plan shape at any scale: ONE bounded driver job (nCodes seed rows +
+    * the query vector, tagged and unioned — the ivfTopK fetch), then
+    * scan → encode → score → TakeOrderedAndProject. No shuffle, no join;
+    * the LUT rides as a codegen reference object. `pq_score` is the ADC
+    * approximation of cosine (query side exact, corpus side
+    * reconstructed), deterministic end to end — the DuckDB oracle
+    * rebuilds it bit-for-bit, so the approximation hash-checks like an
+    * exact query (the q32/q39 convention). For a standing corpus use
+    * [[buildPqIndex]]/[[pqIndexTopK]].
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int, m: Int = 4, nCodes: Int = 16,
+             scale: Int = 6): DataFrame = {
+    val e = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    // ONE bounded driver job for both setup fetches (the ivfTopK shape)
+    val seeded = e
+      .select(col(idCol).as("_id"), col("_v"), md5(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("_id"))
+      .limit(nCodes)
+      .select(lit(0).as("_t"), col("_h"), col("_id").cast("string").as("_id"), col("_v"))
+    val qrow = e.filter(col(idCol) === queryId)
+      .select(lit(1).as("_t"), lit("").as("_h"), lit("").as("_id"), col("_v"))
+    val setup = seeded.unionAll(qrow).collect()
+    val seeds = setup.filter(_.getInt(0) == 0)
+      .sortBy(r => (r.getString(1), r.getString(2)))
+      .map(_.getSeq[Double](3).toArray)
+    val qv = setup.find(_.getInt(0) == 1)
+      .map(_.getSeq[Double](3).toArray)
+      .getOrElse(throw new NoSuchElementException(s"query id $queryId not in corpus"))
+    val cb = pqCodebooks(seeds, m)
+    val (dots, n2, qn) = pqLut(cb, qv)
+    e.select(col(idCol),
+        graft.functions.VectorFunctions.pqEncode(col("_v"), cb).as("_codes"))
+      .select(col(idCol),
+        round(graft.functions.VectorFunctions.pqAdcScore(col("_codes"), dots, n2, qn),
+          scale).as("pq_score"))
+      .orderBy(col("pq_score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Build a PQ index at `path`:
+    *   `path/codebooks` — (s, code, w), m·nCodes rows;
+    *   `path/data`      — (id, codes: array<int>), the WHOLE compression
+    *                      story: m ints per corpus vector.
+    * Same md5-ordered deterministic seeding as [[pqTopK]], so a probe of
+    * the persisted layout returns exactly the in-memory op's results.
+    */
+  def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
+                   m: Int = 4, nCodes: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    val seeds: Array[Array[Double]] = e
+      .select(col(idCol).as("_id"), col("_v"), md5(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("_id"))
+      .limit(nCodes)
+      .select(col("_v")).collect().map(_.getSeq[Double](0).toArray)
+    val cb = pqCodebooks(seeds, m)
+    cb.zipWithIndex.flatMap { case (words, s) =>
+        words.zipWithIndex.map { case (w, c) => (s, c, w.toSeq) }
+      }.toSeq.toDF("s", "code", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    e.select(col(idCol),
+        graft.functions.VectorFunctions.pqEncode(col("_v"), cb).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/data")
+  }
+
+  /** Top-k over a persisted PQ index ([[buildPqIndex]]): the codebooks
+    * (m·nCodes rows, bounded by construction) come to the driver, the
+    * per-query LUT is computed there, and the single data scan reads
+    * ONLY (id, codes) — m ints per row, never a stored float — scored by
+    * the codegen'd ADC projection into a TakeOrderedAndProject. Zero
+    * joins, zero shuffles.
+    */
+  def pqIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                  idCol: String, queryVec: Array[Double],
+                  k: Int, scale: Int = 6): DataFrame = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("s"), col("code"), col("w")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val nCodes = rows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Double]](m, nCodes)
+    rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val (dots, n2, qn) = pqLut(cb, queryVec)
+    spark.read.parquet(s"$path/data")
+      .select(col(idCol),
+        round(graft.functions.VectorFunctions.pqAdcScore(col("codes"), dots, n2, qn),
+          scale).as("pq_score"))
+      .orderBy(col("pq_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Dynamic-partition-pruning self-repair for the persisted-index k-NN
     * joins. Spark's PartitionPruning rule inserts the pruning subquery
     * only when the probe side is a file-backed scan with a surviving

@@ -237,6 +237,37 @@ object Extensions {
         queryId = 0L, k = 10)
       .orderBy(col("vec_id"))
 
+  // q100 PRODUCT-QUANTIZATION top-k — the third compression rung of the
+  // ANN family (float → int8 → PQ codes): md5-seeded per-subspace
+  // codebooks, every vector stored as m=4 codes, candidates scored from
+  // the per-query ADC lookup table without touching a stored float. The
+  // approximation is deterministic end to end, so it hash-checks like an
+  // exact query (the q32/q39 convention).
+  val q100_pq_topk: Q = (s, d) =>
+    Similarity.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, m = 4, nCodes = 16)
+      .orderBy(col("vec_id"))
+
+  // q101 PQ top-k served from the PERSISTED layout (codes only on disk:
+  // m ints per vector vs 64 doubles — the index that still fits the page
+  // cache at 100 TB of embeddings). Same deterministic codebooks as
+  // q100, so the probe hash-checks against the same oracle. Memoized per
+  // corpus dir like q57/q61 (a standing index is an input, not
+  // per-query work).
+  private val pqIndexDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q101_pq_index_topk: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val dir = pqIndexDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_q101_pqidx_").toString
+      Similarity.buildPqIndex(emb, "vec_id", "embedding", p, m = 4, nCodes = 16)
+      p
+    })
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    Similarity.pqIndexTopK(s, dir, "vec_id", qv, k = 10)
+      .orderBy(col("vec_id"))
+  }
+
   // q49 duplicated-span pressure: fraction of each doc's winnowing spans
   // (q40's fingerprints, k=8/t=16) shared with other docs + keep flag —
   // the span-dedup screen.
@@ -944,5 +975,7 @@ object Extensions {
     "q96_orc_roundtrip" -> q96_orc_roundtrip,
     "q97_boilerplate_lines" -> q97_boilerplate_lines,
     "q98_chunk_docs" -> q98_chunk_docs,
-    "q99_lines_against_index" -> q99_lines_against_index)
+    "q99_lines_against_index" -> q99_lines_against_index,
+    "q100_pq_topk" -> q100_pq_topk,
+    "q101_pq_index_topk" -> q101_pq_index_topk)
 }

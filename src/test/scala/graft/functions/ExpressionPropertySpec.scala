@@ -71,6 +71,44 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("PqEncode == independent driver argmin; PqAdcScore == reconstruction cosine") {
+    // independent reference arithmetic: squared L2 as sum((x-w)^2) — a
+    // DIFFERENT formula from the expression's x·x − 2·x·w + w·w, so
+    // agreement pins the semantics, not the implementation
+    val m = 2; val sub = 4; val nCodes = 5
+    val cb: Array[Array[Array[Double]]] =
+      Array.fill(m)(Array.fill(nCodes)(vec(sub)))
+    val vecs = List.fill(40)(vec(m * sub))
+    def refEncode(v: Array[Double]): Seq[Int] =
+      (0 until m).map { s =>
+        val x = v.slice(s * sub, (s + 1) * sub)
+        (0 until nCodes).minBy(c =>
+          (x.zip(cb(s)(c)).map { case (a, b) => (a - b) * (a - b) }.sum, c))
+      }
+    val out = vecs.map(Tuple1(_)).toDF("v")
+      .select(VectorFunctions.pqEncode(col("v"), cb).as("codes"))
+      .as[Seq[Int]].collect()
+    vecs.zip(out).foreach { case (v, codes) =>
+      assert(codes == refEncode(v), s"encode mismatch for ${v.toSeq}")
+    }
+    // ADC score == cosine(q, reconstruction-from-codes)
+    val qv = vec(m * sub)
+    val dots = Array.tabulate(m)(s => cb(s).map(w =>
+      w.indices.map(j => qv(s * sub + j) * w(j)).sum))
+    val n2 = cb.map(_.map(w => w.map(x => x * x).sum))
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val scored = vecs.map(Tuple1(_)).toDF("v")
+      .select(VectorFunctions.pqAdcScore(
+        VectorFunctions.pqEncode(col("v"), cb), dots, n2, qn).as("s"))
+      .as[Double].collect()
+    vecs.zip(scored).foreach { case (v, s) =>
+      val rec = refEncode(v).zipWithIndex.flatMap { case (c, sp) => cb(sp)(c) }
+      val ref = rec.zip(qv).map { case (a, b) => a * b }.sum /
+        (qn * math.sqrt(rec.map(x => x * x).sum))
+      assert(math.abs(s - ref) < 1e-9, s"adc $s vs ref $ref")
+    }
+  }
+
   test("SimHashBits == explode+groupBy majority-vote composition") {
     val bits = 16
     val df = (List.fill(40)(text()) :+ "" :+ "x")
@@ -153,7 +191,11 @@ class ExpressionPropertySpec extends SparkSpec {
           Seq(Seq("tok", "b"), Seq("c"))).as("tp"),
         VectorFunctions.dot(col("v"), col("v")).as("d"),
         VectorFunctions.hashEmbed(col("text"), 16).as("he"),
-        VectorFunctions.wordGramHashes(split(col("text"), " "), 3).as("gh"))
+        VectorFunctions.wordGramHashes(split(col("text"), " "), 3).as("gh"),
+        VectorFunctions.pqAdcScore(
+          VectorFunctions.pqEncode(col("v"), Array.fill(2)(Array.fill(3)(vec(4)))),
+          Array.fill(2)(Array.fill(3)(0.5)), Array.fill(2)(Array.fill(3)(1.0)),
+          1.0).as("pq"))
     df.collect() // force execution so the plan is final
     val planStr = df.queryExecution.executedPlan.toString
     val projectLines = planStr.linesIterator.filter(_.contains("Project [")).toList

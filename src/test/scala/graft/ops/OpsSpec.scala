@@ -332,6 +332,68 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no window rank expected:\n$plan")
   }
 
+  test("pqTopK: self-consistent, deterministic, persisted twin byte-identical") {
+    val rng = new scala.util.Random(11)
+    val emb = (0L until 60L).map(i => (i, Seq.fill(8)(rng.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 5, m = 2, nCodes = 4).collect().toSeq
+    assert(a.size == 5)
+    // deterministic: a re-run returns the identical ranking and scores
+    val b = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 5, m = 2, nCodes = 4).collect().toSeq
+    assert(a == b)
+    // the persisted layout serves the same retrieval bit-for-bit (same
+    // md5-seeded codebooks — the q57-vs-q54 convention)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx_").toString
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", dir, m = 2, nCodes = 4)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    val c = Similarity.pqIndexTopK(spark, dir, "vec_id", qv, k = 5).collect().toSeq
+    assert(a.map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      c.map(r => (r.getLong(0), r.getDouble(1))).toSet)
+    // the stored rows are the compression story: m ints per vector
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.schema("codes").dataType.simpleString == "array<int>")
+    val lens = data.select(size(col("codes"))).as[Int].collect().toSet
+    assert(lens == Set(2))
+  }
+
+  test("pq: null/empty vectors excluded, dim mismatch fails fast") {
+    val emb = Seq(
+      (0L, Some(Seq(1.0, 0.0, 0.0, 1.0))),
+      (1L, Some(Seq(0.5, 0.5, 0.5, 0.5))),
+      (2L, None),
+      (3L, Some(Seq.empty[Double])))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, m = 2, nCodes = 2).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(0L, 1L)) // nulls/empties gone
+    // a dim that doesn't divide into m subspaces is an error, not a
+    // silent prefix match — caught driver-side at codebook construction
+    val bad = Seq((0L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(bad, "vec_id", "embedding",
+        queryId = 0L, k = 1, m = 2, nCodes = 1).collect()
+    }
+    assert(e.getMessage.contains("subspaces"))
+    // a MIXED-width corpus passes codebook construction (the single seed
+    // — id 1, lowest md5 — is well-formed) but the stray row must fail
+    // the encode, not match a prefix
+    val mixed = Seq(
+      (0L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)), // stray: dim 8
+      (1L, Seq(1.0, 0.0, 0.0, 1.0)))                     // seed + query: dim 4
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Similarity.pqTopK(mixed, "vec_id", "embedding",
+        queryId = 1L, k = 2, m = 2, nCodes = 1).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e2).exists(c =>
+      Option(c.getMessage).exists(_.contains("PqEncode"))))
+  }
+
   test("temperatureFracs: t=1 natural, t=0 balanced to the smallest stratum") {
     val df = (Seq.fill(800)("big") ++ Seq.fill(200)("mid") ++ Seq.fill(50)("small"))
       .toDF("src")
