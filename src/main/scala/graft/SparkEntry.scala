@@ -283,6 +283,7 @@ object SparkEntry {
     // codebooks), the q57-vs-q54 convention
     "q100_pq_topk" -> pqTopKSql,
     "q101_pq_index_topk" -> pqTopKSql,
+    "q102_ann_recall" -> annRecallSql,
     // q62 oracle: the Bloom stage is a pure prefilter (no false
     // negatives) and the verify restores exactness, so the engine result
     // equals the plain NOT EXISTS on the content hash. Null-text rows
@@ -795,6 +796,48 @@ object SparkEntry {
        |    ORDER BY cos_sim DESC, vec_id) AS rk FROM cand)
        |SELECT q_id, vec_id, cos_sim FROM ranked WHERE rk <= 10
        |ORDER BY q_id, vec_id""".stripMargin
+
+  /** q102 oracle: recall@10 of the q54 IVF k-NN join against the exact
+    * brute-force top-10 — q54's CTEs verbatim for the approximate side,
+    * a plain per-query ROW_NUMBER over the full corpus for the truth
+    * side, membership compared on the (q_id, vec_id) pair.
+    */
+  private def annRecallSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
+       |         FROM seeds),
+       |asgn AS (SELECT e.vec_id, e.v, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
+       |         FROM e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, v, cell FROM asgn WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |probes AS (SELECT q_id, qv, cell FROM (
+       |  SELECT q.q_id, q.qv, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${cosSql("c.cv", "q.qv")} DESC, c.cell) AS rn
+       |  FROM q CROSS JOIN cent c) t WHERE rn <= 3),
+       |cand AS (SELECT p.q_id, cells.vec_id,
+       |           ROUND(${cosSql("cells.v", "p.qv")}, 6) AS cos_sim
+       |         FROM cells JOIN probes p ON cells.cell = p.cell),
+       |approx AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS rk FROM cand) t WHERE rk <= 10),
+       |bt AS (SELECT q.q_id, e.vec_id,
+       |         ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |           ORDER BY ROUND(${cosSql("e.v", "q.qv")}, 6) DESC, e.vec_id) AS rk
+       |       FROM e CROSS JOIN q),
+       |truth AS (SELECT q_id, vec_id FROM bt WHERE rk <= 10),
+       |hits AS (SELECT t.q_id,
+       |           CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS h
+       |         FROM truth t LEFT JOIN approx a
+       |           ON a.q_id = t.q_id AND a.vec_id = t.vec_id)
+       |SELECT q_id, COUNT(*) AS n_truth, CAST(SUM(h) AS BIGINT) AS n_hit,
+       |       ROUND(CAST(SUM(h) AS DOUBLE) / COUNT(*), 6) AS recall
+       |FROM hits GROUP BY q_id ORDER BY q_id""".stripMargin
 
   /** q61 oracle: the QUANTIZED IVF-index k-NN join mirrored exactly —
     * q54's cell CTEs verbatim (full-precision md5-seed centroids,

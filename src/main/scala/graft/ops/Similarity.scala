@@ -348,6 +348,47 @@ object Similarity {
       idCol, k)
   }
 
+  /** Exact brute-force k-NN JOIN — the ground-truth baseline the
+    * approximate family ([[lshKnnJoin]]/[[ivfKnnJoin]]/PQ) trades
+    * against, and the truth side of the [[annRecall]] audit. Cost is
+    * |corpus| × |queries| similarity evaluations: the query side is
+    * broadcast (no corpus shuffle — candidates collapse into the bounded
+    * per-query top-k aggregation), so this is the right tool for a
+    * BOUNDED query set (an eval suite, a recall audit sample), never for
+    * query sets that scale with the corpus.
+    */
+  def bruteKnnJoin(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String,
+                   qIdCol: String, qVecCol: String,
+                   k: Int, scale: Int = 6): DataFrame = {
+    requireIntegralId(corpus, idCol, "bruteKnnJoin")
+    val qb = queries.select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+    topKPerQuery(
+      corpus.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+        .crossJoin(broadcast(qb))
+        .select(col("q_id"), col(idCol),
+          round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim")),
+      idCol, k)
+  }
+
+  /** Recall@k audit — the acceptance gauge for every approximate
+    * retrieval deployment: per query, the fraction of the exact top-k
+    * (`truth`) that the approximate result (`approx`) found. Both inputs
+    * are k-NN-join outputs (q_id, idCol, ...) with at most one row per
+    * (q_id, id) pair — the join-family contract. One equi-join on the
+    * (q_id, id) pair key and one per-query aggregation; output
+    * (q_id, n_truth, n_hit, recall).
+    */
+  def annRecall(approx: DataFrame, truth: DataFrame, idCol: String): DataFrame =
+    truth.select(col("q_id"), col(idCol))
+      .join(approx.select(col("q_id"), col(idCol)).withColumn("_hit", lit(1L)),
+        Seq("q_id", idCol), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_truth"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+
   /** Driver-side probe selection: the `nProbe` cells whose centroids are
     * nearest the query by cosine — over a table bounded at nCells rows.
     */

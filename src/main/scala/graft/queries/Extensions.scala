@@ -268,6 +268,20 @@ object Extensions {
       .orderBy(col("vec_id"))
   }
 
+  // q102 ANN recall audit — the acceptance gauge for the approximate
+  // family: q54's IVF k-NN join scored against the exact brute-force
+  // top-10 for the same query set. Both sides deterministic, so the
+  // recall numbers hash-check like exact queries.
+  val q102_ann_recall: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val approx = Similarity.ivfKnnJoin(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10, nCells = 16, nProbe = 3)
+    val truth = Similarity.bruteKnnJoin(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    Similarity.annRecall(approx, truth, "vec_id").orderBy(col("q_id"))
+  }
+
   // q49 duplicated-span pressure: fraction of each doc's winnowing spans
   // (q40's fingerprints, k=8/t=16) shared with other docs + keep flag —
   // the span-dedup screen.
@@ -977,5 +991,6 @@ object Extensions {
     "q98_chunk_docs" -> q98_chunk_docs,
     "q99_lines_against_index" -> q99_lines_against_index,
     "q100_pq_topk" -> q100_pq_topk,
-    "q101_pq_index_topk" -> q101_pq_index_topk)
+    "q101_pq_index_topk" -> q101_pq_index_topk,
+    "q102_ann_recall" -> q102_ann_recall)
 }

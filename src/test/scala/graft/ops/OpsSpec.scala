@@ -394,6 +394,33 @@ class OpsSpec extends SparkSpec {
       Option(c.getMessage).exists(_.contains("PqEncode"))))
   }
 
+  test("bruteKnnJoin: self is top hit, k bound holds; annRecall fractions exact") {
+    val rng = new scala.util.Random(5)
+    val emb = (0L until 30L).map(i => (i, Seq.fill(6)(rng.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val truth = Similarity.bruteKnnJoin(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    val rows = truth.collect()
+    assert(rows.length == 3 * 5)
+    // each query's best hit is itself (cosine 1)
+    val best = rows.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.maxBy(r => (r.getDouble(2), -r.getLong(1))).getLong(1)
+    }
+    assert(best == Map(0L -> 0L, 10L -> 10L, 20L -> 20L))
+    // recall of truth against itself is 1 everywhere
+    val self = Similarity.annRecall(truth, truth, "vec_id").collect()
+    assert(self.forall(r => r.getDouble(3) == 1.0 && r.getLong(1) == 5))
+    // a partial approx: drop two of query 0's five hits, all of query 10's
+    val partial = truth.filter(
+      (col("q_id") === 0L && col("vec_id") % 2 === 0) || col("q_id") === 20L)
+    val rec = Similarity.annRecall(partial, truth, "vec_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rec(20L) == ((5L, 1.0)))
+    assert(rec(10L) == ((0L, 0.0))) // absent query scores 0, not a missing row
+    assert(rec(0L)._1 < 5L && rec(0L)._2 == rec(0L)._1 / 5.0)
+  }
+
   test("temperatureFracs: t=1 natural, t=0 balanced to the smallest stratum") {
     val df = (Seq.fill(800)("big") ++ Seq.fill(200)("mid") ++ Seq.fill(50)("small"))
       .toDF("src")
