@@ -284,6 +284,7 @@ object SparkEntry {
     "q100_pq_topk" -> pqTopKSql,
     "q101_pq_index_topk" -> pqTopKSql,
     "q102_ann_recall" -> annRecallSql,
+    "q103_ivfpq_topk" -> ivfPqTopKSql,
     // q62 oracle: the Bloom stage is a pure prefilter (no false
     // negatives) and the verify restores exactness, so the engine result
     // equals the plain NOT EXISTS on the content hash. Null-text rows
@@ -699,6 +700,57 @@ object SparkEntry {
        |        FROM e CROSS JOIN cw w),
        |codes AS (SELECT vec_id, s, code FROM enc WHERE rn = 1),
        |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+       |parts AS (SELECT c.vec_id, c.s AS s,
+       |            list_dot_product(qv.q[c.s*16+1 : c.s*16+16], w.w) AS dp,
+       |            list_dot_product(w.w, w.w) AS n2
+       |          FROM codes c JOIN cw w ON w.s = c.s AND w.code = c.code, qv),
+       |sums AS (SELECT vec_id, list_sum(list(dp ORDER BY s)) AS sd,
+       |                list_sum(list(n2 ORDER BY s)) AS sn2
+       |         FROM parts GROUP BY vec_id),
+       |ranked AS (SELECT sums.vec_id,
+       |             ROUND(sd / (SQRT(list_dot_product(qv.q, qv.q)) * SQRT(sn2)),
+       |                   6) AS pq_score
+       |           FROM sums, qv
+       |           ORDER BY pq_score DESC, sums.vec_id LIMIT 10)
+       |SELECT vec_id, pq_score FROM ranked ORDER BY vec_id""".stripMargin
+
+  /** q103 oracle: IVF-PQ composed from proven fragments — the q39/q54
+    * cell CTEs (md5-seeded centroids, argmax-cosine assignment, top-3
+    * probe cells) select WHICH rows are scored; the q100 PQ CTEs
+    * (identical md5-ordered seed sample sliced into codebooks,
+    * `x·x − 2·x·w + w·w` argmin encode, ordered ADC sums) say HOW.
+    * nCells = nCodes = 16, so centroids and codebooks share the seed
+    * rows — two different structures over one deterministic sample.
+    */
+  private def ivfPqTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL AND LEN(embedding) > 0),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
+       |         FROM seeds),
+       |asgn AS (SELECT e.vec_id, e.v, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
+       |         FROM e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, v, cell FROM asgn WHERE rn = 1),
+       |cbs AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, v
+       |        FROM seeds),
+       |cw AS (SELECT t.s, c.code, c.v[t.s*16+1 : t.s*16+16] AS w
+       |       FROM cbs c CROSS JOIN range(4) t(s)),
+       |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+       |probes AS (SELECT c.cell FROM cent c, qv
+       |           ORDER BY ${cosSql("c.cv", "qv.q")} DESC, c.cell LIMIT 3),
+       |members AS (SELECT vec_id, v FROM cells
+       |            WHERE cell IN (SELECT cell FROM probes)),
+       |enc AS (SELECT m.vec_id, w.s, w.code,
+       |          ROW_NUMBER() OVER (PARTITION BY m.vec_id, w.s
+       |            ORDER BY (list_dot_product(m.v[w.s*16+1 : w.s*16+16],
+       |                                       m.v[w.s*16+1 : w.s*16+16])
+       |                      - 2*list_dot_product(m.v[w.s*16+1 : w.s*16+16], w.w)
+       |                      + list_dot_product(w.w, w.w)), w.code) AS rn
+       |        FROM members m CROSS JOIN cw w),
+       |codes AS (SELECT vec_id, s, code FROM enc WHERE rn = 1),
        |parts AS (SELECT c.vec_id, c.s AS s,
        |            list_dot_product(qv.q[c.s*16+1 : c.s*16+16], w.w) AS dp,
        |            list_dot_product(w.w, w.w) AS n2

@@ -898,6 +898,82 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/data")
   }
 
+  /** Build an IVF-PQ index at `path` — the cell-partitioned layout with
+    * PQ-code storage, completing the layout×storage matrix
+    * ({IVF cells} × {float, int8, PQ codes}):
+    *   `path/centroids` — the IVF coarse quantizer (nCells rows);
+    *   `path/codebooks` — the PQ codebooks (m·nCodes rows);
+    *   `path/data`      — (id, codes: array<int>), PARTITIONED BY cell.
+    * A probe prunes non-probed cell DIRECTORIES at file-listing time
+    * (the [[ivfIndexTopK]] property) and then reads m ints per surviving
+    * row (the [[pqIndexTopK]] property) — at 100 TB of embeddings the
+    * probed bytes shrink by nProbe/nCells × ~64× versus a flat float
+    * scan. Cell assignment and codebooks both come from the
+    * full-precision vectors and the same md5-ordered deterministic
+    * sample (the engine's quantize-after-placing convention, like
+    * [[buildIvfIndexQuantized]]); codes encode the RAW vector, not the
+    * cell residual — classic IVF-PQ's residual encoding buys recall at
+    * equal code budget but couples every code to its cell's centroid;
+    * raw encoding keeps one global codebook, one ADC table per query,
+    * and an engine-portable oracle.
+    */
+  def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
+                      nCells: Int = 16, m: Int = 4, nCodes: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val clean = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    val e = clean.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    val centroids = ivfCentroids(e, idCol, nCells, kmeansIters = 0)
+    writeCentroids(spark, centroids, path)
+    val seeds: Array[Array[Double]] = e
+      .select(col(idCol).as("_id"), col("_v"), md5(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("_id"))
+      .limit(nCodes)
+      .select(col("_v")).collect().map(_.getSeq[Double](0).toArray)
+    val cb = pqCodebooks(seeds, m)
+    cb.zipWithIndex.flatMap { case (words, s) =>
+        words.zipWithIndex.map { case (w, c) => (s, c, w.toSeq) }
+      }.toSeq.toDF("s", "code", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    e.select(col(idCol),
+        graft.functions.VectorFunctions.pqEncode(col("_v"), cb).as("codes"),
+        graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+  }
+
+  /** Top-k over an IVF-PQ index ([[buildIvfPqIndex]]): bounded driver
+    * reads for both small tables (centroids → probe cells, codebooks →
+    * ADC LUT), then ONE scan that prunes non-probed cell directories via
+    * PartitionFilters and reads only (id, codes) from the survivors,
+    * scored by the codegen'd ADC projection into TakeOrderedAndProject.
+    * Zero joins, zero shuffles. Scores are identical to [[pqIndexTopK]]
+    * over the same codebooks — the cells change WHICH rows are scored,
+    * never how.
+    */
+  def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                     idCol: String, queryVec: Array[Double],
+                     k: Int, nProbe: Int = 3, scale: Int = 6): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val probes = nearestCells(cents, queryVec, nProbe)
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("s"), col("code"), col("w")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val nCodes = rows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Double]](m, nCodes)
+    rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val (dots, n2, qn) = pqLut(cb, queryVec)
+    spark.read.parquet(s"$path/data")
+      .filter(col("cell").isin(probes.toIndexedSeq: _*))
+      .select(col(idCol),
+        round(graft.functions.VectorFunctions.pqAdcScore(col("codes"), dots, n2, qn),
+          scale).as("pq_score"))
+      .orderBy(col("pq_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Top-k over a persisted PQ index ([[buildPqIndex]]): the codebooks
     * (m·nCodes rows, bounded by construction) come to the driver, the
     * per-query LUT is computed there, and the single data scan reads

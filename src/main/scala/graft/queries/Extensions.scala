@@ -268,6 +268,25 @@ object Extensions {
       .orderBy(col("vec_id"))
   }
 
+  // q103 IVF-PQ top-k — the cell-partitioned layout with PQ-code
+  // storage: a probe prunes non-probed cell DIRECTORIES and reads m=4
+  // ints per surviving row. Same md5-seeded centroids as q39/q54 and
+  // codebooks as q100, so the composition hash-checks deterministically.
+  private val ivfPqIndexDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q103_ivfpq_topk: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val dir = ivfPqIndexDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_q103_ivfpq_").toString
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", p,
+        nCells = 16, m = 4, nCodes = 16)
+      p
+    })
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    Similarity.ivfPqIndexTopK(s, dir, "vec_id", qv, k = 10, nProbe = 3)
+      .orderBy(col("vec_id"))
+  }
+
   // q102 ANN recall audit — the acceptance gauge for the approximate
   // family: q54's IVF k-NN join scored against the exact brute-force
   // top-10 for the same query set. Both sides deterministic, so the
@@ -992,5 +1011,6 @@ object Extensions {
     "q99_lines_against_index" -> q99_lines_against_index,
     "q100_pq_topk" -> q100_pq_topk,
     "q101_pq_index_topk" -> q101_pq_index_topk,
-    "q102_ann_recall" -> q102_ann_recall)
+    "q102_ann_recall" -> q102_ann_recall,
+    "q103_ivfpq_topk" -> q103_ivfpq_topk)
 }

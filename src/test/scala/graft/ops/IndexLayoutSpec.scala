@@ -117,6 +117,36 @@ class IndexLayoutSpec extends SparkSpec {
       s"PartitionFilters must prune to exactly nProbe cells, got $probes in:\n$plan")
   }
 
+  test("IVF-PQ index: cell dirs + code storage, pruned probes, scores match flat PQ on probed rows") {
+    val dir = tmpDir("graft_ivfpq_")
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
+      nCells = 8, m = 4, nCodes = 8)
+    // hive cell layout AND code-only storage in one index
+    val dirs = new java.io.File(s"$dir/data").list().filter(_.startsWith("cell="))
+    assert(dirs.nonEmpty && dirs.length <= 8, s"expected cell= dirs, got ${dirs.toList}")
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.schema("codes").dataType.simpleString == "array<int>")
+    assert(!data.columns.contains("embedding"), "IVF-PQ data must not store floats")
+
+    val df = Similarity.ivfPqIndexTopK(spark, dir, "vec_id", qv, k = 11, nProbe = 3)
+    val out = df.collect()
+    assert(out.length == 11)
+    val plan = df.queryExecution.executedPlan.toString
+    val probes = partitionFilterInList(plan, "cell")
+    assert(probes.length == 3,
+      s"PartitionFilters must prune to exactly nProbe cells, got $probes in:\n$plan")
+
+    // the cells change WHICH rows are scored, never how: a flat PQ index
+    // over the same corpus (same md5 seeding) scores every probed id
+    // identically
+    val flat = tmpDir("graft_pqflat_")
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", flat, m = 4, nCodes = 8)
+    val flatScores = Similarity.pqIndexTopK(spark, flat, "vec_id", qv, k = 200)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach(r => assert(flatScores(r.getLong(0)) == r.getDouble(1),
+      s"score drift for ${r.getLong(0)}"))
+  }
+
   test("LSH index: bucket-partitioned layout, multi-probe prunes to nBits+1 partitions, recall holds") {
     val dir = tmpDir("graft_lshidx_")
     Similarity.buildLshIndex(emb, "vec_id", "embedding", dir, dim = dim, nBits = 6)
