@@ -13,7 +13,11 @@ package graft
   * there is no join key by construction). That is the
   * documented scan shape (Similarity.bruteForceTopK), not a scale risk;
   * the invariant the audit guards is that no MULTI-ROW join is ever a
-  * nested loop — every relation-to-relation join stays equi-keyed.
+  * nested loop — every relation-to-relation join stays equi-keyed. One
+  * carve-out: q102's ground-truth side (Similarity.bruteKnnJoin) cross-
+  * joins the BOUNDED recall-audit query sample (its documented contract
+  * — an eval suite, never a corpus-scaled set), so its bnlj build side
+  * is that bounded broadcast, not a relation.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -46,7 +50,8 @@ object PlanAudit {
       "q88_excise_spans", "q89_bm25_join_capped", "q90_collapse_repeats",
       "q91_excise_against_index", "q92_training_order",
       "q95_balanced_mixture", "q97_boilerplate_lines", "q98_chunk_docs",
-      "q99_lines_against_index")
+      "q99_lines_against_index", "q100_pq_topk", "q101_pq_index_topk",
+      "q102_ann_recall", "q103_ivfpq_topk")
     // optional args = audit only these queries (iterating on one
     // operator); a trailing `--json <path>` additionally writes the
     // table as the per-round PLANAUDIT artifact, so plan-shape
