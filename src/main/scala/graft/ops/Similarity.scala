@@ -823,6 +823,73 @@ object Similarity {
     (dots, n2, math.sqrt(qq))
   }
 
+  /** Lloyd-refine the PQ codebooks: each round re-encodes the corpus
+    * under the current codebooks and replaces every codeword with the
+    * mean of the subvectors assigned to it (k-means in each subspace,
+    * all m subspaces in ONE job — posexplode the code array, slice the
+    * matching subvector, one map-side-combined [[graft.functions
+    * .VectorMean]] aggregation on (s, code): the shuffle carries
+    * m·nCodes·subDim doubles per partition, never raw vectors). Empty
+    * codewords keep their seeds, the [[ivfCentroids]] convention.
+    * Refinement shrinks quantization error (spec-pinned non-increasing
+    * on the fixture) but moves codewords off the deterministic seed
+    * sample — the oracle-checked q100/q101/q103 paths run iters = 0,
+    * exactly like the IVF queries do.
+    */
+  private def pqRefine(e: DataFrame, cb0: Array[Array[Array[Double]]],
+                       iters: Int): Array[Array[Array[Double]]] = {
+    var cb = cb0
+    val sub = cb(0)(0).length
+    var it = 0
+    while (it < iters) {
+      val means = e
+        .select(col("_v"),
+          graft.functions.VectorFunctions.pqEncode(col("_v"), cb).as("_codes"))
+        .select(col("_v"), posexplode(col("_codes")).as(Seq("s", "code")))
+        .select(col("s"), col("code"),
+          expr(s"slice(_v, s * $sub + 1, $sub)").as("_sv"))
+        .groupBy(col("s"), col("code"))
+        .agg(graft.functions.VectorFunctions.vectorMean(col("_sv")).as("mv"))
+        .collect() // bounded: at most m·nCodes rows
+      val next = cb.map(_.map(_.clone()))
+      means.foreach { r =>
+        val mv = r.getSeq[Double](2)
+        if (mv.nonEmpty) next(r.getInt(0))(r.getInt(1)) = mv.toArray
+      }
+      cb = next
+      it += 1
+    }
+    cb
+  }
+
+  /** Mean squared quantization error of the corpus under `cb` — the
+    * quantity [[pqRefine]] descends; exposed for audits and the
+    * refinement spec. One aggregation job.
+    */
+  def pqQuantizationError(emb: DataFrame, vecCol: String,
+                          cb: Array[Array[Array[Double]]]): Double = {
+    val sub = cb(0)(0).length
+    val cbB = cb // stable reference for the closure-free expressions
+    val e = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(asDouble(col(vecCol)).as("_v"))
+    val recon = e
+      .select(col("_v"),
+        graft.functions.VectorFunctions.pqEncode(col("_v"), cbB).as("_codes"))
+      .select(col("_v"), posexplode(col("_codes")).as(Seq("s", "code")))
+      .select(expr(s"slice(_v, s * $sub + 1, $sub)").as("_sv"),
+        col("s"), col("code"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cwDf = cbB.zipWithIndex.flatMap { case (ws, s) =>
+      ws.zipWithIndex.map { case (w, c) => (s, c, w.toSeq) }
+    }.toSeq.toDF("s", "code", "_w")
+    recon.join(broadcast(cwDf), Seq("s", "code"))
+      .select(expr(
+        "aggregate(zip_with(_sv, _w, (a, b) -> (a - b) * (a - b)), 0d, (x, y) -> x + y)")
+        .as("_e2"))
+      .agg(avg(col("_e2"))).head().getDouble(0)
+  }
+
   /** PQ ANN top-k, in-memory form: codebooks seeded from the corpus
     * (md5-ordered sample, like [[ivfTopK]]'s centroids), every vector
     * encoded to m codes by the codegen'd [[graft.functions
@@ -878,7 +945,7 @@ object Similarity {
     * the persisted layout returns exactly the in-memory op's results.
     */
   def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
-                   m: Int = 4, nCodes: Int = 16): Unit = {
+                   m: Int = 4, nCodes: Int = 16, kmeansIters: Int = 0): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val e = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
@@ -888,7 +955,7 @@ object Similarity {
       .orderBy(col("_h"), col("_id"))
       .limit(nCodes)
       .select(col("_v")).collect().map(_.getSeq[Double](0).toArray)
-    val cb = pqCodebooks(seeds, m)
+    val cb = pqRefine(e, pqCodebooks(seeds, m), kmeansIters)
     cb.zipWithIndex.flatMap { case (words, s) =>
         words.zipWithIndex.map { case (w, c) => (s, c, w.toSeq) }
       }.toSeq.toDF("s", "code", "w")
@@ -918,19 +985,20 @@ object Similarity {
     * and an engine-portable oracle.
     */
   def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
-                      nCells: Int = 16, m: Int = 4, nCodes: Int = 16): Unit = {
+                      nCells: Int = 16, m: Int = 4, nCodes: Int = 16,
+                      kmeansIters: Int = 0): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val clean = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
     val e = clean.select(col(idCol), asDouble(col(vecCol)).as("_v"))
-    val centroids = ivfCentroids(e, idCol, nCells, kmeansIters = 0)
+    val centroids = ivfCentroids(e, idCol, nCells, kmeansIters)
     writeCentroids(spark, centroids, path)
     val seeds: Array[Array[Double]] = e
       .select(col(idCol).as("_id"), col("_v"), md5(col(idCol).cast("string")).as("_h"))
       .orderBy(col("_h"), col("_id"))
       .limit(nCodes)
       .select(col("_v")).collect().map(_.getSeq[Double](0).toArray)
-    val cb = pqCodebooks(seeds, m)
+    val cb = pqRefine(e, pqCodebooks(seeds, m), kmeansIters)
     cb.zipWithIndex.flatMap { case (words, s) =>
         words.zipWithIndex.map { case (w, c) => (s, c, w.toSeq) }
       }.toSeq.toDF("s", "code", "w")

@@ -147,6 +147,31 @@ class IndexLayoutSpec extends SparkSpec {
       s"score drift for ${r.getLong(0)}"))
   }
 
+  test("PQ refinement: Lloyd rounds shrink quantization error, probe contract unchanged") {
+    def readCb(dir: String): Array[Array[Array[Double]]] = {
+      val rows = spark.read.parquet(s"$dir/codebooks")
+        .select(col("s"), col("code"), col("w")).collect()
+      val cb = Array.ofDim[Array[Double]](
+        rows.map(_.getInt(0)).max + 1, rows.map(_.getInt(1)).max + 1)
+      rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      cb
+    }
+    val d0 = tmpDir("graft_pqseed_")
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", d0, m = 4, nCodes = 8)
+    val d2 = tmpDir("graft_pqref_")
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", d2, m = 4, nCodes = 8,
+      kmeansIters = 2)
+    val e0 = Similarity.pqQuantizationError(emb, "embedding", readCb(d0))
+    val e2 = Similarity.pqQuantizationError(emb, "embedding", readCb(d2))
+    assert(e2 <= e0 + 1e-12, s"refined error $e2 above seed error $e0")
+    assert(e2 < e0, s"two Lloyd rounds should strictly improve on random seeds")
+    // the layout contract and probe path are untouched by refinement
+    val out = Similarity.pqIndexTopK(spark, d2, "vec_id", qv, k = 5).collect()
+    assert(out.length == 5)
+    assert(spark.read.parquet(s"$d2/data")
+      .schema("codes").dataType.simpleString == "array<int>")
+  }
+
   test("LSH index: bucket-partitioned layout, multi-probe prunes to nBits+1 partitions, recall holds") {
     val dir = tmpDir("graft_lshidx_")
     Similarity.buildLshIndex(emb, "vec_id", "embedding", dir, dim = dim, nBits = 6)
