@@ -18,14 +18,22 @@ object Bench {
     val spark = BenchHarness.session(BenchHarness.cpus(default = 4))
     graft.functions.VectorFunctions.registerSql(spark)
 
-    // SPARK_GRAFT_BENCH_ONLY: comma-separated name prefixes — iterate on
-    // one query family without paying the full-suite wall clock. Unset =
-    // the full protocol run (the only form BASELINE.md records).
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated selectors — iterate on one
+    // query family without paying the full-suite wall clock. A selector
+    // matches the full query name or its leading qNN token (ONLY=q10
+    // selects q10_asof, NOT q100–q103 — with three-digit ids a raw
+    // prefix would silently over-select families). Unset = the full
+    // protocol run (the only form BASELINE.md records).
     val only = BenchHarness.env("SPARK_GRAFT_BENCH_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
+      .filter { case (n, _) =>
+        only.isEmpty || only.exists(s => s == n || s == n.takeWhile(_ != '_'))
+      }
     val loadBefore = BenchHarness.loadavg
+    if (BenchHarness.contended(loadBefore))
+      System.err.println(s"WARNING: bench starting on a contended box " +
+        s"(loadavg $loadBefore > 2.0); figures will be inflated")
 
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -62,8 +70,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timings.map(_._2).filter(_ >= 0).sum
     val loadAfter = BenchHarness.loadavg
+    val contended = BenchHarness.contended(loadBefore)
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"runs":$runs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"runs":$runs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","contended":$contended}"""
     // full JSON (with per-sample arrays) is the file artifact of record;
     // a filtered run is NOT the record — it lands in BENCH_FILTERED.json
     // (gitignored scratch) so iterating on one family can never clobber

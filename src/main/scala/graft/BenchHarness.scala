@@ -67,6 +67,18 @@ object BenchHarness {
       .trim.split(" ").take(3).mkString(" ")
     catch { case _: Throwable => "unavailable" }
 
+  /** Mechanical contention verdict: 1-minute loadavg above the
+    * threshold at bench START means the box was already busy and the
+    * recorded figures are suspect (both round-10 and round-11 driver
+    * runs were inflated ~20% by exactly this). The threshold (2.0) is a
+    * BASELINE.md contract — adjudication reads the boolean, not the
+    * raw string.
+    */
+  def contended(loadavgStr: String, threshold: Double = 2.0): Boolean =
+    loadavgStr.split(" ").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .exists(_ > threshold)
+
   def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 

@@ -583,7 +583,16 @@ object WordGramHashes {
         Array.empty[Any])
     val bytes = new Array[Array[Byte]](n)
     var i = 0
-    while (i < n) { bytes(i) = words.getUTF8String(i).getBytes; i += 1 }
+    while (i < n) {
+      val s = words.getUTF8String(i)
+      // fail fast: the public VectorFunctions.wordGramHashes surface can
+      // receive arbitrary array<string>; a silent NPE here would surface
+      // as an opaque task failure deep in a shuffle
+      if (s == null) throw new IllegalArgumentException(
+        s"graft_word_gram_hashes: null element at index $i " +
+          "(input word arrays must be null-free)")
+      bytes(i) = s.getBytes; i += 1
+    }
     val md = GraftDigest.md5()
     val out = new Array[Any](n - w + 1)
     i = 0
@@ -747,8 +756,13 @@ case class PqAdcScore(child: Expression, dots: Array[Array[Double]],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val dRef = ctx.addReferenceObj("dots", dots, "double[][]")
     val nRef = ctx.addReferenceObj("norm2", norm2, "double[][]")
+    // qNorm rides as raw bits, not a decimal literal: a NaN/Infinity
+    // norm (a degenerate query vector) must not splice an uncompilable
+    // token like `Infinity` into the generated source
+    val qBits = java.lang.Double.doubleToRawLongBits(qNorm)
     nullSafeCodeGen(ctx, ev, v => {
-      s"${ev.value} = org.apache.spark.sql.graft.PqAdcScore.score($dRef, $nRef, $qNorm, $v);"
+      s"${ev.value} = org.apache.spark.sql.graft.PqAdcScore.score($dRef, $nRef, " +
+        s"java.lang.Double.longBitsToDouble(${qBits}L), $v);"
     })
   }
 

@@ -916,12 +916,15 @@ object Similarity {
       .select(col(idCol).as("_id"), col("_v"), md5(col(idCol).cast("string")).as("_h"))
       .orderBy(col("_h"), col("_id"))
       .limit(nCodes)
-      .select(lit(0).as("_t"), col("_h"), col("_id").cast("string").as("_id"), col("_v"))
+      .select(lit(0).as("_t"), col("_h"), col("_id").cast("long").as("_id"), col("_v"))
     val qrow = e.filter(col(idCol) === queryId)
-      .select(lit(1).as("_t"), lit("").as("_h"), lit("").as("_id"), col("_v"))
+      .select(lit(1).as("_t"), lit("").as("_h"), lit(0L).as("_id"), col("_v"))
     val setup = seeded.unionAll(qrow).collect()
+    // numeric-id tiebreak, matching the distributed orderBy above and
+    // the oracle's ROW_NUMBER ... ORDER BY h, vec_id (a string-keyed
+    // sort would diverge from it on an md5 collision)
     val seeds = setup.filter(_.getInt(0) == 0)
-      .sortBy(r => (r.getString(1), r.getString(2)))
+      .sortBy(r => (r.getString(1), r.getLong(2)))
       .map(_.getSeq[Double](3).toArray)
     val qv = setup.find(_.getInt(0) == 1)
       .map(_.getSeq[Double](3).toArray)

@@ -14,6 +14,10 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+      // bound explain/plan-string buffers: a full-suite JVM runs near
+      // its heap limit and unbounded plan strings were an observed OOM
+      // allocation site (StringConcat in QueryExecution.explainString)
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -32,8 +32,16 @@ object FaultyFs {
     */
   @volatile var failWhen: Option[String => Boolean] = None
 
-  def shouldFail(dst: Path): Boolean =
-    failWhen.exists(_(dst.toUri.getPath))
+  /** Every dst this injection actually failed (diagnostics: a crash
+    * spec can assert WHICH renames its window killed).
+    */
+  val failedRenames = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def shouldFail(dst: Path): Boolean = {
+    val hit = failWhen.exists(_(dst.toUri.getPath))
+    if (hit) failedRenames.add(dst.toUri.getPath)
+    hit
+  }
 
   /** Install the faulty scheme (FileSystem + FileContext bindings). */
   def install(conf: Configuration): Unit = {

@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * the stream restarts from its checkpoint, and the replayed output —
   * after compaction — must be CONTENT-IDENTICAL to a crash-free run,
   * with all three indexes converged and no duplicate vector admissions.
+  *
+  * Window formation is VERIFIED, not assumed: each injected window
+  * checks that the targeted rename actually fired ([[FaultyFs
+  * .failedRenames]]) and retries in a fresh dir when the first attempt
+  * died environmentally before reaching it ([[retryingWindow]] — the
+  * round-11 flake, pinned by window (d0)).
   */
 class CurationCrashSpec extends SparkSpec {
   import spark.implicits._
@@ -85,6 +91,64 @@ class CurationCrashSpec extends SparkSpec {
         p.endsWith(".parquet") && !p.contains("_temporary"))
   }
 
+  /** A fault-injected first attempt that died WITHOUT the injected
+    * rename ever firing — the batch perished environmentally (task OOM
+    * / GC death on a loaded near-heap-limit JVM) at some EARLIER append
+    * boundary. The resulting state is a legal, convergent crash window
+    * (window (d0) pins the one the round-11 flake hit), but not the
+    * window this test meant to form, so its exact dup-set assert would
+    * misfire. Signalled so [[retryingWindow]] can re-attempt fresh.
+    */
+  private case class VacuousWindow(msg: String) extends Exception(msg)
+
+  /** Run a fault-injected window, retrying in a fresh dir when the
+    * window fails to form (see [[VacuousWindow]]). The round-11 flake:
+    * 1-in-2 FULL-SUITE runs, window (d)'s first attempt OOM'd between
+    * the output and vector appends instead of dying at the injected
+    * line-count rename, and the window-(d) assert read the legal
+    * window-(a) re-emit {21, 16} as a convergence hole. A window only
+    * counts when [[FaultyFs.failedRenames]] proves the injection fired.
+    */
+  private def retryingWindow(mkDir: => String)(body: String => Unit): Unit = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try { body(mkDir); return }
+      catch {
+        case VacuousWindow(msg) =>
+          if (attempt >= 3)
+            fail(s"crash window failed to form after $attempt attempts: $msg")
+          info(s"crash window did not form (attempt $attempt): $msg — " +
+            "retrying in a fresh dir")
+      }
+    }
+  }
+
+  /** First attempt under injection + verified window formation + replay.
+    * Throws [[VacuousWindow]] unless the first attempt (a) crashed and
+    * (b) the injected rename into `wd/.../sub/` actually fired — i.e.
+    * every append BEFORE the injected one committed and the crash
+    * happened exactly at the intended boundary.
+    */
+  private def crashThenReplay(wd: String, sub: String,
+                              start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    FaultyFs.failedRenames.clear()
+    failAppendsInto(wd, sub)
+    val q1 = start()
+    val died =
+      try { q1.processAllAvailable(); false }
+      catch { case _: Exception => true }
+      finally { q1.stop(); noInjection() }
+    val root = new java.net.URI(wd).getPath
+    val fired = FaultyFs.failedRenames.toArray(Array.empty[String])
+      .exists(p => p.startsWith(root) && p.contains(s"/$sub/"))
+    if (!died) throw VacuousWindow(s"first attempt completed ($sub)")
+    if (!fired) throw VacuousWindow(
+      s"first attempt died before the injected $sub append")
+    val q2 = start() // same checkpoint + source: replays the batch
+    try q2.processAllAvailable() finally q2.stop()
+  }
+
   /** Run batch1 through the sink; with `failSub`, the first attempt's
     * append into that index dir dies and a restarted query replays.
     */
@@ -100,13 +164,7 @@ class CurationCrashSpec extends SparkSpec {
       case None =>
         val q = start()
         try q.processAllAvailable() finally q.stop()
-      case Some(sub) =>
-        failAppendsInto(wd, sub)
-        val q1 = start()
-        try intercept[Exception](q1.processAllAvailable())
-        finally { q1.stop(); noInjection() }
-        val q2 = start() // same checkpoint + source: replays the batch
-        try q2.processAllAvailable() finally q2.stop()
+      case Some(sub) => crashThenReplay(wd, sub, () => start())
     }
   }
 
@@ -188,8 +246,7 @@ class CurationCrashSpec extends SparkSpec {
   }
 
   test("window (a) crash before the vector append: full replay, dup output only") {
-    val wd = faultyDir("graft_curcrash_a_")
-    try {
+    try retryingWindow(faultyDir("graft_curcrash_a_")) { wd =>
       setupStanding(wd)
       runBatch(wd, Some("data")) // ivf/data/... commits die
       // the replay recomputed identically: EVERY emitted row doubled
@@ -200,8 +257,7 @@ class CurationCrashSpec extends SparkSpec {
   }
 
   test("window (b) crash after vectors, before grams: self-match replay, no dup vectors") {
-    val wd = faultyDir("graft_curcrash_b_")
-    try {
+    try retryingWindow(faultyDir("graft_curcrash_b_")) { wd =>
       setupStanding(wd)
       runBatch(wd, Some("grams")) // grams/... commits die
       // vector-carrying survivors met their own admitted vectors at
@@ -213,8 +269,7 @@ class CurationCrashSpec extends SparkSpec {
   }
 
   test("window (c) crash after grams, before keys: replay excises to emptiness") {
-    val wd = faultyDir("graft_curcrash_c_")
-    try {
+    try retryingWindow(faultyDir("graft_curcrash_c_")) { wd =>
       setupStanding(wd)
       runBatch(wd, Some("keys")) // keys/... commits die
       // every re-admitted row excised to emptiness — INCLUDING the
@@ -267,13 +322,7 @@ class CurationCrashSpec extends SparkSpec {
       case None =>
         val q = start()
         try q.processAllAvailable() finally q.stop()
-      case Some(sub) =>
-        failAppendsInto(wd, sub)
-        val q1 = start()
-        try intercept[Exception](q1.processAllAvailable())
-        finally { q1.stop(); noInjection() }
-        val q2 = start()
-        try q2.processAllAvailable() finally q2.stop()
+      case Some(sub) => crashThenReplay(wd, sub, () => start())
     }
   }
 
@@ -308,8 +357,7 @@ class CurationCrashSpec extends SparkSpec {
   }
 
   test("window (d) crash at the line-count append: token overwrite replays clean") {
-    val wd = faultyDir("graft_curcrash_line_d_")
-    try {
+    try retryingWindow(faultyDir("graft_curcrash_line_d_")) { wd =>
       setupStandingLines(wd)
       runLineBatch(wd, Some("delta=b0")) // lines/delta=b0 commits die
       // output/vectors/grams all committed before the crash: the
@@ -323,6 +371,38 @@ class CurationCrashSpec extends SparkSpec {
         outRows(wd).size == expectedLine.size, s"got ${outRows(wd)}")
       assertLineConverged(wd)
       // vector admitted exactly once despite the replay
+      val vecCounts = spark.read.parquet(s"$wd/ivf/data")
+        .groupBy("vec_id").count().as[(Long, Long)].collect().toMap
+      assert(vecCounts(21L) == 1,
+        s"doc 21's vector must admit exactly once: $vecCounts")
+    } finally noInjection()
+  }
+
+  test("window (d0) environmental death before the vector append: window-(a) re-emit, full convergence") {
+    // THE ROUND-11 FLAKE, pinned deterministically. In 1-in-2 full-suite
+    // runs on a loaded near-heap-limit JVM, window (d)'s first attempt
+    // died (task OOM) between the output append and the vector append —
+    // BEFORE the injected line-count rename — so the replay legally
+    // re-admitted every survivor and re-emitted {21, 16}: the
+    // window-(a) dup set for this fixture, which window (d)'s assert
+    // misread as a convergence hole. Here that interleaving is forced
+    // (the death lands at the ivf/data append) and the contract that
+    // DOES govern it is asserted: full re-emit, then compaction
+    // restores the crash-free content and every index converges with
+    // idempotent vector admission. The convergence ladder has no hole;
+    // the flake was the test asserting window (d)'s dup set against an
+    // earlier window's state.
+    try retryingWindow(faultyDir("graft_curcrash_line_d0_")) { wd =>
+      setupStandingLines(wd)
+      runLineBatch(wd, Some("data")) // ivf/data commits die: q1 dies at
+      // the vector append, output already committed — the flake's state
+      assert(dupIds(wd) == Set(21L, 16L),
+        s"death before the vector append re-emits all survivors: ${dupIds(wd)}")
+      IndexMaintenance.compactOutput(spark, s"$wd/out")
+      assert(outRows(wd).toSet == expectedLine &&
+        outRows(wd).size == expectedLine.size, s"got ${outRows(wd)}")
+      assertLineConverged(wd)
+      // the replay admitted doc 21's vector exactly once
       val vecCounts = spark.read.parquet(s"$wd/ivf/data")
         .groupBy("vec_id").count().as[(Long, Long)].collect().toMap
       assert(vecCounts(21L) == 1,
