@@ -285,6 +285,12 @@ object SparkEntry {
     "q101_pq_index_topk" -> pqTopKSql,
     "q102_ann_recall" -> annRecallSql,
     "q103_ivfpq_topk" -> ivfPqTopKSql,
+    // q104/q105: one oracle shape — the persisted-code-layout join
+    // returns exactly the in-memory batch join's results (identical
+    // md5-seeded codebooks), the q57-vs-q54 convention
+    "q104_pq_knn_join" -> pqKnnJoinSql,
+    "q105_pq_index_knn_join" -> pqKnnJoinSql,
+    "q106_ivfpq_index_knn_join" -> ivfPqKnnJoinSql,
     // q62 oracle: the Bloom stage is a pure prefilter (no false
     // negatives) and the verify restores exactness, so the engine result
     // equals the plain NOT EXISTS on the content hash. Null-text rows
@@ -764,6 +770,110 @@ object SparkEntry {
        |           FROM sums, qv
        |           ORDER BY pq_score DESC, sums.vec_id LIMIT 10)
        |SELECT vec_id, pq_score FROM ranked ORDER BY vec_id""".stripMargin
+
+  /** q104/q105 oracle: the batch PQ k-NN join mirrored exactly — q100's
+    * codebook/encode CTEs verbatim (md5-ordered seed sample sliced into
+    * m=4 × 16 codebooks, `x·x − 2·x·w + w·w` argmin encode), every 100th
+    * vector as a query, the per-(query, vector) ADC sums in ascending
+    * subspace order, rounded score rank within the full corpus, top-10
+    * per query. The engine's per-query LUT ([[graft.functions
+    * .VectorFunctions.pqQueryLut]]) computes the identical
+    * `dot(q_s, w)` terms, so the batch approximation hash-checks like an
+    * exact query.
+    */
+  private def pqKnnJoinSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL AND LEN(embedding) > 0),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cbs AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, v
+       |        FROM seeds),
+       |cw AS (SELECT t.s, c.code, c.v[t.s*16+1 : t.s*16+16] AS w
+       |       FROM cbs c CROSS JOIN range(4) t(s)),
+       |enc AS (SELECT e.vec_id, w.s, w.code,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id, w.s
+       |            ORDER BY (list_dot_product(e.v[w.s*16+1 : w.s*16+16],
+       |                                       e.v[w.s*16+1 : w.s*16+16])
+       |                      - 2*list_dot_product(e.v[w.s*16+1 : w.s*16+16], w.w)
+       |                      + list_dot_product(w.w, w.w)), w.code) AS rn
+       |        FROM e CROSS JOIN cw w),
+       |codes AS (SELECT vec_id, s, code FROM enc WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |parts AS (SELECT q.q_id, c.vec_id, c.s AS s,
+       |            list_dot_product(q.qv[c.s*16+1 : c.s*16+16], w.w) AS dp,
+       |            list_dot_product(w.w, w.w) AS n2
+       |          FROM codes c JOIN cw w ON w.s = c.s AND w.code = c.code
+       |          CROSS JOIN q),
+       |sums AS (SELECT q_id, vec_id, list_sum(list(dp ORDER BY s)) AS sd,
+       |                list_sum(list(n2 ORDER BY s)) AS sn2
+       |         FROM parts GROUP BY q_id, vec_id),
+       |scored AS (SELECT s.q_id, s.vec_id,
+       |             ROUND(sd / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(sn2)),
+       |                   6) AS pq_score
+       |           FROM sums s JOIN q ON q.q_id = s.q_id),
+       |ranked AS (SELECT q_id, vec_id, pq_score,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY pq_score DESC, vec_id) AS rk FROM scored)
+       |SELECT q_id, vec_id, pq_score FROM ranked WHERE rk <= 10
+       |ORDER BY q_id, vec_id""".stripMargin
+
+  /** q106 oracle: the batch IVF-PQ join composed from proven fragments —
+    * q54's per-query probe-cell CTEs (md5-seeded centroids, argmax-cosine
+    * assignment, top-3 cells per query) select WHICH (query, vector)
+    * pairs are scored; q104's PQ CTEs (identical seed sample, argmin
+    * encode, ordered ADC sums) say HOW. nCells = nCodes = 16, so
+    * centroids and codebooks share the seed rows.
+    */
+  private def ivfPqKnnJoinSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL AND LEN(embedding) > 0),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
+       |         FROM seeds),
+       |asgn AS (SELECT e.vec_id, e.v, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
+       |         FROM e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, v, cell FROM asgn WHERE rn = 1),
+       |cbs AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, v
+       |        FROM seeds),
+       |cw AS (SELECT t.s, c.code, c.v[t.s*16+1 : t.s*16+16] AS w
+       |       FROM cbs c CROSS JOIN range(4) t(s)),
+       |enc AS (SELECT e.vec_id, w.s, w.code,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id, w.s
+       |            ORDER BY (list_dot_product(e.v[w.s*16+1 : w.s*16+16],
+       |                                       e.v[w.s*16+1 : w.s*16+16])
+       |                      - 2*list_dot_product(e.v[w.s*16+1 : w.s*16+16], w.w)
+       |                      + list_dot_product(w.w, w.w)), w.code) AS rn
+       |        FROM e CROSS JOIN cw w),
+       |codes AS (SELECT vec_id, s, code FROM enc WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |probes AS (SELECT q_id, cell FROM (
+       |  SELECT q.q_id, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${cosSql("c.cv", "q.qv")} DESC, c.cell) AS rn
+       |  FROM q CROSS JOIN cent c) t WHERE rn <= 3),
+       |members AS (SELECT p.q_id, cl.vec_id FROM cells cl
+       |            JOIN probes p ON cl.cell = p.cell),
+       |parts AS (SELECT m.q_id, m.vec_id, c.s AS s,
+       |            list_dot_product(q.qv[c.s*16+1 : c.s*16+16], w.w) AS dp,
+       |            list_dot_product(w.w, w.w) AS n2
+       |          FROM members m JOIN codes c ON c.vec_id = m.vec_id
+       |          JOIN cw w ON w.s = c.s AND w.code = c.code
+       |          JOIN q ON q.q_id = m.q_id),
+       |sums AS (SELECT q_id, vec_id, list_sum(list(dp ORDER BY s)) AS sd,
+       |                list_sum(list(n2 ORDER BY s)) AS sn2
+       |         FROM parts GROUP BY q_id, vec_id),
+       |scored AS (SELECT s.q_id, s.vec_id,
+       |             ROUND(sd / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(sn2)),
+       |                   6) AS pq_score
+       |           FROM sums s JOIN q ON q.q_id = s.q_id),
+       |ranked AS (SELECT q_id, vec_id, pq_score,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY pq_score DESC, vec_id) AS rk FROM scored)
+       |SELECT q_id, vec_id, pq_score FROM ranked WHERE rk <= 10
+       |ORDER BY q_id, vec_id""".stripMargin
 
   private def annIvfSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

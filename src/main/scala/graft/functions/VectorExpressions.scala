@@ -803,6 +803,164 @@ object PqAdcScore {
   }
 }
 
+/** Per-query ADC lookup table as a COLUMN — the batch-join form of the
+  * driver-computed LUT that [[PqAdcScore]] carries as a constant. For a
+  * query vector it emits the flattened `dots[s·nCodes + c] =
+  * dot(q_s, codeword c of subspace s)` table (m·nCodes doubles), computed
+  * ONCE per query row on the probe side of a k-NN join — so each
+  * (query, corpus) pair downstream costs m array probes
+  * ([[PqAdcScoreBatch]]), never an O(dim) dot product. Codebooks ride as
+  * a codegen reference object; subspace dots accumulate in ascending
+  * index order, the same arithmetic as [[PqAdcScore]]'s driver LUT and
+  * the DuckDB oracle's `list_dot_product`.
+  */
+case class PqQueryLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "PqQueryLut needs at least one codeword per subspace")
+  require(codebooks.flatten.map(_.length).distinct.length == 1,
+    "all PQ codewords must share one subspace width")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_query_lut"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqQueryLut.compute(codebooks, input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"${ev.value} = org.apache.spark.sql.graft.PqQueryLut.compute($cbRef, $v);"
+    })
+  }
+
+  // content-based equality: identity equality on nested arrays breaks
+  // plan canonicalization (see PqEncode)
+  override def equals(o: Any): Boolean = o match {
+    case PqQueryLut(c, cbs) =>
+      c == child && cbs.length == codebooks.length &&
+        cbs.zip(codebooks).forall { case (a, b) =>
+          a.length == b.length &&
+            a.zip(b).forall { case (x, y) => java.util.Arrays.equals(x, y) }
+        }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      codebooks.map(_.map(java.util.Arrays.hashCode).toSeq).toSeq.hashCode()
+
+  override protected def withNewChildInternal(newChild: Expression): PqQueryLut =
+    copy(child = newChild)
+}
+
+object PqQueryLut {
+  /** Shared by interpreted eval and codegen: flattened per-subspace
+    * query·codeword dot table, ascending-index loops.
+    */
+  def compute(cb: Array[Array[Array[Double]]], v: ArrayData): ArrayData = {
+    val m = cb.length
+    val nCodes = cb(0).length
+    val sub = cb(0)(0).length
+    if (v.numElements() != m * sub)
+      throw new IllegalArgumentException(
+        s"PqQueryLut: vector has ${v.numElements()} components, " +
+          s"codebooks expect ${m * sub}")
+    val lut = new Array[Any](m * nCodes)
+    var s = 0
+    while (s < m) {
+      val off = s * sub
+      val words = cb(s)
+      var c = 0
+      while (c < nCodes) {
+        val w = words(c)
+        var d = 0.0
+        var j = 0
+        while (j < sub) { d += v.getDouble(off + j) * w(j); j += 1 }
+        lut(s * nCodes + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(lut)
+  }
+}
+
+/** ADC scoring against a per-ROW lookup table — the batch-join twin of
+  * [[PqAdcScore]], whose LUT is a per-QUERY constant. Children:
+  * (codes: array<int>, lut: array<double> from [[PqQueryLut]],
+  * qNorm: double). Codeword norms² are query-independent and ride as a
+  * codegen reference object; `nCodes` indexes the flattened LUT. Score =
+  * `Σ_s lut[s·nCodes + code_s] / (qNorm · √Σ_s |w|²)` — identical
+  * arithmetic (ascending subspace order, zero-denominator → 0) to
+  * [[PqAdcScore.score]], so point probes and batch joins agree exactly.
+  */
+case class PqAdcScoreBatch(first: Expression, second: Expression, third: Expression,
+                           norm2: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.IntegerType
+
+  require(norm2.nonEmpty && norm2.forall(_.length == norm2(0).length),
+    "PqAdcScoreBatch needs one norm² row per subspace, equal widths")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_score_batch"
+
+  override protected def nullSafeEval(codes: Any, lut: Any, qn: Any): Any =
+    PqAdcScoreBatch.score(norm2, codes.asInstanceOf[ArrayData],
+      lut.asInstanceOf[ArrayData], qn.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nRef = ctx.addReferenceObj("norm2", norm2, "double[][]")
+    nullSafeCodeGen(ctx, ev, (c, l, q) => {
+      s"${ev.value} = org.apache.spark.sql.graft.PqAdcScoreBatch.score($nRef, $c, $l, $q);"
+    })
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case PqAdcScoreBatch(a, b, c, ns) =>
+      a == first && b == second && c == third &&
+        ns.length == norm2.length &&
+        ns.zip(norm2).forall { case (x, y) => java.util.Arrays.equals(x, y) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * Seq(first, second, third).hashCode() +
+      norm2.map(java.util.Arrays.hashCode).toSeq.hashCode()
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqAdcScoreBatch =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object PqAdcScoreBatch {
+  /** Shared by interpreted eval and codegen: flattened-LUT sum in
+    * ascending subspace order, cosine-normalized, zero-denominator → 0.
+    */
+  def score(norm2: Array[Array[Double]], codes: ArrayData,
+            lut: ArrayData, qNorm: Double): Double = {
+    val m = codes.numElements()
+    val nCodes = norm2(0).length
+    var sd = 0.0
+    var sn2 = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      sd += lut.getDouble(s * nCodes + c)
+      sn2 += norm2(s)(c)
+      s += 1
+    }
+    val denom = qNorm * math.sqrt(sn2)
+    if (denom == 0) 0.0 else sd / denom
+  }
+}
+
 /** Token shape statistics — (mean_word_len, digit_frac, top_token_share)
   * — in ONE pass over the space-split tokens.
   *
@@ -1421,6 +1579,15 @@ object VectorBridge {
                  norm2: Array[Array[Double]], qNorm: Double): Column =
     ExpressionUtils.column(
       PqAdcScore(ExpressionUtils.expression(codes), dots, norm2, qNorm))
+
+  def pqQueryLut(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ExpressionUtils.column(PqQueryLut(ExpressionUtils.expression(vec), codebooks))
+
+  def pqAdcScoreBatch(codes: Column, lut: Column, qNorm: Column,
+                      norm2: Array[Array[Double]]): Column =
+    ExpressionUtils.column(
+      PqAdcScoreBatch(ExpressionUtils.expression(codes),
+        ExpressionUtils.expression(lut), ExpressionUtils.expression(qNorm), norm2))
 
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ExpressionUtils.column(NearestCentroid(ExpressionUtils.expression(vec), centroids))

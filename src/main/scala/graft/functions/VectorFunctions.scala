@@ -101,6 +101,22 @@ object VectorFunctions {
                  norm2: Array[Array[Double]], qNorm: Double): Column =
     org.apache.spark.sql.graft.VectorBridge.pqAdcScore(codes, dots, norm2, qNorm)
 
+  /** Per-query ADC lookup table as a column — the batch-join form of the
+    * driver-built LUT: flattened `dots[s·nCodes + c] = dot(q_s, w)`
+    * (m·nCodes doubles), computed once per query row on a broadcast
+    * probe side.
+    */
+  def pqQueryLut(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.graft.VectorBridge.pqQueryLut(vec, codebooks)
+
+  /** ADC scoring against a per-row LUT column ([[pqQueryLut]]) — the
+    * batch-join twin of [[pqAdcScore]]: m array probes per
+    * (query, corpus) pair, identical arithmetic to the point form.
+    */
+  def pqAdcScoreBatch(codes: Column, lut: Column, qNorm: Column,
+                      norm2: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.VectorBridge.pqAdcScoreBatch(codes, lut, qNorm, norm2)
+
   /** Hashing-trick document vector: dim-wide token-bucket multiplicity
     * counts in one pass (md5-bucketed, engine-portable) — raw text into
     * the similarity family without a trained embedder.

@@ -940,6 +940,87 @@ object Similarity {
       .limit(k)
   }
 
+  /** Codeword norms² per (subspace, code) — query-independent, so batch
+    * joins compute them once and ride them as a codegen constant.
+    */
+  private def pqNorm2(cb: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    cb.map(_.map { w =>
+      var t = 0.0; var j = 0
+      while (j < w.length) { t += w(j) * w(j); j += 1 }
+      t
+    })
+
+  /** ONE bounded driver fetch of a persisted codebook table
+    * ([[buildPqIndex]]/[[buildIvfPqIndex]] layout): m·nCodes rows by
+    * construction.
+    */
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("s"), col("code"), col("w")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val nCodes = rows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Double]](m, nCodes)
+    rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    cb
+  }
+
+  /** The probe side shared by the PQ batch joins: (q_id, _qv, _lut, _qn)
+    * — per-query ADC lookup table and query norm computed ONCE per query
+    * row as codegen'd projections ([[graft.functions.VectorFunctions
+    * .pqQueryLut]]), before the broadcast, so each (query, corpus) pair
+    * downstream costs m array probes instead of an O(dim) dot product.
+    */
+  private def pqProbeSide(queries: DataFrame, qIdCol: String, qVecCol: String,
+                          cb: Array[Array[Array[Double]]]): DataFrame =
+    queries.select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_lut", graft.functions.VectorFunctions.pqQueryLut(col("_qv"), cb))
+      .withColumn("_qn", norm(col("_qv")))
+
+  /** Batch PQ ANN — the k-NN-join form of [[pqTopK]], completing the
+    * {PQ} × {batch-join} cell of the layout×storage matrix: top-k corpus
+    * neighbours for EVERY query row, scored by ADC from the m-int codes.
+    * Codebooks are the same deterministic md5-ordered seed sample as
+    * [[pqTopK]], so point probes and batch joins agree exactly and the
+    * DuckDB oracle hash-checks the approximation like an exact query.
+    *
+    * Plan shape: one bounded driver job (nCodes seed rows), one corpus
+    * scan encoding each vector to m codes, the query side BROADCAST with
+    * its per-query LUT precomputed (m·nCodes doubles per query — the
+    * [[pqProbeSide]] projection), every (corpus, query) pair scored at m
+    * array probes, then the bounded per-query top-k aggregation. Like
+    * [[bruteKnnJoin]] this scores the WHOLE corpus per query (flat PQ
+    * has no cells to prune — [[ivfPqIndexKnnJoin]] is the pruned form),
+    * so it is the right tool for a BOUNDED query set; the win over brute
+    * is m probes versus an O(dim) dot per pair, and m ints versus dim
+    * doubles of corpus bytes in flight.
+    */
+  def pqKnnJoin(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String,
+                qIdCol: String, qVecCol: String,
+                k: Int, m: Int = 4, nCodes: Int = 16,
+                scale: Int = 6): DataFrame = {
+    requireIntegralId(corpus, idCol, "pqKnnJoin")
+    val e = corpus.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    val seeds: Array[Array[Double]] = e
+      .select(col(idCol).as("_id"), col("_v"), md5(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("_id"))
+      .limit(nCodes)
+      .select(col("_v")).collect().map(_.getSeq[Double](0).toArray)
+    val cb = pqCodebooks(seeds, m)
+    val n2 = pqNorm2(cb)
+    val probed = pqProbeSide(queries, qIdCol, qVecCol, cb)
+      .select(col("q_id"), col("_lut"), col("_qn"))
+    val scored = e
+      .select(col(idCol), graft.functions.VectorFunctions.pqEncode(col("_v"), cb).as("_codes"))
+      .crossJoin(broadcast(probed))
+      .select(col("q_id"), col(idCol),
+        round(graft.functions.VectorFunctions.pqAdcScoreBatch(
+          col("_codes"), col("_lut"), col("_qn"), n2), scale).as("cos_sim"))
+    topKPerQuery(scored, idCol, k).withColumnRenamed("cos_sim", "pq_score")
+  }
+
   /** Build a PQ index at `path`:
     *   `path/codebooks` — (s, code, w), m·nCodes rows;
     *   `path/data`      — (id, codes: array<int>), the WHOLE compression
@@ -1029,12 +1110,7 @@ object Similarity {
       .sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
     val probes = nearestCells(cents, queryVec, nProbe)
-    val rows = spark.read.parquet(s"$path/codebooks")
-      .select(col("s"), col("code"), col("w")).collect()
-    val m = rows.map(_.getInt(0)).max + 1
-    val nCodes = rows.map(_.getInt(1)).max + 1
-    val cb = Array.ofDim[Array[Double]](m, nCodes)
-    rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val cb = readCodebooks(spark, path)
     val (dots, n2, qn) = pqLut(cb, queryVec)
     spark.read.parquet(s"$path/data")
       .filter(col("cell").isin(probes.toIndexedSeq: _*))
@@ -1055,12 +1131,7 @@ object Similarity {
   def pqIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                   idCol: String, queryVec: Array[Double],
                   k: Int, scale: Int = 6): DataFrame = {
-    val rows = spark.read.parquet(s"$path/codebooks")
-      .select(col("s"), col("code"), col("w")).collect()
-    val m = rows.map(_.getInt(0)).max + 1
-    val nCodes = rows.map(_.getInt(1)).max + 1
-    val cb = Array.ofDim[Array[Double]](m, nCodes)
-    rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val cb = readCodebooks(spark, path)
     val (dots, n2, qn) = pqLut(cb, queryVec)
     spark.read.parquet(s"$path/data")
       .select(col(idCol),
@@ -1068,6 +1139,74 @@ object Similarity {
           scale).as("pq_score"))
       .orderBy(col("pq_score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Batch probes against a persisted PQ index ([[buildPqIndex]]): the
+    * k-NN-join form of [[pqIndexTopK]]. Codebooks are ONE bounded driver
+    * fetch (m·nCodes rows); the probe side is broadcast with its
+    * per-query ADC LUT precomputed ([[pqProbeSide]]); the single data
+    * scan reads ONLY (id, codes) — m ints per corpus row, never a stored
+    * float — and each (corpus, query) pair costs m array probes. Flat PQ
+    * scores the whole corpus per query ([[ivfPqIndexKnnJoin]] is the
+    * cell-pruned form), so this serves BOUNDED query sets: eval-suite
+    * decontamination sweeps, recall-audit samples.
+    */
+  def pqIndexKnnJoin(spark: org.apache.spark.sql.SparkSession, path: String,
+                     idCol: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     k: Int, scale: Int = 6): DataFrame = {
+    val cb = readCodebooks(spark, path)
+    val n2 = pqNorm2(cb)
+    val probed = pqProbeSide(queries, qIdCol, qVecCol, cb)
+      .select(col("q_id"), col("_lut"), col("_qn"))
+    val index = spark.read.parquet(s"$path/data")
+    requireIntegralId(index, idCol, "pqIndexKnnJoin")
+    val scored = index.crossJoin(broadcast(probed))
+      .select(col("q_id"), col(idCol),
+        round(graft.functions.VectorFunctions.pqAdcScoreBatch(
+          col("codes"), col("_lut"), col("_qn"), n2), scale).as("cos_sim"))
+    topKPerQuery(scored, idCol, k).withColumnRenamed("cos_sim", "pq_score")
+  }
+
+  /** Batch probes against an IVF-PQ index ([[buildIvfPqIndex]]) — the
+    * join that completes the layout×storage matrix: [[ivfIndexKnnJoin]]'s
+    * cell pruning over [[pqIndexKnnJoin]]'s code-only scan. Centroids and
+    * codebooks are two bounded driver fetches; per-query probe cells AND
+    * the per-query ADC LUT are zero-shuffle projections on the broadcast
+    * probe side; then ONE equi-join on the `cell` partition column, so
+    * the scan prunes non-probed cell directories via dynamic partition
+    * pruning (non-file-backed probe sides self-repair to a static
+    * IN-list, [[repairPartitionPruning]]) and reads m ints per surviving
+    * row. Per batch at 100 TB: probed bytes ≈ nProbe/nCells × ~1/64 of a
+    * flat float scan — the product of both layouts' savings. Bounded
+    * per-query top-k via [[graft.functions.TopKAgg]], never a window.
+    * Scores are identical to [[ivfPqIndexTopK]] point probes over the
+    * same index — the cells change WHICH rows are scored, never how.
+    */
+  def ivfPqIndexKnnJoin(spark: org.apache.spark.sql.SparkSession, path: String,
+                        idCol: String,
+                        queries: DataFrame, qIdCol: String, qVecCol: String,
+                        k: Int, nProbe: Int = 3, scale: Int = 6): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid")).collect() // bounded: nCells rows
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val cb = readCodebooks(spark, path)
+    val n2 = pqNorm2(cb)
+    val probed = pqProbeSide(queries, qIdCol, qVecCol, cb)
+      .withColumn("_probe", explode(
+        graft.functions.VectorFunctions.nearestCentroids(col("_qv"), cents, nProbe)))
+      .select(col("q_id"), col("_lut"), col("_qn"), col("_probe"))
+    val index = spark.read.parquet(s"$path/data")
+    requireIntegralId(index, idCol, "ivfPqIndexKnnJoin")
+    def joinWith(idx: DataFrame): DataFrame =
+      idx.join(broadcast(probed), col("cell") === col("_probe"))
+        .select(col("q_id"), col(idCol),
+          round(graft.functions.VectorFunctions.pqAdcScoreBatch(
+            col("codes"), col("_lut"), col("_qn"), n2), scale).as("cos_sim"))
+    topKPerQuery(
+      repairPartitionPruning(index, "cell", probed, "_probe", joinWith), idCol, k)
+      .withColumnRenamed("cos_sim", "pq_score")
   }
 
   /** Dynamic-partition-pruning self-repair for the persisted-index k-NN

@@ -287,6 +287,55 @@ object Extensions {
       .orderBy(col("vec_id"))
   }
 
+  // q104 batch PQ k-NN join — the {PQ}×{batch-join} cell of the
+  // layout×storage matrix: every 100th vector as a query, per-query ADC
+  // LUTs precomputed on the broadcast probe side, the corpus scored from
+  // its m=4 codes at m array probes per pair. Same md5-seeded codebooks
+  // as q100, so point probes and the batch join agree and the
+  // deterministic approximation hash-checks like an exact query.
+  val q104_pq_knn_join: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    Similarity.pqKnnJoin(
+        emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, m = 4, nCodes = 16)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
+  // q105 batch PQ join served from the PERSISTED code layout (the q101
+  // index, memoized per corpus dir): the scan reads m ints per corpus
+  // row — never a stored float — and returns exactly q104's results
+  // (identical codebooks), the q57-vs-q54 convention.
+  val q105_pq_index_knn_join: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val dir = pqIndexDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_q101_pqidx_").toString
+      Similarity.buildPqIndex(emb, "vec_id", "embedding", p, m = 4, nCodes = 16)
+      p
+    })
+    Similarity.pqIndexKnnJoin(s, dir, "vec_id",
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
+  // q106 batch IVF-PQ join — the join that completes the matrix: q57's
+  // cell-directory pruning over q105's code-only scan (probed bytes ≈
+  // nProbe/nCells × ~1/64 of a flat float scan). Reuses the q103 index;
+  // scores are identical to q103 point probes over the probed cells.
+  val q106_ivfpq_index_knn_join: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val dir = ivfPqIndexDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_q103_ivfpq_").toString
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", p,
+        nCells = 16, m = 4, nCodes = 16)
+      p
+    })
+    Similarity.ivfPqIndexKnnJoin(s, dir, "vec_id",
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10, nProbe = 3)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
   // q102 ANN recall audit — the acceptance gauge for the approximate
   // family: q54's IVF k-NN join scored against the exact brute-force
   // top-10 for the same query set. Both sides deterministic, so the
@@ -1012,5 +1061,8 @@ object Extensions {
     "q100_pq_topk" -> q100_pq_topk,
     "q101_pq_index_topk" -> q101_pq_index_topk,
     "q102_ann_recall" -> q102_ann_recall,
-    "q103_ivfpq_topk" -> q103_ivfpq_topk)
+    "q103_ivfpq_topk" -> q103_ivfpq_topk,
+    "q104_pq_knn_join" -> q104_pq_knn_join,
+    "q105_pq_index_knn_join" -> q105_pq_index_knn_join,
+    "q106_ivfpq_index_knn_join" -> q106_ivfpq_index_knn_join)
 }

@@ -147,6 +147,72 @@ class IndexLayoutSpec extends SparkSpec {
       s"score drift for ${r.getLong(0)}"))
   }
 
+  test("PQ batch k-NN joins: point-probe agreement, code-only scans, DPP on the IVF-PQ form") {
+    val dir = tmpDir("graft_pqknn_")
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", s"$dir/pq", m = 4, nCodes = 8)
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", s"$dir/ivfpq",
+      nCells = 8, m = 4, nCodes = 8)
+    emb.write.mode("overwrite").parquet(s"$dir/queries_src")
+    val queries = spark.read.parquet(s"$dir/queries_src")
+      .filter(col("vec_id").isin(0L, 50L, 150L))
+
+    // flat persisted form: every query's rows equal its point probe's
+    val flat = Similarity.pqIndexKnnJoin(spark, s"$dir/pq", "vec_id",
+      queries, "vec_id", "embedding", k = 5)
+    val flatByQ = flat.as[(Long, Long, Double)].collect().groupBy(_._1)
+    assert(flatByQ.keySet == Set(0L, 50L, 150L))
+    Seq(0L, 50L, 150L).foreach { q =>
+      val vq = emb.filter(col("vec_id") === q)
+        .select(transform(col("embedding"), _.cast("double")))
+        .as[Seq[Double]].head().toArray
+      val point = Similarity.pqIndexTopK(spark, s"$dir/pq", "vec_id", vq, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(flatByQ(q).map(r => (r._2, r._3)).toSet == point,
+        s"flat PQ batch join must agree with the point probe for query $q")
+    }
+
+    // in-memory batch form agrees with the in-memory point op (same
+    // deterministic codebooks on both paths)
+    val mem = Similarity.pqKnnJoin(emb, queries, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, m = 4, nCodes = 8)
+    val memByQ = mem.as[(Long, Long, Double)].collect().groupBy(_._1)
+    val memPoint = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, k = 5,
+        m = 4, nCodes = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(memByQ(0L).map(r => (r._2, r._3)).toSet == memPoint,
+      "in-memory PQ batch join must agree with pqTopK")
+
+    // IVF-PQ join: dynamically partition-pruned code-only scan, and each
+    // query's rows equal its ivfPqIndexTopK point probe
+    val ivf = Similarity.ivfPqIndexKnnJoin(spark, s"$dir/ivfpq", "vec_id",
+      queries, "vec_id", "embedding", k = 5, nProbe = 3)
+    val ivfByQ = ivf.as[(Long, Long, Double)].collect().groupBy(_._1)
+    assert(ivfByQ.keySet == Set(0L, 50L, 150L))
+    Seq(0L, 50L, 150L).foreach { q =>
+      val vq = emb.filter(col("vec_id") === q)
+        .select(transform(col("embedding"), _.cast("double")))
+        .as[Seq[Double]].head().toArray
+      val point = Similarity.ivfPqIndexTopK(spark, s"$dir/ivfpq", "vec_id", vq,
+          k = 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(ivfByQ(q).map(r => (r._2, r._3)).toSet == point,
+        s"IVF-PQ batch join must agree with the point probe for query $q")
+    }
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"IVF-PQ index scan must be dynamically partition-pruned:\n$plan")
+
+    // a local (non-file-backed) probe side self-repairs to a static
+    // IN-list — same results, still pruned
+    val localQ = emb.filter(col("vec_id").isin(0L, 50L, 150L))
+    val repaired = Similarity.ivfPqIndexKnnJoin(spark, s"$dir/ivfpq", "vec_id",
+        localQ, "vec_id", "embedding", k = 5, nProbe = 3)
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    assert(repaired.view.mapValues(_.toSet).toMap ==
+      ivfByQ.view.mapValues(_.toSet).toMap,
+      "repaired local probes must return the DPP path's results")
+  }
+
   test("PQ refinement: Lloyd rounds shrink quantization error, probe contract unchanged") {
     def readCb(dir: String): Array[Array[Array[Double]]] = {
       val rows = spark.read.parquet(s"$dir/codebooks")
