@@ -947,6 +947,86 @@ object Streams {
       .start()
   }
 
+  /** Continuously maintain a persisted PQ index built by
+    * [[graft.ops.Similarity.buildPqIndex]]: the index's OWN codebooks
+    * (m·nCodes rows, one bounded driver read at sink start) ride into
+    * the stream as a codegen'd [[graft.functions.VectorFunctions
+    * .pqEncode]] projection, and each arriving vector lands as
+    * (id, codes) — m ints, never a stored float. Codebooks are FROZEN at
+    * sink start, the PQ analog of [[ivfIndexSink]]'s frozen-centroid
+    * contract: stored codes are only decodable against the codebooks
+    * that produced them, so refinement means rebuild, not drift.
+    * `foreachBatch` plain appends (the parquet file sink's
+    * `_spark_metadata` log would hide the batch-built corpus); replayed
+    * micro-batches are at-least-once — a duplicate code row only
+    * re-ranks as itself; rebuild to compact.
+    */
+  def pqIndexSink(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
+                  idCol: String, vecCol: String, indexPath: String,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val cb = readCodebooks(spark, indexPath)
+    stream
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol),
+        graft.functions.VectorFunctions.pqEncode(
+          transform(col(vecCol), _.cast("double")), cb).as("codes"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$indexPath/data")
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
+  /** Continuously maintain an IVF-PQ index built by
+    * [[graft.ops.Similarity.buildIvfPqIndex]] — [[pqIndexSink]]'s frozen
+    * codebooks AND [[ivfIndexSink]]'s frozen centroids in one projection:
+    * cells are assigned from the full-precision vector (the builder's
+    * quantize-after-placing rule, so batch-built and streamed rows share
+    * geometry) and each row lands as (id, codes) in its cell partition —
+    * the layout [[graft.ops.Similarity.ivfPqIndexTopK]] and
+    * [[graft.ops.Similarity.ivfPqIndexKnnJoin]] probes prune and read.
+    * Same at-least-once replay cost as the other vector sinks.
+    */
+  def ivfPqIndexSink(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
+                     idCol: String, vecCol: String, indexPath: String,
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val cb = readCodebooks(spark, indexPath)
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    stream
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol),
+        graft.functions.VectorFunctions.pqEncode(
+          transform(col(vecCol), _.cast("double")), cb).as("codes"),
+        graft.functions.VectorFunctions.nearestCentroid(
+          transform(col(vecCol), _.cast("double")), centroids).as("cell"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("cell").parquet(s"$indexPath/data")
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
+  /** One bounded driver read of a PQ codebook table (m·nCodes rows by
+    * construction) — the sink-start freeze shared by the PQ sinks.
+    */
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("s"), col("code"), col("w")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val nCodes = rows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Double]](m, nCodes)
+    rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    cb
+  }
+
   /** Continuously maintain a persisted TEXT-dedup index built by
     * [[graft.ops.Dedup.buildTextIndex]] — the streaming member of the
     * index-sink family (LSH/IVF vector sinks above): each arriving

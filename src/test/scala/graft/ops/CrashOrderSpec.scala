@@ -186,6 +186,50 @@ class CrashOrderSpec extends SparkSpec {
     } finally noInjection()
   }
 
+  test("pqIndexSink crash at the data append: no partial rows visible, replay converges exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val wd = faultyDir("graft_crash_pqsink_")
+    try {
+      val rng = new scala.util.Random(43)
+      def vec(): Seq[Double] = Seq.fill(16)(rng.nextDouble() - 0.5)
+      val initial = (100L until 140L).map(i => (i, vec()))
+      Similarity.buildPqIndex(initial.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", wd, m = 4, nCodes = 8)
+      val mem = MemoryStream[(Long, Seq[Double])]
+      def start() = graft.streaming.Streams.pqIndexSink(spark,
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        wd, s"$wd/ckpt")
+      mem.addData((1L to 5L).map(i => (i, vec())): _*)
+
+      // first attempt: the final committer rename into data/ dies
+      failAppendsInto("data")
+      val q1 = start()
+      val died = try { q1.processAllAvailable(); false }
+        catch { case _: Exception => true }
+        finally { q1.stop(); noInjection() }
+      assert(died, "injected data-append rename must kill the first attempt")
+
+      // the crash left NOTHING partial: the committer stages under
+      // _temporary and only the final rename was killed, so the index
+      // still holds exactly the batch-built corpus and probes still work
+      assert(spark.read.parquet(s"$wd/data").count() == 40,
+        "failed append must not leak partial rows")
+      assert(Similarity.pqIndexTopK(spark, wd, "vec_id",
+        initial.head._2.toArray, k = 3).count() == 3)
+
+      // replay from the same checkpoint: the batch lands exactly once
+      // (nothing committed in attempt 1 — at-least-once collapses to
+      // exactly-once in this window)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val data = spark.read.parquet(s"$wd/data")
+      assert(data.count() == 45, s"replay must complete the append: ${data.count()}")
+      assert(data.filter(col("vec_id") <= 5L).count() == 5,
+        "each streamed row lands exactly once")
+    } finally noInjection()
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -637,6 +637,105 @@ class StreamsSpec extends SparkSpec {
       s"streamed near-identical neighbors must dominate top-5, got $got")
   }
 
+  test("streaming PQ index sink: frozen codebooks encode in-flight rows; probes see the mix") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(37)
+    def vec(): Seq[Double] = Seq.fill(16)(rng.nextDouble() - 0.5)
+    val query = vec()
+    val initial = (100L until 160L).map(i => (i, vec()))
+    val dir = tmpDir("graft_pqsink_")
+    graft.ops.Similarity.buildPqIndex(
+      initial.toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+      m = 4, nCodes = 8)
+    val neighbors = (1L to 5L).map(i =>
+      (i, query.map(_ + (rng.nextDouble() - 0.5) * 0.001)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.pqIndexSink(spark,
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, s"$dir/ckpt")
+    try {
+      mem.addData(neighbors: _*)
+      // admission guard: null/empty vectors refused like the batch builder
+      mem.addData((997L, null.asInstanceOf[Seq[Double]]), (998L, Seq.empty[Double]))
+      q.processAllAvailable()
+    } finally q.stop()
+    // streamed rows carry codes only — never a stored float — and the
+    // batch-built corpus stays visible (no _spark_metadata shadowing)
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.schema.fieldNames.toSet == Set("vec_id", "codes"))
+    assert(data.count() == 65,
+      s"batch (60) + streamed (5) rows must all be visible, got ${data.count()}")
+    // streamed rows encode against the SAME frozen codebooks the batch
+    // rows used: a batch re-encode of the streamed vectors is identical
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .select($"s", $"code", $"w").collect()
+    val cb = Array.ofDim[Array[Double]](
+      cbRows.map(_.getInt(0)).max + 1, cbRows.map(_.getInt(1)).max + 1)
+    cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val reEnc = neighbors.toDF("vec_id", "embedding")
+      .select($"vec_id", graft.functions.VectorFunctions.pqEncode(
+        transform($"embedding", _.cast("double")), cb).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val streamed = data.filter($"vec_id" <= 5L)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(streamed == reEnc, "streamed codes must match a batch re-encode")
+    // ADC probes surface the streamed near-identical neighbors
+    val got = graft.ops.Similarity.pqIndexTopK(spark, dir, "vec_id",
+        query.toArray, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert((got & (1L to 5L).toSet).size >= 4,
+      s"streamed near-identical neighbors must surface in top-5, got $got")
+  }
+
+  test("streaming IVF-PQ index sink: frozen centroids place, frozen codebooks encode; pruned probes see the mix") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(41)
+    def vec(): Seq[Double] = Seq.fill(16)(rng.nextDouble() - 0.5)
+    val query = vec()
+    val initial = (100L until 160L).map(i => (i, vec()))
+    val dir = tmpDir("graft_ivfpqsink_")
+    graft.ops.Similarity.buildIvfPqIndex(
+      initial.toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+      nCells = 8, m = 4, nCodes = 8)
+    val neighbors = (1L to 5L).map(i =>
+      (i, query.map(_ + (rng.nextDouble() - 0.5) * 0.001)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.ivfPqIndexSink(spark,
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, s"$dir/ckpt")
+    try {
+      mem.addData(neighbors: _*)
+      mem.addData((997L, null.asInstanceOf[Seq[Double]]), (998L, Seq.empty[Double]))
+      q.processAllAvailable()
+    } finally q.stop()
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.schema.fieldNames.toSet == Set("vec_id", "codes", "cell"))
+    assert(data.count() == 65,
+      s"batch (60) + streamed (5) rows must all be visible, got ${data.count()}")
+    // streamed rows share the batch geometry: cells assigned by the
+    // frozen centroid table, so all 5 near-identical neighbors land in
+    // the query's own nearest cell
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select($"cell", $"centroid").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (n == 0) 0.0 else d / n
+    }
+    val qCell = cents.zipWithIndex.maxBy { case (c, i) => (cos(c, query.toArray), -i) }._2
+    val streamedCells = data.filter($"vec_id" <= 5L)
+      .select($"cell".cast("int")).as[Int].collect().toSet
+    assert(streamedCells == Set(qCell),
+      s"streamed neighbors must land in the query's cell $qCell, got $streamedCells")
+    // pruned point probes see them
+    val got = graft.ops.Similarity.ivfPqIndexTopK(spark, dir, "vec_id",
+        query.toArray, k = 5, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert((got & (1L to 5L).toSet).size >= 4,
+      s"streamed near-identical neighbors must surface in top-5, got $got")
+  }
+
   test("streaming text-index sink: streamed docs pair with the batch corpus, no re-tokenization") {
     implicit val sqlCtx = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"
