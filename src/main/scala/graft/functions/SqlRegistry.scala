@@ -138,7 +138,8 @@ object GraftSqlFunctions {
         case Literal(s: UTF8String, StringType) => s.toString
         case other => throw new IllegalArgumentException(
           s"graft_tokens: argument 2 must be a string literal naming a " +
-            s"tokenizer (built-ins: whitespace, bpe), got $other")
+            s"tokenizer (built-ins: whitespace, bpe, bpe:<merges.txt>), " +
+            s"got $other")
       }
       TokenCountExpr(args(0), graft.functions.TokenCounters.forName(cname))
     },

@@ -164,12 +164,57 @@ object TokenCounters {
   /** The `bpe` built-in: greedy merges over [[tinyMerges]]. */
   val tinyBpe: BpeTokenCounter = BpeTokenCounter(tinyMerges)
 
-  /** Resolve a counter by registry name: built-ins first, then
+  /** Load an ordered merges table from a standard `merges.txt` (the BPE
+    * paper's interchange format, what subword tokenizer toolkits ship
+    * next to a vocabulary): one `left right` pair per line, file order =
+    * merge priority, an optional leading `#version:` header and blank
+    * lines skipped. Read through the Hadoop filesystem API so the same
+    * string works for local paths, `file://` URIs, and any mounted
+    * distributed store; the table is driver-read ONCE and rides the
+    * serialized expression to executors (~1 MB for a real 50k-merge
+    * vocabulary — plan payload, not a per-row cost). Fails fast on a
+    * malformed line: a silently dropped merge would desynchronize the
+    * count from the vocabulary that produced the file.
+    */
+  def loadMerges(path: String): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      val merges = src.getLines().zipWithIndex.flatMap { case (line, i) =>
+        val t = line.trim
+        if (t.isEmpty || (i == 0 && t.startsWith("#version"))) None
+        else t.split(" ", -1) match {
+          case Array(l, r) if l.nonEmpty && r.nonEmpty => Some(l -> r)
+          case _ => throw new IllegalArgumentException(
+            s"malformed merges line ${i + 1} in $path: '$line' " +
+              "(expected 'left right')")
+        }
+      }.toVector
+      if (merges.isEmpty)
+        throw new IllegalArgumentException(s"no merges in $path")
+      merges
+    } finally in.close()
+  }
+
+  /** A greedy-BPE counter over a `merges.txt` file ([[loadMerges]]) —
+    * the `bpe:<path>` registry form.
+    */
+  def bpeFromFile(path: String): BpeTokenCounter =
+    BpeTokenCounter(loadMerges(path))
+
+  /** Resolve a counter by registry name: built-ins first (`whitespace`,
+    * `bpe`, and `bpe:<merges.txt path>` for a user vocabulary), then
     * `ServiceLoader` providers on the current (module) classpath.
     */
   def forName(name: String): TokenCounter = name match {
     case "whitespace" => whitespace
     case "bpe" => tinyBpe
+    case f if f.startsWith("bpe:") => bpeFromFile(f.substring(4))
     case other =>
       val it = java.util.ServiceLoader
         .load(classOf[TokenCounter], Thread.currentThread.getContextClassLoader)

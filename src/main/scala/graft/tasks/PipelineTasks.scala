@@ -101,8 +101,9 @@ object PipelineTasks {
       // an existing numeric column…
       case Some(c) => df.withColumn("n_tokens", col(c).cast("long"))
       // …or counted from text under a named tokenizer-SPI counter
-      // (`"tokenizer": "bpe"` — graft.functions.TokenCounters), default
-      // the q52/q58 ws convention
+      // (`"tokenizer": "bpe"`, or `"bpe:<merges.txt>"` for a user
+      // vocabulary — graft.functions.TokenCounters), default the
+      // q52/q58 ws convention
       case None =>
         val counter = graft.functions.TokenCounters.forName(
           cfg.str("tokenizer", "whitespace"))

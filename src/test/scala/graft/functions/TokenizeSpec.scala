@@ -57,6 +57,42 @@ class TokenizeSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown tokenizer"))
   }
 
+  test("bpe:<path> loads a standard merges.txt; counts match the same table in code") {
+    val dir = tmpDir("graft_merges_")
+    val path = s"$dir/merges.txt"
+    // the interchange format a subword toolkit ships: optional #version
+    // header, one 'left right' pair per line, file order = priority
+    val body = "#version: 0.2\n" +
+      TokenCounters.tinyMerges.map { case (l, r) => s"$l $r" }.mkString("\n") +
+      "\n\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      body.getBytes("UTF-8"))
+    val fromFile = TokenCounters.forName(s"bpe:$path")
+    assert(fromFile == TokenCounters.tinyBpe,
+      "a file round-trip of the pinned table must resolve to an equal counter")
+    Seq("table stream data egg", "", "  spaced  out  ").foreach { t =>
+      assert(fromFile.countTokens(t) == bpe.countTokens(t), s"text '$t'")
+    }
+    // the loaded table drives the COLUMN path too (q52b/q58b's shape)
+    val got = Seq((1L, "table data"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select($"id", TokenCounters.count(fromFile, $"text").as("n"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(1L).contains(bpe.countTokens("table data")) && got(2L).isEmpty)
+    // malformed lines fail fast — a silently dropped merge would
+    // desynchronize the count from the vocabulary that produced the file
+    val bad = s"$dir/bad.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad),
+      "t a\nbroken-line-without-space\n".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](TokenCounters.forName(s"bpe:$bad"))
+    assert(e2.getMessage.contains("malformed merges line 2"))
+    val empty = s"$dir/empty.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(empty),
+      "#version: 0.2\n\n".getBytes("UTF-8"))
+    assert(intercept[IllegalArgumentException](
+      TokenCounters.forName(s"bpe:$empty")).getMessage.contains("no merges"))
+  }
+
   test("column path: null text → null count, non-null counts match eval") {
     val df = Seq((1L, "table row"), (2L, null), (3L, ""))
       .toDF("id", "text")

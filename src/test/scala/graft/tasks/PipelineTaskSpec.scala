@@ -133,6 +133,27 @@ class PipelineTaskSpec extends SparkSpec {
       rows(Packing.pack(withTok, "doc_id", "n_tokens", "source", 512)))
   }
 
+  test("pack task with a file-backed bpe:<merges.txt> tokenizer (user vocabulary surface)") {
+    val wd = tmpDir("graft_pipetask_bpe_")
+    val merges = s"$wd/merges.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(merges),
+      ("#version: 0.2\n" + graft.functions.TokenCounters.tinyMerges
+        .map { case (l, r) => s"$l $r" }.mkString("\n") + "\n").getBytes("UTF-8"))
+    runTask(wd,
+      s"""{"tasks": [{"type": "pack", "name": "p",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "pack": {"text": "text", "shard": "source", "seq_len": 512,
+         |           "tokenizer": "bpe:$merges"},
+         |  "target": {"file": "pk", "truncate": true}}]}""".stripMargin)
+    // file-backed table == the pinned table, so the task must reproduce
+    // the q52b packing exactly
+    val withTok = docs.withColumn("n_tokens",
+      graft.functions.TokenCounters.count(
+        graft.functions.TokenCounters.tinyBpe, col("text")))
+    assert(rows(outParquet(wd, "pk")) ==
+      rows(Packing.pack(withTok, "doc_id", "n_tokens", "source", 512)))
+  }
+
   test("curate task == Curation.curate (q93's op from a task file)") {
     val wd = tmpDir("graft_pipetask_")
     runTask(wd,
