@@ -1027,6 +1027,11 @@ object Similarity {
     *                      story: m ints per corpus vector.
     * Same md5-ordered deterministic seeding as [[pqTopK]], so a probe of
     * the persisted layout returns exactly the in-memory op's results.
+    *
+    * `kmeansIters` defaults to 0 (raw md5-sampled seeds) — measured
+    * justification in BASELINE.md's ANN recall surface: Lloyd rounds
+    * gain +0.06–0.08 recall@10 at nCodes ≥ 256 (set 3 there) but COST
+    * ~0.02 at nCodes = 16, for ~2× build time either way.
     */
   def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
                    m: Int = 4, nCodes: Int = 16, kmeansIters: Int = 0): Unit = {
