@@ -44,7 +44,7 @@ object PipelineBench {
     val budgets = graft.queries.Extensions.tokenBudgets
       .map { case (s, b) => s -> b * repl / 2 }
 
-    val (out, tPipe) = time {
+    def runOnce(): (org.apache.spark.sql.DataFrame, Double) = time {
       val result = graft.ops.Curation.curate(spark,
         docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", "source",
         keyIndexPath = Some(keyDir),
@@ -54,16 +54,34 @@ object PipelineBench {
       result.write.format("noop").mode("overwrite").save()
       result
     }
+    val (out, tPipe) = runOnce()
     val nOut = out.count()
     val plan = out.queryExecution.executedPlan.toString
     val nExchange = "(?i)exchange".r.findAllIn(plan).length
     val nScan = "Scan ".r.findAllIn(plan).length
 
+    // stage-boundary materialization A/B (the round-11 q93 WATCH:
+    // checkpoint I/O dominates the non-gram stages) — the same pipeline
+    // under each Curation.materialize strategy, 2 runs each, best-of
+    // (one warm run above already paged the corpus in). Lazy persists
+    // are dropped between arms so no arm reads another's blocks.
+    val ab = for (strategy <- Seq("local", "disk", "memdisk", "none")) yield {
+      System.setProperty("graft.curate.materialize", strategy)
+      val ts = (1 to 2).map { _ =>
+        val t = runOnce()._2
+        spark.catalog.clearCache()
+        t
+      }
+      strategy -> ts.min
+    }
+    System.setProperty("graft.curate.materialize", "local")
+
     println(
       s"""{"bench":"pipeline_sf1","sf":"$sfDir","repl":$repl,"n_docs":$nDocs,""" +
       s""""key_index_build_s":${fmt(tBuild)},"pipeline_s":${fmt(tPipe)},""" +
       s""""rows_out":$nOut,"final_stage_exchanges":$nExchange,""" +
-      s""""final_stage_scans":$nScan}""")
+      s""""final_stage_scans":$nScan,"materialize_ab":{""" +
+      ab.map { case (s, t) => s""""$s":${fmt(t)}""" }.mkString(",") + "}}")
     spark.stop()
   }
 }

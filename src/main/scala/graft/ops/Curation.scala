@@ -47,6 +47,34 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Stage-boundary materialization strategy, switchable for A/B runs
+    * via `-Dgraft.curate.materialize=` (PipelineBench measures all
+    * four — BASELINE.md "q93 checkpoint A/B"):
+    *
+    *  - `local` (default): eager `localCheckpoint` — one job now, plan
+    *    truncated, executor-memory/disk blocks;
+    *  - `disk`: lazy `persist(DISK_ONLY)` — first consumer pays the
+    *    compute, second reads spilled blocks, no memory pressure;
+    *  - `memdisk`: lazy `persist(MEMORY_AND_DISK)`;
+    *  - `none`: no materialization — every consumer recomputes the
+    *    upstream chain (the control arm; measured 1.5–2× slower, see
+    *    BASELINE.md).
+    *
+    * Lazy persists are left registered (the caller's session owns their
+    * lifecycle — `spark.catalog.clearCache()` between A/B arms); the
+    * default arm has no such residue.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    sys.props.getOrElse("graft.curate.materialize", "local") match {
+      case "local"   => df.localCheckpoint(true)
+      case "disk"    => df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case "memdisk" => df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case "none"    => df
+      case other => throw new IllegalArgumentException(
+        s"graft.curate.materialize: unknown strategy '$other' " +
+          "(local | disk | memdisk | none)")
+    }
+
   /** Stage parameters; every default is the matching qNN query's value.
     *
     * @param budgets       per-source token budgets (stage 5); sources
@@ -135,7 +163,7 @@ object Curation {
     }
     // materialized: the excision stage reads it twice (gram pass +
     // source join-back) — see the object doc on stage boundaries
-    val fresh = fresh0.localCheckpoint(true)
+    val fresh = materialize(fresh0)
 
     // 2b. optional corpus-frequency LINE removal (q97's op) ahead of
     // span excision — boilerplate chrome goes first, verbatim spans
@@ -150,7 +178,7 @@ object Curation {
           .join(fresh.select(col("doc_id"), col("source")), Seq("doc_id"))
           .select(col("doc_id"), col("source"),
             regexp_replace(col("clean_text"), "\n", " ").as("text"))
-          .localCheckpoint(true)
+          .transform(materialize)
       case None => fresh
     }
 
@@ -179,10 +207,10 @@ object Curation {
     // 5. SAMPLE to per-source token budgets. The fracs collect is one
     // bounded driver action (per-source totals); the checkpoint makes
     // the chain above run ONCE for both the totals and the main job.
-    val withTok = decon.select(col("doc_id"), col("source"),
+    val withTok = materialize(
+      decon.select(col("doc_id"), col("source"),
         graft.functions.VectorFunctions.tokenCountsStruct(col("clean_text"))
-          .getField("ws_tokens").as("n_tokens"))
-      .localCheckpoint(true)
+          .getField("ws_tokens").as("n_tokens")))
     val fracs = Sampling.tokenBudgetFracs(withTok, "source", "n_tokens",
       cfg.budgets)
     val sampled = Sampling.stratifiedSample(withTok, "doc_id", "source", fracs)
