@@ -83,7 +83,7 @@ object AnnRecallBench {
 
       def record(family: String, storage: String, params: String,
                  buildS: Double, frac: Double, rowBytes: Int,
-                 join: () => DataFrame): Row = {
+                 join: () => DataFrame, extraKbPerQuery: Double = 0.0): Row = {
         val (recalls, tQ) = {
           val t = medianOf(3)(join().collect())
           val r = graft.ops.Similarity.annRecall(join(), truth, "vec_id")
@@ -93,7 +93,7 @@ object AnnRecallBench {
         require(recalls.length == nQ, s"$family $params: missing queries")
         val row = Row(family, storage, fixture, params, buildS, tQ,
           recalls.sum / recalls.length, recalls.min,
-          frac, nVecs * frac * rowBytes / 1024.0)
+          frac, nVecs * frac * rowBytes / 1024.0 + extraKbPerQuery)
         results += row
         println(f"${row.family}%-7s ${row.storage}%-6s ${row.fixture}%-7s " +
           f"${row.params}%-28s build ${row.buildS}%6.2fs  q ${row.queryS}%6.3fs  " +
@@ -155,6 +155,19 @@ object AnnRecallBench {
             "vec_id", queries, "vec_id", "embedding", k))
       }
 
+      // ----- PQ + exact rerank: the two-stage retrieval the flat-PQ
+      // rows above prescribe — codes propose kCand, floats re-rank.
+      // Cost = the full code scan + kCand float rows per query.
+      for (kCand <- Seq(50, 100)) {
+        val pp = s"$base/$fixture/pq_m4_c16_ki0" // built in the loop above
+        record("pq", "rerank", s"m=4 nCodes=16 kCand=$kCand",
+          0.0, 1.0, 4 * 4,
+          () => graft.ops.Similarity.pqIndexKnnJoinRerank(spark, pp,
+            corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+            k, kCand),
+          extraKbPerQuery = kCand * dim * 8 / 1024.0)
+      }
+
       // ----- IVF-PQ: nCodes × kmeansIters, nProbe swept, m = 4 -----
       for (nCodes <- Seq(16, 256); ki <- Seq(0, 3)) {
         val ip = s"$base/$fixture/ivfpq_c${nCodes}_ki$ki"
@@ -214,6 +227,10 @@ object AnnRecallBench {
       f"int8 must track float at the default config: $int8Default%.3f vs $ivfDefault%.3f")
     // kmeansIters default adjudication: the measured gap between ki=0 and
     // ki=3 across the IVF nProbe sweep decides whether 0 stays the default
+    val rerank = recallOf("pq", "rerank", "m=4 nCodes=16 kCand=100")
+    require(rerank >= 0.95,
+      f"PQ+rerank (kCand=100) recall $rerank%.3f < 0.95 on planted structure " +
+        "- the two-stage contract")
     val kiGap = Seq(1, 2, 3, 4, 6, 8).map { p =>
       recallOf("ivf", "float", s"nCells=$nCells nProbe=$p ki=3") -
         recallOf("ivf", "float", s"nCells=$nCells nProbe=$p ki=0")

@@ -291,6 +291,8 @@ object SparkEntry {
     "q104_pq_knn_join" -> pqKnnJoinSql,
     "q105_pq_index_knn_join" -> pqKnnJoinSql,
     "q106_ivfpq_index_knn_join" -> ivfPqKnnJoinSql,
+    "q107_pq_rerank_topk" -> pqRerankTopKSql,
+    "q108_pq_rerank_knn_join" -> pqRerankKnnJoinSql,
     // q62 oracle: the Bloom stage is a pure prefilter (no false
     // negatives) and the verify restores exactness, so the engine result
     // equals the plain NOT EXISTS on the content hash. Null-text rows
@@ -873,6 +875,92 @@ object SparkEntry {
        |  ROW_NUMBER() OVER (PARTITION BY q_id
        |    ORDER BY pq_score DESC, vec_id) AS rk FROM scored)
        |SELECT q_id, vec_id, pq_score FROM ranked WHERE rk <= 10
+       |ORDER BY q_id, vec_id""".stripMargin
+
+  /** q107 oracle: PQ probe + exact rerank — q100's CTEs verbatim propose
+    * the kCand=50 cut (rounded ADC rank, ties to the lower id, the
+    * engine's [[graft.ops.Similarity.pqIndexTopK]] order), then ONLY
+    * those vectors are exactly cosine-ranked for the final top-10.
+    */
+  private def pqRerankTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL AND LEN(embedding) > 0),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cbs AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, v
+       |        FROM seeds),
+       |cw AS (SELECT t.s, c.code, c.v[t.s*16+1 : t.s*16+16] AS w
+       |       FROM cbs c CROSS JOIN range(4) t(s)),
+       |enc AS (SELECT e.vec_id, w.s, w.code,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id, w.s
+       |            ORDER BY (list_dot_product(e.v[w.s*16+1 : w.s*16+16],
+       |                                       e.v[w.s*16+1 : w.s*16+16])
+       |                      - 2*list_dot_product(e.v[w.s*16+1 : w.s*16+16], w.w)
+       |                      + list_dot_product(w.w, w.w)), w.code) AS rn
+       |        FROM e CROSS JOIN cw w),
+       |codes AS (SELECT vec_id, s, code FROM enc WHERE rn = 1),
+       |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+       |parts AS (SELECT c.vec_id, c.s AS s,
+       |            list_dot_product(qv.q[c.s*16+1 : c.s*16+16], w.w) AS dp,
+       |            list_dot_product(w.w, w.w) AS n2
+       |          FROM codes c JOIN cw w ON w.s = c.s AND w.code = c.code, qv),
+       |sums AS (SELECT vec_id, list_sum(list(dp ORDER BY s)) AS sd,
+       |                list_sum(list(n2 ORDER BY s)) AS sn2
+       |         FROM parts GROUP BY vec_id),
+       |cand AS (SELECT vec_id FROM (
+       |  SELECT sums.vec_id,
+       |    ROW_NUMBER() OVER (ORDER BY
+       |      ROUND(sd / (SQRT(list_dot_product(qv.q, qv.q)) * SQRT(sn2)), 6)
+       |      DESC, sums.vec_id) AS rk
+       |  FROM sums, qv) t WHERE rk <= 50),
+       |ranked AS (SELECT e.vec_id, ROUND(${cosSql("e.v", "qv.q")}, 6) AS cos_sim
+       |           FROM e JOIN cand ON cand.vec_id = e.vec_id, qv
+       |           ORDER BY cos_sim DESC, e.vec_id LIMIT 10)
+       |SELECT vec_id, cos_sim FROM ranked ORDER BY vec_id""".stripMargin
+
+  /** q108 oracle: the batch form — q104's CTEs verbatim propose each
+    * query's kCand=50 cut, then exactly cosine-ranked per query.
+    */
+  private def pqRerankKnnJoinSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL AND LEN(embedding) > 0),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cbs AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, v
+       |        FROM seeds),
+       |cw AS (SELECT t.s, c.code, c.v[t.s*16+1 : t.s*16+16] AS w
+       |       FROM cbs c CROSS JOIN range(4) t(s)),
+       |enc AS (SELECT e.vec_id, w.s, w.code,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id, w.s
+       |            ORDER BY (list_dot_product(e.v[w.s*16+1 : w.s*16+16],
+       |                                       e.v[w.s*16+1 : w.s*16+16])
+       |                      - 2*list_dot_product(e.v[w.s*16+1 : w.s*16+16], w.w)
+       |                      + list_dot_product(w.w, w.w)), w.code) AS rn
+       |        FROM e CROSS JOIN cw w),
+       |codes AS (SELECT vec_id, s, code FROM enc WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |parts AS (SELECT q.q_id, c.vec_id, c.s AS s,
+       |            list_dot_product(q.qv[c.s*16+1 : c.s*16+16], w.w) AS dp,
+       |            list_dot_product(w.w, w.w) AS n2
+       |          FROM codes c JOIN cw w ON w.s = c.s AND w.code = c.code
+       |          CROSS JOIN q),
+       |sums AS (SELECT q_id, vec_id, list_sum(list(dp ORDER BY s)) AS sd,
+       |                list_sum(list(n2 ORDER BY s)) AS sn2
+       |         FROM parts GROUP BY q_id, vec_id),
+       |cand AS (SELECT q_id, vec_id FROM (
+       |  SELECT s.q_id, s.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY
+       |      ROUND(sd / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(sn2)), 6)
+       |      DESC, s.vec_id) AS rk
+       |  FROM sums s JOIN q ON q.q_id = s.q_id) t WHERE rk <= 50),
+       |scored AS (SELECT c.q_id, c.vec_id,
+       |             ROUND(${cosSql("e.v", "q.qv")}, 6) AS cos_sim
+       |           FROM cand c JOIN e ON e.vec_id = c.vec_id
+       |           JOIN q ON q.q_id = c.q_id),
+       |ranked AS (SELECT q_id, vec_id, cos_sim,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rk FROM scored)
+       |SELECT q_id, vec_id, cos_sim FROM ranked WHERE rk <= 10
        |ORDER BY q_id, vec_id""".stripMargin
 
   private def annIvfSql: String =

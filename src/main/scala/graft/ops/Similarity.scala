@@ -1146,6 +1146,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** PQ probe + EXACT rerank — the two-stage retrieval the measured
+    * recall surface says PQ is for (BASELINE.md "ANN recall-vs-cost":
+    * at 64–128× compression, ADC rank tops out near 0.5 recall@10 — a
+    * CANDIDATE GENERATOR, not a final ranker). Stage 1 is
+    * [[pqIndexTopK]]'s code-only scan cut at `kCand`; stage 2 fetches
+    * ONLY those kCand rows' float vectors from `corpus` (the id IN-list
+    * pushes into the corpus scan) and ranks them by exact cosine.
+    *
+    * Plan shape at any scale: the full-corpus pass still reads m ints
+    * per row (the PQ property); the expensive float read touches kCand
+    * rows — independent of corpus size. One bounded driver action
+    * (kCand ids) between the stages. Recall is now limited only by
+    * stage-1 MISSES (a true neighbour outside the kCand cut), which the
+    * surface shows shrink fast with kCand; the rerank itself is exact.
+    */
+  def pqIndexTopKRerank(spark: org.apache.spark.sql.SparkSession, path: String,
+                        corpus: DataFrame, idCol: String, vecCol: String,
+                        queryVec: Array[Double], k: Int, kCand: Int = 100,
+                        scale: Int = 6): DataFrame = {
+    import spark.implicits._
+    val ids = pqIndexTopK(spark, path, idCol, queryVec, kCand)
+      .select(col(idCol)).collect().map(_.getLong(0)) // bounded: kCand rows
+    val q = Seq(Tuple1(queryVec.toSeq)).toDF("_qv")
+    corpus.filter(col(idCol).isin(ids.toIndexedSeq: _*))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosineGuarded(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Batch PQ probe + exact rerank — [[pqIndexTopKRerank]]'s k-NN-join
+    * form: stage 1 is [[pqIndexKnnJoin]] cut at `kCand` per query
+    * (bounded: queries × kCand rows, never collected); stage 2
+    * broadcasts that candidate set into ONE equi-join against `corpus`
+    * (the float fetch touches only candidate rows — corpus never
+    * shuffles), re-attaches each query's vector from the broadcast
+    * query side, and ranks by exact cosine into the bounded
+    * [[graft.functions.TopKAgg]] per-query top-k.
+    */
+  def pqIndexKnnJoinRerank(spark: org.apache.spark.sql.SparkSession, path: String,
+                           corpus: DataFrame, idCol: String, vecCol: String,
+                           queries: DataFrame, qIdCol: String, qVecCol: String,
+                           k: Int, kCand: Int = 100, scale: Int = 6): DataFrame = {
+    val cands = pqIndexKnnJoin(spark, path, idCol, queries, qIdCol, qVecCol, kCand)
+      .select(col("q_id"), col(idCol))
+    val qv = queries.select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+    val scored = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim"))
+    topKPerQuery(scored, idCol, k)
+  }
+
   /** Batch probes against a persisted PQ index ([[buildPqIndex]]): the
     * k-NN-join form of [[pqIndexTopK]]. Codebooks are ONE bounded driver
     * fetch (m·nCodes rows); the probe side is broadcast with its

@@ -336,6 +336,39 @@ object Extensions {
       .orderBy(col("q_id"), col("vec_id"))
   }
 
+  // q107/q108 PQ probe + EXACT rerank — the two-stage retrieval the
+  // measured recall surface prescribes (BASELINE.md: ADC rank tops out
+  // near 0.5 recall@10 at this compression; the kCand cut + exact
+  // rerank restores it): the code-only scan proposes kCand candidates,
+  // only those rows' floats are fetched and exactly ranked. Both stages
+  // deterministic, so the composition hash-checks like an exact query.
+  val q107_pq_rerank_topk: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val dir = pqIndexDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_q101_pqidx_").toString
+      Similarity.buildPqIndex(emb, "vec_id", "embedding", p, m = 4, nCodes = 16)
+      p
+    })
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    Similarity.pqIndexTopKRerank(s, dir, emb, "vec_id", "embedding", qv,
+        k = 10, kCand = 50)
+      .orderBy(col("vec_id"))
+  }
+
+  val q108_pq_rerank_knn_join: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val dir = pqIndexDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_q101_pqidx_").toString
+      Similarity.buildPqIndex(emb, "vec_id", "embedding", p, m = 4, nCodes = 16)
+      p
+    })
+    Similarity.pqIndexKnnJoinRerank(s, dir, emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10, kCand = 50)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
   // q102 ANN recall audit — the acceptance gauge for the approximate
   // family: q54's IVF k-NN join scored against the exact brute-force
   // top-10 for the same query set. Both sides deterministic, so the
@@ -1064,5 +1097,7 @@ object Extensions {
     "q103_ivfpq_topk" -> q103_ivfpq_topk,
     "q104_pq_knn_join" -> q104_pq_knn_join,
     "q105_pq_index_knn_join" -> q105_pq_index_knn_join,
-    "q106_ivfpq_index_knn_join" -> q106_ivfpq_index_knn_join)
+    "q106_ivfpq_index_knn_join" -> q106_ivfpq_index_knn_join,
+    "q107_pq_rerank_topk" -> q107_pq_rerank_topk,
+    "q108_pq_rerank_knn_join" -> q108_pq_rerank_knn_join)
 }
