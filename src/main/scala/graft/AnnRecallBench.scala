@@ -168,13 +168,20 @@ object AnnRecallBench {
           extraKbPerQuery = kCand * dim * 8 / 1024.0)
       }
 
-      // ----- IVF-PQ: nCodes × kmeansIters, nProbe swept, m = 4 -----
-      for (nCodes <- Seq(16, 256); ki <- Seq(0, 3)) {
-        val ip = s"$base/$fixture/ivfpq_c${nCodes}_ki$ki"
+      // ----- IVF-PQ: nCodes × kmeansIters × {raw, residual} encoding,
+      // nProbe swept, m = 4. Residual is the classic recall fix at
+      // IDENTICAL bytes — same cells, same code width, the codes just
+      // describe v − centroid[cell] instead of v.
+      for (nCodes <- Seq(16, 256); ki <- Seq(0, 3);
+           res <- Seq(false, true)) {
+        val tag = if (res) "res" else "raw"
+        val ip = s"$base/$fixture/ivfpq_c${nCodes}_ki${ki}_$tag"
         val (_, bI) = time(graft.ops.Similarity.buildIvfPqIndex(
-          corpus, "vec_id", "embedding", ip, nCells, m = 4, nCodes, kmeansIters = ki))
+          corpus, "vec_id", "embedding", ip, nCells, m = 4, nCodes,
+          kmeansIters = ki, residual = res))
         for (nProbe <- Seq(1, 3, 8)) {
-          record("ivfpq", "codes", s"nCells=$nCells m=4 nCodes=$nCodes nProbe=$nProbe ki=$ki",
+          record("ivfpq", if (res) "res" else "codes",
+            s"nCells=$nCells m=4 nCodes=$nCodes nProbe=$nProbe ki=$ki",
             bI, nProbe.toDouble / nCells, 4 * 4,
             () => graft.ops.Similarity.ivfPqIndexKnnJoin(spark, ip,
               "vec_id", queries, "vec_id", "embedding", k, nProbe))

@@ -293,6 +293,8 @@ object SparkEntry {
     "q106_ivfpq_index_knn_join" -> ivfPqKnnJoinSql,
     "q107_pq_rerank_topk" -> pqRerankTopKSql,
     "q108_pq_rerank_knn_join" -> pqRerankKnnJoinSql,
+    "q109_ivfpq_residual_topk" -> ivfPqResidualTopKSql,
+    "q110_ivfpq_residual_knn_join" -> ivfPqResidualKnnJoinSql,
     // q62 oracle: the Bloom stage is a pure prefilter (no false
     // negatives) and the verify restores exactness, so the engine result
     // equals the plain NOT EXISTS on the content hash. Null-text rows
@@ -961,6 +963,107 @@ object SparkEntry {
        |  ROW_NUMBER() OVER (PARTITION BY q_id
        |    ORDER BY cos_sim DESC, vec_id) AS rk FROM scored)
        |SELECT q_id, vec_id, cos_sim FROM ranked WHERE rk <= 10
+       |ORDER BY q_id, vec_id""".stripMargin
+
+  /** Shared residual-IVF-PQ oracle CTEs (q109/q110): q103's cell CTEs,
+    * then every quantity re-expressed over RESIDUALS — seed rows'
+    * `r = v − cv[cell]` sliced into codebooks
+    * (`list_transform(list_zip(v, cv), x -> x[1]-x[2])`, the engine's
+    * exact elementwise subtraction order), members encoded by the
+    * `r·r − 2·r·w + w·w` argmin on their residuals, and scores the exact
+    * cosine against the reconstruction `cv + w` via the disjoint-support
+    * identity: `(dot(q,cv) + Σ dot(q_s,w)) / (|q| · √(|cv|² +
+    * 2·Σ dot(cv_s,w) + Σ|w|²))` — term for term what
+    * [[org.apache.spark.sql.graft.PqAdcResidualScore]] computes.
+    */
+  private def ivfPqResidualCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |      WHERE embedding IS NOT NULL AND LEN(embedding) > 0),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
+       |         FROM seeds),
+       |asgn AS (SELECT e.vec_id, e.v, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
+       |         FROM e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, v, cell FROM asgn WHERE rn = 1),
+       |rseeds AS (SELECT s.vec_id, s.h,
+       |             list_transform(list_zip(s.v, c2.cv), x -> x[1] - x[2]) AS r
+       |           FROM seeds s JOIN cells cl ON cl.vec_id = s.vec_id
+       |           JOIN cent c2 ON c2.cell = cl.cell),
+       |cbs AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, r
+       |        FROM rseeds),
+       |cw AS (SELECT t.s, c.code, c.r[t.s*16+1 : t.s*16+16] AS w
+       |       FROM cbs c CROSS JOIN range(4) t(s)),
+       |rmem AS (SELECT cl.vec_id, cl.cell, c2.cv,
+       |           list_transform(list_zip(cl.v, c2.cv), x -> x[1] - x[2]) AS r
+       |         FROM cells cl JOIN cent c2 ON c2.cell = cl.cell),
+       |enc AS (SELECT m.vec_id, w.s, w.code,
+       |          ROW_NUMBER() OVER (PARTITION BY m.vec_id, w.s
+       |            ORDER BY (list_dot_product(m.r[w.s*16+1 : w.s*16+16],
+       |                                       m.r[w.s*16+1 : w.s*16+16])
+       |                      - 2*list_dot_product(m.r[w.s*16+1 : w.s*16+16], w.w)
+       |                      + list_dot_product(w.w, w.w)), w.code) AS rn
+       |        FROM rmem m CROSS JOIN cw w),
+       |codes AS (SELECT vec_id, s, code FROM enc WHERE rn = 1)""".stripMargin
+
+  private def ivfPqResidualTopKSql: String =
+    s"""WITH $ivfPqResidualCtes,
+       |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+       |probes AS (SELECT c.cell FROM cent c, qv
+       |           ORDER BY ${cosSql("c.cv", "qv.q")} DESC, c.cell LIMIT 3),
+       |parts AS (SELECT c.vec_id, c.s AS s,
+       |            list_dot_product(qv.q[c.s*16+1 : c.s*16+16], w.w) AS dp,
+       |            list_dot_product(w.w, w.w) AS n2,
+       |            list_dot_product(m.cv[c.s*16+1 : c.s*16+16], w.w) AS cdp
+       |          FROM codes c JOIN cw w ON w.s = c.s AND w.code = c.code
+       |          JOIN rmem m ON m.vec_id = c.vec_id, qv
+       |          WHERE m.cell IN (SELECT cell FROM probes)),
+       |sums AS (SELECT vec_id, list_sum(list(dp ORDER BY s)) AS sd,
+       |                list_sum(list(n2 ORDER BY s)) AS sn2,
+       |                list_sum(list(cdp ORDER BY s)) AS scd
+       |         FROM parts GROUP BY vec_id),
+       |ranked AS (SELECT sums.vec_id,
+       |             ROUND((list_dot_product(qv.q, m.cv) + sd) /
+       |                   (SQRT(list_dot_product(qv.q, qv.q)) *
+       |                    SQRT(list_dot_product(m.cv, m.cv) + 2*scd + sn2)),
+       |                   6) AS pq_score
+       |           FROM sums JOIN rmem m ON m.vec_id = sums.vec_id, qv
+       |           ORDER BY pq_score DESC, sums.vec_id LIMIT 10)
+       |SELECT vec_id, pq_score FROM ranked ORDER BY vec_id""".stripMargin
+
+  private def ivfPqResidualKnnJoinSql: String =
+    s"""WITH $ivfPqResidualCtes,
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |probes AS (SELECT q_id, cell FROM (
+       |  SELECT q.q_id, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${cosSql("c.cv", "q.qv")} DESC, c.cell) AS rn
+       |  FROM q CROSS JOIN cent c) t WHERE rn <= 3),
+       |parts AS (SELECT p.q_id, c.vec_id, c.s AS s,
+       |            list_dot_product(q.qv[c.s*16+1 : c.s*16+16], w.w) AS dp,
+       |            list_dot_product(w.w, w.w) AS n2,
+       |            list_dot_product(m.cv[c.s*16+1 : c.s*16+16], w.w) AS cdp
+       |          FROM codes c JOIN cw w ON w.s = c.s AND w.code = c.code
+       |          JOIN rmem m ON m.vec_id = c.vec_id
+       |          JOIN probes p ON p.cell = m.cell
+       |          JOIN q ON q.q_id = p.q_id),
+       |sums AS (SELECT q_id, vec_id, list_sum(list(dp ORDER BY s)) AS sd,
+       |                list_sum(list(n2 ORDER BY s)) AS sn2,
+       |                list_sum(list(cdp ORDER BY s)) AS scd
+       |         FROM parts GROUP BY q_id, vec_id),
+       |scored AS (SELECT su.q_id, su.vec_id,
+       |             ROUND((list_dot_product(q.qv, m.cv) + sd) /
+       |                   (SQRT(list_dot_product(q.qv, q.qv)) *
+       |                    SQRT(list_dot_product(m.cv, m.cv) + 2*scd + sn2)),
+       |                   6) AS pq_score
+       |           FROM sums su JOIN rmem m ON m.vec_id = su.vec_id
+       |           JOIN q ON q.q_id = su.q_id),
+       |ranked AS (SELECT q_id, vec_id, pq_score,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY pq_score DESC, vec_id) AS rk FROM scored)
+       |SELECT q_id, vec_id, pq_score FROM ranked WHERE rk <= 10
        |ORDER BY q_id, vec_id""".stripMargin
 
   private def annIvfSql: String =

@@ -961,6 +961,278 @@ object PqAdcScoreBatch {
   }
 }
 
+/** Per-row residual against the row's assigned centroid — the encode-side
+  * primitive of residual IVF-PQ ([[graft.ops.Similarity.buildIvfPqIndex]]
+  * with `residual = true`): `v − centroids[cell]`, elementwise, in one
+  * codegen'd pass. Centroids ride as a reference object; the subtraction
+  * order (v_j − c_j, ascending j) is the exact arithmetic the DuckDB
+  * oracle writes with `list_transform(list_zip(v, cv), x -> x[1]-x[2])`,
+  * so the downstream argmin can never diverge between engines.
+  */
+case class CentroidResidual(left: Expression, right: Expression,
+                            centroids: Array[Array[Double]])
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.IntegerType
+
+  require(centroids.nonEmpty, "CentroidResidual needs at least one centroid")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_centroid_residual"
+
+  override protected def nullSafeEval(v: Any, cell: Any): Any =
+    CentroidResidual.compute(centroids, v.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      s"${ev.value} = org.apache.spark.sql.graft.CentroidResidual.compute($cRef, $v, $c);"
+    })
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case CentroidResidual(l, r, cs) =>
+      l == left && r == right && cs.length == centroids.length &&
+        cs.zip(centroids).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * Seq(left, right).hashCode() +
+      centroids.map(java.util.Arrays.hashCode).toSeq.hashCode()
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidResidual =
+    copy(left = newLeft, right = newRight)
+}
+
+object CentroidResidual {
+  def compute(cents: Array[Array[Double]], v: ArrayData, cell: Int): ArrayData = {
+    val c = cents(cell)
+    val n = v.numElements()
+    if (n != c.length)
+      throw new IllegalArgumentException(
+        s"CentroidResidual: vector has $n components, centroids have ${c.length}")
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) { out(j) = v.getDouble(j) - c(j); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Per-query setup vector for RESIDUAL ADC scoring, as one array column
+  * of length m·nCodes + nCells + 1 (the batch-join form of the driver
+  * constants; one packed array instead of three columns keeps the scorer
+  * ternary):
+  *
+  *   `[0, m·nCodes)`                 — the [[PqQueryLut]] dots,
+  *                                     `dot(q_s, w_{s,c})` flattened;
+  *   `[m·nCodes, m·nCodes + nCells)` — `qc[cell] = dot(q, centroid)`;
+  *   last element                    — `|q|`.
+  *
+  * Consumed by [[PqAdcResidualScore]], which knows the section offsets
+  * from its own constants. Computed once per query row on a broadcast
+  * probe side; for point probes the same layout is built on the driver.
+  */
+case class PqResidualQueryLut(child: Expression,
+                              codebooks: Array[Array[Array[Double]]],
+                              centroids: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "PqResidualQueryLut needs at least one codeword per subspace")
+  require(centroids.nonEmpty, "PqResidualQueryLut needs at least one centroid")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_residual_query_lut"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqResidualQueryLut.compute(codebooks, centroids, input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val ceRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"${ev.value} = org.apache.spark.sql.graft.PqResidualQueryLut" +
+        s".compute($cbRef, $ceRef, $v);"
+    })
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case PqResidualQueryLut(c, cbs, ces) =>
+      c == child && cbs.length == codebooks.length &&
+        cbs.zip(codebooks).forall { case (a, b) =>
+          a.length == b.length &&
+            a.zip(b).forall { case (x, y) => java.util.Arrays.equals(x, y) }
+        } &&
+        ces.length == centroids.length &&
+        ces.zip(centroids).forall { case (x, y) => java.util.Arrays.equals(x, y) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() +
+      codebooks.map(_.map(java.util.Arrays.hashCode).toSeq).toSeq.hashCode()) +
+      centroids.map(java.util.Arrays.hashCode).toSeq.hashCode()
+
+  override protected def withNewChildInternal(newChild: Expression): PqResidualQueryLut =
+    copy(child = newChild)
+}
+
+object PqResidualQueryLut {
+  /** The driver-side twin of the expression — one layout, two producers. */
+  def computeArray(cb: Array[Array[Array[Double]]], cents: Array[Array[Double]],
+                   qv: Array[Double]): Array[Double] = {
+    val m = cb.length
+    val nCodes = cb(0).length
+    val sub = cb(0)(0).length
+    require(qv.length == m * sub,
+      s"PqResidualQueryLut: vector has ${qv.length} components, " +
+        s"codebooks expect ${m * sub}")
+    val out = new Array[Double](m * nCodes + cents.length + 1)
+    var s = 0
+    while (s < m) {
+      val off = s * sub
+      var c = 0
+      while (c < nCodes) {
+        val w = cb(s)(c)
+        var d = 0.0
+        var j = 0
+        while (j < sub) { d += qv(off + j) * w(j); j += 1 }
+        out(s * nCodes + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    var i = 0
+    while (i < cents.length) {
+      val ct = cents(i)
+      var d = 0.0
+      var j = 0
+      while (j < qv.length) { d += qv(j) * ct(j); j += 1 }
+      out(m * nCodes + i) = d
+      i += 1
+    }
+    var qq = 0.0
+    var j = 0
+    while (j < qv.length) { qq += qv(j) * qv(j); j += 1 }
+    out(out.length - 1) = math.sqrt(qq)
+    out
+  }
+
+  def compute(cb: Array[Array[Array[Double]]], cents: Array[Array[Double]],
+              v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val qv = new Array[Double](n)
+    var j = 0
+    while (j < n) { qv(j) = v.getDouble(j); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      computeArray(cb, cents, qv).map(x => x: Any))
+  }
+}
+
+/** RESIDUAL ADC scoring — approximate cosine between the live query and
+  * `centroid[cell] + decode(codes)`, the reconstruction of a residual
+  * IVF-PQ row, from the codes alone. Children: (codes: array<int>,
+  * cell: int, lutPlus: array<double> — [[PqResidualQueryLut]]'s packed
+  * layout). Constants: codeword norms² `n2[s][c]`, centroid·codeword
+  * dots `cd[cell][s][c]`, centroid norms² `cn2[cell]` — all
+  * query-independent, bounded (nCells·m·nCodes doubles), riding as
+  * codegen reference objects.
+  *
+  * Because subspace codewords have disjoint support,
+  * `|c + w|² = cn2[cell] + 2·Σ_s cd[cell][s][code_s] + Σ_s n2[s][code_s]`
+  * EXACTLY, and `dot(q, c + w) = qc[cell] + Σ_s lut[s·nCodes+code_s]` —
+  * so the score is exact cosine against the reconstruction at m array
+  * probes + one centroid lookup per row. Ascending subspace order, zero
+  * denominator → 0, the house ADC conventions.
+  */
+case class PqAdcResidualScore(first: Expression, second: Expression,
+                              third: Expression,
+                              norm2: Array[Array[Double]],
+                              cd: Array[Array[Array[Double]]],
+                              cn2: Array[Double])
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.IntegerType
+
+  require(norm2.nonEmpty && cd.nonEmpty && cn2.nonEmpty,
+    "PqAdcResidualScore needs non-empty constants")
+  require(cd.length == cn2.length,
+    "one centroid-dot table and one norm² per cell")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), IntegerType, ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_residual_score"
+
+  override protected def nullSafeEval(codes: Any, cell: Any, lutPlus: Any): Any =
+    PqAdcResidualScore.score(norm2, cd, cn2, codes.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], lutPlus.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nRef = ctx.addReferenceObj("norm2", norm2, "double[][]")
+    val dRef = ctx.addReferenceObj("cd", cd, "double[][][]")
+    val cRef = ctx.addReferenceObj("cn2", cn2, "double[]")
+    nullSafeCodeGen(ctx, ev, (codes, cell, lut) => {
+      s"${ev.value} = org.apache.spark.sql.graft.PqAdcResidualScore" +
+        s".score($nRef, $dRef, $cRef, $codes, $cell, $lut);"
+    })
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case PqAdcResidualScore(a, b, c, ns, ds, cs) =>
+      a == first && b == second && c == third &&
+        java.util.Arrays.equals(cs, cn2) &&
+        ns.length == norm2.length &&
+        ns.zip(norm2).forall { case (x, y) => java.util.Arrays.equals(x, y) } &&
+        ds.length == cd.length &&
+        ds.zip(cd).forall { case (x, y) =>
+          x.length == y.length &&
+            x.zip(y).forall { case (u, v) => java.util.Arrays.equals(u, v) }
+        }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * Seq(first, second, third).hashCode() +
+      java.util.Arrays.hashCode(cn2)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): PqAdcResidualScore =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object PqAdcResidualScore {
+  def score(norm2: Array[Array[Double]], cd: Array[Array[Array[Double]]],
+            cn2: Array[Double], codes: ArrayData, cell: Int,
+            lutPlus: ArrayData): Double = {
+    val m = codes.numElements()
+    val nCodes = norm2(0).length
+    val nCells = cn2.length
+    var sd = 0.0
+    var sn2 = 0.0
+    var cds = 0.0
+    val cdCell = cd(cell)
+    var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      sd += lutPlus.getDouble(s * nCodes + c)
+      sn2 += norm2(s)(c)
+      cds += cdCell(s)(c)
+      s += 1
+    }
+    val qc = lutPlus.getDouble(m * nCodes + cell)
+    val qn = lutPlus.getDouble(m * nCodes + nCells)
+    val denom = qn * math.sqrt(cn2(cell) + 2.0 * cds + sn2)
+    if (denom == 0) 0.0 else (qc + sd) / denom
+  }
+}
+
 /** Token shape statistics — (mean_word_len, digit_frac, top_token_share)
   * — in ONE pass over the space-split tokens.
   *
@@ -1588,6 +1860,24 @@ object VectorBridge {
     ExpressionUtils.column(
       PqAdcScoreBatch(ExpressionUtils.expression(codes),
         ExpressionUtils.expression(lut), ExpressionUtils.expression(qNorm), norm2))
+
+  def centroidResidual(vec: Column, cell: Column,
+                       centroids: Array[Array[Double]]): Column =
+    ExpressionUtils.column(CentroidResidual(
+      ExpressionUtils.expression(vec), ExpressionUtils.expression(cell), centroids))
+
+  def pqResidualQueryLut(vec: Column, codebooks: Array[Array[Array[Double]]],
+                         centroids: Array[Array[Double]]): Column =
+    ExpressionUtils.column(PqResidualQueryLut(
+      ExpressionUtils.expression(vec), codebooks, centroids))
+
+  def pqAdcResidualScore(codes: Column, cell: Column, lutPlus: Column,
+                         norm2: Array[Array[Double]],
+                         cd: Array[Array[Array[Double]]],
+                         cn2: Array[Double]): Column =
+    ExpressionUtils.column(PqAdcResidualScore(
+      ExpressionUtils.expression(codes), ExpressionUtils.expression(cell),
+      ExpressionUtils.expression(lutPlus), norm2, cd, cn2))
 
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ExpressionUtils.column(NearestCentroid(ExpressionUtils.expression(vec), centroids))

@@ -117,6 +117,30 @@ object VectorFunctions {
                       norm2: Array[Array[Double]]): Column =
     org.apache.spark.sql.graft.VectorBridge.pqAdcScoreBatch(codes, lut, qNorm, norm2)
 
+  /** Elementwise residual against the row's assigned centroid — the
+    * encode-side primitive of residual IVF-PQ.
+    */
+  def centroidResidual(vec: Column, cell: Column,
+                       centroids: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.VectorBridge.centroidResidual(vec, cell, centroids)
+
+  /** Packed per-query setup (LUT ++ centroid dots ++ |q|) for residual
+    * ADC scoring — one array column, computed once per query row.
+    */
+  def pqResidualQueryLut(vec: Column, codebooks: Array[Array[Array[Double]]],
+                         centroids: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.VectorBridge.pqResidualQueryLut(vec, codebooks, centroids)
+
+  /** Residual ADC scoring: exact cosine against `centroid + decode(codes)`
+    * at m array probes per row.
+    */
+  def pqAdcResidualScore(codes: Column, cell: Column, lutPlus: Column,
+                         norm2: Array[Array[Double]],
+                         cd: Array[Array[Array[Double]]],
+                         cn2: Array[Double]): Column =
+    org.apache.spark.sql.graft.VectorBridge.pqAdcResidualScore(
+      codes, cell, lutPlus, norm2, cd, cn2)
+
   /** Hashing-trick document vector: dim-wide token-bucket multiplicity
     * counts in one pass (md5-bucketed, engine-portable) — raw text into
     * the similarity family without a trained embedder.

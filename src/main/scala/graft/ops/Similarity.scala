@@ -1067,35 +1067,115 @@ object Similarity {
     * scan. Cell assignment and codebooks both come from the
     * full-precision vectors and the same md5-ordered deterministic
     * sample (the engine's quantize-after-placing convention, like
-    * [[buildIvfIndexQuantized]]); codes encode the RAW vector, not the
-    * cell residual — classic IVF-PQ's residual encoding buys recall at
-    * equal code budget but couples every code to its cell's centroid;
-    * raw encoding keeps one global codebook, one ADC table per query,
-    * and an engine-portable oracle.
+    * [[buildIvfIndexQuantized]]).
+    *
+    * `residual = false` (default) encodes the RAW vector — one global
+    * codebook, one ADC table per query, the simplest oracle.
+    * `residual = true` is classic IVF-PQ: codes encode `v −
+    * centroid[cell]`, so the codebook budget describes within-cell
+    * variation instead of re-describing cluster positions, at the cost
+    * of coupling every code to its cell (probes score the exact cosine
+    * against `centroid + decode(codes)` via the disjoint-support
+    * identity `|c+w|² = |c|² + 2·c·w + |w|²`; lookup tables stay
+    * bounded at nCells·m·nCodes doubles; the layout carries a `meta`
+    * marker probes switch on).
+    *
+    * Measured honestly (BASELINE.md recall surface): on a CLUSTER-TIGHT
+    * corpus residual is parity at best — with raw md5 seeds and a tiny
+    * codebook it is WORSE (codewords are then arbitrary noise samples),
+    * and with Lloyd refinement both encodings collapse to the same
+    * cluster-identification rank (every member reconstructs to its
+    * cluster's codeword combination, ties broken by id). PQ codes
+    * cannot rank WITHIN a tight cluster at this budget under either
+    * encoding; [[pqIndexTopKRerank]] is the measured fix (recall 1.0).
+    * Residual's textbook gains need corpora whose true neighbours span
+    * cells with substantial within-cell spread — measure on YOUR corpus
+    * (`AnnRecallBench` runs both encodings side by side) before paying
+    * the per-cell coupling.
     */
   def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
                       nCells: Int = 16, m: Int = 4, nCodes: Int = 16,
-                      kmeansIters: Int = 0): Unit = {
+                      kmeansIters: Int = 0, residual: Boolean = false): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val clean = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
     val e = clean.select(col(idCol), asDouble(col(vecCol)).as("_v"))
     val centroids = ivfCentroids(e, idCol, nCells, kmeansIters)
     writeCentroids(spark, centroids, path)
-    val seeds: Array[Array[Double]] = e
-      .select(col(idCol).as("_id"), col("_v"), md5(col(idCol).cast("string")).as("_h"))
+    // in residual mode the quantized quantity is v − centroid[cell] —
+    // seeds, refinement and codes all operate on residuals, so the
+    // codebooks spend their budget on WITHIN-cell variation (the part
+    // the centroid doesn't already carry). See the object doc for the
+    // measured recall comparison against raw encoding.
+    val enc =
+      if (residual)
+        e.withColumn("cell",
+            graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids))
+          .withColumn("_r", graft.functions.VectorFunctions.centroidResidual(
+            col("_v"), col("cell"), centroids))
+      else e
+    val encCol = if (residual) "_r" else "_v"
+    val seeds: Array[Array[Double]] = enc
+      .select(col(idCol).as("_id"), col(encCol).as("_s"),
+        md5(col(idCol).cast("string")).as("_h"))
       .orderBy(col("_h"), col("_id"))
       .limit(nCodes)
-      .select(col("_v")).collect().map(_.getSeq[Double](0).toArray)
-    val cb = pqRefine(e, pqCodebooks(seeds, m), kmeansIters)
+      .select(col("_s")).collect().map(_.getSeq[Double](0).toArray)
+    val cb = pqRefine(enc.select(col(encCol).as("_v")),
+      pqCodebooks(seeds, m), kmeansIters)
     cb.zipWithIndex.flatMap { case (words, s) =>
         words.zipWithIndex.map { case (w, c) => (s, c, w.toSeq) }
       }.toSeq.toDF("s", "code", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    e.select(col(idCol),
-        graft.functions.VectorFunctions.pqEncode(col("_v"), cb).as("codes"),
-        graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    if (residual) {
+      enc.select(col(idCol),
+          graft.functions.VectorFunctions.pqEncode(col("_r"), cb).as("codes"),
+          col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+      // the layout marker probes switch scoring on — one bounded read
+      Seq(Tuple1("residual")).toDF("encoding")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } else {
+      e.select(col(idCol),
+          graft.functions.VectorFunctions.pqEncode(col("_v"), cb).as("codes"),
+          graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids).as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    }
+  }
+
+  /** Does the IVF-PQ layout at `path` carry the residual-encoding
+    * marker? One filesystem existence check, no data read.
+    */
+  private def isResidualIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The query-independent residual-scoring tables: codeword norms²,
+    * per-cell centroid·codeword dots, centroid norms² — bounded
+    * (nCells · m · nCodes doubles), computed once per probe.
+    */
+  private def residualTables(cb: Array[Array[Array[Double]]],
+                             cents: Array[Array[Double]])
+      : (Array[Array[Double]], Array[Array[Array[Double]]], Array[Double]) = {
+    val sub = cb(0)(0).length
+    val n2 = pqNorm2(cb)
+    val cd = cents.map { ct =>
+      cb.zipWithIndex.map { case (words, s) =>
+        words.map { w =>
+          var d = 0.0; var j = 0
+          while (j < sub) { d += ct(s * sub + j) * w(j); j += 1 }
+          d
+        }
+      }
+    }
+    val cn2 = cents.map { ct =>
+      var t = 0.0; var j = 0
+      while (j < ct.length) { t += ct(j) * ct(j); j += 1 }
+      t
+    }
+    (n2, cd, cn2)
   }
 
   /** Top-k over an IVF-PQ index ([[buildIvfPqIndex]]): bounded driver
@@ -1116,12 +1196,26 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
     val probes = nearestCells(cents, queryVec, nProbe)
     val cb = readCodebooks(spark, path)
-    val (dots, n2, qn) = pqLut(cb, queryVec)
-    spark.read.parquet(s"$path/data")
+    val scan = spark.read.parquet(s"$path/data")
       .filter(col("cell").isin(probes.toIndexedSeq: _*))
-      .select(col(idCol),
-        round(graft.functions.VectorFunctions.pqAdcScore(col("codes"), dots, n2, qn),
-          scale).as("pq_score"))
+    val scored =
+      if (isResidualIndex(spark, path)) {
+        // residual layout: score against centroid + decode(codes); the
+        // packed per-query setup is a driver-built literal here
+        val (n2, cd, cn2) = residualTables(cb, cents)
+        val lutPlus = org.apache.spark.sql.graft.PqResidualQueryLut
+          .computeArray(cb, cents, queryVec)
+        scan.select(col(idCol),
+          round(graft.functions.VectorFunctions.pqAdcResidualScore(
+            col("codes"), col("cell").cast("int"),
+            typedLit(lutPlus.toSeq), n2, cd, cn2), scale).as("pq_score"))
+      } else {
+        val (dots, n2, qn) = pqLut(cb, queryVec)
+        scan.select(col(idCol),
+          round(graft.functions.VectorFunctions.pqAdcScore(col("codes"), dots, n2, qn),
+            scale).as("pq_score"))
+      }
+    scored
       .orderBy(col("pq_score").desc, col(idCol))
       .limit(k)
   }
@@ -1253,21 +1347,43 @@ object Similarity {
       .sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
     val cb = readCodebooks(spark, path)
-    val n2 = pqNorm2(cb)
-    val probed = pqProbeSide(queries, qIdCol, qVecCol, cb)
-      .withColumn("_probe", explode(
-        graft.functions.VectorFunctions.nearestCentroids(col("_qv"), cents, nProbe)))
-      .select(col("q_id"), col("_lut"), col("_qn"), col("_probe"))
     val index = spark.read.parquet(s"$path/data")
     requireIntegralId(index, idCol, "ivfPqIndexKnnJoin")
-    def joinWith(idx: DataFrame): DataFrame =
-      idx.join(broadcast(probed), col("cell") === col("_probe"))
-        .select(col("q_id"), col(idCol),
-          round(graft.functions.VectorFunctions.pqAdcScoreBatch(
-            col("codes"), col("_lut"), col("_qn"), n2), scale).as("cos_sim"))
-    topKPerQuery(
-      repairPartitionPruning(index, "cell", probed, "_probe", joinWith), idCol, k)
-      .withColumnRenamed("cos_sim", "pq_score")
+    if (isResidualIndex(spark, path)) {
+      // residual layout: the packed per-query setup (LUT ++ centroid
+      // dots ++ |q|) is ONE projected column on the broadcast probe side
+      val (n2, cd, cn2) = residualTables(cb, cents)
+      val probed = queries
+        .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+        .withColumn("_lutp", graft.functions.VectorFunctions.pqResidualQueryLut(
+          col("_qv"), cb, cents))
+        .withColumn("_probe", explode(
+          graft.functions.VectorFunctions.nearestCentroids(col("_qv"), cents, nProbe)))
+        .select(col("q_id"), col("_lutp"), col("_probe"))
+      def joinWith(idx: DataFrame): DataFrame =
+        idx.join(broadcast(probed), col("cell") === col("_probe"))
+          .select(col("q_id"), col(idCol),
+            round(graft.functions.VectorFunctions.pqAdcResidualScore(
+              col("codes"), col("cell").cast("int"), col("_lutp"),
+              n2, cd, cn2), scale).as("cos_sim"))
+      topKPerQuery(
+        repairPartitionPruning(index, "cell", probed, "_probe", joinWith), idCol, k)
+        .withColumnRenamed("cos_sim", "pq_score")
+    } else {
+      val n2 = pqNorm2(cb)
+      val probed = pqProbeSide(queries, qIdCol, qVecCol, cb)
+        .withColumn("_probe", explode(
+          graft.functions.VectorFunctions.nearestCentroids(col("_qv"), cents, nProbe)))
+        .select(col("q_id"), col("_lut"), col("_qn"), col("_probe"))
+      def joinWith(idx: DataFrame): DataFrame =
+        idx.join(broadcast(probed), col("cell") === col("_probe"))
+          .select(col("q_id"), col(idCol),
+            round(graft.functions.VectorFunctions.pqAdcScoreBatch(
+              col("codes"), col("_lut"), col("_qn"), n2), scale).as("cos_sim"))
+      topKPerQuery(
+        repairPartitionPruning(index, "cell", probed, "_probe", joinWith), idCol, k)
+        .withColumnRenamed("cos_sim", "pq_score")
+    }
   }
 
   /** Dynamic-partition-pruning self-repair for the persisted-index k-NN

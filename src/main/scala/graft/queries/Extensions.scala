@@ -369,6 +369,36 @@ object Extensions {
       .orderBy(col("q_id"), col("vec_id"))
   }
 
+  // q109/q110 RESIDUAL IVF-PQ — classic IVF-PQ's recall fix at equal
+  // bytes: codes encode v − centroid[cell], so the codebook budget
+  // describes within-cell variation; probes score exact cosine against
+  // centroid + decode(codes) via the disjoint-support identity. Same
+  // md5-seeded centroids and seed sample as q103, so the composition
+  // stays deterministic and hash-checks.
+  private val ivfPqResIndexDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfPqResDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    ivfPqResIndexDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_q109_ivfpqr_").toString
+      Similarity.buildIvfPqIndex(t(s, d, "embeddings"), "vec_id", "embedding", p,
+        nCells = 16, m = 4, nCodes = 16, residual = true)
+      p
+    })
+  val q109_ivfpq_residual_topk: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    Similarity.ivfPqIndexTopK(s, ivfPqResDir(s, d), "vec_id", qv, k = 10, nProbe = 3)
+      .orderBy(col("vec_id"))
+  }
+
+  val q110_ivfpq_residual_knn_join: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    Similarity.ivfPqIndexKnnJoin(s, ivfPqResDir(s, d), "vec_id",
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10, nProbe = 3)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
   // q102 ANN recall audit — the acceptance gauge for the approximate
   // family: q54's IVF k-NN join scored against the exact brute-force
   // top-10 for the same query set. Both sides deterministic, so the
@@ -1099,5 +1129,7 @@ object Extensions {
     "q105_pq_index_knn_join" -> q105_pq_index_knn_join,
     "q106_ivfpq_index_knn_join" -> q106_ivfpq_index_knn_join,
     "q107_pq_rerank_topk" -> q107_pq_rerank_topk,
-    "q108_pq_rerank_knn_join" -> q108_pq_rerank_knn_join)
+    "q108_pq_rerank_knn_join" -> q108_pq_rerank_knn_join,
+    "q109_ivfpq_residual_topk" -> q109_ivfpq_residual_topk,
+    "q110_ivfpq_residual_knn_join" -> q110_ivfpq_residual_knn_join)
 }

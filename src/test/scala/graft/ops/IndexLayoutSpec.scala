@@ -213,6 +213,60 @@ class IndexLayoutSpec extends SparkSpec {
       "repaired local probes must return the DPP path's results")
   }
 
+  test("residual IVF-PQ: marker, shared geometry, pruned probes, point-vs-join agreement, planted recall") {
+    val dir = tmpDir("graft_ivfpqr_")
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", s"$dir/res",
+      nCells = 8, m = 4, nCodes = 8, residual = true)
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", s"$dir/raw",
+      nCells = 8, m = 4, nCodes = 8)
+    // the residual layout carries the meta marker; the raw one does not
+    assert(new java.io.File(s"$dir/res/meta").exists(), "residual meta marker")
+    assert(!new java.io.File(s"$dir/raw/meta").exists(), "raw layout stays unmarked")
+    // identical coarse geometry: same centroid table, same per-id cells
+    // (residual changes WHAT the codes describe, never placement)
+    def cells(d: String) = spark.read.parquet(s"$d/data")
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+    assert(cells(s"$dir/res") == cells(s"$dir/raw"))
+    // code-only storage, same schema as the raw layout
+    val data = spark.read.parquet(s"$dir/res/data")
+    assert(data.schema("codes").dataType.simpleString == "array<int>")
+    assert(!data.columns.contains("embedding"))
+
+    // pruned point probe; planted neighbours must dominate — the
+    // residual reconstruction centroid+decode(codes) is near-exact for
+    // tight clusters, which raw-vector codes at this budget are not
+    val df = Similarity.ivfPqIndexTopK(spark, s"$dir/res", "vec_id", qv,
+      k = 11, nProbe = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(partitionFilterInList(plan, "cell").length == 3,
+      s"PartitionFilters must prune to nProbe cells:\n$plan")
+    val got = df.select("vec_id").as[Long].collect().toSet - 0L
+    val recall = (got & exactTop10).size.toDouble / exactTop10.size
+    assert(recall >= 0.8, s"residual IVF-PQ planted recall $recall below 0.8")
+
+    // batch join: DPP + exact agreement with the point probes
+    emb.write.mode("overwrite").parquet(s"$dir/queries_src")
+    val queries = spark.read.parquet(s"$dir/queries_src")
+      .filter(col("vec_id").isin(0L, 50L, 150L))
+    val join = Similarity.ivfPqIndexKnnJoin(spark, s"$dir/res", "vec_id",
+      queries, "vec_id", "embedding", k = 5, nProbe = 3)
+    val byQ = join.as[(Long, Long, Double)].collect().groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 50L, 150L))
+    Seq(0L, 50L, 150L).foreach { q =>
+      val vq = emb.filter(col("vec_id") === q)
+        .select(transform(col("embedding"), _.cast("double")))
+        .as[Seq[Double]].head().toArray
+      val point = Similarity.ivfPqIndexTopK(spark, s"$dir/res", "vec_id", vq,
+          k = 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(byQ(q).map(r => (r._2, r._3)).toSet == point,
+        s"residual batch join must agree with the point probe for query $q")
+    }
+    assert(join.queryExecution.executedPlan.toString
+      .toLowerCase.contains("dynamicpruning"),
+      "residual index scan must be dynamically partition-pruned")
+  }
+
   test("PQ refinement: Lloyd rounds shrink quantization error, probe contract unchanged") {
     def readCb(dir: String): Array[Array[Array[Double]]] = {
       val rows = spark.read.parquet(s"$dir/codebooks")
