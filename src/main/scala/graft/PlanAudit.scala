@@ -17,7 +17,12 @@ package graft
   * carve-out: q102's ground-truth side (Similarity.bruteKnnJoin) cross-
   * joins the BOUNDED recall-audit query sample (its documented contract
   * — an eval suite, never a corpus-scaled set), so its bnlj build side
-  * is that bounded broadcast, not a relation.
+  * is that bounded broadcast, not a relation. The flat-PQ family
+  * (q104/q105/q107/q108) shares the same carve-out by design: flat PQ
+  * has no cells to prune, so the code-only corpus scan is scored
+  * against the BROADCAST bounded query set (m array probes per pair) —
+  * the scan is the point; the cell-pruned IVF-PQ twins (q106/q110) are
+  * the equi-keyed forms and audit bnlj=0.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
