@@ -987,7 +987,11 @@ object Streams {
     * geometry) and each row lands as (id, codes) in its cell partition —
     * the layout [[graft.ops.Similarity.ivfPqIndexTopK]] and
     * [[graft.ops.Similarity.ivfPqIndexKnnJoin]] probes prune and read.
-    * Same at-least-once replay cost as the other vector sinks.
+    * A RESIDUAL layout (`meta` marker) is honored: arriving vectors
+    * encode `v − centroid[cell]`, exactly what the batch builder stored
+    * — a raw encode appended into a residual index would be silently
+    * mis-scored by every probe. Same at-least-once replay cost as the
+    * other vector sinks.
     */
   def ivfPqIndexSink(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
                      idCol: String, vecCol: String, indexPath: String,
@@ -997,14 +1001,26 @@ object Streams {
       .select(col("cell"), col("centroid")).collect()
       .sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
-    stream
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+    val residual = metaPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(metaPath)
+    val placed = stream
       .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-      .select(col(idCol),
-        graft.functions.VectorFunctions.pqEncode(
-          transform(col(vecCol), _.cast("double")), cb).as("codes"),
-        graft.functions.VectorFunctions.nearestCentroid(
-          transform(col(vecCol), _.cast("double")), centroids).as("cell"))
-      .writeStream
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("_v"))
+      .withColumn("cell",
+        graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids))
+    val encoded =
+      if (residual)
+        placed.select(col(idCol),
+          graft.functions.VectorFunctions.pqEncode(
+            graft.functions.VectorFunctions.centroidResidual(
+              col("_v"), col("cell"), centroids), cb).as("codes"),
+          col("cell"))
+      else
+        placed.select(col(idCol),
+          graft.functions.VectorFunctions.pqEncode(col("_v"), cb).as("codes"),
+          col("cell"))
+    encoded.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").partitionBy("cell").parquet(s"$indexPath/data")
       }

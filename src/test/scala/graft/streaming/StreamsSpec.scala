@@ -736,6 +736,56 @@ class StreamsSpec extends SparkSpec {
       s"streamed near-identical neighbors must surface in top-5, got $got")
   }
 
+  test("streaming IVF-PQ sink honors a RESIDUAL layout: streamed codes match the batch encode") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(47)
+    def vec(): Seq[Double] = Seq.fill(16)(rng.nextDouble() - 0.5)
+    val initial = (100L until 160L).map(i => (i, vec()))
+    val dir = tmpDir("graft_ivfpqrsink_")
+    graft.ops.Similarity.buildIvfPqIndex(
+      initial.toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+      nCells = 8, m = 4, nCodes = 8, residual = true)
+    val streamed = (1L to 5L).map(i => (i, vec()))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.ivfPqIndexSink(spark,
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, s"$dir/ckpt")
+    try {
+      mem.addData(streamed: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // ground truth: a batch RESIDUAL encode of the streamed vectors
+    // against the index's OWN frozen tables — a raw encode appended
+    // into a residual layout would diverge here and mis-score forever
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .select($"s", $"code", $"w").collect()
+    val cb = Array.ofDim[Array[Double]](
+      cbRows.map(_.getInt(0)).max + 1, cbRows.map(_.getInt(1)).max + 1)
+    cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select($"cell", $"centroid").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val expected = streamed.toDF("vec_id", "embedding")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("_v"))
+      .withColumn("cell",
+        graft.functions.VectorFunctions.nearestCentroid($"_v", cents))
+      .select($"vec_id", $"cell",
+        graft.functions.VectorFunctions.pqEncode(
+          graft.functions.VectorFunctions.centroidResidual(
+            $"_v", $"cell", cents), cb).as("codes"))
+      .as[(Long, Int, Seq[Int])].collect()
+      .map(r => r._1 -> ((r._3, r._2))).toMap
+    val got = spark.read.parquet(s"$dir/data")
+      .filter($"vec_id" <= 5L)
+      .select($"vec_id", $"codes", $"cell".cast("int"))
+      .as[(Long, Seq[Int], Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    (1L to 5L).foreach { i =>
+      assert(got(i) == expected(i),
+        s"streamed residual encode must equal the batch encode for id $i: " +
+          s"${got(i)} vs ${expected(i)}")
+    }
+  }
+
   test("streaming text-index sink: streamed docs pair with the batch corpus, no re-tokenization") {
     implicit val sqlCtx = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"
