@@ -109,6 +109,105 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("PqQueryLut/PqAdcScoreBatch == the point form's driver LUT and score, per query") {
+    // batch-vs-point identity: the batch scorer over a LUT COLUMN must
+    // produce bit-identical scores to PqAdcScore over the driver LUT for
+    // the same query — the q104-vs-q100 agreement at expression level
+    val m = 2; val sub = 4; val nCodes = 5
+    val cb: Array[Array[Array[Double]]] =
+      Array.fill(m)(Array.fill(nCodes)(vec(sub)))
+    val n2 = cb.map(_.map(w => w.map(x => x * x).sum))
+    val vecs = List.fill(30)(vec(m * sub))
+    val queries = List.fill(4)(vec(m * sub))
+    // the LUT column equals the driver-computed LUT, flattened
+    val lutRows = queries.map(Tuple1(_)).toDF("q")
+      .select(VectorFunctions.pqQueryLut(col("q"), cb).as("lut"))
+      .as[Seq[Double]].collect()
+    queries.zip(lutRows).foreach { case (q, lut) =>
+      val ref = (0 until m).flatMap(s => cb(s).map(w =>
+        w.indices.map(j => q(s * sub + j) * w(j)).sum))
+      assert(lut == ref, "LUT column must equal the driver LUT")
+    }
+    // batch score == point score for every (vector, query) pair
+    queries.foreach { q =>
+      val dots = Array.tabulate(m)(s => cb(s).map(w =>
+        w.indices.map(j => q(s * sub + j) * w(j)).sum))
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val point = vecs.map(Tuple1(_)).toDF("v")
+        .select(VectorFunctions.pqAdcScore(
+          VectorFunctions.pqEncode(col("v"), cb), dots, n2, qn).as("s"))
+        .as[Double].collect()
+      val batch = vecs.map(v => (v, q)).toDF("v", "q")
+        .select(VectorFunctions.pqAdcScoreBatch(
+          VectorFunctions.pqEncode(col("v"), cb),
+          VectorFunctions.pqQueryLut(col("q"), cb),
+          sqrt(org.apache.spark.sql.graft.VectorBridge.dot(
+            transform(col("q"), _.cast("double")),
+            transform(col("q"), _.cast("double")))), n2).as("s"))
+        .as[Double].collect()
+      point.zip(batch).foreach { case (p, b) =>
+        assert(p == b, s"batch ADC $b must equal point ADC $p bit for bit")
+      }
+    }
+  }
+
+  test("residual PQ expressions == direct arithmetic: residual, packed LUT, reconstruction cosine") {
+    val m = 2; val sub = 4; val nCells = 3; val nCodes = 5
+    val dim = m * sub
+    val cents: Array[Array[Double]] = Array.fill(nCells)(vec(dim))
+    val cb: Array[Array[Array[Double]]] =
+      Array.fill(m)(Array.fill(nCodes)(vec(sub)))
+    val vecs = List.fill(30)(vec(dim))
+    val cells = List.fill(30)(rng.nextInt(nCells))
+    // CentroidResidual == elementwise v - centroids(cell)
+    val res = vecs.zip(cells).toDF("v", "cell")
+      .select(VectorFunctions.centroidResidual(col("v"), col("cell"), cents).as("r"))
+      .as[Seq[Double]].collect()
+    vecs.zip(cells).zip(res).foreach { case ((v, c), r) =>
+      assert(r == v.zip(cents(c)).map { case (a, b) => a - b }.toSeq)
+    }
+    // PqResidualQueryLut packs [LUT | centroid dots | |q|] in order, and
+    // the column form equals the driver form
+    val q = vec(dim)
+    val lutP = Seq(Tuple1(q)).toDF("q")
+      .select(VectorFunctions.pqResidualQueryLut(col("q"), cb, cents).as("l"))
+      .as[Seq[Double]].head()
+    val driver = org.apache.spark.sql.graft.PqResidualQueryLut
+      .computeArray(cb, cents, q)
+    assert(lutP == driver.toSeq, "column and driver packed LUTs must agree")
+    assert(lutP.length == m * nCodes + nCells + 1)
+    // PqAdcResidualScore == cosine(q, centroid + reconstruction), the
+    // independent full-dim arithmetic (no LUTs, no identities)
+    val (n2, cd, cn2) = {
+      val n2 = cb.map(_.map(w => w.map(x => x * x).sum))
+      val cd = cents.map(ct => Array.tabulate(m)(s => cb(s).map(w =>
+        w.indices.map(j => ct(s * sub + j) * w(j)).sum)))
+      val cn2 = cents.map(_.map(x => x * x).sum)
+      (n2, cd, cn2)
+    }
+    val scored = vecs.zip(cells).toDF("v", "cell")
+      .select(VectorFunctions.pqAdcResidualScore(
+        VectorFunctions.pqEncode(
+          VectorFunctions.centroidResidual(col("v"), col("cell"), cents), cb),
+        col("cell"), typedLit(driver.toSeq), n2, cd, cn2).as("s"))
+      .as[Double].collect()
+    def refEncode(r: Array[Double]): Seq[Int] =
+      (0 until m).map { s =>
+        val x = r.slice(s * sub, (s + 1) * sub)
+        (0 until nCodes).minBy(c =>
+          (x.zip(cb(s)(c)).map { case (a, b) => (a - b) * (a - b) }.sum, c))
+      }
+    vecs.zip(cells).zip(scored).foreach { case ((v, c), s) =>
+      val r = v.zip(cents(c)).map { case (a, b) => a - b }
+      val rec = refEncode(r).zipWithIndex.flatMap { case (code, sp) => cb(sp)(code) }
+      val full = cents(c).zip(rec).map { case (a, b) => a + b }
+      val ref = full.zip(q).map { case (a, b) => a * b }.sum /
+        (math.sqrt(q.map(x => x * x).sum) * math.sqrt(full.map(x => x * x).sum))
+      assert(math.abs(s - ref) < 1e-9,
+        s"residual ADC $s vs direct reconstruction cosine $ref")
+    }
+  }
+
   test("SimHashBits == explode+groupBy majority-vote composition") {
     val bits = 16
     val df = (List.fill(40)(text()) :+ "" :+ "x")
@@ -195,7 +294,22 @@ class ExpressionPropertySpec extends SparkSpec {
         VectorFunctions.pqAdcScore(
           VectorFunctions.pqEncode(col("v"), Array.fill(2)(Array.fill(3)(vec(4)))),
           Array.fill(2)(Array.fill(3)(0.5)), Array.fill(2)(Array.fill(3)(1.0)),
-          1.0).as("pq"))
+          1.0).as("pq"),
+        VectorFunctions.pqAdcScoreBatch(
+          VectorFunctions.pqEncode(col("v"), Array.fill(2)(Array.fill(3)(vec(4)))),
+          VectorFunctions.pqQueryLut(col("v"), Array.fill(2)(Array.fill(3)(vec(4)))),
+          lit(1.0), Array.fill(2)(Array.fill(3)(1.0))).as("pqb"),
+        VectorFunctions.pqAdcResidualScore(
+          VectorFunctions.pqEncode(
+            VectorFunctions.centroidResidual(col("v"),
+              (size(col("v")) % 2).cast("int"), Array.fill(2)(vec())),
+            Array.fill(2)(Array.fill(3)(vec(4)))),
+          (size(col("v")) % 2).cast("int"),
+          VectorFunctions.pqResidualQueryLut(col("v"),
+            Array.fill(2)(Array.fill(3)(vec(4))), Array.fill(2)(vec())),
+          Array.fill(2)(Array.fill(3)(1.0)),
+          Array.fill(2)(Array.fill(2)(Array.fill(3)(0.5))),
+          Array.fill(2)(1.0)).as("pqr"))
     df.collect() // force execution so the plan is final
     val planStr = df.queryExecution.executedPlan.toString
     val projectLines = planStr.linesIterator.filter(_.contains("Project [")).toList
