@@ -71,12 +71,42 @@ object IndexBench {
       spark, s"$base/ivfq", "vec_id", queries,
       "vec_id", "embedding", k = 10, nProbe = 4).collect())
 
+    // PQ rungs at the same volume: the measured form of the "~64×
+    // narrower probe scan" claim. Flat PQ (codes only) and IVF-PQ
+    // (cell-partitioned codes, the smallest-probe layout).
+    val (_, tBuildP) = time(graft.ops.Similarity.buildPqIndex(
+      emb, "vec_id", "embedding", s"$base/pq", m = 4, nCodes = 256))
+    val (_, tBuildIP) = time(graft.ops.Similarity.buildIvfPqIndex(
+      emb, "vec_id", "embedding", s"$base/ivfpq", nCells = 64,
+      m = 4, nCodes = 256))
+    val pqBytes = dirBytes(s"$base/pq/data")
+    val ivfpqBytes = dirBytes(s"$base/ivfpq/data")
+    val tPointP = medianOf(5)(graft.ops.Similarity.pqIndexTopK(
+      spark, s"$base/pq", "vec_id", queryVec, k = 10).collect())
+    val tPointIP = medianOf(5)(graft.ops.Similarity.ivfPqIndexTopK(
+      spark, s"$base/ivfpq", "vec_id", queryVec, k = 10, nProbe = 4).collect())
+    val tJoinP = medianOf(3)(graft.ops.Similarity.pqIndexKnnJoin(
+      spark, s"$base/pq", "vec_id", queries,
+      "vec_id", "embedding", k = 10).collect())
+    val tJoinIP = medianOf(3)(graft.ops.Similarity.ivfPqIndexKnnJoin(
+      spark, s"$base/ivfpq", "vec_id", queries,
+      "vec_id", "embedding", k = 10, nProbe = 4).collect())
+    val tRerank = medianOf(3)(graft.ops.Similarity.pqIndexKnnJoinRerank(
+      spark, s"$base/pq", emb, "vec_id", "embedding", queries,
+      "vec_id", "embedding", k = 10, kCand = 100).collect())
+
     println(s"""{"metric":"index_bench","vecs":$nVecs,"dim":$dim,""" +
       s""""float_mb":${fmt(floatBytes / 1e6)},"int8_mb":${fmt(quantBytes / 1e6)},""" +
+      s""""pq_mb":${fmt(pqBytes / 1e6)},"ivfpq_mb":${fmt(ivfpqBytes / 1e6)},""" +
       s""""size_ratio":${fmt(floatBytes.toDouble / quantBytes)},""" +
-      s""""build_s":{"float":${fmt(tBuildF)},"int8":${fmt(tBuildQ)}},""" +
-      s""""point_s":{"float":${fmt(tPointF)},"int8":${fmt(tPointQ)}},""" +
-      s""""join_s":{"float":${fmt(tJoinF)},"int8":${fmt(tJoinQ)}}}""")
+      s""""pq_size_ratio":${fmt(floatBytes.toDouble / pqBytes)},""" +
+      s""""build_s":{"float":${fmt(tBuildF)},"int8":${fmt(tBuildQ)},""" +
+      s""""pq":${fmt(tBuildP)},"ivfpq":${fmt(tBuildIP)}},""" +
+      s""""point_s":{"float":${fmt(tPointF)},"int8":${fmt(tPointQ)},""" +
+      s""""pq":${fmt(tPointP)},"ivfpq":${fmt(tPointIP)}},""" +
+      s""""join_s":{"float":${fmt(tJoinF)},"int8":${fmt(tJoinQ)},""" +
+      s""""pq":${fmt(tJoinP)},"ivfpq":${fmt(tJoinIP)},""" +
+      s""""pq_rerank":${fmt(tRerank)}}}""")
     spark.stop()
   }
 }
