@@ -502,6 +502,60 @@ class IndexLayoutSpec extends SparkSpec {
     assert(loose.size >= direct.size)
   }
 
+  test("PQ layouts compact like the rest of the family: probes byte-identical, files collapse") {
+    // the streamed PQ sinks append small files per micro-batch; the
+    // standing IndexMaintenance.compact must serve both code layouts
+    // (flat unpartitioned, IVF-PQ cell-partitioned) unchanged
+    val dir = tmpDir("graft_pqcompact_")
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", s"$dir/pq",
+      m = 4, nCodes = 8)
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", s"$dir/ivfpq",
+      nCells = 8, m = 4, nCodes = 8)
+    // fragment both the way the sinks would: per-batch encoded appends
+    def readCb(d: String): Array[Array[Array[Double]]] = {
+      val rows = spark.read.parquet(s"$d/codebooks")
+        .select(col("s"), col("code"), col("w")).collect()
+      val cb = Array.ofDim[Array[Double]](
+        rows.map(_.getInt(0)).max + 1, rows.map(_.getInt(1)).max + 1)
+      rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      cb
+    }
+    val rng2 = new scala.util.Random(5)
+    (0 until 3).foreach { i =>
+      val extra = (2000L + i * 10 until 2000L + i * 10 + 4)
+        .map(j => (j, Seq.fill(dim)((rng2.nextDouble() - 0.5).toDouble)))
+      extra.toDF("vec_id", "_v")
+        .select(col("vec_id"), graft.functions.VectorFunctions.pqEncode(
+          col("_v"), readCb(s"$dir/pq")).as("codes"))
+        .write.mode("append").parquet(s"$dir/pq/data")
+      val cents = spark.read.parquet(s"$dir/ivfpq/centroids")
+        .select(col("cell"), col("centroid")).collect()
+        .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+      extra.toDF("vec_id", "_v")
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.pqEncode(
+            col("_v"), readCb(s"$dir/ivfpq")).as("codes"),
+          graft.functions.VectorFunctions.nearestCentroid(col("_v"), cents).as("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/ivfpq/data")
+    }
+    val probeBefore = Similarity.pqIndexTopK(spark, s"$dir/pq", "vec_id", qv, k = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivfBefore = Similarity.ivfPqIndexTopK(spark, s"$dir/ivfpq", "vec_id", qv,
+      k = 8, nProbe = 3).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val filesBefore = IndexMaintenance.dataFileCount(spark, s"$dir/pq/data")
+    IndexMaintenance.compact(spark, s"$dir/pq/data", None)
+    IndexMaintenance.compact(spark, s"$dir/ivfpq/data", Some("cell"))
+    assert(IndexMaintenance.dataFileCount(spark, s"$dir/pq/data") < filesBefore,
+      "flat PQ compaction must reduce files")
+    assert(Similarity.pqIndexTopK(spark, s"$dir/pq", "vec_id", qv, k = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == probeBefore,
+      "flat PQ probe must be byte-identical after compaction")
+    assert(Similarity.ivfPqIndexTopK(spark, s"$dir/ivfpq", "vec_id", qv,
+        k = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == ivfBefore,
+      "IVF-PQ probe must be byte-identical after compaction")
+  }
+
   test("index compaction: fragmented appends collapse to one file per partition, rows and probes intact") {
     val dir = tmpDir("graft_compact_")
     Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCells = 8)
