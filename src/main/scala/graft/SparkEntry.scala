@@ -295,6 +295,16 @@ object SparkEntry {
     "q108_pq_rerank_knn_join" -> pqRerankKnnJoinSql,
     "q109_ivfpq_residual_topk" -> ivfPqResidualTopKSql,
     "q110_ivfpq_residual_knn_join" -> ivfPqResidualKnnJoinSql,
+    // q111 oracle: on the static fixture the rebuild refit reproduces
+    // the build exactly — cell counts from the q39 assignment CTEs with
+    // retention pinned at 1.0; the engine must reach the same identity
+    // through its stored-layout + refit path
+    "q111_ivf_rebuild_drift" ->
+      s"""WITH $ivfCtes
+         |SELECT CAST(cell AS BIGINT) AS cell,
+         |       COUNT(*) AS n_stored, COUNT(*) AS n_rebuilt,
+         |       COUNT(*) AS n_stayed, CAST(1.0 AS DOUBLE) AS retention
+         |FROM cells GROUP BY cell ORDER BY cell""".stripMargin,
     // q62 oracle: the Bloom stage is a pure prefilter (no false
     // negatives) and the verify restores exactness, so the engine result
     // equals the plain NOT EXISTS on the content hash. Null-text rows

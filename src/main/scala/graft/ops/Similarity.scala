@@ -512,6 +512,58 @@ object Similarity {
     * One aggregation, zero joins; norms come from the codegen'd
     * [[dot]] expression so the card is a single projection + exchange.
     */
+  /** Rebuild-drift audit for a persisted FLOAT IVF index — the
+    * operational "when do I rebuild?" gauge the frozen-centroid contract
+    * creates: streamed appends are placed by BUILD-time centroids
+    * ([[graft.streaming.Streams.ivfIndexSink]]), so as the corpus
+    * drifts, stored assignments diverge from what a fresh build would
+    * choose and probe recall quietly decays. The audit refits centroids
+    * on the CURRENT stored corpus (the builder's own deterministic
+    * md5-ordered seeding + optional Lloyd rounds, nCells inferred from
+    * the stored centroid table) and reports per stored cell:
+    *
+    *   `n_stored`  — rows the cell holds today;
+    *   `n_rebuilt` — rows a fresh build would give it;
+    *   `n_stayed`  — rows that would remain (same cell id both ways);
+    *   `retention` — n_stayed / n_stored (0 for a cell a rebuild
+    *                 empties).
+    *
+    * `1 − Σ n_stayed / Σ n_stored` is the global drift fraction a
+    * deployment alerts on. Plan: one bounded centroid fit (the builder's
+    * jobs), ONE scan computing fresh assignments as a codegen'd
+    * projection, two aggregations on the small (≤ nCells) key, a full
+    * outer join of the two count tables. Float layout only — the audit
+    * needs stored vectors; quantized/PQ layouts store codes, so measure
+    * drift on the source corpus before encoding.
+    */
+  def ivfRebuildDrift(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String, vecCol: String,
+                      kmeansIters: Int = 0): DataFrame = {
+    val nCells = spark.read.parquet(s"$path/centroids").count().toInt // bounded
+    val data = spark.read.parquet(s"$path/data")
+    val e = data.select(col(idCol), asDouble(col(vecCol)).as("_v"),
+      col("cell").cast("int").as("_stored"))
+    val fresh = ivfCentroids(e.select(col(idCol), col("_v")), idCol,
+      nCells, kmeansIters)
+    val assigned = e.withColumn("_fresh",
+      graft.functions.VectorFunctions.nearestCentroid(col("_v"), fresh).cast("int"))
+    val stored = assigned.groupBy(col("_stored").as("cell"))
+      .agg(count(lit(1)).as("n_stored"),
+        sum(when(col("_fresh") === col("_stored"), 1L).otherwise(0L)).as("n_stayed"))
+    val rebuilt = assigned.groupBy(col("_fresh").as("cell"))
+      .agg(count(lit(1)).as("n_rebuilt"))
+    stored.join(rebuilt, Seq("cell"), "full_outer")
+      .select(col("cell").cast("long").as("cell"),
+        coalesce(col("n_stored"), lit(0L)).as("n_stored"),
+        coalesce(col("n_rebuilt"), lit(0L)).as("n_rebuilt"),
+        coalesce(col("n_stayed"), lit(0L)).as("n_stayed"))
+      .withColumn("retention",
+        when(col("n_stored") > 0,
+          round(col("n_stayed").cast("double") / col("n_stored"), 6))
+          .otherwise(lit(0.0d)))
+      .orderBy(col("cell"))
+  }
+
   def embeddingCard(emb: DataFrame, idCol: String, vecCol: String,
                     labelCol: String): DataFrame = {
     val hasVec = col(vecCol).isNotNull && size(col(vecCol)) > 0

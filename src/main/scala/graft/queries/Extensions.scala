@@ -399,6 +399,24 @@ object Extensions {
       .orderBy(col("q_id"), col("vec_id"))
   }
 
+  // q111 IVF rebuild-drift audit — the frozen-centroid contract's
+  // operational gauge: refit centroids on the index's CURRENT stored
+  // corpus (same deterministic seeding as the builder) and report how
+  // many rows each cell would keep on a rebuild. On the static fixture
+  // the refit reproduces the build exactly (retention 1.0 everywhere —
+  // the oracle pins that identity); drift appears once a stream appends
+  // (spec-pinned in IndexLayoutSpec).
+  val q111_ivf_rebuild_drift: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val dir = ivfIndexDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_q57_ivfidx_").toString
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", p, nCells = 16)
+      p
+    })
+    Similarity.ivfRebuildDrift(s, dir, "vec_id", "embedding")
+      .orderBy(col("cell"))
+  }
+
   // q102 ANN recall audit — the acceptance gauge for the approximate
   // family: q54's IVF k-NN join scored against the exact brute-force
   // top-10 for the same query set. Both sides deterministic, so the
@@ -1131,5 +1149,6 @@ object Extensions {
     "q107_pq_rerank_topk" -> q107_pq_rerank_topk,
     "q108_pq_rerank_knn_join" -> q108_pq_rerank_knn_join,
     "q109_ivfpq_residual_topk" -> q109_ivfpq_residual_topk,
-    "q110_ivfpq_residual_knn_join" -> q110_ivfpq_residual_knn_join)
+    "q110_ivfpq_residual_knn_join" -> q110_ivfpq_residual_knn_join,
+    "q111_ivf_rebuild_drift" -> q111_ivf_rebuild_drift)
 }

@@ -502,6 +502,44 @@ class IndexLayoutSpec extends SparkSpec {
     assert(loose.size >= direct.size)
   }
 
+  test("ivfRebuildDrift: identity on the build corpus; real drift after streamed appends") {
+    val dir = tmpDir("graft_drift_")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCells = 8)
+    // identity on the unchanged corpus: the refit reproduces the build
+    // (same deterministic seeding over the same rows), so every row stays
+    val base = Similarity.ivfRebuildDrift(spark, dir, "vec_id", "embedding")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(base.forall(r => r._2 == r._3 && r._2 == r._4 && r._5 == 1.0),
+      s"unchanged corpus must audit at retention 1.0: ${base.toList}")
+    assert(base.map(_._2).sum == emb.count(), "counts conserve")
+
+    // stream in a shifted population (a different region of the space):
+    // the frozen centroids place them, but a refit would re-seed from
+    // the grown id set and re-carve the space — drift appears
+    val rng2 = new scala.util.Random(11)
+    val shifted = (5000L until 5120L).map(i =>
+      (i, Array.fill(dim)((rng2.nextDouble() * 0.3 + 1.0).toFloat).toSeq))
+    shifted.toDF("vec_id", "embedding")
+      .withColumn("cell", graft.functions.VectorFunctions.nearestCentroid(
+        transform(col("embedding"), _.cast("double")),
+        spark.read.parquet(s"$dir/centroids").select(col("cell"), col("centroid"))
+          .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
+    val drifted = Similarity.ivfRebuildDrift(spark, dir, "vec_id", "embedding")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val total = emb.count() + shifted.size
+    // conservation: both partitions of the corpus sum to every row once
+    assert(drifted.map(_._2).sum == total, "stored counts conserve")
+    assert(drifted.map(_._3).sum == total, "rebuilt counts conserve")
+    drifted.foreach { r =>
+      assert(r._4 <= math.min(r._2, r._3),
+        s"stayed rows bounded by both sides: $r")
+    }
+    val globalRetention = drifted.map(_._4).sum.toDouble / total
+    assert(globalRetention < 1.0,
+      s"a shifted streamed population must show drift, retention $globalRetention")
+  }
+
   test("PQ layouts compact like the rest of the family: probes byte-identical, files collapse") {
     // the streamed PQ sinks append small files per micro-batch; the
     // standing IndexMaintenance.compact must serve both code layouts
