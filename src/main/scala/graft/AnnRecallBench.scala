@@ -187,6 +187,19 @@ object AnnRecallBench {
               "vec_id", queries, "vec_id", "embedding", k, nProbe))
         }
       }
+
+      // ----- IVF-PQ + exact rerank: the composed best case per probed
+      // byte — cells cut the scan, codes cut the row width, the float
+      // read is kCand rows per query.
+      for (nProbe <- Seq(1, 3)) {
+        val ip = s"$base/$fixture/ivfpq_c16_ki0_raw"
+        record("ivfpq", "rerank", s"nCells=$nCells m=4 nCodes=16 nProbe=$nProbe kCand=100",
+          0.0, nProbe.toDouble / nCells, 4 * 4,
+          () => graft.ops.Similarity.ivfPqIndexKnnJoinRerank(spark, ip,
+            corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+            k, kCand = 100, nProbe),
+          extraKbPerQuery = 100 * dim * 8 / 1024.0)
+      }
     }
 
     sweep("planted")

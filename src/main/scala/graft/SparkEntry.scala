@@ -305,6 +305,7 @@ object SparkEntry {
          |       COUNT(*) AS n_stored, COUNT(*) AS n_rebuilt,
          |       COUNT(*) AS n_stayed, CAST(1.0 AS DOUBLE) AS retention
          |FROM cells GROUP BY cell ORDER BY cell""".stripMargin,
+    "q112_ivfpq_rerank_knn_join" -> ivfPqRerankKnnJoinSql,
     // q62 oracle: the Bloom stage is a pure prefilter (no false
     // negatives) and the verify restores exactness, so the engine result
     // equals the plain NOT EXISTS on the content hash. Null-text rows
@@ -965,6 +966,68 @@ object SparkEntry {
        |      ROUND(sd / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(sn2)), 6)
        |      DESC, s.vec_id) AS rk
        |  FROM sums s JOIN q ON q.q_id = s.q_id) t WHERE rk <= 50),
+       |scored AS (SELECT c.q_id, c.vec_id,
+       |             ROUND(${cosSql("e.v", "q.qv")}, 6) AS cos_sim
+       |           FROM cand c JOIN e ON e.vec_id = c.vec_id
+       |           JOIN q ON q.q_id = c.q_id),
+       |ranked AS (SELECT q_id, vec_id, cos_sim,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rk FROM scored)
+       |SELECT q_id, vec_id, cos_sim FROM ranked WHERE rk <= 10
+       |ORDER BY q_id, vec_id""".stripMargin
+
+  /** q112 oracle: IVF-PQ probe + exact rerank — q106's CTEs verbatim
+    * propose each query's kCand=50 cut within its probed cells (rounded
+    * ADC rank, ties to the lower id), then ONLY those vectors are
+    * exactly cosine-ranked per query for the final top-10.
+    */
+  private def ivfPqRerankKnnJoinSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL AND LEN(embedding) > 0),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
+       |         FROM seeds),
+       |asgn AS (SELECT e.vec_id, e.v, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
+       |         FROM e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, v, cell FROM asgn WHERE rn = 1),
+       |cbs AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, v
+       |        FROM seeds),
+       |cw AS (SELECT t.s, c.code, c.v[t.s*16+1 : t.s*16+16] AS w
+       |       FROM cbs c CROSS JOIN range(4) t(s)),
+       |enc AS (SELECT e.vec_id, w.s, w.code,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id, w.s
+       |            ORDER BY (list_dot_product(e.v[w.s*16+1 : w.s*16+16],
+       |                                       e.v[w.s*16+1 : w.s*16+16])
+       |                      - 2*list_dot_product(e.v[w.s*16+1 : w.s*16+16], w.w)
+       |                      + list_dot_product(w.w, w.w)), w.code) AS rn
+       |        FROM e CROSS JOIN cw w),
+       |codes AS (SELECT vec_id, s, code FROM enc WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |probes AS (SELECT q_id, cell FROM (
+       |  SELECT q.q_id, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${cosSql("c.cv", "q.qv")} DESC, c.cell) AS rn
+       |  FROM q CROSS JOIN cent c) t WHERE rn <= 3),
+       |members AS (SELECT p.q_id, cl.vec_id FROM cells cl
+       |            JOIN probes p ON cl.cell = p.cell),
+       |parts AS (SELECT m.q_id, m.vec_id, c.s AS s,
+       |            list_dot_product(q.qv[c.s*16+1 : c.s*16+16], w.w) AS dp,
+       |            list_dot_product(w.w, w.w) AS n2
+       |          FROM members m JOIN codes c ON c.vec_id = m.vec_id
+       |          JOIN cw w ON w.s = c.s AND w.code = c.code
+       |          JOIN q ON q.q_id = m.q_id),
+       |sums AS (SELECT q_id, vec_id, list_sum(list(dp ORDER BY s)) AS sd,
+       |                list_sum(list(n2 ORDER BY s)) AS sn2
+       |         FROM parts GROUP BY q_id, vec_id),
+       |cand AS (SELECT q_id, vec_id FROM (
+       |  SELECT su.q_id, su.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY su.q_id ORDER BY
+       |      ROUND(sd / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(sn2)), 6)
+       |      DESC, su.vec_id) AS rk
+       |  FROM sums su JOIN q ON q.q_id = su.q_id) t WHERE rk <= 50),
        |scored AS (SELECT c.q_id, c.vec_id,
        |             ROUND(${cosSql("e.v", "q.qv")}, 6) AS cos_sim
        |           FROM cand c JOIN e ON e.vec_id = c.vec_id

@@ -1348,6 +1348,36 @@ object Similarity {
     topKPerQuery(scored, idCol, k)
   }
 
+  /** IVF-PQ probe + exact rerank — the composed best case of the whole
+    * ladder per probed byte: stage 1 is [[ivfPqIndexKnnJoin]] cut at
+    * `kCand` per query (cell-directory pruning × m-int code rows —
+    * probed bytes ≈ nProbe/nCells × ~1/64 of a flat float join), stage 2
+    * is [[pqIndexKnnJoinRerank]]'s bounded float fetch: the candidate
+    * set broadcasts into ONE equi-join against `corpus` (kCand rows per
+    * query regardless of corpus size) and exact cosine ranks the final
+    * top-k. Works over raw and residual layouts alike — stage 1 only
+    * proposes, stage 2 is exact either way, so the encoding choice
+    * moves recall only through which candidates survive the cut.
+    */
+  def ivfPqIndexKnnJoinRerank(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              corpus: DataFrame, idCol: String, vecCol: String,
+                              queries: DataFrame, qIdCol: String, qVecCol: String,
+                              k: Int, kCand: Int = 100, nProbe: Int = 3,
+                              scale: Int = 6): DataFrame = {
+    val cands = ivfPqIndexKnnJoin(spark, path, idCol,
+        queries, qIdCol, qVecCol, kCand, nProbe)
+      .select(col("q_id"), col(idCol))
+    val qv = queries.select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+    val scored = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim"))
+    topKPerQuery(scored, idCol, k)
+  }
+
   /** Batch probes against a persisted PQ index ([[buildPqIndex]]): the
     * k-NN-join form of [[pqIndexTopK]]. Codebooks are ONE bounded driver
     * fetch (m·nCodes rows); the probe side is broadcast with its

@@ -417,6 +417,23 @@ object Extensions {
       .orderBy(col("cell"))
   }
 
+  // q112 IVF-PQ + exact rerank — the composed best case per probed
+  // byte: cell pruning × code-only scan proposes kCand per query,
+  // bounded float fetch + exact cosine finishes. Reuses the q103 index.
+  val q112_ivfpq_rerank_knn_join: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val dir = ivfPqIndexDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_q103_ivfpq_").toString
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", p,
+        nCells = 16, m = 4, nCodes = 16)
+      p
+    })
+    Similarity.ivfPqIndexKnnJoinRerank(s, dir, emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10, kCand = 50, nProbe = 3)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
   // q102 ANN recall audit — the acceptance gauge for the approximate
   // family: q54's IVF k-NN join scored against the exact brute-force
   // top-10 for the same query set. Both sides deterministic, so the
@@ -1150,5 +1167,6 @@ object Extensions {
     "q108_pq_rerank_knn_join" -> q108_pq_rerank_knn_join,
     "q109_ivfpq_residual_topk" -> q109_ivfpq_residual_topk,
     "q110_ivfpq_residual_knn_join" -> q110_ivfpq_residual_knn_join,
-    "q111_ivf_rebuild_drift" -> q111_ivf_rebuild_drift)
+    "q111_ivf_rebuild_drift" -> q111_ivf_rebuild_drift,
+    "q112_ivfpq_rerank_knn_join" -> q112_ivfpq_rerank_knn_join)
 }
