@@ -213,6 +213,33 @@ class IndexLayoutSpec extends SparkSpec {
       "repaired local probes must return the DPP path's results")
   }
 
+  test("ivfPqIndexKnnJoinRerank: exact finish over code-proposed candidates, planted top-k recovered") {
+    val dir = tmpDir("graft_ivfpqrr_")
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
+      nCells = 8, m = 4, nCodes = 8)
+    emb.write.mode("overwrite").parquet(s"$dir/queries_src")
+    val queries = spark.read.parquet(s"$dir/queries_src")
+      .filter(col("vec_id").isin(0L, 50L, 150L))
+    val rr = Similarity.ivfPqIndexKnnJoinRerank(spark, dir, emb,
+      "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, kCand = 50, nProbe = 3)
+    val byQ = rr.as[(Long, Long, Double)].collect().groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 50L, 150L))
+    // the rerank stage is exact cosine: every query finds itself first
+    byQ.foreach { case (q, rs) =>
+      val top = rs.maxBy(r => (r._3, -r._2))
+      assert(top._2 == q && top._3 == 1.0, s"query $q must find itself first: $rs")
+    }
+    // the planted cluster shares query 0's top cell, so the candidate
+    // cut contains the true top-5 and the EXACT finish must recover the
+    // brute-force result verbatim — codes only propose, never rank
+    val brute = Similarity.bruteKnnJoin(emb, queries.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double)].collect().map(r => (r._2, r._3)).toSet
+    assert(byQ(0L).map(r => (r._2, r._3)).toSet == brute,
+      "rerank must equal brute force when the cells capture the true top-k")
+  }
+
   test("residual IVF-PQ: marker, shared geometry, pruned probes, point-vs-join agreement, planted recall") {
     val dir = tmpDir("graft_ivfpqr_")
     Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", s"$dir/res",
