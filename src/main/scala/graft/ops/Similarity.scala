@@ -1312,8 +1312,10 @@ object Similarity {
                         queryVec: Array[Double], k: Int, kCand: Int = 100,
                         scale: Int = 6): DataFrame = {
     import spark.implicits._
+    // bounded: kCand rows; ids carried as Any so every integral id
+    // type the index family admits works (an int id would CCE a getLong)
     val ids = pqIndexTopK(spark, path, idCol, queryVec, kCand)
-      .select(col(idCol)).collect().map(_.getLong(0)) // bounded: kCand rows
+      .select(col(idCol)).collect().map(_.get(0))
     val q = Seq(Tuple1(queryVec.toSeq)).toDF("_qv")
     corpus.filter(col(idCol).isin(ids.toIndexedSeq: _*))
       .crossJoin(broadcast(q))
