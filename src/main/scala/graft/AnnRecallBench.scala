@@ -104,10 +104,10 @@ object AnnRecallBench {
 
       // ----- IVF: float + int8, kmeansIters ∈ {0, 3}, nProbe swept -----
       for (ki <- Seq(0, 3)) {
-        val fp = s"$base/$fixture/ivf_ki$ki"
+        val fp = s"$base/${fixture}_idx/ivf_ki$ki"
         val (_, bF) = time(graft.ops.Similarity.buildIvfIndex(
           corpus, "vec_id", "embedding", fp, nCells, kmeansIters = ki))
-        val qp = s"$base/$fixture/ivfq_ki$ki"
+        val qp = s"$base/${fixture}_idx/ivfq_ki$ki"
         val (_, bQ) = time(graft.ops.Similarity.buildIvfIndexQuantized(
           corpus, "vec_id", "embedding", qp, nCells, kmeansIters = ki))
         for (nProbe <- Seq(1, 2, 3, 4, 6, 8)) {
@@ -124,7 +124,7 @@ object AnnRecallBench {
 
       // ----- LSH: float (nBits × multiProbe), int8 at the default -----
       for (nBits <- Seq(6, 8)) {
-        val lp = s"$base/$fixture/lsh_b$nBits"
+        val lp = s"$base/${fixture}_idx/lsh_b$nBits"
         val (_, bL) = time(graft.ops.Similarity.buildLshIndex(
           corpus, "vec_id", "embedding", lp, dim, nBits))
         for (multi <- Seq(true, false)) {
@@ -136,7 +136,7 @@ object AnnRecallBench {
               k, dim, nBits, multi))
         }
       }
-      val lqp = s"$base/$fixture/lshq_b8"
+      val lqp = s"$base/${fixture}_idx/lshq_b8"
       val (_, bLq) = time(graft.ops.Similarity.buildLshIndexQuantized(
         corpus, "vec_id", "embedding", lqp, dim, nBits = 8))
       record("lsh", "int8", "nBits=8 multiProbe=true",
@@ -146,7 +146,7 @@ object AnnRecallBench {
 
       // ----- flat PQ: m × nCodes × kmeansIters -----
       for (m <- Seq(2, 4, 8); nCodes <- Seq(16, 256); ki <- Seq(0, 3)) {
-        val pp = s"$base/$fixture/pq_m${m}_c${nCodes}_ki$ki"
+        val pp = s"$base/${fixture}_idx/pq_m${m}_c${nCodes}_ki$ki"
         val (_, bP) = time(graft.ops.Similarity.buildPqIndex(
           corpus, "vec_id", "embedding", pp, m, nCodes, kmeansIters = ki))
         record("pq", "codes", s"m=$m nCodes=$nCodes ki=$ki",
@@ -159,7 +159,7 @@ object AnnRecallBench {
       // rows above prescribe — codes propose kCand, floats re-rank.
       // Cost = the full code scan + kCand float rows per query.
       for (kCand <- Seq(50, 100)) {
-        val pp = s"$base/$fixture/pq_m4_c16_ki0" // built in the loop above
+        val pp = s"$base/${fixture}_idx/pq_m4_c16_ki0" // built in the loop above
         record("pq", "rerank", s"m=4 nCodes=16 kCand=$kCand",
           0.0, 1.0, 4 * 4,
           () => graft.ops.Similarity.pqIndexKnnJoinRerank(spark, pp,
@@ -175,7 +175,7 @@ object AnnRecallBench {
       for (nCodes <- Seq(16, 256); ki <- Seq(0, 3);
            res <- Seq(false, true)) {
         val tag = if (res) "res" else "raw"
-        val ip = s"$base/$fixture/ivfpq_c${nCodes}_ki${ki}_$tag"
+        val ip = s"$base/${fixture}_idx/ivfpq_c${nCodes}_ki${ki}_$tag"
         val (_, bI) = time(graft.ops.Similarity.buildIvfPqIndex(
           corpus, "vec_id", "embedding", ip, nCells, m = 4, nCodes,
           kmeansIters = ki, residual = res))
@@ -192,7 +192,7 @@ object AnnRecallBench {
       // byte — cells cut the scan, codes cut the row width, the float
       // read is kCand rows per query.
       for (nProbe <- Seq(1, 3)) {
-        val ip = s"$base/$fixture/ivfpq_c16_ki0_raw"
+        val ip = s"$base/${fixture}_idx/ivfpq_c16_ki0_raw"
         record("ivfpq", "rerank", s"nCells=$nCells m=4 nCodes=16 nProbe=$nProbe kCand=100",
           0.0, nProbe.toDouble / nCells, 4 * 4,
           () => graft.ops.Similarity.ivfPqIndexKnnJoinRerank(spark, ip,
@@ -211,7 +211,7 @@ object AnnRecallBench {
       val truth = graft.ops.Similarity.bruteKnnJoin(corpus, queries,
         "vec_id", "embedding", "vec_id", "embedding", k).localCheckpoint(true)
       for (ki <- Seq(0, 3)) {
-        val fp = s"$base/random/ivf_ki$ki"
+        val fp = s"$base/random_idx/ivf_ki$ki"
         val (_, bF) = time(graft.ops.Similarity.buildIvfIndex(
           corpus, "vec_id", "embedding", fp, nCells, kmeansIters = ki))
         for (nProbe <- Seq(3, 8)) {

@@ -33,7 +33,7 @@ object Bench {
     val loadBefore = BenchHarness.loadavg
     if (BenchHarness.contended(loadBefore))
       System.err.println(s"WARNING: bench starting on a contended box " +
-        s"(loadavg $loadBefore > 2.0); figures will be inflated")
+        s"(loadavg $loadBefore > 25% of cores); figures will be inflated")
 
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -67,17 +67,22 @@ object BenchHarness {
       .trim.split(" ").take(3).mkString(" ")
     catch { case _: Throwable => "unavailable" }
 
-  /** Mechanical contention verdict: 1-minute loadavg above the
-    * threshold at bench START means the box was already busy and the
-    * recorded figures are suspect (both round-10 and round-11 driver
-    * runs were inflated ~20% by exactly this). The threshold (2.0) is a
-    * BASELINE.md contract — adjudication reads the boolean, not the
-    * raw string.
+  /** Mechanical contention verdict: 1-minute loadavg at bench START
+    * above 25% of the box's cores means the box was already busy and
+    * the recorded figures are suspect (both round-10 and round-11
+    * driver runs were inflated ~20% by exactly this). CPU-AWARE by the
+    * round-12 verdict: the original flat 2.0 threshold flagged ~11%
+    * utilization on a 32-core box — background-daemon noise, not
+    * contention — so nearly every warm box read "contended". The rule
+    * (loadavg_1m / cores > 0.25) is a BASELINE.md contract —
+    * adjudication reads the boolean, not the raw string.
     */
-  def contended(loadavgStr: String, threshold: Double = 2.0): Boolean =
+  def contended(loadavgStr: String,
+                cores: Int = Runtime.getRuntime.availableProcessors())
+      : Boolean =
     loadavgStr.split(" ").headOption
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
-      .exists(_ > threshold)
+      .exists(_ > 0.25 * cores)
 
   def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString

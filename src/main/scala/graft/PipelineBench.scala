@@ -44,13 +44,18 @@ object PipelineBench {
     val budgets = graft.queries.Extensions.tokenBudgets
       .map { case (s, b) => s -> b * repl / 2 }
 
-    def runOnce(): (org.apache.spark.sql.DataFrame, Double) = time {
-      val result = graft.ops.Curation.curate(spark,
-        docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", "source",
-        keyIndexPath = Some(keyDir),
-        benchmark = Some(docs.filter(col("doc_id") % 10 === 0)
-          .select(col("doc_id"), col("text"))),
-        cfg = graft.ops.Curation.Config(budgets = budgets))
+    val batch = docs.filter(col("doc_id") % 4 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    def cfgFor(strategy: String) = graft.ops.Curation.Config(
+      budgets = budgets, materialize = strategy)
+
+    def runOnce(strategy: String = "local")
+        : (org.apache.spark.sql.DataFrame, Double) = time {
+      val result = graft.ops.Curation.curate(spark, batch,
+        "doc_id", "text", "source",
+        keyIndexPath = Some(keyDir), benchmark = Some(bench),
+        cfg = cfgFor(strategy))
       result.write.format("noop").mode("overwrite").save()
       result
     }
@@ -66,22 +71,35 @@ object PipelineBench {
     // (one warm run above already paged the corpus in). Lazy persists
     // are dropped between arms so no arm reads another's blocks.
     val ab = for (strategy <- Seq("local", "disk", "memdisk", "none")) yield {
-      System.setProperty("graft.curate.materialize", strategy)
       val ts = (1 to 2).map { _ =>
-        val t = runOnce()._2
+        val t = runOnce(strategy)._2
         spark.catalog.clearCache()
         t
       }
       strategy -> ts.min
     }
-    System.setProperty("graft.curate.materialize", "local")
+
+    // curateTo: the write-terminal form that realizes the lazy-memdisk
+    // win end-to-end AND unpersists behind itself — both the time and
+    // the cache-residue claim are measured (cachedAfter must be 0)
+    val outDir = BenchHarness.tmp("graft_pipebench_out_")
+    val tTo = (1 to 2).map { _ =>
+      val (_, t) = time(graft.ops.Curation.curateTo(spark, batch,
+        "doc_id", "text", "source",
+        keyIndexPath = Some(keyDir), benchmark = Some(bench),
+        cfg = cfgFor("memdisk"), outPath = s"$outDir/curated"))
+      t
+    }.min
+    val cachedAfter = spark.sharedState.cacheManager.isEmpty
 
     println(
       s"""{"bench":"pipeline_sf1","sf":"$sfDir","repl":$repl,"n_docs":$nDocs,""" +
       s""""key_index_build_s":${fmt(tBuild)},"pipeline_s":${fmt(tPipe)},""" +
       s""""rows_out":$nOut,"final_stage_exchanges":$nExchange,""" +
       s""""final_stage_scans":$nScan,"materialize_ab":{""" +
-      ab.map { case (s, t) => s""""$s":${fmt(t)}""" }.mkString(",") + "}}")
+      ab.map { case (s, t) => s""""$s":${fmt(t)}""" }.mkString(",") +
+      s"""},"curate_to_memdisk_s":${fmt(tTo)},""" +
+      s""""cache_empty_after_curate_to":$cachedAfter}""")
     spark.stop()
   }
 }

@@ -47,31 +47,24 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Stage-boundary materialization strategy, switchable for A/B runs
-    * via `-Dgraft.curate.materialize=` (PipelineBench measures all
-    * four — BASELINE.md "q93 checkpoint A/B"):
-    *
-    *  - `local` (default): eager `localCheckpoint` — one job now, plan
-    *    truncated, executor-memory/disk blocks;
-    *  - `disk`: lazy `persist(DISK_ONLY)` — first consumer pays the
-    *    compute, second reads spilled blocks, no memory pressure;
-    *  - `memdisk`: lazy `persist(MEMORY_AND_DISK)`;
-    *  - `none`: no materialization — every consumer recomputes the
-    *    upstream chain (the control arm; measured 1.5–2× slower, see
-    *    BASELINE.md).
-    *
-    * Lazy persists are left registered (the caller's session owns their
-    * lifecycle — `spark.catalog.clearCache()` between A/B arms); the
-    * default arm has no such residue.
+  /** Stage-boundary materialization under `cfg.materialize`; lazy
+    * persists are recorded in `persisted` so a write-terminal caller
+    * ([[curateTo]]) can unpersist them once its action completes.
     */
-  private def materialize(df: DataFrame): DataFrame =
-    sys.props.getOrElse("graft.curate.materialize", "local") match {
+  private def materialize(df: DataFrame, cfg: Config,
+                          persisted: scala.collection.mutable.Buffer[DataFrame])
+      : DataFrame =
+    cfg.materialize match {
       case "local"   => df.localCheckpoint(true)
-      case "disk"    => df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      case "memdisk" => df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case "disk"    =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        persisted += p; p
+      case "memdisk" =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += p; p
       case "none"    => df
       case other => throw new IllegalArgumentException(
-        s"graft.curate.materialize: unknown strategy '$other' " +
+        s"Curation.Config.materialize: unknown strategy '$other' " +
           "(local | disk | memdisk | none)")
     }
 
@@ -108,6 +101,23 @@ object Curation {
     *                      real-pipeline order: chrome first, then
     *                      spans). None (default) skips the stage, so the
     *                      q93 contract is byte-identical with it unset
+    * @param materialize   stage-boundary materialization strategy
+    *                      (A/B'd in PipelineBench — BASELINE.md "q93
+    *                      checkpoint A/B"): `local` (default) = eager
+    *                      `localCheckpoint`, one job now, plan
+    *                      truncated; `disk` / `memdisk` = lazy
+    *                      `persist` — measured 5–15% faster end-to-end
+    *                      but the persists outlive a lazy-returning
+    *                      [[curate]] (the caller owns
+    *                      `spark.catalog.clearCache()`); use
+    *                      [[curateTo]] to realize the lazy win WITHOUT
+    *                      the leak; `none` = recompute (control arm,
+    *                      1.5–2× slower). The default is per-Config
+    *                      (the `-Dgraft.curate.materialize=` system
+    *                      property is read ONCE, at Config
+    *                      construction, as a bench-time default —
+    *                      concurrent pipelines in one JVM each carry
+    *                      their own value)
     */
   case class Config(budgets: Map[String, Long],
                     minQuality: Double = 0.5,
@@ -116,7 +126,9 @@ object Curation {
                     shingleW: Int = 8,
                     seqLen: Int = 512,
                     nShards: Int = 8,
-                    lineMinDocFreq: Option[Int] = None)
+                    lineMinDocFreq: Option[Int] = None,
+                    materialize: String =
+                      sys.props.getOrElse("graft.curate.materialize", "local"))
 
   /** Run the full pipeline over `batch` (docs with a null `textCol` are
     * dropped up front — nothing to train on).
@@ -135,7 +147,39 @@ object Curation {
   def curate(spark: SparkSession, batch: DataFrame, idCol: String,
              textCol: String, sourceCol: String,
              keyIndexPath: Option[String], benchmark: Option[DataFrame],
-             cfg: Config): DataFrame = {
+             cfg: Config): DataFrame =
+    curateImpl(spark, batch, idCol, textCol, sourceCol, keyIndexPath,
+      benchmark, cfg, scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+
+  /** [[curate]] with a WRITE terminal: runs the pipeline, writes the
+    * result as parquet at `outPath` (mode overwrite), and — the point —
+    * unpersists any lazy stage-boundary persists once its own action
+    * completes. This is how the measured `memdisk` win (5–15% over the
+    * default eager checkpoint, BASELINE.md "q93 checkpoint A/B") is
+    * realized WITHOUT the lazy arms' leak: [[curate]] returns a lazy
+    * plan so it can never know when its persists are consumed, but a
+    * write terminal owns its action and can clean up behind itself.
+    * At a real deployment the terminal parquet write is what the runner
+    * does anyway (stage outputs are restart points).
+    */
+  def curateTo(spark: SparkSession, batch: DataFrame, idCol: String,
+               textCol: String, sourceCol: String,
+               keyIndexPath: Option[String], benchmark: Option[DataFrame],
+               cfg: Config, outPath: String): Unit = {
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      curateImpl(spark, batch, idCol, textCol, sourceCol, keyIndexPath,
+          benchmark, cfg, persisted)
+        .write.mode("overwrite").parquet(outPath)
+    } finally persisted.foreach(_.unpersist(blocking = false))
+  }
+
+  private def curateImpl(spark: SparkSession, batch: DataFrame, idCol: String,
+                         textCol: String, sourceCol: String,
+                         keyIndexPath: Option[String],
+                         benchmark: Option[DataFrame], cfg: Config,
+                         persisted: scala.collection.mutable.Buffer[DataFrame])
+      : DataFrame = {
     val docs = batch.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
         col(textCol).as("text"))
@@ -163,7 +207,7 @@ object Curation {
     }
     // materialized: the excision stage reads it twice (gram pass +
     // source join-back) — see the object doc on stage boundaries
-    val fresh = materialize(fresh0)
+    val fresh = materialize(fresh0, cfg, persisted)
 
     // 2b. optional corpus-frequency LINE removal (q97's op) ahead of
     // span excision — boilerplate chrome goes first, verbatim spans
@@ -178,7 +222,7 @@ object Curation {
           .join(fresh.select(col("doc_id"), col("source")), Seq("doc_id"))
           .select(col("doc_id"), col("source"),
             regexp_replace(col("clean_text"), "\n", " ").as("text"))
-          .transform(materialize)
+          .transform(materialize(_, cfg, persisted))
       case None => fresh
     }
 
@@ -207,7 +251,7 @@ object Curation {
     // 5. SAMPLE to per-source token budgets. The fracs collect is one
     // bounded driver action (per-source totals); the checkpoint makes
     // the chain above run ONCE for both the totals and the main job.
-    val withTok = materialize(
+    val withTok = materialize(cfg = cfg, persisted = persisted, df =
       decon.select(col("doc_id"), col("source"),
         graft.functions.VectorFunctions.tokenCountsStruct(col("clean_text"))
           .getField("ws_tokens").as("n_tokens")))

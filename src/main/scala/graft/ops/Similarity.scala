@@ -204,14 +204,16 @@ object Similarity {
       .select(col(idCol).as("_id"), col("_v"), md5(col(idCol).cast("string")).as("_h"))
       .orderBy(col("_h"), col("_id"))
       .limit(nCells)
-      .select(lit(0).as("_t"), col("_h"), col("_id").cast("string").as("_id"), col("_v"))
+      .select(lit(0).as("_t"), col("_h"), col("_id").cast("long").as("_id"), col("_v"))
     val qrow = e.filter(col(idCol) === queryId)
-      .select(lit(1).as("_t"), lit("").as("_h"), lit("").as("_id"), col("_v"))
+      .select(lit(1).as("_t"), lit("").as("_h"), lit(0L).as("_id"), col("_v"))
     val setup = seeded.unionAll(qrow).collect()
     val centroids: Array[Array[Double]] = setup.filter(_.getInt(0) == 0)
       // restore the sample's (md5, id) order — union keeps no order, and
-      // the id tie-break must match the orderBy above (and the oracle)
-      .sortBy(r => (r.getString(1), r.getString(2)))
+      // the numeric-id tie-break must match the orderBy above and the
+      // oracle's ROW_NUMBER ... ORDER BY h, id (the pqTopK convention;
+      // a string-keyed sort would diverge from it on an md5 collision)
+      .sortBy(r => (r.getString(1), r.getLong(2)))
       .map(_.getSeq[Double](3).toArray)
     val qv: Array[Double] = setup.find(_.getInt(0) == 1)
       .map(_.getSeq[Double](3).toArray)
@@ -512,6 +514,22 @@ object Similarity {
     * One aggregation, zero joins; norms come from the codegen'd
     * [[dot]] expression so the card is a single projection + exchange.
     */
+  def embeddingCard(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String): DataFrame = {
+    val hasVec = col(vecCol).isNotNull && size(col(vecCol)) > 0
+    emb.select(col(labelCol).as("label"),
+        when(hasVec, lit(0L)).otherwise(1L).as("_novec"),
+        when(hasVec, size(col(vecCol))).as("_dim"),
+        when(hasVec, norm(asDouble(col(vecCol)))).as("_norm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("_novec")).as("n_missing"),
+        countDistinct(col("_dim")).as("n_dims"),
+        sum(when(col("_norm") === 0.0d, 1L).otherwise(0L)).as("n_zero_norm"),
+        round(avg(col("_norm")), 4).as("avg_norm"))
+      .orderBy(col("label"))
+  }
+
   /** Rebuild-drift audit for a persisted FLOAT IVF index — the
     * operational "when do I rebuild?" gauge the frozen-centroid contract
     * creates: streamed appends are placed by BUILD-time centroids
@@ -533,12 +551,22 @@ object Similarity {
     * jobs), ONE scan computing fresh assignments as a codegen'd
     * projection, two aggregations on the small (≤ nCells) key, a full
     * outer join of the two count tables. Float layout only — the audit
-    * needs stored vectors; quantized/PQ layouts store codes, so measure
-    * drift on the source corpus before encoding.
+    * needs stored vectors; for quantized/PQ layouts use
+    * [[codeRebuildDrift]], which decodes the stored codes.
+    *
+    * `kmeansIters` defaults to −1 = "read the build's value from the
+    * layout's `meta` table" — refitting with a DIFFERENT Lloyd budget
+    * than the build used would report spurious drift, so the audit
+    * takes the recorded value; pass it explicitly only for a pre-meta
+    * layout (where the fallback is 0) or to deliberately audit against
+    * a different refit.
     */
   def ivfRebuildDrift(spark: org.apache.spark.sql.SparkSession, path: String,
                       idCol: String, vecCol: String,
-                      kmeansIters: Int = 0): DataFrame = {
+                      kmeansItersOverride: Int = -1): DataFrame = {
+    val kmeansIters =
+      if (kmeansItersOverride >= 0) kmeansItersOverride
+      else readIndexMeta(spark, path).get("kmeans_iters").map(_.toInt).getOrElse(0)
     val nCells = spark.read.parquet(s"$path/centroids").count().toInt // bounded
     val data = spark.read.parquet(s"$path/data")
     val e = data.select(col(idCol), asDouble(col(vecCol)).as("_v"),
@@ -562,22 +590,6 @@ object Similarity {
           round(col("n_stayed").cast("double") / col("n_stored"), 6))
           .otherwise(lit(0.0d)))
       .orderBy(col("cell"))
-  }
-
-  def embeddingCard(emb: DataFrame, idCol: String, vecCol: String,
-                    labelCol: String): DataFrame = {
-    val hasVec = col(vecCol).isNotNull && size(col(vecCol)) > 0
-    emb.select(col(labelCol).as("label"),
-        when(hasVec, lit(0L)).otherwise(1L).as("_novec"),
-        when(hasVec, size(col(vecCol))).as("_dim"),
-        when(hasVec, norm(asDouble(col(vecCol)))).as("_norm"))
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(col("_novec")).as("n_missing"),
-        countDistinct(col("_dim")).as("n_dims"),
-        sum(when(col("_norm") === 0.0d, 1L).otherwise(0L)).as("n_zero_norm"),
-        round(avg(col("_norm")), 4).as("avg_norm"))
-      .orderBy(col("label"))
   }
 
   // ─── Persisted index layouts ─────────────────────────────────────────
@@ -609,6 +621,8 @@ object Similarity {
     val e = clean.select(col(idCol), asDouble(col(vecCol)).as("_v"))
     val centroids = ivfCentroids(e, idCol, nCells, kmeansIters)
     writeCentroids(spark, centroids, path)
+    writeIndexMeta(spark, path, Seq("layout" -> "ivf",
+      "n_cells" -> nCells.toString, "kmeans_iters" -> kmeansIters.toString))
     clean.withColumn("cell",
         graft.functions.VectorFunctions.nearestCentroid(asDouble(col(vecCol)), centroids))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
@@ -667,6 +681,8 @@ object Similarity {
     val e = clean.select(col(idCol), asDouble(col(vecCol)).as("_v"))
     val centroids = ivfCentroids(e, idCol, nCells, kmeansIters)
     writeCentroids(spark, centroids, path)
+    writeIndexMeta(spark, path, Seq("layout" -> "ivf_int8",
+      "n_cells" -> nCells.toString, "kmeans_iters" -> kmeansIters.toString))
     e.select(col(idCol),
         graft.functions.VectorFunctions.quantizeInt8(col("_v")).as("_z"),
         graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids).as("cell"))
@@ -1004,10 +1020,12 @@ object Similarity {
 
   /** ONE bounded driver fetch of a persisted codebook table
     * ([[buildPqIndex]]/[[buildIvfPqIndex]] layout): m·nCodes rows by
-    * construction.
+    * construction. `private[graft]` so the streaming PQ sinks (and
+    * specs) decode against the same layout reader instead of a copy
+    * that could drift.
     */
-  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
-                            path: String): Array[Array[Array[Double]]] = {
+  private[graft] def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(s"$path/codebooks")
       .select(col("s"), col("code"), col("w")).collect()
     val m = rows.map(_.getInt(0)).max + 1
@@ -1101,6 +1119,9 @@ object Similarity {
         words.zipWithIndex.map { case (w, c) => (s, c, w.toSeq) }
       }.toSeq.toDF("s", "code", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    writeIndexMeta(spark, path, Seq("layout" -> "pq",
+      "m" -> m.toString, "n_codes" -> nCodes.toString,
+      "kmeans_iters" -> kmeansIters.toString))
     e.select(col(idCol),
         graft.functions.VectorFunctions.pqEncode(col("_v"), cb).as("codes"))
       .write.mode("overwrite").parquet(s"$path/data")
@@ -1179,14 +1200,16 @@ object Similarity {
         words.zipWithIndex.map { case (w, c) => (s, c, w.toSeq) }
       }.toSeq.toDF("s", "code", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    // the `encoding` entry is the marker probes switch scoring on
+    writeIndexMeta(spark, path, Seq("layout" -> "ivf_pq",
+      "encoding" -> (if (residual) "residual" else "raw"),
+      "n_cells" -> nCells.toString, "m" -> m.toString,
+      "n_codes" -> nCodes.toString, "kmeans_iters" -> kmeansIters.toString))
     if (residual) {
       enc.select(col(idCol),
           graft.functions.VectorFunctions.pqEncode(col("_r"), cb).as("codes"),
           col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
-      // the layout marker probes switch scoring on — one bounded read
-      Seq(Tuple1("residual")).toDF("encoding")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     } else {
       e.select(col(idCol),
           graft.functions.VectorFunctions.pqEncode(col("_v"), cb).as("codes"),
@@ -1195,14 +1218,45 @@ object Similarity {
     }
   }
 
-  /** Does the IVF-PQ layout at `path` carry the residual-encoding
-    * marker? One filesystem existence check, no data read.
+  /** Persist the layout's build parameters as a tiny key/value parquet
+    * at `path/meta` (one row per parameter) — written by every IVF/PQ
+    * builder so audits ([[ivfRebuildDrift]]) and rebuilds re-derive the
+    * SAME geometry the build used instead of trusting the caller to
+    * remember `kmeansIters` & co.
     */
-  private def isResidualIndex(spark: org.apache.spark.sql.SparkSession,
-                              path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  private[graft] def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                                    path: String,
+                                    entries: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    entries.toDF("key", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  /** Bounded read of a layout's `meta` parameter table; empty for a
+    * layout with no meta. A pre-key/value layout (the old residual-only
+    * marker, whose single column was `encoding`) reads as
+    * `encoding → residual` — existence WAS the marker then.
+    */
+  private[graft] def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Map.empty
+    else {
+      val df = spark.read.parquet(s"$path/meta")
+      if (df.columns.contains("key"))
+        df.select(col("key"), col("value")).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      else Map("encoding" -> "residual")
+    }
+  }
+
+  /** Does the IVF-PQ layout at `path` carry the residual-encoding
+    * marker? One bounded meta read.
+    */
+  private[graft] def isResidualIndex(spark: org.apache.spark.sql.SparkSession,
+                                     path: String): Boolean =
+    readIndexMeta(spark, path).get("encoding").contains("residual")
 
   /** The query-independent residual-scoring tables: codeword norms²,
     * per-cell centroid·codeword dots, centroid norms² — bounded

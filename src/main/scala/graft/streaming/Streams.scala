@@ -1001,9 +1001,7 @@ object Streams {
       .select(col("cell"), col("centroid")).collect()
       .sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
-    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
-    val residual = metaPath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(metaPath)
+    val residual = graft.ops.Similarity.isResidualIndex(spark, indexPath)
     val placed = stream
       .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(col(idCol), transform(col(vecCol), _.cast("double")).as("_v"))
@@ -1029,19 +1027,13 @@ object Streams {
       .start()
   }
 
-  /** One bounded driver read of a PQ codebook table (m·nCodes rows by
-    * construction) — the sink-start freeze shared by the PQ sinks.
+  /** One bounded driver read of a PQ codebook table — the sink-start
+    * freeze. Delegates to [[graft.ops.Similarity.readCodebooks]] so the
+    * sinks and the query side share one layout reader.
     */
   private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
-                            path: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(s"$path/codebooks")
-      .select(col("s"), col("code"), col("w")).collect()
-    val m = rows.map(_.getInt(0)).max + 1
-    val nCodes = rows.map(_.getInt(1)).max + 1
-    val cb = Array.ofDim[Array[Double]](m, nCodes)
-    rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
-    cb
-  }
+                            path: String): Array[Array[Array[Double]]] =
+    graft.ops.Similarity.readCodebooks(spark, path)
 
   /** Continuously maintain a persisted TEXT-dedup index built by
     * [[graft.ops.Dedup.buildTextIndex]] — the streaming member of the

@@ -246,9 +246,13 @@ class IndexLayoutSpec extends SparkSpec {
       nCells = 8, m = 4, nCodes = 8, residual = true)
     Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", s"$dir/raw",
       nCells = 8, m = 4, nCodes = 8)
-    // the residual layout carries the meta marker; the raw one does not
-    assert(new java.io.File(s"$dir/res/meta").exists(), "residual meta marker")
-    assert(!new java.io.File(s"$dir/raw/meta").exists(), "raw layout stays unmarked")
+    // both layouts carry a meta table; the encoding entry distinguishes
+    assert(Similarity.readIndexMeta(spark, s"$dir/res").get("encoding")
+      .contains("residual"), "residual meta marker")
+    assert(Similarity.readIndexMeta(spark, s"$dir/raw").get("encoding")
+      .contains("raw"), "raw layout marked raw")
+    assert(Similarity.isResidualIndex(spark, s"$dir/res"))
+    assert(!Similarity.isResidualIndex(spark, s"$dir/raw"))
     // identical coarse geometry: same centroid table, same per-id cells
     // (residual changes WHAT the codes describe, never placement)
     def cells(d: String) = spark.read.parquet(s"$d/data")
