@@ -306,6 +306,7 @@ object SparkEntry {
          |       COUNT(*) AS n_stayed, CAST(1.0 AS DOUBLE) AS retention
          |FROM cells GROUP BY cell ORDER BY cell""".stripMargin,
     "q112_ivfpq_rerank_knn_join" -> ivfPqRerankKnnJoinSql,
+    "q113_pack_token_ids" -> packTokenIdsSql,
     // q62 oracle: the Bloom stage is a pure prefilter (no false
     // negatives) and the verify restores exactness, so the engine result
     // equals the plain NOT EXISTS on the content hash. Null-text rows
@@ -1749,6 +1750,59 @@ object SparkEntry {
        |JOIN thr ON d.source = thr.source
        |WHERE MD5(CAST(d.doc_id AS VARCHAR)) < thr.thr
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q113 oracle: the token-id stream rebuilt in SQL. The recursive CTE
+    * computes each distinct word's FINAL symbol list (`ARG_MIN(syms,
+    * LEN(syms))` — each merge step shrinks the list by one, so the
+    * shortest row is the fixpoint); symbols map to ids by the engine's
+    * rule (single code point → `UNICODE`, merged symbol → 0x110000 +
+    * first producing rank — the CASE arms are GENERATED from the same
+    * tinyMerges table the engine uses, first-rank-wins on duplicate
+    * products). Global token positions come from three window sums
+    * (word offset in doc, doc offset in shard stream), then sequences
+    * are `LIST(id ORDER BY position)` per (source, floor(pos/512)).
+    */
+  private def packTokenIdsSql: String = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val idArms = graft.functions.TokenCounters.tinyMerges.zipWithIndex.flatMap {
+      case ((l, r), i) =>
+        val prod = l + r
+        if (seen.add(prod))
+          Some(s"WHEN '$prod' THEN ${graft.functions.BpeTokenCounter.MergedIdBase + i}")
+        else None
+    }.mkString(" ")
+    s"""WITH RECURSIVE $bpeWordCtes,
+       |wsyms AS (SELECT w, ARG_MIN(syms, LEN(syms)) AS syms FROM bpe GROUP BY w),
+       |wids AS (SELECT w, LIST_TRANSFORM(syms, s ->
+       |           CASE s $idArms ELSE UNICODE(s) END) AS ids
+       |         FROM wsyms),
+       |docs AS (SELECT doc_id, source,
+       |           LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS lw
+       |         FROM documents WHERE text IS NOT NULL),
+       |wp AS (SELECT doc_id, i AS wi, lw[i] AS w
+       |       FROM docs, UNNEST(RANGE(1, LEN(lw) + 1)) AS u(i)),
+       |wt AS (SELECT p.doc_id, p.wi, d.ids, LEN(d.ids) AS n
+       |       FROM wp p JOIN wids d USING (w)),
+       |wo AS (SELECT doc_id, wi, ids,
+       |         SUM(n) OVER (PARTITION BY doc_id ORDER BY wi
+       |                      ROWS UNBOUNDED PRECEDING) - n AS wstart
+       |       FROM wt),
+       |dtok AS (SELECT doc_id, SUM(n) AS dn FROM wt GROUP BY doc_id),
+       |ds AS (SELECT d.doc_id, d.source,
+       |         SUM(COALESCE(dtok.dn, 0)) OVER (PARTITION BY d.source
+       |             ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING)
+       |           - COALESCE(dtok.dn, 0) AS doff
+       |       FROM docs d LEFT JOIN dtok USING (doc_id)),
+       |tok AS (SELECT s.source, s.doff + o.wstart + u.i - 1 AS g,
+       |          o.ids[u.i] AS tid
+       |        FROM wo o JOIN ds s USING (doc_id),
+       |             UNNEST(RANGE(1, LEN(o.ids) + 1)) AS u(i))
+       |SELECT source, CAST(FLOOR(g / 512.0) AS BIGINT) AS seq_id,
+       |       LIST(tid ORDER BY g) AS token_ids,
+       |       COUNT(*) AS n_tokens
+       |FROM tok GROUP BY source, seq_id
+       |ORDER BY source, seq_id""".stripMargin
   }
 
   /** q52b oracle: q52's packing arithmetic verbatim over BPE per-doc

@@ -39,6 +39,30 @@ trait TokenCounter extends Serializable {
   def countTokens(text: String): Long
 }
 
+/** A [[TokenCounter]] that can also MATERIALIZE the token ids — the SPI
+  * member behind [[graft.ops.Packing.packTokens]], the step that turns a
+  * curated corpus into training-ready `array<int>` sequences instead of
+  * offsets over raw text. The contract ties the two methods together:
+  * `encodeTokens(text).length == countTokens(text)` for every input, so
+  * budgets/packing computed from counts agree exactly with the ids a
+  * writer emits.
+  *
+  * Id space (for implementations without an external vocabulary file,
+  * like the built-in BPE): a single-code-point token's id is its code
+  * point (0 ≤ id ≤ 0x10FFFF); a merged token's id is 0x110000 + the
+  * FIRST merge rank whose concatenation produces it. Injective and
+  * derivable from the merges table alone — a consumer with a real
+  * toolkit vocabulary can re-map ids with one bounded join against its
+  * vocab file.
+  */
+trait TokenEncoder extends TokenCounter {
+  /** Token ids of one document, in stream order; empty array for a text
+    * with no tokens. Null handling lives in the expression (null text →
+    * null array).
+    */
+  def encodeTokens(text: String): Array[Int]
+}
+
 /** The q52/q58 whitespace contract: single-space split FIELD count
   * (separators + 1, empty fields included) — exactly
   * `LEN(STRING_SPLIT(text, ' '))` / `split(text, ' ')` size, and exactly
@@ -79,7 +103,7 @@ case object WhitespaceTokenCounter extends TokenCounter {
   * a real vocabulary's ~50k merges is still only ~1 MB of plan payload).
   */
 final case class BpeTokenCounter(merges: Seq[(String, String)])
-  extends TokenCounter {
+  extends TokenEncoder {
 
   override def name: String = "bpe"
 
@@ -87,6 +111,18 @@ final case class BpeTokenCounter(merges: Seq[(String, String)])
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((l, r), i) => m.put(l + " " + r, i) }
+    m
+  }
+
+  // merged-symbol string -> id (MERGED_ID_BASE + first producing rank).
+  // Every multi-code-point symbol the greedy walk can emit is some
+  // rule's concatenation, so this map is total over merged outputs;
+  // single-code-point symbols fall through to their code point.
+  @transient private lazy val symIds: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      m.putIfAbsent(l + r, Integer.valueOf(BpeTokenCounter.MergedIdBase + i))
+    }
     m
   }
 
@@ -103,7 +139,36 @@ final case class BpeTokenCounter(merges: Seq[(String, String)])
     total
   }
 
-  private def countWord(text: String, from: Int, until: Int): Long = {
+  override def encodeTokens(text: String): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    val len = text.length
+    var i = 0
+    while (i < len) {
+      while (i < len && text.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && text.charAt(i) != ' ') i += 1
+      if (i > start) {
+        val (syms, n) = mergeWord(text, start, i)
+        var j = 0
+        while (j < n) {
+          val id = symIds.get(syms(j))
+          out += (if (id != null) id.intValue else syms(j).codePointAt(0))
+          j += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def countWord(text: String, from: Int, until: Int): Long =
+    mergeWord(text, from, until)._2.toLong
+
+  /** The greedy walk shared by count and encode: final symbols (first
+    * `n` slots of the returned array) after leftmost-lowest-rank
+    * merging.
+    */
+  private def mergeWord(text: String, from: Int, until: Int)
+      : (Array[String], Int) = {
     // split the word into code-point symbols
     var syms = new Array[String](until - from)
     var n = 0
@@ -135,8 +200,15 @@ final case class BpeTokenCounter(merges: Seq[(String, String)])
         if (n <= 1) done = true
       }
     }
-    n.toLong
+    (syms, n)
   }
+}
+
+object BpeTokenCounter {
+  /** First id of the merged-symbol range: one past the last Unicode code
+    * point, so code-point ids and merged ids can never collide.
+    */
+  val MergedIdBase: Int = 0x110000
 }
 
 object TokenCounters {
@@ -236,4 +308,24 @@ object TokenCounters {
     */
   def count(counter: TokenCounter, text: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.tokenCount(text, counter)
+
+  /** [[forName]] for the id-materializing surfaces: same registry, but
+    * the resolved counter must be a [[TokenEncoder]] — fail fast with
+    * the reason rather than letting a count-only tokenizer reach an
+    * operator that needs ids (`whitespace` counts fields; without a
+    * vocabulary there is no id to emit).
+    */
+  def encoderForName(name: String): TokenEncoder = forName(name) match {
+    case e: TokenEncoder => e
+    case c => throw new IllegalArgumentException(
+      s"tokenizer '${c.name}' counts tokens but cannot emit ids " +
+        "(implement graft.functions.TokenEncoder; built-in: bpe, bpe:<path>)")
+  }
+
+  /** Column form of id materialization: `encode(encoder, $"text")` →
+    * `array<int>` token ids, one codegen'd expression, null text → null
+    * array.
+    */
+  def encode(encoder: TokenEncoder, text: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.tokenEncode(text, encoder)
 }

@@ -1663,6 +1663,45 @@ case class TokenCountExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** Token-id materialization under a pluggable
+  * [[graft.functions.TokenEncoder]] — [[TokenCountExpr]]'s id-emitting
+  * sibling and the expression behind `packTokens` (the pipeline step
+  * that writes training-ready id sequences instead of counts). The
+  * encoder ships as a plan reference object; evaluation stays inside
+  * whole-stage codegen, and the ids land directly in an
+  * `UnsafeArrayData` primitive array — no boxing, no UDF boundary.
+  * Map-side only: the expression itself adds zero shuffles (the packing
+  * operator downstream owns its one explode + one group).
+  */
+case class TokenEncodeExpr(child: Expression,
+                           encoder: graft.functions.TokenEncoder)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = s"graft_token_ids_${encoder.name}"
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(encoder.encodeTokens(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("encoder", encoder,
+      classOf[graft.functions.TokenEncoder].getName)
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray($ref.encodeTokens($in.toString()));"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenEncodeExpr =
+    copy(child = newChild)
+}
+
 /** Membership probe against a driver-built Bloom filter, shipped once as a
   * codegen reference object (same pattern as [[NearestCentroid]]'s
   * centroid matrix) — the broadcast "runtime filter" that lets a 100 TB
@@ -1900,6 +1939,9 @@ object VectorBridge {
 
   def tokenCount(text: Column, counter: graft.functions.TokenCounter): Column =
     ExpressionUtils.column(TokenCountExpr(ExpressionUtils.expression(text), counter))
+
+  def tokenEncode(text: Column, encoder: graft.functions.TokenEncoder): Column =
+    ExpressionUtils.column(TokenEncodeExpr(ExpressionUtils.expression(text), encoder))
 
   def quantizeInt8(vec: Column): Column =
     ExpressionUtils.column(QuantizeInt8(ExpressionUtils.expression(vec)))

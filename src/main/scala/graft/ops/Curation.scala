@@ -174,11 +174,81 @@ object Curation {
     } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
+  /** [[curate]] ending at MATERIALIZED token ids — the pipeline
+    * terminal a pretraining run actually writes: stages 1–4 (clean /
+    * dedup / excise / decontaminate) verbatim, then token-budget
+    * sampling COUNTED UNDER `encoder` (budgets and packing must spend
+    * the same token currency the ids are emitted in — a whitespace
+    * budget over BPE ids would mis-size every shard), then
+    * [[Packing.packTokens]]: one row per `cfg.seqLen`-token training
+    * sequence, (source, seq_id, token_ids `array<int>`, n_tokens).
+    * [[Sampling.trainingOrder]] applies per sequence via its (shard =
+    * source, pos = seq_id) structure downstream if needed — sequences
+    * are already deterministic and densely numbered per source.
+    * Lazy-returning like [[curate]] (same materialization note).
+    */
+  def curateTokens(spark: SparkSession, batch: DataFrame, idCol: String,
+                   textCol: String, sourceCol: String,
+                   keyIndexPath: Option[String], benchmark: Option[DataFrame],
+                   cfg: Config,
+                   encoder: graft.functions.TokenEncoder): DataFrame = {
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val decon = curateDecon(spark, batch, idCol, textCol, sourceCol,
+      keyIndexPath, benchmark, cfg, persisted)
+    // one checkpoint serves the budget totals AND the pack job; text
+    // rides along because packTokens re-reads it to emit ids
+    val withTok = materialize(cfg = cfg, persisted = persisted, df =
+      decon.select(col("doc_id"), col("source"), col("clean_text"),
+        graft.functions.TokenCounters.count(encoder, col("clean_text"))
+          .as("n_tokens")))
+    val fracs = Sampling.tokenBudgetFracs(withTok, "source", "n_tokens",
+      cfg.budgets)
+    val sampled = Sampling.stratifiedSample(withTok, "doc_id", "source", fracs)
+    Packing.packTokens(sampled, "doc_id", "clean_text", "source",
+      seqLen = cfg.seqLen, encoder)
+  }
+
   private def curateImpl(spark: SparkSession, batch: DataFrame, idCol: String,
                          textCol: String, sourceCol: String,
                          keyIndexPath: Option[String],
                          benchmark: Option[DataFrame], cfg: Config,
                          persisted: scala.collection.mutable.Buffer[DataFrame])
+      : DataFrame = {
+    val decon = curateDecon(spark, batch, idCol, textCol, sourceCol,
+      keyIndexPath, benchmark, cfg, persisted)
+
+    // 5. SAMPLE to per-source token budgets. The fracs collect is one
+    // bounded driver action (per-source totals); the checkpoint makes
+    // the chain above run ONCE for both the totals and the main job.
+    val withTok = materialize(cfg = cfg, persisted = persisted, df =
+      decon.select(col("doc_id"), col("source"),
+        graft.functions.VectorFunctions.tokenCountsStruct(col("clean_text"))
+          .getField("ws_tokens").as("n_tokens")))
+    val fracs = Sampling.tokenBudgetFracs(withTok, "source", "n_tokens",
+      cfg.budgets)
+    val sampled = Sampling.stratifiedSample(withTok, "doc_id", "source", fracs)
+
+    // 6. PACK into seqLen-token sequences per source shard
+    val packed = Packing.pack(sampled, "doc_id", "n_tokens", "source",
+      seqLen = cfg.seqLen)
+
+    // 7. deterministic TRAINING ORDER over the packed docs
+    Sampling.trainingOrder(packed, "doc_id", nShards = cfg.nShards)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
+        col("seq_first"), col("seq_last"), col("shard"), col("pos"))
+  }
+
+  /** Stages 1–4 (clean / dedup / excise / decontaminate), shared by the
+    * offset terminal ([[curate]]) and the token-id terminal
+    * ([[curateTokens]]); returns the decontaminated survivors with
+    * (doc_id, source, clean_text) among the columns (plus the excision
+    * counters — the terminals project what they need).
+    */
+  private def curateDecon(spark: SparkSession, batch: DataFrame, idCol: String,
+                          textCol: String, sourceCol: String,
+                          keyIndexPath: Option[String],
+                          benchmark: Option[DataFrame], cfg: Config,
+                          persisted: scala.collection.mutable.Buffer[DataFrame])
       : DataFrame = {
     val docs = batch.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
@@ -247,25 +317,6 @@ object Curation {
           Seq("doc_id"), "left_anti")
       case None => exc
     }
-
-    // 5. SAMPLE to per-source token budgets. The fracs collect is one
-    // bounded driver action (per-source totals); the checkpoint makes
-    // the chain above run ONCE for both the totals and the main job.
-    val withTok = materialize(cfg = cfg, persisted = persisted, df =
-      decon.select(col("doc_id"), col("source"),
-        graft.functions.VectorFunctions.tokenCountsStruct(col("clean_text"))
-          .getField("ws_tokens").as("n_tokens")))
-    val fracs = Sampling.tokenBudgetFracs(withTok, "source", "n_tokens",
-      cfg.budgets)
-    val sampled = Sampling.stratifiedSample(withTok, "doc_id", "source", fracs)
-
-    // 6. PACK into seqLen-token sequences per source shard
-    val packed = Packing.pack(sampled, "doc_id", "n_tokens", "source",
-      seqLen = cfg.seqLen)
-
-    // 7. deterministic TRAINING ORDER over the packed docs
-    Sampling.trainingOrder(packed, "doc_id", nShards = cfg.nShards)
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
-        col("seq_first"), col("seq_last"), col("shard"), col("pos"))
+    decon
   }
 }

@@ -45,6 +45,51 @@ object Packing {
       .drop("_end")
   }
 
+  /** [[pack]] MATERIALIZED — the pipeline's last step emitting
+    * training-ready sequences: tokenize each document into ids under a
+    * pluggable [[graft.functions.TokenEncoder]] (greedy BPE built in),
+    * lay the ids end-to-end per shard in (shard, doc-id) order — the
+    * exact stream [[pack]] describes by offsets — and cut it into
+    * `seqLen`-token rows. Output: one row per sequence,
+    * (shardCol, seq_id, token_ids `array<int>`, n_tokens), where
+    * `token_ids` has exactly `seqLen` elements except each shard's last
+    * sequence (no padding — the trainer owns its pad/eos convention).
+    * Documents straddle sequence boundaries, standard concat-then-chunk;
+    * agreement with [[pack]] is exact: a doc's ids land at
+    * [start_off, start_off + n) in its shard's stream, so its sequences
+    * are precisely seq_first..seq_last.
+    *
+    * Scale shape: encode is ONE codegen'd map-side projection (the ids
+    * never exist as a driver-side object); the per-shard window is the
+    * same single shuffle [[pack]] pays; the explode multiplies rows by
+    * tokens-per-doc (this is the materialization — those bytes are the
+    * output); the final groupBy((shard, seq_id)) is one hash shuffle
+    * whose groups are BOUNDED at seqLen rows each, so there is no hot
+    * key at any corpus size — skew is capped by construction.
+    * Deterministic end to end: offsets are (shard, id)-ordered, the
+    * in-sequence sort key is the global token position.
+    */
+  def packTokens(df: DataFrame, idCol: String, textCol: String,
+                 shardCol: String, seqLen: Int,
+                 encoder: graft.functions.TokenEncoder): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    df.where(col(textCol).isNotNull)
+      .select(col(shardCol), col(idCol),
+        graft.functions.TokenCounters.encode(encoder, col(textCol)).as("_ids"))
+      .withColumn("_n", size(col("_ids")).cast("long"))
+      .withColumn("_start", sum(col("_n")).over(w) - col("_n"))
+      .select(col(shardCol), col("_start"),
+        posexplode(col("_ids")).as(Seq("_p", "_tid")))
+      .select(col(shardCol), (col("_start") + col("_p")).as("_g"), col("_tid"))
+      .groupBy(col(shardCol),
+        floor(col("_g") / lit(seqLen.toLong)).cast("long").as("seq_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("_g"), col("_tid")))),
+          x => x.getField("_tid")).as("token_ids"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** [[pack]]'s dual — PER-DOC sliding-window chunking, the
     * embedding/retrieval-context prep step (a doc too long for the
     * encoder splits into `maxWords`-word chunks overlapping by

@@ -434,6 +434,18 @@ object Extensions {
       .orderBy(col("q_id"), col("vec_id"))
   }
 
+  // q113 token-id materialization — q52's packing arithmetic made REAL:
+  // the pipeline terminal that emits training-ready array<int> id
+  // sequences (greedy-BPE ids under the pinned tinyMerges table, the
+  // q52b counting rule) instead of offsets over raw text. The oracle
+  // rebuilds the id stream with the same recursive-CTE merge walk plus
+  // the code-point/merged-rank id rule, so the arrays hash-check
+  // element for element.
+  val q113_pack_token_ids: Q = (s, d) =>
+    Packing.packTokens(t(s, d, "documents"), "doc_id", "text", "source",
+        seqLen = 512, graft.functions.TokenCounters.tinyBpe)
+      .orderBy(col("source"), col("seq_id"))
+
   // q102 ANN recall audit — the acceptance gauge for the approximate
   // family: q54's IVF k-NN join scored against the exact brute-force
   // top-10 for the same query set. Both sides deterministic, so the
@@ -1168,5 +1180,6 @@ object Extensions {
     "q109_ivfpq_residual_topk" -> q109_ivfpq_residual_topk,
     "q110_ivfpq_residual_knn_join" -> q110_ivfpq_residual_knn_join,
     "q111_ivf_rebuild_drift" -> q111_ivf_rebuild_drift,
-    "q112_ivfpq_rerank_knn_join" -> q112_ivfpq_rerank_knn_join)
+    "q112_ivfpq_rerank_knn_join" -> q112_ivfpq_rerank_knn_join,
+    "q113_pack_token_ids" -> q113_pack_token_ids)
 }

@@ -203,6 +203,27 @@ object PipelineTasks {
       }
   }
 
+  /** `pack_ids`: [[PackTask]] MATERIALIZED — emit the packed training
+    * sequences as `array<int>` token ids ([[Packing.packTokens]])
+    * instead of per-doc offsets. `tokenizer` must name an id-emitting
+    * tokenizer (`bpe`, `bpe:<merges.txt>`, or a [[graft.functions
+    * .TokenEncoder]] ServiceLoader provider — count-only tokenizers
+    * fail fast with the reason). Output: (shard, seq_id, token_ids,
+    * n_tokens).
+    */
+  object PackIdsTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
+      Tasks.etl(ctx, task, log, "pack_ids")(sourceDf(ctx, task)) { (df, lg, meter) =>
+        val cfg = task("pack_ids")
+        val encoder = graft.functions.TokenCounters.encoderForName(
+          cfg.str("tokenizer", "bpe"))
+        val out = Packing.packTokens(df, cfg.str("id", "doc_id"),
+          cfg.str("text", "text"), cfg.str("shard", "source"),
+          cfg.int("seq_len", 512), encoder)
+        sink(ctx, task)(out, lg, meter)
+      }
+  }
+
   /** `chunk`: per-doc sliding-window chunking (q98) — `max_words` per
     * chunk, `overlap` seam words repeated between consecutive chunks.
     * Output is the op's (doc_id, chunk_id, chunk_text, n_words).

@@ -349,6 +349,7 @@ object Tasks {
     "excise"     -> PipelineTasks.ExciseTask,
     "sample"     -> PipelineTasks.SampleTask,
     "pack"       -> PipelineTasks.PackTask,
+    "pack_ids"   -> PipelineTasks.PackIdsTask,
     "chunk"      -> PipelineTasks.ChunkTask,
     "shuffle"    -> PipelineTasks.ShuffleTask,
     "curate"     -> PipelineTasks.CurateTask,

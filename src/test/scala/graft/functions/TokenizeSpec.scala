@@ -127,4 +127,63 @@ class TokenizeSpec extends SparkSpec {
       VectorFunctions.tokenCountsStruct(col("text")).getField("ws_tokens").as("ws"))
     assert(both.where(col("spi") =!= col("ws")).count() == 0L)
   }
+
+  // ─── TokenEncoder: id materialization ──────────────────────────────
+
+  test("encodeTokens: ids follow the code-point / merged-rank rule") {
+    // "table" → one merged token from the rank-3 chain end ('tabl e')
+    assert(bpe.encodeTokens("table").toSeq ==
+      Seq(BpeTokenCounter.MergedIdBase + 3))
+    // "data" → d, a, ta: code points for singles, rank 0 for 'ta'
+    assert(bpe.encodeTokens("data").toSeq ==
+      Seq('d'.toInt, 'a'.toInt, BpeTokenCounter.MergedIdBase + 0))
+    // unknown characters stay code points; empty text → empty array
+    assert(bpe.encodeTokens("x").toSeq == Seq('x'.toInt))
+    assert(bpe.encodeTokens("").isEmpty)
+    assert(bpe.encodeTokens("   ").isEmpty)
+  }
+
+  test("encodeTokens length equals countTokens for every input (the SPI contract)") {
+    val texts = Seq("table row", "data str line", "", "  a  ", "q u e r y",
+      "struggle strength mismatch", "tabletable", "été café")
+    texts.foreach { t =>
+      assert(bpe.encodeTokens(t).length.toLong == bpe.countTokens(t),
+        s"count/encode disagree on '$t'")
+    }
+  }
+
+  test("merged ids can never collide with code-point ids") {
+    assert(BpeTokenCounter.MergedIdBase > Character.MAX_CODE_POINT)
+    // duplicate merge products take the FIRST producing rank: 't ab'
+    // (rank 1) and 'ta b' (rank 2) both concatenate to 'tab', so 'tab'
+    // gets rank 1's id no matter which rule created it
+    val dup = BpeTokenCounter(Seq("a" -> "b", "t" -> "ab", "ta" -> "b"))
+    assert(dup.encodeTokens("tab").toSeq ==
+      Seq(BpeTokenCounter.MergedIdBase + 1))
+  }
+
+  test("encoderForName: bpe resolves, count-only tokenizers fail loudly") {
+    assert(TokenCounters.encoderForName("bpe").isInstanceOf[BpeTokenCounter])
+    val e = intercept[IllegalArgumentException](
+      TokenCounters.encoderForName("whitespace"))
+    assert(e.getMessage.contains("cannot emit ids"))
+  }
+
+  test("encode column path: null → null array, codegen residency, eval parity") {
+    val dir = tmpDir("graft_tokenc_")
+    Seq((1L, "table data"), (2L, null), (3L, ""))
+      .toDF("id", "text").write.mode("overwrite").parquet(dir)
+    val proj = spark.read.parquet(dir)
+      .select(col("id"), TokenCounters.encode(bpe, col("text")).as("ids"))
+    // codegen residency on the bare projection (an orderBy wraps the
+    // plan in an unfinalized AQE node that hides the codegen span)
+    val hasWsc = proj.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty
+    assert(hasWsc, proj.queryExecution.executedPlan.toString)
+    val rows = proj.orderBy("id").collect()
+    assert(rows(0).getSeq[Int](1) == bpe.encodeTokens("table data").toSeq)
+    assert(rows(1).isNullAt(1))
+    assert(rows(2).getSeq[Int](1).isEmpty)
+  }
 }

@@ -835,6 +835,38 @@ class OpsSpec extends SparkSpec {
     assert(on == Map(1L -> 10L, 2L -> 10L, 3L -> 10L), s"$on")
   }
 
+  test("curateTokens: the pipeline ends at packed id sequences that match the stages run by hand") {
+    val bpe = graft.functions.TokenCounters.tinyBpe
+    // distinct docs, generous budget (everything admitted), screens off —
+    // the terminal's own behavior is what's under test, the screens have
+    // their own specs
+    val docs = Seq(
+      (1L, "table data row line", "web"),
+      (2L, "string integer row query", "web"),
+      (3L, "small tables everywhere again", "web"),
+      (10L, "alpha beta gamma delta", "books"))
+      .toDF("doc_id", "text", "source")
+    val cfg = Curation.Config(
+      budgets = Map("web" -> 1000000L, "books" -> 1000000L),
+      minQuality = 0.0, spanThreshold = 2.0, seqLen = 4)
+    val out = Curation.curateTokens(spark, docs, "doc_id", "text", "source",
+        None, None, cfg, bpe)
+      .orderBy(col("source"), col("seq_id")).collect()
+    // with everything admitted, the streams are the docs' ids in doc_id
+    // order per source — exactly packTokens over the raw corpus
+    val expect = Packing.packTokens(docs, "doc_id", "text", "source", 4, bpe)
+      .orderBy(col("source"), col("seq_id")).collect()
+    assert(out.map(_.toString).toSeq == expect.map(_.toString).toSeq)
+    assert(out.forall(r => r.getSeq[Int](2).length == r.getLong(3).toInt))
+    // and a budget that throttles web still packs the books stream whole
+    val throttled = Curation.curateTokens(spark, docs, "doc_id", "text",
+        "source", None, None,
+        cfg.copy(budgets = Map("books" -> 1000000L)), bpe)
+      .collect()
+    assert(throttled.forall(_.getString(0) == "books"),
+      "web has no budget -> web docs must not reach the packed output")
+  }
+
   test("chunkDocs: sliding windows cover the doc, overlap repeats the seam words") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),   // 10 words
@@ -1023,6 +1055,60 @@ class OpsSpec extends SparkSpec {
     val b = Packing.pack(docs.repartition(7), "doc_id", "n", "shard", 256)
       .select("doc_id", "start_off").as[(Long, Long)].collect().toSet
     assert(a == b)
+  }
+
+  test("packTokens: materialized ids reassemble each shard's stream; pack agreement") {
+    val bpe = graft.functions.TokenCounters.tinyBpe
+    val docs = Seq(
+      (1L, "A", "table data table"),   // 1 + 3 + 1 = 5 tokens
+      (2L, "A", "row"),                // 1 token
+      (3L, "A", "q w"),                // 2 tokens (qu? no 'q w': q→1? 'q' alone =1, 'w'=1) → 2
+      (10L, "B", "str line"),          // 2 + 2? str=1 (st+r? s t→st, st r→str)=1; line: l,ine →2 → 3 total
+      (11L, "B", null))
+      .toDF("doc_id", "shard", "text")
+    val out = Packing.packTokens(docs, "doc_id", "text", "shard",
+        seqLen = 4, bpe)
+      .orderBy(col("shard"), col("seq_id")).collect()
+    // expected streams, straight from the encoder
+    val streamA = bpe.encodeTokens("table data table") ++
+      bpe.encodeTokens("row") ++ bpe.encodeTokens("q w")
+    val streamB = bpe.encodeTokens("str line")
+    val expect = (streamA.grouped(4).toSeq.map("A" -> _) ++
+      streamB.grouped(4).toSeq.map("B" -> _)).zipWithIndex
+    assert(out.length == streamA.length / 4 + (if (streamA.length % 4 > 0) 1 else 0)
+      + streamB.length / 4 + (if (streamB.length % 4 > 0) 1 else 0))
+    out.foreach { r =>
+      val shard = r.getString(0); val seq = r.getLong(1)
+      val ids = r.getSeq[Int](2)
+      val n = r.getLong(3)
+      val stream = if (shard == "A") streamA else streamB
+      assert(ids == stream.slice(seq.toInt * 4, seq.toInt * 4 + 4).toSeq,
+        s"$shard/$seq")
+      assert(n == ids.length.toLong)
+      assert(ids.length == 4 || (seq.toInt * 4 + ids.length) == stream.length,
+        "only each shard's LAST sequence may be short")
+    }
+    // agreement with pack: a doc's ids occupy exactly seq_first..seq_last
+    val counted = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("shard"),
+        graft.functions.TokenCounters.count(bpe, col("text")).as("n"))
+    val packed = Packing.pack(counted, "doc_id", "n", "shard", seqLen = 4)
+      .select("doc_id", "start_off", "seq_first", "seq_last")
+      .as[(Long, Long, Long, Long)].collect()
+    packed.foreach { case (id, off, f, l) =>
+      val n = counted.where(col("doc_id") === id)
+        .select("n").as[Long].head()
+      if (n > 0) {
+        assert(f == off / 4 && l == (off + n - 1) / 4,
+          s"doc $id: pack bounds must match its token span")
+      }
+    }
+    // repartition-stable (the offsets are order-derived, not physical)
+    val again = Packing.packTokens(docs.repartition(7), "doc_id", "text",
+        "shard", 4, bpe)
+      .orderBy(col("shard"), col("seq_id")).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2))).toSeq)
   }
 
   test("representatives: best-scoring member kept per cluster, ties to lowest id") {

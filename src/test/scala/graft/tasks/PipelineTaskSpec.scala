@@ -87,6 +87,26 @@ class PipelineTaskSpec extends SparkSpec {
       rows(Packing.chunkDocs(docs, "doc_id", "text", maxWords = 8, overlap = 2)))
   }
 
+  test("pack_ids task == Packing.packTokens (token-id materialization parity)") {
+    val wd = tmpDir("graft_pipetask_")
+    runTask(wd,
+      s"""{"tasks": [{"type": "pack_ids", "name": "pi",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "pack_ids": {"tokenizer": "bpe", "seq_len": 64},
+         |  "target": {"file": "pid", "truncate": true}}]}""".stripMargin)
+    assert(rows(outParquet(wd, "pid")) ==
+      rows(Packing.packTokens(docs, "doc_id", "text", "source", 64,
+        graft.functions.TokenCounters.tinyBpe)))
+    // a count-only tokenizer is refused with the reason
+    val e = intercept[Exception](runTask(wd,
+      s"""{"tasks": [{"type": "pack_ids", "name": "pw",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "pack_ids": {"tokenizer": "whitespace"},
+         |  "target": {"file": "pw", "truncate": true}}]}""".stripMargin))
+    assert(e.getMessage.contains("cannot emit ids") ||
+      Option(e.getCause).exists(_.getMessage.contains("cannot emit ids")))
+  }
+
   test("shuffle task == Sampling.trainingOrder (q92 parity)") {
     val wd = tmpDir("graft_pipetask_")
     runTask(wd,
