@@ -307,6 +307,7 @@ object SparkEntry {
          |FROM cells GROUP BY cell ORDER BY cell""".stripMargin,
     "q112_ivfpq_rerank_knn_join" -> ivfPqRerankKnnJoinSql,
     "q113_pack_token_ids" -> packTokenIdsSql,
+    "q114_code_rebuild_drift" -> codeRebuildDriftSql,
     // q62 oracle: the Bloom stage is a pure prefilter (no false
     // negatives) and the verify restores exactness, so the engine result
     // equals the plain NOT EXISTS on the content hash. Null-text rows
@@ -672,6 +673,52 @@ object SparkEntry {
        |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
        |         FROM e CROSS JOIN cent c),
        |cells AS (SELECT vec_id, v, cell FROM asgn WHERE rn = 1)""".stripMargin
+
+  /** q114 oracle: [[graft.ops.Similarity.codeRebuildDrift]] over the
+    * int8 IVF layout, replayed end to end — STORED cells are the q39
+    * assignment CTEs (build-time: original vectors, md5-ordered seeds);
+    * the audit side re-quantizes (q59's arithmetic), decodes
+    * `q·scale/127`, re-seeds from the SAME md5 order over the DECODED
+    * vectors, and re-assigns by the same argmax cosine. Identical IEEE
+    * operation order on both engines, so the drift counts hash-check
+    * exactly — including any boundary rows the decode error flips.
+    */
+  private def codeRebuildDriftSql: String =
+    s"""WITH $ivfCtes,
+       |s2 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc
+       |       FROM e),
+       |dec AS (SELECT vec_id,
+       |          CASE WHEN sc > 0
+       |               THEN list_transform(v, x ->
+       |                      FLOOR(x * 127 / sc + 0.5) * sc / 127.0)
+       |               ELSE list_transform(v, x -> 0.0) END AS dv
+       |        FROM s2),
+       |dseeds AS (SELECT d.vec_id, d.dv, MD5(CAST(d.vec_id AS VARCHAR)) AS h
+       |           FROM dec d ORDER BY h, vec_id LIMIT 16),
+       |dcent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell,
+       |            dv AS cv
+       |          FROM dseeds),
+       |fasgn AS (SELECT d.vec_id, c.cell,
+       |            ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |              ORDER BY ${cosSql("d.dv", "c.cv")} DESC, c.cell) AS rn
+       |          FROM dec d CROSS JOIN dcent c),
+       |fcells AS (SELECT vec_id, cell AS fcell FROM fasgn WHERE rn = 1),
+       |j AS (SELECT s.cell AS scell, f.fcell
+       |      FROM cells s JOIN fcells f USING (vec_id)),
+       |stored AS (SELECT scell AS cell, COUNT(*) AS n_stored,
+       |             SUM(CASE WHEN scell = fcell THEN 1 ELSE 0 END) AS n_stayed
+       |           FROM j GROUP BY scell),
+       |rebuilt AS (SELECT fcell AS cell, COUNT(*) AS n_rebuilt
+       |            FROM j GROUP BY fcell)
+       |SELECT COALESCE(s.cell, r.cell) AS cell,
+       |       CAST(COALESCE(s.n_stored, 0) AS BIGINT) AS n_stored,
+       |       CAST(COALESCE(r.n_rebuilt, 0) AS BIGINT) AS n_rebuilt,
+       |       CAST(COALESCE(s.n_stayed, 0) AS BIGINT) AS n_stayed,
+       |       CASE WHEN COALESCE(s.n_stored, 0) > 0
+       |            THEN ROUND(CAST(s.n_stayed AS DOUBLE) / s.n_stored, 6)
+       |            ELSE 0.0 END AS retention
+       |FROM stored s FULL OUTER JOIN rebuilt r ON s.cell = r.cell
+       |ORDER BY cell""".stripMargin
 
   /** q80's within-cell screen, shared with q81. */
   private def semDropsCte: String =

@@ -171,6 +171,75 @@ object IndexMaintenance {
     }.getOrElse(Seq.empty)
   }
 
+  /** REBUILD a persisted vector-index layout in place — the maintenance
+    * ACTION the drift gauges call for: [[graft.ops.Similarity
+    * .ivfRebuildDrift]] / [[graft.ops.Similarity.codeRebuildDrift]]
+    * tell a deployment its frozen build-time geometry has drifted from
+    * the corpus the sinks have since appended; this op closes the loop
+    * by re-deriving that geometry (centroids and/or codebooks, with the
+    * build parameters recorded in the layout's `meta` table) from the
+    * CURRENT stored corpus and rewriting the layout with the same
+    * rename-aside swap as [[compact]] — a crash at any point leaves a
+    * complete layout, recovery is at most one rename.
+    *
+    * Per layout (from `meta`):
+    *  - `ivf` (float): re-run the builder on the stored rows
+    *    (`vecCol` names the float column the layout carries);
+    *  - `ivf_int8`: decode `q·scale/127`, rebuild — re-quantization of
+    *    a decoded vector is value-identical (the max-|q| element is
+    *    ±127, so the scale round-trips), only placements change;
+    *  - `ivf_pq` (raw or residual) / flat `pq`: decode codes against
+    *    the stored codebooks, re-derive codebooks (and cells) from the
+    *    decoded corpus, re-encode.
+    *
+    * Like [[compact]], run with the layout's streaming sink STOPPED:
+    * sinks freeze geometry at start, so a sink started before the
+    * rebuild would keep placing/encoding with the old carve. Restarted
+    * sinks pick up the refreshed geometry (they re-read centroids/
+    * codebooks at start); their checkpoints track source offsets, not
+    * index files, so the stream resumes cleanly.
+    */
+  def rebuild(spark: SparkSession, dir: String, idCol: String,
+              vecCol: String = "embedding"): Unit = {
+    import graft.ops.{Similarity => S}
+    val meta = S.readIndexMeta(spark, dir)
+    val layout = meta.getOrElse("layout",
+      throw new IllegalArgumentException(
+        s"rebuild: no layout meta at $dir (pre-meta layout — rebuild it " +
+          "once with the original builder to adopt the meta contract)"))
+    val ki = meta.get("kmeans_iters").map(_.toInt).getOrElse(0)
+    val nCells = meta.get("n_cells").map(_.toInt).getOrElse(16)
+    stageAndSwap(spark, dir) { tmp =>
+      layout match {
+        case "ivf" =>
+          val data = spark.read.parquet(s"$dir/data").drop("cell")
+          S.buildIvfIndex(data, idCol, vecCol, tmp, nCells, ki)
+        case "ivf_int8" =>
+          val dec = S.decodeStored(spark, dir, idCol)
+            .select(col(idCol), col("_v"))
+          S.buildIvfIndexQuantized(dec, idCol, "_v", tmp, nCells, ki)
+        case "ivf_pq" =>
+          val dec = S.decodeStored(spark, dir, idCol)
+            .select(col(idCol), col("_v"))
+          S.buildIvfPqIndex(dec, idCol, "_v", tmp, nCells,
+            m = meta.get("m").map(_.toInt).getOrElse(4),
+            nCodes = meta.get("n_codes").map(_.toInt).getOrElse(16),
+            kmeansIters = ki,
+            residual = meta.get("encoding").contains("residual"))
+        case "pq" =>
+          val dec = S.decodeStored(spark, dir, idCol)
+            .select(col(idCol), col("_v"))
+          S.buildPqIndex(dec, idCol, "_v", tmp,
+            m = meta.get("m").map(_.toInt).getOrElse(4),
+            nCodes = meta.get("n_codes").map(_.toInt).getOrElse(16),
+            kmeansIters = ki)
+        case other => throw new IllegalArgumentException(
+          s"rebuild: unsupported layout '$other' at $dir (LSH geometry " +
+            "is data-independent — nothing drifts to rebuild)")
+      }
+    }
+  }
+
   /** Stage a rewrite of `dir` into a sibling `_compact_tmp` (the
     * `write` callback owns the staging write), then swap it live with
     * the two-rename discipline documented on [[compact]].

@@ -571,6 +571,121 @@ object Similarity {
     val data = spark.read.parquet(s"$path/data")
     val e = data.select(col(idCol), asDouble(col(vecCol)).as("_v"),
       col("cell").cast("int").as("_stored"))
+    rebuildDriftCore(e, idCol, nCells, kmeansIters)
+  }
+
+  /** [[ivfRebuildDrift]] for the CODE-storing layouts — the ones a
+    * 100 TB deployment actually runs, where the floats are gone from
+    * the index and possibly from everywhere: int8-quantized IVF
+    * ([[buildIvfIndexQuantized]]) and IVF-PQ ([[buildIvfPqIndex]], raw
+    * or residual). Codes are decodable against their stored
+    * scale/codebooks, so the audit DECODES every stored row
+    * (`q·scale/127` for int8; codeword concatenation for PQ, plus the
+    * cell centroid in residual layouts), refits centroids on the
+    * decoded corpus with the build's own deterministic seeding and the
+    * meta-recorded `kmeans_iters`, and reports the q111 contract
+    * (n_stored / n_rebuilt / n_stayed / retention per cell).
+    *
+    * The refit sees the decoded corpus, not the original floats, so
+    * retention on a FRESH layout is the layout's quantization
+    * coherence (int8: ~1.0, decode error ≪ cell margins; PQ at small
+    * budgets: lower — the reconstruction genuinely moves points across
+    * cell boundaries, which is information the audit should show, not
+    * hide); what a deployment alerts on is the DECAY of that number as
+    * appends drift, against the fresh-build baseline. Deterministic end
+    * to end, so the whole audit hash-checks against a DuckDB oracle
+    * that replays quantize → decode → seed → assign (q114).
+    *
+    * Layout is read from `meta`; flat PQ has no cells to audit (fail
+    * fast). Plan: the decode is one codegen'd projection over the
+    * layout scan — same shape and cost as q111's audit plus the decode
+    * arithmetic.
+    */
+  def codeRebuildDrift(spark: org.apache.spark.sql.SparkSession, path: String,
+                       idCol: String,
+                       kmeansItersOverride: Int = -1): DataFrame = {
+    val meta = readIndexMeta(spark, path)
+    val layout = meta.getOrElse("layout",
+      throw new IllegalArgumentException(
+        s"codeRebuildDrift: no layout meta at $path (pre-meta layout? " +
+          "rebuild it, or use ivfRebuildDrift for float layouts)"))
+    val kmeansIters =
+      if (kmeansItersOverride >= 0) kmeansItersOverride
+      else meta.get("kmeans_iters").map(_.toInt).getOrElse(0)
+    // validate the layout BEFORE touching `centroids` — a flat PQ layout
+    // has none, and the missing-path error would mask the real reason
+    require(layout == "ivf_int8" || layout == "ivf_pq",
+      s"codeRebuildDrift: layout '$layout' at $path has no cell " +
+        "assignment to audit (float IVF: use ivfRebuildDrift; flat PQ " +
+        "has no cells)")
+    val nCells = spark.read.parquet(s"$path/centroids").count().toInt // bounded
+    rebuildDriftCore(decodeStored(spark, path, idCol), idCol, nCells,
+      kmeansIters)
+  }
+
+  /** Decode a code-storing layout's rows back to reconstructed vectors:
+    * (idCol, `_v` array<double>, `_stored` cell). One codegen'd
+    * projection over the layout scan — shared by [[codeRebuildDrift]]
+    * and the rebuild maintenance task
+    * ([[graft.ops.IndexMaintenance.rebuild]]).
+    */
+  private[graft] def decodeStored(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, idCol: String): DataFrame = {
+    val meta = readIndexMeta(spark, path)
+    val data = spark.read.parquet(s"$path/data")
+    meta.getOrElse("layout", "") match {
+      case "ivf_int8" =>
+        data.select(col(idCol),
+          transform(col("q"), y => y.cast("double") * col("scale") / lit(127.0d))
+            .as("_v"),
+          col("cell").cast("int").as("_stored"))
+      case "ivf_pq" =>
+        val cb = readCodebooks(spark, path)
+        val dec = pqDecodeCol(col("codes"), cb)
+        val v =
+          if (meta.get("encoding").contains("residual")) {
+            val cents = typedLit(readCentroidMatrix(spark, path)
+              .map(_.toSeq).toSeq)
+            zip_with(dec, element_at(cents, col("cell").cast("int") + 1),
+              (a, b) => a + b)
+          } else dec
+        data.select(col(idCol), v.as("_v"), col("cell").cast("int").as("_stored"))
+      case "pq" =>
+        val cb = readCodebooks(spark, path)
+        data.select(col(idCol), pqDecodeCol(col("codes"), cb).as("_v"),
+          lit(0).as("_stored")) // flat layout: no cells
+      case other => throw new IllegalArgumentException(
+        s"decodeStored: layout '$other' at $path stores no decodable codes")
+    }
+  }
+
+  /** Decode PQ codes back to the reconstructed vector — codeword
+    * concatenation over the codebook literal, one codegen'd projection
+    * (`flatten(transform(codes, (c, s) → cb[s][c]))`).
+    */
+  private def pqDecodeCol(codes: Column, cb: Array[Array[Array[Double]]])
+      : Column = {
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    flatten(transform(codes, (c, s) =>
+      element_at(element_at(cbLit, s + 1), c + 1)))
+  }
+
+  /** Bounded read of a layout's centroid table as a cell-ordered
+    * matrix (the ivfPqIndexTopK fetch, shared by the decode paths).
+    */
+  private def readCentroidMatrix(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+
+  /** The shared audit tail of [[ivfRebuildDrift]]/[[codeRebuildDrift]]:
+    * refit on `e` = (id, _v, _stored), assign fresh cells, count per
+    * cell.
+    */
+  private def rebuildDriftCore(e: DataFrame, idCol: String, nCells: Int,
+                               kmeansIters: Int): DataFrame = {
     val fresh = ivfCentroids(e.select(col(idCol), col("_v")), idCol,
       nCells, kmeansIters)
     val assigned = e.withColumn("_fresh",

@@ -434,6 +434,23 @@ object Extensions {
       .orderBy(col("q_id"), col("vec_id"))
   }
 
+  // q114 code-layout rebuild drift — q111's gauge for the layouts whose
+  // floats are GONE (the int8 index): decode q·scale/127, refit with
+  // the builder's md5 seeding on the decoded corpus, compare fresh vs
+  // stored cells. Every step (quantize, decode, seed, argmax-cosine) is
+  // replayed by the DuckDB oracle, so the audit hash-checks even where
+  // decode error flips a boundary row — the numbers ARE the contract,
+  // not an assumed identity.
+  val q114_code_rebuild_drift: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val dir = ivfQIndexDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_q61_ivfqidx_").toString
+      Similarity.buildIvfIndexQuantized(emb, "vec_id", "embedding", p, nCells = 16)
+      p
+    })
+    Similarity.codeRebuildDrift(s, dir, "vec_id").orderBy(col("cell"))
+  }
+
   // q113 token-id materialization — q52's packing arithmetic made REAL:
   // the pipeline terminal that emits training-ready array<int> id
   // sequences (greedy-BPE ids under the pinned tinyMerges table, the
@@ -1181,5 +1198,6 @@ object Extensions {
     "q110_ivfpq_residual_knn_join" -> q110_ivfpq_residual_knn_join,
     "q111_ivf_rebuild_drift" -> q111_ivf_rebuild_drift,
     "q112_ivfpq_rerank_knn_join" -> q112_ivfpq_rerank_knn_join,
-    "q113_pack_token_ids" -> q113_pack_token_ids)
+    "q113_pack_token_ids" -> q113_pack_token_ids,
+    "q114_code_rebuild_drift" -> q114_code_rebuild_drift)
 }

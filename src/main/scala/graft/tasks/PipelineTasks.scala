@@ -323,4 +323,19 @@ object PipelineTasks {
       }
     }
   }
+
+  /** `rebuild`: re-derive a persisted vector index's geometry from its
+    * CURRENT stored corpus ([[graft.ops.IndexMaintenance.rebuild]]) —
+    * the maintenance action the drift audits (q111/q114) call for.
+    * Schedulable like `compact` (run with the layout's sink stopped).
+    */
+  object RebuildTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit = {
+      val cfg = task("rebuild")
+      val path = ctx.dir(cfg.str("path"))
+      graft.ops.IndexMaintenance.rebuild(ctx.spark, path,
+        cfg.str("id", "vec_id"), cfg.str("vec", "embedding"))
+      log.write(s"rebuilt index geometry at $path")
+    }
+  }
 }

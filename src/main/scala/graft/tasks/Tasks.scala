@@ -353,7 +353,8 @@ object Tasks {
     "chunk"      -> PipelineTasks.ChunkTask,
     "shuffle"    -> PipelineTasks.ShuffleTask,
     "curate"     -> PipelineTasks.CurateTask,
-    "compact"    -> PipelineTasks.CompactTask)
+    "compact"    -> PipelineTasks.CompactTask,
+    "rebuild"    -> PipelineTasks.RebuildTask)
 
   def get(taskType: String): Task =
     factory.getOrElse(taskType,

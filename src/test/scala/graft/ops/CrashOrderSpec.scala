@@ -186,6 +186,41 @@ class CrashOrderSpec extends SparkSpec {
     } finally noInjection()
   }
 
+  test("rebuild interrupted between renames: staged layout complete, one-rename recovery; probes intact") {
+    val dir = faultyDir("graft_crash_rebuild_") + "/idx"
+    try {
+      val emb = (0L until 60L).map(i =>
+          (i, Seq.fill(8)(((i * 31 + 7) % 13 - 6).toFloat / 7f)))
+        .toDF("vec_id", "embedding")
+      Similarity.buildIvfIndexQuantized(emb, "vec_id", "embedding", dir,
+        nCells = 4)
+      val livePath = new java.net.URI(dir).getPath
+      val probe = () => spark.read.parquet(dir + "/data").count()
+      val before = probe()
+
+      FaultyFs.failWhen = Some(_ == livePath) // the SECOND rename's dst
+      val e = intercept[IllegalArgumentException](
+        IndexMaintenance.rebuild(spark, dir, "vec_id"))
+      assert(e.getMessage.contains("interrupted between renames"))
+      noInjection()
+
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new Path(dir)), "live layout moved aside")
+      // the staged layout is a COMPLETE index (centroids + meta + data)
+      assert(spark.read.parquet(dir + "_compact_tmp/centroids").count() == 4)
+      assert(spark.read.parquet(dir + "_compact_tmp/data").count() == before)
+      assert(Similarity.readIndexMeta(spark, dir + "_compact_tmp")
+        .get("layout").contains("ivf_int8"))
+      // the old layout is preserved whole
+      assert(spark.read.parquet(dir + "_compact_old/data").count() == before)
+      // documented recovery: ONE rename, then the layout serves probes
+      assert(fs.rename(new Path(dir + "_compact_tmp"), new Path(dir)))
+      assert(probe() == before)
+      assert(Similarity.codeRebuildDrift(spark, dir, "vec_id")
+        .agg(org.apache.spark.sql.functions.sum("n_stored")).as[Long].head() == before)
+    } finally noInjection()
+  }
+
   test("pqIndexSink crash at the data append: no partial rows visible, replay converges exactly-once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -571,6 +571,141 @@ class IndexLayoutSpec extends SparkSpec {
       s"a shifted streamed population must show drift, retention $globalRetention")
   }
 
+  test("codeRebuildDrift: int8 decode audits near-identity fresh, drifts after shifted appends; IVF-PQ decodes per encoding") {
+    val dir = tmpDir("graft_cdrift_")
+    Similarity.buildIvfIndexQuantized(emb, "vec_id", "embedding",
+      s"$dir/q8", nCells = 8)
+    val n = emb.count()
+    // fresh layout: the int8 decode error (≤ scale/254 per dim) is far
+    // inside the cell margins of this fixture, so the decoded refit
+    // reproduces the build's carve — retention 1.0, counts conserve
+    val base = Similarity.codeRebuildDrift(spark, s"$dir/q8", "vec_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(base.map(_._2).sum == n && base.map(_._3).sum == n)
+    val baseRet = base.map(_._4).sum.toDouble / n
+    assert(baseRet >= 0.99, s"fresh int8 layout should audit ~identity: $baseRet")
+
+    // shifted streamed population, appended in the layout's own schema
+    // (quantize-after-placing, like the sink): drift must appear
+    val cents = spark.read.parquet(s"$dir/q8/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val rng2 = new scala.util.Random(13)
+    (5000L until 5100L).map(i =>
+        (i, Array.fill(dim)((rng2.nextDouble() * 0.3 + 1.0).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.quantizeInt8(
+          transform(col("embedding"), _.cast("double"))).as("_z"),
+        graft.functions.VectorFunctions.nearestCentroid(
+          transform(col("embedding"), _.cast("double")), cents).as("cell"))
+      .select(col("vec_id"), col("_z.scale").as("scale"), col("_z.q").as("q"),
+        col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/q8/data")
+    val drifted = Similarity.codeRebuildDrift(spark, s"$dir/q8", "vec_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val total = n + 100
+    assert(drifted.map(_._2).sum == total && drifted.map(_._3).sum == total)
+    assert(drifted.map(_._4).sum.toDouble / total < baseRet,
+      "shifted appends must lower retention vs the fresh baseline")
+
+    // IVF-PQ, raw and residual: the audit decodes per the meta encoding
+    // and is deterministic (two runs byte-equal); counts conserve. At a
+    // tiny codebook the reconstruction legitimately moves points across
+    // cells, so no identity claim — the numbers are the gauge.
+    for (res <- Seq(false, true)) {
+      val p = s"$dir/ivfpq_$res"
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", p,
+        nCells = 8, m = 4, nCodes = 8, residual = res)
+      val a = Similarity.codeRebuildDrift(spark, p, "vec_id")
+        .as[(Long, Long, Long, Long, Double)].collect()
+      val b = Similarity.codeRebuildDrift(spark, p, "vec_id")
+        .as[(Long, Long, Long, Long, Double)].collect()
+      assert(a.toSeq == b.toSeq, s"audit must be deterministic (residual=$res)")
+      assert(a.map(_._2).sum == n && a.map(_._3).sum == n)
+      a.foreach(r => assert(r._4 <= math.min(r._2, r._3), s"$r"))
+    }
+
+    // fail-fast surfaces: flat PQ has no cells; float layouts route to
+    // ivfRebuildDrift
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", s"$dir/flat",
+      m = 4, nCodes = 8)
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.codeRebuildDrift(spark, s"$dir/flat", "vec_id"))
+    assert(e1.getMessage.contains("no cell"))
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", s"$dir/float",
+      nCells = 8)
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.codeRebuildDrift(spark, s"$dir/float", "vec_id"))
+    assert(e2.getMessage.contains("ivfRebuildDrift"))
+  }
+
+  test("rebuild: drift closes to 1.0, probes correct across the swap, meta survives") {
+    val dir = tmpDir("graft_rebuild_")
+    Similarity.buildIvfIndexQuantized(emb, "vec_id", "embedding", dir, nCells = 8)
+    // shifted streamed population placed by the FROZEN build centroids
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val rng2 = new scala.util.Random(17)
+    (6000L until 6150L).map(i =>
+        (i, Array.fill(dim)((rng2.nextDouble() * 0.3 + 1.0).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.quantizeInt8(
+          transform(col("embedding"), _.cast("double"))).as("_z"),
+        graft.functions.VectorFunctions.nearestCentroid(
+          transform(col("embedding"), _.cast("double")), cents).as("cell"))
+      .select(col("vec_id"), col("_z.scale").as("scale"), col("_z.q").as("q"),
+        col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
+    val total = emb.count() + 150
+
+    def retention(): Double = {
+      val d = Similarity.codeRebuildDrift(spark, dir, "vec_id")
+        .as[(Long, Long, Long, Long, Double)].collect()
+      assert(d.map(_._2).sum == total, "stored counts conserve")
+      d.map(_._4).sum.toDouble / total
+    }
+    val before = retention()
+    assert(before < 1.0, s"shifted appends must show drift: $before")
+
+    IndexMaintenance.rebuild(spark, dir, "vec_id")
+    // the audit's refit now reproduces the rebuild's own carve exactly:
+    // decode(requantize(decoded)) is value-identical for int8 (the
+    // max-|q| element is ±127 so the scale round-trips), and the refit
+    // runs the same deterministic seeding over the same ids
+    assert(retention() == 1.0, "post-rebuild audit must be the identity")
+    // no leftover staging/aside dirs
+    assert(!new java.io.File(dir + "_compact_tmp").exists())
+    assert(!new java.io.File(dir + "_compact_old").exists())
+    // probes across the swap: the rebuilt layout answers point probes
+    // identically to a fresh build over the same decoded corpus
+    val fresh = tmpDir("graft_rebuild_fresh_")
+    Similarity.buildIvfIndexQuantized(
+      Similarity.decodeStored(spark, dir, "vec_id")
+        .select(col("vec_id"), col("_v").as("embedding")),
+      "vec_id", "embedding", fresh, nCells = 8)
+    val a = Similarity.ivfIndexQuantizedTopK(spark, dir, "vec_id",
+      qv, k = 5, nProbe = 3).collect().map(_.toString).toSeq
+    val b = Similarity.ivfIndexQuantizedTopK(spark, fresh, "vec_id",
+      qv, k = 5, nProbe = 3).collect().map(_.toString).toSeq
+    assert(a == b, "rebuilt layout must probe like a fresh build of the same corpus")
+    // meta survives the swap with the same parameters
+    val meta = Similarity.readIndexMeta(spark, dir)
+    assert(meta.get("layout").contains("ivf_int8") &&
+      meta.get("n_cells").contains("8"))
+
+    // IVF-PQ residual round-trip: rebuild preserves the encoding marker
+    val rp = tmpDir("graft_rebuild_res_")
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", rp,
+      nCells = 8, m = 4, nCodes = 8, residual = true)
+    IndexMaintenance.rebuild(spark, rp, "vec_id")
+    assert(Similarity.isResidualIndex(spark, rp),
+      "rebuild must preserve the residual encoding")
+    assert(spark.read.parquet(s"$rp/data").count() == emb.count())
+  }
+
   test("PQ layouts compact like the rest of the family: probes byte-identical, files collapse") {
     // the streamed PQ sinks append small files per micro-batch; the
     // standing IndexMaintenance.compact must serve both code layouts

@@ -224,6 +224,28 @@ class PipelineTaskSpec extends SparkSpec {
       s"$wd/output/ingested") == 1)
   }
 
+  test("rebuild task: re-derives index geometry from the task file") {
+    import spark.implicits._
+    val wd = tmpDir("graft_pipetask_rb_")
+    Files.createDirectories(Paths.get(s"$wd/output"))
+    val emb = (0L until 40L).map(i =>
+        (i, Seq.fill(8)(((i * 17 + 3) % 11 - 5).toFloat / 5f)))
+      .toDF("vec_id", "embedding")
+    graft.ops.Similarity.buildIvfIndexQuantized(emb, "vec_id", "embedding",
+      s"$wd/output/vidx", nCells = 4)
+    runTask(wd,
+      s"""{"tasks": [{"type": "rebuild", "name": "rb",
+         |  "rebuild": {"path": "output/vidx"}}]}""".stripMargin)
+    // a rebuilt fresh layout audits at identity and keeps its meta
+    val d = graft.ops.Similarity.codeRebuildDrift(spark,
+      s"$wd/output/vidx", "vec_id")
+      .agg(sum(col("n_stored")).as("s"), sum(col("n_stayed")).as("y"))
+      .as[(Long, Long)].head()
+    assert(d._1 == 40L && d._2 == 40L)
+    assert(graft.ops.Similarity.readIndexMeta(spark, s"$wd/output/vidx")
+      .get("layout").contains("ivf_int8"))
+  }
+
   test("compact task: line_deltas mode folds committed tokens via the checkpoint") {
     import spark.implicits._
     val wd = tmpDir("graft_pipetask_lines_")
