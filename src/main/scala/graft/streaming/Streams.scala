@@ -947,6 +947,81 @@ object Streams {
       .start()
   }
 
+  /** IVF index sink WITH A DRIFT CARD — the streaming member of the
+    * rebuild-audit family (q111/q114 watched, not polled): appends each
+    * micro-batch into the layout under the frozen-centroid contract
+    * (float or int8 per the layout's `meta`, the [[ivfIndexSink]] /
+    * [[ivfIndexQuantizedSink]] discipline), then runs the rebuild-drift
+    * audit over the grown layout and appends ONE card row per completed
+    * batch to `cardPath`:
+    *
+    *   (batch_id, n_appended, n_stored, n_stayed, retention)
+    *
+    * so the card parquet IS the retention-over-time curve a deployment
+    * alerts on ("rebuild when retention < 0.9" becomes a filter over
+    * this table). Cost note: the audit re-scans the layout once per
+    * batch (one bounded refit + one assignment scan — q111's plan); at
+    * a high-frequency ingest attach this sink on a slow trigger (e.g.
+    * minutes) or keep the plain index sink hot and run the card stream
+    * on a sampled feed — the append and the audit stay correct at any
+    * cadence because both read only committed layout state. Card rows
+    * are at-least-once like the data appends: a replayed batch re-runs
+    * its audit against an index that can only have grown, so duplicate
+    * batch_ids carry monotonically equal-or-lower retention — last one
+    * wins for monitoring.
+    */
+  def ivfDriftCardSink(spark: org.apache.spark.sql.SparkSession,
+                       stream: DataFrame, idCol: String, vecCol: String,
+                       indexPath: String, checkpoint: String,
+                       cardPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val layout = graft.ops.Similarity.readIndexMeta(spark, indexPath)
+      .getOrElse("layout", "ivf")
+    require(layout == "ivf" || layout == "ivf_int8",
+      s"ivfDriftCardSink: layout '$layout' at $indexPath is not an IVF " +
+        "cell layout (PQ sinks freeze codebooks — rebuild, not drift)")
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val clean = stream.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    val placed =
+      if (layout == "ivf")
+        clean.withColumn("cell", graft.functions.VectorFunctions.nearestCentroid(
+          transform(col(vecCol), _.cast("double")), centroids))
+      else
+        clean.select(col(idCol),
+            graft.functions.VectorFunctions.quantizeInt8(
+              transform(col(vecCol), _.cast("double"))).as("_z"),
+            graft.functions.VectorFunctions.nearestCentroid(
+              transform(col(vecCol), _.cast("double")), centroids).as("cell"))
+          .select(col(idCol), col("_z.scale").as("scale"), col("_z.q").as("q"),
+            col("cell"))
+    placed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = batch.count()
+        batch.write.mode("append").partitionBy("cell").parquet(s"$indexPath/data")
+        val drift =
+          if (layout == "ivf")
+            graft.ops.Similarity.ivfRebuildDrift(spark, indexPath, idCol, vecCol)
+          else graft.ops.Similarity.codeRebuildDrift(spark, indexPath, idCol)
+        val (stored, stayed) = drift
+          .agg(sum(col("n_stored")), sum(col("n_stayed")))
+          .as[(Long, Long)].head()
+        val retention =
+          if (stored > 0) math.rint(stayed.toDouble / stored * 1e6) / 1e6
+          else 0.0
+        Seq((batchId, n, stored, stayed, retention))
+          .toDF("batch_id", "n_appended", "n_stored", "n_stayed", "retention")
+          .coalesce(1).write.mode("append").parquet(cardPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
   /** Continuously maintain a persisted PQ index built by
     * [[graft.ops.Similarity.buildPqIndex]]: the index's OWN codebooks
     * (m·nCodes rows, one bounded driver read at sink start) ride into

@@ -372,6 +372,67 @@ class StreamsSpec extends SparkSpec {
       s"streamed near-identical neighbors must dominate top-5, got $got")
   }
 
+  test("ivfDriftCardSink: one card row per batch, retention decays as shifted appends accumulate") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(23)
+    def vec(): Seq[Double] = Seq.fill(16)(rng.nextDouble() - 0.5)
+    val dir = tmpDir("graft_driftcard_")
+    val card = s"$dir/card"
+    // kmeansIters > 0 so the audit's refit follows the data MASS (the
+    // meta-recorded Lloyd budget): under a pure md5 re-seed (ki=0) the
+    // gauge jumps whenever a new id enters the seed set — legitimate,
+    // but the curve a deployment watches is the refined one
+    graft.ops.Similarity.buildIvfIndex(
+      (0L until 80L).map(i => (i, vec())).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/idx", nCells = 8, kmeansIters = 2)
+    // shifted population: a region the frozen centroids never saw. Ids
+    // are chosen so their md5 sorts AFTER every base seed — the refit's
+    // seed set stays fixed across batches, so the card shows the
+    // Lloyd-refined centroids DRAGGING toward the shifted mass (smooth
+    // decay) rather than the wholesale label permutation a seed-set
+    // change legitimately causes (that jumpier mode is q111's spec)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seedBoundary = (0L until 80L).map(i => md5hex(i.toString)).sorted.apply(7)
+    val safeIds = Iterator.from(1000)
+      .filter(i => md5hex(i.toString) > seedBoundary).take(300).toVector
+    def shifted(slice: Range): Seq[(Long, Seq[Double])] =
+      slice.map(k => (safeIds(k).toLong,
+        Seq.fill(16)(rng.nextDouble() * 0.3 + 1.0)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.ivfDriftCardSink(spark,
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/idx", s"$dir/ckpt", card)
+    try {
+      mem.addData(shifted(0 until 40): _*)
+      q.processAllAvailable()
+      mem.addData(shifted(40 until 100): _*)
+      q.processAllAvailable()
+      mem.addData(shifted(100 until 180): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(card)
+      .orderBy(col("batch_id"))
+      .select("batch_id", "n_appended", "n_stored", "n_stayed", "retention")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == 3, s"one card row per completed batch: ${rows.toList}")
+    assert(rows.map(_._2).toSeq == Seq(40L, 60L, 80L))
+    // stored counts track the grown layout
+    assert(rows.map(_._3).toSeq == Seq(120L, 180L, 260L))
+    // the curve: each batch of shifted rows pulls the refined refit
+    // further from the frozen carve — the card shows net decay
+    assert(rows(0)._5 < 1.0, s"first shifted batch must already drift: ${rows(0)}")
+    assert(rows(2)._5 < rows(0)._5,
+      s"retention must show net decay across the card: ${rows.map(_._5).toList}")
+    // the card is consistent with polling the audit directly now
+    val direct = graft.ops.Similarity.ivfRebuildDrift(spark, s"$dir/idx",
+        "vec_id", "embedding")
+      .agg(sum(col("n_stayed")).cast("double") / sum(col("n_stored")))
+      .as[Double].head()
+    assert(math.abs(math.rint(direct * 1e6) / 1e6 - rows(2)._5) < 1e-9)
+  }
+
   test("streaming funnel: advances match the batch funnel, O(1) state, no rewind") {
     implicit val sqlCtx = spark.sqlContext
     val fixture = Seq(
