@@ -143,6 +143,20 @@ object GraftSqlFunctions {
       }
       TokenCountExpr(args(0), graft.functions.TokenCounters.forName(cname))
     },
+    // graft_token_ids(text, 'encoder') — the id-materializing twin:
+    // array<int> token ids under an id-emitting tokenizer (count-only
+    // tokenizers are rejected at ANALYSIS time with the reason).
+    "graft_token_ids" -> { args =>
+      arity("graft_token_ids", args, 2)
+      val cname = args(1) match {
+        case Literal(s: UTF8String, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_token_ids: argument 2 must be a string literal naming an " +
+            s"id-emitting tokenizer (built-ins: bpe, bpe:<merges.txt>), " +
+            s"got $other")
+      }
+      TokenEncodeExpr(args(0), graft.functions.TokenCounters.encoderForName(cname))
+    },
     "graft_quantize_int8" -> { args =>
       arity("graft_quantize_int8", args, 1)
       QuantizeInt8(args(0))

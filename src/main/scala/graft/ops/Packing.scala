@@ -59,28 +59,36 @@ object Packing {
     * [start_off, start_off + n) in its shard's stream, so its sequences
     * are precisely seq_first..seq_last.
     *
-    * Scale shape: encode is ONE codegen'd map-side projection (the ids
-    * never exist as a driver-side object); the per-shard window is the
-    * same single shuffle [[pack]] pays; the explode multiplies rows by
-    * tokens-per-doc (this is the materialization — those bytes are the
-    * output); the final groupBy((shard, seq_id)) is one hash shuffle
-    * whose groups are BOUNDED at seqLen rows each, so there is no hot
-    * key at any corpus size — skew is capped by construction.
-    * Deterministic end to end: offsets are (shard, id)-ordered, the
-    * in-sequence sort key is the global token position.
+    * Scale shape: the per-shard offset window runs over NARROW
+    * (shard, id, count) rows — counts come from the codegen'd
+    * [[graft.functions.TokenCountExpr]] pass, so neither the text nor
+    * the id arrays ever ride the serialized per-shard sort (the count
+    * is recomputed rather than carried: one cheap extra scan beats
+    * shuffling the whole token stream into one partition per shard).
+    * Offsets then hash-JOIN back to the documents (parallel across the
+    * cluster), the encode itself is one codegen'd projection feeding
+    * the explode (ids never exist driver-side; the exploded bytes ARE
+    * the output), and the final groupBy((shard, seq_id)) is one hash
+    * shuffle whose groups are BOUNDED at seqLen rows each — no hot key
+    * at any corpus size, skew capped by construction. Deterministic end
+    * to end: offsets are (shard, id)-ordered, the in-sequence sort key
+    * is the global token position.
     */
   def packTokens(df: DataFrame, idCol: String, textCol: String,
                  shardCol: String, seqLen: Int,
                  encoder: graft.functions.TokenEncoder): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val docs = df.where(col(textCol).isNotNull)
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
-    df.where(col(textCol).isNotNull)
-      .select(col(shardCol), col(idCol),
-        graft.functions.TokenCounters.encode(encoder, col(textCol)).as("_ids"))
-      .withColumn("_n", size(col("_ids")).cast("long"))
+    val offsets = docs.select(col(shardCol), col(idCol),
+        graft.functions.TokenCounters.count(encoder, col(textCol))
+          .as("_n"))
       .withColumn("_start", sum(col("_n")).over(w) - col("_n"))
+      .select(col(shardCol), col(idCol), col("_start"))
+    docs.join(offsets, Seq(shardCol, idCol))
       .select(col(shardCol), col("_start"),
-        posexplode(col("_ids")).as(Seq("_p", "_tid")))
+        posexplode(graft.functions.TokenCounters.encode(encoder, col(textCol)))
+          .as(Seq("_p", "_tid")))
       .select(col(shardCol), (col("_start") + col("_p")).as("_g"), col("_tid"))
       .groupBy(col(shardCol),
         floor(col("_g") / lit(seqLen.toLong)).cast("long").as("seq_id"))

@@ -1268,18 +1268,21 @@ object Similarity {
     * bounded at nCells·m·nCodes doubles; the layout carries a `meta`
     * marker probes switch on).
     *
-    * Measured honestly (BASELINE.md recall surface): on a CLUSTER-TIGHT
-    * corpus residual is parity at best — with raw md5 seeds and a tiny
-    * codebook it is WORSE (codewords are then arbitrary noise samples),
-    * and with Lloyd refinement both encodings collapse to the same
-    * cluster-identification rank (every member reconstructs to its
-    * cluster's codeword combination, ties broken by id). PQ codes
-    * cannot rank WITHIN a tight cluster at this budget under either
-    * encoding; [[pqIndexTopKRerank]] is the measured fix (recall 1.0).
-    * Residual's textbook gains need corpora whose true neighbours span
-    * cells with substantial within-cell spread — measure on YOUR corpus
-    * (`AnnRecallBench` runs both encodings side by side) before paying
-    * the per-cell coupling.
+    * Measured honestly (BASELINE.md recall surface): at SMALL scale
+    * (2k, clusters of 40) residual is parity at best — with raw md5
+    * seeds and a tiny codebook it is WORSE (codewords are then
+    * arbitrary noise samples), and with Lloyd refinement both encodings
+    * collapse to the same cluster-identification rank. AT SCALE the
+    * verdict flips (200k, clusters of 4k — BASELINE.md "recall at
+    * scale"): every global-codebook config collapses on the
+    * within-cluster ranking problem (rerank recall 0.039–0.523), while
+    * residual encoding with nCells ≈ cluster count and a real code
+    * budget (nCells=64, m=16, nCodes=256, kmeansIters=3) restores
+    * 0.999 rerank recall at kCand=100 — once each cell holds ONE
+    * cluster, the residual is pure within-cluster signal and the
+    * codebook finally spends its budget on exactly what needs ranking.
+    * Measure on YOUR corpus (`AnnRecallBench` runs both encodings side
+    * by side) before paying the per-cell coupling.
     */
   def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
                       nCells: Int = 16, m: Int = 4, nCodes: Int = 16,
@@ -1473,8 +1476,24 @@ object Similarity {
     * per row (the PQ property); the expensive float read touches kCand
     * rows — independent of corpus size. One bounded driver action
     * (kCand ids) between the stages. Recall is now limited only by
-    * stage-1 MISSES (a true neighbour outside the kCand cut), which the
-    * surface shows shrink fast with kCand; the rerank itself is exact.
+    * stage-1 MISSES (a true neighbour outside the kCand cut); the
+    * rerank itself is exact.
+    *
+    * SIZE kCand TO THE CODEBOOK'S RESOLUTION, not to k (measured at
+    * 200k vectors — BASELINE.md "recall at scale"): when the corpus has
+    * more near-duplicate-scoring rows than kCand (e.g. a tight cluster
+    * of 4k rows under a 16-codeword budget, where ADC collapses to
+    * cluster identification), the deterministic id tiebreak fills the
+    * cut with arbitrary clustermates and recall collapses (0.039
+    * measured). Fixes, in measured order: widening kCand past the tie
+    * multiplicity recovers 0.996 but pays a wide top-k cut (~4 min at
+    * kCand=8000×100 queries); GLOBAL codebooks cannot buy it back
+    * (0.233/0.330/0.523 at m=4/8/16 with nCodes=256+ki=3 — their
+    * codewords chase cluster centers, not within-cluster noise); the
+    * scale-correct recipe is residual IVF-PQ with nCells ≈ cluster
+    * count and a real code budget ([[buildIvfPqIndex]] residual=true,
+    * nCells=64/m=16/nCodes=256/ki=3 → 0.999 at kCand=100, 9.4% probed,
+    * 8× compression). All arms in AnnRecallBench's scale phase.
     */
   def pqIndexTopKRerank(spark: org.apache.spark.sql.SparkSession, path: String,
                         corpus: DataFrame, idCol: String, vecCol: String,

@@ -382,6 +382,30 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("TokenEncodeExpr: column ids == driver encode; size == TokenCountExpr everywhere") {
+    val bpe = TokenCounters.tinyBpe
+    val texts = List.fill(50)(text()) ++ List(
+      "", " ", "  ", "table data str line", "tabletable struggle",
+      "中文 table 字符", "πρό tabl ω!",
+      new String(Character.toChars(0x1F600)) + " table 42")
+    val df = texts.map(Tuple1(_)).toDF("t")
+    val got = df.select(TokenCounters.encode(bpe, col("t")).as("ids"),
+        TokenCounters.count(bpe, col("t")).as("n"))
+      .collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Int](0) == bpe.encodeTokens(texts(i)).toSeq,
+        s"text='${texts(i)}'")
+      assert(r.getSeq[Int](0).length.toLong == r.getLong(1),
+        s"count/encode contract broken on '${texts(i)}'")
+      // id-space partition: every id is a valid code point OR a merged id
+      r.getSeq[Int](0).foreach(id => assert(
+        (id >= 0 && id <= Character.MAX_CODE_POINT) ||
+          (id >= BpeTokenCounter.MergedIdBase &&
+            id < BpeTokenCounter.MergedIdBase + TokenCounters.tinyMerges.size),
+        s"id $id outside the documented id space"))
+    }
+  }
+
   test("NgramRepetition == per-row multiplicity profile (incl. short docs)") {
     val texts = List.fill(60)(text()) ++ List("", "solo", "a a a a a", "x y x y x y")
     Seq(1, 2, 3).foreach { n =>

@@ -52,6 +52,23 @@ class SqlRegistrySpec extends SparkSpec {
     assert(e.getMessage.contains("unknown tokenizer"))
   }
 
+  test("graft_token_ids: id materialization on the SQL surface; count-only tokenizers rejected") {
+    val row = spark.sql(
+      "SELECT graft_token_ids('table data', 'bpe') AS ids").head()
+    assert(row.getSeq[Int](0) ==
+      TokenCounters.tinyBpe.encodeTokens("table data").toSeq)
+    // ids agree with the count on the same surface
+    val both = spark.sql(
+      """SELECT size(graft_token_ids(text, 'bpe')) AS n1,
+        |       graft_tokens(text, 'bpe') AS n2
+        |FROM VALUES ('table row'), (''), ('q u e r y') AS t(text)""".stripMargin)
+      .collect()
+    both.foreach(r => assert(r.getInt(0).toLong == r.getLong(1)))
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_token_ids('x', 'whitespace')").head())
+    assert(e.getMessage.contains("cannot emit ids"))
+  }
+
   test("implicit casts admit float embeddings and non-double literals") {
     // embeddings tables carry array<float>; SQL callers must not need a
     // hand-written cast for every argument
