@@ -308,6 +308,7 @@ object SparkEntry {
     "q112_ivfpq_rerank_knn_join" -> ivfPqRerankKnnJoinSql,
     "q113_pack_token_ids" -> packTokenIdsSql,
     "q114_code_rebuild_drift" -> codeRebuildDriftSql,
+    "q115_curate_token_ids" -> curateTokenIdsSql,
     // q62 oracle: the Bloom stage is a pure prefilter (no false
     // negatives) and the verify restores exactness, so the engine result
     // equals the plain NOT EXISTS on the content hash. Null-text rows
@@ -1810,20 +1811,33 @@ object SparkEntry {
     * (word offset in doc, doc offset in shard stream), then sequences
     * are `LIST(id ORDER BY position)` per (source, floor(pos/512)).
     */
-  private def packTokenIdsSql: String = {
+  /** Symbol → id CASE arms generated from the SAME tinyMerges table the
+    * engine encodes with (first-rank-wins on duplicate products — the
+    * putIfAbsent rule mirrored).
+    */
+  private def bpeIdArms: String = {
     val seen = scala.collection.mutable.HashSet.empty[String]
-    val idArms = graft.functions.TokenCounters.tinyMerges.zipWithIndex.flatMap {
+    graft.functions.TokenCounters.tinyMerges.zipWithIndex.flatMap {
       case ((l, r), i) =>
         val prod = l + r
         if (seen.add(prod))
           Some(s"WHEN '$prod' THEN ${graft.functions.BpeTokenCounter.MergedIdBase + i}")
         else None
     }.mkString(" ")
-    s"""WITH RECURSIVE $bpeWordCtes,
-       |wsyms AS (SELECT w, ARG_MIN(syms, LEN(syms)) AS syms FROM bpe GROUP BY w),
+  }
+
+  /** The per-word id table shared by q113/q115: final symbol lists from
+    * the recursive merge walk, mapped to ids by the engine's rule.
+    */
+  private def bpeIdCtes: String =
+    s"""wsyms AS (SELECT w, ARG_MIN(syms, LEN(syms)) AS syms FROM bpe GROUP BY w),
        |wids AS (SELECT w, LIST_TRANSFORM(syms, s ->
-       |           CASE s $idArms ELSE UNICODE(s) END) AS ids
-       |         FROM wsyms),
+       |           CASE s $bpeIdArms ELSE UNICODE(s) END) AS ids
+       |         FROM wsyms)""".stripMargin
+
+  private def packTokenIdsSql: String = {
+    s"""WITH RECURSIVE $bpeWordCtes,
+       |$bpeIdCtes,
        |docs AS (SELECT doc_id, source,
        |           LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS lw
        |         FROM documents WHERE text IS NOT NULL),
@@ -1849,6 +1863,67 @@ object SparkEntry {
        |       LIST(tid ORDER BY g) AS token_ids,
        |       COUNT(*) AS n_tokens
        |FROM tok GROUP BY source, seq_id
+       |ORDER BY source, seq_id""".stripMargin
+  }
+
+  /** q115 oracle: the COMPOSED pipeline ending at token ids —
+    * [[curationDeconCtes]] (q93's stages 1–4 verbatim, ending at the
+    * decontaminated survivors) feeding the q113 id machinery: per-doc
+    * BPE totals over CLEAN_TEXT words (every clean word exists in the
+    * corpus-wide merge-walk tables — excision removes words, never
+    * creates them), budget sampling in the SAME BPE currency the ids
+    * are emitted in, then the id stream over the sampled docs grouped
+    * into 512-token sequences.
+    */
+  private def curateTokenIdsSql: String = {
+    val arms = graft.queries.Extensions.tokenBudgets.toSeq.sorted.map {
+      case (src, b) => s"WHEN '$src' THEN ${b}.0"
+    }.mkString("\n  ")
+    s"""WITH RECURSIVE $curationDeconCtes,
+       |$bpeWordCtes,
+       |$bpeIdCtes,
+       |dlw AS (SELECT doc_id, source,
+       |          LIST_FILTER(STRING_SPLIT(clean_text, ' '), x -> x <> '') AS lw
+       |        FROM decon),
+       |dwp AS (SELECT doc_id, i AS wi, lw[i] AS w
+       |        FROM dlw, UNNEST(RANGE(1, LEN(lw) + 1)) AS u(i)),
+       |dwt AS (SELECT p.doc_id, p.wi, d.ids, LEN(d.ids) AS n
+       |        FROM dwp p JOIN wids d USING (w)),
+       |dtok AS (SELECT doc_id, SUM(n) AS dn FROM dwt GROUP BY doc_id),
+       |tot2 AS (SELECT l.source, SUM(COALESCE(t.dn, 0)) AS tot
+       |         FROM dlw l LEFT JOIN dtok t USING (doc_id)
+       |         GROUP BY l.source),
+       |fr2 AS (SELECT source,
+       |          LEAST(1.0, (CASE source
+       |  $arms
+       |  ELSE 0.0 END) / CAST(tot AS DOUBLE)) AS frac
+       |        FROM tot2),
+       |thr2 AS (SELECT source,
+       |           CASE WHEN frac >= 1 THEN 'g'
+       |                ELSE printf('%08x', CAST(LEAST(FLOOR(frac * 4294967296),
+       |                                               4294967295) AS BIGINT))
+       |                     || REPEAT('0', 24) END AS thr
+       |         FROM fr2),
+       |samp2 AS (SELECT l.doc_id, l.source FROM dlw l
+       |          JOIN thr2 ON l.source = thr2.source
+       |          WHERE MD5(CAST(l.doc_id AS VARCHAR)) < thr2.thr),
+       |wo2 AS (SELECT doc_id, wi, ids,
+       |          SUM(n) OVER (PARTITION BY doc_id ORDER BY wi
+       |                       ROWS UNBOUNDED PRECEDING) - n AS wstart
+       |        FROM dwt),
+       |ds2 AS (SELECT s.doc_id, s.source,
+       |          SUM(COALESCE(t.dn, 0)) OVER (PARTITION BY s.source
+       |              ORDER BY s.doc_id ROWS UNBOUNDED PRECEDING)
+       |            - COALESCE(t.dn, 0) AS doff
+       |        FROM samp2 s LEFT JOIN dtok t USING (doc_id)),
+       |tok2 AS (SELECT d.source, d.doff + o.wstart + u.i - 1 AS g,
+       |           o.ids[u.i] AS tid
+       |         FROM wo2 o JOIN ds2 d USING (doc_id),
+       |              UNNEST(RANGE(1, LEN(o.ids) + 1)) AS u(i))
+       |SELECT source, CAST(FLOOR(g / 512.0) AS BIGINT) AS seq_id,
+       |       LIST(tid ORDER BY g) AS token_ids,
+       |       COUNT(*) AS n_tokens
+       |FROM tok2 GROUP BY source, seq_id
        |ORDER BY source, seq_id""".stripMargin
   }
 
@@ -2012,19 +2087,17 @@ object SparkEntry {
     * token counts → q52's running-sum pack → q92's salted-shard order.
     * Mirrors [[graft.ops.Curation.curate]] stage for stage.
     */
-  private def curationPipelineSql: String = {
-    val arms = graft.queries.Extensions.tokenBudgets.toSeq.sorted.map {
-      case (src, b) => s"WHEN '$src' THEN ${b}.0"
-    }.mkString("\n  ")
-    val bounds = (1 until 8).map { i =>
-      s"(CASE WHEN _k >= '${graft.ops.Sampling.hexThreshold(i / 8.0)}' " +
-        "THEN 1 ELSE 0 END)"
-    }.mkString(" + ")
+  /** The q93 pipeline's stages 1–4 as a reusable CTE block ending at
+    * `decon` (doc_id, source, clean_text) — the decontaminated
+    * survivors both terminals consume (q93 packs offsets over them;
+    * q115 materializes token ids).
+    */
+  private def curationDeconCtes: String = {
     // 8-word decontamination shingles (Config.shingleW default) — the
     // q50 w=3 construction widened
     val shingle8 = (0 until 8)
       .map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
-    s"""WITH raw AS (SELECT doc_id, source, text FROM documents
+    s"""raw AS (SELECT doc_id, source, text FROM documents
        |             WHERE text IS NOT NULL AND doc_id % 4 <> 0),
        |${winnowCtesFrom("raw")},
        |${cleanScreenCtes("1.0")},
@@ -2075,7 +2148,18 @@ object SparkEntry {
        |decon AS (SELECT e.doc_id, e.source, e.clean_text FROM exc e
        |          WHERE e.doc_id % 10 <> 0
        |            AND NOT EXISTS (SELECT 1 FROM contam x
-       |                            WHERE x.doc_id = e.doc_id)),
+       |                            WHERE x.doc_id = e.doc_id))""".stripMargin
+  }
+
+  private def curationPipelineSql: String = {
+    val arms = graft.queries.Extensions.tokenBudgets.toSeq.sorted.map {
+      case (src, b) => s"WHEN '$src' THEN ${b}.0"
+    }.mkString("\n  ")
+    val bounds = (1 until 8).map { i =>
+      s"(CASE WHEN _k >= '${graft.ops.Sampling.hexThreshold(i / 8.0)}' " +
+        "THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $curationDeconCtes,
        |smp0 AS (SELECT doc_id, source,
        |           CAST(LEN(STRING_SPLIT(clean_text, ' ')) AS BIGINT) AS n_tokens
        |         FROM decon),

@@ -686,6 +686,28 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q115 the composed pipeline ending at TOKEN IDS — q93's stages 1–4
+  // over the same slices, then budget sampling in the BPE currency and
+  // packTokens: the pipeline's real terminal (training-ready array<int>
+  // sequences). The oracle chains q93's decon CTEs into q113's id
+  // machinery.
+  val q115_curate_token_ids: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val keyDir = pipeKeyDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_q93_keys_").toString
+      Dedup.buildExactKeyIndex(docs.filter(col("doc_id") % 4 === 0), "text", p)
+      p
+    })
+    Curation.curateTokens(s, docs.where(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", "source",
+        keyIndexPath = Some(keyDir),
+        benchmark = Some(docs.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))),
+        cfg = Curation.Config(budgets = tokenBudgets),
+        graft.functions.TokenCounters.tinyBpe)
+      .orderBy(col("source"), col("seq_id"))
+  }
+
   // q50 Bloom-prefiltered decontamination: row-identical to the exact
   // overlap (no false negatives + exact verify join), but the corpus
   // shuffles only Bloom survivors — the broadcast runtime-filter shape.
@@ -1199,5 +1221,6 @@ object Extensions {
     "q111_ivf_rebuild_drift" -> q111_ivf_rebuild_drift,
     "q112_ivfpq_rerank_knn_join" -> q112_ivfpq_rerank_knn_join,
     "q113_pack_token_ids" -> q113_pack_token_ids,
-    "q114_code_rebuild_drift" -> q114_code_rebuild_drift)
+    "q114_code_rebuild_drift" -> q114_code_rebuild_drift,
+    "q115_curate_token_ids" -> q115_curate_token_ids)
 }
