@@ -1856,12 +1856,15 @@ object SparkEntry {
        |           - COALESCE(dtok.dn, 0) AS doff
        |       FROM docs d LEFT JOIN dtok USING (doc_id)),
        |tok AS (SELECT s.source, s.doff + o.wstart + u.i - 1 AS g,
-       |          o.ids[u.i] AS tid
+       |          o.ids[u.i] AS tid,
+       |          (o.wstart = 0 AND u.i = 1) AS st
        |        FROM wo o JOIN ds s USING (doc_id),
        |             UNNEST(RANGE(1, LEN(o.ids) + 1)) AS u(i))
        |SELECT source, CAST(FLOOR(g / 512.0) AS BIGINT) AS seq_id,
        |       LIST(tid ORDER BY g) AS token_ids,
-       |       COUNT(*) AS n_tokens
+       |       COUNT(*) AS n_tokens,
+       |       COALESCE(LIST(CAST(g % 512 AS INTEGER) ORDER BY g)
+       |                FILTER (WHERE st), []) AS doc_starts
        |FROM tok GROUP BY source, seq_id
        |ORDER BY source, seq_id""".stripMargin
   }
@@ -1917,12 +1920,15 @@ object SparkEntry {
        |            - COALESCE(t.dn, 0) AS doff
        |        FROM samp2 s LEFT JOIN dtok t USING (doc_id)),
        |tok2 AS (SELECT d.source, d.doff + o.wstart + u.i - 1 AS g,
-       |           o.ids[u.i] AS tid
+       |           o.ids[u.i] AS tid,
+       |           (o.wstart = 0 AND u.i = 1) AS st
        |         FROM wo2 o JOIN ds2 d USING (doc_id),
        |              UNNEST(RANGE(1, LEN(o.ids) + 1)) AS u(i))
        |SELECT source, CAST(FLOOR(g / 512.0) AS BIGINT) AS seq_id,
        |       LIST(tid ORDER BY g) AS token_ids,
-       |       COUNT(*) AS n_tokens
+       |       COUNT(*) AS n_tokens,
+       |       COALESCE(LIST(CAST(g % 512 AS INTEGER) ORDER BY g)
+       |                FILTER (WHERE st), []) AS doc_starts
        |FROM tok2 GROUP BY source, seq_id
        |ORDER BY source, seq_id""".stripMargin
   }

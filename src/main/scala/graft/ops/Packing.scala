@@ -51,13 +51,18 @@ object Packing {
     * lay the ids end-to-end per shard in (shard, doc-id) order — the
     * exact stream [[pack]] describes by offsets — and cut it into
     * `seqLen`-token rows. Output: one row per sequence,
-    * (shardCol, seq_id, token_ids `array<int>`, n_tokens), where
-    * `token_ids` has exactly `seqLen` elements except each shard's last
-    * sequence (no padding — the trainer owns its pad/eos convention).
-    * Documents straddle sequence boundaries, standard concat-then-chunk;
-    * agreement with [[pack]] is exact: a doc's ids land at
-    * [start_off, start_off + n) in its shard's stream, so its sequences
-    * are precisely seq_first..seq_last.
+    * (shardCol, seq_id, token_ids `array<int>`, n_tokens, doc_starts),
+    * where `token_ids` has exactly `seqLen` elements except each
+    * shard's last sequence (unpadded by default; pass `padId` to fill
+    * it to fixed width — `n_tokens` keeps the real count either way)
+    * and `doc_starts` lists the in-sequence offsets where a NEW
+    * document begins — the attention-boundary information a trainer
+    * needs for block-diagonal masks over packed sequences, free at pack
+    * time and expensive to re-derive later. Documents straddle sequence
+    * boundaries, standard concat-then-chunk; agreement with [[pack]] is
+    * exact: a doc's ids land at [start_off, start_off + n) in its
+    * shard's stream, so its sequences are precisely
+    * seq_first..seq_last.
     *
     * Scale shape: the per-shard offset window runs over NARROW
     * (shard, id, count) rows — counts come from the codegen'd
@@ -76,7 +81,8 @@ object Packing {
     */
   def packTokens(df: DataFrame, idCol: String, textCol: String,
                  shardCol: String, seqLen: Int,
-                 encoder: graft.functions.TokenEncoder): DataFrame = {
+                 encoder: graft.functions.TokenEncoder,
+                 padId: Option[Int] = None): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     val docs = df.where(col(textCol).isNotNull)
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
@@ -85,17 +91,38 @@ object Packing {
           .as("_n"))
       .withColumn("_start", sum(col("_n")).over(w) - col("_n"))
       .select(col(shardCol), col(idCol), col("_start"))
-    docs.join(offsets, Seq(shardCol, idCol))
+    val packed = docs.join(offsets, Seq(shardCol, idCol))
       .select(col(shardCol), col("_start"),
         posexplode(graft.functions.TokenCounters.encode(encoder, col(textCol)))
           .as(Seq("_p", "_tid")))
-      .select(col(shardCol), (col("_start") + col("_p")).as("_g"), col("_tid"))
+      .select(col(shardCol), (col("_start") + col("_p")).as("_g"), col("_tid"),
+        (col("_p") === 0).as("_ds"))
       .groupBy(col(shardCol),
         floor(col("_g") / lit(seqLen.toLong)).cast("long").as("seq_id"))
       .agg(
         transform(array_sort(collect_list(struct(col("_g"), col("_tid")))),
           x => x.getField("_tid")).as("token_ids"),
-        count(lit(1)).as("n_tokens"))
+        count(lit(1)).as("n_tokens"),
+        // in-sequence offsets where a NEW document begins (a doc
+        // straddling in from the previous sequence does not mark 0) —
+        // what a trainer needs to build block-diagonal attention masks
+        // without re-deriving boundaries from the ids. collect_list
+        // drops the nulls the `when` leaves on non-boundary tokens.
+        sort_array(collect_list(
+          when(col("_ds"), (col("_g") % seqLen).cast("int"))))
+          .as("doc_starts"))
+    padId match {
+      case None => packed
+      case Some(p) =>
+        // fixed-width rows for trainers that want them: each shard's
+        // short LAST sequence fills to seqLen with the pad id;
+        // n_tokens keeps the REAL count, doc_starts is unaffected
+        packed.withColumn("token_ids",
+          when(size(col("token_ids")) < seqLen,
+            concat(col("token_ids"),
+              array_repeat(lit(p), lit(seqLen) - size(col("token_ids")))))
+            .otherwise(col("token_ids")))
+    }
   }
 
   /** [[pack]]'s dual — PER-DOC sliding-window chunking, the

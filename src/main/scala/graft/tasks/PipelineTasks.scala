@@ -209,7 +209,8 @@ object PipelineTasks {
     * tokenizer (`bpe`, `bpe:<merges.txt>`, or a [[graft.functions
     * .TokenEncoder]] ServiceLoader provider — count-only tokenizers
     * fail fast with the reason). Output: (shard, seq_id, token_ids,
-    * n_tokens).
+    * n_tokens, doc_starts); `pad_id` optionally fills each shard's
+    * short last sequence to fixed width.
     */
   object PackIdsTask extends Task {
     def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
@@ -219,7 +220,7 @@ object PipelineTasks {
           cfg.str("tokenizer", "bpe"))
         val out = Packing.packTokens(df, cfg.str("id", "doc_id"),
           cfg.str("text", "text"), cfg.str("shard", "source"),
-          cfg.int("seq_len", 512), encoder)
+          cfg.int("seq_len", 512), encoder, padId = cfg.intOpt("pad_id"))
         sink(ctx, task)(out, lg, meter)
       }
   }

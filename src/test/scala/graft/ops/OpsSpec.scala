@@ -1103,6 +1103,28 @@ class OpsSpec extends SparkSpec {
           s"doc $id: pack bounds must match its token span")
       }
     }
+    // doc_starts: the in-sequence offsets where each doc's stream
+    // begins — derived independently from the encoder's counts
+    val startsA = Seq("table data table", "row", "q w")
+      .map(bpe.countTokens).scanLeft(0L)(_ + _).dropRight(1)
+    val startsB = Seq(0L)
+    out.foreach { r =>
+      val shard = r.getString(0); val seq = r.getLong(1)
+      val all = if (shard == "A") startsA else startsB
+      val expect = all.filter(_ / 4 == seq).map(g => (g % 4).toInt).sorted
+      assert(r.getSeq[Int](4) == expect, s"doc_starts $shard/$seq")
+    }
+    // padId: every row fixed-width, pad fills ONLY the tail, n_tokens
+    // and doc_starts unchanged
+    val padded = Packing.packTokens(docs, "doc_id", "text", "shard", 4,
+        bpe, padId = Some(-1))
+      .orderBy(col("shard"), col("seq_id")).collect()
+    padded.zip(out).foreach { case (p, o) =>
+      assert(p.getSeq[Int](2).length == 4)
+      assert(p.getSeq[Int](2).take(o.getLong(3).toInt) == o.getSeq[Int](2))
+      assert(p.getSeq[Int](2).drop(o.getLong(3).toInt).forall(_ == -1))
+      assert(p.getLong(3) == o.getLong(3) && p.getSeq[Int](4) == o.getSeq[Int](4))
+    }
     // repartition-stable (the offsets are order-derived, not physical)
     val again = Packing.packTokens(docs.repartition(7), "doc_id", "text",
         "shard", 4, bpe)
