@@ -95,18 +95,36 @@ object IndexBench {
       spark, s"$base/pq", emb, "vec_id", "embedding", queries,
       "vec_id", "embedding", k = 10, kCand = 100).collect())
 
+    // the SCALE RECIPE rung (BASELINE.md "recall at scale": residual
+    // IVF-PQ, cells ≈ cluster count, real code budget — 0.999 recall on
+    // planted structure): its cost side at the same volume
+    val (_, tBuildR) = time(graft.ops.Similarity.buildIvfPqIndex(
+      emb, "vec_id", "embedding", s"$base/ivfpq_res", nCells = 64,
+      m = 16, nCodes = 256, kmeansIters = 3, residual = true))
+    val resBytes = dirBytes(s"$base/ivfpq_res/data")
+    val tPointR = medianOf(5)(graft.ops.Similarity.ivfPqIndexTopK(
+      spark, s"$base/ivfpq_res", "vec_id", queryVec, k = 10,
+      nProbe = 6).collect())
+    val tJoinR = medianOf(3)(graft.ops.Similarity.ivfPqIndexKnnJoinRerank(
+      spark, s"$base/ivfpq_res", emb, "vec_id", "embedding", queries,
+      "vec_id", "embedding", k = 10, kCand = 100, nProbe = 6).collect())
+
     println(s"""{"metric":"index_bench","vecs":$nVecs,"dim":$dim,""" +
       s""""float_mb":${fmt(floatBytes / 1e6)},"int8_mb":${fmt(quantBytes / 1e6)},""" +
       s""""pq_mb":${fmt(pqBytes / 1e6)},"ivfpq_mb":${fmt(ivfpqBytes / 1e6)},""" +
+      s""""ivfpq_res_recipe_mb":${fmt(resBytes / 1e6)},""" +
       s""""size_ratio":${fmt(floatBytes.toDouble / quantBytes)},""" +
       s""""pq_size_ratio":${fmt(floatBytes.toDouble / pqBytes)},""" +
       s""""build_s":{"float":${fmt(tBuildF)},"int8":${fmt(tBuildQ)},""" +
-      s""""pq":${fmt(tBuildP)},"ivfpq":${fmt(tBuildIP)}},""" +
+      s""""pq":${fmt(tBuildP)},"ivfpq":${fmt(tBuildIP)},""" +
+      s""""ivfpq_res_recipe":${fmt(tBuildR)}},""" +
       s""""point_s":{"float":${fmt(tPointF)},"int8":${fmt(tPointQ)},""" +
-      s""""pq":${fmt(tPointP)},"ivfpq":${fmt(tPointIP)}},""" +
+      s""""pq":${fmt(tPointP)},"ivfpq":${fmt(tPointIP)},""" +
+      s""""ivfpq_res_recipe":${fmt(tPointR)}},""" +
       s""""join_s":{"float":${fmt(tJoinF)},"int8":${fmt(tJoinQ)},""" +
       s""""pq":${fmt(tJoinP)},"ivfpq":${fmt(tJoinIP)},""" +
-      s""""pq_rerank":${fmt(tRerank)}}}""")
+      s""""pq_rerank":${fmt(tRerank)},""" +
+      s""""ivfpq_res_recipe_rerank":${fmt(tJoinR)}}}""")
     spark.stop()
   }
 }

@@ -61,7 +61,8 @@ object PlanAudit {
       "q107_pq_rerank_topk", "q108_pq_rerank_knn_join",
       "q109_ivfpq_residual_topk", "q110_ivfpq_residual_knn_join",
       "q111_ivf_rebuild_drift", "q112_ivfpq_rerank_knn_join",
-      "q113_pack_token_ids", "q114_code_rebuild_drift")
+      "q113_pack_token_ids", "q114_code_rebuild_drift",
+      "q115_curate_token_ids")
     // optional args = audit only these queries (iterating on one
     // operator); a trailing `--json <path>` additionally writes the
     // table as the per-round PLANAUDIT artifact, so plan-shape

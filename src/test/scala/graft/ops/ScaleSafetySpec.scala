@@ -379,6 +379,34 @@ class ScaleSafetySpec extends SparkSpec {
     assert(planLen < 5000, s"plan unexpectedly large: $planLen chars")
   }
 
+  test("round-13 queries keep scale shapes: packTokens narrow window, no BNLJ in q113-q115") {
+    // the per-shard offset window must sort NARROW rows: neither the
+    // text nor the token arrays may ride the serialized per-shard sort
+    // (the whole point of the count-then-join shape)
+    val docs = (0 until 50)
+      .map(i => (i.toLong, s"table data row line word$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val packed = Packing.packTokens(docs, "doc_id", "text", "source", 16,
+      graft.functions.TokenCounters.tinyBpe)
+    val windows = packed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "packTokens must compute offsets via a window")
+    windows.foreach { w =>
+      val names = w.child.output.map(_.name).toSet
+      assert(!names.contains("text") && !names.exists(_.contains("_ids")),
+        s"window input must be narrow (shard, id, count), got $names")
+    }
+    // no nested-loop/cartesian anywhere in the new queries' plans
+    for (q <- Seq("q113_pack_token_ids", "q114_code_rebuild_drift",
+                  "q115_curate_token_ids")) {
+      val plan = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+  }
+
   test("RandomHyperplanes matches the plane matrix it advertises") {
     import org.apache.spark.sql.graft.RandomHyperplanes
     val dim = 8
