@@ -1198,6 +1198,77 @@ object Streams {
       }
   }
 
+  /** [[packTokensStream]] state: the shard's global token offset plus
+    * the PARTIAL trailing sequence (≤ seqLen−1 ids and its doc-start
+    * offsets) — the tokens that arrived but haven't filled a sequence
+    * yet. Invariant: `buf.length == offset % seqLen`.
+    */
+  case class PackTokState(offset: Long, buf: Seq[Int], starts: Seq[Int])
+  case class PackTokOut(shard: String, seq_id: Long, token_ids: Seq[Int],
+                        n_tokens: Long, doc_starts: Seq[Int])
+
+  /** Continuous token-id packing — the streaming twin of
+    * [[graft.ops.Packing.packTokens]] and the id-materializing member
+    * of the pack family ([[packStream]] emits offsets; this emits the
+    * training-ready sequences themselves): each arriving document is
+    * encoded in-flight by the codegen'd tokenizer expression, its ids
+    * append to the shard's running stream, and every COMPLETED
+    * seqLen-token sequence is emitted with its `doc_starts` boundary
+    * offsets (the batch twin's contract). The trailing partial sequence
+    * lives in the state store until later batches fill it — held state
+    * is O(seqLen) per shard (offset + ≤ seqLen−1 ids), and shards are
+    * bounded, so no timeout/eviction is needed; a micro-batch's rows
+    * for one shard are buffered only to sort by doc id (memory ∝
+    * trigger size, the [[packStream]] contract). Across batches offsets
+    * follow arrival order — a deterministic in-order feed reproduces
+    * the batch twin's FULL sequences exactly (spec-pinned); the batch
+    * twin's final short sequence is precisely what remains in state.
+    * Append-mode output through Spark's state store: state updates are
+    * exactly-once per micro-batch, sink rows at-least-once on replay
+    * like every sink here.
+    */
+  def packTokensStream(spark: org.apache.spark.sql.SparkSession,
+                       docs: DataFrame, seqLen: Int,
+                       encoder: graft.functions.TokenEncoder)
+      : org.apache.spark.sql.Dataset[PackTokOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("shard").cast("string").as("shard"),
+        graft.functions.TokenCounters.encode(encoder, col("text")).as("ids"))
+      .as[(Long, String, Seq[Int])]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[PackTokState, PackTokOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard, it, state) =>
+          val st = state.getOption.getOrElse(PackTokState(0L, Nil, Nil))
+          var off = st.offset
+          val buf = scala.collection.mutable.ArrayBuffer[Int](st.buf: _*)
+          val starts = scala.collection.mutable.ArrayBuffer[Int](st.starts: _*)
+          val out = scala.collection.mutable.ArrayBuffer.empty[PackTokOut]
+          it.toIndexedSeq.sortBy(_._1).foreach { case (_, _, ids) =>
+            if (ids.nonEmpty) {
+              starts += (off % seqLen).toInt
+              ids.foreach { t =>
+                buf += t
+                off += 1
+                if (buf.length == seqLen) {
+                  out += PackTokOut(shard, off / seqLen - 1, buf.toVector,
+                    seqLen.toLong, starts.toVector)
+                  buf.clear()
+                  starts.clear()
+                }
+              }
+            }
+          }
+          state.update(PackTokState(off, buf.toVector, starts.toVector))
+          out.iterator
+      }
+  }
+
   /** Furthest funnel stage reached and when (epoch millis) — the whole
     * per-user state of [[funnelStream]].
     */

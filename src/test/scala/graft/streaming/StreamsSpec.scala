@@ -433,6 +433,53 @@ class StreamsSpec extends SparkSpec {
     assert(math.abs(math.rint(direct * 1e6) / 1e6 - rows(2)._5) < 1e-9)
   }
 
+  test("packTokensStream: completed sequences equal the batch twin; partial carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val bpe = graft.functions.TokenCounters.tinyBpe
+    val batch1 = Seq(
+      (1L, "A", "table data row line"),
+      (2L, "A", "string integer"),
+      (10L, "B", "alpha beta"))
+    val batch2 = Seq(
+      (3L, "A", "query where select"),
+      (11L, "B", "gamma delta epsilon zeta"),
+      (12L, "B", null))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.packTokensStream(spark,
+        mem.toDF().toDF("doc_id", "shard", "text"), seqLen = 4, bpe)
+      .writeStream.format("memory").queryName("ptok")
+      .outputMode("append").start()
+    var after1 = 0L
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      after1 = spark.table("ptok").count()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ptok")
+      .orderBy(col("shard"), col("seq_id"))
+      .select("shard", "seq_id", "token_ids", "n_tokens", "doc_starts")
+      .collect()
+    // the batch twin over the SAME docs in the same order: the stream
+    // must emit exactly its full sequences; each shard's short last
+    // sequence stays in state (never emitted)
+    val all = (batch1 ++ batch2).toDF("doc_id", "shard", "text")
+    val expect = graft.ops.Packing.packTokens(all, "doc_id", "text",
+        "shard", 4, bpe)
+      .where(size(col("token_ids")) === 4)
+      .orderBy(col("shard"), col("seq_id"))
+      .select("shard", "seq_id", "token_ids", "n_tokens", "doc_starts")
+      .collect()
+    assert(got.map(_.toString).toSeq == expect.map(_.toString).toSeq,
+      s"stream: ${got.toList}\nbatch: ${expect.toList}")
+    assert(got.nonEmpty, "the fixture must complete at least one sequence")
+    // the cross-batch straddle actually happened: batch 2 emitted
+    // sequences that batch 1's tokens began
+    assert(after1 < got.length,
+      "batch 2 must complete sequences begun in batch 1")
+  }
+
   test("streaming funnel: advances match the batch funnel, O(1) state, no rewind") {
     implicit val sqlCtx = spark.sqlContext
     val fixture = Seq(
