@@ -191,8 +191,38 @@ object Curation {
                    textCol: String, sourceCol: String,
                    keyIndexPath: Option[String], benchmark: Option[DataFrame],
                    cfg: Config,
-                   encoder: graft.functions.TokenEncoder): DataFrame = {
+                   encoder: graft.functions.TokenEncoder): DataFrame =
+    curateTokensImpl(spark, batch, idCol, textCol, sourceCol, keyIndexPath,
+      benchmark, cfg, encoder,
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+
+  /** [[curateTokens]] with a WRITE terminal — the [[curateTo]]
+    * discipline applied to the token-id pipeline: write the packed
+    * sequences as parquet at `outPath`, then unpersist any lazy
+    * stage-boundary persists once the action completes.
+    */
+  def curateTokensTo(spark: SparkSession, batch: DataFrame, idCol: String,
+                     textCol: String, sourceCol: String,
+                     keyIndexPath: Option[String],
+                     benchmark: Option[DataFrame], cfg: Config,
+                     encoder: graft.functions.TokenEncoder,
+                     outPath: String): Unit = {
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      curateTokensImpl(spark, batch, idCol, textCol, sourceCol, keyIndexPath,
+          benchmark, cfg, encoder, persisted)
+        .write.mode("overwrite").parquet(outPath)
+    } finally persisted.foreach(_.unpersist(blocking = false))
+  }
+
+  private def curateTokensImpl(spark: SparkSession, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               sourceCol: String,
+                               keyIndexPath: Option[String],
+                               benchmark: Option[DataFrame], cfg: Config,
+                               encoder: graft.functions.TokenEncoder,
+                               persisted: scala.collection.mutable.Buffer[DataFrame])
+      : DataFrame = {
     val decon = curateDecon(spark, batch, idCol, textCol, sourceCol,
       keyIndexPath, benchmark, cfg, persisted)
     // one checkpoint serves the budget totals AND the pack job; text

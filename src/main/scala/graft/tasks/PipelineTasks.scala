@@ -263,20 +263,33 @@ object PipelineTasks {
         val cfg = task("curate")
         val bench = cfg.strOpt("benchmark")
           .map(p => ctx.spark.read.parquet(ctx.dir(p)))
-        val out = Curation.curate(ctx.spark, df,
-          cfg.str("id", "doc_id"), cfg.str("text", "text"),
-          cfg.str("stratum", "source"),
-          keyIndexPath = cfg.strOpt("key_index").map(ctx.dir),
-          benchmark = bench,
-          cfg = Curation.Config(
-            budgets = longMap(cfg, "budgets"),
-            minQuality = cfg.str("min_quality", "0.5").toDouble,
-            spanThreshold = cfg.str("span_threshold", "1.0").toDouble,
-            exciseW = cfg.int("excise_w", 8),
-            shingleW = cfg.int("shingle_w", 8),
-            seqLen = cfg.int("seq_len", 512),
-            nShards = cfg.int("shards", 8),
-            lineMinDocFreq = cfg.intOpt("line_min_doc_freq")))
+        val conf = Curation.Config(
+          budgets = longMap(cfg, "budgets"),
+          minQuality = cfg.str("min_quality", "0.5").toDouble,
+          spanThreshold = cfg.str("span_threshold", "1.0").toDouble,
+          exciseW = cfg.int("excise_w", 8),
+          shingleW = cfg.int("shingle_w", 8),
+          seqLen = cfg.int("seq_len", 512),
+          nShards = cfg.int("shards", 8),
+          lineMinDocFreq = cfg.intOpt("line_min_doc_freq"))
+        // `"tokenizer"` switches the terminal: unset = the q93 offset
+        // rows; set (an id-emitting tokenizer name) = the q115 token-id
+        // sequences — the pipeline ends at training-ready array<int>
+        val out = cfg.strOpt("tokenizer") match {
+          case None =>
+            Curation.curate(ctx.spark, df,
+              cfg.str("id", "doc_id"), cfg.str("text", "text"),
+              cfg.str("stratum", "source"),
+              keyIndexPath = cfg.strOpt("key_index").map(ctx.dir),
+              benchmark = bench, cfg = conf)
+          case Some(tk) =>
+            Curation.curateTokens(ctx.spark, df,
+              cfg.str("id", "doc_id"), cfg.str("text", "text"),
+              cfg.str("stratum", "source"),
+              keyIndexPath = cfg.strOpt("key_index").map(ctx.dir),
+              benchmark = bench, cfg = conf,
+              graft.functions.TokenCounters.encoderForName(tk))
+        }
         sink(ctx, task)(out, lg, meter)
       }
   }

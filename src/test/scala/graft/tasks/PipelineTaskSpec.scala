@@ -187,6 +187,32 @@ class PipelineTaskSpec extends SparkSpec {
         cfg = Curation.Config(budgets = Map("src1" -> 2000L, "src2" -> 1000L)))))
   }
 
+  test("curate task with tokenizer == Curation.curateTokens (the q115 terminal from a task file)") {
+    val wd = tmpDir("graft_pipetask_")
+    runTask(wd,
+      s"""{"tasks": [{"type": "curate", "name": "qt",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "curate": {"budgets": {"src1": 2000, "src2": 1000},
+         |             "tokenizer": "bpe", "seq_len": 64},
+         |  "target": {"file": "curt", "truncate": true}}]}""".stripMargin)
+    assert(rows(outParquet(wd, "curt")) ==
+      rows(Curation.curateTokens(spark, docs, "doc_id", "text", "source",
+        keyIndexPath = None, benchmark = None,
+        cfg = Curation.Config(budgets = Map("src1" -> 2000L, "src2" -> 1000L),
+          seqLen = 64),
+        graft.functions.TokenCounters.tinyBpe)))
+    // curateTokensTo: the write terminal lands the same rows and leaves
+    // no cached plans behind
+    Curation.curateTokensTo(spark, docs, "doc_id", "text", "source",
+      None, None,
+      Curation.Config(budgets = Map("src1" -> 2000L, "src2" -> 1000L),
+        seqLen = 64, materialize = "memdisk"),
+      graft.functions.TokenCounters.tinyBpe, s"$wd/curto")
+    assert(rows(spark.read.parquet(s"$wd/curto")) == rows(outParquet(wd, "curt")))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "curateTokensTo must unpersist its stage boundaries")
+  }
+
   test("transform block pre-shapes the corpus before the operator") {
     // the shared ETL transform contract applies to pipeline tasks too:
     // filter out a slice, then excise — equal to op over the filtered df
