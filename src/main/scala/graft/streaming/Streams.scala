@@ -949,11 +949,11 @@ object Streams {
 
   /** IVF index sink WITH A DRIFT CARD — the streaming member of the
     * rebuild-audit family (q111/q114 watched, not polled): appends each
-    * micro-batch into the layout under the frozen-centroid contract
-    * (float or int8 per the layout's `meta`, the [[ivfIndexSink]] /
-    * [[ivfIndexQuantizedSink]] discipline), then runs the rebuild-drift
-    * audit over the grown layout and appends ONE card row per completed
-    * batch to `cardPath`:
+    * micro-batch into the layout under the frozen-geometry contract
+    * (float, int8 or IVF-PQ per the layout's `meta` — the matching
+    * index sink's own in-flight projection, residual-aware for PQ),
+    * then runs the matching rebuild-drift audit over the grown layout
+    * and appends ONE card row per completed batch to `cardPath`:
     *
     *   (batch_id, n_appended, n_stored, n_stayed, retention)
     *
@@ -978,19 +978,19 @@ object Streams {
     import spark.implicits._
     val layout = graft.ops.Similarity.readIndexMeta(spark, indexPath)
       .getOrElse("layout", "ivf")
-    require(layout == "ivf" || layout == "ivf_int8",
+    require(layout == "ivf" || layout == "ivf_int8" || layout == "ivf_pq",
       s"ivfDriftCardSink: layout '$layout' at $indexPath is not an IVF " +
-        "cell layout (PQ sinks freeze codebooks — rebuild, not drift)")
+        "cell layout (flat PQ has no cells to drift)")
     val centroids = spark.read.parquet(s"$indexPath/centroids")
       .select(col("cell"), col("centroid")).collect()
       .sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
     val clean = stream.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-    val placed =
-      if (layout == "ivf")
+    val placed = layout match {
+      case "ivf" =>
         clean.withColumn("cell", graft.functions.VectorFunctions.nearestCentroid(
           transform(col(vecCol), _.cast("double")), centroids))
-      else
+      case "ivf_int8" =>
         clean.select(col(idCol),
             graft.functions.VectorFunctions.quantizeInt8(
               transform(col(vecCol), _.cast("double"))).as("_z"),
@@ -998,6 +998,9 @@ object Streams {
               transform(col(vecCol), _.cast("double")), centroids).as("cell"))
           .select(col(idCol), col("_z.scale").as("scale"), col("_z.q").as("q"),
             col("cell"))
+      case _ => // ivf_pq: the index sink's own residual-aware encode
+        ivfPqEncoded(spark, clean, idCol, vecCol, indexPath)
+    }
     placed.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val n = batch.count()
@@ -1070,7 +1073,23 @@ object Streams {
     */
   def ivfPqIndexSink(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
                      idCol: String, vecCol: String, indexPath: String,
-                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    ivfPqEncoded(spark, stream, idCol, vecCol, indexPath).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("cell").parquet(s"$indexPath/data")
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
+  /** The IVF-PQ sink's in-flight projection, shared with the drift
+    * card: place by the layout's frozen centroids, encode against its
+    * frozen codebooks (residual-aware per the meta marker) — one
+    * codegen'd pipeline yielding (id, codes, cell).
+    */
+  private def ivfPqEncoded(spark: org.apache.spark.sql.SparkSession,
+                           stream: DataFrame, idCol: String, vecCol: String,
+                           indexPath: String): DataFrame = {
     val cb = readCodebooks(spark, indexPath)
     val centroids = spark.read.parquet(s"$indexPath/centroids")
       .select(col("cell"), col("centroid")).collect()
@@ -1082,24 +1101,16 @@ object Streams {
       .select(col(idCol), transform(col(vecCol), _.cast("double")).as("_v"))
       .withColumn("cell",
         graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids))
-    val encoded =
-      if (residual)
-        placed.select(col(idCol),
-          graft.functions.VectorFunctions.pqEncode(
-            graft.functions.VectorFunctions.centroidResidual(
-              col("_v"), col("cell"), centroids), cb).as("codes"),
-          col("cell"))
-      else
-        placed.select(col(idCol),
-          graft.functions.VectorFunctions.pqEncode(col("_v"), cb).as("codes"),
-          col("cell"))
-    encoded.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("cell").parquet(s"$indexPath/data")
-      }
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .start()
+    if (residual)
+      placed.select(col(idCol),
+        graft.functions.VectorFunctions.pqEncode(
+          graft.functions.VectorFunctions.centroidResidual(
+            col("_v"), col("cell"), centroids), cb).as("codes"),
+        col("cell"))
+    else
+      placed.select(col(idCol),
+        graft.functions.VectorFunctions.pqEncode(col("_v"), cb).as("codes"),
+        col("cell"))
   }
 
   /** One bounded driver read of a PQ codebook table — the sink-start

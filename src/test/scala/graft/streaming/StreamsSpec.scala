@@ -431,6 +431,27 @@ class StreamsSpec extends SparkSpec {
       .agg(sum(col("n_stayed")).cast("double") / sum(col("n_stored")))
       .as[Double].head()
     assert(math.abs(math.rint(direct * 1e6) / 1e6 - rows(2)._5) < 1e-9)
+
+    // IVF-PQ layout: the card sink appends through the index sink's own
+    // residual-aware encode and audits via codeRebuildDrift
+    graft.ops.Similarity.buildIvfPqIndex(
+      (0L until 60L).map(i => (i, vec())).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/pqidx", nCells = 4, m = 4, nCodes = 8,
+      residual = true)
+    val mem2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = Streams.ivfDriftCardSink(spark,
+      mem2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/pqidx", s"$dir/ckpt2", s"$dir/card2")
+    try {
+      mem2.addData(shifted(200 until 220): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val pqCard = spark.read.parquet(s"$dir/card2")
+      .select("n_appended", "n_stored").as[(Long, Long)].collect()
+    assert(pqCard.toSeq == Seq((20L, 80L)), s"${pqCard.toList}")
+    // the appended rows landed as CODES (the layout's own storage)
+    val data = spark.read.parquet(s"$dir/pqidx/data")
+    assert(data.count() == 80 && data.columns.toSet == Set("vec_id", "codes", "cell"))
   }
 
   test("packTokensStream: completed sequences equal the batch twin; partial carries across batches") {
