@@ -704,6 +704,24 @@ class IndexLayoutSpec extends SparkSpec {
     assert(Similarity.isResidualIndex(spark, rp),
       "rebuild must preserve the residual encoding")
     assert(spark.read.parquet(s"$rp/data").count() == emb.count())
+
+    // float IVF: rebuild re-derives centroids from the stored floats;
+    // the audit reads identity afterwards and probes keep working
+    val fp = tmpDir("graft_rebuild_float_")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", fp, nCells = 8)
+    spark.range(9000, 9050)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 16), x -> CAST(1.0 AS FLOAT))").as("embedding"),
+        lit(0).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$fp/data")
+    IndexMaintenance.rebuild(spark, fp, "vec_id", "embedding")
+    val fAudit = Similarity.ivfRebuildDrift(spark, fp, "vec_id", "embedding")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(fAudit.map(_._2).sum == emb.count() + 50)
+    assert(fAudit.map(_._4).sum == emb.count() + 50,
+      "a freshly rebuilt float layout must audit at identity")
+    assert(Similarity.ivfIndexTopK(spark, fp, "vec_id", "embedding",
+      qv, k = 5, nProbe = 3).count() == 5)
   }
 
   test("PQ layouts compact like the rest of the family: probes byte-identical, files collapse") {
