@@ -309,6 +309,9 @@ object SparkEntry {
     "q113_pack_token_ids" -> packTokenIdsSql,
     "q114_code_rebuild_drift" -> codeRebuildDriftSql,
     "q115_curate_token_ids" -> curateTokenIdsSql,
+    "q116_cross_ppl" -> crossPplSql,
+    "q117_nb_quality" -> nbQualitySql,
+    "q118_token_card" -> tokenCardSql,
     // q62 oracle: the Bloom stage is a pure prefilter (no false
     // negatives) and the verify restores exactness, so the engine result
     // equals the plain NOT EXISTS on the content hash. Null-text rows
@@ -1834,6 +1837,105 @@ object SparkEntry {
        |wids AS (SELECT w, LIST_TRANSFORM(syms, s ->
        |           CASE s $bpeIdArms ELSE UNICODE(s) END) AS ids
        |         FROM wsyms)""".stripMargin
+
+  /** q116 oracle: q73's count CTEs restricted to the English training
+    * slice, the score-side bigram stream over ALL documents LEFT-joined
+    * onto them, unseen events null-coalesced into the same one smoothing
+    * expression the engine folds (p = (c12+k)/(c1+k·V) with missing
+    * counts as 0 — the uniform 1/V floor falls out for unseen left
+    * words). Counts exact, one correctly-rounded division, log₂ within
+    * an ulp, rounded at 3 — the q73 contract; n_oov is an exact-integer
+    * FILTER count.
+    */
+  private def crossPplSql: String =
+    s"""WITH tr AS (SELECT list_filter(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+       |            FROM documents WHERE text IS NOT NULL AND lang = 'en'),
+       |big AS (SELECT t[i+1] AS w1, t[i+2] AS w2, COUNT(*) AS c12
+       |        FROM tr, UNNEST(RANGE(LEN(t) - 1)) AS u(i) GROUP BY 1, 2),
+       |uni AS (SELECT x AS w, COUNT(*) AS c1
+       |        FROM (SELECT UNNEST(t) AS x FROM tr) GROUP BY 1),
+       |v AS (SELECT COUNT(*) AS nv FROM uni),
+       |sc AS (SELECT doc_id,
+       |         list_filter(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+       |       FROM documents WHERE text IS NOT NULL),
+       |bg AS (SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+       |       FROM sc, UNNEST(RANGE(LEN(t) - 1)) AS u(i)),
+       |j AS (SELECT g.doc_id, b.c12 IS NULL AS oov,
+       |        (CAST(COALESCE(b.c12, 0) AS DOUBLE) + 0.5)
+       |          / (CAST(COALESCE(u.c1, 0) AS DOUBLE) + 0.5 * v.nv) AS p
+       |      FROM bg g
+       |      LEFT JOIN big b ON b.w1 = g.w1 AND b.w2 = g.w2
+       |      LEFT JOIN uni u ON u.w = g.w1
+       |      CROSS JOIN v)
+       |SELECT doc_id, ROUND(AVG(-LOG2(p)), 3) AS xent_bits,
+       |       COUNT(*) AS n_bigrams,
+       |       COUNT(*) FILTER (WHERE oov) AS n_oov
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q117 oracle: the NB fit replayed as SQL — class-conditional token
+    * counts, one-row totals/vocab/priors, the engine's exact smoothing
+    * expression per scored token with unseen counts null-coalesced, the
+    * per-doc sum + prior rounded at 3, pred thresholded on the ROUNDED
+    * score. Counting is exact, so the "trained model" hash-checks like
+    * a query.
+    */
+  private def nbQualitySql: String =
+    s"""WITH lab AS (SELECT doc_id,
+       |         CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END AS y,
+       |         list_filter(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+       |       FROM documents WHERE text IS NOT NULL),
+       |tok AS (SELECT doc_id, y, UNNEST(t) AS w FROM lab),
+       |cw AS (SELECT w, COUNT(*) FILTER (WHERE y = 1) AS c1,
+       |         COUNT(*) FILTER (WHERE y = 0) AS c0
+       |       FROM tok GROUP BY 1),
+       |tot AS (SELECT SUM(c1) AS t1, SUM(c0) AS t0, COUNT(*) AS nv FROM cw),
+       |pri AS (SELECT COUNT(*) FILTER (WHERE y = 1) AS n1,
+       |          COUNT(*) FILTER (WHERE y = 0) AS n0 FROM lab),
+       |terms AS (SELECT g.doc_id,
+       |        LOG2((CAST(COALESCE(c.c1, 0) AS DOUBLE) + 0.5)
+       |             / (CAST(tot.t1 AS DOUBLE) + 0.5 * tot.nv))
+       |      - LOG2((CAST(COALESCE(c.c0, 0) AS DOUBLE) + 0.5)
+       |             / (CAST(tot.t0 AS DOUBLE) + 0.5 * tot.nv)) AS term
+       |      FROM tok g LEFT JOIN cw c USING (w) CROSS JOIN tot),
+       |sc AS (SELECT t.doc_id,
+       |         ROUND(LOG2(CAST(pri.n1 AS DOUBLE) / pri.n0) + SUM(t.term), 3)
+       |           AS log_odds,
+       |         COUNT(*) AS n_tokens
+       |       FROM terms t CROSS JOIN pri GROUP BY t.doc_id, pri.n1, pri.n0)
+       |SELECT doc_id, log_odds, n_tokens,
+       |       CAST(log_odds > 0 AS INTEGER) AS pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** q118 oracle: the q113 id machinery rolled up per shard — per-doc id
+    * totals (no positions needed: sequence counts are arithmetic over the
+    * end-to-end stream), (shard, id) counts for vocabulary and the
+    * top-5 list ordered (count desc, id asc). Every output is an exact
+    * integer, so the card hash-checks with no rounding contract.
+    */
+  private def tokenCardSql: String =
+    s"""WITH RECURSIVE $bpeWordCtes,
+       |$bpeIdCtes,
+       |docs AS (SELECT doc_id, source,
+       |           LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS lw
+       |         FROM documents WHERE text IS NOT NULL),
+       |wp AS (SELECT doc_id, source, lw[i] AS w
+       |       FROM docs, UNNEST(RANGE(1, LEN(lw) + 1)) AS u(i)),
+       |tid AS (SELECT p.doc_id, p.source, UNNEST(d.ids) AS tid
+       |        FROM wp p JOIN wids d USING (w)),
+       |dtot AS (SELECT source, doc_id, COUNT(*) AS n FROM tid GROUP BY 1, 2),
+       |shard AS (SELECT source, COUNT(*) AS n_docs,
+       |            CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |            CAST((SUM(n) + 511) // 512 AS BIGINT) AS n_seqs,
+       |            CAST(SUM(n) % 512 <> 0 AS INTEGER) AS n_short
+       |          FROM dtot GROUP BY 1),
+       |pertid AS (SELECT source, tid, COUNT(*) AS c FROM tid GROUP BY 1, 2),
+       |tops AS (SELECT source, COUNT(*) AS distinct_ids,
+       |           (LIST(tid ORDER BY c DESC, tid))[1:5] AS top_ids
+       |         FROM pertid GROUP BY 1)
+       |SELECT s.source, s.n_docs, s.n_tokens, s.n_seqs, s.n_short,
+       |       t.distinct_ids, t.top_ids
+       |FROM shard s JOIN tops t USING (source)
+       |ORDER BY s.source""".stripMargin
 
   private def packTokenIdsSql: String = {
     s"""WITH RECURSIVE $bpeWordCtes,

@@ -167,4 +167,55 @@ object Packing {
       .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
         size(expr("split(chunk_text, ' ')")).cast("bigint").as("n_words"))
   }
+
+  /** Tokenized-corpus data card — the trainer-side audit that prices a
+    * [[packTokens]] run WITHOUT paying the pack shuffle: because ids lay
+    * end-to-end per shard, sequence counts are pure arithmetic over the
+    * per-document token totals (n_seqs = ⌈tokens/seqLen⌉, one short
+    * trailing sequence iff tokens mod seqLen ≠ 0) — no global-position
+    * window, no per-sequence groups. Per shard: contributing docs, total
+    * tokens, the derived sequence counts, distinct vocabulary actually
+    * used, and the `topN` most frequent ids (count desc, id asc — the
+    * padding/boilerplate-id smell test).
+    *
+    * Shape at 100 TB: two independent aggregation branches joined on the
+    * shard key — doc totals never explode (the codegen'd COUNT
+    * expression), the id branch is one map-side-combined (shard, id)
+    * count whose per-shard group is VOCABULARY-bounded, with a top-N
+    * window over that bounded table. All outputs are exact integers —
+    * the card hash-checks with no rounding contract at all.
+    */
+  def tokenizedCard(df: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, seqLen: Int,
+                    encoder: graft.functions.TokenEncoder,
+                    topN: Int = 5): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    require(topN > 0, s"topN must be positive: $topN")
+    val docs = df.where(col(textCol).isNotNull)
+    val docStats = docs.select(col(shardCol),
+        graft.functions.TokenCounters.count(encoder, col(textCol)).as("_n"))
+      .groupBy(col(shardCol))
+      .agg(count(when(col("_n") > 0, lit(1))).as("n_docs"),
+        sum(col("_n")).as("n_tokens"))
+      .select(col(shardCol), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens + ${seqLen - 1}) div $seqLen").as("n_seqs"),
+        (col("n_tokens") % seqLen =!= 0).cast("int").as("n_short"))
+    val perTid = docs.select(col(shardCol),
+        explode(graft.functions.TokenCounters.encode(encoder, col(textCol)))
+          .as("tid"))
+      .groupBy(col(shardCol), col("tid")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(col("_c").desc, col("tid"))
+    val tidStats = perTid
+      .withColumn("_r", row_number().over(w))
+      .groupBy(col(shardCol))
+      .agg(count(lit(1)).as("distinct_ids"),
+        transform(array_sort(collect_list(
+            when(col("_r") <= topN, struct(col("_r"), col("tid"))))),
+          x => x.getField("tid")).as("top_ids"))
+    docStats.join(tidStats, Seq(shardCol), "left")
+      .select(col(shardCol), col("n_docs"), col("n_tokens"), col("n_seqs"),
+        col("n_short"), coalesce(col("distinct_ids"), lit(0L)).as("distinct_ids"),
+        coalesce(col("top_ids"), expr("array()").cast("array<int>")).as("top_ids"))
+  }
 }

@@ -243,6 +243,211 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Cross-corpus bigram cross-entropy — the CCNet-style filter shape
+    * [[bigramLmScore]]'s self-perplexity can't express: the add-k bigram
+    * model is trained on a REFERENCE slice (a trusted corpus: the target
+    * language, a curated source) and every document of `score` is rated
+    * by how surprising its transitions are UNDER THAT MODEL. In-domain
+    * documents score low; out-of-domain / wrong-language / incoherent
+    * ones score high — the single knob a perplexity-bucketed mixture
+    * (keep the middle, trim both tails against the reference) needs.
+    *
+    * Unseen events are where cross-scoring differs from self-scoring and
+    * the smoothing becomes load-bearing: a scored bigram absent from the
+    * training table backs off to p = (0+k)/(c(w1)+k·V), and an unseen
+    * LEFT word to the uniform floor k/(k·V) = 1/V — both produced by the
+    * same one expression over null-coalesced counts, so there is no
+    * separate backoff path to diverge from the oracle. `n_oov` counts a
+    * document's unseen-bigram events (an exact integer), the secondary
+    * signal a language-ID-free domain filter thresholds on.
+    *
+    * Output: (doc_id, xent_bits, n_bigrams, n_oov) for every `score`
+    * document with ≥ 2 tokens — the [[bigramLmScore]] membership
+    * contract.
+    *
+    * Shape at 100 TB: the model is two map-side-combined counts over the
+    * reference slice + a 1-row vocab broadcast; scoring is two
+    * fixed-width-key left joins of the scored bigram stream against the
+    * count tables (AQE broadcasts them when the reference is small; at
+    * reference scale they shuffle on bounded string keys) and one per-doc
+    * aggregation. Determinism contract as [[bigramLmScore]]: counts are
+    * exact integers, the probability is one correctly-rounded division of
+    * integer-valued(+k) doubles, log₂ within an ulp, rounded at 3
+    * decimals.
+    */
+  def bigramLmScoreAgainst(train: DataFrame, score: DataFrame,
+                           idCol: String, textCol: String,
+                           smoothK: Double = 0.5): DataFrame = {
+    def tokens(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.where(col(textCol).isNotNull)
+        .select(keep :+
+          expr(s"filter(split($textCol, ' '), x -> x <> '')").as("t"): _*)
+    def bigramStream(toks: DataFrame, keep: Seq[Column]): DataFrame =
+      toks.where(size(col("t")) >= 2)
+        .select(keep :+ explode(expr(
+          "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+          .as("b"): _*)
+        .select(keep ++ Seq(col("b.w1").as("w1"), col("b.w2").as("w2")): _*)
+    val trainToks = tokens(train, Seq.empty)
+    val big = bigramStream(trainToks, Seq.empty)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = trainToks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("_v"))
+    val scored = bigramStream(
+      tokens(score, Seq(col(idCol).as("doc_id"))), Seq(col("doc_id")))
+    scored
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("c12").isNull.as("_oov"),
+        ((coalesce(col("c12"), lit(0L)).cast("double") + smoothK) /
+          (coalesce(col("c1"), lit(0L)).cast("double") +
+            lit(smoothK) * col("_v"))).as("_p"))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log2(col("_p"))), 3).as("xent_bits"),
+        count(lit(1)).as("n_bigrams"),
+        count(when(col("_oov"), lit(1))).as("n_oov"))
+  }
+
+  /** Weak-label Naive-Bayes document scorer — the learned quality filter
+    * in its distributable closed form (the GPT-3/CCNet recipe: label a
+    * slice by provenance — curated sources positive, raw crawl negative —
+    * train a token classifier, keep what scores "curated-like"). A
+    * multinomial NB with add-k smoothing IS that classifier without an
+    * optimizer: training is exact integer counting (fully map-side
+    * combinable), scoring is one join and one sum — no gradient loop, no
+    * float accumulation order in the MODEL, so the whole fit is
+    * deterministic and oracle-checkable where an SGD fit would not be.
+    *
+    * Trains on rows with a non-null 0/1 `labelCol` (both classes must be
+    * present); scores EVERY non-null-text row — the semi-supervised
+    * shape: label what provenance can label, score the rest. Per
+    * document with ≥ 1 token:
+    *
+    *   log_odds = log₂(N₁/N₀) + Σ_w [log₂ p(w|1) − log₂ p(w|0)],
+    *   p(w|c) = (count(w,c)+k) / (tokens_c + k·V)
+    *
+    * with V = the training vocabulary and unseen-token counts
+    * null-coalesced to 0 — one smoothing expression, no separate backoff
+    * path. Output: (doc_id, log_odds, n_tokens, pred) with pred
+    * thresholded on the ROUNDED score so the label is as deterministic
+    * as the score it derives from.
+    *
+    * Shape at 100 TB: the model is ONE map-side-combined count over
+    * (token, class-conditional pair) plus two 1-row broadcasts (totals /
+    * vocab, priors); scoring left-joins the token stream against the
+    * count table on a bounded string key (AQE broadcasts small models)
+    * and aggregates per doc. Determinism contract as [[bigramLmScore]]:
+    * exact counts, correctly-rounded divisions, log₂ within an ulp,
+    * rounded at 3 decimals.
+    */
+  def naiveBayesScore(df: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, smoothK: Double = 0.5): DataFrame = {
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(labelCol).cast("int").as("_y"),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("t"))
+    val train = base.where(col("_y").isNotNull)
+    val tok = train.select(col("_y"), explode(col("t")).as("w"))
+    val cw = tok.groupBy(col("w")).agg(
+      count(when(col("_y") === 1, lit(1))).as("c1"),
+      count(when(col("_y") === 0, lit(1))).as("c0"))
+    val tot = cw.agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0"),
+      count(lit(1)).as("_v"))
+    val prior = train.agg(
+      count(when(col("_y") === 1, lit(1))).as("n1"),
+      count(when(col("_y") === 0, lit(1))).as("n0"))
+    val k = lit(smoothK)
+    base.select(col("doc_id"), explode(col("t")).as("w"))
+      .join(cw, Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("n1"), col("n0"),
+        (log2((coalesce(col("c1"), lit(0L)).cast("double") + k) /
+            (col("t1").cast("double") + k * col("_v"))) -
+          log2((coalesce(col("c0"), lit(0L)).cast("double") + k) /
+            (col("t0").cast("double") + k * col("_v")))).as("_term"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(first(log2(col("n1").cast("double") / col("n0"))) +
+          sum(col("_term")), 3).as("log_odds"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("pred", (col("log_odds") > 0).cast("int"))
+  }
+
+  /** Persist the [[naiveBayesScore]] fit as a layout: `counts/`
+    * (w, c1, c0) plus a `meta` parameter table (token totals, vocabulary,
+    * class priors, the smoothing k) — the deployment shape of the learned
+    * filter: TRAIN ONCE on a labeled snapshot, score any later corpus or
+    * stream against the frozen model ([[nbScoreWithModel]],
+    * [[graft.streaming.Streams.nbGateSink]]). The model is exact integer
+    * counts, so build → reload → score reproduces the in-memory fit
+    * bit-for-bit; refreshing the model against new labels is a rebuild
+    * (the frozen-geometry convention of the index layouts).
+    */
+  def buildNbModel(spark: org.apache.spark.sql.SparkSession, train: DataFrame,
+                   textCol: String, labelCol: String, path: String,
+                   smoothK: Double = 0.5): Unit = {
+    val lab = train.where(col(textCol).isNotNull)
+      .select(col(labelCol).cast("int").as("_y"),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("t"))
+      .where(col("_y").isNotNull)
+    val tok = lab.select(col("_y"), explode(col("t")).as("w"))
+    tok.groupBy(col("w")).agg(
+        count(when(col("_y") === 1, lit(1))).as("c1"),
+        count(when(col("_y") === 0, lit(1))).as("c0"))
+      .write.mode("overwrite").parquet(s"$path/counts")
+    val counts = spark.read.parquet(s"$path/counts")
+    val Array(t1, t0, nv) = counts
+      .agg(sum(col("c1")), sum(col("c0")), count(lit(1)))
+      .collect().head.toSeq.map(_.asInstanceOf[Long].toString).toArray
+    val Array(n1, n0) = lab
+      .agg(count(when(col("_y") === 1, lit(1))),
+        count(when(col("_y") === 0, lit(1))))
+      .collect().head.toSeq.map(_.asInstanceOf[Long].toString).toArray
+    require(n1.toLong > 0 && n0.toLong > 0,
+      s"both classes must be present to fit: n1=$n1 n0=$n0")
+    Similarity.writeIndexMeta(spark, path, Seq(
+      "layout" -> "nb_model", "t1" -> t1, "t0" -> t0, "nv" -> nv,
+      "n1" -> n1, "n0" -> n0, "smooth_k" -> smoothK.toString))
+  }
+
+  /** Score documents under a FROZEN persisted NB model
+    * ([[buildNbModel]]) — identical arithmetic to [[naiveBayesScore]]
+    * with the totals/priors as plan literals from the model's meta table
+    * (one bounded driver read) and the count join against the stored
+    * `counts/` layout. Output and determinism contract identical to the
+    * in-memory fit; a corpus scored by the model that trained on it
+    * reproduces [[naiveBayesScore]] exactly (spec-pinned).
+    */
+  def nbScoreWithModel(spark: org.apache.spark.sql.SparkSession,
+                       df: DataFrame, idCol: String, textCol: String,
+                       path: String): DataFrame = {
+    val meta = Similarity.readIndexMeta(spark, path)
+    require(meta.get("layout").contains("nb_model"),
+      s"not an nb_model layout: $path (meta ${meta.get("layout")})")
+    val k = lit(meta("smooth_k").toDouble)
+    val denom1 = lit(meta("t1").toLong).cast("double") +
+      k * lit(meta("nv").toLong)
+    val denom0 = lit(meta("t0").toLong).cast("double") +
+      k * lit(meta("nv").toLong)
+    val prior = log2(lit(meta("n1").toLong).cast("double") /
+      lit(meta("n0").toLong))
+    val cw = spark.read.parquet(s"$path/counts")
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(expr(s"filter(split($textCol, ' '), x -> x <> '')")).as("w"))
+      .join(cw, Seq("w"), "left")
+      .select(col("doc_id"),
+        (log2((coalesce(col("c1"), lit(0L)).cast("double") + k) / denom1) -
+          log2((coalesce(col("c0"), lit(0L)).cast("double") + k) / denom0))
+          .as("_term"))
+      .groupBy(col("doc_id"))
+      .agg(round(first(prior) + sum(col("_term")), 3).as("log_odds"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("pred", (col("log_odds") > 0).cast("int"))
+  }
+
   /** TF-IDF top terms per document — the keyword/topic-signal primitive
     * (domain tagging, mixture labeling, boilerplate spotting). For each
     * document's distinct tokens: tf = occurrences in the doc, df = number

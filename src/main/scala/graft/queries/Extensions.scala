@@ -463,6 +463,43 @@ object Extensions {
         seqLen = 512, graft.functions.TokenCounters.tinyBpe)
       .orderBy(col("source"), col("seq_id"))
 
+  // q116 cross-corpus perplexity — the CCNet filter shape: the bigram
+  // model trains on the ENGLISH slice only, every document (all
+  // languages) is scored under that model. In-domain docs score low,
+  // foreign-language docs surface as high-perplexity / high-OOV — the
+  // knob a perplexity-bucketed mixture trims on. Same determinism
+  // contract as q73 plus exact-integer OOV counts.
+  val q116_cross_ppl: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    TextAnalysis.bigramLmScoreAgainst(
+        docs.where(col("lang") === "en"), docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  // q117 learned quality filter — the GPT-3 recipe distilled to its
+  // deterministic closed form: provenance weak labels (curated sources
+  // src0-src2 positive, the rest negative), a multinomial NB token model
+  // trained on those labels, every document scored by log-odds of
+  // "curated-like". Training is exact integer counting, so the whole
+  // fit hash-checks — the learned-filter capability without an
+  // unverifiable optimizer in the loop.
+  val q117_nb_quality: Q = (s, d) => {
+    val docs = t(s, d, "documents").withColumn("label",
+      col("source").isin("src0", "src1", "src2").cast("int"))
+    TextAnalysis.naiveBayesScore(docs, "doc_id", "text", "label")
+      .orderBy(col("doc_id"))
+  }
+
+  // q118 tokenized-corpus data card — the trainer-side audit over the
+  // q113 terminal: per shard, contributing docs, BPE token totals, the
+  // ARITHMETICALLY-derived sequence counts (ids lay end-to-end, so
+  // n_seqs = ceil(tokens/512) with no pack shuffle paid), vocabulary
+  // actually used, top-5 ids. All exact integers — no rounding contract.
+  val q118_token_card: Q = (s, d) =>
+    Packing.tokenizedCard(t(s, d, "documents"), "doc_id", "text", "source",
+        seqLen = 512, graft.functions.TokenCounters.tinyBpe)
+      .orderBy(col("source"))
+
   // q102 ANN recall audit — the acceptance gauge for the approximate
   // family: q54's IVF k-NN join scored against the exact brute-force
   // top-10 for the same query set. Both sides deterministic, so the
@@ -1222,5 +1259,8 @@ object Extensions {
     "q112_ivfpq_rerank_knn_join" -> q112_ivfpq_rerank_knn_join,
     "q113_pack_token_ids" -> q113_pack_token_ids,
     "q114_code_rebuild_drift" -> q114_code_rebuild_drift,
-    "q115_curate_token_ids" -> q115_curate_token_ids)
+    "q115_curate_token_ids" -> q115_curate_token_ids,
+    "q116_cross_ppl" -> q116_cross_ppl,
+    "q117_nb_quality" -> q117_nb_quality,
+    "q118_token_card" -> q118_token_card)
 }

@@ -771,6 +771,52 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** The LEARNED-filter admission gate — [[graft.ops.TextAnalysis
+    * .naiveBayesScore]]'s streaming twin over a persisted model
+    * ([[graft.ops.TextAnalysis.buildNbModel]]): every micro-batch is
+    * scored under the FROZEN model (meta constants are plan literals read
+    * once at sink start — the frozen-geometry convention; refreshing the
+    * filter is a model rebuild with the sink stopped) and rows whose
+    * rounded log-odds clear `threshold` append to `outPath` with their
+    * score attached. Null-text rows have no tokens to score and drop —
+    * a learned TEXT filter admits nothing it cannot read.
+    *
+    * Replay contract: scoring is deterministic under a frozen model, so
+    * an at-least-once replay re-emits byte-identical rows — the
+    * [[graft.ops.IndexMaintenance.compactOutput]] keep-any discipline
+    * applies, and no state accumulates in the sink (the gate is
+    * stateless given the model; unlike [[ingestGate]] there is no
+    * standing index to converge).
+    *
+    * Completes the admission-gate ladder: exact keys ([[ingestGate]]),
+    * semantic cells ([[semanticGateSink]]), heuristic floors (the
+    * quality knob), and now a trained provenance classifier.
+    */
+  def nbGateSink(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
+                 idCol: String, textCol: String, modelPath: String,
+                 outPath: String, checkpoint: String,
+                 threshold: Double = 0.0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail fast at sink START if the layout is not an NB model (the
+    // admission-guard convention): one bounded meta read, reused per batch
+    val meta = graft.ops.Similarity.readIndexMeta(spark, modelPath)
+    require(meta.get("layout").contains("nb_model"),
+      s"not an nb_model layout: $modelPath (meta ${meta.get("layout")})")
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scored = graft.ops.TextAnalysis
+          .nbScoreWithModel(spark, batch, idCol, textCol, modelPath)
+          .where(col("log_odds") > threshold)
+          .select(col("doc_id").as(idCol), col("log_odds"))
+        batch.join(scored, Seq(idCol))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
   /** Streaming per-source corpus card — [[graft.ops.Analytics.dataCard]]'s
     * incremental twin for an ingest feed: running n_docs / n_null_text /
     * ws_tokens / avg_chars / approx language count per source, emitted in

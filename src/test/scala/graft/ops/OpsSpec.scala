@@ -1133,6 +1133,51 @@ class OpsSpec extends SparkSpec {
       again.map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2))).toSeq)
   }
 
+  test("tokenizedCard prices the pack without the pack shuffle") {
+    val bpe = graft.functions.TokenCounters.tinyBpe
+    val docs = Seq(
+      (1L, "A", "table data table"),
+      (2L, "A", "row"),
+      (3L, "A", "q w"),
+      (10L, "B", "str line"),
+      (11L, "B", null),
+      (12L, "B", "   "))              // 0 tokens: not a contributing doc
+      .toDF("doc_id", "shard", "text")
+    val card = Packing.tokenizedCard(docs, "doc_id", "text", "shard",
+        seqLen = 4, bpe, topN = 2)
+      .orderBy(col("shard")).collect()
+    // independent truth straight from the encoder
+    val streams = Map(
+      "A" -> Seq("table data table", "row", "q w").flatMap(bpe.encodeTokens),
+      "B" -> Seq("str line").flatMap(bpe.encodeTokens))
+    assert(card.length == 2)
+    card.foreach { r =>
+      val s = streams(r.getString(0))
+      assert(r.getLong(2) == s.length.toLong, "n_tokens")
+      assert(r.getLong(3) == (s.length + 3) / 4, "n_seqs = ceil(tokens/4)")
+      assert(r.getInt(4) == (if (s.length % 4 != 0) 1 else 0), "n_short")
+      assert(r.getLong(5) == s.distinct.length.toLong, "distinct_ids")
+      val top2 = s.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (id, c) => (-c, id) }.take(2).map(_._1)
+      assert(r.getSeq[Int](6) == top2, "top_ids (count desc, id asc)")
+    }
+    assert(card.find(_.getString(0) == "A").get.getLong(1) == 3L)
+    assert(card.find(_.getString(0) == "B").get.getLong(1) == 1L, // null + blank drop
+      "n_docs counts only contributing docs")
+    // the arithmetic card agrees with what packTokens actually emits
+    val packed = Packing.packTokens(docs, "doc_id", "text", "shard", 4, bpe)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_tokens")).as("n_tokens"),
+        count(when(col("n_tokens") < 4, lit(1))).as("n_short"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    card.foreach { r =>
+      val (ns, nt, nsh) = packed(r.getString(0))
+      assert(r.getLong(3) == ns && r.getLong(2) == nt &&
+        r.getInt(4).toLong == nsh)
+    }
+  }
+
   test("representatives: best-scoring member kept per cluster, ties to lowest id") {
     val clusters = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1

@@ -28,6 +28,97 @@ class TextRetrievalSpec extends SparkSpec {
       (2L, "a", 1L, 1.0)))
   }
 
+  test("bigramLmScoreAgainst backs off unseen events into the one smoothing expression") {
+    // train "a b a b": c(a,b)=2, c(b,a)=1; c1(a)=c1(b)=2; V=2, k=0.5
+    val train = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b"), // seen pair:    p = 2.5/3          -> 0.263 bits
+      (2L, "a c"), // unseen pair:  p = 0.5/3          -> 2.585 bits
+      (3L, "z q"), // unseen w1:    p = 0.5/1 = 1/V    -> 1.000 bits
+      (4L, "a"),   // < 2 tokens: absent (the q73 membership contract)
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScoreAgainst(train, score, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .as[(Long, Double, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 0.263, 1L, 0L),
+      (2L, 2.585, 1L, 1L),
+      (3L, 1.0, 1L, 1L)))
+  }
+
+  test("bigramLmScoreAgainst ranks out-of-domain above in-domain") {
+    val train = Seq((0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val score = Seq((10L, "the cat sat on the rug"),
+      (11L, "le chat est sur le tapis")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScoreAgainst(train, score, "doc_id", "text")
+      .as[(Long, Double, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L)._2 < out(11L)._2)  // in-domain scores fewer bits
+    assert(out(10L)._4 == 0L && out(11L)._4 == 5L) // every foreign bigram OOV
+  }
+
+  test("naiveBayesScore reproduces the hand-computed add-k log-odds") {
+    // train: doc1(y=1)="good good", doc2(y=0)="bad"; doc3 unlabeled.
+    // c(good,1)=2 c(bad,0)=1, V=2, t1=2 t0=1, N1=N0=1 -> prior 0.
+    val docs = Seq(
+      (1L, "good good", Some(1)), (2L, "bad", Some(0)),
+      (3L, "good bad x", None), (4L, null.asInstanceOf[String], Some(1))
+    ).toDF("doc_id", "text", "label")
+    val out = TextAnalysis.naiveBayesScore(docs, "doc_id", "text", "label")
+      .orderBy(col("doc_id"))
+      .as[(Long, Double, Long, Int)].collect()
+    def r3(x: Double) =
+      BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lgGood = math.log((2.5 / 3.0) / 0.25) / math.log(2.0)   //  1.737
+    val lgBad = math.log((0.5 / 3.0) / 0.75) / math.log(2.0)    // -2.170
+    val lgX = math.log((0.5 / 3.0) / 0.25) / math.log(2.0)      // -0.585
+    assert(out.toSeq == Seq(
+      (1L, r3(2 * lgGood), 2L, 1),
+      (2L, r3(lgBad), 1L, 0),
+      (3L, r3(lgGood + lgBad + lgX), 3L, 0)))  // unlabeled rows still score
+  }
+
+  test("naiveBayesScore separates a provenance-planted corpus") {
+    val curated = (0L until 20L).map(i => (i, "clear prose with signal", Some(1)))
+    val crawl = (20L until 40L).map(i => (i, "spam spam click here", Some(0)))
+    val unseen = Seq((100L, "clear prose", None), (101L, "spam click", None))
+    val docs = (curated ++ crawl ++ unseen).toDF("doc_id", "text", "label")
+    val out = TextAnalysis.naiveBayesScore(docs, "doc_id", "text", "label")
+      .as[(Long, Double, Long, Int)].collect().map(r => r._1 -> r._4).toMap
+    assert(out(100L) == 1 && out(101L) == 0)
+  }
+
+  test("persisted NB model reproduces the in-memory fit bit-for-bit") {
+    val docs = Seq(
+      (1L, "good clean prose here", Some(1)),
+      (2L, "good signal rich text", Some(1)),
+      (3L, "spam click bait spam", Some(0)),
+      (4L, "bait noise spam junk", Some(0)),
+      (5L, "clean prose spam", None)
+    ).toDF("doc_id", "text", "label")
+    val dir = tmpDir("graft_nb_")
+    TextAnalysis.buildNbModel(spark, docs, "text", "label", dir)
+    val inMem = TextAnalysis.naiveBayesScore(docs, "doc_id", "text", "label")
+      .orderBy(col("doc_id")).as[(Long, Double, Long, Int)].collect().toSeq
+    val frozen = TextAnalysis.nbScoreWithModel(spark, docs, "doc_id", "text", dir)
+      .orderBy(col("doc_id")).as[(Long, Double, Long, Int)].collect().toSeq
+    assert(frozen == inMem)
+    assert(inMem.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    // a non-model layout fails fast with the reason
+    val bad = intercept[IllegalArgumentException] {
+      TextAnalysis.nbScoreWithModel(spark, docs, "doc_id", "text",
+        tmpDir("graft_notamodel_"))
+    }
+    assert(bad.getMessage.contains("nb_model"))
+    // single-class training fails fast
+    val oneClass = intercept[IllegalArgumentException] {
+      TextAnalysis.buildNbModel(spark,
+        docs.where(col("label") === 1), "text", "label", tmpDir("graft_nb1_"))
+    }
+    assert(oneClass.getMessage.contains("both classes"))
+  }
+
   test("bm25 scores the matching doc with the hand-computed okapi value") {
     val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
     val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("x"))

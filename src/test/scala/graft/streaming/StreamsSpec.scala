@@ -1014,6 +1014,44 @@ class StreamsSpec extends SparkSpec {
       s"contaminated doc 1 must be screened out, got $kept")
   }
 
+  test("nbGateSink admits stream rows the frozen batch scorer admits") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      (1L, "good clean prose here", 1), (2L, "good signal rich text", 1),
+      (3L, "spam click bait spam", 0), (4L, "bait noise spam junk", 0))
+      .toDF("doc_id", "text", "label")
+    val model = tmpDir("graft_nbgate_model_")
+    graft.ops.TextAnalysis.buildNbModel(spark, train, "text", "label", model)
+    val out = tmpDir("graft_nbgate_out_")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.nbGateSink(spark, mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", model, out, tmpDir("graft_nbgate_ck_"))
+    val batch1 = Seq((10L, "clean prose signal"), (11L, "spam bait click"))
+    val batch2 = Seq((12L, "good text"), (13L, "junk noise"),
+      (14L, null.asInstanceOf[String]))
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.read.parquet(out)
+    assert(admitted.select("doc_id").as[Long].collect().toSet == Set(10L, 12L),
+      "curated-like rows pass, crawl-like and null-text rows drop")
+    // scores attached to admitted rows equal the frozen batch scorer's
+    val batchScores = graft.ops.TextAnalysis.nbScoreWithModel(spark,
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", model)
+      .where(col("log_odds") > 0)
+      .select("doc_id", "log_odds").as[(Long, Double)].collect().toSet
+    assert(admitted.select("doc_id", "log_odds")
+      .as[(Long, Double)].collect().toSet == batchScores)
+    // a non-model path fails at sink START, not at first batch
+    val bad = intercept[IllegalArgumentException] {
+      Streams.nbGateSink(spark, mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", tmpDir("graft_nbgate_bad_"), out,
+        tmpDir("graft_nbgate_ck2_"))
+    }
+    assert(bad.getMessage.contains("nb_model"))
+  }
+
   test("stratifiedSample runs unchanged on a stream (stateless md5 filter)") {
     // mixture sampling is a pure deterministic filter, so the SAME
     // operator screens a firehose with zero state — and batch/stream
