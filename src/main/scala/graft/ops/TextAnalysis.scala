@@ -310,6 +310,79 @@ object TextAnalysis {
         count(when(col("_oov"), lit(1))).as("n_oov"))
   }
 
+  /** Persist the [[bigramLmScoreAgainst]] reference model as a layout:
+    * `bigrams/` (w1, w2, c12), `unigrams/` (w, c1) plus a `meta`
+    * parameter table (vocabulary size, smoothing k) — the deployment
+    * shape of the perplexity filter: TRAIN ONCE on the trusted slice,
+    * score any later corpus or stream against the frozen model
+    * ([[bigramScoreWithModel]], [[graft.streaming.Streams.pplGateSink]]).
+    * The model is exact integer counts, so build → reload → score
+    * reproduces the in-memory fit bit-for-bit (spec-pinned); refreshing
+    * against a new trusted slice is a rebuild (the frozen-geometry
+    * convention of the index layouts, same as [[buildNbModel]]).
+    */
+  def buildBigramLm(spark: org.apache.spark.sql.SparkSession,
+                    train: DataFrame, textCol: String, path: String,
+                    smoothK: Double = 0.5): Unit = {
+    val toks = train.where(col(textCol).isNotNull)
+      .select(expr(s"filter(split($textCol, ' '), x -> x <> '')").as("t"))
+    toks.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .write.mode("overwrite").parquet(s"$path/bigrams")
+    toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .write.mode("overwrite").parquet(s"$path/unigrams")
+    val nv = spark.read.parquet(s"$path/unigrams").count()
+    require(nv > 0, "training slice has no tokens to fit a bigram LM on")
+    Similarity.writeIndexMeta(spark, path, Seq(
+      "layout" -> "bigram_lm", "nv" -> nv.toString,
+      "smooth_k" -> smoothK.toString))
+  }
+
+  /** Score documents under a FROZEN persisted bigram LM
+    * ([[buildBigramLm]]) — identical arithmetic to
+    * [[bigramLmScoreAgainst]] with the vocabulary size as a plan literal
+    * from the model's meta table (one bounded driver read) and the count
+    * joins against the stored `bigrams/` / `unigrams/` layouts. Output
+    * (doc_id, xent_bits, n_bigrams, n_oov) and determinism contract
+    * identical to the in-memory form; a corpus scored by the model that
+    * trained on it reproduces [[bigramLmScoreAgainst]] exactly
+    * (spec-pinned).
+    */
+  def bigramScoreWithModel(spark: org.apache.spark.sql.SparkSession,
+                           df: DataFrame, idCol: String, textCol: String,
+                           path: String): DataFrame = {
+    val meta = Similarity.readIndexMeta(spark, path)
+    require(meta.get("layout").contains("bigram_lm"),
+      s"not a bigram_lm layout: $path (meta ${meta.get("layout")})")
+    val k = meta("smooth_k").toDouble
+    val nv = lit(meta("nv").toLong)
+    val big = spark.read.parquet(s"$path/bigrams")
+    val uni = spark.read.parquet(s"$path/unigrams")
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"), "left")
+      .select(col("doc_id"), col("c12").isNull.as("_oov"),
+        ((coalesce(col("c12"), lit(0L)).cast("double") + k) /
+          (coalesce(col("c1"), lit(0L)).cast("double") +
+            lit(k) * nv)).as("_p"))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log2(col("_p"))), 3).as("xent_bits"),
+        count(lit(1)).as("n_bigrams"),
+        count(when(col("_oov"), lit(1))).as("n_oov"))
+  }
+
   /** Weak-label Naive-Bayes document scorer — the learned quality filter
     * in its distributable closed form (the GPT-3/CCNet recipe: label a
     * slice by provenance — curated sources positive, raw crawl negative —

@@ -817,6 +817,46 @@ object Streams {
       .start()
   }
 
+  /** The perplexity admission gate — [[graft.ops.TextAnalysis
+    * .bigramLmScoreAgainst]]'s streaming twin over a persisted reference
+    * LM ([[graft.ops.TextAnalysis.buildBigramLm]]): every micro-batch is
+    * scored under the FROZEN model and rows whose rounded cross-entropy
+    * stays at or under `maxBits` append to `outPath` with
+    * (xent_bits, n_oov) attached — the CCNet in-domain screen as a
+    * standing ingest filter. Null-text rows and <2-token rows have no
+    * transitions to rate and drop (a perplexity filter admits nothing it
+    * cannot score).
+    *
+    * Same replay contract as [[nbGateSink]]: deterministic scoring under
+    * a frozen model, stateless given the layout, at-least-once replays
+    * re-emit byte-identical rows (the compactOutput keep-any discipline).
+    * Refreshing the reference slice is a model rebuild with the sink
+    * stopped — the frozen-geometry convention.
+    */
+  def pplGateSink(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
+                  idCol: String, textCol: String, modelPath: String,
+                  outPath: String, checkpoint: String, maxBits: Double)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail fast at sink START if the layout is not a bigram LM (the
+    // admission-guard convention): one bounded meta read
+    val meta = graft.ops.Similarity.readIndexMeta(spark, modelPath)
+    require(meta.get("layout").contains("bigram_lm"),
+      s"not a bigram_lm layout: $modelPath (meta ${meta.get("layout")})")
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scored = graft.ops.TextAnalysis
+          .bigramScoreWithModel(spark, batch, idCol, textCol, modelPath)
+          .where(col("xent_bits") <= maxBits)
+          .select(col("doc_id").as(idCol), col("xent_bits"), col("n_oov"))
+        batch.join(scored, Seq(idCol))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
   /** Streaming per-source corpus card — [[graft.ops.Analytics.dataCard]]'s
     * incremental twin for an ingest feed: running n_docs / n_null_text /
     * ws_tokens / avg_chars / approx language count per source, emitted in

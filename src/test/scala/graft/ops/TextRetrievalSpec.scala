@@ -58,6 +58,35 @@ class TextRetrievalSpec extends SparkSpec {
     assert(out(10L)._4 == 0L && out(11L)._4 == 5L) // every foreign bigram OOV
   }
 
+  test("persisted bigram LM reproduces the in-memory cross-scorer bit-for-bit") {
+    val train = Seq((0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val score = Seq((10L, "the cat sat on the rug"),
+      (11L, "le chat est sur le tapis"), (12L, "the"), // <2 tokens: absent
+      (13L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val dir = tmpDir("graft_bglm_")
+    TextAnalysis.buildBigramLm(spark, train, "text", dir)
+    val inMem = TextAnalysis.bigramLmScoreAgainst(train, score, "doc_id", "text")
+      .orderBy(col("doc_id")).as[(Long, Double, Long, Long)].collect().toSeq
+    val frozen = TextAnalysis.bigramScoreWithModel(spark, score, "doc_id", "text", dir)
+      .orderBy(col("doc_id")).as[(Long, Double, Long, Long)].collect().toSeq
+    assert(frozen == inMem)
+    assert(inMem.map(_._1) == Seq(10L, 11L))
+    // a non-LM layout fails fast with the reason
+    val bad = intercept[IllegalArgumentException] {
+      TextAnalysis.bigramScoreWithModel(spark, score, "doc_id", "text",
+        tmpDir("graft_notalm_"))
+    }
+    assert(bad.getMessage.contains("bigram_lm"))
+    // an empty training slice fails fast at build
+    val empty = intercept[IllegalArgumentException] {
+      TextAnalysis.buildBigramLm(spark,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "text",
+        tmpDir("graft_bglm0_"))
+    }
+    assert(empty.getMessage.contains("no tokens"))
+  }
+
   test("naiveBayesScore reproduces the hand-computed add-k log-odds") {
     // train: doc1(y=1)="good good", doc2(y=0)="bad"; doc3 unlabeled.
     // c(good,1)=2 c(bad,0)=1, V=2, t1=2 t0=1, N1=N0=1 -> prior 0.

@@ -1052,6 +1052,44 @@ class StreamsSpec extends SparkSpec {
     assert(bad.getMessage.contains("nb_model"))
   }
 
+  test("pplGateSink admits in-domain stream rows under the frozen reference LM") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val model = tmpDir("graft_pplgate_model_")
+    graft.ops.TextAnalysis.buildBigramLm(spark, train, "text", model)
+    val out = tmpDir("graft_pplgate_out_")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.pplGateSink(spark, mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", model, out, tmpDir("graft_pplgate_ck_"), maxBits = 2.0)
+    val batch1 = Seq((10L, "the cat sat on the rug"),
+      (11L, "le chat est sur le tapis"))
+    val batch2 = Seq((12L, "the dog sat on the mat"), (13L, "zz"),
+      (14L, null.asInstanceOf[String]))
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.read.parquet(out)
+    assert(admitted.select("doc_id").as[Long].collect().toSet == Set(10L, 12L),
+      "in-domain rows pass; OOV-heavy, single-token and null-text rows drop")
+    // scores attached equal the frozen batch scorer's
+    val batchScores = graft.ops.TextAnalysis.bigramScoreWithModel(spark,
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", model)
+      .where(col("xent_bits") <= 2.0)
+      .select("doc_id", "xent_bits", "n_oov")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(admitted.select("doc_id", "xent_bits", "n_oov")
+      .as[(Long, Double, Long)].collect().toSet == batchScores)
+    // a non-LM path fails at sink START, not at first batch
+    val bad = intercept[IllegalArgumentException] {
+      Streams.pplGateSink(spark, mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", tmpDir("graft_pplgate_bad_"), out,
+        tmpDir("graft_pplgate_ck2_"), maxBits = 2.0)
+    }
+    assert(bad.getMessage.contains("bigram_lm"))
+  }
+
   test("stratifiedSample runs unchanged on a stream (stateless md5 filter)") {
     // mixture sampling is a pure deterministic filter, so the SAME
     // operator screens a firehose with zero state — and batch/stream
