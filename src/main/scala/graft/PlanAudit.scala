@@ -7,7 +7,8 @@ package graft
   * stage reuse is a runtime decision invisible in the pre-execution plan.
   *
   * Reading the bnlj column: the brute-force top-k family (q25/q59/q70)
-  * and the scalar-total attaches (q64/q68/q73's vocab size) intentionally plan a
+  * and the scalar-total attaches (q64/q68/q73's vocab size, q116/q117/
+  * q119's vocab/totals/priors/model constants) intentionally plan a
   * BroadcastNestedLoopJoin whose BUILD SIDE IS ONE ROW — the query
   * vector / 1-row aggregate attached to every row (a scalar broadcast;
   * there is no join key by construction). That is the
@@ -62,7 +63,8 @@ object PlanAudit {
       "q109_ivfpq_residual_topk", "q110_ivfpq_residual_knn_join",
       "q111_ivf_rebuild_drift", "q112_ivfpq_rerank_knn_join",
       "q113_pack_token_ids", "q114_code_rebuild_drift",
-      "q115_curate_token_ids")
+      "q115_curate_token_ids", "q116_cross_ppl", "q117_nb_quality",
+      "q118_token_card", "q119_dsir_resample")
     // optional args = audit only these queries (iterating on one
     // operator); a trailing `--json <path>` additionally writes the
     // table as the per-round PLANAUDIT artifact, so plan-shape

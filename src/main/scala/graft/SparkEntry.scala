@@ -312,6 +312,7 @@ object SparkEntry {
     "q116_cross_ppl" -> crossPplSql,
     "q117_nb_quality" -> nbQualitySql,
     "q118_token_card" -> tokenCardSql,
+    "q119_dsir_resample" -> dsirResampleSql,
     // q62 oracle: the Bloom stage is a pure prefilter (no false
     // negatives) and the verify restores exactness, so the engine result
     // equals the plain NOT EXISTS on the content hash. Null-text rows
@@ -1936,6 +1937,45 @@ object SparkEntry {
        |       t.distinct_ids, t.top_ids
        |FROM shard s JOIN tops t USING (source)
        |ORDER BY s.source""".stripMargin
+
+  /** q119 oracle: the DSIR arithmetic replayed — q69's md5 bucket per
+    * token, bucketed counts split target/pool, add-k bucket models over
+    * the populated buckets (kd = 0.5·64 = 32 folded as a literal), the
+    * per-doc Σ cnt·(ln p − ln q) rounded at 3, and the Gumbel key from
+    * the same md5 coin rounded at 6 before the top-100 (ties to doc_id).
+    * Exact counts, correctly-rounded divisions, ln within an ulp — the
+    * learned-filter contract.
+    */
+  private def dsirResampleSql: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |         UNNEST(list_filter(STRING_SPLIT(text, ' '), x -> x <> '')) AS tk
+       |       FROM documents WHERE text IS NOT NULL),
+       |sp AS (SELECT doc_id,
+       |         ('0x' || SUBSTR(MD5(tk), 1, 8))::BIGINT % 64 AS bucket,
+       |         COUNT(*) AS cnt
+       |       FROM tok GROUP BY 1, 2),
+       |lab AS (SELECT doc_id,
+       |          source IN ('src0', 'src1', 'src2') AS t FROM documents),
+       |bt AS (SELECT bucket,
+       |         SUM(CASE WHEN l.t THEN cnt ELSE 0 END) AS ct, SUM(cnt) AS cr
+       |       FROM sp JOIN lab l USING (doc_id) GROUP BY 1),
+       |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bt),
+       |lr AS (SELECT bucket,
+       |           LN((CAST(ct AS DOUBLE) + 0.5) / (CAST(tt AS DOUBLE) + 32.0))
+       |         - LN((CAST(cr AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 32.0))
+       |           AS lrv
+       |       FROM bt CROSS JOIN tot),
+       |w AS (SELECT doc_id, ROUND(SUM(CAST(cnt AS DOUBLE) * lrv), 3) AS log_w,
+       |        CAST(SUM(cnt) AS BIGINT) AS n_tokens
+       |      FROM sp JOIN lr USING (bucket) GROUP BY 1),
+       |g AS (SELECT doc_id, log_w, n_tokens,
+       |        ROUND(log_w - LN(-LN(
+       |          (('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |            + 0.5) / 4294967296.0)), 6) AS gk
+       |      FROM w)
+       |SELECT doc_id, log_w, n_tokens
+       |FROM (SELECT * FROM g ORDER BY gk DESC, doc_id LIMIT 100)
+       |ORDER BY doc_id""".stripMargin
 
   private def packTokenIdsSql: String = {
     s"""WITH RECURSIVE $bpeWordCtes,

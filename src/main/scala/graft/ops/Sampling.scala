@@ -255,4 +255,88 @@ object Sampling {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .drop("_k")
   }
+
+  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rate every document by
+    * how much more likely its hashed-n-gram profile is under a TARGET
+    * slice's bag-of-buckets model than under the raw pool's. Features
+    * are [[graft.functions.VectorFunctions.hashEmbed]]'s md5 buckets
+    * (the q69 convention — fixed `dim`-width space, no vocabulary to
+    * ship); both models are add-k–smoothed bucket frequencies
+    *
+    *   p(b) = (c_target(b)+k)/(T_target+k·dim),  q(b) likewise over
+    *   the whole pool,  log_w(d) = Σ_b cnt_d(b)·(ln p(b) − ln q(b))
+    *
+    * computed over the buckets the pool actually populates (an
+    * unpopulated bucket can never be observed in a document, so it
+    * cannot contribute a term). `isTarget` marks the target slice
+    * (rows where it is null count as non-target); only documents with
+    * ≥ 1 token are rated — a profile-based weight admits nothing it
+    * cannot profile. Output: (doc_id, log_w nats rounded at 3,
+    * n_tokens).
+    *
+    * Shape at 100 TB: the sparse (doc, bucket, cnt) stream never
+    * explodes per token (one codegen'd hashEmbed pass per document,
+    * ≤ dim rows out); both models live in ONE dim-bounded aggregate
+    * whose log-ratio table broadcasts back onto the stream; the per-doc
+    * sum is a map-side-combinable aggregation on the doc key.
+    * Determinism: exact integer counts, correctly-rounded divisions,
+    * ln within an ulp, rounded at 3 — the bigram-LM contract.
+    */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column, dim: Int = 64,
+                     smoothK: Double = 0.5): DataFrame = {
+    require(dim >= 1, s"dim must be positive: $dim")
+    val sparse = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        coalesce(isTarget.cast("boolean"), lit(false)).as("_t"),
+        posexplode(graft.functions.VectorFunctions.hashEmbed(col(textCol), dim))
+          .as(Seq("bucket", "cnt")))
+      .where(col("cnt") > 0)
+      .select(col("doc_id"), col("_t"), col("bucket").cast("long").as("bucket"),
+        col("cnt").cast("long").as("cnt"))
+    val btab = sparse.groupBy(col("bucket")).agg(
+      sum(when(col("_t"), col("cnt")).otherwise(lit(0L))).as("ct"),
+      sum(col("cnt")).as("cr"))
+    val tot = btab.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val kd = lit(smoothK) * dim
+    val ratio = btab.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (log((col("ct").cast("double") + smoothK) /
+            (col("tt").cast("double") + kd)) -
+          log((col("cr").cast("double") + smoothK) /
+            (col("tr").cast("double") + kd))).as("_lr"))
+    sparse.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("cnt").cast("double") * col("_lr")), 3).as("log_w"),
+        sum(col("cnt")).as("n_tokens"))
+  }
+
+  /** DSIR importance RESAMPLING — the selection step over
+    * [[dsirLogWeights]]: draw `n` documents without replacement with
+    * probability ∝ their importance weight, via deterministic Gumbel
+    * top-k. Each document's key is log_w + Gumbel(md5(id)): the Gumbel
+    * noise comes from the md5 coin every sampler here uses
+    * (u = (first-8-nibbles + ½)/2³², g = −ln(−ln u)), so the "random"
+    * draw is a pure function of (corpus, target slice, id) — re-runs,
+    * repartitionings and engines agree row-for-row, and the DuckDB
+    * oracle replays the identical arithmetic. Keys are rounded at 6
+    * before ranking (ties fall to doc_id) so the cross-engine order is
+    * exactly as deterministic as the values it sorts.
+    *
+    * Scale: the weight side is [[dsirLogWeights]]'s bounded-broadcast
+    * shape; the selection is a TakeOrdered top-n, never a global sort.
+    */
+  def dsirResample(df: DataFrame, idCol: String, textCol: String,
+                   isTarget: Column, n: Int, dim: Int = 64,
+                   smoothK: Double = 0.5): DataFrame = {
+    require(n >= 1, s"n must be positive: $n")
+    val w = dsirLogWeights(df, idCol, textCol, isTarget, dim, smoothK)
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    w.withColumn("_g", round(col("log_w") - log(-log(u)), 6))
+      .orderBy(col("_g").desc, col("doc_id"))
+      .limit(n)
+      .drop("_g")
+  }
 }

@@ -500,6 +500,17 @@ object Extensions {
         seqLen = 512, graft.functions.TokenCounters.tinyBpe)
       .orderBy(col("source"))
 
+  // q119 DSIR importance resampling — the data-selection step: hashed
+  // n-gram models of the curated slice (src0-src2) vs the whole pool,
+  // per-doc importance log-weights, 100 docs drawn ∝ weight by
+  // deterministic Gumbel top-k (the md5 coin as the noise source, keys
+  // rounded at 6 before ranking). Counts exact, divisions correctly
+  // rounded, ln within an ulp — the learned-filter contract.
+  val q119_dsir_resample: Q = (s, d) =>
+    Sampling.dsirResample(t(s, d, "documents"), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2"), n = 100, dim = 64)
+      .orderBy(col("doc_id"))
+
   // q102 ANN recall audit — the acceptance gauge for the approximate
   // family: q54's IVF k-NN join scored against the exact brute-force
   // top-10 for the same query set. Both sides deterministic, so the
@@ -1262,5 +1273,6 @@ object Extensions {
     "q115_curate_token_ids" -> q115_curate_token_ids,
     "q116_cross_ppl" -> q116_cross_ppl,
     "q117_nb_quality" -> q117_nb_quality,
-    "q118_token_card" -> q118_token_card)
+    "q118_token_card" -> q118_token_card,
+    "q119_dsir_resample" -> q119_dsir_resample)
 }

@@ -506,6 +506,48 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dsirLogWeights rates target-like docs above pool-like docs") {
+    // target slice speaks "alpha beta"; the pool noise speaks "zzz qqq"
+    val target = (0L until 10L).map(i => (i, "alpha beta alpha", true))
+    val pool = (10L until 30L).map(i => (i, "zzz qqq zzz qqq", false))
+    val probes = Seq((100L, "alpha beta", false), (101L, "zzz qqq", false),
+      (102L, null.asInstanceOf[String], false), (103L, "   ", false))
+    val df = (target ++ pool ++ probes).toDF("doc_id", "text", "tgt")
+    val w = Sampling.dsirLogWeights(df, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(!w.contains(102L) && !w.contains(103L),
+      "null/empty text cannot be profiled")
+    assert(w(100L)._1 > 0 && w(101L)._1 < 0,
+      s"target-like positive, pool-like negative: ${w(100L)} ${w(101L)}")
+    assert(w(100L)._2 == 2L && w(101L)._2 == 2L)
+    // weights are a pure function of the corpus: re-run identical
+    val again = Sampling.dsirLogWeights(df, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(again == w)
+  }
+
+  test("dsirResample draws high-weight docs without replacement, deterministically") {
+    // long docs: per-token log-ratios accumulate, so the weight gap
+    // dwarfs the ~1.3-nat Gumbel noise and the draw must concentrate
+    val tgtText = Seq.fill(8)("alpha beta gamma").mkString(" ")
+    val target = (0L until 5L).map(i => (i, tgtText, true))
+    val likeTarget = (10L until 40L).map(i => (i, tgtText, false))
+    val noise = (100L until 160L).map(i =>
+      (i, Seq.fill(8)(s"junk${i % 7} spam${i % 5} noise${i % 3}").mkString(" "), false))
+    val df = (target ++ likeTarget ++ noise).toDF("doc_id", "text", "tgt")
+    val picked = Sampling.dsirResample(df, "doc_id", "text", col("tgt"), n = 20)
+      .collect().map(_.getLong(0))
+    assert(picked.length == 20 && picked.distinct.length == 20,
+      "without replacement")
+    val targetLike = picked.count(id => id < 40L)
+    assert(targetLike == 20,
+      s"selection should concentrate on target-like docs, got $targetLike/20")
+    // deterministic: the same draw on a re-run
+    val again = Sampling.dsirResample(df, "doc_id", "text", col("tgt"), n = 20)
+      .collect().map(_.getLong(0))
+    assert(again.toSeq == picked.toSeq)
+  }
+
   test("trainingOrder: reproducible shuffle, dense per-shard ranks, growth-stable order") {
     val docs = (1L to 400L).map(Tuple1(_)).toDF("doc_id")
     val out = Sampling.trainingOrder(docs, "doc_id", nShards = 8)
