@@ -313,6 +313,15 @@ object SparkEntry {
     "q117_nb_quality" -> nbQualitySql,
     "q118_token_card" -> tokenCardSql,
     "q119_dsir_resample" -> dsirResampleSql,
+    // q120 oracle: q116's statement as a subquery with the same fixed
+    // CASE cuts over the rounded score — band membership is exactly as
+    // deterministic as the q116 value it compares.
+    "q120_ppl_partition" ->
+      s"""SELECT doc_id, xent_bits, n_bigrams, n_oov,
+         |  CASE WHEN xent_bits < 4.9 THEN 'head'
+         |       WHEN xent_bits >= 5.0 THEN 'tail'
+         |       ELSE 'middle' END AS bucket
+         |FROM ($crossPplSql) ORDER BY doc_id""".stripMargin,
     // q62 oracle: the Bloom stage is a pure prefilter (no false
     // negatives) and the verify restores exactness, so the engine result
     // equals the plain NOT EXISTS on the content hash. Null-text rows

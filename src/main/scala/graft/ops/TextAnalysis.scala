@@ -383,6 +383,35 @@ object TextAnalysis {
         count(when(col("_oov"), lit(1))).as("n_oov"))
   }
 
+  /** Perplexity-bucketed partition — the CCNet head/middle/tail split
+    * over [[bigramLmScoreAgainst]]: every scorable document is labeled
+    * `head` (xent_bits < `loBits`: suspiciously predictable —
+    * boilerplate, templates, duplicated spans), `middle` (the keep
+    * band), or `tail` (≥ `hiBits`: out-of-domain, wrong language,
+    * incoherent). The classic trim keeps `middle`; emitting the label
+    * instead of pre-filtering lets a mixture recipe weight the bands
+    * (CCNet trains on head+middle with tail downsampled, not dropped).
+    *
+    * Thresholds are FIXED literals by design — the deployment shape: at
+    * 100 TB the cuts are derived once offline (e.g. `approxQuantile` on
+    * a sample, or the published per-language tables) and applied as
+    * plan constants, so the partition is a pure per-row CASE over the
+    * scorer's output with no global sort or quantile pass in the hot
+    * path. Comparisons are against the ROUNDED xent_bits, so band
+    * membership is as deterministic as the score itself.
+    */
+  def perplexityPartition(train: DataFrame, score: DataFrame,
+                          idCol: String, textCol: String,
+                          loBits: Double, hiBits: Double,
+                          smoothK: Double = 0.5): DataFrame = {
+    require(loBits < hiBits, s"need loBits < hiBits: $loBits >= $hiBits")
+    bigramLmScoreAgainst(train, score, idCol, textCol, smoothK)
+      .withColumn("bucket",
+        when(col("xent_bits") < loBits, lit("head"))
+          .when(col("xent_bits") >= hiBits, lit("tail"))
+          .otherwise(lit("middle")))
+  }
+
   /** Weak-label Naive-Bayes document scorer — the learned quality filter
     * in its distributable closed form (the GPT-3/CCNet recipe: label a
     * slice by provenance — curated sources positive, raw crawl negative —

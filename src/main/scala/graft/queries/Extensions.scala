@@ -500,6 +500,19 @@ object Extensions {
         seqLen = 512, graft.functions.TokenCounters.tinyBpe)
       .orderBy(col("source"))
 
+  // q120 perplexity-bucketed partition — the CCNet trim over q116: fixed
+  // head/middle/tail cuts (derived offline, applied as plan literals —
+  // no quantile pass in the hot path) label every scorable document
+  // against the English-slice reference LM. Band membership compares
+  // the ROUNDED score, so the label is as deterministic as q116.
+  val q120_ppl_partition: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    TextAnalysis.perplexityPartition(
+        docs.where(col("lang") === "en"), docs, "doc_id", "text",
+        loBits = 4.9, hiBits = 5.0)
+      .orderBy(col("doc_id"))
+  }
+
   // q119 DSIR importance resampling — the data-selection step: hashed
   // n-gram models of the curated slice (src0-src2) vs the whole pool,
   // per-doc importance log-weights, 100 docs drawn ∝ weight by
@@ -1274,5 +1287,6 @@ object Extensions {
     "q116_cross_ppl" -> q116_cross_ppl,
     "q117_nb_quality" -> q117_nb_quality,
     "q118_token_card" -> q118_token_card,
-    "q119_dsir_resample" -> q119_dsir_resample)
+    "q119_dsir_resample" -> q119_dsir_resample,
+    "q120_ppl_partition" -> q120_ppl_partition)
 }

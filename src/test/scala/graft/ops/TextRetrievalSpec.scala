@@ -87,6 +87,25 @@ class TextRetrievalSpec extends SparkSpec {
     assert(empty.getMessage.contains("no tokens"))
   }
 
+  test("perplexityPartition labels the CCNet bands against fixed cuts") {
+    // train "a b a b": from the backoff spec, seen pair -> 0.263 bits,
+    // unseen pair -> 2.585, unseen w1 -> 1.000
+    val train = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b"), (2L, "a c"), (3L, "z q"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityPartition(train, score, "doc_id", "text",
+        loBits = 0.5, hiBits = 2.0)
+      .orderBy(col("doc_id"))
+      .select("doc_id", "xent_bits", "bucket")
+      .as[(Long, Double, String)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 0.263, "head"), (2L, 2.585, "tail"), (3L, 1.0, "middle")))
+    val bad = intercept[IllegalArgumentException] {
+      TextAnalysis.perplexityPartition(train, score, "doc_id", "text", 2.0, 2.0)
+    }
+    assert(bad.getMessage.contains("loBits"))
+  }
+
   test("naiveBayesScore reproduces the hand-computed add-k log-odds") {
     // train: doc1(y=1)="good good", doc2(y=0)="bad"; doc3 unlabeled.
     // c(good,1)=2 c(bad,0)=1, V=2, t1=2 t0=1, N1=N0=1 -> prior 0.
