@@ -352,4 +352,104 @@ object PipelineTasks {
       log.write(s"rebuilt index geometry at $path")
     }
   }
+
+  /** `fit`: train a learned-filter model from the source corpus and
+    * persist it as a frozen layout — the train-once step of the
+    * fit → score lifecycle (the model layouts the `score` task and the
+    * streaming gates consume). `method`:
+    *
+    *  - `"nb"` — [[graft.ops.TextAnalysis.buildNbModel]]: multinomial
+    *    NB over 0/1 `label` (provenance weak labels);
+    *  - `"ppl"` — [[graft.ops.TextAnalysis.buildBigramLm]]: add-k
+    *    bigram LM over the reference slice (`train_where` optionally
+    *    narrows the source to the trusted rows first).
+    *
+    * Refreshing a model is a re-run of this task (overwrite semantics —
+    * the frozen-geometry convention); running sinks re-read at start.
+    */
+  object FitTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit = {
+      val cfg = task("fit")
+      val df0 = sourceDf(ctx, task)
+      val df = cfg.strOpt("train_where").map(w => df0.where(expr(w)))
+        .getOrElse(df0)
+      val path = ctx.dir(cfg.str("model"))
+      val k = cfg.str("smooth_k", "0.5").toDouble
+      cfg.str("method") match {
+        case "nb" => graft.ops.TextAnalysis.buildNbModel(ctx.spark, df,
+          cfg.str("text", "text"), cfg.str("label", "label"), path, k)
+        case "ppl" => graft.ops.TextAnalysis.buildBigramLm(ctx.spark, df,
+          cfg.str("text", "text"), path, k)
+        case m => throw new IllegalArgumentException(s"unknown fit method: $m")
+      }
+      log.write(s"fitted ${cfg.str("method")} model at $path")
+    }
+  }
+
+  /** `score`: the learned document filters as an ETL shape — rate every
+    * source row with a quality/domain signal and emit the ROWS with the
+    * score attached (rows the scorer cannot rate — null text, and for
+    * `ppl` single-token docs — drop, the admission-gate convention).
+    * `method`:
+    *
+    *  - `"nb"` — log-odds under a frozen [[FitTask]] `model`, or an
+    *    in-task fit from `label` when no model path is given; optional
+    *    `min_log_odds` admits only curated-like rows;
+    *  - `"ppl"` — cross-entropy bits under a frozen `model` or an
+    *    in-task reference fit from `train_where`; optional `max_bits`
+    *    admission filter and/or `lo_bits`/`hi_bits` CCNet band label;
+    *  - `"dsir"` — importance log-weights against the `target_where`
+    *    slice ([[Sampling.dsirLogWeights]]); with `n`, the Gumbel
+    *    top-k resample ([[Sampling.dsirResample]]) — the output IS the
+    *    selection.
+    */
+  object ScoreTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
+      Tasks.etl(ctx, task, log, "score")(sourceDf(ctx, task)) { (df, lg, meter) =>
+        val cfg = task("score")
+        val id = cfg.str("id", "doc_id")
+        val text = cfg.str("text", "text")
+        val k = cfg.str("smooth_k", "0.5").toDouble
+        val ta = graft.ops.TextAnalysis
+        val scored = cfg.str("method") match {
+          case "nb" =>
+            val base = cfg.strOpt("model") match {
+              case Some(m) => ta.nbScoreWithModel(ctx.spark, df, id, text,
+                ctx.dir(m))
+              case None => ta.naiveBayesScore(df, id, text,
+                cfg.str("label", "label"), k)
+            }
+            cfg.strOpt("min_log_odds")
+              .map(t => base.where(col("log_odds") > t.toDouble))
+              .getOrElse(base)
+          case "ppl" =>
+            val base = cfg.strOpt("model") match {
+              case Some(m) => ta.bigramScoreWithModel(ctx.spark, df, id, text,
+                ctx.dir(m))
+              case None => ta.bigramLmScoreAgainst(
+                df.where(expr(cfg.str("train_where"))), df, id, text, k)
+            }
+            val banded = (cfg.strOpt("lo_bits"), cfg.strOpt("hi_bits")) match {
+              case (Some(lo), Some(hi)) => base.withColumn("bucket",
+                when(col("xent_bits") < lo.toDouble, lit("head"))
+                  .when(col("xent_bits") >= hi.toDouble, lit("tail"))
+                  .otherwise(lit("middle")))
+              case _ => base
+            }
+            cfg.strOpt("max_bits")
+              .map(t => banded.where(col("xent_bits") <= t.toDouble))
+              .getOrElse(banded)
+          case "dsir" =>
+            val tgt = expr(cfg.str("target_where"))
+            val dim = cfg.int("dim", 64)
+            cfg.intOpt("n") match {
+              case Some(n) => Sampling.dsirResample(df, id, text, tgt, n, dim, k)
+              case None    => Sampling.dsirLogWeights(df, id, text, tgt, dim, k)
+            }
+          case m => throw new IllegalArgumentException(s"unknown score method: $m")
+        }
+        val out = df.join(scored.withColumnRenamed("doc_id", id), Seq(id))
+        sink(ctx, task)(out, lg, meter)
+      }
+  }
 }

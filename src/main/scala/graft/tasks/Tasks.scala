@@ -354,7 +354,9 @@ object Tasks {
     "shuffle"    -> PipelineTasks.ShuffleTask,
     "curate"     -> PipelineTasks.CurateTask,
     "compact"    -> PipelineTasks.CompactTask,
-    "rebuild"    -> PipelineTasks.RebuildTask)
+    "rebuild"    -> PipelineTasks.RebuildTask,
+    "fit"        -> PipelineTasks.FitTask,
+    "score"      -> PipelineTasks.ScoreTask)
 
   def get(taskType: String): Task =
     factory.getOrElse(taskType,

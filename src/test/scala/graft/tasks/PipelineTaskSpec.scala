@@ -296,4 +296,60 @@ class PipelineTaskSpec extends SparkSpec {
     assert(dirs == Set("delta=base", "delta=b1"),
       s"b0 folds (committed), b1 stays (in-flight): $dirs")
   }
+
+  test("fit + score tasks: the nb lifecycle == buildNbModel/nbScoreWithModel") {
+    val wd = tmpDir("graft_pipetask_nb_")
+    val labeled = docs.withColumn("label",
+      col("source").isin("src0", "src1", "src2").cast("int"))
+    labeled.write.parquet(s"$wd/input/labeled")
+    runTask(wd,
+      s"""{"tasks": [
+         |  {"type": "fit", "name": "f",
+         |   "source": {"folder": "input", "file": "labeled"},
+         |   "fit": {"method": "nb", "model": "output/nbm"}},
+         |  {"type": "score", "name": "s",
+         |   "source": {"folder": "input", "file": "labeled"},
+         |   "score": {"method": "nb", "model": "output/nbm",
+         |             "min_log_odds": 0},
+         |   "target": {"file": "scored", "truncate": true}}]}""".stripMargin)
+    val expected = graft.ops.TextAnalysis.nbScoreWithModel(spark,
+        labeled, "doc_id", "text", s"$wd/output/nbm")
+      .where(col("log_odds") > 0)
+    val got = outParquet(wd, "scored")
+    assert(got.count() == expected.count() && got.count() > 0)
+    assert(rows(got.select("doc_id", "log_odds", "pred")) ==
+      rows(expected.select("doc_id", "log_odds", "pred")))
+    // the attached rows keep the source columns
+    assert(got.columns.contains("text") && got.columns.contains("source"))
+  }
+
+  test("score task: ppl bands and dsir selection match the ops") {
+    val wd = tmpDir("graft_pipetask_sc_")
+    Files.createDirectories(Paths.get(s"$wd/output"))
+    runTask(wd,
+      s"""{"tasks": [
+         |  {"type": "fit", "name": "f",
+         |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |   "fit": {"method": "ppl", "model": "output/lm",
+         |           "train_where": "lang = 'en'"}},
+         |  {"type": "score", "name": "p",
+         |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |   "score": {"method": "ppl", "model": "output/lm",
+         |             "lo_bits": 4.9, "hi_bits": 5.0},
+         |   "target": {"file": "ppl", "truncate": true}},
+         |  {"type": "score", "name": "d",
+         |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |   "score": {"method": "dsir", "n": 20,
+         |             "target_where": "source IN ('src0','src1','src2')"},
+         |   "target": {"file": "sel", "truncate": true}}]}""".stripMargin)
+    val bands = graft.ops.TextAnalysis.perplexityPartition(
+      docs.where(col("lang") === "en"), docs, "doc_id", "text", 4.9, 5.0)
+    assert(rows(outParquet(wd, "ppl")
+        .select("doc_id", "xent_bits", "bucket")) ==
+      rows(bands.select("doc_id", "xent_bits", "bucket")))
+    val sel = Sampling.dsirResample(docs, "doc_id", "text",
+      col("source").isin("src0", "src1", "src2"), n = 20)
+    assert(rows(outParquet(wd, "sel").select("doc_id", "log_w")) ==
+      rows(sel.select("doc_id", "log_w")))
+  }
 }
