@@ -312,6 +312,84 @@ object Sampling {
         sum(col("cnt")).as("n_tokens"))
   }
 
+  /** Persist the [[dsirLogWeights]] models as a layout: `buckets/`
+    * (bucket, ct, cr — the exact target/pool counts) plus a `meta`
+    * parameter table (dim, totals, smoothing k) — the deployment shape
+    * of the importance filter: FIT ONCE against a labeled snapshot,
+    * weigh any later corpus or stream against the frozen models
+    * ([[dsirScoreWithModel]], [[graft.streaming.Streams.dsirGateSink]]).
+    * Counts are exact integers, so build → reload → score reproduces
+    * the in-memory weights bit-for-bit (spec-pinned); refreshing is a
+    * rebuild — the frozen-geometry convention of the model layouts.
+    */
+  def buildDsirModel(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                     textCol: String, isTarget: Column, path: String,
+                     dim: Int = 64, smoothK: Double = 0.5): Unit = {
+    require(dim >= 1, s"dim must be positive: $dim")
+    df.where(col(textCol).isNotNull)
+      .select(coalesce(isTarget.cast("boolean"), lit(false)).as("_t"),
+        posexplode(graft.functions.VectorFunctions.hashEmbed(col(textCol), dim))
+          .as(Seq("bucket", "cnt")))
+      .where(col("cnt") > 0)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(sum(when(col("_t"), col("cnt").cast("long")).otherwise(lit(0L)))
+          .as("ct"),
+        sum(col("cnt").cast("long")).as("cr"))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    val Array(tt, tr) = spark.read.parquet(s"$path/buckets")
+      .agg(sum(col("ct")), sum(col("cr")))
+      .collect().head.toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long]))
+      .toArray
+    require(tt > 0, "target slice has no tokens to fit the DSIR model on")
+    graft.ops.Similarity.writeIndexMeta(spark, path, Seq(
+      "layout" -> "dsir_model", "dim" -> dim.toString, "tt" -> tt.toString,
+      "tr" -> tr.toString, "smooth_k" -> smoothK.toString))
+  }
+
+  /** Weigh documents under a FROZEN persisted DSIR model
+    * ([[buildDsirModel]]) — identical arithmetic to [[dsirLogWeights]]
+    * with the totals as plan literals from the model's meta table and
+    * the log-ratio computed from the stored exact counts. Output
+    * (doc_id, log_w, n_tokens) and determinism contract identical to
+    * the in-memory fit; a corpus weighed by the model that fitted on it
+    * reproduces [[dsirLogWeights]] exactly (spec-pinned). A bucket the
+    * fit never saw cannot join (nothing hashed into it then), so a NEW
+    * corpus can observe it — those tokens back off to the smoothing
+    * floors k/(T+k·dim), the identical difference-of-logs arithmetic
+    * folded as the coalesce default.
+    */
+  def dsirScoreWithModel(spark: org.apache.spark.sql.SparkSession,
+                         df: DataFrame, idCol: String, textCol: String,
+                         path: String): DataFrame = {
+    val meta = graft.ops.Similarity.readIndexMeta(spark, path)
+    require(meta.get("layout").contains("dsir_model"),
+      s"not a dsir_model layout: $path (meta ${meta.get("layout")})")
+    val dim = meta("dim").toInt
+    val k = meta("smooth_k").toDouble
+    val kd = lit(k) * dim
+    val ratio = spark.read.parquet(s"$path/buckets")
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)).cast("double") + k) /
+            (lit(meta("tt").toLong).cast("double") + kd)) -
+          log((coalesce(col("cr"), lit(0L)).cast("double") + k) /
+            (lit(meta("tr").toLong).cast("double") + kd))).as("_lr"))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.VectorFunctions.hashEmbed(col(textCol), dim))
+          .as(Seq("bucket", "cnt")))
+      .where(col("cnt") > 0)
+      .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+        col("cnt").cast("long").as("cnt"))
+      .join(broadcast(ratio), Seq("bucket"), "left")
+      .select(col("doc_id"), col("cnt"),
+        coalesce(col("_lr"),
+          lit(math.log(k / (meta("tt").toLong + k * dim)) -
+            math.log(k / (meta("tr").toLong + k * dim)))).as("_lr"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("cnt").cast("double") * col("_lr")), 3).as("log_w"),
+        sum(col("cnt")).as("n_tokens"))
+  }
+
   /** DSIR importance RESAMPLING — the selection step over
     * [[dsirLogWeights]]: draw `n` documents without replacement with
     * probability ∝ their importance weight, via deterministic Gumbel

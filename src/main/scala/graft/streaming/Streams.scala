@@ -857,6 +857,43 @@ object Streams {
       .start()
   }
 
+  /** The importance admission gate — [[graft.ops.Sampling
+    * .dsirLogWeights]]'s streaming twin over a persisted model
+    * ([[graft.ops.Sampling.buildDsirModel]]): every micro-batch is
+    * weighed under the FROZEN target/pool bucket models and rows whose
+    * rounded log-weight clears `minLogW` append to `outPath` with
+    * (log_w, n_tokens) attached — importance FILTERING, the streaming
+    * face of DSIR (top-k RESAMPLING needs the whole corpus and stays a
+    * batch op; a threshold on the same weight is the ingest-time
+    * equivalent). Null-text and zero-token rows drop — the gate admits
+    * nothing it cannot profile.
+    *
+    * Same replay contract as [[nbGateSink]]/[[pplGateSink]]:
+    * deterministic scoring under a frozen model, stateless given the
+    * layout, at-least-once replays re-emit byte-identical rows.
+    */
+  def dsirGateSink(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
+                   idCol: String, textCol: String, modelPath: String,
+                   outPath: String, checkpoint: String, minLogW: Double)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val meta = graft.ops.Similarity.readIndexMeta(spark, modelPath)
+    require(meta.get("layout").contains("dsir_model"),
+      s"not a dsir_model layout: $modelPath (meta ${meta.get("layout")})")
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scored = graft.ops.Sampling
+          .dsirScoreWithModel(spark, batch, idCol, textCol, modelPath)
+          .where(col("log_w") >= minLogW)
+          .select(col("doc_id").as(idCol), col("log_w"), col("n_tokens"))
+        batch.join(scored, Seq(idCol))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
   /** Streaming per-source corpus card — [[graft.ops.Analytics.dataCard]]'s
     * incremental twin for an ingest feed: running n_docs / n_null_text /
     * ws_tokens / avg_chars / approx language count per source, emitted in

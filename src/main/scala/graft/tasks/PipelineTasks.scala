@@ -362,7 +362,9 @@ object PipelineTasks {
     *    NB over 0/1 `label` (provenance weak labels);
     *  - `"ppl"` — [[graft.ops.TextAnalysis.buildBigramLm]]: add-k
     *    bigram LM over the reference slice (`train_where` optionally
-    *    narrows the source to the trusted rows first).
+    *    narrows the source to the trusted rows first);
+    *  - `"dsir"` — [[graft.ops.Sampling.buildDsirModel]]: hashed-bucket
+    *    target/pool models, the target slice named by `target_where`.
     *
     * Refreshing a model is a re-run of this task (overwrite semantics —
     * the frozen-geometry convention); running sinks re-read at start.
@@ -380,6 +382,9 @@ object PipelineTasks {
           cfg.str("text", "text"), cfg.str("label", "label"), path, k)
         case "ppl" => graft.ops.TextAnalysis.buildBigramLm(ctx.spark, df,
           cfg.str("text", "text"), path, k)
+        case "dsir" => graft.ops.Sampling.buildDsirModel(ctx.spark, df0,
+          cfg.str("text", "text"), expr(cfg.str("target_where")), path,
+          cfg.int("dim", 64), k)
         case m => throw new IllegalArgumentException(s"unknown fit method: $m")
       }
       log.write(s"fitted ${cfg.str("method")} model at $path")
@@ -398,10 +403,11 @@ object PipelineTasks {
     *  - `"ppl"` — cross-entropy bits under a frozen `model` or an
     *    in-task reference fit from `train_where`; optional `max_bits`
     *    admission filter and/or `lo_bits`/`hi_bits` CCNet band label;
-    *  - `"dsir"` — importance log-weights against the `target_where`
-    *    slice ([[Sampling.dsirLogWeights]]); with `n`, the Gumbel
-    *    top-k resample ([[Sampling.dsirResample]]) — the output IS the
-    *    selection.
+    *  - `"dsir"` — importance log-weights against a frozen `model` or
+    *    the in-task `target_where` slice ([[Sampling.dsirLogWeights]]);
+    *    with `n`, the Gumbel top-k resample ([[Sampling.dsirResample]],
+    *    in-task fit only) — the output IS the selection; optional
+    *    `min_log_w` admission filter.
     */
   object ScoreTask extends Task {
     def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
@@ -440,12 +446,21 @@ object PipelineTasks {
               .map(t => banded.where(col("xent_bits") <= t.toDouble))
               .getOrElse(banded)
           case "dsir" =>
-            val tgt = expr(cfg.str("target_where"))
-            val dim = cfg.int("dim", 64)
-            cfg.intOpt("n") match {
-              case Some(n) => Sampling.dsirResample(df, id, text, tgt, n, dim, k)
-              case None    => Sampling.dsirLogWeights(df, id, text, tgt, dim, k)
+            val base = (cfg.strOpt("model"), cfg.intOpt("n")) match {
+              case (Some(m), None) => Sampling.dsirScoreWithModel(ctx.spark,
+                df, id, text, ctx.dir(m))
+              case (Some(_), Some(_)) => throw new IllegalArgumentException(
+                "dsir top-k resampling needs the whole pool's weights: " +
+                  "use target_where (in-task fit), not a frozen model")
+              case (None, n) =>
+                val tgt = expr(cfg.str("target_where"))
+                val dim = cfg.int("dim", 64)
+                n.map(Sampling.dsirResample(df, id, text, tgt, _, dim, k))
+                  .getOrElse(Sampling.dsirLogWeights(df, id, text, tgt, dim, k))
             }
+            cfg.strOpt("min_log_w")
+              .map(t => base.where(col("log_w") >= t.toDouble))
+              .getOrElse(base)
           case m => throw new IllegalArgumentException(s"unknown score method: $m")
         }
         val out = df.join(scored.withColumnRenamed("doc_id", id), Seq(id))

@@ -548,6 +548,37 @@ class OpsSpec extends SparkSpec {
     assert(again.toSeq == picked.toSeq)
   }
 
+  test("persisted DSIR model reproduces the in-memory weights bit-for-bit") {
+    val target = (0L until 10L).map(i => (i, "alpha beta alpha", true))
+    val pool = (10L until 30L).map(i => (i, "zzz qqq zzz qqq", false))
+    val df = (target ++ pool).toDF("doc_id", "text", "tgt")
+    val dir = tmpDir("graft_dsirm_")
+    Sampling.buildDsirModel(spark, df, "text", col("tgt"), dir)
+    val inMem = Sampling.dsirLogWeights(df, "doc_id", "text", col("tgt"))
+      .orderBy(col("doc_id")).as[(Long, Double, Long)].collect().toSeq
+    val frozen = Sampling.dsirScoreWithModel(spark, df, "doc_id", "text", dir)
+      .orderBy(col("doc_id")).as[(Long, Double, Long)].collect().toSeq
+    assert(frozen == inMem)
+    // an UNSEEN word lands in a bucket the fit may never have counted;
+    // the weight must still be finite and the doc still scored
+    val novel = Sampling.dsirScoreWithModel(spark,
+        Seq((100L, "completelynovelword anotherone")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+      .as[(Long, Double, Long)].collect()
+    assert(novel.length == 1 && !novel.head._2.isNaN &&
+      !novel.head._2.isInfinite && novel.head._3 == 2L)
+    val bad = intercept[IllegalArgumentException] {
+      Sampling.dsirScoreWithModel(spark, df, "doc_id", "text",
+        tmpDir("graft_notdsir_"))
+    }
+    assert(bad.getMessage.contains("dsir_model"))
+    val noTarget = intercept[IllegalArgumentException] {
+      Sampling.buildDsirModel(spark, pool.toDF("doc_id", "text", "tgt"),
+        "text", col("tgt"), tmpDir("graft_dsir0_"))
+    }
+    assert(noTarget.getMessage.contains("target slice"))
+  }
+
   test("trainingOrder: reproducible shuffle, dense per-shard ranks, growth-stable order") {
     val docs = (1L to 400L).map(Tuple1(_)).toDF("doc_id")
     val out = Sampling.trainingOrder(docs, "doc_id", nShards = 8)

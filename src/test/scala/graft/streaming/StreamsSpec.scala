@@ -1090,6 +1090,41 @@ class StreamsSpec extends SparkSpec {
     assert(bad.getMessage.contains("bigram_lm"))
   }
 
+  test("dsirGateSink admits target-like stream rows under the frozen model") {
+    implicit val sqlCtx = spark.sqlContext
+    val fit = ((0L until 10L).map(i => (i, "alpha beta alpha", true)) ++
+      (10L until 30L).map(i => (i, "zzz qqq zzz qqq", false)))
+      .toDF("doc_id", "text", "tgt")
+    val model = tmpDir("graft_dsirgate_model_")
+    graft.ops.Sampling.buildDsirModel(spark, fit, "text", col("tgt"), model)
+    val out = tmpDir("graft_dsirgate_out_")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.dsirGateSink(spark, mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", model, out, tmpDir("graft_dsirgate_ck_"), minLogW = 0.0)
+    val batch1 = Seq((100L, "alpha beta"), (101L, "zzz qqq"))
+    val batch2 = Seq((102L, "alpha alpha beta"),
+      (103L, null.asInstanceOf[String]))
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.read.parquet(out)
+    assert(admitted.select("doc_id").as[Long].collect().toSet == Set(100L, 102L),
+      "target-like rows pass; pool-like and null-text rows drop")
+    val batchScores = graft.ops.Sampling.dsirScoreWithModel(spark,
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", model)
+      .where(col("log_w") >= 0.0)
+      .select("doc_id", "log_w").as[(Long, Double)].collect().toSet
+    assert(admitted.select("doc_id", "log_w")
+      .as[(Long, Double)].collect().toSet == batchScores)
+    val bad = intercept[IllegalArgumentException] {
+      Streams.dsirGateSink(spark, mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", tmpDir("graft_dsirgate_bad_"), out,
+        tmpDir("graft_dsirgate_ck2_"), minLogW = 0.0)
+    }
+    assert(bad.getMessage.contains("dsir_model"))
+  }
+
   test("stratifiedSample runs unchanged on a stream (stateless md5 filter)") {
     // mixture sampling is a pure deterministic filter, so the SAME
     // operator screens a firehose with zero state — and batch/stream

@@ -352,4 +352,26 @@ class PipelineTaskSpec extends SparkSpec {
     assert(rows(outParquet(wd, "sel").select("doc_id", "log_w")) ==
       rows(sel.select("doc_id", "log_w")))
   }
+
+  test("fit + score tasks: the dsir lifecycle == buildDsirModel/dsirScoreWithModel") {
+    val wd = tmpDir("graft_pipetask_dsir_")
+    Files.createDirectories(Paths.get(s"$wd/output"))
+    runTask(wd,
+      s"""{"tasks": [
+         |  {"type": "fit", "name": "f",
+         |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |   "fit": {"method": "dsir", "model": "output/dm",
+         |           "target_where": "source IN ('src0','src1','src2')"}},
+         |  {"type": "score", "name": "s",
+         |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |   "score": {"method": "dsir", "model": "output/dm",
+         |             "min_log_w": 0},
+         |   "target": {"file": "dw", "truncate": true}}]}""".stripMargin)
+    val expected = Sampling.dsirScoreWithModel(spark, docs, "doc_id", "text",
+        s"$wd/output/dm")
+      .where(col("log_w") >= 0)
+    assert(rows(outParquet(wd, "dw").select("doc_id", "log_w")) ==
+      rows(expected.select("doc_id", "log_w")))
+    assert(outParquet(wd, "dw").count() > 0)
+  }
 }
