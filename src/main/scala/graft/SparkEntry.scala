@@ -313,6 +313,41 @@ object SparkEntry {
     "q117_nb_quality" -> nbQualitySql,
     "q118_token_card" -> tokenCardSql,
     "q119_dsir_resample" -> dsirResampleSql,
+    // q121 oracle: q117's statement as the score source, the provenance
+    // truth joined back on, confusion counts per threshold as exact
+    // FILTER counts, each ratio ONE division of exact integers rounded
+    // at 6 (f1 in its integer-ratio form 2tp/(2tp+fp+fn)).
+    "q121_score_audit" ->
+      s"""WITH sc AS ($nbQualitySql),
+         |tr AS (SELECT doc_id,
+         |         CAST(source IN ('src0', 'src1', 'src2') AS INTEGER) AS y
+         |       FROM documents),
+         |j AS (SELECT s.log_odds AS s, t.y FROM sc s JOIN tr t USING (doc_id)),
+         |th AS (SELECT UNNEST([-4.0, -2.7, -1.5]) AS threshold)
+         |SELECT threshold,
+         |  COUNT(*) FILTER (WHERE s > threshold AND y = 1) AS tp,
+         |  COUNT(*) FILTER (WHERE s > threshold AND y = 0) AS fp,
+         |  COUNT(*) FILTER (WHERE s <= threshold AND y = 1) AS fn,
+         |  COUNT(*) FILTER (WHERE s <= threshold AND y = 0) AS tn,
+         |  CASE WHEN COUNT(*) FILTER (WHERE s > threshold) > 0 THEN
+         |    ROUND(CAST(COUNT(*) FILTER (WHERE s > threshold AND y = 1)
+         |      AS DOUBLE) / COUNT(*) FILTER (WHERE s > threshold), 6)
+         |  END AS precision,
+         |  CASE WHEN COUNT(*) FILTER (WHERE y = 1) > 0 THEN
+         |    ROUND(CAST(COUNT(*) FILTER (WHERE s > threshold AND y = 1)
+         |      AS DOUBLE) / COUNT(*) FILTER (WHERE y = 1), 6)
+         |  END AS recall,
+         |  CASE WHEN 2 * COUNT(*) FILTER (WHERE s > threshold AND y = 1)
+         |         + COUNT(*) FILTER (WHERE s > threshold AND y = 0)
+         |         + COUNT(*) FILTER (WHERE s <= threshold AND y = 1) > 0 THEN
+         |    ROUND(CAST(2 * COUNT(*) FILTER (WHERE s > threshold AND y = 1)
+         |      AS DOUBLE) /
+         |      (2 * COUNT(*) FILTER (WHERE s > threshold AND y = 1)
+         |       + COUNT(*) FILTER (WHERE s > threshold AND y = 0)
+         |       + COUNT(*) FILTER (WHERE s <= threshold AND y = 1)), 6)
+         |  END AS f1
+         |FROM j CROSS JOIN th
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q120 oracle: q116's statement as a subquery with the same fixed
     // CASE cuts over the rounded score — band membership is exactly as
     // deterministic as the q116 value it compares.

@@ -154,4 +154,47 @@ object Analytics {
         countDistinct(col("_lang")).as("n_langs"))
       .orderBy(col("source"))
   }
+
+  /** Threshold confusion audit — the acceptance gauge for the learned
+    * filters (what [[Similarity.annRecall]] is to the ANN family): given
+    * a scored corpus and a 0/1 truth column, the confusion counts and
+    * quality ratios at each candidate admission threshold, in ONE
+    * aggregation pass. The operating-point picker: a filter is deployed
+    * as "admit score > t", and this table is how t gets chosen with
+    * numbers instead of vibes.
+    *
+    * Per threshold: tp/fp/fn/tn (exact integers over rows where both
+    * score and truth are non-null), precision = tp/(tp+fp), recall =
+    * tp/(tp+fn), and f1 IN ITS INTEGER-RATIO FORM 2·tp/(2·tp+fp+fn) —
+    * each a SINGLE correctly-rounded division of exact integers, rounded
+    * at 6, so the gauge hash-checks cross-engine with no composed-float
+    * chain. Zero denominators yield null, not a crash.
+    *
+    * Shape at 100 TB: thresholds are a bounded literal list exploded
+    * onto the row stream (|t|× row multiplier, |t| small by contract),
+    * then one map-side-combined aggregation on the threshold key — no
+    * join, no window, no global sort.
+    */
+  def scoreAudit(df: DataFrame, scoreCol: String, labelCol: String,
+                 thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold to audit")
+    val tp = count(when(col("_s") > col("threshold") && col("_y") === 1, lit(1)))
+    val fp = count(when(col("_s") > col("threshold") && col("_y") === 0, lit(1)))
+    val fn = count(when(col("_s") <= col("threshold") && col("_y") === 1, lit(1)))
+    val tn = count(when(col("_s") <= col("threshold") && col("_y") === 0, lit(1)))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den, 6))
+    df.select(col(scoreCol).as("_s"), col(labelCol).cast("int").as("_y"))
+      .where(col("_s").isNotNull && col("_y").isNotNull)
+      .select(col("_s"), col("_y"),
+        explode(typedLit(thresholds)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(tp.as("tp"), fp.as("fp"), fn.as("fn"), tn.as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+        ratio(lit(2) * col("tp"), lit(2) * col("tp") + col("fp") + col("fn"))
+          .as("f1"))
+      .orderBy(col("threshold"))
+  }
 }

@@ -513,6 +513,21 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q121 learned-filter acceptance gauge — the operating-point table
+  // for q117's NB scorer: confusion counts and precision/recall/F1 at
+  // candidate admission thresholds, self-evaluated against the
+  // provenance truth that trained it (the resubstitution gauge — the
+  // same corpus-side contract annRecall uses for the ANN family). All
+  // ratios are single divisions of exact integers rounded at 6.
+  val q121_score_audit: Q = (s, d) => {
+    val docs = t(s, d, "documents").withColumn("label",
+      col("source").isin("src0", "src1", "src2").cast("int"))
+    val scored = TextAnalysis.naiveBayesScore(docs, "doc_id", "text", "label")
+    Analytics.scoreAudit(
+      scored.join(docs.select(col("doc_id"), col("label")), Seq("doc_id")),
+      "log_odds", "label", Seq(-4.0, -2.7, -1.5))
+  }
+
   // q119 DSIR importance resampling — the data-selection step: hashed
   // n-gram models of the curated slice (src0-src2) vs the whole pool,
   // per-doc importance log-weights, 100 docs drawn ∝ weight by
@@ -1288,5 +1303,6 @@ object Extensions {
     "q117_nb_quality" -> q117_nb_quality,
     "q118_token_card" -> q118_token_card,
     "q119_dsir_resample" -> q119_dsir_resample,
-    "q120_ppl_partition" -> q120_ppl_partition)
+    "q120_ppl_partition" -> q120_ppl_partition,
+    "q121_score_audit" -> q121_score_audit)
 }

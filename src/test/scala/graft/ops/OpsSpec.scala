@@ -674,6 +674,30 @@ class OpsSpec extends SparkSpec {
       (3, "purchase", 0L)))
   }
 
+  test("scoreAudit: hand-computed confusion table, null denominators, null rows dropped") {
+    val scored = Seq(
+      (1L, Some(2.0), Some(1)), (2L, Some(1.0), Some(1)),
+      (3L, Some(-1.0), Some(1)),                        // positives
+      (4L, Some(1.5), Some(0)), (5L, Some(-2.0), Some(0)),
+      (6L, Some(-3.0), Some(0)),                        // negatives
+      (7L, None, Some(1)),                              // unscored: dropped
+      (8L, Some(0.5), None))                            // unlabeled: dropped
+      .toDF("doc_id", "score", "y")
+    val out = Analytics.scoreAudit(scored, "score", "y", Seq(0.0, 10.0))
+      .collect()
+    assert(out.length == 2)
+    val at0 = out.find(_.getDouble(0) == 0.0).get
+    // s > 0: docs 1,2 (tp) and 4 (fp); s <= 0: doc 3 (fn), docs 5,6 (tn)
+    assert((at0.getLong(1), at0.getLong(2), at0.getLong(3), at0.getLong(4)) ==
+      ((2L, 1L, 1L, 2L)))
+    assert(at0.getDouble(5) == 0.666667 && at0.getDouble(6) == 0.666667)
+    assert(at0.getDouble(7) == 0.666667) // f1 = 4/6
+    val at10 = out.find(_.getDouble(0) == 10.0).get
+    assert((at10.getLong(1), at10.getLong(2)) == ((0L, 0L)))
+    assert(at10.isNullAt(5), "precision undefined when nothing admitted")
+    assert(at10.getDouble(6) == 0.0 && at10.getDouble(7) == 0.0)
+  }
+
   test("skewReport: exact shares, deterministic cut on count ties") {
     val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq.fill(3)("warm2")
       ++ Seq("cold")).toDF("k")
