@@ -127,6 +127,15 @@ object Curation {
                     seqLen: Int = 512,
                     nShards: Int = 8,
                     lineMinDocFreq: Option[Int] = None,
+                    // optional LEARNED screens in stage 1, each a frozen
+                    // model layout path: docs whose cross-entropy under
+                    // the reference LM exceeds pplMaxBits (or that the LM
+                    // cannot score — <2 tokens) drop; docs whose NB
+                    // log-odds don't clear nbMinLogOdds drop
+                    pplModel: Option[String] = None,
+                    pplMaxBits: Double = 0.0,
+                    nbModel: Option[String] = None,
+                    nbMinLogOdds: Double = 0.0,
                     materialize: String =
                       sys.props.getOrElse("graft.curate.materialize", "local"))
 
@@ -294,10 +303,23 @@ object Curation {
       .where(col("keep") === 0).select(col("doc_id"))
     val qualKeep = TextAnalysis.qualityScore(docs, "doc_id", "text")
       .where(col("quality") >= cfg.minQuality).select(col("doc_id"))
-    val clean = docs
-      .join(reps, Seq("doc_id"), "left_semi")
-      .join(qualKeep, Seq("doc_id"), "left_semi")
-      .join(spanDrop, Seq("doc_id"), "left_anti")
+    // 1b. optional LEARNED screens — frozen-model semi-joins alongside
+    // the heuristic floor: the scorers emit only scorable doc_ids, so a
+    // semi-join also drops what a model cannot rate (the admission-gate
+    // convention the streaming twins share)
+    val learnedKeeps = Seq(
+      cfg.pplModel.map(p =>
+        TextAnalysis.bigramScoreWithModel(spark, docs, "doc_id", "text", p)
+          .where(col("xent_bits") <= cfg.pplMaxBits).select(col("doc_id"))),
+      cfg.nbModel.map(p =>
+        TextAnalysis.nbScoreWithModel(spark, docs, "doc_id", "text", p)
+          .where(col("log_odds") > cfg.nbMinLogOdds).select(col("doc_id"))))
+      .flatten
+    val clean = learnedKeeps.foldLeft(docs
+        .join(reps, Seq("doc_id"), "left_semi")
+        .join(qualKeep, Seq("doc_id"), "left_semi")
+        .join(spanDrop, Seq("doc_id"), "left_anti"))(
+      (d, keep) => d.join(keep, Seq("doc_id"), "left_semi"))
 
     // 2. DEDUP vs the standing corpus (Bloom-in-scan + exact verify;
     // the corpus keys are never shuffled)

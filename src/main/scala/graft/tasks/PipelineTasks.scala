@@ -271,7 +271,11 @@ object PipelineTasks {
           shingleW = cfg.int("shingle_w", 8),
           seqLen = cfg.int("seq_len", 512),
           nShards = cfg.int("shards", 8),
-          lineMinDocFreq = cfg.intOpt("line_min_doc_freq"))
+          lineMinDocFreq = cfg.intOpt("line_min_doc_freq"),
+          pplModel = cfg.strOpt("ppl_model").map(ctx.dir),
+          pplMaxBits = cfg.str("ppl_max_bits", "0").toDouble,
+          nbModel = cfg.strOpt("nb_model").map(ctx.dir),
+          nbMinLogOdds = cfg.str("nb_min_log_odds", "0").toDouble)
         // `"tokenizer"` switches the terminal: unset = the q93 offset
         // rows; set (an id-emitting tokenizer name) = the q115 token-id
         // sequences — the pipeline ends at training-ready array<int>

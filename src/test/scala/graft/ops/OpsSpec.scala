@@ -932,6 +932,48 @@ class OpsSpec extends SparkSpec {
     assert(on == Map(1L -> 10L, 2L -> 10L, 3L -> 10L), s"$on")
   }
 
+  test("curate learned screens == curate over the pre-gated batch (frozen ppl + nb models)") {
+    // distinct-word docs survive every heuristic screen, so the learned
+    // gates are the only thing that can drop rows here
+    val docs = Seq(
+      (1L, "the cat sat on the mat quietly every day", "web"),
+      (2L, "the dog sat on the rug calmly all night", "web"),
+      (3L, "le chat est sur le tapis bleu ce soir", "web"),     // foreign: ppl-dropped
+      (4L, "the cat sat on the rug gently this morning", "web"))
+      .toDF("doc_id", "text", "source")
+    val lm = tmpDir("graft_curlm_")
+    graft.ops.TextAnalysis.buildBigramLm(spark,
+      docs.where(col("doc_id") =!= 3L), "text", lm)
+    val nb = tmpDir("graft_curnb_")
+    graft.ops.TextAnalysis.buildNbModel(spark,
+      docs.withColumn("label", (col("doc_id") <= 2L).cast("int")),
+      "text", "label", nb)
+    val cfg = Curation.Config(budgets = Map("web" -> 1000000L),
+      minQuality = 0.0, spanThreshold = 2.0)
+    val gated = cfg.copy(pplModel = Some(lm), pplMaxBits = 3.5,
+      nbModel = Some(nb), nbMinLogOdds = -100.0)
+    // the equivalence pin: the in-pipeline gates must equal pre-filtering
+    // the batch with the same frozen scorers
+    val admitPpl = graft.ops.TextAnalysis.bigramScoreWithModel(spark, docs,
+      "doc_id", "text", lm).where(col("xent_bits") <= 3.5).select("doc_id")
+    val admitNb = graft.ops.TextAnalysis.nbScoreWithModel(spark, docs,
+      "doc_id", "text", nb).where(col("log_odds") > -100.0).select("doc_id")
+    val pre = docs.join(admitPpl, Seq("doc_id"), "left_semi")
+      .join(admitNb, Seq("doc_id"), "left_semi")
+    val viaGates = Curation.curate(spark, docs, "doc_id", "text", "source",
+      None, None, gated).collect().map(_.toString).sorted.toSeq
+    val viaPrefilter = Curation.curate(spark, pre, "doc_id", "text", "source",
+      None, None, cfg).collect().map(_.toString).sorted.toSeq
+    assert(viaGates == viaPrefilter && viaGates.nonEmpty)
+    // and the foreign doc is actually what the ppl gate removed
+    val kept = Curation.curate(spark, docs, "doc_id", "text", "source",
+      None, None, gated).select("doc_id").as[Long].collect().toSet
+    val ungated = Curation.curate(spark, docs, "doc_id", "text", "source",
+      None, None, cfg).select("doc_id").as[Long].collect().toSet
+    assert(ungated == Set(1L, 2L, 3L, 4L) && kept == Set(1L, 2L, 4L),
+      s"ungated $ungated kept $kept")
+  }
+
   test("curateTokens: the pipeline ends at packed id sequences that match the stages run by hand") {
     val bpe = graft.functions.TokenCounters.tinyBpe
     // distinct docs, generous budget (everything admitted), screens off —
