@@ -313,6 +313,7 @@ object SparkEntry {
     "q117_nb_quality" -> nbQualitySql,
     "q118_token_card" -> tokenCardSql,
     "q119_dsir_resample" -> dsirResampleSql,
+    "q122_tokenizer_fertility" -> tokenizerFertilitySql,
     // q121 oracle: q117's statement as the score source, the provenance
     // truth joined back on, confusion counts per threshold as exact
     // FILTER counts, each ratio ONE division of exact integers rounded
@@ -2020,6 +2021,32 @@ object SparkEntry {
        |SELECT doc_id, log_w, n_tokens
        |FROM (SELECT * FROM g ORDER BY gk DESC, doc_id LIMIT 100)
        |ORDER BY doc_id""".stripMargin
+
+  /** q122 oracle: the q113 per-word id table rolled up per language —
+    * ids per doc from the same recursive merge walk, whitespace words
+    * and char lengths straight off the row, each ratio ONE division of
+    * exact integer sums rounded at 6 (null on zero denominators).
+    */
+  private def tokenizerFertilitySql: String =
+    s"""WITH RECURSIVE $bpeWordCtes,
+       |$bpeIdCtes,
+       |docs AS (SELECT doc_id, lang, LENGTH(text) AS chars,
+       |           LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS lw
+       |         FROM documents WHERE text IS NOT NULL),
+       |wp AS (SELECT doc_id, lw[i] AS w
+       |       FROM docs, UNNEST(RANGE(1, LEN(lw) + 1)) AS u(i)),
+       |ids AS (SELECT p.doc_id, SUM(LEN(d.ids)) AS n
+       |        FROM wp p JOIN wids d USING (w) GROUP BY 1),
+       |per AS (SELECT d.lang, LEN(d.lw) AS w, COALESCE(i.n, 0) AS ids,
+       |          d.chars
+       |        FROM docs d LEFT JOIN ids i USING (doc_id))
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(w) AS BIGINT) AS n_words, CAST(SUM(ids) AS BIGINT) AS n_ids,
+       |  CASE WHEN SUM(w) > 0 THEN
+       |    ROUND(CAST(SUM(ids) AS DOUBLE) / SUM(w), 6) END AS fertility,
+       |  CASE WHEN SUM(ids) > 0 THEN
+       |    ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(ids), 6) END AS chars_per_id
+       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def packTokenIdsSql: String = {
     s"""WITH RECURSIVE $bpeWordCtes,

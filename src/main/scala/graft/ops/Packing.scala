@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -185,6 +185,39 @@ object Packing {
     * window over that bounded table. All outputs are exact integers —
     * the card hash-checks with no rounding contract at all.
     */
+  /** Tokenizer fertility audit — the tokenizer-CHOICE gauge: per group
+    * (usually language), how many subword ids the encoder spends per
+    * whitespace word (fertility) and how many characters each id covers
+    * (compression). The table that decides whether a vocabulary is fair
+    * to a language: high fertility = the tokenizer shreds that group's
+    * words, inflating its effective sequence length and training cost.
+    * Output per group: n_docs, n_words, n_ids, fertility = ids/words,
+    * chars_per_id — the ratios SINGLE correctly-rounded divisions of
+    * exact integer sums (rounded at 6), null on zero denominators.
+    *
+    * Shape at 100 TB: one codegen'd encode pass per document, then one
+    * map-side-combined aggregation on the bounded group key. No join,
+    * no window, text never shuffles.
+    */
+  def tokenizerFertility(df: DataFrame, textCol: String, groupCol: String,
+                         encoder: graft.functions.TokenEncoder): DataFrame = {
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den, 6))
+    df.where(col(textCol).isNotNull)
+      .select(col(groupCol),
+        expr(s"size(filter(split($textCol, ' '), x -> x <> ''))")
+          .cast("long").as("_w"),
+        graft.functions.TokenCounters.count(encoder, col(textCol)).as("_i"),
+        length(col(textCol)).cast("long").as("_c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_w")).as("n_words"),
+        sum(col("_i")).as("n_ids"), sum(col("_c")).as("_chars"))
+      .select(col(groupCol), col("n_docs"), col("n_words"), col("n_ids"),
+        ratio(col("n_ids"), col("n_words")).as("fertility"),
+        ratio(col("_chars"), col("n_ids")).as("chars_per_id"))
+      .orderBy(col(groupCol))
+  }
+
   def tokenizedCard(df: DataFrame, idCol: String, textCol: String,
                     shardCol: String, seqLen: Int,
                     encoder: graft.functions.TokenEncoder,

@@ -513,6 +513,15 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q122 tokenizer fertility audit — the tokenizer-choice gauge: BPE
+  // ids spent per whitespace word and characters covered per id, per
+  // language. High fertility = the vocabulary shreds that language's
+  // words (inflated effective sequence length). Ratios are single
+  // divisions of exact integer sums rounded at 6.
+  val q122_tokenizer_fertility: Q = (s, d) =>
+    Packing.tokenizerFertility(t(s, d, "documents"), "text", "lang",
+      graft.functions.TokenCounters.tinyBpe)
+
   // q121 learned-filter acceptance gauge — the operating-point table
   // for q117's NB scorer: confusion counts and precision/recall/F1 at
   // candidate admission thresholds, self-evaluated against the
@@ -1304,5 +1313,6 @@ object Extensions {
     "q118_token_card" -> q118_token_card,
     "q119_dsir_resample" -> q119_dsir_resample,
     "q120_ppl_partition" -> q120_ppl_partition,
-    "q121_score_audit" -> q121_score_audit)
+    "q121_score_audit" -> q121_score_audit,
+    "q122_tokenizer_fertility" -> q122_tokenizer_fertility)
 }

@@ -1272,6 +1272,33 @@ class OpsSpec extends SparkSpec {
       again.map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2))).toSeq)
   }
 
+  test("tokenizerFertility: ids/words and chars/id from encoder truth") {
+    val bpe = graft.functions.TokenCounters.tinyBpe
+    val docs = Seq(
+      (1L, "en", "table data"), (2L, "en", "row str"),
+      (3L, "xx", "zzzz qqqq pppp"), (4L, "xx", null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "text")
+    val out = Packing.tokenizerFertility(docs, "text", "lang", bpe)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def truth(texts: Seq[String]) = {
+      val words = texts.map(_.split(" ").count(_.nonEmpty)).sum
+      val ids = texts.map(bpe.encodeTokens(_).length).sum
+      val chars = texts.map(_.length).sum
+      (words.toLong, ids.toLong, chars, ids.toDouble / words, chars.toDouble / ids)
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (enW, enI, _, enF, enC) = truth(Seq("table data", "row str"))
+    val en = out("en")
+    assert(en.getLong(1) == 2L && en.getLong(2) == enW && en.getLong(3) == enI)
+    assert(en.getDouble(4) == r6(enF) && en.getDouble(5) == r6(enC))
+    // the unknown-word language pays more ids per word than English
+    val xx = out("xx")
+    assert(xx.getLong(1) == 1L, "null text drops")
+    assert(xx.getDouble(4) > en.getDouble(4),
+      s"unmergeable words must show higher fertility: $xx vs $en")
+  }
+
   test("tokenizedCard prices the pack without the pack shuffle") {
     val bpe = graft.functions.TokenCounters.tinyBpe
     val docs = Seq(
