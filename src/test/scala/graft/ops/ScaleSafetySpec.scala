@@ -407,6 +407,32 @@ class ScaleSafetySpec extends SparkSpec {
     }
   }
 
+  test("learned-filter family keeps scale shapes: scalar-only BNLJ, equi ratio join, free bands") {
+    val sf = "/root/testdata/sf0.001"
+    def planOf(q: String) =
+      graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+    // no cartesian anywhere; the card and fertility audits join/aggregate
+    // on bounded keys only — zero nested loops of any kind
+    for (q <- Seq("q116_cross_ppl", "q117_nb_quality", "q118_token_card",
+                  "q119_dsir_resample", "q120_ppl_partition",
+                  "q121_score_audit", "q122_tokenizer_fertility")) {
+      assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    for (q <- Seq("q118_token_card", "q122_tokenizer_fertility"))
+      assert(!planOf(q).contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
+    // the DSIR bucket-ratio attach must be an EQUI broadcast join (the
+    // dim-bounded table), never a nested loop over the corpus stream
+    assert(planOf("q119_dsir_resample").contains("BroadcastHashJoin"),
+      "q119's ratio join must be a broadcast hash join")
+    // q120's band labels are a per-row CASE over q116 — structurally the
+    // SAME plan, no extra exchange for the partition step
+    def shuffles(q: String) =
+      "ShuffleQueryStage|Exchange hashpartitioning".r
+        .findAllIn(planOf(q)).length
+    assert(shuffles("q120_ppl_partition") == shuffles("q116_cross_ppl"),
+      "the head/middle/tail labels must not add a shuffle")
+  }
+
   test("RandomHyperplanes matches the plane matrix it advertises") {
     import org.apache.spark.sql.graft.RandomHyperplanes
     val dim = 8
