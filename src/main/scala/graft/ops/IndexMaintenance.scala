@@ -96,10 +96,27 @@ object IndexMaintenance {
           Seq(coalesce(length(col("clean_text")), lit(-1)),
               coalesce(col("clean_text"), lit("")))
         else Seq.empty
-      val ordCols = cleaned ++ units ++ text
-      require(ordCols.nonEmpty, s"compactOutput at $dir: none of the sink " +
-        s"ordering columns (n_excised/n_removed/n_words/n_lines/clean_text) " +
-        s"present in schema [${df.columns.mkString(", ")}]")
+      // the learned-gate sinks (nb/ppl/dsir) carry none of the cleanup
+      // counters — their replay contract is BYTE-IDENTICAL re-emission
+      // under a frozen model, so every remaining ATOMIC column is a
+      // legal (and vacuous) tiebreak: order over all of them keeps the
+      // pick a total order without naming each gate's score column
+      val fallback =
+        if ((cleaned ++ units ++ text).nonEmpty) Seq.empty
+        else df.schema.fields
+          .filter(f => f.name != idCol && (f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.StructType |
+                 _: org.apache.spark.sql.types.BinaryType => false
+            case _ => true
+          }))
+          .map(f => coalesce(col(f.name).cast("string"), lit("")))
+          .toSeq
+      val ordCols = cleaned ++ units ++ text ++ fallback
+      require(ordCols.nonEmpty, s"compactOutput at $dir: no ordering " +
+        s"column available (neither cleanup counters nor atomic columns) " +
+        s"in schema [${df.columns.mkString(", ")}]")
       df.groupBy(col(idCol))
         .agg(min_by(struct(cols: _*), struct(ordCols: _*)).as("_row"))
         .select(col("_row.*"))

@@ -265,6 +265,70 @@ class CrashOrderSpec extends SparkSpec {
     } finally noInjection()
   }
 
+  test("nbGateSink crash at the output append: no partial rows, replay re-emits identically, compactOutput converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val wd = faultyDir("graft_crash_nbgate_")
+    try {
+      val train = Seq(
+        (1L, "good clean prose here", 1), (2L, "good signal rich text", 1),
+        (3L, "spam click bait spam", 0), (4L, "bait noise spam junk", 0))
+        .toDF("doc_id", "text", "label")
+      TextAnalysis.buildNbModel(spark, train, "text", "label", s"$wd/model")
+      val mem = MemoryStream[(Long, String)]
+      def start() = graft.streaming.Streams.nbGateSink(spark,
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$wd/model", s"$wd/out", s"$wd/ckpt")
+      mem.addData((10L, "clean prose signal"), (11L, "spam bait click"))
+      val q0 = start()
+      try q0.processAllAvailable() finally q0.stop()
+      val afterB0 = spark.read.parquet(s"$wd/out").collect().map(_.toString).sorted
+
+      // batch 2's final committer rename into out/ dies on the first try
+      mem.addData((12L, "good text"), (13L, "junk noise"))
+      failAppendsInto("out")
+      val q1 = start()
+      val died = try { q1.processAllAvailable(); false }
+        catch { case _: Exception => true }
+        finally { q1.stop(); noInjection() }
+      assert(died, "injected output rename must kill the first attempt")
+      assert(FaultyFs.failedRenames.size() > 0, "the injection must have fired")
+      // the committer staged under _temporary: nothing partial is visible
+      assert(spark.read.parquet(s"$wd/out").collect().map(_.toString).sorted
+        .sameElements(afterB0), "failed append must not leak partial rows")
+
+      // replay from the checkpoint: batch 2's admitted rows land, scored
+      // identically to the frozen batch scorer (deterministic replay)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val out = spark.read.parquet(s"$wd/out")
+      assert(out.select("doc_id").as[Long].collect().toSet == Set(10L, 12L),
+        "curated-like rows admitted exactly once across the crash")
+
+      // the at-least-once tail: drop the last commit marker so a restart
+      // REPLAYS batch 2 — byte-identical duplicate rows appear, and
+      // compactOutput's keep-any discipline restores one row per doc
+      val commits = new java.io.File(s"${wd.stripPrefix("faulty://")}/ckpt/commits")
+      val last = commits.listFiles().filter(_.getName.forall(_.isDigit))
+        .maxBy(_.getName.toInt)
+      assert(last.delete())
+      val q3 = start()
+      try q3.processAllAvailable() finally q3.stop()
+      val duped = spark.read.parquet(s"$wd/out")
+      assert(duped.count() == 3 &&
+        duped.where(col("doc_id") === 12L).count() == 2,
+        "the replayed batch must append byte-identical duplicates")
+      assert(duped.where(col("doc_id") === 12L)
+        .select("log_odds").distinct().count() == 1,
+        "replays re-emit the SAME score (deterministic under a frozen model)")
+      IndexMaintenance.compactOutput(spark, s"$wd/out")
+      val compacted = spark.read.parquet(s"$wd/out")
+      assert(compacted.count() == 2 &&
+        compacted.select("doc_id").as[Long].collect().toSet == Set(10L, 12L),
+        "compactOutput converges the replay to one row per doc")
+    } finally noInjection()
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
