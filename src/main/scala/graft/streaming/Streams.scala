@@ -424,6 +424,13 @@ object Streams {
     *     rep), optional quality floor, exact-key screen against
     *     `keyIndexPath` (Bloom in the scan, corpus keys never
     *     shuffled);
+    *  1L. (with `pplModelPath`/`nbModelPath`) the LEARNED screens —
+    *     the batch [[graft.ops.Curation.Config]] pplModel/nbModel
+    *     rungs' streaming twins: frozen-model semi-joins dropping what
+    *     the reference LM rates above `pplMaxBits` (or cannot rate)
+    *     and what the NB classifier scores at or under `nbMinLogOdds`.
+    *     Deterministic pure filters under frozen layouts, so every
+    *     crash window's replay recomputes them byte-identically;
     *  1b. (with `lineIndexPath`) the [[lineRemovalSink]] passes over
     *     the rung-1 survivors, in the batch-[[graft.ops.Curation
     *     .curate]] order (boilerplate chrome first, verbatim spans
@@ -514,7 +521,11 @@ object Streams {
                          ivfIdCol: String = "vec_id",
                          ivfVecCol: String = "embedding",
                          lineIndexPath: Option[String] = None,
-                         metrics: Option[RungMetrics] = None)
+                         metrics: Option[RungMetrics] = None,
+                         pplModelPath: Option[String] = None,
+                         pplMaxBits: Double = 0.0,
+                         nbModelPath: Option[String] = None,
+                         nbMinLogOdds: Double = 0.0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // bounded driver reads at sink start — the semanticGateSink
     // contract (centroids are frozen), the gram width, and the line
@@ -528,6 +539,21 @@ object Streams {
     val lineMdf = lineIndexPath.map(p =>
       spark.read.parquet(s"$p/params")
         .select(col("min_doc_freq")).head().getInt(0))
+    // learned-screen rungs (the batch Config.pplModel/nbModel twins):
+    // fail fast on a wrong layout at sink START, not at first batch.
+    // Deterministic pure filters under frozen models, so every crash
+    // window's replay argument is unchanged — the rung recomputes
+    // byte-identically over the re-admitted rows
+    pplModelPath.foreach { p =>
+      val meta = graft.ops.Similarity.readIndexMeta(spark, p)
+      require(meta.get("layout").contains("bigram_lm"),
+        s"not a bigram_lm layout: $p (meta ${meta.get("layout")})")
+    }
+    nbModelPath.foreach { p =>
+      val meta = graft.ops.Similarity.readIndexMeta(spark, p)
+      require(meta.get("layout").contains("nb_model"),
+        s"not an nb_model layout: $p (meta ${meta.get("layout")})")
+    }
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // ── rung 1: the ingestGate screens ──
@@ -543,8 +569,23 @@ object Streams {
               .where(col("quality") >= minQuality)
               .select(col("doc_id").as(idCol))),
             Seq(idCol), "left_semi")
+        // ── rung 1L (optional): the learned screens, batch-curate order ──
+        val learnedScreens: Seq[DataFrame => DataFrame] = Seq(
+          pplModelPath.map(p => (d: DataFrame) => d.join(
+            broadcast(graft.ops.TextAnalysis
+              .bigramScoreWithModel(spark, d, idCol, textCol, p)
+              .where(col("xent_bits") <= pplMaxBits)
+              .select(col("doc_id").as(idCol))),
+            Seq(idCol), "left_semi")),
+          nbModelPath.map(p => (d: DataFrame) => d.join(
+            broadcast(graft.ops.TextAnalysis
+              .nbScoreWithModel(spark, d, idCol, textCol, p)
+              .where(col("log_odds") > nbMinLogOdds)
+              .select(col("doc_id").as(idCol))),
+            Seq(idCol), "left_semi"))).flatten
+        val gated = learnedScreens.foldLeft(scored)((d, f) => f(d))
         val fresh = graft.ops.Dedup.exactDedupAgainstIndex(
-          spark, scored, textCol, keyIndexPath).persist()
+          spark, gated, textCol, keyIndexPath).persist()
         // metrics count the line rung's survivors; persisted so that
         // count is a cache scan, never a second standing-index probe
         var linedP: Option[DataFrame] = None

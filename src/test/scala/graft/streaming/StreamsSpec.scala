@@ -1284,6 +1284,58 @@ class StreamsSpec extends SparkSpec {
       s"line-rung ladder: $ladder")
   }
 
+  test("composed ingest learned rung: the frozen ppl screen drops the foreign plant") {
+    implicit val sqlCtx = spark.sqlContext
+    val wd = tmpDir("graft_cur_ppl_")
+    graft.ops.Dedup.buildExactKeyIndex(
+      Seq((1L, "standing unrelated text")).toDF("doc_id", "text"),
+      "text", s"$wd/keys")
+    graft.ops.Dedup.buildGramIndex(
+      Seq((1L, "standing unrelated text long enough to carry word grams fine"))
+        .toDF("doc_id", "text"), "text", s"$wd/grams", w = 8)
+    graft.ops.Similarity.buildIvfIndex(
+      Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$wd/ivf", nCells = 1)
+    graft.ops.TextAnalysis.buildBigramLm(spark,
+      Seq((0L, "the cat sat on the mat"), (1L, "the dog sat on the rug"))
+        .toDF("doc_id", "text"), "text", s"$wd/lm")
+
+    // 10/12 in-domain (~1.7 bits under the reference LM); 11 foreign
+    // (all OOV-left -> log2(V)=2.807 bits) — cut at 2.2
+    val docs = Seq(
+      (10L, "the cat sat on the rug"),
+      (11L, "le chat est sur le tapis"),
+      (12L, "the dog sat on the mat"))
+    val mem = MemoryStream[(Long, String, Array[Float])]
+    val m = new RungMetrics()
+    val q = Streams.curationIngestSink(spark,
+      mem.toDF().toDF("doc_id", "text", "embedding"),
+      "doc_id", "text", "embedding",
+      s"$wd/keys", s"$wd/grams", s"$wd/ivf", s"$wd/out", s"$wd/ckpt",
+      metrics = Some(m),
+      pplModelPath = Some(s"$wd/lm"), pplMaxBits = 2.2)
+    try {
+      mem.addData(docs.map(d => (d._1, d._2, Array.empty[Float])): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$wd/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(10L, 12L), s"foreign doc must drop at the ppl rung: $out")
+    // the rung sits before the standing-key probe: the ladder sees the drop
+    val ladder = m.batches.head._2
+    assert(ladder("rows_in") == 3L && ladder("keys") == 2L &&
+      ladder("out_rows") == 2L, s"ladder: $ladder")
+    // a wrong layout fails at sink START
+    val bad = intercept[IllegalArgumentException] {
+      Streams.curationIngestSink(spark,
+        mem.toDF().toDF("doc_id", "text", "embedding"),
+        "doc_id", "text", "embedding",
+        s"$wd/keys", s"$wd/grams", s"$wd/ivf", s"$wd/out", s"$wd/ckpt2",
+        pplModelPath = Some(s"$wd/keys"))
+    }
+    assert(bad.getMessage.contains("bigram_lm"))
+  }
+
   test("capture stream reads files dropped into a directory") {
     val dir = tmpDir("graft_capture_")
     val schema = org.apache.spark.sql.types.StructType(Seq(
