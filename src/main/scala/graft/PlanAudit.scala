@@ -65,7 +65,8 @@ object PlanAudit {
       "q113_pack_token_ids", "q114_code_rebuild_drift",
       "q115_curate_token_ids", "q116_cross_ppl", "q117_nb_quality",
       "q118_token_card", "q119_dsir_resample", "q120_ppl_partition",
-      "q121_score_audit", "q122_tokenizer_fertility")
+      "q121_score_audit", "q122_tokenizer_fertility",
+      "q123_cell_balanced_sample")
     // optional args = audit only these queries (iterating on one
     // operator); a trailing `--json <path>` additionally writes the
     // table as the per-round PLANAUDIT artifact, so plan-shape

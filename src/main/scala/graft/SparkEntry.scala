@@ -314,6 +314,16 @@ object SparkEntry {
     "q118_token_card" -> tokenCardSql,
     "q119_dsir_resample" -> dsirResampleSql,
     "q122_tokenizer_fertility" -> tokenizerFertilitySql,
+    // q123 oracle: the q39 seed/assign CTEs with a per-cell md5-coin
+    // rank cut (the q55 sampler convention with cells as strata)
+    "q123_cell_balanced_sample" ->
+      s"""WITH $ivfCtes,
+         |r AS (SELECT vec_id, cell,
+         |        ROW_NUMBER() OVER (PARTITION BY cell
+         |          ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |      FROM cells)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM r WHERE rn <= 5
+         |ORDER BY vec_id""".stripMargin,
     // q121 oracle: q117's statement as the score source, the provenance
     // truth joined back on, confusion counts per threshold as exact
     // FILTER counts, each ratio ONE division of exact integers rounded

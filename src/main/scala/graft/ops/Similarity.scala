@@ -350,6 +350,43 @@ object Similarity {
       idCol, k)
   }
 
+  /** Cell-balanced sampling — the semantic DIVERSIFICATION sampler: at
+    * most `perCell` rows kept per IVF cell, so the sample covers the
+    * embedding space UNIFORMLY instead of mirroring its density (a
+    * density-proportional sample of a crawl is mostly its biggest
+    * topic; a training mixture, an eval probe set, or a labeling batch
+    * usually wants breadth). Cells are the md5-seeded IVF geometry the
+    * whole family uses (reproducible, no RNG); within a cell the keep
+    * set is the md5-coin rank (the [[graft.ops.Sampling]] convention:
+    * order by md5(id), ties to id), so membership is a pure function of
+    * (corpus, nCells, perCell) — repartition- and engine-stable.
+    * Output: (id, cell) for the kept rows.
+    *
+    * Shape at 100 TB: assignment is the zero-shuffle codegen'd
+    * nearestCentroid projection (centroids are an nCells-bounded
+    * broadcast via literal folding); the per-cell cut is one rank
+    * window over NARROW (id, cell, hash) rows — the q55
+    * exact-size-sampler shape with cells as strata.
+    */
+  def cellBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+                         nCells: Int = 16, perCell: Int = 10,
+                         kmeansIters: Int = 0): DataFrame = {
+    require(perCell >= 1, s"perCell must be positive: $perCell")
+    val e = emb
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    val centroids = ivfCentroids(e, idCol, nCells, kmeansIters)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("_h"), col(idCol))
+    e.select(col(idCol),
+        graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids)
+          .cast("long").as("cell"),
+        md5(col(idCol).cast("string")).as("_h"))
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") <= perCell)
+      .select(col(idCol), col("cell"))
+  }
+
   /** Exact brute-force k-NN JOIN — the ground-truth baseline the
     * approximate family ([[lshKnnJoin]]/[[ivfKnnJoin]]/PQ) trades
     * against, and the truth side of the [[annRecall]] audit. Cost is

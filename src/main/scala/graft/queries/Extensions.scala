@@ -548,6 +548,15 @@ object Extensions {
         col("source").isin("src0", "src1", "src2"), n = 100, dim = 64)
       .orderBy(col("doc_id"))
 
+  // q123 cell-balanced sample — the semantic diversification sampler:
+  // at most 5 rows per md5-seeded IVF cell, within-cell membership by
+  // the md5-coin rank. Uniform coverage of embedding space instead of
+  // density-proportional — breadth for mixtures/eval probes/labeling.
+  val q123_cell_balanced_sample: Q = (s, d) =>
+    Similarity.cellBalancedSample(t(s, d, "embeddings"), "vec_id",
+        "embedding", nCells = 16, perCell = 5)
+      .orderBy(col("vec_id"))
+
   // q102 ANN recall audit — the acceptance gauge for the approximate
   // family: q54's IVF k-NN join scored against the exact brute-force
   // top-10 for the same query set. Both sides deterministic, so the
@@ -1314,5 +1323,6 @@ object Extensions {
     "q119_dsir_resample" -> q119_dsir_resample,
     "q120_ppl_partition" -> q120_ppl_partition,
     "q121_score_audit" -> q121_score_audit,
-    "q122_tokenizer_fertility" -> q122_tokenizer_fertility)
+    "q122_tokenizer_fertility" -> q122_tokenizer_fertility,
+    "q123_cell_balanced_sample" -> q123_cell_balanced_sample)
 }

@@ -548,6 +548,33 @@ class OpsSpec extends SparkSpec {
     assert(again.toSeq == picked.toSeq)
   }
 
+  test("cellBalancedSample: per-cell cap, density-independence, deterministic membership") {
+    // two planted clusters with wildly different densities: 90 rows near
+    // +x, 10 rows near +y — a density-proportional sample is ~90% +x,
+    // the balanced sample must cap both at perCell
+    def v(base: Array[Double], i: Long): Seq[Double] =
+      base.zipWithIndex.map { case (b, j) =>
+        b + 0.01 * (((i * 31 + j * 17) % 11) - 5) }
+    val dense = (0L until 90L).map(i => (i, v(Array(1.0, 0.0, 0.0, 0.0), i)))
+    val sparse = (100L until 110L).map(i => (i, v(Array(0.0, 1.0, 0.0, 0.0), i)))
+    val emb = (dense ++ sparse).toDF("vec_id", "embedding")
+    val out = Similarity.cellBalancedSample(emb, "vec_id", "embedding",
+        nCells = 2, perCell = 4, kmeansIters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perCell = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(out.length <= 8 && perCell.values.forall(_ <= 4),
+      s"every cell capped at perCell: $perCell")
+    // after kmeans refinement the two planted clusters are the two
+    // cells: the sparse cluster contributes its full cap despite being
+    // 10% of the corpus — the density-independence property
+    val sparseKept = out.count(_._1 >= 100L)
+    assert(sparseKept == 4, s"sparse cluster must fill its cap: $sparseKept")
+    val again = Similarity.cellBalancedSample(emb, "vec_id", "embedding",
+        nCells = 2, perCell = 4, kmeansIters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.sorted.sameElements(out.sorted), "membership is deterministic")
+  }
+
   test("persisted DSIR model reproduces the in-memory weights bit-for-bit") {
     val target = (0L until 10L).map(i => (i, "alpha beta alpha", true))
     val pool = (10L until 30L).map(i => (i, "zzz qqq zzz qqq", false))
