@@ -72,6 +72,18 @@ object FilterBench {
     val tXentSmall = med(ta.bigramLmScoreAgainst(
       docsSmall.where(col("lang") === "en"), docsSmall, "doc_id", "text"))
 
+    // selection QUALITY, not just time: what fraction of the Gumbel
+    // top-n is actually target-provenance, vs the corpus base rate —
+    // the lift a DSIR deployment buys on THIS corpus (the synthetic
+    // fixture's sources share a generator, so the honest expectation is
+    // mild lift, reported as measured)
+    val nSel = 1000
+    val sel = graft.ops.Sampling.dsirResample(
+      docs, "doc_id", "text", tgt, n = nSel)
+    val selTgt = sel.join(docs.select(col("doc_id"), tgt.as("_t")), Seq("doc_id"))
+      .where(col("_t")).count()
+    val baseRate = docs.where(tgt).count().toDouble / nDocs
+
     println(
       s"""{"bench":"filter_sf1","sf":"$sfDir","repl":$repl,""" +
       s""""n_docs":$nDocs,"xent_s":${fmt(tXent)},"nb_s":${fmt(tNb)},""" +
@@ -79,6 +91,8 @@ object FilterBench {
       s""""audit_s":${fmt(tAudit)},"fertility_s":${fmt(tFert)},""" +
       s""""card_s":${fmt(tCard)},""" +
       s""""xent_third_volume_s":${fmt(tXentSmall)},""" +
+      s""""dsir_top${nSel}_target_frac":${fmt(selTgt.toDouble / nSel, 4)},""" +
+      s""""target_base_rate":${fmt(baseRate, 4)},""" +
       s""""loadavg_before":"$lv0"}""")
     spark.stop()
   }
