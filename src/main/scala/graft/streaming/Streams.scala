@@ -833,23 +833,25 @@ object Streams {
     * semantic cells ([[semanticGateSink]]), heuristic floors (the
     * quality knob), and now a trained provenance classifier.
     */
-  def nbGateSink(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
-                 idCol: String, textCol: String, modelPath: String,
-                 outPath: String, checkpoint: String,
-                 threshold: Double = 0.0)
+  /** Shared skeleton of the learned admission gates: fail fast at sink
+    * START on a wrong model layout, then per micro-batch score under the
+    * frozen model, keep the admitted ids + score columns, and append the
+    * original rows with scores attached. Stateless given the layout;
+    * deterministic scoring makes at-least-once replays byte-identical
+    * (the compactOutput keep-any discipline).
+    */
+  private def modelGateSink(spark: org.apache.spark.sql.SparkSession,
+                            stream: DataFrame, idCol: String,
+                            modelPath: String, layout: String,
+                            outPath: String, checkpoint: String)
+                           (admit: DataFrame => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // fail fast at sink START if the layout is not an NB model (the
-    // admission-guard convention): one bounded meta read, reused per batch
     val meta = graft.ops.Similarity.readIndexMeta(spark, modelPath)
-    require(meta.get("layout").contains("nb_model"),
-      s"not an nb_model layout: $modelPath (meta ${meta.get("layout")})")
+    require(meta.get("layout").contains(layout),
+      s"not a $layout layout: $modelPath (meta ${meta.get("layout")})")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val scored = graft.ops.TextAnalysis
-          .nbScoreWithModel(spark, batch, idCol, textCol, modelPath)
-          .where(col("log_odds") > threshold)
-          .select(col("doc_id").as(idCol), col("log_odds"))
-        batch.join(scored, Seq(idCol))
+        batch.join(admit(batch), Seq(idCol))
           .write.mode("append").parquet(outPath)
         ()
       }
@@ -857,6 +859,19 @@ object Streams {
       .outputMode("append")
       .start()
   }
+
+  def nbGateSink(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
+                 idCol: String, textCol: String, modelPath: String,
+                 outPath: String, checkpoint: String,
+                 threshold: Double = 0.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    modelGateSink(spark, stream, idCol, modelPath, "nb_model",
+        outPath, checkpoint) { batch =>
+      graft.ops.TextAnalysis
+        .nbScoreWithModel(spark, batch, idCol, textCol, modelPath)
+        .where(col("log_odds") > threshold)
+        .select(col("doc_id").as(idCol), col("log_odds"))
+    }
 
   /** The perplexity admission gate — [[graft.ops.TextAnalysis
     * .bigramLmScoreAgainst]]'s streaming twin over a persisted reference
@@ -877,26 +892,14 @@ object Streams {
   def pplGateSink(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
                   idCol: String, textCol: String, modelPath: String,
                   outPath: String, checkpoint: String, maxBits: Double)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    // fail fast at sink START if the layout is not a bigram LM (the
-    // admission-guard convention): one bounded meta read
-    val meta = graft.ops.Similarity.readIndexMeta(spark, modelPath)
-    require(meta.get("layout").contains("bigram_lm"),
-      s"not a bigram_lm layout: $modelPath (meta ${meta.get("layout")})")
-    stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val scored = graft.ops.TextAnalysis
-          .bigramScoreWithModel(spark, batch, idCol, textCol, modelPath)
-          .where(col("xent_bits") <= maxBits)
-          .select(col("doc_id").as(idCol), col("xent_bits"), col("n_oov"))
-        batch.join(scored, Seq(idCol))
-          .write.mode("append").parquet(outPath)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    modelGateSink(spark, stream, idCol, modelPath, "bigram_lm",
+        outPath, checkpoint) { batch =>
+      graft.ops.TextAnalysis
+        .bigramScoreWithModel(spark, batch, idCol, textCol, modelPath)
+        .where(col("xent_bits") <= maxBits)
+        .select(col("doc_id").as(idCol), col("xent_bits"), col("n_oov"))
+    }
 
   /** The importance admission gate — [[graft.ops.Sampling
     * .dsirLogWeights]]'s streaming twin over a persisted model
@@ -916,24 +919,14 @@ object Streams {
   def dsirGateSink(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
                    idCol: String, textCol: String, modelPath: String,
                    outPath: String, checkpoint: String, minLogW: Double)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val meta = graft.ops.Similarity.readIndexMeta(spark, modelPath)
-    require(meta.get("layout").contains("dsir_model"),
-      s"not a dsir_model layout: $modelPath (meta ${meta.get("layout")})")
-    stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val scored = graft.ops.Sampling
-          .dsirScoreWithModel(spark, batch, idCol, textCol, modelPath)
-          .where(col("log_w") >= minLogW)
-          .select(col("doc_id").as(idCol), col("log_w"), col("n_tokens"))
-        batch.join(scored, Seq(idCol))
-          .write.mode("append").parquet(outPath)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    modelGateSink(spark, stream, idCol, modelPath, "dsir_model",
+        outPath, checkpoint) { batch =>
+      graft.ops.Sampling
+        .dsirScoreWithModel(spark, batch, idCol, textCol, modelPath)
+        .where(col("log_w") >= minLogW)
+        .select(col("doc_id").as(idCol), col("log_w"), col("n_tokens"))
+    }
 
   /** Streaming per-source corpus card — [[graft.ops.Analytics.dataCard]]'s
     * incremental twin for an ingest feed: running n_docs / n_null_text /
