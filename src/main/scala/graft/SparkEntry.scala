@@ -324,6 +324,49 @@ object SparkEntry {
          |      FROM cells)
          |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM r WHERE rn <= 5
          |ORDER BY vec_id""".stripMargin,
+    // q124 oracle: brute-force cosine rank restricted to different-label
+    // rows inside the inclusive [0.0, 0.3] band on the ROUNDED score —
+    // the engine's TopKAgg (score desc, id asc) is the ROW_NUMBER twin
+    "q124_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS ql, v AS qv FROM e
+         |      WHERE vec_id % 100 = 0),
+         |cand AS (SELECT q.q_id, e.vec_id,
+         |           ROUND(${cosSql("e.v", "q.qv")}, 6) AS cos_sim
+         |         FROM e CROSS JOIN q WHERE e.label <> q.ql),
+         |band AS (SELECT * FROM cand
+         |         WHERE cos_sim >= 0.0 AND cos_sim <= 0.3),
+         |ranked AS (SELECT q_id, vec_id, cos_sim,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rk FROM band)
+         |SELECT q_id, vec_id, cos_sim FROM ranked WHERE rk <= 5
+         |ORDER BY q_id, vec_id""".stripMargin,
+    // q125 oracle: label-blind brute-force top-10 (self excluded), then
+    // majority vote among non-null-label neighbors — count desc, label
+    // asc is the engine's max(struct(n, -label)) argmax twin
+    "q125_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |cand AS (SELECT q.q_id, e.vec_id, e.label,
+         |           ROUND(${cosSql("e.v", "q.qv")}, 6) AS cos_sim
+         |         FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |topn AS (SELECT q_id, label,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rk FROM cand),
+         |votes AS (SELECT q_id, label, COUNT(*) AS n FROM topn
+         |          WHERE rk <= 10 AND label IS NOT NULL GROUP BY q_id, label),
+         |best AS (SELECT q_id, label, n,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id
+         |             ORDER BY n DESC, label) AS pk,
+         |           CAST(SUM(n) OVER (PARTITION BY q_id) AS BIGINT)
+         |             AS n_neighbors
+         |         FROM votes)
+         |SELECT q_id, CAST(label AS INTEGER) AS pred_label, n AS n_votes,
+         |       n_neighbors,
+         |       ROUND(CAST(n AS DOUBLE) / n_neighbors, 6) AS vote_frac
+         |FROM best WHERE pk = 1 ORDER BY q_id""".stripMargin,
     // q121 oracle: q117's statement as the score source, the provenance
     // truth joined back on, confusion counts per threshold as exact
     // FILTER counts, each ratio ONE division of exact integers rounded

@@ -428,6 +428,100 @@ object Similarity {
       .select(col("q_id"), col("n_truth"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
 
+  /** Hard-negative mining — the contrastive-training data miner: for
+    * every anchor, the `k` most cosine-similar corpus rows whose label
+    * DIFFERS from the anchor's (the negatives a bi-encoder actually
+    * learns from; random negatives are too easy to carry gradient).
+    * `maxSim`/`minSim` band the ROUNDED score inclusively: the ceiling
+    * drops suspected unlabeled positives (a different-label row this
+    * similar is usually a labeling error, and training on it as a
+    * negative poisons the encoder), the floor drops no-signal easy
+    * negatives. Self-pairs need no carve-out — an anchor shares its own
+    * label, so the label predicate already removes it; null labels never
+    * pair (SQL `<>` semantics on either side).
+    *
+    * Shape at 100 TB: identical to [[bruteKnnJoin]] — anchors are a
+    * BOUNDED set (a labeled training slice) broadcast to the corpus,
+    * candidates collapse into the map-side-combined bounded
+    * [[graft.functions.TopKAgg]]; the corpus never shuffles and only
+    * (id, vec, label) columns are read. For anchor sets that scale with
+    * the corpus, mine within IVF cells instead: [[ivfKnnJoin]] with a
+    * deeper k, then the label/band predicate — recall traded for the
+    * probed-fraction scan like the rest of the approximate family.
+    * Output (q_id, idCol, cos_sim), the k-NN-join family contract.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    qIdCol: String, qVecCol: String, qLabelCol: String,
+                    k: Int, maxSim: Double = 1.0, minSim: Double = -1.0,
+                    scale: Int = 6): DataFrame = {
+    requireIntegralId(corpus, idCol, "hardNegatives")
+    require(minSim <= maxSim, s"empty band: [$minSim, $maxSim]")
+    val qb = queries.select(col(qIdCol).as("q_id"),
+      asDouble(col(qVecCol)).as("_qv"), col(qLabelCol).as("_ql"))
+    val cand = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"), col(labelCol).as("_l"))
+      .crossJoin(broadcast(qb))
+      .where(col("_l") =!= col("_ql"))
+      .select(col("q_id"), col(idCol),
+        round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim"))
+      .where(col("cos_sim") >= minSim && col("cos_sim") <= maxSim)
+    topKPerQuery(cand, idCol, k)
+  }
+
+  /** k-NN label propagation — the auto-labeling bootstrap: every query
+    * row takes the MAJORITY label of its `k` nearest labeled corpus
+    * rows (exact cosine), with `vote_frac` as the confidence a
+    * downstream admission threshold cuts on. This is how a small
+    * human-labeled quality set fans out over an unlabeled corpus before
+    * a [[graft.ops.TextAnalysis.naiveBayesScore]]-style classifier can
+    * be trained on the result. Ties break to the SMALLEST label (pure
+    * function of the neighbor multiset — engine-stable). `excludeSelf`
+    * (default true) keeps a query drawn from the corpus from voting
+    * with its own leaked label. Null-label neighbors rank (the top-k
+    * cut is label-blind) but neither vote nor count toward
+    * `n_neighbors`.
+    *
+    * Shape at 100 TB: the rank pass is [[bruteKnnJoin]]'s (bounded
+    * broadcast queries, map-side bounded top-k, corpus unshuffled);
+    * the label fetch joins the k×|queries|-BOUNDED neighbor set
+    * broadcast against the corpus' (id, label) projection — no corpus
+    * shuffle at any stage. Votes are two aggregations over ≤ k rows
+    * per query; the argmax is a max(struct) — never a window. Output
+    * (q_id, pred_label, n_votes, n_neighbors, vote_frac).
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, labelCol: String,
+                  qIdCol: String, qVecCol: String,
+                  k: Int, excludeSelf: Boolean = true,
+                  scale: Int = 6): DataFrame = {
+    requireIntegralId(corpus, idCol, "knnClassify")
+    val qb = queries.select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+    val pairs = corpus.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .crossJoin(broadcast(qb))
+    val inPlay = if (excludeSelf) pairs.where(col(idCol) =!= col("q_id")) else pairs
+    val neigh = topKPerQuery(
+      inPlay.select(col("q_id"), col(idCol),
+        round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim")),
+      idCol, k)
+    val votes = corpus
+      .select(col(idCol), col(labelCol).as("_lab"))
+      .where(col("_lab").isNotNull)
+      .join(broadcast(neigh.select(col("q_id"), col(idCol))), Seq(idCol))
+      .groupBy(col("q_id"), col("_lab")).agg(count(lit(1)).as("_n"))
+    // max(struct(n, -label)): count desc, then smallest label — the
+    // bounded argmax without a per-query sort.
+    votes.groupBy(col("q_id"))
+      .agg(max(struct(col("_n"), (-col("_lab")).as("_negLab"))).as("_best"),
+        sum(col("_n")).as("n_neighbors"))
+      .select(col("q_id"),
+        (-col("_best._negLab")).cast("int").as("pred_label"),
+        col("_best._n").as("n_votes"),
+        col("n_neighbors"),
+        round(col("_best._n").cast("double") / col("n_neighbors"), 6)
+          .as("vote_frac"))
+  }
+
   /** Driver-side probe selection: the `nProbe` cells whose centroids are
     * nearest the query by cosine — over a table bounded at nCells rows.
     */

@@ -557,6 +557,28 @@ object Extensions {
         "embedding", nCells = 16, perCell = 5)
       .orderBy(col("vec_id"))
 
+  // q124 hard-negative mining — every 100th vector as anchor, top-5
+  // most-similar DIFFERENT-label rows inside the semi-hard band
+  // [0.0, 0.3] on the rounded score: the ceiling drops suspected
+  // unlabeled positives, the floor drops no-gradient easy negatives.
+  val q124_hard_negatives: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "label", "vec_id", "embedding", "label",
+        k = 5, maxSim = 0.3, minSim = 0.0)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
+  // q125 k-NN label propagation — every 100th vector (self excluded)
+  // takes the majority label of its 10 nearest labeled neighbors;
+  // ties to the smallest label, vote_frac as admission confidence.
+  val q125_knn_classify: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    Similarity.knnClassify(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "label", "vec_id", "embedding", k = 10)
+      .orderBy(col("q_id"))
+  }
+
   // q102 ANN recall audit — the acceptance gauge for the approximate
   // family: q54's IVF k-NN join scored against the exact brute-force
   // top-10 for the same query set. Both sides deterministic, so the
@@ -1324,5 +1346,7 @@ object Extensions {
     "q120_ppl_partition" -> q120_ppl_partition,
     "q121_score_audit" -> q121_score_audit,
     "q122_tokenizer_fertility" -> q122_tokenizer_fertility,
-    "q123_cell_balanced_sample" -> q123_cell_balanced_sample)
+    "q123_cell_balanced_sample" -> q123_cell_balanced_sample,
+    "q124_hard_negatives" -> q124_hard_negatives,
+    "q125_knn_classify" -> q125_knn_classify)
 }

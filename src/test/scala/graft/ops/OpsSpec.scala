@@ -575,6 +575,87 @@ class OpsSpec extends SparkSpec {
     assert(again.sorted.sameElements(out.sorted), "membership is deterministic")
   }
 
+  test("hardNegatives: label predicate, semi-hard band, determinism") {
+    // clusters on +x (label 0), +y (label 1), and a mid diagonal
+    // (label 2) — for an anchor in cluster 0 the diagonal rows are the
+    // hard negatives (cos ≈ 0.7), the +y rows the easy ones (cos ≈ 0)
+    def v(base: Array[Double], i: Long): Seq[Double] =
+      base.zipWithIndex.map { case (b, j) =>
+        b + 0.001 * (((i * 31 + j * 17) % 11) - 5) }
+    val cx = (0L until 10L).map(i => (i, v(Array(1.0, 0.0, 0.0, 0.0), i), 0))
+    val cy = (20L until 30L).map(i => (i, v(Array(0.0, 1.0, 0.0, 0.0), i), 1))
+    val cd = (40L until 50L).map(i => (i, v(Array(0.7, 0.7, 0.0, 0.0), i), 2))
+    val emb = (cx ++ cy ++ cd).toDF("vec_id", "embedding", "label")
+    val anchors = emb.filter(col("vec_id") < 2L)
+    val out = Similarity.hardNegatives(emb, anchors,
+      "vec_id", "embedding", "label", "vec_id", "embedding", "label", k = 5)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, id, _) => id >= 20L },
+      "a same-label row must never be mined as a negative")
+    assert(rows.forall { case (_, id, _) => id >= 40L },
+      s"unbanded hardest negatives are the diagonal cluster: ${rows.toSeq}")
+    // ceiling below the diagonal's ~0.7 similarity excludes it: only the
+    // orthogonal (easy) cluster survives the band
+    val banded = Similarity.hardNegatives(emb, anchors,
+      "vec_id", "embedding", "label", "vec_id", "embedding", "label",
+      k = 5, maxSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(banded.nonEmpty && banded.forall { case (_, id, s) =>
+      id >= 20L && id < 30L && s <= 0.5 },
+      s"ceiling must cut the suspected-positive diagonal: ${banded.toSeq}")
+    val again = Similarity.hardNegatives(emb, anchors,
+      "vec_id", "embedding", "label", "vec_id", "embedding", "label", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.sorted.sameElements(rows.sorted), "mining is deterministic")
+  }
+
+  test("knnClassify: cluster majority, self exclusion, smallest-label tie, null labels rank but never vote") {
+    def v(base: Array[Double], i: Long): Seq[Double] =
+      base.zipWithIndex.map { case (b, j) =>
+        b + 0.001 * (((i * 31 + j * 17) % 11) - 5) }
+    val cx = (0L until 8L).map(i => (i, v(Array(1.0, 0.0, 0.0, 0.0), i), 3))
+    val cy = (20L until 28L).map(i => (i, v(Array(0.0, 1.0, 0.0, 0.0), i), 7))
+    val emb = (cx ++ cy).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, emb.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", "label", "vec_id", "embedding", k = 5)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Int]("pred_label") == 3 && r.getAs[Long]("n_votes") == 5L
+      && r.getAs[Long]("n_neighbors") == 5L
+      && r.getAs[Double]("vote_frac") == 1.0,
+      s"in-cluster query takes the cluster label unanimously: $r")
+    // k spanning the whole corpus: self (vec_id 0) must not vote — 7
+    // same-cluster + 8 cross-cluster = 15 neighbors, never 16
+    val all = Similarity.knnClassify(emb, emb.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", "label", "vec_id", "embedding", k = 20)
+      .collect().head
+    assert(all.getAs[Long]("n_neighbors") == 15L && all.getAs[Int]("pred_label") == 7,
+      s"self excluded; cross-cluster majority 8:7 wins: $all")
+    // exact tie: two corpus rows mirror-placed around the query — count
+    // 1:1 must break to the SMALLEST label
+    val tieCorpus = Seq(
+      (1L, Seq(1.0, 0.1, 0.0, 0.0), 9), (2L, Seq(1.0, -0.1, 0.0, 0.0), 4))
+      .toDF("vec_id", "embedding", "label")
+    val tieQ = Seq((100L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val tie = Similarity.knnClassify(tieCorpus, tieQ,
+      "vec_id", "embedding", "label", "vec_id", "embedding", k = 2).collect().head
+    assert(tie.getAs[Int]("pred_label") == 4 && tie.getAs[Long]("n_votes") == 1L,
+      s"ties break to the smallest label: $tie")
+    // a null-label neighbor occupies a top-k slot but neither votes nor
+    // counts toward n_neighbors
+    val nullCorpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0), null.asInstanceOf[Integer]),
+      (2L, Seq(0.9, 0.1, 0.0, 0.0), Integer.valueOf(5)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0), Integer.valueOf(6)))
+      .toDF("vec_id", "embedding", "label")
+    val nl = Similarity.knnClassify(nullCorpus, tieQ,
+      "vec_id", "embedding", "label", "vec_id", "embedding", k = 2).collect().head
+    assert(nl.getAs[Int]("pred_label") == 5 && nl.getAs[Long]("n_neighbors") == 1L,
+      s"null-label neighbor ranks but never votes: $nl")
+  }
+
   test("persisted DSIR model reproduces the in-memory weights bit-for-bit") {
     val target = (0L until 10L).map(i => (i, "alpha beta alpha", true))
     val pool = (10L until 30L).map(i => (i, "zzz qqq zzz qqq", false))
