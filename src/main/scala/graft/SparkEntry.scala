@@ -367,6 +367,14 @@ object SparkEntry {
          |       n_neighbors,
          |       ROUND(CAST(n AS DOUBLE) / n_neighbors, 6) AS vote_frac
          |FROM best WHERE pk = 1 ORDER BY q_id""".stripMargin,
+    // q126 oracle: the textbook per-key window form of the cap — the
+    // engine's bounded TopKAgg (score desc, id asc) is its rank twin
+    "q126_cap_per_source" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+        |  ORDER BY n_chars DESC, doc_id) <= 10
+        |ORDER BY doc_id""".stripMargin,
+    "q127_group_split" -> groupSplitSql,
     // q121 oracle: q117's statement as the score source, the provenance
     // truth joined back on, confusion counts per threshold as exact
     // FILTER counts, each ratio ONE division of exact integers rounded
@@ -2630,6 +2638,20 @@ object SparkEntry {
     s"""SELECT doc_id, CASE
        |  WHEN MD5(CAST(doc_id AS VARCHAR)) < '$t1' THEN 'train'
        |  WHEN MD5(CAST(doc_id AS VARCHAR)) < '$t2' THEN 'val'
+       |  ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q127 oracle: the md5-hex-threshold split keyed on the salted GROUP
+    * (source || "|gsplit"), thresholds from the same
+    * [[graft.ops.Sampling.hexThreshold]] as q47.
+    */
+  private def groupSplitSql: String = {
+    val t1 = graft.ops.Sampling.hexThreshold(0.8)
+    val t2 = graft.ops.Sampling.hexThreshold(0.9)
+    s"""SELECT doc_id, source, CASE
+       |  WHEN MD5(source || '|gsplit') < '$t1' THEN 'train'
+       |  WHEN MD5(source || '|gsplit') < '$t2' THEN 'val'
        |  ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
   }

@@ -224,6 +224,70 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Leakage-safe split — [[splitLabel]] keyed on a GROUP instead of the
+    * row id, so every member of a group lands on the SAME side. The
+    * group is whatever "these rows must not straddle train/test" means
+    * for the corpus: the near-dup cluster id from
+    * [[graft.ops.Dedup]]'s connected components (near-duplicates of a
+    * training doc leaking into eval inflate every score), the source
+    * domain, the conversation/session id. Splitting i.i.d. by row id is
+    * WRONG whenever such groups exist — this is the fix. The coin is
+    * md5(group || "|gsplit"), salted so a group's side is independent
+    * of [[sample]]/[[splitLabel]]'s md5(id) coins and of
+    * [[trainingOrder]]'s "|shuffle" key. Split SIZES land near the
+    * fractions only in group count; row counts follow the group-size
+    * distribution (one giant cluster drags its whole mass to one side —
+    * the property that makes the split sound is the one that skews it).
+    * A pure projection: zero shuffle, no group table materialized, new
+    * members of an old group forever join its side.
+    */
+  def splitByGroup(df: DataFrame, groupCol: String,
+                   trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac + valFrac <= 1, "train + val fractions exceed 1")
+    val k = md5(concat(col(groupCol).cast("string"), lit("|gsplit")))
+    df.withColumn("split",
+      when(k < hexThreshold(trainFrac), "train")
+        .when(k < hexThreshold(trainFrac + valFrac), "val")
+        .otherwise("test"))
+  }
+
+  /** Per-key frequency cap — "at most `n` documents per domain", the
+    * curation throttle that stops one crawler-friendly source from
+    * dominating a mixture: keep the `n` BEST rows per key by
+    * (`scoreCol` desc, id asc), drop the rest. Null-score rows are
+    * unrankable and always dropped.
+    *
+    * Scale shape: the rank is the bounded map-side-combined
+    * [[graft.functions.TopKAgg]] over (id, score) — each task ships at
+    * most `n` entries per key it saw, so a skewed key (one domain with
+    * a billion rows) costs partials of size `n`, never a
+    * single-partition sort the way the textbook `ROW_NUMBER() OVER
+    * (PARTITION BY key)` window does. Survivor ids (≤ n × |keys|) then
+    * semi-join back to fetch the full rows; `broadcastSurvivors`
+    * (default true — caps are small by construction) pins that as a
+    * broadcast so the corpus never shuffles end to end. Set it false
+    * when n × |keys| is itself huge, where a shuffled semi-join is the
+    * correct plan.
+    */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String,
+                scoreCol: String, n: Int,
+                broadcastSurvivors: Boolean = true): DataFrame = {
+    require(n >= 1, s"n must be positive: $n")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"capPerKey needs an integral id column (the bounded top-n rank " +
+        s"carries bigint ids); '$idCol' is $dt")
+    val survivors = df
+      .where(col(scoreCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(graft.functions.TopKAgg.topK(n)(
+        col(idCol).cast("long"), col(scoreCol).cast("double")).as("_top"))
+      .select(explode(col("_top._1")).as("_kept"))
+    val keep = if (broadcastSurvivors) broadcast(survivors) else survivors
+    df.join(keep, col(idCol).cast("long") === col("_kept"), "left_semi")
+  }
+
   /** Deterministic TRAINING-ORDER shuffle — the step after [[Packing
     * .pack]] every recipe needs: a reproducible pseudo-random global
     * order, as (shard, pos). The shuffle key is md5(id || "|shuffle")

@@ -579,6 +579,23 @@ object Extensions {
       .orderBy(col("q_id"))
   }
 
+  // q126 per-source frequency cap — at most the 10 longest documents per
+  // source survive (n_chars desc, doc_id asc): the bounded TopKAgg rank,
+  // never a per-key window, so one oversized source costs nothing extra.
+  val q126_cap_per_source: Q = (s, d) =>
+    Sampling.capPerKey(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source", "n_chars", n = 10)
+      .orderBy(col("doc_id"))
+
+  // q127 leakage-safe split — train/val/test assigned per SOURCE, not per
+  // document: every doc of a source lands on the same side, the property
+  // an i.i.d. row split violates whenever correlated groups exist.
+  val q127_group_split: Q = (s, d) =>
+    Sampling.splitByGroup(
+        t(s, d, "documents").select(col("doc_id"), col("source")), "source")
+      .orderBy(col("doc_id"))
+
   // q102 ANN recall audit — the acceptance gauge for the approximate
   // family: q54's IVF k-NN join scored against the exact brute-force
   // top-10 for the same query set. Both sides deterministic, so the
@@ -1348,5 +1365,7 @@ object Extensions {
     "q122_tokenizer_fertility" -> q122_tokenizer_fertility,
     "q123_cell_balanced_sample" -> q123_cell_balanced_sample,
     "q124_hard_negatives" -> q124_hard_negatives,
-    "q125_knn_classify" -> q125_knn_classify)
+    "q125_knn_classify" -> q125_knn_classify,
+    "q126_cap_per_source" -> q126_cap_per_source,
+    "q127_group_split" -> q127_group_split)
 }

@@ -656,6 +656,61 @@ class OpsSpec extends SparkSpec {
       s"null-label neighbor ranks but never votes: $nl")
   }
 
+  test("capPerKey: n best per key by (score desc, id asc), null scores dropped, skewed key costs nothing extra") {
+    def d(x: Double): java.lang.Double = Double.box(x)
+    val rows: Seq[(Long, String, java.lang.Double)] =
+      (0L until 100L).map(i => (i, "big", d((i % 10).toDouble))) ++
+        Seq((200L, "small", d(5.0)), (201L, "small", d(7.0)),
+          (202L, "small", d(7.0)), (300L, "nulls", null))
+    val df = rows.toDF("doc_id", "source", "score")
+    val out = Sampling.capPerKey(df, "doc_id", "source", "score", n = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // "big": score 9.0 appears at ids 9,19,...,99 — smallest two ids win
+    // "small": 7.0 twice beats 5.0; the null-score row never survives
+    assert(out == Set((9L, "big"), (19L, "big"), (201L, "small"), (202L, "small")),
+      s"got $out")
+    // keys with fewer than n rows keep them all
+    val loose = Sampling.capPerKey(df, "doc_id", "source", "score", n = 500)
+      .count()
+    assert(loose == 103L, "below the cap every non-null-score row survives")
+    // determinism across the broadcast and shuffled semi-join plans
+    val shuffled = Sampling.capPerKey(df, "doc_id", "source", "score", n = 2,
+        broadcastSurvivors = false)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(shuffled == out, "plan choice must not change membership")
+  }
+
+  test("splitByGroup: groups never straddle, assignment is the salted md5 coin, sizes follow group mass") {
+    // 50 groups × 20 rows: every member of a group must share its split
+    val df = (0L until 1000L).map(i => (i, s"grp${i % 50}"))
+      .toDF("doc_id", "cluster")
+    val out = Sampling.splitByGroup(df, "cluster").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val sides = out.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(sides.values.forall(_.length == 1),
+      s"a group straddled splits: ${sides.filter(_._2.length > 1)}")
+    // the coin is md5(group || "|gsplit") vs the q47 thresholds — check
+    // one group's side against the direct computation
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("grp0|gsplit".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected =
+      if (md < Sampling.hexThreshold(0.8)) "train"
+      else if (md < Sampling.hexThreshold(0.9)) "val" else "test"
+    assert(sides("grp0").head == expected, "assignment must be the documented coin")
+    // all three splits occupied at 50 groups, and fractions are groupwise:
+    // each split's row count is a multiple of the 20-row group size
+    val bySplit = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), s"got $bySplit")
+    assert(bySplit.values.forall(_ % 20 == 0), "row mass moves in whole groups")
+    // leakage composition: rows that share a near-dup cluster id always
+    // co-locate — the property an id-keyed split violates
+    val idSplit = Sampling.splitLabel(df, "doc_id").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getString(2)).distinct).toMap
+    assert(idSplit.exists(_._2.length > 1),
+      "fixture sanity: the i.i.d. split DOES straddle these groups")
+  }
+
   test("persisted DSIR model reproduces the in-memory weights bit-for-bit") {
     val target = (0L until 10L).map(i => (i, "alpha beta alpha", true))
     val pool = (10L until 30L).map(i => (i, "zzz qqq zzz qqq", false))

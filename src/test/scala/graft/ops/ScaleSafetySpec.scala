@@ -433,6 +433,24 @@ class ScaleSafetySpec extends SparkSpec {
       "the head/middle/tail labels must not add a shuffle")
   }
 
+  test("capPerKey and splitByGroup keep scale shapes: bounded agg not a window, projection-only split") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    // the cap must rank via the partial-aggregating TopKAgg — a per-key
+    // Window would serialize a skewed key into one task at scale
+    val cap = Sampling.capPerKey(docs, "doc_id", "source", "n_chars", n = 50)
+    val capPlan = cap.queryExecution.executedPlan.toString
+    assert(!capPlan.contains("Window"), "cap must never plan a window")
+    assert(capPlan.contains("partial_topkagg") || capPlan.contains("ObjectHashAggregate"),
+      s"cap must rank via the map-side-combined aggregate:\n$capPlan")
+    assert(capPlan.contains("BroadcastHashJoin") && capPlan.contains("LeftSemi"),
+      "default survivor fetch is a broadcast semi-join (corpus never shuffles)")
+    // the grouped split is a pure projection: no exchange anywhere
+    val split = Sampling.splitByGroup(docs, "source")
+    val splitPlan = split.queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("Exchange"), s"grouped split must not shuffle:\n$splitPlan")
+  }
+
   test("RandomHyperplanes matches the plane matrix it advertises") {
     import org.apache.spark.sql.graft.RandomHyperplanes
     val dim = 8
