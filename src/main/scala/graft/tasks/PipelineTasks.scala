@@ -189,6 +189,52 @@ object PipelineTasks {
       }
   }
 
+  /** `split`: deterministic train/val/test assignment — keyed on `id`
+    * ([[Sampling.splitLabel]], q47) or, when `group` names a column, on
+    * the GROUP so correlated rows never straddle the eval boundary
+    * ([[Sampling.splitByGroup]], q127). `train_frac`/`val_frac` default
+    * 0.8/0.1; optional `keep` filters the output to one side (the
+    * "emit only train" recipe step).
+    */
+  object SplitTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
+      Tasks.etl(ctx, task, log, "split")(sourceDf(ctx, task)) { (df, lg, meter) =>
+        val cfg = task("split")
+        val tf = cfg.str("train_frac", "0.8").toDouble
+        val vf = cfg.str("val_frac", "0.1").toDouble
+        val labeled = cfg.strOpt("group") match {
+          case Some(g) => Sampling.splitByGroup(df, g, tf, vf)
+          case None    => Sampling.splitLabel(df, cfg.str("id", "doc_id"), tf, vf)
+        }
+        val out = cfg.strOpt("keep") match {
+          case Some(side) =>
+            require(Seq("train", "val", "test").contains(side),
+              s"unknown split side: $side")
+            labeled.where(org.apache.spark.sql.functions.col("split") === side)
+          case None => labeled
+        }
+        sink(ctx, task)(out, lg, meter)
+      }
+  }
+
+  /** `cap`: per-key frequency throttle — keep the `n` best rows per
+    * `key` by (`score` desc, id asc) via the bounded
+    * [[Sampling.capPerKey]] rank (q126), the "max N docs per domain"
+    * admission step.
+    */
+  object CapTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
+      Tasks.etl(ctx, task, log, "cap")(sourceDf(ctx, task)) { (df, lg, meter) =>
+        val cfg = task("cap")
+        val out = Sampling.capPerKey(df, cfg.str("id", "doc_id"),
+          cfg.str("key", "source"), cfg.str("score"),
+          cfg.intOpt("n").getOrElse(
+            throw new IllegalArgumentException("cap: missing required key 'n'")),
+          cfg.bool("broadcast", default = true))
+        sink(ctx, task)(out, lg, meter)
+      }
+  }
+
   /** `pack`: concat-and-chunk sequence layout (q52) — `tokens` names a
     * numeric column, or token counts come from `text` (ws convention);
     * one window per `shard` stratum, `seq_len` tokens per sequence.

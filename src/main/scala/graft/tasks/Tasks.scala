@@ -348,6 +348,8 @@ object Tasks {
     "dedup"      -> PipelineTasks.DedupTask,
     "excise"     -> PipelineTasks.ExciseTask,
     "sample"     -> PipelineTasks.SampleTask,
+    "split"      -> PipelineTasks.SplitTask,
+    "cap"        -> PipelineTasks.CapTask,
     "pack"       -> PipelineTasks.PackTask,
     "pack_ids"   -> PipelineTasks.PackIdsTask,
     "chunk"      -> PipelineTasks.ChunkTask,

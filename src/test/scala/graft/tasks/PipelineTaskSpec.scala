@@ -139,6 +139,31 @@ class PipelineTaskSpec extends SparkSpec {
         Map("src1" -> 1.0, "src2" -> 0.25))))
   }
 
+  test("split task == splitLabel / splitByGroup; keep filters one side; cap task == capPerKey (q47/q126/q127 parity)") {
+    val wd = tmpDir("graft_pipetask_")
+    runTask(wd,
+      s"""{"tasks": [
+         |  {"type": "split", "name": "s1",
+         |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |   "split": {},
+         |   "target": {"file": "byid", "truncate": true}},
+         |  {"type": "split", "name": "s2",
+         |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |   "split": {"group": "source", "keep": "train"},
+         |   "target": {"file": "bygrp", "truncate": true}},
+         |  {"type": "cap", "name": "c",
+         |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |   "cap": {"key": "source", "score": "n_chars", "n": 3},
+         |   "target": {"file": "capped", "truncate": true}}
+         |]}""".stripMargin)
+    assert(rows(outParquet(wd, "byid")) ==
+      rows(Sampling.splitLabel(docs, "doc_id")))
+    assert(rows(outParquet(wd, "bygrp")) ==
+      rows(Sampling.splitByGroup(docs, "source").where(col("split") === "train")))
+    assert(rows(outParquet(wd, "capped")) ==
+      rows(Sampling.capPerKey(docs, "doc_id", "source", "n_chars", n = 3)))
+  }
+
   test("pack task counts ws tokens from text == Packing.pack (q52 parity)") {
     val wd = tmpDir("graft_pipetask_")
     runTask(wd,
