@@ -367,6 +367,9 @@ object SparkEntry {
          |       n_neighbors,
          |       ROUND(CAST(n AS DOUBLE) / n_neighbors, 6) AS vote_frac
          |FROM best WHERE pk = 1 ORDER BY q_id""".stripMargin,
+    // q128 oracle: the q54 IVF CTEs (seeds, assignment, probes) with
+    // q124's label predicate and band below the rank
+    "q128_hard_negatives_ivf" -> hardNegativesIvfSql,
     // q126 oracle: the textbook per-key window form of the cap — the
     // engine's bounded TopKAgg (score desc, id asc) is its rank twin
     "q126_cap_per_source" ->
@@ -2641,6 +2644,41 @@ object SparkEntry {
        |  ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** q128 oracle: q54's seed/assignment/probe CTEs with the
+    * different-label predicate and the [0.0, 0.3] band applied below
+    * the per-anchor rank (the q124 statement under the IVF geometry).
+    */
+  private def hardNegativesIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, label,
+       |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
+       |         FROM seeds),
+       |asgn AS (SELECT e.vec_id, e.label, e.v, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
+       |         FROM e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, label, v, cell FROM asgn WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, label AS ql, v AS qv FROM e
+       |      WHERE vec_id % 100 = 0),
+       |probes AS (SELECT q_id, ql, qv, cell FROM (
+       |  SELECT q.q_id, q.ql, q.qv, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${cosSql("c.cv", "q.qv")} DESC, c.cell) AS rn
+       |  FROM q CROSS JOIN cent c) t WHERE rn <= 3),
+       |cand AS (SELECT p.q_id, cells.vec_id,
+       |           ROUND(${cosSql("cells.v", "p.qv")}, 6) AS cos_sim
+       |         FROM cells JOIN probes p ON cells.cell = p.cell
+       |         WHERE cells.label <> p.ql),
+       |band AS (SELECT * FROM cand
+       |         WHERE cos_sim >= 0.0 AND cos_sim <= 0.3),
+       |ranked AS (SELECT q_id, vec_id, cos_sim,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rk FROM band)
+       |SELECT q_id, vec_id, cos_sim FROM ranked WHERE rk <= 5
+       |ORDER BY q_id, vec_id""".stripMargin
 
   /** q127 oracle: the md5-hex-threshold split keyed on the salted GROUP
     * (source || "|gsplit"), thresholds from the same

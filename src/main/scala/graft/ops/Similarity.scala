@@ -469,6 +469,52 @@ object Similarity {
     topKPerQuery(cand, idCol, k)
   }
 
+  /** [[hardNegatives]]' scale path for anchor sets that GROW with the
+    * corpus (mining negatives for every doc of a labeled shard, not a
+    * bounded slice): the [[ivfKnnJoin]] shape with the label and band
+    * predicates pushed below the rank, so each anchor still yields up
+    * to `k` banded different-label negatives from its probed cells —
+    * a post-filter on a plain k-NN join would return fewer. One
+    * equi-join on the cell key, never a crossJoin; scanned fraction ≈
+    * nProbe/nCells per anchor; recall traded exactly as the rest of
+    * the IVF family (a hard negative in an unprobed cell is missed —
+    * acceptable for mining, which wants hard-ENOUGH, not exact-top).
+    * `broadcastQueries` as in [[ivfKnnJoin]]. Output contract = the
+    * exact [[hardNegatives]].
+    */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, labelCol: String,
+                       qIdCol: String, qVecCol: String, qLabelCol: String,
+                       k: Int, nCells: Int = 16, nProbe: Int = 3,
+                       maxSim: Double = 1.0, minSim: Double = -1.0,
+                       scale: Int = 6,
+                       broadcastQueries: Boolean = true): DataFrame = {
+    requireIntegralId(corpus, idCol, "hardNegativesIvf")
+    require(minSim <= maxSim, s"empty band: [$minSim, $maxSim]")
+    val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("_v"),
+      col(labelCol).as("_l"))
+    val centroids: Array[Array[Double]] = e
+      .select(col(idCol).as("_id"), col("_v"), md5(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("_id"))
+      .limit(nCells)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val corpusCells = e.withColumn("_cell",
+      graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids))
+    val probed = queries
+      .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"),
+        col(qLabelCol).as("_ql"))
+      .withColumn("_probe", explode(
+        graft.functions.VectorFunctions.nearestCentroids(col("_qv"), centroids, nProbe)))
+    val probeSide = if (broadcastQueries) broadcast(probed) else probed
+    val cand = corpusCells.join(probeSide, col("_cell") === col("_probe"))
+      .where(col("_l") =!= col("_ql"))
+      .select(col("q_id"), col(idCol),
+        round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim"))
+      .where(col("cos_sim") >= minSim && col("cos_sim") <= maxSim)
+    topKPerQuery(cand, idCol, k)
+  }
+
   /** k-NN label propagation — the auto-labeling bootstrap: every query
     * row takes the MAJORITY label of its `k` nearest labeled corpus
     * rows (exact cosine), with `vote_frac` as the confidence a

@@ -579,6 +579,18 @@ object Extensions {
       .orderBy(col("q_id"))
   }
 
+  // q128 IVF-celled hard-negative mining — q124's statement under the
+  // q54 cell geometry (16 cells, 3 probes): the scale path when anchors
+  // grow with the corpus; predicates pushed below the rank so every
+  // anchor still fills k from its probed cells.
+  val q128_hard_negatives_ivf: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    Similarity.hardNegativesIvf(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "label", "vec_id", "embedding", "label",
+        k = 5, nCells = 16, nProbe = 3, maxSim = 0.3, minSim = 0.0)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
   // q126 per-source frequency cap — at most the 10 longest documents per
   // source survive (n_chars desc, doc_id asc): the bounded TopKAgg rank,
   // never a per-key window, so one oversized source costs nothing extra.
@@ -1367,5 +1379,6 @@ object Extensions {
     "q124_hard_negatives" -> q124_hard_negatives,
     "q125_knn_classify" -> q125_knn_classify,
     "q126_cap_per_source" -> q126_cap_per_source,
-    "q127_group_split" -> q127_group_split)
+    "q127_group_split" -> q127_group_split,
+    "q128_hard_negatives_ivf" -> q128_hard_negatives_ivf)
 }

@@ -610,6 +610,38 @@ class OpsSpec extends SparkSpec {
     assert(again.sorted.sameElements(rows.sorted), "mining is deterministic")
   }
 
+  test("hardNegativesIvf: fills k below the rank, equi-join plan, full-probe parity with the exact miner") {
+    def v(base: Array[Double], i: Long): Seq[Double] =
+      base.zipWithIndex.map { case (b, j) =>
+        b + 0.001 * (((i * 31 + j * 17) % 11) - 5) }
+    val cx = (0L until 10L).map(i => (i, v(Array(1.0, 0.0, 0.0, 0.0), i), 0))
+    val cy = (20L until 30L).map(i => (i, v(Array(0.0, 1.0, 0.0, 0.0), i), 1))
+    val cd = (40L until 50L).map(i => (i, v(Array(0.7, 0.7, 0.0, 0.0), i), 2))
+    val emb = (cx ++ cy ++ cd).toDF("vec_id", "embedding", "label")
+    val anchors = emb.filter(col("vec_id") < 2L)
+    // probing EVERY cell makes the approximation exact: byte parity
+    // with hardNegatives proves the predicates sit below the rank
+    val full = Similarity.hardNegativesIvf(emb, anchors,
+        "vec_id", "embedding", "label", "vec_id", "embedding", "label",
+        k = 5, nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val exact = Similarity.hardNegatives(emb, anchors,
+        "vec_id", "embedding", "label", "vec_id", "embedding", "label", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(full.sameElements(exact),
+      s"all-cells probe must equal the exact miner: ${full.toSeq} vs ${exact.toSeq}")
+    // narrowed probes still return ONLY different-label rows and at most k
+    val probed = Similarity.hardNegativesIvf(emb, anchors,
+      "vec_id", "embedding", "label", "vec_id", "embedding", "label",
+      k = 5, nCells = 4, nProbe = 2)
+    val rows = probed.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall(_._2 >= 20L), "label predicate holds under probing")
+    assert(rows.groupBy(_._1).values.forall(_.length <= 5))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "the celled miner must stay an equi-join")
+  }
+
   test("knnClassify: cluster majority, self exclusion, smallest-label tie, null labels rank but never vote") {
     def v(base: Array[Double], i: Long): Seq[Double] =
       base.zipWithIndex.map { case (b, j) =>
