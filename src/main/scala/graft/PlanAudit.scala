@@ -66,7 +66,9 @@ object PlanAudit {
       "q115_curate_token_ids", "q116_cross_ppl", "q117_nb_quality",
       "q118_token_card", "q119_dsir_resample", "q120_ppl_partition",
       "q121_score_audit", "q122_tokenizer_fertility",
-      "q123_cell_balanced_sample")
+      "q123_cell_balanced_sample", "q124_hard_negatives",
+      "q125_knn_classify", "q126_cap_per_source", "q127_group_split",
+      "q128_hard_negatives_ivf")
     // optional args = audit only these queries (iterating on one
     // operator); a trailing `--json <path>` additionally writes the
     // table as the per-round PLANAUDIT artifact, so plan-shape
