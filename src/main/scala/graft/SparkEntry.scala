@@ -367,6 +367,32 @@ object SparkEntry {
          |       n_neighbors,
          |       ROUND(CAST(n AS DOUBLE) / n_neighbors, 6) AS vote_frac
          |FROM best WHERE pk = 1 ORDER BY q_id""".stripMargin,
+    // q129 oracle: q125's statement with the roles flipped — the seed
+    // (every 100th vector) is the labeled corpus, EVERY row queries;
+    // rank/vote/argmax conventions identical
+    "q129_knn_autolabel" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seed AS (SELECT vec_id, label, v FROM e WHERE vec_id % 100 = 0),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e),
+         |cand AS (SELECT q.q_id, s.vec_id, s.label,
+         |           ROUND(${cosSql("s.v", "q.qv")}, 6) AS cos_sim
+         |         FROM seed s CROSS JOIN q WHERE s.vec_id <> q.q_id),
+         |topn AS (SELECT q_id, label,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rk FROM cand),
+         |votes AS (SELECT q_id, label, COUNT(*) AS n FROM topn
+         |          WHERE rk <= 3 AND label IS NOT NULL GROUP BY q_id, label),
+         |best AS (SELECT q_id, label, n,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id
+         |             ORDER BY n DESC, label) AS pk,
+         |           CAST(SUM(n) OVER (PARTITION BY q_id) AS BIGINT)
+         |             AS n_neighbors
+         |         FROM votes)
+         |SELECT q_id, CAST(label AS INTEGER) AS pred_label, n AS n_votes,
+         |       n_neighbors,
+         |       ROUND(CAST(n AS DOUBLE) / n_neighbors, 6) AS vote_frac
+         |FROM best WHERE pk = 1 ORDER BY q_id""".stripMargin,
     // q128 oracle: the q54 IVF CTEs (seeds, assignment, probes) with
     // q124's label predicate and band below the rank
     "q128_hard_negatives_ivf" -> hardNegativesIvfSql,

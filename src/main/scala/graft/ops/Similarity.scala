@@ -528,32 +528,49 @@ object Similarity {
     * cut is label-blind) but neither vote nor count toward
     * `n_neighbors`.
     *
-    * Shape at 100 TB: the rank pass is [[bruteKnnJoin]]'s (bounded
-    * broadcast queries, map-side bounded top-k, corpus unshuffled);
-    * the label fetch joins the k×|queries|-BOUNDED neighbor set
-    * broadcast against the corpus' (id, label) projection — no corpus
-    * shuffle at any stage. Votes are two aggregations over ≤ k rows
-    * per query; the argmax is a max(struct) — never a window. Output
-    * (q_id, pred_label, n_votes, n_neighbors, vote_frac).
+    * Shape at 100 TB — pick the broadcast side to match the direction:
+    * default (audit direction, bounded query slice) broadcasts the
+    * queries, rank-pass partials bounded map-side, corpus unshuffled;
+    * `broadcastLabeled = true` is the AUTO-LABELING direction — the
+    * small labeled seed broadcasts and the corpus-sized QUERY set never
+    * shuffles beyond its bounded (≤ k per query per task) top-k
+    * partials; there the label fetch broadcasts the seed's (id, label)
+    * instead of the neighbor set. Votes are two aggregations over ≤ k
+    * rows per query; the argmax is a max(struct) — never a window.
+    * Output (q_id, pred_label, n_votes, n_neighbors, vote_frac),
+    * identical in both directions.
     */
   def knnClassify(corpus: DataFrame, queries: DataFrame,
                   idCol: String, vecCol: String, labelCol: String,
                   qIdCol: String, qVecCol: String,
                   k: Int, excludeSelf: Boolean = true,
-                  scale: Int = 6): DataFrame = {
+                  scale: Int = 6,
+                  broadcastLabeled: Boolean = false): DataFrame = {
     requireIntegralId(corpus, idCol, "knnClassify")
     val qb = queries.select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
-    val pairs = corpus.select(col(idCol), asDouble(col(vecCol)).as("_v"))
-      .crossJoin(broadcast(qb))
+    val cb = corpus.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    // default: bounded queries broadcast against the big labeled corpus
+    // (the audit direction). broadcastLabeled flips it for the
+    // AUTO-LABELING direction — a small labeled seed broadcast against a
+    // corpus-sized query set: the queries never shuffle beyond the
+    // bounded top-k partials, and the seed rides every executor.
+    val pairs =
+      if (broadcastLabeled) qb.crossJoin(broadcast(cb))
+      else cb.crossJoin(broadcast(qb))
     val inPlay = if (excludeSelf) pairs.where(col(idCol) =!= col("q_id")) else pairs
     val neigh = topKPerQuery(
       inPlay.select(col("q_id"), col(idCol),
         round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim")),
       idCol, k)
-    val votes = corpus
+    val labels = corpus
       .select(col(idCol), col(labelCol).as("_lab"))
       .where(col("_lab").isNotNull)
-      .join(broadcast(neigh.select(col("q_id"), col(idCol))), Seq(idCol))
+    // label fetch: broadcast whichever side is bounded — the k x |queries|
+    // neighbor set in the audit direction, the seed labels when flipped
+    val votes = (if (broadcastLabeled)
+        neigh.select(col("q_id"), col(idCol)).join(broadcast(labels), Seq(idCol))
+      else
+        labels.join(broadcast(neigh.select(col("q_id"), col(idCol))), Seq(idCol)))
       .groupBy(col("q_id"), col("_lab")).agg(count(lit(1)).as("_n"))
     // max(struct(n, -label)): count desc, then smallest label — the
     // bounded argmax without a per-query sort.

@@ -579,6 +579,18 @@ object Extensions {
       .orderBy(col("q_id"))
   }
 
+  // q129 k-NN auto-labeling — q125 in the production direction: the
+  // ENTIRE table labeled from the 1% seed (every 100th vector), the
+  // small labeled side broadcast so the corpus-sized query set never
+  // shuffles beyond its bounded top-k partials.
+  val q129_knn_autolabel: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    Similarity.knnClassify(emb.filter(col("vec_id") % 100 === 0), emb,
+        "vec_id", "embedding", "label", "vec_id", "embedding", k = 3,
+        broadcastLabeled = true)
+      .orderBy(col("q_id"))
+  }
+
   // q128 IVF-celled hard-negative mining — q124's statement under the
   // q54 cell geometry (16 cells, 3 probes): the scale path when anchors
   // grow with the corpus; predicates pushed below the rank so every
@@ -1380,5 +1392,6 @@ object Extensions {
     "q125_knn_classify" -> q125_knn_classify,
     "q126_cap_per_source" -> q126_cap_per_source,
     "q127_group_split" -> q127_group_split,
-    "q128_hard_negatives_ivf" -> q128_hard_negatives_ivf)
+    "q128_hard_negatives_ivf" -> q128_hard_negatives_ivf,
+    "q129_knn_autolabel" -> q129_knn_autolabel)
 }

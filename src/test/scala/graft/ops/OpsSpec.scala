@@ -686,6 +686,16 @@ class OpsSpec extends SparkSpec {
       "vec_id", "embedding", "label", "vec_id", "embedding", k = 2).collect().head
     assert(nl.getAs[Int]("pred_label") == 5 && nl.getAs[Long]("n_neighbors") == 1L,
       s"null-label neighbor ranks but never votes: $nl")
+    // the auto-labeling direction (labeled seed broadcast, queries
+    // unshuffled) returns byte-identical rows — label the WHOLE fixture
+    // from a 4-row seed both ways
+    val seed = emb.filter(col("vec_id") % 7 === 0)
+    def lab(bl: Boolean) = Similarity.knnClassify(seed, emb,
+        "vec_id", "embedding", "label", "vec_id", "embedding", k = 3,
+        broadcastLabeled = bl)
+      .collect().map(_.toString).sorted.toSeq
+    assert(lab(bl = true) == lab(bl = false),
+      "broadcast direction must not change a single row")
   }
 
   test("capPerKey: n best per key by (score desc, id asc), null scores dropped, skewed key costs nothing extra") {
