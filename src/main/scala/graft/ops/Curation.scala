@@ -136,6 +136,13 @@ object Curation {
                     pplMaxBits: Double = 0.0,
                     nbModel: Option[String] = None,
                     nbMinLogOdds: Double = 0.0,
+                    // optional per-source frequency cap between the
+                    // decontamination and sampling stages: keep the
+                    // capPerSource highest-quality (q34 formula over the
+                    // excised text, doc_id tiebreak) docs per source —
+                    // the "no domain dominates" throttle BEFORE budgets
+                    // divide what is left
+                    capPerSource: Option[Int] = None,
                     materialize: String =
                       sys.props.getOrElse("graft.curate.materialize", "local"))
 
@@ -369,6 +376,20 @@ object Curation {
           Seq("doc_id"), "left_anti")
       case None => exc
     }
-    decon
+
+    // 4b. optional per-source CAP — the domain throttle: keep the
+    // capPerSource highest-quality survivors per source (q34 quality
+    // over the EXCISED text — what would actually train; doc_id
+    // tiebreak) via the bounded capPerKey rank, so one crawler-friendly
+    // source cannot dominate before the budgets divide what is left
+    cfg.capPerSource match {
+      case Some(n) =>
+        Sampling.capPerKey(
+            decon.withColumn("_capq",
+              graft.ops.TextAnalysis.qualityCol(col("clean_text"))),
+            "doc_id", "source", "_capq", n)
+          .drop("_capq")
+      case None => decon
+    }
   }
 }

@@ -57,8 +57,8 @@ object TextAnalysis {
     * stopword hits together (the array_distinct + filter-HOF chain this
     * replaced materialized the token array three times, interpreted).
     */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val agg = df
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df
       .where(col(textCol).isNotNull) // explode-form dropped null-text docs; keep that contract
       .select(col(idCol).as("doc_id"),
         graft.functions.VectorFunctions
@@ -66,17 +66,26 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         col("_p.n_tokens").as("n_tokens"),
-        col("_p.n_distinct").as("n_distinct"),
-        col("_p.hits").getItem(0).as("n_stop"))
-    agg.select(
-      col("doc_id"),
-      col("n_tokens"),
-      round(
-        lit(0.4) * least(lit(1.0), col("n_tokens") / 25.0) +
-          lit(0.4) * (col("n_distinct").cast("double") / col("n_tokens")) +
-          lit(0.2) * (col("n_stop").cast("double") / col("n_tokens")),
-        4).as("quality"))
-  }
+        qualityFromProfile(col("_p")).as("quality"))
+
+  /** The q34 quality formula over a [[graft.functions.VectorFunctions
+    * .tokenProfile]] struct — one shared expression so [[qualityScore]]
+    * and [[qualityCol]] can never drift.
+    */
+  private def qualityFromProfile(p: Column): Column =
+    round(
+      lit(0.4) * least(lit(1.0), p.getField("n_tokens") / 25.0) +
+        lit(0.4) * (p.getField("n_distinct").cast("double") / p.getField("n_tokens")) +
+        lit(0.2) * (p.getField("hits").getItem(0).cast("double") / p.getField("n_tokens")),
+      4)
+
+  /** [[qualityScore]]'s score as a single reusable Column over a text
+    * column — for callers that want quality as a field of an existing
+    * projection (e.g. the curate per-source cap) without a join.
+    */
+  def qualityCol(text: Column): Column =
+    qualityFromProfile(
+      graft.functions.VectorFunctions.tokenProfile(text, Seq(stopwords("en"))))
 
   /** Whitespace token count + a BPE-ish subword proxy: count of maximal
     * letter runs, digit runs, and single non-alphanumerics — the classic

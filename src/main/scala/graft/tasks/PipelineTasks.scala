@@ -321,7 +321,8 @@ object PipelineTasks {
           pplModel = cfg.strOpt("ppl_model").map(ctx.dir),
           pplMaxBits = cfg.str("ppl_max_bits", "0").toDouble,
           nbModel = cfg.strOpt("nb_model").map(ctx.dir),
-          nbMinLogOdds = cfg.str("nb_min_log_odds", "0").toDouble)
+          nbMinLogOdds = cfg.str("nb_min_log_odds", "0").toDouble,
+          capPerSource = cfg.intOpt("cap_per_source"))
         // `"tokenizer"` switches the terminal: unset = the q93 offset
         // rows; set (an id-emitting tokenizer name) = the q115 token-id
         // sequences — the pipeline ends at training-ready array<int>
