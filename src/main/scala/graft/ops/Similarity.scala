@@ -585,6 +585,28 @@ object Similarity {
           .as("vote_frac"))
   }
 
+  /** Persist a labeled seed set as a frozen model layout for
+    * [[knnClassify]]-style gating ([[graft.streaming.Streams
+    * .knnGateSink]]): `seed/` holds (id, vec, label) with vectors
+    * widened to double and null-label rows dropped (they can never
+    * vote), `meta` marks the layout. The seed is small by definition
+    * (it broadcasts at score time), so one file; refreshing it is a
+    * rebuild with dependent sinks stopped — the frozen-geometry
+    * convention of every model layout.
+    */
+  def buildLabelSeed(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                     idCol: String, vecCol: String, labelCol: String,
+                     path: String): Unit = {
+    requireIntegralId(df, idCol, "buildLabelSeed")
+    val seed = df.where(col(labelCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("vec"),
+        col(labelCol).cast("int").as("label"))
+    require(!seed.isEmpty, "buildLabelSeed: no labeled rows to persist")
+    seed.coalesce(1).write.mode("overwrite").parquet(s"$path/seed")
+    writeIndexMeta(spark, path, Seq("layout" -> "knn_seed"))
+  }
+
   /** Driver-side probe selection: the `nProbe` cells whose centroids are
     * nearest the query by cosine — over a table bounded at nCells rows.
     */

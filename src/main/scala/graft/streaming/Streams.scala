@@ -928,6 +928,45 @@ object Streams {
         .select(col("doc_id").as(idCol), col("log_w"), col("n_tokens"))
     }
 
+  /** The k-NN admission gate — [[graft.ops.Similarity.knnClassify]]'s
+    * streaming twin over a persisted labeled seed ([[graft.ops
+    * .Similarity.buildLabelSeed]]): every micro-batch's embeddings are
+    * classified by majority vote of their `k` nearest seed vectors
+    * (the seed broadcasts — the auto-labeling direction), and rows
+    * whose `vote_frac` clears `minVoteFrac` AND whose predicted label
+    * is in `admitLabels` (empty = any label) append to `outPath` with
+    * (pred_label, vote_frac) attached. This closes the learned-gate
+    * ladder with the embedding-space classifier: exact keys, semantic
+    * cells, heuristic floors, text classifiers — and now a
+    * vector-neighborhood vote from a human-labeled seed.
+    *
+    * Same replay contract as [[nbGateSink]]: deterministic under the
+    * frozen seed, stateless given the layout, at-least-once replays
+    * re-emit byte-identical rows (the compactOutput keep-any
+    * discipline). `excludeSelf` is OFF here — stream ids and seed ids
+    * are different id spaces, and an accidental numeric collision must
+    * not silence a vote.
+    */
+  def knnGateSink(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
+                  idCol: String, vecCol: String, seedPath: String,
+                  outPath: String, checkpoint: String,
+                  k: Int, minVoteFrac: Double,
+                  admitLabels: Seq[Int] = Seq.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    modelGateSink(spark, stream, idCol, seedPath, "knn_seed",
+        outPath, checkpoint) { batch =>
+      val seed = spark.read.parquet(s"$seedPath/seed")
+      val voted = graft.ops.Similarity.knnClassify(seed, batch,
+          "id", "vec", "label", idCol, vecCol, k,
+          excludeSelf = false, broadcastLabeled = true)
+        .where(col("vote_frac") >= minVoteFrac)
+      val admitted =
+        if (admitLabels.isEmpty) voted
+        else voted.where(col("pred_label").isin(admitLabels: _*))
+      admitted.select(col("q_id").as(idCol), col("pred_label"),
+        col("vote_frac"))
+    }
+
   /** Streaming per-source corpus card — [[graft.ops.Analytics.dataCard]]'s
     * incremental twin for an ingest feed: running n_docs / n_null_text /
     * ws_tokens / avg_chars / approx language count per source, emitted in

@@ -1125,6 +1125,54 @@ class StreamsSpec extends SparkSpec {
     assert(bad.getMessage.contains("dsir_model"))
   }
 
+  test("knnGateSink admits by seed-neighborhood vote: label allowlist, confidence floor, frozen-seed parity") {
+    implicit val sqlCtx = spark.sqlContext
+    // seed: two planted clusters, labels 1 (+x) and 2 (+y)
+    def v(base: Seq[Double], i: Long): Seq[Double] =
+      base.zipWithIndex.map { case (b, j) =>
+        b + 0.001 * (((i * 31 + j * 17) % 11) - 5) }
+    val seedDf = ((0L until 6L).map(i => (i, v(Seq(1.0, 0.0, 0.0), i), 1)) ++
+      (10L until 16L).map(i => (i, v(Seq(0.0, 1.0, 0.0), i), 2)))
+      .toDF("vec_id", "embedding", "label")
+    val seedPath = tmpDir("graft_knngate_seed_")
+    graft.ops.Similarity.buildLabelSeed(spark, seedDf,
+      "vec_id", "embedding", "label", seedPath)
+    val out = tmpDir("graft_knngate_out_")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    // admit only label 1 at >= 0.75 confidence
+    val q = Streams.knnGateSink(spark, mem.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", seedPath, out, tmpDir("graft_knngate_ck_"),
+      k = 4, minVoteFrac = 0.75, admitLabels = Seq(1))
+    val rows = Seq(
+      (100L, Seq(0.99, 0.01, 0.0)),  // cluster-1: admitted
+      (101L, Seq(0.01, 0.99, 0.0)),  // cluster-2: wrong label
+      (102L, Seq(0.7, 0.7, 0.0)))    // mid: 2:2 split, vote_frac 0.5 < 0.75
+    try {
+      mem.addData(rows.take(2): _*); q.processAllAvailable()
+      mem.addData(rows.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.read.parquet(out)
+    assert(admitted.select("vec_id").as[Long].collect().toSet == Set(100L),
+      "only the confident cluster-1 row clears the gate")
+    // parity: the gate's surviving rows == the frozen batch classifier's
+    val batchVotes = graft.ops.Similarity.knnClassify(
+        spark.read.parquet(s"$seedPath/seed"), rows.toDF("vec_id", "embedding"),
+        "id", "vec", "label", "vec_id", "embedding", k = 4,
+        excludeSelf = false, broadcastLabeled = true)
+      .where(col("vote_frac") >= 0.75 && col("pred_label") === 1)
+      .select(col("q_id"), col("pred_label"), col("vote_frac"))
+      .as[(Long, Int, Double)].collect().toSet
+    assert(admitted.select("vec_id", "pred_label", "vote_frac")
+      .as[(Long, Int, Double)].collect().toSet == batchVotes)
+    // wrong-layout path fails fast at sink start
+    val bad = intercept[IllegalArgumentException] {
+      Streams.knnGateSink(spark, mem.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", tmpDir("graft_knngate_bad_"), out,
+        tmpDir("graft_knngate_ck2_"), k = 4, minVoteFrac = 0.5)
+    }
+    assert(bad.getMessage.contains("knn_seed"))
+  }
+
   test("stratifiedSample runs unchanged on a stream (stateless md5 filter)") {
     // mixture sampling is a pure deterministic filter, so the SAME
     // operator screens a firehose with zero state — and batch/stream
