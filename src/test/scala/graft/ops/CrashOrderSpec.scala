@@ -329,6 +329,68 @@ class CrashOrderSpec extends SparkSpec {
     } finally noInjection()
   }
 
+  test("knnGateSink crash at the output append: no partial rows, deterministic replay, compactOutput converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val wd = faultyDir("graft_crash_knngate_")
+    try {
+      def v(base: Seq[Double], i: Long): Seq[Double] =
+        base.zipWithIndex.map { case (b, j) =>
+          b + 0.001 * (((i * 31 + j * 17) % 11) - 5) }
+      val seedDf = ((0L until 6L).map(i => (i, v(Seq(1.0, 0.0, 0.0), i), 1)) ++
+        (20L until 26L).map(i => (i, v(Seq(0.0, 1.0, 0.0), i), 2)))
+        .toDF("vec_id", "embedding", "label")
+      graft.ops.Similarity.buildLabelSeed(spark, seedDf,
+        "vec_id", "embedding", "label", s"$wd/seed")
+      val mem = MemoryStream[(Long, Seq[Double])]
+      def start() = graft.streaming.Streams.knnGateSink(spark,
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        s"$wd/seed", s"$wd/out", s"$wd/ckpt",
+        k = 4, minVoteFrac = 0.75, admitLabels = Seq(1))
+      mem.addData((10L, Seq(0.99, 0.01, 0.0)), (11L, Seq(0.01, 0.99, 0.0)))
+      val q0 = start()
+      try q0.processAllAvailable() finally q0.stop()
+      val afterB0 = spark.read.parquet(s"$wd/out").collect().map(_.toString).sorted
+
+      mem.addData((12L, Seq(0.98, 0.02, 0.0)), (13L, Seq(0.02, 0.98, 0.0)))
+      failAppendsInto("out")
+      val q1 = start()
+      val died = try { q1.processAllAvailable(); false }
+        catch { case _: Exception => true }
+        finally { q1.stop(); noInjection() }
+      assert(died, "injected output rename must kill the first attempt")
+      assert(FaultyFs.failedRenames.size() > 0, "the injection must have fired")
+      assert(spark.read.parquet(s"$wd/out").collect().map(_.toString).sorted
+        .sameElements(afterB0), "failed append must not leak partial rows")
+
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(spark.read.parquet(s"$wd/out")
+        .select("vec_id").as[Long].collect().toSet == Set(10L, 12L),
+        "allow-listed confident rows admitted exactly once across the crash")
+
+      // drop the last commit marker: the replayed batch re-emits the SAME
+      // vote (deterministic under the frozen seed); compactOutput converges
+      val commits = new java.io.File(s"${wd.stripPrefix("faulty://")}/ckpt/commits")
+      val last = commits.listFiles().filter(_.getName.forall(_.isDigit))
+        .maxBy(_.getName.toInt)
+      assert(last.delete())
+      val q3 = start()
+      try q3.processAllAvailable() finally q3.stop()
+      val duped = spark.read.parquet(s"$wd/out")
+      assert(duped.count() == 3 &&
+        duped.where(col("vec_id") === 12L).count() == 2,
+        "the replayed batch must append byte-identical duplicates")
+      assert(duped.where(col("vec_id") === 12L)
+        .select("pred_label", "vote_frac").distinct().count() == 1,
+        "replays re-emit the SAME vote (deterministic under a frozen seed)")
+      IndexMaintenance.compactOutput(spark, s"$wd/out", idCol = "vec_id")
+      assert(spark.read.parquet(s"$wd/out")
+        .select("vec_id").as[Long].collect().toSet == Set(10L, 12L),
+        "compactOutput converges the replay to one row per doc")
+    } finally noInjection()
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
