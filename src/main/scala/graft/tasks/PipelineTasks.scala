@@ -436,6 +436,9 @@ object PipelineTasks {
         case "dsir" => graft.ops.Sampling.buildDsirModel(ctx.spark, df0,
           cfg.str("text", "text"), expr(cfg.str("target_where")), path,
           cfg.int("dim", 64), k)
+        case "seed" => graft.ops.Similarity.buildLabelSeed(ctx.spark, df,
+          cfg.str("id", "doc_id"), cfg.str("vec", "embedding"),
+          cfg.str("label", "label"), path)
         case m => throw new IllegalArgumentException(s"unknown fit method: $m")
       }
       log.write(s"fitted ${cfg.str("method")} model at $path")
@@ -458,7 +461,12 @@ object PipelineTasks {
     *    the in-task `target_where` slice ([[Sampling.dsirLogWeights]]);
     *    with `n`, the Gumbel top-k resample ([[Sampling.dsirResample]],
     *    in-task fit only) — the output IS the selection; optional
-    *    `min_log_w` admission filter.
+    *    `min_log_w` admission filter;
+    *  - `"knn"` — majority-vote label + confidence from the `k` nearest
+    *    vectors of a frozen [[FitTask]] `"seed"` layout
+    *    ([[graft.ops.Similarity.knnClassify]], seed broadcast);
+    *    optional `min_vote_frac` confidence floor and `labels`
+    *    allowlist.
     */
   object ScoreTask extends Task {
     def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
@@ -512,6 +520,25 @@ object PipelineTasks {
             cfg.strOpt("min_log_w")
               .map(t => base.where(col("log_w") >= t.toDouble))
               .getOrElse(base)
+          case "knn" =>
+            val m = cfg.strOpt("model").getOrElse(
+              throw new IllegalArgumentException(
+                "knn scoring needs a frozen seed layout: fit method 'seed' first"))
+            val meta = graft.ops.Similarity.readIndexMeta(ctx.spark, ctx.dir(m))
+            require(meta.get("layout").contains("knn_seed"),
+              s"not a knn_seed layout: $m (meta ${meta.get("layout")})")
+            val seed = ctx.spark.read.parquet(s"${ctx.dir(m)}/seed")
+            val base = graft.ops.Similarity.knnClassify(seed, df,
+                "id", "vec", "label", id, cfg.str("vec", "embedding"),
+                cfg.int("k", 10), excludeSelf = false,
+                broadcastLabeled = true)
+              .withColumnRenamed("q_id", "doc_id")
+            val confident = cfg.strOpt("min_vote_frac")
+              .map(t => base.where(col("vote_frac") >= t.toDouble))
+              .getOrElse(base)
+            val allow = cfg.strArr("labels").map(_.toInt)
+            if (allow.isEmpty) confident
+            else confident.where(col("pred_label").isin(allow: _*))
           case m => throw new IllegalArgumentException(s"unknown score method: $m")
         }
         val out = df.join(scored.withColumnRenamed("doc_id", id), Seq(id))

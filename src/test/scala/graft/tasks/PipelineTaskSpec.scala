@@ -399,4 +399,34 @@ class PipelineTaskSpec extends SparkSpec {
       rows(expected.select("doc_id", "log_w")))
     assert(outParquet(wd, "dw").count() > 0)
   }
+
+  test("fit + score tasks: the knn-seed lifecycle == buildLabelSeed/knnClassify") {
+    val wd = tmpDir("graft_pipetask_knn_")
+    Files.createDirectories(Paths.get(s"$wd/output"))
+    val embSf = "/root/testdata/sf0.001"
+    runTask(wd,
+      s"""{"tasks": [
+         |  {"type": "fit", "name": "f",
+         |   "source": {"folder": "$embSf", "file": "embeddings.parquet"},
+         |   "fit": {"method": "seed", "model": "output/seed",
+         |           "id": "vec_id", "vec": "embedding", "label": "label",
+         |           "train_where": "vec_id % 10 = 0"}},
+         |  {"type": "score", "name": "s",
+         |   "source": {"folder": "$embSf", "file": "embeddings.parquet"},
+         |   "score": {"method": "knn", "model": "output/seed",
+         |             "id": "vec_id", "vec": "embedding", "k": 3,
+         |             "min_vote_frac": 0.5},
+         |   "target": {"file": "kl", "truncate": true}}]}""".stripMargin)
+    val emb = spark.read.parquet(s"$embSf/embeddings.parquet")
+    val expected = graft.ops.Similarity.knnClassify(
+        spark.read.parquet(s"$wd/output/seed/seed"), emb,
+        "id", "vec", "label", "vec_id", "embedding", k = 3,
+        excludeSelf = false, broadcastLabeled = true)
+      .where(col("vote_frac") >= 0.5)
+    assert(rows(outParquet(wd, "kl")
+        .select("vec_id", "pred_label", "vote_frac")) ==
+      rows(expected.select(col("q_id").as("vec_id"), col("pred_label"),
+        col("vote_frac"))))
+    assert(outParquet(wd, "kl").count() > 0)
+  }
 }
