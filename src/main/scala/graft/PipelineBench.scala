@@ -79,6 +79,20 @@ object PipelineBench {
       strategy -> ts.min
     }
 
+    // per-source cap rung: the quality rank between decontamination and
+    // sampling — its marginal cost over the uncapped run, with a cap
+    // sized to genuinely cut (~half of each source's survivors)
+    val capN = math.max(1, (nOut / 40).toInt)
+    val (capOut, tCap) = time {
+      val r = graft.ops.Curation.curate(spark, batch,
+        "doc_id", "text", "source",
+        keyIndexPath = Some(keyDir), benchmark = Some(bench),
+        cfg = cfgFor("local").copy(capPerSource = Some(capN)))
+      r.write.format("noop").mode("overwrite").save()
+      r
+    }
+    val nCap = capOut.count()
+
     // curateTo: the write-terminal form that realizes the lazy-memdisk
     // win end-to-end AND unpersists behind itself — both the time and
     // the cache-residue claim are measured (cachedAfter must be 0)
@@ -98,7 +112,9 @@ object PipelineBench {
       s""""rows_out":$nOut,"final_stage_exchanges":$nExchange,""" +
       s""""final_stage_scans":$nScan,"materialize_ab":{""" +
       ab.map { case (s, t) => s""""$s":${fmt(t)}""" }.mkString(",") +
-      s"""},"curate_to_memdisk_s":${fmt(tTo)},""" +
+      s"""},"cap_per_source":$capN,"cap_pipeline_s":${fmt(tCap)},""" +
+      s""""rows_out_capped":$nCap,""" +
+      s""""curate_to_memdisk_s":${fmt(tTo)},""" +
       s""""cache_empty_after_curate_to":$cachedAfter}""")
     spark.stop()
   }
