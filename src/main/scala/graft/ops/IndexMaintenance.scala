@@ -261,7 +261,7 @@ object IndexMaintenance {
     * `write` callback owns the staging write), then swap it live with
     * the two-rename discipline documented on [[compact]].
     */
-  private def stageAndSwap(spark: SparkSession, dir: String)
+  private[graft] def stageAndSwap(spark: SparkSession, dir: String)
                           (write: String => Unit): Unit = {
     val tmp = dir.stripSuffix("/") + "_compact_tmp"
     write(tmp)

@@ -288,6 +288,28 @@ object Sampling {
     df.join(keep, col(idCol).cast("long") === col("_kept"), "left_semi")
   }
 
+  /** Initialize the persisted state for [[graft.streaming.Streams
+    * .quotaGateSink]] — [[capPerKey]]'s streaming counterpart. A stream
+    * cannot rank by quality against rows it has not seen, so the
+    * streaming cap is a lifetime QUOTA: at most `n` ids ever admitted
+    * per key, the within-batch pick by the md5 coin. The state is the
+    * admitted (key, id) set itself — BOUNDED at n per key — not a
+    * counter, so replaying a batch re-derives the identical admissions
+    * (set union is idempotent; a count would double). `admitted/`
+    * starts empty; `meta` freezes the layout and `n` (changing the
+    * quota is a rebuild with the sink stopped, the frozen-geometry
+    * convention).
+    */
+  def buildQuotaState(spark: org.apache.spark.sql.SparkSession,
+                      path: String, n: Int): Unit = {
+    require(n >= 1, s"n must be positive: $n")
+    import spark.implicits._
+    Seq.empty[(String, Long)].toDF("key", "id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/admitted")
+    graft.ops.Similarity.writeIndexMeta(spark, path,
+      Seq("layout" -> "quota_gate", "n" -> n.toString))
+  }
+
   /** Deterministic TRAINING-ORDER shuffle — the step after [[Packing
     * .pack]] every recipe needs: a reproducible pseudo-random global
     * order, as (shard, pos). The shuffle key is md5(id || "|shuffle")

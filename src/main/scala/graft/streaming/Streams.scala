@@ -967,6 +967,76 @@ object Streams {
         col("vote_frac"))
     }
 
+  /** The per-key QUOTA gate — [[graft.ops.Sampling.capPerKey]]'s
+    * streaming counterpart over a [[graft.ops.Sampling.buildQuotaState]]
+    * layout: at most `n` ids are EVER admitted per key across the
+    * stream's lifetime (the "no domain floods the ingest" throttle). A
+    * stream cannot rank by quality against rows it has not seen, so the
+    * within-batch pick is the md5(id) coin (the [[graft.ops.Sampling]]
+    * convention) — deterministic, so a replayed batch re-derives the
+    * identical admissions. The quota is per ID: duplicate-id rows in
+    * one batch consume one slot and all pass (honest passthrough);
+    * null-key/null-id rows never admit.
+    *
+    * Crash discipline (the incremental-index ladder's): the OUTPUT
+    * appends first, the state set swaps second (rename-aside,
+    * [[graft.ops.IndexMaintenance]] discipline). A crash between them
+    * replays the batch against the PRE-batch state — the md5 rank
+    * re-derives the same ids, the re-append is byte-identical
+    * (compactOutput keep-any convergence), and the set union is
+    * idempotent. State stored as the admitted (key, id) SET — bounded
+    * at n per key — never a counter, which a replay would double.
+    * Scale shape: the rank is one window over BATCH-sized groups
+    * (bounded by the trigger, not the corpus); the state is n × |keys|
+    * rows; the batch never shuffles (admitted ids broadcast into a
+    * semi-join).
+    */
+  def quotaGateSink(spark: org.apache.spark.sql.SparkSession,
+                    stream: DataFrame, idCol: String, keyCol: String,
+                    statePath: String, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val meta = graft.ops.Similarity.readIndexMeta(spark, statePath)
+    require(meta.get("layout").contains("quota_gate"),
+      s"not a quota_gate layout: $statePath (meta ${meta.get("layout")})")
+    val n = meta("n").toInt
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val used = spark.read.parquet(s"$statePath/admitted")
+        val fresh = batch
+          .where(col(idCol).isNotNull && col(keyCol).isNotNull)
+          .select(col(keyCol).cast("string").as("key"),
+            col(idCol).cast("long").as("id"))
+          .distinct()
+          .join(used, Seq("key", "id"), "left_anti")
+        val usedPerKey = used.groupBy(col("key")).agg(count(lit(1)).as("_used"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key"))
+          .orderBy(md5(col("id").cast("string")), col("id"))
+        val admitted = fresh
+          .withColumn("_rk", row_number().over(w))
+          .join(usedPerKey, Seq("key"), "left")
+          .where(col("_rk") <= lit(n) - coalesce(col("_used"), lit(0L)))
+          .select(col("key"), col("id"))
+          .persist()
+        try {
+          if (!admitted.isEmpty) {
+            batch.join(broadcast(admitted.select(col("id").as("_qid"))),
+                col(idCol).cast("long") === col("_qid"), "left_semi")
+              .write.mode("append").parquet(outPath)
+            graft.ops.IndexMaintenance.stageAndSwap(spark,
+                s"$statePath/admitted") { tmp =>
+              used.unionByName(admitted)
+                .write.mode("overwrite").parquet(tmp)
+            }
+          }
+        } finally admitted.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
   /** Streaming per-source corpus card — [[graft.ops.Analytics.dataCard]]'s
     * incremental twin for an ingest feed: running n_docs / n_null_text /
     * ws_tokens / avg_chars / approx language count per source, emitted in

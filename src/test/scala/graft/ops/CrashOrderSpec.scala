@@ -391,6 +391,71 @@ class CrashOrderSpec extends SparkSpec {
     } finally noInjection()
   }
 
+  test("quotaGateSink crash windows: output-append death replays clean; state-swap death re-derives identical admissions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val wd = faultyDir("graft_crash_quota_")
+    try {
+      graft.ops.Sampling.buildQuotaState(spark, s"$wd/state", n = 2)
+      val mem = MemoryStream[(Long, String, String)]
+      def start() = graft.streaming.Streams.quotaGateSink(spark,
+        mem.toDF().toDF("doc_id", "source", "text"), "doc_id", "source",
+        s"$wd/state", s"$wd/out", s"$wd/ckpt")
+
+      // window (a): the OUTPUT append dies — neither output nor state
+      // may advance, and the replay admits exactly the md5-coin picks
+      mem.addData((1L, "srcA", "a1"), (2L, "srcA", "a2"), (3L, "srcA", "a3"))
+      failAppendsInto("out")
+      val q0 = start()
+      val died0 = try { q0.processAllAvailable(); false }
+        catch { case _: Exception => true }
+        finally { q0.stop(); noInjection() }
+      assert(died0 && FaultyFs.failedRenames.size() > 0)
+      assert(spark.read.parquet(s"$wd/state/admitted").count() == 0,
+        "state must not advance past a dead output append")
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      val afterB1 = spark.read.parquet(s"$wd/out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(afterB1.size == 2 && afterB1.subsetOf(Set(1L, 2L, 3L)))
+      assert(spark.read.parquet(s"$wd/state/admitted").count() == 2)
+
+      // window (c): output appended, the state swap's move-aside dies —
+      // the replay re-derives the SAME ids against the pre-batch state,
+      // re-appends byte-identically, and the swap completes
+      mem.addData((10L, "srcB", "b1"), (11L, "srcB", "b2"), (12L, "srcB", "b3"))
+      FaultyFs.failWhen = Some(p => p.endsWith("/admitted_compact_old"))
+      val q2 = start()
+      val died2 = try { q2.processAllAvailable(); false }
+        catch { case _: Exception => true }
+        finally { q2.stop(); noInjection() }
+      assert(died2, "injected state-swap failure must kill the batch")
+      val outMid = spark.read.parquet(s"$wd/out")
+      val srcBMid = outMid.where(col("source") === "srcB")
+        .select("doc_id").as[Long].collect().toSet
+      assert(srcBMid.size == 2, s"output landed before the dead swap: $srcBMid")
+      assert(spark.read.parquet(s"$wd/state/admitted")
+        .where(col("key") === "srcB").count() == 0,
+        "state swap died: srcB not yet recorded")
+      val q3 = start()
+      try q3.processAllAvailable() finally q3.stop()
+      val outEnd = spark.read.parquet(s"$wd/out")
+      assert(outEnd.where(col("source") === "srcB")
+        .select("doc_id").as[Long].collect().toSet == srcBMid,
+        "the replay must re-derive the SAME admissions")
+      assert(outEnd.where(col("source") === "srcB").count() == 4,
+        "the replay re-appends byte-identical duplicates")
+      assert(spark.read.parquet(s"$wd/state/admitted")
+        .where(col("key") === "srcB").count() == 2,
+        "the swap completes on replay")
+      IndexMaintenance.compactOutput(spark, s"$wd/out")
+      val compacted = spark.read.parquet(s"$wd/out")
+      assert(compacted.count() == 4 &&
+        compacted.where(col("source") === "srcB").count() == 2,
+        "compactOutput converges the replay to one row per doc")
+    } finally noInjection()
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

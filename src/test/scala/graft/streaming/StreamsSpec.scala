@@ -1173,6 +1173,48 @@ class StreamsSpec extends SparkSpec {
     assert(bad.getMessage.contains("knn_seed"))
   }
 
+  test("quotaGateSink admits at most n ids per key over the stream's lifetime, md5-coin pick, re-arrivals inert") {
+    implicit val sqlCtx = spark.sqlContext
+    val state = tmpDir("graft_quota_state_")
+    graft.ops.Sampling.buildQuotaState(spark, state, n = 2)
+    val out = tmpDir("graft_quota_out_")
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.quotaGateSink(spark,
+      mem.toDF().toDF("doc_id", "source", "text"),
+      "doc_id", "source", state, out, tmpDir("graft_quota_ck_"))
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // batch 1: three srcA rows compete for 2 slots — the md5-coin pick
+    val b1 = Seq((1L, "srcA", "a1"), (2L, "srcA", "a2"), (3L, "srcA", "a3"))
+    val expectA = b1.map(_._1).sortBy(i => (md5Hex(i.toString), i)).take(2).toSet
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+        == expectA, s"md5-coin pick must take $expectA")
+      // batch 2: srcA is exhausted (including a RE-ARRIVAL of an admitted
+      // id — inert, no duplicate); srcB has budget
+      mem.addData((4L, "srcA", "a4"), (expectA.head, "srcA", "dup"),
+        (10L, "srcB", "b1")); q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(rows.toSet == expectA + 10L,
+        s"srcA quota exhausted, srcB admits: $rows")
+      assert(rows.size == 3, s"re-arrival must not duplicate: $rows")
+      // state is the bounded admitted SET, never a counter
+      val st = spark.read.parquet(s"$state/admitted")
+        .as[(String, Long)].collect().toSet
+      assert(st == (expectA.map(("srcA", _)) + (("srcB", 10L))))
+    } finally q.stop()
+    // wrong-layout path fails fast at sink start
+    val bad = intercept[IllegalArgumentException] {
+      Streams.quotaGateSink(spark, mem.toDF().toDF("doc_id", "source", "text"),
+        "doc_id", "source", tmpDir("graft_quota_bad_"), out,
+        tmpDir("graft_quota_ck2_"))
+    }
+    assert(bad.getMessage.contains("quota_gate"))
+  }
+
   test("stratifiedSample runs unchanged on a stream (stateless md5 filter)") {
     // mixture sampling is a pure deterministic filter, so the SAME
     // operator screens a firehose with zero state — and batch/stream
