@@ -295,10 +295,13 @@ object Sampling {
     * per key, the within-batch pick by the md5 coin. The state is the
     * admitted (key, id) set itself — BOUNDED at n per key — not a
     * counter, so replaying a batch re-derives the identical admissions
-    * (set union is idempotent; a count would double). `admitted/`
-    * starts empty; `meta` freezes the layout and `n` (changing the
-    * quota is a rebuild with the sink stopped, the frozen-geometry
-    * convention).
+    * (duplicate pairs from a replayed delta are harmless: membership is
+    * a join, budgets read through countDistinct; a count would double).
+    * `admitted/` starts empty and grows one bounded delta per admitting
+    * batch — fold the small files offline with
+    * [[graft.ops.IndexMaintenance.compact]] (flat mode, stream
+    * stopped). `meta` freezes the layout and `n` (changing the quota is
+    * a rebuild with the sink stopped, the frozen-geometry convention).
     */
   def buildQuotaState(spark: org.apache.spark.sql.SparkSession,
                       path: String, n: Int): Unit = {

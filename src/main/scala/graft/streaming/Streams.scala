@@ -979,17 +979,22 @@ object Streams {
     * null-key/null-id rows never admit.
     *
     * Crash discipline (the incremental-index ladder's): the OUTPUT
-    * appends first, the state set swaps second (rename-aside,
-    * [[graft.ops.IndexMaintenance]] discipline). A crash between them
-    * replays the batch against the PRE-batch state — the md5 rank
+    * appends first, the state DELTA appends second. A crash between
+    * them replays the batch against the pre-batch state — the md5 rank
     * re-derives the same ids, the re-append is byte-identical
-    * (compactOutput keep-any convergence), and the set union is
-    * idempotent. State stored as the admitted (key, id) SET — bounded
-    * at n per key — never a counter, which a replay would double.
-    * Scale shape: the rank is one window over BATCH-sized groups
-    * (bounded by the trigger, not the corpus); the state is n × |keys|
-    * rows; the batch never shuffles (admitted ids broadcast into a
-    * semi-join).
+    * (compactOutput keep-any convergence); a crash after the state
+    * append but before the checkpoint commit replays to an EMPTY fresh
+    * set (the pairs are already stated), so nothing duplicates at all.
+    * State is the admitted (key, id) SET — bounded at n per key, read
+    * through `countDistinct` so a rare double-appended delta can never
+    * double-count a quota — never a counter, which a replay would
+    * inflate. Each batch appends ONE bounded delta instead of
+    * rewriting the set (O(batch), not O(state), per batch — the
+    * line-count index discipline); fold the accumulating small files
+    * offline with [[graft.ops.IndexMaintenance.compact]] (flat mode,
+    * stream stopped). Scale shape: the rank is one window over
+    * BATCH-sized groups (bounded by the trigger, not the corpus); the
+    * batch never shuffles (admitted ids broadcast into a semi-join).
     */
   def quotaGateSink(spark: org.apache.spark.sql.SparkSession,
                     stream: DataFrame, idCol: String, keyCol: String,
@@ -1008,7 +1013,10 @@ object Streams {
             col(idCol).cast("long").as("id"))
           .distinct()
           .join(used, Seq("key", "id"), "left_anti")
-        val usedPerKey = used.groupBy(col("key")).agg(count(lit(1)).as("_used"))
+        // countDistinct, not count: a replayed delta may sit twice in the
+        // state, and a doubled count would halve a key's real budget
+        val usedPerKey = used.groupBy(col("key"))
+          .agg(countDistinct(col("id")).as("_used"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("key"))
           .orderBy(md5(col("id").cast("string")), col("id"))
@@ -1023,11 +1031,7 @@ object Streams {
             batch.join(broadcast(admitted.select(col("id").as("_qid"))),
                 col(idCol).cast("long") === col("_qid"), "left_semi")
               .write.mode("append").parquet(outPath)
-            graft.ops.IndexMaintenance.stageAndSwap(spark,
-                s"$statePath/admitted") { tmp =>
-              used.unionByName(admitted)
-                .write.mode("overwrite").parquet(tmp)
-            }
+            admitted.write.mode("append").parquet(s"$statePath/admitted")
           }
         } finally admitted.unpersist()
         ()

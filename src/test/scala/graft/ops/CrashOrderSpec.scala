@@ -391,7 +391,7 @@ class CrashOrderSpec extends SparkSpec {
     } finally noInjection()
   }
 
-  test("quotaGateSink crash windows: output-append death replays clean; state-swap death re-derives identical admissions") {
+  test("quotaGateSink crash windows: output-append death replays clean; state-delta death re-derives identical admissions") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val wd = faultyDir("graft_crash_quota_")
@@ -420,11 +420,11 @@ class CrashOrderSpec extends SparkSpec {
       assert(afterB1.size == 2 && afterB1.subsetOf(Set(1L, 2L, 3L)))
       assert(spark.read.parquet(s"$wd/state/admitted").count() == 2)
 
-      // window (c): output appended, the state swap's move-aside dies —
-      // the replay re-derives the SAME ids against the pre-batch state,
-      // re-appends byte-identically, and the swap completes
+      // window (c): output appended, the state DELTA append dies — the
+      // replay re-derives the SAME ids against the pre-batch state,
+      // re-appends byte-identically, and the delta lands
       mem.addData((10L, "srcB", "b1"), (11L, "srcB", "b2"), (12L, "srcB", "b3"))
-      FaultyFs.failWhen = Some(p => p.endsWith("/admitted_compact_old"))
+      failAppendsInto("admitted")
       val q2 = start()
       val died2 = try { q2.processAllAvailable(); false }
         catch { case _: Exception => true }
@@ -447,7 +447,7 @@ class CrashOrderSpec extends SparkSpec {
         "the replay re-appends byte-identical duplicates")
       assert(spark.read.parquet(s"$wd/state/admitted")
         .where(col("key") === "srcB").count() == 2,
-        "the swap completes on replay")
+        "the delta lands on replay")
       IndexMaintenance.compactOutput(spark, s"$wd/out")
       val compacted = spark.read.parquet(s"$wd/out")
       assert(compacted.count() == 4 &&
