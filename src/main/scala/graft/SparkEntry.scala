@@ -367,6 +367,34 @@ object SparkEntry {
          |       n_neighbors,
          |       ROUND(CAST(n AS DOUBLE) / n_neighbors, 6) AS vote_frac
          |FROM best WHERE pk = 1 ORDER BY q_id""".stripMargin,
+    // q130 oracle: the q125 vote statement turned on the labeled set
+    // itself (self excluded), the stored label joined back, agree flag
+    "q130_label_noise" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv FROM e
+         |      WHERE label IS NOT NULL),
+         |cand AS (SELECT q.q_id, e.vec_id, e.label,
+         |           ROUND(${cosSql("e.v", "q.qv")}, 6) AS cos_sim
+         |         FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |topn AS (SELECT q_id, label,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rk FROM cand),
+         |votes AS (SELECT q_id, label, COUNT(*) AS n FROM topn
+         |          WHERE rk <= 10 AND label IS NOT NULL GROUP BY q_id, label),
+         |best AS (SELECT q_id, label, n,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id
+         |             ORDER BY n DESC, label) AS pk,
+         |           CAST(SUM(n) OVER (PARTITION BY q_id) AS BIGINT)
+         |             AS n_neighbors
+         |         FROM votes)
+         |SELECT b.q_id, q.true_label AS label,
+         |       CAST(b.label AS INTEGER) AS pred_label, b.n AS n_votes,
+         |       b.n_neighbors,
+         |       ROUND(CAST(b.n AS DOUBLE) / b.n_neighbors, 6) AS vote_frac,
+         |       q.true_label = CAST(b.label AS INTEGER) AS agree
+         |FROM best b JOIN q ON q.q_id = b.q_id
+         |WHERE b.pk = 1 ORDER BY b.q_id""".stripMargin,
     // q129 oracle: q125's statement with the roles flipped — the seed
     // (every 100th vector) is the labeled corpus, EVERY row queries;
     // rank/vote/argmax conventions identical

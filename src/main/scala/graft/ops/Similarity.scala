@@ -585,6 +585,34 @@ object Similarity {
           .as("vote_frac"))
   }
 
+  /** Label-noise audit — [[knnClassify]] turned on the labeled set
+    * ITSELF: every labeled row is re-predicted from its `k` nearest
+    * OTHER labeled rows (self excluded — that is the point), and rows
+    * whose stored label disagrees with a confident neighborhood vote
+    * are the mislabel suspects a human re-checks before the set trains
+    * a classifier or seeds [[graft.streaming.Streams.knnGateSink]]
+    * (confident-learning's first move). Output: (q_id, label,
+    * pred_label, n_votes, n_neighbors, vote_frac, agree) — sort by
+    * (agree asc, vote_frac desc) for the re-check queue. Rows the vote
+    * cannot reach (every neighbor null-labeled) drop with the
+    * [[knnClassify]] contract. Shape: exactly [[knnClassify]]'s rank
+    * pass (labeled sets are small enough to audit — the query side
+    * broadcasts) plus one stored-label attach, an id-keyed equi-join
+    * of two same-sized tables (AQE picks the side to broadcast).
+    */
+  def labelNoiseAudit(labeled: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, k: Int, scale: Int = 6): DataFrame = {
+    val preds = knnClassify(labeled, labeled.where(col(labelCol).isNotNull),
+      idCol, vecCol, labelCol, idCol, vecCol, k,
+      excludeSelf = true, scale = scale)
+    preds
+      .join(labeled.select(col(idCol).as("q_id"),
+        col(labelCol).cast("int").as("label")), Seq("q_id"))
+      .select(col("q_id"), col("label"), col("pred_label"), col("n_votes"),
+        col("n_neighbors"), col("vote_frac"),
+        (col("label") === col("pred_label")).as("agree"))
+  }
+
   /** Persist a labeled seed set as a frozen model layout for
     * [[knnClassify]]-style gating ([[graft.streaming.Streams
     * .knnGateSink]]): `seed/` holds (id, vec, label) with vectors

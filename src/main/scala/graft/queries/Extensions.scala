@@ -591,6 +591,15 @@ object Extensions {
       .orderBy(col("q_id"))
   }
 
+  // q130 label-noise audit — every labeled vector re-predicted from its
+  // 10 nearest OTHER labeled rows; disagreements with a confident vote
+  // are the mislabel suspects to re-check before the set trains
+  // anything.
+  val q130_label_noise: Q = (s, d) =>
+    Similarity.labelNoiseAudit(t(s, d, "embeddings"),
+        "vec_id", "embedding", "label", k = 10)
+      .orderBy(col("q_id"))
+
   // q128 IVF-celled hard-negative mining — q124's statement under the
   // q54 cell geometry (16 cells, 3 probes): the scale path when anchors
   // grow with the corpus; predicates pushed below the rank so every
@@ -1393,5 +1402,6 @@ object Extensions {
     "q126_cap_per_source" -> q126_cap_per_source,
     "q127_group_split" -> q127_group_split,
     "q128_hard_negatives_ivf" -> q128_hard_negatives_ivf,
-    "q129_knn_autolabel" -> q129_knn_autolabel)
+    "q129_knn_autolabel" -> q129_knn_autolabel,
+    "q130_label_noise" -> q130_label_noise)
 }

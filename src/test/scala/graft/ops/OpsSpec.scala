@@ -698,6 +698,28 @@ class OpsSpec extends SparkSpec {
       "broadcast direction must not change a single row")
   }
 
+  test("labelNoiseAudit: a planted mislabel is the one confident disagreement") {
+    def v(base: Array[Double], i: Long): Seq[Double] =
+      base.zipWithIndex.map { case (b, j) =>
+        b + 0.001 * (((i * 31 + j * 17) % 11) - 5) }
+    // 8 +x rows labeled 1, 8 +y rows labeled 2 — except row 25, which
+    // sits in the +y cluster but carries label 1 (the planted mislabel)
+    val rows = (0L until 8L).map(i => (i, v(Array(1.0, 0.0, 0.0, 0.0), i), 1)) ++
+      (20L until 28L).map(i =>
+        (i, v(Array(0.0, 1.0, 0.0, 0.0), i), if (i == 25L) 1 else 2))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoiseAudit(emb, "vec_id", "embedding", "label",
+      k = 5).collect()
+    assert(out.length == 16, "every labeled row is audited")
+    val suspects = out.filter(!_.getAs[Boolean]("agree"))
+    assert(suspects.map(_.getLong(0)).toSeq == Seq(25L),
+      s"exactly the planted mislabel disagrees: ${suspects.toSeq}")
+    val s25 = suspects.head
+    assert(s25.getAs[Int]("label") == 1 && s25.getAs[Int]("pred_label") == 2
+      && s25.getAs[Double]("vote_frac") == 1.0,
+      s"the suspect's neighborhood votes unanimously against it: $s25")
+  }
+
   test("capPerKey: n best per key by (score desc, id asc), null scores dropped, skewed key costs nothing extra") {
     def d(x: Double): java.lang.Double = Double.box(x)
     val rows: Seq[(Long, String, java.lang.Double)] =
