@@ -367,6 +367,7 @@ object SparkEntry {
          |       n_neighbors,
          |       ROUND(CAST(n AS DOUBLE) / n_neighbors, 6) AS vote_frac
          |FROM best WHERE pk = 1 ORDER BY q_id""".stripMargin,
+    "q131_random_project" -> randomProjectSql,
     // q130 oracle: the q125 vote statement turned on the labeled set
     // itself (self excluded), the stored label joined back, agree flag
     "q130_label_noise" ->
@@ -2697,6 +2698,26 @@ object SparkEntry {
        |  WHEN MD5(CAST(doc_id AS VARCHAR)) < '$t2' THEN 'val'
        |  ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q131 oracle: the projection matrix inlined as literals (the q32
+    * plane-inlining technique), each component an explicit
+    * LEFT-ASSOCIATIVE ascending-j sum — the exact FP order the
+    * expression's loop computes, so the doubles match bit-for-bit
+    * before the shared ROUND(…, 6).
+    */
+  private def randomProjectSql: String = {
+    import org.apache.spark.sql.graft.RandomProjection
+    val (dim, outDim) = (64, 16)
+    val m = RandomProjection.matrix(dim, outDim)
+    val arms = (0 until outDim).map { p =>
+      val sum = (0 until dim).map(j => s"(${m(p)(j)}) * v[${j + 1}]")
+        .mkString(" + ")
+      s"SELECT vec_id, CAST($p AS BIGINT) AS pos, ROUND($sum, 6) AS proj FROM e"
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |${arms.mkString("\nUNION ALL ")}
+       |ORDER BY vec_id, pos""".stripMargin
   }
 
   /** q128 oracle: q54's seed/assignment/probe CTEs with the

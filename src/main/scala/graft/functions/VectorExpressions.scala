@@ -138,6 +138,76 @@ object WordShingles {
   }
 }
 
+/** Deterministic random projection of an `array<double>` vector to
+  * `outDim` components — the dimensionality-reduction lever of the
+  * similarity family: out[p] = Σ_j R[p][j]·v[j] over a fixed md5-derived
+  * matrix (the [[RandomHyperplanes]] component convention in a DISJOINT
+  * plane-index space, offset 2^20, so projections and LSH buckets stay
+  * independent families). Cosine ranks are approximately preserved
+  * (JL-flavoured; uniform [-0.5, 0.5) components — scale is irrelevant
+  * to cosine), measured rather than assumed in the spec. Same plan-size
+  * story as [[RandomHyperplanes]]: the matrix rides as ONE codegen
+  * reference object, the hot loop is a fused outDim×dim pass, and the
+  * left-associative ascending-j summation is the exact order the DuckDB
+  * oracle mirrors (bit-identical doubles, rounded only at query edges).
+  */
+case class RandomProjection(child: Expression, dim: Int, outDim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_random_project"
+
+  @transient lazy val planes: Array[Array[Double]] =
+    RandomProjection.matrix(dim, outDim)
+
+  override protected def nullSafeEval(input: Any): Any =
+    RandomProjection.compute(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"${ev.value} = org.apache.spark.sql.graft.RandomProjection" +
+        s".compute($v, $planesRef);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjection =
+    copy(child = newChild)
+}
+
+object RandomProjection {
+  /** Plane-index offset keeping the projection matrix disjoint from
+    * every LSH band's planes (band b uses indexes b·nBits+p, bounded far
+    * below 2^20 in practice).
+    */
+  val PlaneOffset: Int = 1 << 20
+
+  def matrix(dim: Int, outDim: Int): Array[Array[Double]] =
+    Array.tabulate(outDim, dim)((p, j) =>
+      RandomHyperplanes.component(PlaneOffset + p, j))
+
+  /** Shared by interpreted eval and codegen: strict ascending-j
+    * left-associative sums — the order the oracle SQL reproduces.
+    */
+  def compute(v: ArrayData, planes: Array[Array[Double]]): ArrayData = {
+    val outDim = planes.length
+    val out = new Array[Any](outDim)
+    var p = 0
+    while (p < outDim) {
+      val plane = planes(p)
+      val n = math.min(plane.length, v.numElements())
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += plane(j) * v.getDouble(j); j += 1 }
+      out(p) = s
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Random-hyperplane LSH bucket of an `array<double>` vector: the sign bits
   * of `nBits` fixed pseudo-random hyperplanes, as a '0'/'1' string.
   *
@@ -1873,6 +1943,10 @@ object VectorBridge {
   def lshBucket(vec: Column, dim: Int, nBits: Int, band: Int): Column =
     ExpressionUtils.column(
       RandomHyperplanes(ExpressionUtils.expression(vec), dim, nBits, band))
+
+  def randomProject(vec: Column, dim: Int, outDim: Int): Column =
+    ExpressionUtils.column(
+      RandomProjection(ExpressionUtils.expression(vec), dim, outDim))
 
   def simHashBits(text: Column, bits: Int): Column =
     ExpressionUtils.column(SimHashBits(ExpressionUtils.expression(text), bits))

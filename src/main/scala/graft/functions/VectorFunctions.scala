@@ -23,6 +23,13 @@ object VectorFunctions {
   def lshBucket(vec: Column, dim: Int, nBits: Int, band: Int = 0): Column =
     org.apache.spark.sql.graft.VectorBridge.lshBucket(vec, dim, nBits, band)
 
+  /** Deterministic random projection to `outDim` components — cosine
+    * ranks approximately preserved at a fraction of the vector bytes
+    * (md5-derived matrix disjoint from the LSH planes; plan size O(1)).
+    */
+  def randomProject(vec: Column, dim: Int, outDim: Int): Column =
+    org.apache.spark.sql.graft.VectorBridge.randomProject(vec, dim, outDim)
+
   /** Per-document SimHash fingerprint ('0'/'1' string) in one pass. */
   def simHashBits(text: Column, bits: Int): Column =
     org.apache.spark.sql.graft.VectorBridge.simHashBits(text, bits)

@@ -591,6 +591,18 @@ object Extensions {
       .orderBy(col("q_id"))
   }
 
+  // q131 random projection — 64-d embeddings reduced to 16 deterministic
+  // md5-matrix components (the probe-byte lever before any index),
+  // emitted (vec_id, pos, proj) rounded at the query edge.
+  val q131_random_project: Q = (s, d) =>
+    t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(
+        graft.functions.VectorFunctions.randomProject(
+          col("embedding").cast("array<double>"), 64, 16)))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        round(col("col"), 6).as("proj"))
+      .orderBy(col("vec_id"), col("pos"))
+
   // q130 label-noise audit — every labeled vector re-predicted from its
   // 10 nearest OTHER labeled rows; disagreements with a confident vote
   // are the mislabel suspects to re-check before the set trains
@@ -1403,5 +1415,6 @@ object Extensions {
     "q127_group_split" -> q127_group_split,
     "q128_hard_negatives_ivf" -> q128_hard_negatives_ivf,
     "q129_knn_autolabel" -> q129_knn_autolabel,
-    "q130_label_noise" -> q130_label_noise)
+    "q130_label_noise" -> q130_label_noise,
+    "q131_random_project" -> q131_random_project)
 }

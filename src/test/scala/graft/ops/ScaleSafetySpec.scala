@@ -451,6 +451,45 @@ class ScaleSafetySpec extends SparkSpec {
     assert(!splitPlan.contains("Exchange"), s"grouped split must not shuffle:\n$splitPlan")
   }
 
+  test("RandomProjection: O(1) plan size, LSH-disjoint matrix, cluster ranks survive 64->16") {
+    import graft.functions.VectorFunctions
+    // plan size must not grow with dim x outDim (the reference-object story)
+    val wide = Seq((0L, Array.fill(1536)(0.1))).toDF("vec_id", "v")
+      .select(VectorFunctions.randomProject(col("v"), 1536, 64).as("p"))
+    val planLen = wide.queryExecution.optimizedPlan.toString.length
+    assert(planLen < 5000, s"plan unexpectedly large: $planLen chars")
+    // the projection matrix lives in a DISJOINT plane-index space
+    val m = org.apache.spark.sql.graft.RandomProjection.matrix(4, 2)
+    val lsh = org.apache.spark.sql.graft.RandomHyperplanes.planeMatrix(4, 2, 0)
+    assert(m.flatten.toSeq != lsh.flatten.toSeq,
+      "projection planes must not alias the LSH band-0 planes")
+    // rank preservation: two tight 64-d clusters stay separated after
+    // 64->16 — every projected row's nearest projected neighbour is from
+    // its own cluster (the property that makes projected IVF work)
+    val rng = new scala.util.Random(7)
+    def clusterVec(center: Array[Double]): Seq[Double] =
+      center.map(c => c + rng.nextGaussian() * 0.02)
+    val c1 = Array.fill(64)(rng.nextGaussian())
+    val c2 = Array.fill(64)(rng.nextGaussian())
+    val emb = ((0L until 20L).map(i => (i, clusterVec(c1))) ++
+      (100L until 120L).map(i => (i, clusterVec(c2))))
+      .toDF("vec_id", "embedding")
+    val proj = emb.select(col("vec_id"),
+      VectorFunctions.randomProject(col("embedding"), 64, 16).as("p"))
+    val rows = proj.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val crossed = rows.count { case (id, v) =>
+      val nn = rows.filter(_._1 != id).maxBy { case (_, o) => cos(v, o) }
+      (id < 100L) != (nn._1 < 100L)
+    }
+    assert(crossed == 0,
+      s"$crossed of ${rows.length} projected rows crossed clusters")
+  }
+
   test("RandomHyperplanes matches the plane matrix it advertises") {
     import org.apache.spark.sql.graft.RandomHyperplanes
     val dim = 8
