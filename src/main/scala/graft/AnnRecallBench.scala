@@ -144,6 +144,45 @@ object AnnRecallBench {
         () => graft.ops.Similarity.lshIndexQuantizedKnnJoin(spark, lqp,
           "vec_id", queries, "vec_id", "embedding", k, dim, nBits = 8))
 
+      // ----- random projection: brute rank in projected space — the
+      // pure rank-preservation of the md5 matrix at each width (the
+      // probe-byte lever BEFORE any index; composes with all of them)
+      for (outDim <- Seq(8, 16, 32)) {
+        def proj(df: DataFrame) = df.select(col("vec_id"),
+          graft.functions.VectorFunctions.randomProject(
+            col("embedding").cast("array<double>"), dim, outDim)
+            .as("embedding"))
+        val pc = proj(corpus).localCheckpoint(true)
+        val pqs = proj(queries).localCheckpoint(true)
+        record("proj", "float", s"outDim=$outDim brute",
+          0.0, 1.0, outDim * 8,
+          () => graft.ops.Similarity.bruteKnnJoin(pc, pqs,
+            "vec_id", "embedding", "vec_id", "embedding", k))
+        // projected ranks PROPOSE kCand, full-precision floats decide —
+        // the two-stage recipe (the PQ-rerank story at a different rung);
+        // cost = the projected scan + kCand float rows per query
+        val kCand = 50
+        record("proj", "rerank", s"outDim=$outDim kCand=$kCand",
+          0.0, 1.0, outDim * 8,
+          () => {
+            val cand = graft.ops.Similarity.bruteKnnJoin(pc, pqs,
+              "vec_id", "embedding", "vec_id", "embedding", kCand)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("q_id"))
+              .orderBy(col("cos_sim").desc, col("vec_id"))
+            cand.select(col("q_id"), col("vec_id"))
+              .join(corpus, Seq("vec_id"))
+              .join(queries.select(col("vec_id").as("q_id"),
+                col("embedding").as("_qe")), Seq("q_id"))
+              .select(col("q_id"), col("vec_id"),
+                round(graft.ops.Similarity.cosine(
+                  col("embedding").cast("array<double>"),
+                  col("_qe").cast("array<double>")), 6).as("cos_sim"))
+              .withColumn("_rk", row_number().over(w))
+              .where(col("_rk") <= k).drop("_rk")
+          }, extraKbPerQuery = kCand * dim * 8 / 1024.0)
+      }
+
       // ----- flat PQ: m × nCodes × kmeansIters -----
       for (m <- Seq(2, 4, 8); nCodes <- Seq(16, 256); ki <- Seq(0, 3)) {
         val pp = s"$base/${fixture}_idx/pq_m${m}_c${nCodes}_ki$ki"
