@@ -368,6 +368,9 @@ object SparkEntry {
          |       ROUND(CAST(n AS DOUBLE) / n_neighbors, 6) AS vote_frac
          |FROM best WHERE pk = 1 ORDER BY q_id""".stripMargin,
     "q131_random_project" -> randomProjectSql,
+    "q132_proj_knn_rerank" -> projKnnRerankSql,
+    "q133_mixture_plan" -> mixturePlanSql,
+    "q134_mixture_sample" -> mixtureRealizeSql,
     // q130 oracle: the q125 vote statement turned on the labeled set
     // itself (self excluded), the stored label joined back, agree flag
     "q130_label_noise" ->
@@ -2718,6 +2721,107 @@ object SparkEntry {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
        |${arms.mkString("\nUNION ALL ")}
        |ORDER BY vec_id, pos""".stripMargin
+  }
+
+  /** Shared VALUES literal of the q133/q134 oracles: (stratum,
+    * normalized weight, target tokens) generated by the SAME
+    * [[graft.ops.Sampling.mixtureWeights]]/[[graft.ops.Sampling
+    * .mixtureTargets]] arithmetic the engine uses, so normalization
+    * order and floor quirks cannot diverge.
+    */
+  private def mixtureRecipeValues: String = {
+    val wn = graft.ops.Sampling.mixtureWeights(
+      graft.queries.Extensions.mixtureRecipe)
+    val tg = graft.ops.Sampling.mixtureTargets(
+      graft.queries.Extensions.mixtureRecipe,
+      graft.queries.Extensions.mixtureBudget)
+    wn.toSeq.sorted.map { case (s, w) =>
+      s"('$s', ${w}, CAST(${tg(s)} AS BIGINT))" }.mkString(",\n  ")
+  }
+
+  /** q133 oracle: recipe weights/targets inlined (data-independent
+    * config), per-source availability recomputed from the corpus, frac
+    * capped at 1 and epochs uncapped — both single divisions of a
+    * BIGINT literal by a BIGINT sum, null when nothing is available.
+    */
+  private def mixturePlanSql: String =
+    s"""WITH tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS a
+       |             FROM documents GROUP BY source),
+       |w AS (SELECT * FROM (VALUES
+       |  $mixtureRecipeValues) AS t(source, wn, target))
+       |SELECT w.source, ROUND(wn, 6) AS weight,
+       |  COALESCE(a, 0) AS available_tokens,
+       |  target AS target_tokens,
+       |  CASE WHEN COALESCE(a, 0) > 0 THEN
+       |    ROUND(LEAST(1.0, CAST(target AS DOUBLE) / CAST(a AS DOUBLE)), 6)
+       |  END AS frac,
+       |  CASE WHEN COALESCE(a, 0) > 0 THEN
+       |    ROUND(CAST(target AS DOUBLE) / CAST(a AS DOUBLE), 6)
+       |  END AS epochs
+       |FROM w LEFT JOIN tot ON w.source = tot.source
+       |ORDER BY w.source""".stripMargin
+
+  /** q134 oracle: the q66 upsample statement with DATA-dependent
+    * fractions — frac = inlined target / recomputed per-source total
+    * (uncapped: with-replacement), floor(frac) whole copies plus the
+    * md5 coin under the fractional remainder's threshold (the q58
+    * hexThreshold arithmetic; the remainder is always < 1 so the 'g'
+    * branch never fires).
+    */
+  private def mixtureRealizeSql: String =
+    s"""WITH tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS a
+       |             FROM documents GROUP BY source),
+       |w AS (SELECT * FROM (VALUES
+       |  $mixtureRecipeValues) AS t(source, wn, target)),
+       |fr AS (SELECT w.source,
+       |         CAST(target AS DOUBLE) / CAST(a AS DOUBLE) AS frac
+       |       FROM w JOIN tot ON w.source = tot.source WHERE a > 0),
+       |arms AS (SELECT source,
+       |         CAST(FLOOR(frac) AS BIGINT) AS whole,
+       |         printf('%08x', CAST(LEAST(FLOOR((frac - FLOOR(frac))
+       |             * 4294967296), 4294967295) AS BIGINT))
+       |           || REPEAT('0', 24) AS thr
+       |       FROM fr),
+       |n AS (SELECT d.doc_id, d.source,
+       |        arms.whole
+       |        + (CASE WHEN MD5(CAST(d.doc_id AS VARCHAR)) < arms.thr
+       |           THEN 1 ELSE 0 END) AS n_copies
+       |      FROM documents d JOIN arms ON d.source = arms.source)
+       |SELECT doc_id, source, copy FROM n, UNNEST(RANGE(n_copies)) AS u(copy)
+       |ORDER BY doc_id, copy""".stripMargin
+
+  /** q132 oracle: the q131 matrix inlined as literals, each projected
+    * component a left-associative ascending-j sum collected into a
+    * DOUBLE list literal, coarse rank over the projected lists at
+    * kCand=20, exact rerank of those candidates over the full vectors —
+    * both ranks the shared (score DESC, id ASC) convention, both
+    * cosines ROUND(…, 6) like every k-NN-join oracle.
+    */
+  private def projKnnRerankSql: String = {
+    import org.apache.spark.sql.graft.RandomProjection
+    val (dim, outDim, kCand, k) = (64, 8, 20, 5)
+    val m = RandomProjection.matrix(dim, outDim)
+    val pvList = (0 until outDim).map { p =>
+      (0 until dim).map(j => s"(${m(p)(j)}) * v[${j + 1}]").mkString(" + ")
+    }.mkString("[", ",\n ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT vec_id, v, $pvList AS pv FROM e),
+       |q AS (SELECT vec_id AS q_id, v AS qv, pv AS qpv FROM p
+       |      WHERE vec_id % 100 = 0),
+       |coarse AS (SELECT q.q_id, p.vec_id,
+       |    ROUND(${cosSql("p.pv", "q.qpv")}, 6) AS cs
+       |  FROM p CROSS JOIN q),
+       |cand AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cs DESC, vec_id) AS rk FROM coarse) t WHERE rk <= $kCand),
+       |rer AS (SELECT c.q_id, c.vec_id,
+       |    ROUND(${cosSql("e.v", "q.qv")}, 6) AS cos_sim
+       |  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id),
+       |ranked AS (SELECT q_id, vec_id, cos_sim,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rk FROM rer)
+       |SELECT q_id, vec_id, cos_sim FROM ranked WHERE rk <= $k
+       |ORDER BY q_id, vec_id""".stripMargin
   }
 
   /** q128 oracle: q54's seed/assignment/probe CTEs with the

@@ -142,6 +142,104 @@ object Sampling {
     }
   }
 
+  /** Normalized mixture weights — the recipe form a training mix is
+    * actually WRITTEN in ("60% web, 30% code, 10% books") turned into
+    * exact per-stratum shares. Summation is a left fold in SORTED key
+    * order so the normalizer is one fixed double regardless of Map
+    * iteration order — the oracle inlines these exact values.
+    */
+  def mixtureWeights(weights: Map[String, Double]): Map[String, Double] = {
+    require(weights.nonEmpty, "empty mixture")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val sw = weights.toSeq.sortBy(_._1).map(_._2).sum
+    require(sw > 0, "mixture weights sum to zero")
+    weights.map { case (s, w) => s -> w / sw }
+  }
+
+  /** Per-stratum token allocations from a (weights, total budget)
+    * recipe: floor(total × normalized weight) — the budgets layer
+    * [[tokenBudgetFracs]] takes as input, derived instead of
+    * hand-computed. Floor (not round) so allocations never overshoot
+    * the stated budget.
+    */
+  def mixtureTargets(weights: Map[String, Double],
+                     totalTokens: Long): Map[String, Long] = {
+    require(totalTokens >= 0, s"negative budget: $totalTokens")
+    mixtureWeights(weights).map { case (s, w) =>
+      s -> math.floor(totalTokens.toDouble * w).toLong }
+  }
+
+  /** The mixture PLAN — the audit table a training-mix recipe is
+    * reviewed from before any row moves: per recipe stratum, its
+    * normalized weight, the tokens available in the corpus, the target
+    * allocation floor(total × weight), the sampling fraction that
+    * realizes it, and the epochs ratio (target/available — how many
+    * passes over the stratum the recipe implies; > 1 means the recipe
+    * NEEDS repetition). `allowReplacement = false` caps frac at 1 (the
+    * [[tokenBudgetFracs]] no-upsample contract); true leaves it at the
+    * epochs value for [[upsample]]. Strata in the recipe but absent
+    * from the corpus surface with 0 available and null frac/epochs —
+    * the "your recipe names a domain you don't have" red flag, which a
+    * silent Map-based API would swallow.
+    *
+    * Shape at 100 TB: one map-side-combined aggregate over (stratum,
+    * token) columns — totals are |strata| rows — joined to the
+    * |strata|-row literal recipe; the corpus is scanned once and never
+    * shuffled (partial aggregation collapses each partition to its
+    * strata). Deterministic → DuckDB hash-checked (q133: weights and
+    * targets inlined from the same [[mixtureWeights]]/[[mixtureTargets]]
+    * arithmetic, totals recomputed in SQL).
+    */
+  def mixturePlan(df: DataFrame, stratumCol: String, tokenCol: String,
+                  weights: Map[String, Double], totalTokens: Long,
+                  allowReplacement: Boolean = false): DataFrame = {
+    val wn = mixtureWeights(weights)
+    val targets = mixtureTargets(weights, totalTokens)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val recipe = wn.toSeq.sortBy(_._1)
+      .map { case (s, w) => (s, w, targets(s)) }
+      .toDF(stratumCol, "_w", "target_tokens")
+    val totals = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol)).cast("long").as("_a"))
+    val avail = coalesce(col("_a"), lit(0L))
+    val ratio = col("target_tokens").cast("double") / col("_a").cast("double")
+    recipe.join(totals, Seq(stratumCol), "left")
+      .select(col(stratumCol),
+        round(col("_w"), 6).as("weight"),
+        avail.as("available_tokens"),
+        col("target_tokens"),
+        when(avail > 0,
+          round(if (allowReplacement) ratio else least(lit(1.0), ratio), 6))
+          .as("frac"),
+        when(avail > 0, round(ratio, 6)).as("epochs"))
+  }
+
+  /** Keep fractions realizing a (weights, total budget) recipe — the
+    * [[mixturePlan]] frac column as the Map the samplers consume:
+    * frac = target / available per stratum (capped at 1 unless
+    * `allowReplacement` — feed that form to [[upsample]] for the
+    * epochs > 1 strata). The per-stratum total collect is bounded by
+    * |strata| (domains — tens, not rows; the [[temperatureFracs]]
+    * contract). Strata absent from the corpus get no fraction; corpus
+    * strata outside the recipe get none either, and the downstream
+    * samplers' default-0 semantics drop them.
+    */
+  def mixtureFracs(df: DataFrame, stratumCol: String, tokenCol: String,
+                   weights: Map[String, Double], totalTokens: Long,
+                   allowReplacement: Boolean = false): Map[String, Double] = {
+    val targets = mixtureTargets(weights, totalTokens)
+    val totals = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol)).cast("long").as("_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.flatMap { case (s, tgt) =>
+      totals.get(s).filter(_ > 0).map { a =>
+        val f = tgt.toDouble / a.toDouble
+        s -> (if (allowReplacement) f else math.min(1.0, f))
+      }
+    }
+  }
+
   /** Mixture sampling WITH replacement — the epochs case
     * [[tokenBudgetFracs]]' cap deliberately refuses: when a stratum's
     * allocation EXCEEDS its size ("3.4 epochs of books"), every row

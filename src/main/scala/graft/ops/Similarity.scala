@@ -410,6 +410,58 @@ object Similarity {
       idCol, k)
   }
 
+  /** Projection-coarse k-NN JOIN with full-precision rerank — the
+    * two-stage recipe the recall surface decided (BASELINE.md
+    * random-projection arm): a deterministic [[graft.functions
+    * .VectorFunctions.randomProject]] reduction (the md5-matrix
+    * expression behind q131) proposes `kCand` candidates per query by
+    * brute cosine rank in `outDim` dimensions, then the ORIGINAL float
+    * vectors decide the final top-`k` among those candidates only. Raw
+    * projected rank is a coarse tool (it preserves cluster membership
+    * but scrambles fine within-cluster order — recall 0.41–0.52 at
+    * outDim 8–32 on the planted corpus); with the rerank it measured
+    * recall 1.000 at every width, scanning outDim/dim of the float
+    * bytes plus kCand full rows per query.
+    *
+    * Shape at 100 TB: stage 1 is [[bruteKnnJoin]] over PROJECTED
+    * vectors — the corpus-side projection is a zero-shuffle codegen'd
+    * expression (plan size O(1) in dim·outDim), queries broadcast,
+    * candidates collapse into the bounded per-query top-kCand
+    * aggregation; stage 2 joins the kCand × |queries| bounded candidate
+    * set (broadcast) back to the corpus floats — the corpus never
+    * shuffles in either stage, and only the candidate rows' float
+    * vectors are ever ranked at full precision. For query sets that
+    * scale with the corpus, compose the projection with the IVF/PQ
+    * index families instead. Deterministic end to end (fixed md5
+    * matrix, rounded scores, numeric-id tiebreaks) → hash-checked
+    * against a DuckDB oracle that inlines the matrix literally (q132).
+    * Output (q_id, idCol, cos_sim), the k-NN-join family contract.
+    */
+  def projKnnJoinRerank(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String,
+                        qIdCol: String, qVecCol: String,
+                        k: Int, dim: Int, outDim: Int = 8,
+                        kCand: Int = 50, scale: Int = 6): DataFrame = {
+    requireIntegralId(corpus, idCol, "projKnnJoinRerank")
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    val proj = graft.functions.VectorFunctions.randomProject(_: Column, dim, outDim)
+    val qb = queries
+      .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_qpv", proj(col("_qv")))
+    val cands = topKPerQuery(
+      corpus.select(col(idCol), proj(asDouble(col(vecCol))).as("_pv"))
+        .crossJoin(broadcast(qb.select(col("q_id"), col("_qpv"))))
+        .select(col("q_id"), col(idCol),
+          round(cosineGuarded(col("_pv"), col("_qpv")), scale).as("cos_sim")),
+      idCol, kCand).select(col("q_id"), col(idCol))
+    val scored = corpus.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(qb.select(col("q_id"), col("_qv"))), Seq("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim"))
+    topKPerQuery(scored, idCol, k)
+  }
+
   /** Recall@k audit — the acceptance gauge for every approximate
     * retrieval deployment: per query, the fraction of the exact top-k
     * (`truth`) that the approximate result (`approx`) found. Both inputs

@@ -187,6 +187,40 @@ object Extensions {
         "doc_id", "source", upsampleFracs)
       .orderBy(col("doc_id"), col("copy"))
 
+  // The mixture RECIPE (q133/q134): weights in the form a training mix
+  // is written ("50% src0, 30% src1, 15% src2, 5% srcX"), against a
+  // fixed total char budget. srcX is deliberately absent from the
+  // corpus — the plan must surface it (0 available, null frac), not
+  // swallow it.
+  val mixtureRecipe: Map[String, Double] =
+    Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.15, "srcX" -> 0.05)
+  val mixtureBudget: Long = 30000L
+
+  // q133 mixture plan — the audit table the recipe is reviewed from:
+  // per stratum its normalized weight, available vs target tokens, the
+  // realizing frac (capped at 1 here) and the epochs ratio (>1 for
+  // src0: the recipe NEEDS repetition there).
+  val q133_mixture_plan: Q = (s, d) =>
+    Sampling.mixturePlan(
+        t(s, d, "documents").select(col("source"), col("n_chars")),
+        "source", "n_chars", mixtureRecipe, mixtureBudget)
+      .orderBy(col("source"))
+
+  // q134 mixture sample — the recipe REALIZED with replacement: fracs
+  // derived from the same plan (uncapped), epochs > 1 strata duplicated
+  // with a copy index via the q66 upsample convention; sources outside
+  // the recipe drop.
+  val q134_mixture_sample: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val fracs = Sampling.mixtureFracs(
+      docs.select(col("source"), col("n_chars")),
+      "source", "n_chars", mixtureRecipe, mixtureBudget,
+      allowReplacement = true)
+    Sampling.upsample(docs.select(col("doc_id"), col("source")),
+        "doc_id", "source", fracs)
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
   val q58_token_budget_sample: Q = (s, d) => {
     val docs = t(s, d, "documents")
     val toks = docs.select(col("source"),
@@ -602,6 +636,19 @@ object Extensions {
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         round(col("col"), 6).as("proj"))
       .orderBy(col("vec_id"), col("pos"))
+
+  // q132 projection-coarse rerank k-NN join — the measured two-stage
+  // recipe as one operator: the q131 md5-matrix projection (64→8)
+  // proposes 20 candidates per query by brute rank in projected space,
+  // the original floats decide the final top-5 among those candidates
+  // only (1/8 of the float bytes scanned + 20 full rows per query).
+  val q132_proj_knn_rerank: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    Similarity.projKnnJoinRerank(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, dim = 64, outDim = 8, kCand = 20)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
 
   // q130 label-noise audit — every labeled vector re-predicted from its
   // 10 nearest OTHER labeled rows; disagreements with a confident vote
@@ -1416,5 +1463,8 @@ object Extensions {
     "q128_hard_negatives_ivf" -> q128_hard_negatives_ivf,
     "q129_knn_autolabel" -> q129_knn_autolabel,
     "q130_label_noise" -> q130_label_noise,
-    "q131_random_project" -> q131_random_project)
+    "q131_random_project" -> q131_random_project,
+    "q132_proj_knn_rerank" -> q132_proj_knn_rerank,
+    "q133_mixture_plan" -> q133_mixture_plan,
+    "q134_mixture_sample" -> q134_mixture_sample)
 }

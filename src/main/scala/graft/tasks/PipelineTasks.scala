@@ -166,9 +166,13 @@ object PipelineTasks {
   }
 
   /** `sample`: deterministic md5 sampling — exactly one of `frac`
-    * (plain rate), `fracs` (per-stratum rates, q48), or `budgets`
+    * (plain rate), `fracs` (per-stratum rates, q48), `budgets`
     * (per-stratum token budgets resolved to rates from the observed
-    * totals, q58). Schema passes through unchanged.
+    * totals, q58), or `weights` + `total_tokens` (a mixture RECIPE —
+    * normalized weights × total budget resolved to per-stratum rates,
+    * q133/q134; `replacement: true` upsamples the epochs > 1 strata
+    * with a `copy` index instead of capping at 1). Schema passes
+    * through unchanged (plus `copy` under replacement).
     */
   object SampleTask extends Task {
     def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
@@ -177,7 +181,14 @@ object PipelineTasks {
         val id = cfg.str("id", "doc_id")
         val stratum = cfg.str("stratum", "source")
         val out =
-          if (cfg.has("budgets")) {
+          if (cfg.has("weights")) {
+            val rep = cfg.str("replacement", "false").toBoolean
+            val fracs = Sampling.mixtureFracs(tokenCol(cfg)(df), stratum,
+              "n_tokens", numMap(cfg, "weights"),
+              cfg.str("total_tokens").toLong, allowReplacement = rep)
+            if (rep) Sampling.upsample(df, id, stratum, fracs)
+            else Sampling.stratifiedSample(df, id, stratum, fracs)
+          } else if (cfg.has("budgets")) {
             val withTok = tokenCol(cfg)(df)
             val fracs = Sampling.tokenBudgetFracs(withTok, stratum, "n_tokens",
               longMap(cfg, "budgets"))

@@ -438,6 +438,50 @@ class OpsSpec extends SparkSpec {
       .select(lit("x").as("src")).limit(0), "src", 0.5).isEmpty)
   }
 
+  test("mixturePlan/mixtureFracs: weights normalize order-independently, plan surfaces absent strata, epochs realize") {
+    // srcA: 4 docs × 10 tokens = 40 available; srcB: 2 × 10 = 20
+    val df = Seq(
+      (1L, "srcA", 10L), (2L, "srcA", 10L), (3L, "srcA", 10L),
+      (4L, "srcA", 10L), (5L, "srcB", 10L), (6L, "srcB", 10L),
+      (7L, "srcOff", 10L) // in the corpus, not in the recipe
+    ).toDF("doc_id", "src", "n_tok")
+    // normalization is a sorted-key fold: construction order cannot move it
+    val w1 = Sampling.mixtureWeights(Map("b" -> 1.0, "a" -> 3.0))
+    val w2 = Sampling.mixtureWeights(Map("a" -> 3.0, "b" -> 1.0))
+    assert(w1 == w2 && w1("a") == 0.75 && w1("b") == 0.25)
+    // recipe: 75% A, 25% B-equivalent… plus a stratum the corpus lacks
+    val recipe = Map("srcA" -> 0.75, "srcB" -> 0.25, "srcGhost" -> 0.0)
+    val plan = Sampling.mixturePlan(df, "src", "n_tok", recipe, 120L)
+      .orderBy("src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), Option(r.get(4)).map(_ => r.getDouble(4)),
+         Option(r.get(5)).map(_ => r.getDouble(5)))).toMap
+    assert(plan.keySet == Set("srcA", "srcB", "srcGhost"),
+      "the plan covers exactly the recipe strata (srcOff is not in it)")
+    assert(plan("srcA") == ((40L, 90L, Some(1.0), Some(2.25))),
+      s"A: 90 targeted over 40 available = 2.25 epochs, frac capped: ${plan("srcA")}")
+    assert(plan("srcB") == ((20L, 30L, Some(1.0), Some(1.5))), s"${plan("srcB")}")
+    assert(plan("srcGhost") == ((0L, 0L, None, None)),
+      "a recipe stratum absent from the corpus surfaces with 0/null, not silently")
+    // uncapped fracs feed upsample: every A doc gets 2 + coin(0.25)
+    // copies, every B doc 1 + coin(0.5) — total mass within the coins'
+    // range of the 120-token budget
+    val fracs = Sampling.mixtureFracs(df, "src", "n_tok", recipe, 120L,
+      allowReplacement = true)
+    assert(fracs == Map("srcA" -> 2.25, "srcB" -> 1.5), s"$fracs")
+    val out = Sampling.upsample(df, "doc_id", "src", fracs)
+    val mass = out.agg(sum("n_tok")).collect()(0).getLong(0)
+    // md5 coins are deterministic: of ids 1-4 none falls under 0.25, of
+    // ids 5-6 only 6 falls under 0.5 → 8×10 + 3×10 = 110 (budget 120,
+    // within one coin's 10-token granularity)
+    assert(mass == 110L, s"realized mass: $mass")
+    val copies = out.groupBy("doc_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 4L).forall(id => copies(id) == 2L || copies(id) == 3L))
+    assert((5L to 6L).forall(id => copies(id) == 1L || copies(id) == 2L))
+    assert(!copies.contains(7L), "a stratum outside the recipe drops")
+  }
+
   test("tokenBudgetFracs: budget/total capped at 1, absent strata dropped, expectation hit") {
     val rows = (1 to 400).map { i =>
       val src = Seq("web", "books", "code")(i % 3)
@@ -608,6 +652,40 @@ class OpsSpec extends SparkSpec {
       "vec_id", "embedding", "label", "vec_id", "embedding", "label", k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(again.sorted.sameElements(rows.sorted), "mining is deterministic")
+  }
+
+  test("projKnnJoinRerank: full-candidate parity with brute, true scores under bounded candidates, determinism") {
+    val rng = new scala.util.Random(7)
+    val emb = (0L until 60L).map(i => (i, Seq.fill(8)(rng.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = rows(Similarity.bruteKnnJoin(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5)).sorted
+    // kCand = |corpus|: every row reaches the full-precision rerank, so
+    // the two-stage operator degenerates to the exact join — byte parity
+    val full = rows(Similarity.projKnnJoinRerank(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, dim = 8, outDim = 4, kCand = 60)).sorted
+    assert(full.sameElements(exact),
+      "rerank over all candidates must equal bruteKnnJoin byte-for-byte")
+    // bounded kCand: exactly k rows per query, and every emitted score is
+    // the TRUE full-precision cosine (a subset of the brute pair scores —
+    // the coarse stage may change WHICH pairs surface, never their score)
+    val approx = rows(Similarity.projKnnJoinRerank(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, dim = 8, outDim = 4, kCand = 10))
+    assert(approx.groupBy(_._1).values.forall(_.length == 5),
+      "each query fills k from its candidate pool")
+    val truth = rows(Similarity.bruteKnnJoin(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 60)).toSet
+    assert(approx.forall(truth.contains),
+      "every reranked score must be the full-precision cosine for its pair")
+    val again = rows(Similarity.projKnnJoinRerank(emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, dim = 8, outDim = 4, kCand = 10))
+    assert(again.sorted.sameElements(approx.sorted), "deterministic")
   }
 
   test("hardNegativesIvf: fills k below the rank, equi-join plan, full-probe parity with the exact miner") {

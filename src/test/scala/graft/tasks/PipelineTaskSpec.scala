@@ -139,6 +139,34 @@ class PipelineTaskSpec extends SparkSpec {
         Map("src1" -> 1.0, "src2" -> 0.25))))
   }
 
+  test("sample task mixture mode == mixtureFracs + stratifiedSample/upsample (q133/q134 parity)") {
+    val wd = tmpDir("graft_pipetask_")
+    runTask(wd,
+      s"""{"tasks": [
+         |  {"type": "sample", "name": "mc",
+         |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |   "sample": {"weights": {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+         |              "total_tokens": 30000, "tokens": "n_chars"},
+         |   "target": {"file": "mixcap", "truncate": true}},
+         |  {"type": "sample", "name": "mr",
+         |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |   "sample": {"weights": {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+         |              "total_tokens": 30000, "tokens": "n_chars",
+         |              "replacement": "true"},
+         |   "target": {"file": "mixrep", "truncate": true}}
+         |]}""".stripMargin)
+    val w = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val tok = docs.withColumn("n_tokens", col("n_chars").cast("long"))
+    val capped = Sampling.mixtureFracs(tok, "source", "n_tokens", w, 30000L)
+    assert(rows(outParquet(wd, "mixcap")) ==
+      rows(Sampling.stratifiedSample(docs, "doc_id", "source", capped)))
+    val rep = Sampling.mixtureFracs(tok, "source", "n_tokens", w, 30000L,
+      allowReplacement = true)
+    assert(rep.exists(_._2 > 1.0), "the recipe must force an epochs>1 stratum")
+    assert(rows(outParquet(wd, "mixrep")) ==
+      rows(Sampling.upsample(docs, "doc_id", "source", rep)))
+  }
+
   test("split task == splitLabel / splitByGroup; keep filters one side; cap task == capPerKey (q47/q126/q127 parity)") {
     val wd = tmpDir("graft_pipetask_")
     runTask(wd,
