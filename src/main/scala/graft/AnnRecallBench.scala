@@ -162,25 +162,15 @@ object AnnRecallBench {
         // the two-stage recipe (the PQ-rerank story at a different rung);
         // cost = the projected scan + kCand float rows per query
         val kCand = 50
+        // the first-class operator (q132) — same recipe the ad-hoc arm
+        // measured originally: projected brute proposes kCand, the
+        // original floats decide
         record("proj", "rerank", s"outDim=$outDim kCand=$kCand",
           0.0, 1.0, outDim * 8,
-          () => {
-            val cand = graft.ops.Similarity.bruteKnnJoin(pc, pqs,
-              "vec_id", "embedding", "vec_id", "embedding", kCand)
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("q_id"))
-              .orderBy(col("cos_sim").desc, col("vec_id"))
-            cand.select(col("q_id"), col("vec_id"))
-              .join(corpus, Seq("vec_id"))
-              .join(queries.select(col("vec_id").as("q_id"),
-                col("embedding").as("_qe")), Seq("q_id"))
-              .select(col("q_id"), col("vec_id"),
-                round(graft.ops.Similarity.cosine(
-                  col("embedding").cast("array<double>"),
-                  col("_qe").cast("array<double>")), 6).as("cos_sim"))
-              .withColumn("_rk", row_number().over(w))
-              .where(col("_rk") <= k).drop("_rk")
-          }, extraKbPerQuery = kCand * dim * 8 / 1024.0)
+          () => graft.ops.Similarity.projKnnJoinRerank(corpus, queries,
+            "vec_id", "embedding", "vec_id", "embedding",
+            k, dim, outDim, kCand),
+          extraKbPerQuery = kCand * dim * 8 / 1024.0)
       }
 
       // ----- flat PQ: m × nCodes × kmeansIters -----

@@ -371,6 +371,29 @@ object SparkEntry {
     "q132_proj_knn_rerank" -> projKnnRerankSql,
     "q133_mixture_plan" -> mixturePlanSql,
     "q134_mixture_sample" -> mixtureRealizeSql,
+    // q135 oracle: both sides' bucket counts and shares recomputed, the
+    // eps-floored PSI term (GREATEST mirrors the engine's greatest; LN
+    // parity established by the DSIR oracles), full outer join so
+    // one-sided buckets stay finite
+    "q135_distribution_drift" ->
+      s"""WITH r AS (SELECT lang, COUNT(*) AS ref_n FROM documents GROUP BY lang),
+         |rs AS (SELECT lang, ref_n,
+         |         CAST(ref_n AS DOUBLE) / CAST((SELECT SUM(ref_n) FROM r) AS DOUBLE) AS rraw
+         |       FROM r),
+         |c AS (SELECT lang, COUNT(*) AS cur_n FROM documents
+         |      WHERE n_chars >= 300 GROUP BY lang),
+         |cs AS (SELECT lang, cur_n,
+         |         CAST(cur_n AS DOUBLE) / CAST((SELECT SUM(cur_n) FROM c) AS DOUBLE) AS craw
+         |       FROM c),
+         |j AS (SELECT COALESCE(rs.lang, cs.lang) AS lang,
+         |        COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n,
+         |        COALESCE(rraw, 0.0) AS rf, COALESCE(craw, 0.0) AS cf
+         |      FROM rs FULL OUTER JOIN cs ON rs.lang = cs.lang)
+         |SELECT lang, ref_n, cur_n,
+         |  ROUND(rf, 6) AS ref_share, ROUND(cf, 6) AS cur_share,
+         |  ROUND((GREATEST(cf, 1e-6) - GREATEST(rf, 1e-6))
+         |        * LN(GREATEST(cf, 1e-6) / GREATEST(rf, 1e-6)), 6) AS psi
+         |FROM j ORDER BY lang""".stripMargin,
     // q130 oracle: the q125 vote statement turned on the labeled set
     // itself (self excluded), the stored label joined back, agree flag
     "q130_label_noise" ->

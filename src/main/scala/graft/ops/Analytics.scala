@@ -102,6 +102,53 @@ object Analytics {
       .limit(topK)
   }
 
+  /** Distribution drift between two corpus snapshots — the population-
+    * stability audit (PSI, the production data-drift metric) over a
+    * caller-chosen bucket column (a language tag, a source, a fixed
+    * score band — the [[graft.ops.Sampling.scoreCurriculum]] band
+    * convention composes directly): per bucket, both sides' counts and
+    * shares and the PSI term
+    *
+    *   psi = (cur' − ref') × ln(cur' / ref'),  x' = max(share, eps)
+    *
+    * (the eps floor makes one-sided buckets finite; each term is ≥ 0 —
+    * difference and log ratio share sign — so Σ psi over the output IS
+    * the total index, with the usual reading: < 0.1 stable, 0.1–0.25
+    * drifting, > 0.25 shifted). "Did the new crawl / the length filter
+    * change my language mix" becomes one oracle-checkable table instead
+    * of a judgment call.
+    *
+    * Shape at 100 TB: each side collapses to |buckets| rows via one
+    * map-side-combined count aggregate (the corpus never shuffles);
+    * totals re-aggregate those bounded rows ([[skewReport]]'s 1-row
+    * scalar-total attach, twice); the outer join of the two bounded
+    * bucket tables is broadcast-sized by construction. Deterministic →
+    * DuckDB hash-checked (q135; LN parity with the engine is
+    * established by the DSIR oracles).
+    */
+  def distributionDrift(ref: DataFrame, cur: DataFrame, bucketCol: String,
+                        eps: Double = 1e-6, scale: Int = 6): DataFrame = {
+    require(eps > 0, s"eps must be positive: $eps")
+    def side(df: DataFrame, pre: String): DataFrame = {
+      val counts = df.groupBy(col(bucketCol)).agg(count(lit(1)).as(s"${pre}_n"))
+      counts.crossJoin(broadcast(counts.agg(sum(col(s"${pre}_n")).as("_t"))))
+        .select(col(bucketCol), col(s"${pre}_n"),
+          (col(s"${pre}_n").cast("double") / col("_t").cast("double"))
+            .as(s"${pre}_share_raw"))
+    }
+    val rf = coalesce(col("ref_share_raw"), lit(0.0))
+    val cf = coalesce(col("cur_share_raw"), lit(0.0))
+    val rfF = greatest(rf, lit(eps))
+    val cfF = greatest(cf, lit(eps))
+    side(ref, "ref").join(side(cur, "cur"), Seq(bucketCol), "full_outer")
+      .select(col(bucketCol),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"),
+        round(rf, scale).as("ref_share"),
+        round(cf, scale).as("cur_share"),
+        round((cfF - rfF) * log(cfF / rfF), scale).as("psi"))
+  }
+
   /** Per-source corpus data card — the dataset-documentation audit
     * (Datasheets-for-Datasets shape): one row per `srcCol` value with
     *

@@ -206,6 +206,17 @@ object Extensions {
         "source", "n_chars", mixtureRecipe, mixtureBudget)
       .orderBy(col("source"))
 
+  // q135 distribution drift — the PSI audit between the corpus and its
+  // length-filtered survivors, bucketed by language: "did the length
+  // cut shift my language mix" as a per-bucket stability table whose
+  // psi column sums to the total index.
+  val q135_distribution_drift: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    Analytics.distributionDrift(docs, docs.where(col("n_chars") >= 300),
+        "lang")
+      .orderBy(col("lang"))
+  }
+
   // q134 mixture sample — the recipe REALIZED with replacement: fracs
   // derived from the same plan (uncapped), epochs > 1 strata duplicated
   // with a copy index via the q66 upsample convention; sources outside
@@ -1466,5 +1477,6 @@ object Extensions {
     "q131_random_project" -> q131_random_project,
     "q132_proj_knn_rerank" -> q132_proj_knn_rerank,
     "q133_mixture_plan" -> q133_mixture_plan,
-    "q134_mixture_sample" -> q134_mixture_sample)
+    "q134_mixture_sample" -> q134_mixture_sample,
+    "q135_distribution_drift" -> q135_distribution_drift)
 }

@@ -482,6 +482,39 @@ class OpsSpec extends SparkSpec {
     assert(!copies.contains(7L), "a stratum outside the recipe drops")
   }
 
+  test("distributionDrift: PSI terms per bucket, one-sided buckets finite and loud, every term non-negative") {
+    val ref = ((1 to 5).map(i => (i.toLong, "a")) ++
+      (6 to 9).map(i => (i.toLong, "b")) ++ Seq((10L, "c")))
+      .toDF("id", "lang")
+    val cur = ((1 to 8).map(i => (i.toLong, "a")) ++
+      (9 to 10).map(i => (i.toLong, "b"))).toDF("id", "lang")
+    val out = Analytics.distributionDrift(ref, cur, "lang")
+      .orderBy("lang").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+         r.getDouble(5))).toMap
+    def psi(rf: Double, cf: Double): Double = {
+      val (r2, c2) = (math.max(rf, 1e-6), math.max(cf, 1e-6))
+      (c2 - r2) * math.log(c2 / r2)
+    }
+    assert(out.keySet == Set("a", "b", "c"))
+    val (an, acn, arf, acf, apsi) = out("a")
+    assert((an, acn, arf, acf) == ((5L, 8L, 0.5, 0.8)))
+    assert(math.abs(apsi - psi(0.5, 0.8)) < 1e-6, s"a: $apsi")
+    val (_, _, brf, bcf, bpsi) = out("b")
+    assert((brf, bcf) == ((0.4, 0.2)) &&
+      math.abs(bpsi - psi(0.4, 0.2)) < 1e-6)
+    // bucket present only in ref: share 0 on the cur side, the eps floor
+    // keeps the term finite and it dominates the table — a vanished
+    // bucket IS the loudest drift
+    val (cn, ccn, _, ccf, cpsi) = out("c")
+    assert(cn == 1L && ccn == 0L && ccf == 0.0)
+    assert(cpsi > apsi && cpsi > bpsi,
+      s"vanished bucket must dominate: $cpsi vs $apsi/$bpsi")
+    assert(out.values.forall(_._5 >= 0.0),
+      "difference and log ratio share sign, so every PSI term is >= 0")
+  }
+
   test("tokenBudgetFracs: budget/total capped at 1, absent strata dropped, expectation hit") {
     val rows = (1 to 400).map { i =>
       val src = Seq("web", "books", "code")(i % 3)

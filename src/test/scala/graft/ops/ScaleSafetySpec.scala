@@ -451,6 +451,41 @@ class ScaleSafetySpec extends SparkSpec {
     assert(!splitPlan.contains("Exchange"), s"grouped split must not shuffle:\n$splitPlan")
   }
 
+  test("q132-q135 keep scale shapes: rerank fetch is a broadcast equi-join, plan/drift aggregates are map-side-combined") {
+    val sf = "/root/testdata/sf0.001"
+    // q132: the coarse stage is the documented bounded-query-side brute
+    // carve-out; the RERANK stages must stay broadcast equi-joins — a
+    // shuffle there would move the corpus for kCand rows
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val rr = Similarity.projKnnJoinRerank(emb,
+      emb.filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, dim = 64, outDim = 8, kCand = 20)
+    val rrPlan = rr.queryExecution.executedPlan.toString
+    assert(rrPlan.contains("BroadcastHashJoin"),
+      s"candidate float fetch must be a broadcast equi-join:\n$rrPlan")
+    assert(!rrPlan.contains("SortMergeJoin"),
+      "no corpus-side shuffle join anywhere in the rerank")
+    // q133: the corpus collapses via partial aggregation BEFORE any
+    // exchange — the recipe join moves |strata| rows, never documents
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val plan = Sampling.mixturePlan(docs.select(col("source"), col("n_chars")),
+      "source", "n_chars", Map("src0" -> 0.5, "src1" -> 0.5), 1000L)
+    val planStr = plan.queryExecution.executedPlan.toString
+    assert(planStr.contains("partial_sum") || planStr.contains("HashAggregate"),
+      s"mixture totals must pre-aggregate map-side:\n$planStr")
+    assert(!planStr.contains("Window"), "the plan layer never sorts rows")
+    // q135: same contract on both drift sides; the bucket-table outer
+    // join is bounded, the corpus itself never joins anything
+    val drift = Analytics.distributionDrift(docs,
+      docs.where(col("n_chars") >= 300), "lang")
+    val driftPlan = drift.queryExecution.executedPlan.toString
+    assert(driftPlan.contains("partial_count") || driftPlan.contains("HashAggregate"),
+      s"drift counts must pre-aggregate map-side:\n$driftPlan")
+    assert(!driftPlan.contains("Window") && !driftPlan.contains("CartesianProduct"),
+      "drift is aggregates + a bounded outer join (the scalar attach is broadcast)")
+  }
+
   test("RandomProjection: O(1) plan size, LSH-disjoint matrix, cluster ranks survive 64->16") {
     import graft.functions.VectorFunctions
     // plan size must not grow with dim x outDim (the reference-object story)
