@@ -127,20 +127,33 @@ object Analytics {
     * established by the DSIR oracles).
     */
   def distributionDrift(ref: DataFrame, cur: DataFrame, bucketCol: String,
-                        eps: Double = 1e-6, scale: Int = 6): DataFrame = {
+                        eps: Double = 1e-6, scale: Int = 6): DataFrame =
+    driftFromCounts(
+      ref.groupBy(col(bucketCol)).agg(count(lit(1)).as("ref_n")),
+      cur.groupBy(col(bucketCol)).agg(count(lit(1)).as("cur_n")),
+      bucketCol, eps, scale)
+
+  /** [[distributionDrift]]'s core over pre-aggregated (bucket, n)
+    * tables — the form the streaming card sink feeds, where the
+    * reference side is a FROZEN bounded count snapshot collected once
+    * at sink start rather than a corpus re-scanned every micro-batch.
+    * Expects columns `ref_n` / `cur_n` alongside `bucketCol`.
+    */
+  private[graft] def driftFromCounts(refCounts: DataFrame,
+                                     curCounts: DataFrame, bucketCol: String,
+                                     eps: Double, scale: Int): DataFrame = {
     require(eps > 0, s"eps must be positive: $eps")
-    def side(df: DataFrame, pre: String): DataFrame = {
-      val counts = df.groupBy(col(bucketCol)).agg(count(lit(1)).as(s"${pre}_n"))
-      counts.crossJoin(broadcast(counts.agg(sum(col(s"${pre}_n")).as("_t"))))
-        .select(col(bucketCol), col(s"${pre}_n"),
-          (col(s"${pre}_n").cast("double") / col("_t").cast("double"))
-            .as(s"${pre}_share_raw"))
-    }
-    val rf = coalesce(col("ref_share_raw"), lit(0.0))
-    val cf = coalesce(col("cur_share_raw"), lit(0.0))
+    def share(counts: DataFrame, n: String): DataFrame =
+      counts.crossJoin(broadcast(counts.agg(sum(col(n)).as("_t"))))
+        .select(col(bucketCol), col(n),
+          (col(n).cast("double") / col("_t").cast("double"))
+            .as(s"${n}_share_raw"))
+    val rf = coalesce(col("ref_n_share_raw"), lit(0.0))
+    val cf = coalesce(col("cur_n_share_raw"), lit(0.0))
     val rfF = greatest(rf, lit(eps))
     val cfF = greatest(cf, lit(eps))
-    side(ref, "ref").join(side(cur, "cur"), Seq(bucketCol), "full_outer")
+    share(refCounts, "ref_n")
+      .join(share(curCounts, "cur_n"), Seq(bucketCol), "full_outer")
       .select(col(bucketCol),
         coalesce(col("ref_n"), lit(0L)).as("ref_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"),

@@ -1295,6 +1295,53 @@ object Streams {
       .start()
   }
 
+  /** Streaming distribution-drift card — [[graft.ops.Analytics
+    * .distributionDrift]]'s (q135) watch form: every micro-batch's
+    * bucket distribution is PSI-scored against a reference snapshot
+    * FROZEN at sink start (its bucket counts are one bounded
+    * |buckets|-row driver collect — the frozen-centroid contract
+    * applied to a distribution), and the per-bucket table appends to
+    * the card parquet with the batch id. The card IS the
+    * drift-over-time curve an ingest deployment alerts on ("page when
+    * sum(psi) per batch > 0.25" is a filter over the card, the
+    * [[ivfDriftCardSink]] reading); per-bucket rows keep WHICH bucket
+    * moved, which the scalar alone loses. A replayed micro-batch
+    * re-appends the same rows — at-least-once like every card here;
+    * last batch_id wins when reading.
+    */
+  def driftCardSink(spark: org.apache.spark.sql.SparkSession,
+                    stream: DataFrame, bucketCol: String,
+                    reference: DataFrame, checkpoint: String,
+                    cardPath: String, eps: Double = 1e-6)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val refRows = reference.groupBy(col(bucketCol))
+      .agg(count(lit(1)).as("ref_n")).collect()
+      .map(r => org.apache.spark.sql.Row(r.get(0), r.getLong(1))).toSeq
+    require(refRows.nonEmpty, "driftCardSink: empty reference snapshot")
+    // the frozen snapshot keeps the reference's own bucket type (a lang
+    // string, an int band) so the outer join in driftFromCounts stays
+    // key-typed
+    val refCounts = spark.createDataFrame(
+      java.util.Arrays.asList(refRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        reference.schema(bucketCol).copy(nullable = true),
+        org.apache.spark.sql.types.StructField("ref_n",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val curCounts = batch.groupBy(col(bucketCol))
+          .agg(count(lit(1)).as("cur_n"))
+        graft.ops.Analytics
+          .driftFromCounts(refCounts, curCounts, bucketCol, eps, scale = 6)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1).write.mode("append").parquet(cardPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
   /** Continuously maintain a persisted PQ index built by
     * [[graft.ops.Similarity.buildPqIndex]]: the index's OWN codebooks
     * (m·nCodes rows, one bounded driver read at sink start) ride into

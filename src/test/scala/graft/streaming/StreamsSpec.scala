@@ -372,6 +372,40 @@ class StreamsSpec extends SparkSpec {
       s"streamed near-identical neighbors must dominate top-5, got $got")
   }
 
+  test("driftCardSink: matched batch scores ~0 PSI, a shifted batch is loud and keeps the vanished bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("graft_distdrift_")
+    // frozen reference: 60% en / 40% de
+    val ref = ((1 to 60).map(i => (i.toLong, "en")) ++
+      (61 to 100).map(i => (i.toLong, "de"))).toDF("id", "lang")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.driftCardSink(spark, mem.toDF().toDF("id", "lang"),
+      "lang", ref, s"$dir/ckpt", s"$dir/card")
+    try {
+      // batch 0 mirrors the reference mix exactly
+      mem.addData((1 to 6).map(i => (100L + i, "en")) ++
+        (1 to 4).map(i => (200L + i, "de")): _*)
+      q.processAllAvailable()
+      // batch 1: all-en — de vanished from the feed
+      mem.addData((1 to 10).map(i => (300L + i, "en")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val card = spark.read.parquet(s"$dir/card")
+      .select("batch_id", "lang", "ref_n", "cur_n", "psi")
+      .as[(Long, String, Long, Long, Double)].collect()
+    val b0 = card.filter(_._1 == 0L).map(r => r._2 -> r._5).toMap
+    assert(b0 == Map("en" -> 0.0, "de" -> 0.0),
+      s"a batch matching the frozen mix must score zero PSI: $b0")
+    val b1 = card.filter(_._1 == 1L).map(r => r._2 -> r).toMap
+    assert(b1.keySet == Set("en", "de"),
+      "the vanished bucket must stay on the card (outer join from the reference side)")
+    assert(b1("de")._4 == 0L && b1("de")._5 > b1("en")._5,
+      s"the vanished bucket dominates: $b1")
+    assert(b1("en")._5 > 0.1, s"over-representation is visible: ${b1("en")}")
+    assert(b1.values.map(_._5).sum > 0.25,
+      "the per-batch PSI sum crosses the page-me line for a wholesale shift")
+  }
+
   test("ivfDriftCardSink: one card row per batch, retention decays as shifted appends accumulate") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(23)
