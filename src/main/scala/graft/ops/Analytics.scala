@@ -121,8 +121,9 @@ object Analytics {
     * Shape at 100 TB: each side collapses to |buckets| rows via one
     * map-side-combined count aggregate (the corpus never shuffles);
     * totals re-aggregate those bounded rows ([[skewReport]]'s 1-row
-    * scalar-total attach, twice); the outer join of the two bounded
-    * bucket tables is broadcast-sized by construction. Deterministic →
+    * scalar-total attach, twice); the FULL-OUTER join of the two bucket
+    * tables is the one join Spark cannot broadcast, so it sort-merges —
+    * over |buckets| (tens of) rows, never the corpus. Deterministic →
     * DuckDB hash-checked (q135; LN parity with the engine is
     * established by the DSIR oracles).
     */

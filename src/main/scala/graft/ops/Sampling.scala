@@ -200,8 +200,11 @@ object Sampling {
     val recipe = wn.toSeq.sortBy(_._1)
       .map { case (s, w) => (s, w, targets(s)) }
       .toDF(stratumCol, "_w", "target_tokens")
-    val totals = df.groupBy(col(stratumCol))
-      .agg(sum(col(tokenCol)).cast("long").as("_a"))
+    // the totals side is |strata| rows by construction — pin the
+    // broadcast so the recipe join never plans a sort-merge exchange
+    // when auto-broadcast is off (the 100 TB conf)
+    val totals = broadcast(df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol)).cast("long").as("_a")))
     val avail = coalesce(col("_a"), lit(0L))
     val ratio = col("target_tokens").cast("double") / col("_a").cast("double")
     recipe.join(totals, Seq(stratumCol), "left")

@@ -309,6 +309,24 @@ object PipelineTasks {
       }
   }
 
+  /** `drift`: the PSI distribution audit (q135 / [[Analytics
+    * .distributionDrift]]) as a task — the task's source is the CURRENT
+    * snapshot, `reference` names the frozen comparison parquet (the
+    * [[CurateTask]] `benchmark` convention for a second stage input),
+    * `bucket` the column both are distributed over. The emitted card is
+    * the per-bucket counts/shares/PSI table whose psi column sums to
+    * the total stability index.
+    */
+  object DriftTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
+      Tasks.etl(ctx, task, log, "drift")(sourceDf(ctx, task)) { (df, lg, meter) =>
+        val cfg = task("drift")
+        val ref = ctx.spark.read.parquet(ctx.dir(cfg.str("reference")))
+        sink(ctx, task)(graft.ops.Analytics.distributionDrift(ref, df,
+          cfg.str("bucket", "lang")), lg, meter)
+      }
+  }
+
   /** `curate`: the COMPOSED pipeline (q93 / [[Curation.curate]]) as one
     * task — `budgets` required; `key_index` / `benchmark` optional
     * stage inputs (a path to a standing key index; a parquet of eval

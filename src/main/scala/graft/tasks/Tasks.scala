@@ -358,7 +358,8 @@ object Tasks {
     "compact"    -> PipelineTasks.CompactTask,
     "rebuild"    -> PipelineTasks.RebuildTask,
     "fit"        -> PipelineTasks.FitTask,
-    "score"      -> PipelineTasks.ScoreTask)
+    "score"      -> PipelineTasks.ScoreTask,
+    "drift"      -> PipelineTasks.DriftTask)
 
   def get(taskType: String): Task =
     factory.getOrElse(taskType,

@@ -1,7 +1,7 @@
 package graft.tasks
 
 import graft.SparkSpec
-import graft.ops.{Curation, Dedup, Packing, Sampling}
+import graft.ops.{Analytics, Curation, Dedup, Packing, Sampling}
 import graft.runner.{TaskLog, TaskRunner}
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.DataFrame
@@ -137,6 +137,23 @@ class PipelineTaskSpec extends SparkSpec {
     assert(rows(outParquet(wd, "smp")) ==
       rows(Sampling.stratifiedSample(docs, "doc_id", "source",
         Map("src1" -> 1.0, "src2" -> 0.25))))
+  }
+
+  test("drift task == Analytics.distributionDrift against the referenced parquet (q135 parity)") {
+    val wd = tmpDir("graft_pipetask_")
+    // reference == source: identity drift, the cleanest parity fixture
+    // (every psi term must be exactly zero)
+    docs.write.parquet(s"$wd/refsnap")
+    runTask(wd,
+      s"""{"tasks": [{"type": "drift", "name": "dd",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "drift": {"reference": "refsnap", "bucket": "lang"},
+         |  "target": {"file": "card", "truncate": true}}]}""".stripMargin)
+    val card = outParquet(wd, "card")
+    assert(rows(card) ==
+      rows(Analytics.distributionDrift(docs, docs, "lang")))
+    assert(card.where(col("psi") =!= 0.0).count() == 0,
+      "a snapshot drifted against itself is exactly zero everywhere")
   }
 
   test("sample task mixture mode == mixtureFracs + stratifiedSample/upsample (q133/q134 parity)") {
