@@ -371,6 +371,29 @@ object SparkEntry {
     "q132_proj_knn_rerank" -> projKnnRerankSql,
     "q133_mixture_plan" -> mixturePlanSql,
     "q134_mixture_sample" -> mixtureRealizeSql,
+    // q136 oracle: the same deterministic mutation (7-removals,
+    // 5-edits, 11-re-adds) built in CTEs, md5 content keys, the
+    // null-safe IS NOT DISTINCT FROM mirroring the engine's <=>
+    "q136_corpus_diff" ->
+      s"""WITH r AS (SELECT doc_id, MD5(text) AS h FROM documents),
+         |cur0 AS (SELECT doc_id,
+         |           CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+         |                ELSE text END AS text
+         |         FROM documents WHERE doc_id % 7 <> 0),
+         |add0 AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |         WHERE doc_id % 11 = 0),
+         |c AS (SELECT doc_id, MD5(text) AS h FROM
+         |        (SELECT * FROM cur0 UNION ALL SELECT * FROM add0)),
+         |j AS (SELECT COALESCE(r.doc_id, c.doc_id) AS doc_id,
+         |        r.h AS rh, c.h AS ch,
+         |        r.doc_id IS NOT NULL AS inr, c.doc_id IS NOT NULL AS inc
+         |      FROM r FULL OUTER JOIN c ON r.doc_id = c.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN NOT inr THEN 'added'
+         |       WHEN NOT inc THEN 'removed'
+         |       WHEN rh IS NOT DISTINCT FROM ch THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM j ORDER BY doc_id""".stripMargin,
     // q135 oracle: both sides' bucket counts and shares recomputed, the
     // eps-floored PSI term (GREATEST mirrors the engine's greatest; LN
     // parity established by the DSIR oracles), full outer join so

@@ -163,6 +163,35 @@ object Analytics {
         round((cfF - rfF) * log(cfF / rfF), scale).as("psi"))
   }
 
+  /** Corpus diff between two snapshots — the EXTENSIONAL companion to
+    * [[distributionDrift]]'s distributional view: per document id,
+    * whether it was `added` (only in `cur`), `removed` (only in `ref`),
+    * `changed` (both sides, content hash differs), or `unchanged`. The
+    * crawl-refresh triage table: "how much of yesterday's corpus
+    * survived, and what churned" — and its `status` column feeds
+    * [[skewReport]]/groupBy for the one-line summary. Content identity
+    * is md5(text) with null-safe compare (a doc whose text went null
+    * reads as changed, two nulls as unchanged — the [[graft.ops.Dedup
+    * .exact]] key convention).
+    *
+    * Shape at 100 TB: each side projects to fixed-width (id, md5) rows
+    * BEFORE the exchange — document text never shuffles; then ONE
+    * id-keyed full-outer hash join (id-partitioned both sides, the
+    * equi-join AQE plans). Deterministic → DuckDB hash-checked (q136).
+    */
+  def corpusDiff(ref: DataFrame, cur: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    def keyed(df: DataFrame, h: String, seen: String): DataFrame =
+      df.select(col(idCol), md5(col(textCol)).as(h), lit(1).as(seen))
+    keyed(ref, "_rh", "_rseen")
+      .join(keyed(cur, "_ch", "_cseen"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_rseen").isNull, "added")
+          .when(col("_cseen").isNull, "removed")
+          .when(col("_rh") <=> col("_ch"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Per-source corpus data card — the dataset-documentation audit
     * (Datasheets-for-Datasets shape): one row per `srcCol` value with
     *

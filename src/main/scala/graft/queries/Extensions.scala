@@ -217,6 +217,23 @@ object Extensions {
       .orderBy(col("lang"))
   }
 
+  // q136 corpus diff — the extensional snapshot comparison: cur is a
+  // deterministic mutation of the corpus (every 7th doc removed, every
+  // 5th survivor's text edited, every 11th doc re-added under a new id)
+  // and every doc lands in exactly one of added/removed/changed/
+  // unchanged.
+  val q136_corpus_diff: Q = (s, d) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val cur = docs.where(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Analytics.corpusDiff(docs, cur, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   // q134 mixture sample — the recipe REALIZED with replacement: fracs
   // derived from the same plan (uncapped), epochs > 1 strata duplicated
   // with a copy index via the q66 upsample convention; sources outside
@@ -1478,5 +1495,6 @@ object Extensions {
     "q132_proj_knn_rerank" -> q132_proj_knn_rerank,
     "q133_mixture_plan" -> q133_mixture_plan,
     "q134_mixture_sample" -> q134_mixture_sample,
-    "q135_distribution_drift" -> q135_distribution_drift)
+    "q135_distribution_drift" -> q135_distribution_drift,
+    "q136_corpus_diff" -> q136_corpus_diff)
 }

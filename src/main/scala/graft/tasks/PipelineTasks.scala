@@ -328,9 +328,13 @@ object PipelineTasks {
   }
 
   /** `curate`: the COMPOSED pipeline (q93 / [[Curation.curate]]) as one
-    * task — `budgets` required; `key_index` / `benchmark` optional
-    * stage inputs (a path to a standing key index; a parquet of eval
-    * docs). Threshold knobs mirror [[Curation.Config]] defaults.
+    * task — exactly one of `budgets` (explicit per-stratum token
+    * allocations) or `weights` + `total_tokens` (a mixture recipe,
+    * resolved to budgets through [[Sampling.mixtureTargets]] — the
+    * q133 planning layer feeding the pipeline's own budget sampler);
+    * `key_index` / `benchmark` optional stage inputs (a path to a
+    * standing key index; a parquet of eval docs). Threshold knobs
+    * mirror [[Curation.Config]] defaults.
     */
   object CurateTask extends Task {
     def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
@@ -338,8 +342,14 @@ object PipelineTasks {
         val cfg = task("curate")
         val bench = cfg.strOpt("benchmark")
           .map(p => ctx.spark.read.parquet(ctx.dir(p)))
+        require(cfg.has("budgets") != cfg.has("weights"),
+          "curate: exactly one of budgets or weights+total_tokens")
+        val budgets =
+          if (cfg.has("budgets")) longMap(cfg, "budgets")
+          else Sampling.mixtureTargets(numMap(cfg, "weights"),
+            cfg.str("total_tokens").toLong)
         val conf = Curation.Config(
-          budgets = longMap(cfg, "budgets"),
+          budgets = budgets,
           minQuality = cfg.str("min_quality", "0.5").toDouble,
           spanThreshold = cfg.str("span_threshold", "1.0").toDouble,
           exciseW = cfg.int("excise_w", 8),

@@ -482,6 +482,24 @@ class OpsSpec extends SparkSpec {
     assert(!copies.contains(7L), "a stratum outside the recipe drops")
   }
 
+  test("corpusDiff: added/removed/changed/unchanged partition, null-safe content identity") {
+    val ref = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (4L, null.asInstanceOf[String]), (5L, "eps")).toDF("doc_id", "text")
+    val cur = Seq((1L, "alpha"), (2L, "beta EDITED"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]),
+      (6L, "new doc")).toDF("doc_id", "text")
+    val out = Analytics.corpusDiff(ref, cur, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "unchanged", // same text
+      2L -> "changed",   // edited
+      3L -> "removed",   // gone from cur
+      4L -> "unchanged", // null on both sides: null-safe equality
+      5L -> "changed",   // text went null
+      6L -> "added"),    // new id
+      s"$out")
+  }
+
   test("distributionDrift: PSI terms per bucket, one-sided buckets finite and loud, every term non-negative") {
     val ref = ((1 to 5).map(i => (i.toLong, "a")) ++
       (6 to 9).map(i => (i.toLong, "b")) ++ Seq((10L, "c")))

@@ -257,6 +257,34 @@ class PipelineTaskSpec extends SparkSpec {
         cfg = Curation.Config(budgets = Map("src1" -> 2000L, "src2" -> 1000L)))))
   }
 
+  test("curate task accepts a mixture recipe: weights+total_tokens == the mixtureTargets budgets") {
+    val wd = tmpDir("graft_pipetask_")
+    runTask(wd,
+      s"""{"tasks": [{"type": "curate", "name": "qw",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "curate": {"weights": {"src1": 3.0, "src2": 1.0},
+         |             "total_tokens": 4000},
+         |  "target": {"file": "curw", "truncate": true}}]}""".stripMargin)
+    // 3:1 normalizes to exact binary fractions (0.75/0.25), so the
+    // derived budgets are crisp: {src1: 3000, src2: 1000}
+    val budgets = Sampling.mixtureTargets(
+      Map("src1" -> 3.0, "src2" -> 1.0), 4000L)
+    assert(budgets == Map("src1" -> 3000L, "src2" -> 1000L))
+    assert(rows(outParquet(wd, "curw")) ==
+      rows(Curation.curate(spark, docs, "doc_id", "text", "source",
+        keyIndexPath = None, benchmark = None,
+        cfg = Curation.Config(budgets = budgets))))
+    // both or neither form is refused
+    val e = intercept[Exception](runTask(wd,
+      s"""{"tasks": [{"type": "curate", "name": "qx",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "curate": {},
+         |  "target": {"file": "curx", "truncate": true}}]}""".stripMargin))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("exactly one of budgets or weights")))
+  }
+
   test("curate task with tokenizer == Curation.curateTokens (the q115 terminal from a task file)") {
     val wd = tmpDir("graft_pipetask_")
     runTask(wd,
