@@ -398,6 +398,7 @@ object SparkEntry {
     // eps-floored PSI term (GREATEST mirrors the engine's greatest; LN
     // parity established by the DSIR oracles), full outer join so
     // one-sided buckets stay finite
+    "q137_label_noise_ivf" -> labelNoiseIvfSql,
     "q135_distribution_drift" ->
       s"""WITH r AS (SELECT lang, COUNT(*) AS ref_n FROM documents GROUP BY lang),
          |rs AS (SELECT lang, ref_n,
@@ -2869,6 +2870,53 @@ object SparkEntry {
        |SELECT q_id, vec_id, cos_sim FROM ranked WHERE rk <= $k
        |ORDER BY q_id, vec_id""".stripMargin
   }
+
+  /** q137 oracle: q128's seed/assignment/probe geometry with q130's
+    * vote/argmax/attach statement — the self-exclusion predicate below
+    * the per-query rank, null-labeled neighbors ranking but never
+    * voting, ties (count desc, smallest label) identical.
+    */
+  private def labelNoiseIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, label,
+       |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT vec_id, v, MD5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |          ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
+       |         FROM seeds),
+       |asgn AS (SELECT e.vec_id, e.label, e.v, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
+       |         FROM e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, label, v, cell FROM asgn WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv FROM e
+       |      WHERE label IS NOT NULL),
+       |probes AS (SELECT q_id, qv, cell FROM (
+       |  SELECT q.q_id, q.qv, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${cosSql("c.cv", "q.qv")} DESC, c.cell) AS rn
+       |  FROM q CROSS JOIN cent c) t WHERE rn <= 3),
+       |cand AS (SELECT p.q_id, cells.vec_id, cells.label,
+       |           ROUND(${cosSql("cells.v", "p.qv")}, 6) AS cos_sim
+       |         FROM cells JOIN probes p ON cells.cell = p.cell
+       |         WHERE cells.vec_id <> p.q_id),
+       |topn AS (SELECT q_id, label,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rk FROM cand),
+       |votes AS (SELECT q_id, label, COUNT(*) AS n FROM topn
+       |          WHERE rk <= 10 AND label IS NOT NULL GROUP BY q_id, label),
+       |best AS (SELECT q_id, label, n,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |             ORDER BY n DESC, label) AS pk,
+       |           CAST(SUM(n) OVER (PARTITION BY q_id) AS BIGINT)
+       |             AS n_neighbors
+       |         FROM votes)
+       |SELECT b.q_id, q.true_label AS label,
+       |       CAST(b.label AS INTEGER) AS pred_label, b.n AS n_votes,
+       |       b.n_neighbors,
+       |       ROUND(CAST(b.n AS DOUBLE) / b.n_neighbors, 6) AS vote_frac,
+       |       q.true_label = CAST(b.label AS INTEGER) AS agree
+       |FROM best b JOIN q ON q.q_id = b.q_id
+       |WHERE b.pk = 1 ORDER BY b.q_id""".stripMargin
 
   /** q128 oracle: q54's seed/assignment/probe CTEs with the
     * different-label predicate and the [0.0, 0.3] band applied below

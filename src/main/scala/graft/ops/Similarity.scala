@@ -327,7 +327,8 @@ object Similarity {
                  idCol: String, vecCol: String,
                  qIdCol: String, qVecCol: String,
                  k: Int, nCells: Int = 16, nProbe: Int = 3,
-                 scale: Int = 6, broadcastQueries: Boolean = true): DataFrame = {
+                 scale: Int = 6, broadcastQueries: Boolean = true,
+                 excludeSelf: Boolean = false): DataFrame = {
     requireIntegralId(corpus, idCol, "ivfKnnJoin")
     val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("_v"))
     val centroids: Array[Array[Double]] = e
@@ -343,10 +344,15 @@ object Similarity {
       .withColumn("_probe", explode(
         graft.functions.VectorFunctions.nearestCentroids(col("_qv"), centroids, nProbe)))
     val probeSide = if (broadcastQueries) broadcast(probed) else probed
+    // excludeSelf (the self-join audits: classify-the-labeled-set,
+    // label-noise): the id predicate sits BELOW the rank like q128's
+    // label band, so every query still fills k from its probed cells
+    val joined = corpusCells.join(probeSide, col("_cell") === col("_probe"))
+    val inPlay =
+      if (excludeSelf) joined.where(col(idCol) =!= col("q_id")) else joined
     topKPerQuery(
-      corpusCells.join(probeSide, col("_cell") === col("_probe"))
-        .select(col("q_id"), col(idCol),
-          round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim")),
+      inPlay.select(col("q_id"), col(idCol),
+        round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim")),
       idCol, k)
   }
 
@@ -614,18 +620,28 @@ object Similarity {
       inPlay.select(col("q_id"), col(idCol),
         round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim")),
       idCol, k)
+    voteOnNeighbors(neigh, corpus, idCol, labelCol, broadcastLabeled)
+  }
+
+  /** The majority-vote stage shared by [[knnClassify]] and
+    * [[knnClassifyIvf]]: fetch labels for the ranked neighbor set and
+    * take per query the most-voted non-null label (count desc, ties to
+    * the smallest label — max(struct(n, −label)), a bounded argmax with
+    * no per-query sort). Label fetch broadcasts whichever side is
+    * bounded: the k × |queries| neighbor set in the audit direction,
+    * the seed labels when `broadcastLabeled`.
+    */
+  private def voteOnNeighbors(neigh: DataFrame, corpus: DataFrame,
+                              idCol: String, labelCol: String,
+                              broadcastLabeled: Boolean): DataFrame = {
     val labels = corpus
       .select(col(idCol), col(labelCol).as("_lab"))
       .where(col("_lab").isNotNull)
-    // label fetch: broadcast whichever side is bounded — the k x |queries|
-    // neighbor set in the audit direction, the seed labels when flipped
     val votes = (if (broadcastLabeled)
         neigh.select(col("q_id"), col(idCol)).join(broadcast(labels), Seq(idCol))
       else
         labels.join(broadcast(neigh.select(col("q_id"), col(idCol))), Seq(idCol)))
       .groupBy(col("q_id"), col("_lab")).agg(count(lit(1)).as("_n"))
-    // max(struct(n, -label)): count desc, then smallest label — the
-    // bounded argmax without a per-query sort.
     votes.groupBy(col("q_id"))
       .agg(max(struct(col("_n"), (-col("_lab")).as("_negLab"))).as("_best"),
         sum(col("_n")).as("n_neighbors"))
@@ -635,6 +651,56 @@ object Similarity {
         col("n_neighbors"),
         round(col("_best._n").cast("double") / col("n_neighbors"), 6)
           .as("vote_frac"))
+  }
+
+  /** [[knnClassify]] under the IVF cell geometry — the scale path when
+    * BOTH sides grow with the corpus (a labeled set too big to
+    * broadcast, an audit over millions of labeled rows): the q54
+    * seed/assign/probe machinery ranks each query's k nearest within
+    * its probed cells (scanned fraction ≈ nProbe/nCells), the
+    * `excludeSelf` predicate sits BELOW the rank so every query still
+    * fills k, and the vote statement is byte-identical to the exact
+    * classifier's. Recall traded for the probed fraction like the rest
+    * of the approximate family — at full probe (nProbe = nCells) the
+    * output equals [[knnClassify]] exactly (spec-pinned). Deterministic
+    * → DuckDB hash-checked (q137, through [[labelNoiseAuditIvf]]).
+    */
+  def knnClassifyIvf(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, labelCol: String,
+                     qIdCol: String, qVecCol: String,
+                     k: Int, nCells: Int = 16, nProbe: Int = 3,
+                     excludeSelf: Boolean = true, scale: Int = 6,
+                     broadcastQueries: Boolean = true): DataFrame = {
+    val neigh = ivfKnnJoin(corpus, queries, idCol, vecCol, qIdCol, qVecCol,
+      k, nCells, nProbe, scale, broadcastQueries, excludeSelf)
+    voteOnNeighbors(neigh, corpus, idCol, labelCol, broadcastLabeled = false)
+  }
+
+  /** [[labelNoiseAudit]] at corpus scale — the same audit contract
+    * (stored label vs confident neighborhood vote, `agree` flag) with
+    * [[knnClassifyIvf]]'s celled rank instead of the exact all-pairs
+    * pass: the path when the labeled set is too large for the
+    * quadratic audit (q130's cost model is exact BY DESIGN for
+    * human-labeled thousands; auto-labeled corpora re-audited at
+    * millions need the probed fraction). `broadcastQueries = false`
+    * plans the two-sided cell-key shuffle for audit sets that cannot
+    * ride the executors.
+    */
+  def labelNoiseAuditIvf(labeled: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String, k: Int, nCells: Int = 16,
+                         nProbe: Int = 3, scale: Int = 6,
+                         broadcastQueries: Boolean = true): DataFrame = {
+    val preds = knnClassifyIvf(labeled,
+      labeled.where(col(labelCol).isNotNull),
+      idCol, vecCol, labelCol, idCol, vecCol, k, nCells, nProbe,
+      excludeSelf = true, scale = scale,
+      broadcastQueries = broadcastQueries)
+    preds
+      .join(labeled.select(col(idCol).as("q_id"),
+        col(labelCol).cast("int").as("label")), Seq("q_id"))
+      .select(col("q_id"), col("label"), col("pred_label"), col("n_votes"),
+        col("n_neighbors"), col("vote_frac"),
+        (col("label") === col("pred_label")).as("agree"))
   }
 
   /** Label-noise audit — [[knnClassify]] turned on the labeled set

@@ -687,6 +687,16 @@ object Extensions {
         "vec_id", "embedding", "label", k = 10)
       .orderBy(col("q_id"))
 
+  // q137 IVF-celled label-noise audit — q130's statement at corpus
+  // scale: the q54 cell geometry ranks each labeled row's 10 nearest
+  // OTHER rows within its 3 probed cells (self-exclusion below the
+  // rank), the vote/argmax/attach conventions identical to the exact
+  // audit.
+  val q137_label_noise_ivf: Q = (s, d) =>
+    Similarity.labelNoiseAuditIvf(t(s, d, "embeddings"),
+        "vec_id", "embedding", "label", k = 10, nCells = 16, nProbe = 3)
+      .orderBy(col("q_id"))
+
   // q128 IVF-celled hard-negative mining — q124's statement under the
   // q54 cell geometry (16 cells, 3 probes): the scale path when anchors
   // grow with the corpus; predicates pushed below the rank so every
@@ -1496,5 +1506,6 @@ object Extensions {
     "q133_mixture_plan" -> q133_mixture_plan,
     "q134_mixture_sample" -> q134_mixture_sample,
     "q135_distribution_drift" -> q135_distribution_drift,
-    "q136_corpus_diff" -> q136_corpus_diff)
+    "q136_corpus_diff" -> q136_corpus_diff,
+    "q137_label_noise_ivf" -> q137_label_noise_ivf)
 }

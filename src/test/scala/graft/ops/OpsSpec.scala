@@ -849,6 +849,44 @@ class OpsSpec extends SparkSpec {
       s"the suspect's neighborhood votes unanimously against it: $s25")
   }
 
+  test("labelNoiseAuditIvf: full-probe byte-parity with the exact audit; narrowed probes still flag the plant") {
+    def v(base: Array[Double], i: Long): Seq[Double] =
+      base.zipWithIndex.map { case (b, j) =>
+        b + 0.001 * (((i * 31 + j * 17) % 11) - 5) }
+    val rows = (0L until 8L).map(i => (i, v(Array(1.0, 0.0, 0.0, 0.0), i), 1)) ++
+      (20L until 28L).map(i =>
+        (i, v(Array(0.0, 1.0, 0.0, 0.0), i), if (i == 25L) 1 else 2))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    def strs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // probing every cell removes the approximation entirely — the celled
+    // audit must equal the exact one byte for byte (the q128 contract)
+    val exact = Similarity.labelNoiseAudit(emb, "vec_id", "embedding",
+      "label", k = 5)
+    val full = Similarity.labelNoiseAuditIvf(emb, "vec_id", "embedding",
+      "label", k = 5, nCells = 4, nProbe = 4)
+    assert(strs(full) == strs(exact), "full probe must remove the approximation")
+    // narrowed probes shrink neighborhoods (2-vote cells produce some
+    // low-confidence noise — that is the probed-fraction trade), but the
+    // plant remains the one UNANIMOUS disagreement and tops the re-check
+    // queue's (agree asc, vote_frac desc) order
+    val probed = Similarity.labelNoiseAuditIvf(emb, "vec_id", "embedding",
+      "label", k = 5, nCells = 4, nProbe = 1).collect()
+    val suspects = probed.filter(!_.getAs[Boolean]("agree"))
+    assert(suspects.map(_.getLong(0)).contains(25L),
+      s"the plant survives the probed fraction: ${suspects.toSeq}")
+    val unanimous = suspects.filter(_.getAs[Double]("vote_frac") == 1.0)
+    assert(unanimous.map(_.getLong(0)).toSeq == Seq(25L),
+      s"only the plant disagrees unanimously: ${suspects.toSeq}")
+    // classify twins agree the same way at full probe
+    val qs = emb.filter(col("vec_id") < 2L)
+    assert(strs(Similarity.knnClassifyIvf(emb, qs, "vec_id", "embedding",
+        "label", "vec_id", "embedding", k = 5, nCells = 4, nProbe = 4)) ==
+      strs(Similarity.knnClassify(emb, qs, "vec_id", "embedding",
+        "label", "vec_id", "embedding", k = 5)),
+      "knnClassifyIvf at full probe equals knnClassify")
+  }
+
   test("capPerKey: n best per key by (score desc, id asc), null scores dropped, skewed key costs nothing extra") {
     def d(x: Double): java.lang.Double = Double.box(x)
     val rows: Seq[(Long, String, java.lang.Double)] =
