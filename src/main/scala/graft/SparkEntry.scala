@@ -399,6 +399,7 @@ object SparkEntry {
     // parity established by the DSIR oracles), full outer join so
     // one-sided buckets stay finite
     "q137_label_noise_ivf" -> labelNoiseIvfSql,
+    "q138_numeric_drift" -> numericDriftSql,
     "q135_distribution_drift" ->
       s"""WITH r AS (SELECT lang, COUNT(*) AS ref_n FROM documents GROUP BY lang),
          |rs AS (SELECT lang, ref_n,
@@ -2869,6 +2870,37 @@ object SparkEntry {
        |    ORDER BY cos_sim DESC, vec_id) AS rk FROM rer)
        |SELECT q_id, vec_id, cos_sim FROM ranked WHERE rk <= $k
        |ORDER BY q_id, vec_id""".stripMargin
+  }
+
+  /** q138 oracle: the q135 PSI statement over FIXED numeric bands —
+    * band arithmetic (subtract-lo / step literal, FLOOR, clamp, null →
+    * −1) mirrored exactly; the step literal comes from the same Scala
+    * double division [[graft.ops.Analytics.fixedBand]] computes.
+    */
+  private def numericDriftSql: String = {
+    val step = (1000.0 - 0.0) / 10
+    val band = s"""CASE WHEN n_chars IS NULL THEN -1
+       | ELSE GREATEST(0, LEAST(9, CAST(FLOOR(
+       |   (CAST(n_chars AS DOUBLE) - 0.0) / $step) AS BIGINT))) END""".stripMargin
+    s"""WITH rb AS (SELECT $band AS band FROM documents),
+       |cb AS (SELECT $band AS band FROM documents WHERE lang = 'en'),
+       |r AS (SELECT band, COUNT(*) AS ref_n FROM rb GROUP BY band),
+       |rs AS (SELECT band, ref_n,
+       |         CAST(ref_n AS DOUBLE) / CAST((SELECT SUM(ref_n) FROM r) AS DOUBLE) AS rraw
+       |       FROM r),
+       |c AS (SELECT band, COUNT(*) AS cur_n FROM cb GROUP BY band),
+       |cs AS (SELECT band, cur_n,
+       |         CAST(cur_n AS DOUBLE) / CAST((SELECT SUM(cur_n) FROM c) AS DOUBLE) AS craw
+       |       FROM c),
+       |j AS (SELECT COALESCE(rs.band, cs.band) AS band,
+       |        COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n,
+       |        COALESCE(rraw, 0.0) AS rf, COALESCE(craw, 0.0) AS cf
+       |      FROM rs FULL OUTER JOIN cs ON rs.band = cs.band)
+       |SELECT band, ref_n, cur_n,
+       |  ROUND(rf, 6) AS ref_share, ROUND(cf, 6) AS cur_share,
+       |  ROUND((GREATEST(cf, 1e-6) - GREATEST(rf, 1e-6))
+       |        * LN(GREATEST(cf, 1e-6) / GREATEST(rf, 1e-6)), 6) AS psi
+       |FROM j ORDER BY band""".stripMargin
   }
 
   /** q137 oracle: q128's seed/assignment/probe geometry with q130's

@@ -163,6 +163,23 @@ object Analytics {
         round((cfF - rfF) * log(cfF / rfF), scale).as("psi"))
   }
 
+  /** Fixed equal-width band label for numeric drift bucketing — the
+    * [[graft.ops.Sampling.scoreCurriculum]] philosophy (fixed cuts,
+    * never per-run quantiles: NTILE needs a total-order sort and its
+    * cut points move whenever the corpus grows) applied to
+    * [[distributionDrift]]'s bucket column: band i = ⌊(x − lo) /
+    * ((hi − lo) / nBands)⌋ clamped into the edge bands, nulls land in
+    * band −1 (their own bucket — a null-rate shift IS drift). A pure
+    * codegen projection; the DuckDB oracle mirrors the arithmetic
+    * literally (q138).
+    */
+  def fixedBand(c: Column, lo: Double, hi: Double, nBands: Int): Column = {
+    require(nBands >= 1 && hi > lo, s"bad band spec: [$lo, $hi) x $nBands")
+    val raw = floor((c.cast("double") - lit(lo)) / lit((hi - lo) / nBands))
+    when(c.isNull, lit(-1L))
+      .otherwise(greatest(lit(0L), least(lit(nBands - 1L), raw.cast("long"))))
+  }
+
   /** Corpus diff between two snapshots — the EXTENSIONAL companion to
     * [[distributionDrift]]'s distributional view: per document id,
     * whether it was `added` (only in `cur`), `removed` (only in `ref`),

@@ -234,6 +234,19 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q138 numeric drift — q135's PSI statement over a NUMERIC column:
+  // n_chars banded by the fixed-cut rule (10 equal bands over [0,1000),
+  // nulls to band -1), full corpus vs its English slice — "did
+  // restricting to English shift the length distribution".
+  val q138_numeric_drift: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    def banded(df: org.apache.spark.sql.DataFrame) = df.select(
+      Analytics.fixedBand(col("n_chars"), 0.0, 1000.0, 10).as("band"))
+    Analytics.distributionDrift(banded(docs),
+        banded(docs.where(col("lang") === "en")), "band")
+      .orderBy(col("band"))
+  }
+
   // q134 mixture sample — the recipe REALIZED with replacement: fracs
   // derived from the same plan (uncapped), epochs > 1 strata duplicated
   // with a copy index via the q66 upsample convention; sources outside
@@ -1507,5 +1520,6 @@ object Extensions {
     "q134_mixture_sample" -> q134_mixture_sample,
     "q135_distribution_drift" -> q135_distribution_drift,
     "q136_corpus_diff" -> q136_corpus_diff,
-    "q137_label_noise_ivf" -> q137_label_noise_ivf)
+    "q137_label_noise_ivf" -> q137_label_noise_ivf,
+    "q138_numeric_drift" -> q138_numeric_drift)
 }

@@ -500,6 +500,17 @@ class OpsSpec extends SparkSpec {
       s"$out")
   }
 
+  test("fixedBand: fixed cuts, edge clamps, nulls get their own band") {
+    val df = Seq(Some(-5.0), Some(0.0), Some(99.9), Some(100.0),
+      Some(999.9), Some(1000.0), Some(5000.0), None).toDF("x")
+    val out = df.select(
+      Analytics.fixedBand(col("x"), 0.0, 1000.0, 10).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    // below-range clamps into band 0, at/above hi into the top band,
+    // null to -1 (a null-rate shift IS drift, so it must be visible)
+    assert(out == Seq(0L, 0L, 0L, 1L, 9L, 9L, 9L, -1L), s"$out")
+  }
+
   test("distributionDrift: PSI terms per bucket, one-sided buckets finite and loud, every term non-negative") {
     val ref = ((1 to 5).map(i => (i.toLong, "a")) ++
       (6 to 9).map(i => (i.toLong, "b")) ++ Seq((10L, "c")))
