@@ -70,7 +70,8 @@ object PlanAudit {
       "q125_knn_classify", "q126_cap_per_source", "q127_group_split",
       "q128_hard_negatives_ivf", "q129_knn_autolabel", "q130_label_noise",
       "q131_random_project", "q132_proj_knn_rerank", "q133_mixture_plan",
-      "q134_mixture_sample", "q135_distribution_drift")
+      "q134_mixture_sample", "q135_distribution_drift", "q136_corpus_diff",
+      "q137_label_noise_ivf", "q138_numeric_drift")
     // optional args = audit only these queries (iterating on one
     // operator); a trailing `--json <path>` additionally writes the
     // table as the per-round PLANAUDIT artifact, so plan-shape
