@@ -406,6 +406,34 @@ class StreamsSpec extends SparkSpec {
       "the per-batch PSI sum crosses the page-me line for a wholesale shift")
   }
 
+  test("driftCardSink composes with fixedBand: numeric length drift watched per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("graft_numdrift_")
+    def banded(df: org.apache.spark.sql.DataFrame) =
+      df.select(graft.ops.Analytics
+        .fixedBand(col("n"), 0.0, 100.0, 4).as("band"))
+    // reference: uniform across the four bands
+    val ref = (0 until 40).map(i => (i.toLong, (i % 4) * 25.0 + 5.0))
+      .toDF("id", "n")
+    val mem = MemoryStream[(Long, Double)]
+    val q = Streams.driftCardSink(spark,
+      banded(mem.toDF().toDF("id", "n")), "band", banded(ref),
+      s"$dir/ckpt", s"$dir/card")
+    try {
+      // every arriving doc is short (band 0): three bands vanish
+      mem.addData((0 until 10).map(i => (100L + i, 3.0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val card = spark.read.parquet(s"$dir/card")
+      .select("band", "cur_n", "psi")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(card.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L),
+      "all reference bands stay visible on the card")
+    assert(card.head._2 == 10L && card.tail.forall(_._2 == 0L))
+    assert(card.map(_._3).sum > 0.25,
+      "a wholesale shift to short docs crosses the page line")
+  }
+
   test("ivfDriftCardSink: one card row per batch, retention decays as shifted appends accumulate") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(23)
