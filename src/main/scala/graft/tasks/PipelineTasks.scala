@@ -309,21 +309,31 @@ object PipelineTasks {
       }
   }
 
-  /** `drift`: the PSI distribution audit (q135 / [[Analytics
-    * .distributionDrift]]) as a task — the task's source is the CURRENT
-    * snapshot, `reference` names the frozen comparison parquet (the
-    * [[CurateTask]] `benchmark` convention for a second stage input),
-    * `bucket` the column both are distributed over. The emitted card is
-    * the per-bucket counts/shares/PSI table whose psi column sums to
-    * the total stability index.
+  /** `drift`: the snapshot-comparison audits as a task — the task's
+    * source is the CURRENT snapshot, `reference` names the frozen
+    * comparison parquet (the [[CurateTask]] `benchmark` convention for
+    * a second stage input). Default mode is the PSI distribution audit
+    * (q135 / [[Analytics.distributionDrift]]) over `bucket`: the
+    * per-bucket counts/shares/PSI card whose psi column sums to the
+    * total stability index. `mode: "diff"` emits the EXTENSIONAL view
+    * instead (q136 / [[Analytics.corpusDiff]]): per-id
+    * added/removed/changed/unchanged over md5(`text`) identity.
     */
   object DriftTask extends Task {
     def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
       Tasks.etl(ctx, task, log, "drift")(sourceDf(ctx, task)) { (df, lg, meter) =>
         val cfg = task("drift")
         val ref = ctx.spark.read.parquet(ctx.dir(cfg.str("reference")))
-        sink(ctx, task)(graft.ops.Analytics.distributionDrift(ref, df,
-          cfg.str("bucket", "lang")), lg, meter)
+        val out = cfg.str("mode", "psi") match {
+          case "psi" => graft.ops.Analytics.distributionDrift(ref, df,
+            cfg.str("bucket", "lang"))
+          case "diff" => graft.ops.Analytics.corpusDiff(ref, df,
+            cfg.str("id", "doc_id"), cfg.str("text", "text"))
+          case other =>
+            throw new IllegalArgumentException(
+              s"unknown drift mode: $other (psi or diff)")
+        }
+        sink(ctx, task)(out, lg, meter)
       }
   }
 

@@ -154,6 +154,16 @@ class PipelineTaskSpec extends SparkSpec {
       rows(Analytics.distributionDrift(docs, docs, "lang")))
     assert(card.where(col("psi") =!= 0.0).count() == 0,
       "a snapshot drifted against itself is exactly zero everywhere")
+    // mode: diff — the extensional view (q136) from the same task type
+    runTask(wd,
+      s"""{"tasks": [{"type": "drift", "name": "dx",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "drift": {"reference": "refsnap", "mode": "diff"},
+         |  "target": {"file": "diff", "truncate": true}}]}""".stripMargin)
+    val diff = outParquet(wd, "diff")
+    assert(rows(diff) == rows(Analytics.corpusDiff(docs, docs, "doc_id", "text")))
+    assert(diff.where(col("status") =!= "unchanged").count() == 0,
+      "a snapshot diffed against itself is all-unchanged")
   }
 
   test("sample task mixture mode == mixtureFracs + stratifiedSample/upsample (q133/q134 parity)") {
