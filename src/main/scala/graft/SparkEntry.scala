@@ -413,7 +413,8 @@ object SparkEntry {
          |j AS (SELECT COALESCE(rs.lang, cs.lang) AS lang,
          |        COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n,
          |        COALESCE(rraw, 0.0) AS rf, COALESCE(craw, 0.0) AS cf
-         |      FROM rs FULL OUTER JOIN cs ON rs.lang = cs.lang)
+         |      FROM rs FULL OUTER JOIN cs
+         |        ON rs.lang IS NOT DISTINCT FROM cs.lang)
          |SELECT lang, ref_n, cur_n,
          |  ROUND(rf, 6) AS ref_share, ROUND(cf, 6) AS cur_share,
          |  ROUND((GREATEST(cf, 1e-6) - GREATEST(rf, 1e-6))
@@ -2146,7 +2147,9 @@ object SparkEntry {
        |          FROM dtot GROUP BY 1),
        |pertid AS (SELECT source, tid, COUNT(*) AS c FROM tid GROUP BY 1, 2),
        |tops AS (SELECT source, COUNT(*) AS distinct_ids,
-       |           (LIST(tid ORDER BY c DESC, tid))[1:5] AS top_ids
+       |           COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(
+       |             (LIST(tid ORDER BY c DESC, tid))[1:5],
+       |             x -> CAST(x AS VARCHAR)), ' '), '') AS top_ids
        |         FROM pertid GROUP BY 1)
        |SELECT s.source, s.n_docs, s.n_tokens, s.n_seqs, s.n_short,
        |       t.distinct_ids, t.top_ids
@@ -2244,10 +2247,13 @@ object SparkEntry {
        |        FROM wo o JOIN ds s USING (doc_id),
        |             UNNEST(RANGE(1, LEN(o.ids) + 1)) AS u(i))
        |SELECT source, CAST(FLOOR(g / 512.0) AS BIGINT) AS seq_id,
-       |       LIST(tid ORDER BY g) AS token_ids,
+       |       COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(
+       |         LIST(tid ORDER BY g), x -> CAST(x AS VARCHAR)), ' '), '')
+       |         AS token_ids,
        |       COUNT(*) AS n_tokens,
-       |       COALESCE(LIST(CAST(g % 512 AS INTEGER) ORDER BY g)
-       |                FILTER (WHERE st), []) AS doc_starts
+       |       COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(
+       |         LIST(CAST(g % 512 AS INTEGER) ORDER BY g) FILTER (WHERE st),
+       |         x -> CAST(x AS VARCHAR)), ' '), '') AS doc_starts
        |FROM tok GROUP BY source, seq_id
        |ORDER BY source, seq_id""".stripMargin
   }
@@ -2308,10 +2314,13 @@ object SparkEntry {
        |         FROM wo2 o JOIN ds2 d USING (doc_id),
        |              UNNEST(RANGE(1, LEN(o.ids) + 1)) AS u(i))
        |SELECT source, CAST(FLOOR(g / 512.0) AS BIGINT) AS seq_id,
-       |       LIST(tid ORDER BY g) AS token_ids,
+       |       COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(
+       |         LIST(tid ORDER BY g), x -> CAST(x AS VARCHAR)), ' '), '')
+       |         AS token_ids,
        |       COUNT(*) AS n_tokens,
-       |       COALESCE(LIST(CAST(g % 512 AS INTEGER) ORDER BY g)
-       |                FILTER (WHERE st), []) AS doc_starts
+       |       COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(
+       |         LIST(CAST(g % 512 AS INTEGER) ORDER BY g) FILTER (WHERE st),
+       |         x -> CAST(x AS VARCHAR)), ' '), '') AS doc_starts
        |FROM tok2 GROUP BY source, seq_id
        |ORDER BY source, seq_id""".stripMargin
   }

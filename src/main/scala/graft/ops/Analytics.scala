@@ -144,18 +144,26 @@ object Analytics {
                                      curCounts: DataFrame, bucketCol: String,
                                      eps: Double, scale: Int): DataFrame = {
     require(eps > 0, s"eps must be positive: $eps")
-    def share(counts: DataFrame, n: String): DataFrame =
+    // The key is renamed per side (_rb/_cb) so the null-safe join
+    // condition stays unambiguous when both snapshots derive from the
+    // SAME DataFrame (the q135 shape: corpus vs its filtered self).
+    def share(counts: DataFrame, n: String, b: String): DataFrame =
       counts.crossJoin(broadcast(counts.agg(sum(col(n)).as("_t"))))
-        .select(col(bucketCol), col(n),
+        .select(col(bucketCol).as(b), col(n),
           (col(n).cast("double") / col("_t").cast("double"))
             .as(s"${n}_share_raw"))
     val rf = coalesce(col("ref_n_share_raw"), lit(0.0))
     val cf = coalesce(col("cur_n_share_raw"), lit(0.0))
     val rfF = greatest(rf, lit(eps))
     val cfF = greatest(cf, lit(eps))
-    share(refCounts, "ref_n")
-      .join(share(curCounts, "cur_n"), Seq(bucketCol), "full_outer")
-      .select(col(bucketCol),
+    // Null-safe join key: a NULL bucket present in BOTH snapshots must
+    // match itself (an unchanged null rate is zero drift, not two
+    // eps-floored one-sided terms) — the same convention fixedBand
+    // hard-codes for the numeric path via band -1.
+    share(refCounts, "ref_n", "_rb")
+      .join(share(curCounts, "cur_n", "_cb"),
+        col("_rb") <=> col("_cb"), "full_outer")
+      .select(coalesce(col("_rb"), col("_cb")).as(bucketCol),
         coalesce(col("ref_n"), lit(0L)).as("ref_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"),
         round(rf, scale).as("ref_share"),

@@ -131,9 +131,14 @@ object Sampling {
                        allowReplacement: Boolean = false): Map[String, Double] = {
     require(budgets.values.forall(_ >= 0),
       "token budgets must be non-negative")
+    // an all-null token stratum has a NULL sum — drop it like an absent
+    // stratum ("no fraction for unavailable strata") instead of NPEing
+    // on the driver-side getLong
     val totals = df.groupBy(col(stratumCol))
       .agg(sum(col(tokenCol)).as("_t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().flatMap(r =>
+        if (r.isNullAt(1)) None else Some(r.getString(0) -> r.getLong(1)))
+      .toMap
     budgets.flatMap { case (s, b) =>
       totals.get(s).filter(_ > 0).map { t =>
         val f = b.toDouble / t
@@ -232,9 +237,13 @@ object Sampling {
                    weights: Map[String, Double], totalTokens: Long,
                    allowReplacement: Boolean = false): Map[String, Double] = {
     val targets = mixtureTargets(weights, totalTokens)
+    // null sums (all-null token strata) drop like absent strata — the
+    // tokenBudgetFracs convention, matching mixturePlan's coalesce
     val totals = df.groupBy(col(stratumCol))
       .agg(sum(col(tokenCol)).cast("long").as("_t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().flatMap(r =>
+        if (r.isNullAt(1)) None else Some(r.getString(0) -> r.getLong(1)))
+      .toMap
     targets.flatMap { case (s, tgt) =>
       totals.get(s).filter(_ > 0).map { a =>
         val f = tgt.toDouble / a.toDouble

@@ -629,18 +629,24 @@ object Similarity {
     * the smallest label — max(struct(n, −label)), a bounded argmax with
     * no per-query sort). Label fetch broadcasts whichever side is
     * bounded: the k × |queries| neighbor set in the audit direction,
-    * the seed labels when `broadcastLabeled`.
+    * the seed labels when `broadcastLabeled`. When NEITHER side is
+    * bounded (`broadcastNeighbors = false` — the corpus-scale audit
+    * where every labeled row is a query, so the neighbor set is
+    * k × millions), no hint is given and the id-keyed equi-join
+    * shuffles both sides (AQE still broadcasts at runtime if one side
+    * turns out small).
     */
   private def voteOnNeighbors(neigh: DataFrame, corpus: DataFrame,
                               idCol: String, labelCol: String,
-                              broadcastLabeled: Boolean): DataFrame = {
+                              broadcastLabeled: Boolean,
+                              broadcastNeighbors: Boolean = true): DataFrame = {
     val labels = corpus
       .select(col(idCol), col(labelCol).as("_lab"))
       .where(col("_lab").isNotNull)
-    val votes = (if (broadcastLabeled)
-        neigh.select(col("q_id"), col(idCol)).join(broadcast(labels), Seq(idCol))
-      else
-        labels.join(broadcast(neigh.select(col("q_id"), col(idCol))), Seq(idCol)))
+    val nsel = neigh.select(col("q_id"), col(idCol))
+    val votes = (if (broadcastLabeled) nsel.join(broadcast(labels), Seq(idCol))
+      else if (broadcastNeighbors) labels.join(broadcast(nsel), Seq(idCol))
+      else labels.join(nsel, Seq(idCol)))
       .groupBy(col("q_id"), col("_lab")).agg(count(lit(1)).as("_n"))
     votes.groupBy(col("q_id"))
       .agg(max(struct(col("_n"), (-col("_lab")).as("_negLab"))).as("_best"),
@@ -673,7 +679,11 @@ object Similarity {
                      broadcastQueries: Boolean = true): DataFrame = {
     val neigh = ivfKnnJoin(corpus, queries, idCol, vecCol, qIdCol, qVecCol,
       k, nCells, nProbe, scale, broadcastQueries, excludeSelf)
-    voteOnNeighbors(neigh, corpus, idCol, labelCol, broadcastLabeled = false)
+    // broadcastQueries=false is the "audit set cannot ride the
+    // executors" contract — the k × |queries| neighbor set is just as
+    // unbounded, so the label fetch must not broadcast it either.
+    voteOnNeighbors(neigh, corpus, idCol, labelCol,
+      broadcastLabeled = false, broadcastNeighbors = broadcastQueries)
   }
 
   /** [[labelNoiseAudit]] at corpus scale — the same audit contract

@@ -16,6 +16,21 @@ object Extensions {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Canonical form for DECLARED queries whose payload is an id array
+    * (`array<int>` token sequences, top-id lists): each named column is
+    * serialized to a space-joined string so the driver's pandas-based
+    * canonicalizer can sort/hash the cells (it cannot order ndarray
+    * cells). Element order inside the string is whatever the producing
+    * op pinned — nothing is lost; the programmatic APIs keep raw
+    * arrays. Empty arrays serialize to '' (the oracle side mirrors with
+    * COALESCE(ARRAY_TO_STRING(...), '')).
+    */
+  private def serializeIdArrays(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        array_join(transform(col(c), _.cast("string")), " "))
+    }
+
   // q27 exact dedup with representative + multiplicity.
   val q27_dedup_exact: Q = (s, d) =>
     Dedup.exact(t(s, d, "documents"), "doc_id", "text")
@@ -531,11 +546,17 @@ object Extensions {
   // sequences (greedy-BPE ids under the pinned tinyMerges table, the
   // q52b counting rule) instead of offsets over raw text. The oracle
   // rebuilds the id stream with the same recursive-CTE merge walk plus
-  // the code-point/merged-rank id rule, so the arrays hash-check
-  // element for element.
+  // the code-point/merged-rank id rule, so the sequences hash-check
+  // element for element. The DECLARED canonical form serializes the
+  // id arrays to space-joined strings (element order already pinned by
+  // the in-sequence sort) so the driver's pandas canonicalizer can
+  // sort/hash the cells; the programmatic API (Packing.packTokens)
+  // keeps the raw array<int> form.
   val q113_pack_token_ids: Q = (s, d) =>
-    Packing.packTokens(t(s, d, "documents"), "doc_id", "text", "source",
-        seqLen = 512, graft.functions.TokenCounters.tinyBpe)
+    serializeIdArrays(
+      Packing.packTokens(t(s, d, "documents"), "doc_id", "text", "source",
+          seqLen = 512, graft.functions.TokenCounters.tinyBpe),
+      "token_ids", "doc_starts")
       .orderBy(col("source"), col("seq_id"))
 
   // q116 cross-corpus perplexity — the CCNet filter shape: the bigram
@@ -571,8 +592,10 @@ object Extensions {
   // n_seqs = ceil(tokens/512) with no pack shuffle paid), vocabulary
   // actually used, top-5 ids. All exact integers — no rounding contract.
   val q118_token_card: Q = (s, d) =>
-    Packing.tokenizedCard(t(s, d, "documents"), "doc_id", "text", "source",
-        seqLen = 512, graft.functions.TokenCounters.tinyBpe)
+    serializeIdArrays(
+      Packing.tokenizedCard(t(s, d, "documents"), "doc_id", "text", "source",
+          seqLen = 512, graft.functions.TokenCounters.tinyBpe),
+      "top_ids")
       .orderBy(col("source"))
 
   // q120 perplexity-bucketed partition — the CCNet trim over q116: fixed
@@ -974,13 +997,15 @@ object Extensions {
       Dedup.buildExactKeyIndex(docs.filter(col("doc_id") % 4 === 0), "text", p)
       p
     })
-    Curation.curateTokens(s, docs.where(col("doc_id") % 4 =!= 0),
-        "doc_id", "text", "source",
-        keyIndexPath = Some(keyDir),
-        benchmark = Some(docs.where(col("doc_id") % 10 === 0)
-          .select(col("doc_id"), col("text"))),
-        cfg = Curation.Config(budgets = tokenBudgets),
-        graft.functions.TokenCounters.tinyBpe)
+    serializeIdArrays(
+      Curation.curateTokens(s, docs.where(col("doc_id") % 4 =!= 0),
+          "doc_id", "text", "source",
+          keyIndexPath = Some(keyDir),
+          benchmark = Some(docs.where(col("doc_id") % 10 === 0)
+            .select(col("doc_id"), col("text"))),
+          cfg = Curation.Config(budgets = tokenBudgets),
+          graft.functions.TokenCounters.tinyBpe),
+      "token_ids", "doc_starts")
       .orderBy(col("source"), col("seq_id"))
   }
 

@@ -1329,12 +1329,18 @@ object Streams {
           org.apache.spark.sql.types.LongType, nullable = false))))
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val curCounts = batch.groupBy(col(bucketCol))
-          .agg(count(lit(1)).as("cur_n"))
-        graft.ops.Analytics
-          .driftFromCounts(refCounts, curCounts, bucketCol, eps, scale = 6)
-          .withColumn("batch_id", lit(batchId))
-          .coalesce(1).write.mode("append").parquet(cardPath)
+        // An idle source delivering an empty micro-batch is NOT drift:
+        // scoring zero cur rows would mark every frozen reference
+        // bucket vanished (cur_n=0, eps-floored PSI) and false-alarm
+        // the "page when sum(psi) > 0.25" reading. Skip, don't score.
+        if (!batch.isEmpty) {
+          val curCounts = batch.groupBy(col(bucketCol))
+            .agg(count(lit(1)).as("cur_n"))
+          graft.ops.Analytics
+            .driftFromCounts(refCounts, curCounts, bucketCol, eps, scale = 6)
+            .withColumn("batch_id", lit(batchId))
+            .coalesce(1).write.mode("append").parquet(cardPath)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

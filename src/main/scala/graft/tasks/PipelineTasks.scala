@@ -180,6 +180,10 @@ object PipelineTasks {
         val cfg = task("sample")
         val id = cfg.str("id", "doc_id")
         val stratum = cfg.str("stratum", "source")
+        val forms = Seq("weights", "budgets", "fracs", "frac").filter(cfg.has)
+        require(forms.size == 1,
+          s"sample task: exactly one of weights/budgets/fracs/frac " +
+            s"(got: ${if (forms.isEmpty) "none" else forms.mkString(", ")})")
         val out =
           if (cfg.has("weights")) {
             val rep = cfg.str("replacement", "false").toBoolean

@@ -544,6 +544,31 @@ class OpsSpec extends SparkSpec {
       "difference and log ratio share sign, so every PSI term is >= 0")
   }
 
+  test("distributionDrift: a NULL bucket in both snapshots matches itself (null-safe key)") {
+    val ref = Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String])).toDF("id", "lang")
+    val cur = Seq((5L, "a"), (6L, "a"), (7L, null.asInstanceOf[String]),
+      (8L, null.asInstanceOf[String])).toDF("id", "lang")
+    val out = Analytics.distributionDrift(ref, cur, "lang").collect()
+    assert(out.length == 2,
+      s"null bucket must be ONE matched row, not two one-sided rows: ${out.toSeq}")
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) == 2L && nullRow.getLong(2) == 2L)
+    assert(nullRow.getDouble(5) == 0.0,
+      "an unchanged null rate is zero drift, not an eps-floored alarm")
+  }
+
+  test("mixtureFracs/tokenBudgetFracs: an all-null-token stratum drops like an absent one") {
+    val df = Seq((1L, "a", Some(10L)), (2L, "a", Some(10L)),
+      (3L, "ghost", None), (4L, "ghost", None)).toDF("doc_id", "src", "n_tok")
+    val f = Sampling.mixtureFracs(df, "src", "n_tok",
+      Map("a" -> 0.5, "ghost" -> 0.5), 10L)
+    assert(f == Map("a" -> 0.25), s"null-sum stratum must drop, not NPE: $f")
+    val b = Sampling.tokenBudgetFracs(df, "src", "n_tok",
+      Map("a" -> 10L, "ghost" -> 10L))
+    assert(b == Map("a" -> 0.5), s"$b")
+  }
+
   test("tokenBudgetFracs: budget/total capped at 1, absent strata dropped, expectation hit") {
     val rows = (1 to 400).map { i =>
       val src = Seq("web", "books", "code")(i % 3)

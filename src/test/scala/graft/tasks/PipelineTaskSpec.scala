@@ -192,6 +192,17 @@ class PipelineTaskSpec extends SparkSpec {
     assert(rep.exists(_._2 > 1.0), "the recipe must force an epochs>1 stratum")
     assert(rows(outParquet(wd, "mixrep")) ==
       rows(Sampling.upsample(docs, "doc_id", "source", rep)))
+    // the four sampler forms are mutually exclusive — a config carrying
+    // two must refuse, not silently pick the weights arm
+    val e = intercept[Exception](runTask(wd,
+      s"""{"tasks": [{"type": "sample", "name": "amb",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "sample": {"weights": {"src0": 1.0}, "total_tokens": 1000,
+         |             "tokens": "n_chars", "fracs": {"src0": 0.5}},
+         |  "target": {"file": "amb", "truncate": true}}]}""".stripMargin))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("exactly one of weights/budgets/fracs/frac")))
   }
 
   test("split task == splitLabel / splitByGroup; keep filters one side; cap task == capPerKey (q47/q126/q127 parity)") {

@@ -19,7 +19,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame, name: str = "") -> pd.DataFrame:
+    import numpy as np
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
@@ -28,7 +29,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.round(9)
         elif s.dtype == object:
-            df[c] = s.astype(str)
+            # the DRIVER's canonicalizer cannot sort/hash array cells
+            # (pandas factorize dies on ndarray) — a declared query must
+            # serialize arrays itself; warn loudly if one slips through
+            if s.map(lambda v: isinstance(v, (list, np.ndarray))).any():
+                print(f"WARN {name}: array cells in column '{c}' — the "
+                      "driver gate would ERR; serialize in the declared query")
+                df[c] = s.map(lambda v: " ".join(map(str, v))
+                              if isinstance(v, (list, np.ndarray)) else v)
+            df[c] = df[c].astype(str)
+    # row-sort on all columns: the driver sorts before hashing, so the
+    # local gate must not depend on each side's ORDER BY alone
+    if len(df.columns) > 0:
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
 
 
@@ -48,8 +61,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         try:
-            eng = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
-            ora = canon(con.sql(oracle[name]).df())
+            eng = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]),
+                        name)
+            ora = canon(con.sql(oracle[name]).df(), name)
         except Exception as e:
             print(f"ERR  {name}: {e}")
             n_fail += 1
