@@ -429,10 +429,12 @@ object AnnRecallBench {
           extraKb = 100 * dim * 8 / 1024.0)
       }
       if (on("res64b")) {
+        // the asserted scale-recipe arm builds through the SHIPPED
+        // preset (buildIvfPqIndexScale) so the gate pins the one
+        // constructor a 100 TB user actually calls
         val rpb = s"$base/scale_idx/ivfpq_res64_m16"
-        val (_, bRb) = time(graft.ops.Similarity.buildIvfPqIndex(
-          corpus, "vec_id", "embedding", rpb, nCells = 64, m = 16,
-          nCodes = 256, kmeansIters = 3, residual = true))
+        val (_, bRb) = time(graft.ops.Similarity.buildIvfPqIndexScale(
+          corpus, "vec_id", "embedding", rpb, nCells = 64))
         recordAt("ivfpq", "res+rerank",
           "nCells=64 m=16 nCodes=256 ki=3 nProbe=6 kCand=100",
           bRb, 6.0 / 64, 16 * 4,

@@ -34,6 +34,16 @@ object Bench {
     if (BenchHarness.contended(loadBefore))
       System.err.println(s"WARNING: bench starting on a contended box " +
         s"(loadavg $loadBefore > 25% of cores); figures will be inflated")
+    // box-speed calibration: loadavg only sees CONCURRENT load; the
+    // probe sees a slower CPU profile too (round 13's uniform 1.26×
+    // inflation tripped neither flag). box_factor > 1.15 stamps the
+    // artifact; read totals normalized when stamped.
+    val probeS = BenchHarness.cpuProbe()
+    val boxFactor = probeS / BenchHarness.probeBaseline
+    if (boxFactor > 1.15)
+      System.err.println(f"WARNING: box probe $probeS%.3f s = " +
+        f"$boxFactor%.2fx the recorded baseline; raw figures will read " +
+        "slow — compare normalized")
 
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -71,8 +81,10 @@ object Bench {
     val total = timings.map(_._2).filter(_ >= 0).sum
     val loadAfter = BenchHarness.loadavg
     val contended = BenchHarness.contended(loadBefore)
+    val probe = s""""probe_s":${fmt3(probeS)},"box_factor":${fmt3(boxFactor)},""" +
+      s""""value_normalized":${fmt3(total / boxFactor)}"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"runs":$runs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","contended":$contended}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"runs":$runs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","contended":$contended,$probe}"""
     // full JSON (with per-sample arrays) is the file artifact of record;
     // a filtered run is NOT the record — it lands in BENCH_FILTERED.json
     // (gitignored scratch) so iterating on one family can never clobber
@@ -82,7 +94,7 @@ object Bench {
         if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_FILTERED.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     println(
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"runs":$runs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"runs":$runs,"sf":"$sfDir",$probe}""")
     spark.stop()
   }
 }

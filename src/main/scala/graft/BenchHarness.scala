@@ -84,6 +84,59 @@ object BenchHarness {
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
       .exists(_ > 0.25 * cores)
 
+  /** Fixed, data-independent box-speed probe: four passes of
+    * fill(2M longs, xorshift, pinned seeds) → sort → FNV fold, single
+    * thread, one untimed JIT warm-up pass. ~1 s on the reference box.
+    * Recorded as `probe_s` in every bench artifact so a cross-round
+    * comparison can tell "the code got slower" from "the box got
+    * slower" WITHOUT a same-box rerun: loadavg only catches concurrent
+    * load (necessary-not-sufficient — two discarded round-13 runs were
+    * slow with a quiet flag), while the probe measures what one thread
+    * of this box actually delivers right now. The adjudication rule
+    * (BASELINE.md): box_factor = probe_s / recorded baseline; a factor
+    * > 1.15 stamps the artifact and totals are read normalized.
+    */
+  def cpuProbe(): Double = {
+    def pass(n: Int, seed: Long): Long = {
+      val a = new Array[Long](n)
+      var x = seed
+      var i = 0
+      while (i < n) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        a(i) = x
+        i += 1
+      }
+      java.util.Arrays.sort(a)
+      var h = 1469598103934665603L
+      i = 0
+      while (i < n) { h = (h ^ a(i)) * 1099511628211L; i += 1 }
+      h
+    }
+    val n = 1 << 21
+    var sink = pass(n, 42L) // untimed: JIT compile the loop bodies
+    // per-pass MIN × 4: the min of 8 timed passes is the quiet-box
+    // speed (scheduler jitter only ever ADDS time), so the reading is
+    // stable ±2% where a summed run wanders ±8% under background load
+    var best = Double.MaxValue
+    var k = 0
+    while (k < 8) {
+      val t0 = System.nanoTime()
+      sink ^= pass(n, 1000L + k)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (dt < best) best = dt
+      k += 1
+    }
+    if (sink == 0L) System.err.println("") // keep the work observable
+    best * 4
+  }
+
+  /** The probe reading banked with BASELINE.md's recorded numbers (the
+    * round-14 box). Override with SPARK_GRAFT_PROBE_BASELINE when
+    * re-banking on new hardware.
+    */
+  def probeBaseline: Double =
+    env("SPARK_GRAFT_PROBE_BASELINE", "0.84").toDouble
+
   def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 

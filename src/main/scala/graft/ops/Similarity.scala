@@ -1589,6 +1589,14 @@ object Similarity {
     * justification in BASELINE.md's ANN recall surface: Lloyd rounds
     * gain +0.06–0.08 recall@10 at nCodes ≥ 256 (set 3 there) but COST
     * ~0.02 at nCodes = 16, for ~2× build time either way.
+    *
+    * ⚠ AT CORPUS SCALE USE [[buildIvfPqIndexScale]] INSTEAD: the
+    * 200k×64 recall surface showed every GLOBAL-codebook PQ config —
+    * this layout at any m/nCodes, rerank included — collapsing on
+    * within-cluster ranking (recall 0.039–0.523); only residual IVF-PQ
+    * with cells ≈ clusters held (0.999). This flat layout remains
+    * right for SMALL corpora (≲ tens of thousands of vectors per
+    * natural cluster scale), where it measures at parity.
     */
   def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
                    m: Int = 4, nCodes: Int = 16, kmeansIters: Int = 0): Unit = {
@@ -1655,6 +1663,11 @@ object Similarity {
     * codebook finally spends its budget on exactly what needs ranking.
     * Measure on YOUR corpus (`AnnRecallBench` runs both encodings side
     * by side) before paying the per-cell coupling.
+    *
+    * The defaults here (raw, m=4, nCodes=16) are the SMALL-corpus /
+    * oracle-checkable configuration. A corpus-scale deployment should
+    * not assemble the scale recipe by hand — call
+    * [[buildIvfPqIndexScale]], which bakes it.
     */
   def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
                       nCells: Int = 16, m: Int = 4, nCodes: Int = 16,
@@ -1707,6 +1720,27 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
     }
   }
+
+  /** The ONE constructor a corpus-scale (100 TB) deployment calls —
+    * [[buildIvfPqIndex]] with the measured scale recipe baked in:
+    * residual encoding, m = 16 subspaces, nCodes = 256, 3 Lloyd
+    * rounds. The only decision left to the caller is `nCells`, and the
+    * rule is CELLS ≈ EXPECTED CLUSTER COUNT (≈ corpus_size / natural
+    * cluster size): once each cell holds one cluster, the residual is
+    * pure within-cluster signal and the codebook budget ranks exactly
+    * what the probe needs ranked. Evidence (BASELINE.md "recall at
+    * scale", 200k×64, clusters of ~50): this configuration holds
+    * 0.999 rerank recall at 9.4% probed and 8× compression while every
+    * global-codebook alternative collapses to 0.039–0.523; asserted
+    * every AnnRecallBench run. Query through
+    * [[ivfPqIndexKnnJoinRerank]] (kCand ≈ 100) / [[ivfPqIndexTopK]];
+    * maintain with the `rebuild` task like any frozen-geometry layout.
+    */
+  def buildIvfPqIndexScale(emb: DataFrame, idCol: String, vecCol: String,
+                           path: String, nCells: Int, m: Int = 16,
+                           nCodes: Int = 256, kmeansIters: Int = 3): Unit =
+    buildIvfPqIndex(emb, idCol, vecCol, path, nCells, m, nCodes,
+      kmeansIters, residual = true)
 
   /** Persist the layout's build parameters as a tiny key/value parquet
     * at `path/meta` (one row per parameter) — written by every IVF/PQ

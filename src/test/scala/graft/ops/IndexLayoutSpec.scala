@@ -213,6 +213,27 @@ class IndexLayoutSpec extends SparkSpec {
       "repaired local probes must return the DPP path's results")
   }
 
+  test("buildIvfPqIndexScale: the preset IS residual m=16 nCodes=256 ki=3 (meta-pinned, byte-identical layout)") {
+    val dir = tmpDir("graft_ivfpqscale_")
+    Similarity.buildIvfPqIndexScale(emb, "vec_id", "embedding",
+      s"$dir/preset", nCells = 4)
+    val meta = Similarity.readIndexMeta(spark, s"$dir/preset")
+    assert(meta("layout") == "ivf_pq" && meta("encoding") == "residual")
+    assert(meta("m") == "16" && meta("n_codes") == "256" &&
+      meta("kmeans_iters") == "3",
+      s"the preset must bake the measured scale recipe: $meta")
+    // parity with the explicit spelling — same data, same codes
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", s"$dir/explicit",
+      nCells = 4, m = 16, nCodes = 256, kmeansIters = 3, residual = true)
+    val a = spark.read.parquet(s"$dir/preset/data")
+      .selectExpr("vec_id", "cell", "cast(codes as string) c")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val b = spark.read.parquet(s"$dir/explicit/data")
+      .selectExpr("vec_id", "cell", "cast(codes as string) c")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(a == b, "preset and explicit builds must encode identically")
+  }
+
   test("ivfPqIndexKnnJoinRerank: exact finish over code-proposed candidates, planted top-k recovered") {
     val dir = tmpDir("graft_ivfpqrr_")
     Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
