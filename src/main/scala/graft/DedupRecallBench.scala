@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Measured precision/recall surface for the lexical near-dup family —
+  * the [[AnnRecallBench]] discipline (truth op + audit op + sweep +
+  * asserted defaults) applied to MinHash-LSH: a user tuning q28's
+  * (k, bands, threshold, w) for a real corpus reads THIS table instead
+  * of trusting the 1 − (1 − j^r)^b banding formula on faith.
+  *
+  * Fixture: base documents from the sf dir (docs with ≥ 24 whitespace
+  * words, capped at `SPARK_GRAFT_DEDUP_DOCS`, default 600) plus SIX
+  * planted variants per doc — every p-th word replaced by a salt token
+  * for p ∈ {2, 4, 8, 16, 32, 100}. A w-shingle survives iff it spans no
+  * replaced word (≈ (1−1/p)^w of them), so the plant ladder covers the
+  * whole Jaccard range: p=2 ≈ 0.06 up to p=100 ≈ 0.94 at w=3. Natural
+  * near-dup pairs in the base corpus stay in the truth set — the audit
+  * measures the screen, whatever the pairs' provenance.
+  *
+  * Truth: [[graft.ops.Dedup.ngramJaccard]] at threshold 0.05 (wide —
+  * the surface should show the LOW bands missing, not hide them), once
+  * per shingle width. Audited screens (candidate stage only, pre-
+  * verify): (k, bands) ∈ (4,4) r=1 · (8,2) r=4 · (8,4) r=2 [shipped
+  * default] · (16,4) r=4 · (16,8) r=2 at w=3, plus the default config
+  * at w=2 (the shingle-width arm: shorter shingles raise pairwise J —
+  * same docs, easier screen). Per config: the per-band
+  * [[graft.ops.Dedup.dedupRecall]] curve and the
+  * [[graft.ops.Dedup.dedupScreenSummary]] operating point against
+  * truth ≥ 0.5 (q28's shipped threshold).
+  *
+  * Assertions (a regression FAILS the bench, the AnnRecallBench
+  * contract): the shipped default (w=3, k=8, bands=4) must hold recall
+  * ≥ 0.95 on the j ≥ 0.8 bands and ≥ 0.60 against truth ≥ 0.5; more
+  * bands at the same r must not lose recall (16,8 ≥ 8,4 − eps); fewer
+  * rows per band must not lose recall ((8,2) ≥ (8,4) − eps).
+  *
+  * Output: one JSON line (the [[Bench]] discipline) + the full table
+  * in DEDUP_RECALL.json; recorded in BASELINE.md.
+  */
+object DedupRecallBench {
+  def main(args: Array[String]): Unit = {
+    import BenchHarness.{fmt, sfDir}
+    val dedup = graft.ops.Dedup
+    val nBase = BenchHarness.env("SPARK_GRAFT_DEDUP_DOCS", "600").toInt
+    val cpus = BenchHarness.cpus()
+    val spark = BenchHarness.session(cpus)
+    val lv0 = BenchHarness.loadavg
+
+    val perturbs = Seq(2, 4, 8, 16, 32, 100)
+    val base = Tables.load(spark, sfDir, "documents")
+      .where(col("text").isNotNull &&
+        expr("size(filter(split(text, ' '), x -> x <> ''))") >= 24)
+      .orderBy(col("doc_id")).limit(nBase)
+      .select(col("doc_id"), col("text"))
+    val corpus = perturbs.map { p =>
+        base.select(
+          (col("doc_id") + lit(p.toLong * BenchHarness.ReplicaStride))
+            .as("doc_id"),
+          expr(s"""concat_ws(' ', transform(filter(split(text, ' '),
+                  |  x -> x <> ''), (x, i) ->
+                  |  CASE WHEN i % $p = 0 THEN 'zz$p' ELSE x END))"""
+            .stripMargin).as("text"))
+      }.foldLeft(base)(_ unionByName _)
+      .repartition(cpus).localCheckpoint(true)
+    val nDocs = corpus.count()
+
+    case class Arm(w: Int, k: Int, bands: Int)
+    val arms = Seq(Arm(3, 4, 4), Arm(3, 8, 2), Arm(3, 8, 4), Arm(3, 16, 4),
+      Arm(3, 16, 8), Arm(2, 8, 4))
+
+    // one truth + one shingle-set pass per width, shared across arms
+    val byW = arms.map(_.w).distinct.map { w =>
+      val sets = dedup.shingleSets(corpus, "doc_id", "text", w)
+        .localCheckpoint(true)
+      val truth = dedup.ngramJaccard(corpus, "doc_id", "text",
+          w = w, threshold = 0.05)
+        .localCheckpoint(true)
+      w -> ((sets, truth))
+    }.toMap
+
+    case class Res(arm: Arm, curve: Seq[(Long, Long, Long, Double)],
+                   sum: (Long, Long, Long, Double, Double), secs: Double)
+    val results = arms.map { a =>
+      val (sets, truth) = byW(a.w)
+      val t0 = System.nanoTime()
+      val cand = dedup.lshCandidates(
+        dedup.minHashSignatures(sets, a.k), a.k, a.bands)
+        .localCheckpoint(true)
+      val curve = dedup.dedupRecall(truth, cand).orderBy(col("band"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSeq
+      val s = dedup.dedupScreenSummary(
+          truth.where(col("jaccard") >= 0.5), cand).collect().head
+      val secs = (System.nanoTime() - t0) / 1e9
+      Res(a, curve,
+        (s.getLong(0), s.getLong(1), s.getLong(2), s.getDouble(3),
+          s.getDouble(4)), secs)
+    }
+
+    def recallAtOrAbove(r: Res, band: Long): Double = {
+      val rows = r.curve.filter(_._1 >= band)
+      val (t, h) = (rows.map(_._2).sum, rows.map(_._3).sum)
+      if (t == 0) 1.0 else h.toDouble / t
+    }
+    def armRes(w: Int, k: Int, b: Int): Res =
+      results.find(r => r.arm == Arm(w, k, b))
+        .getOrElse(sys.error(s"missing arm w=$w k=$k bands=$b"))
+
+    val armJson = results.map { r =>
+      val curve = r.curve.map { case (b, t, h, rec) =>
+        s"""{"band":$b,"n_truth":$t,"n_hit":$h,"recall":${fmt(rec, 4)}}"""
+      }.mkString("[", ",", "]")
+      val (st, sc, shh, p, rec) = r.sum
+      s"""{"w":${r.arm.w},"k":${r.arm.k},"bands":${r.arm.bands},""" +
+        s""""rows_per_band":${r.arm.k / r.arm.bands},"secs":${fmt(r.secs)},""" +
+        s""""curve":$curve,"at_threshold_0.5":{"n_truth":$st,"n_cand":$sc,""" +
+        s""""n_hit":$shh,"precision":${fmt(p, 4)},"recall":${fmt(rec, 4)}}}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"bench":"dedup_recall","sf":"$sfDir","n_base":$nBase,""" +
+        s""""n_docs":$nDocs,"perturbs":${perturbs.mkString("[", ",", "]")},""" +
+        s""""arms":$armJson,"loadavg_before":"$lv0"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("DEDUP_RECALL.json"),
+      (json + "\n").getBytes("UTF-8"))
+
+    // the shipped-default gate — regressions fail the bench (AFTER the
+    // artifact write, so a failed gate still leaves the table to read).
+    // Directions follow the banding math: at fixed r, more bands only
+    // ADD collision chances (monotone up); r=1 collides near-always
+    // (recall ~1 at every band, precision collapses — asserted as the
+    // trade, not a defect).
+    val dflt = armRes(3, 8, 4)
+    val dHi = recallAtOrAbove(dflt, 8L)
+    require(dHi >= 0.95,
+      f"default (w=3,k=8,bands=4): recall $dHi%.3f < 0.95 on j >= 0.8 bands")
+    require(dflt.sum._5 >= 0.60,
+      f"default: recall ${dflt.sum._5}%.3f < 0.60 against truth >= 0.5")
+    val eps = 0.02
+    require(recallAtOrAbove(armRes(3, 16, 8), 5L) >=
+        recallAtOrAbove(dflt, 5L) - eps,
+      "more bands at the same rows/band must not lose recall (16,8 vs 8,4)")
+    require(recallAtOrAbove(armRes(3, 16, 4), 5L) >=
+        recallAtOrAbove(armRes(3, 8, 2), 5L) - eps,
+      "more bands at the same rows/band must not lose recall (16,4 vs 8,2)")
+    val r44 = armRes(3, 4, 4)
+    require(recallAtOrAbove(r44, 5L) >= recallAtOrAbove(dflt, 5L) - eps,
+      "r=1 screens collide near-always: recall must dominate the default")
+    require(r44.sum._2 > dflt.sum._2,
+      "r=1 must pay for that recall in candidate volume (precision trade)")
+
+    // stdout stays short (the driver log tail is bounded): defaults +
+    // the headline numbers only
+    println(
+      s"""{"bench":"dedup_recall","n_docs":$nDocs,""" +
+        s""""default_recall_j_ge_0.8":${fmt(dHi, 4)},""" +
+        s""""default_recall_thr_0.5":${fmt(dflt.sum._5, 4)},""" +
+        s""""default_precision_thr_0.5":${fmt(dflt.sum._4, 4)},""" +
+        s""""arms":${results.size}}""")
+    spark.stop()
+  }
+}

@@ -400,6 +400,8 @@ object SparkEntry {
     // one-sided buckets stay finite
     "q137_label_noise_ivf" -> labelNoiseIvfSql,
     "q138_numeric_drift" -> numericDriftSql,
+    "q139_dedup_recall" -> dedupRecallSql,
+    "q140_dedup_screen" -> dedupScreenSql,
     "q135_distribution_drift" ->
       s"""WITH r AS (SELECT lang, COUNT(*) AS ref_n FROM documents GROUP BY lang),
          |rs AS (SELECT lang, ref_n,
@@ -3026,6 +3028,81 @@ object SparkEntry {
     * cap mirrored from Dedup.ngramJaccard (capped shingles leave the
     * inverted index but still count toward set sizes).
     */
+  /** Shared CTE chain for the q139/q140 oracles: exact-Jaccard truth
+    * pairs at threshold 0.2 (the q30 inverted-index statement, df cap
+    * 1000) plus the q28 LSH candidate screen (k=8, bands=4, bucket cap
+    * 1000) over the SAME shingle view — truth and screen must see one
+    * tokenization or the audit measures the tokenizer, not the bands.
+    */
+  private def dedupAuditCtes: String = {
+    val mh = (0 until 8).map(i => s"MIN(MD5('$i|' || s)) AS mh$i")
+      .mkString(",\n  ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, MD5(mh${2 * b} || mh${2 * b + 1}) AS h FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |       FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)),
+       |shc AS (SELECT doc_id, s FROM sh
+       |        QUALIFY COUNT(*) OVER (PARTITION BY s) <= 1000),
+       |tcand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |tinter AS (SELECT c.d1, c.d2, COUNT(*) AS i
+       |           FROM tcand c
+       |           JOIN shc s1 ON s1.doc_id = c.d1
+       |           JOIN shc s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+       |           GROUP BY c.d1, c.d2),
+       |truth AS (SELECT i.d1, i.d2,
+       |            ROUND(CAST(i.i AS DOUBLE) / (n1.n + n2.n - i.i), 3) AS j
+       |          FROM tinter i
+       |          JOIN cnt n1 ON n1.doc_id = i.d1
+       |          JOIN cnt n2 ON n2.doc_id = i.d2
+       |          WHERE CAST(i.i AS DOUBLE) / (n1.n + n2.n - i.i) >= 0.2),
+       |sig AS (SELECT doc_id,
+       |  $mh
+       |  FROM sh GROUP BY doc_id),
+       |banded0 AS (
+       |  $bandRows),
+       |banded AS (SELECT doc_id, band, h FROM banded0
+       |           QUALIFY COUNT(*) OVER (PARTITION BY band, h) <= 1000),
+       |lcand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |          FROM banded a JOIN banded b
+       |            ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)"""
+      .stripMargin
+  }
+
+  /** q139 oracle: truth pairs banded by the ROUNDED jaccard (⌊j·10⌋
+    * capped at 9 — the engine's fixed-cut statement), hit = the pair
+    * exists in the LSH candidate set; per-band exact counts and one
+    * correctly-rounded recall division.
+    */
+  private def dedupRecallSql: String =
+    s"""WITH $dedupAuditCtes,
+       |hit AS (SELECT t.j, CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END AS h
+       |        FROM truth t LEFT JOIN lcand l
+       |          ON t.d1 = l.d1 AND t.d2 = l.d2)
+       |SELECT LEAST(9, CAST(FLOOR(j * 10) AS BIGINT)) AS band,
+       |       ROUND(LEAST(9, CAST(FLOOR(j * 10) AS BIGINT)) / 10.0, 6) AS j_lo,
+       |       COUNT(*) AS n_truth, CAST(SUM(h) AS BIGINT) AS n_hit,
+       |       ROUND(CAST(SUM(h) AS DOUBLE) / COUNT(*), 6) AS recall
+       |FROM hit GROUP BY 1 ORDER BY band""".stripMargin
+
+  /** q140 oracle: the three scalar counts over the same truth/candidate
+    * sets and the two operating-point divisions.
+    */
+  private def dedupScreenSql: String =
+    s"""WITH $dedupAuditCtes,
+       |agg AS (SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       |               (SELECT COUNT(*) FROM lcand) AS n_cand,
+       |               (SELECT COUNT(*) FROM truth t JOIN lcand l
+       |                  ON t.d1 = l.d1 AND t.d2 = l.d2) AS n_hit)
+       |SELECT n_truth, n_cand, n_hit,
+       |       ROUND(CAST(n_hit AS DOUBLE) / n_cand, 6) AS precision,
+       |       ROUND(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall
+       |FROM agg""".stripMargin
+
   private def ngramJaccardSql: String =
     """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,

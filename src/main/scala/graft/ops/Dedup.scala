@@ -140,6 +140,73 @@ object Dedup {
         (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).as("jaccard"))
   }
 
+  /** Lexical-dedup recall surface — the [[graft.ops.Similarity
+    * .annRecall]] (q102) discipline carried to the MinHash-LSH family:
+    * exact-Jaccard TRUTH pairs ([[ngramJaccard]], the quadratic-by-
+    * contract truth op over a bounded audit slice) are banded into
+    * `nBands` fixed similarity bands (band = ⌊j·nBands⌋ capped — the
+    * fixed-cut convention, never quantiles) and each band reports how
+    * many of its pairs the candidate screen surfaced. The output IS the
+    * LSH S-curve — P(candidate | j) = 1 − (1 − j^r)^b — MEASURED on the
+    * caller's corpus instead of assumed, so tuning q28's (k, bands,
+    * threshold, w) stops being a defaults gamble: the band where recall
+    * falls off the cliff is exactly where the screen starts missing
+    * pairs the threshold still wants.
+    *
+    * Inputs by the pair-family convention: `truthPairs` (d1, d2,
+    * jaccard — rounded, d1 < d2), `candPairs` (d1, d2, d1 < d2 — the
+    * PRE-verify [[lshCandidates]] output; feeding the post-verify
+    * [[minHashLsh]] output measures the same screen, since verify only
+    * drops below-threshold pairs). Shape at 100 TB: one (d1, d2)-keyed
+    * equi-join (truth is audit-bounded, AQE broadcasts it), then a
+    * map-side-combined aggregate on the nBands-bounded key.
+    * Deterministic → DuckDB hash-checked (q139).
+    */
+  def dedupRecall(truthPairs: DataFrame, candPairs: DataFrame,
+                  nBands: Int = 10, scale: Int = 6): DataFrame = {
+    require(nBands >= 1, s"nBands must be positive: $nBands")
+    val hits = candPairs.select(col("d1"), col("d2")).distinct()
+      .withColumn("_hit", lit(1L))
+    truthPairs
+      .join(hits, Seq("d1", "d2"), "left")
+      .select(least(lit(nBands - 1L),
+          floor(col("jaccard") * nBands).cast("long")).as("band"),
+        coalesce(col("_hit"), lit(0L)).as("_h"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_truth"), sum(col("_h")).as("n_hit"))
+      .select(col("band"),
+        round(col("band").cast("double") / nBands, scale).as("j_lo"),
+        col("n_truth"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth"), scale)
+          .as("recall"))
+  }
+
+  /** The one-row operating-point summary over the same two pair sets as
+    * [[dedupRecall]]: candidate-screen recall AGAINST the truth
+    * (missed true pairs stay duplicated in the corpus) and precision
+    * OF the screen (sub-threshold candidates are pure verify cost —
+    * every one pays an exact-Jaccard evaluation). The pair of numbers
+    * a banding change actually trades. Three bounded scalar aggregates
+    * attached by 1-row cross joins (the documented scalar-total
+    * carve-out); the hit count is one (d1, d2)-keyed semi-join.
+    * Deterministic → DuckDB hash-checked (q140).
+    */
+  def dedupScreenSummary(truthPairs: DataFrame, candPairs: DataFrame,
+                         scale: Int = 6): DataFrame = {
+    val cand = candPairs.select(col("d1"), col("d2")).distinct()
+    val truth = truthPairs.select(col("d1"), col("d2"))
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nC = cand.agg(count(lit(1)).as("n_cand"))
+    val nH = truth.join(cand, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nT.crossJoin(nC).crossJoin(nH)
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_cand"), scale)
+          .as("precision"),
+        round(col("n_hit").cast("double") / col("n_truth"), scale)
+          .as("recall"))
+  }
+
   /** MinHash + LSH near-duplicate pipeline: shingle-sets → sign → band →
     * candidate pairs → exact-Jaccard verify ≥ `threshold`. Shuffles only
     * at the band self-join and the two verify joins — signature

@@ -262,6 +262,36 @@ object Extensions {
       .orderBy(col("band"))
   }
 
+  // q139 lexical-dedup recall surface — the q102 discipline for the
+  // MinHash-LSH family: exact-Jaccard truth pairs (the q30 op at a wide
+  // threshold) banded by similarity, each band scored for how many
+  // pairs the q28 candidate screen (k=8, bands=4 — the shipped
+  // defaults) surfaced. The measured S-curve a user tunes bands/k
+  // against, instead of trusting 1-(1-j^r)^b on faith.
+  val q139_dedup_recall: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val truth = Dedup.ngramJaccard(docs, "doc_id", "text",
+      w = 3, threshold = 0.2)
+    val cand = Dedup.lshCandidates(
+      Dedup.minHashSignatures(Dedup.shingleSets(docs, "doc_id", "text", 3), 8),
+      k = 8, bands = 4)
+    Dedup.dedupRecall(truth, cand).orderBy(col("band"))
+  }
+
+  // q140 dedup screen operating point — the one-row precision/recall
+  // summary over the same truth/candidate sets: recall = truth pairs
+  // the screen surfaced, precision = candidates worth their verify
+  // cost. The two numbers a banding change actually trades.
+  val q140_dedup_screen: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val truth = Dedup.ngramJaccard(docs, "doc_id", "text",
+      w = 3, threshold = 0.2)
+    val cand = Dedup.lshCandidates(
+      Dedup.minHashSignatures(Dedup.shingleSets(docs, "doc_id", "text", 3), 8),
+      k = 8, bands = 4)
+    Dedup.dedupScreenSummary(truth, cand)
+  }
+
   // q134 mixture sample — the recipe REALIZED with replacement: fracs
   // derived from the same plan (uncapped), epochs > 1 strata duplicated
   // with a copy index via the q66 upsample convention; sources outside
@@ -1546,5 +1576,7 @@ object Extensions {
     "q135_distribution_drift" -> q135_distribution_drift,
     "q136_corpus_diff" -> q136_corpus_diff,
     "q137_label_noise_ivf" -> q137_label_noise_ivf,
-    "q138_numeric_drift" -> q138_numeric_drift)
+    "q138_numeric_drift" -> q138_numeric_drift,
+    "q139_dedup_recall" -> q139_dedup_recall,
+    "q140_dedup_screen" -> q140_dedup_screen)
 }

@@ -558,6 +558,26 @@ class OpsSpec extends SparkSpec {
       "an unchanged null rate is zero drift, not an eps-floored alarm")
   }
 
+  test("dedupRecall/dedupScreenSummary: fixed bands with j=1.0 clamped, hit counts, operating point") {
+    val truth = Seq((1L, 2L, 0.95), (3L, 4L, 0.85), (5L, 6L, 0.55),
+      (7L, 8L, 0.25), (11L, 12L, 1.0)).toDF("d1", "d2", "jaccard")
+    // screen found two true pairs (incl. the j=1.0 one) plus one
+    // sub-threshold candidate that is pure verify cost
+    val cand = Seq((1L, 2L), (11L, 12L), (9L, 10L)).toDF("d1", "d2")
+    val out = Dedup.dedupRecall(truth, cand).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(out == Map(
+      9L -> (0.9, 2L, 2L, 1.0), // 0.95 and the CLAMPED 1.0 share band 9
+      8L -> (0.8, 1L, 0L, 0.0),
+      5L -> (0.5, 1L, 0L, 0.0),
+      2L -> (0.2, 1L, 0L, 0.0)), s"$out")
+    val s = Dedup.dedupScreenSummary(truth, cand).collect().head
+    assert((s.getLong(0), s.getLong(1), s.getLong(2)) == ((5L, 3L, 2L)))
+    assert(s.getDouble(3) == math.rint(2.0 / 3 * 1e6) / 1e6 &&
+      s.getDouble(4) == 0.4)
+  }
+
   test("mixtureFracs/tokenBudgetFracs: an all-null-token stratum drops like an absent one") {
     val df = Seq((1L, "a", Some(10L)), (2L, "a", Some(10L)),
       (3L, "ghost", None), (4L, "ghost", None)).toDF("doc_id", "src", "n_tok")
