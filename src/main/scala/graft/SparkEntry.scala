@@ -402,6 +402,7 @@ object SparkEntry {
     "q138_numeric_drift" -> numericDriftSql,
     "q139_dedup_recall" -> dedupRecallSql,
     "q140_dedup_screen" -> dedupScreenSql,
+    "q141_token_budget_prefix" -> tokenBudgetPrefixSql,
     "q135_distribution_drift" ->
       s"""WITH r AS (SELECT lang, COUNT(*) AS ref_n FROM documents GROUP BY lang),
          |rs AS (SELECT lang, ref_n,
@@ -1953,6 +1954,30 @@ object SparkEntry {
        |JOIN thr ON d.source = thr.source
        |WHERE MD5(CAST(d.doc_id AS VARCHAR)) < thr.thr
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q141 oracle: the greedy md5-prefix rule replayed — per source the
+    * running ws-token sum in (md5(id), id) order, rows kept while it
+    * stays within the q58 budget literal; null counts spend 0.
+    */
+  private def tokenBudgetPrefixSql: String = {
+    val arms = graft.queries.Extensions.tokenBudgets.toSeq.sorted.map {
+      case (src, b) => s"WHEN '$src' THEN $b"
+    }.mkString("\n  ")
+    s"""WITH tok AS (SELECT doc_id, source,
+       |    COALESCE(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT), 0) AS n_tok
+       |  FROM documents),
+       |r AS (SELECT doc_id, source, n_tok,
+       |        SUM(n_tok) OVER (PARTITION BY source
+       |          ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+       |          ROWS UNBOUNDED PRECEDING) AS cum,
+       |        CASE source
+       |  $arms
+       |  END AS budget
+       |      FROM tok)
+       |SELECT doc_id, source, n_tok FROM r
+       |WHERE budget IS NOT NULL AND cum <= budget
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Shared CTEs of the q52b/q58b tokenizer-SPI oracles: per-word greedy

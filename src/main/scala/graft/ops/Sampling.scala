@@ -423,6 +423,75 @@ object Sampling {
       Seq("layout" -> "quota_gate", "n" -> n.toString))
   }
 
+  /** EXACT-budget sampling in the TOKEN currency — the greedy
+    * md5-ordered prefix rule: per stratum, rows rank by the md5(id)
+    * coin (ties to id — the [[sample]] convention) and admit while the
+    * RUNNING token total stays within the stratum's budget; the first
+    * row that would overflow stops the stratum (no partial documents).
+    * The deterministic twin of [[tokenBudgetFracs]]+[[stratifiedSample]]
+    * that hits the budget EXACTLY (within one document) instead of in
+    * expectation — and the batch semantics [[graft.streaming.Streams
+    * .tokenBudgetGateSink]] replays per micro-batch, so the two sides
+    * spec-check against each other. Strata absent from `budgets` drop
+    * (not-in-the-recipe semantics); null token counts read as 0.
+    *
+    * Shape at 100 TB: one running-sum window per stratum over NARROW
+    * (id, stratum, tokens) rows — the q55 exact-size-sampler shape
+    * (document text never rides the sort); budgets fold as plan
+    * literals. Deterministic → DuckDB hash-checked (q141).
+    */
+  def tokenBudgetPrefix(df: DataFrame, idCol: String, stratumCol: String,
+                        tokenCol: String,
+                        budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0),
+      "token budgets must be non-negative")
+    val bcol = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("long")) { case (acc, (s, b)) =>
+        when(col(stratumCol) === s, lit(b)).otherwise(acc)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("_budget", bcol)
+      .where(col("_budget").isNotNull)
+      .withColumn("_cum",
+        sum(coalesce(col(tokenCol).cast("long"), lit(0L))).over(w))
+      .where(col("_cum") <= col("_budget"))
+      .drop("_budget", "_cum")
+  }
+
+  /** Initialize the persisted state for [[graft.streaming.Streams
+    * .tokenBudgetGateSink]] — the admission ladder's rung in the TOKEN
+    * currency (the quota gate counts DOCS): `budgets/` freezes the
+    * per-stratum token budgets (pass `mixtureTargets(weights, total)`
+    * to freeze a weights-form recipe), `committed/` starts empty and
+    * grows one bounded (key, batch_id, tokens) delta per admitting
+    * batch. Totals are recovered by DISTINCT-then-sum over the deltas —
+    * a replayed batch's re-appended delta is byte-identical (same
+    * pre-batch state, same md5 prefix), so duplicates collapse instead
+    * of inflating the spend, the quota-gate set discipline applied to a
+    * counter. Changing the recipe is a rebuild with the sink stopped
+    * (frozen-geometry convention); fold the delta files offline with
+    * [[graft.ops.IndexMaintenance.compact]] (flat mode, stream
+    * stopped).
+    */
+  def buildTokenBudgetState(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            budgets: Map[String, Long]): Unit = {
+    require(budgets.nonEmpty, "empty token-budget recipe")
+    require(budgets.values.forall(_ >= 0),
+      "token budgets must be non-negative")
+    import spark.implicits._
+    budgets.toSeq.sortBy(_._1).toDF("key", "budget")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/budgets")
+    Seq.empty[(String, Long, Long)].toDF("key", "batch_id", "tokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/committed")
+    graft.ops.Similarity.writeIndexMeta(spark, path,
+      Seq("layout" -> "token_budget_gate"))
+  }
+
   /** Deterministic TRAINING-ORDER shuffle — the step after [[Packing
     * .pack]] every recipe needs: a reproducible pseudo-random global
     * order, as (shard, pos). The shuffle key is md5(id || "|shuffle")

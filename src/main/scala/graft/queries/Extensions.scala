@@ -292,6 +292,22 @@ object Extensions {
     Dedup.dedupScreenSummary(truth, cand)
   }
 
+  // q141 exact token-budget prefix — the deterministic greedy twin of
+  // q58's expectation sampler and the batch semantics the streaming
+  // token-budget gate replays per micro-batch: per source, md5-ranked
+  // rows admit while the running ws-token total stays within the q58
+  // budgets; the overflowing row stops the stratum.
+  val q141_token_budget_prefix: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    Sampling.tokenBudgetPrefix(
+        docs.select(col("doc_id"), col("source"),
+          coalesce(graft.functions.VectorFunctions
+              .tokenCountsStruct(col("text")).getField("ws_tokens"),
+            lit(0L)).as("n_tok")),
+        "doc_id", "source", "n_tok", tokenBudgets)
+      .orderBy(col("doc_id"))
+  }
+
   // q134 mixture sample — the recipe REALIZED with replacement: fracs
   // derived from the same plan (uncapped), epochs > 1 strata duplicated
   // with a copy index via the q66 upsample convention; sources outside
@@ -1578,5 +1594,6 @@ object Extensions {
     "q137_label_noise_ivf" -> q137_label_noise_ivf,
     "q138_numeric_drift" -> q138_numeric_drift,
     "q139_dedup_recall" -> q139_dedup_recall,
-    "q140_dedup_screen" -> q140_dedup_screen)
+    "q140_dedup_screen" -> q140_dedup_screen,
+    "q141_token_budget_prefix" -> q141_token_budget_prefix)
 }

@@ -1041,6 +1041,85 @@ object Streams {
       .start()
   }
 
+  /** The TOKEN-BUDGET admission gate — the mixture recipe (q133/q134)
+    * enforced on an ingest stream: per micro-batch, each stratum admits
+    * rows by [[graft.ops.Sampling.tokenBudgetPrefix]]'s greedy
+    * md5-ordered prefix rule against what REMAINS of its frozen budget
+    * ([[graft.ops.Sampling.buildTokenBudgetState]] layout); strata
+    * outside the recipe never admit (not-in-the-recipe semantics).
+    * This completes the admission ladder: the quota gate throttles
+    * DOCS per key, this one spends TOKENS per stratum — the currency
+    * training mixtures are actually written in. `tokenCol` is a
+    * caller-projected count column (TokenCountExpr, ws tokens — the
+    * gate is tokenizer-agnostic); null counts spend 0 but still admit.
+    *
+    * Crash discipline (the quota gate's, adapted to a counter): the
+    * OUTPUT appends first, the (key, batch_id, tokens) state delta
+    * second, and the spend is read as DISTINCT-then-sum over deltas
+    * from batches STRICTLY BEFORE the current id — so a replayed batch
+    * sees the identical pre-batch state whether or not its own delta
+    * landed, re-derives the identical admissions, and both windows
+    * converge by keep-any/dedup (CrashOrderSpec-pinned). Scale shape:
+    * the prefix window runs over BATCH-sized stratum groups (bounded
+    * by the trigger, never the corpus); the committed state is one
+    * bounded row per (stratum, batch); admitted ids broadcast into a
+    * semi-join so the batch itself never shuffles.
+    */
+  def tokenBudgetGateSink(spark: org.apache.spark.sql.SparkSession,
+                          stream: DataFrame, idCol: String,
+                          stratumCol: String, tokenCol: String,
+                          statePath: String, outPath: String,
+                          checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val meta = graft.ops.Similarity.readIndexMeta(spark, statePath)
+    require(meta.get("layout").contains("token_budget_gate"),
+      s"not a token_budget_gate layout: $statePath (meta ${meta.get("layout")})")
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val budgets = spark.read.parquet(s"$statePath/budgets")
+        // spend from EARLIER batches only: a replayed batch must see
+        // the same pre-batch state whether or not its own delta landed
+        val used = spark.read.parquet(s"$statePath/committed")
+          .where(col("batch_id") < batchId)
+          .distinct()
+          .groupBy(col("key")).agg(sum(col("tokens")).as("_used"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key"))
+          .orderBy(md5(col("id").cast("string")), col("id"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val admitted = batch
+          .where(col(idCol).isNotNull && col(stratumCol).isNotNull)
+          .select(col(stratumCol).cast("string").as("key"),
+            col(idCol).cast("long").as("id"),
+            coalesce(col(tokenCol).cast("long"), lit(0L)).as("_tok"))
+          .distinct()
+          .join(broadcast(budgets), Seq("key"))
+          .join(broadcast(used), Seq("key"), "left")
+          .withColumn("_cum", sum(col("_tok")).over(w))
+          .where(col("_cum") <=
+            col("budget") - coalesce(col("_used"), lit(0L)))
+          .select(col("key"), col("id"), col("_tok"))
+          .persist()
+        try {
+          if (!admitted.isEmpty) {
+            batch.join(broadcast(admitted.select(col("id").as("_aid"))),
+                col(idCol).cast("long") === col("_aid"), "left_semi")
+              .write.mode("append").parquet(outPath)
+            admitted.groupBy(col("key"))
+              .agg(sum(col("_tok")).as("tokens"))
+              .select(col("key"), lit(batchId).as("batch_id"), col("tokens"))
+              .write.mode("append").parquet(s"$statePath/committed")
+          }
+        } finally admitted.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
   /** Streaming per-source corpus card — [[graft.ops.Analytics.dataCard]]'s
     * incremental twin for an ingest feed: running n_docs / n_null_text /
     * ws_tokens / avg_chars / approx language count per source, emitted in

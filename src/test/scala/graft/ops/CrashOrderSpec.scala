@@ -456,6 +456,75 @@ class CrashOrderSpec extends SparkSpec {
     } finally noInjection()
   }
 
+  test("tokenBudgetGateSink crash windows: output death replays clean; committed-delta death re-derives identical spend") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val wd = faultyDir("graft_crash_tbgate_")
+    try {
+      graft.ops.Sampling.buildTokenBudgetState(spark, s"$wd/state",
+        Map("srcA" -> 10L, "srcB" -> 5L))
+      val mem = MemoryStream[(Long, String, Long)]
+      def start() = graft.streaming.Streams.tokenBudgetGateSink(spark,
+        mem.toDF().toDF("doc_id", "source", "n_tok"),
+        "doc_id", "source", "n_tok",
+        s"$wd/state", s"$wd/out", s"$wd/ckpt")
+
+      // window (a): the OUTPUT append dies — neither output nor spend
+      // may advance; the replay admits the identical md5 prefix
+      mem.addData((1L, "srcA", 4L), (2L, "srcA", 4L), (3L, "srcA", 4L))
+      failAppendsInto("out")
+      val q0 = start()
+      val died0 = try { q0.processAllAvailable(); false }
+        catch { case _: Exception => true }
+        finally { q0.stop(); noInjection() }
+      assert(died0 && FaultyFs.failedRenames.size() > 0)
+      assert(spark.read.parquet(s"$wd/state/committed").count() == 0,
+        "spend must not advance past a dead output append")
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      val afterB1 = spark.read.parquet(s"$wd/out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(afterB1.size == 2 && afterB1.subsetOf(Set(1L, 2L, 3L)),
+        s"2x4 of 10 tokens admit: $afterB1")
+
+      // window (c): output appended, the COMMITTED delta dies — the
+      // replay reads spend from batches strictly before its own id, so
+      // it re-derives the SAME admissions and re-appends
+      // byte-identically; the delta lands on replay
+      mem.addData((10L, "srcB", 3L), (11L, "srcB", 3L))
+      failAppendsInto("committed")
+      val q2 = start()
+      val died2 = try { q2.processAllAvailable(); false }
+        catch { case _: Exception => true }
+        finally { q2.stop(); noInjection() }
+      assert(died2, "injected committed-delta failure must kill the batch")
+      val srcBMid = spark.read.parquet(s"$wd/out")
+        .where(col("source") === "srcB")
+        .select("doc_id").as[Long].collect().toSet
+      assert(srcBMid.size == 1, s"one 3-token row fits 5: $srcBMid")
+      assert(spark.read.parquet(s"$wd/state/committed")
+        .where(col("key") === "srcB").count() == 0,
+        "delta died: srcB spend not yet recorded")
+      val q3 = start()
+      try q3.processAllAvailable() finally q3.stop()
+      val outEnd = spark.read.parquet(s"$wd/out")
+      assert(outEnd.where(col("source") === "srcB")
+        .select("doc_id").as[Long].collect().toSet == srcBMid,
+        "the replay must re-derive the SAME admission")
+      assert(outEnd.where(col("source") === "srcB").count() == 2,
+        "the replay re-appends byte-identically")
+      assert(spark.read.parquet(s"$wd/state/committed")
+        .where(col("key") === "srcB").as[(String, Long, Long)]
+        .collect().toSet.map((t: (String, Long, Long)) => (t._1, t._3))
+        == Set(("srcB", 3L)),
+        "the delta lands on replay with the identical spend")
+      IndexMaintenance.compactOutput(spark, s"$wd/out")
+      assert(spark.read.parquet(s"$wd/out")
+        .where(col("source") === "srcB").count() == 1,
+        "compactOutput converges the replay to one row per doc")
+    } finally noInjection()
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -558,6 +558,22 @@ class OpsSpec extends SparkSpec {
       "an unchanged null rate is zero drift, not an eps-floored alarm")
   }
 
+  test("tokenBudgetPrefix: greedy md5 prefix stops at overflow, recipe-absent strata drop, null tokens spend 0") {
+    // md5 rank of srcA ids: 4 < 1 < 2 < 3 (pinned literals, the
+    // sampler-coin convention)
+    val df = Seq((1L, "srcA", Some(4L)), (2L, "srcA", Some(4L)),
+      (3L, "srcA", Some(4L)), (4L, "srcA", Some(4L)),
+      (5L, "srcB", None), (6L, "srcB", Some(3L)),
+      (7L, "srcOff", Some(1L))).toDF("doc_id", "src", "n_tok")
+    val out = Sampling.tokenBudgetPrefix(df, "doc_id", "src", "n_tok",
+        Map("srcA" -> 10L, "srcB" -> 3L))
+      .select("doc_id").as[Long].collect().toSet
+    // srcA: cum 4, 8, 12 → {4, 1}; srcB md5 rank 6 < 5: 6 spends 3,
+    // the null-token 5 spends 0 and still fits; srcOff is not in the
+    // recipe
+    assert(out == Set(4L, 1L, 6L, 5L), s"$out")
+  }
+
   test("dedupRecall/dedupScreenSummary: fixed bands with j=1.0 clamped, hit counts, operating point") {
     val truth = Seq((1L, 2L, 0.95), (3L, 4L, 0.85), (5L, 6L, 0.55),
       (7L, 8L, 0.25), (11L, 12L, 1.0)).toDF("d1", "d2", "jaccard")

@@ -1277,6 +1277,62 @@ class StreamsSpec extends SparkSpec {
     assert(bad.getMessage.contains("quota_gate"))
   }
 
+  test("tokenBudgetGateSink spends per-stratum token budgets across batches, batch-parity with tokenBudgetPrefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val budgets = Map("srcA" -> 10L, "srcB" -> 5L)
+    val state = tmpDir("graft_tbgate_state_")
+    graft.ops.Sampling.buildTokenBudgetState(spark, state, budgets)
+    val out = tmpDir("graft_tbgate_out_")
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = Streams.tokenBudgetGateSink(spark,
+      mem.toDF().toDF("doc_id", "source", "n_tok"),
+      "doc_id", "source", "n_tok", state, out, tmpDir("graft_tbgate_ck_"))
+    // batch 1: four srcA rows of 4 tokens compete for 10 (greedy md5
+    // prefix admits 2, spends 8); srcB's only row overflows its 5 and
+    // stops the stratum; srcC is outside the recipe
+    val b1 = Seq((1L, "srcA", 4L), (2L, "srcA", 4L), (3L, "srcA", 4L),
+      (4L, "srcA", 4L), (10L, "srcB", 6L), (20L, "srcC", 1L))
+    // the single-batch semantics IS the batch op — assert parity
+    val expect1 = graft.ops.Sampling.tokenBudgetPrefix(
+        b1.toDF("doc_id", "source", "n_tok"),
+        "doc_id", "source", "n_tok", budgets)
+      .select("doc_id").as[Long].collect().toSet
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      val got1 = spark.read.parquet(out).select("doc_id").as[Long]
+        .collect().toSet
+      assert(got1 == expect1, s"single-batch gate == tokenBudgetPrefix: " +
+        s"$got1 vs $expect1")
+      assert(got1.size == 2 && got1.subsetOf(Set(1L, 2L, 3L, 4L)) &&
+        !got1.contains(10L) && !got1.contains(20L))
+      // batch 2: srcA has 2 tokens left. md5 rank is 6 < 7 < 5, so the
+      // 9-token id 7 overflows the prefix and BLOCKS id 5 behind it
+      // (prefix semantics: the running sum includes dropped rows — no
+      // best-fit repacking). srcB's untouched 5 fits id 11 exactly.
+      mem.addData((5L, "srcA", 1L), (6L, "srcA", 1L), (7L, "srcA", 9L),
+        (11L, "srcB", 5L))
+      q.processAllAvailable()
+      val got2 = spark.read.parquet(out).select("doc_id").as[Long]
+        .collect().toSet
+      assert(got2 == expect1 ++ Set(6L, 11L),
+        s"remaining budgets spent across batches: $got2")
+      // state is one bounded (key, batch_id, tokens) row per admitting
+      // batch and stratum — the distinct-then-sum spend ledger
+      val st = spark.read.parquet(s"$state/committed")
+        .as[(String, Long, Long)].collect().toSet
+      assert(st == Set(("srcA", 0L, 8L), ("srcA", 1L, 1L), ("srcB", 1L, 5L)),
+        s"$st")
+    } finally q.stop()
+    // wrong-layout path fails fast at sink start
+    val bad = intercept[IllegalArgumentException] {
+      Streams.tokenBudgetGateSink(spark,
+        mem.toDF().toDF("doc_id", "source", "n_tok"),
+        "doc_id", "source", "n_tok", tmpDir("graft_tbgate_bad_"), out,
+        tmpDir("graft_tbgate_ck2_"))
+    }
+    assert(bad.getMessage.contains("token_budget_gate"))
+  }
+
   test("stratifiedSample runs unchanged on a stream (stateless md5 filter)") {
     // mixture sampling is a pure deterministic filter, so the SAME
     // operator screens a firehose with zero state — and batch/stream
