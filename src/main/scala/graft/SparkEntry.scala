@@ -1931,30 +1931,46 @@ object SparkEntry {
     * arithmetic (FLOOR+CAST mirrors Scala's toLong truncation for
     * non-negative values; frac ≥ 1 takes the same 'g' branch).
     */
-  private def tokenBudgetSampleSql: String = {
+  /** The q58 budget→threshold fragment shared by every token-budget
+    * sampler oracle (q58, q93's budget stage, q115's BPE-currency
+    * stage): per-source frac = LEAST(1, budget/tot) over a
+    * `(source, tot)` table named `totCte`, then the hexThreshold
+    * truncate-clamp-format arithmetic. ONE definition (SURVEY §14
+    * review-hardening) so the three samplers can never drift apart —
+    * before this, a budget or threshold change had to be edited in
+    * lockstep across three oracle strings.
+    */
+  private def budgetThresholdCtes(totCte: String, frCte: String,
+                                  thrCte: String): String = {
     val arms = graft.queries.Extensions.tokenBudgets.toSeq.sorted.map {
       case (src, b) => s"WHEN '$src' THEN ${b}.0"
     }.mkString("\n  ")
-    s"""WITH tok AS (SELECT source,
-       |               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
-       |             FROM documents),
-       |tot AS (SELECT source, SUM(n_tok) AS tot FROM tok GROUP BY source),
-       |fr AS (SELECT source,
+    // NOT stripped here: the fragment interpolates into |-margined
+    // outer templates whose own stripMargin pass handles these lines
+    // (stripping twice would eat the first | of the `|| REPEAT` concat)
+    s"""$frCte AS (SELECT source,
        |         LEAST(1.0, (CASE source
        |  $arms
        |  ELSE 0.0 END) / CAST(tot AS DOUBLE)) AS frac
-       |       FROM tot),
-       |thr AS (SELECT source,
+       |       FROM $totCte),
+       |$thrCte AS (SELECT source,
        |          CASE WHEN frac >= 1 THEN 'g'
        |               ELSE printf('%08x', CAST(LEAST(FLOOR(frac * 4294967296),
        |                                              4294967295) AS BIGINT))
        |                    || REPEAT('0', 24) END AS thr
-       |        FROM fr)
+       |        FROM $frCte)"""
+  }
+
+  private def tokenBudgetSampleSql: String =
+    s"""WITH tok AS (SELECT source,
+       |               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+       |             FROM documents),
+       |tot AS (SELECT source, SUM(n_tok) AS tot FROM tok GROUP BY source),
+       |${budgetThresholdCtes("tot", "fr", "thr")}
        |SELECT d.doc_id, d.source FROM documents d
        |JOIN thr ON d.source = thr.source
        |WHERE MD5(CAST(d.doc_id AS VARCHAR)) < thr.thr
        |ORDER BY d.doc_id""".stripMargin
-  }
 
   /** q141 oracle: the greedy md5-prefix rule replayed — per source the
     * running ws-token sum in (md5(id), id) order, rows kept while it
@@ -2295,9 +2311,6 @@ object SparkEntry {
     * into 512-token sequences.
     */
   private def curateTokenIdsSql: String = {
-    val arms = graft.queries.Extensions.tokenBudgets.toSeq.sorted.map {
-      case (src, b) => s"WHEN '$src' THEN ${b}.0"
-    }.mkString("\n  ")
     s"""WITH RECURSIVE $curationDeconCtes,
        |$bpeWordCtes,
        |$bpeIdCtes,
@@ -2312,17 +2325,7 @@ object SparkEntry {
        |tot2 AS (SELECT l.source, SUM(COALESCE(t.dn, 0)) AS tot
        |         FROM dlw l LEFT JOIN dtok t USING (doc_id)
        |         GROUP BY l.source),
-       |fr2 AS (SELECT source,
-       |          LEAST(1.0, (CASE source
-       |  $arms
-       |  ELSE 0.0 END) / CAST(tot AS DOUBLE)) AS frac
-       |        FROM tot2),
-       |thr2 AS (SELECT source,
-       |           CASE WHEN frac >= 1 THEN 'g'
-       |                ELSE printf('%08x', CAST(LEAST(FLOOR(frac * 4294967296),
-       |                                               4294967295) AS BIGINT))
-       |                     || REPEAT('0', 24) END AS thr
-       |         FROM fr2),
+       |${budgetThresholdCtes("tot2", "fr2", "thr2")},
        |samp2 AS (SELECT l.doc_id, l.source FROM dlw l
        |          JOIN thr2 ON l.source = thr2.source
        |          WHERE MD5(CAST(l.doc_id AS VARCHAR)) < thr2.thr),
@@ -2577,9 +2580,6 @@ object SparkEntry {
   }
 
   private def curationPipelineSql: String = {
-    val arms = graft.queries.Extensions.tokenBudgets.toSeq.sorted.map {
-      case (src, b) => s"WHEN '$src' THEN ${b}.0"
-    }.mkString("\n  ")
     val bounds = (1 until 8).map { i =>
       s"(CASE WHEN _k >= '${graft.ops.Sampling.hexThreshold(i / 8.0)}' " +
         "THEN 1 ELSE 0 END)"
@@ -2589,17 +2589,7 @@ object SparkEntry {
        |           CAST(LEN(STRING_SPLIT(clean_text, ' ')) AS BIGINT) AS n_tokens
        |         FROM decon),
        |tot AS (SELECT source, SUM(n_tokens) AS tot FROM smp0 GROUP BY source),
-       |fr AS (SELECT source,
-       |         LEAST(1.0, (CASE source
-       |  $arms
-       |  ELSE 0.0 END) / CAST(tot AS DOUBLE)) AS frac
-       |       FROM tot),
-       |thr AS (SELECT source,
-       |          CASE WHEN frac >= 1 THEN 'g'
-       |               ELSE printf('%08x', CAST(LEAST(FLOOR(frac * 4294967296),
-       |                                              4294967295) AS BIGINT))
-       |                    || REPEAT('0', 24) END AS thr
-       |        FROM fr),
+       |${budgetThresholdCtes("tot", "fr", "thr")},
        |samp AS (SELECT s0.doc_id, s0.source, s0.n_tokens FROM smp0 s0
        |         JOIN thr ON s0.source = thr.source
        |         WHERE MD5(CAST(s0.doc_id AS VARCHAR)) < thr.thr),
