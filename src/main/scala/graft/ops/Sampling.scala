@@ -435,10 +435,12 @@ object Sampling {
     * spec-check against each other. Strata absent from `budgets` drop
     * (not-in-the-recipe semantics); null token counts read as 0.
     *
-    * Shape at 100 TB: one running-sum window per stratum over NARROW
-    * (id, stratum, tokens) rows — the q55 exact-size-sampler shape
-    * (document text never rides the sort); budgets fold as plan
-    * literals. Deterministic → DuckDB hash-checked (q141).
+    * Shape at 100 TB: the running-sum window runs over NARROW
+    * (id, stratum, tokens) rows ONLY — the [[capPerKey]] shape: rank
+    * on a projected slice, then one id-keyed semi-join fetches the
+    * full admitted rows, so document text never rides the per-stratum
+    * sort; budgets fold as plan literals. Deterministic → DuckDB
+    * hash-checked (q141).
     */
   def tokenBudgetPrefix(df: DataFrame, idCol: String, stratumCol: String,
                         tokenCol: String,
@@ -454,12 +456,15 @@ object Sampling {
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("_budget", bcol)
+    val admitted = df
+      .select(col(idCol), col(stratumCol),
+        coalesce(col(tokenCol).cast("long"), lit(0L)).as("_tok"))
+      .withColumn("_budget", bcol)
       .where(col("_budget").isNotNull)
-      .withColumn("_cum",
-        sum(coalesce(col(tokenCol).cast("long"), lit(0L))).over(w))
+      .withColumn("_cum", sum(col("_tok")).over(w))
       .where(col("_cum") <= col("_budget"))
-      .drop("_budget", "_cum")
+      .select(col(idCol))
+    df.join(admitted, Seq(idCol), "left_semi")
   }
 
   /** Initialize the persisted state for [[graft.streaming.Streams

@@ -407,6 +407,37 @@ class ScaleSafetySpec extends SparkSpec {
     }
   }
 
+  test("round-14 queries keep scale shapes: dedup audit equi-joins, narrow prefix window") {
+    val sf = "/root/testdata/sf0.001"
+    def planOf(q: String) =
+      graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+    // the dedup audit's joins are all equi-keyed (shingle key, band
+    // bucket, (d1,d2) pair) — never a nested loop over pair sets;
+    // q140's scalar-total attaches are the documented 1-row carve-out,
+    // which Spark plans as bounded BNLJ/cartesian of single-row sides,
+    // so only q139 gets the strict pin
+    assert(!planOf("q139_dedup_recall").contains("BroadcastNestedLoopJoin") &&
+      !planOf("q139_dedup_recall").contains("CartesianProduct"),
+      "q139 must stay equi-join only")
+    // the budget-prefix window must sort NARROW rows: the token count
+    // rides the sort, never the text
+    val docs = (0 until 30)
+      .map(i => (i.toLong, s"w$i " * 5, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val pref = Sampling.tokenBudgetPrefix(
+      docs.select(col("doc_id"), col("source"),
+        expr("size(split(text, ' '))").cast("long").as("n_tok")),
+      "doc_id", "source", "n_tok", Map("a" -> 100L, "b" -> 100L))
+    val windows = pref.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(!w.child.output.map(_.name).contains("text"),
+        "the running-sum window input must be narrow (id, stratum, tokens)")
+    }
+  }
+
   test("learned-filter family keeps scale shapes: scalar-only BNLJ, equi ratio join, free bands") {
     val sf = "/root/testdata/sf0.001"
     def planOf(q: String) =
