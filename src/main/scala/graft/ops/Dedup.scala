@@ -545,6 +545,47 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** [[dedupRecall]] served from a [[buildTextIndex]] layout — audit
+    * the STANDING screen without re-tokenizing anything: candidates
+    * come from the persisted `bands/` (fixed-width keys, one
+    * bucket-capped self-join), truth from exact Jaccard over the
+    * persisted `sets/` restricted to shingle-colliding pairs. The
+    * deployment form of the audit: after a [[textIndexSink]] stream
+    * has grown the index, "is the banding still holding recall on
+    * what actually arrived" is one index read, not a corpus re-scan.
+    * `truthThreshold` bounds the truth side exactly as [[ngramJaccard]]
+    * does; `maxDf` is the inverted-index skew guard.
+    */
+  def dedupRecallFromIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, truthThreshold: Double = 0.2,
+                           nBands: Int = 10, maxBucket: Int = 1000,
+                           maxDf: Int = 1000): DataFrame = {
+    val sets = spark.read.parquet(s"$path/sets").repartition(col("doc_id"))
+    // exact truth from the persisted sets: inverted index over the
+    // exploded shingles (df-capped), pair stats, threshold — the
+    // ngramJaccard statement over the layout instead of raw text
+    val sh = sets.select(col("doc_id"), col("n"), explode(col("set")).as("s"))
+      .repartition(col("s"))
+      .withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("_df") <= maxDf)
+      .select(col("doc_id"), col("n"), col("s"))
+    val truth = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"),
+        first(col("a.n")).as("n1"), first(col("b.n")).as("n2"))
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") / (col("n1") + col("n2") - col("i")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= truthThreshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
+    val cand = candidatesFromBandKeys(
+      spark.read.parquet(s"$path/bands"), maxBucket)
+    dedupRecall(truth, cand, nBands)
+  }
+
   /** Persist the standing corpus's EXACT-dedup key index — the
     * ingest-time form of [[exact]], completing the persisted-index family
     * (IVF/LSH vector layouts, [[buildTextIndex]]): every admitted batch

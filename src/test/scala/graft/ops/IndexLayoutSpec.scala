@@ -552,6 +552,19 @@ class IndexLayoutSpec extends SparkSpec {
     val loose = canon(Dedup.minHashLshFromIndex(spark, dir, threshold = 0.2))
     assert(loose == canon(Dedup.minHashLsh(docs, "doc_id", "text", threshold = 0.2)))
     assert(loose.size >= direct.size)
+    // the recall audit served from the SAME layout == the from-scratch
+    // audit at matching parameters (zero re-tokenization)
+    def canonAudit(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Double, Long, Long, Double)].collect().toSet
+    val directAudit = canonAudit(Dedup.dedupRecall(
+      Dedup.ngramJaccard(docs, "doc_id", "text", w = 3, threshold = 0.2),
+      Dedup.lshCandidates(
+        Dedup.minHashSignatures(Dedup.shingleSets(docs, "doc_id", "text", 3), 8),
+        8, 4)))
+    val indexAudit = canonAudit(Dedup.dedupRecallFromIndex(spark, dir))
+    assert(indexAudit == directAudit,
+      "index-served recall audit must equal the from-scratch audit")
+    assert(indexAudit.nonEmpty)
   }
 
   test("ivfRebuildDrift: identity on the build corpus; real drift after streamed appends") {
