@@ -1052,6 +1052,12 @@ object Streams {
     * training mixtures are actually written in. `tokenCol` is a
     * caller-projected count column (TokenCountExpr, ws tokens — the
     * gate is tokenizer-agnostic); null counts spend 0 but still admit.
+    * The spend counts tokens DELIVERED: a duplicate id re-arriving in
+    * a LATER batch spends again (tracking every admitted id would be
+    * unbounded state — the quota gate's set discipline only works
+    * because its state is capped at n per key), so compose this rung
+    * AFTER the exact-dedup gate in the ingest ladder, where re-arrivals
+    * are already screened.
     *
     * Crash discipline (the quota gate's, adapted to a counter): the
     * OUTPUT appends first, the (key, batch_id, tokens) state delta

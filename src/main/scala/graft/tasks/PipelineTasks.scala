@@ -168,7 +168,9 @@ object PipelineTasks {
   /** `sample`: deterministic md5 sampling — exactly one of `frac`
     * (plain rate), `fracs` (per-stratum rates, q48), `budgets`
     * (per-stratum token budgets resolved to rates from the observed
-    * totals, q58), or `weights` + `total_tokens` (a mixture RECIPE —
+    * totals, q58; with `"exact": true` the greedy md5-prefix form that
+    * hits each budget exactly within one document — q141), or
+    * `weights` + `total_tokens` (a mixture RECIPE —
     * normalized weights × total budget resolved to per-stratum rates,
     * q133/q134; `replacement: true` upsamples the epochs > 1 strata
     * with a `copy` index instead of capping at 1). Schema passes
@@ -194,9 +196,21 @@ object PipelineTasks {
             else Sampling.stratifiedSample(df, id, stratum, fracs)
           } else if (cfg.has("budgets")) {
             val withTok = tokenCol(cfg)(df)
-            val fracs = Sampling.tokenBudgetFracs(withTok, stratum, "n_tokens",
-              longMap(cfg, "budgets"))
-            Sampling.stratifiedSample(df, id, stratum, fracs)
+            // "exact": true switches from the expectation sampler
+            // (rates from observed totals, the q58 form) to the greedy
+            // md5-prefix that hits each budget exactly within one doc
+            // (q141 / the streaming gate's batch rule); the semi-join
+            // keeps the task's schema-passthrough contract
+            if (cfg.str("exact", "false").toBoolean)
+              df.join(Sampling.tokenBudgetPrefix(withTok, id, stratum,
+                  "n_tokens", longMap(cfg, "budgets"))
+                  .select(org.apache.spark.sql.functions.col(id)),
+                Seq(id), "left_semi")
+            else {
+              val fracs = Sampling.tokenBudgetFracs(withTok, stratum,
+                "n_tokens", longMap(cfg, "budgets"))
+              Sampling.stratifiedSample(df, id, stratum, fracs)
+            }
           } else if (cfg.has("fracs"))
             Sampling.stratifiedSample(df, id, stratum, numMap(cfg, "fracs"))
           else Sampling.sample(df, id, cfg.str("frac").toDouble)

@@ -205,6 +205,26 @@ class PipelineTaskSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("exactly one of weights/budgets/fracs/frac")))
   }
 
+  test("sample task budgets with exact:true == tokenBudgetPrefix (q141 parity), schema unchanged") {
+    val wd = tmpDir("graft_pipetask_")
+    runTask(wd,
+      s"""{"tasks": [{"type": "sample", "name": "ex",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "sample": {"budgets": {"src0": 500, "src1": 800},
+         |             "tokens": "n_chars", "exact": "true"},
+         |  "target": {"file": "exact", "truncate": true}}]}""".stripMargin)
+    val out = outParquet(wd, "exact")
+    assert(out.columns.toSeq == docs.columns.toSeq,
+      "exact budgets must pass the schema through unchanged")
+    val expect = docs
+      .join(Sampling.tokenBudgetPrefix(
+          docs.withColumn("n_tokens", col("n_chars").cast("long")),
+          "doc_id", "source", "n_tokens",
+          Map("src0" -> 500L, "src1" -> 800L)).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    assert(rows(out) == rows(expect))
+  }
+
   test("split task == splitLabel / splitByGroup; keep filters one side; cap task == capPerKey (q47/q126/q127 parity)") {
     val wd = tmpDir("graft_pipetask_")
     runTask(wd,
