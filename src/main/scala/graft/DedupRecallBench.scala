@@ -68,20 +68,26 @@ object DedupRecallBench {
     val arms = Seq(Arm(3, 4, 4), Arm(3, 8, 2), Arm(3, 8, 4), Arm(3, 16, 4),
       Arm(3, 16, 8), Arm(2, 8, 4))
 
-    // one truth + one shingle-set pass per width, shared across arms
+    // one truth + one shingle-set pass per width, shared across arms;
+    // the truth op is the audit's quadratic-by-contract part, so its
+    // cost and pair count are recorded separately (the number that
+    // sizes the audit slice at corpus scale)
     val byW = arms.map(_.w).distinct.map { w =>
       val sets = dedup.shingleSets(corpus, "doc_id", "text", w)
         .localCheckpoint(true)
+      val t0 = System.nanoTime()
       val truth = dedup.ngramJaccard(corpus, "doc_id", "text",
           w = w, threshold = 0.05)
         .localCheckpoint(true)
-      w -> ((sets, truth))
+      val nPairs = truth.count()
+      val truthS = (System.nanoTime() - t0) / 1e9
+      w -> ((sets, truth, truthS, nPairs))
     }.toMap
 
     case class Res(arm: Arm, curve: Seq[(Long, Long, Long, Double)],
                    sum: (Long, Long, Long, Double, Double), secs: Double)
     val results = arms.map { a =>
-      val (sets, truth) = byW(a.w)
+      val (sets, truth, _, _) = byW(a.w)
       val t0 = System.nanoTime()
       val cand = dedup.lshCandidates(
         dedup.minHashSignatures(sets, a.k), a.k, a.bands)
@@ -120,6 +126,9 @@ object DedupRecallBench {
     val json =
       s"""{"bench":"dedup_recall","sf":"$sfDir","n_base":$nBase,""" +
         s""""n_docs":$nDocs,"perturbs":${perturbs.mkString("[", ",", "]")},""" +
+        s""""truth":${byW.toSeq.sortBy(_._1).map { case (w, (_, _, s, n)) =>
+          s"""{"w":$w,"secs":${fmt(s)},"n_pairs":$n}"""
+        }.mkString("[", ",", "]")},""" +
         s""""arms":$armJson,"loadavg_before":"$lv0"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("DEDUP_RECALL.json"),
       (json + "\n").getBytes("UTF-8"))
