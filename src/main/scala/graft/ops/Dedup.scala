@@ -560,27 +560,10 @@ object Dedup {
                            path: String, truthThreshold: Double = 0.2,
                            nBands: Int = 10, maxBucket: Int = 1000,
                            maxDf: Int = 1000): DataFrame = {
-    val sets = spark.read.parquet(s"$path/sets").repartition(col("doc_id"))
-    // exact truth from the persisted sets: inverted index over the
-    // exploded shingles (df-capped), pair stats, threshold — the
-    // ngramJaccard statement over the layout instead of raw text
-    val sh = sets.select(col("doc_id"), col("n"), explode(col("set")).as("s"))
-      .repartition(col("s"))
-      .withColumn("_df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .filter(col("_df") <= maxDf)
-      .select(col("doc_id"), col("n"), col("s"))
-    val truth = sh.as("a")
-      .join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("i"),
-        first(col("a.n")).as("n1"), first(col("b.n")).as("n2"))
-      .select(col("d1"), col("d2"),
-        (col("i").cast("double") / (col("n1") + col("n2") - col("i")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= truthThreshold)
-      .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
+    // exact truth from the persisted sets — the ngramJaccard statement
+    // over the layout instead of raw text
+    val truth = ngramJaccardFromSets(
+      spark.read.parquet(s"$path/sets"), truthThreshold, maxDf)
     val cand = candidatesFromBandKeys(
       spark.read.parquet(s"$path/bands"), maxBucket)
     dedupRecall(truth, cand, nBands)
@@ -1309,8 +1292,15 @@ object Dedup {
     * and then d2 — costs two extra shuffles of the full pair set.
     */
   private def shinglePairStats(df: DataFrame, idCol: String, textCol: String,
-                               w: Int, maxDf: Int): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, w)
+                               w: Int, maxDf: Int): DataFrame =
+    shinglePairStatsFromSets(shingleSets(df, idCol, textCol, w), maxDf)
+
+  /** [[shinglePairStats]] over an EXISTING (doc_id, set, n) table —
+    * the form [[ngramJaccardFromSets]]/[[dedupRecallFromIndex]] use so
+    * a shared or persisted shingle pass is never recomputed.
+    */
+  private def shinglePairStatsFromSets(sets: DataFrame,
+                                       maxDf: Int): DataFrame = {
     val sh = sets.select(col("doc_id"), col("n"), explode(col("set")).as("s"))
       .repartition(col("s")) // one reused exchange feeds both self-join sides
       .withColumn("_df",
@@ -1323,6 +1313,18 @@ object Dedup {
       .agg(count(lit(1)).as("i"),
         first(col("a.n")).as("n1"), first(col("b.n")).as("n2"))
   }
+
+  /** [[ngramJaccard]] over an existing [[shingleSets]] table — lets an
+    * audit (q139/q140) share ONE tokenize pass between the truth side
+    * and the minhash signature chain instead of paying it twice.
+    */
+  def ngramJaccardFromSets(sets: DataFrame, threshold: Double = 0.3,
+                           maxDf: Int = 1000): DataFrame =
+    shinglePairStatsFromSets(sets, maxDf)
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
 
   /** Asymmetric shingle containment — the sub-document duplication
     * screen. For a candidate pair (A, B) with shingle sets of sizes n1,

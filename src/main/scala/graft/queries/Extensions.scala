@@ -270,11 +270,13 @@ object Extensions {
   // against, instead of trusting 1-(1-j^r)^b on faith.
   val q139_dedup_recall: Q = (s, d) => {
     val docs = t(s, d, "documents")
-    val truth = Dedup.ngramJaccard(docs, "doc_id", "text",
-      w = 3, threshold = 0.2)
+    // ONE shingle pass feeds both the truth side and the signature
+    // chain (the minHashLsh reuse discipline)
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+      .repartition(col("doc_id"))
+    val truth = Dedup.ngramJaccardFromSets(sets, threshold = 0.2)
     val cand = Dedup.lshCandidates(
-      Dedup.minHashSignatures(Dedup.shingleSets(docs, "doc_id", "text", 3), 8),
-      k = 8, bands = 4)
+      Dedup.minHashSignatures(sets, 8), k = 8, bands = 4)
     Dedup.dedupRecall(truth, cand).orderBy(col("band"))
   }
 
@@ -284,11 +286,11 @@ object Extensions {
   // cost. The two numbers a banding change actually trades.
   val q140_dedup_screen: Q = (s, d) => {
     val docs = t(s, d, "documents")
-    val truth = Dedup.ngramJaccard(docs, "doc_id", "text",
-      w = 3, threshold = 0.2)
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+      .repartition(col("doc_id"))
+    val truth = Dedup.ngramJaccardFromSets(sets, threshold = 0.2)
     val cand = Dedup.lshCandidates(
-      Dedup.minHashSignatures(Dedup.shingleSets(docs, "doc_id", "text", 3), 8),
-      k = 8, bands = 4)
+      Dedup.minHashSignatures(sets, 8), k = 8, bands = 4)
     Dedup.dedupScreenSummary(truth, cand)
   }
 
