@@ -123,12 +123,48 @@ object DedupRecallBench {
         s""""curve":$curve,"at_threshold_0.5":{"n_truth":$st,"n_cand":$sc,""" +
         s""""n_hit":$shh,"precision":${fmt(p, 4)},"recall":${fmt(rec, 4)}}}"""
     }.mkString("[", ",", "]")
+    // ---- the containment BLIND SPOT, measured (q142's story) ----
+    // Plant prefix slices: doc (id + stride·p) = the first ~frac of a
+    // base doc's words, so containment(slice ⊂ base) ≈ 1 while jaccard
+    // ≈ frac. Truth = near-total-containment pairs CARRYING their
+    // jaccard; the audit bands by jaccard — if the screen tracks the
+    // jaccard S-curve on pairs whose containment is 1, minhash banding
+    // is measurably blind to containment, and short-in-long dups must
+    // route to the gram-excision path instead of the pair screen.
+    val fracs = Seq(15, 30, 50, 70, 90)
+    val contCorpus = fracs.map { f =>
+        base.select(
+          (col("doc_id") + lit((1000 + f).toLong * BenchHarness.ReplicaStride))
+            .as("doc_id"),
+          expr(s"""concat_ws(' ', slice(filter(split(text, ' '),
+                  |  x -> x <> ''), 1, greatest(3, cast(ceil(
+                  |  size(filter(split(text, ' '), x -> x <> '')) * $f
+                  |  / 100.0) as int))))""".stripMargin).as("text"))
+      }.foldLeft(base)(_ unionByName _)
+      .repartition(cpus).localCheckpoint(true)
+    val setsC = dedup.shingleSets(contCorpus, "doc_id", "text", 3)
+      .localCheckpoint(true)
+    val contTruth = dedup.containmentFromSets(setsC, threshold = 0.9)
+      .join(dedup.ngramJaccardFromSets(setsC, threshold = 0.0),
+        Seq("d1", "d2"))
+      .select(col("d1"), col("d2"), col("jaccard"))
+    val candC = dedup.lshCandidates(
+      dedup.minHashSignatures(setsC, 8), 8, 4)
+    val contCurve = dedup.dedupRecall(contTruth, candC)
+      .orderBy(col("band")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    val contJson = contCurve.map { case (b, t, h, rec) =>
+      s"""{"j_band":$b,"n_truth":$t,"n_hit":$h,"recall":${fmt(rec, 4)}}"""
+    }.mkString("[", ",", "]")
+
     val json =
       s"""{"bench":"dedup_recall","sf":"$sfDir","n_base":$nBase,""" +
         s""""n_docs":$nDocs,"perturbs":${perturbs.mkString("[", ",", "]")},""" +
         s""""truth":${byW.toSeq.sortBy(_._1).map { case (w, (_, _, s, n)) =>
           s"""{"w":$w,"secs":${fmt(s)},"n_pairs":$n}"""
         }.mkString("[", ",", "]")},""" +
+        s""""containment_blind_spot":$contJson,""" +
         s""""arms":$armJson,"loadavg_before":"$lv0"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("DEDUP_RECALL.json"),
       (json + "\n").getBytes("UTF-8"))
@@ -157,6 +193,20 @@ object DedupRecallBench {
       "r=1 screens collide near-always: recall must dominate the default")
     require(r44.sum._2 > dflt.sum._2,
       "r=1 must pay for that recall in candidate volume (precision trade)")
+    // the blind spot is REAL and the screen tracks jaccard only: low-j
+    // bands of containment≈1 pairs must mostly miss, high-j must hit
+    def contAt(lo: Long, hi: Long): Double = {
+      val rows = contCurve.filter(c => c._1 >= lo && c._1 <= hi)
+      val (t, h) = (rows.map(_._2).sum, rows.map(_._3).sum)
+      if (t == 0) -1.0 else h.toDouble / t
+    }
+    val blindLo = contAt(0L, 2L)
+    require(blindLo >= 0 && blindLo < 0.5,
+      f"containment blind spot should reproduce: recall $blindLo%.3f on " +
+        "j<0.3 bands of containment~1 pairs (expected mostly missed)")
+    val blindHi = contAt(8L, 9L)
+    require(blindHi >= 0.9,
+      f"high-jaccard containment pairs must still hit: $blindHi%.3f")
 
     // stdout stays short (the driver log tail is bounded): defaults +
     // the headline numbers only

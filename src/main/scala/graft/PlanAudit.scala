@@ -72,7 +72,8 @@ object PlanAudit {
       "q131_random_project", "q132_proj_knn_rerank", "q133_mixture_plan",
       "q134_mixture_sample", "q135_distribution_drift", "q136_corpus_diff",
       "q137_label_noise_ivf", "q138_numeric_drift", "q139_dedup_recall",
-      "q140_dedup_screen", "q141_token_budget_prefix")
+      "q140_dedup_screen", "q141_token_budget_prefix",
+      "q142_containment_recall")
     // optional args = audit only these queries (iterating on one
     // operator); a trailing `--json <path>` additionally writes the
     // table as the per-round PLANAUDIT artifact, so plan-shape

@@ -403,6 +403,7 @@ object SparkEntry {
     "q139_dedup_recall" -> dedupRecallSql,
     "q140_dedup_screen" -> dedupScreenSql,
     "q141_token_budget_prefix" -> tokenBudgetPrefixSql,
+    "q142_containment_recall" -> containmentRecallSql,
     "q135_distribution_drift" ->
       s"""WITH r AS (SELECT lang, COUNT(*) AS ref_n FROM documents GROUP BY lang),
          |rs AS (SELECT lang, ref_n,
@@ -3100,6 +3101,29 @@ object SparkEntry {
        |          ON t.d1 = l.d1 AND t.d2 = l.d2)
        |SELECT LEAST(9, CAST(FLOOR(j * 10) AS BIGINT)) AS band,
        |       ROUND(LEAST(9, CAST(FLOOR(j * 10) AS BIGINT)) / 10.0, 6) AS j_lo,
+       |       COUNT(*) AS n_truth, CAST(SUM(h) AS BIGINT) AS n_hit,
+       |       ROUND(CAST(SUM(h) AS DOUBLE) / COUNT(*), 6) AS recall
+       |FROM hit GROUP BY 1 ORDER BY band""".stripMargin
+
+  /** q142 oracle: containment truth from the SAME pair-stats chain
+    * (tinter/cnt), banded on GREATEST of the rounded containments,
+    * audited against the same LSH candidate set.
+    */
+  private def containmentRecallSql: String =
+    s"""WITH $dedupAuditCtes,
+       |ctr AS (SELECT i.d1, i.d2,
+       |          GREATEST(ROUND(CAST(i.i AS DOUBLE) / n1.n, 3),
+       |                   ROUND(CAST(i.i AS DOUBLE) / n2.n, 3)) AS c
+       |        FROM tinter i
+       |        JOIN cnt n1 ON n1.doc_id = i.d1
+       |        JOIN cnt n2 ON n2.doc_id = i.d2
+       |        WHERE GREATEST(CAST(i.i AS DOUBLE) / n1.n,
+       |                       CAST(i.i AS DOUBLE) / n2.n) >= 0.5),
+       |hit AS (SELECT t.c, CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END AS h
+       |        FROM ctr t LEFT JOIN lcand l
+       |          ON t.d1 = l.d1 AND t.d2 = l.d2)
+       |SELECT LEAST(9, CAST(FLOOR(c * 10) AS BIGINT)) AS band,
+       |       ROUND(LEAST(9, CAST(FLOOR(c * 10) AS BIGINT)) / 10.0, 6) AS j_lo,
        |       COUNT(*) AS n_truth, CAST(SUM(h) AS BIGINT) AS n_hit,
        |       ROUND(CAST(SUM(h) AS DOUBLE) / COUNT(*), 6) AS recall
        |FROM hit GROUP BY 1 ORDER BY band""".stripMargin

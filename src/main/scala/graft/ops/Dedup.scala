@@ -161,16 +161,22 @@ object Dedup {
     * equi-join (truth is audit-bounded, AQE broadcasts it), then a
     * map-side-combined aggregate on the nBands-bounded key.
     * Deterministic → DuckDB hash-checked (q139).
+    *
+    * `scoreCol` names the [0,1] truth score to band on — `jaccard` by
+    * default; pass `containment` to audit the screen against
+    * [[containment]] truth instead (q142: the short-in-long pairs
+    * minhash banding is BLIND to, measured rather than assumed away).
     */
   def dedupRecall(truthPairs: DataFrame, candPairs: DataFrame,
-                  nBands: Int = 10, scale: Int = 6): DataFrame = {
+                  nBands: Int = 10, scale: Int = 6,
+                  scoreCol: String = "jaccard"): DataFrame = {
     require(nBands >= 1, s"nBands must be positive: $nBands")
     val hits = candPairs.select(col("d1"), col("d2")).distinct()
       .withColumn("_hit", lit(1L))
     truthPairs
       .join(hits, Seq("d1", "d2"), "left")
       .select(least(lit(nBands - 1L),
-          floor(col("jaccard") * nBands).cast("long")).as("band"),
+          floor(col(scoreCol) * nBands).cast("long")).as("band"),
         coalesce(col("_hit"), lit(0L)).as("_h"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_truth"), sum(col("_h")).as("n_hit"))
@@ -1350,13 +1356,19 @@ object Dedup {
     */
   def containment(
       df: DataFrame, idCol: String, textCol: String,
-      w: Int = 3, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    shinglePairStats(df, idCol, textCol, w, maxDf)
+      w: Int = 3, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame =
+    containmentFromSets(shingleSets(df, idCol, textCol, w), threshold, maxDf)
+
+  /** [[containment]] over an existing [[shingleSets]] table — the
+    * shared-pass form ([[ngramJaccardFromSets]]'s convention).
+    */
+  def containmentFromSets(sets: DataFrame, threshold: Double = 0.5,
+                          maxDf: Int = 1000): DataFrame =
+    shinglePairStatsFromSets(sets, maxDf)
       .select(col("d1"), col("d2"),
         (col("i").cast("double") / col("n1")).as("_c12"),
         (col("i").cast("double") / col("n2")).as("_c21"))
       .filter(greatest(col("_c12"), col("_c21")) >= threshold)
       .select(col("d1"), col("d2"),
         round(col("_c12"), 3).as("c12"), round(col("_c21"), 3).as("c21"))
-  }
 }

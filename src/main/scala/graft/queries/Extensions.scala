@@ -294,6 +294,27 @@ object Extensions {
     Dedup.dedupScreenSummary(truth, cand)
   }
 
+  // q142 containment recall — the q139 audit pointed at the screen's
+  // KNOWN blind spot: containment truth (q77's short-in-long signal,
+  // max(c12, c21) ≥ 0.5) banded by the containment value, scored for
+  // what the minhash screen surfaced. Minhash estimates JACCARD, and a
+  // short doc quoted inside a long one has containment 1 at jaccard
+  // ≈ n1/n2 — the low bands here are expected to read near zero, which
+  // is the measured case for routing such pairs to the gram-excision
+  // path instead of the pair screen.
+  val q142_containment_recall: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+      .repartition(col("doc_id"))
+    val truth = Dedup.containmentFromSets(sets, threshold = 0.5)
+      .select(col("d1"), col("d2"),
+        greatest(col("c12"), col("c21")).as("containment"))
+    val cand = Dedup.lshCandidates(
+      Dedup.minHashSignatures(sets, 8), k = 8, bands = 4)
+    Dedup.dedupRecall(truth, cand, scoreCol = "containment")
+      .orderBy(col("band"))
+  }
+
   // q141 exact token-budget prefix — the deterministic greedy twin of
   // q58's expectation sampler and the batch semantics the streaming
   // token-budget gate replays per micro-batch: per source, md5-ranked
@@ -1597,5 +1618,6 @@ object Extensions {
     "q138_numeric_drift" -> q138_numeric_drift,
     "q139_dedup_recall" -> q139_dedup_recall,
     "q140_dedup_screen" -> q140_dedup_screen,
-    "q141_token_budget_prefix" -> q141_token_budget_prefix)
+    "q141_token_budget_prefix" -> q141_token_budget_prefix,
+    "q142_containment_recall" -> q142_containment_recall)
 }
