@@ -1322,6 +1322,16 @@ class StreamsSpec extends SparkSpec {
         .as[(String, Long, Long)].collect().toSet
       assert(st == Set(("srcA", 0L, 8L), ("srcA", 1L, 1L), ("srcB", 1L, 5L)),
         s"$st")
+      // window (d) of the crash ladder: a delta that landed TWICE (the
+      // replay-after-commit-death case re-appends byte-identically)
+      // must not double-count — the ledger reads through DISTINCT, so
+      // srcA still has 10-8-1 = 1 token left, not 10-16-1
+      Seq(("srcA", 0L, 8L)).toDF("key", "batch_id", "tokens")
+        .write.mode("append").parquet(s"$state/committed")
+      mem.addData((8L, "srcA", 1L)); q.processAllAvailable()
+      assert(spark.read.parquet(out).select("doc_id").as[Long]
+          .collect().toSet.contains(8L),
+        "a duplicated delta row must not halve the real budget")
     } finally q.stop()
     // wrong-layout path fails fast at sink start
     val bad = intercept[IllegalArgumentException] {
