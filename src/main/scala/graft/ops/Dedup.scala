@@ -532,6 +532,42 @@ object Dedup {
     sets.write.mode("overwrite").parquet(s"$path/sets")
     bandKeys(minHashSignatures(sets, k), k, bands)
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    // the frozen-geometry meta every persisted layout carries: probes
+    // don't need it (band keys are self-describing), but rebanding and
+    // sink-start consistency checks do
+    graft.ops.Similarity.writeIndexMeta(docs.sparkSession, path, Seq(
+      "layout" -> "text_dedup", "w" -> w.toString, "k" -> k.toString,
+      "bands" -> bands.toString))
+  }
+
+  /** Re-derive `bands/` from the persisted `sets/` under a NEW (k,
+    * bands) geometry — the tuning loop [[dedupRecall]] (q139) closes:
+    * audit the screen, pick a banding off the measured S-curve, reband,
+    * re-audit — all WITHOUT re-tokenizing the corpus (minhash
+    * signatures are a projection of the stored set column; the
+    * tokenize+md5 pass that dominates dedup cost is never re-paid).
+    * Shingle width `w` is NOT retunable here — changing it needs the
+    * original text (a rebuild with the original builder). The swap is
+    * the staged two-rename discipline ([[graft.ops.IndexMaintenance
+    * .compact]]); run with dependent sinks stopped, like every
+    * frozen-geometry refresh. Updates `meta` to the new geometry.
+    */
+  def rebandTextIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, k: Int, bands: Int): Unit = {
+    require(k >= 1 && bands >= 1 && k % bands == 0,
+      s"bad banding: k=$k must be a positive multiple of bands=$bands")
+    val meta = graft.ops.Similarity.readIndexMeta(spark, path)
+    require(meta.get("layout").forall(_ == "text_dedup"),
+      s"not a text_dedup layout: $path (meta ${meta.get("layout")})")
+    val sets = spark.read.parquet(s"$path/sets")
+    graft.ops.IndexMaintenance.stageAndSwap(spark, s"$path/bands") { tmp =>
+      bandKeys(minHashSignatures(sets, k), k, bands)
+        .write.partitionBy("band").parquet(tmp)
+    }
+    graft.ops.Similarity.writeIndexMeta(spark, path, Seq(
+      "layout" -> "text_dedup",
+      "w" -> meta.getOrElse("w", "3"), "k" -> k.toString,
+      "bands" -> bands.toString))
   }
 
   /** [[minHashLsh]] served from a [[buildTextIndex]] layout: same output

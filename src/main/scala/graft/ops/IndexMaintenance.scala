@@ -257,6 +257,19 @@ object IndexMaintenance {
     }
   }
 
+  /** The text layout's rebuild is a REBAND under its own meta geometry
+    * ([[graft.ops.Dedup.rebandTextIndex]]): bands re-derive from the
+    * persisted sets — no original text needed, so it lives outside the
+    * vector dispatch above (which must decode stored vectors first).
+    * Handled separately by the rebuild task.
+    */
+  def rebuildText(spark: SparkSession, dir: String): Unit = {
+    val meta = graft.ops.Similarity.readIndexMeta(spark, dir)
+    graft.ops.Dedup.rebandTextIndex(spark, dir,
+      k = meta.getOrElse("k", "8").toInt,
+      bands = meta.getOrElse("bands", "4").toInt)
+  }
+
   /** Stage a rewrite of `dir` into a sibling `_compact_tmp` (the
     * `write` callback owns the staging write), then swap it live with
     * the two-rename discipline documented on [[compact]].

@@ -465,9 +465,22 @@ object PipelineTasks {
     def run(ctx: TaskContext, task: Node, log: TaskLog): Unit = {
       val cfg = task("rebuild")
       val path = ctx.dir(cfg.str("path"))
-      graft.ops.IndexMaintenance.rebuild(ctx.spark, path,
-        cfg.str("id", "vec_id"), cfg.str("vec", "embedding"))
-      log.write(s"rebuilt index geometry at $path")
+      val meta = graft.ops.Similarity.readIndexMeta(ctx.spark, path)
+      if (meta.get("layout").contains("text_dedup")) {
+        // text layout: a reband from the persisted sets — optional
+        // k/bands override retunes the screen off the q139 audit
+        // without re-tokenizing
+        graft.ops.Dedup.rebandTextIndex(ctx.spark, path,
+          k = cfg.strOpt("k").map(_.toInt)
+            .getOrElse(meta.getOrElse("k", "8").toInt),
+          bands = cfg.strOpt("bands").map(_.toInt)
+            .getOrElse(meta.getOrElse("bands", "4").toInt))
+        log.write(s"rebanded text index at $path")
+      } else {
+        graft.ops.IndexMaintenance.rebuild(ctx.spark, path,
+          cfg.str("id", "vec_id"), cfg.str("vec", "embedding"))
+        log.write(s"rebuilt index geometry at $path")
+      }
     }
   }
 

@@ -565,6 +565,19 @@ class IndexLayoutSpec extends SparkSpec {
     assert(indexAudit == directAudit,
       "index-served recall audit must equal the from-scratch audit")
     assert(indexAudit.nonEmpty)
+    // reband: a NEW (k, bands) geometry derived from the persisted sets
+    // — the q139 tuning loop without re-tokenizing; probes then equal
+    // the direct pipeline at the new banding, and meta tracks it
+    Dedup.rebandTextIndex(spark, dir, k = 16, bands = 8)
+    assert(canon(Dedup.minHashLshFromIndex(spark, dir)) ==
+      canon(Dedup.minHashLsh(docs, "doc_id", "text", k = 16, bands = 8)),
+      "rebanded probes must equal the direct pipeline at the new banding")
+    val meta = Similarity.readIndexMeta(spark, dir)
+    assert(meta("k") == "16" && meta("bands") == "8" && meta("w") == "3")
+    // geometry sanity: k % bands must hold
+    val bad = intercept[IllegalArgumentException](
+      Dedup.rebandTextIndex(spark, dir, k = 8, bands = 3))
+    assert(bad.getMessage.contains("multiple"))
   }
 
   test("ivfRebuildDrift: identity on the build corpus; real drift after streamed appends") {

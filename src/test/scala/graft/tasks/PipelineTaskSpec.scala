@@ -409,6 +409,19 @@ class PipelineTaskSpec extends SparkSpec {
     assert(d._1 == 40L && d._2 == 40L)
     assert(graft.ops.Similarity.readIndexMeta(spark, s"$wd/output/vidx")
       .get("layout").contains("ivf_int8"))
+    // text layout: the same task type rebands from the persisted sets,
+    // with k/bands overrides retuning the screen off the q139 audit
+    Dedup.buildTextIndex(docs.limit(60), "doc_id", "text", s"$wd/output/tidx")
+    runTask(wd,
+      s"""{"tasks": [{"type": "rebuild", "name": "rt",
+         |  "rebuild": {"path": "output/tidx", "k": "16", "bands": "8"}}]}"""
+        .stripMargin)
+    val tm = graft.ops.Similarity.readIndexMeta(spark, s"$wd/output/tidx")
+    assert(tm("layout") == "text_dedup" && tm("k") == "16" &&
+      tm("bands") == "8")
+    assert(rows(Dedup.minHashLshFromIndex(spark, s"$wd/output/tidx")) ==
+      rows(Dedup.minHashLsh(docs.limit(60), "doc_id", "text",
+        k = 16, bands = 8)))
   }
 
   test("compact task: line_deltas mode folds committed tokens via the checkpoint") {
