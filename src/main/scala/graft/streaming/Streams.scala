@@ -1541,7 +1541,10 @@ object Streams {
     * as soon as their batch commits, with zero corpus re-tokenization.
     * `w`/`k`/`bands` must match the values the batch builder used —
     * minhash keys are deterministic functions of them, so a mismatch
-    * would silently partition streamed docs away from the batch corpus.
+    * would silently partition streamed docs away from the batch corpus;
+    * a layout carrying the round-14 geometry meta is CHECKED at sink
+    * start (fail-fast, the gate convention) — pre-meta layouts still
+    * trust the caller.
     * Docs with no shingles (null/too-short text) are refused at the door,
     * matching the batch builder. Appends run through `foreachBatch` like
     * the vector sinks (the parquet file sink's `_spark_metadata` log
@@ -1552,7 +1555,16 @@ object Streams {
     */
   def textIndexSink(stream: DataFrame, idCol: String, textCol: String,
                     path: String, checkpoint: String, w: Int = 3, k: Int = 8,
-                    bands: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+                    bands: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
+    val meta = graft.ops.Similarity.readIndexMeta(stream.sparkSession, path)
+    if (meta.get("layout").contains("text_dedup")) {
+      val stored = (meta("w"), meta("k"), meta("bands"))
+      require(stored == ((w.toString, k.toString, bands.toString)),
+        s"textIndexSink geometry (w=$w, k=$k, bands=$bands) disagrees " +
+          s"with the layout at $path (w=${stored._1}, k=${stored._2}, " +
+          s"bands=${stored._3}) — appending would silently partition " +
+          "streamed docs away from the batch corpus; reband or match")
+    }
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // one tokenize pass serves both tables — the index's whole point
@@ -1568,6 +1580,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+  }
 
   /** Running token offset per shard for [[packStream]]. */
   case class PackState(offset: Long)

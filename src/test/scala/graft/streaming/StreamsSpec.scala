@@ -1018,6 +1018,14 @@ class StreamsSpec extends SparkSpec {
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(pairs == full,
       s"streamed index must be pair-identical to a from-scratch build: $pairs vs $full")
+    // a sink whose geometry disagrees with the layout meta must refuse
+    // at START — appending k=16 bands into a k=8 layout would silently
+    // partition streamed docs away from the batch corpus
+    val bad = intercept[IllegalArgumentException] {
+      Streams.textIndexSink(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", dir, s"$dir/ckpt2", k = 16, bands = 8)
+    }
+    assert(bad.getMessage.contains("disagrees"))
   }
 
   test("packStream: offsets continue across micro-batches and match the batch twin") {
