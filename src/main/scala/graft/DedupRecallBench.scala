@@ -31,8 +31,13 @@ import org.apache.spark.sql.functions._
   * Assertions (a regression FAILS the bench, the AnnRecallBench
   * contract): the shipped default (w=3, k=8, bands=4) must hold recall
   * ≥ 0.95 on the j ≥ 0.8 bands and ≥ 0.60 against truth ≥ 0.5; more
-  * bands at the same r must not lose recall (16,8 ≥ 8,4 − eps); fewer
-  * rows per band must not lose recall ((8,2) ≥ (8,4) − eps).
+  * bands at the SAME rows-per-band must not lose recall — (16,8) ≥
+  * (8,4) − eps at r=2 and (16,4) ≥ (8,2) − eps at r=4 (comparing
+  * different r at the same band count is NOT monotone and is not
+  * asserted); the r=1 screen (4,4) must dominate the default's recall
+  * on j ≥ 0.5 AND pay for it in candidate volume (the precision
+  * trade); the containment blind spot must reproduce (< 0.5 recall on
+  * j < 0.3 bands of containment≈1 pairs, ≥ 0.9 on j ≥ 0.8).
   *
   * Output: one JSON line (the [[Bench]] discipline) + the full table
   * in DEDUP_RECALL.json; recorded in BASELINE.md.

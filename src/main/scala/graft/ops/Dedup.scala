@@ -550,23 +550,51 @@ object Dedup {
     * original text (a rebuild with the original builder). The swap is
     * the staged two-rename discipline ([[graft.ops.IndexMaintenance
     * .compact]]); run with dependent sinks stopped, like every
-    * frozen-geometry refresh. Updates `meta` to the new geometry.
+    * frozen-geometry refresh.
+    *
+    * Crash order (the fail-closed discipline the sink check depends
+    * on): a `rebanding` tombstone lands in `meta` BEFORE the bands
+    * swap, and the final meta (new geometry, no tombstone) lands only
+    * AFTER it. A crash anywhere in between leaves the tombstone, and
+    * [[graft.streaming.Streams.textIndexSink]] refuses to start on a
+    * tombstoned layout — no window exists where meta vouches for a
+    * geometry the bands don't carry. Recovery = re-run the reband
+    * (idempotent: bands re-derive from the unchanged sets).
+    *
+    * Requires the layout meta contract (`buildTextIndex` writes it):
+    * a pre-meta layout's shingle width is unknowable here, and
+    * stamping a default would make the sink check reject the true `w`
+    * — rebuild once with the original builder to adopt meta first.
     */
   def rebandTextIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, k: Int, bands: Int): Unit = {
     require(k >= 1 && bands >= 1 && k % bands == 0,
       s"bad banding: k=$k must be a positive multiple of bands=$bands")
     val meta = graft.ops.Similarity.readIndexMeta(spark, path)
-    require(meta.get("layout").forall(_ == "text_dedup"),
-      s"not a text_dedup layout: $path (meta ${meta.get("layout")})")
+    require(meta.get("layout").contains("text_dedup"),
+      s"not a text_dedup layout: $path (meta ${meta.get("layout")}; a " +
+        "pre-meta layout must be rebuilt once with buildTextIndex to " +
+        "adopt the meta contract before rebanding)")
+    val w = meta.getOrElse("w", throw new IllegalArgumentException(
+      s"text_dedup layout at $path carries no shingle width in meta — " +
+        "rebuild with buildTextIndex rather than guess w"))
     val sets = spark.read.parquet(s"$path/sets")
+    // tombstone first: from here until the final meta write, sink
+    // starts fail closed instead of trusting a possibly-stale geometry
+    graft.ops.Similarity.writeIndexMeta(spark, path, Seq(
+      "layout" -> "text_dedup", "w" -> w,
+      "k" -> meta.getOrElse("k", k.toString),
+      "bands" -> meta.getOrElse("bands", bands.toString),
+      "rebanding" -> s"$k/$bands"))
     graft.ops.IndexMaintenance.stageAndSwap(spark, s"$path/bands") { tmp =>
+      // overwrite: a crashed earlier reband may have left a stale
+      // staged copy — the documented recovery is re-run, so the stage
+      // write must clobber it
       bandKeys(minHashSignatures(sets, k), k, bands)
-        .write.partitionBy("band").parquet(tmp)
+        .write.mode("overwrite").partitionBy("band").parquet(tmp)
     }
     graft.ops.Similarity.writeIndexMeta(spark, path, Seq(
-      "layout" -> "text_dedup",
-      "w" -> meta.getOrElse("w", "3"), "k" -> k.toString,
+      "layout" -> "text_dedup", "w" -> w, "k" -> k.toString,
       "bands" -> bands.toString))
   }
 

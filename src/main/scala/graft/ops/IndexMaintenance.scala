@@ -261,13 +261,16 @@ object IndexMaintenance {
     * ([[graft.ops.Dedup.rebandTextIndex]]): bands re-derive from the
     * persisted sets — no original text needed, so it lives outside the
     * vector dispatch above (which must decode stored vectors first).
-    * Handled separately by the rebuild task.
+    * The rebuild task's text arm dispatches HERE (single dispatch
+    * point); `k`/`bands` overrides retune the screen off the q139
+    * audit, defaults re-derive the meta geometry.
     */
-  def rebuildText(spark: SparkSession, dir: String): Unit = {
+  def rebuildText(spark: SparkSession, dir: String,
+                  k: Option[Int] = None, bands: Option[Int] = None): Unit = {
     val meta = graft.ops.Similarity.readIndexMeta(spark, dir)
     graft.ops.Dedup.rebandTextIndex(spark, dir,
-      k = meta.getOrElse("k", "8").toInt,
-      bands = meta.getOrElse("bands", "4").toInt)
+      k = k.getOrElse(meta.getOrElse("k", "8").toInt),
+      bands = bands.getOrElse(meta.getOrElse("bands", "4").toInt))
   }
 
   /** Stage a rewrite of `dir` into a sibling `_compact_tmp` (the

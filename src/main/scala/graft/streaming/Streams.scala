@@ -1558,6 +1558,13 @@ object Streams {
                     bands: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
     val meta = graft.ops.Similarity.readIndexMeta(stream.sparkSession, path)
     if (meta.get("layout").contains("text_dedup")) {
+      // a reband tombstone means a reband crashed between its meta
+      // write and its bands swap — meta may vouch for a geometry the
+      // bands don't carry, so fail CLOSED rather than trust either
+      require(!meta.contains("rebanding"),
+        s"layout at $path has an interrupted reband in flight " +
+          s"(tombstone rebanding=${meta("rebanding")}) — re-run " +
+          "rebandTextIndex to completion before starting the sink")
       val stored = (meta("w"), meta("k"), meta("bands"))
       require(stored == ((w.toString, k.toString, bands.toString)),
         s"textIndexSink geometry (w=$w, k=$k, bands=$bands) disagrees " +

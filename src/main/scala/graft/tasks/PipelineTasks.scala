@@ -470,11 +470,9 @@ object PipelineTasks {
         // text layout: a reband from the persisted sets — optional
         // k/bands override retunes the screen off the q139 audit
         // without re-tokenizing
-        graft.ops.Dedup.rebandTextIndex(ctx.spark, path,
-          k = cfg.strOpt("k").map(_.toInt)
-            .getOrElse(meta.getOrElse("k", "8").toInt),
-          bands = cfg.strOpt("bands").map(_.toInt)
-            .getOrElse(meta.getOrElse("bands", "4").toInt))
+        graft.ops.IndexMaintenance.rebuildText(ctx.spark, path,
+          k = cfg.strOpt("k").map(_.toInt),
+          bands = cfg.strOpt("bands").map(_.toInt))
         log.write(s"rebanded text index at $path")
       } else {
         graft.ops.IndexMaintenance.rebuild(ctx.spark, path,

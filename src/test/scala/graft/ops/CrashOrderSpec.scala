@@ -525,6 +525,55 @@ class CrashOrderSpec extends SparkSpec {
     } finally noInjection()
   }
 
+  test("rebandTextIndex crash mid-reband: tombstone fails sink starts closed, re-run recovers") {
+    val dir = faultyDir("graft_crash_reband_")
+    try {
+      val docs = Seq(
+        (1L, "one two three four five six seven eight"),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text")
+      Dedup.buildTextIndex(docs, "doc_id", "text", dir) // w=3, k=8, bands=4
+
+      // crash the bands swap at its FIRST rename: the tombstone is
+      // already down, bands/ still carries the old geometry
+      FaultyFs.failWhen = Some(_.endsWith("_compact_old"))
+      val e = intercept[IllegalArgumentException](
+        Dedup.rebandTextIndex(spark, dir, k = 16, bands = 8))
+      assert(e.getMessage.contains("layout untouched"))
+      noInjection()
+
+      val meta = Similarity.readIndexMeta(spark, dir)
+      assert(meta.get("rebanding").contains("16/8"),
+        s"the tombstone must precede the swap, got $meta")
+      // the pre-reband geometry is still recorded for probes...
+      assert(meta("k") == "8" && meta("bands") == "4")
+      // ...but a sink start at EITHER geometry fails CLOSED — this is
+      // the window where trusting meta would append mismatched keys
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      for ((k, b) <- Seq((8, 4), (16, 8))) {
+        val refuse = intercept[IllegalArgumentException](
+          graft.streaming.Streams.textIndexSink(
+            mem.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+            s"$dir/ckpt", k = k, bands = b))
+        assert(refuse.getMessage.contains("interrupted reband"),
+          s"geometry ($k,$b) must be refused while tombstoned")
+      }
+      // documented recovery: re-run the reband to completion (bands
+      // re-derive from the unchanged sets — idempotent)
+      Dedup.rebandTextIndex(spark, dir, k = 16, bands = 8)
+      val after = Similarity.readIndexMeta(spark, dir)
+      assert(!after.contains("rebanding"), "tombstone must clear on success")
+      assert(after("k") == "16" && after("bands") == "8" && after("w") == "3")
+      // and the sink starts again at the rebanded geometry only
+      val q = graft.streaming.Streams.textIndexSink(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+        tmpDir("graft_reband_ckpt_"), k = 16, bands = 8)
+      q.stop()
+    } finally noInjection()
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
