@@ -1057,7 +1057,11 @@ object Streams {
     * unbounded state — the quota gate's set discipline only works
     * because its state is capped at n per key), so compose this rung
     * AFTER the exact-dedup gate in the ingest ladder, where re-arrivals
-    * are already screened.
+    * are already screened. WITHIN a batch the gate protects itself:
+    * rows collapse to one per (stratum, id) — max token count, the
+    * conservative spend — before the prefix ranks, so the same id
+    * landing twice in one batch (with equal or different counts)
+    * spends once and admits once.
     *
     * Crash discipline (the quota gate's, adapted to a counter): the
     * OUTPUT appends first, the (key, batch_id, tokens) state delta
@@ -1100,7 +1104,15 @@ object Streams {
           .select(col(stratumCol).cast("string").as("key"),
             col(idCol).cast("long").as("id"),
             coalesce(col(tokenCol).cast("long"), lit(0L)).as("_tok"))
-          .distinct()
+          // ONE row per (key, id): the upstream exact-dedup gate screens
+          // cross-batch re-arrivals but not the same id landing twice in
+          // one batch with DIFFERENT token counts (re-crawled doc, same
+          // id) — a distinct() would keep both rows, rank both in the
+          // prefix, and spend the budget twice while the id-keyed
+          // semi-join admits every row of the id. Deterministic pick:
+          // the max count (the conservative spend).
+          .groupBy(col("key"), col("id"))
+          .agg(max(col("_tok")).as("_tok"))
           .join(broadcast(budgets), Seq("key"))
           .join(broadcast(used), Seq("key"), "left")
           .withColumn("_cum", sum(col("_tok")).over(w))
