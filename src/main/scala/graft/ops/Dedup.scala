@@ -558,8 +558,12 @@ object Dedup {
     * AFTER it. A crash anywhere in between leaves the tombstone, and
     * [[graft.streaming.Streams.textIndexSink]] refuses to start on a
     * tombstoned layout — no window exists where meta vouches for a
-    * geometry the bands don't carry. Recovery = re-run the reband
-    * (idempotent: bands re-derive from the unchanged sets).
+    * geometry the bands don't carry. Recovery = re-run the reband, in
+    * EVERY crash window (bands re-derive from the unchanged sets; a
+    * crash between the swap's two renames resumes via the staged copy —
+    * [[graft.ops.IndexMaintenance.stageAndSwap]] — which is safe to
+    * promote only because the guard below drops it when the re-run
+    * requests a different geometry than the crashed run staged).
     *
     * Requires the layout meta contract (`buildTextIndex` writes it):
     * a pre-meta layout's shingle width is unknowable here, and
@@ -581,11 +585,29 @@ object Dedup {
     val sets = spark.read.parquet(s"$path/sets")
     // tombstone first: from here until the final meta write, sink
     // starts fail closed instead of trusting a possibly-stale geometry
+    val priorTombstone = meta.get("rebanding")
     graft.ops.Similarity.writeIndexMeta(spark, path, Seq(
       "layout" -> "text_dedup", "w" -> w,
       "k" -> meta.getOrElse("k", k.toString),
       "bands" -> meta.getOrElse("bands", bands.toString),
       "rebanding" -> s"$k/$bands"))
+    // mid-swap resume guard: if an earlier reband crashed BETWEEN the
+    // swap's two renames (bands/ absent, staged copy complete),
+    // stageAndSwap resumes by promoting the staged copy — which carries
+    // the CRASHED run's geometry (the prior tombstone). Promoting it
+    // under a different requested geometry would stamp meta with keys
+    // the bands don't carry, so drop the stale copy and restage (sets/
+    // is intact — restaging is exactly the normal reband work).
+    locally {
+      val bandsP = new org.apache.hadoop.fs.Path(s"$path/bands")
+      val fs = bandsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmpP = new org.apache.hadoop.fs.Path(s"$path/bands_compact_tmp")
+      if (!fs.exists(bandsP) && fs.exists(tmpP) &&
+          !priorTombstone.contains(s"$k/$bands"))
+        require(fs.delete(tmpP, true),
+          s"reband aborted: stale staged copy at $tmpP (geometry " +
+            s"${priorTombstone.getOrElse("unknown")}) could not be dropped")
+    }
     graft.ops.IndexMaintenance.stageAndSwap(spark, s"$path/bands") { tmp =>
       // overwrite: a crashed earlier reband may have left a stale
       // staged copy — the documented recovery is re-run, so the stage

@@ -276,26 +276,55 @@ object IndexMaintenance {
   /** Stage a rewrite of `dir` into a sibling `_compact_tmp` (the
     * `write` callback owns the staging write), then swap it live with
     * the two-rename discipline documented on [[compact]].
+    *
+    * Crash recovery = RE-RUN, in every window: a crash before the first
+    * rename leaves the live dir untouched (the rerun restages and
+    * swaps); a crash BETWEEN the renames leaves the live dir absent and
+    * a COMPLETE staged copy at `_compact_tmp` (the first rename only
+    * runs after `write` returned) — the rerun detects that state and
+    * completes the single remaining `tmp -> dir` rename WITHOUT calling
+    * `write` again, which matters because several `write` callbacks
+    * ([[compact]], [[rebuild]]) read the live dir that no longer
+    * exists. A caller whose staged content depends on parameters that
+    * may differ across runs (reband geometry) must delete a stale tmp
+    * before calling when the parameters changed — see
+    * [[graft.ops.Dedup.rebandTextIndex]].
     */
   private[graft] def stageAndSwap(spark: SparkSession, dir: String)
                           (write: String => Unit): Unit = {
     val tmp = dir.stripSuffix("/") + "_compact_tmp"
-    write(tmp)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
     val old = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "_compact_old")
     // Hadoop FS signals failure by RETURN VALUE: an unchecked false from
     // either rename could nest a directory inside another (doubling
     // rows) or lose track of the live layout — both must abort loudly
+    if (!fs.exists(p) && fs.exists(tmpP)) {
+      // resuming a crash between a previous run's two renames: the
+      // pre-crash layout is already aside at _compact_old and the staged
+      // copy is complete — promote it with the one remaining rename
+      // (restaging is impossible here for callers that read the live dir)
+      require(fs.rename(tmpP, p),
+        s"compaction resume failed: could not rename $tmp -> $dir")
+    } else {
+      write(tmp)
+      if (fs.exists(p)) {
+        if (fs.exists(old)) require(fs.delete(old, true),
+          s"compaction aborted: stale $old exists and could not be deleted")
+        require(fs.rename(p, old),
+          s"compaction aborted: could not move $dir aside (layout untouched; " +
+            s"staged copy at $tmp)")
+      }
+      // (p absent here = resuming a mid-swap crash whose stale staged
+      // copy the caller dropped to restage — the aside copy already
+      // holds the pre-crash layout, so only the promote rename remains)
+      require(fs.rename(tmpP, p),
+        s"compaction interrupted between renames: RE-RUN to recover (the " +
+          s"rerun completes the single $tmp -> $dir rename); previous " +
+          s"layout preserved at $old")
+    }
     if (fs.exists(old)) require(fs.delete(old, true),
-      s"compaction aborted: stale $old exists and could not be deleted")
-    require(fs.rename(p, old),
-      s"compaction aborted: could not move $dir aside (layout untouched; " +
-        s"staged copy at $tmp)")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"compaction interrupted between renames: recover with ONE rename " +
-        s"($tmp -> $dir); previous layout preserved at $old")
-    require(fs.delete(old, true),
       s"compaction succeeded but could not delete $old — delete it manually")
   }
 

@@ -1747,24 +1747,60 @@ object Similarity {
     * builder so audits ([[ivfRebuildDrift]]) and rebuilds re-derive the
     * SAME geometry the build used instead of trusting the caller to
     * remember `kmeansIters` & co.
+    *
+    * The write is staged: the new table lands COMPLETE at
+    * `path/meta_tmp` first, then swaps over `meta` (delete + rename).
+    * A `mode("overwrite")` write directly to `meta` would delete the old
+    * table before the new job commits — a crash inside the job would
+    * leave the layout meta-LESS for its whole duration, which downgrades
+    * every meta-gated check (reband tombstones, sink-start geometry).
+    * With staging, the only meta-absent window is between the delete
+    * and the rename, and the complete staged copy survives it —
+    * [[readIndexMeta]] finishes that swap on the next read.
     */
   private[graft] def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
                                     path: String,
                                     entries: Seq[(String, String)]): Unit = {
     import spark.implicits._
     entries.toDF("key", "value")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_tmp")
+    val meta = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta_tmp")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(meta)) require(fs.delete(meta, true),
+      s"meta write aborted: could not delete the old $meta (new meta " +
+        s"staged complete at $tmp)")
+    require(fs.rename(tmp, meta),
+      s"meta write interrupted: could not rename $tmp -> $meta; the " +
+        "staged copy is complete — re-run, or readIndexMeta will finish " +
+        "the swap on the next read")
   }
 
   /** Bounded read of a layout's `meta` parameter table; empty for a
     * layout with no meta. A pre-key/value layout (the old residual-only
     * marker, whose single column was `encoding`) reads as
     * `encoding → residual` — existence WAS the marker then.
+    *
+    * Self-healing: a crash between [[writeIndexMeta]]'s delete and
+    * rename leaves `meta` absent but the COMPLETE new table (job
+    * `_SUCCESS` marker) at `meta_tmp` — the read finishes that swap
+    * instead of reporting the layout meta-less. A half-written
+    * `meta_tmp` (no `_SUCCESS`) is ignored: the old meta is still live
+    * in that window.
     */
   private[graft] def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
                                    path: String): Map[String, String] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/meta")
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/meta_tmp")
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        // best-effort: a concurrent reader may win the rename — either
+        // way meta exists afterwards if any racer succeeded
+        fs.rename(tmp, p)
+      }
+    }
+    if (!fs.exists(p))
       Map.empty
     else {
       val df = spark.read.parquet(s"$path/meta")

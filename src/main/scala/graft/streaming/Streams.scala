@@ -1554,9 +1554,10 @@ object Streams {
     * `w`/`k`/`bands` must match the values the batch builder used —
     * minhash keys are deterministic functions of them, so a mismatch
     * would silently partition streamed docs away from the batch corpus;
-    * a layout carrying the round-14 geometry meta is CHECKED at sink
-    * start (fail-fast, the gate convention) — pre-meta layouts still
-    * trust the caller.
+    * a layout carrying the geometry meta is CHECKED at sink start
+    * (fail-fast, the gate convention), and a populated layout with NO
+    * meta (interrupted meta write, or a pre-meta build) is REFUSED —
+    * nothing can vouch for its geometry, so rebuild to adopt meta first.
     * Docs with no shingles (null/too-short text) are refused at the door,
     * matching the batch builder. Appends run through `foreachBatch` like
     * the vector sinks (the parquet file sink's `_spark_metadata` log
@@ -1569,6 +1570,21 @@ object Streams {
                     path: String, checkpoint: String, w: Int = 3, k: Int = 8,
                     bands: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
     val meta = graft.ops.Similarity.readIndexMeta(stream.sparkSession, path)
+    if (meta.isEmpty) {
+      // a populated layout with NO meta is an interrupted meta write
+      // (or a pre-meta build): meta can no longer vouch for the bands'
+      // geometry, so appending would risk the exact mismatched-key
+      // partition the meta check exists to prevent — fail CLOSED and
+      // demand a rebuild (which re-stamps meta) rather than trust w/k/bands
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        stream.sparkSession.sparkContext.hadoopConfiguration)
+      val populated = Seq("sets", "bands").forall(sub =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub")))
+      require(!populated,
+        s"layout at $path has sets/ and bands/ but no meta — cannot " +
+          "verify the stored geometry; rebuild once with buildTextIndex " +
+          "(which stamps meta) before starting the sink")
+    }
     if (meta.get("layout").contains("text_dedup")) {
       // a reband tombstone means a reband crashed between its meta
       // write and its bands swap — meta may vouch for a geometry the

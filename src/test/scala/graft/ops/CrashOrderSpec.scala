@@ -574,6 +574,137 @@ class CrashOrderSpec extends SparkSpec {
     } finally noInjection()
   }
 
+  test("rebandTextIndex crash at the bands swap's SECOND rename: sink closed, re-run resumes the swap") {
+    val dir = faultyDir("graft_crash_reband2_")
+    try {
+      val docs = Seq(
+        (1L, "one two three four five six seven eight"),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text")
+      Dedup.buildTextIndex(docs, "doc_id", "text", dir) // w=3, k=8, bands=4
+
+      // crash the bands swap at its SECOND rename (dst = the live bands
+      // path): bands/ is aside, the staged copy is complete, tombstone down
+      val livePath = new java.net.URI(s"$dir/bands").getPath
+      FaultyFs.failWhen = Some(_ == livePath)
+      val e = intercept[IllegalArgumentException](
+        Dedup.rebandTextIndex(spark, dir, k = 16, bands = 8))
+      assert(e.getMessage.contains("interrupted between renames"))
+      noInjection()
+
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new Path(s"$dir/bands")), "live bands moved aside")
+      assert(fs.exists(new Path(s"$dir/bands_compact_tmp")), "staged copy complete")
+      assert(Similarity.readIndexMeta(spark, dir)
+        .get("rebanding").contains("16/8"), "tombstone down")
+      // sink start fails CLOSED while tombstoned, even at the new geometry
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val refuse = intercept[IllegalArgumentException](
+        graft.streaming.Streams.textIndexSink(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+          s"$dir/ckpt", k = 16, bands = 8))
+      assert(refuse.getMessage.contains("interrupted reband"))
+
+      // documented recovery: RE-RUN — stageAndSwap detects the mid-swap
+      // state (live dir absent, staged copy present, same geometry) and
+      // completes the single remaining rename
+      Dedup.rebandTextIndex(spark, dir, k = 16, bands = 8)
+      val after = Similarity.readIndexMeta(spark, dir)
+      assert(!after.contains("rebanding"), "tombstone must clear on success")
+      assert(after("k") == "16" && after("bands") == "8")
+      assert(spark.read.parquet(s"$dir/bands")
+        .select("band").distinct().count() == 8, "new geometry live")
+      assert(!fs.exists(new Path(s"$dir/bands_compact_tmp")), "staged copy promoted")
+      assert(!fs.exists(new Path(s"$dir/bands_compact_old")), "rollback copy cleaned")
+      // and the sink starts again at the rebanded geometry
+      val q = graft.streaming.Streams.textIndexSink(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+        tmpDir("graft_reband2_ckpt_"), k = 16, bands = 8)
+      q.stop()
+    } finally noInjection()
+  }
+
+  test("rebandTextIndex mid-swap crash, re-run at a DIFFERENT geometry: stale staged copy dropped, restaged") {
+    val dir = faultyDir("graft_crash_reband3_")
+    try {
+      val docs = Seq(
+        (1L, "one two three four five six seven eight"),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text")
+      Dedup.buildTextIndex(docs, "doc_id", "text", dir) // w=3, k=8, bands=4
+
+      val livePath = new java.net.URI(s"$dir/bands").getPath
+      FaultyFs.failWhen = Some(_ == livePath) // SECOND rename again
+      intercept[IllegalArgumentException](
+        Dedup.rebandTextIndex(spark, dir, k = 16, bands = 8))
+      noInjection()
+
+      // the operator changes its mind: re-run at 8/2, not the crashed 16/8.
+      // Promoting the stale 16/8 staged copy here would stamp meta with a
+      // geometry the bands don't carry — the guard drops it and restages.
+      Dedup.rebandTextIndex(spark, dir, k = 8, bands = 2)
+      val after = Similarity.readIndexMeta(spark, dir)
+      assert(!after.contains("rebanding"))
+      assert(after("k") == "8" && after("bands") == "2")
+      assert(spark.read.parquet(s"$dir/bands")
+        .select("band").distinct().count() == 2,
+        "bands must carry the RE-RUN's geometry, not the crashed run's")
+    } finally noInjection()
+  }
+
+  test("writeIndexMeta crash between delete and rename: sink fails closed; next read finishes the swap") {
+    val dir = faultyDir("graft_crash_meta_")
+    try {
+      val docs = Seq(
+        (1L, "one two three four five six seven eight"),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text")
+      Dedup.buildTextIndex(docs, "doc_id", "text", dir) // stamps meta
+
+      // crash the meta swap at its rename (dst = the live meta path):
+      // meta/ is gone, the complete new table is stranded at meta_tmp
+      val metaPath = new java.net.URI(s"$dir/meta").getPath
+      FaultyFs.failWhen = Some(_ == metaPath)
+      val e = intercept[IllegalArgumentException](
+        Similarity.writeIndexMeta(spark, dir, Seq(
+          "layout" -> "text_dedup", "w" -> "3", "k" -> "8", "bands" -> "4",
+          "note" -> "rewritten")))
+      assert(e.getMessage.contains("meta write interrupted"))
+
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new Path(s"$dir/meta")), "old meta deleted")
+      assert(fs.exists(new Path(s"$dir/meta_tmp/_SUCCESS")),
+        "staged meta is complete")
+
+      // while meta is unrecoverable (injection still blocks the healing
+      // rename), a populated layout reads meta-less — the sink must
+      // fail CLOSED rather than trust the caller's geometry
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val refuse = intercept[IllegalArgumentException](
+        graft.streaming.Streams.textIndexSink(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+          s"$dir/ckpt", k = 8, bands = 4))
+      assert(refuse.getMessage.contains("no meta"))
+
+      // once renames work again, the next read self-heals: it finishes
+      // the interrupted swap and serves the NEW meta
+      noInjection()
+      val healed = Similarity.readIndexMeta(spark, dir)
+      assert(healed.get("note").contains("rewritten"), s"healed read: $healed")
+      assert(fs.exists(new Path(s"$dir/meta")) &&
+        !fs.exists(new Path(s"$dir/meta_tmp")), "swap finished on read")
+      // and the sink starts normally against the healed meta
+      val q = graft.streaming.Streams.textIndexSink(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+        tmpDir("graft_meta_ckpt_"), k = 8, bands = 4)
+      q.stop()
+    } finally noInjection()
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
