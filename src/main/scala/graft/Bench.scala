@@ -56,7 +56,9 @@ object Bench {
     // cache miss, driver contention) is visible in the artifact instead of
     // silently shaping the median — both prior rounds' driver runs had
     // invisible outliers that needed a manual rerun to adjudicate
-    val timings = queries.map { case (name, fn) =>
+    def timeQuery(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double, Seq[Double]) = {
       val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { exec(fn); (System.nanoTime() - t0) / 1e9 }
@@ -65,6 +67,42 @@ object Bench {
       val ok = samples.filter(_ >= 0).sorted
       val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
       (name, median, samples)
+    }
+    // during-run load sampling: loadavg_before only sees load that
+    // predates the run — BENCH_r14/r15 both carried load spikes that
+    // LANDED mid-run and were invisible in the artifact, forcing hand
+    // adjudication. One 1-minute-loadavg read after each query makes the
+    // worst concurrent load part of the record.
+    var loadDuringMax = 0.0
+    def sampleLoad(): Unit = {
+      val l = BenchHarness.loadavg.split(" ").headOption
+        .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+      if (l > loadDuringMax) loadDuringMax = l
+    }
+    val firstPass = queries.map { case (name, fn) =>
+      val r = timeQuery(name, fn); sampleLoad(); r
+    }
+    // self-adjudication (the BASELINE.md rule): a query whose warm
+    // samples spread more than 3x with the slowest above 0.3 s was hit
+    // by something transient (GC, page-cache miss, a load spike) — the
+    // r15 q52b anomaly's exact signature. Flagged queries get ONE rerun
+    // at the end (the spike has usually passed); the reported median is
+    // the BETTER of the two (noise only ever adds time), and both sample
+    // sets stay in the artifact so the adjudication is reviewable.
+    def suspect(samples: Seq[Double]): Boolean = {
+      val ok = samples.filter(_ >= 0)
+      ok.size >= 2 && ok.max > 0.3 && ok.max / ok.min.max(1e-9) > 3.0
+    }
+    val rerun = firstPass.filter { case (_, _, s) => suspect(s) }
+      .map { case (name, _, _) =>
+        val r = timeQuery(name, queries.toMap.apply(name)); sampleLoad(); r
+      }.map(r => r._1 -> r).toMap
+    val timings = firstPass.map { case (name, median, samples) =>
+      rerun.get(name) match {
+        case Some((_, m2, _)) if m2 >= 0 && (median < 0 || m2 < median) =>
+          (name, m2, samples)
+        case _ => (name, median, samples)
+      }
     }
     def fmt(d: Double): String = BenchHarness.fmt(d, scale = 6)
     // stdout line stays SHORT (3-decimal medians, no samples): the driver
@@ -80,11 +118,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timings.map(_._2).filter(_ >= 0).sum
     val loadAfter = BenchHarness.loadavg
-    val contended = BenchHarness.contended(loadBefore)
+    val contended = BenchHarness.contended(loadBefore) ||
+      BenchHarness.contended(s"$loadDuringMax")
+    val rr = rerun.values.map { case (k, m, s) =>
+      "\"" + k + "\":{\"median\":" + fmt(m) + ",\"samples\":" +
+        s.map(fmt).mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
     val probe = s""""probe_s":${fmt3(probeS)},"box_factor":${fmt3(boxFactor)},""" +
       s""""value_normalized":${fmt3(total / boxFactor)}"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"runs":$runs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","contended":$contended,$probe}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"rerun":$rr,"runs":$runs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loadavg_during_max":${fmt3(loadDuringMax)},"contended":$contended,$probe}"""
     // full JSON (with per-sample arrays) is the file artifact of record;
     // a filtered run is NOT the record — it lands in BENCH_FILTERED.json
     // (gitignored scratch) so iterating on one family can never clobber
@@ -94,7 +137,7 @@ object Bench {
         if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_FILTERED.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     println(
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"runs":$runs,"sf":"$sfDir",$probe}""")
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"runs":$runs,"sf":"$sfDir","loadavg_during_max":${fmt3(loadDuringMax)},"contended":$contended,"rerun_n":${rerun.size},$probe}""")
     spark.stop()
   }
 }
