@@ -1351,6 +1351,47 @@ class StreamsSpec extends SparkSpec {
     assert(bad.getMessage.contains("token_budget_gate"))
   }
 
+  test("tokenBudgetGateSink: same id twice in one batch spends once, at the max count") {
+    // the within-batch collapse (Streams.scala groupBy(key,id)/max): the
+    // upstream exact-dedup gate screens cross-batch re-arrivals but not
+    // the same id landing twice in ONE batch with different token counts
+    // (a re-crawled doc). A plain distinct() would rank both rows in the
+    // prefix and spend the budget twice while the id-keyed semi-join
+    // admits every row of the id anyway.
+    implicit val sqlCtx = spark.sqlContext
+    val state = tmpDir("graft_tbdup_state_")
+    graft.ops.Sampling.buildTokenBudgetState(spark, state, Map("srcA" -> 10L))
+    val out = tmpDir("graft_tbdup_out_")
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = Streams.tokenBudgetGateSink(spark,
+      mem.toDF().toDF("doc_id", "source", "n_tok"),
+      "doc_id", "source", "n_tok", state, out, tmpDir("graft_tbdup_ck_"))
+    try {
+      // id 1 arrives twice (counts 3 and 7), id 2 once (count 3): the
+      // gate ranks ONE row for id 1 at max(3,7)=7, so 7+3=10 fits the
+      // budget exactly — both ids admit. Double-spending (3+7+3=13)
+      // would overflow and drop one.
+      mem.addData((1L, "srcA", 3L), (1L, "srcA", 7L), (2L, "srcA", 3L))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(rows.toSet == Set(1L, 2L),
+        s"one ranked row per id at the max count admits both ids: $rows")
+      // the admission is id-keyed (documented): every PHYSICAL row of an
+      // admitted id passes the semi-join — both arrivals of id 1 land
+      assert(rows.count(_ == 1L) == 2 && rows.size == 3, s"$rows")
+      // the ledger spends ONCE, at the conservative max: 7 + 3 = 10
+      val st = spark.read.parquet(s"$state/committed")
+        .as[(String, Long, Long)].collect().toSet
+      assert(st == Set(("srcA", 0L, 10L)),
+        s"duplicate id must spend once at max(3,7): $st")
+      // and the budget really is exhausted: nothing more admits
+      mem.addData((3L, "srcA", 1L)); q.processAllAvailable()
+      assert(spark.read.parquet(out).select("doc_id").as[Long]
+        .collect().toSet == Set(1L, 2L), "budget spent exactly to 10")
+    } finally q.stop()
+  }
+
   test("stratifiedSample runs unchanged on a stream (stateless md5 filter)") {
     // mixture sampling is a pure deterministic filter, so the SAME
     // operator screens a firehose with zero state — and batch/stream
