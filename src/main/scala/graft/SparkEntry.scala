@@ -3050,13 +3050,45 @@ object SparkEntry {
     * 1000) over the SAME shingle view — truth and screen must see one
     * tokenization or the audit measures the tokenizer, not the bands.
     */
-  private def dedupAuditCtes: String = {
+  private def dedupAuditCtes: String = dedupAuditCtesFrom("documents")
+
+  /** The [[graft.ops.Dedup.plantRecallLadder]] corpus, mirrored
+    * literally: quarter slice (`doc_id % 4 = 0`, ≥ 12 words) plus one
+    * prefix+junk twin per doc at 8 controlled similarity levels —
+    * integer/IEEE-double arithmetic only, so both engines derive the
+    * identical corpus and the q139/q142 recall curves hash across ≥ 5
+    * bands.
+    */
+  private def plantedLadderCtes: String =
+    """lbase AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS t
+      |          FROM documents
+      |          WHERE text IS NOT NULL AND doc_id % 4 = 0
+      |            AND LEN(STRING_SPLIT(text, ' ')) >= 12),
+      |lpar AS (SELECT doc_id, text, t, LEN(t) AS len,
+      |           CAST((doc_id % 32) / 4 AS INT) AS lvl FROM lbase),
+      |lpq AS (SELECT doc_id, t, lvl,
+      |          GREATEST(3, CAST(FLOOR(len * (0.25 + lvl * 0.1)) AS INT)) AS p
+      |        FROM lpar),
+      |lpq2 AS (SELECT doc_id, doc_id + 100000000 AS tid, t, p,
+      |           CAST(FLOOR(p * (7 - lvl) / 7.0) AS INT) AS q FROM lpq),
+      |ladder AS (
+      |  SELECT doc_id, text FROM lpar
+      |  UNION ALL
+      |  SELECT tid AS doc_id,
+      |    ARRAY_TO_STRING(t[1:p], ' ') ||
+      |    CASE WHEN q > 0 THEN ' ' || ARRAY_TO_STRING(
+      |      LIST_TRANSFORM(RANGE(1, q + 1),
+      |        i -> 'j' || tid || '_' || i), ' ')
+      |    ELSE '' END AS text
+      |  FROM lpq2)""".stripMargin
+
+  private def dedupAuditCtesFrom(src: String): String = {
     val mh = (0 until 8).map(i => s"MIN(MD5('$i|' || s)) AS mh$i")
       .mkString(",\n  ")
     val bandRows = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, MD5(mh${2 * b} || mh${2 * b + 1}) AS h FROM sig")
       .mkString("\n  UNION ALL ")
-    s"""toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM $src),
        |sh AS (SELECT DISTINCT doc_id,
        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
        |       FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)),
@@ -3095,7 +3127,8 @@ object SparkEntry {
     * correctly-rounded recall division.
     */
   private def dedupRecallSql: String =
-    s"""WITH $dedupAuditCtes,
+    s"""WITH $plantedLadderCtes,
+       |${dedupAuditCtesFrom("ladder")},
        |hit AS (SELECT t.j, CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END AS h
        |        FROM truth t LEFT JOIN lcand l
        |          ON t.d1 = l.d1 AND t.d2 = l.d2)
@@ -3110,7 +3143,8 @@ object SparkEntry {
     * audited against the same LSH candidate set.
     */
   private def containmentRecallSql: String =
-    s"""WITH $dedupAuditCtes,
+    s"""WITH $plantedLadderCtes,
+       |${dedupAuditCtesFrom("ladder")},
        |ctr AS (SELECT i.d1, i.d2,
        |          GREATEST(ROUND(CAST(i.i AS DOUBLE) / n1.n, 3),
        |                   ROUND(CAST(i.i AS DOUBLE) / n2.n, 3)) AS c

@@ -187,6 +187,62 @@ object Dedup {
           .as("recall"))
   }
 
+  /** The deterministic PLANTED LADDER the recall audits (q139/q142) run
+    * over: a bounded slice of the corpus (`id % 4 = 0`, ≥ 12 words)
+    * unioned with one perturbed twin per slice doc, where the twin's
+    * similarity to its original is CONTROLLED by an 8-level ladder
+    * (`level = (id % 32) / 4`):
+    *
+    *   - the twin keeps a PREFIX of `max(3, ⌊len·(0.25 + level·0.1)⌋)`
+    *     words (shared shingles — the numerator of both jaccard and
+    *     containment), and
+    *   - appends `⌊p·(7−level)/7⌋` unique junk words (`j<id>_<i>` —
+    *     never colliding across docs), which dilute the twin's shingle
+    *     set (the denominator).
+    *
+    * Level 7 is a near-identical twin (jaccard ≈ 0.95, containment 1);
+    * level 0 sits at the audit thresholds. The planted truth therefore
+    * SPANS the similarity bands — jaccard ≈ 0.2…0.95 (≥ 6 bands),
+    * max-containment ≈ 0.5…1.0 (≥ 5 bands) — so a recall audit over
+    * this corpus hashes a full S-curve instead of the single band the
+    * natural corpus's near-dups collapse into. Every arithmetic step is
+    * plain IEEE double math on integer inputs, mirrored literally in
+    * the DuckDB oracle, so the audit stays hash-checkable.
+    *
+    * Audit-slice sizing: the quarter-slice keeps the quadratic-by-
+    * contract truth op BOUNDED (BASELINE.md round-14 growth curve); the
+    * twin ids live at `idOffset` above the originals to stay disjoint.
+    */
+  def plantRecallLadder(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        idOffset: Long = 100000000L): DataFrame = {
+    val base = docs
+      .where(col(textCol).isNotNull && col(idCol) % 4 === 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"), split(col(textCol), " ").as("_t"))
+      .withColumn("_len", size(col("_t")))
+      .where(col("_len") >= 12)
+      .withColumn("_lvl", ((col("doc_id") % 32) / lit(4)).cast("int"))
+    val p = greatest(lit(3),
+      floor(col("_len") * (lit(0.25) + col("_lvl") * lit(0.1))).cast("int"))
+    val q = floor(p * (lit(7) - col("_lvl")) / lit(7.0)).cast("int")
+    val twins = base
+      .withColumn("_p", p).withColumn("_q", q)
+      // the twin id is computed ONCE into its own column: the junk
+      // tokens embed it, and an inline `doc_id + offset` aliased back
+      // to `doc_id` resolves ambiguously between the engines
+      .withColumn("_tid", col("doc_id") + lit(idOffset))
+      .select(col("_tid").as("doc_id"),
+        concat(
+          array_join(slice(col("_t"), lit(1), col("_p")), " "),
+          when(col("_q") > 0,
+            concat(lit(" "),
+              array_join(transform(sequence(lit(1), col("_q")),
+                i => concat(lit("j"), col("_tid"), lit("_"), i)), " ")))
+            .otherwise(lit(""))).as("text"))
+    base.select(col("doc_id"), col("text")).unionByName(twins)
+  }
+
   /** The one-row operating-point summary over the same two pair sets as
     * [[dedupRecall]]: candidate-screen recall AGAINST the truth
     * (missed true pairs stay duplicated in the corpus) and precision

@@ -269,10 +269,14 @@ object Extensions {
   // defaults) surfaced. The measured S-curve a user tunes bands/k
   // against, instead of trusting 1-(1-j^r)^b on faith.
   val q139_dedup_recall: Q = (s, d) => {
-    val docs = t(s, d, "documents")
+    // the deterministic planted ladder (Dedup.plantRecallLadder): twins
+    // spanning jaccard ≈ 0.2…0.95 so the audit hashes a full S-curve —
+    // the natural corpus's near-dups collapse into one band, which
+    // checks a single aggregate row instead of the curve
+    val corpus = Dedup.plantRecallLadder(t(s, d, "documents"))
     // ONE shingle pass feeds both the truth side and the signature
     // chain (the minHashLsh reuse discipline)
-    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val sets = Dedup.shingleSets(corpus, "doc_id", "text", 3)
       .repartition(col("doc_id"))
     val truth = Dedup.ngramJaccardFromSets(sets, threshold = 0.2)
     val cand = Dedup.lshCandidates(
@@ -303,8 +307,10 @@ object Extensions {
   // is the measured case for routing such pairs to the gram-excision
   // path instead of the pair screen.
   val q142_containment_recall: Q = (s, d) => {
-    val docs = t(s, d, "documents")
-    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    // same planted ladder as q139: twin max-containment spans ≈0.5…1.0,
+    // so the blind-spot audit hashes ≥5 containment bands
+    val corpus = Dedup.plantRecallLadder(t(s, d, "documents"))
+    val sets = Dedup.shingleSets(corpus, "doc_id", "text", 3)
       .repartition(col("doc_id"))
     val truth = Dedup.containmentFromSets(sets, threshold = 0.5)
       .select(col("d1"), col("d2"),

@@ -594,6 +594,41 @@ class OpsSpec extends SparkSpec {
       s.getDouble(4) == 0.4)
   }
 
+  test("plantRecallLadder: deterministic twins spanning >=5 jaccard and containment bands") {
+    // a synthetic 64-doc corpus with enough words that every ladder
+    // level gets slice docs (ids 0,4,...,60 → levels 0..7 twice)
+    val docs = (0L until 64L).map { id =>
+      val words = (1 to 40).map(w => s"w${(id * 7 + w * 3) % 50}_$w")
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val corpus = Dedup.plantRecallLadder(docs)
+    // slice: 16 originals (doc_id % 4 = 0) + 16 twins
+    assert(corpus.count() == 32)
+    val ids = corpus.select("doc_id").as[Long].collect().toSet
+    assert(ids.count(_ >= 100000000L) == 16, "one twin per slice doc")
+    assert(ids.filter(_ >= 100000000L).map(_ - 100000000L)
+      .forall(ids.contains), "twin ids = original ids + offset")
+    // deterministic: a second derivation is row-identical
+    val again = Dedup.plantRecallLadder(docs)
+    assert(corpus.except(again).isEmpty && again.except(corpus).isEmpty)
+    // the audit chain over the ladder spans the similarity bands — the
+    // whole point: the recall curve hashes >=5 bands instead of 1
+    val sets = Dedup.shingleSets(corpus, "doc_id", "text", 3)
+    val jTruth = Dedup.ngramJaccardFromSets(sets, threshold = 0.2)
+    val jBands = jTruth.select(
+        least(lit(9L), floor(col("jaccard") * 10).cast("long")))
+      .distinct().as[Long].collect().toSet
+    assert(jBands.size >= 5, s"jaccard bands planted: $jBands")
+    val cTruth = Dedup.containmentFromSets(sets, threshold = 0.5)
+      .select(greatest(col("c12"), col("c21")).as("c"))
+    val cBands = cTruth.select(
+        least(lit(9L), floor(col("c") * 10).cast("long")))
+      .distinct().as[Long].collect().toSet
+    assert(cBands.size >= 5, s"containment bands planted: $cBands")
+    // level-7 twins are near-identical (the top of both ladders)
+    assert(jBands.contains(9L) && cBands.contains(9L))
+  }
+
   test("mixtureFracs/tokenBudgetFracs: an all-null-token stratum drops like an absent one") {
     val df = Seq((1L, "a", Some(10L)), (2L, "a", Some(10L)),
       (3L, "ghost", None), (4L, "ghost", None)).toDF("doc_id", "src", "n_tok")
