@@ -188,6 +188,76 @@ object IndexMaintenance {
     }.getOrElse(Seq.empty)
   }
 
+  /** Fold the token-budget gate's committed spend ledger behind the
+    * checkpoint offset — [[consolidateLineDeltas]]'s discipline applied
+    * to [[graft.streaming.Streams.tokenBudgetGateSink]]'s state, which
+    * otherwise grows one file and one (key, batch_id, tokens) row per
+    * (stratum, admitting batch) FOREVER and is re-read per micro-batch:
+    * a months-long stream turns every batch's spend lookup into a
+    * hundreds-of-thousands-of-files listing.
+    *
+    * A delta is foldable ONLY once its micro-batch is COMMITTED in the
+    * sink's `checkpoint` (`commits/` epoch files): an uncommitted batch
+    * replays on restart and must see the identical PRE-batch spend —
+    * its own delta, if it landed in the crash window, must neither fold
+    * into earlier batches (the replay's `batch_id < id` read would then
+    * wrongly include it) nor lose its byte-identity (the replay's
+    * re-append collapses against it via the ledger's DISTINCT read).
+    * Folding strictly behind the committed offset preserves both: all
+    * rows with `batch_id <= last` collapse — through the same DISTINCT
+    * the gate reads with — to ONE `(key, last, sum)` row per stratum,
+    * and later rows pass through byte-identical. Every future read
+    * (`batch_id < n` for n > last, DISTINCT, sum) returns the identical
+    * spend. Run with the stream STOPPED (rename swap, the [[compact]]
+    * discipline); crash at any point leaves a complete ledger
+    * ([[stageAndSwap]]).
+    *
+    * @return the folded batch ids (empty when nothing was foldable)
+    */
+  def consolidateTokenBudgetState(spark: SparkSession, path: String,
+                                  checkpoint: String): Seq[Long] = {
+    val meta = graft.ops.Similarity.readIndexMeta(spark, path)
+    require(meta.get("layout").contains("token_budget_gate"),
+      s"not a token_budget_gate layout: $path (meta ${meta.get("layout")})")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val commits = new org.apache.hadoop.fs.Path(
+      s"${checkpoint.stripSuffix("/")}/commits")
+    val cfs = commits.getFileSystem(hc)
+    val lastCommitted: Option[Long] =
+      if (!cfs.exists(commits)) None
+      else cfs.listStatus(commits).toSeq.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        .maxOption
+    lastCommitted.map { last =>
+      val dir = s"${path.stripSuffix("/")}/committed"
+      // DISTINCT first: a replayed batch's crash-window duplicate rows
+      // collapse exactly as the gate's own read collapses them
+      val all = spark.read.parquet(dir).distinct()
+      val foldedIds = all.where(col("batch_id") <= last)
+        .select(col("batch_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      // already-folded detection (idempotency): one row per key, all
+      // stamped at the committed offset, is this op's own output shape
+      val alreadyFolded = foldedIds == Seq(last) && {
+        val behind = all.where(col("batch_id") <= last)
+        behind.count() == behind.select(col("key")).distinct().count()
+      }
+      if (foldedIds.isEmpty || alreadyFolded) Seq.empty
+      else {
+        stageAndSwap(spark, dir) { tmp =>
+          val folded = all.where(col("batch_id") <= last)
+            .groupBy(col("key")).agg(sum(col("tokens")).as("tokens"))
+            .select(col("key"), lit(last).as("batch_id"), col("tokens"))
+          // kept rows rewrite byte-identically: an in-flight batch's
+          // replay must still collapse against its own landed delta
+          folded.unionByName(all.where(col("batch_id") > last))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+        }
+        foldedIds
+      }
+    }.getOrElse(Seq.empty)
+  }
+
   /** REBUILD a persisted vector-index layout in place — the maintenance
     * ACTION the drift gauges call for: [[graft.ops.Similarity
     * .ivfRebuildDrift]] / [[graft.ops.Similarity.codeRebuildDrift]]

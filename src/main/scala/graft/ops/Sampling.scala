@@ -478,9 +478,11 @@ object Sampling {
     * pre-batch state, same md5 prefix), so duplicates collapse instead
     * of inflating the spend, the quota-gate set discipline applied to a
     * counter. Changing the recipe is a rebuild with the sink stopped
-    * (frozen-geometry convention); fold the delta files offline with
-    * [[graft.ops.IndexMaintenance.compact]] (flat mode, stream
-    * stopped).
+    * (frozen-geometry convention); bound the O(batches) ledger growth
+    * with [[graft.ops.IndexMaintenance.consolidateTokenBudgetState]]
+    * (stream stopped) — it folds deltas strictly behind the checkpoint
+    * offset into one row per stratum, keeping any in-flight batch's
+    * delta byte-identical so its replay still collapses.
     */
   def buildTokenBudgetState(spark: org.apache.spark.sql.SparkSession,
                             path: String,

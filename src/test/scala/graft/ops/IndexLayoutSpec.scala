@@ -975,6 +975,70 @@ class IndexLayoutSpec extends SparkSpec {
       spark, s"$dir/lines_idx", s"$dir/ckpt").isEmpty)
   }
 
+  test("consolidateTokenBudgetState folds committed spend, keeps the in-flight delta, admissions byte-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmpDir("graft_tbcons_")
+    val budgets = Map("srcA" -> 20L, "srcB" -> 6L)
+    // arm A consolidates between restarts; arm B is the untouched control
+    val arms = Seq("A", "B").map { arm =>
+      graft.ops.Sampling.buildTokenBudgetState(spark, s"$dir/state$arm", budgets)
+      val mem = MemoryStream[(Long, String, Long)]
+      val start = () => graft.streaming.Streams.tokenBudgetGateSink(spark,
+        mem.toDF().toDF("doc_id", "source", "n_tok"),
+        "doc_id", "source", "n_tok",
+        s"$dir/state$arm", s"$dir/out$arm", s"$dir/ckpt$arm")
+      (mem, start)
+    }
+    def runBatch(data: (Long, String, Long)*): Unit =
+      arms.foreach { case (mem, start) =>
+        mem.addData(data: _*)
+        val q = start(); try q.processAllAvailable() finally q.stop()
+      }
+    // two COMMITTED batches (real checkpoint commits/, not a fake)
+    runBatch((1L, "srcA", 5L), (2L, "srcA", 5L), (10L, "srcB", 3L)) // b0
+    runBatch((3L, "srcA", 4L))                                      // b1
+    // the crash-window in-flight delta: batch 2's spend landed, its
+    // commit marker did not — both arms carry the identical row
+    Seq("A", "B").foreach { arm =>
+      Seq(("srcA", 2L, 3L)).toDF("key", "batch_id", "tokens")
+        .write.mode("append").parquet(s"$dir/state$arm/committed")
+    }
+    val folded = IndexMaintenance.consolidateTokenBudgetState(
+      spark, s"$dir/stateA", s"$dir/ckptA")
+    assert(folded == Seq(0L, 1L), s"both committed batches fold: $folded")
+    val consA = spark.read.parquet(s"$dir/stateA/committed")
+      .as[(String, Long, Long)].collect().toSet
+    assert(consA == Set(("srcA", 1L, 14L), ("srcB", 1L, 3L), ("srcA", 2L, 3L)),
+      s"one folded row per stratum at the committed offset + the kept " +
+        s"in-flight delta: $consA")
+    assert(IndexMaintenance.dataFileCount(spark, s"$dir/stateA/committed") == 1,
+      "the O(batches) file growth is the thing being bounded")
+    // idempotent: a second pass has nothing new to fold
+    assert(IndexMaintenance.consolidateTokenBudgetState(
+      spark, s"$dir/stateA", s"$dir/ckptA").isEmpty)
+    // restart both arms: batch 2 admits exactly the in-flight delta's
+    // spend (the replay's re-append collapses against it via DISTINCT),
+    // batch 3 spends both strata to their edges
+    runBatch((4L, "srcA", 3L))                                      // b2
+    runBatch((5L, "srcA", 2L), (6L, "srcA", 9L), (11L, "srcB", 3L)) // b3
+    def admissions(arm: String) = spark.read.parquet(s"$dir/out$arm")
+      .as[(Long, String, Long)].collect().toSet
+    assert(admissions("A") == admissions("B"),
+      s"admissions must be byte-identical with and without consolidation: " +
+        s"${admissions("A")} vs ${admissions("B")}")
+    // and the spend views agree at every future cutoff
+    for (cut <- Seq(3L, 4L)) {
+      def spend(arm: String) = spark.read.parquet(s"$dir/state$arm/committed")
+        .where(col("batch_id") < cut).distinct()
+        .groupBy(col("key")).agg(sum(col("tokens")).as("t"))
+        .as[(String, Long)].collect().toSet
+      assert(spend("A") == spend("B"), s"cutoff $cut: ${spend("A")} vs ${spend("B")}")
+    }
+    // srcB spent exactly to its 6-token budget across the run
+    assert(admissions("A").count(_._2 == "srcB") == 2)
+  }
+
   test("exact-key index invariant: the Bloom filter covers every persisted key (no false negatives)") {
     val dir = tmpDir("graft_bloominv_")
     Dedup.buildExactKeyIndex(
