@@ -404,6 +404,7 @@ object SparkEntry {
     "q140_dedup_screen" -> dedupScreenSql,
     "q141_token_budget_prefix" -> tokenBudgetPrefixSql,
     "q142_containment_recall" -> containmentRecallSql,
+    "q143_url_canonicalize" -> urlCanonicalizeSql,
     "q135_distribution_drift" ->
       s"""WITH r AS (SELECT lang, COUNT(*) AS ref_n FROM documents GROUP BY lang),
          |rs AS (SELECT lang, ref_n,
@@ -3119,6 +3120,48 @@ object SparkEntry {
        |          FROM banded a JOIN banded b
        |            ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)"""
       .stripMargin
+  }
+
+  /** q143 oracle: the identical deterministic URL synthesis and parse
+    * chain in SQL. The registered-domain CASE is GENERATED from
+    * [[graft.ops.Web.publicSuffixes]] so both engines read ONE suffix
+    * list — an oracle copy would drift the moment the list changes.
+    */
+  private def urlCanonicalizeSql: String = {
+    val suffixCases = graft.ops.Web.publicSuffixes.map { s =>
+      val esc = s.replace(".", "\\.")
+      s"WHEN host = '$s' THEN host " +
+        s"WHEN host LIKE '%.$s' THEN " +
+        s"REGEXP_EXTRACT(host, '([^.]+\\.$esc)${"$"}', 1)"
+    }.mkString("\n       ")
+    s"""WITH urls AS (SELECT doc_id,
+       |  (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' WHEN 2 THEN 'Https' ELSE 'http' END)
+       |  || '://'
+       |  || (CASE WHEN doc_id % 5 = 0 THEN 'User:Pw@' ELSE '' END)
+       |  || (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'WWW.News' WHEN 1 THEN 'Blog' ELSE 'sub.Shop' END)
+       |  || '.site' || CAST(doc_id % 7 AS VARCHAR)
+       |  || (CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com' WHEN 2 THEN '.github.io' WHEN 3 THEN '.org' WHEN 4 THEN '.com.au' ELSE '.io' END)
+       |  || (CASE WHEN doc_id % 2 = 0 THEN ':8080' ELSE '' END)
+       |  || '/Path/' || CAST(doc_id % 9 AS VARCHAR)
+       |  || (CASE WHEN doc_id % 3 = 0 THEN '?q=x&id=' || CAST(doc_id AS VARCHAR) ELSE '' END)
+       |  || (CASE WHEN doc_id % 4 = 1 THEN '#Frag' ELSE '' END) AS url
+       |FROM documents),
+       |parts AS (SELECT doc_id, url,
+       |  LOWER(REGEXP_EXTRACT(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |  REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)${"$"}', 1) AS rest
+       |  FROM urls),
+       |parts2 AS (SELECT doc_id, url, scheme,
+       |  LOWER(REGEXP_EXTRACT(REGEXP_EXTRACT(REGEXP_EXTRACT(rest, '^([^/?#]*)', 1), '([^@]*)${"$"}', 1), '^([^:]*)', 1)) AS host,
+       |  REGEXP_EXTRACT(rest, '^[^/?#]*([^?#]*)', 1) AS path
+       |  FROM parts)
+       |SELECT doc_id, url,
+       |  CASE WHEN scheme = '' OR host = '' THEN NULL
+       |       ELSE scheme || '://' || host || (CASE WHEN path = '' THEN '/' ELSE path END) END AS canon_url,
+       |  host,
+       |  CASE $suffixCases
+       |       ELSE (CASE WHEN host LIKE '%.%' THEN REGEXP_EXTRACT(host, '([^.]+\\.[^.]+)${"$"}', 1) ELSE host END)
+       |  END AS domain
+       |FROM parts2 ORDER BY doc_id""".stripMargin
   }
 
   /** q139 oracle: truth pairs banded by the ROUNDED jaccard (⌊j·10⌋

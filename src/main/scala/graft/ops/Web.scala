@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain canonicalization — the key feeder for the per-domain
+  * operators a web corpus needs: capPerKey (q126) caps documents per
+  * registered domain, splitByGroup (q127) keeps a domain's pages on one
+  * side of a train/eval split, and the contamination matrix (q65) keys
+  * on it. Raw crawl URLs disagree on scheme/host case, default ports,
+  * userinfo, query strings and fragments for the SAME page, so keying
+  * on the raw string under- or over-counts every one of those operators.
+  *
+  * Everything here is a PURE codegen'd Column projection (regexp_extract
+  * + chained when()s — no UDF, no shuffle): at 100 TB this runs map-side
+  * inside the scan's WholeStageCodegen span, exactly like the quality
+  * signals. Parse rules (the subset of RFC 3986 the keys need):
+  *
+  *   - scheme  = leading `name://`, lowercased;
+  *   - host    = authority minus userinfo (`…@`) and port (`:n`),
+  *     lowercased;
+  *   - path    = from the authority to the first `?` or `#`, case
+  *     KEPT (paths are case-sensitive), empty path reads `/`;
+  *   - canonical URL = `scheme://host path-or-/` — query, fragment,
+  *     userinfo and port stripped; a string with no `scheme://` or an
+  *     empty host canonicalizes to NULL (not a guess);
+  *   - registered domain = longest matching bundled public suffix plus
+  *     one label ([[publicSuffixes]]); hosts matching no suffix fall
+  *     back to their last two labels (single-label hosts pass through).
+  */
+object Web {
+
+  /** Bundled public-suffix-style literal list — a bounded, public-
+    * knowledge subset of the community public-suffix idea: the big
+    * shared-hosting suffixes, common multi-label ccTLD registrations,
+    * then generic TLDs and ccTLDs. ORDER IS PRECEDENCE: multi-label
+    * suffixes precede their parent TLD so the longest suffix wins
+    * (`a.github.io` cuts to `a.github.io`'s label under `github.io`,
+    * never to `github.io` under `io`). A deployment with the full
+    * published list swaps this Seq — every operator and the oracle SQL
+    * generator read only it.
+    */
+  val publicSuffixes: Seq[String] = Seq(
+    // shared-hosting / platform suffixes (every user site is its own
+    // registrable domain — folding them into one key would cap/split
+    // millions of unrelated sites together)
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "appspot.com", "netlify.app", "pages.dev", "web.app",
+    // multi-label ccTLD registrations
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in", "co.kr", "co.nz", "co.za",
+    "com.mx", "com.ar", "com.tr", "com.sg",
+    // generic TLDs and common ccTLDs
+    "com", "org", "net", "edu", "gov", "mil", "int",
+    "io", "ai", "co", "dev", "app", "info", "biz", "xyz", "me",
+    "uk", "de", "fr", "jp", "cn", "ru", "br", "in", "au", "ca",
+    "nl", "it", "es", "se", "ch", "pl", "kr", "nz", "za", "mx",
+    "ar", "tr", "sg", "us", "eu")
+
+  /** Everything after `scheme://` (empty when the string has none). */
+  private def urlRest(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
+
+  def urlScheme(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Lowercased host: authority (up to `/?#`) minus userinfo (up to the
+    * last `@`) minus the port (after the first `:`).
+    */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(regexp_extract(regexp_extract(urlRest(url),
+      "^([^/?#]*)", 1), "([^@]*)$", 1), "^([^:]*)", 1))
+
+  /** Path as written (case kept), up to the first `?` or `#`. */
+  def urlPath(url: Column): Column =
+    regexp_extract(urlRest(url), "^[^/?#]*([^?#]*)", 1)
+
+  /** `scheme://host path` with case/port/userinfo/query/fragment
+    * normalized away; NULL for a string with no scheme or host.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val s = urlScheme(url)
+    val h = urlHost(url)
+    val p = urlPath(url)
+    when(s === "" || h === "", lit(null).cast("string"))
+      .otherwise(concat(s, lit("://"), h,
+        when(p === "", lit("/")).otherwise(p)))
+  }
+
+  /** Longest-suffix registered-domain cut over [[publicSuffixes]]:
+    * one label + the matched suffix; a host that IS a bare suffix
+    * passes through; no match falls back to the last two labels.
+    * One chained-when projection — stays in codegen.
+    */
+  def registeredDomain(host: Column): Column = {
+    val fallback = when(host.contains("."),
+      regexp_extract(host, "([^.]+\\.[^.]+)$", 1)).otherwise(host)
+    publicSuffixes.foldRight(fallback) { case (s, tail) =>
+      val esc = s.replace(".", "\\.")
+      when(host === s, host)
+        .when(host.endsWith("." + s),
+          regexp_extract(host, "([^.]+\\." + esc + ")$", 1))
+        .otherwise(tail)
+    }
+  }
+
+  /** Registered domain straight from a URL column. */
+  def urlDomain(url: Column): Column = registeredDomain(urlHost(url))
+
+  /** The operator form: the input plus the three canonical key columns
+    * (`canon_url`, `host`, `domain`) every downstream per-domain
+    * operator keys on. Pure projection — no shuffle.
+    */
+  def withUrlKeys(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+      .withColumn("host", urlHost(col(urlCol)))
+      .withColumn("domain", urlDomain(col(urlCol)))
+}

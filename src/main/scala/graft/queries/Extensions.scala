@@ -392,6 +392,36 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q143 URL/domain canonicalization (ops/Web): the per-domain key
+  // feeder for capPerKey/splitByGroup/contamination pipelines. The
+  // fixtures carry no URL column, so the query synthesizes messy crawl
+  // URLs deterministically from doc_id (mixed-case schemes and hosts,
+  // userinfo, ports, queries, fragments, multi-label and shared-hosting
+  // suffixes) — mirrored literally in the oracle — and checks the full
+  // canonical projection: canon_url, host, registered domain.
+  val q143_url_canonicalize: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 4 === 0, "HTTP").when(id % 4 === 1, "https")
+        .when(id % 4 === 2, "Https").otherwise("http"),
+      lit("://"),
+      when(id % 5 === 0, "User:Pw@").otherwise(""),
+      when(id % 3 === 0, "WWW.News").when(id % 3 === 1, "Blog")
+        .otherwise("sub.Shop"),
+      lit(".site"), (id % 7).cast("string"),
+      when(id % 6 === 0, ".co.uk").when(id % 6 === 1, ".com")
+        .when(id % 6 === 2, ".github.io").when(id % 6 === 3, ".org")
+        .when(id % 6 === 4, ".com.au").otherwise(".io"),
+      when(id % 2 === 0, ":8080").otherwise(""),
+      lit("/Path/"), (id % 9).cast("string"),
+      when(id % 3 === 0, concat(lit("?q=x&id="), id.cast("string")))
+        .otherwise(""),
+      when(id % 4 === 1, "#Frag").otherwise(""))
+    Web.withUrlKeys(docs.select(col("doc_id"), url.as("url")), "url")
+      .orderBy(col("doc_id"))
+  }
+
   // q59 int8-quantized brute-force top-k: q25's retrieval over 4×-smaller
   // vectors (symmetric per-vector quantization, scale-free cosine on the
   // byte arrays — no dequantization in the rank). Deterministic
@@ -1625,5 +1655,6 @@ object Extensions {
     "q139_dedup_recall" -> q139_dedup_recall,
     "q140_dedup_screen" -> q140_dedup_screen,
     "q141_token_budget_prefix" -> q141_token_budget_prefix,
-    "q142_containment_recall" -> q142_containment_recall)
+    "q142_containment_recall" -> q142_containment_recall,
+    "q143_url_canonicalize" -> q143_url_canonicalize)
 }

@@ -26,7 +26,14 @@ object ConvertRegistry {
     "int"        -> (c => c.cast("long")),
     "float"      -> (c => c.cast("double")),
     "str"        -> (c => c.cast("string")),
-    "bool"       -> (c => c.cast("boolean")))
+    "bool"       -> (c => c.cast("boolean")),
+    // URL/domain canonicalization knobs (graft.ops.Web): the task-DSL
+    // route to per-domain keys for cap/split/contamination pipelines
+    "canonical_url"     -> (c => graft.ops.Web.canonicalizeUrl(c)),
+    "url_host"          -> (c => graft.ops.Web.urlHost(c)),
+    "url_domain"        -> (c => graft.ops.Web.urlDomain(c)),
+    // registered-domain cut of a field that already holds a bare host
+    "registered_domain" -> (c => graft.ops.Web.registeredDomain(c)))
 
   /** Compile one convert spec (string method name or dict mapping) into a
     * Column transformation of `col`.

@@ -594,6 +594,49 @@ class OpsSpec extends SparkSpec {
       s.getDouble(4) == 0.4)
   }
 
+  test("Web url canonicalization: case/port/userinfo/query/fragment strip, suffix precedence, fail-null") {
+    val rows = Seq(
+      // messy but valid: everything normalizes
+      (1L, "HTTPS://User:Pw@WWW.Example.CO.UK:8443/A/B?q=1#frag"),
+      // no explicit path -> "/"
+      (2L, "http://Example.COM?x=1"),
+      // shared-hosting suffix beats its parent TLD
+      (3L, "https://Alice.GitHub.IO/repo"),
+      // no matching suffix -> last-two-labels fallback
+      (4L, "https://a.b.internal/x"),
+      // single-label host passes through as its own domain
+      (5L, "http://localhost:8080/x"),
+      // a bare public suffix as host stays whole
+      (6L, "https://co.uk/"),
+      // no scheme -> canonical is NULL (host/domain still parse empty)
+      (7L, "www.example.com/path"),
+      (8L, null.asInstanceOf[String]))
+      .toDF("id", "url")
+    val out = Web.withUrlKeys(rows, "url")
+      .select("id", "canon_url", "host", "domain")
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (("https://www.example.co.uk/A/B",
+      "www.example.co.uk", "example.co.uk")), s"${out(1L)}")
+    assert(out(2L) == (("http://example.com/", "example.com",
+      "example.com")))
+    assert(out(3L) == (("https://alice.github.io/repo",
+      "alice.github.io", "alice.github.io")),
+      "github.io must win over io: " + out(3L))
+    assert(out(4L) == (("https://a.b.internal/x", "a.b.internal",
+      "b.internal")), "fallback = last two labels: " + out(4L))
+    assert(out(5L) == (("http://localhost/x", "localhost", "localhost")))
+    assert(out(6L) == (("https://co.uk/", "co.uk", "co.uk")))
+    assert(out(7L) == ((null, "", "")), s"schemeless fails null: ${out(7L)}")
+    assert(out(8L) == ((null, null, null)))
+    // the task-DSL knob compiles through the convert registry
+    val viaKnob = rows.where(col("id") === 1L)
+      .select(graft.transform.ConvertRegistry.compile("url",
+        org.json4s.JString("url_domain")).as("d"))
+      .as[String].collect().head
+    assert(viaKnob == "example.co.uk")
+  }
+
   test("plantRecallLadder: deterministic twins spanning >=5 jaccard and containment bands") {
     // a synthetic 64-doc corpus with enough words that every ladder
     // level gets slice docs (ids 0,4,...,60 → levels 0..7 twice)
