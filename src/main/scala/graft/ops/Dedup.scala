@@ -703,17 +703,37 @@ object Dedup {
     * what actually arrived" is one index read, not a corpus re-scan.
     * `truthThreshold` bounds the truth side exactly as [[ngramJaccard]]
     * does; `maxDf` is the inverted-index skew guard.
+    *
+    * `sample` < 1 restricts the audit to a DETERMINISTIC md5-coin slice
+    * of documents (salted so it is independent of every sampler's
+    * md5(id) coin) — the audit is quadratic-by-contract, and a standing
+    * deployment re-auditing per N ingest batches
+    * ([[graft.streaming.Streams.textIndexCardSink]]) sizes the slice,
+    * not the corpus, into the audit (the BASELINE.md slice-sizing
+    * rule). Both the truth side and the candidate side see the SAME
+    * slice, so recall stays an unbiased within-slice measurement.
     */
   def dedupRecallFromIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, truthThreshold: Double = 0.2,
                            nBands: Int = 10, maxBucket: Int = 1000,
-                           maxDf: Int = 1000): DataFrame = {
+                           maxDf: Int = 1000,
+                           sample: Double = 1.0): DataFrame = {
+    require(sample > 0 && sample <= 1, s"sample out of range: $sample")
+    val allSets = spark.read.parquet(s"$path/sets")
+    val allBands = spark.read.parquet(s"$path/bands")
+    val (sets, bandKeysDf) =
+      if (sample >= 1.0) (allSets, allBands)
+      else {
+        val thr = graft.ops.Sampling.hexThreshold(sample)
+        def keep(df: DataFrame) = df.where(
+          md5(concat(col("doc_id").cast("string"), lit("|dedup_audit")))
+            < lit(thr))
+        (keep(allSets), keep(allBands))
+      }
     // exact truth from the persisted sets — the ngramJaccard statement
     // over the layout instead of raw text
-    val truth = ngramJaccardFromSets(
-      spark.read.parquet(s"$path/sets"), truthThreshold, maxDf)
-    val cand = candidatesFromBandKeys(
-      spark.read.parquet(s"$path/bands"), maxBucket)
+    val truth = ngramJaccardFromSets(sets, truthThreshold, maxDf)
+    val cand = candidatesFromBandKeys(bandKeysDf, maxBucket)
     dedupRecall(truth, cand, nBands)
   }
 

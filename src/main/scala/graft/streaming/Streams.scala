@@ -1569,13 +1569,28 @@ object Streams {
   def textIndexSink(stream: DataFrame, idCol: String, textCol: String,
                     path: String, checkpoint: String, w: Int = 3, k: Int = 8,
                     bands: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
+    checkTextLayout(stream, path, w, k, bands)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendTextBatch(batch, idCol, textCol, path, w, k, bands)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
+  /** The sink-start gate [[textIndexSink]] and [[textIndexCardSink]]
+    * share: fail CLOSED on a populated layout with no meta (interrupted
+    * meta write or pre-meta build — nothing can vouch for the stored
+    * geometry), on a reband tombstone (meta may vouch for a geometry
+    * the bands don't carry), and on a geometry mismatch (appending
+    * would silently partition streamed docs away from the batch corpus).
+    */
+  private def checkTextLayout(stream: DataFrame, path: String,
+                              w: Int, k: Int, bands: Int): Unit = {
     val meta = graft.ops.Similarity.readIndexMeta(stream.sparkSession, path)
     if (meta.isEmpty) {
-      // a populated layout with NO meta is an interrupted meta write
-      // (or a pre-meta build): meta can no longer vouch for the bands'
-      // geometry, so appending would risk the exact mismatched-key
-      // partition the meta check exists to prevent — fail CLOSED and
-      // demand a rebuild (which re-stamps meta) rather than trust w/k/bands
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
         stream.sparkSession.sparkContext.hadoopConfiguration)
       val populated = Seq("sets", "bands").forall(sub =>
@@ -1586,9 +1601,6 @@ object Streams {
           "(which stamps meta) before starting the sink")
     }
     if (meta.get("layout").contains("text_dedup")) {
-      // a reband tombstone means a reband crashed between its meta
-      // write and its bands swap — meta may vouch for a geometry the
-      // bands don't carry, so fail CLOSED rather than trust either
       require(!meta.contains("rebanding"),
         s"layout at $path has an interrupted reband in flight " +
           s"(tombstone rebanding=${meta("rebanding")}) — re-run " +
@@ -1600,16 +1612,66 @@ object Streams {
           s"bands=${stored._3}) — appending would silently partition " +
           "streamed docs away from the batch corpus; reband or match")
     }
+  }
+
+  /** One micro-batch's append into a text-dedup layout: one tokenize
+    * pass serves both tables — the index's whole point.
+    */
+  private def appendTextBatch(batch: DataFrame, idCol: String,
+                              textCol: String, path: String,
+                              w: Int, k: Int, bands: Int): Unit = {
+    val sets = graft.ops.Dedup.shingleSets(batch, idCol, textCol, w).persist()
+    try {
+      sets.write.mode("append").parquet(s"$path/sets")
+      graft.ops.Dedup.bandKeys(
+          graft.ops.Dedup.minHashSignatures(sets, k), k, bands)
+        .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+    } finally sets.unpersist()
+  }
+
+  /** [[textIndexSink]] WITH A RECALL CARD — the lexical-screen member
+    * of the card family ([[ivfDriftCardSink]] retention,
+    * [[driftCardSink]] PSI): each micro-batch appends into the layout
+    * exactly like the plain sink, then every `auditEvery`-th batch
+    * re-runs the [[graft.ops.Dedup.dedupRecallFromIndex]] audit over a
+    * bounded deterministic `auditSample` slice of the GROWN layout and
+    * appends its banded curve to `cardPath` as
+    *
+    *   (batch_id, band, j_lo, n_truth, n_hit, recall)
+    *
+    * so the card parquet IS the screen-recall-over-time curve a dedup
+    * deployment alerts on ("reband when the 0.5-band recall drops
+    * under 0.9" is a filter over this table) — watched, not polled.
+    * Cost note: the audit is quadratic-by-contract on its slice; size
+    * `auditSample` by the BASELINE.md slice rule and stretch
+    * `auditEvery` at high-frequency ingest — correctness holds at any
+    * cadence because the audit reads only committed layout state. Card
+    * rows are at-least-once like every card here: a replayed batch
+    * re-audits an index that can only have grown; last batch_id wins
+    * when reading.
+    */
+  def textIndexCardSink(spark: org.apache.spark.sql.SparkSession,
+                        stream: DataFrame, idCol: String, textCol: String,
+                        path: String, checkpoint: String, cardPath: String,
+                        w: Int = 3, k: Int = 8, bands: Int = 4,
+                        auditEvery: Int = 1, auditSample: Double = 1.0,
+                        truthThreshold: Double = 0.2, maxBucket: Int = 1000,
+                        maxDf: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(auditEvery >= 1, s"auditEvery must be positive: $auditEvery")
+    checkTextLayout(stream, path, w, k, bands)
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // one tokenize pass serves both tables — the index's whole point
-        val sets = graft.ops.Dedup.shingleSets(batch, idCol, textCol, w).persist()
-        try {
-          sets.write.mode("append").parquet(s"$path/sets")
-          graft.ops.Dedup.bandKeys(
-              graft.ops.Dedup.minHashSignatures(sets, k), k, bands)
-            .write.mode("append").partitionBy("band").parquet(s"$path/bands")
-        } finally sets.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendTextBatch(batch, idCol, textCol, path, w, k, bands)
+        if (batchId % auditEvery == 0) {
+          graft.ops.Dedup.dedupRecallFromIndex(spark, path,
+              truthThreshold = truthThreshold, maxBucket = maxBucket,
+              maxDf = maxDf, sample = auditSample)
+            .withColumn("batch_id", lit(batchId))
+            .select(col("batch_id"), col("band"), col("j_lo"),
+              col("n_truth"), col("n_hit"), col("recall"))
+            .coalesce(1).write.mode("append").parquet(cardPath)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

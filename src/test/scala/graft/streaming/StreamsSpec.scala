@@ -1028,6 +1028,84 @@ class StreamsSpec extends SparkSpec {
     assert(bad.getMessage.contains("disagrees"))
   }
 
+  test("textIndexCardSink: per-batch recall card matches polling the batch audit; auditEvery skips") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val seeds = Seq(
+      (1L, base),
+      (2L, "completely unrelated text about parquet file formats and shuffles"))
+    val dirA = tmpDir("graft_textcard_")
+    val dirB = tmpDir("graft_textcard_ctl_")
+    Seq(dirA, dirB).foreach(d => graft.ops.Dedup.buildTextIndex(
+      seeds.toDF("doc_id", "text"), "doc_id", "text", d))
+    val mem = MemoryStream[(Long, String)]
+    val card = tmpDir("graft_textcard_out_")
+    val qA = Streams.textIndexCardSink(spark,
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      dirA, s"$dirA/ckpt", card)
+    val qB = Streams.textIndexSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", dirB, s"$dirB/ckpt")
+    def audit(dir: String) = graft.ops.Dedup.dedupRecallFromIndex(spark, dir)
+      .select("band", "j_lo", "n_truth", "n_hit", "recall")
+      .as[(Long, Double, Long, Long, Double)].collect().toSet
+    val expected = scala.collection.mutable.Map[Long, Set[(Long, Double, Long, Long, Double)]]()
+    try {
+      // batch 0: a near-dup of seed 1 — truth appears, the screen sees it
+      mem.addData((100L, base.replace("today", "tonight")))
+      qA.processAllAvailable(); qB.processAllAvailable()
+      expected(0L) = audit(dirB) // POLLING the batch audit on the control
+      // batch 1: a weaker twin (prefix) — a lower-similarity band appears
+      mem.addData((101L, base.split(" ").take(9).mkString(" ") +
+        " and then some wholly new words follow here"))
+      qA.processAllAvailable(); qB.processAllAvailable()
+      expected(1L) = audit(dirB)
+    } finally { qA.stop(); qB.stop() }
+    val got = spark.read.parquet(card)
+      .select("batch_id", "band", "j_lo", "n_truth", "n_hit", "recall")
+      .as[(Long, Long, Double, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (b, rows) =>
+        b -> rows.map(r => (r._2, r._3, r._4, r._5, r._6)).toSet
+      }
+    assert(got.keySet == Set(0L, 1L), s"one card block per batch: ${got.keySet}")
+    assert(got(0L) == expected(0L),
+      s"batch-0 card must equal polling the audit: ${got(0L)} vs ${expected(0L)}")
+    assert(got(1L) == expected(1L),
+      s"batch-1 card must equal polling the audit: ${got(1L)} vs ${expected(1L)}")
+    assert(expected(0L).nonEmpty && expected(1L) != expected(0L),
+      "the planted batches must actually move the curve")
+    // the card sink appends into the layout exactly like the plain sink
+    assert(spark.read.parquet(s"$dirA/sets").select("doc_id").as[Long]
+      .collect().toSet ==
+      spark.read.parquet(s"$dirB/sets").select("doc_id").as[Long]
+        .collect().toSet)
+    // auditEvery=2 audits batches 0 and 2, skips 1; sampled audit is
+    // deterministic (same slice both runs)
+    val mem2 = MemoryStream[(Long, String)]
+    val card2 = tmpDir("graft_textcard2_out_")
+    val dirC = tmpDir("graft_textcard2_idx_")
+    graft.ops.Dedup.buildTextIndex(seeds.toDF("doc_id", "text"),
+      "doc_id", "text", dirC)
+    val qC = Streams.textIndexCardSink(spark,
+      mem2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      dirC, s"$dirC/ckpt", card2, auditEvery = 2)
+    try {
+      // every batch is a near-dup of the seed, so every audited batch
+      // has a nonempty curve to append (an empty audit writes no rows)
+      for (i <- 0 until 3) {
+        mem2.addData((200L + i, base.replace("today", s"tonight$i")))
+        qC.processAllAvailable()
+      }
+    } finally qC.stop()
+    val audited = spark.read.parquet(card2)
+      .select("batch_id").distinct().as[Long].collect().toSet
+    assert(audited == Set(0L, 2L), s"auditEvery=2 audits 0 and 2: $audited")
+    val s1 = graft.ops.Dedup.dedupRecallFromIndex(spark, dirC, sample = 0.9)
+      .collect().toSeq
+    val s2 = graft.ops.Dedup.dedupRecallFromIndex(spark, dirC, sample = 0.9)
+      .collect().toSeq
+    assert(s1.toSet == s2.toSet, "sampled audit must be deterministic")
+  }
+
   test("packStream: offsets continue across micro-batches and match the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]
