@@ -73,7 +73,7 @@ object PlanAudit {
       "q134_mixture_sample", "q135_distribution_drift", "q136_corpus_diff",
       "q137_label_noise_ivf", "q138_numeric_drift", "q139_dedup_recall",
       "q140_dedup_screen", "q141_token_budget_prefix",
-      "q142_containment_recall")
+      "q142_containment_recall", "q143_url_canonicalize")
     // optional args = audit only these queries (iterating on one
     // operator); a trailing `--json <path>` additionally writes the
     // table as the per-round PLANAUDIT artifact, so plan-shape
@@ -84,8 +84,8 @@ object PlanAudit {
     }
     val selected =
       if (qargs.isEmpty) interesting else interesting.filter(qargs.toSet)
-    val rows = for (q <- selected) yield {
-      val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
+    def audit(q: String, df: org.apache.spark.sql.DataFrame) = {
+      val qe = df.queryExecution
       qe.executedPlan.executeCollect()
       val plan = qe.executedPlan.toString
       def n(s: String) = s.r.findAllIn(plan).length
@@ -96,6 +96,21 @@ object PlanAudit {
         f"bcast=${r._4}%2d smj=${r._5}%2d bnlj=${r._6}%2d pushed=${r._7}")
       r
     }
+    val queryRows = for (q <- selected) yield
+      audit(q, SparkEntry.queries(q)(spark, sfDir))
+    // the REBAND path (q139's tuning action): not a declared query, so
+    // audit its staging derivation directly — one sets scan through the
+    // signature fold into band keys; the asserted shape is NO joins and
+    // the single band-partitioned exchange of the staged write
+    val rows = queryRows ++ (if (qargs.nonEmpty) Seq.empty else {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("planaudit_reband_").toString
+      graft.ops.Dedup.buildTextIndex(
+        Tables.load(spark, sfDir, "documents"), "doc_id", "text", tmp)
+      val sets = spark.read.parquet(s"$tmp/sets")
+      Seq(audit("reband_bands_derivation", graft.ops.Dedup.bandKeys(
+        graft.ops.Dedup.minHashSignatures(sets, 16), 16, 8)))
+    })
     jsonPath.foreach { p =>
       val body = rows.map { case (q, sh, re, bc, smj, bnlj, pushed) =>
         s"""  "$q": {"shuffle_stages": $sh, "reused": $re, "bcast": $bc,""" +
