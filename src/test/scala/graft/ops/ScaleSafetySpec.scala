@@ -125,6 +125,28 @@ class ScaleSafetySpec extends SparkSpec {
       s"simhash must not shuffle token occurrences:\n$simPlan")
   }
 
+  test("URL canonicalization is projection-only: no Exchange, no UDF, no aggregate") {
+    // a file-backed source: local literal rows constant-fold into a
+    // LocalTableScan and the projection disappears from the plan
+    val urls = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        concat(lit("HTTPS://User@Sub"), col("doc_id"),
+          lit(".Example.co.uk:8443/P?q=1#f")).as("url"))
+    val plan = Web.withUrlKeys(urls, "url")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"withUrlKeys must be a pure map-side projection:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"no UDFs in the canonicalization path:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"no aggregation in a projection:\n$plan")
+    // and it stays inside whole-stage codegen (the chained-when domain
+    // cut must not fall out of codegen at this suffix-list size) — the
+    // `*(n)` prefix is the codegen marker in the plan string
+    assert(plan.contains("*(1) Project"),
+      s"canonicalization must ride codegen:\n${plan.take(400)}")
+  }
+
   test("self-join family reuses shuffle stages at runtime (q28/q30/q31, SMJ shape)") {
     // Fixture-sized inputs broadcast everywhere, hiding the 100 TB shape;
     // disabling auto-broadcast forces the SMJ plan a large input gets.
