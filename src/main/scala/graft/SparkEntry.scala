@@ -405,6 +405,21 @@ object SparkEntry {
     "q141_token_budget_prefix" -> tokenBudgetPrefixSql,
     "q142_containment_recall" -> containmentRecallSql,
     "q143_url_canonicalize" -> urlCanonicalizeSql,
+    // q144: the identical planted mess (combining acute/grave, tabs, a
+    // C0 control byte, double spaces) and the identical normalization
+    // order: NFC -> lower -> control strip -> whitespace collapse ->
+    // trim. utf8proc's NFC agrees with java.text.Normalizer by the
+    // Unicode standard; regexp_replace needs the 'g' flag here (DuckDB
+    // replaces first-match by default, Spark replaces all).
+    "q144_normalize_text" ->
+      """SELECT doc_id,
+        |  TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+        |    LOWER(NFC_NORMALIZE(text || ' e' || chr(769) || ' A' || chr(768)
+        |                        || chr(9) || chr(9) || ' x ' || chr(1)
+        |                        || 'y  z ')),
+        |    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS norm_text
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     "q135_distribution_drift" ->
       s"""WITH r AS (SELECT lang, COUNT(*) AS ref_n FROM documents GROUP BY lang),
          |rs AS (SELECT lang, ref_n,

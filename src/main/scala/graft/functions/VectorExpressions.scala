@@ -1932,10 +1932,62 @@ object HashEmbed {
   }
 }
 
+/** Unicode NFC normalization as one codegen'd unary projection — the
+  * canonical-composition step a text pipeline runs BEFORE hashing: the
+  * same rendered string can arrive precomposed (é = U+00E9) or as
+  * base+combining sequences (e + U+0301), and every md5-keyed operator
+  * in this engine (exact dedup, minhash, simhash, winnowing, the
+  * samplers' coins) would treat the two as different documents.
+  * `java.text.Normalizer` implements the Unicode standard's NFC, as
+  * does the oracle's `nfc_normalize` (utf8proc) — the q144 hash-check
+  * pins the cross-implementation agreement. Fast path: the NFC
+  * quick-check returns the input UTF8String untouched for the
+  * overwhelmingly common already-normalized document (no String
+  * round-trip, no allocation).
+  */
+case class NfcNormalize(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.StringType
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = org.apache.spark.sql.graft.NfcNormalize.compute($in);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Shared by interpreted eval and codegen. */
+  def compute(input: UTF8String): UTF8String = {
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object VectorBridge {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def nfcNormalize(text: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
 
   def wordShingles(text: Column, w: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), w))

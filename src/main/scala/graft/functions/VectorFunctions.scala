@@ -86,6 +86,13 @@ object VectorFunctions {
   def tokenCountsStruct(text: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.tokenCounts(text)
 
+  /** Unicode NFC normalization (codegen'd, quick-check fast path) — the
+    * canonical-composition step before any content hashing; backs
+    * [[graft.ops.TextAnalysis.normalizeText]] (q144).
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.nfcNormalize(text)
+
   /** Symmetric int8 quantization struct (scale, q: array<byte>) — the 4×
     * index-storage reduction behind quantizedTopK (q59); cosine over the
     * q arrays is scale-free, so ranks survive to quantization precision.

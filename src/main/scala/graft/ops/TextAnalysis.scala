@@ -30,6 +30,27 @@ object TextAnalysis {
     * Spark — it dropped the projection out of whole-stage codegen and
     * walked the token array once per language).
     */
+  /** Canonical text normalization — the cleanup projection a corpus
+    * runs BEFORE any content hashing, so that byte-level presentation
+    * differences stop defeating dedup: Unicode NFC composition (the
+    * codegen'd [[graft.functions.VectorFunctions.nfcNormalize]] — e +
+    * combining acute and the precomposed é md5 identically afterwards),
+    * optional lowercasing, C0/DEL control-character strip, whitespace
+    * runs collapsed to one space, ends trimmed. Pure map-side Column
+    * projection (one custom expression + two regexp_replace), no UDF,
+    * no shuffle; order is fixed (NFC → case → strip → collapse → trim)
+    * and mirrored literally in the q144 oracle, so the output
+    * hash-checks cross-engine (utf8proc's nfc_normalize agrees with
+    * java.text.Normalizer by the Unicode standard).
+    */
+  def normalizeText(text: Column, lowercase: Boolean = false): Column = {
+    val nfc = graft.functions.VectorFunctions.nfcNormalize(text)
+    val cased = if (lowercase) lower(nfc) else nfc
+    trim(regexp_replace(
+      regexp_replace(cased, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\r]+", " "))
+  }
+
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val langs = stopwords.keys.toSeq.sorted
     val scored = df

@@ -422,6 +422,22 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q144 canonical text normalization (TextAnalysis.normalizeText): the
+  // pre-hashing cleanup projection — NFC composition (custom codegen'd
+  // expression), lowercase, control strip, whitespace collapse, trim.
+  // The fixtures are clean ASCII, so the query plants the mess it
+  // normalizes: combining sequences (e+U+0301, A+U+0300), tabs, a C0
+  // control byte, double spaces — mirrored chr-for-chr in the oracle.
+  val q144_normalize_text: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+    val messy = concat(col("text"),
+      lit(" e"), lit("\u0301"), lit(" A"), lit("\u0300"),
+      lit("\t\t x "), lit("\u0001"), lit("y  z "))
+    docs.select(col("doc_id"),
+        TextAnalysis.normalizeText(messy, lowercase = true).as("norm_text"))
+      .orderBy(col("doc_id"))
+  }
+
   // q59 int8-quantized brute-force top-k: q25's retrieval over 4×-smaller
   // vectors (symmetric per-vector quantization, scale-free cosine on the
   // byte arrays — no dequantization in the rank). Deterministic
@@ -1656,5 +1672,6 @@ object Extensions {
     "q140_dedup_screen" -> q140_dedup_screen,
     "q141_token_budget_prefix" -> q141_token_budget_prefix,
     "q142_containment_recall" -> q142_containment_recall,
-    "q143_url_canonicalize" -> q143_url_canonicalize)
+    "q143_url_canonicalize" -> q143_url_canonicalize,
+    "q144_normalize_text" -> q144_normalize_text)
 }

@@ -268,6 +268,35 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("NfcNormalize: composes combining sequences, identity fast path, null passthrough") {
+    val decomposed = "e\u0301 A\u0300 plain"
+    val precomposed = "\u00e9 \u00c0 plain"
+    val rows = Seq(
+      (1L, decomposed),
+      (2L, precomposed),                 // already NFC: identity out
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = rows.select(col("id"),
+        VectorFunctions.nfcNormalize(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == precomposed, s"NFC must compose: ${out(1L)}")
+    assert(out(1L) == out(2L), "decomposed and precomposed must converge")
+    assert(out(3L) == "" && out(4L) == null)
+    // normalizeText: the full cleanup chain (NFC -> lower -> control
+    // strip -> ws collapse -> trim), the q144 statement
+    val norm = rows.select(col("id"),
+        graft.ops.TextAnalysis.normalizeText(
+          concat(col("text"), lit("\t\t x\u0001 y  z ")),
+          lowercase = true).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(norm(1L) == "\u00e9 \u00e0 plain x y z", s"${norm(1L)}")
+    assert(norm(1L) == norm(2L),
+      "the two presentations of the same text must normalize identically")
+    assert(norm(3L) == "x y z")
+    assert(norm(4L) == null)
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     // Every Project line in the executed plan must carry the `*(n)` codegen
     // marker: a bare `Project` means some expression fell back to
