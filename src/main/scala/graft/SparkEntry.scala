@@ -405,6 +405,9 @@ object SparkEntry {
     "q141_token_budget_prefix" -> tokenBudgetPrefixSql,
     "q142_containment_recall" -> containmentRecallSql,
     "q143_url_canonicalize" -> urlCanonicalizeSql,
+    "q145_html_to_text" -> htmlToTextSql,
+    "q146_gopher_filter" -> gopherFilterSql,
+    "q147_leak_free_split" -> leakFreeSplitSql,
     // q144: the identical planted mess (combining acute/grave, tabs, a
     // C0 control byte, double spaces) and the identical normalization
     // order: NFC -> lower -> control strip -> whitespace collapse ->
@@ -3042,6 +3045,36 @@ object SparkEntry {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** q147 oracle: the q127 split CASE + the q44 decontaminate CTE chain
+    * composed — train shingles (4-grams, maxDf 1000) joined against the
+    * held-out side's distinct shingles, ≥2 distinct hits relabel the
+    * train doc 'dropped'. Thresholds mirror Sampling.hexThreshold.
+    */
+  private def leakFreeSplitSql: String = {
+    val t1 = graft.ops.Sampling.hexThreshold(0.8)
+    val t2 = graft.ops.Sampling.hexThreshold(0.9)
+    s"""WITH sp AS (SELECT doc_id, text, source,
+       |  CASE WHEN MD5(source || '|gsplit') < '$t1' THEN 'train'
+       |       WHEN MD5(source || '|gsplit') < '$t2' THEN 'val'
+       |       ELSE 'test' END AS split FROM documents),
+       |toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM sp),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+       |       FROM toks, UNNEST(RANGE(1, LEN(t) - 2)) AS u(i)),
+       |corp AS (SELECT sh.doc_id, sh.s FROM sh JOIN sp USING (doc_id)
+       |         WHERE sp.split = 'train'
+       |         QUALIFY COUNT(*) OVER (PARTITION BY sh.s) <= 1000),
+       |bench AS (SELECT DISTINCT sh.s FROM sh JOIN sp USING (doc_id)
+       |          WHERE sp.split <> 'train'),
+       |leak AS (SELECT c.doc_id FROM corp c JOIN bench b ON b.s = c.s
+       |         GROUP BY c.doc_id HAVING COUNT(*) >= 2)
+       |SELECT sp.doc_id, sp.source,
+       |  CASE WHEN sp.split = 'train' AND l.doc_id IS NOT NULL
+       |       THEN 'dropped' ELSE sp.split END AS split
+       |FROM sp LEFT JOIN leak l USING (doc_id)
+       |ORDER BY sp.doc_id""".stripMargin
+  }
+
   /** q29 oracle: 16-bit simhash, majority vote per bit over token md5s. */
   private def simhashSql: String = {
     val (bitSums, fp) = simhashFragments
@@ -3177,6 +3210,110 @@ object SparkEntry {
        |       ELSE (CASE WHEN host LIKE '%.%' THEN REGEXP_EXTRACT(host, '([^.]+\\.[^.]+)${"$"}', 1) ELSE host END)
        |  END AS domain
        |FROM parts2 ORDER BY doc_id""".stripMargin
+  }
+
+  /** q145 oracle: the SAME planted page as the declared query, pushed
+    * through REGEXP_REPLACE nesting GENERATED from `Web.htmlRules` —
+    * both engines run the same pattern text by construction. Every
+    * rule needs the 'g' flag (DuckDB replaces first-match by default);
+    * the `\n` replacement is `chr(10)` (DuckDB standard strings do not
+    * process backslash escapes); the final trim matches Spark's
+    * space-only `trim`.
+    */
+  private def htmlToTextSql: String = {
+    // one line: the interpolating template below stripMargins the WHOLE
+    // result, so multi-line fragments here must not start lines with `|`
+    val plant = Seq(
+      """'<html ><head><script type="text/JavaScript">var x=1; """ +
+        """if (x<2) { s="</p>ignored"; }</script>'""",
+      """'<style media="all">p { color: red; }</style></head>'""",
+      """'<body><!-- hidden <p>comment</p> --><h1 class="t">Title '""",
+      "CAST(doc_id AS VARCHAR)",
+      "'</h1>' || chr(10) || '<p>' || text",
+      "' &amp;amp; caf&#39;e &quot;q&quot;&nbsp;x &lt;b&gt;kept&gt;</p>'",
+      "'<ul><li> alpha</li><li>beta </li></ul>'",
+      "'<table><tr><td>c1</td><td>c2</td></tr></table>'",
+      "'<p>tail <b>bold</b>, <I>ital</I> &amp; done</p></body></html>'")
+      .mkString(" || ")
+    val folded = graft.ops.Web.htmlRules.foldLeft(s"($plant)") {
+      case (acc, (p, r)) =>
+        val pat = p.replace("'", "''")
+        val rep =
+          if (r == "\n") "chr(10)" else "'" + r.replace("'", "''") + "'"
+        s"REGEXP_REPLACE($acc,\n  '$pat', $rep, 'g')"
+    }
+    s"""SELECT doc_id, TRIM($folded) AS plain_text
+       |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+  }
+
+  /** q146 oracle: GENERATED from the same plant, stop list and threshold
+    * values the declared query uses (Extensions.gopherQueryThresholds /
+    * gopherQueryPlant / GopherStats.stopWords), so the two engines can
+    * only disagree on semantics, never on constants. Mirrors the
+    * GopherStats contract: words = non-empty [ \t\n\r]+ splits (length
+    * in codepoints — DuckDB `length` counts codepoints too), lines
+    * trimmed of space/tab/CR with blanks dropped, `…` counted per char
+    * and `...` per non-overlapping run (replace-all semantics), flags
+    * from UNROUNDED ratios, displayed ratios rounded like the Spark side.
+    */
+  private def gopherFilterSql: String = {
+    val th = graft.queries.Extensions.gopherQueryThresholds
+    val plantSql = graft.queries.Extensions.gopherQueryPlant
+      .split("\n", -1)
+      .map(p => "'" + p.replace("'", "''") + "'")
+      .mkString(" || chr(10) || ")
+    val stops = org.apache.spark.sql.graft.GopherStats.stopWords
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    val lineTrim = "' ' || chr(9) || chr(13)"
+    s"""WITH planted AS (
+       |  SELECT doc_id, text || $plantSql AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |w AS (SELECT doc_id, t,
+       |  list_filter(regexp_split_to_array(t, '[ \\t\\n\\r]+'), x -> x <> '') AS words,
+       |  list_filter(list_transform(string_split(t, chr(10)),
+       |      x -> trim(x, $lineTrim)), x -> x <> '') AS lines
+       |  FROM planted),
+       |s AS (SELECT doc_id,
+       |  CAST(len(words) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS word_len_sum,
+       |  CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+       |  CAST(len(list_filter(words, x -> list_contains($stops, lower(x)))) AS BIGINT) AS n_stop_hits,
+       |  CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(len(list_filter(lines, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, chr(8226)))) AS BIGINT) AS n_bullet_lines,
+       |  CAST(len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, chr(8230)))) AS BIGINT) AS n_ellipsis_lines,
+       |  CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+       |  CAST((length(t) - length(replace(t, chr(8230), ''))) + ((length(t) - length(replace(t, '...', ''))) // 3) AS BIGINT) AS n_marks
+       |  FROM w),
+       |r AS (SELECT doc_id, n_words, n_stop_hits, n_lines,
+       |  CASE WHEN n_words > 0 THEN CAST(word_len_sum AS DOUBLE) / n_words END AS mean_len,
+       |  CASE WHEN n_words > 0 THEN CAST(n_hash + n_marks AS DOUBLE) / n_words END AS sym_ratio,
+       |  CASE WHEN n_words > 0 THEN CAST(n_alpha_words AS DOUBLE) / n_words END AS alpha_frac,
+       |  CASE WHEN n_lines > 0 THEN CAST(n_bullet_lines AS DOUBLE) / n_lines END AS bullet_frac,
+       |  CASE WHEN n_lines > 0 THEN CAST(n_ellipsis_lines AS DOUBLE) / n_lines END AS ellipsis_frac
+       |  FROM s),
+       |f AS (SELECT doc_id, n_words, n_stop_hits, n_lines,
+       |  COALESCE(mean_len, 0) AS mean_len, COALESCE(sym_ratio, 0) AS sym_ratio,
+       |  COALESCE(alpha_frac, 0) AS alpha_frac,
+       |  COALESCE(bullet_frac, 0) AS bullet_frac,
+       |  COALESCE(ellipsis_frac, 0) AS ellipsis_frac,
+       |  CAST(n_words >= ${th.minWords} AND n_words <= ${th.maxWords} AS BIGINT) AS f_words,
+       |  CAST(n_words > 0 AND mean_len >= ${th.minMeanWordLen} AND mean_len <= ${th.maxMeanWordLen} AS BIGINT) AS f_word_len,
+       |  CAST(n_words > 0 AND sym_ratio <= ${th.maxSymbolWordRatio} AS BIGINT) AS f_symbol,
+       |  CAST(n_lines = 0 OR bullet_frac <= ${th.maxBulletLineFrac} AS BIGINT) AS f_bullet,
+       |  CAST(n_lines = 0 OR ellipsis_frac <= ${th.maxEllipsisLineFrac} AS BIGINT) AS f_ellipsis,
+       |  CAST(n_words > 0 AND alpha_frac >= ${th.minAlphaWordFrac} AS BIGINT) AS f_alpha,
+       |  CAST(n_stop_hits >= ${th.minStopHits} AS BIGINT) AS f_stop
+       |  FROM r)
+       |SELECT doc_id, n_words,
+       |  ROUND(mean_len, 4) AS mean_word_len,
+       |  ROUND(sym_ratio, 4) AS symbol_word_ratio,
+       |  ROUND(bullet_frac, 4) AS bullet_line_frac,
+       |  ROUND(ellipsis_frac, 4) AS ellipsis_line_frac,
+       |  ROUND(alpha_frac, 4) AS alpha_word_frac,
+       |  n_stop_hits AS stop_hits,
+       |  f_words, f_word_len, f_symbol, f_bullet, f_ellipsis, f_alpha, f_stop,
+       |  CAST(f_words * f_word_len * f_symbol * f_bullet * f_ellipsis * f_alpha * f_stop AS BIGINT) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
   }
 
   /** q139 oracle: truth pairs banded by the ROUNDED jaccard (⌊j·10⌋

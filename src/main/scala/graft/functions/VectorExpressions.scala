@@ -1446,6 +1446,135 @@ object NgramRepetition {
   }
 }
 
+/** The integer counts behind the published Gopher document-quality rules
+  * (Rae et al. 2021, §A1.1) in ONE row-local pass: word count and length
+  * sum, alphabetic-word and stop-word hits, non-blank/bullet/ellipsis
+  * line counts, and the `#`/`…` symbol tallies. Integers only — the
+  * derived ratios and threshold flags divide identically in any engine,
+  * so the operator hash-checks against a DuckDB twin.
+  *
+  * The HOF spelling (split + filter/aggregate lambdas per signal) walks
+  * the text once PER SIGNAL through interpreter-only expressions; this is
+  * the [[TokenStats]] shape win applied to the full rule family — one
+  * fused scan inside whole-stage codegen. Semantics pinned for the
+  * oracle mirror:
+  *   - words = maximal runs of non-[ \t\n\r]; length in codepoints;
+  *   - alphabetic word = contains [A-Za-z]; stop word = lowercased
+  *     exact match against the published 8-word list;
+  *   - lines split on \n, trimmed of [ \t\r]; blank lines don't count;
+  *     bullet = first char in {-, *, •}; ellipsis = ends "..." or "…";
+  *   - symbol tallies: every `#` char; `…` chars plus non-overlapping
+  *     left-to-right "..." runs (exactly what a replace-all counts).
+  */
+case class GopherStats(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.{LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    GopherStats.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f, LongType, nullable = false)))
+  override def prettyName: String = "graft_gopher_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GopherStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = org.apache.spark.sql.graft.GopherStats.compute($in);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
+    copy(child = newChild)
+}
+
+object GopherStats {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val fields: Seq[String] = Seq("n_words", "word_len_sum", "n_alpha_words",
+    "n_stop_hits", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+    "n_hash", "n_ellipsis_marks")
+
+  /** The published Gopher stop list (word must appear ≥2 times... the
+    * RULE's threshold lives in the operator; this is just the list).
+    */
+  val stopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopWords.foreach(s.add)
+    s
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+  private def isLineWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\r'
+
+  /** Shared by interpreted eval and codegen. */
+  def compute(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = input.toString
+    val n = s.length
+    var nWords = 0L; var lenSum = 0L; var nAlpha = 0L; var nStop = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        var hasAlpha = false
+        while (i < n && !isWs(s.charAt(i))) {
+          val c = s.charAt(i)
+          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+          i += 1
+        }
+        nWords += 1
+        lenSum += s.codePointCount(start, i)
+        if (hasAlpha) nAlpha += 1
+        if (i - start <= 4 &&
+          stopSet.contains(
+            s.substring(start, i).toLowerCase(java.util.Locale.ROOT)))
+          nStop += 1
+      }
+    }
+    // line stats: split on \n, trim [ \t\r] at both ends, skip blanks
+    var nLines = 0L; var nBullet = 0L; var nEllipsis = 0L
+    var ls = 0
+    while (ls <= n) {
+      var le = s.indexOf('\n', ls)
+      if (le < 0) le = n
+      var a = ls; var b = le
+      while (a < b && isLineWs(s.charAt(a))) a += 1
+      while (b > a && isLineWs(s.charAt(b - 1))) b -= 1
+      if (b > a) {
+        nLines += 1
+        val first = s.charAt(a)
+        if (first == '-' || first == '*' || first == '•') nBullet += 1
+        if (s.charAt(b - 1) == '…' ||
+          (b - a >= 3 && s.charAt(b - 1) == '.' && s.charAt(b - 2) == '.' &&
+            s.charAt(b - 3) == '.')) nEllipsis += 1
+      }
+      ls = le + 1
+    }
+    // symbol tallies: '#' chars; '…' chars + non-overlapping "..." runs
+    var nHash = 0L; var nMarks = 0L
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '#') nHash += 1
+      if (c == '…') nMarks += 1
+      if (c == '.' && i + 2 < n && s.charAt(i + 1) == '.' &&
+        s.charAt(i + 2) == '.') { nMarks += 1; i += 2 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, lenSum, nAlpha, nStop, nLines, nBullet, nEllipsis,
+        nHash, nMarks))
+  }
+}
+
 /** The `nProbe` nearest centroids by cosine (ties to the lower index),
   * as an array<int> — the multi-cell generalization of [[NearestCentroid]]
   * that IVF batch probes need: each QUERY row expands to its probe cells
@@ -2056,6 +2185,9 @@ object VectorBridge {
 
   def ngramRep(text: Column, n: Int): Column =
     ExpressionUtils.column(NgramRepetition(ExpressionUtils.expression(text), n))
+
+  def gopherStats(text: Column): Column =
+    ExpressionUtils.column(GopherStats(ExpressionUtils.expression(text)))
 
   def tokenProfile(text: Column, lists: Seq[Seq[String]]): Column =
     ExpressionUtils.column(TokenProfile(ExpressionUtils.expression(text), lists))

@@ -74,6 +74,12 @@ object VectorFunctions {
   def ngramRep(text: Column, n: Int): Column =
     org.apache.spark.sql.graft.VectorBridge.ngramRep(text, n)
 
+  /** Gopher-rule integer counts struct (words/lengths/alpha/stop hits,
+    * line shapes, symbol tallies) in one pass — backs gopherFilter (q146).
+    */
+  def gopherStats(text: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.gopherStats(text)
+
   /** Token profile struct (n_tokens, n_distinct, hits per stopword list)
     * in one pass — backs languageId (q33) and qualityScore (q34).
     */

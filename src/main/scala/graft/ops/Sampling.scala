@@ -361,6 +361,45 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** LEAKAGE-FREE split: [[splitByGroup]] with the contamination check
+    * built in — after the group-keyed coin assigns sides, any TRAIN
+    * document sharing ≥ `minHits` distinct w-gram shingles with the
+    * held-out side (val/test) is relabeled `dropped`. Group splitting
+    * alone only prevents leaks the group key already knows about; the
+    * n-gram screen catches the rest (same page syndicated under two
+    * domains, quotes, mirrored boilerplate). Eval rows are NEVER
+    * dropped — the held-out set stays exactly what the coin chose, so
+    * two runs disagree only in train membership. No row disappears:
+    * the relabel keeps the operator total, and the rule-kill count is
+    * an audit output, not a silent cap.
+    *
+    * Scale shape: the screen is [[Dedup.decontaminate]] — one banded
+    * shingle equi-join with the `maxDf` hot-shingle cap (an
+    * every-page-footer shingle would otherwise join train×eval
+    * quadratically), never all-pairs. The relabel is one left join on
+    * the id; the leak set is train∩eval overlap, bounded in practice,
+    * but it rides a shuffled join rather than a broadcast so the
+    * worst case (a mirrored corpus where most of train leaks) still
+    * completes.
+    */
+  def leakFreeSplit(df: DataFrame, idCol: String, textCol: String,
+                    groupCol: String,
+                    trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                    w: Int = 3, maxDf: Int = 1000,
+                    minHits: Int = 1): DataFrame = {
+    val s = splitByGroup(df, groupCol, trainFrac, valFrac)
+    val leaks = Dedup.decontaminate(
+        s.where(col("split") === "train").select(col(idCol), col(textCol)),
+        s.where(col("split") =!= "train").select(col(idCol), col(textCol)),
+        idCol, textCol, w, maxDf, minHits)
+      .select(col("doc_id").as(idCol), lit(1L).as("_leak"))
+    s.join(leaks, Seq(idCol), "left")
+      .withColumn("split",
+        when(col("split") === "train" && col("_leak").isNotNull, "dropped")
+          .otherwise(col("split")))
+      .drop("_leak")
+  }
+
   /** Per-key frequency cap — "at most `n` documents per domain", the
     * curation throttle that stops one crawler-friendly source from
     * dominating a mixture: keep the `n` BEST rows per key by

@@ -1051,6 +1051,78 @@ object TextAnalysis {
     * form shuffles every gram occurrence twice). Docs with fewer than n
     * tokens have no n-grams: both fractions are 0 by convention.
     */
+  /** Thresholds for [[gopherFilter]] — defaults are the published Gopher
+    * rule values (Rae et al. 2021, §A1.1). Every bound is a parameter
+    * because corpora legitimately retune them (the fixtures' short docs
+    * need a lower `minWords`, a code corpus raises `maxSymbolWordRatio`).
+    */
+  case class GopherThresholds(
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      minStopHits: Long = 2)
+
+  /** The Gopher document-quality DECISION operator: the published rule
+    * set evaluated per document, with the per-rule verdicts exposed —
+    * an audit reads WHICH rule killed a document, not just that one did
+    * (rule-kill counts are how the thresholds get retuned). Flags are
+    * 0/1 ints and every ratio divides two integers from the one-pass
+    * [[graft.functions.VectorFunctions.gopherStats]] expression, so the
+    * whole operator is a zero-shuffle codegen'd projection that
+    * hash-checks against a DuckDB twin. Flag semantics: 1 = the rule
+    * PASSES; `keep` = every rule passed. Ratio rules on an empty
+    * denominator fail (a document with no words has no quality
+    * evidence); the line rules pass vacuously on a no-line document
+    * (bullet/ellipsis shape needs lines to judge).
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   th: GopherThresholds = GopherThresholds()): DataFrame = {
+    val s = graft.functions.VectorFunctions.gopherStats(col(textCol))
+    def f(name: String) = col(s"_g.$name")
+    // counts are BIGINT in both engines (repo oracle convention) —
+    // flags follow so the driver's canonicalizer sees one int width
+    def flag(c: Column) = c.cast("long")
+    val meanLen = f("word_len_sum").cast("double") / f("n_words")
+    val symbolRatio =
+      (f("n_hash") + f("n_ellipsis_marks")).cast("double") / f("n_words")
+    val alphaFrac = f("n_alpha_words").cast("double") / f("n_words")
+    val bulletFrac = f("n_bullet_lines").cast("double") / f("n_lines")
+    val ellipsisFrac = f("n_ellipsis_lines").cast("double") / f("n_lines")
+    val hasWords = f("n_words") > 0
+    val hasLines = f("n_lines") > 0
+    val fWords = f("n_words") >= th.minWords && f("n_words") <= th.maxWords
+    val fLen = hasWords && meanLen >= th.minMeanWordLen &&
+      meanLen <= th.maxMeanWordLen
+    val fSymbol = hasWords && symbolRatio <= th.maxSymbolWordRatio
+    val fBullet = !hasLines || bulletFrac <= th.maxBulletLineFrac
+    val fEllipsis = !hasLines || ellipsisFrac <= th.maxEllipsisLineFrac
+    val fAlpha = hasWords && alphaFrac >= th.minAlphaWordFrac
+    val fStop = f("n_stop_hits") >= th.minStopHits
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), s.as("_g"))
+      .select(col("doc_id"),
+        f("n_words").as("n_words"),
+        round(when(hasWords, meanLen).otherwise(0.0), 4).as("mean_word_len"),
+        round(when(hasWords, symbolRatio).otherwise(0.0), 4)
+          .as("symbol_word_ratio"),
+        round(when(hasLines, bulletFrac).otherwise(0.0), 4)
+          .as("bullet_line_frac"),
+        round(when(hasLines, ellipsisFrac).otherwise(0.0), 4)
+          .as("ellipsis_line_frac"),
+        round(when(hasWords, alphaFrac).otherwise(0.0), 4)
+          .as("alpha_word_frac"),
+        f("n_stop_hits").as("stop_hits"),
+        flag(fWords).as("f_words"), flag(fLen).as("f_word_len"),
+        flag(fSymbol).as("f_symbol"), flag(fBullet).as("f_bullet"),
+        flag(fEllipsis).as("f_ellipsis"), flag(fAlpha).as("f_alpha"),
+        flag(fStop).as("f_stop"),
+        flag(fWords && fLen && fSymbol && fBullet && fEllipsis &&
+          fAlpha && fStop).as("keep"))
+  }
+
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     def fracs(r: String, tag: String): Seq[Column] = Seq(
       when(col(s"$r.total") > 0,

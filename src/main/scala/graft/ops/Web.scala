@@ -119,4 +119,76 @@ object Web {
     df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
       .withColumn("host", urlHost(col(urlCol)))
       .withColumn("domain", urlDomain(col(urlCol)))
+
+  // ------------------------------------------------------------------
+  // HTML → text extraction
+  // ------------------------------------------------------------------
+  //
+  // The other half of the web-corpus intake problem: the crawl hands
+  // you markup, every downstream text operator (dedup shingles, quality
+  // signals, tokenizers, LM scores) wants the rendered text. The
+  // extraction is a fixed, ORDERED rule chain — each rule one
+  // regexp_replace — so the whole thing compiles to a pure map-side
+  // projection inside the scan's WholeStageCodegen span (same scale
+  // shape as canonicalizeUrl: no UDF, no shuffle, no Exchange at any
+  // corpus size). The rules live here as DATA so the DuckDB oracle SQL
+  // is GENERATED from the same constants (SparkEntry.htmlToTextSql) —
+  // the pattern text is chosen to mean the same thing to Java regex and
+  // RE2: inline (?is) flags, non-greedy spans, `\b`, char classes —
+  // no lookaround, no backreferences.
+  //
+  // Rule order is load-bearing and mirrors how browsers produce text:
+  //   1. non-rendered subtrees go first (comments, <script>, <style>) —
+  //      their CONTENT must vanish, and it may contain bare `<`/`>`
+  //      that would derail the generic tag stripper;
+  //   2. block-level boundaries become line breaks, table cells become
+  //      spaces (word-separating, not line-breaking);
+  //   3. every remaining tag renders as nothing (inline markup joins
+  //      its surroundings: `a<b>b</b>` renders "ab");
+  //   4. entities decode AFTER tag stripping (decoding first would
+  //      fabricate tags: `&lt;b&gt;` must survive as literal "<b>"),
+  //      with `&amp;` decoded LAST so `&amp;lt;` yields "&lt;", not "<";
+  //   5. whitespace canonicalization: horizontal runs to one space,
+  //      trimmed line edges, newline runs to one newline.
+
+  /** Stage-1 structural rules (applied first, in order). */
+  val htmlStripRules: Seq[(String, String)] = Seq(
+    ("(?s)<!--.*?-->", " "),
+    ("(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
+    ("(?is)<style\\b[^>]*>.*?</style\\s*>", " "),
+    ("(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|thead|tbody|blockquote|pre|section|article|header|footer|form|hr|dt|dd|dl)\\b[^>]*>", "\n"),
+    ("(?i)</?(?:td|th)\\b[^>]*>", " "),
+    ("<[^>]*>", ""))
+
+  /** Stage-2 entity decodes (literal patterns; `&amp;` MUST stay last). */
+  val htmlEntityRules: Seq[(String, String)] = Seq(
+    ("&nbsp;", " "), ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+    ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&"))
+
+  /** Stage-3 whitespace canonicalization (applied last, in order). */
+  val htmlWhitespaceRules: Seq[(String, String)] = Seq(
+    ("[ \\t\\r]+", " "),
+    (" ?\\n ?", "\n"),
+    ("\\n+", "\n"),
+    // ^/$ anchor the WHOLE string in both engines (no multiline flag)
+    ("^\\n|\\n$", ""))
+
+  /** All rules in application order — the single source both engines
+    * read (Spark applies it below; the oracle generator turns it into
+    * nested REGEXP_REPLACE with the 'g' flag).
+    */
+  val htmlRules: Seq[(String, String)] =
+    htmlStripRules ++ htmlEntityRules ++ htmlWhitespaceRules
+
+  /** Rendered text of an HTML column: the [[htmlRules]] fold + a final
+    * trim. Pure codegen'd projection.
+    */
+  def htmlToText(html: Column): Column =
+    trim(htmlRules.foldLeft(html) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    })
+
+  /** The operator form: id + extracted text. */
+  def extractHtml(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol), htmlToText(col(htmlCol)).as("plain_text"))
 }

@@ -438,6 +438,70 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q145 HTML → text extraction (Web.htmlToText): the crawl-intake
+  // projection that turns markup into the rendered text every text
+  // operator consumes. The fixtures are plain text, so the query wraps
+  // each document in a planted page exercising every rule class —
+  // script/style/comment subtrees (with bare `<` and a decoy `</p>`
+  // inside the script), block tags → newlines, table cells → spaces,
+  // inline tags → nothing, the entity ladder (`&amp;amp;` must come out
+  // `&amp;`, `&lt;b&gt;` must SURVIVE as literal "<b>"), whitespace
+  // canonicalization. The oracle SQL is GENERATED from the same
+  // Web.htmlRules list (SparkEntry.htmlToTextSql), so both engines run
+  // the same pattern text by construction.
+  val q145_html_to_text: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+    val html = concat(
+      lit("<html ><head><script type=\"text/JavaScript\">var x=1; " +
+        "if (x<2) { s=\"</p>ignored\"; }</script>"),
+      lit("<style media=\"all\">p { color: red; }</style></head>"),
+      lit("<body><!-- hidden <p>comment</p> --><h1 class=\"t\">Title "),
+      col("doc_id").cast("string"),
+      lit("</h1>\n<p>"), col("text"),
+      lit(" &amp;amp; caf&#39;e &quot;q&quot;&nbsp;x &lt;b&gt;kept&gt;</p>"),
+      lit("<ul><li> alpha</li><li>beta </li></ul>"),
+      lit("<table><tr><td>c1</td><td>c2</td></tr></table>"),
+      lit("<p>tail <b>bold</b>, <I>ital</I> &amp; done</p></body></html>"))
+    Web.extractHtml(docs.select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+      .orderBy(col("doc_id"))
+  }
+
+  // q146 Gopher-rule quality filter (TextAnalysis.gopherFilter): the
+  // published decision rules with per-rule verdicts. The plant appends
+  // bullet/ellipsis/symbol lines so every line-shape rule has evidence;
+  // thresholds (shared with the generated oracle via
+  // gopherQueryThresholds) sit inside the fixture distributions so each
+  // flag varies across documents instead of hash-checking a constant.
+  val gopherQueryThresholds: TextAnalysis.GopherThresholds =
+    TextAnalysis.GopherThresholds(minWords = 30, maxMeanWordLen = 4.2,
+      maxSymbolWordRatio = 0.08, maxEllipsisLineFrac = 0.4,
+      minStopHits = 1)
+  val gopherQueryPlant: String =
+    "\nSome trailing line...\n- bullet one\n* bullet two\n# t # …\nplain end"
+  val q146_gopher_filter: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+    TextAnalysis.gopherFilter(
+        docs.select(col("doc_id"),
+          concat(col("text"), lit(gopherQueryPlant)).as("text")),
+        "doc_id", "text", gopherQueryThresholds)
+      .orderBy(col("doc_id"))
+  }
+
+  // q147 leakage-free split (Sampling.leakFreeSplit): the group-keyed
+  // coin plus the built-in contamination screen — train docs sharing
+  // ≥2 distinct 4-gram shingles with the held-out side relabel to
+  // 'dropped' (eval membership never changes). w=4/minHits=2 sits in
+  // the fixture overlap distribution so the drop set is small but
+  // non-empty at every SF.
+  val q147_leak_free_split: Q = (s, d) =>
+    Sampling.leakFreeSplit(
+        t(s, d, "documents").select(col("doc_id"), col("text"),
+          col("source")),
+        "doc_id", "text", "source", w = 4, minHits = 2)
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+
   // q59 int8-quantized brute-force top-k: q25's retrieval over 4×-smaller
   // vectors (symmetric per-vector quantization, scale-free cosine on the
   // byte arrays — no dequantization in the rank). Deterministic
@@ -1673,5 +1737,8 @@ object Extensions {
     "q141_token_budget_prefix" -> q141_token_budget_prefix,
     "q142_containment_recall" -> q142_containment_recall,
     "q143_url_canonicalize" -> q143_url_canonicalize,
-    "q144_normalize_text" -> q144_normalize_text)
+    "q144_normalize_text" -> q144_normalize_text,
+    "q145_html_to_text" -> q145_html_to_text,
+    "q146_gopher_filter" -> q146_gopher_filter,
+    "q147_leak_free_split" -> q147_leak_free_split)
 }

@@ -33,7 +33,9 @@ object ConvertRegistry {
     "url_host"          -> (c => graft.ops.Web.urlHost(c)),
     "url_domain"        -> (c => graft.ops.Web.urlDomain(c)),
     // registered-domain cut of a field that already holds a bare host
-    "registered_domain" -> (c => graft.ops.Web.registeredDomain(c)))
+    "registered_domain" -> (c => graft.ops.Web.registeredDomain(c)),
+    // crawl-intake extraction: markup field -> rendered text
+    "html_to_text"      -> (c => graft.ops.Web.htmlToText(c)))
 
   /** Compile one convert spec (string method name or dict mapping) into a
     * Column transformation of `col`.

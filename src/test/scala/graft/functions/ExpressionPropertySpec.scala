@@ -297,6 +297,39 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(norm(4L) == null)
   }
 
+  test("GopherStats: hand-computed counts over a mixed-shape document") {
+    import spark.implicits._
+    val doc = "The quick fox  jumped\twith 12 42 # tags\n" + // 9 words, 2 stops (the, with)
+      "  - bullet a\n" + // bullet line (leading ws trimmed)
+      "* second...\n" + // bullet AND '...' line
+      "   \n" + // blank after trim: not a line
+      "ends with mark …\n" + // '…' line, 'with' stop hit
+      "#tag and more...." // '....': ONE non-overlapping '...' run; 'and' stop
+    val out = Seq((1L, doc)).toDF("id", "text")
+      .select(VectorFunctions.gopherStats(col("text")).as("g"))
+      .select("g.*")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    val (nWords, lenSum, nAlpha, nStop, nLines, nBullet, nEllipsis,
+      nHash, nMarks) = out
+    assert(nWords == 21L, s"n_words: $nWords")
+    // 12, 42, #, -, *, … carry no [A-Za-z]; '#tag'/'more....' do
+    assert(nAlpha == 15L, s"n_alpha_words: $nAlpha")
+    assert(nStop == 4L, s"stops (The, with, with, and): $nStop")
+    assert(nLines == 5L, s"blank line must not count: $nLines")
+    // 'more....' still ENDS with three dots -> ellipsis line
+    assert(nBullet == 2L && nEllipsis == 3L, s"$nBullet/$nEllipsis")
+    assert(nHash == 2L, s"hash chars: $nHash")
+    assert(nMarks == 3L, s"ellipsis marks ('...', …, '....'): $nMarks")
+    assert(lenSum == doc.replaceAll("[ \t\n\r]+", "").length,
+      "word length sum == non-whitespace codepoints")
+    // null passthrough
+    val nul = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(VectorFunctions.gopherStats(col("text")).as("g"))
+      .collect().head
+    assert(nul.isNullAt(0))
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     // Every Project line in the executed plan must carry the `*(n)` codegen
     // marker: a bare `Project` means some expression fell back to
@@ -315,6 +348,7 @@ class ExpressionPropertySpec extends SparkSpec {
         VectorFunctions.lshBucket(col("v"), 8, 4, 0).as("bk"),
         VectorFunctions.nearestCentroid(col("v"), Array.fill(3)(vec())).as("cell"),
         VectorFunctions.tokenStats(col("text")).as("ts"),
+        VectorFunctions.gopherStats(col("text")).as("gs"),
         VectorFunctions.tokenProfile(col("text"),
           Seq(Seq("tok", "b"), Seq("c"))).as("tp"),
         VectorFunctions.dot(col("v"), col("v")).as("d"),

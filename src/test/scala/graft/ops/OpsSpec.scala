@@ -637,6 +637,93 @@ class OpsSpec extends SparkSpec {
     assert(viaKnob == "example.co.uk")
   }
 
+  test("htmlToText: rule order, non-rendered subtrees, entities, whitespace") {
+    import spark.implicits._
+    val page =
+      "<html ><head><script type=\"text/JavaScript\">var x=1; " +
+        "if (x<2) { s=\"</p>decoy\"; }</script>" +
+        "<style>p { color: red; }</style></head>" +
+        "<body><!-- hidden <p>comment</p> --><h1 class=\"t\">Title</h1>\n" +
+        "<p>body &amp;amp; caf&#39;e &quot;q&quot;&nbsp;x &lt;b&gt;kept&gt;</p>" +
+        "<ul><li> alpha</li><li>beta </li></ul>" +
+        "<table><tr><td>c1</td><td>c2</td></tr></table>" +
+        "<p>tail <b>bold</b>, <I>ital</I> &amp; done</p></body></html>"
+    val out = Seq((1L, page)).toDF("id", "html")
+      .select(Web.htmlToText(col("html")).as("t")).as[String].collect().head
+    assert(out ==
+      "Title\nbody &amp; caf'e \"q\" x <b>kept>\nalpha\nbeta\nc1 c2\ntail bold, ital & done",
+      s"got: ${out.replace("\n", "\\n")}")
+    // script content with a bare `<` and a decoy closing block tag is
+    // gone entirely; entities decoded ONCE (&amp;amp; -> &amp;, the
+    // escaped <b> survives as text); inline tags join their
+    // surroundings; block tags break lines; cells separate with spaces.
+    assert(!out.contains("decoy") && !out.contains("color"))
+    // null and plain text pass through
+    val plain = Seq((1L, "no markup  here")).toDF("id", "html")
+      .select(Web.htmlToText(col("html")).as("t")).as[String].collect().head
+    assert(plain == "no markup here")
+    val nul = Seq((1L, null.asInstanceOf[String])).toDF("id", "html")
+      .select(Web.htmlToText(col("html")).as("t")).as[String].collect().head
+    assert(nul == null)
+  }
+
+  test("gopherFilter: per-rule verdicts and keep on shaped documents") {
+    import spark.implicits._
+    val good = "The fast brown fox ran over the low stone wall and " +
+      "kept pace with the hounds that chased it through the long grass"
+    val docs = Seq(
+      (1L, good),                                     // passes everything
+      (2L, "too short"),                              // word count
+      (3L, good + "\n- a\n- b\n- c\n- d\n- e\n- f"),  // bullet-dominated? 6/7 lines
+      (4L, ("# " * 30).trim),                         // symbols, no alpha, no stops
+      (5L, good + " everything trails off...")        // one ellipsis line of one
+    ).toDF("doc_id", "text")
+    val th = TextAnalysis.GopherThresholds(minWords = 10,
+      maxBulletLineFrac = 0.5, maxEllipsisLineFrac = 0.3)
+    val out = TextAnalysis.gopherFilter(docs, "doc_id", "text", th)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("keep"), r.getAs[Long]("f_words"),
+          r.getAs[Long]("f_bullet"), r.getAs[Long]("f_ellipsis"),
+          r.getAs[Long]("f_symbol"), r.getAs[Long]("f_alpha"),
+          r.getAs[Long]("f_stop"))).toMap
+    assert(out(1L)._1 == 1L, s"good doc must keep: ${out(1L)}")
+    assert(out(2L)._2 == 0L && out(2L)._1 == 0L, "short doc fails words")
+    assert(out(3L)._3 == 0L, s"6/7 bullet lines > 0.5: ${out(3L)}")
+    assert(out(4L)._5 == 0L && out(4L)._6 == 0L && out(4L)._7 == 0L,
+      s"symbol wall fails symbol+alpha+stop: ${out(4L)}")
+    assert(out(5L)._4 == 0L, s"1/1 ellipsis lines > 0.3: ${out(5L)}")
+    assert(out(5L)._1 == 0L && out(3L)._1 == 0L)
+    // one-pass projection: no exchange in the plan
+    val plan = TextAnalysis.gopherFilter(docs, "doc_id", "text", th)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopherFilter must not shuffle:\n$plan")
+  }
+
+  test("leakFreeSplit: train leaks relabel to dropped; eval never changes") {
+    import spark.implicits._
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    // group g-test lands on the held-out side for this salt; g-train on train
+    val groups = Sampling.splitByGroup(
+      Seq.tabulate(40)(i => (i.toLong, s"g$i")).toDF("id", "g"), "g")
+      .as[(Long, String, String)].collect()
+    val trainG = groups.collectFirst { case (_, g, "train") => g }.get
+    val heldG = groups.collectFirst { case (_, g, s) if s != "train" => g }.get
+    val docs = Seq(
+      (1L, evalText, heldG),                       // held-out doc
+      (2L, evalText + " extra tail words here", trainG), // leaks 4-grams
+      (3L, "совершенно unrelated text with zero overlap at all", trainG),
+      (4L, evalText, heldG)                        // second eval member
+    ).toDF("doc_id", "text", "source")
+    val out = Sampling.leakFreeSplit(docs, "doc_id", "text", "source",
+        w = 4, minHits = 2)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out(1L) != "train" && out(1L) != "dropped", s"${out(1L)}")
+    assert(out(4L) == out(1L), "same group, same side")
+    assert(out(2L) == "dropped", s"leaking train doc: ${out(2L)}")
+    assert(out(3L) == "train", s"clean train doc survives: ${out(3L)}")
+    assert(out.size == 4, "no row disappears")
+  }
+
   test("plantRecallLadder: deterministic twins spanning >=5 jaccard and containment bands") {
     // a synthetic 64-doc corpus with enough words that every ladder
     // level gets slice docs (ids 0,4,...,60 → levels 0..7 twice)
