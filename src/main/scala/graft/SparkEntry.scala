@@ -408,6 +408,7 @@ object SparkEntry {
     "q145_html_to_text" -> htmlToTextSql,
     "q146_gopher_filter" -> gopherFilterSql,
     "q147_leak_free_split" -> leakFreeSplitSql,
+    "q148_web_intake" -> webIntakeSql,
     // q144: the identical planted mess (combining acute/grave, tabs, a
     // C0 control byte, double spaces) and the identical normalization
     // order: NFC -> lower -> control strip -> whitespace collapse ->
@@ -3235,15 +3236,78 @@ object SparkEntry {
       "'<table><tr><td>c1</td><td>c2</td></tr></table>'",
       "'<p>tail <b>bold</b>, <I>ital</I> &amp; done</p></body></html>'")
       .mkString(" || ")
-    val folded = graft.ops.Web.htmlRules.foldLeft(s"($plant)") {
+    s"""SELECT doc_id, ${htmlFoldSql(s"($plant)")} AS plain_text
+       |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+  }
+
+  /** `Web.htmlToText` as a SQL expression over `$inner` — the nested
+    * REGEXP_REPLACE fold generated from `Web.htmlRules` (shared by the
+    * q145 and q148 oracles).
+    */
+  private def htmlFoldSql(inner: String): String = {
+    val folded = graft.ops.Web.htmlRules.foldLeft(inner) {
       case (acc, (p, r)) =>
         val pat = p.replace("'", "''")
         val rep =
           if (r == "\n") "chr(10)" else "'" + r.replace("'", "''") + "'"
         s"REGEXP_REPLACE($acc,\n  '$pat', $rep, 'g')"
     }
-    s"""SELECT doc_id, TRIM($folded) AS plain_text
-       |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+    s"TRIM($folded)"
+  }
+
+  /** `TextAnalysis.normalizeText` as a SQL expression over `$inner` —
+    * the q144 chain (NFC → case → control strip → whitespace collapse →
+    * trim) for composition into other oracles.
+    */
+  private def normalizeFoldSql(inner: String, lowercase: Boolean): String = {
+    val cased = if (lowercase) s"LOWER(NFC_NORMALIZE($inner))"
+      else s"NFC_NORMALIZE($inner)"
+    s"""TRIM(REGEXP_REPLACE(REGEXP_REPLACE($cased,
+       |  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+       |  '[ \\t\\n\\r]+', ' ', 'g'))""".stripMargin
+  }
+
+  /** The Gopher keep decision over the [[gopherStatsCtes]] `s` columns —
+    * raw integer ratios, the same arithmetic `TextAnalysis.gopherKeep`
+    * evaluates (q148).
+    */
+  private def gopherKeepCondSql(
+      th: graft.ops.TextAnalysis.GopherThresholds): String =
+    s"""n_words >= ${th.minWords} AND n_words <= ${th.maxWords}
+       | AND n_words > 0
+       | AND CAST(word_len_sum AS DOUBLE) / n_words >= ${th.minMeanWordLen}
+       | AND CAST(word_len_sum AS DOUBLE) / n_words <= ${th.maxMeanWordLen}
+       | AND CAST(n_hash + n_marks AS DOUBLE) / n_words <= ${th.maxSymbolWordRatio}
+       | AND (n_lines = 0 OR CAST(n_bullet_lines AS DOUBLE) / n_lines <= ${th.maxBulletLineFrac})
+       | AND (n_lines = 0 OR CAST(n_ellipsis_lines AS DOUBLE) / n_lines <= ${th.maxEllipsisLineFrac})
+       | AND CAST(n_alpha_words AS DOUBLE) / n_words >= ${th.minAlphaWordFrac}
+       | AND n_stop_hits >= ${th.minStopHits}""".stripMargin
+      .linesIterator.mkString(" ")
+
+  /** q148 oracle: the intake chain composed from the stages' own
+    * generated fragments — the q145 html fold over the plant, the q146
+    * stats CTEs + keep condition, the q144 normalize fold, then the
+    * exact-dedup GROUP BY on the normalized text.
+    */
+  private def webIntakeSql: String = {
+    val fixed = "'" + graft.queries.Extensions.webIntakeFixedText + "'"
+    val plant = Seq(
+      "'<html><body><h1>Hdr</h1><p>'",
+      s"(CASE WHEN doc_id % 11 = 0 THEN $fixed ELSE text END)",
+      "'</p><ul><li>alpha</li><li>beta</li></ul></body></html>'")
+      .mkString(" || ")
+    val th = graft.queries.Extensions.webIntakeThresholds
+    s"""WITH plain AS (
+       |  SELECT doc_id, ${htmlFoldSql(s"($plant)")} AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |${gopherStatsCtes("plain")},
+       |kept AS (SELECT plain.doc_id,
+       |    ${normalizeFoldSql("plain.t", lowercase = false)} AS norm_text
+       |  FROM plain JOIN s USING (doc_id)
+       |  WHERE ${gopherKeepCondSql(th)})
+       |SELECT MIN(doc_id) AS doc_id, norm_text,
+       |  COUNT(*) AS n_dupes
+       |FROM kept GROUP BY norm_text ORDER BY doc_id""".stripMargin
   }
 
   /** q146 oracle: GENERATED from the same plant, stop list and threshold
@@ -3256,23 +3320,18 @@ object SparkEntry {
     * and `...` per non-overlapping run (replace-all semantics), flags
     * from UNROUNDED ratios, displayed ratios rounded like the Spark side.
     */
-  private def gopherFilterSql: String = {
-    val th = graft.queries.Extensions.gopherQueryThresholds
-    val plantSql = graft.queries.Extensions.gopherQueryPlant
-      .split("\n", -1)
-      .map(p => "'" + p.replace("'", "''") + "'")
-      .mkString(" || chr(10) || ")
+  /** The `w`/`s` GopherStats-mirror CTE pair over `$src` (which must
+    * provide `doc_id` and `t`) — shared by the q146 and q148 oracles.
+    */
+  private def gopherStatsCtes(src: String): String = {
     val stops = org.apache.spark.sql.graft.GopherStats.stopWords
       .map(w => s"'$w'").mkString("[", ",", "]")
     val lineTrim = "' ' || chr(9) || chr(13)"
-    s"""WITH planted AS (
-       |  SELECT doc_id, text || $plantSql AS t
-       |  FROM documents WHERE text IS NOT NULL),
-       |w AS (SELECT doc_id, t,
+    s"""w AS (SELECT doc_id, t,
        |  list_filter(regexp_split_to_array(t, '[ \\t\\n\\r]+'), x -> x <> '') AS words,
        |  list_filter(list_transform(string_split(t, chr(10)),
        |      x -> trim(x, $lineTrim)), x -> x <> '') AS lines
-       |  FROM planted),
+       |  FROM $src),
        |s AS (SELECT doc_id,
        |  CAST(len(words) AS BIGINT) AS n_words,
        |  CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS word_len_sum,
@@ -3283,7 +3342,19 @@ object SparkEntry {
        |  CAST(len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, chr(8230)))) AS BIGINT) AS n_ellipsis_lines,
        |  CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
        |  CAST((length(t) - length(replace(t, chr(8230), ''))) + ((length(t) - length(replace(t, '...', ''))) // 3) AS BIGINT) AS n_marks
-       |  FROM w),
+       |  FROM w)""".stripMargin
+  }
+
+  private def gopherFilterSql: String = {
+    val th = graft.queries.Extensions.gopherQueryThresholds
+    val plantSql = graft.queries.Extensions.gopherQueryPlant
+      .split("\n", -1)
+      .map(p => "'" + p.replace("'", "''") + "'")
+      .mkString(" || chr(10) || ")
+    s"""WITH planted AS (
+       |  SELECT doc_id, text || $plantSql AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |${gopherStatsCtes("planted")},
        |r AS (SELECT doc_id, n_words, n_stop_hits, n_lines,
        |  CASE WHEN n_words > 0 THEN CAST(word_len_sum AS DOUBLE) / n_words END AS mean_len,
        |  CASE WHEN n_words > 0 THEN CAST(n_hash + n_marks AS DOUBLE) / n_words END AS sym_ratio,

@@ -1078,13 +1078,21 @@ object TextAnalysis {
     * evidence); the line rules pass vacuously on a no-line document
     * (bullet/ellipsis shape needs lines to judge).
     */
-  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
-                   th: GopherThresholds = GopherThresholds()): DataFrame = {
-    val s = graft.functions.VectorFunctions.gopherStats(col(textCol))
-    def f(name: String) = col(s"_g.$name")
-    // counts are BIGINT in both engines (repo oracle convention) —
-    // flags follow so the driver's canonicalizer sees one int width
-    def flag(c: Column) = c.cast("long")
+  /** The rule arithmetic shared by [[gopherFilter]] and [[gopherKeep]]:
+    * ratios and per-rule verdicts derived from ONE stats struct.
+    */
+  private case class GopherRules(
+      hasWords: Column, hasLines: Column,
+      meanLen: Column, symbolRatio: Column, alphaFrac: Column,
+      bulletFrac: Column, ellipsisFrac: Column,
+      fWords: Column, fLen: Column, fSymbol: Column, fBullet: Column,
+      fEllipsis: Column, fAlpha: Column, fStop: Column) {
+    def keep: Column =
+      fWords && fLen && fSymbol && fBullet && fEllipsis && fAlpha && fStop
+  }
+
+  private def gopherRules(g: Column, th: GopherThresholds): GopherRules = {
+    def f(name: String) = g.getField(name)
     val meanLen = f("word_len_sum").cast("double") / f("n_words")
     val symbolRatio =
       (f("n_hash") + f("n_ellipsis_marks")).cast("double") / f("n_words")
@@ -1093,34 +1101,55 @@ object TextAnalysis {
     val ellipsisFrac = f("n_ellipsis_lines").cast("double") / f("n_lines")
     val hasWords = f("n_words") > 0
     val hasLines = f("n_lines") > 0
-    val fWords = f("n_words") >= th.minWords && f("n_words") <= th.maxWords
-    val fLen = hasWords && meanLen >= th.minMeanWordLen &&
-      meanLen <= th.maxMeanWordLen
-    val fSymbol = hasWords && symbolRatio <= th.maxSymbolWordRatio
-    val fBullet = !hasLines || bulletFrac <= th.maxBulletLineFrac
-    val fEllipsis = !hasLines || ellipsisFrac <= th.maxEllipsisLineFrac
-    val fAlpha = hasWords && alphaFrac >= th.minAlphaWordFrac
-    val fStop = f("n_stop_hits") >= th.minStopHits
+    GopherRules(hasWords, hasLines, meanLen, symbolRatio, alphaFrac,
+      bulletFrac, ellipsisFrac,
+      fWords = f("n_words") >= th.minWords && f("n_words") <= th.maxWords,
+      fLen = hasWords && meanLen >= th.minMeanWordLen &&
+        meanLen <= th.maxMeanWordLen,
+      fSymbol = hasWords && symbolRatio <= th.maxSymbolWordRatio,
+      fBullet = !hasLines || bulletFrac <= th.maxBulletLineFrac,
+      fEllipsis = !hasLines || ellipsisFrac <= th.maxEllipsisLineFrac,
+      fAlpha = hasWords && alphaFrac >= th.minAlphaWordFrac,
+      fStop = f("n_stop_hits") >= th.minStopHits)
+  }
+
+  /** The keep DECISION alone, as a filter Column — for pipelines that
+    * gate on the rules without materializing the audit columns
+    * ([[graft.ops.Web.intake]]); same arithmetic as [[gopherFilter]] by
+    * construction (both read [[gopherRules]]).
+    */
+  def gopherKeep(text: Column,
+                 th: GopherThresholds = GopherThresholds()): Column =
+    gopherRules(graft.functions.VectorFunctions.gopherStats(text), th).keep
+
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   th: GopherThresholds = GopherThresholds()): DataFrame = {
+    val s = graft.functions.VectorFunctions.gopherStats(col(textCol))
+    // counts are BIGINT in both engines (repo oracle convention) —
+    // flags follow so the driver's canonicalizer sees one int width
+    def flag(c: Column) = c.cast("long")
+    val r = gopherRules(col("_g"), th)
+    def g(name: String) = col("_g").getField(name)
     df.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), s.as("_g"))
       .select(col("doc_id"),
-        f("n_words").as("n_words"),
-        round(when(hasWords, meanLen).otherwise(0.0), 4).as("mean_word_len"),
-        round(when(hasWords, symbolRatio).otherwise(0.0), 4)
+        g("n_words").as("n_words"),
+        round(when(r.hasWords, r.meanLen).otherwise(0.0), 4)
+          .as("mean_word_len"),
+        round(when(r.hasWords, r.symbolRatio).otherwise(0.0), 4)
           .as("symbol_word_ratio"),
-        round(when(hasLines, bulletFrac).otherwise(0.0), 4)
+        round(when(r.hasLines, r.bulletFrac).otherwise(0.0), 4)
           .as("bullet_line_frac"),
-        round(when(hasLines, ellipsisFrac).otherwise(0.0), 4)
+        round(when(r.hasLines, r.ellipsisFrac).otherwise(0.0), 4)
           .as("ellipsis_line_frac"),
-        round(when(hasWords, alphaFrac).otherwise(0.0), 4)
+        round(when(r.hasWords, r.alphaFrac).otherwise(0.0), 4)
           .as("alpha_word_frac"),
-        f("n_stop_hits").as("stop_hits"),
-        flag(fWords).as("f_words"), flag(fLen).as("f_word_len"),
-        flag(fSymbol).as("f_symbol"), flag(fBullet).as("f_bullet"),
-        flag(fEllipsis).as("f_ellipsis"), flag(fAlpha).as("f_alpha"),
-        flag(fStop).as("f_stop"),
-        flag(fWords && fLen && fSymbol && fBullet && fEllipsis &&
-          fAlpha && fStop).as("keep"))
+        g("n_stop_hits").as("stop_hits"),
+        flag(r.fWords).as("f_words"), flag(r.fLen).as("f_word_len"),
+        flag(r.fSymbol).as("f_symbol"), flag(r.fBullet).as("f_bullet"),
+        flag(r.fEllipsis).as("f_ellipsis"), flag(r.fAlpha).as("f_alpha"),
+        flag(r.fStop).as("f_stop"),
+        flag(r.keep).as("keep"))
   }
 
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -191,4 +191,43 @@ object Web {
   /** The operator form: id + extracted text. */
   def extractHtml(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
     df.select(col(idCol), htmlToText(col(htmlCol)).as("plain_text"))
+
+  /** The WEB-CORPUS INTAKE pipeline — what runs between "crawl dump" and
+    * the curation chain ([[Curation.curate]] assumes clean text; this
+    * produces it): markup → [[htmlToText]] rendered text → Gopher-rule
+    * keep gate ([[TextAnalysis.gopherKeep]], evaluated on the EXTRACTED
+    * text while it still has line structure — normalization below
+    * collapses the newlines the bullet/ellipsis rules read) →
+    * [[TextAnalysis.normalizeText]] canonical form → exact dedup on the
+    * normalized text (min-id representative, multiplicity kept — crawls
+    * re-fetch the same page endlessly; this is where that mass dies).
+    *
+    * One row per surviving representative: (doc_id, norm_text, n_dupes).
+    *
+    * Scale shape: extract + gate + normalize are ONE map-side codegen'd
+    * projection over the scan (no UDF, no exchange); the dedup is a
+    * single shuffle whose key is the fixed-width md5 of the normalized
+    * text — the document rides as the min-struct payload, never as the
+    * shuffle KEY (the [[Dedup.exact]] scaladoc's 100-TB rule), with
+    * map-side combine collapsing each partition's duplicates before the
+    * wire.
+    */
+  def intake(df: DataFrame, idCol: String, htmlCol: String,
+             th: TextAnalysis.GopherThresholds =
+               TextAnalysis.GopherThresholds(),
+             lowercase: Boolean = false): DataFrame = {
+    val plain = htmlToText(col(htmlCol))
+    df.where(col(htmlCol).isNotNull)
+      .select(col(idCol).as("doc_id"), plain.as("plain_text"))
+      .where(TextAnalysis.gopherKeep(col("plain_text"), th))
+      .select(col("doc_id"),
+        TextAnalysis.normalizeText(col("plain_text"), lowercase)
+          .as("norm_text"))
+      .select(md5(col("norm_text")).as("_k"),
+        struct(col("doc_id"), col("norm_text")).as("_r"))
+      .groupBy(col("_k"))
+      .agg(min(col("_r")).as("_r"), count(lit(1)).as("n_dupes"))
+      .select(col("_r.doc_id").as("doc_id"),
+        col("_r.norm_text").as("norm_text"), col("n_dupes"))
+  }
 }

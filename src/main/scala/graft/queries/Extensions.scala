@@ -502,6 +502,28 @@ object Extensions {
       .select(col("doc_id"), col("source"), col("split"))
       .orderBy(col("doc_id"))
 
+  // q148 web-corpus intake (Web.intake): the composed markup→training-
+  // text chain — html extraction, Gopher keep gate, canonical
+  // normalization, exact dedup on the normalized text. Every 11th doc
+  // swaps its body for a fixed page so the dedup stage has real mass to
+  // collapse; the oracle composes the stages' own generated fragments.
+  val webIntakeThresholds: TextAnalysis.GopherThresholds =
+    TextAnalysis.GopherThresholds(minWords = 30)
+  val webIntakeFixedText: String =
+    "the quick brown fox jumped over the lazy dog and ran with a steady " +
+      "pace to be first among all runners that day have come and gone " +
+      "since then"
+  val q148_web_intake: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+    val body = when(col("doc_id") % 11 === 0, lit(webIntakeFixedText))
+      .otherwise(col("text"))
+    val html = concat(lit("<html><body><h1>Hdr</h1><p>"), body,
+      lit("</p><ul><li>alpha</li><li>beta</li></ul></body></html>"))
+    Web.intake(docs.select(col("doc_id"), html.as("html")),
+        "doc_id", "html", webIntakeThresholds)
+      .orderBy(col("doc_id"))
+  }
+
   // q59 int8-quantized brute-force top-k: q25's retrieval over 4×-smaller
   // vectors (symmetric per-vector quantization, scale-free cosine on the
   // byte arrays — no dequantization in the rank). Deterministic
@@ -1740,5 +1762,6 @@ object Extensions {
     "q144_normalize_text" -> q144_normalize_text,
     "q145_html_to_text" -> q145_html_to_text,
     "q146_gopher_filter" -> q146_gopher_filter,
-    "q147_leak_free_split" -> q147_leak_free_split)
+    "q147_leak_free_split" -> q147_leak_free_split,
+    "q148_web_intake" -> q148_web_intake)
 }

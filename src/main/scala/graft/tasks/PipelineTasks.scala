@@ -1,7 +1,7 @@
 package graft.tasks
 
 import graft.config.TaskConfig.Node
-import graft.ops.{Curation, Dedup, Packing, Sampling}
+import graft.ops.{Curation, Dedup, Packing, Sampling, TextAnalysis}
 import graft.runner.TaskLog
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -231,9 +231,20 @@ object PipelineTasks {
         val cfg = task("split")
         val tf = cfg.str("train_frac", "0.8").toDouble
         val vf = cfg.str("val_frac", "0.1").toDouble
-        val labeled = cfg.strOpt("group") match {
-          case Some(g) => Sampling.splitByGroup(df, g, tf, vf)
-          case None    => Sampling.splitLabel(df, cfg.str("id", "doc_id"), tf, vf)
+        val labeled = (cfg.strOpt("group"), cfg.str("leak_screen", "false")) match {
+          // group split + built-in contamination screen (q147): train
+          // docs sharing shingles with the held-out side -> 'dropped'
+          case (Some(g), "true") => Sampling.leakFreeSplit(df,
+            cfg.str("id", "doc_id"), cfg.str("text", "text"), g, tf, vf,
+            w = cfg.str("w", "4").toInt,
+            maxDf = cfg.str("max_df", "1000").toInt,
+            minHits = cfg.str("min_hits", "2").toInt)
+          case (Some(g), _) => Sampling.splitByGroup(df, g, tf, vf)
+          case (None, "true") => throw new IllegalArgumentException(
+            "split.leak_screen requires split.group (the screen relabels " +
+              "train rows against the held-out side of a GROUP split)")
+          case (None, _) =>
+            Sampling.splitLabel(df, cfg.str("id", "doc_id"), tf, vf)
         }
         val out = cfg.strOpt("keep") match {
           case Some(side) =>
@@ -243,6 +254,64 @@ object PipelineTasks {
           case None => labeled
         }
         sink(ctx, task)(out, lg, meter)
+      }
+  }
+
+  /** Gopher thresholds from a task node — every knob optional, defaults
+    * are the published rule values ([[TextAnalysis.GopherThresholds]]).
+    */
+  private def gopherTh(cfg: Node): TextAnalysis.GopherThresholds = {
+    val d = TextAnalysis.GopherThresholds()
+    TextAnalysis.GopherThresholds(
+      minWords = cfg.str("min_words", d.minWords.toString).toLong,
+      maxWords = cfg.str("max_words", d.maxWords.toString).toLong,
+      minMeanWordLen =
+        cfg.str("min_mean_word_len", d.minMeanWordLen.toString).toDouble,
+      maxMeanWordLen =
+        cfg.str("max_mean_word_len", d.maxMeanWordLen.toString).toDouble,
+      maxSymbolWordRatio =
+        cfg.str("max_symbol_ratio", d.maxSymbolWordRatio.toString).toDouble,
+      maxBulletLineFrac =
+        cfg.str("max_bullet_frac", d.maxBulletLineFrac.toString).toDouble,
+      maxEllipsisLineFrac =
+        cfg.str("max_ellipsis_frac", d.maxEllipsisLineFrac.toString).toDouble,
+      minAlphaWordFrac =
+        cfg.str("min_alpha_frac", d.minAlphaWordFrac.toString).toDouble,
+      minStopHits = cfg.str("min_stop_hits", d.minStopHits.toString).toLong)
+  }
+
+  /** `gopher`: the quality-rule decision over a text column — default
+    * emits the q146 audit table (per-rule verdicts + keep); `keep_only`
+    * instead passes the SOURCE rows that clear every rule through
+    * unchanged (the filter form, schema preserved).
+    */
+  object GopherTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
+      Tasks.etl(ctx, task, log, "gopher")(sourceDf(ctx, task)) { (df, lg, meter) =>
+        val cfg = task("gopher")
+        val text = cfg.str("text", "text")
+        val out =
+          if (cfg.str("keep_only", "false") == "true")
+            df.where(TextAnalysis.gopherKeep(col(text), gopherTh(cfg)))
+          else
+            TextAnalysis.gopherFilter(df, cfg.str("id", "doc_id"), text,
+              gopherTh(cfg))
+        sink(ctx, task)(out, lg, meter)
+      }
+  }
+
+  /** `intake`: the composed web-corpus intake (q148) — html extraction,
+    * Gopher keep gate, canonical normalization, exact dedup to min-id
+    * representatives. Output: (doc_id, norm_text, n_dupes).
+    */
+  object IntakeTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
+      Tasks.etl(ctx, task, log, "intake")(sourceDf(ctx, task)) { (df, lg, meter) =>
+        val cfg = task("intake")
+        sink(ctx, task)(graft.ops.Web.intake(df,
+          cfg.str("id", "doc_id"), cfg.str("html", "html"),
+          gopherTh(cfg),
+          lowercase = cfg.str("lowercase", "false") == "true"), lg, meter)
       }
   }
 

@@ -359,7 +359,9 @@ object Tasks {
     "rebuild"    -> PipelineTasks.RebuildTask,
     "fit"        -> PipelineTasks.FitTask,
     "score"      -> PipelineTasks.ScoreTask,
-    "drift"      -> PipelineTasks.DriftTask)
+    "drift"      -> PipelineTasks.DriftTask,
+    "gopher"     -> PipelineTasks.GopherTask,
+    "intake"     -> PipelineTasks.IntakeTask)
 
   def get(taskType: String): Task =
     factory.getOrElse(taskType,

@@ -699,6 +699,35 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"gopherFilter must not shuffle:\n$plan")
   }
 
+  test("Web.intake: extract -> gopher gate -> normalize -> dedup, one exchange") {
+    import spark.implicits._
+    val body = "The fast brown fox ran over the low stone wall and kept " +
+      "pace with the hounds that chased it through the long grass all day"
+    def page(b: String) =
+      s"<html><body><h1>Hdr</h1><p>$b</p></body></html>"
+    val docs = Seq(
+      (7L, page(body)),                  // duplicate pair, higher id
+      (2L, page(body)),                  // representative (min id)
+      (3L, page(body + " and then some more words went past the gate")),
+      (4L, page("# # # #")),             // fails the gopher gate
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "html")
+    val out = Web.intake(docs, "doc_id", "html",
+        TextAnalysis.GopherThresholds(minWords = 10))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(2L, 3L), s"${out.keySet}")
+    assert(out(2L)._3 == 2L, "duplicate pair collapses to min id")
+    assert(out(3L)._3 == 1L)
+    assert(out(2L)._2.startsWith("Hdr The fast brown fox"),
+      s"normalized text: ${out(2L)._2}")
+    // the chain is one map-side projection + ONE dedup shuffle
+    val plan = Web.intake(docs, "doc_id", "html",
+        TextAnalysis.GopherThresholds(minWords = 10))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly 1 exchange:\n$plan")
+  }
+
   test("leakFreeSplit: train leaks relabel to dropped; eval never changes") {
     import spark.implicits._
     val evalText = "alpha beta gamma delta epsilon zeta eta theta"

@@ -250,6 +250,54 @@ class PipelineTaskSpec extends SparkSpec {
       rows(Sampling.capPerKey(docs, "doc_id", "source", "n_chars", n = 3)))
   }
 
+  test("gopher/intake/leak-screen tasks == the ops (q146/q147/q148 parity)") {
+    import graft.ops.{TextAnalysis, Web}
+    val wd = tmpDir("graft_pipetask_")
+    // an html-column fixture for the intake task
+    docs.select(col("doc_id"),
+        concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
+          .as("html"))
+      .write.parquet(s"$wd/pages")
+    runTask(wd,
+      s"""{"tasks": [
+         |  {"type": "gopher", "name": "g1",
+         |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |   "gopher": {"min_words": 10, "min_stop_hits": 0},
+         |   "target": {"file": "audit", "truncate": true}},
+         |  {"type": "gopher", "name": "g2",
+         |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |   "gopher": {"min_words": 10, "min_stop_hits": 0, "keep_only": "true"},
+         |   "target": {"file": "kept", "truncate": true}},
+         |  {"type": "intake", "name": "i",
+         |   "source": {"folder": "$wd", "file": "pages"},
+         |   "intake": {"min_words": 10, "min_stop_hits": 0},
+         |   "target": {"file": "intake", "truncate": true}},
+         |  {"type": "split", "name": "s",
+         |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |   "split": {"group": "source", "leak_screen": "true", "w": 4,
+         |             "min_hits": 2},
+         |   "target": {"file": "leaksplit", "truncate": true}}
+         |]}""".stripMargin)
+    val th = TextAnalysis.GopherThresholds(minWords = 10, minStopHits = 0)
+    assert(rows(outParquet(wd, "audit")) ==
+      rows(TextAnalysis.gopherFilter(docs, "doc_id", "text", th)))
+    assert(rows(outParquet(wd, "kept")) ==
+      rows(docs.where(TextAnalysis.gopherKeep(col("text"), th))))
+    assert(rows(outParquet(wd, "intake")) ==
+      rows(Web.intake(spark.read.parquet(s"$wd/pages"), "doc_id", "html", th)))
+    assert(rows(outParquet(wd, "leaksplit")) ==
+      rows(Sampling.leakFreeSplit(docs, "doc_id", "text", "source",
+        w = 4, minHits = 2)))
+    // leak_screen without a group is a config error
+    intercept[Exception] {
+      runTask(wd,
+        s"""{"tasks": [{"type": "split", "name": "bad",
+           |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+           |  "split": {"leak_screen": "true"},
+           |  "target": {"file": "nope", "truncate": true}}]}""".stripMargin)
+    }
+  }
+
   test("pack task counts ws tokens from text == Packing.pack (q52 parity)") {
     val wd = tmpDir("graft_pipetask_")
     runTask(wd,
