@@ -409,6 +409,7 @@ object SparkEntry {
     "q146_gopher_filter" -> gopherFilterSql,
     "q147_leak_free_split" -> leakFreeSplitSql,
     "q148_web_intake" -> webIntakeSql,
+    "q149_gopher_report" -> gopherReportSql,
     // q144: the identical planted mess (combining acute/grave, tabs, a
     // C0 control byte, double spaces) and the identical normalization
     // order: NFC -> lower -> control strip -> whitespace collapse ->
@@ -3267,22 +3268,49 @@ object SparkEntry {
        |  '[ \\t\\n\\r]+', ' ', 'g'))""".stripMargin
   }
 
-  /** The Gopher keep decision over the [[gopherStatsCtes]] `s` columns —
-    * raw integer ratios, the same arithmetic `TextAnalysis.gopherKeep`
-    * evaluates (q148).
+  /** The per-rule verdict conditions over the [[gopherStatsCtes]] `s`
+    * columns — raw integer ratios, the same arithmetic
+    * `TextAnalysis.gopherRules` evaluates; ordered as the rule list.
     */
+  private def gopherFlagCondsSql(
+      th: graft.ops.TextAnalysis.GopherThresholds): Seq[(String, String)] = Seq(
+    "words" -> s"(n_words >= ${th.minWords} AND n_words <= ${th.maxWords})",
+    "word_len" -> (s"(n_words > 0 AND CAST(word_len_sum AS DOUBLE) / n_words >= ${th.minMeanWordLen}" +
+      s" AND CAST(word_len_sum AS DOUBLE) / n_words <= ${th.maxMeanWordLen})"),
+    "symbol" -> s"(n_words > 0 AND CAST(n_hash + n_marks AS DOUBLE) / n_words <= ${th.maxSymbolWordRatio})",
+    "bullet" -> s"(n_lines = 0 OR CAST(n_bullet_lines AS DOUBLE) / n_lines <= ${th.maxBulletLineFrac})",
+    "ellipsis" -> s"(n_lines = 0 OR CAST(n_ellipsis_lines AS DOUBLE) / n_lines <= ${th.maxEllipsisLineFrac})",
+    "alpha" -> s"(n_words > 0 AND CAST(n_alpha_words AS DOUBLE) / n_words >= ${th.minAlphaWordFrac})",
+    "stop" -> s"(n_stop_hits >= ${th.minStopHits})")
+
+  /** The keep DECISION: every rule's condition conjoined (q148). */
   private def gopherKeepCondSql(
       th: graft.ops.TextAnalysis.GopherThresholds): String =
-    s"""n_words >= ${th.minWords} AND n_words <= ${th.maxWords}
-       | AND n_words > 0
-       | AND CAST(word_len_sum AS DOUBLE) / n_words >= ${th.minMeanWordLen}
-       | AND CAST(word_len_sum AS DOUBLE) / n_words <= ${th.maxMeanWordLen}
-       | AND CAST(n_hash + n_marks AS DOUBLE) / n_words <= ${th.maxSymbolWordRatio}
-       | AND (n_lines = 0 OR CAST(n_bullet_lines AS DOUBLE) / n_lines <= ${th.maxBulletLineFrac})
-       | AND (n_lines = 0 OR CAST(n_ellipsis_lines AS DOUBLE) / n_lines <= ${th.maxEllipsisLineFrac})
-       | AND CAST(n_alpha_words AS DOUBLE) / n_words >= ${th.minAlphaWordFrac}
-       | AND n_stop_hits >= ${th.minStopHits}""".stripMargin
-      .linesIterator.mkString(" ")
+    gopherFlagCondsSql(th).map(_._2).mkString(" AND ")
+
+  /** q149 oracle: the q146 plant + stats CTEs, per-rule kill counts as
+    * exact FILTER counts per source — each filter is the NEGATION of
+    * the same generated condition the q146 flags assert.
+    */
+  private def gopherReportSql: String = {
+    val th = graft.queries.Extensions.gopherQueryThresholds
+    val plantSql = graft.queries.Extensions.gopherQueryPlant
+      .split("\n", -1)
+      .map(p => "'" + p.replace("'", "''") + "'")
+      .mkString(" || chr(10) || ")
+    val kills = gopherFlagCondsSql(th).map { case (name, cond) =>
+      s"COUNT(*) FILTER (WHERE NOT $cond) AS kill_$name"
+    }.mkString(",\n  ")
+    s"""WITH planted AS (
+       |  SELECT doc_id, source, text || $plantSql AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |${gopherStatsCtes("planted")}
+       |SELECT p.source, COUNT(*) AS n_docs,
+       |  $kills,
+       |  COUNT(*) FILTER (WHERE ${gopherKeepCondSql(th)}) AS n_keep
+       |FROM s JOIN planted p USING (doc_id)
+       |GROUP BY p.source ORDER BY p.source""".stripMargin
+  }
 
   /** q148 oracle: the intake chain composed from the stages' own
     * generated fragments — the q145 html fold over the plant, the q146

@@ -1152,6 +1152,39 @@ object TextAnalysis {
         flag(r.keep).as("keep"))
   }
 
+  /** The rule-kill REPORT — [[gopherFilter]]'s verdicts rolled up per
+    * source: how many documents each rule kills, and the keep count,
+    * per corpus slice. This is how thresholds get retuned (a rule
+    * killing 90% of one domain is a miscalibration signal, not ninety
+    * percent bad documents) — the quality-rule member of the card
+    * family (data/embedding/drift/retention). One map-side-combined
+    * aggregation on the bounded source key over the same one-pass
+    * stats expression; zero joins, zero extra text scans.
+    */
+  def gopherReport(df: DataFrame, textCol: String, sourceCol: String,
+                   th: GopherThresholds = GopherThresholds()): DataFrame = {
+    val s = graft.functions.VectorFunctions.gopherStats(col(textCol))
+    val r = gopherRules(col("_g"), th)
+    def flag(c: Column) = c.cast("long")
+    df.where(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"), s.as("_g"))
+      .select(col("source"),
+        flag(r.fWords).as("_fw"), flag(r.fLen).as("_fl"),
+        flag(r.fSymbol).as("_fs"), flag(r.fBullet).as("_fb"),
+        flag(r.fEllipsis).as("_fe"), flag(r.fAlpha).as("_fa"),
+        flag(r.fStop).as("_fst"), flag(r.keep).as("_fk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(lit(1L) - col("_fw")).as("kill_words"),
+        sum(lit(1L) - col("_fl")).as("kill_word_len"),
+        sum(lit(1L) - col("_fs")).as("kill_symbol"),
+        sum(lit(1L) - col("_fb")).as("kill_bullet"),
+        sum(lit(1L) - col("_fe")).as("kill_ellipsis"),
+        sum(lit(1L) - col("_fa")).as("kill_alpha"),
+        sum(lit(1L) - col("_fst")).as("kill_stop"),
+        sum(col("_fk")).as("n_keep"))
+  }
+
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     def fracs(r: String, tag: String): Seq[Column] = Seq(
       when(col(s"$r.total") > 0,

@@ -524,6 +524,19 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q149 per-source rule-kill report (TextAnalysis.gopherReport): the
+  // q146 verdicts rolled up per source — the threshold-retuning card.
+  // Same plant and thresholds as q146, so the two queries pin the same
+  // arithmetic at two granularities.
+  val q149_gopher_report: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+    TextAnalysis.gopherReport(
+        docs.select(col("source"),
+          concat(col("text"), lit(gopherQueryPlant)).as("text")),
+        "text", "source", gopherQueryThresholds)
+      .orderBy(col("source"))
+  }
+
   // q59 int8-quantized brute-force top-k: q25's retrieval over 4×-smaller
   // vectors (symmetric per-vector quantization, scale-free cosine on the
   // byte arrays — no dequantization in the rank). Deterministic
@@ -1763,5 +1776,6 @@ object Extensions {
     "q145_html_to_text" -> q145_html_to_text,
     "q146_gopher_filter" -> q146_gopher_filter,
     "q147_leak_free_split" -> q147_leak_free_split,
-    "q148_web_intake" -> q148_web_intake)
+    "q148_web_intake" -> q148_web_intake,
+    "q149_gopher_report" -> q149_gopher_report)
 }

@@ -220,6 +220,53 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming WEB-CORPUS INTAKE — [[graft.ops.Web.intake]]'s crawl-feed
+    * form, per micro-batch:
+    *
+    *  1. extract + Gopher gate + normalize + WITHIN-batch exact dedup
+    *     (the q148 chain: one map-side codegen projection, one shuffle;
+    *     `n_dupes` counts this batch's collapse);
+    *  2. representatives whose normalized text the STANDING corpus
+    *     already holds drop ([[graft.ops.Dedup.exactDedupAgainstIndex]]
+    *     over a [[graft.ops.Dedup.buildExactKeyIndex]] layout — crawls
+    *     re-fetch the same page across batches, not just inside one);
+    *  3. survivors append to `outPath` as (doc_id, norm_text, n_dupes),
+    *     THEN their keys admit into the index — the
+    *     [[curationIngestSink]] crash-window order: a replay of an
+    *     interrupted batch can re-admit rows (at-least-once output,
+    *     compacted downstream by doc_id via [[graft.ops
+    *     .IndexMaintenance.compactOutput]]), but the index can never
+    *     hold keys the output doesn't carry, so no future batch is
+    *     silently screened by a row that was never emitted.
+    *
+    * The key layout must exist (first ingest: `buildExactKeyIndex` over
+    * the empty or seed corpus) — same precondition as
+    * [[exactKeyIndexSink]].
+    */
+  def webIntakeSink(spark: org.apache.spark.sql.SparkSession,
+                    stream: DataFrame, idCol: String, htmlCol: String,
+                    outPath: String, keyIndexPath: String, checkpoint: String,
+                    th: graft.ops.TextAnalysis.GopherThresholds =
+                      graft.ops.TextAnalysis.GopherThresholds(),
+                    lowercase: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val reps = graft.ops.Web.intake(batch, idCol, htmlCol, th, lowercase)
+        // persisted: two consumers (output append, key admission) must
+        // not re-run the extract/gate/dedup chain twice
+        val admitted = graft.ops.Dedup.exactDedupAgainstIndex(
+          spark, reps, "norm_text", keyIndexPath).persist()
+        try {
+          admitted.write.mode("append").parquet(outPath)
+          graft.ops.Dedup.appendExactKeys(spark, admitted, "norm_text",
+            keyIndexPath)
+        } finally admitted.unpersist()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** Streaming SPAN-EXCISION gate over a [[graft.ops.Dedup
     * .buildGramIndex]] layout — the excision family's streaming end
     * (beside the exact-key, lexical-band and semantic-cell gates), per

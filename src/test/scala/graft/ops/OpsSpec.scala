@@ -728,6 +728,33 @@ class OpsSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly 1 exchange:\n$plan")
   }
 
+  test("gopherReport == gopherFilter rolled up per source") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val th = TextAnalysis.GopherThresholds(minWords = 30,
+      maxMeanWordLen = 4.4, minStopHits = 1)
+    val viaReport = TextAnalysis.gopherReport(docs, "text", "source", th)
+      .orderBy(col("source")).collect().map(_.toString).toSeq
+    val viaFilter = TextAnalysis.gopherFilter(docs, "doc_id", "text", th)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(lit(1L) - col("f_words")).as("kill_words"),
+        sum(lit(1L) - col("f_word_len")).as("kill_word_len"),
+        sum(lit(1L) - col("f_symbol")).as("kill_symbol"),
+        sum(lit(1L) - col("f_bullet")).as("kill_bullet"),
+        sum(lit(1L) - col("f_ellipsis")).as("kill_ellipsis"),
+        sum(lit(1L) - col("f_alpha")).as("kill_alpha"),
+        sum(lit(1L) - col("f_stop")).as("kill_stop"),
+        sum(col("keep")).as("n_keep"))
+      .orderBy(col("source")).collect().map(_.toString).toSeq
+    assert(viaReport == viaFilter)
+    // single map-side-combined aggregation: exactly one exchange
+    val plan = TextAnalysis.gopherReport(docs, "text", "source", th)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1, plan)
+  }
+
   test("leakFreeSplit: train leaks relabel to dropped; eval never changes") {
     import spark.implicits._
     val evalText = "alpha beta gamma delta epsilon zeta eta theta"

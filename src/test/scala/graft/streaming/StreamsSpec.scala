@@ -668,6 +668,63 @@ class StreamsSpec extends SparkSpec {
       s"dups of built AND streamed keys must be dropped, got $admitted")
   }
 
+  test("streaming web intake: gate + within-batch and cross-batch dedup, output-then-keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val body = "The fast brown fox ran over the low stone wall and kept " +
+      "pace with the hounds that chased it through the long grass"
+    def page(b: String) = s"<html><body><h1>Hdr</h1><p>$b</p></body></html>"
+    val dir = tmpDir("graft_webintake_")
+    // standing corpus: the normalized form of `body`'s page already seen
+    graft.ops.Dedup.buildExactKeyIndex(
+      Seq((1L, s"Hdr $body")).toDF("doc_id", "norm_text"),
+      "norm_text", dir)
+    val th = graft.ops.TextAnalysis.GopherThresholds(minWords = 10)
+    val outPath = s"$dir/out"
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.webIntakeSink(spark,
+      mem.toDF().toDF("doc_id", "html"), "doc_id", "html",
+      outPath, dir, s"$dir/ckpt", th)
+    try {
+      // 10 duplicates the STANDING corpus (drops); 11/13 duplicate each
+      // other within the batch (min-id keeps, n_dupes 2); 12 fails the
+      // gopher gate; 14 is novel
+      mem.addData(
+        (10L, page(body)),
+        (11L, page(body + " and then the chase was finally over")),
+        (12L, page("# # # #")),
+        (13L, page(body + " and then the chase was finally over")),
+        (14L, page(body + " until dusk settled over the far fields")))
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(outPath)
+        .select("doc_id", "n_dupes").as[(Long, Long)].collect().toMap
+      assert(out1.keySet == Set(11L, 14L), s"${out1.keySet}")
+      assert(out1(11L) == 2L, "within-batch pair collapses with multiplicity")
+      // batch 2: 20 duplicates batch 1's admission (cross-batch key
+      // screen); 21 is novel
+      mem.addData(
+        (20L, page(body + " until dusk settled over the far fields")),
+        (21L, page(body + " when morning broke across the valley floor")))
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(outPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(out2 == Set(11L, 14L, 21L),
+        s"cross-batch duplicate must be screened: $out2")
+    } finally q.stop()
+    // parity: the batch op over batch 1 (screened against the ORIGINAL
+    // standing key) produces exactly batch 1's admissions
+    val batch1 = Seq(
+      (10L, page(body)),
+      (11L, page(body + " and then the chase was finally over")),
+      (12L, page("# # # #")),
+      (13L, page(body + " and then the chase was finally over")),
+      (14L, page(body + " until dusk settled over the far fields")))
+      .toDF("doc_id", "html")
+    val viaOps = graft.ops.Web.intake(batch1, "doc_id", "html", th)
+      .where(col("norm_text") =!= s"Hdr $body")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaOps == Set(11L, 14L))
+  }
+
   test("streaming gram-excise gate: standing and cross-batch spans excised, empty rows dropped") {
     implicit val sqlCtx = spark.sqlContext
     val passage = "alpha beta gamma delta epsilon zeta eta theta" // w=8
