@@ -73,7 +73,9 @@ object PlanAudit {
       "q134_mixture_sample", "q135_distribution_drift", "q136_corpus_diff",
       "q137_label_noise_ivf", "q138_numeric_drift", "q139_dedup_recall",
       "q140_dedup_screen", "q141_token_budget_prefix",
-      "q142_containment_recall", "q143_url_canonicalize")
+      "q142_containment_recall", "q143_url_canonicalize",
+      "q144_normalize_text", "q145_html_to_text", "q146_gopher_filter",
+      "q147_leak_free_split", "q148_web_intake", "q149_gopher_report")
     // optional args = audit only these queries (iterating on one
     // operator); a trailing `--json <path>` additionally writes the
     // table as the per-round PLANAUDIT artifact, so plan-shape

@@ -1446,6 +1446,67 @@ object NgramRepetition {
   }
 }
 
+/** `Web.htmlToText`'s rule chain as ONE expression. The Column spelling
+  * (17 chained `regexp_replace`s) is semantically identical — and the
+  * equivalence is spec-pinned — but its codegen inlines every rule into
+  * the enclosing stage's method: composed into a real intake projection
+  * (html fold + NFC + normalize + [[GopherStats]] + md5, the q148
+  * chain) the stage crosses janino's 64 KB method limit and the WHOLE
+  * stage falls back to interpreted eval. One static call keeps the
+  * stage resident; the patterns compile once per JVM instead of living
+  * in generated code. Patterns/replacements are read from
+  * `graft.ops.Web.htmlRules` — the same single source the DuckDB oracle
+  * generator folds — and applied with the same java.util.regex
+  * replaceAll the built-in `RegExpReplace` uses, then a Spark-`trim`
+  * (space-only) of the result.
+  */
+case class HtmlToText(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_to_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlToText.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = org.apache.spark.sql.graft.HtmlToText.compute($in);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlToText =
+    copy(child = newChild)
+}
+
+object HtmlToText {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private lazy val compiled: Array[(java.util.regex.Pattern, String)] =
+    graft.ops.Web.htmlRules.map { case (p, r) =>
+      (java.util.regex.Pattern.compile(p), r)
+    }.toArray
+
+  /** Shared by interpreted eval and codegen. */
+  def compute(input: UTF8String): UTF8String = {
+    var s = input.toString
+    var i = 0
+    while (i < compiled.length) {
+      s = compiled(i)._1.matcher(s).replaceAll(compiled(i)._2)
+      i += 1
+    }
+    // Spark's trim strips SPACES only (not the \n the rules produce)
+    var a = 0; var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    UTF8String.fromString(if (a == 0 && b == s.length) s else s.substring(a, b))
+  }
+}
+
 /** The integer counts behind the published Gopher document-quality rules
   * (Rae et al. 2021, §A1.1) in ONE row-local pass: word count and length
   * sum, alphabetic-word and stop-word hits, non-blank/bullet/ellipsis
@@ -2188,6 +2249,9 @@ object VectorBridge {
 
   def gopherStats(text: Column): Column =
     ExpressionUtils.column(GopherStats(ExpressionUtils.expression(text)))
+
+  def htmlToText(html: Column): Column =
+    ExpressionUtils.column(HtmlToText(ExpressionUtils.expression(html)))
 
   def tokenProfile(text: Column, lists: Seq[Seq[String]]): Column =
     ExpressionUtils.column(TokenProfile(ExpressionUtils.expression(text), lists))

@@ -80,6 +80,13 @@ object VectorFunctions {
   def gopherStats(text: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.gopherStats(text)
 
+  /** HTML -> rendered text in one codegen'd call (the Web.htmlRules
+    * chain; the fold spelling blows the 64 KB stage method limit when
+    * composed into intake projections) — backs Web.htmlToText (q145).
+    */
+  def htmlToText(html: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.htmlToText(html)
+
   /** Token profile struct (n_tokens, n_distinct, hits per stopword list)
     * in one pass — backs languageId (q33) and qualityScore (q34).
     */

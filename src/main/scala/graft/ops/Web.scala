@@ -180,10 +180,21 @@ object Web {
   val htmlRules: Seq[(String, String)] =
     htmlStripRules ++ htmlEntityRules ++ htmlWhitespaceRules
 
-  /** Rendered text of an HTML column: the [[htmlRules]] fold + a final
-    * trim. Pure codegen'd projection.
+  /** Rendered text of an HTML column: the [[htmlRules]] chain + a final
+    * (space-only) trim, as ONE codegen'd expression — the
+    * [[htmlToTextComposed]] fold is byte-identical (spec-pinned) but
+    * inlines 17 regexp evaluations into the enclosing stage's generated
+    * method; composed into a real intake projection that crosses
+    * janino's 64 KB limit and drops the whole stage out of codegen.
     */
   def htmlToText(html: Column): Column =
+    graft.functions.VectorFunctions.htmlToText(html)
+
+  /** The built-in-operator spelling of [[htmlToText]] — the equivalence
+    * oracle for the fused expression (and the exact shape the DuckDB
+    * twin runs).
+    */
+  def htmlToTextComposed(html: Column): Column =
     trim(htmlRules.foldLeft(html) { case (c, (p, r)) =>
       regexp_replace(c, p, r)
     })

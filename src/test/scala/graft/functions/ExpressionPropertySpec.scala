@@ -330,6 +330,26 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("HtmlToText expression == regexp_replace fold, row for row") {
+    import graft.ops.Web
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val page = concat(
+      lit("<html><head><script>if(x<2){s=\"</p>\"}</script><style>p{}" +
+        "</style></head><body><!-- c <p>x</p> --><h1 id=\"t\">T</h1>\n<p>"),
+      col("text"),
+      lit(" &amp;amp; caf&#39;e &lt;b&gt;&nbsp;x</p><ul><li> a</li>" +
+        "<li>b </li></ul><table><tr><td>c</td><td>d</td></tr></table>" +
+        "<p>t <b>b</b>, <I>i</I> &amp; e</p></body></html>"))
+    val diff = docs
+      .select(Web.htmlToText(page).as("e"), Web.htmlToTextComposed(page).as("c"))
+      .where(not(col("e") <=> col("c")))
+    assert(diff.count() == 0, s"expression != fold: ${diff.take(1).toSeq}")
+    // null passthrough matches the built-ins
+    val nul = Seq(Tuple1(null.asInstanceOf[String])).toDF("h")
+      .select(Web.htmlToText(col("h"))).collect().head
+    assert(nul.isNullAt(0))
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     // Every Project line in the executed plan must carry the `*(n)` codegen
     // marker: a bare `Project` means some expression fell back to
@@ -349,6 +369,8 @@ class ExpressionPropertySpec extends SparkSpec {
         VectorFunctions.nearestCentroid(col("v"), Array.fill(3)(vec())).as("cell"),
         VectorFunctions.tokenStats(col("text")).as("ts"),
         VectorFunctions.gopherStats(col("text")).as("gs"),
+        VectorFunctions.htmlToText(concat(lit("<p>"), col("text"),
+          lit("</p>"))).as("ht"),
         VectorFunctions.tokenProfile(col("text"),
           Seq(Seq("tok", "b"), Seq("c"))).as("tp"),
         VectorFunctions.dot(col("v"), col("v")).as("d"),
