@@ -410,6 +410,8 @@ object SparkEntry {
     "q147_leak_free_split" -> leakFreeSplitSql,
     "q148_web_intake" -> webIntakeSql,
     "q149_gopher_report" -> gopherReportSql,
+    "q150_domain_blocklist" -> domainBlocklistSql,
+    "q151_segment_paragraphs" -> segmentParagraphsSql,
     // q144: the identical planted mess (combining acute/grave, tabs, a
     // C0 control byte, double spaces) and the identical normalization
     // order: NFC -> lower -> control strip -> whitespace collapse ->
@@ -3177,14 +3179,26 @@ object SparkEntry {
     * [[graft.ops.Web.publicSuffixes]] so both engines read ONE suffix
     * list — an oracle copy would drift the moment the list changes.
     */
-  private def urlCanonicalizeSql: String = {
+  /** Registered-domain CASE over a `host` column — GENERATED from the
+    * same `Web.publicSuffixes` Seq the engine folds (q143, q150).
+    */
+  private def domainCaseSql: String = {
     val suffixCases = graft.ops.Web.publicSuffixes.map { s =>
       val esc = s.replace(".", "\\.")
       s"WHEN host = '$s' THEN host " +
         s"WHEN host LIKE '%.$s' THEN " +
         s"REGEXP_EXTRACT(host, '([^.]+\\.$esc)${"$"}', 1)"
     }.mkString("\n       ")
-    s"""WITH urls AS (SELECT doc_id,
+    s"""CASE $suffixCases
+       |       ELSE (CASE WHEN host LIKE '%.%' THEN REGEXP_EXTRACT(host, '([^.]+\\.[^.]+)${"$"}', 1) ELSE host END)
+       |  END""".stripMargin
+  }
+
+  /** The q143/q150 messy-URL synthesis + host/scheme/path parse as a
+    * CTE chain ending in `parts2 (doc_id, url, scheme, host, path)`.
+    */
+  private def urlPartsCtes: String =
+    s"""urls AS (SELECT doc_id,
        |  (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' WHEN 2 THEN 'Https' ELSE 'http' END)
        |  || '://'
        |  || (CASE WHEN doc_id % 5 = 0 THEN 'User:Pw@' ELSE '' END)
@@ -3203,15 +3217,32 @@ object SparkEntry {
        |parts2 AS (SELECT doc_id, url, scheme,
        |  LOWER(REGEXP_EXTRACT(REGEXP_EXTRACT(REGEXP_EXTRACT(rest, '^([^/?#]*)', 1), '([^@]*)${"$"}', 1), '^([^:]*)', 1)) AS host,
        |  REGEXP_EXTRACT(rest, '^[^/?#]*([^?#]*)', 1) AS path
-       |  FROM parts)
-       |SELECT doc_id, url,
-       |  CASE WHEN scheme = '' OR host = '' THEN NULL
-       |       ELSE scheme || '://' || host || (CASE WHEN path = '' THEN '/' ELSE path END) END AS canon_url,
-       |  host,
-       |  CASE $suffixCases
-       |       ELSE (CASE WHEN host LIKE '%.%' THEN REGEXP_EXTRACT(host, '([^.]+\\.[^.]+)${"$"}', 1) ELSE host END)
-       |  END AS domain
-       |FROM parts2 ORDER BY doc_id""".stripMargin
+       |  FROM parts)""".stripMargin
+
+  // NOTE: urlPartsCtes contains `||` continuation lines — interpolating
+  // it into a stripMargin template would eat one pipe per line (the
+  // stripMargin runs over the WHOLE interpolated result), so the outer
+  // queries concatenate around it instead.
+  private def urlCanonicalizeSql: String =
+    "WITH " + urlPartsCtes + "\n" +
+      s"""SELECT doc_id, url,
+         |  CASE WHEN scheme = '' OR host = '' THEN NULL
+         |       ELSE scheme || '://' || host || (CASE WHEN path = '' THEN '/' ELSE path END) END AS canon_url,
+         |  host,
+         |  $domainCaseSql AS domain
+         |FROM parts2 ORDER BY doc_id""".stripMargin
+
+  /** q150 oracle: the q143 parse, the generated domain CASE, and the
+    * NOT IN over the same blocklist constant the declared query ships.
+    */
+  private def domainBlocklistSql: String = {
+    val blocked = graft.queries.Extensions.blockedDomainsQ150
+      .map(d => s"'$d'").mkString(", ")
+    "WITH " + urlPartsCtes + ",\n" +
+      s"""dom AS (SELECT doc_id, $domainCaseSql AS domain FROM parts2)
+         |SELECT doc_id, domain FROM dom
+         |WHERE domain NOT IN ($blocked)
+         |ORDER BY doc_id""".stripMargin
   }
 
   /** q145 oracle: the SAME planted page as the declared query, pushed
@@ -3311,6 +3342,28 @@ object SparkEntry {
        |FROM s JOIN planted p USING (doc_id)
        |GROUP BY p.source ORDER BY p.source""".stripMargin
   }
+
+  /** q151 oracle: the identical planted paragraph seams, split on
+    * `\n{2,}`, edge-trimmed per paragraph ([ \t\n\r], matching the
+    * engine's two anchored regexp_replaces), empties dropped, densely
+    * indexed over the KEPT paragraphs in document order.
+    */
+  private def segmentParagraphsSql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |    text || chr(10) || chr(10) || '  second paragraph line one'
+       |      || chr(10) || 'line two ' || chr(10) || chr(10) || chr(10)
+       |      || ' ' || chr(9) || chr(10) || chr(10)
+       |      || 'third paragraph stands alone' AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |p AS (SELECT doc_id,
+       |    list_filter(list_transform(regexp_split_to_array(t, '\\n{2,}'),
+       |      x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))),
+       |      x -> x <> '') AS paras
+       |  FROM m)
+       |SELECT doc_id, CAST(i - 1 AS BIGINT) AS para_idx, paras[i] AS para,
+       |  CAST(length(paras[i]) AS BIGINT) AS n_chars
+       |FROM p, UNNEST(RANGE(1, LEN(paras) + 1)) AS u(i)
+       |ORDER BY doc_id, para_idx""".stripMargin
 
   /** q148 oracle: the intake chain composed from the stages' own
     * generated fragments — the q145 html fold over the plant, the q146

@@ -1507,6 +1507,87 @@ object HtmlToText {
   }
 }
 
+/** `Web.registeredDomain`'s longest-suffix cut as ONE expression. The
+  * Column spelling folds ~60 `when(endsWith…, regexp_extract…)` branches
+  * into a single chained CASE — correct, but the generated code is large
+  * enough that TWO folds in one stage (q150 evaluates the domain in the
+  * anti-join key and again in the output projection) cross janino's
+  * 64 KB method limit and drop the stage to interpreted eval. One static
+  * call replaces the branch chain with a hash-set suffix walk (also
+  * O(labels) instead of O(suffixes) regex probes per row). Semantics are
+  * the fold's, spec-pinned equivalent branch for branch:
+  * exact-suffix host passes through; `label.suffix` cut with the regex's
+  * empty-label no-match → "" behavior; no suffix → last-two-labels
+  * fallback (both labels non-empty, else ""); dotless host passes
+  * through.
+  */
+case class RegisteredDomain(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_registered_domain"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RegisteredDomain.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = org.apache.spark.sql.graft.RegisteredDomain.compute($in);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RegisteredDomain =
+    copy(child = newChild)
+}
+
+object RegisteredDomain {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  // precedence in graft.ops.Web.publicSuffixes is longest-first by
+  // construction (multi-label suffixes precede their parent TLD), so a
+  // set probe per dot-suffix of the host, walked LEFT to right (longest
+  // candidate first), picks the same winner the ordered fold picks
+  private lazy val suffixSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    graft.ops.Web.publicSuffixes.foreach(s.add)
+    s
+  }
+
+  /** Shared by interpreted eval and codegen. */
+  def compute(input: UTF8String): UTF8String = {
+    val host = input.toString
+    if (suffixSet.contains(host)) return input // bare suffix stays whole
+    // walk dot positions left to right: the suffix starting after the
+    // EARLIEST dot is the longest candidate, so the first hit IS the
+    // longest matching suffix (ties with the fold's Seq precedence:
+    // every listed multi-label suffix is longer than its parent)
+    var dot = host.indexOf('.')
+    while (dot >= 0) {
+      val cand = host.substring(dot + 1)
+      if (suffixSet.contains(cand)) {
+        // label = [^.]+ immediately before the suffix; empty -> "" like
+        // the fold's regexp_extract no-match
+        val labelEnd = dot
+        val labelStart = host.lastIndexOf('.', labelEnd - 1) + 1
+        return UTF8String.fromString(
+          if (labelStart >= labelEnd) ""
+          else host.substring(labelStart))
+      }
+      dot = host.indexOf('.', dot + 1)
+    }
+    // fallback: last two labels, both non-empty ([^.]+\.[^.]+$)
+    val last = host.lastIndexOf('.')
+    if (last < 0) return input // single-label host passes through
+    val prev = host.lastIndexOf('.', last - 1)
+    val ok = last + 1 < host.length && prev + 1 < last
+    UTF8String.fromString(if (ok) host.substring(prev + 1) else "")
+  }
+}
+
 /** The integer counts behind the published Gopher document-quality rules
   * (Rae et al. 2021, §A1.1) in ONE row-local pass: word count and length
   * sum, alphabetic-word and stop-word hits, non-blank/bullet/ellipsis
@@ -2252,6 +2333,9 @@ object VectorBridge {
 
   def htmlToText(html: Column): Column =
     ExpressionUtils.column(HtmlToText(ExpressionUtils.expression(html)))
+
+  def registeredDomain(host: Column): Column =
+    ExpressionUtils.column(RegisteredDomain(ExpressionUtils.expression(host)))
 
   def tokenProfile(text: Column, lists: Seq[Seq[String]]): Column =
     ExpressionUtils.column(TokenProfile(ExpressionUtils.expression(text), lists))

@@ -87,6 +87,14 @@ object VectorFunctions {
   def htmlToText(html: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.htmlToText(html)
 
+  /** Longest-suffix registered-domain cut in one codegen'd call (the
+    * Web.publicSuffixes walk; the chained-when fold spelling blows the
+    * 64 KB stage limit when a stage evaluates it twice) — backs
+    * Web.registeredDomain (q143/q150).
+    */
+  def registeredDomain(host: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.registeredDomain(host)
+
   /** Token profile struct (n_tokens, n_distinct, hits per stopword list)
     * in one pass — backs languageId (q33) and qualityScore (q34).
     */

@@ -1185,6 +1185,33 @@ object TextAnalysis {
         sum(col("_fk")).as("n_keep"))
   }
 
+  /** Paragraph segmentation — the boundary-aware counterpart to
+    * [[graft.ops.Packing.chunkDocs]]'s fixed token windows: documents
+    * split at blank lines (`\n{2,}` — the universal paragraph
+    * convention in extracted web text, see [[graft.ops.Web.htmlToText]]
+    * which emits single `\n` INSIDE a block flow), each paragraph
+    * trimmed of edge whitespace, empties dropped, indexed densely in
+    * document order. The unit feeder for paragraph-granular dedup,
+    * embedding, and RAG chunking — token windows cut mid-thought;
+    * paragraphs are where authors put the seams.
+    *
+    * Output: (doc_id, para_idx, para, n_chars). Pure map-side
+    * projection + generator (split/transform/filter/posexplode — all
+    * codegen-capable generators, no UDF, no shuffle).
+    */
+  def segmentParagraphs(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val paras = filter(
+      transform(split(col(textCol), "\\n{2,}"),
+        x => regexp_replace(regexp_replace(x,
+          "^[ \\t\\n\\r]+", ""), "[ \\t\\n\\r]+$", "")),
+      x => length(x) > 0)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
+        col("para"), length(col("para")).cast("long").as("n_chars"))
+  }
+
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     def fracs(r: String, tag: String): Seq[Column] = Seq(
       when(col(s"$r.total") > 0,

@@ -94,9 +94,19 @@ object Web {
   /** Longest-suffix registered-domain cut over [[publicSuffixes]]:
     * one label + the matched suffix; a host that IS a bare suffix
     * passes through; no match falls back to the last two labels.
-    * One chained-when projection — stays in codegen.
+    * ONE codegen'd expression (hash-set suffix walk) — the
+    * [[registeredDomainComposed]] chained-when fold is branch-for-branch
+    * equivalent (spec-pinned) but two folds in one stage blow janino's
+    * 64 KB method limit (the q150 anti-join shape).
     */
-  def registeredDomain(host: Column): Column = {
+  def registeredDomain(host: Column): Column =
+    graft.functions.VectorFunctions.registeredDomain(host)
+
+  /** The built-in-operator spelling of [[registeredDomain]] — the
+    * equivalence oracle for the fused expression, and the exact shape
+    * the DuckDB twin's generated CASE runs.
+    */
+  def registeredDomainComposed(host: Column): Column = {
     val fallback = when(host.contains("."),
       regexp_extract(host, "([^.]+\\.[^.]+)$", 1)).otherwise(host)
     publicSuffixes.foldRight(fallback) { case (s, tail) =>
@@ -119,6 +129,24 @@ object Web {
     df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
       .withColumn("host", urlHost(col(urlCol)))
       .withColumn("domain", urlDomain(col(urlCol)))
+
+  /** Domain-blocklist exclusion — the crawl-policy filter every web
+    * corpus runs before anything else looks at the text: rows whose
+    * REGISTERED domain (the [[registeredDomain]] cut, so `a.evil.com`
+    * and `b.evil.com` both match a blocklisted `evil.com`) appears in
+    * `blocked` are dropped. The blocklist is policy-bounded (site
+    * lists run to ~10⁵ rows, never corpus-scale), so the anti-join
+    * pins it as the BROADCAST side — the corpus never shuffles.
+    * Blocklist entries are matched as written (callers hold registered
+    * domains, the list's natural currency).
+    */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+                           blocked: DataFrame,
+                           blockedCol: String = "domain"): DataFrame =
+    df.join(
+      broadcast(blocked.select(col(blockedCol).as("_blocked_domain"))),
+      urlDomain(col(urlCol)) === col("_blocked_domain"),
+      "left_anti")
 
   // ------------------------------------------------------------------
   // HTML → text extraction

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline extension queries (q27+): dedup family,
@@ -399,10 +399,10 @@ object Extensions {
   // userinfo, ports, queries, fragments, multi-label and shared-hosting
   // suffixes) — mirrored literally in the oracle — and checks the full
   // canonical projection: canon_url, host, registered domain.
-  val q143_url_canonicalize: Q = (s, d) => {
-    val docs = t(s, d, "documents")
-    val id = col("doc_id")
-    val url = concat(
+  /** The q143/q150 messy-URL synthesis — deterministic per doc_id,
+    * mirrored field-for-field in the generated oracles.
+    */
+  def syntheticUrl(id: Column): Column = concat(
       when(id % 4 === 0, "HTTP").when(id % 4 === 1, "https")
         .when(id % 4 === 2, "Https").otherwise("http"),
       lit("://"),
@@ -418,7 +418,28 @@ object Extensions {
       when(id % 3 === 0, concat(lit("?q=x&id="), id.cast("string")))
         .otherwise(""),
       when(id % 4 === 1, "#Frag").otherwise(""))
+
+  val q143_url_canonicalize: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val url = syntheticUrl(col("doc_id"))
     Web.withUrlKeys(docs.select(col("doc_id"), url.as("url")), "url")
+      .orderBy(col("doc_id"))
+  }
+
+  // q150 domain-blocklist exclusion (Web.filterBlockedDomains): the
+  // crawl-policy gate keyed on the q143 registered-domain cut —
+  // subdomains of a blocked domain go with it; the bounded list rides
+  // as the broadcast anti side.
+  val blockedDomainsQ150: Seq[String] =
+    Seq("site0.co.uk", "site3.com", "site2.github.io", "site5.io")
+  val q150_domain_blocklist: Q = (s, d) => {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    val blocked = blockedDomainsQ150.toDF("domain")
+    Web.filterBlockedDomains(
+        docs.select(col("doc_id"), syntheticUrl(col("doc_id")).as("url")),
+        "url", blocked)
+      .select(col("doc_id"), Web.urlDomain(col("url")).as("domain"))
       .orderBy(col("doc_id"))
   }
 
@@ -535,6 +556,21 @@ object Extensions {
           concat(col("text"), lit(gopherQueryPlant)).as("text")),
         "text", "source", gopherQueryThresholds)
       .orderBy(col("source"))
+  }
+
+  // q151 paragraph segmentation (TextAnalysis.segmentParagraphs): the
+  // fixtures are single-paragraph, so the plant builds a multi-paragraph
+  // document with messy seams — runs of 2/3 blank lines, a
+  // whitespace-only paragraph (dropped), edge whitespace (trimmed) —
+  // mirrored chr-for-chr in the oracle.
+  val q151_segment_paragraphs: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+    val multi = concat(col("text"),
+      lit("\n\n  second paragraph line one\nline two \n\n\n"),
+      lit(" \t\n\nthird paragraph stands alone"))
+    TextAnalysis.segmentParagraphs(
+        docs.select(col("doc_id"), multi.as("text")), "doc_id", "text")
+      .orderBy(col("doc_id"), col("para_idx"))
   }
 
   // q59 int8-quantized brute-force top-k: q25's retrieval over 4×-smaller
@@ -1777,5 +1813,7 @@ object Extensions {
     "q146_gopher_filter" -> q146_gopher_filter,
     "q147_leak_free_split" -> q147_leak_free_split,
     "q148_web_intake" -> q148_web_intake,
-    "q149_gopher_report" -> q149_gopher_report)
+    "q149_gopher_report" -> q149_gopher_report,
+    "q150_domain_blocklist" -> q150_domain_blocklist,
+    "q151_segment_paragraphs" -> q151_segment_paragraphs)
 }

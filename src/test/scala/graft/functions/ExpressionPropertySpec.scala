@@ -350,6 +350,36 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("RegisteredDomain expression == chained-when fold, branch for branch") {
+    import graft.ops.Web
+    // every branch class: multi-label shared-hosting beats parent TLD,
+    // ccTLD registrations, bare suffix passthrough, empty-label
+    // no-match, fallback last-two-labels (incl. empty-label ""),
+    // dotless passthrough, empty string, suffix-of-suffix hosts
+    val hosts = Seq(
+      "a.github.io", "x.y.github.io", "github.io", ".github.io",
+      "www.example.co.uk", "co.uk", "example.co.uk", "b.co.uk",
+      "example.com", "www.example.com", "a.b.internal", "localhost",
+      "", "a..b", ".com", "x.co", "a.uk.co", "uk.co", "pages.dev",
+      "sub.pages.dev", "weird-.chars_.com", "single.", ".leading",
+      null.asInstanceOf[String])
+    val df = hosts.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("id", "host")
+    val diff = df.select(col("id"), col("host"),
+        Web.registeredDomain(col("host")).as("e"),
+        Web.registeredDomainComposed(col("host")).as("c"))
+      .where(not(col("e") <=> col("c")))
+      .collect()
+    assert(diff.isEmpty, s"expression != fold: ${diff.mkString(", ")}")
+    // and over the q143 synthesis at fixture scale
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val host = Web.urlHost(graft.queries.Extensions.syntheticUrl(col("doc_id")))
+    val diff2 = docs.select(Web.registeredDomain(host).as("e"),
+        Web.registeredDomainComposed(host).as("c"))
+      .where(not(col("e") <=> col("c"))).count()
+    assert(diff2 == 0)
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     // Every Project line in the executed plan must carry the `*(n)` codegen
     // marker: a bare `Project` means some expression fell back to
@@ -371,6 +401,8 @@ class ExpressionPropertySpec extends SparkSpec {
         VectorFunctions.gopherStats(col("text")).as("gs"),
         VectorFunctions.htmlToText(concat(lit("<p>"), col("text"),
           lit("</p>"))).as("ht"),
+        VectorFunctions.registeredDomain(concat(substring(col("text"), 1, 3),
+          lit(".example.co.uk"))).as("rd"),
         VectorFunctions.tokenProfile(col("text"),
           Seq(Seq("tok", "b"), Seq("c"))).as("tp"),
         VectorFunctions.dot(col("v"), col("v")).as("d"),

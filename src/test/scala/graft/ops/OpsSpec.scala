@@ -637,6 +637,27 @@ class OpsSpec extends SparkSpec {
     assert(viaKnob == "example.co.uk")
   }
 
+  test("filterBlockedDomains: registered-domain match, subdomains included, broadcast anti") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "https://a.evil.com/x"),        // subdomain of a blocked domain
+      (2L, "https://evil.com/y"),          // the blocked domain itself
+      (3L, "https://good.com/z"),          // clean
+      (4L, "https://evil.org/w"),          // same label, different suffix
+      (5L, null.asInstanceOf[String])      // null url -> domain null, kept
+    ).toDF("id", "url")
+    val blocked = Seq("evil.com", "bad.co.uk").toDF("domain")
+    val out = Web.filterBlockedDomains(rows, "url", blocked)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(3L, 4L, 5L), s"$out")
+    val plan = Web.filterBlockedDomains(rows, "url", blocked)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"blocklist must ride the broadcast side:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Exchange hash"),
+      s"the corpus must not shuffle for a bounded blocklist:\n$plan")
+  }
+
   test("htmlToText: rule order, non-rendered subtrees, entities, whitespace") {
     import spark.implicits._
     val page =
@@ -726,6 +747,26 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 1, s"expected exactly 1 exchange:\n$plan")
+  }
+
+  test("segmentParagraphs: blank-line seams, trims, drops empties, dense index") {
+    import spark.implicits._
+    val doc = "first para\nstill first\n\n  second para \n\n\n \t\n\nthird"
+    val out = TextAnalysis.segmentParagraphs(
+        Seq((1L, doc), (2L, "single"), (3L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 0L, "first para\nstill first", 22L),
+      (1L, 1L, "second para", 11L),
+      (1L, 2L, "third", 5L),
+      (2L, 0L, "single", 6L)),
+      s"$out")
+    // pure generator: no exchange
+    val plan = TextAnalysis.segmentParagraphs(
+        Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
   }
 
   test("gopherReport == gopherFilter rolled up per source") {
