@@ -31,6 +31,7 @@ object Bench {
         only.isEmpty || only.exists(s => s == n || s == n.takeWhile(_ != '_'))
       }
     val loadBefore = BenchHarness.loadavg
+    val stealBefore = BenchHarness.stealSeconds
     if (BenchHarness.contended(loadBefore))
       System.err.println(s"WARNING: bench starting on a contended box " +
         s"(loadavg $loadBefore > 25% of cores); figures will be inflated")
@@ -118,8 +119,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timings.map(_._2).filter(_ >= 0).sum
     val loadAfter = BenchHarness.loadavg
+    // hypervisor steal across the run: the round-16 observed mode the
+    // probe and loadavg both miss (uniform multi-core slowdown, probe
+    // fast, load flat). Material steal (> 2% of the run's core-seconds)
+    // trips contended like everything else.
+    val stealAfter = BenchHarness.stealSeconds
+    val stealS =
+      if (stealBefore < 0 || stealAfter < 0) -1.0 else stealAfter - stealBefore
     val contended = BenchHarness.contended(loadBefore) ||
-      BenchHarness.contended(s"$loadDuringMax")
+      BenchHarness.contended(s"$loadDuringMax") ||
+      (stealS > 0.02 * total * Runtime.getRuntime.availableProcessors())
     val rr = rerun.values.map { case (k, m, s) =>
       "\"" + k + "\":{\"median\":" + fmt(m) + ",\"samples\":" +
         s.map(fmt).mkString("[", ",", "]") + "}"
@@ -127,7 +136,7 @@ object Bench {
     val probe = s""""probe_s":${fmt3(probeS)},"box_factor":${fmt3(boxFactor)},""" +
       s""""value_normalized":${fmt3(total / boxFactor)}"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"rerun":$rr,"runs":$runs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loadavg_during_max":${fmt3(loadDuringMax)},"contended":$contended,$probe}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"rerun":$rr,"runs":$runs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loadavg_during_max":${fmt3(loadDuringMax)},"steal_s":${fmt3(stealS)},"contended":$contended,$probe}"""
     // full JSON (with per-sample arrays) is the file artifact of record;
     // a filtered run is NOT the record — it lands in BENCH_FILTERED.json
     // (gitignored scratch) so iterating on one family can never clobber
@@ -137,7 +146,7 @@ object Bench {
         if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_FILTERED.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     println(
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"runs":$runs,"sf":"$sfDir","loadavg_during_max":${fmt3(loadDuringMax)},"contended":$contended,"rerun_n":${rerun.size},$probe}""")
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"runs":$runs,"sf":"$sfDir","loadavg_during_max":${fmt3(loadDuringMax)},"steal_s":${fmt3(stealS)},"contended":$contended,"rerun_n":${rerun.size},$probe}""")
     spark.stop()
   }
 }

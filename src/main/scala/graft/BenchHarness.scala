@@ -67,6 +67,22 @@ object BenchHarness {
       .trim.split(" ").take(3).mkString(" ")
     catch { case _: Throwable => "unavailable" }
 
+  /** Cumulative hypervisor steal time, seconds (col 9 of /proc/stat's
+    * aggregate cpu line, USER_HZ=100). The round-16 adjudication hole
+    * this closes: the single-thread [[cpuProbe]] measures the core IT
+    * runs on, but a virtualized box can steal OTHER cores mid-suite —
+    * observed as uniform 30% whole-suite inflation with box_factor
+    * 0.99 and loadavg flat. The bench records the delta across the run
+    * (`steal_s`); the BASELINE.md rule reads figures with material
+    * steal as contended regardless of the other flags.
+    */
+  def stealSeconds: Double =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      cpu(8).toDouble / 100.0
+    } catch { case _: Throwable => -1.0 }
+
   /** Mechanical contention verdict: 1-minute loadavg at bench START
     * above 25% of the box's cores means the box was already busy and
     * the recorded figures are suspect (both round-10 and round-11

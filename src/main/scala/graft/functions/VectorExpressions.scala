@@ -1588,6 +1588,85 @@ object RegisteredDomain {
   }
 }
 
+/** The Gopher keep DECISION as one boolean expression. The Column
+  * spelling (flags derived from a [[GopherStats]] struct) is correct in
+  * a PROJECTION, where whole-stage codegen's subexpression elimination
+  * evaluates the struct once — but as a FILTER predicate there is no
+  * subexpression elimination (FilterExec generates a plain predicate),
+  * so each of the ~14 struct-field references re-evaluates the whole
+  * stats pass — and, after predicate pushdown inlines the alias,
+  * everything UNDER it (the q148 intake gate measured 19 htmlToText
+  * evaluations per row, 4.3 s of a 4.9 s stage). One static call
+  * computes the stats once and applies the thresholds in Scala —
+  * arithmetic identical to `TextAnalysis.gopherRules` (same
+  * long→double divisions, same guards), spec-pinned equivalent.
+  */
+case class GopherKeep(child: Expression,
+                      minWords: Long, maxWords: Long,
+                      minMeanWordLen: Double, maxMeanWordLen: Double,
+                      maxSymbolWordRatio: Double, maxBulletLineFrac: Double,
+                      maxEllipsisLineFrac: Double, minAlphaWordFrac: Double,
+                      minStopHits: Long)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.{BooleanType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_gopher_keep"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GopherKeep.compute(input.asInstanceOf[UTF8String], minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolWordRatio, maxBulletLineFrac,
+      maxEllipsisLineFrac, minAlphaWordFrac, minStopHits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"""${ev.value} = org.apache.spark.sql.graft.GopherKeep.compute($in,
+         |  ${minWords}L, ${maxWords}L, $minMeanWordLen, $maxMeanWordLen,
+         |  $maxSymbolWordRatio, $maxBulletLineFrac, $maxEllipsisLineFrac,
+         |  $minAlphaWordFrac, ${minStopHits}L);""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GopherKeep =
+    copy(child = newChild)
+}
+
+object GopherKeep {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Shared by interpreted eval and codegen — ONE stats pass, then the
+    * same threshold arithmetic the Column rules evaluate.
+    */
+  def compute(input: UTF8String, minWords: Long, maxWords: Long,
+              minMeanWordLen: Double, maxMeanWordLen: Double,
+              maxSymbolWordRatio: Double, maxBulletLineFrac: Double,
+              maxEllipsisLineFrac: Double, minAlphaWordFrac: Double,
+              minStopHits: Long): Boolean = {
+    val r = GopherStats.compute(input)
+    val nWords = r.getLong(0); val lenSum = r.getLong(1)
+    val nAlpha = r.getLong(2); val nStop = r.getLong(3)
+    val nLines = r.getLong(4); val nBullet = r.getLong(5)
+    val nEllipsis = r.getLong(6); val nHash = r.getLong(7)
+    val nMarks = r.getLong(8)
+    val hasWords = nWords > 0
+    val hasLines = nLines > 0
+    val fWords = nWords >= minWords && nWords <= maxWords
+    val fLen = hasWords && lenSum.toDouble / nWords >= minMeanWordLen &&
+      lenSum.toDouble / nWords <= maxMeanWordLen
+    val fSymbol = hasWords &&
+      (nHash + nMarks).toDouble / nWords <= maxSymbolWordRatio
+    val fBullet = !hasLines || nBullet.toDouble / nLines <= maxBulletLineFrac
+    val fEllipsis = !hasLines ||
+      nEllipsis.toDouble / nLines <= maxEllipsisLineFrac
+    val fAlpha = hasWords && nAlpha.toDouble / nWords >= minAlphaWordFrac
+    val fStop = nStop >= minStopHits
+    fWords && fLen && fSymbol && fBullet && fEllipsis && fAlpha && fStop
+  }
+}
+
 /** The integer counts behind the published Gopher document-quality rules
   * (Rae et al. 2021, §A1.1) in ONE row-local pass: word count and length
   * sum, alphabetic-word and stop-word hits, non-blank/bullet/ellipsis
@@ -2336,6 +2415,16 @@ object VectorBridge {
 
   def registeredDomain(host: Column): Column =
     ExpressionUtils.column(RegisteredDomain(ExpressionUtils.expression(host)))
+
+  def gopherKeep(text: Column, minWords: Long, maxWords: Long,
+                 minMeanWordLen: Double, maxMeanWordLen: Double,
+                 maxSymbolWordRatio: Double, maxBulletLineFrac: Double,
+                 maxEllipsisLineFrac: Double, minAlphaWordFrac: Double,
+                 minStopHits: Long): Column =
+    ExpressionUtils.column(GopherKeep(ExpressionUtils.expression(text),
+      minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      maxSymbolWordRatio, maxBulletLineFrac, maxEllipsisLineFrac,
+      minAlphaWordFrac, minStopHits))
 
   def tokenProfile(text: Column, lists: Seq[Seq[String]]): Column =
     ExpressionUtils.column(TokenProfile(ExpressionUtils.expression(text), lists))

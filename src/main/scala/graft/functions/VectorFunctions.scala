@@ -87,6 +87,20 @@ object VectorFunctions {
   def htmlToText(html: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.htmlToText(html)
 
+  /** The Gopher keep decision in one codegen'd call (one stats pass +
+    * thresholds in Scala; the struct-derived spelling re-evaluates the
+    * stats per flag when used as a FILTER) — backs
+    * TextAnalysis.gopherKeep (q148's gate, the gopher task's keep_only).
+    */
+  def gopherKeep(text: Column, minWords: Long, maxWords: Long,
+                 minMeanWordLen: Double, maxMeanWordLen: Double,
+                 maxSymbolWordRatio: Double, maxBulletLineFrac: Double,
+                 maxEllipsisLineFrac: Double, minAlphaWordFrac: Double,
+                 minStopHits: Long): Column =
+    org.apache.spark.sql.graft.VectorBridge.gopherKeep(text, minWords,
+      maxWords, minMeanWordLen, maxMeanWordLen, maxSymbolWordRatio,
+      maxBulletLineFrac, maxEllipsisLineFrac, minAlphaWordFrac, minStopHits)
+
   /** Longest-suffix registered-domain cut in one codegen'd call (the
     * Web.publicSuffixes walk; the chained-when fold spelling blows the
     * 64 KB stage limit when a stage evaluates it twice) — backs

@@ -1115,11 +1115,27 @@ object TextAnalysis {
 
   /** The keep DECISION alone, as a filter Column — for pipelines that
     * gate on the rules without materializing the audit columns
-    * ([[graft.ops.Web.intake]]); same arithmetic as [[gopherFilter]] by
-    * construction (both read [[gopherRules]]).
+    * ([[graft.ops.Web.intake]], the `gopher` task's `keep_only`). ONE
+    * fused expression: as a FILTER predicate the composed spelling has
+    * no subexpression elimination, so each of its ~14 struct-field
+    * reads re-evaluated the whole stats pass — and everything predicate
+    * pushdown inlined under it (19 htmlToText evaluations per row in
+    * the q148 gate). [[gopherKeepComposed]] keeps the rules spelling as
+    * the spec equivalence oracle.
     */
   def gopherKeep(text: Column,
                  th: GopherThresholds = GopherThresholds()): Column =
+    graft.functions.VectorFunctions.gopherKeep(text, th.minWords,
+      th.maxWords, th.minMeanWordLen, th.maxMeanWordLen,
+      th.maxSymbolWordRatio, th.maxBulletLineFrac, th.maxEllipsisLineFrac,
+      th.minAlphaWordFrac, th.minStopHits)
+
+  /** The rules-derived spelling of [[gopherKeep]] — evaluates the same
+    * arithmetic through [[gopherRules]]; fine in a projection (subexpr
+    * elimination), pathological as a filter.
+    */
+  def gopherKeepComposed(text: Column,
+                         th: GopherThresholds = GopherThresholds()): Column =
     gopherRules(graft.functions.VectorFunctions.gopherStats(text), th).keep
 
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,

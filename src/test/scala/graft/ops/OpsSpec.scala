@@ -769,6 +769,33 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("gopherKeep fused expression == rules-derived spelling, both thresholds") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit("\n- b\n* c...\n# t # …\nplain end")).as("text"))
+    for (th <- Seq(
+        TextAnalysis.GopherThresholds(),
+        TextAnalysis.GopherThresholds(minWords = 30, maxMeanWordLen = 4.2,
+          maxSymbolWordRatio = 0.08, maxEllipsisLineFrac = 0.4,
+          minStopHits = 1))) {
+      val diff = docs.select(
+          TextAnalysis.gopherKeep(col("text"), th).as("e"),
+          TextAnalysis.gopherKeepComposed(col("text"), th).as("c"))
+        .where(not(col("e") <=> col("c"))).count()
+      assert(diff == 0, s"fused != composed under $th")
+    }
+    // edge rows: empty, whitespace-only, null
+    val edges = Seq((1L, ""), (2L, "   \n\n  "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val diffE = edges.select(
+        TextAnalysis.gopherKeep(col("text")).as("e"),
+        TextAnalysis.gopherKeepComposed(col("text")).as("c"))
+      .where(not(col("e") <=> col("c"))).count()
+    assert(diffE == 0)
+  }
+
   test("gopherReport == gopherFilter rolled up per source") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
