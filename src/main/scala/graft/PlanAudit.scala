@@ -76,7 +76,8 @@ object PlanAudit {
       "q142_containment_recall", "q143_url_canonicalize",
       "q144_normalize_text", "q145_html_to_text", "q146_gopher_filter",
       "q147_leak_free_split", "q148_web_intake", "q149_gopher_report",
-      "q150_domain_blocklist", "q151_segment_paragraphs")
+      "q150_domain_blocklist", "q151_segment_paragraphs",
+      "q152_remove_paragraphs")
     // optional args = audit only these queries (iterating on one
     // operator); a trailing `--json <path>` additionally writes the
     // table as the per-round PLANAUDIT artifact, so plan-shape

@@ -412,6 +412,7 @@ object SparkEntry {
     "q149_gopher_report" -> gopherReportSql,
     "q150_domain_blocklist" -> domainBlocklistSql,
     "q151_segment_paragraphs" -> segmentParagraphsSql,
+    "q152_remove_paragraphs" -> removeParagraphsSql,
     // q144: the identical planted mess (combining acute/grave, tabs, a
     // C0 control byte, double spaces) and the identical normalization
     // order: NFC -> lower -> control strip -> whitespace collapse ->
@@ -3364,6 +3365,38 @@ object SparkEntry {
        |  CAST(length(paras[i]) AS BIGINT) AS n_chars
        |FROM p, UNNEST(RANGE(1, LEN(paras) + 1)) AS u(i)
        |ORDER BY doc_id, para_idx""".stripMargin
+
+  /** q152 oracle: the q151 paragraph CTEs over the shared-chrome plant,
+    * the ban as an exact distinct-doc frequency (string equality ⇔ the
+    * engine's md5 keys), STRING_AGG rebuild in paragraph order with the
+    * canonical seam; all-banned docs survive as '' via the LEFT JOIN.
+    */
+  private def removeParagraphsSql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |    text || chr(10) || chr(10) || 'shared boilerplate alpha'
+       |      || chr(10) || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR)
+       |      || chr(10) || chr(10) || 'shared boilerplate beta' AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |p AS (SELECT doc_id,
+       |    list_filter(list_transform(regexp_split_to_array(t, '\\n{2,}'),
+       |      x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))),
+       |      x -> x <> '') AS paras
+       |  FROM m),
+       |e AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, paras[i] AS para
+       |      FROM p, UNNEST(RANGE(1, LEN(paras) + 1)) AS u(i)),
+       |dfq AS (SELECT para, COUNT(DISTINCT doc_id) AS d FROM e GROUP BY para),
+       |banned AS (SELECT para FROM dfq WHERE d >= 3),
+       |kept AS (SELECT e.doc_id, e.idx, e.para FROM e
+       |         LEFT JOIN banned b USING (para) WHERE b.para IS NULL),
+       |agg AS (SELECT doc_id,
+       |          STRING_AGG(para, chr(10) || chr(10) ORDER BY idx) AS clean_text,
+       |          CAST(COUNT(*) AS BIGINT) AS kept_n
+       |        FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(LEN(paras) AS BIGINT) AS n_paras FROM p)
+       |SELECT t2.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       |  t2.n_paras, t2.n_paras - COALESCE(a.kept_n, 0) AS n_removed
+       |FROM tot t2 LEFT JOIN agg a USING (doc_id)
+       |ORDER BY t2.doc_id""".stripMargin
 
   /** q148 oracle: the intake chain composed from the stages' own
     * generated fragments — the q145 html fold over the plant, the q146

@@ -1105,6 +1105,49 @@ object Dedup {
     rebuildWithoutBannedLines(base, lines, banned)
   }
 
+  /** Paragraph-granular boilerplate removal — [[removeFrequentLines]]'s
+    * rule at the unit real web boilerplate actually repeats at (cookie
+    * banners, footers, share blocks are PARAGRAPHS; the line rule
+    * shreds them only when line reflow happens to align): paragraphs
+    * ([[graft.ops.TextAnalysis.paragraphsCol]] — blank-line split,
+    * trimmed, empties dropped) appearing in ≥ `minDocFreq` DISTINCT
+    * documents are removed everywhere, survivors rejoin with the
+    * canonical `\n\n` seam in original order. Output (doc_id,
+    * clean_text, n_paras, n_removed); a doc whose every paragraph is
+    * banned survives as ''.
+    *
+    * Scale shape mirrors the line family: md5 paragraph keys (the
+    * exchange moves 16-byte hashes + the kept text once), one
+    * distinct-doc groupBy for the ban set, one anti-join + per-doc
+    * rebuild — no window over the corpus, no driver collect.
+    */
+  def removeFrequentParagraphs(df: DataFrame, idCol: String, textCol: String,
+                               minDocFreq: Int = 2): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(graft.ops.TextAnalysis.paragraphsCol(col(textCol)))
+          .cast("bigint").as("n_paras"))
+    val paras = graft.ops.TextAnalysis
+      .segmentParagraphs(df, idCol, textCol)
+      .withColumn("ph", md5(col("para")))
+    val banned = paras.select(col("ph"), col("doc_id")).distinct()
+      .groupBy(col("ph")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("ph"))
+    val agg = paras.join(banned, Seq("ph"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("\n\n",
+        expr("transform(array_sort(collect_list(struct(para_idx, para))), " +
+          "x -> x.para)")).as("clean_text"),
+        count(lit(1)).as("_kept"))
+    base.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_paras"),
+        (col("n_paras") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** (base, lines) of the line family: base keeps the un-exploded doc
     * with row-local n_lines (the denominator never costs an explode
     * branch), lines is (doc_id, pos 1-based, line, lh md5).

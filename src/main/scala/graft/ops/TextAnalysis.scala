@@ -1215,18 +1215,25 @@ object TextAnalysis {
     * projection + generator (split/transform/filter/posexplode — all
     * codegen-capable generators, no UDF, no shuffle).
     */
-  def segmentParagraphs(df: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
-    val paras = filter(
-      transform(split(col(textCol), "\\n{2,}"),
+  /** The paragraph ARRAY of a text column — [[segmentParagraphs]]'s
+    * unit rule as a reusable Column (blank-line split, edge-trim, drop
+    * empties), shared with [[graft.ops.Dedup.removeFrequentParagraphs]]
+    * so the explode side and the row-local count can never disagree.
+    */
+  def paragraphsCol(text: Column): Column =
+    filter(
+      transform(split(text, "\\n{2,}"),
         x => regexp_replace(regexp_replace(x,
           "^[ \\t\\n\\r]+", ""), "[ \\t\\n\\r]+$", "")),
       x => length(x) > 0)
+
+  def segmentParagraphs(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
     df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+      .select(col(idCol).as("doc_id"),
+        posexplode(paragraphsCol(col(textCol))).as(Seq("para_idx", "para")))
       .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
         col("para"), length(col("para")).cast("long").as("n_chars"))
-  }
 
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     def fracs(r: String, tag: String): Seq[Column] = Seq(

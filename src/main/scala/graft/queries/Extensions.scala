@@ -573,6 +573,23 @@ object Extensions {
       .orderBy(col("doc_id"), col("para_idx"))
   }
 
+  // q152 paragraph-granular boilerplate removal
+  // (Dedup.removeFrequentParagraphs): every doc gets two SHARED planted
+  // paragraphs (banned at any minDocFreq) around one doc-unique tail —
+  // the shared chrome dies everywhere, each doc's own content and tail
+  // survive with the canonical seam.
+  val q152_remove_paragraphs: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+    val multi = concat(col("text"),
+      lit("\n\nshared boilerplate alpha\n\nunique tail "),
+      col("doc_id").cast("string"),
+      lit("\n\nshared boilerplate beta"))
+    Dedup.removeFrequentParagraphs(
+        docs.select(col("doc_id"), multi.as("text")), "doc_id", "text",
+        minDocFreq = 3)
+      .orderBy(col("doc_id"))
+  }
+
   // q59 int8-quantized brute-force top-k: q25's retrieval over 4×-smaller
   // vectors (symmetric per-vector quantization, scale-free cosine on the
   // byte arrays — no dequantization in the rank). Deterministic
@@ -1815,5 +1832,6 @@ object Extensions {
     "q148_web_intake" -> q148_web_intake,
     "q149_gopher_report" -> q149_gopher_report,
     "q150_domain_blocklist" -> q150_domain_blocklist,
-    "q151_segment_paragraphs" -> q151_segment_paragraphs)
+    "q151_segment_paragraphs" -> q151_segment_paragraphs,
+    "q152_remove_paragraphs" -> q152_remove_paragraphs)
 }

@@ -158,6 +158,10 @@ object PipelineTasks {
           // threshold (w is gram width elsewhere, unused here)
           case (None, "lines") => Dedup.removeFrequentLines(df, id, text,
             cfg.int("min_doc_freq", 2))
+          // paragraph-granular (q152): blank-line units, same ban rule
+          case (None, "paragraphs") =>
+            Dedup.removeFrequentParagraphs(df, id, text,
+              cfg.int("min_doc_freq", 2))
           case (None, m) =>
             throw new IllegalArgumentException(s"unknown excise mode: $m")
         }

@@ -796,6 +796,31 @@ class OpsSpec extends SparkSpec {
     assert(diffE == 0)
   }
 
+  test("removeFrequentParagraphs: chrome dies everywhere, order kept, all-banned survives empty") {
+    import spark.implicits._
+    val chrome = "accept cookies to continue"
+    val docs = Seq(
+      (1L, s"own one\n\n$chrome\n\nown two"),
+      (2L, s"$chrome\n\nsecond doc body"),
+      (3L, chrome),                         // ONLY chrome -> ''
+      (4L, "untouched document"),
+      (5L, s"  $chrome \n\nwith edge ws")   // trims, then matches chrome
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeFrequentParagraphs(docs, "doc_id", "text",
+        minDocFreq = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "own one\n\nown two", 3L, 1L)), s"${out(1L)}")
+    assert(out(2L) == ((2L, "second doc body", 2L, 1L)))
+    assert(out(3L) == ((3L, "", 1L, 1L)), "all-banned doc survives empty")
+    assert(out(4L) == ((4L, "untouched document", 1L, 0L)))
+    assert(out(5L) == ((5L, "with edge ws", 2L, 1L)),
+      "edge whitespace trims before the frequency count: " + out(5L))
+    // below threshold nothing is banned
+    val none = Dedup.removeFrequentParagraphs(docs, "doc_id", "text",
+        minDocFreq = 6).where(col("n_removed") > 0).count()
+    assert(none == 0)
+  }
+
   test("gopherReport == gopherFilter rolled up per source") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

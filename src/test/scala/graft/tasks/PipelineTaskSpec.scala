@@ -76,6 +76,18 @@ class PipelineTaskSpec extends SparkSpec {
         s"$wd/lineidx")))
   }
 
+  test("excise task paragraphs mode == Dedup.removeFrequentParagraphs") {
+    val wd = tmpDir("graft_pipetask_")
+    runTask(wd,
+      s"""{"tasks": [{"type": "excise", "name": "p",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "excise": {"mode": "paragraphs", "min_doc_freq": 2},
+         |  "target": {"file": "paras", "truncate": true}}]}""".stripMargin)
+    assert(rows(outParquet(wd, "paras")) ==
+      rows(Dedup.removeFrequentParagraphs(docs, "doc_id", "text",
+        minDocFreq = 2)))
+  }
+
   test("chunk task == Packing.chunkDocs (q98 parity)") {
     val wd = tmpDir("graft_pipetask_")
     runTask(wd,
