@@ -1667,6 +1667,75 @@ object GopherKeep {
   }
 }
 
+/** `TextAnalysis.paragraphsCol`'s unit rule as ONE expression —
+  * blank-line split (`\n{2,}`), per-paragraph edge trim ([ \t\n\r]),
+  * empties dropped. The HOF spelling (split + transform + filter
+  * lambdas) is CodegenFallback in Spark: one such expression drops the
+  * ENTIRE enclosing projection stage out of whole-stage codegen — the
+  * same class of regression the [[TokenStats]]/[[GopherStats]] fusions
+  * closed. One scan, no regex, no intermediate arrays.
+  */
+case class Paragraphs(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_paragraphs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Paragraphs.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"${ev.value} = org.apache.spark.sql.graft.Paragraphs.compute($in);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Paragraphs =
+    copy(child = newChild)
+}
+
+object Paragraphs {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def isTrimWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  /** Shared by interpreted eval and codegen. Semantics mirror
+    * `split(text, "\n{2,}")` + trim + drop-empties exactly: only runs
+    * of TWO OR MORE consecutive newlines separate paragraphs (a single
+    * newline stays inside its paragraph).
+    */
+  def compute(input: UTF8String): ArrayData = {
+    val s = input.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def emit(a0: Int, b0: Int): Unit = {
+      var a = a0; var b = b0
+      while (a < b && isTrimWs(s.charAt(a))) a += 1
+      while (b > a && isTrimWs(s.charAt(b - 1))) b -= 1
+      if (b > a) out += UTF8String.fromString(s.substring(a, b))
+    }
+    var st = 0
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '\n' && i + 1 < n && s.charAt(i + 1) == '\n') {
+        emit(st, i)
+        i += 2
+        while (i < n && s.charAt(i) == '\n') i += 1
+        st = i
+      } else i += 1
+    }
+    emit(st, n)
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** The integer counts behind the published Gopher document-quality rules
   * (Rae et al. 2021, §A1.1) in ONE row-local pass: word count and length
   * sum, alphabetic-word and stop-word hits, non-blank/bullet/ellipsis
@@ -2415,6 +2484,9 @@ object VectorBridge {
 
   def registeredDomain(host: Column): Column =
     ExpressionUtils.column(RegisteredDomain(ExpressionUtils.expression(host)))
+
+  def paragraphs(text: Column): Column =
+    ExpressionUtils.column(Paragraphs(ExpressionUtils.expression(text)))
 
   def gopherKeep(text: Column, minWords: Long, maxWords: Long,
                  minMeanWordLen: Double, maxMeanWordLen: Double,

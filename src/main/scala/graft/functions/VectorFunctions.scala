@@ -101,6 +101,14 @@ object VectorFunctions {
       maxWords, minMeanWordLen, maxMeanWordLen, maxSymbolWordRatio,
       maxBulletLineFrac, maxEllipsisLineFrac, minAlphaWordFrac, minStopHits)
 
+  /** Paragraph units in one codegen'd call (blank-line split, trimmed,
+    * empties dropped; the split/transform/filter HOF spelling is
+    * CodegenFallback and drops its stage out of codegen) — backs
+    * TextAnalysis.paragraphsCol (q151/q152).
+    */
+  def paragraphs(text: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.paragraphs(text)
+
   /** Longest-suffix registered-domain cut in one codegen'd call (the
     * Web.publicSuffixes walk; the chained-when fold spelling blows the
     * 64 KB stage limit when a stage evaluates it twice) — backs

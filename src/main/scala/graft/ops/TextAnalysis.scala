@@ -1219,8 +1219,19 @@ object TextAnalysis {
     * unit rule as a reusable Column (blank-line split, edge-trim, drop
     * empties), shared with [[graft.ops.Dedup.removeFrequentParagraphs]]
     * so the explode side and the row-local count can never disagree.
+    * ONE codegen'd expression: the [[paragraphsColComposed]] HOF
+    * spelling is CodegenFallback (transform/filter lambdas), which
+    * drops the whole enclosing stage out of codegen; spec-pinned
+    * equivalent.
     */
   def paragraphsCol(text: Column): Column =
+    graft.functions.VectorFunctions.paragraphs(text)
+
+  /** The built-in-operator spelling of [[paragraphsCol]] — the
+    * equivalence oracle for the fused expression, and the exact shape
+    * the DuckDB twin's list pipeline runs.
+    */
+  def paragraphsColComposed(text: Column): Column =
     filter(
       transform(split(text, "\\n{2,}"),
         x => regexp_replace(regexp_replace(x,

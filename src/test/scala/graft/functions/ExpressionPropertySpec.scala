@@ -380,6 +380,27 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(diff2 == 0)
   }
 
+  test("Paragraphs expression == split/transform/filter HOF, row for row") {
+    import graft.ops.TextAnalysis
+    // fixture docs with planted seams + hand edges
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(concat(col("text"),
+        lit("\n\n  a b \nc\n\n\n \t\n\nd\n"), col("text")).as("t"))
+    val diff = docs.select(
+        TextAnalysis.paragraphsCol(col("t")).as("e"),
+        TextAnalysis.paragraphsColComposed(col("t")).as("c"))
+      .where(not(col("e") <=> col("c"))).count()
+    assert(diff == 0)
+    val edges = Seq("", "\n\n", "  \n\n \t ", "single", "a\nb", "\n\na\n\n",
+      null.asInstanceOf[String]).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val diffE = edges.select(
+        TextAnalysis.paragraphsCol(col("t")).as("e"),
+        TextAnalysis.paragraphsColComposed(col("t")).as("c"))
+      .where(not(col("e") <=> col("c"))).count()
+    assert(diffE == 0)
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     // Every Project line in the executed plan must carry the `*(n)` codegen
     // marker: a bare `Project` means some expression fell back to
@@ -403,6 +424,7 @@ class ExpressionPropertySpec extends SparkSpec {
           lit("</p>"))).as("ht"),
         VectorFunctions.registeredDomain(concat(substring(col("text"), 1, 3),
           lit(".example.co.uk"))).as("rd"),
+        VectorFunctions.paragraphs(concat(col("text"), lit("\n\np2"))).as("pg"),
         VectorFunctions.tokenProfile(col("text"),
           Seq(Seq("tok", "b"), Seq("c"))).as("tp"),
         VectorFunctions.dot(col("v"), col("v")).as("d"),
