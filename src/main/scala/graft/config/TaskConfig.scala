@@ -50,6 +50,27 @@ object TaskConfig {
     def bool(key: String, default: Boolean = false): Boolean =
       boolOpt(key).getOrElse(default)
 
+    /** Boolean knob accepting both spellings — the JSON boolean
+      * (`"leak_screen": true`, the convention of `truncate`/`disabled`)
+      * and the string form (`"leak_screen": "true"`). Any other value
+      * is an error, never a silent false.
+      */
+    def flagOpt(key: String): Option[Boolean] = j \ key match {
+      case JBool(b)   => Some(b)
+      case JString(s) => s.trim.toLowerCase match {
+        case "true"  => Some(true)
+        case "false" => Some(false)
+        case other   => throw new IllegalArgumentException(
+          s"config key $key: expected a boolean, got: $other")
+      }
+      case JNothing   => None
+      case other      => throw new IllegalArgumentException(
+        s"config key $key: expected a boolean, got: $other")
+    }
+
+    def flag(key: String, default: Boolean = false): Boolean =
+      flagOpt(key).getOrElse(default)
+
     /** Reference tolerates int-or-string numerics (`times: "5"`,
       * processor.py:190-196 intent).
       */

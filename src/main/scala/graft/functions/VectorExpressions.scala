@@ -1622,12 +1622,21 @@ case class GopherKeep(child: Expression,
       minMeanWordLen, maxMeanWordLen, maxSymbolWordRatio, maxBulletLineFrac,
       maxEllipsisLineFrac, minAlphaWordFrac, minStopHits)
 
+  // Non-finite thresholds (Infinity to disable a max rule, NaN) would
+  // render as bare 'Infinity'/'NaN' — not valid Java — and silently drop
+  // the stage to interpreted eval. Emit the Double constants instead.
+  private def dlit(d: Double): String =
+    if (d.isNaN) "Double.NaN"
+    else if (d == Double.PositiveInfinity) "Double.POSITIVE_INFINITY"
+    else if (d == Double.NegativeInfinity) "Double.NEGATIVE_INFINITY"
+    else s"${d}D"
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, in => {
       s"""${ev.value} = org.apache.spark.sql.graft.GopherKeep.compute($in,
-         |  ${minWords}L, ${maxWords}L, $minMeanWordLen, $maxMeanWordLen,
-         |  $maxSymbolWordRatio, $maxBulletLineFrac, $maxEllipsisLineFrac,
-         |  $minAlphaWordFrac, ${minStopHits}L);""".stripMargin
+         |  ${minWords}L, ${maxWords}L, ${dlit(minMeanWordLen)}, ${dlit(maxMeanWordLen)},
+         |  ${dlit(maxSymbolWordRatio)}, ${dlit(maxBulletLineFrac)}, ${dlit(maxEllipsisLineFrac)},
+         |  ${dlit(minAlphaWordFrac)}, ${minStopHits}L);""".stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): GopherKeep =

@@ -385,8 +385,8 @@ object Sampling {
   def leakFreeSplit(df: DataFrame, idCol: String, textCol: String,
                     groupCol: String,
                     trainFrac: Double = 0.8, valFrac: Double = 0.1,
-                    w: Int = 3, maxDf: Int = 1000,
-                    minHits: Int = 1): DataFrame = {
+                    w: Int = 4, maxDf: Int = 1000,
+                    minHits: Int = 2): DataFrame = {
     val s = splitByGroup(df, groupCol, trainFrac, valFrac)
     val leaks = Dedup.decontaminate(
         s.where(col("split") === "train").select(col(idCol), col(textCol)),

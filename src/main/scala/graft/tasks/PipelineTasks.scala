@@ -235,16 +235,16 @@ object PipelineTasks {
         val cfg = task("split")
         val tf = cfg.str("train_frac", "0.8").toDouble
         val vf = cfg.str("val_frac", "0.1").toDouble
-        val labeled = (cfg.strOpt("group"), cfg.str("leak_screen", "false")) match {
+        val labeled = (cfg.strOpt("group"), cfg.flag("leak_screen")) match {
           // group split + built-in contamination screen (q147): train
           // docs sharing shingles with the held-out side -> 'dropped'
-          case (Some(g), "true") => Sampling.leakFreeSplit(df,
+          case (Some(g), true) => Sampling.leakFreeSplit(df,
             cfg.str("id", "doc_id"), cfg.str("text", "text"), g, tf, vf,
             w = cfg.str("w", "4").toInt,
             maxDf = cfg.str("max_df", "1000").toInt,
             minHits = cfg.str("min_hits", "2").toInt)
-          case (Some(g), _) => Sampling.splitByGroup(df, g, tf, vf)
-          case (None, "true") => throw new IllegalArgumentException(
+          case (Some(g), false) => Sampling.splitByGroup(df, g, tf, vf)
+          case (None, true) => throw new IllegalArgumentException(
             "split.leak_screen requires split.group (the screen relabels " +
               "train rows against the held-out side of a GROUP split)")
           case (None, _) =>
@@ -295,7 +295,7 @@ object PipelineTasks {
         val cfg = task("gopher")
         val text = cfg.str("text", "text")
         val out =
-          if (cfg.str("keep_only", "false") == "true")
+          if (cfg.flag("keep_only"))
             df.where(TextAnalysis.gopherKeep(col(text), gopherTh(cfg)))
           else
             TextAnalysis.gopherFilter(df, cfg.str("id", "doc_id"), text,
@@ -315,7 +315,7 @@ object PipelineTasks {
         sink(ctx, task)(graft.ops.Web.intake(df,
           cfg.str("id", "doc_id"), cfg.str("html", "html"),
           gopherTh(cfg),
-          lowercase = cfg.str("lowercase", "false") == "true"), lg, meter)
+          lowercase = cfg.flag("lowercase")), lg, meter)
       }
   }
 

@@ -796,6 +796,33 @@ class OpsSpec extends SparkSpec {
     assert(diffE == 0)
   }
 
+  test("GopherKeep codegen compiles with non-finite thresholds (no interpreted fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GeneratePredicate
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    // Infinity disables a max rule; a bare 'Infinity' literal in the
+    // generated Java would throw a janino CompileException right here
+    // (GeneratePredicate compiles directly, no interpreted fallback).
+    val e = org.apache.spark.sql.graft.GopherKeep(
+      BoundReference(0, StringType, nullable = true),
+      minWords = 0L, maxWords = Long.MaxValue,
+      minMeanWordLen = 0.0, maxMeanWordLen = Double.PositiveInfinity,
+      maxSymbolWordRatio = Double.PositiveInfinity,
+      maxBulletLineFrac = Double.PositiveInfinity,
+      maxEllipsisLineFrac = Double.PositiveInfinity,
+      minAlphaWordFrac = 0.0, minStopHits = 0L)
+    val pred = GeneratePredicate.generate(e)
+    pred.initialize(0)
+    val keep = pred.eval(InternalRow(
+      UTF8String.fromString("the of and to a plain sentence with words")))
+    assert(keep, "all-disabled thresholds must keep a plain sentence")
+    // NaN renders safely too (Double.NaN, never bare 'NaN')
+    val nanE = e.copy(maxMeanWordLen = Double.NaN)
+    GeneratePredicate.generate(nanE).initialize(0)
+  }
+
   test("removeFrequentParagraphs: chrome dies everywhere, order kept, all-banned survives empty") {
     import spark.implicits._
     val chrome = "accept cookies to continue"

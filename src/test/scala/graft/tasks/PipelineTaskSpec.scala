@@ -278,7 +278,7 @@ class PipelineTaskSpec extends SparkSpec {
          |   "target": {"file": "audit", "truncate": true}},
          |  {"type": "gopher", "name": "g2",
          |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
-         |   "gopher": {"min_words": 10, "min_stop_hits": 0, "keep_only": "true"},
+         |   "gopher": {"min_words": 10, "min_stop_hits": 0, "keep_only": true},
          |   "target": {"file": "kept", "truncate": true}},
          |  {"type": "intake", "name": "i",
          |   "source": {"folder": "$wd", "file": "pages"},
@@ -286,7 +286,7 @@ class PipelineTaskSpec extends SparkSpec {
          |   "target": {"file": "intake", "truncate": true}},
          |  {"type": "split", "name": "s",
          |   "source": {"folder": "$sfDir", "file": "documents.parquet"},
-         |   "split": {"group": "source", "leak_screen": "true", "w": 4,
+         |   "split": {"group": "source", "leak_screen": true, "w": 4,
          |             "min_hits": 2},
          |   "target": {"file": "leaksplit", "truncate": true}}
          |]}""".stripMargin)
@@ -300,13 +300,16 @@ class PipelineTaskSpec extends SparkSpec {
     assert(rows(outParquet(wd, "leaksplit")) ==
       rows(Sampling.leakFreeSplit(docs, "doc_id", "text", "source",
         w = 4, minHits = 2)))
-    // leak_screen without a group is a config error
-    intercept[Exception] {
-      runTask(wd,
-        s"""{"tasks": [{"type": "split", "name": "bad",
-           |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
-           |  "split": {"leak_screen": "true"},
-           |  "target": {"file": "nope", "truncate": true}}]}""".stripMargin)
+    // leak_screen without a group is a config error — both the string
+    // spelling and the JSON-boolean spelling must fire the guard
+    for (form <- Seq("\"true\"", "true")) {
+      intercept[Exception] {
+        runTask(wd,
+          s"""{"tasks": [{"type": "split", "name": "bad",
+             |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+             |  "split": {"leak_screen": $form},
+             |  "target": {"file": "nope", "truncate": true}}]}""".stripMargin)
+      }
     }
   }
 
