@@ -3247,7 +3247,8 @@ object SparkEntry {
   }
 
   /** q145 oracle: the SAME planted page as the declared query, pushed
-    * through REGEXP_REPLACE nesting GENERATED from `Web.htmlRules` —
+    * through REGEXP_REPLACE nesting + the generated entity decode, all
+    * GENERATED from the Web.html* rule constants —
     * both engines run the same pattern text by construction. Every
     * rule needs the 'g' flag (DuckDB replaces first-match by default);
     * the `\n` replacement is `chr(10)` (DuckDB standard strings do not
@@ -3264,7 +3265,9 @@ object SparkEntry {
       """'<body><!-- hidden <p>comment</p> --><h1 class="t">Title '""",
       "CAST(doc_id AS VARCHAR)",
       "'</h1>' || chr(10) || '<p>' || text",
-      "' &amp;amp; caf&#39;e &quot;q&quot;&nbsp;x &lt;b&gt;kept&gt;</p>'",
+      "' &amp;amp; caf&#39;e &quot;q&quot;&nbsp;x &lt;b&gt;kept&gt;" +
+        " caf&eacute; r&#8217;s h&#x2019; A&mdash;B e&hellip;" +
+        " &bogus; &#1114112; &#xD800; 5&#60;6 &#x; &&amp;</p>'",
       "'<ul><li> alpha</li><li>beta </li></ul>'",
       "'<table><tr><td>c1</td><td>c2</td></tr></table>'",
       "'<p>tail <b>bold</b>, <I>ital</I> &amp; done</p></body></html>'")
@@ -3274,18 +3277,48 @@ object SparkEntry {
   }
 
   /** `Web.htmlToText` as a SQL expression over `$inner` — the nested
-    * REGEXP_REPLACE fold generated from `Web.htmlRules` (shared by the
-    * q145 and q148 oracles).
+    * REGEXP_REPLACE folds generated from `Web.htmlStripRules` /
+    * `htmlWhitespaceRules` around the generated entity decode (shared
+    * by the q145 and q148 oracles).
     */
   private def htmlFoldSql(inner: String): String = {
-    val folded = graft.ops.Web.htmlRules.foldLeft(inner) {
-      case (acc, (p, r)) =>
+    def fold(rules: Seq[(String, String)], in: String): String =
+      rules.foldLeft(in) { case (acc, (p, r)) =>
         val pat = p.replace("'", "''")
         val rep =
           if (r == "\n") "chr(10)" else "'" + r.replace("'", "''") + "'"
         s"REGEXP_REPLACE($acc,\n  '$pat', $rep, 'g')"
-    }
-    s"TRIM($folded)"
+      }
+    s"TRIM(${fold(graft.ops.Web.htmlWhitespaceRules,
+      htmlEntityDecodeSql(fold(graft.ops.Web.htmlStripRules, inner)))})"
+  }
+
+  /** `Web.decodeHtmlEntities` as a SQL expression over `$inner`:
+    * tokenize with the shared `htmlEntityTokenPattern` (RE2 and
+    * java.util.regex agree on it by construction), decode each token
+    * with a CASE generated from the same bounds and
+    * `Web.htmlNamedEntities` table the scanner reads, rejoin. DuckDB's
+    * chr() takes a full Unicode codepoint and CAST('0x…') parses hex;
+    * COALESCE covers string_agg's NULL on a zero-token (empty) input.
+    * Generated on ONE line: the templates composing this fragment
+    * stripMargin the final SQL, and the token pattern contains `|`.
+    */
+  private def htmlEntityDecodeSql(inner: String): String = {
+    val pat = graft.ops.Web.htmlEntityTokenPattern
+    def render(cp: String): String =
+      s"CASE WHEN $cp = 160 THEN ' ' WHEN $cp BETWEEN 1 AND 1114111 " +
+        s"AND NOT ($cp BETWEEN 55296 AND 57343) THEN chr($cp) ELSE x END"
+    val dec = "CAST(substr(x, 3, length(x) - 3) AS INTEGER)"
+    val hex = "CAST('0x' || substr(x, 4, length(x) - 4) AS INTEGER)"
+    val named = graft.ops.Web.htmlNamedEntities.map { case (nm, cp) =>
+      val rep = if (cp == 160) "' '" else s"chr($cp)"
+      s"WHEN x = '&$nm;' THEN $rep"
+    }.mkString(" ")
+    s"COALESCE(list_aggregate(list_transform(regexp_extract_all($inner, " +
+      s"'$pat', 0), x -> " +
+      s"CASE WHEN regexp_matches(x, '^&#[0-9]{1,7};$$') THEN ${render(dec)} " +
+      s"WHEN regexp_matches(x, '^&#[xX][0-9a-fA-F]{1,6};$$') THEN ${render(hex)} " +
+      s"$named ELSE x END), 'string_agg', ''), '')"
   }
 
   /** `TextAnalysis.normalizeText` as a SQL expression over `$inner` —
@@ -3408,7 +3441,8 @@ object SparkEntry {
     val plant = Seq(
       "'<html><body><h1>Hdr</h1><p>'",
       s"(CASE WHEN doc_id % 11 = 0 THEN $fixed ELSE text END)",
-      "'</p><ul><li>alpha</li><li>beta</li></ul></body></html>'")
+      "'</p><ul><li>alpha&nbsp;caf&eacute;</li>" +
+        "<li>beta&#8212;&#x2014;end</li></ul></body></html>'")
       .mkString(" || ")
     val th = graft.queries.Extensions.webIntakeThresholds
     s"""WITH plain AS (

@@ -1447,18 +1447,20 @@ object NgramRepetition {
 }
 
 /** `Web.htmlToText`'s rule chain as ONE expression. The Column spelling
-  * (17 chained `regexp_replace`s) is semantically identical — and the
-  * equivalence is spec-pinned — but its codegen inlines every rule into
-  * the enclosing stage's method: composed into a real intake projection
-  * (html fold + NFC + normalize + [[GopherStats]] + md5, the q148
-  * chain) the stage crosses janino's 64 KB method limit and the WHOLE
-  * stage falls back to interpreted eval. One static call keeps the
-  * stage resident; the patterns compile once per JVM instead of living
-  * in generated code. Patterns/replacements are read from
-  * `graft.ops.Web.htmlRules` — the same single source the DuckDB oracle
-  * generator folds — and applied with the same java.util.regex
-  * replaceAll the built-in `RegExpReplace` uses, then a Spark-`trim`
-  * (space-only) of the result.
+  * (chained `regexp_replace`s + the tokenize-and-transform entity
+  * decode) is semantically identical — and the equivalence is
+  * spec-pinned — but its codegen inlines every rule into the enclosing
+  * stage's method: composed into a real intake projection (html fold +
+  * NFC + normalize + [[GopherStats]] + md5, the q148 chain) the stage
+  * crosses janino's 64 KB method limit and the WHOLE stage falls back
+  * to interpreted eval. One static call keeps the stage resident; the
+  * patterns compile once per JVM instead of living in generated code.
+  * Patterns/replacements are read from `graft.ops.Web.htmlStripRules` /
+  * `htmlWhitespaceRules` and the entity decode is the single-pass
+  * `Web.decodeHtmlEntities` scanner — the same single sources the
+  * DuckDB oracle generator folds — applied with the same
+  * java.util.regex replaceAll the built-in `RegExpReplace` uses, then
+  * a Spark-`trim` (space-only) of the result.
   */
 case class HtmlToText(child: Expression)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -1486,17 +1488,29 @@ case class HtmlToText(child: Expression)
 object HtmlToText {
   import org.apache.spark.unsafe.types.UTF8String
 
-  private lazy val compiled: Array[(java.util.regex.Pattern, String)] =
-    graft.ops.Web.htmlRules.map { case (p, r) =>
+  private def compile(rules: Seq[(String, String)]) =
+    rules.map { case (p, r) =>
       (java.util.regex.Pattern.compile(p), r)
     }.toArray
 
-  /** Shared by interpreted eval and codegen. */
+  private lazy val strip = compile(graft.ops.Web.htmlStripRules)
+  private lazy val whitespace = compile(graft.ops.Web.htmlWhitespaceRules)
+
+  /** Shared by interpreted eval and codegen: strip rules → single-pass
+    * entity decode ([[graft.ops.Web.decodeHtmlEntities]]) → whitespace
+    * rules → space-only trim.
+    */
   def compute(input: UTF8String): UTF8String = {
     var s = input.toString
     var i = 0
-    while (i < compiled.length) {
-      s = compiled(i)._1.matcher(s).replaceAll(compiled(i)._2)
+    while (i < strip.length) {
+      s = strip(i)._1.matcher(s).replaceAll(strip(i)._2)
+      i += 1
+    }
+    s = graft.ops.Web.decodeHtmlEntities(s)
+    i = 0
+    while (i < whitespace.length) {
+      s = whitespace(i)._1.matcher(s).replaceAll(whitespace(i)._2)
       i += 1
     }
     // Spark's trim strips SPACES only (not the \n the rules produce)

@@ -80,7 +80,7 @@ object VectorFunctions {
   def gopherStats(text: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.gopherStats(text)
 
-  /** HTML -> rendered text in one codegen'd call (the Web.htmlRules
+  /** HTML -> rendered text in one codegen'd call (the Web.html* rule
     * chain; the fold spelling blows the 64 KB stage method limit when
     * composed into intake projections) — backs Web.htmlToText (q145).
     */

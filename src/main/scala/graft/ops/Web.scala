@@ -175,7 +175,8 @@ object Web {
   //      its surroundings: `a<b>b</b>` renders "ab");
   //   4. entities decode AFTER tag stripping (decoding first would
   //      fabricate tags: `&lt;b&gt;` must survive as literal "<b>"),
-  //      with `&amp;` decoded LAST so `&amp;lt;` yields "&lt;", not "<";
+  //      in ONE non-rescanning pass so `&amp;lt;` yields "&lt;", not
+  //      "<" (general decode: numeric, hex, named — see stage 2 below);
   //   5. whitespace canonicalization: horizontal runs to one space,
   //      trimmed line edges, newline runs to one newline.
 
@@ -188,10 +189,172 @@ object Web {
     ("(?i)</?(?:td|th)\\b[^>]*>", " "),
     ("<[^>]*>", ""))
 
-  /** Stage-2 entity decodes (literal patterns; `&amp;` MUST stay last). */
-  val htmlEntityRules: Seq[(String, String)] = Seq(
-    ("&nbsp;", " "), ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
-    ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&"))
+  /** Stage-2: general HTML entity decoding — a SINGLE left-to-right
+    * pass that replaces each entity token exactly once and never
+    * rescans its own output (the HTML5 non-recursive semantics). That
+    * single-pass shape is what the old amp-last rule ordering encoded:
+    * `&amp;lt;` yields "&lt;", never "<", because the `lt;` after the
+    * decoded `&` is plain output text, not a new token. Three token
+    * forms: decimal `&#NNN;` (1–7 digits), hex `&#xHH;` (1–6 digits,
+    * either `x` case), and the named set below. Anything else — unknown
+    * names, out-of-range or surrogate codepoints, unterminated
+    * entities, a bare `&` — survives literally. Codepoint 160
+    * (`&nbsp;`/`&#160;`/`&#xa0;`) renders as a PLAIN space, the
+    * rendered-text convention stage 3 expects (a real U+00A0 would
+    * dodge the whitespace collapse and poison shingles/tokenizers with
+    * an invisible distinct character).
+    */
+
+  /** The named entities stage 2 decodes (name → Unicode codepoint):
+    * the XML five + the HTML4 Latin-1 accents + the common punctuation
+    * names dense in real crawl text. Case-sensitive, as written in the
+    * standard list. Single source for the scanner, the composed Column
+    * spelling, and the generated DuckDB oracle CASE.
+    */
+  val htmlNamedEntities: Seq[(String, Int)] = Seq(
+    "amp" -> 38, "lt" -> 60, "gt" -> 62, "quot" -> 34, "apos" -> 39,
+    "nbsp" -> 160, "shy" -> 173,
+    "mdash" -> 8212, "ndash" -> 8211,
+    "lsquo" -> 8216, "rsquo" -> 8217, "sbquo" -> 8218,
+    "ldquo" -> 8220, "rdquo" -> 8221, "bdquo" -> 8222,
+    "hellip" -> 8230, "bull" -> 8226, "middot" -> 183,
+    "prime" -> 8242, "Prime" -> 8243,
+    "dagger" -> 8224, "Dagger" -> 8225, "permil" -> 8240,
+    "laquo" -> 171, "raquo" -> 187,
+    "copy" -> 169, "reg" -> 174, "trade" -> 8482,
+    "deg" -> 176, "plusmn" -> 177, "times" -> 215, "divide" -> 247,
+    "frac14" -> 188, "frac12" -> 189, "frac34" -> 190,
+    "sup1" -> 185, "sup2" -> 178, "sup3" -> 179,
+    "micro" -> 181, "para" -> 182, "sect" -> 167,
+    "cent" -> 162, "pound" -> 163, "curren" -> 164, "yen" -> 165,
+    "euro" -> 8364, "iexcl" -> 161, "iquest" -> 191,
+    "ensp" -> 8194, "emsp" -> 8195, "thinsp" -> 8201,
+    "zwnj" -> 8204, "zwj" -> 8205, "lrm" -> 8206, "rlm" -> 8207,
+    "agrave" -> 224, "aacute" -> 225, "acirc" -> 226, "atilde" -> 227,
+    "auml" -> 228, "aring" -> 229, "aelig" -> 230, "ccedil" -> 231,
+    "egrave" -> 232, "eacute" -> 233, "ecirc" -> 234, "euml" -> 235,
+    "igrave" -> 236, "iacute" -> 237, "icirc" -> 238, "iuml" -> 239,
+    "ntilde" -> 241, "ograve" -> 242, "oacute" -> 243, "ocirc" -> 244,
+    "otilde" -> 245, "ouml" -> 246, "oslash" -> 248,
+    "ugrave" -> 249, "uacute" -> 250, "ucirc" -> 251, "uuml" -> 252,
+    "yacute" -> 253, "szlig" -> 223)
+
+  /** The stage-2 tokenizer — the same language in java.util.regex
+    * (Spark composed spelling) and RE2 (DuckDB oracle): alternation is
+    * leftmost-first in both, no lookaround, no backreferences.
+    * Concatenating the matches reconstructs the input exactly: every
+    * position is covered by an entity form, a run of non-`&` text, or
+    * a bare `&`. The bounded repeats ({1,7} decimal / {1,6} hex /
+    * {1,31} name tail) keep decode inputs in integer range; a longer
+    * run simply fails the `;` and survives literally.
+    */
+  val htmlEntityTokenPattern: String =
+    "&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};|&[a-zA-Z][a-zA-Z0-9]{1,31};|[^&]+|&"
+
+  /** Rendered form of a decoded codepoint; null = not decodable (zero,
+    * beyond U+10FFFF, or a surrogate), keep the token literal.
+    */
+  def decodedCodepoint(cp: Int): String =
+    if (cp == 160) " "
+    else if (cp >= 1 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+      new String(Character.toChars(cp))
+    else null
+
+  private val namedEntityMap: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    htmlNamedEntities.foreach { case (nm, cp) => m.put(nm, decodedCodepoint(cp)) }
+    m
+  }
+
+  /** The single-pass scanner — the hot path shared by the fused
+    * [[graft.functions.VectorFunctions.htmlToText]] expression's
+    * interpreted and codegen modes. Hand-rolled (no regex) but
+    * token-for-token equivalent to tokenizing with
+    * [[htmlEntityTokenPattern]] and mapping each token (the composed
+    * spelling below; equivalence spec-pinned): the greedy digit/name
+    * scan plus an immediate `;` check accepts exactly the regex's
+    * matches, because a shorter repeat can never end at `;`.
+    */
+  def decodeHtmlEntities(s: String): String = {
+    var amp = s.indexOf('&')
+    if (amp < 0) return s
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (amp >= 0) {
+      sb.append(s, i, amp)
+      i = amp
+      var consumed = 1      // bare '&' unless a full token parses
+      var decoded: String = null
+      val j = i + 1
+      if (j < n && s.charAt(j) == '#') {
+        var k = j + 1
+        var hex = false
+        if (k < n && (s.charAt(k) == 'x' || s.charAt(k) == 'X')) {
+          hex = true; k += 1
+        }
+        val d0 = k
+        val maxD = if (hex) 6 else 7
+        while (k < n && k - d0 < maxD &&
+            (if (hex) isHexDigit(s.charAt(k)) else isDecDigit(s.charAt(k))))
+          k += 1
+        if (k > d0 && k < n && s.charAt(k) == ';') {
+          consumed = k + 1 - i
+          decoded = decodedCodepoint(
+            java.lang.Integer.parseInt(s.substring(d0, k), if (hex) 16 else 10))
+        }
+      } else if (j < n && isAsciiAlpha(s.charAt(j))) {
+        var k = j + 1
+        while (k < n && k - (j + 1) < 31 && isAsciiAlnum(s.charAt(k))) k += 1
+        if (k > j + 1 && k < n && s.charAt(k) == ';') {
+          consumed = k + 1 - i
+          decoded = namedEntityMap.get(s.substring(j, k))
+        }
+      }
+      if (decoded != null) sb.append(decoded)
+      else sb.append(s, i, i + consumed)
+      i += consumed
+      amp = s.indexOf('&', i)
+    }
+    sb.append(s, i, n)
+    sb.toString
+  }
+
+  private def isDecDigit(c: Char): Boolean = c >= '0' && c <= '9'
+  private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+  private def isAsciiAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def isAsciiAlnum(c: Char): Boolean =
+    isAsciiAlpha(c) || isDecDigit(c)
+
+  /** Stage 2 in built-in operators — tokenize with the shared pattern,
+    * decode each token with a generated CASE, rejoin. format_string
+    * rides java.util.Formatter's `%c`, which renders an int CODEPOINT
+    * (surrogate pairs included); the when-guards keep it off invalid
+    * values. The in-engine equivalence oracle for the scanner (and the
+    * exact shape the DuckDB twin runs, via list_transform/chr).
+    */
+  def decodeHtmlEntitiesComposed(c: Column): Column = {
+    def render(tok: Column, cp: Column): Column =
+      when(cp === 160, lit(" "))
+        .when(cp.between(1, 0x10FFFF) && !cp.between(0xD800, 0xDFFF),
+          format_string("%c", cp))
+        .otherwise(tok)
+    val decodedTok = (x: Column) => {
+      val dec = x.substr(lit(3), length(x) - 3).cast("int")
+      val hexv = conv(x.substr(lit(4), length(x) - 4), 16, 10).cast("int")
+      val numeric = when(x.rlike("^&#[0-9]{1,7};$"), render(x, dec))
+        .when(x.rlike("^&#[xX][0-9a-fA-F]{1,6};$"), render(x, hexv))
+      htmlNamedEntities.foldLeft(numeric) { case (acc, (nm, cp)) =>
+        acc.when(x === s"&$nm;", lit(decodedCodepoint(cp)))
+      }.otherwise(x)
+    }
+    array_join(
+      transform(regexp_extract_all(c, lit(htmlEntityTokenPattern), lit(0)),
+        decodedTok),
+      "")
+  }
 
   /** Stage-3 whitespace canonicalization (applied last, in order). */
   val htmlWhitespaceRules: Seq[(String, String)] = Seq(
@@ -201,19 +364,13 @@ object Web {
     // ^/$ anchor the WHOLE string in both engines (no multiline flag)
     ("^\\n|\\n$", ""))
 
-  /** All rules in application order — the single source both engines
-    * read (Spark applies it below; the oracle generator turns it into
-    * nested REGEXP_REPLACE with the 'g' flag).
-    */
-  val htmlRules: Seq[(String, String)] =
-    htmlStripRules ++ htmlEntityRules ++ htmlWhitespaceRules
-
-  /** Rendered text of an HTML column: the [[htmlRules]] chain + a final
-    * (space-only) trim, as ONE codegen'd expression — the
-    * [[htmlToTextComposed]] fold is byte-identical (spec-pinned) but
-    * inlines 17 regexp evaluations into the enclosing stage's generated
-    * method; composed into a real intake projection that crosses
-    * janino's 64 KB limit and drops the whole stage out of codegen.
+  /** Rendered text of an HTML column: strip rules → entity decode →
+    * whitespace rules + a final (space-only) trim, as ONE codegen'd
+    * expression — the [[htmlToTextComposed]] spelling is byte-identical
+    * (spec-pinned) but inlines every rule into the enclosing stage's
+    * generated method; composed into a real intake projection that
+    * crosses janino's 64 KB limit and drops the whole stage out of
+    * codegen.
     */
   def htmlToText(html: Column): Column =
     graft.functions.VectorFunctions.htmlToText(html)
@@ -222,10 +379,12 @@ object Web {
     * oracle for the fused expression (and the exact shape the DuckDB
     * twin runs).
     */
-  def htmlToTextComposed(html: Column): Column =
-    trim(htmlRules.foldLeft(html) { case (c, (p, r)) =>
-      regexp_replace(c, p, r)
-    })
+  def htmlToTextComposed(html: Column): Column = {
+    def fold(rules: Seq[(String, String)], in: Column): Column =
+      rules.foldLeft(in) { case (c, (p, r)) => regexp_replace(c, p, r) }
+    trim(fold(htmlWhitespaceRules,
+      decodeHtmlEntitiesComposed(fold(htmlStripRules, html))))
+  }
 
   /** The operator form: id + extracted text. */
   def extractHtml(df: DataFrame, idCol: String, htmlCol: String): DataFrame =

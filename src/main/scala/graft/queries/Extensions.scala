@@ -466,10 +466,12 @@ object Extensions {
   // script/style/comment subtrees (with bare `<` and a decoy `</p>`
   // inside the script), block tags → newlines, table cells → spaces,
   // inline tags → nothing, the entity ladder (`&amp;amp;` must come out
-  // `&amp;`, `&lt;b&gt;` must SURVIVE as literal "<b>"), whitespace
-  // canonicalization. The oracle SQL is GENERATED from the same
-  // Web.htmlRules list (SparkEntry.htmlToTextSql), so both engines run
-  // the same pattern text by construction.
+  // `&amp;`, `&lt;b&gt;` must SURVIVE as literal "<b>", numeric + hex +
+  // named decodes, invalid/unknown/overflow entities survive literally),
+  // whitespace canonicalization. The oracle SQL is GENERATED from the
+  // same Web.htmlStripRules/htmlWhitespaceRules/htmlNamedEntities
+  // constants (SparkEntry.htmlToTextSql), so both engines run the same
+  // pattern text by construction.
   val q145_html_to_text: Q = (s, d) => {
     val docs = t(s, d, "documents").where(col("text").isNotNull)
     val html = concat(
@@ -479,7 +481,9 @@ object Extensions {
       lit("<body><!-- hidden <p>comment</p> --><h1 class=\"t\">Title "),
       col("doc_id").cast("string"),
       lit("</h1>\n<p>"), col("text"),
-      lit(" &amp;amp; caf&#39;e &quot;q&quot;&nbsp;x &lt;b&gt;kept&gt;</p>"),
+      lit(" &amp;amp; caf&#39;e &quot;q&quot;&nbsp;x &lt;b&gt;kept&gt;" +
+        " caf&eacute; r&#8217;s h&#x2019; A&mdash;B e&hellip;" +
+        " &bogus; &#1114112; &#xD800; 5&#60;6 &#x; &&amp;</p>"),
       lit("<ul><li> alpha</li><li>beta </li></ul>"),
       lit("<table><tr><td>c1</td><td>c2</td></tr></table>"),
       lit("<p>tail <b>bold</b>, <I>ital</I> &amp; done</p></body></html>"))
@@ -539,7 +543,8 @@ object Extensions {
     val body = when(col("doc_id") % 11 === 0, lit(webIntakeFixedText))
       .otherwise(col("text"))
     val html = concat(lit("<html><body><h1>Hdr</h1><p>"), body,
-      lit("</p><ul><li>alpha</li><li>beta</li></ul></body></html>"))
+      lit("</p><ul><li>alpha&nbsp;caf&eacute;</li>" +
+        "<li>beta&#8212;&#x2014;end</li></ul></body></html>"))
     Web.intake(docs.select(col("doc_id"), html.as("html")),
         "doc_id", "html", webIntakeThresholds)
       .orderBy(col("doc_id"))

@@ -337,7 +337,9 @@ class ExpressionPropertySpec extends SparkSpec {
       lit("<html><head><script>if(x<2){s=\"</p>\"}</script><style>p{}" +
         "</style></head><body><!-- c <p>x</p> --><h1 id=\"t\">T</h1>\n<p>"),
       col("text"),
-      lit(" &amp;amp; caf&#39;e &lt;b&gt;&nbsp;x</p><ul><li> a</li>" +
+      lit(" &amp;amp; caf&#39;e &lt;b&gt;&nbsp;x caf&eacute; r&#8217;s" +
+        " h&#x2019; A&mdash;B &bogus; &#1114112; &#xD800; &#x; &&amp;" +
+        "</p><ul><li> a</li>" +
         "<li>b </li></ul><table><tr><td>c</td><td>d</td></tr></table>" +
         "<p>t <b>b</b>, <I>i</I> &amp; e</p></body></html>"))
     val diff = docs

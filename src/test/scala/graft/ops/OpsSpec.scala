@@ -688,6 +688,49 @@ class OpsSpec extends SparkSpec {
     assert(nul == null)
   }
 
+  test("decodeHtmlEntities: numeric/hex/named decode, single-pass, invalids literal") {
+    val d = Web.decodeHtmlEntities _
+    // the three token forms
+    assert(d("caf&eacute;") == "café")
+    assert(d("r&#8217;s") == "r’s")
+    assert(d("h&#x2019; H&#X2019;") == "h’ H’")
+    assert(d("&#x10FFFF;") == new String(Character.toChars(0x10FFFF)))
+    // single-pass: decoded output is never rescanned
+    assert(d("&amp;lt;") == "&lt;")
+    assert(d("&amp;#8217;") == "&#8217;")
+    // nbsp renders as PLAIN space in all three spellings
+    assert(d("a&nbsp;&#160;&#xa0;b") == "a   b")
+    // invalid / unknown / unterminated survive literally
+    for (lit <- Seq("&bogus;", "&#0;", "&#1114112;", "&#xD800;",
+        "&#12345678;", "&#xABCDEF1;", "&#x;", "&#;", "&eacute", "&a;",
+        "&" + "a" * 32 + ";", "&NBSP;", "& lt;", "&&", "&"))
+      assert(d(lit) == lit, s"must stay literal: $lit")
+    // case-sensitive names where both cases exist
+    assert(d("&prime;&Prime;") == "′″")
+    // boundary shapes
+    assert(d("") == "")
+    assert(d("no entities") == "no entities")
+    assert(d("&amp;") == "&")
+    assert(d("tail&") == "tail&")
+    assert(d("&#60;div&#62;") == "<div>")
+  }
+
+  test("decodeHtmlEntities scanner == tokenize-and-transform Column spelling") {
+    import spark.implicits._
+    val cases = Seq(
+      "caf&eacute; r&#8217;s h&#x2019; A&mdash;B e&hellip;",
+      "&amp;lt; &amp;#39; &&amp; &", "",
+      "&bogus; &#0; &#1114112; &#xD800; &#12345678; &#x; &a;",
+      "a&nbsp;&#160;&#xa0;b plain &#x10FFFF; end&",
+      "&" + "z" * 31 + "; &" + "z" * 32 + ";",
+      "&prime;&Prime; &NBSP; &#8217 &#x2019 x")
+    val diff = cases.toDF("s")
+      .select(col("s"), Web.decodeHtmlEntitiesComposed(col("s")).as("c"))
+      .as[(String, String)].collect()
+      .filter { case (s, c) => Web.decodeHtmlEntities(s) != c }
+    assert(diff.isEmpty, s"scanner != composed: ${diff.toSeq}")
+  }
+
   test("gopherFilter: per-rule verdicts and keep on shaped documents") {
     import spark.implicits._
     val good = "The fast brown fox ran over the low stone wall and " +
