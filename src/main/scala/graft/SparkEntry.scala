@@ -413,6 +413,7 @@ object SparkEntry {
     "q150_domain_blocklist" -> domainBlocklistSql,
     "q151_segment_paragraphs" -> segmentParagraphsSql,
     "q152_remove_paragraphs" -> removeParagraphsSql,
+    "q153_warc_responses" -> warcResponsesSql,
     // q144: the identical planted mess (combining acute/grave, tabs, a
     // C0 control byte, double spaces) and the identical normalization
     // order: NFC -> lower -> control strip -> whitespace collapse ->
@@ -3430,6 +3431,27 @@ object SparkEntry {
        |  t2.n_paras, t2.n_paras - COALESCE(a.kept_n, 0) AS n_removed
        |FROM tot t2 LEFT JOIN agg a USING (doc_id)
        |ORDER BY t2.doc_id""".stripMargin
+
+  /** q153 oracle: the expected page per document, rebuilt from the
+    * SAME constants the query's fixture writer reads
+    * (Extensions.warcMetaCp1252 / warcPlants) — the Spark side must
+    * parse + charset-decode its way back to exactly this string.
+    */
+  private def warcResponsesSql: String = {
+    val meta = graft.queries.Extensions.warcMetaCp1252.replace("'", "''")
+    val plants = graft.queries.Extensions.warcPlants
+      .map(p => "'" + p.replace("'", "''") + "'")
+    s"""SELECT doc_id,
+       |  'https://ex.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       |  CAST(200 AS INTEGER) AS http_status,
+       |  '<html><head>'
+       |    || CASE WHEN doc_id % 3 = 2 THEN '$meta' ELSE '' END
+       |    || '</head><body><p>' || text
+       |    || CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN ${plants(0)}
+       |         WHEN 1 THEN ${plants(1)} ELSE ${plants(2)} END
+       |    || '</p></body></html>' AS html
+       |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+  }
 
   /** q148 oracle: the intake chain composed from the stages' own
     * generated fragments — the q145 html fold over the plant, the q146

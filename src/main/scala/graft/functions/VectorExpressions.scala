@@ -1521,6 +1521,42 @@ object HtmlToText {
   }
 }
 
+/** Charset-sniffed transcode of a crawl payload — the rung between a
+  * WARC response block and the text pipeline. Pure per-row compute
+  * (BOM → Content-Type header → meta-tag prescan → UTF-8 fallback,
+  * replacement semantics; logic in [[graft.sources.Charsets]], the
+  * single source the WarcReaderSpec pins), exposed as a codegen'd
+  * expression so decode runs inside the scan projection's
+  * whole-stage-codegen span like the html fold it feeds. The wrapper
+  * coalesces a NULL content-type to '' — a response record with no
+  * HTTP Content-Type must still decode via the remaining rungs, not
+  * null out.
+  */
+case class DecodeCharset(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.{BinaryType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_decode_charset"
+
+  override protected def nullSafeEval(payload: Any, ct: Any): Any =
+    UTF8String.fromString(graft.sources.Charsets.decode(
+      payload.asInstanceOf[Array[Byte]],
+      ct.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, c) => {
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.sources.Charsets.decode($p, $c.toString()));""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DecodeCharset = copy(newLeft, newRight)
+}
+
 /** `Web.registeredDomain`'s longest-suffix cut as ONE expression. The
   * Column spelling folds ~60 `when(endsWith…, regexp_extract…)` branches
   * into a single chained CASE — correct, but the generated code is large
@@ -2504,6 +2540,11 @@ object VectorBridge {
 
   def htmlToText(html: Column): Column =
     ExpressionUtils.column(HtmlToText(ExpressionUtils.expression(html)))
+
+  def decodeCharset(payload: Column, contentType: Column): Column =
+    ExpressionUtils.column(DecodeCharset(
+      ExpressionUtils.expression(payload),
+      ExpressionUtils.expression(contentType)))
 
   def registeredDomain(host: Column): Column =
     ExpressionUtils.column(RegisteredDomain(ExpressionUtils.expression(host)))

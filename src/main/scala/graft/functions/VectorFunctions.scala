@@ -87,6 +87,16 @@ object VectorFunctions {
   def htmlToText(html: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.htmlToText(html)
 
+  /** Charset-sniffed transcode of a crawl payload (BOM → Content-Type
+    * header → meta prescan → UTF-8; replacement semantics, logic in
+    * graft.sources.Charsets) — backs WarcReader.responses. A null
+    * content-type hint still decodes via the remaining rungs.
+    */
+  def decodeCharset(payload: Column, contentType: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.decodeCharset(payload,
+      org.apache.spark.sql.functions.coalesce(contentType,
+        org.apache.spark.sql.functions.lit("")))
+
   /** The Gopher keep decision in one codegen'd call (one stats pass +
     * thresholds in Scala; the struct-derived spelling re-evaluates the
     * stats per flag when used as a FILTER) — backs

@@ -595,6 +595,54 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q153 WARC crawl-file round-trip (sources.WarcReader + the charset
+  // rung): the documents table rendered into a real multi-charset
+  // .warc.gz ONCE per sf dir (the q94 memo pattern) — doc_id%3 rotates
+  // the declared encoding (utf-8 in the HTTP header / iso-8859-1 in the
+  // header / windows-1252 declared ONLY by a meta tag) and appends a
+  // per-class non-ASCII plant whose bytes differ under every wrong
+  // charset — then read back distributed (one stream per file, records
+  // never materialize the file) and charset-decoded. The oracle
+  // rebuilds the expected page text from the parquet table, so the
+  // hash match proves parse + HTTP split + sniff + transcode end to
+  // end.
+  val warcMetaCp1252: String = "<meta http-equiv=\"Content-Type\" " +
+    "content=\"text/html; charset=windows-1252\">"
+  val warcPlants: Seq[String] = Seq(
+    " utfé ’—€",
+    " latin café ± ÷",
+    " cp ’— €")
+  private val warcCharsets = Seq("utf-8", "iso-8859-1", "windows-1252")
+  private val warcDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q153_warc_responses: Q = (s, d) => {
+    val file = warcDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q153_warc_").toString + "/crawl.warc.gz"
+      val docRows = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+        .collect() // fixture construction: bounded by the documents table
+      graft.sources.WarcWriter.write(s, p, docRows.iterator.map { r =>
+        val id = r.getLong(0)
+        val cls = (id % 3).toInt
+        val meta = if (cls == 2) warcMetaCp1252 else ""
+        val html = s"<html><head>$meta</head><body><p>" +
+          s"${r.getString(1)}${warcPlants(cls)}</p></body></html>"
+        graft.sources.WarcWriter.responseRecord(
+          s"https://ex.com/doc/$id", "2026-01-02T03:04:05Z",
+          s"<urn:doc:$id>", html, warcCharsets(cls),
+          declareInHeader = cls != 2)
+      })
+      p
+    })
+    graft.sources.WarcReader.responses(s, file)
+      .select(
+        regexp_extract(col("url"), "([0-9]+)$", 1).cast("bigint")
+          .as("doc_id"),
+        col("url"), col("http_status").cast("int").as("http_status"),
+        col("html"))
+      .orderBy(col("doc_id"))
+  }
+
   // q59 int8-quantized brute-force top-k: q25's retrieval over 4×-smaller
   // vectors (symmetric per-vector quantization, scale-free cosine on the
   // byte arrays — no dequantization in the rank). Deterministic
@@ -1838,5 +1886,6 @@ object Extensions {
     "q149_gopher_report" -> q149_gopher_report,
     "q150_domain_blocklist" -> q150_domain_blocklist,
     "q151_segment_paragraphs" -> q151_segment_paragraphs,
-    "q152_remove_paragraphs" -> q152_remove_paragraphs)
+    "q152_remove_paragraphs" -> q152_remove_paragraphs,
+    "q153_warc_responses" -> q153_warc_responses)
 }

@@ -42,6 +42,12 @@ object PipelineTasks {
         case Some(ddl) => ctx.spark.read.schema(ddl).orc(path)
         case None      => ctx.spark.read.orc(path)
       }
+      case "warc" =>
+        // crawl-native intake: response records charset-decoded to an
+        // `html` column (plus url/warc_date/record_id/http_status/
+        // http_content_type), so `"type": "intake"` composes directly:
+        // {"source": {"format": "warc", ...}, "intake": {"id": "record_id"}}
+        graft.sources.WarcReader.responses(ctx.spark, path)
       case f => throw new IllegalArgumentException(s"unknown source format: $f")
     }
   }
@@ -317,6 +323,30 @@ object PipelineTasks {
           gopherTh(cfg),
           lowercase = cfg.flag("lowercase")), lg, meter)
       }
+  }
+
+  /** `warc`: scan a WARC crawl file/dir/glob (`.gz` per extension) into
+    * rows — `mode` `responses` (default: url/warc_date/record_id/
+    * http_status/http_content_type + charset-decoded `html`) or
+    * `records` (every record type, raw payload bytes). The standard
+    * transform block and sink apply, so `warc` → filter → parquet is
+    * one task; the full crawl→training-text path is this source under
+    * an `intake` task (`"source": {"format": "warc"}`).
+    */
+  object WarcTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit = {
+      val cfg = task("warc")
+      val src = task("source")
+      val path = s"${ctx.dir(src.str("folder", "input"))}/${src.str("file")}"
+      val df = cfg.str("mode", "responses") match {
+        case "responses" => graft.sources.WarcReader.responses(ctx.spark, path)
+        case "records"   => graft.sources.WarcReader.read(ctx.spark, path).toDF
+        case m => throw new IllegalArgumentException(s"unknown warc mode: $m")
+      }
+      Tasks.etl(ctx, task, log, "warc")(df) { (d, lg, meter) =>
+        sink(ctx, task)(d, lg, meter)
+      }
+    }
   }
 
   /** `cap`: per-key frequency throttle — keep the `n` best rows per

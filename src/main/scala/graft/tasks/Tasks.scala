@@ -361,7 +361,8 @@ object Tasks {
     "score"      -> PipelineTasks.ScoreTask,
     "drift"      -> PipelineTasks.DriftTask,
     "gopher"     -> PipelineTasks.GopherTask,
-    "intake"     -> PipelineTasks.IntakeTask)
+    "intake"     -> PipelineTasks.IntakeTask,
+    "warc"       -> PipelineTasks.WarcTask)
 
   def get(taskType: String): Task =
     factory.getOrElse(taskType,

@@ -1,0 +1,187 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** WARC reader + charset rung: the synthetic multi-record,
+  * multi-charset fixture exercises every record class the ISO 28500
+  * grammar allows through the reader — warcinfo/request/response,
+  * continuation headers, per-record gzip members — and every sniff
+  * rung (BOM > HTTP header > meta tag > UTF-8 fallback), ending with
+  * the crawl-file → [[graft.ops.Web.intake]] composition the reader
+  * exists for.
+  */
+class WarcReaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val date = "2026-01-02T03:04:05Z"
+
+  private def rid(i: Int) = s"<urn:uuid:0000-$i>"
+
+  // one page per charset class; the non-ASCII chars differ by encoding
+  private val utf8Html =
+    "<html><body><p>utf-8 café ’quote’ —dash</p></body></html>"
+  private val latin1Html =
+    "<html><body><p>latin café ± ÷ straße</p></body></html>"
+  private val cp1252Html =
+    "<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=windows-1252\"></head>" +
+      "<body><p>cp1252 ’smart’ — €uro</p></body></html>"
+  private val bomHtml =
+    "<html><body><p>bom café ✓</p></body></html>"
+
+  private def fixtureRecords: Seq[Array[Byte]] = Seq(
+    WarcWriter.record("warcinfo", "", date, rid(0),
+      "application/warc-fields",
+      "software: graft-spec\r\nformat: WARC File Format 1.0\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+    WarcWriter.record("request", "https://ex.com/a", date, rid(1),
+      "application/http; msgtype=request",
+      "GET /a HTTP/1.1\r\nHost: ex.com\r\n\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
+    WarcWriter.responseRecord("https://ex.com/a", date, rid(2),
+      utf8Html, "utf-8", declareInHeader = true),
+    WarcWriter.responseRecord("https://ex.com/b", date, rid(3),
+      latin1Html, "iso-8859-1", declareInHeader = true),
+    // charset only in the meta tag — header says bare text/html
+    WarcWriter.responseRecord("https://ex.com/c", date, rid(4),
+      cp1252Html, "windows-1252", declareInHeader = false),
+    // BOM beats everything: header LIES (latin-1), bytes carry a UTF-8 BOM
+    WarcWriter.record("response", "https://ex.com/d", date, rid(5),
+      "application/http; msgtype=response",
+      WarcWriter.httpResponseBlock(200, "text/html; charset=iso-8859-1",
+        Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+          bomHtml.getBytes(java.nio.charset.StandardCharsets.UTF_8))),
+    // no charset anywhere (bare text/html, no meta, no BOM): UTF-8 rung
+    WarcWriter.responseRecord("https://ex.com/e", date, rid(6),
+      utf8Html, "utf-8", declareInHeader = false))
+
+  private def writeFixture(path: String): Unit =
+    WarcWriter.write(spark, path, fixtureRecords.iterator)
+
+  test("multi-record parse: types, fields, HTTP split, plain and per-record gzip") {
+    val wd = tmpDir("graft_warc_")
+    for (f <- Seq(s"$wd/crawl.warc", s"$wd/crawl.warc.gz")) {
+      writeFixture(f)
+      val recs = WarcReader.read(spark, f).collect()
+        .sortBy(_.record_id)
+      assert(recs.length == fixtureRecords.length, f)
+      assert(recs.map(_.warc_type).count(_ == "response") == 5)
+      val info = recs.find(_.warc_type == "warcinfo").get
+      assert(info.url == "" && info.http_status.isEmpty)
+      assert(new String(info.payload).contains("graft-spec"))
+      val req = recs.find(_.warc_type == "request").get
+      assert(req.url == "https://ex.com/a" && req.http_status.isEmpty)
+      val resp = recs.find(_.record_id == rid(2)).get
+      assert(resp.http_status.contains(200))
+      assert(resp.http_content_type.contains("text/html; charset=utf-8"))
+      assert(resp.warc_date == date)
+      // the HTTP head is stripped: payload IS the body bytes
+      assert(new String(resp.payload,
+        java.nio.charset.StandardCharsets.UTF_8) == utf8Html)
+    }
+  }
+
+  test("charset rungs: header, meta tag, BOM precedence, UTF-8 fallback") {
+    val wd = tmpDir("graft_warc_")
+    val f = s"$wd/crawl.warc"
+    writeFixture(f)
+    val got = WarcReader.responses(spark, f)
+      .select(col("url"), col("html"))
+      .as[(String, String)].collect().toMap
+    assert(got("https://ex.com/a") == utf8Html)
+    assert(got("https://ex.com/b") == latin1Html)
+    assert(got("https://ex.com/c") == cp1252Html, "meta-tag rung")
+    assert(got("https://ex.com/d") == bomHtml,
+      "BOM must beat a lying header, and be stripped")
+    assert(got("https://ex.com/e") == utf8Html, "UTF-8 fallback")
+    // decoding never throws: latin-1 bytes mislabeled utf-8 come back
+    // with replacement chars, not an exception
+    val mangled = Charsets.decode(
+      "café".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+      "text/html; charset=utf-8")
+    assert(mangled.contains('�'))
+    // unknown charset NAME in the header falls to the meta rung
+    assert(Charsets.sniff(cp1252Html
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+      "text/html; charset=not-a-charset") == "windows-1252")
+  }
+
+  test("malformed input throws with file context; truncation never silently drops") {
+    val wd = tmpDir("graft_warc_")
+    val garbage = s"$wd/garbage.warc"
+    java.nio.file.Files.write(java.nio.file.Paths.get(garbage),
+      "HTTP/1.1 200 OK\r\n\r\n".getBytes)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      WarcReader.read(spark, garbage).count()
+    }
+    assert(e1.getMessage.contains("WARC") ||
+      e1.getCause != null, s"$e1")
+    val truncated = s"$wd/trunc.warc"
+    val full = fixtureRecords.head
+    java.nio.file.Files.write(java.nio.file.Paths.get(truncated),
+      java.util.Arrays.copyOf(full, full.length - 10))
+    intercept[org.apache.spark.SparkException] {
+      WarcReader.read(spark, truncated).count()
+    }
+  }
+
+  test("continuation headers fold; header names are case-insensitive") {
+    val rec = ("WARC/1.0\r\n" +
+      "warc-type: metadata\r\n" +
+      "WARC-TARGET-URI: https://ex.com/x\r\n" +
+      "X-Long: first part\r\n second part\r\n" +
+      "CONTENT-LENGTH: 2\r\n\r\nhi\r\n\r\n").getBytes
+    val out = WarcReader.records("inline",
+      new java.io.ByteArrayInputStream(rec)).toSeq
+    assert(out.length == 1)
+    assert(out.head.warc_type == "metadata")
+    assert(out.head.url == "https://ex.com/x")
+    assert(new String(out.head.payload) == "hi")
+  }
+
+  test("warc task type + warc source format: crawl file -> intake end-to-end") {
+    val wd = tmpDir("graft_warc_task_")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$wd/input"))
+    // enough body to clear the default-ish word gate
+    val body = "the quick brown fox jumped over the lazy dog and kept " +
+      "a steady pace to the end of the long field where it could rest " +
+      "for a while in the cool shade café"
+    val recs = (1 to 6).map { i =>
+      WarcWriter.responseRecord(s"https://ex.com/p$i", date, rid(i),
+        s"<html><body><h1>T${if (i % 2 == 0) "0" else i.toString}</h1>" +
+          s"<p>$body ${if (i % 2 == 0) "even" else s"odd $i"}</p></body></html>",
+        if (i % 2 == 0) "windows-1252" else "utf-8",
+        declareInHeader = true)
+    }
+    WarcWriter.write(spark, s"$wd/input/crawl.warc.gz", recs.iterator)
+    val json =
+      s"""{"tasks": [
+         |  {"type": "warc", "name": "scan",
+         |   "source": {"folder": "input", "file": "crawl.warc.gz"},
+         |   "target": {"file": "pages", "truncate": true}},
+         |  {"type": "intake", "name": "in",
+         |   "source": {"folder": "input", "file": "crawl.warc.gz",
+         |              "format": "warc"},
+         |   "intake": {"id": "record_id", "min_words": 10,
+         |              "min_stop_hits": 0},
+         |   "target": {"file": "intake", "truncate": true}}
+         |]}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$wd/task.json"), json)
+    graft.runner.TaskRunner.runFile(s"$wd/task.json", spark, wd,
+      graft.runner.TaskLog.Silent)
+    val pages = spark.read.parquet(s"$wd/output/pages")
+    assert(pages.count() == 6)
+    assert(pages.columns.toSet ==
+      Set("url", "warc_date", "record_id", "http_status",
+        "http_content_type", "html"))
+    val intake = spark.read.parquet(s"$wd/output/intake")
+    // 3 even docs share a body -> 1 representative + 3 distinct odd docs
+    assert(intake.count() == 4, intake.collect().mkString("\n"))
+    assert(intake.where(col("n_dupes") === 3).count() == 1)
+    // the charset survived the whole chain: café intact in the output
+    assert(intake.where(col("norm_text").contains("café")).count() == 4)
+  }
+}
