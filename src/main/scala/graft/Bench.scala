@@ -105,6 +105,49 @@ object Bench {
         case _ => (name, median, samples)
       }
     }
+    // cross-round band check (the r16 q97 lesson): the 3x-spread rerun
+    // rule catches TRANSIENTS; a steady shift — consistent samples,
+    // just slower than last round — tripped nothing and needed a judge
+    // to spot. BENCH_BAND.json banks per-query NORMALIZED medians
+    // (tools/make_band.py regenerates it from a trusted round
+    // artifact); any query whose normalized median drifts past 1.25x
+    // its banked figure lands in the artifact's band_drift field, so
+    // steady regressions self-flag the way transients now do. Sub-50ms
+    // banked figures are skipped (scheduler noise dominates them).
+    val bandPath = java.nio.file.Paths.get(
+      BenchHarness.env("SPARK_GRAFT_BENCH_BAND", "BENCH_BAND.json"))
+    val band: Map[String, Double] =
+      if (!java.nio.file.Files.exists(bandPath)) Map.empty
+      else org.json4s.jackson.JsonMethods
+        .parse(new String(java.nio.file.Files.readAllBytes(bandPath), "UTF-8"))
+        match {
+          case org.json4s.JObject(fields) => fields.collect {
+            case (k, org.json4s.JDouble(v)) => k -> v
+            case (k, org.json4s.JInt(v)) => k -> v.toDouble
+            case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+    // the band is banked at one scale (sf0.1, stamped as "_sf"); a run
+    // at any other sf skips the check rather than false-flagging
+    val runSf = sfDir.split("sf").lastOption
+      .map(_.stripSuffix("/")).flatMap(_.toDoubleOption)
+    val sfMatches = (band.get("_sf"), runSf) match {
+      case (Some(b), Some(r)) => math.abs(b - r) < 1e-12
+      case (Some(_), None)    => false
+      case (None, _)          => true
+    }
+    val bandDrift =
+      if (!sfMatches) Seq.empty
+      else timings.flatMap { case (name, m, _) =>
+        band.get(name).flatMap { b =>
+          val norm = m / boxFactor
+          if (m >= 0 && b >= 0.05 && norm > 1.25 * b)
+            Some(name -> norm / b)
+          else None
+        }
+      }
+
     def fmt(d: Double): String = BenchHarness.fmt(d, scale = 6)
     // stdout line stays SHORT (3-decimal medians, no samples): the driver
     // scrapes a bounded tail of the sbt log, and rounds 1-4 all recorded
@@ -135,8 +178,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val probe = s""""probe_s":${fmt3(probeS)},"box_factor":${fmt3(boxFactor)},""" +
       s""""value_normalized":${fmt3(total / boxFactor)}"""
+    val bd = bandDrift.map { case (k, r) => "\"" + k + "\":" + fmt3(r) }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"rerun":$rr,"runs":$runs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loadavg_during_max":${fmt3(loadDuringMax)},"steal_s":${fmt3(stealS)},"contended":$contended,$probe}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"rerun":$rr,"band_drift":$bd,"runs":$runs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loadavg_during_max":${fmt3(loadDuringMax)},"steal_s":${fmt3(stealS)},"contended":$contended,$probe}"""
     // full JSON (with per-sample arrays) is the file artifact of record;
     // a filtered run is NOT the record — it lands in BENCH_FILTERED.json
     // (gitignored scratch) so iterating on one family can never clobber
@@ -146,7 +191,7 @@ object Bench {
         if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_FILTERED.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     println(
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"runs":$runs,"sf":"$sfDir","loadavg_during_max":${fmt3(loadDuringMax)},"steal_s":${fmt3(stealS)},"contended":$contended,"rerun_n":${rerun.size},$probe}""")
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"runs":$runs,"sf":"$sfDir","loadavg_during_max":${fmt3(loadDuringMax)},"steal_s":${fmt3(stealS)},"contended":$contended,"rerun_n":${rerun.size},"band_drift":$bd,$probe}""")
     spark.stop()
   }
 }

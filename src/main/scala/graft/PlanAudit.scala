@@ -55,6 +55,7 @@ object PlanAudit {
       "q86_retrieval_decontaminate", "q87_curriculum_sample",
       "q88_excise_spans", "q89_bm25_join_capped", "q90_collapse_repeats",
       "q91_excise_against_index", "q92_training_order",
+      "q93_curation_pipeline",
       "q95_balanced_mixture", "q97_boilerplate_lines", "q98_chunk_docs",
       "q99_lines_against_index", "q100_pq_topk", "q101_pq_index_topk",
       "q102_ann_recall", "q103_ivfpq_topk", "q104_pq_knn_join",
@@ -77,7 +78,8 @@ object PlanAudit {
       "q144_normalize_text", "q145_html_to_text", "q146_gopher_filter",
       "q147_leak_free_split", "q148_web_intake", "q149_gopher_report",
       "q150_domain_blocklist", "q151_segment_paragraphs",
-      "q152_remove_paragraphs")
+      "q152_remove_paragraphs", "q153_warc_responses",
+      "q154_paras_against_index", "q155_intake_curation")
     // optional args = audit only these queries (iterating on one
     // operator); a trailing `--json <path>` additionally writes the
     // table as the per-round PLANAUDIT artifact, so plan-shape

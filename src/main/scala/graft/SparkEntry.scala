@@ -414,6 +414,10 @@ object SparkEntry {
     "q151_segment_paragraphs" -> segmentParagraphsSql,
     "q152_remove_paragraphs" -> removeParagraphsSql,
     "q153_warc_responses" -> warcResponsesSql,
+    "q154_paras_against_index" -> parasAgainstIndexSql,
+    // q155: the q148 intake CTEs chained into the q93 stages — see
+    // intakeCurationSql
+    "q155_intake_curation" -> intakeCurationSql,
     // q144: the identical planted mess (combining acute/grave, tabs, a
     // C0 control byte, double spaces) and the identical normalization
     // order: NFC -> lower -> control strip -> whitespace collapse ->
@@ -2546,13 +2550,49 @@ object SparkEntry {
     * survivors both terminals consume (q93 packs offsets over them;
     * q115 materializes token ids).
     */
-  private def curationDeconCtes: String = {
+  private def curationDeconCtes: String = curationDeconCtesFrom(
+    """raw AS (SELECT doc_id, source, text FROM documents
+      |             WHERE text IS NOT NULL AND doc_id % 4 <> 0)""".stripMargin,
+    standingScreen = true, benchmarkScreen = true)
+
+  /** q93's stages 1–4 as CTEs over a caller-supplied `raw` CTE —
+    * parameterized so the q155 composition can run the same stages
+    * over the intake output with no standing corpus and no benchmark
+    * (Curation.curate's None/None spelling skips those stages).
+    */
+  private def curationDeconCtesFrom(rawCte: String, standingScreen: Boolean,
+                                    benchmarkScreen: Boolean): String = {
     // 8-word decontamination shingles (Config.shingleW default) — the
     // q50 w=3 construction widened
     val shingle8 = (0 until 8)
       .map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
-    s"""raw AS (SELECT doc_id, source, text FROM documents
-       |             WHERE text IS NOT NULL AND doc_id % 4 <> 0),
+    val fresh =
+      if (standingScreen)
+        """fresh AS (SELECT c.doc_id, c.source, c.text FROM clean c
+          |          WHERE NOT EXISTS (
+          |            SELECT 1 FROM documents st
+          |            WHERE st.doc_id % 4 = 0 AND st.text IS NOT NULL
+          |              AND MD5(st.text) = MD5(c.text)))""".stripMargin
+      else "fresh AS (SELECT doc_id, source, text FROM clean)"
+    val decon =
+      if (benchmarkScreen)
+        s"""ctk AS (SELECT doc_id, STRING_SPLIT(clean_text, ' ') AS t FROM exc
+           |        WHERE doc_id % 10 <> 0),
+           |csh AS (SELECT DISTINCT doc_id, $shingle8 AS sg
+           |        FROM ctk, UNNEST(RANGE(1, LEN(t) - 6)) AS u(i)),
+           |corp AS (SELECT doc_id, sg FROM csh
+           |         QUALIFY COUNT(*) OVER (PARTITION BY sg) <= 1000),
+           |btk AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+           |        WHERE doc_id % 10 = 0),
+           |bsh AS (SELECT DISTINCT $shingle8 AS sg
+           |        FROM btk, UNNEST(RANGE(1, LEN(t) - 6)) AS u(i)),
+           |contam AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bsh b ON b.sg = c.sg),
+           |decon AS (SELECT e.doc_id, e.source, e.clean_text FROM exc e
+           |          WHERE e.doc_id % 10 <> 0
+           |            AND NOT EXISTS (SELECT 1 FROM contam x
+           |                            WHERE x.doc_id = e.doc_id))""".stripMargin
+      else "decon AS (SELECT doc_id, source, clean_text FROM exc)"
+    s"""$rawCte,
        |${winnowCtesFrom("raw")},
        |${cleanScreenCtes("1.0")},
        |clean AS (SELECT w.doc_id, w.source, w.text
@@ -2562,11 +2602,7 @@ object SparkEntry {
        |          LEFT JOIN qual q ON q.doc_id = w.doc_id
        |          WHERE COALESCE(f.keep_span, 1) = 1
        |            AND COALESCE(q.keep_quality, 0) = 1),
-       |fresh AS (SELECT c.doc_id, c.source, c.text FROM clean c
-       |          WHERE NOT EXISTS (
-       |            SELECT 1 FROM documents st
-       |            WHERE st.doc_id % 4 = 0 AND st.text IS NOT NULL
-       |              AND MD5(st.text) = MD5(c.text))),
+       |$fresh,
        |ed AS (SELECT doc_id,
        |              LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS t
        |       FROM fresh),
@@ -2588,30 +2624,23 @@ object SparkEntry {
        |        FROM fresh f2
        |        JOIN (SELECT doc_id, STRING_AGG(word, ' ' ORDER BY p) AS clean_text
        |              FROM ekept GROUP BY doc_id) ct USING (doc_id)),
-       |ctk AS (SELECT doc_id, STRING_SPLIT(clean_text, ' ') AS t FROM exc
-       |        WHERE doc_id % 10 <> 0),
-       |csh AS (SELECT DISTINCT doc_id, $shingle8 AS sg
-       |        FROM ctk, UNNEST(RANGE(1, LEN(t) - 6)) AS u(i)),
-       |corp AS (SELECT doc_id, sg FROM csh
-       |         QUALIFY COUNT(*) OVER (PARTITION BY sg) <= 1000),
-       |btk AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
-       |        WHERE doc_id % 10 = 0),
-       |bsh AS (SELECT DISTINCT $shingle8 AS sg
-       |        FROM btk, UNNEST(RANGE(1, LEN(t) - 6)) AS u(i)),
-       |contam AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bsh b ON b.sg = c.sg),
-       |decon AS (SELECT e.doc_id, e.source, e.clean_text FROM exc e
-       |          WHERE e.doc_id % 10 <> 0
-       |            AND NOT EXISTS (SELECT 1 FROM contam x
-       |                            WHERE x.doc_id = e.doc_id))""".stripMargin
+       |$decon""".stripMargin
   }
 
-  private def curationPipelineSql: String = {
+  private def curationPipelineSql: String =
+    s"""WITH $curationDeconCtes,
+       |$curationTailSql""".stripMargin
+
+  /** q93's stages 5–7 (budget sample → pack → training order) over a
+    * `decon` CTE, final SELECT included — shared by the q93 and q155
+    * oracles.
+    */
+  private def curationTailSql: String = {
     val bounds = (1 until 8).map { i =>
       s"(CASE WHEN _k >= '${graft.ops.Sampling.hexThreshold(i / 8.0)}' " +
         "THEN 1 ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH $curationDeconCtes,
-       |smp0 AS (SELECT doc_id, source,
+    s"""smp0 AS (SELECT doc_id, source,
        |           CAST(LEN(STRING_SPLIT(clean_text, ' ')) AS BIGINT) AS n_tokens
        |         FROM decon),
        |tot AS (SELECT source, SUM(n_tokens) AS tot FROM smp0 GROUP BY source),
@@ -2634,7 +2663,11 @@ object SparkEntry {
        |  CAST(shard AS BIGINT) AS shard,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY _k, doc_id) - 1
        |       AS BIGINT) AS pos
-       |FROM sh8 ORDER BY doc_id""".stripMargin
+       |FROM sh8 ORDER BY doc_id"""
+    // NOT stripped here (the budgetThresholdCtes convention): the
+    // fragment interpolates into |-margined outer templates whose own
+    // stripMargin pass handles these lines — stripping twice would eat
+    // the first | of budgetThresholdCtes' `|| REPEAT` concat.
   }
 
   /** q90 oracle: within-doc repeat collapsing — per (doc, gram) first
@@ -3432,6 +3465,58 @@ object SparkEntry {
        |FROM tot t2 LEFT JOIN agg a USING (doc_id)
        |ORDER BY t2.doc_id""".stripMargin
 
+  /** q154 oracle: the q152 plant and paragraph CTEs, the ban set
+    * computed from the EVEN-doc standing slice's paragraph
+    * document-frequencies (the persisted count table's contents) and
+    * applied to the ODD probe slice — standing-only semantics, so
+    * probe-internal frequency never bans.
+    */
+  private def parasAgainstIndexSql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |    text || chr(10) || chr(10) || 'shared boilerplate alpha'
+       |      || chr(10) || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR)
+       |      || chr(10) || chr(10) || 'shared boilerplate beta' AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |p AS (SELECT doc_id,
+       |    list_filter(list_transform(regexp_split_to_array(t, '\\n{2,}'),
+       |      x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))),
+       |      x -> x <> '') AS paras
+       |  FROM m),
+       |e AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, paras[i] AS para
+       |      FROM p, UNNEST(RANGE(1, LEN(paras) + 1)) AS u(i)),
+       |banned AS (SELECT para FROM (
+       |    SELECT para, COUNT(DISTINCT doc_id) AS d FROM e
+       |    WHERE doc_id % 2 = 0 GROUP BY para)
+       |  WHERE d >= 3),
+       |probe AS (SELECT * FROM e WHERE doc_id % 2 = 1),
+       |kept AS (SELECT pr.doc_id, pr.idx, pr.para FROM probe pr
+       |         LEFT JOIN banned b USING (para) WHERE b.para IS NULL),
+       |agg AS (SELECT doc_id,
+       |          STRING_AGG(para, chr(10) || chr(10) ORDER BY idx) AS clean_text,
+       |          CAST(COUNT(*) AS BIGINT) AS kept_n
+       |        FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(LEN(paras) AS BIGINT) AS n_paras
+       |        FROM p WHERE doc_id % 2 = 1)
+       |SELECT t2.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       |  t2.n_paras, t2.n_paras - COALESCE(a.kept_n, 0) AS n_removed
+       |FROM tot t2 LEFT JOIN agg a USING (doc_id)
+       |ORDER BY t2.doc_id""".stripMargin
+
+  /** q155 oracle: the full crawl→training-text path — the q148 intake
+    * CTEs (html fold + gopher gate + normalize + exact dedup) feeding
+    * the q93 curation stages (source rejoined from the representative's
+    * doc_id; no standing corpus, no benchmark — the None/None curate
+    * spelling) and the shared pipeline tail. Every fragment is the
+    * stages' own generated SQL.
+    */
+  private def intakeCurationSql: String =
+    s"""WITH $webIntakeCtes,
+       |${curationDeconCtesFrom(
+          "raw AS (SELECT i.doc_id, dd.source, i.norm_text AS text\n" +
+          "             FROM intake i JOIN documents dd USING (doc_id))",
+          standingScreen = false, benchmarkScreen = false)},
+       |$curationTailSql""".stripMargin
+
   /** q153 oracle: the expected page per document, rebuilt from the
     * SAME constants the query's fixture writer reads
     * (Extensions.warcMetaCp1252 / warcPlants) — the Spark side must
@@ -3458,7 +3543,15 @@ object SparkEntry {
     * stats CTEs + keep condition, the q144 normalize fold, then the
     * exact-dedup GROUP BY on the normalized text.
     */
-  private def webIntakeSql: String = {
+  private def webIntakeSql: String =
+    s"""WITH $webIntakeCtes
+       |SELECT doc_id, norm_text, n_dupes FROM intake ORDER BY doc_id""".stripMargin
+
+  /** The q148 chain as a reusable CTE block ending at
+    * `intake (doc_id, norm_text, n_dupes)` — shared by the q148 oracle
+    * and the q155 composition.
+    */
+  private def webIntakeCtes: String = {
     val fixed = "'" + graft.queries.Extensions.webIntakeFixedText + "'"
     val plant = Seq(
       "'<html><body><h1>Hdr</h1><p>'",
@@ -3467,17 +3560,17 @@ object SparkEntry {
         "<li>beta&#8212;&#x2014;end</li></ul></body></html>'")
       .mkString(" || ")
     val th = graft.queries.Extensions.webIntakeThresholds
-    s"""WITH plain AS (
+    s"""plain AS (
        |  SELECT doc_id, ${htmlFoldSql(s"($plant)")} AS t
        |  FROM documents WHERE text IS NOT NULL),
        |${gopherStatsCtes("plain")},
        |kept AS (SELECT plain.doc_id,
        |    ${normalizeFoldSql("plain.t", lowercase = false)} AS norm_text
        |  FROM plain JOIN s USING (doc_id)
-       |  WHERE ${gopherKeepCondSql(th)})
-       |SELECT MIN(doc_id) AS doc_id, norm_text,
+       |  WHERE ${gopherKeepCondSql(th)}),
+       |intake AS (SELECT MIN(doc_id) AS doc_id, norm_text,
        |  COUNT(*) AS n_dupes
-       |FROM kept GROUP BY norm_text ORDER BY doc_id""".stripMargin
+       |FROM kept GROUP BY norm_text)""".stripMargin
   }
 
   /** q146 oracle: GENERATED from the same plant, stop list and threshold

@@ -1571,7 +1571,8 @@ case class DecodeCharset(left: Expression, right: Expression)
   * fallback (both labels non-empty, else ""); dotless host passes
   * through.
   */
-case class RegisteredDomain(child: Expression)
+case class RegisteredDomain(child: Expression,
+                            rules: graft.ops.PublicSuffixRules)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
   with ImplicitCastInputTypes {
 
@@ -1582,60 +1583,25 @@ case class RegisteredDomain(child: Expression)
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_registered_domain"
 
+  // the dot walk is LEFT to right, so the first set hit is the longest
+  // matching suffix — the same winner the ordered fold's Seq precedence
+  // picks (every listed multi-label suffix is longer than its parent);
+  // the full walk, wildcard/exception classes included, lives on
+  // graft.ops.PublicSuffixRules (default: the bundled exact-only set)
   override protected def nullSafeEval(input: Any): Any =
-    RegisteredDomain.compute(input.asInstanceOf[UTF8String])
+    rules.registeredDomain(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, in => {
-      s"${ev.value} = org.apache.spark.sql.graft.RegisteredDomain.compute($in);"
+      // rules ride as a reference object: one static-shape call per row
+      // whether the set is the bundled ~60 or the full published ~9500
+      val ref = ctx.addReferenceObj("pslRules", rules,
+        "graft.ops.PublicSuffixRules")
+      s"${ev.value} = $ref.registeredDomain($in);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): RegisteredDomain =
     copy(child = newChild)
-}
-
-object RegisteredDomain {
-  import org.apache.spark.unsafe.types.UTF8String
-
-  // precedence in graft.ops.Web.publicSuffixes is longest-first by
-  // construction (multi-label suffixes precede their parent TLD), so a
-  // set probe per dot-suffix of the host, walked LEFT to right (longest
-  // candidate first), picks the same winner the ordered fold picks
-  private lazy val suffixSet: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    graft.ops.Web.publicSuffixes.foreach(s.add)
-    s
-  }
-
-  /** Shared by interpreted eval and codegen. */
-  def compute(input: UTF8String): UTF8String = {
-    val host = input.toString
-    if (suffixSet.contains(host)) return input // bare suffix stays whole
-    // walk dot positions left to right: the suffix starting after the
-    // EARLIEST dot is the longest candidate, so the first hit IS the
-    // longest matching suffix (ties with the fold's Seq precedence:
-    // every listed multi-label suffix is longer than its parent)
-    var dot = host.indexOf('.')
-    while (dot >= 0) {
-      val cand = host.substring(dot + 1)
-      if (suffixSet.contains(cand)) {
-        // label = [^.]+ immediately before the suffix; empty -> "" like
-        // the fold's regexp_extract no-match
-        val labelEnd = dot
-        val labelStart = host.lastIndexOf('.', labelEnd - 1) + 1
-        return UTF8String.fromString(
-          if (labelStart >= labelEnd) ""
-          else host.substring(labelStart))
-      }
-      dot = host.indexOf('.', dot + 1)
-    }
-    // fallback: last two labels, both non-empty ([^.]+\.[^.]+$)
-    val last = host.lastIndexOf('.')
-    if (last < 0) return input // single-label host passes through
-    val prev = host.lastIndexOf('.', last - 1)
-    val ok = last + 1 < host.length && prev + 1 < last
-    UTF8String.fromString(if (ok) host.substring(prev + 1) else "")
-  }
 }
 
 /** The Gopher keep DECISION as one boolean expression. The Column
@@ -2547,7 +2513,13 @@ object VectorBridge {
       ExpressionUtils.expression(contentType)))
 
   def registeredDomain(host: Column): Column =
-    ExpressionUtils.column(RegisteredDomain(ExpressionUtils.expression(host)))
+    ExpressionUtils.column(RegisteredDomain(ExpressionUtils.expression(host),
+      graft.ops.PublicSuffixRules.bundled))
+
+  def registeredDomain(host: Column,
+                       rules: graft.ops.PublicSuffixRules): Column =
+    ExpressionUtils.column(
+      RegisteredDomain(ExpressionUtils.expression(host), rules))
 
   def paragraphs(text: Column): Column =
     ExpressionUtils.column(Paragraphs(ExpressionUtils.expression(text)))

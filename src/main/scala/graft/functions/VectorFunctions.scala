@@ -127,6 +127,11 @@ object VectorFunctions {
   def registeredDomain(host: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.registeredDomain(host)
 
+  /** The cut under a runtime-loaded rule set (Web.loadPublicSuffixes). */
+  def registeredDomain(host: Column,
+                       rules: graft.ops.PublicSuffixRules): Column =
+    org.apache.spark.sql.graft.VectorBridge.registeredDomain(host, rules)
+
   /** Token profile struct (n_tokens, n_distinct, hits per stopword list)
     * in one pass — backs languageId (q33) and qualityScore (q34).
     */

@@ -1124,6 +1124,21 @@ object Dedup {
   def removeFrequentParagraphs(df: DataFrame, idCol: String, textCol: String,
                                minDocFreq: Int = 2): DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
+    val (base, paras) = splitParas(df, idCol, textCol)
+    val banned = paras.select(col("ph"), col("doc_id")).distinct()
+      .groupBy(col("ph")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("ph"))
+    rebuildWithoutBannedParas(base, paras, banned)
+  }
+
+  /** (base, paras) of the paragraph family — the [[splitLines]] twin:
+    * base keeps the un-exploded doc with its non-empty paragraph count,
+    * paras is segmentParagraphs' (doc_id, para_idx, para) plus the md5
+    * key `ph`.
+    */
+  private def splitParas(df: DataFrame, idCol: String,
+                         textCol: String): (DataFrame, DataFrame) = {
     val base = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         size(graft.ops.TextAnalysis.paragraphsCol(col(textCol)))
@@ -1131,10 +1146,16 @@ object Dedup {
     val paras = graft.ops.TextAnalysis
       .segmentParagraphs(df, idCol, textCol)
       .withColumn("ph", md5(col("para")))
-    val banned = paras.select(col("ph"), col("doc_id")).distinct()
-      .groupBy(col("ph")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") >= minDocFreq)
-      .select(col("ph"))
+    (base, paras)
+  }
+
+  /** Anti-join `paras` against `banned` (ph) and rejoin each doc's kept
+    * paragraphs with the canonical `\n\n` seam in original order —
+    * shared by the batch and index forms. Output (doc_id, clean_text,
+    * n_paras, n_removed); an all-banned doc survives as ''.
+    */
+  private def rebuildWithoutBannedParas(base: DataFrame, paras: DataFrame,
+                                        banned: DataFrame): DataFrame = {
     val agg = paras.join(banned, Seq("ph"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(concat_ws("\n\n",
@@ -1299,6 +1320,84 @@ object Dedup {
       .select(col("lh"))
     val (base, lines) = splitLines(df, idCol, textCol)
     rebuildWithoutBannedLines(base, lines, banned)
+  }
+
+  /** Per-slice paragraph document-frequencies — segmentParagraphs'
+    * units (blank-line split, trimmed, empties dropped), distinct per
+    * doc, md5-keyed. Shared by [[buildParagraphIndex]] and
+    * [[appendParagraphCounts]] so the persisted counts and their probes
+    * can never desynchronize.
+    */
+  private def paraDfDelta(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    graft.ops.TextAnalysis.segmentParagraphs(df, idCol, textCol)
+      .select(col("doc_id"), md5(col("para")).as("ph")).distinct()
+      .groupBy(col("ph")).agg(count(lit(1)).as("df"))
+
+  /** Persist the standing corpus's PARAGRAPH document-frequencies —
+    * [[buildLineIndex]]'s twin at the unit web boilerplate actually
+    * repeats at (q152's standing-corpus form), completing batch ⇄
+    * index ⇄ stream symmetry for the paragraph rule. Same layout and
+    * idempotence contract as the line index, under `paras/`:
+    *
+    *   `paras/delta=<token>/` — (ph: md5 hex, df: long) per appended
+    *       slice; same-token appends OVERWRITE (replay replaces, never
+    *       double-counts), probes excluding their own token prune it
+    *       at the scan (the token is a partition column).
+    *   `params/` — (min_doc_freq).
+    */
+  def buildParagraphIndex(docs: DataFrame, idCol: String, textCol: String,
+                          path: String, minDocFreq: Int = 2): Unit = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    paraDfDelta(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/paras/delta=base")
+    Seq(minDocFreq).toDF("min_doc_freq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Admit a slice's paragraph counts into a [[buildParagraphIndex]]
+    * layout under `token` (use the streaming batchId): same-token
+    * re-appends OVERWRITE — the replay-idempotence contract.
+    */
+  def appendParagraphCounts(docs: DataFrame, idCol: String, textCol: String,
+                            path: String, token: String): Unit = {
+    lineTokenOk(token)
+    require(token != "base",
+      "token 'base' is reserved for buildParagraphIndex")
+    paraDfDelta(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/paras/delta=$token")
+  }
+
+  /** Remove paragraphs whose STANDING-corpus document frequency reaches
+    * the layout's `min_doc_freq` — [[removeFrequentParagraphs]] against
+    * a [[buildParagraphIndex]] layout; the contract, exclusion
+    * semantics and scale shape of [[removeLinesAgainstIndex]] at the
+    * paragraph unit (ban set broadcast, token exclusion is partition
+    * pruning).
+    */
+  def removeParagraphsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                   df: DataFrame, idCol: String,
+                                   textCol: String, path: String,
+                                   excludeToken: Option[String] = None,
+                                   knownMinDocFreq: Option[Int] = None)
+      : DataFrame = {
+    excludeToken.foreach(lineTokenOk)
+    val minDocFreq = knownMinDocFreq.getOrElse(
+      spark.read.parquet(s"$path/params")
+        .select(col("min_doc_freq")).head().getInt(0))
+    val deltas0 = spark.read.parquet(s"$path/paras")
+    val deltas = excludeToken match {
+      case Some(t) => deltas0.where(col("delta") =!= t)
+      case None    => deltas0
+    }
+    val banned = deltas.groupBy(col("ph"))
+      .agg(sum(col("df")).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("ph"))
+    val (base, paras) = splitParas(df, idCol, textCol)
+    rebuildWithoutBannedParas(base, paras, banned)
   }
 
   /** Persist the standing corpus's word-gram index — the INCREMENTAL

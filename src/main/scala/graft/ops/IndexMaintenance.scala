@@ -151,7 +151,20 @@ object IndexMaintenance {
     * @return the folded tokens (empty when nothing was foldable)
     */
   def consolidateLineDeltas(spark: SparkSession, path: String,
-                            checkpoint: String): Seq[String] = {
+                            checkpoint: String): Seq[String] =
+    consolidateCountDeltas(spark, path, checkpoint, "lines", "lh")
+
+  /** [[consolidateLineDeltas]] for a paragraph-count layout
+    * ([[graft.ops.Dedup.buildParagraphIndex]]) — same contract, same
+    * checkpoint gating, `paras/` subdir and `ph` key.
+    */
+  def consolidateParagraphDeltas(spark: SparkSession, path: String,
+                                 checkpoint: String): Seq[String] =
+    consolidateCountDeltas(spark, path, checkpoint, "paras", "ph")
+
+  private def consolidateCountDeltas(spark: SparkSession, path: String,
+                                     checkpoint: String, subdir: String,
+                                     keyCol: String): Seq[String] = {
     val hc = spark.sparkContext.hadoopConfiguration
     val commits = new org.apache.hadoop.fs.Path(
       s"${checkpoint.stripSuffix("/")}/commits")
@@ -162,8 +175,8 @@ object IndexMaintenance {
         .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
         .maxOption
     lastCommitted.map { last =>
-      val linesDir = s"${path.stripSuffix("/")}/lines"
-      val lp = new org.apache.hadoop.fs.Path(linesDir)
+      val unitsDir = s"${path.stripSuffix("/")}/$subdir"
+      val lp = new org.apache.hadoop.fs.Path(unitsDir)
       val lfs = lp.getFileSystem(hc)
       val tokens = lfs.listStatus(lp).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("delta=")).map(_.stripPrefix("delta="))
@@ -174,10 +187,10 @@ object IndexMaintenance {
       else {
         val folded = (foldable :+ "base").filter(tokens.contains)
         val kept = tokens.filterNot(folded.contains)
-        stageAndSwap(spark, linesDir) { tmp =>
-          val all = spark.read.parquet(linesDir)
+        stageAndSwap(spark, unitsDir) { tmp =>
+          val all = spark.read.parquet(unitsDir)
           all.where(col("delta").isin(folded: _*))
-            .groupBy(col("lh")).agg(sum(col("df")).as("df"))
+            .groupBy(col(keyCol)).agg(sum(col("df")).as("df"))
             .write.mode("overwrite").parquet(s"$tmp/delta=base")
           kept.foreach(t =>
             all.where(col("delta") === t).drop("delta")

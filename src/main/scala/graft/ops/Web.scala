@@ -28,6 +28,122 @@ import org.apache.spark.sql.functions._
   *     one label ([[publicSuffixes]]); hosts matching no suffix fall
   *     back to their last two labels (single-label hosts pass through).
   */
+/** A parsed public-suffix rule set — the data behind the
+  * registered-domain cut. Carries the three PSL rule classes (public
+  * spec, publicsuffix.org/list format): exact suffixes, wildcard rules
+  * (`*.ck`, stored as their parent: any ONE label under it is a public
+  * suffix) and exception rules (`!www.ck`: NOT a public suffix despite
+  * a matching wildcard). The bundled literal Seq stays the default
+  * ([[PublicSuffixRules.bundled]], exact-only); a deployment loads the
+  * full published list at runtime with [[Web.loadPublicSuffixes]] and
+  * threads it through the `rules` parameters.
+  *
+  * Serializable and reference-carried into generated code
+  * (`ctx.addReferenceObj`), so the hash-set walk stays one static-shape
+  * call per row regardless of list size — never a generated
+  * 9000-branch CASE.
+  */
+final class PublicSuffixRules private (
+    private val exact: java.util.HashSet[String],
+    private val wildcard: java.util.HashSet[String],
+    private val exception: java.util.HashSet[String]) extends Serializable {
+
+  /** True when `s` is a public suffix under the rules: exception beats
+    * wildcard/exact; a wildcard `*.p` matches exactly one label over
+    * `p`.
+    */
+  def isPublicSuffix(s: String): Boolean = {
+    if (exception.contains(s)) return false
+    if (exact.contains(s)) return true
+    val i = s.indexOf('.')
+    i > 0 && i < s.length - 1 && wildcard.contains(s.substring(i + 1))
+  }
+
+  /** The registered-domain cut (semantics of the bundled fold,
+    * generalized to the three rule classes): a host that IS a bare
+    * public suffix passes through; else the longest matching suffix —
+    * the dot walk is left-to-right, so the FIRST hit is the longest
+    * candidate — cuts to `label.suffix` (empty label → ""); no match
+    * falls back to the last two labels (both non-empty, else "");
+    * dotless hosts pass through. Shared by the interpreted and codegen
+    * paths of the `RegisteredDomain` expression.
+    */
+  def registeredDomain(input: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val host = input.toString
+    if (isPublicSuffix(host)) return input
+    var dot = host.indexOf('.')
+    while (dot >= 0) {
+      val cand = host.substring(dot + 1)
+      if (isPublicSuffix(cand)) {
+        val labelEnd = dot
+        val labelStart = host.lastIndexOf('.', labelEnd - 1) + 1
+        return UTF8String.fromString(
+          if (labelStart >= labelEnd) "" else host.substring(labelStart))
+      }
+      dot = host.indexOf('.', dot + 1)
+    }
+    val last = host.lastIndexOf('.')
+    if (last < 0) return input
+    val prev = host.lastIndexOf('.', last - 1)
+    val ok = last + 1 < host.length && prev + 1 < last
+    UTF8String.fromString(if (ok) host.substring(prev + 1) else "")
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case r: PublicSuffixRules =>
+      exact == r.exact && wildcard == r.wildcard && exception == r.exception
+    case _ => false
+  }
+
+  override def hashCode: Int =
+    31 * (31 * exact.hashCode + wildcard.hashCode) + exception.hashCode
+
+  override def toString: String =
+    s"PublicSuffixRules(${exact.size} exact, ${wildcard.size} wildcard, " +
+      s"${exception.size} exception)"
+}
+
+object PublicSuffixRules {
+
+  /** Exact-only rules from a plain suffix list. */
+  def fromSuffixes(suffixes: Seq[String]): PublicSuffixRules = {
+    val e = new java.util.HashSet[String]()
+    suffixes.foreach(s => e.add(s.toLowerCase))
+    new PublicSuffixRules(e, new java.util.HashSet[String](),
+      new java.util.HashSet[String]())
+  }
+
+  /** Parse the standard PSL file format: `//` comment lines (including
+    * the ICANN/PRIVATE section markers) and blanks skipped, each rule
+    * is the text up to the first whitespace, lowercased; `!` marks an
+    * exception, `*.` a wildcard.
+    */
+  def parse(lines: Iterator[String], source: String): PublicSuffixRules = {
+    val exact = new java.util.HashSet[String]()
+    val wild = new java.util.HashSet[String]()
+    val exc = new java.util.HashSet[String]()
+    lines.foreach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("//")) {
+        val rule = line.split("\\s+")(0).toLowerCase
+        if (rule.startsWith("!")) exc.add(rule.substring(1))
+        else if (rule.startsWith("*.")) wild.add(rule.substring(2))
+        else exact.add(rule)
+      }
+    }
+    if (exact.isEmpty && wild.isEmpty)
+      throw new IllegalArgumentException(s"no public-suffix rules in $source")
+    new PublicSuffixRules(exact, wild, exc)
+  }
+
+  /** The bundled default — [[Web.publicSuffixes]], exact-only, the rule
+    * set every oracle-checked query runs under.
+    */
+  lazy val bundled: PublicSuffixRules = fromSuffixes(Web.publicSuffixes)
+}
+
 object Web {
 
   /** Bundled public-suffix-style literal list — a bounded, public-
@@ -102,6 +218,31 @@ object Web {
   def registeredDomain(host: Column): Column =
     graft.functions.VectorFunctions.registeredDomain(host)
 
+  /** The cut under a caller-supplied rule set (the full published PSL
+    * via [[loadPublicSuffixes]]); same expression, rules ride as a
+    * plan reference object.
+    */
+  def registeredDomain(host: Column, rules: PublicSuffixRules): Column =
+    graft.functions.VectorFunctions.registeredDomain(host, rules)
+
+  /** Read a standard-format public-suffix list (the publicsuffix.org
+    * file format: `//` comments, `*.` wildcards, `!` exceptions)
+    * through the Hadoop FS API — the
+    * [[graft.functions.TokenCounters.loadMerges]] pattern: driver-read
+    * once, rides the serialized expression to executors (~250 KB for
+    * the full published list — plan payload, not a per-row cost).
+    */
+  def loadPublicSuffixes(path: String): PublicSuffixRules = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val in = p.getFileSystem(conf).open(p)
+    try PublicSuffixRules.parse(
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines(), path)
+    finally in.close()
+  }
+
   /** The built-in-operator spelling of [[registeredDomain]] — the
     * equivalence oracle for the fused expression, and the exact shape
     * the DuckDB twin's generated CASE runs.
@@ -120,6 +261,9 @@ object Web {
 
   /** Registered domain straight from a URL column. */
   def urlDomain(url: Column): Column = registeredDomain(urlHost(url))
+
+  def urlDomain(url: Column, rules: PublicSuffixRules): Column =
+    registeredDomain(urlHost(url), rules)
 
   /** The operator form: the input plus the three canonical key columns
     * (`canon_url`, `host`, `domain`) every downstream per-domain

@@ -538,15 +538,40 @@ object Extensions {
     "the quick brown fox jumped over the lazy dog and ran with a steady " +
       "pace to be first among all runners that day have come and gone " +
       "since then"
-  val q148_web_intake: Q = (s, d) => {
-    val docs = t(s, d, "documents").where(col("text").isNotNull)
+  /** The q148 planted crawl pages (doc_id, html) — shared with the
+    * q155 composition.
+    */
+  private def webIntakePages(docs: DataFrame): DataFrame = {
     val body = when(col("doc_id") % 11 === 0, lit(webIntakeFixedText))
       .otherwise(col("text"))
     val html = concat(lit("<html><body><h1>Hdr</h1><p>"), body,
       lit("</p><ul><li>alpha&nbsp;caf&eacute;</li>" +
         "<li>beta&#8212;&#x2014;end</li></ul></body></html>"))
-    Web.intake(docs.select(col("doc_id"), html.as("html")),
-        "doc_id", "html", webIntakeThresholds)
+    docs.select(col("doc_id"), html.as("html"))
+  }
+
+  val q148_web_intake: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+    Web.intake(webIntakePages(docs), "doc_id", "html", webIntakeThresholds)
+      .orderBy(col("doc_id"))
+  }
+
+  // q155 the full crawl→training-text path as ONE declared surface:
+  // the q148 intake (markup → gated, normalized, deduped text) feeding
+  // the q93 curation stages — source rejoined from the representative's
+  // doc_id, curate's None/None spelling (a first ingest: no standing
+  // corpus to dedup against, no benchmark to decontaminate against),
+  // the q93 budgets. The oracle composes the stages' own generated
+  // fragments end to end.
+  val q155_intake_curation: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+    val taken = Web.intake(webIntakePages(docs), "doc_id", "html",
+      webIntakeThresholds)
+    val withSource = taken
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    Curation.curate(s, withSource, "doc_id", "norm_text", "source",
+        keyIndexPath = None, benchmark = None,
+        cfg = Curation.Config(budgets = tokenBudgets))
       .orderBy(col("doc_id"))
   }
 
@@ -583,15 +608,41 @@ object Extensions {
   // paragraphs (banned at any minDocFreq) around one doc-unique tail —
   // the shared chrome dies everywhere, each doc's own content and tail
   // survive with the canonical seam.
+  private def paraChromePlant(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        lit("\n\nshared boilerplate alpha\n\nunique tail "),
+        col("doc_id").cast("string"),
+        lit("\n\nshared boilerplate beta")).as("text"))
+
   val q152_remove_paragraphs: Q = (s, d) => {
     val docs = t(s, d, "documents").where(col("text").isNotNull)
-    val multi = concat(col("text"),
-      lit("\n\nshared boilerplate alpha\n\nunique tail "),
-      col("doc_id").cast("string"),
-      lit("\n\nshared boilerplate beta"))
-    Dedup.removeFrequentParagraphs(
-        docs.select(col("doc_id"), multi.as("text")), "doc_id", "text",
+    Dedup.removeFrequentParagraphs(paraChromePlant(docs), "doc_id", "text",
         minDocFreq = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  // q154 incremental paragraph removal — q152's standing-corpus form
+  // ([[Dedup.buildParagraphIndex]] count-table layout, the q99 pattern
+  // at the paragraph unit): the even-doc_id slice's paragraph
+  // document-frequencies persist once per sf dir; the odd slice probes
+  // against it. STANDING-only semantics — a paragraph frequent only
+  // within the probe slice survives (within-batch frequency is q152's
+  // job), so the oracle recomputes the even slice's df counts and bans
+  // the odd slice at the same threshold.
+  private val paraIdxDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q154_paras_against_index: Q = (s, d) => {
+    val planted = paraChromePlant(
+      t(s, d, "documents").where(col("text").isNotNull))
+    val idx = paraIdxDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q154_paraidx_").toString + "/idx"
+      Dedup.buildParagraphIndex(planted.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", p, minDocFreq = 3)
+      p
+    })
+    Dedup.removeParagraphsAgainstIndex(s,
+        planted.where(col("doc_id") % 2 === 1), "doc_id", "text", idx)
       .orderBy(col("doc_id"))
   }
 
@@ -1887,5 +1938,7 @@ object Extensions {
     "q150_domain_blocklist" -> q150_domain_blocklist,
     "q151_segment_paragraphs" -> q151_segment_paragraphs,
     "q152_remove_paragraphs" -> q152_remove_paragraphs,
-    "q153_warc_responses" -> q153_warc_responses)
+    "q153_warc_responses" -> q153_warc_responses,
+    "q154_paras_against_index" -> q154_paras_against_index,
+    "q155_intake_curation" -> q155_intake_curation)
 }

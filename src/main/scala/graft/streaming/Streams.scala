@@ -457,6 +457,73 @@ object Streams {
       .start()
   }
 
+  /** [[lineRemovalSink]] at the PARAGRAPH unit — the streaming rung of
+    * the q152 rule (cookie banners / footers / share blocks repeat as
+    * paragraphs; the line rule only shreds them when reflow aligns).
+    * Per micro-batch, against a
+    * [[graft.ops.Dedup.buildParagraphIndex]] layout:
+    *
+    *  1. within-batch [[graft.ops.Dedup.removeFrequentParagraphs]] at
+    *     the layout's threshold;
+    *  2. [[graft.ops.Dedup.removeParagraphsAgainstIndex]] over the
+    *     survivors, excluding this batch's own token — the standing
+    *     counts a replay sees are exactly the first run's;
+    *  3. cleaned docs append to `outPath` BEFORE the index advances —
+    *     all-boilerplate docs (clean_text '' with removals) drop,
+    *     docs empty on arrival pass through, null-text rows pass
+    *     through null (the line sink's contract);
+    *  4. the batch's ORIGINAL paragraph counts admit under token
+    *     `b<batchId>` ([[graft.ops.Dedup.appendParagraphCounts]]) —
+    *     an overwrite, so the append is idempotent.
+    *
+    * REPLAY contract: exact convergence, the line sink's argument
+    * verbatim — the count layout gives replays the first run's exact
+    * inputs (step 2's exclusion pins the standing counts, steps 1/2
+    * deterministic, step 4 replaces), so the only at-least-once
+    * artifact is `outPath` re-appending byte-identical rows
+    * (compactOutput keyed on doc_id removes them; keep-any is safe).
+    */
+  def paragraphRemovalSink(spark: org.apache.spark.sql.SparkSession,
+                           stream: DataFrame, idCol: String, textCol: String,
+                           indexPath: String, outPath: String,
+                           checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val minDocFreq = spark.read.parquet(s"$indexPath/params")
+      .select(col("min_doc_freq")).head().getInt(0)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val token = s"b$batchId"
+        val withText = batch.where(col(textCol).isNotNull)
+        val withinBatch = graft.ops.Dedup
+          .removeFrequentParagraphs(withText, idCol, textCol, minDocFreq)
+        val screened = graft.ops.Dedup
+          .removeParagraphsAgainstIndex(spark,
+            withinBatch.select(col("doc_id"), col("clean_text").as("text")),
+            "doc_id", "text", indexPath, excludeToken = Some(token),
+            knownMinDocFreq = Some(minDocFreq))
+          .join(withinBatch.select(col("doc_id"), col("n_paras").as("_np"),
+            col("n_removed").as("_rm1")), Seq("doc_id"))
+          .select(col("doc_id"), col("clean_text"),
+            col("_np").as("n_paras"),
+            (col("_rm1") + col("n_removed")).as("n_removed"))
+          .where(col("clean_text") =!= "" || col("n_removed") === 0)
+          .persist()
+        try {
+          val nulls = batch.where(col(textCol).isNull)
+            .select(col(idCol).as("doc_id"),
+              lit(null).cast("string").as("clean_text"),
+              lit(0L).as("n_paras"), lit(0L).as("n_removed"))
+          screened.unionByName(nulls)
+            .write.mode("append").parquet(outPath)
+          graft.ops.Dedup.appendParagraphCounts(withText, idCol, textCol,
+            indexPath, token)
+        } finally screened.unpersist()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
   /** The COMPOSED streaming ingest — [[ingestGate]] →
     * [[gramExciseSink]] → [[semanticGateSink]] chained inside ONE
     * `foreachBatch` (the streaming analog of the batch

@@ -108,6 +108,48 @@ class CrashOrderSpec extends SparkSpec {
     } finally noInjection()
   }
 
+  test("appendParagraphCounts crash: index unchanged, replay overwrites to the crash-free state") {
+    val idx = faultyDir("graft_crash_paras_")
+    try {
+      // standing "cookie banner para" df 2, threshold 3
+      Dedup.buildParagraphIndex(Seq(
+          (1L, "cookie banner para\n\nstanding one"),
+          (2L, "cookie banner para\n\nstanding two")).toDF("doc_id", "text"),
+        "doc_id", "text", idx, minDocFreq = 3)
+      val batch = Seq((10L, "cookie banner para\n\nbatch ten"))
+        .toDF("doc_id", "text")
+      // the sink order: probe (excluding own token) -> output -> append.
+      val probe1 = Dedup.removeParagraphsAgainstIndex(spark, batch, "doc_id",
+        "text", idx, excludeToken = Some("b1"))
+        .collect().map(_.toString).sorted.toSeq
+
+      failAppendsInto("delta=b1")
+      assertThrows[Exception](
+        Dedup.appendParagraphCounts(batch, "doc_id", "text", idx, token = "b1"))
+      noInjection()
+
+      // a crashed append leaves NO committed delta rows for its token
+      assert(spark.read.parquet(s"$idx/paras")
+        .where(col("delta") === "b1").count() == 0,
+        "crashed append must not leave committed count rows")
+      // replay: the excluded probe is BYTE-identical to the first run
+      // (the exact-convergence contract of paragraphRemovalSink)
+      val probe2 = Dedup.removeParagraphsAgainstIndex(spark, batch, "doc_id",
+        "text", idx, excludeToken = Some("b1"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(probe2 == probe1, "replayed probe must equal the first run")
+      // replayed append overwrites into the crash-free state: summed df
+      // 3 bans for the NEXT carrier, and a SECOND replay changes nothing
+      Dedup.appendParagraphCounts(batch, "doc_id", "text", idx, token = "b1")
+      Dedup.appendParagraphCounts(batch, "doc_id", "text", idx, token = "b1")
+      val next = Dedup.removeParagraphsAgainstIndex(spark,
+          Seq((20L, "cookie banner para\n\ntwenty")).toDF("doc_id", "text"),
+          "doc_id", "text", idx)
+        .select("clean_text").as[String].head()
+      assert(next == "twenty", s"summed df 3 must ban: '$next'")
+    } finally noInjection()
+  }
+
   test("appendGrams crash after Bloom merge: no false excision, replay excises") {
     val idx = faultyDir("graft_crash_grams_")
     try {

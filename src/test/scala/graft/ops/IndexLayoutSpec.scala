@@ -975,6 +975,59 @@ class IndexLayoutSpec extends SparkSpec {
       spark, s"$dir/lines_idx", s"$dir/ckpt").isEmpty)
   }
 
+  test("consolidateParagraphDeltas folds committed deltas, keeps in-flight ones, probes byte-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("graft_paracons_")
+    graft.ops.Dedup.buildParagraphIndex(Seq(
+        (1L, "cookie banner para\n\nstanding one"),
+        (2L, "cookie banner para\n\nstanding two")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/paras_idx", minDocFreq = 3)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.paragraphRemovalSink(spark,
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/paras_idx", s"$dir/out", s"$dir/ckpt")
+    try {
+      mem.addData((10L, "cookie banner para\n\nalpha uno"))
+      q.processAllAvailable()
+      mem.addData((11L, "promo para\n\nbeta dos"), (12L, "promo para\n\ngamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // an IN-FLIGHT delta: appended counts whose batch never committed
+    graft.ops.Dedup.appendParagraphCounts(
+      Seq((20L, "cookie banner para\n\nuncommitted")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/paras_idx", "b2")
+
+    def probe(exclude: Option[String]) = graft.ops.Dedup
+      .removeParagraphsAgainstIndex(spark,
+        Seq((99L, "cookie banner para\n\npromo para\n\nnovel probe"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/paras_idx", excludeToken = exclude)
+      .select("doc_id", "clean_text", "n_paras", "n_removed")
+      .as[(Long, String, Long, Long)].collect().toSet
+    def deltaDirs() = new java.io.File(s"$dir/paras_idx/paras").list()
+      .filter(_.startsWith("delta=")).map(_.stripPrefix("delta=")).toSet
+    def counts() = spark.read.parquet(s"$dir/paras_idx/paras")
+      .groupBy("ph").agg(sum("df").as("df"))
+      .as[(String, Long)].collect().toSet
+
+    val (before, beforeB2, beforeCounts) =
+      (probe(None), probe(Some("b2")), counts())
+    assert(deltaDirs() == Set("base", "b0", "b1", "b2"))
+    val folded = graft.ops.IndexMaintenance.consolidateParagraphDeltas(
+      spark, s"$dir/paras_idx", s"$dir/ckpt")
+    assert(folded.toSet == Set("b0", "b1"),
+      s"only the committed tokens fold: $folded")
+    assert(deltaDirs() == Set("base", "b2"),
+      s"in-flight b2 must survive as its own partition: ${deltaDirs().toSet}")
+    assert(counts() == beforeCounts, "summed counts must be unchanged")
+    assert(probe(None) == before && probe(Some("b2")) == beforeB2,
+      "probe results must be byte-identical before/after, with and " +
+        "without the in-flight exclusion")
+    assert(graft.ops.IndexMaintenance.consolidateParagraphDeltas(
+      spark, s"$dir/paras_idx", s"$dir/ckpt").isEmpty)
+  }
+
   test("consolidateTokenBudgetState folds committed spend, keeps the in-flight delta, admissions byte-identical") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

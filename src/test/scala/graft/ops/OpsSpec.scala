@@ -658,6 +658,61 @@ class OpsSpec extends SparkSpec {
       s"the corpus must not shuffle for a bounded blocklist:\n$plan")
   }
 
+  test("loadPublicSuffixes: PSL format (comments, wildcard, exception), runtime cut") {
+    import spark.implicits._
+    val dir = tmpDir("graft_psl_")
+    val psl =
+      """// ===BEGIN ICANN DOMAINS===
+        |// comment line
+        |com
+        |CO.IL
+        |com.pl
+        |github.dev  // trailing text after whitespace is ignored
+        |*.ck
+        |!www.ck
+        |
+        |// ===END ICANN DOMAINS===
+        |""".stripMargin
+    val path = s"$dir/public_suffix_list.dat"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), psl)
+    val rules = Web.loadPublicSuffixes(path)
+    // the VERDICT examples the bundled subset mis-cuts: now exact rules
+    val hosts = Seq(
+      "a.b.site.co.il", "shop.com.pl", "u.github.dev",
+      // wildcard: any single label under ck is a public suffix
+      "a.b.foo.ck", "foo.ck",
+      // exception: www.ck is NOT a public suffix despite *.ck
+      "x.www.ck", "www.ck",
+      // untouched classes still behave
+      "plain.com", "com", "nodots", "unknown.zz.yy")
+    val got = hosts.toDF("h")
+      .select(col("h"), Web.registeredDomain(col("h"), rules).as("d"))
+      .as[(String, String)].collect().toMap
+    assert(got("a.b.site.co.il") == "site.co.il")
+    assert(got("shop.com.pl") == "shop.com.pl")
+    assert(got("u.github.dev") == "u.github.dev")
+    assert(got("a.b.foo.ck") == "b.foo.ck")
+    assert(got("foo.ck") == "foo.ck", "bare wildcard suffix passes through")
+    assert(got("x.www.ck") == "www.ck", "exception rule")
+    assert(got("www.ck") == "www.ck")
+    assert(got("plain.com") == "plain.com")
+    assert(got("com") == "com")
+    assert(got("nodots") == "nodots")
+    assert(got("unknown.zz.yy") == "zz.yy", "last-two-labels fallback")
+    // the column default stays the bundled rules: byte-identical to
+    // threading PublicSuffixRules.bundled explicitly
+    val diff = hosts.toDF("h")
+      .select(Web.registeredDomain(col("h")).as("a"),
+        Web.registeredDomain(col("h"), PublicSuffixRules.bundled).as("b"))
+      .where(not(col("a") <=> col("b"))).count()
+    assert(diff == 0)
+    // an empty/comment-only file is an error, never a silent no-rules cut
+    val empty = s"$dir/empty.dat"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(empty),
+      "// nothing here\n")
+    intercept[IllegalArgumentException] { Web.loadPublicSuffixes(empty) }
+  }
+
   test("htmlToText: rule order, non-rendered subtrees, entities, whitespace") {
     import spark.implicits._
     val page =

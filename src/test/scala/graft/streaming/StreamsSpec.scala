@@ -818,6 +818,80 @@ class StreamsSpec extends SparkSpec {
       "null and empty-on-arrival rows pass through")
   }
 
+  test("streaming paragraph-removal gate: within-batch chrome, retrospective cross-batch ban, batch-op parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("graft_parasink_")
+    // standing: "cookie banner para" df 2 — BELOW the threshold of 3
+    val standing = Seq(
+      (1L, "cookie banner para\n\nstanding one"),
+      (2L, "cookie banner para\n\nstanding two")).toDF("doc_id", "text")
+    graft.ops.Dedup.buildParagraphIndex(standing,
+      "doc_id", "text", dir, minDocFreq = 3)
+    val outPath = s"$dir/out"
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.paragraphRemovalSink(spark,
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      dir, outPath, s"$dir/ckpt")
+    val batch1 = Seq(
+      (10L, "promo para here\n\nalpha uno"),
+      (11L, "promo para here\n\nbeta dos"),
+      (12L, "promo para here"),
+      (13L, "cookie banner para\n\ngamma tres"),
+      (14L, null.asInstanceOf[String]),
+      (15L, ""))
+    var sinkB1 = Seq.empty[String]
+    try {
+      // batch 1: "promo para here" is WITHIN-batch chrome (3 carriers);
+      // 12 is only chrome (drops); 13 carries the standing paragraph
+      // while its df is still 2 -> kept (banning is retrospective);
+      // 14 null and 15 empty pass through
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      sinkB1 = spark.read.parquet(outPath)
+        .where(col("clean_text").isNotNull)
+        .select("doc_id", "clean_text", "n_paras", "n_removed")
+        .collect().map(_.toString).sorted.toSeq
+      // batch 2: doc 13's count pushed "cookie banner para" to df 3 ->
+      // the next carrier has it removed
+      mem.addData((20L, "cookie banner para\n\ndelta quat"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outPath)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(10L, 11L, 13L, 14L, 15L, 20L),
+      s"all-chrome doc 12 must drop: ${out.keySet}")
+    assert(out(10L) == ((10L, "alpha uno", 1L)) && out(11L) == ((11L, "beta dos", 1L)),
+      s"within-batch chrome removed: ${out(10L)}, ${out(11L)}")
+    assert(out(13L) == ((13L, "cookie banner para\n\ngamma tres", 0L)),
+      s"standing df 2 < 3 must keep the paragraph: ${out(13L)}")
+    assert(out(20L) == ((20L, "delta quat", 1L)),
+      s"summed df 3 bans for the NEXT carrier: ${out(20L)}")
+    assert(out(14L)._2 == null && out(15L) == ((15L, "", 0L)),
+      "null and empty-on-arrival rows pass through")
+    // batch-op parity (the q152 rule): batch 1's non-null sink rows ==
+    // removeFrequentParagraphs within the batch, then the standing
+    // screen — composed from the ops over a fresh standing-only index
+    // (the live one has since advanced past batch 1's view)
+    import org.apache.spark.sql.functions.{col => c}
+    val refIdx = tmpDir("graft_parasink_ref_")
+    graft.ops.Dedup.buildParagraphIndex(standing, "doc_id", "text", refIdx,
+      minDocFreq = 3)
+    val b1 = batch1.toDF("doc_id", "text").where(c("text").isNotNull)
+    val within = graft.ops.Dedup
+      .removeFrequentParagraphs(b1, "doc_id", "text", minDocFreq = 3)
+    val composed = graft.ops.Dedup.removeParagraphsAgainstIndex(spark,
+        within.select(c("doc_id"), c("clean_text").as("text")),
+        "doc_id", "text", refIdx)
+      .join(within.select(c("doc_id"), c("n_paras").as("_np"),
+        c("n_removed").as("_r")), Seq("doc_id"))
+      .select(c("doc_id"), c("clean_text"), c("_np").as("n_paras"),
+        (c("_r") + c("n_removed")).as("n_removed"))
+      .where(c("clean_text") =!= "" || c("n_removed") === 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sinkB1 == composed, "sink batch != composed batch ops")
+  }
+
   test("streaming quantized LSH index sink: int8 rows land in float-identical buckets and are probed") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(31)
