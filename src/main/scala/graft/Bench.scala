@@ -137,16 +137,26 @@ object Bench {
       case (Some(_), None)    => false
       case (None, _)          => true
     }
-    val bandDrift =
+    // Per-query ratios vs the bank, then flag RELATIVE to the run's
+    // median ratio: a box that is uniformly 1.3x slow (the r16 steal
+    // mode — probe fast, loadavg flat, steal under the 2% line) would
+    // otherwise flood the field with 50 false drifts and bury the one
+    // real one. A query flags only when it drifted 1.25x past the bank
+    // AND 1.25x past the run's own median drift; the median itself is
+    // recorded (band_ratio_median) as box-condition evidence.
+    val ratios =
       if (!sfMatches) Seq.empty
       else timings.flatMap { case (name, m, _) =>
-        band.get(name).flatMap { b =>
-          val norm = m / boxFactor
-          if (m >= 0 && b >= 0.05 && norm > 1.25 * b)
-            Some(name -> norm / b)
-          else None
+        band.get(name).collect {
+          case b if m >= 0 && b >= 0.05 => name -> (m / boxFactor) / b
         }
       }
+    val bandMedian =
+      if (ratios.isEmpty) 1.0
+      else ratios.map(_._2).sorted.apply(ratios.size / 2)
+    val bandDrift = ratios.filter { case (_, r) =>
+      r > 1.25 && r > 1.25 * bandMedian
+    }
 
     def fmt(d: Double): String = BenchHarness.fmt(d, scale = 6)
     // stdout line stays SHORT (3-decimal medians, no samples): the driver
