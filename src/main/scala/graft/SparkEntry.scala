@@ -3300,7 +3300,7 @@ object SparkEntry {
       "CAST(doc_id AS VARCHAR)",
       "'</h1>' || chr(10) || '<p>' || text",
       "' &amp;amp; caf&#39;e &quot;q&quot;&nbsp;x &lt;b&gt;kept&gt;" +
-        " caf&eacute; r&#8217;s h&#x2019; A&mdash;B e&hellip;" +
+        " caf&eacute; r&#8217;s h&#x2019; A&mdash;B e&hellip; w&#151;d q&#x92;t" +
         " &bogus; &#1114112; &#xD800; 5&#60;6 &#x; &&amp;</p>'",
       "'<ul><li> alpha</li><li>beta </li></ul>'",
       "'<table><tr><td>c1</td><td>c2</td></tr></table>'",
@@ -3339,8 +3339,13 @@ object SparkEntry {
     */
   private def htmlEntityDecodeSql(inner: String): String = {
     val pat = graft.ops.Web.htmlEntityTokenPattern
+    val overrides = graft.ops.Web.htmlNumericOverrides.map {
+      case (code, mapped) => s"WHEN $code THEN chr($mapped)"
+    }.mkString(" ")
     def render(cp: String): String =
-      s"CASE WHEN $cp = 160 THEN ' ' WHEN $cp BETWEEN 1 AND 1114111 " +
+      s"CASE WHEN $cp = 160 THEN ' ' " +
+        s"WHEN $cp BETWEEN 128 AND 159 THEN (CASE $cp $overrides ELSE chr($cp) END) " +
+        s"WHEN $cp BETWEEN 1 AND 1114111 " +
         s"AND NOT ($cp BETWEEN 55296 AND 57343) THEN chr($cp) ELSE x END"
     val dec = "CAST(substr(x, 3, length(x) - 3) AS INTEGER)"
     val hex = "CAST('0x' || substr(x, 4, length(x) - 4) AS INTEGER)"

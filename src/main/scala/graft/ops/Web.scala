@@ -395,14 +395,36 @@ object Web {
   val htmlEntityTokenPattern: String =
     "&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};|&[a-zA-Z][a-zA-Z0-9]{1,31};|[^&]+|&"
 
-  /** Rendered form of a decoded codepoint; null = not decodable (zero,
-    * beyond U+10FFFF, or a surrogate), keep the token literal.
+  /** The HTML5 numeric-entity overrides for 0x80–0x9F (public spec,
+    * "character reference code" table): legacy pages write `&#151;`
+    * MEANING the windows-1252 em-dash, and every browser renders it
+    * that way — a straight C1-control decode would put invisible
+    * control bytes in training text. Codes absent here (0x81, 0x8D,
+    * 0x8F, 0x90, 0x9D) decode to themselves per the spec.
     */
-  def decodedCodepoint(cp: Int): String =
+  val htmlNumericOverrides: Seq[(Int, Int)] = Seq(
+    0x80 -> 0x20AC, 0x82 -> 0x201A, 0x83 -> 0x0192, 0x84 -> 0x201E,
+    0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021, 0x88 -> 0x02C6,
+    0x89 -> 0x2030, 0x8A -> 0x0160, 0x8B -> 0x2039, 0x8C -> 0x0152,
+    0x8E -> 0x017D, 0x91 -> 0x2018, 0x92 -> 0x2019, 0x93 -> 0x201C,
+    0x94 -> 0x201D, 0x95 -> 0x2022, 0x96 -> 0x2013, 0x97 -> 0x2014,
+    0x98 -> 0x02DC, 0x99 -> 0x2122, 0x9A -> 0x0161, 0x9B -> 0x203A,
+    0x9C -> 0x0153, 0x9E -> 0x017E, 0x9F -> 0x0178)
+
+  private val numericOverrideMap: Map[Int, Int] = htmlNumericOverrides.toMap
+
+  /** Rendered form of a decoded codepoint; null = not decodable (zero,
+    * beyond U+10FFFF, or a surrogate), keep the token literal. 160
+    * renders as a plain space; 0x80–0x9F go through the HTML5
+    * windows-1252 override table above.
+    */
+  def decodedCodepoint(cp0: Int): String = {
+    val cp = numericOverrideMap.getOrElse(cp0, cp0)
     if (cp == 160) " "
     else if (cp >= 1 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
       new String(Character.toChars(cp))
     else null
+  }
 
   private val namedEntityMap: java.util.HashMap[String, String] = {
     val m = new java.util.HashMap[String, String]()
@@ -481,7 +503,10 @@ object Web {
     */
   def decodeHtmlEntitiesComposed(c: Column): Column = {
     def render(tok: Column, cp: Column): Column =
-      when(cp === 160, lit(" "))
+      htmlNumericOverrides.foldLeft(when(cp === 160, lit(" "))) {
+        case (acc, (code, mapped)) =>
+          acc.when(cp === code, lit(new String(Character.toChars(mapped))))
+      }
         .when(cp.between(1, 0x10FFFF) && !cp.between(0xD800, 0xDFFF),
           format_string("%c", cp))
         .otherwise(tok)

@@ -482,7 +482,7 @@ object Extensions {
       col("doc_id").cast("string"),
       lit("</h1>\n<p>"), col("text"),
       lit(" &amp;amp; caf&#39;e &quot;q&quot;&nbsp;x &lt;b&gt;kept&gt;" +
-        " caf&eacute; r&#8217;s h&#x2019; A&mdash;B e&hellip;" +
+        " caf&eacute; r&#8217;s h&#x2019; A&mdash;B e&hellip; w&#151;d q&#x92;t" +
         " &bogus; &#1114112; &#xD800; 5&#60;6 &#x; &&amp;</p>"),
       lit("<ul><li> alpha</li><li>beta </li></ul>"),
       lit("<table><tr><td>c1</td><td>c2</td></tr></table>"),

@@ -193,6 +193,20 @@ object WarcReader {
 
   /** HTTP head off a response block: (status, Content-Type, body).
     * No CRLFCRLF head terminator → the whole block passes through.
+    *
+    * The body is decoded the way a client would read it — WARC
+    * `response` records store the RAW wire bytes, and real crawls are
+    * full of both inner encodings:
+    *   - `Transfer-Encoding: chunked` → de-chunked (hex size lines,
+    *     extensions ignored, trailers dropped);
+    *   - `Content-Encoding: gzip/x-gzip/deflate` → decompressed
+    *     (deflate tries zlib-wrapped, then raw — both exist in the
+    *     wild).
+    * Chunked unwraps FIRST (it frames the compressed stream). An inner
+    * decode that fails degrades to the raw bytes rather than throwing:
+    * the WARC record framing (Content-Length) is intact, and one
+    * server's malformed chunk stream must not kill a corpus-scale scan
+    * — unlike record-level truncation, which still throws.
     */
   private def splitHttp(
       block: Array[Byte]): (Option[Int], Option[String], Array[Byte]) = {
@@ -203,11 +217,72 @@ object WarcReader {
       .filter(_.startsWith("HTTP/"))
       .flatMap(_.split(" ", 3).lift(1))
       .flatMap(_.toIntOption)
-    val ct = lines.iterator.drop(1)
-      .find(_.toLowerCase.startsWith("content-type:"))
+    def header(name: String): Option[String] = lines.iterator.drop(1)
+      .find(_.toLowerCase.startsWith(name + ":"))
       .map(l => l.substring(l.indexOf(':') + 1).trim)
-    (status, ct,
-      java.util.Arrays.copyOfRange(block, sep + 4, block.length))
+    val ct = header("content-type")
+    var body = java.util.Arrays.copyOfRange(block, sep + 4, block.length)
+    if (header("transfer-encoding").exists(_.toLowerCase.contains("chunked")))
+      dechunk(body).foreach(body = _)
+    header("content-encoding").map(_.toLowerCase) match {
+      case Some("gzip") | Some("x-gzip") => gunzip(body).foreach(body = _)
+      case Some("deflate")               => inflate(body).foreach(body = _)
+      case _                             => ()
+    }
+    (status, ct, body)
+  }
+
+  /** De-chunk an HTTP/1.1 chunked body; None on any malformed framing
+    * (caller keeps the raw bytes).
+    */
+  private[sources] def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    while (true) {
+      // hex chunk size up to CRLF; `;ext` chunk extensions ignored
+      val eol = indexOfCrlf(b, i)
+      if (eol < 0) return None
+      val sizeStr = new String(b, i, eol - i, ISO_8859_1)
+        .takeWhile(_ != ';').trim
+      val size =
+        try java.lang.Long.parseLong(sizeStr, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size < 0 || size > Int.MaxValue) return None
+      i = eol + 2
+      if (size == 0) return Some(out.toByteArray) // trailers dropped
+      if (i + size + 2 > b.length) return None
+      out.write(b, i, size.toInt)
+      i += size.toInt
+      if (b(i) != '\r' || b(i + 1) != '\n') return None
+      i += 2
+    }
+    None // unreachable
+  }
+
+  private def indexOfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def gunzip(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new GZIPInputStream(new java.io.ByteArrayInputStream(b))
+      try Some(in.readAllBytes()) finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  private def inflate(b: Array[Byte]): Option[Array[Byte]] = {
+    def run(raw: Boolean): Option[Array[Byte]] =
+      try {
+        val in = new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(b),
+          new java.util.zip.Inflater(raw))
+        try Some(in.readAllBytes()) finally in.close()
+      } catch { case _: java.io.IOException => None }
+    run(raw = false).orElse(run(raw = true))
   }
 
   private def indexOfDoubleCrlf(b: Array[Byte]): Int = {

@@ -762,6 +762,10 @@ class OpsSpec extends SparkSpec {
       assert(d(lit) == lit, s"must stay literal: $lit")
     // case-sensitive names where both cases exist
     assert(d("&prime;&Prime;") == "′″")
+    // HTML5 windows-1252 overrides for 0x80-0x9F: browsers render
+    // &#151; as an em-dash, never a C1 control
+    assert(d("&#151;&#x92;&#128;") == "—’€")
+    assert(d("&#129;") == "", "unmapped C1 codes decode to themselves")
     // boundary shapes
     assert(d("") == "")
     assert(d("no entities") == "no entities")
@@ -778,7 +782,8 @@ class OpsSpec extends SparkSpec {
       "&bogus; &#0; &#1114112; &#xD800; &#12345678; &#x; &a;",
       "a&nbsp;&#160;&#xa0;b plain &#x10FFFF; end&",
       "&" + "z" * 31 + "; &" + "z" * 32 + ";",
-      "&prime;&Prime; &NBSP; &#8217 &#x2019 x")
+      "&prime;&Prime; &NBSP; &#8217 &#x2019 x",
+      "&#151;&#x92;&#128;&#129;&#159;&#x9f; cp1252 overrides")
     val diff = cases.toDF("s")
       .select(col("s"), Web.decodeHtmlEntitiesComposed(col("s")).as("c"))
       .as[(String, String)].collect()

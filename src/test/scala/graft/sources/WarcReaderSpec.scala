@@ -107,6 +107,83 @@ class WarcReaderSpec extends SparkSpec {
       "text/html; charset=not-a-charset") == "windows-1252")
   }
 
+  test("inner HTTP encodings: chunked, gzip, deflate, chunked+gzip, malformed degrades to raw") {
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    def chunk(payload: Array[Byte], sizes: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var off = 0
+      for (s <- sizes) {
+        out.write(s"${s.toHexString}\r\n".getBytes(ISO_8859_1))
+        out.write(payload, off, s); off += s
+        out.write("\r\n".getBytes(ISO_8859_1))
+      }
+      assert(off == payload.length)
+      out.write("0\r\n\r\n".getBytes(ISO_8859_1))
+      out.toByteArray
+    }
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def defl(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(bos)
+      d.write(b); d.close(); bos.toByteArray
+    }
+    def respBlock(headers: String, body: Array[Byte]): Array[Byte] = {
+      val head = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        headers + "\r\n").getBytes(ISO_8859_1)
+      head ++ body
+    }
+    val html = "<html><body><p>inner-encoded café body</p></body></html>"
+    val raw = html.getBytes(UTF_8)
+    val recs = Seq(
+      ("https://ex.com/chunked",
+        respBlock("Transfer-Encoding: chunked\r\n", chunk(raw, Seq(10, 25, raw.length - 35)))),
+      ("https://ex.com/gzip",
+        respBlock("Content-Encoding: gzip\r\n", gz(raw))),
+      ("https://ex.com/deflate",
+        respBlock("Content-Encoding: deflate\r\n", defl(raw))),
+      ("https://ex.com/both",
+        respBlock("Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+          chunk(gz(raw), Seq(gz(raw).length)))),
+      ("https://ex.com/badchunk",
+        respBlock("Transfer-Encoding: chunked\r\n",
+          "zz-not-hex\r\nbroken".getBytes(ISO_8859_1))))
+      .zipWithIndex.map { case ((url, block), i) =>
+        WarcWriter.record("response", url, date, rid(100 + i),
+          "application/http; msgtype=response", block)
+      }
+    val wd = tmpDir("graft_warc_enc_")
+    WarcWriter.write(spark, s"$wd/enc.warc", recs.iterator)
+    val got = WarcReader.responses(spark, s"$wd/enc.warc")
+      .select(col("url"), col("html"))
+      .as[(String, String)].collect().toMap
+    assert(got("https://ex.com/chunked") == html)
+    assert(got("https://ex.com/gzip") == html)
+    assert(got("https://ex.com/deflate") == html)
+    assert(got("https://ex.com/both") == html,
+      "chunked unwraps first, then content-encoding")
+    assert(got("https://ex.com/badchunk").contains("zz-not-hex"),
+      "malformed inner framing degrades to raw bytes, never throws")
+    // raw (zlib-headerless) deflate — the other wild spelling
+    val rawDefl = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length * 2 + 64)
+      val n = d.deflate(buf); java.util.Arrays.copyOf(buf, n)
+    }
+    val rec2 = WarcWriter.record("response", "https://ex.com/rawdeflate",
+      date, rid(200), "application/http; msgtype=response",
+      respBlock("Content-Encoding: deflate\r\n", rawDefl))
+    WarcWriter.write(spark, s"$wd/enc2.warc", Iterator(rec2))
+    val got2 = WarcReader.responses(spark, s"$wd/enc2.warc")
+      .select(col("html")).as[String].head()
+    assert(got2 == html, "raw deflate decodes via the fallback")
+  }
+
   test("malformed input throws with file context; truncation never silently drops") {
     val wd = tmpDir("graft_warc_")
     val garbage = s"$wd/garbage.warc"
