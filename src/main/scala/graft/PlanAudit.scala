@@ -79,7 +79,8 @@ object PlanAudit {
       "q147_leak_free_split", "q148_web_intake", "q149_gopher_report",
       "q150_domain_blocklist", "q151_segment_paragraphs",
       "q152_remove_paragraphs", "q153_warc_responses",
-      "q154_paras_against_index", "q155_intake_curation")
+      "q154_paras_against_index", "q155_intake_curation",
+      "q156_warc_charset_profile")
     // optional args = audit only these queries (iterating on one
     // operator); a trailing `--json <path>` additionally writes the
     // table as the per-round PLANAUDIT artifact, so plan-shape

@@ -418,6 +418,7 @@ object SparkEntry {
     // q155: the q148 intake CTEs chained into the q93 stages — see
     // intakeCurationSql
     "q155_intake_curation" -> intakeCurationSql,
+    "q156_warc_charset_profile" -> warcCharsetProfileSql,
     // q144: the identical planted mess (combining acute/grave, tabs, a
     // C0 control byte, double spaces) and the identical normalization
     // order: NFC -> lower -> control strip -> whitespace collapse ->
@@ -3521,6 +3522,23 @@ object SparkEntry {
           "             FROM intake i JOIN documents dd USING (doc_id))",
           standingScreen = false, benchmarkScreen = false)},
        |$curationTailSql""".stripMargin
+
+  /** q156 oracle: the sniff outcome per doc_id%3 class is deterministic
+    * over the q153 fixture; the expected canonical names derive from
+    * the SAME `warcCharsets` constant through java.nio's
+    * canonicalization — the engines can only disagree on the sniff
+    * itself, never on the names.
+    */
+  private def warcCharsetProfileSql: String = {
+    val names = graft.queries.Extensions.warcCharsets
+      .map(n => java.nio.charset.Charset.forName(n).name())
+    s"""SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN '${names(0)}'
+       |    WHEN 1 THEN '${names(1)}' ELSE '${names(2)}' END AS charset,
+       |  CAST(200 AS INTEGER) AS http_status,
+       |  COUNT(*) AS n_pages
+       |FROM documents WHERE text IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY charset""".stripMargin
+  }
 
   /** q153 oracle: the expected page per document, rebuilt from the
     * SAME constants the query's fixture writer reads

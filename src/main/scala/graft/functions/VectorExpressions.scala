@@ -1557,6 +1557,37 @@ case class DecodeCharset(left: Expression, right: Expression)
       newRight: Expression): DecodeCharset = copy(newLeft, newRight)
 }
 
+/** The sniffed charset NAME (canonical java.nio name) — the audit
+  * column beside [[DecodeCharset]]: a crawl-quality profile keyed on it
+  * shows which encodings a source actually ships (and how much of a
+  * corpus rides the UTF-8 fallback). Same rung order as the decode, by
+  * construction (both call [[graft.sources.Charsets]]).
+  */
+case class SniffCharset(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.{BinaryType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_sniff_charset"
+
+  override protected def nullSafeEval(payload: Any, ct: Any): Any =
+    UTF8String.fromString(graft.sources.Charsets.sniff(
+      payload.asInstanceOf[Array[Byte]],
+      ct.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, c) => {
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.sources.Charsets.sniff($p, $c.toString()));""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SniffCharset = copy(newLeft, newRight)
+}
+
 /** `Web.registeredDomain`'s longest-suffix cut as ONE expression. The
   * Column spelling folds ~60 `when(endsWith…, regexp_extract…)` branches
   * into a single chained CASE — correct, but the generated code is large
@@ -2509,6 +2540,11 @@ object VectorBridge {
 
   def decodeCharset(payload: Column, contentType: Column): Column =
     ExpressionUtils.column(DecodeCharset(
+      ExpressionUtils.expression(payload),
+      ExpressionUtils.expression(contentType)))
+
+  def sniffCharset(payload: Column, contentType: Column): Column =
+    ExpressionUtils.column(SniffCharset(
       ExpressionUtils.expression(payload),
       ExpressionUtils.expression(contentType)))
 

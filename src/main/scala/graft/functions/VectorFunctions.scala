@@ -97,6 +97,14 @@ object VectorFunctions {
       org.apache.spark.sql.functions.coalesce(contentType,
         org.apache.spark.sql.functions.lit("")))
 
+  /** The sniffed charset NAME (canonical) — the audit column beside
+    * decodeCharset; same rung order by construction.
+    */
+  def sniffCharset(payload: Column, contentType: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.sniffCharset(payload,
+      org.apache.spark.sql.functions.coalesce(contentType,
+        org.apache.spark.sql.functions.lit("")))
+
   /** The Gopher keep decision in one codegen'd call (one stats pass +
     * thresholds in Scala; the struct-derived spelling re-evaluates the
     * stats per flag when used as a FILTER) — backs

@@ -663,10 +663,17 @@ object Extensions {
     " utfé ’—€",
     " latin café ± ÷",
     " cp ’— €")
-  private val warcCharsets = Seq("utf-8", "iso-8859-1", "windows-1252")
+  /** The per-class declared encodings of the q153/q156 fixture — the
+    * single source the q156 oracle derives its canonical names from.
+    */
+  val warcCharsets: Seq[String] = Seq("utf-8", "iso-8859-1", "windows-1252")
   private val warcDirs = scala.collection.concurrent.TrieMap.empty[String, String]
-  val q153_warc_responses: Q = (s, d) => {
-    val file = warcDirs.getOrElseUpdate(d, {
+
+  /** The q153/q156 multi-charset `.warc.gz` fixture, built once per sf
+    * dir (the q94 memo pattern).
+    */
+  private def warcFixture(s: SparkSession, d: String): String =
+    warcDirs.getOrElseUpdate(d, {
       val p = java.nio.file.Files
         .createTempDirectory("graft_q153_warc_").toString + "/crawl.warc.gz"
       val docRows = t(s, d, "documents").where(col("text").isNotNull)
@@ -685,6 +692,9 @@ object Extensions {
       })
       p
     })
+
+  val q153_warc_responses: Q = (s, d) => {
+    val file = warcFixture(s, d)
     graft.sources.WarcReader.responses(s, file)
       .select(
         regexp_extract(col("url"), "([0-9]+)$", 1).cast("bigint")
@@ -692,6 +702,27 @@ object Extensions {
         col("url"), col("http_status").cast("int").as("http_status"),
         col("html"))
       .orderBy(col("doc_id"))
+  }
+
+  // q156 crawl source-quality profile — the audit card over a crawl
+  // file: per (sniffed charset, http_status) page counts via the
+  // codegen'd SniffCharset audit column (same rung order as the decode
+  // by construction). Over the q153 fixture the sniff outcome is a
+  // deterministic function of doc_id%3, so the oracle derives the
+  // expected canonical names from the SAME warcCharsets constant
+  // (through java.nio's canonicalization) and counts by class.
+  val q156_warc_charset_profile: Q = (s, d) => {
+    val file = warcFixture(s, d)
+    graft.sources.WarcReader.read(s, file).toDF()
+      .where(col("warc_type") === "response")
+      .select(
+        graft.functions.VectorFunctions
+          .sniffCharset(col("payload"), col("http_content_type"))
+          .as("charset"),
+        col("http_status").cast("int").as("http_status"))
+      .groupBy(col("charset"), col("http_status"))
+      .agg(count(lit(1)).as("n_pages"))
+      .orderBy(col("charset"))
   }
 
   // q59 int8-quantized brute-force top-k: q25's retrieval over 4×-smaller
@@ -1940,5 +1971,6 @@ object Extensions {
     "q152_remove_paragraphs" -> q152_remove_paragraphs,
     "q153_warc_responses" -> q153_warc_responses,
     "q154_paras_against_index" -> q154_paras_against_index,
-    "q155_intake_curation" -> q155_intake_curation)
+    "q155_intake_curation" -> q155_intake_curation,
+    "q156_warc_charset_profile" -> q156_warc_charset_profile)
 }

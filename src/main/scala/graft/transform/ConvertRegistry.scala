@@ -35,7 +35,10 @@ object ConvertRegistry {
     // registered-domain cut of a field that already holds a bare host
     "registered_domain" -> (c => graft.ops.Web.registeredDomain(c)),
     // crawl-intake extraction: markup field -> rendered text
-    "html_to_text"      -> (c => graft.ops.Web.htmlToText(c)))
+    "html_to_text"      -> (c => graft.ops.Web.htmlToText(c)),
+    // entity decode ALONE (text that was entity-escaped but carries no
+    // markup to strip — feed archives, scraped attributes)
+    "decode_entities"   -> (c => graft.ops.Web.decodeHtmlEntitiesComposed(c)))
 
   /** Compile one convert spec (string method name or dict mapping) into a
     * Column transformation of `col`.

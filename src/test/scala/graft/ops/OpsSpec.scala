@@ -635,6 +635,13 @@ class OpsSpec extends SparkSpec {
         org.json4s.JString("url_domain")).as("d"))
       .as[String].collect().head
     assert(viaKnob == "example.co.uk")
+    // entity decode as its own knob (escaped text with no markup)
+    val decoded = Seq(Tuple1("caf&eacute; &amp;lt; r&#8217;s &#151;"))
+      .toDF("t")
+      .select(graft.transform.ConvertRegistry.compile("t",
+        org.json4s.JString("decode_entities")).as("d"))
+      .as[String].collect().head
+    assert(decoded == "café &lt; r’s —", decoded)
   }
 
   test("filterBlockedDomains: registered-domain match, subdomains included, broadcast anti") {
