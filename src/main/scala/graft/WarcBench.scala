@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Spot-bench for the WARC source at a volume where the fixture suite
+  * (500 records at sf0.1) cannot show anything — the evidence behind
+  * the reader's two scale claims:
+  *
+  *  1. **Streaming per-file reads**: records parse off a bounded buffer
+  *     (binaryFiles/PortableDataStream), so throughput is flat in file
+  *     size and driver/executor memory does not scale with it — a
+  *     1 GB .warc.gz behaves like ten 100 MB ones, minus parallelism.
+  *  2. **The file is the parallelism unit**: N files → N tasks; at a
+  *     real crawl's thousands-of-files shape, read bandwidth scales
+  *     with cores until I/O saturates. Measured here as the 1-file vs
+  *     8-file wall-clock on the same record population.
+  *
+  * Corpus: `SPARK_GRAFT_WARC_RECORDS` (default 100k) synthetic response
+  * records (~1.5 KB html each, deterministic from the record index,
+  * entity + charset mass included so decode is real work), written as
+  * one `.warc.gz` and as 8 shards. Measures warm medians of the full
+  * scan-decode-count (responses → html non-null count — forces parse +
+  * charset + materialization). One JSON line on stdout (the [[Bench]]
+  * discipline); recorded in BASELINE.md and WARC_BENCH.json.
+  */
+object WarcBench {
+  def main(args: Array[String]): Unit = {
+    import BenchHarness.{medianOf, time}
+    val n = BenchHarness.env("SPARK_GRAFT_WARC_RECORDS", "100000").toInt
+    val spark = BenchHarness.session(BenchHarness.cpus(), logLevel = "ERROR")
+
+    val base = BenchHarness.tmp("graft_warcbench_")
+    def html(i: Int): String = {
+      val para = s"record $i the quick brown fox jumped over the lazy " +
+        s"dog caf&eacute; r&#8217;s &mdash; block ${i % 97} " +
+        ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+          "eiusmod tempor incididunt ut labore et dolore magna aliqua ") * 3
+      s"<html><head><title>doc $i</title></head><body><h1>D$i</h1>" +
+        s"<p>$para</p><ul><li>alpha $i</li><li>beta</li></ul></body></html>"
+    }
+    def record(i: Int): Array[Byte] = {
+      val cs = Seq("utf-8", "iso-8859-1", "windows-1252")(i % 3)
+      graft.sources.WarcWriter.responseRecord(
+        s"https://bench.example/doc/$i", "2026-01-02T03:04:05Z",
+        s"<urn:bench:$i>", html(i), cs, declareInHeader = true)
+    }
+    // one big member-per-record gz + 8 shards of the same population
+    val (_, tWrite1) = time(graft.sources.WarcWriter.write(spark,
+      s"$base/one/crawl.warc.gz", (0 until n).iterator.map(record)))
+    val (_, tWrite8) = time {
+      (0 until 8).foreach { s =>
+        graft.sources.WarcWriter.write(spark,
+          s"$base/eight/crawl-$s.warc.gz",
+          (s until n by 8).iterator.map(record))
+      }
+    }
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
+    }
+    val gzBytes = dirBytes(s"$base/one")
+
+    def scan(path: String): Long = graft.sources.WarcReader
+      .responses(spark, path)
+      .where(col("html").isNotNull).count()
+    // correctness anchor: both layouts yield every record
+    require(scan(s"$base/one") == n && scan(s"$base/eight") == n)
+    val t1 = medianOf(3)(scan(s"$base/one"))
+    val t8 = medianOf(3)(scan(s"$base/eight"))
+
+    def fmt(d: Double): String = BenchHarness.fmt(d, scale = 3)
+    val recsPerSec1 = n / t1
+    val recsPerSec8 = n / t8
+    val json =
+      s"""{"metric":"warc_scan","records":$n,"gz_bytes":$gzBytes,""" +
+        s""""write_1f_s":${fmt(tWrite1)},"write_8f_s":${fmt(tWrite8)},""" +
+        s""""scan_1file_s":${fmt(t1)},"scan_8file_s":${fmt(t8)},""" +
+        s""""recs_per_s_1f":${fmt(recsPerSec1)},""" +
+        s""""recs_per_s_8f":${fmt(recsPerSec8)},""" +
+        s""""speedup_8f":${fmt(t1 / t8)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_WARC_BENCH_OUT", "WARC_BENCH.json")),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

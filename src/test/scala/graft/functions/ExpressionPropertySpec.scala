@@ -426,6 +426,10 @@ class ExpressionPropertySpec extends SparkSpec {
           lit("</p>"))).as("ht"),
         VectorFunctions.registeredDomain(concat(substring(col("text"), 1, 3),
           lit(".example.co.uk"))).as("rd"),
+        VectorFunctions.decodeCharset(col("text").cast("binary"),
+          lit("text/html; charset=utf-8")).as("dc"),
+        VectorFunctions.sniffCharset(col("text").cast("binary"),
+          lit("text/html")).as("sc"),
         VectorFunctions.paragraphs(concat(col("text"), lit("\n\np2"))).as("pg"),
         VectorFunctions.tokenProfile(col("text"),
           Seq(Seq("tok", "b"), Seq("c"))).as("tp"),
