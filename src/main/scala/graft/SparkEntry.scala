@@ -419,6 +419,7 @@ object SparkEntry {
     // intakeCurationSql
     "q155_intake_curation" -> intakeCurationSql,
     "q156_warc_charset_profile" -> warcCharsetProfileSql,
+    "q157_crawl_token_ids" -> crawlTokenIdsSql,
     // q144: the identical planted mess (combining acute/grave, tabs, a
     // C0 control byte, double spaces) and the identical normalization
     // order: NFC -> lower -> control strip -> whitespace collapse ->
@@ -2041,13 +2042,21 @@ object SparkEntry {
     * first (the fixture vocabulary is tiny), then counts join back to
     * occurrences — `wocc` keeps doc_id/source for the consumers.
     */
-  private def bpeWordCtes: String = {
+  private def bpeWordCtes: String = bpeWordCtesFrom(
+    "SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL")
+
+  /** [[bpeWordCtes]] over a caller-supplied (doc_id, source, text)
+    * select — the q157 composition tokenizes INTAKE output, whose word
+    * population (extracted headings, decoded entities) is not a subset
+    * of `documents.text`.
+    */
+  private def bpeWordCtesFrom(src: String): String = {
     val arms = graft.functions.TokenCounters.tinyMerges.zipWithIndex.map {
       case ((l, r), i) => s"WHEN '$l $r' THEN ${i + 1}"
     }.mkString(" ")
     s"""wocc AS (SELECT doc_id, source,
        |           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS w
-       |         FROM documents WHERE text IS NOT NULL),
+       |         FROM ($src)),
        |wd AS (SELECT DISTINCT w FROM wocc),
        |bpe AS (
        |  SELECT w, LIST_TRANSFORM(RANGE(1, LENGTH(w) + 1), i -> w[i]) AS syms
@@ -2341,11 +2350,20 @@ object SparkEntry {
     * are emitted in, then the id stream over the sampled docs grouped
     * into 512-token sequences.
     */
-  private def curateTokenIdsSql: String = {
+  private def curateTokenIdsSql: String =
     s"""WITH RECURSIVE $curationDeconCtes,
        |$bpeWordCtes,
        |$bpeIdCtes,
-       |dlw AS (SELECT doc_id, source,
+       |$tokenIdTailSql""".stripMargin
+
+  /** The token-id terminal over a `decon` CTE and the `wids` table
+    * (budget sample in the BPE currency → packTokens), final SELECT
+    * included — shared by the q115 and q157 oracles. NOT stripped here
+    * (the budgetThresholdCtes convention): callers' stripMargin pass
+    * handles these lines.
+    */
+  private def tokenIdTailSql: String = {
+    s"""dlw AS (SELECT doc_id, source,
        |          LIST_FILTER(STRING_SPLIT(clean_text, ' '), x -> x <> '') AS lw
        |        FROM decon),
        |dwp AS (SELECT doc_id, i AS wi, lw[i] AS w
@@ -2383,8 +2401,23 @@ object SparkEntry {
        |         LIST(CAST(g % 512 AS INTEGER) ORDER BY g) FILTER (WHERE st),
        |         x -> CAST(x AS VARCHAR)), ' '), '') AS doc_starts
        |FROM tok2 GROUP BY source, seq_id
-       |ORDER BY source, seq_id""".stripMargin
+       |ORDER BY source, seq_id"""
   }
+
+  /** q157 oracle: the q155 composition's token-id terminal — intake
+    * CTEs, the None/None decon stages, the BPE word/id tables built
+    * over the INTAKE words, then the shared token-id tail. The full
+    * crawl→training-ids path in the stages' own generated fragments.
+    */
+  private def crawlTokenIdsSql: String =
+    s"""WITH RECURSIVE $webIntakeCtes,
+       |${curationDeconCtesFrom(
+          "raw AS (SELECT i.doc_id, dd.source, i.norm_text AS text\n" +
+          "             FROM intake i JOIN documents dd USING (doc_id))",
+          standingScreen = false, benchmarkScreen = false)},
+       |${bpeWordCtesFrom("SELECT doc_id, source, text FROM raw")},
+       |$bpeIdCtes,
+       |$tokenIdTailSql""".stripMargin
 
   /** q52b oracle: q52's packing arithmetic verbatim over BPE per-doc
     * counts (LEFT JOIN keeps wordless docs at zero tokens, matching the

@@ -704,6 +704,27 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q157 the crawl→training-ids terminal — q155's composition ending
+  // at MATERIALIZED token ids (the q115 convention): intake → curation
+  // stages → budget sampling in the BPE currency → packTokens. The
+  // oracle builds its BPE word table over the INTAKE words (extracted
+  // headings, decoded entities — not a subset of documents.text) via
+  // the parameterized fragment, then chains the shared token-id tail.
+  val q157_crawl_token_ids: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+    val taken = Web.intake(webIntakePages(docs), "doc_id", "html",
+      webIntakeThresholds)
+    val withSource = taken
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    serializeIdArrays(
+      Curation.curateTokens(s, withSource, "doc_id", "norm_text", "source",
+        keyIndexPath = None, benchmark = None,
+        cfg = Curation.Config(budgets = tokenBudgets),
+        graft.functions.TokenCounters.tinyBpe),
+      "token_ids", "doc_starts")
+      .orderBy(col("source"), col("seq_id"))
+  }
+
   // q156 crawl source-quality profile — the audit card over a crawl
   // file: per (sniffed charset, http_status) page counts via the
   // codegen'd SniffCharset audit column (same rung order as the decode
@@ -1972,5 +1993,6 @@ object Extensions {
     "q153_warc_responses" -> q153_warc_responses,
     "q154_paras_against_index" -> q154_paras_against_index,
     "q155_intake_curation" -> q155_intake_curation,
-    "q156_warc_charset_profile" -> q156_warc_charset_profile)
+    "q156_warc_charset_profile" -> q156_warc_charset_profile,
+    "q157_crawl_token_ids" -> q157_crawl_token_ids)
 }

@@ -44,6 +44,11 @@ object WarcReader {
   /** One parsed record. `http_status`/`http_content_type` are None for
     * non-response records (and for response blocks with no parseable
     * HTTP head, whose block then passes through whole).
+    * `payload_digest` is the crawler's own `WARC-Payload-Digest` (e.g.
+    * `sha1:...`) when present — exact dedup can key on it WITHOUT
+    * re-hashing payloads, and it is how `revisit` records (re-fetched
+    * unchanged pages; empty/absent block by profile) point at the
+    * content they duplicate.
     */
   final case class WarcRecord(
       warc_file: String,
@@ -52,6 +57,7 @@ object WarcReader {
       warc_date: String,
       record_id: String,
       content_type: String,
+      payload_digest: Option[String],
       http_status: Option[Int],
       http_content_type: Option[String],
       payload: Array[Byte])
@@ -156,6 +162,7 @@ object WarcReader {
       warc_date = headers.getOrElse("warc-date", ""),
       record_id = headers.getOrElse("warc-record-id", ""),
       content_type = contentType,
+      payload_digest = headers.get("warc-payload-digest"),
       http_status = status,
       http_content_type = httpCt,
       payload = payload)

@@ -31,9 +31,13 @@ object WarcWriter {
     out
   }
 
-  /** One complete record: headers sized to the block, trailing CRLFCRLF. */
+  /** One complete record: headers sized to the block, trailing CRLFCRLF.
+    * `extraHeaders` carries optional named fields (WARC-Payload-Digest,
+    * WARC-Profile, WARC-Refers-To, …) verbatim.
+    */
   def record(warcType: String, url: String, date: String, recordId: String,
-             blockContentType: String, block: Array[Byte]): Array[Byte] = {
+             blockContentType: String, block: Array[Byte],
+             extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val sb = new StringBuilder(256)
     sb.append("WARC/1.0\r\n")
     sb.append("WARC-Type: ").append(warcType).append("\r\n")
@@ -41,6 +45,9 @@ object WarcWriter {
     if (date.nonEmpty) sb.append("WARC-Date: ").append(date).append("\r\n")
     if (recordId.nonEmpty)
       sb.append("WARC-Record-ID: ").append(recordId).append("\r\n")
+    extraHeaders.foreach { case (k, v) =>
+      sb.append(k).append(": ").append(v).append("\r\n")
+    }
     if (blockContentType.nonEmpty)
       sb.append("Content-Type: ").append(blockContentType).append("\r\n")
     sb.append("Content-Length: ").append(block.length).append("\r\n\r\n")

@@ -107,6 +107,45 @@ class WarcReaderSpec extends SparkSpec {
       "text/html; charset=not-a-charset") == "windows-1252")
   }
 
+  test("payload digest surfaces; revisit records carry the digest with an empty block") {
+    val body = "<html><body><p>digested page body here</p></body></html>"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val digest = "sha1:EXAMPLEDIGESTBASE32VALUE"
+    val recs = Seq(
+      WarcWriter.record("response", "https://ex.com/orig", date, rid(1),
+        "application/http; msgtype=response",
+        WarcWriter.httpResponseBlock(200, "text/html", body),
+        extraHeaders = Seq("WARC-Payload-Digest" -> digest)),
+      // a crawler's re-fetch of the SAME content: no body, digest points
+      // at what it duplicates (the identical-payload-digest profile)
+      WarcWriter.record("revisit", "https://ex.com/copy", date, rid(2),
+        "application/http; msgtype=response", Array.emptyByteArray,
+        extraHeaders = Seq(
+          "WARC-Payload-Digest" -> digest,
+          "WARC-Profile" ->
+            "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
+          "WARC-Refers-To" -> rid(1))),
+      WarcWriter.record("response", "https://ex.com/plain", date, rid(3),
+        "application/http; msgtype=response",
+        WarcWriter.httpResponseBlock(200, "text/html", body)))
+    val wd = tmpDir("graft_warc_digest_")
+    WarcWriter.write(spark, s"$wd/d.warc", recs.iterator)
+    val out = WarcReader.read(spark, s"$wd/d.warc").collect()
+      .map(r => r.record_id -> r).toMap
+    assert(out(rid(1)).payload_digest.contains(digest))
+    assert(out(rid(3)).payload_digest.isEmpty)
+    val rev = out(rid(2))
+    assert(rev.warc_type == "revisit" && rev.payload_digest.contains(digest)
+      && rev.url == "https://ex.com/copy")
+    // digest-keyed exact dedup needs NO payload hashing: the response +
+    // revisit pair collapses on the crawler's own digest
+    import spark.implicits._
+    val byDigest = WarcReader.read(spark, s"$wd/d.warc")
+      .filter(r => r.payload_digest.isDefined)
+      .groupByKey(_.payload_digest.get).count().collect().toMap
+    assert(byDigest(digest) == 2L)
+  }
+
   test("inner HTTP encodings: chunked, gzip, deflate, chunked+gzip, malformed degrades to raw") {
     import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
     def chunk(payload: Array[Byte], sizes: Seq[Int]): Array[Byte] = {
