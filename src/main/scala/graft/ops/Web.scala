@@ -274,6 +274,12 @@ object Web {
       .withColumn("host", urlHost(col(urlCol)))
       .withColumn("domain", urlDomain(col(urlCol)))
 
+  def withUrlKeys(df: DataFrame, urlCol: String,
+                  rules: PublicSuffixRules): DataFrame =
+    df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+      .withColumn("host", urlHost(col(urlCol)))
+      .withColumn("domain", urlDomain(col(urlCol), rules))
+
   /** Domain-blocklist exclusion — the crawl-policy filter every web
     * corpus runs before anything else looks at the text: rows whose
     * REGISTERED domain (the [[registeredDomain]] cut, so `a.evil.com`
@@ -287,9 +293,15 @@ object Web {
   def filterBlockedDomains(df: DataFrame, urlCol: String,
                            blocked: DataFrame,
                            blockedCol: String = "domain"): DataFrame =
+    filterBlockedDomains(df, urlCol, blocked, blockedCol,
+      PublicSuffixRules.bundled)
+
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+                           blocked: DataFrame, blockedCol: String,
+                           rules: PublicSuffixRules): DataFrame =
     df.join(
       broadcast(blocked.select(col(blockedCol).as("_blocked_domain"))),
-      urlDomain(col(urlCol)) === col("_blocked_domain"),
+      urlDomain(col(urlCol), rules) === col("_blocked_domain"),
       "left_anti")
 
   // ------------------------------------------------------------------

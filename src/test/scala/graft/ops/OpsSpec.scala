@@ -713,6 +713,16 @@ class OpsSpec extends SparkSpec {
         Web.registeredDomain(col("h"), PublicSuffixRules.bundled).as("b"))
       .where(not(col("a") <=> col("b"))).count()
     assert(diff == 0)
+    // the consuming ops thread the rules: a blocklisted registered
+    // domain under a loaded exact rule catches its subdomains
+    val pages = Seq((1L, "https://a.b.site.co.il/x"),
+      (2L, "https://other.co.il/y")).toDF("id", "url")
+    val blocked = Seq("site.co.il").toDF("domain")
+    assert(Web.filterBlockedDomains(pages, "url", blocked, "domain", rules)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(Web.withUrlKeys(pages, "url", rules)
+      .where(col("id") === 1L).select("domain").as[String].head()
+      == "site.co.il")
     // an empty/comment-only file is an error, never a silent no-rules cut
     val empty = s"$dir/empty.dat"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(empty),
