@@ -252,16 +252,83 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val reps = graft.ops.Web.intake(batch, idCol, htmlCol, th, lowercase)
-        // persisted: two consumers (output append, key admission) must
-        // not re-run the extract/gate/dedup chain twice
-        val admitted = graft.ops.Dedup.exactDedupAgainstIndex(
-          spark, reps, "norm_text", keyIndexPath).persist()
-        try {
-          admitted.write.mode("append").parquet(outPath)
-          graft.ops.Dedup.appendExactKeys(spark, admitted, "norm_text",
-            keyIndexPath)
-        } finally admitted.unpersist()
+        intakeBatch(spark, batch, idCol, htmlCol, outPath, keyIndexPath,
+          th, lowercase)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
+  /** One intake micro-batch — shared by [[webIntakeSink]] (row stream)
+    * and [[warcIngestSink]] (file-arrival stream).
+    */
+  private def intakeBatch(spark: org.apache.spark.sql.SparkSession,
+                          batch: DataFrame, idCol: String, htmlCol: String,
+                          outPath: String, keyIndexPath: String,
+                          th: graft.ops.TextAnalysis.GopherThresholds,
+                          lowercase: Boolean): Unit = {
+    val reps = graft.ops.Web.intake(batch, idCol, htmlCol, th, lowercase)
+    // persisted: two consumers (output append, key admission) must
+    // not re-run the extract/gate/dedup chain twice
+    val admitted = graft.ops.Dedup.exactDedupAgainstIndex(
+      spark, reps, "norm_text", keyIndexPath).persist()
+    try {
+      admitted.write.mode("append").parquet(outPath)
+      graft.ops.Dedup.appendExactKeys(spark, admitted, "norm_text",
+        keyIndexPath)
+    } finally admitted.unpersist()
+  }
+
+  /** CRAWL-FILE streaming intake — [[webIntakeSink]] fed by a directory
+    * where crawl shards LAND (the capture-intake loop at crawl scale):
+    * Spark's checkpointed file source streams NEW `.warc`/`.warc.gz`
+    * PATHS per micro-batch — path column only, so the binaryFile scan
+    * never materializes file bytes as rows (column pruning reads the
+    * listing, not the files) — and each batch's files stream through
+    * [[graft.sources.WarcReader.responses]] (one task per file,
+    * bounded-buffer record parse) into the q148 intake + cross-batch
+    * exact screen. The per-batch path collect is bounded by the
+    * source's files-per-trigger, never by file SIZE or record count.
+    *
+    * Replay contract: the file source's checkpoint makes the file list
+    * per batch exactly-once; a replayed batch re-reads the same files
+    * deterministically, so output re-appends are byte-identical (the
+    * compactOutput contract) and key re-admission lands in the
+    * anti-join-idempotent key layout — [[webIntakeSink]]'s crash-window
+    * argument verbatim.
+    */
+  def warcIngestSink(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, outPath: String, keyIndexPath: String,
+                     checkpoint: String,
+                     th: graft.ops.TextAnalysis.GopherThresholds =
+                       graft.ops.TextAnalysis.GopherThresholds(),
+                     lowercase: Boolean = false,
+                     pathGlob: String = "*.warc*")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("binaryFile")
+      // the format's fixed schema, declared (streaming sources cannot
+      // infer); only `path` is ever SELECTED, so the scan reads the
+      // listing — file bytes never materialize as rows
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", pathGlob)
+      .load(dir)
+      .select(col("path"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val paths = batch.select("path")
+          .as(org.apache.spark.sql.Encoders.STRING).collect()
+        if (paths.nonEmpty)
+          intakeBatch(spark,
+            graft.sources.WarcReader.responses(spark, paths.mkString(",")),
+            "record_id", "html", outPath, keyIndexPath, th, lowercase)
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

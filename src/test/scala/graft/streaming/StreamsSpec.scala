@@ -818,6 +818,59 @@ class StreamsSpec extends SparkSpec {
       "null and empty-on-arrival rows pass through")
   }
 
+  test("warc file-arrival intake: new shards stream through the gate, cross-batch screen holds") {
+    import graft.sources.{WarcReader, WarcWriter}
+    val body = "The fast brown fox ran over the low stone wall and kept " +
+      "pace with the hounds that chased it through the long grass"
+    def page(b: String) = s"<html><body><h1>Hdr</h1><p>$b</p></body></html>"
+    def rec(i: Int, b: String) = WarcWriter.responseRecord(
+      s"https://ex.com/p$i", "2026-01-02T03:04:05Z", s"<urn:w:$i>",
+      page(b), "utf-8", declareInHeader = true)
+    val dir = tmpDir("graft_warcsink_")
+    val crawl = s"$dir/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(crawl))
+    graft.ops.Dedup.buildExactKeyIndex(
+      Seq((1L, s"Hdr $body")).toDF("doc_id", "norm_text"),
+      "norm_text", s"$dir/keys")
+    val th = graft.ops.TextAnalysis.GopherThresholds(minWords = 10)
+    // shard 1 lands BEFORE the stream starts: 10 duplicates the standing
+    // corpus, 11/13 duplicate each other (min record_id keeps), 12
+    // fails the gate, 14 is novel
+    WarcWriter.write(spark, s"$crawl/shard-1.warc.gz", Iterator(
+      rec(10, body),
+      rec(11, body + " and then the chase was finally over"),
+      rec(12, "# # # #"),
+      rec(13, body + " and then the chase was finally over"),
+      rec(14, body + " until dusk settled over the far fields")))
+    val q = Streams.warcIngestSink(spark, crawl, s"$dir/out", s"$dir/keys",
+      s"$dir/ckpt", th)
+    try {
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(s"$dir/out")
+        .select("doc_id", "n_dupes").as[(String, Long)].collect().toMap
+      assert(out1.keySet == Set("<urn:w:11>", "<urn:w:14>"), s"${out1.keySet}")
+      assert(out1("<urn:w:11>") == 2L, "within-shard pair collapses")
+      // shard 2 LANDS while the stream runs: 20 re-fetches shard 1's
+      // admission (cross-FILE screen), 21 is novel
+      WarcWriter.write(spark, s"$crawl/shard-2.warc.gz", Iterator(
+        rec(20, body + " until dusk settled over the far fields"),
+        rec(21, body + " when morning broke across the valley floor")))
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[String].collect().toSet
+      assert(out2 == Set("<urn:w:11>", "<urn:w:14>", "<urn:w:21>"),
+        s"cross-shard duplicate must be screened: $out2")
+    } finally q.stop()
+    // parity: shard 1 through the batch path (warc read -> intake ->
+    // standing screen over the ORIGINAL key) = batch 1's admissions
+    val viaOps = graft.ops.Web.intake(
+        WarcReader.responses(spark, s"$crawl/shard-1.warc.gz"),
+        "record_id", "html", th)
+      .where(col("norm_text") =!= s"Hdr $body")
+      .select("doc_id").as[String].collect().toSet
+    assert(viaOps == Set("<urn:w:11>", "<urn:w:14>"))
+  }
+
   test("streaming paragraph-removal gate: within-batch chrome, retrospective cross-batch ban, batch-op parity") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("graft_parasink_")
