@@ -277,6 +277,10 @@ class WarcReaderSpec extends SparkSpec {
          |  {"type": "warc", "name": "scan",
          |   "source": {"folder": "input", "file": "crawl.warc.gz"},
          |   "target": {"file": "pages", "truncate": true}},
+         |  {"type": "warc", "name": "raw",
+         |   "source": {"folder": "input", "file": "crawl.warc.gz"},
+         |   "warc": {"mode": "records"},
+         |   "target": {"file": "records", "truncate": true}},
          |  {"type": "intake", "name": "in",
          |   "source": {"folder": "input", "file": "crawl.warc.gz",
          |              "format": "warc"},
@@ -293,6 +297,12 @@ class WarcReaderSpec extends SparkSpec {
     assert(pages.columns.toSet ==
       Set("url", "warc_date", "record_id", "http_status",
         "http_content_type", "html"))
+    // records mode: every record type, raw payload bytes, digest column
+    val raw = spark.read.parquet(s"$wd/output/records")
+    assert(raw.count() == 6)
+    assert(raw.columns.toSet == Set("warc_file", "warc_type", "url",
+      "warc_date", "record_id", "content_type", "payload_digest",
+      "http_status", "http_content_type", "payload"))
     val intake = spark.read.parquet(s"$wd/output/intake")
     // 3 even docs share a body -> 1 representative + 3 distinct odd docs
     assert(intake.count() == 4, intake.collect().mkString("\n"))
