@@ -420,6 +420,7 @@ object SparkEntry {
     "q155_intake_curation" -> intakeCurationSql,
     "q156_warc_charset_profile" -> warcCharsetProfileSql,
     "q157_crawl_token_ids" -> crawlTokenIdsSql,
+    "q158_crawl_digest_dedup" -> crawlDigestDedupSql,
     // q144: the identical planted mess (combining acute/grave, tabs, a
     // C0 control byte, double spaces) and the identical normalization
     // order: NFC -> lower -> control strip -> whitespace collapse ->
@@ -3560,17 +3561,58 @@ object SparkEntry {
     * over the q153 fixture; the expected canonical names derive from
     * the SAME `warcCharsets` constant through java.nio's
     * canonicalization — the engines can only disagree on the sniff
-    * itself, never on the names.
+    * itself, never on the names. The media kill rows (textish = false)
+    * derive from the %5==4 plant classes: the mime the gate saw, never
+    * a sniffed charset.
     */
   private def warcCharsetProfileSql: String = {
     val names = graft.queries.Extensions.warcCharsets
       .map(n => java.nio.charset.Charset.forName(n).name())
-    s"""SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN '${names(0)}'
-       |    WHEN 1 THEN '${names(1)}' ELSE '${names(2)}' END AS charset,
-       |  CAST(200 AS INTEGER) AS http_status,
-       |  COUNT(*) AS n_pages
-       |FROM documents WHERE text IS NOT NULL
-       |GROUP BY 1, 2 ORDER BY charset""".stripMargin
+    s"""SELECT * FROM (
+       |  SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN '${names(0)}'
+       |      WHEN 1 THEN '${names(1)}' ELSE '${names(2)}' END AS charset,
+       |    CAST(200 AS INTEGER) AS http_status,
+       |    TRUE AS textish,
+       |    COUNT(*) AS n_pages
+       |  FROM documents WHERE text IS NOT NULL
+       |  GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+       |      ELSE 'application/pdf' END AS charset,
+       |    CAST(200 AS INTEGER) AS http_status,
+       |    FALSE AS textish,
+       |    COUNT(*) AS n_pages
+       |  FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 4
+       |  GROUP BY 1, 2, 3
+       |) ORDER BY charset""".stripMargin
+  }
+
+  /** q158 oracle: the duplicate-digest fixture's groups are
+    * deterministic functions of doc_id — %5==0 documents share ONE
+    * byte-identical page (representative = min doc_id via the
+    * zero-padded record ids), %7==3 documents add revisit records to
+    * that digest's count, everything else is unique by the embedded
+    * doc_id. The html rebuilds from the SAME page template constants
+    * the fixture writer reads.
+    */
+  private def crawlDigestDedupSql: String = {
+    val fixed = graft.queries.Extensions.warcDupFixedBody.replace("'", "''")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id, n_fetches, n_revisits, html FROM (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS n_fetches,
+       |    CAST(0 AS BIGINT) AS n_revisits,
+       |    '<html><body><p>doc ' || CAST(doc_id AS VARCHAR) || ': ' || text
+       |      || '</p></body></html>' AS html
+       |  FROM d WHERE doc_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT MIN(doc_id) AS doc_id,
+       |    (SELECT COUNT(*) FROM d WHERE doc_id % 5 = 0)
+       |      + (SELECT COUNT(*) FROM d WHERE doc_id % 7 = 3) AS n_fetches,
+       |    (SELECT COUNT(*) FROM d WHERE doc_id % 7 = 3) AS n_revisits,
+       |    '<html><body><p>$fixed</p></body></html>' AS html
+       |  FROM d WHERE doc_id % 5 = 0
+       |  HAVING COUNT(*) > 0
+       |) ORDER BY doc_id""".stripMargin
   }
 
   /** q153 oracle: the expected page per document, rebuilt from the

@@ -753,15 +753,38 @@ object Dedup {
     * probe side admits them unconditionally.
     */
   def buildExactKeyIndex(docs: DataFrame, textCol: String, path: String,
-                         fpp: Double = 0.01): Unit = {
+                         fpp: Double = 0.01): Unit =
+    buildKeyIndexImpl(docs, md5(col(textCol)), path, fpp)
+
+  /** [[buildExactKeyIndex]] keyed on a PRECOMPUTED key column instead
+    * of a content hash — the layout behind digest-keyed crawl
+    * admission (`WARC-Payload-Digest` is already the fixed-width
+    * content key; re-hashing payloads would waste the crawler's work).
+    * Same `keys/` + `bloom/` + `params/` artifacts, so the append and
+    * probe machinery is shared verbatim.
+    */
+  def buildKeyIndex(docs: DataFrame, keyCol: String, path: String,
+                    fpp: Double = 0.01): Unit =
+    buildKeyIndexImpl(docs, col(keyCol), path, fpp)
+
+  private def buildKeyIndexImpl(docs: DataFrame, keyExpr: Column,
+                                path: String, fpp: Double): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.where(col(textCol).isNotNull)
-      .select(md5(col(textCol)).as("key")).distinct()
+    docs.where(keyExpr.isNotNull)
+      .select(keyExpr.as("key")).distinct()
       .write.mode("overwrite").parquet(s"$path/keys")
     val keys = spark.read.parquet(s"$path/keys")
-    val n = math.max(1L, keys.count())
-    val bloom = keys.stat.bloomFilter("key", n, fpp)
+    val count = keys.count()
+    val n = math.max(1L, count)
+    // first ingest builds over an EMPTY seed corpus (the streaming
+    // sinks' documented precondition) — stat.bloomFilter NPEs on zero
+    // rows, so write an empty filter with the same sizing params the
+    // per-batch append deltas must merge into
+    val bloom =
+      if (count == 0)
+        org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
+      else keys.stat.bloomFilter("key", n, fpp)
     writeBloom(spark, bloom, path)
     // sizing params: streamed appends build per-batch filters with the
     // SAME (n, fpp) so their bit arrays are mergeable into this one
@@ -824,11 +847,25 @@ object Dedup {
     * [[graft.streaming.Streams.exactKeyIndexSink]].
     */
   def appendExactKeys(spark: org.apache.spark.sql.SparkSession,
-                      docs: DataFrame, textCol: String, path: String): Unit = {
+                      docs: DataFrame, textCol: String, path: String): Unit =
+    appendKeysImpl(spark, docs, md5(col(textCol)), path)
+
+  /** [[appendExactKeys]] for a [[buildKeyIndex]] layout — admit a
+    * batch's PRECOMPUTED keys (crawl digests) into the standing index.
+    * Same write order (filter first, `keys/` second) and idempotence
+    * contract.
+    */
+  def appendKeys(spark: org.apache.spark.sql.SparkSession,
+                 docs: DataFrame, keyCol: String, path: String): Unit =
+    appendKeysImpl(spark, docs, col(keyCol), path)
+
+  private def appendKeysImpl(spark: org.apache.spark.sql.SparkSession,
+                             docs: DataFrame, keyExpr: Column,
+                             path: String): Unit = {
     // persisted: three consumers (emptiness probe, Bloom build, keys
     // append) must not re-run the caller's upstream pipeline
-    val newKeys = docs.where(col(textCol).isNotNull)
-      .select(md5(col(textCol)).as("key")).distinct().persist()
+    val newKeys = docs.where(keyExpr.isNotNull)
+      .select(keyExpr.as("key")).distinct().persist()
     try {
       if (newKeys.isEmpty) return
       val params = spark.read.parquet(s"$path/params")
@@ -861,15 +898,34 @@ object Dedup {
     */
   def exactDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                              newDocs: DataFrame, textCol: String, path: String,
-                             broadcastBatch: Boolean = true): DataFrame = {
+                             broadcastBatch: Boolean = true): DataFrame =
+    dedupAgainstKeyIndexImpl(spark, newDocs, md5(col(textCol)),
+      col(textCol).isNotNull, path, broadcastBatch)
+
+  /** [[exactDedupAgainstIndex]] for a [[buildKeyIndex]] layout — screen
+    * a batch on a PRECOMPUTED key column (the digest-keyed crawl
+    * admission gate: runs BEFORE charset decode, so a re-fetched page
+    * costs one Bloom probe, not a transcode). Null-key rows are
+    * admitted, same as null text.
+    */
+  def dedupAgainstKeyIndex(spark: org.apache.spark.sql.SparkSession,
+                           newDocs: DataFrame, keyCol: String, path: String,
+                           broadcastBatch: Boolean = true): DataFrame =
+    dedupAgainstKeyIndexImpl(spark, newDocs, col(keyCol),
+      col(keyCol).isNotNull, path, broadcastBatch)
+
+  private def dedupAgainstKeyIndexImpl(
+      spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+      keyExpr: Column, keyPresent: Column, path: String,
+      broadcastBatch: Boolean): DataFrame = {
     val bloom = readBloom(spark, path)
     // the index side joins under a reserved `_idx_key` name: a caller
     // whose docs already carry a `key` column must not make the join
     // condition ambiguous (same `_`-prefix convention as `_key`)
     val keys = spark.read.parquet(s"$path/keys")
       .select(col("key").as("_idx_key"))
-    val keyed = newDocs.withColumn("_key", md5(col(textCol)))
-    val might = col(textCol).isNotNull &&
+    val keyed = newDocs.withColumn("_key", keyExpr)
+    val might = keyPresent &&
       graft.functions.VectorFunctions.bloomMightContain(col("_key"), bloom)
     val maybe = keyed.where(might)
     val verified =

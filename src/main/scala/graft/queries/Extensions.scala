@@ -670,7 +670,12 @@ object Extensions {
   private val warcDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** The q153/q156 multi-charset `.warc.gz` fixture, built once per sf
-    * dir (the q94 memo pattern).
+    * dir (the q94 memo pattern). Besides the per-document text/html
+    * responses, every doc_id%5==4 document plants an EXTRA media
+    * response (image/png or application/pdf by doc_id%2, binary body
+    * with non-UTF-8 bytes) — the reader's text-ish content gate must
+    * drop those BEFORE decode (q153 output unchanged) and the q156
+    * profile must count them as kills.
     */
   private def warcFixture(s: SparkSession, d: String): String =
     warcDirs.getOrElseUpdate(d, {
@@ -679,19 +684,84 @@ object Extensions {
       val docRows = t(s, d, "documents").where(col("text").isNotNull)
         .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
         .collect() // fixture construction: bounded by the documents table
-      graft.sources.WarcWriter.write(s, p, docRows.iterator.map { r =>
+      graft.sources.WarcWriter.write(s, p, docRows.iterator.flatMap { r =>
         val id = r.getLong(0)
         val cls = (id % 3).toInt
         val meta = if (cls == 2) warcMetaCp1252 else ""
         val html = s"<html><head>$meta</head><body><p>" +
           s"${r.getString(1)}${warcPlants(cls)}</p></body></html>"
-        graft.sources.WarcWriter.responseRecord(
+        val page = graft.sources.WarcWriter.responseRecord(
           s"https://ex.com/doc/$id", "2026-01-02T03:04:05Z",
           s"<urn:doc:$id>", html, warcCharsets(cls),
           declareInHeader = cls != 2)
+        if (id % 5 == 4) {
+          val ct = if (id % 2 == 0) "image/png" else "application/pdf"
+          val body = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x00,
+            0xFF.toByte, 0xFE.toByte) ++ s"BIN$id".getBytes("UTF-8")
+          Seq(page, graft.sources.WarcWriter.mediaResponseRecord(
+            s"https://ex.com/media/$id", "2026-01-02T03:04:05Z",
+            s"<urn:media:$id>", ct, body))
+        } else Seq(page)
       })
       p
     })
+
+  /** The q158 duplicate-digest `.warc.gz` fixture (memoized per sf
+    * dir): every doc_id%5==0 document's response carries the SAME
+    * fixed page (byte-identical body → one shared digest); every
+    * doc_id%7==3 document contributes a `revisit` record pointing at
+    * that digest (empty block, the identical-payload-digest profile);
+    * every other document gets a unique page with its doc_id embedded.
+    * Record ids zero-pad to 12 digits so the min-(date, record_id)
+    * representative is the min doc_id — mirrorable in the oracle.
+    */
+  val warcDupFixedBody: String = "shared crawl page body every re-fetch " +
+    "returns the same bytes for"
+  private def warcDupPage(body: String): String =
+    s"<html><body><p>$body</p></body></html>"
+  private val warcDupDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def warcDupFixture(s: SparkSession, d: String): String =
+    warcDupDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q158_warc_").toString + "/crawl.warc.gz"
+      val fixedDigest = graft.sources.WarcWriter.payloadDigest(
+        warcDupPage(warcDupFixedBody).getBytes("UTF-8"))
+      val docRows = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+        .collect() // fixture construction: bounded by the documents table
+      graft.sources.WarcWriter.write(s, p, docRows.iterator.flatMap { r =>
+        val id = r.getLong(0)
+        val html =
+          if (id % 5 == 0) warcDupPage(warcDupFixedBody)
+          else warcDupPage(s"doc $id: ${r.getString(1)}")
+        val page = graft.sources.WarcWriter.responseRecord(
+          s"https://ex.com/doc/$id", "2026-01-02T03:04:05Z",
+          f"<urn:doc:$id%012d>", html, "utf-8", declareInHeader = true)
+        if (id % 7 == 3)
+          Seq(page, graft.sources.WarcWriter.revisitRecord(
+            s"https://ex.com/doc/$id", "2026-01-02T03:04:06Z",
+            s"<urn:rev:$id>", fixedDigest))
+        else Seq(page)
+      })
+      p
+    })
+
+  // q158 digest-keyed crawl dedup (WarcReader.responsesDeduped): the
+  // pre-decode rung — `WARC-Payload-Digest` groups byte-identical
+  // fetches (including `revisit` records, which carry the digest and
+  // no payload) BEFORE any charset decode runs; only the min-(date,
+  // record_id) representative's payload is ever transcoded. Over the
+  // fixture the groups are deterministic functions of doc_id%5 and
+  // doc_id%7, so the oracle recomputes them from the documents table.
+  val q158_crawl_digest_dedup: Q = (s, d) => {
+    val file = warcDupFixture(s, d)
+    graft.sources.WarcReader.responsesDeduped(s, file)
+      .select(
+        regexp_extract(col("url"), "([0-9]+)$", 1).cast("bigint")
+          .as("doc_id"),
+        col("n_fetches"), col("n_revisits"), col("html"))
+      .orderBy(col("doc_id"))
+  }
 
   val q153_warc_responses: Q = (s, d) => {
     val file = warcFixture(s, d)
@@ -726,22 +796,30 @@ object Extensions {
   }
 
   // q156 crawl source-quality profile — the audit card over a crawl
-  // file: per (sniffed charset, http_status) page counts via the
-  // codegen'd SniffCharset audit column (same rung order as the decode
-  // by construction). Over the q153 fixture the sniff outcome is a
-  // deterministic function of doc_id%3, so the oracle derives the
-  // expected canonical names from the SAME warcCharsets constant
-  // (through java.nio's canonicalization) and counts by class.
+  // file: per (charset, http_status, textish) page counts. Text-ish
+  // responses carry their SNIFFED charset (the codegen'd SniffCharset
+  // audit column — same rung order as the decode by construction);
+  // responses the content gate KILLS carry their media mime instead
+  // and `textish = false` — the kill counts the decode never pays
+  // for. Over the q153 fixture both outcomes are deterministic
+  // functions of doc_id (%3 rotates the declared charset, %5==4
+  // plants the media responses, %2 picks png vs pdf), so the oracle
+  // derives the expected names from the SAME constants.
   val q156_warc_charset_profile: Q = (s, d) => {
     val file = warcFixture(s, d)
+    val gate = graft.sources.WarcReader.textish(col("http_content_type"))
     graft.sources.WarcReader.read(s, file).toDF()
       .where(col("warc_type") === "response")
       .select(
-        graft.functions.VectorFunctions
-          .sniffCharset(col("payload"), col("http_content_type"))
+        when(gate,
+          graft.functions.VectorFunctions
+            .sniffCharset(col("payload"), col("http_content_type")))
+          .otherwise(
+            trim(lower(substring_index(col("http_content_type"), ";", 1))))
           .as("charset"),
-        col("http_status").cast("int").as("http_status"))
-      .groupBy(col("charset"), col("http_status"))
+        col("http_status").cast("int").as("http_status"),
+        gate.as("textish"))
+      .groupBy(col("charset"), col("http_status"), col("textish"))
       .agg(count(lit(1)).as("n_pages"))
       .orderBy(col("charset"))
   }
@@ -1994,5 +2072,6 @@ object Extensions {
     "q154_paras_against_index" -> q154_paras_against_index,
     "q155_intake_curation" -> q155_intake_curation,
     "q156_warc_charset_profile" -> q156_warc_charset_profile,
-    "q157_crawl_token_ids" -> q157_crawl_token_ids)
+    "q157_crawl_token_ids" -> q157_crawl_token_ids,
+    "q158_crawl_digest_dedup" -> q158_crawl_digest_dedup)
 }

@@ -82,11 +82,22 @@ object Charsets {
       math.min(prescanWindow, payload.length), StandardCharsets.ISO_8859_1)
     val m = metaCharset.matcher(window)
     if (m.find) {
-      val cs = forName(m.group(1))
+      val cs = forName(remapMetaName(m.group(1)))
       if (cs != null) return (cs, 0)
     }
     (StandardCharsets.UTF_8, 0)
   }
+
+  /** HTML5 encoding-sniffing rule for the meta rung: a meta-declared
+    * UTF-16 family maps to UTF-8 — the prescan only FOUND the tag
+    * because the bytes are ASCII-compatible (real UTF-16 pages carry a
+    * BOM, caught at rung 1), so honoring the (commonly mislabeled)
+    * declaration literally would decode the page to mojibake.
+    */
+  private def remapMetaName(name: String): String =
+    if (name.equalsIgnoreCase("utf-16") || name.equalsIgnoreCase("utf-16le") ||
+        name.equalsIgnoreCase("utf-16be")) "UTF-8"
+    else name
 
   /** Transcode `payload` to a String under the sniffed charset —
     * replacement semantics, never throws. Shared by the interpreted and

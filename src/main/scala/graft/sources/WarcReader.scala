@@ -88,22 +88,186 @@ object WarcReader {
       })
   }
 
+  /** [[read]] over an EXPLICIT file list — every path opens as the
+    * LITERAL file it names. `binaryFiles` would hand the list to
+    * Hadoop's path grammar, whose comma splitter is only
+    * curly-brace-aware (backslash escapes cannot protect a comma) and
+    * whose globber expands `{}[]*?`, so a landing shard named
+    * `crawl,{a}.warc.gz` silently mis-parses there. Here each file is
+    * one task that opens the path through the FS API directly — no
+    * list grammar, no glob expansion, and the same streamed
+    * bounded-buffer parse as [[read]]. The file-arrival streaming
+    * sink's per-batch entry point ([[graft.streaming.Streams
+    * .warcIngestSink]]), whose source hands concrete file paths.
+    */
+  def readMany(spark: SparkSession,
+               paths: Seq[String]): Dataset[WarcRecord] = {
+    import spark.implicits._
+    if (paths.isEmpty) return spark.emptyDataset[WarcRecord]
+    // Configuration is Writable, not Serializable — ship its entries
+    // and rebuild once per task (bounded: one build per file)
+    val confKV = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
+    spark.createDataset(
+      spark.sparkContext.parallelize(paths, paths.length).flatMap { file =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confKV.foreach { case (k, v) => conf.set(k, v) }
+        val p = new org.apache.hadoop.fs.Path(file)
+        val raw = p.getFileSystem(conf).open(p)
+        val in = new BufferedInputStream(
+          if (file.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16)
+          else raw,
+          1 << 16)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null)
+          tc.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: java.io.IOException => () })
+        records(file, in)
+      })
+  }
+
   /** `response` records decoded to text — the intake-facing projection:
     * (url, warc_date, record_id, http_status, http_content_type, html).
     * The charset rung ([[Charsets]] via the codegen'd expression) runs
     * as a pure map-side projection over the streamed records.
     */
-  def responses(spark: SparkSession, path: String,
-                minPartitions: Int = 0): org.apache.spark.sql.DataFrame = {
+  /** The default decode gate: SQL LIKE patterns over the lowercased
+    * mime (Content-Type parameters stripped) that mark a response
+    * payload as text worth charset-decoding. A real crawl is full of
+    * image/PDF/octet-stream responses — decoding those into garbage
+    * strings pays the transcoding AND carries the width downstream
+    * until a quality gate kills them; at the reader they cost one
+    * map-side predicate. Records with NO parseable HTTP head (null
+    * content type) pass: absence of a label is not evidence of media.
+    */
+  val textishContentTypes: Seq[String] =
+    Seq("text/%", "%html%", "%xml%", "%json%", "%javascript%")
+
+  /** The gate as a Column predicate — shared by [[responses]], the
+    * dedup path and audit profiles (q156's kill counts).
+    */
+  def textish(contentType: org.apache.spark.sql.Column,
+              patterns: Seq[String] = textishContentTypes)
+      : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    read(spark, path, minPartitions)
-      .where(col("warc_type") === "response")
+    val mime = trim(lower(substring_index(contentType, ";", 1)))
+    patterns.map(mime.like(_)).reduce(_ || _) || contentType.isNull
+  }
+
+  def responses(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame =
+    responses(read(spark, path))
+
+  def responses(spark: SparkSession, path: String,
+                minPartitions: Int): org.apache.spark.sql.DataFrame =
+    responses(read(spark, path, minPartitions))
+
+  /** The same projection over an already-parsed record set — the shape
+    * [[readMany]] callers and the digest-dedup path compose with.
+    * `decodeContentTypes` is the [[textish]] gate's pattern list;
+    * pass `Nil` to decode every response payload regardless of type.
+    */
+  def responses(records: Dataset[WarcRecord],
+                decodeContentTypes: Seq[String] = textishContentTypes)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = records.where(col("warc_type") === "response")
+    val gated =
+      if (decodeContentTypes.isEmpty) base
+      else base.where(textish(col("http_content_type"), decodeContentTypes))
+    gated
       .select(col("url"), col("warc_date"), col("record_id"),
         col("http_status"), col("http_content_type"),
         graft.functions.VectorFunctions
           .decodeCharset(col("payload"), col("http_content_type"))
           .as("html"))
   }
+
+  /** Digest-keyed PRE-DECODE exact dedup — the rung that runs before
+    * any charset decode pays for a byte-duplicate page. The key is the
+    * crawler's own `WARC-Payload-Digest` when present (md5 of the raw
+    * payload as the fallback for writers that omit it); `revisit`
+    * records — re-fetches whose digest the crawler had already stored;
+    * empty block by profile — count into their digest's group without
+    * carrying a payload at all. Per digest:
+    *
+    *   - the representative is the minimum (warc_date, record_id)
+    *     RESPONSE record, all its columns carried;
+    *   - `n_fetches` counts every response + revisit sharing the
+    *     digest; `n_revisits` counts just the revisits.
+    *
+    * A digest whose only records are revisits (the response lives in
+    * an earlier crawl) yields NO row — screening those is the standing
+    * digest-index gate's job ([[graft.ops.Dedup.dedupAgainstKeyIndex]]).
+    *
+    * Scale shape: ONE shuffle on the fixed-width digest key with
+    * map-side combine (duplicates collapse before the wire); the
+    * payload rides as the min-struct payload, never as the key — the
+    * [[graft.ops.Web.intake]] 100-TB rule. Decode work for the
+    * collapsed copies is SKIPPED entirely: at crawl dedup rates
+    * (30–60% byte-identical re-fetches) that is the single biggest
+    * saving between landing and intake.
+    */
+  def dedupByDigest(records: Dataset[WarcRecord])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    records
+      .where(col("warc_type").isin("response", "revisit"))
+      .select(
+        coalesce(col("payload_digest"), md5(col("payload"))).as("payload_digest"),
+        col("warc_type"), col("url"), col("warc_date"), col("record_id"),
+        col("http_status"), col("http_content_type"), col("payload"))
+      .groupBy(col("payload_digest"))
+      .agg(
+        // min over a struct ordered by its leading fields; null (= no
+        // response in the group) when only revisits carry the digest
+        min(when(col("warc_type") === "response",
+          struct(col("warc_date"), col("record_id"), col("url"),
+            col("http_status"), col("http_content_type"),
+            col("payload")))).as("_r"),
+        count(lit(1)).as("n_fetches"),
+        sum(when(col("warc_type") === "revisit", 1L).otherwise(0L))
+          .as("n_revisits"))
+      .where(col("_r").isNotNull)
+      .select(col("_r.url").as("url"), col("_r.warc_date").as("warc_date"),
+        col("_r.record_id").as("record_id"),
+        col("_r.http_status").as("http_status"),
+        col("_r.http_content_type").as("http_content_type"),
+        col("_r.payload").as("payload"),
+        col("payload_digest"), col("n_fetches"), col("n_revisits"))
+  }
+
+  /** [[responses]] with the digest rung in front: content-type gate →
+    * digest dedup → charset decode, in that order — media payloads
+    * never enter the shuffle, duplicate payloads never reach the
+    * decoder. Output adds (payload_digest, n_fetches, n_revisits) to
+    * the [[responses]] projection. Revisits pass the gate regardless
+    * of the pattern list (no HTTP head by profile → null content type).
+    */
+  def responsesDeduped(records: Dataset[WarcRecord],
+                       decodeContentTypes: Seq[String] = textishContentTypes)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gated =
+      if (decodeContentTypes.isEmpty) records
+      else records.where(
+        textish(col("http_content_type"), decodeContentTypes))
+    dedupByDigest(gated)
+      .select(col("url"), col("warc_date"), col("record_id"),
+        col("http_status"), col("http_content_type"),
+        col("payload_digest"), col("n_fetches"), col("n_revisits"),
+        graft.functions.VectorFunctions
+          .decodeCharset(col("payload"), col("http_content_type"))
+          .as("html"))
+  }
+
+  def responsesDeduped(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame =
+    responsesDeduped(read(spark, path))
 
   /** Streaming record iterator over one open (already-decompressed)
     * stream; closes `in` at end-of-stream.
@@ -324,15 +488,14 @@ object WarcReader {
                         len: Long): Array[Byte] = {
     require(len >= 0 && len <= Int.MaxValue,
       s"$file: unsupported block length $len")
-    val out = new Array[Byte](len.toInt)
-    var off = 0
-    while (off < len) {
-      val r = in.read(out, off, len.toInt - off)
-      if (r < 0)
-        throw new EOFException(
-          s"$file: truncated WARC block ($off of $len bytes)")
-      off += r
-    }
+    // readNBytes grows its buffer in bounded chunks as bytes actually
+    // arrive — a corrupt or hostile Content-Length can no longer
+    // trigger an up-front multi-GB allocation; truncation surfaces as
+    // the short read below, same fail-loud contract as before
+    val out = in.readNBytes(len.toInt)
+    if (out.length < len)
+      throw new EOFException(
+        s"$file: truncated WARC block (${out.length} of $len bytes)")
     out
   }
 }

@@ -59,21 +59,71 @@ object WarcWriter {
     out.toByteArray
   }
 
+  /** `WARC-Payload-Digest` value of an HTTP payload, the convention
+    * real crawl writers emit: sha1 over the PAYLOAD bytes (the body
+    * after the HTTP head — what [[WarcReader]] surfaces as `payload`),
+    * rendered as `sha1:` + unpadded RFC 4648 base32. 160 bits = exactly
+    * 32 base32 chars, so no padding arises.
+    */
+  def payloadDigest(body: Array[Byte]): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-1").digest(body)
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder(32)
+    var buf = 0L
+    var bits = 0
+    sha.foreach { b =>
+      buf = (buf << 8) | (b & 0xFFL)
+      bits += 8
+      while (bits >= 5) {
+        bits -= 5
+        sb.append(alpha(((buf >> bits) & 0x1F).toInt))
+      }
+    }
+    "sha1:" + sb.toString
+  }
+
   /** A `response` record carrying an HTTP response whose body is `html`
     * encoded in `charset`; `declareInHeader` = advertise the charset in
     * the HTTP Content-Type (else the body's own meta tag / BOM / UTF-8
-    * fallback must carry the sniff).
+    * fallback must carry the sniff). Emits the body's
+    * [[payloadDigest]] — the pre-decode dedup key every record should
+    * carry.
     */
   def responseRecord(url: String, date: String, recordId: String,
                      html: String, charset: String,
                      declareInHeader: Boolean): Array[Byte] = {
     val ct = if (declareInHeader) s"text/html; charset=$charset"
       else "text/html"
+    mediaResponseRecord(url, date, recordId, ct,
+      html.getBytes(java.nio.charset.Charset.forName(charset)))
+  }
+
+  /** A `response` record with an ARBITRARY HTTP Content-Type and raw
+    * body bytes — how crawls carry images/PDFs/octet-streams. Emits
+    * the body's [[payloadDigest]].
+    */
+  def mediaResponseRecord(url: String, date: String, recordId: String,
+                          contentType: String,
+                          body: Array[Byte]): Array[Byte] =
     record("response", url, date, recordId,
       "application/http; msgtype=response",
-      httpResponseBlock(200, ct,
-        html.getBytes(java.nio.charset.Charset.forName(charset))))
-  }
+      httpResponseBlock(200, contentType, body),
+      extraHeaders = Seq("WARC-Payload-Digest" -> payloadDigest(body)))
+
+  /** A `revisit` record (ISO 28500 §6.7.2, identical-payload-digest
+    * profile): the crawler re-fetched `url` and found content whose
+    * digest it had already stored — the block is EMPTY by profile and
+    * `digest` points at the content it duplicates. These are exact
+    * duplicates by construction; the digest-keyed dedup rung counts
+    * them without ever touching a payload.
+    */
+  def revisitRecord(url: String, date: String, recordId: String,
+                    digest: String): Array[Byte] =
+    record("revisit", url, date, recordId, "", Array.emptyByteArray,
+      extraHeaders = Seq(
+        "WARC-Payload-Digest" -> digest,
+        "WARC-Profile" ->
+          "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"))
 
   /** Write records to `path` through the Hadoop FS API; `.gz` suffix →
     * one gzip member per record.
@@ -84,13 +134,24 @@ object WarcWriter {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os: OutputStream = fs.create(p, true)
     try {
-      if (path.endsWith(".gz"))
-        records.foreach { r =>
-          val gz = new GZIPOutputStream(os, 1 << 16)
-          gz.write(r)
-          gz.finish() // end the member, keep the underlying stream open
+      if (path.endsWith(".gz")) {
+        // each member's GZIPOutputStream must be close()d — finish()
+        // ends the gzip member but never releases the native zlib
+        // Deflater, so a 100k-record write would pile up 100k native
+        // deflater states until GC cleaners run. close() ends the
+        // deflater too; the no-op-close wrapper keeps the underlying
+        // file stream open across members.
+        val keepOpen = new java.io.FilterOutputStream(os) {
+          override def write(b: Array[Byte], off: Int, len: Int): Unit =
+            out.write(b, off, len)
+          override def close(): Unit = flush()
         }
-      else records.foreach(os.write)
+        records.foreach { r =>
+          val gz = new GZIPOutputStream(keepOpen, 1 << 16)
+          gz.write(r)
+          gz.close() // end the member AND its Deflater
+        }
+      } else records.foreach(os.write)
     } finally os.close()
   }
 }

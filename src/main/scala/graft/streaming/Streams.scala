@@ -296,6 +296,17 @@ object Streams {
     * compactOutput contract) and key re-admission lands in the
     * anti-join-idempotent key layout — [[webIntakeSink]]'s crash-window
     * argument verbatim.
+    *
+    * `digestIndexPath` (a [[graft.ops.Dedup.buildKeyIndex]] layout over
+    * `WARC-Payload-Digest` values) arms the PRE-DECODE digest rung:
+    * content-type gate → within-batch digest dedup ([[graft.sources
+    * .WarcReader.dedupByDigest]]) → standing digest screen, all before
+    * any charset decode — a page the crawler re-fetched byte-identical
+    * in ANY batch costs one Bloom probe instead of a transcode + the
+    * whole intake chain. Digest admission runs LAST (after the output
+    * append and the text-key admission), so every crash window replays
+    * into the still-committed text-key gate and converges exactly as
+    * without the rung.
     */
   def warcIngestSink(spark: org.apache.spark.sql.SparkSession,
                      dir: String, outPath: String, keyIndexPath: String,
@@ -303,12 +314,45 @@ object Streams {
                      th: graft.ops.TextAnalysis.GopherThresholds =
                        graft.ops.TextAnalysis.GopherThresholds(),
                      lowercase: Boolean = false,
-                     pathGlob: String = "*.warc*")
+                     pathGlob: String = "*.warc*",
+                     digestIndexPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    warcPathStream(spark, dir, pathGlob)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val paths = batch.select("path")
+          .as(org.apache.spark.sql.Encoders.STRING).collect()
+        if (paths.nonEmpty) {
+          val (decoded, digestAdmitted) =
+            decodeWarcBatch(spark, paths.toSeq, digestIndexPath)
+          try {
+            intakeBatch(spark, decoded, "record_id", "html", outPath,
+              keyIndexPath, th, lowercase)
+            // digest admission LAST — the same keys-last replay
+            // argument as intakeBatch's text keys: a crash before this
+            // append replays the batch, the digest screen re-passes
+            // it, and the TEXT-key gate (already committed) screens
+            // the output, so nothing duplicates and the digest append
+            // completes on the replay
+            digestAdmitted.foreach(da => graft.ops.Dedup.appendKeys(
+              spark, da, "payload_digest", digestIndexPath.get))
+          } finally digestAdmitted.foreach(_.unpersist())
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
+  /** The checkpointed file-arrival listing over a crawl landing dir:
+    * NEW warc paths per micro-batch, path column only. The format's
+    * fixed schema is declared (streaming sources cannot infer), and
+    * only `path` is ever SELECTED, so the binaryFile scan reads the
+    * LISTING — file bytes never materialize as rows. Shared by
+    * [[warcIngestSink]] and [[crawlTokensSink]].
+    */
+  private def warcPathStream(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, pathGlob: String): DataFrame =
     spark.readStream.format("binaryFile")
-      // the format's fixed schema, declared (streaming sources cannot
-      // infer); only `path` is ever SELECTED, so the scan reads the
-      // listing — file bytes never materialize as rows
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("path",
           org.apache.spark.sql.types.StringType),
@@ -321,14 +365,124 @@ object Streams {
       .option("pathGlobFilter", pathGlob)
       .load(dir)
       .select(col("path"))
+
+  /** One batch's decoded responses off an explicit path list (via
+    * [[graft.sources.WarcReader.readMany]] — the raw strings would hit
+    * Hadoop's comma-split + glob grammar), with the digest rung in
+    * front when armed: content gate → within-batch digest dedup →
+    * standing digest screen, all BEFORE charset decode — a re-fetched
+    * page (same bytes, any batch) costs one Bloom probe, never a
+    * transcode. Returns (decoded responses, the PERSISTED pre-decode
+    * digest-admitted frame whose keys the caller appends AFTER its
+    * output commits — and unpersists).
+    */
+  private def decodeWarcBatch(spark: org.apache.spark.sql.SparkSession,
+                              paths: Seq[String],
+                              digestIndexPath: Option[String])
+      : (DataFrame, Option[DataFrame]) = {
+    val recs = graft.sources.WarcReader.readMany(spark, paths)
+    digestIndexPath match {
+      case None => (graft.sources.WarcReader.responses(recs), None)
+      case Some(dp) =>
+        val gated = recs.where(graft.sources.WarcReader
+          .textish(col("http_content_type")))
+        // persisted: two consumers (decode→intake, digest admission)
+        val admitted = graft.ops.Dedup.dedupAgainstKeyIndex(spark,
+          graft.sources.WarcReader.dedupByDigest(gated),
+          "payload_digest", dp).persist()
+        (admitted.select(col("url"), col("warc_date"), col("record_id"),
+          col("http_status"), col("http_content_type"),
+          graft.functions.VectorFunctions.decodeCharset(
+            col("payload"), col("http_content_type")).as("html")),
+          Some(admitted))
+    }
+  }
+
+  /** CRAWL → TRAINING-IDS streaming terminal — the q157 composition's
+    * streaming twin, rooted at the same file-arrival listing as
+    * [[warcIngestSink]]: per micro-batch,
+    *
+    *  1. decode the batch's new shards ([[decodeWarcBatch]], digest
+    *     rung optional);
+    *  2. the q148 intake (extract → Gopher gate → normalize →
+    *     within-batch exact dedup) + the cross-batch exact screen over
+    *     `keyIndexPath`;
+    *  3. a `source` key per admitted page — `sourceKey` over the
+    *     decoded frame; the default is the URL's registered domain,
+    *     the stratum a crawl actually budgets by;
+    *  4. the [[graft.ops.Curation.curateTokens]] stages over the
+    *     admitted batch (clean / excise / decontaminate under `cfg`,
+    *     token-budget sampling in the ENCODER's currency, packTokens)
+    *     — the batch terminal's own code, batch-scoped;
+    *  5. the packed sequences append to `outPath` with a `batch_id`
+    *     column, THEN text keys admit, THEN digests (when armed).
+    *
+    * Sequences are packed PER BATCH (seq ids dense within (batch_id,
+    * source)) — budgets and packing are corpus-global in the batch
+    * terminal, so the streaming contract is per-ingest-batch packing,
+    * exactly the divergence [[packTokensStream]] documents for the
+    * continuous form. A single-batch feed reproduces the batch
+    * composition byte-for-byte (spec-pinned).
+    *
+    * Replay: deterministic stages under frozen standing state, output
+    * before admissions — every crash window converges ([[webIntakeSink]]
+    * argument): a replay before the text-key append recomputes the
+    * identical sequences (duplicates collapse downstream on (batch_id,
+    * source, seq_id) — replayed rows are byte-identical); a replay
+    * after it screens to an empty batch, appends nothing, and
+    * completes the remaining admissions.
+    */
+  def crawlTokensSink(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, outPath: String, keyIndexPath: String,
+                      checkpoint: String,
+                      encoder: graft.functions.TokenEncoder,
+                      cfg: graft.ops.Curation.Config,
+                      th: graft.ops.TextAnalysis.GopherThresholds =
+                        graft.ops.TextAnalysis.GopherThresholds(),
+                      lowercase: Boolean = false,
+                      pathGlob: String = "*.warc*",
+                      digestIndexPath: Option[String] = None,
+                      sourceKey: org.apache.spark.sql.Column =
+                        graft.ops.Web.urlDomain(col("url")))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    warcPathStream(spark, dir, pathGlob)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val paths = batch.select("path")
           .as(org.apache.spark.sql.Encoders.STRING).collect()
-        if (paths.nonEmpty)
-          intakeBatch(spark,
-            graft.sources.WarcReader.responses(spark, paths.mkString(",")),
-            "record_id", "html", outPath, keyIndexPath, th, lowercase)
+        if (paths.nonEmpty) {
+          val (decoded, digestAdmitted) =
+            decodeWarcBatch(spark, paths.toSeq, digestIndexPath)
+          try {
+            val pages = decoded.select(col("record_id").as("doc_id"),
+              sourceKey.as("source"), col("html"))
+            val reps = graft.ops.Web.intake(pages, "doc_id", "html",
+              th, lowercase)
+            // persisted: three consumers (emptiness probe, curation,
+            // text-key admission)
+            val admitted = graft.ops.Dedup.exactDedupAgainstIndex(
+              spark, reps, "norm_text", keyIndexPath).persist()
+            try {
+              if (!admitted.isEmpty) {
+                // source join-back: a batch-bounded 2-column broadcast
+                // (column pruning cuts the decode out of this branch —
+                // the domain needs only the url)
+                val withSource = admitted.join(
+                  broadcast(pages.select(col("doc_id"), col("source"))),
+                  Seq("doc_id"))
+                graft.ops.Curation.curateTokens(spark, withSource,
+                    "doc_id", "norm_text", "source",
+                    keyIndexPath = None, benchmark = None, cfg, encoder)
+                  .withColumn("batch_id", lit(batchId))
+                  .write.mode("append").parquet(outPath)
+              }
+              graft.ops.Dedup.appendExactKeys(spark, admitted,
+                "norm_text", keyIndexPath)
+              digestAdmitted.foreach(da => graft.ops.Dedup.appendKeys(
+                spark, da, "payload_digest", digestIndexPath.get))
+            } finally admitted.unpersist()
+          } finally digestAdmitted.foreach(_.unpersist())
+        }
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

@@ -327,8 +327,12 @@ object PipelineTasks {
 
   /** `warc`: scan a WARC crawl file/dir/glob (`.gz` per extension) into
     * rows — `mode` `responses` (default: url/warc_date/record_id/
-    * http_status/http_content_type + charset-decoded `html`) or
-    * `records` (every record type, raw payload bytes). The standard
+    * http_status/http_content_type + charset-decoded `html`),
+    * `deduped` (the digest rung: content gate → `WARC-Payload-Digest`
+    * dedup with revisit counting → decode the representative only —
+    * adds payload_digest/n_fetches/n_revisits), or `records` (every
+    * record type, raw payload bytes). `decode_all` disables the
+    * text-ish content-type gate on the decoding modes. The standard
     * transform block and sink apply, so `warc` → filter → parquet is
     * one task; the full crawl→training-text path is this source under
     * an `intake` task (`"source": {"format": "warc"}`).
@@ -338,8 +342,14 @@ object PipelineTasks {
       val cfg = task("warc")
       val src = task("source")
       val path = s"${ctx.dir(src.str("folder", "input"))}/${src.str("file")}"
+      val gate =
+        if (cfg.flag("decode_all")) Nil
+        else graft.sources.WarcReader.textishContentTypes
       val df = cfg.str("mode", "responses") match {
-        case "responses" => graft.sources.WarcReader.responses(ctx.spark, path)
+        case "responses" => graft.sources.WarcReader.responses(
+          graft.sources.WarcReader.read(ctx.spark, path), gate)
+        case "deduped"   => graft.sources.WarcReader.responsesDeduped(
+          graft.sources.WarcReader.read(ctx.spark, path), gate)
         case "records"   => graft.sources.WarcReader.read(ctx.spark, path).toDF
         case m => throw new IllegalArgumentException(s"unknown warc mode: $m")
       }

@@ -14,6 +14,15 @@ import org.json4s._
   */
 object ConvertRegistry {
 
+  /** Methods whose semantics depend on the public-suffix rule set —
+    * compiled against the task's `psl`-loaded rules when the transform
+    * node carries one, the bundled subset otherwise.
+    */
+  private def pslMethods(rules: graft.ops.PublicSuffixRules)
+      : Map[String, Column => Column] = Map(
+    "url_domain"        -> (c => graft.ops.Web.urlDomain(c, rules)),
+    "registered_domain" -> (c => graft.ops.Web.registeredDomain(c, rules)))
+
   val methods: Map[String, Column => Column] = Map(
     "upper"      -> (c => upper(c)),
     "lower"      -> (c => lower(c)),
@@ -41,11 +50,16 @@ object ConvertRegistry {
     "decode_entities"   -> (c => graft.ops.Web.decodeHtmlEntitiesComposed(c)))
 
   /** Compile one convert spec (string method name or dict mapping) into a
-    * Column transformation of `col`.
+    * Column transformation of `col`. `rules` (the transform node's
+    * `psl`-loaded [[graft.ops.PublicSuffixRules]]) reroutes the
+    * domain-cut methods; every other method ignores it.
     */
-  def compile(colName: String, spec: JValue): Column = spec match {
+  def compile(colName: String, spec: JValue,
+              rules: Option[graft.ops.PublicSuffixRules] = None): Column =
+    spec match {
     case JString(method) =>
-      methods.getOrElse(method,
+      val table = rules.map(r => methods ++ pslMethods(r)).getOrElse(methods)
+      table.getOrElse(method,
         throw new IllegalArgumentException(
           s"unsupported convert method '$method' (supported: ${methods.keys.toSeq.sorted.mkString(", ")})"))
         .apply(col(colName))

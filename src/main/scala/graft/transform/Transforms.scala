@@ -76,7 +76,7 @@ object Transforms {
   def apply(df: DataFrame, task: Node, log: TaskLog,
             workDir: Option[String] = None): DataFrame = {
     val afterModules = applyModules(df, task, log, workDir)
-    applyPetl(afterModules, task)
+    applyPetl(afterModules, task, workDir)
   }
 
   private def applyModules(df: DataFrame, task: Node, log: TaskLog,
@@ -99,7 +99,8 @@ object Transforms {
     }
   }
 
-  private def applyPetl(df: DataFrame, task: Node): DataFrame = {
+  private def applyPetl(df: DataFrame, task: Node,
+                        workDir: Option[String]): DataFrame = {
     // A singular transform node may carry BOTH a module key and petl keys:
     // the reference applies the module first, then the petl transforms
     // from the same node (get_result, task.py:168-171) — so no early
@@ -107,9 +108,20 @@ object Transforms {
     if (!task.has("transform")) return df
     val t = task("transform")
     var d = df
+    // `psl`: a publicsuffix.org-format rule file (wildcards/exceptions
+    // honored) that reroutes the domain-cut converts below — the task
+    // DSL's route to the FULL published list; absent, the bundled
+    // subset default applies. Resolved like every other task path:
+    // absolute as-is, else under the work dir.
+    val pslRules = t.strOpt("psl").map { p =>
+      val resolved =
+        if (java.nio.file.Paths.get(p).isAbsolute || workDir.isEmpty) p
+        else s"${workDir.get}/$p"
+      graft.ops.Web.loadPublicSuffixes(resolved)
+    }
     // convert
     t.pairs("convert").foreach { case (field, spec) =>
-      d = d.withColumn(field, ConvertRegistry.compile(field, spec))
+      d = d.withColumn(field, ConvertRegistry.compile(field, spec, pslRules))
     }
     // filter (petl expression subset → Spark SQL predicate)
     t.strOpt("filter").foreach { f =>

@@ -105,6 +105,20 @@ class WarcReaderSpec extends SparkSpec {
     assert(Charsets.sniff(cp1252Html
         .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
       "text/html; charset=not-a-charset") == "windows-1252")
+    // HTML5 meta rung: a meta-declared UTF-16 family remaps to UTF-8 —
+    // the prescan only found the tag because the bytes are
+    // ASCII-compatible, so the literal decode would be mojibake
+    for (n <- Seq("utf-16", "UTF-16LE", "utf-16be")) {
+      val html = s"""<html><head><meta charset="$n"></head>""" +
+        "<body><p>mislabeled café</p></body></html>"
+      val bytes = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(Charsets.sniff(bytes, null) == "UTF-8", n)
+      assert(Charsets.decode(bytes, null) == html, n)
+    }
+    // an HTTP-HEADER utf-16 declaration is still honored literally
+    // (that rung's label is trusted; only the meta prescan remaps)
+    val u16 = "ok".getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    assert(Charsets.decode(u16, "text/html; charset=utf-16le") == "ok")
   }
 
   test("payload digest surfaces; revisit records carry the digest with an empty block") {
@@ -144,6 +158,107 @@ class WarcReaderSpec extends SparkSpec {
       .filter(r => r.payload_digest.isDefined)
       .groupByKey(_.payload_digest.get).count().collect().toMap
     assert(byDigest(digest) == 2L)
+  }
+
+  test("responsesDeduped: digest groups collapse pre-decode, revisits count, min-(date,record_id) representative") {
+    val shared = "<html><body><p>the shared page body càfé</p></body></html>"
+    val sharedDigest = WarcWriter.payloadDigest(
+      shared.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val recs = Seq(
+      // two byte-identical fetches of one page: writer-computed digests
+      // match; the LATER record id wins nothing — min keeps rid(1)
+      WarcWriter.responseRecord("https://ex.com/a", date, rid(1),
+        shared, "utf-8", declareInHeader = true),
+      WarcWriter.responseRecord("https://ex.com/a2", date, rid(2),
+        shared, "utf-8", declareInHeader = true),
+      // a revisit of the same digest: counts, carries no payload
+      WarcWriter.revisitRecord("https://ex.com/a", date, rid(3),
+        sharedDigest),
+      // unique page
+      WarcWriter.responseRecord("https://ex.com/b", date, rid(4),
+        utf8Html, "utf-8", declareInHeader = true),
+      // digest-LESS response (raw record, no digest header): md5
+      // fallback keys it alone
+      WarcWriter.record("response", "https://ex.com/c", date, rid(5),
+        "application/http; msgtype=response",
+        WarcWriter.httpResponseBlock(200, "text/html",
+          "<p>no digest here</p>".getBytes("UTF-8"))),
+      // revisit of a digest NO response in this crawl carries: no row
+      WarcWriter.revisitRecord("https://ex.com/zzz", date, rid(6),
+        "sha1:ABSENTDIGESTVALUE00000000000000X"))
+    val wd = tmpDir("graft_warc_dd_")
+    WarcWriter.write(spark, s"$wd/d.warc.gz", recs.iterator)
+    val out = WarcReader.responsesDeduped(spark, s"$wd/d.warc.gz")
+      .collect().map(r => r.getAs[String]("record_id") -> r).toMap
+    assert(out.keySet == Set(rid(1), rid(4), rid(5)), s"${out.keySet}")
+    val rep = out(rid(1))
+    assert(rep.getAs[Long]("n_fetches") == 3L, s"$rep")
+    assert(rep.getAs[Long]("n_revisits") == 1L, s"$rep")
+    assert(rep.getAs[String]("payload_digest") == sharedDigest)
+    assert(rep.getAs[String]("html") == shared, "decode after dedup")
+    assert(out(rid(4)).getAs[Long]("n_fetches") == 1L)
+    assert(out(rid(5)).getAs[Long]("n_fetches") == 1L &&
+      out(rid(5)).getAs[String]("payload_digest").length == 32,
+      "md5 fallback key for digest-less records")
+  }
+
+  test("content-type gate: media responses never decode; Nil restores decode-everything") {
+    val media = WarcWriter.mediaResponseRecord("https://ex.com/img", date,
+      rid(7), "image/png",
+      Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0xFF.toByte, 0x00))
+    val page = WarcWriter.responseRecord("https://ex.com/a", date, rid(1),
+      utf8Html, "utf-8", declareInHeader = true)
+    // json/xml pass the default pattern list; octet-stream does not
+    val json = WarcWriter.mediaResponseRecord("https://ex.com/j", date,
+      rid(8), "application/json; charset=utf-8",
+      """{"k": 1}""".getBytes("UTF-8"))
+    val blob = WarcWriter.mediaResponseRecord("https://ex.com/o", date,
+      rid(9), "application/octet-stream", Array[Byte](1, 2, 3))
+    val wd = tmpDir("graft_warc_gate_")
+    WarcWriter.write(spark, s"$wd/m.warc",
+      Iterator(media, page, json, blob))
+    val gated = WarcReader.responses(spark, s"$wd/m.warc")
+      .select("record_id").as[String].collect().toSet
+    assert(gated == Set(rid(1), rid(8)), s"$gated")
+    val all = WarcReader.responses(
+        WarcReader.read(spark, s"$wd/m.warc"), decodeContentTypes = Nil)
+      .select("record_id").as[String].collect().toSet
+    assert(all == Set(rid(1), rid(7), rid(8), rid(9)), s"$all")
+    // the deduped path gates BEFORE the shuffle too
+    val dd = WarcReader.responsesDeduped(spark, s"$wd/m.warc")
+      .select("record_id").as[String].collect().toSet
+    assert(dd == Set(rid(1), rid(8)), s"$dd")
+  }
+
+  test("readMany: literal paths with comma and glob metacharacters read as named") {
+    val wd = tmpDir("graft_warc_paths_")
+    val weird = s"$wd/crawl,{a}[1].warc"
+    val plain = s"$wd/plain.warc"
+    WarcWriter.write(spark, weird, Iterator(
+      WarcWriter.responseRecord("https://ex.com/w", date, rid(1),
+        utf8Html, "utf-8", declareInHeader = true)))
+    WarcWriter.write(spark, plain, Iterator(
+      WarcWriter.responseRecord("https://ex.com/p", date, rid(2),
+        utf8Html, "utf-8", declareInHeader = true)))
+    val urls = WarcReader.readMany(spark, Seq(weird, plain))
+      .collect().map(_.url).toSet
+    assert(urls == Set("https://ex.com/w", "https://ex.com/p"), s"$urls")
+  }
+
+  test("hostile Content-Length fails loud without a multi-GB pre-allocation") {
+    val wd = tmpDir("graft_warc_hostile_")
+    val f = s"$wd/h.warc"
+    // declares 1.5 GB, carries 10 bytes — the reader must fail with a
+    // truncation error having allocated only what arrived
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+        "Content-Length: 1500000000\r\n\r\n0123456789").getBytes)
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcReader.read(spark, f).count()
+    }
+    assert(e.getMessage.contains("truncated") ||
+      (e.getCause != null && e.getCause.getMessage.contains("truncated")),
+      s"$e")
   }
 
   test("inner HTTP encodings: chunked, gzip, deflate, chunked+gzip, malformed degrades to raw") {
@@ -281,6 +396,10 @@ class WarcReaderSpec extends SparkSpec {
          |   "source": {"folder": "input", "file": "crawl.warc.gz"},
          |   "warc": {"mode": "records"},
          |   "target": {"file": "records", "truncate": true}},
+         |  {"type": "warc", "name": "dd",
+         |   "source": {"folder": "input", "file": "crawl.warc.gz"},
+         |   "warc": {"mode": "deduped"},
+         |   "target": {"file": "deduped", "truncate": true}},
          |  {"type": "intake", "name": "in",
          |   "source": {"folder": "input", "file": "crawl.warc.gz",
          |              "format": "warc"},
@@ -303,6 +422,14 @@ class WarcReaderSpec extends SparkSpec {
     assert(raw.columns.toSet == Set("warc_file", "warc_type", "url",
       "warc_date", "record_id", "content_type", "payload_digest",
       "http_status", "http_content_type", "payload"))
+    // deduped mode: the 3 byte-identical even pages collapse on their
+    // writer-emitted digest to the min record_id, pre-decode
+    val dd = spark.read.parquet(s"$wd/output/deduped")
+    assert(dd.count() == 4, dd.collect().mkString("\n"))
+    val ddRep = dd.where(col("n_fetches") === 3).collect()
+    assert(ddRep.length == 1 &&
+      ddRep.head.getAs[String]("record_id") == rid(2), ddRep.mkString)
+    assert(dd.columns.contains("payload_digest"))
     val intake = spark.read.parquet(s"$wd/output/intake")
     // 3 even docs share a body -> 1 representative + 3 distinct odd docs
     assert(intake.count() == 4, intake.collect().mkString("\n"))

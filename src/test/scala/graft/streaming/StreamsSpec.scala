@@ -871,6 +871,178 @@ class StreamsSpec extends SparkSpec {
     assert(viaOps == Set("<urn:w:11>", "<urn:w:14>"))
   }
 
+  test("warc digest-gated intake: pre-decode screen within and across batches, revisits counted out") {
+    import graft.sources.{WarcReader, WarcWriter}
+    val body = "The fast brown fox ran over the low stone wall and kept " +
+      "pace with the hounds that chased it through the long grass"
+    def page(b: String) = s"<html><body><h1>Hdr</h1><p>$b</p></body></html>"
+    def rec(i: Int, b: String) = WarcWriter.responseRecord(
+      s"https://ex.com/p$i", "2026-01-02T03:04:05Z", s"<urn:w:$i>",
+      page(b), "utf-8", declareInHeader = true)
+    val pageA = page(body + " while the sun was climbing the ridge")
+    val digestA = WarcWriter.payloadDigest(pageA.getBytes("UTF-8"))
+    val dir = tmpDir("graft_warcdigsink_")
+    val crawl = s"$dir/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(crawl))
+    // first ingest: both standing indexes start empty
+    graft.ops.Dedup.buildExactKeyIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "norm_text"),
+      "norm_text", s"$dir/keys")
+    graft.ops.Dedup.buildKeyIndex(
+      Seq.empty[String].toDF("payload_digest"), "payload_digest",
+      s"$dir/digests")
+    val th = graft.ops.TextAnalysis.GopherThresholds(minWords = 10)
+    // shard 1: 10 and 11 are byte-identical fetches (same digest), 12
+    // is a revisit of that digest, 13 is novel, 14 is a media response
+    // the content gate kills pre-shuffle
+    WarcWriter.write(spark, s"$crawl/shard-1.warc.gz", Iterator(
+      rec(10, body + " while the sun was climbing the ridge"),
+      WarcWriter.responseRecord("https://ex.com/p11",
+        "2026-01-02T03:04:05Z", "<urn:w:11>", pageA, "utf-8",
+        declareInHeader = true),
+      WarcWriter.revisitRecord("https://ex.com/p10",
+        "2026-01-02T03:04:06Z", "<urn:w:12>", digestA),
+      rec(13, body + " and then the chase was finally over"),
+      WarcWriter.mediaResponseRecord("https://ex.com/img",
+        "2026-01-02T03:04:05Z", "<urn:w:14>", "image/png",
+        Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47))))
+    val q = Streams.warcIngestSink(spark, crawl, s"$dir/out", s"$dir/keys",
+      s"$dir/ckpt", th, digestIndexPath = Some(s"$dir/digests"))
+    try {
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[String].collect().toSet
+      assert(out1 == Set("<urn:w:10>", "<urn:w:13>"), s"$out1")
+      // the batch's digests were admitted (including the dup group's)
+      val dig1 = spark.read.parquet(s"$dir/digests/keys")
+        .as[String].collect().toSet
+      assert(dig1.contains(digestA), s"$dig1")
+      assert(dig1.size == 2, s"media digest must not admit: $dig1")
+      // shard 2: 20 re-fetches page A byte-identical — the DIGEST gate
+      // screens it before any decode; 21 is novel
+      WarcWriter.write(spark, s"$crawl/shard-2.warc.gz", Iterator(
+        WarcWriter.responseRecord("https://ex.com/p20",
+          "2026-01-02T03:04:05Z", "<urn:w:20>", pageA, "utf-8",
+          declareInHeader = true),
+        rec(21, body + " when morning broke across the valley floor")))
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[String].collect().toSet
+      assert(out2 == Set("<urn:w:10>", "<urn:w:13>", "<urn:w:21>"),
+        s"cross-batch digest duplicate must be screened: $out2")
+    } finally q.stop()
+  }
+
+  test("crawl token-ids sink: batch-composition parity, crash-window replay converges, cross-batch screen") {
+    import graft.sources.{WarcReader, WarcWriter}
+    import graft.ops.{Curation, Dedup, FaultyFs, Web}
+    val words = "the quick brown fox jumped over the lazy dog and ran " +
+      "with a steady pace to be first among all runners on that day"
+    def page(i: Int, dom: String) =
+      s"<html><body><h1>P$i</h1><p>$words number $i on $dom</p></body></html>"
+    def rec(i: Int, dom: String, rid: String = "") = {
+      val id = if (rid.isEmpty) f"<urn:c:$i%04d>" else rid
+      WarcWriter.responseRecord(s"https://$dom/p$i", "2026-01-02T03:04:05Z",
+        id, page(i, dom), "utf-8", declareInHeader = true)
+    }
+    val th = graft.ops.TextAnalysis.GopherThresholds(minWords = 10)
+    val cfg = Curation.Config(
+      budgets = Map("alpha.com" -> 100000L, "beta.org" -> 100000L),
+      minQuality = 0.0, seqLen = 16)
+    val enc = graft.functions.TokenCounters.tinyBpe
+    def shard1(dst: String): Unit = WarcWriter.write(spark, dst, Iterator(
+      rec(1, "alpha.com"), rec(2, "alpha.com"), rec(3, "beta.org"),
+      rec(4, "beta.org"),
+      // a within-batch exact re-fetch: intake collapses it
+      rec(1, "alpha.com", rid = "<urn:c:9991>")))
+    // the batch twin — the q157 composition rooted at the same crawl
+    def batchTwin(file: String): Set[(String, Long, String, String)] = {
+      val pages = WarcReader.responses(spark, file)
+        .select(col("record_id").as("doc_id"),
+          Web.urlDomain(col("url")).as("source"), col("html"))
+      val reps = Web.intake(pages, "doc_id", "html", th)
+      val withSource = reps.join(pages.select("doc_id", "source"), Seq("doc_id"))
+      Curation.curateTokens(spark, withSource, "doc_id", "norm_text",
+          "source", keyIndexPath = None, benchmark = None, cfg, enc)
+        .collect().map(r => (r.getAs[String]("source"),
+          r.getAs[Long]("seq_id"),
+          r.getAs[Seq[Int]]("token_ids").mkString(","),
+          r.getAs[Seq[Long]]("doc_starts").mkString(","))).toSet
+    }
+    FaultyFs.install(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      FaultyFs.failWhen = None
+      FaultyFs.failedRenames.clear()
+      val wd = "faulty://" + tmpDir("graft_crawltok_")
+      val crawlDir = tmpDir("graft_crawltok_landing_")
+      val ckpt = tmpDir("graft_crawltok_ckpt_")
+      shard1(s"$crawlDir/shard-1.warc.gz")
+      Dedup.buildExactKeyIndex(
+        Seq.empty[(Long, String)].toDF("doc_id", "norm_text"),
+        "norm_text", s"$wd/keys")
+      val expected = batchTwin(s"$crawlDir/shard-1.warc.gz")
+      assert(expected.nonEmpty, "fixture must survive the gate")
+      def start() = Streams.crawlTokensSink(spark, crawlDir, s"$wd/out",
+        s"$wd/keys", ckpt, enc, cfg, th)
+      // crash window: the text-key admission's parquet append dies
+      // AFTER the output append committed — the at-least-once window
+      val root = new java.net.URI(wd).getPath
+      FaultyFs.failWhen = Some(p => p.startsWith(root) &&
+        p.contains("/keys/keys/") && p.endsWith(".parquet") &&
+        !p.contains("_temporary"))
+      val q1 = start()
+      val died =
+        try { q1.processAllAvailable(); false }
+        catch { case _: Exception => true }
+        finally { q1.stop(); FaultyFs.failWhen = None }
+      val fired = FaultyFs.failedRenames.toArray(Array.empty[String])
+        .exists(p => p.startsWith(root) && p.contains("/keys/keys/"))
+      if (!died || !fired) {
+        if (attempt >= 3) fail(
+          s"crash window failed to form after $attempt attempts " +
+            s"(died=$died fired=$fired)")
+        info(s"crash window did not form (attempt $attempt) — retrying")
+      } else {
+        // replay from the same checkpoint, then a second live batch
+        val q2 = start()
+        try {
+          q2.processAllAvailable()
+          val out1 = spark.read.parquet(s"$wd/out")
+          val rows1 = out1.collect().map(r => (r.getAs[String]("source"),
+            r.getAs[Long]("seq_id"),
+            r.getAs[Seq[Int]]("token_ids").mkString(","),
+            r.getAs[Seq[Long]]("doc_starts").mkString(","))).toSeq
+          assert(rows1.toSet == expected,
+            s"replayed output must converge to the batch twin:\n" +
+              s"got ${rows1.toSet}\nwant $expected")
+          assert(rows1.size == 2 * expected.size,
+            "the replayed batch re-emits byte-identical rows " +
+              s"(at-least-once): ${rows1.size} vs ${expected.size}")
+          assert(out1.select("batch_id").distinct().count() == 1,
+            "replay reuses the SAME batch id — downstream compaction " +
+              "keys (batch_id, source, seq_id)")
+          // batch 2 while running: a byte-identical re-fetch of page 1
+          // (cross-batch text screen) + one novel page
+          WarcWriter.write(spark, s"$crawlDir/shard-2.warc.gz", Iterator(
+            rec(1, "alpha.com", rid = "<urn:c:9992>"),
+            rec(99, "beta.org")))
+          q2.processAllAvailable()
+        } finally q2.stop()
+        val out2 = spark.read.parquet(s"$wd/out")
+        val b2 = out2.where(col("batch_id") =!= 0)
+        assert(b2.count() > 0, "the novel page must pack")
+        val b2src = b2.select("source").distinct()
+          .as[String].collect().toSet
+        assert(b2src == Set("beta.org"),
+          s"the re-fetched page must screen out cross-batch: $b2src")
+        done = true
+      }
+    }
+  }
+
   test("streaming paragraph-removal gate: within-batch chrome, retrospective cross-batch ban, batch-op parity") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("graft_parasink_")

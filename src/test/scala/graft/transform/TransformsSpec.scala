@@ -29,6 +29,36 @@ class TransformsSpec extends SparkSpec {
       Seq(("BOB", 2000L), ("CAROL", 1500L)))
   }
 
+  test("psl knob reroutes the domain converts; bundled default without it") {
+    // wildcard (*.ck: any ONE label under ck is public) + exception
+    // (!www.ck) + an exact rule absent from the bundled subset
+    val wd = tmpDir("graft_psl_knob_")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$wd/rules.dat"),
+      "// test rules\nexample\n*.ck\n!www.ck\n")
+    val df = Seq(
+      "https://deep.sub.example/x",
+      "https://a.b.ck/y",
+      "https://host.www.ck/z").toDF("url")
+    val task = taskNode(
+      s"""{"transform": {
+         |  "psl": "$wd/rules.dat",
+         |  "convert": [["url", "url_domain"]]
+         |}}""".stripMargin)
+    val got = Transforms(df, task, TaskLog.Silent)
+      .as[String].collect().toSeq
+    // sub.example under the exact rule; b.ck is a wildcard public
+    // suffix so a.b.ck registers; www.ck is the exception, so the cut
+    // is www.ck itself
+    assert(got == Seq("sub.example", "a.b.ck", "www.ck"), got.toString)
+    // without the knob, the bundled subset applies (last-two fallback)
+    val noKnob = taskNode(
+      """{"transform": {"convert": [["url", "url_domain"]]}}""")
+    val dflt = Transforms(df, noKnob, TaskLog.Silent)
+      .as[String].collect().toSeq
+    assert(dflt == Seq("sub.example", "b.ck", "www.ck"), dflt.toString)
+  }
+
   test("dict-mapping convert passes unmapped values through") {
     val df = Seq("M", "F", "X").toDF("g")
     val task = taskNode("""{"transform": {"convert": [["g", {"M": "Male", "F": "Female"}]]}}""")
