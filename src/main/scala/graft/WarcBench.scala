@@ -104,6 +104,19 @@ object WarcBench {
     require(scan(s"$base/dup") == n)
     val tDupAll = medianOf(3)(scan(s"$base/dup"))
     val tDupDd = medianOf(3)(scanDeduped(s"$base/dup"))
+    // the rung's real position is BEFORE the intake chain (gopher gate,
+    // normalize, md5 dedup shuffle) — measure both terminals there:
+    // decode-everything intake vs digest-dedup-then-intake
+    val th = graft.ops.TextAnalysis.GopherThresholds(minWords = 10)
+    def intakePlain(path: String): Long = graft.ops.Web.intake(
+      graft.sources.WarcReader.responses(spark, path),
+      "record_id", "html", th).count()
+    def intakeDigest(path: String): Long = graft.ops.Web.intake(
+      graft.sources.WarcReader.responsesDeduped(spark, path),
+      "record_id", "html", th).count()
+    require(intakePlain(s"$base/dup") == intakeDigest(s"$base/dup"))
+    val tDupIntakePlain = medianOf(3)(intakePlain(s"$base/dup"))
+    val tDupIntakeDd = medianOf(3)(intakeDigest(s"$base/dup"))
 
     // ── mixed-media arm: every other record is a ~1.5 KB binary
     // (image content type). The text-ish gate drops media pre-decode;
@@ -135,6 +148,9 @@ object WarcBench {
         s""""dup3x_decode_all_s":${fmt(tDupAll)},""" +
         s""""dup3x_digest_dedup_s":${fmt(tDupDd)},""" +
         s""""dup3x_dedup_speedup":${fmt(tDupAll / tDupDd)},""" +
+        s""""dup3x_intake_plain_s":${fmt(tDupIntakePlain)},""" +
+        s""""dup3x_intake_digest_s":${fmt(tDupIntakeDd)},""" +
+        s""""dup3x_intake_speedup":${fmt(tDupIntakePlain / tDupIntakeDd)},""" +
         s""""mixed_gate_s":${fmt(tMixGate)},""" +
         s""""mixed_decode_all_s":${fmt(tMixAll)},""" +
         s""""mixed_gate_speedup":${fmt(tMixAll / tMixGate)}}"""
