@@ -421,6 +421,7 @@ object SparkEntry {
     "q156_warc_charset_profile" -> warcCharsetProfileSql,
     "q157_crawl_token_ids" -> crawlTokenIdsSql,
     "q158_crawl_digest_dedup" -> crawlDigestDedupSql,
+    "q159_crawl_latest_fetch" -> crawlLatestFetchSql,
     // q144: the identical planted mess (combining acute/grave, tabs, a
     // C0 control byte, double spaces) and the identical normalization
     // order: NFC -> lower -> control strip -> whitespace collapse ->
@@ -3556,6 +3557,23 @@ object SparkEntry {
           "             FROM intake i JOIN documents dd USING (doc_id))",
           standingScreen = false, benchmarkScreen = false)},
        |$curationTailSql""".stripMargin
+
+  /** q159 oracle: the re-fetch fixture's winner per canonical url is
+    * deterministic — doc_id%4==1 pages carry a newer v2 fetch (whose
+    * messy url canonicalizes to the v1 key), everything else keeps its
+    * only fetch. The html rebuilds from the SAME page template the
+    * fixture writer reads.
+    */
+  private def crawlLatestFetchSql: String =
+    s"""SELECT doc_id,
+       |  'https://ex.com/doc/' || CAST(doc_id AS VARCHAR) AS canon_url,
+       |  CASE WHEN doc_id % 4 = 1 THEN CAST(2 AS BIGINT)
+       |    ELSE CAST(1 AS BIGINT) END AS n_fetches,
+       |  '<html><body><p>'
+       |    || CASE WHEN doc_id % 4 = 1 THEN 'v2 of ' ELSE 'v1 of ' END
+       |    || CAST(doc_id AS VARCHAR) || ': ' || text
+       |    || '</p></body></html>' AS html
+       |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
 
   /** q156 oracle: the sniff outcome per doc_id%3 class is deterministic
     * over the q153 fixture; the expected canonical names derive from

@@ -746,6 +746,55 @@ object Extensions {
       p
     })
 
+  /** The q159 re-fetch `.warc.gz` fixture (memoized per sf dir): every
+    * document gets a v1 response; every doc_id%4==1 document gets a v2
+    * re-fetch of the SAME url — messier spelling (uppercase scheme/
+    * host, default port, a `?utm=x` query) that canonicalizes to the
+    * same page key — a LATER date and CHANGED content. The digest rung
+    * keeps both versions (different bytes); the URL rung must keep
+    * only the newest.
+    */
+  private val warcRefetchDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def warcRefetchFixture(s: SparkSession, d: String): String =
+    warcRefetchDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q159_warc_").toString + "/crawl.warc.gz"
+      val docRows = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+        .collect() // fixture construction: bounded by the documents table
+      graft.sources.WarcWriter.write(s, p, docRows.iterator.flatMap { r =>
+        val id = r.getLong(0)
+        val v1 = graft.sources.WarcWriter.responseRecord(
+          s"https://ex.com/doc/$id", "2026-01-02T03:04:05Z",
+          s"<urn:v1:$id>", warcDupPage(s"v1 of $id: ${r.getString(1)}"),
+          "utf-8", declareInHeader = true)
+        if (id % 4 == 1)
+          Seq(v1, graft.sources.WarcWriter.responseRecord(
+            s"HTTPS://EX.com:443/doc/$id?utm=x", "2026-02-03T04:05:06Z",
+            s"<urn:v2:$id>", warcDupPage(s"v2 of $id: ${r.getString(1)}"),
+            "utf-8", declareInHeader = true))
+        else Seq(v1)
+      })
+      p
+    })
+
+  // q159 URL-level re-fetch dedup (WarcReader.latestByUrl): the crawl
+  // multiplicity the digest rung CANNOT collapse — the same page
+  // re-fetched with changed content — keyed on the canonical url (the
+  // v2 fetches spell theirs messily; q143's canonicalization folds
+  // them), newest (warc_date, record_id) fetch kept, fetch count
+  // carried. Deterministic per doc_id%4, so the oracle recomputes the
+  // winners from the documents table.
+  val q159_crawl_latest_fetch: Q = (s, d) => {
+    val file = warcRefetchFixture(s, d)
+    graft.sources.WarcReader.latestByUrl(s, file)
+      .select(
+        regexp_extract(col("canon_url"), "([0-9]+)$", 1).cast("bigint")
+          .as("doc_id"),
+        col("canon_url"), col("n_fetches"), col("html"))
+      .orderBy(col("doc_id"))
+  }
+
   // q158 digest-keyed crawl dedup (WarcReader.responsesDeduped): the
   // pre-decode rung — `WARC-Payload-Digest` groups byte-identical
   // fetches (including `revisit` records, which carry the digest and
@@ -2073,5 +2122,6 @@ object Extensions {
     "q155_intake_curation" -> q155_intake_curation,
     "q156_warc_charset_profile" -> q156_warc_charset_profile,
     "q157_crawl_token_ids" -> q157_crawl_token_ids,
-    "q158_crawl_digest_dedup" -> q158_crawl_digest_dedup)
+    "q158_crawl_digest_dedup" -> q158_crawl_digest_dedup,
+    "q159_crawl_latest_fetch" -> q159_crawl_latest_fetch)
 }

@@ -269,6 +269,52 @@ object WarcReader {
       : org.apache.spark.sql.DataFrame =
     responsesDeduped(read(spark, path))
 
+  /** URL-level re-fetch dedup — the OTHER crawl multiplicity: the same
+    * page fetched repeatedly over time with CHANGED content (so the
+    * digest rung keeps every version), where training wants one
+    * representative per page. Keys on the CANONICAL url
+    * ([[graft.ops.Web.canonicalizeUrl]] — scheme/host case, ports,
+    * userinfo, query and fragment collapse; un-canonicalizable strings
+    * key on the raw url) and keeps the NEWEST fetch: max (warc_date,
+    * record_id). `n_fetches` counts the fetches the representative
+    * stands for. Content gate first, decode after the dedup — the
+    * [[responsesDeduped]] scale shape on a different key (one shuffle,
+    * payload rides as the max-struct payload).
+    */
+  def latestByUrl(records: Dataset[WarcRecord],
+                  decodeContentTypes: Seq[String] = textishContentTypes)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = records.where(col("warc_type") === "response")
+    val gated =
+      if (decodeContentTypes.isEmpty) base
+      else base.where(textish(col("http_content_type"), decodeContentTypes))
+    gated
+      .select(
+        coalesce(graft.ops.Web.canonicalizeUrl(col("url")), col("url"))
+          .as("canon_url"),
+        col("warc_date"), col("record_id"), col("url"),
+        col("http_status"), col("http_content_type"), col("payload"))
+      .groupBy(col("canon_url"))
+      .agg(
+        max(struct(col("warc_date"), col("record_id"), col("url"),
+          col("http_status"), col("http_content_type"), col("payload")))
+          .as("_r"),
+        count(lit(1)).as("n_fetches"))
+      .select(col("_r.url").as("url"), col("_r.warc_date").as("warc_date"),
+        col("_r.record_id").as("record_id"),
+        col("_r.http_status").as("http_status"),
+        col("_r.http_content_type").as("http_content_type"),
+        col("canon_url"), col("n_fetches"),
+        graft.functions.VectorFunctions
+          .decodeCharset(col("_r.payload"), col("_r.http_content_type"))
+          .as("html"))
+  }
+
+  def latestByUrl(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame =
+    latestByUrl(read(spark, path))
+
   /** Streaming record iterator over one open (already-decompressed)
     * stream; closes `in` at end-of-stream.
     */

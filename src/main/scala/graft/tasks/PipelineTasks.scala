@@ -330,8 +330,10 @@ object PipelineTasks {
     * http_status/http_content_type + charset-decoded `html`),
     * `deduped` (the digest rung: content gate → `WARC-Payload-Digest`
     * dedup with revisit counting → decode the representative only —
-    * adds payload_digest/n_fetches/n_revisits), or `records` (every
-    * record type, raw payload bytes). `decode_all` disables the
+    * adds payload_digest/n_fetches/n_revisits), `latest` (URL-level
+    * re-fetch dedup: canonical-url key, NEWEST fetch kept — adds
+    * canon_url/n_fetches), or `records` (every record type, raw
+    * payload bytes). `decode_all` disables the
     * text-ish content-type gate on the decoding modes. The standard
     * transform block and sink apply, so `warc` → filter → parquet is
     * one task; the full crawl→training-text path is this source under
@@ -349,6 +351,8 @@ object PipelineTasks {
         case "responses" => graft.sources.WarcReader.responses(
           graft.sources.WarcReader.read(ctx.spark, path), gate)
         case "deduped"   => graft.sources.WarcReader.responsesDeduped(
+          graft.sources.WarcReader.read(ctx.spark, path), gate)
+        case "latest"    => graft.sources.WarcReader.latestByUrl(
           graft.sources.WarcReader.read(ctx.spark, path), gate)
         case "records"   => graft.sources.WarcReader.read(ctx.spark, path).toDF
         case m => throw new IllegalArgumentException(s"unknown warc mode: $m")

@@ -230,6 +230,39 @@ class WarcReaderSpec extends SparkSpec {
     assert(dd == Set(rid(1), rid(8)), s"$dd")
   }
 
+  test("latestByUrl: canonical-url re-fetch dedup keeps the newest, counts fetches, gates media") {
+    def resp(url: String, when: String, id: String, body: String) =
+      WarcWriter.responseRecord(url, when, id,
+        s"<html><body><p>$body</p></body></html>", "utf-8",
+        declareInHeader = true)
+    val wd = tmpDir("graft_warc_latest_")
+    WarcWriter.write(spark, s"$wd/r.warc.gz", Iterator(
+      // three fetches of ONE page across messy url spellings — the
+      // canonical key folds them; the newest date wins
+      resp("https://ex.com/a", "2026-01-01T00:00:00Z", rid(1), "a v1"),
+      resp("HTTPS://EX.COM:443/a?utm=x", "2026-03-01T00:00:00Z", rid(2),
+        "a v3"),
+      resp("https://user@ex.com/a#frag", "2026-02-01T00:00:00Z", rid(3),
+        "a v2"),
+      // single fetch
+      resp("https://ex.com/b", "2026-01-01T00:00:00Z", rid(4), "b only"),
+      // un-canonicalizable url keys on the raw string
+      resp("not a url", "2026-01-01T00:00:00Z", rid(5), "odd"),
+      // media response: the gate kills it before the shuffle
+      WarcWriter.mediaResponseRecord("https://ex.com/img",
+        "2026-01-01T00:00:00Z", rid(6), "image/png",
+        Array[Byte](0x89.toByte, 0x50))))
+    val out = WarcReader.latestByUrl(spark, s"$wd/r.warc.gz")
+      .collect().map(r => r.getAs[String]("canon_url") -> r).toMap
+    assert(out.keySet == Set("https://ex.com/a", "https://ex.com/b",
+      "not a url"), s"${out.keySet}")
+    val a = out("https://ex.com/a")
+    assert(a.getAs[Long]("n_fetches") == 3L)
+    assert(a.getAs[String]("record_id") == rid(2), "newest date wins")
+    assert(a.getAs[String]("html").contains("a v3"))
+    assert(out("https://ex.com/b").getAs[Long]("n_fetches") == 1L)
+  }
+
   test("readMany: literal paths with comma and glob metacharacters read as named") {
     val wd = tmpDir("graft_warc_paths_")
     val weird = s"$wd/crawl,{a}[1].warc"
