@@ -46,8 +46,16 @@ object PipelineTasks {
         // crawl-native intake: response records charset-decoded to an
         // `html` column (plus url/warc_date/record_id/http_status/
         // http_content_type), so `"type": "intake"` composes directly:
-        // {"source": {"format": "warc", ...}, "intake": {"id": "record_id"}}
-        graft.sources.WarcReader.responses(ctx.spark, path)
+        // {"source": {"format": "warc", ...}, "intake": {"id": "record_id"}}.
+        // `"digest_dedup": true` runs the pre-decode digest rung first
+        // (WarcTask's mode=deduped, available to EVERY pipeline task);
+        // `"latest": true` the canonical-url newest-fetch rung.
+        val recs = graft.sources.WarcReader.read(ctx.spark, path)
+        if (src.flag("digest_dedup"))
+          graft.sources.WarcReader.responsesDeduped(recs)
+        else if (src.flag("latest"))
+          graft.sources.WarcReader.latestByUrl(recs)
+        else graft.sources.WarcReader.responses(recs)
       case f => throw new IllegalArgumentException(s"unknown source format: $f")
     }
   }

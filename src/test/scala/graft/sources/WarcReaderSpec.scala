@@ -438,7 +438,13 @@ class WarcReaderSpec extends SparkSpec {
          |              "format": "warc"},
          |   "intake": {"id": "record_id", "min_words": 10,
          |              "min_stop_hits": 0},
-         |   "target": {"file": "intake", "truncate": true}}
+         |   "target": {"file": "intake", "truncate": true}},
+         |  {"type": "intake", "name": "in_dd",
+         |   "source": {"folder": "input", "file": "crawl.warc.gz",
+         |              "format": "warc", "digest_dedup": true},
+         |   "intake": {"id": "record_id", "min_words": 10,
+         |              "min_stop_hits": 0},
+         |   "target": {"file": "intake_dd", "truncate": true}}
          |]}""".stripMargin
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$wd/task.json"), json)
@@ -469,5 +475,13 @@ class WarcReaderSpec extends SparkSpec {
     assert(intake.where(col("n_dupes") === 3).count() == 1)
     // the charset survived the whole chain: café intact in the output
     assert(intake.where(col("norm_text").contains("café")).count() == 4)
+    // digest_dedup source knob: the byte-identical even pages collapse
+    // BEFORE decode, so intake sees 4 pages and emits the same 4 reps
+    // (n_dupes 1 everywhere — the digest rung already collapsed)
+    val intakeDd = spark.read.parquet(s"$wd/output/intake_dd")
+    assert(intakeDd.count() == 4, intakeDd.collect().mkString("\n"))
+    assert(intakeDd.where(col("n_dupes") =!= 1).count() == 0)
+    assert(intakeDd.select("norm_text").as[String].collect().toSet ==
+      intake.select("norm_text").as[String].collect().toSet)
   }
 }
