@@ -125,6 +125,82 @@ object WarcWriter {
         "WARC-Profile" ->
           "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"))
 
+  /** DISTRIBUTED archival sink — the crawl REPACK operation: after the
+    * digest/URL/quality rungs shrink a crawl, the survivors ship back
+    * out as WARC shards (the interchange format every crawl consumer
+    * reads), one `.warc.gz` shard per partition, written ON THE
+    * EXECUTORS through the Hadoop FS API. Rows must carry the
+    * [[WarcReader.WarcRecord]] response projection: url, warc_date,
+    * record_id, http_status (null → 200), http_content_type (null →
+    * `text/html`) and a `payload` binary column (the RAW body bytes —
+    * repacking re-encodes nothing). Each record gets a fresh
+    * `WARC-Payload-Digest` over its payload, so a repacked crawl's
+    * digest rung works without the original headers.
+    *
+    * Scale shape: a pure `foreachPartition` write — no shuffle, no
+    * driver data path; shard count = the input's partitioning (callers
+    * `repartition(n)` to choose it, exactly how parquet writers size
+    * output). Files land as `part-NNNNN.warc.gz` under `dir`;
+    * [[WarcReader.read]](dir) round-trips them. Task retries may leave
+    * partial files on crash; writes go to `_tmp.` names with a rename
+    * on completion, so readers listing `*.warc.gz` never see a torn
+    * shard (the parquet committer convention, one file deep).
+    */
+  def writeShards(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    val projected = df.selectExpr(
+      "cast(url as string) as url",
+      "cast(warc_date as string) as warc_date",
+      "cast(record_id as string) as record_id",
+      "cast(coalesce(http_status, 200) as int) as http_status",
+      "cast(coalesce(http_content_type, 'text/html') as string) " +
+        "as http_content_type",
+      "cast(payload as binary) as payload")
+    // Configuration is Writable, not Serializable — ship its entries
+    // and rebuild once per task (the WarcReader.readMany pattern)
+    val confKV = {
+      val it = df.sparkSession.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
+    projected.foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          val tc = org.apache.spark.TaskContext.get()
+          val shard = f"part-${tc.partitionId()}%05d.warc.gz"
+          val fin = new org.apache.hadoop.fs.Path(s"$dir/$shard")
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$dir/_tmp.$shard.attempt${tc.taskAttemptId()}")
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confKV.foreach { case (k, v) => conf.set(k, v) }
+          val fs = fin.getFileSystem(conf)
+          val os = fs.create(tmp, true)
+          try {
+            val keepOpen = new java.io.FilterOutputStream(os) {
+              override def write(b: Array[Byte], off: Int, len: Int): Unit =
+                out.write(b, off, len)
+              override def close(): Unit = flush()
+            }
+            rows.foreach { r =>
+              val body = r.getAs[Array[Byte]]("payload")
+              val rec = record("response", r.getAs[String]("url"),
+                r.getAs[String]("warc_date"), r.getAs[String]("record_id"),
+                "application/http; msgtype=response",
+                httpResponseBlock(r.getAs[Int]("http_status"),
+                  r.getAs[String]("http_content_type"), body),
+                extraHeaders =
+                  Seq("WARC-Payload-Digest" -> payloadDigest(body)))
+              val gz = new GZIPOutputStream(keepOpen, 1 << 16)
+              gz.write(rec)
+              gz.close() // end the member AND its Deflater
+            }
+          } finally os.close()
+          fs.rename(tmp, fin)
+          ()
+        }
+    }
+  }
+
   /** Write records to `path` through the Hadoop FS API; `.gz` suffix →
     * one gzip member per record.
     */

@@ -80,6 +80,15 @@ object PipelineTasks {
           .orc(out)
         lg.write(s"wrote $out")
       case "csv" => Tasks.csvTarget(ctx, task)(df, lg, meter)
+      case "warc" =>
+        // crawl REPACK: rows in the WarcRecord response projection
+        // (url/warc_date/record_id/http_status?/http_content_type?/
+        // payload) write back out as `.warc.gz` shards, one per
+        // partition, executor-side — the warc source reads them back
+        val out = s"${ctx.dir(tgt.str("folder", "output"))}/${tgt.str("file")}"
+        graft.sources.WarcWriter.writeShards(
+          tgt.intOpt("shards").map(df.repartition(_)).getOrElse(df), out)
+        lg.write(s"wrote $out")
       case f => throw new IllegalArgumentException(s"unknown target format: $f")
     }
   }
@@ -362,6 +371,14 @@ object PipelineTasks {
           graft.sources.WarcReader.read(ctx.spark, path), gate)
         case "latest"    => graft.sources.WarcReader.latestByUrl(
           graft.sources.WarcReader.read(ctx.spark, path), gate)
+        // digest dedup keeping the RAW payload — the repack source
+        // (compose with {"target": {"format": "warc"}})
+        case "deduped_raw" =>
+          val recs = graft.sources.WarcReader.read(ctx.spark, path)
+          graft.sources.WarcReader.dedupByDigest(
+            if (cfg.flag("decode_all")) recs
+            else recs.where(graft.sources.WarcReader
+              .textish(org.apache.spark.sql.functions.col("http_content_type"))))
         case "records"   => graft.sources.WarcReader.read(ctx.spark, path).toDF
         case m => throw new IllegalArgumentException(s"unknown warc mode: $m")
       }

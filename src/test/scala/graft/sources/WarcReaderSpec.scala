@@ -263,6 +263,50 @@ class WarcReaderSpec extends SparkSpec {
     assert(out("https://ex.com/b").getAs[Long]("n_fetches") == 1L)
   }
 
+  test("crawl repack: deduped_raw -> distributed warc shards round-trip through the reader") {
+    val wd = tmpDir("graft_warc_repack_")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$wd/input"))
+    val pages = (1 to 6).map { i =>
+      // 1 and 2 byte-identical; 5 is media (gate kills pre-shuffle)
+      val body = if (i <= 2) "<p>shared page café</p>"
+        else s"<p>page $i café</p>"
+      if (i == 5)
+        WarcWriter.mediaResponseRecord(s"https://ex.com/m$i", date, rid(i),
+          "image/png", Array[Byte](0x89.toByte, 0x50, 0x4E))
+      else WarcWriter.responseRecord(s"https://ex.com/p$i", date, rid(i),
+        s"<html><body>$body</body></html>", "windows-1252",
+        declareInHeader = true)
+    }
+    WarcWriter.write(spark, s"$wd/input/crawl.warc.gz", pages.iterator)
+    val json =
+      s"""{"tasks": [
+         |  {"type": "warc", "name": "repack",
+         |   "source": {"folder": "input", "file": "crawl.warc.gz"},
+         |   "warc": {"mode": "deduped_raw"},
+         |   "target": {"format": "warc", "file": "repacked", "shards": 2}}
+         |]}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$wd/task.json"), json)
+    graft.runner.TaskRunner.runFile(s"$wd/task.json", spark, wd,
+      graft.runner.TaskLog.Silent)
+    val shards = new java.io.File(s"$wd/output/repacked").listFiles()
+      .map(_.getName).filter(_.endsWith(".warc.gz")).sorted
+    assert(shards.length == 2, shards.mkString(","))
+    assert(shards.forall(_.startsWith("part-")), "no torn tmp shards")
+    // read the repacked crawl back: 4 survivors (1≡2 collapsed, media
+    // gated), fresh digests present, charset survives the round-trip
+    val back = WarcReader.responses(spark, s"$wd/output/repacked")
+      .collect().map(r => r.getAs[String]("record_id") -> r).toMap
+    assert(back.keySet == Set(rid(1), rid(3), rid(4), rid(6)),
+      s"${back.keySet}")
+    assert(back(rid(3)).getAs[String]("html").contains("page 3 café"),
+      "payload bytes repacked verbatim; charset declared and re-decoded")
+    val raw = WarcReader.read(spark, s"$wd/output/repacked").collect()
+    assert(raw.forall(_.payload_digest.exists(_.startsWith("sha1:"))),
+      "repacked records carry fresh payload digests")
+  }
+
   test("readMany: literal paths with comma and glob metacharacters read as named") {
     val wd = tmpDir("graft_warc_paths_")
     val weird = s"$wd/crawl,{a}[1].warc"
