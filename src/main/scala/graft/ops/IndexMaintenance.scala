@@ -80,6 +80,31 @@ object IndexMaintenance {
     * checkpoints track source offsets, not output files, so the stream
     * resumes cleanly against the compacted output.
     */
+  /** Keep the NEWEST row per key across appended batches — the crawl
+    * FRESHNESS compaction: [[graft.streaming.Streams.latestFetchSink]]
+    * appends each micro-batch's per-url newest fetch, and this step
+    * collapses the appended history to one row per canonical url (a
+    * later re-fetch REPLACES an earlier one — upsert by compaction,
+    * the same at-least-once + compact contract as [[compactOutput]],
+    * but max-order on the recency columns instead of min-order on the
+    * cleanup ladder). Replays re-append byte-identical rows, which
+    * `max_by` dedups for free; ties on (warc_date, record_id) cannot
+    * occur for real records (record ids are unique).
+    */
+  def compactLatest(spark: SparkSession, dir: String,
+                    keyCol: String = "canon_url",
+                    orderCols: Seq[String] =
+                      Seq("warc_date", "record_id")): Unit =
+    stageAndSwap(spark, dir) { tmp =>
+      val df = spark.read.parquet(dir)
+      val cols = df.columns.map(col)
+      df.groupBy(col(keyCol))
+        .agg(max_by(struct(cols: _*), struct(orderCols.map(col): _*))
+          .as("_row"))
+        .select(col("_row.*"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+
   def compactOutput(spark: SparkSession, dir: String,
                     idCol: String = "doc_id"): Unit =
     stageAndSwap(spark, dir) { tmp =>

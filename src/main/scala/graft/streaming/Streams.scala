@@ -398,6 +398,36 @@ object Streams {
     }
   }
 
+  /** CRAWL FRESHNESS stream — [[graft.sources.WarcReader.latestByUrl]]
+    * fed by the landing-dir listing: each micro-batch's new shards
+    * parse, gate, and collapse to their per-canonical-url NEWEST fetch
+    * (decoded), which appends to `outPath`. Cross-batch freshness is
+    * upsert-by-compaction: a later batch's re-fetch of a known url
+    * APPENDS (never screens — newer content must replace, not drop),
+    * and [[graft.ops.IndexMaintenance.compactLatest]] collapses the
+    * history to the global newest per url. Replays re-append
+    * byte-identical rows; `max_by` compaction dedups them for free —
+    * so every crash window converges with zero index state (this sink
+    * keeps none).
+    */
+  def latestFetchSink(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, outPath: String, checkpoint: String,
+                      pathGlob: String = "*.warc*")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    warcPathStream(spark, dir, pathGlob)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val paths = batch.select("path")
+          .as(org.apache.spark.sql.Encoders.STRING).collect()
+        if (paths.nonEmpty)
+          graft.sources.WarcReader.latestByUrl(
+              graft.sources.WarcReader.readMany(spark, paths.toSeq))
+            .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** CRAWL → TRAINING-IDS streaming terminal — the q157 composition's
     * streaming twin, rooted at the same file-arrival listing as
     * [[warcIngestSink]]: per micro-batch,

@@ -933,6 +933,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latest-fetch sink: per-batch newest appends, compactLatest collapses cross-batch to the global newest") {
+    import graft.sources.WarcWriter
+    def resp(url: String, when: String, id: String, body: String) =
+      WarcWriter.responseRecord(url, when, id,
+        s"<html><body><p>$body</p></body></html>", "utf-8",
+        declareInHeader = true)
+    val dir = tmpDir("graft_latestsink_")
+    val crawl = s"$dir/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(crawl))
+    // shard 1: two fetches of /a (within-batch newest wins) + /b
+    WarcWriter.write(spark, s"$crawl/shard-1.warc.gz", Iterator(
+      resp("https://ex.com/a", "2026-01-01T00:00:00Z", "<urn:f:1>", "a v1"),
+      resp("HTTPS://EX.COM/a", "2026-01-05T00:00:00Z", "<urn:f:2>", "a v2"),
+      resp("https://ex.com/b", "2026-01-01T00:00:00Z", "<urn:f:3>", "b v1")))
+    val q = Streams.latestFetchSink(spark, crawl, s"$dir/out", s"$dir/ckpt")
+    try {
+      q.processAllAvailable()
+      // shard 2 lands later: /a re-fetched NEWER (must replace), /b
+      // re-fetched OLDER (a backfilled shard — must NOT replace)
+      WarcWriter.write(spark, s"$crawl/shard-2.warc.gz", Iterator(
+        resp("https://ex.com/a", "2026-02-01T00:00:00Z", "<urn:f:4>", "a v3"),
+        resp("https://ex.com/b", "2025-12-01T00:00:00Z", "<urn:f:5>", "b v0")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // appended history: one row per (batch, url)
+    assert(spark.read.parquet(s"$dir/out").count() == 4)
+    graft.ops.IndexMaintenance.compactLatest(spark, s"$dir/out")
+    val out = spark.read.parquet(s"$dir/out")
+      .select("canon_url", "record_id", "html", "n_fetches")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 2, s"$out")
+    assert(out("https://ex.com/a").getString(1) == "<urn:f:4>" &&
+      out("https://ex.com/a").getString(2).contains("a v3"),
+      "the newer cross-batch fetch replaces")
+    assert(out("https://ex.com/b").getString(1) == "<urn:f:3>" &&
+      out("https://ex.com/b").getString(2).contains("b v1"),
+      "a backfilled OLDER shard must not replace")
+    // idempotence: compacting again changes nothing
+    graft.ops.IndexMaintenance.compactLatest(spark, s"$dir/out")
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+  }
+
   test("crawl token-ids sink: batch-composition parity, crash-window replay converges, cross-batch screen") {
     import graft.sources.{WarcReader, WarcWriter}
     import graft.ops.{Curation, Dedup, FaultyFs, Web}
