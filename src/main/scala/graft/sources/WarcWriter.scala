@@ -146,19 +146,70 @@ object WarcWriter {
     * on completion, so readers listing `*.warc.gz` never see a torn
     * shard (the parquet committer convention, one file deep).
     */
-  def writeShards(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
-    val projected = df.selectExpr(
+  def writeShards(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    writeShardFiles(df.selectExpr(
       "cast(url as string) as url",
       "cast(warc_date as string) as warc_date",
       "cast(record_id as string) as record_id",
       "cast(coalesce(http_status, 200) as int) as http_status",
       "cast(coalesce(http_content_type, 'text/html') as string) " +
         "as http_content_type",
-      "cast(payload as binary) as payload")
+      "cast(payload as binary) as payload"), dir) { r =>
+      val body = r.getAs[Array[Byte]]("payload")
+      record("response", r.getAs[String]("url"),
+        r.getAs[String]("warc_date"), r.getAs[String]("record_id"),
+        "application/http; msgtype=response",
+        httpResponseBlock(r.getAs[Int]("http_status"),
+          r.getAs[String]("http_content_type"), body),
+        extraHeaders = Seq("WARC-Payload-Digest" -> payloadDigest(body)))
+    }
+
+  /** WET-style EXTRACTED-TEXT shards — the crawl ecosystem's text
+    * interchange: ISO 28500 `conversion` records (the record type the
+    * public WET convention uses), `text/plain` UTF-8 bodies, fresh
+    * payload digests. Rows carry `record_id` and the text column
+    * (`textCol`), plus optional `url`/`warc_date` passed through when
+    * present — so [[graft.ops.Web.intake]] output (doc_id = the source
+    * record id, norm_text) pipes straight out as a text crawl any WET
+    * consumer reads. Same executor-side shard writer as [[writeShards]].
+    */
+  def writeTextShards(df: org.apache.spark.sql.DataFrame, dir: String,
+                      textCol: String): Unit = {
+    val names = df.columns.toSet
+    def opt(c: String) =
+      if (names(c)) s"cast($c as string) as $c" else s"'' as $c"
+    val idExpr =
+      if (names("record_id")) "record_id"
+      else if (names("doc_id")) "doc_id"
+      else throw new IllegalArgumentException(
+        s"writeTextShards: no record_id/doc_id column in " +
+          s"[${df.columns.mkString(", ")}]")
+    writeShardFiles(df.where(org.apache.spark.sql.functions.col(textCol)
+        .isNotNull)
+      .selectExpr(opt("url"), opt("warc_date"),
+        s"cast($idExpr as string) as record_id",
+        s"cast($textCol as string) as text"), dir) { r =>
+      val body = r.getAs[String]("text").getBytes(UTF_8)
+      record("conversion", r.getAs[String]("url"),
+        r.getAs[String]("warc_date"), r.getAs[String]("record_id"),
+        "text/plain", body,
+        extraHeaders = Seq("WARC-Payload-Digest" -> payloadDigest(body)))
+    }
+  }
+
+  /** The shared executor-side shard writer: one `.warc.gz` shard per
+    * non-empty partition, per-member gzip with Deflater release,
+    * `_tmp.`+rename so listers never see a torn shard.
+    */
+  private def writeShardFiles(projected: org.apache.spark.sql.DataFrame,
+                              dir: String)
+                             (rec: org.apache.spark.sql.Row => Array[Byte])
+      : Unit = {
     // Configuration is Writable, not Serializable — ship its entries
     // and rebuild once per task (the WarcReader.readMany pattern)
     val confKV = {
-      val it = df.sparkSession.sparkContext.hadoopConfiguration.iterator()
+      val it = projected.sparkSession.sparkContext
+        .hadoopConfiguration.iterator()
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
       buf.toArray
@@ -182,16 +233,8 @@ object WarcWriter {
               override def close(): Unit = flush()
             }
             rows.foreach { r =>
-              val body = r.getAs[Array[Byte]]("payload")
-              val rec = record("response", r.getAs[String]("url"),
-                r.getAs[String]("warc_date"), r.getAs[String]("record_id"),
-                "application/http; msgtype=response",
-                httpResponseBlock(r.getAs[Int]("http_status"),
-                  r.getAs[String]("http_content_type"), body),
-                extraHeaders =
-                  Seq("WARC-Payload-Digest" -> payloadDigest(body)))
               val gz = new GZIPOutputStream(keepOpen, 1 << 16)
-              gz.write(rec)
+              gz.write(rec(r))
               gz.close() // end the member AND its Deflater
             }
           } finally os.close()

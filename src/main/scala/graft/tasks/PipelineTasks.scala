@@ -89,6 +89,19 @@ object PipelineTasks {
         graft.sources.WarcWriter.writeShards(
           tgt.intOpt("shards").map(df.repartition(_)).getOrElse(df), out)
         lg.write(s"wrote $out")
+      case "wet" =>
+        // extracted-text shards (`conversion` records, text/plain) —
+        // intake/curation output ships as a text crawl; `text` names
+        // the column (default: the first of norm_text/clean_text/text)
+        val out = s"${ctx.dir(tgt.str("folder", "output"))}/${tgt.str("file")}"
+        val textCol = tgt.strOpt("text").getOrElse(
+          Seq("norm_text", "clean_text", "text").find(df.columns.contains)
+            .getOrElse(throw new IllegalArgumentException(
+              s"wet target: no text column in [${df.columns.mkString(", ")}]")))
+        graft.sources.WarcWriter.writeTextShards(
+          tgt.intOpt("shards").map(df.repartition(_)).getOrElse(df), out,
+          textCol)
+        lg.write(s"wrote $out")
       case f => throw new IllegalArgumentException(s"unknown target format: $f")
     }
   }

@@ -307,6 +307,41 @@ class WarcReaderSpec extends SparkSpec {
       "repacked records carry fresh payload digests")
   }
 
+  test("wet target: intake output ships as conversion-record text shards, reader round-trips") {
+    val wd = tmpDir("graft_warc_wet_")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$wd/input"))
+    val body = "the quick brown fox jumped over the lazy dog and kept " +
+      "a steady pace to the end of the long field where it could rest"
+    WarcWriter.write(spark, s"$wd/input/crawl.warc.gz", (1 to 4).iterator
+      .map(i => WarcWriter.responseRecord(s"https://ex.com/p$i", date,
+        rid(i), s"<html><body><p>$body page $i café</p></body></html>",
+        "utf-8", declareInHeader = true)))
+    val json =
+      s"""{"tasks": [
+         |  {"type": "intake", "name": "wet",
+         |   "source": {"folder": "input", "file": "crawl.warc.gz",
+         |              "format": "warc"},
+         |   "intake": {"id": "record_id", "min_words": 10,
+         |              "min_stop_hits": 0},
+         |   "target": {"format": "wet", "file": "textcrawl", "shards": 2}}
+         |]}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$wd/task.json"), json)
+    graft.runner.TaskRunner.runFile(s"$wd/task.json", spark, wd,
+      graft.runner.TaskLog.Silent)
+    val recs = WarcReader.read(spark, s"$wd/output/textcrawl").collect()
+    assert(recs.length == 4 && recs.forall(_.warc_type == "conversion"),
+      recs.map(_.warc_type).mkString(","))
+    assert(recs.forall(_.content_type == "text/plain"))
+    assert(recs.forall(_.payload_digest.exists(_.startsWith("sha1:"))))
+    val texts = recs.map(r => new String(r.payload, "UTF-8")).toSet
+    assert(texts.exists(_.contains("page 3 café")),
+      "normalized text round-trips as the conversion payload")
+    assert(recs.map(_.record_id).toSet == (1 to 4).map(rid).toSet,
+      "intake doc_id (the source record id) carries through")
+  }
+
   test("readMany: literal paths with comma and glob metacharacters read as named") {
     val wd = tmpDir("graft_warc_paths_")
     val weird = s"$wd/crawl,{a}[1].warc"
