@@ -238,7 +238,15 @@ object WarcWriter {
               gz.close() // end the member AND its Deflater
             }
           } finally os.close()
-          fs.rename(tmp, fin)
+          // Hadoop FS signals failure by RETURN VALUE. A false with the
+          // destination present is a lost race against another attempt
+          // of this same deterministic partition — benign; a false with
+          // no destination is silent data loss — abort loudly. Stranded
+          // `_tmp.` files are invisible to readers (FileInputFormat's
+          // hidden-file filter skips `_`/`.` prefixes).
+          if (!fs.rename(tmp, fin) && !fs.exists(fin))
+            throw new java.io.IOException(
+              s"failed to commit warc shard $fin")
           ()
         }
     }
