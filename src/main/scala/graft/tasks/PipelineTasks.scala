@@ -401,6 +401,31 @@ object PipelineTasks {
     }
   }
 
+  /** `block`: domain-blocklist exclusion (q150) — rows whose REGISTERED
+    * domain (the [[graft.ops.Web.registeredDomain]] cut over `url`)
+    * appears in the blocklist drop; the blocklist is the broadcast
+    * anti-join side (policy-bounded — the corpus never shuffles).
+    * `blocklist` names a parquet file/dir of domains (`domain_col`
+    * picks the column, default `domain`); `psl` optionally points at a
+    * publicsuffix.org-format rules file so the cut honors the full
+    * published list (wildcards/exceptions) instead of the bundled
+    * subset.
+    */
+  object BlockTask extends Task {
+    def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
+      Tasks.etl(ctx, task, log, "block")(sourceDf(ctx, task)) { (df, lg, meter) =>
+        val cfg = task("block")
+        val blocked = ctx.spark.read.parquet(
+          s"${ctx.dir(cfg.str("folder", "input"))}/${cfg.str("blocklist")}")
+        val rules = cfg.strOpt("psl")
+          .map(p => graft.ops.Web.loadPublicSuffixes(ctx.dir(p)))
+          .getOrElse(graft.ops.PublicSuffixRules.bundled)
+        sink(ctx, task)(graft.ops.Web.filterBlockedDomains(df,
+          cfg.str("url", "url"), blocked, cfg.str("domain_col", "domain"),
+          rules), lg, meter)
+      }
+  }
+
   /** `cap`: per-key frequency throttle — keep the `n` best rows per
     * `key` by (`score` desc, id asc) via the bounded
     * [[Sampling.capPerKey]] rank (q126), the "max N docs per domain"

@@ -362,7 +362,8 @@ object Tasks {
     "drift"      -> PipelineTasks.DriftTask,
     "gopher"     -> PipelineTasks.GopherTask,
     "intake"     -> PipelineTasks.IntakeTask,
-    "warc"       -> PipelineTasks.WarcTask)
+    "warc"       -> PipelineTasks.WarcTask,
+    "block"      -> PipelineTasks.BlockTask)
 
   def get(taskType: String): Task =
     factory.getOrElse(taskType,

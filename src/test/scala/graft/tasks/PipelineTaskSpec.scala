@@ -29,6 +29,55 @@ class PipelineTaskSpec extends SparkSpec {
 
   private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
+  test("block task == Web.filterBlockedDomains; psl file drives the registered-domain cut") {
+    import spark.implicits._
+    val wd = tmpDir("graft_pipetask_")
+    Files.createDirectories(Paths.get(s"$wd/input"))
+    val pages = Seq(
+      (1L, "https://a.evil.example/x"),   // cuts to evil.example (PSL)
+      (2L, "https://good.example/y"),     // 'example' is a PSL suffix here
+      (3L, "https://x.sub.host.ck/z"),    // *.ck: host.ck is the suffix,
+                                          // so the cut is sub.host.ck
+      (4L, "https://www.ck/keep"),        // !www.ck exception
+      (5L, "https://other.com/keep"))
+      .toDF("doc_id", "url")
+    pages.write.parquet(s"$wd/input/pages")
+    val blockedDomains = Seq("evil.example", "sub.host.ck")
+    blockedDomains.toDF("domain").write.parquet(s"$wd/input/blocked")
+    // PSL: 'example' exact, *.ck wildcard, !www.ck exception — none of
+    // which the bundled subset carries
+    Files.writeString(Paths.get(s"$wd/input/rules.dat"),
+      "// test rules\nexample\ncom\n*.ck\n!www.ck\n")
+    runTask(wd,
+      s"""{"tasks": [
+         |  {"type": "block", "name": "b",
+         |   "source": {"folder": "input", "file": "pages"},
+         |   "block": {"blocklist": "blocked", "psl": "input/rules.dat"},
+         |   "target": {"file": "kept", "truncate": true}},
+         |  {"type": "block", "name": "b0",
+         |   "source": {"folder": "input", "file": "pages"},
+         |   "block": {"blocklist": "blocked"},
+         |   "target": {"file": "kept_default", "truncate": true}}
+         |]}""".stripMargin)
+    // PSL run: evil.example blocks doc 1 ('a' label under suffix
+    // 'example'); sub.host.ck blocks doc 3 (the *.ck wildcard makes
+    // host.ck the suffix); www.ck survives (the exception keeps its
+    // cut at www.ck, not in the list)
+    assert(outParquet(wd, "kept").select("doc_id")
+      .as[Long].collect().toSet == Set(2L, 4L, 5L))
+    // parity with the op under the same rules
+    val rules = graft.ops.Web.loadPublicSuffixes(s"$wd/input/rules.dat")
+    assert(rows(outParquet(wd, "kept")) ==
+      rows(graft.ops.Web.filterBlockedDomains(pages, "url",
+        blockedDomains.toDF("domain"), "domain", rules)))
+    // bundled default diverges on doc 3: 'ck' is not a bundled suffix,
+    // so the fallback cut is the last two labels (host.ck), which the
+    // blocklist's sub.host.ck entry does NOT match — the knob is what
+    // makes multi-label ccTLD blocklists enforceable
+    assert(outParquet(wd, "kept_default").select("doc_id")
+      .as[Long].collect().toSet == Set(2L, 3L, 4L, 5L))
+  }
+
   test("excise task == Dedup.exciseDupSpans, byte for byte") {
     val wd = tmpDir("graft_pipetask_")
     runTask(wd,
