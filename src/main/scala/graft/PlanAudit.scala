@@ -81,7 +81,8 @@ object PlanAudit {
       "q152_remove_paragraphs", "q153_warc_responses",
       "q154_paras_against_index", "q155_intake_curation",
       "q156_warc_charset_profile", "q157_crawl_token_ids",
-      "q158_crawl_digest_dedup", "q159_crawl_latest_fetch")
+      "q158_crawl_digest_dedup", "q159_crawl_latest_fetch",
+      "q160_key_index_card")
     // optional args = audit only these queries (iterating on one
     // operator); a trailing `--json <path>` additionally writes the
     // table as the per-round PLANAUDIT artifact, so plan-shape

@@ -422,6 +422,7 @@ object SparkEntry {
     "q157_crawl_token_ids" -> crawlTokenIdsSql,
     "q158_crawl_digest_dedup" -> crawlDigestDedupSql,
     "q159_crawl_latest_fetch" -> crawlLatestFetchSql,
+    "q160_key_index_card" -> keyIndexCardSql,
     // q144: the identical planted mess (combining acute/grave, tabs, a
     // C0 control byte, double spaces) and the identical normalization
     // order: NFC -> lower -> control strip -> whitespace collapse ->
@@ -3574,6 +3575,24 @@ object SparkEntry {
        |    || CAST(doc_id AS VARCHAR) || ': ' || text
        |    || '</p></body></html>' AS html
        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+
+  /** q160 oracle: every card figure recomputes from the documents
+    * table — the index holds the distinct even-slice content hashes
+    * (sized to max(1, count)) plus the appended distinct odd-slice
+    * hashes; distinct-vs-rows and the utilization ratio follow.
+    */
+  private def keyIndexCardSql: String =
+    s"""WITH e AS (SELECT COUNT(DISTINCT text) AS n FROM documents
+       |    WHERE text IS NOT NULL AND doc_id % 2 = 0),
+       |  o AS (SELECT COUNT(DISTINCT text) AS n FROM documents
+       |    WHERE text IS NOT NULL AND doc_id % 2 = 1),
+       |  a AS (SELECT COUNT(DISTINCT text) AS n FROM documents
+       |    WHERE text IS NOT NULL)
+       |SELECT a.n AS n_keys, e.n + o.n AS n_rows,
+       |  GREATEST(e.n, 1) AS sized_n,
+       |  CAST(0.01 AS DOUBLE) AS fpp_sized,
+       |  ROUND(CAST(a.n AS DOUBLE) / GREATEST(e.n, 1), 6) AS utilization
+       |FROM e, o, a""".stripMargin
 
   /** q156 oracle: the sniff outcome per doc_id%3 class is deterministic
     * over the q153 fixture; the expected canonical names derive from

@@ -792,6 +792,37 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
+  /** One-row OPERATIONAL CARD over a key-index layout ([[
+    * buildExactKeyIndex]]/[[buildKeyIndex]]) — the rebuild-trigger
+    * signal: streamed appends merge per-batch Bloom deltas built with
+    * the INDEX's original (n, fpp) sizing, so the filter's real false-
+    * positive rate degrades as the held key count outgrows `sized_n`
+    * (the no-false-negative contract survives; what grows is wasted
+    * verify-join work on fpp noise). A deployment reads `utilization`
+    * (keys held / keys sized for) per ingest epoch and rebuilds past
+    * its threshold — the digest/exact admission gates' counterpart to
+    * the IVF drift card. One bounded aggregation over `keys/` + one
+    * `params` head — no filter deserialization needed.
+    */
+  def keyIndexCard(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    val params = spark.read.parquet(s"$path/params")
+      .select(col("n"), col("fpp")).head()
+    // n_keys is the DISTINCT count (what the Bloom logically holds);
+    // n_rows counts the appended files' rows — replayed batches can
+    // re-append keys (the at-least-once contract), and the gap between
+    // the two is the compaction signal. One exchange over fixed-width
+    // keys, run per epoch — a card, not a per-batch probe.
+    spark.read.parquet(s"$path/keys")
+      .agg(countDistinct(col("key")).as("n_keys"),
+        count(lit(1)).as("n_rows"))
+      .select(col("n_keys"), col("n_rows"),
+        lit(params.getLong(0)).as("sized_n"),
+        lit(params.getDouble(1)).as("fpp_sized"),
+        round(col("n_keys").cast("double") / params.getLong(0), 6)
+          .as("utilization"))
+  }
+
   /** Write-to-temp + overwrite-rename: an in-place overwrite would make
     * a crash mid-write destroy the ONLY copy of the standing filter
     * (bricking every future probe until a rebuild) — the opposite of

@@ -795,6 +795,28 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q160 key-index operational card (Dedup.keyIndexCard) — the
+  // rebuild-trigger signal over the admission-index family (q62 exact
+  // keys, the crawl digest gate): keys held vs the Bloom's build-time
+  // sizing. The index persists once per sf dir (the q154 memo
+  // pattern): built from the even-doc_id slice, the odd slice's keys
+  // appended — so utilization lands deterministically above 1 and the
+  // oracle recomputes every figure from the documents table.
+  private val keyCardDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q160_key_index_card: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+    val idx = keyCardDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q160_keyidx_").toString + "/idx"
+      Dedup.buildExactKeyIndex(docs.where(col("doc_id") % 2 === 0),
+        "text", p)
+      Dedup.appendExactKeys(s, docs.where(col("doc_id") % 2 === 1),
+        "text", p)
+      p
+    })
+    Dedup.keyIndexCard(s, idx)
+  }
+
   // q158 digest-keyed crawl dedup (WarcReader.responsesDeduped): the
   // pre-decode rung — `WARC-Payload-Digest` groups byte-identical
   // fetches (including `revisit` records, which carry the digest and
@@ -2123,5 +2145,6 @@ object Extensions {
     "q156_warc_charset_profile" -> q156_warc_charset_profile,
     "q157_crawl_token_ids" -> q157_crawl_token_ids,
     "q158_crawl_digest_dedup" -> q158_crawl_digest_dedup,
-    "q159_crawl_latest_fetch" -> q159_crawl_latest_fetch)
+    "q159_crawl_latest_fetch" -> q159_crawl_latest_fetch,
+    "q160_key_index_card" -> q160_key_index_card)
 }

@@ -1571,6 +1571,24 @@ class OpsSpec extends SparkSpec {
     assert(shuffled.select("doc_id").as[Long].collect().toSet == Set(3L, 12L))
   }
 
+  test("keyIndexCard: utilization vs build sizing, replay re-appends count as rows not keys") {
+    val dir = tmpDir("graft_keycard_")
+    Dedup.buildKeyIndex(Seq("sha1:AAA", "sha1:BBB").toDF("d"), "d", dir)
+    val appends = Seq("sha1:CCC", "sha1:DDD", "sha1:EEE").toDF("d")
+    Dedup.appendKeys(spark, appends, "d", dir)
+    val card1 = Dedup.keyIndexCard(spark, dir).collect().head
+    assert(card1.getAs[Long]("n_keys") == 5L && card1.getAs[Long]("n_rows") == 5L)
+    assert(card1.getAs[Long]("sized_n") == 2L)
+    assert(card1.getAs[Double]("utilization") == 2.5)
+    // a crash-window replay re-appends the same batch: rows grow,
+    // logical keys (and the rebuild signal) don't
+    Dedup.appendKeys(spark, appends, "d", dir)
+    val card2 = Dedup.keyIndexCard(spark, dir).collect().head
+    assert(card2.getAs[Long]("n_keys") == 5L && card2.getAs[Long]("n_rows") == 8L)
+    assert(card2.getAs[Double]("utilization") == 2.5)
+    assert(card2.getAs[Double]("fpp_sized") == 0.01)
+  }
+
   test("funnel: strict order, equal timestamps don't count, monotone stages") {
     val e = Seq(
       // user 1 completes all three in order
