@@ -751,24 +751,36 @@ object Dedup {
     *
     * Null-text docs contribute no key: they can never collide, and the
     * probe side admits them unconditionally.
+    *
+    * `expectedKeys` floors the Bloom sizing below (first-ingest
+    * deployments build over an EMPTY or tiny seed corpus; sizing the
+    * filter to what was present would saturate it within a few streamed
+    * appends — every probe then degrades to the verify join until a
+    * manual rebuild). Size it to the corpus you expect to ADMIT before
+    * the next scheduled rebuild; [[keyIndexCard]]'s `utilization`
+    * column is the live reading against whichever sizing won.
     */
   def buildExactKeyIndex(docs: DataFrame, textCol: String, path: String,
-                         fpp: Double = 0.01): Unit =
-    buildKeyIndexImpl(docs, md5(col(textCol)), path, fpp)
+                         fpp: Double = 0.01, expectedKeys: Long = 0L): Unit =
+    buildKeyIndexImpl(docs, md5(col(textCol)), path, fpp, expectedKeys)
 
   /** [[buildExactKeyIndex]] keyed on a PRECOMPUTED key column instead
     * of a content hash — the layout behind digest-keyed crawl
     * admission (`WARC-Payload-Digest` is already the fixed-width
     * content key; re-hashing payloads would waste the crawler's work).
     * Same `keys/` + `bloom/` + `params/` artifacts, so the append and
-    * probe machinery is shared verbatim.
+    * probe machinery is shared verbatim. `expectedKeys` floors the
+    * Bloom sizing (see [[buildExactKeyIndex]] — without it a first
+    * ingest over an empty seed sizes for max(1, 0) = 1 key and starts
+    * permanently degraded).
     */
   def buildKeyIndex(docs: DataFrame, keyCol: String, path: String,
-                    fpp: Double = 0.01): Unit =
-    buildKeyIndexImpl(docs, col(keyCol), path, fpp)
+                    fpp: Double = 0.01, expectedKeys: Long = 0L): Unit =
+    buildKeyIndexImpl(docs, col(keyCol), path, fpp, expectedKeys)
 
   private def buildKeyIndexImpl(docs: DataFrame, keyExpr: Column,
-                                path: String, fpp: Double): Unit = {
+                                path: String, fpp: Double,
+                                expectedKeys: Long): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.where(keyExpr.isNotNull)
@@ -776,7 +788,12 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/keys")
     val keys = spark.read.parquet(s"$path/keys")
     val count = keys.count()
-    val n = math.max(1L, count)
+    // sizing floor: the caller's expected-capacity hint wins over the
+    // observed count, so an empty/tiny seed build still gets a filter
+    // sized for the corpus it will GROW into (per-batch append deltas
+    // must share this sizing to stay mergeable — undersizing here is
+    // permanent until a rebuild)
+    val n = math.max(1L, math.max(count, expectedKeys))
     // first ingest builds over an EMPTY seed corpus (the streaming
     // sinks' documented precondition) — stat.bloomFilter NPEs on zero
     // rows, so write an empty filter with the same sizing params the

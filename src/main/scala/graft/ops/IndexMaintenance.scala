@@ -90,19 +90,38 @@ object IndexMaintenance {
     * cleanup ladder). Replays re-append byte-identical rows, which
     * `max_by` dedups for free; ties on (warc_date, record_id) cannot
     * occur for real records (record ids are unique).
+    *
+    * `n_fetches` (when the layout carries it) is SUMMED across the
+    * collapsed batches, not taken from the winning row: each appended
+    * row's count covers only its own micro-batch's fetches, while
+    * `latestByUrl` documents the column as "the fetches the
+    * representative stands for" — after compaction that is the
+    * cross-batch total. Replayed batches re-append byte-identical rows
+    * (the at-least-once contract), which a plain sum would double-count,
+    * so rows dedup on (key, orderCols) FIRST — the replay copy is
+    * byte-identical by contract, so dropping it loses nothing.
     */
   def compactLatest(spark: SparkSession, dir: String,
                     keyCol: String = "canon_url",
                     orderCols: Seq[String] =
                       Seq("warc_date", "record_id")): Unit =
     stageAndSwap(spark, dir) { tmp =>
-      val df = spark.read.parquet(dir)
+      val df0 = spark.read.parquet(dir)
+      val df = df0.dropDuplicates(keyCol +: orderCols)
       val cols = df.columns.map(col)
-      df.groupBy(col(keyCol))
-        .agg(max_by(struct(cols: _*), struct(orderCols.map(col): _*))
-          .as("_row"))
-        .select(col("_row.*"))
-        .write.mode("overwrite").parquet(tmp)
+      val aggs =
+        (max_by(struct(cols: _*), struct(orderCols.map(col): _*))
+          .as("_row")) +:
+        (if (df.columns.contains("n_fetches"))
+          Seq(sum(col("n_fetches")).as("_nf"))
+        else Seq.empty[org.apache.spark.sql.Column])
+      val winner = df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+      val out =
+        if (df.columns.contains("n_fetches"))
+          winner.select(col("_row.*"), col("_nf"))
+            .withColumn("n_fetches", col("_nf").cast("long")).drop("_nf")
+        else winner.select(col("_row.*"))
+      out.write.mode("overwrite").parquet(tmp)
     }
 
   def compactOutput(spark: SparkSession, dir: String,

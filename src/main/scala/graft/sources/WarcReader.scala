@@ -211,16 +211,75 @@ object WarcReader {
     * collapsed copies is SKIPPED entirely: at crawl dedup rates
     * (30–60% byte-identical re-fetches) that is the single biggest
     * saving between landing and intake.
+    *
+    * TRUST: the default key is the crawler's own claimed digest,
+    * case-normalized (writers vary hex/base32 case; `sha1:abc` and
+    * `SHA1:ABC` name the same content) with md5(payload) filling in
+    * for writers that omit it. Two residual holes follow from trusting
+    * the writer: (a) byte-identical payloads DON'T group when one
+    * record carries a digest and another doesn't (or the writers used
+    * different algorithms), and (b) a corrupt or hostile record
+    * CLAIMING an already-seen digest collapses distinct payloads
+    * unverified. `verifyDigests = true` closes both for untrusted
+    * crawls: every RESPONSE keys on a locally computed md5(payload)
+    * (claims are never trusted), and revisit records — which carry no
+    * payload to re-hash by profile — remap their claimed digest to the
+    * local key through the responses that claimed it (one extra
+    * digest-width equi-join; a revisit whose claim matches no response
+    * in the batch drops, exactly the no-response-group rule below).
+    * The same trust assumption applies at the standing
+    * [[graft.ops.Dedup.dedupAgainstKeyIndex]] gate: a digest-keyed
+    * index admits/rejects on the stored key — feed it verified keys
+    * (this mode, or [[graft.ops.Dedup.buildExactKeyIndex]]'s own
+    * hashes) when the crawl writer is not trusted.
     */
-  def dedupByDigest(records: Dataset[WarcRecord])
+  def dedupByDigest(records: Dataset[WarcRecord],
+                    verifyDigests: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    records
-      .where(col("warc_type").isin("response", "revisit"))
-      .select(
-        coalesce(col("payload_digest"), md5(col("payload"))).as("payload_digest"),
-        col("warc_type"), col("url"), col("warc_date"), col("record_id"),
-        col("http_status"), col("http_content_type"), col("payload"))
+    val base = records.where(col("warc_type").isin("response", "revisit"))
+    // claimed-digest case canonicalization: `alg:VALUE` → lowercase
+    // algorithm, uppercase value (the convention real crawl writers
+    // emit — sha1 + uppercase base32 — so well-formed digests pass
+    // through unchanged); a prefix-less claim uppercases whole. Hex and
+    // base32 are both case-insensitively unique, so normalizing only
+    // MERGES same-content groups, never splits one.
+    def normDigest(d: org.apache.spark.sql.Column) =
+      when(d.contains(":"),
+        concat(lower(substring_index(d, ":", 1)), lit(":"),
+          upper(substring_index(d, ":", -1))))
+        .otherwise(upper(d))
+    val keyed =
+      if (!verifyDigests)
+        base.select(
+          coalesce(normDigest(col("payload_digest")), md5(col("payload")))
+            .as("payload_digest"),
+          col("warc_type"), col("url"), col("warc_date"), col("record_id"),
+          col("http_status"), col("http_content_type"), col("payload"))
+      else {
+        val resp = base.where(col("warc_type") === "response")
+          .select(md5(col("payload")).as("payload_digest"),
+            normDigest(col("payload_digest")).as("_claimed"),
+            col("warc_type"), col("url"), col("warc_date"), col("record_id"),
+            col("http_status"), col("http_content_type"), col("payload"))
+        // claimed → verified key map, from the responses that claimed
+        // one; aggregated BEFORE the join so a revisit joining a heavily
+        // re-fetched digest contributes one row, not one per fetch. min
+        // (not distinct): under a FORGED duplicate claim two different
+        // payloads share a claimed digest — the remap then picks the
+        // min local key deterministically instead of double-counting
+        // the revisit into both groups
+        val claimMap = resp.where(col("_claimed").isNotNull)
+          .groupBy(col("_claimed"))
+          .agg(min(col("payload_digest")).as("payload_digest"))
+        val revisits = base.where(col("warc_type") === "revisit")
+          .select(normDigest(col("payload_digest")).as("_claimed"),
+            col("warc_type"), col("url"), col("warc_date"), col("record_id"),
+            col("http_status"), col("http_content_type"), col("payload"))
+          .join(claimMap, Seq("_claimed"))
+        resp.drop("_claimed").unionByName(revisits.drop("_claimed"))
+      }
+    keyed
       .groupBy(col("payload_digest"))
       .agg(
         // min over a struct ordered by its leading fields; null (= no
@@ -249,14 +308,15 @@ object WarcReader {
     * of the pattern list (no HTTP head by profile → null content type).
     */
   def responsesDeduped(records: Dataset[WarcRecord],
-                       decodeContentTypes: Seq[String] = textishContentTypes)
+                       decodeContentTypes: Seq[String] = textishContentTypes,
+                       verifyDigests: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val gated =
       if (decodeContentTypes.isEmpty) records
       else records.where(
         textish(col("http_content_type"), decodeContentTypes))
-    dedupByDigest(gated)
+    dedupByDigest(gated, verifyDigests)
       .select(col("url"), col("warc_date"), col("record_id"),
         col("http_status"), col("http_content_type"),
         col("payload_digest"), col("n_fetches"), col("n_revisits"),

@@ -197,6 +197,53 @@ object WarcWriter {
     }
   }
 
+  /** Prepare a shard destination for [[writeShards]]/[[writeTextShards]]
+    * under the task-DSL `truncate` contract every other target honors:
+    * `truncate = true` deletes any existing `part-*.warc.gz` shards
+    * (and stranded `_tmp.` files) so a re-run can never mix fresh and
+    * stale shards — the writer names shards by partition index, so a
+    * re-run with FEWER partitions would otherwise leave the tail of the
+    * previous run in place and silently duplicate records on read-back.
+    * `truncate = false` fails loudly when shards already exist: the
+    * shard namespace collides by construction, so "append" here is
+    * never a safe merge — write to a fresh directory instead.
+    */
+  def prepareShardDir(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, truncate: Boolean): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val entries = fs.listStatus(p).map(_.getPath)
+    val shards = entries.filter { f =>
+      val n = f.getName
+      n.startsWith("part-") && n.endsWith(".warc.gz")
+    }
+    val stranded = entries.filter(_.getName.startsWith("_tmp."))
+    if (truncate) (shards ++ stranded).foreach(fs.delete(_, false))
+    else if (shards.nonEmpty)
+      throw new IllegalStateException(
+        s"warc shard target $dir already holds ${shards.length} " +
+          "part-*.warc.gz shard(s); re-running without truncate would mix " +
+          "stale and fresh shards (set \"truncate\": true, or point the " +
+          "task at a fresh directory)")
+  }
+
+  /** Sweep stranded `_tmp.` attempt files after a successful shard
+    * commit — failed task attempts leave them behind (readers never see
+    * them: FileInputFormat's hidden-file filter skips `_` prefixes, and
+    * [[WarcReader.read]]'s glob callers match `*.warc.gz`), but without
+    * a sweep they accumulate for the directory's lifetime.
+    */
+  def sweepTmpFiles(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.startsWith("_tmp."))
+        .foreach(fs.delete(_, false))
+  }
+
   /** The shared executor-side shard writer: one `.warc.gz` shard per
     * non-empty partition, per-member gzip with Deflater release,
     * `_tmp.`+rename so listers never see a torn shard.

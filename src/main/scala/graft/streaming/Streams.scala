@@ -241,7 +241,12 @@ object Streams {
     *
     * The key layout must exist (first ingest: `buildExactKeyIndex` over
     * the empty or seed corpus) — same precondition as
-    * [[exactKeyIndexSink]].
+    * [[exactKeyIndexSink]]. For an empty/tiny seed, PASS
+    * `expectedKeys` to the build: per-batch Bloom deltas inherit the
+    * build's sizing, so a filter sized to the seed saturates within a
+    * few appends and every probe degrades to the verify join until a
+    * rebuild. [[graft.ops.Dedup.keyIndexCard]]'s `utilization` column
+    * is the live degradation reading (rebuild past ~1.0).
     */
   def webIntakeSink(spark: org.apache.spark.sql.SparkSession,
                     stream: DataFrame, idCol: String, htmlCol: String,
@@ -405,10 +410,13 @@ object Streams {
     * upsert-by-compaction: a later batch's re-fetch of a known url
     * APPENDS (never screens — newer content must replace, not drop),
     * and [[graft.ops.IndexMaintenance.compactLatest]] collapses the
-    * history to the global newest per url. Replays re-append
-    * byte-identical rows; `max_by` compaction dedups them for free —
-    * so every crash window converges with zero index state (this sink
-    * keeps none).
+    * history to the global newest per url, summing `n_fetches` across
+    * the collapsed batches (each appended row's count covers only its
+    * own micro-batch; the post-compaction column is the cross-batch
+    * total the `latestByUrl` contract describes). Replays re-append
+    * byte-identical rows; compaction drops them on (key, warc_date,
+    * record_id) before summing — so every crash window converges with
+    * zero index state (this sink keeps none).
     */
   def latestFetchSink(spark: org.apache.spark.sql.SparkSession,
                       dir: String, outPath: String, checkpoint: String,

@@ -48,11 +48,14 @@ object PipelineTasks {
         // http_content_type), so `"type": "intake"` composes directly:
         // {"source": {"format": "warc", ...}, "intake": {"id": "record_id"}}.
         // `"digest_dedup": true` runs the pre-decode digest rung first
-        // (WarcTask's mode=deduped, available to EVERY pipeline task);
+        // (WarcTask's mode=deduped, available to EVERY pipeline task;
+        // `"verify_digest": true` recomputes keys locally instead of
+        // trusting the writer's claims — the untrusted-crawl setting);
         // `"latest": true` the canonical-url newest-fetch rung.
         val recs = graft.sources.WarcReader.read(ctx.spark, path)
         if (src.flag("digest_dedup"))
-          graft.sources.WarcReader.responsesDeduped(recs)
+          graft.sources.WarcReader.responsesDeduped(recs,
+            verifyDigests = src.flag("verify_digest"))
         else if (src.flag("latest"))
           graft.sources.WarcReader.latestByUrl(recs)
         else graft.sources.WarcReader.responses(recs)
@@ -84,10 +87,16 @@ object PipelineTasks {
         // crawl REPACK: rows in the WarcRecord response projection
         // (url/warc_date/record_id/http_status?/http_content_type?/
         // payload) write back out as `.warc.gz` shards, one per
-        // partition, executor-side — the warc source reads them back
+        // partition, executor-side — the warc source reads them back.
+        // `truncate` follows every other target's contract (clear the
+        // stale shards, or fail loudly on a shard-name collision); a
+        // successful commit sweeps stranded `_tmp.` attempt files.
         val out = s"${ctx.dir(tgt.str("folder", "output"))}/${tgt.str("file")}"
+        graft.sources.WarcWriter.prepareShardDir(ctx.spark, out,
+          tgt.bool("truncate"))
         graft.sources.WarcWriter.writeShards(
           tgt.intOpt("shards").map(df.repartition(_)).getOrElse(df), out)
+        graft.sources.WarcWriter.sweepTmpFiles(ctx.spark, out)
         lg.write(s"wrote $out")
       case "wet" =>
         // extracted-text shards (`conversion` records, text/plain) —
@@ -98,9 +107,12 @@ object PipelineTasks {
           Seq("norm_text", "clean_text", "text").find(df.columns.contains)
             .getOrElse(throw new IllegalArgumentException(
               s"wet target: no text column in [${df.columns.mkString(", ")}]")))
+        graft.sources.WarcWriter.prepareShardDir(ctx.spark, out,
+          tgt.bool("truncate"))
         graft.sources.WarcWriter.writeTextShards(
           tgt.intOpt("shards").map(df.repartition(_)).getOrElse(df), out,
           textCol)
+        graft.sources.WarcWriter.sweepTmpFiles(ctx.spark, out)
         lg.write(s"wrote $out")
       case f => throw new IllegalArgumentException(s"unknown target format: $f")
     }
@@ -381,7 +393,8 @@ object PipelineTasks {
         case "responses" => graft.sources.WarcReader.responses(
           graft.sources.WarcReader.read(ctx.spark, path), gate)
         case "deduped"   => graft.sources.WarcReader.responsesDeduped(
-          graft.sources.WarcReader.read(ctx.spark, path), gate)
+          graft.sources.WarcReader.read(ctx.spark, path), gate,
+          verifyDigests = cfg.flag("verify_digest"))
         case "latest"    => graft.sources.WarcReader.latestByUrl(
           graft.sources.WarcReader.read(ctx.spark, path), gate)
         // digest dedup keeping the RAW payload — the repack source
@@ -391,7 +404,8 @@ object PipelineTasks {
           graft.sources.WarcReader.dedupByDigest(
             if (cfg.flag("decode_all")) recs
             else recs.where(graft.sources.WarcReader
-              .textish(org.apache.spark.sql.functions.col("http_content_type"))))
+              .textish(org.apache.spark.sql.functions.col("http_content_type"))),
+            verifyDigests = cfg.flag("verify_digest"))
         case "records"   => graft.sources.WarcReader.read(ctx.spark, path).toDF
         case m => throw new IllegalArgumentException(s"unknown warc mode: $m")
       }
@@ -609,7 +623,12 @@ object PipelineTasks {
     *    .consolidateLineDeltas]]: fold the line-count index's deltas
     *    behind the sink checkpoint's committed offset (`checkpoint` =
     *    that checkpoint dir) into `delta=base` — the
-    *    directory-per-batch growth remedy.
+    *    directory-per-batch growth remedy;
+    *  - `"mode": "latest"` — [[IndexMaintenance.compactLatest]]: the
+    *    freshness stream's upsert — collapse the
+    *    [[graft.streaming.Streams.latestFetchSink]] appended history to
+    *    ONE newest row per `key` (default `canon_url`), `n_fetches`
+    *    summed across the collapsed batches.
     */
   object CompactTask extends Task {
     def run(ctx: TaskContext, task: Node, log: TaskLog): Unit = {
@@ -620,6 +639,10 @@ object PipelineTasks {
           graft.ops.IndexMaintenance.compactOutput(ctx.spark, path,
             cfg.str("id", "doc_id"))
           log.write(s"compacted output duplicates at $path")
+        case "latest" =>
+          graft.ops.IndexMaintenance.compactLatest(ctx.spark, path,
+            cfg.str("key", "canon_url"))
+          log.write(s"compacted to newest row per key at $path")
         case "files" =>
           graft.ops.IndexMaintenance.compact(ctx.spark, path,
             cfg.strOpt("part"), cfg.int("files", 1))
@@ -631,7 +654,8 @@ object PipelineTasks {
           log.write(s"folded ${folded.size} line-count deltas at $path" +
             (if (folded.isEmpty) "" else s": ${folded.mkString(",")}"))
         case m => throw new IllegalArgumentException(
-          s"compact mode must be 'output', 'files' or 'line_deltas': $m")
+          s"compact mode must be 'output', 'files', 'line_deltas' " +
+            s"or 'latest': $m")
       }
     }
   }

@@ -1589,6 +1589,36 @@ class OpsSpec extends SparkSpec {
     assert(card2.getAs[Double]("fpp_sized") == 0.01)
   }
 
+  test("key index expectedKeys: an empty/tiny first-ingest build sizes the Bloom for the corpus it will grow into") {
+    // empty seed, capacity hint: sizing must be the hint, not max(1,0)=1
+    // (a 1-key filter saturates on the first streamed append and every
+    // probe degrades to the verify join until a manual rebuild)
+    val dir = tmpDir("graft_keycap_")
+    Dedup.buildExactKeyIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", dir,
+      expectedKeys = 1000L)
+    val card = Dedup.keyIndexCard(spark, dir).collect().head
+    assert(card.getAs[Long]("sized_n") == 1000L, card.toString)
+    assert(card.getAs[Long]("n_keys") == 0L)
+    // the layout stays probe- and append-compatible
+    val admitted = Dedup.exactDedupAgainstIndex(spark,
+      Seq((1L, "first ever doc")).toDF("doc_id", "text"), "text", dir)
+    assert(admitted.count() == 1)
+    Dedup.appendExactKeys(spark,
+      Seq((1L, "first ever doc")).toDF("doc_id", "text"), "text", dir)
+    val card2 = Dedup.keyIndexCard(spark, dir).collect().head
+    assert(card2.getAs[Long]("n_keys") == 1L &&
+      card2.getAs[Long]("sized_n") == 1000L)
+    // observed count larger than the hint: the count wins (never
+    // undersize below what is actually held)
+    val dir2 = tmpDir("graft_keycap2_")
+    Dedup.buildKeyIndex(
+      Seq("sha1:A", "sha1:B", "sha1:C").toDF("d"), "d", dir2,
+      expectedKeys = 2L)
+    assert(Dedup.keyIndexCard(spark, dir2).collect()
+      .head.getAs[Long]("sized_n") == 3L)
+  }
+
   test("funnel: strict order, equal timestamps don't count, monotone stages") {
     val e = Seq(
       // user 1 completes all three in order

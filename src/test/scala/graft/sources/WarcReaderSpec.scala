@@ -563,4 +563,104 @@ class WarcReaderSpec extends SparkSpec {
     assert(intakeDd.select("norm_text").as[String].collect().toSet ==
       intake.select("norm_text").as[String].collect().toSet)
   }
+
+  test("digest trust: case-scrambled claims normalize into one group; verify mode re-keys locally and isolates forged claims") {
+    val shared = "<html><body><p>the canonical shared page</p></body></html>"
+    val sharedBytes = shared.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sharedDigest = WarcWriter.payloadDigest(sharedBytes)
+    // the same digest with scrambled algorithm/value case — writers
+    // vary; both name the same content
+    val scrambled = "SHA1:" + sharedDigest.stripPrefix("sha1:").toLowerCase
+    def claimed(url: String, id: String, body: Array[Byte], claim: String) =
+      WarcWriter.record("response", url, date, id,
+        "application/http; msgtype=response",
+        WarcWriter.httpResponseBlock(200, "text/html", body),
+        extraHeaders = Seq("WARC-Payload-Digest" -> claim))
+    val wd = tmpDir("graft_warc_trust_")
+    // file A: canonical + scrambled-case claims over identical bytes,
+    // plus a revisit claiming lowercase — all one content
+    WarcWriter.write(spark, s"$wd/a.warc.gz", Iterator(
+      claimed("https://ex.com/1", rid(1), sharedBytes, sharedDigest),
+      claimed("https://ex.com/2", rid(2), sharedBytes, scrambled),
+      WarcWriter.revisitRecord("https://ex.com/3", date, rid(3),
+        sharedDigest.toLowerCase)))
+    val a = WarcReader.dedupByDigest(WarcReader.read(spark, s"$wd/a.warc.gz"))
+      .collect()
+    assert(a.length == 1, a.mkString("\n"))
+    assert(a.head.getAs[Long]("n_fetches") == 3L &&
+      a.head.getAs[Long]("n_revisits") == 1L,
+      "case-scrambled claims and revisits must normalize into one group")
+    assert(a.head.getAs[String]("payload_digest") == sharedDigest,
+      "canonical form: lowercase algorithm, uppercase value")
+    // verify mode: local keys agree for identical bytes; the revisit's
+    // claim remaps through the responses that claimed it
+    val av = WarcReader.dedupByDigest(
+      WarcReader.read(spark, s"$wd/a.warc.gz"), verifyDigests = true)
+      .collect()
+    assert(av.length == 1 && av.head.getAs[Long]("n_fetches") == 3L &&
+      av.head.getAs[Long]("n_revisits") == 1L, av.mkString("\n"))
+    assert(av.head.getAs[String]("payload_digest").length == 32,
+      "verify mode keys on the locally computed hash, never the claim")
+    // file B: a FORGED claim — different bytes, the shared digest
+    val forgedBytes = "<html><body><p>hostile, not the shared page</p></body></html>"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    WarcWriter.write(spark, s"$wd/b.warc.gz", Iterator(
+      claimed("https://ex.com/1", rid(1), sharedBytes, sharedDigest),
+      claimed("https://ex.com/9", rid(9), forgedBytes, sharedDigest)))
+    // default mode TRUSTS the writer: the forgery collapses in (the
+    // documented trust assumption)
+    assert(WarcReader.dedupByDigest(
+      WarcReader.read(spark, s"$wd/b.warc.gz")).count() == 1)
+    // verify mode isolates it: two groups, one per distinct payload
+    val bv = WarcReader.dedupByDigest(
+      WarcReader.read(spark, s"$wd/b.warc.gz"), verifyDigests = true)
+      .collect()
+    assert(bv.length == 2 && bv.forall(_.getAs[Long]("n_fetches") == 1L),
+      bv.mkString("\n"))
+  }
+
+  test("warc shard target: truncate clears stale shards and tmp files; no-truncate fails loudly on a shard collision") {
+    val wd = tmpDir("graft_warc_trunc_")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$wd/input"))
+    WarcWriter.write(spark, s"$wd/input/crawl.warc.gz", (1 to 4).iterator
+      .map(i => WarcWriter.responseRecord(s"https://ex.com/p$i", date,
+        rid(i), s"<html><body><p>page $i</p></body></html>", "utf-8",
+        declareInHeader = true)))
+    def task(shards: Int, truncate: Boolean) =
+      s"""{"tasks": [
+         |  {"type": "warc", "name": "repack",
+         |   "source": {"folder": "input", "file": "crawl.warc.gz"},
+         |   "warc": {"mode": "deduped_raw"},
+         |   "target": {"format": "warc", "file": "repacked",
+         |              "shards": $shards, "truncate": $truncate}}
+         |]}""".stripMargin
+    def run(json: String): Unit = {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$wd/task.json"), json)
+      graft.runner.TaskRunner.runFile(s"$wd/task.json", spark, wd,
+        graft.runner.TaskLog.Silent)
+    }
+    run(task(shards = 3, truncate = true))
+    val outDir = new java.io.File(s"$wd/output/repacked")
+    assert(outDir.listFiles().count(_.getName.endsWith(".warc.gz")) == 3)
+    // plant a stranded attempt file: re-runs must sweep it
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_tmp.part-00009.warc.gz.attempt1"),
+      "torn")
+    // re-run WITHOUT truncate: the shard namespace collides — loud fail
+    val e = intercept[Exception] { run(task(shards = 1, truncate = false)) }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(_.isInstanceOf[IllegalStateException]),
+      s"expected IllegalStateException in ${chain(e).map(_.getClass)}")
+    // re-run WITH truncate and FEWER shards: stale part-00001/2 must go
+    run(task(shards = 1, truncate = true))
+    val names = outDir.listFiles().map(_.getName).sorted
+    assert(names.count(_.endsWith(".warc.gz")) == 1 &&
+      !names.exists(_.startsWith("_tmp.")),
+      s"stale shards and tmp files must be gone: ${names.mkString(",")}")
+    assert(WarcReader.responses(spark, s"$outDir").count() == 4,
+      "read-back sees exactly one fresh run's records")
+  }
 }

@@ -970,9 +970,17 @@ class StreamsSpec extends SparkSpec {
     assert(out("https://ex.com/b").getString(1) == "<urn:f:3>" &&
       out("https://ex.com/b").getString(2).contains("b v1"),
       "a backfilled OLDER shard must not replace")
-    // idempotence: compacting again changes nothing
+    // n_fetches is the CROSS-BATCH total after compaction, not the
+    // winning batch's count: /a saw 2 fetches in batch 1 + 1 in batch 2
+    assert(out("https://ex.com/a").getLong(3) == 3L &&
+      out("https://ex.com/b").getLong(3) == 2L,
+      s"n_fetches must sum across collapsed batches: $out")
+    // idempotence: compacting again changes nothing (incl. the sums)
     graft.ops.IndexMaintenance.compactLatest(spark, s"$dir/out")
-    assert(spark.read.parquet(s"$dir/out").count() == 2)
+    val again = spark.read.parquet(s"$dir/out")
+    assert(again.count() == 2)
+    assert(again.where(col("canon_url") === "https://ex.com/a")
+      .select("n_fetches").collect().head.getLong(0) == 3L)
   }
 
   test("crawl token-ids sink: batch-composition parity, crash-window replay converges, cross-batch screen") {

@@ -501,6 +501,33 @@ class PipelineTaskSpec extends SparkSpec {
       s"$wd/output/ingested") == 1)
   }
 
+  test("compact task: latest mode is compactLatest byte-for-byte") {
+    import spark.implicits._
+    val wd = tmpDir("graft_pipetask_cl_")
+    Files.createDirectories(Paths.get(s"$wd/output"))
+    // an appended freshness history: two batches' per-url newest rows
+    val hist = Seq(
+      ("https://ex.com/a", "2026-01-01T00:00:00Z", "<urn:1>", 2L, "a v1"),
+      ("https://ex.com/a", "2026-02-01T00:00:00Z", "<urn:2>", 1L, "a v2"),
+      ("https://ex.com/b", "2026-01-05T00:00:00Z", "<urn:3>", 1L, "b v1"))
+      .toDF("canon_url", "warc_date", "record_id", "n_fetches", "html")
+    hist.write.parquet(s"$wd/output/fresh")
+    // the op's answer on an identical copy
+    hist.write.parquet(s"$wd/output/fresh_op")
+    graft.ops.IndexMaintenance.compactLatest(spark, s"$wd/output/fresh_op")
+    runTask(wd,
+      s"""{"tasks": [{"type": "compact", "name": "l",
+         |  "compact": {"mode": "latest", "path": "output/fresh"}}]}"""
+        .stripMargin)
+    assert(rows(outParquet(wd, "fresh")) == rows(
+      spark.read.parquet(s"$wd/output/fresh_op")))
+    // the upsert happened: one row per url, n_fetches summed
+    val a = spark.read.parquet(s"$wd/output/fresh")
+      .where(col("canon_url") === "https://ex.com/a").collect().head
+    assert(a.getAs[String]("record_id") == "<urn:2>" &&
+      a.getAs[Long]("n_fetches") == 3L)
+  }
+
   test("rebuild task: re-derives index geometry from the task file") {
     import spark.implicits._
     val wd = tmpDir("graft_pipetask_rb_")
