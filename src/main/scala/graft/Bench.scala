@@ -10,11 +10,50 @@ import org.apache.spark.sql.SparkSession // the exec callback signature
   * Execution is a noop-sink write: unlike `count()`, which lets Catalyst
   * prune every column not needed for counting, the noop sink materializes
   * the full result of the declared plan — the honest cost of the query.
+  *
+  * THE RECORD GATE (round-19, codifying BASELINE.md's reading rule into
+  * the tool after three rounds of steal-contaminated driver artifacts):
+  * an attempt whose figures fail any of
+  *
+  *   - 1-minute loadavg (before or during) > 25% of cores,
+  *   - hypervisor steal across the run > 2% of the run's core-seconds,
+  *   - box probe > 1.15× the banked probe baseline
+  *
+  * is NOT a record — the harness refuses to bank it and automatically
+  * re-runs the timed suite, up to `SPARK_GRAFT_BENCH_ATTEMPTS` (default
+  * 3) attempts. Every attempt's summary stays in the artifact (the
+  * `attempts` ledger) so the retry adjudication is reviewable; if no
+  * attempt passes, the best-normalized one is reported with
+  * `record: false` — a figure to read normalized, never to bank.
   */
 object Bench {
+
+  /** One timed pass over the full suite, with its own contention
+    * evidence. `record` is the bank gate above.
+    */
+  private case class Attempt(
+      timings: Seq[(String, Double, Seq[Double])],
+      rerun: Map[String, (String, Double, Seq[Double])],
+      loadBefore: String,
+      loadAfter: String,
+      loadDuringMax: Double,
+      stealS: Double,
+      probeS: Double,
+      boxFactor: Double) {
+    val total: Double = timings.map(_._2).filter(_ >= 0).sum
+    val cores: Int = Runtime.getRuntime.availableProcessors()
+    val stealContended: Boolean = stealS > 0.02 * total * cores
+    val loadContended: Boolean = BenchHarness.contended(loadBefore) ||
+      BenchHarness.contended(s"$loadDuringMax")
+    val contended: Boolean = loadContended || stealContended
+    val record: Boolean = !contended && boxFactor <= 1.15
+  }
+
   def main(args: Array[String]): Unit = {
     import BenchHarness.sfDir
     val runs = BenchHarness.env("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val attemptsMax =
+      BenchHarness.env("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
     val spark = BenchHarness.session(BenchHarness.cpus(default = 4))
     graft.functions.VectorFunctions.registerSql(spark)
 
@@ -30,36 +69,16 @@ object Bench {
       .filter { case (n, _) =>
         only.isEmpty || only.exists(s => s == n || s == n.takeWhile(_ != '_'))
       }
-    val loadBefore = BenchHarness.loadavg
-    val stealBefore = BenchHarness.stealSeconds
-    if (BenchHarness.contended(loadBefore))
-      System.err.println(s"WARNING: bench starting on a contended box " +
-        s"(loadavg $loadBefore > 25% of cores); figures will be inflated")
-    // box-speed calibration: loadavg only sees CONCURRENT load; the
-    // probe sees a slower CPU profile too (round 13's uniform 1.26×
-    // inflation tripped neither flag). box_factor > 1.15 stamps the
-    // artifact; read totals normalized when stamped.
-    val probeS = BenchHarness.cpuProbe()
-    val boxFactor = probeS / BenchHarness.probeBaseline
-    if (boxFactor > 1.15)
-      System.err.println(f"WARNING: box probe $probeS%.3f s = " +
-        f"$boxFactor%.2fx the recorded baseline; raw figures will read " +
-        "slow — compare normalized")
 
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // warm-up pass: untimed
-    queries.foreach { case (_, fn) =>
-      try exec(fn) catch { case _: Throwable => () }
-    }
-    // timed passes; keep every sample so a one-off outlier (GC pause, page
-    // cache miss, driver contention) is visible in the artifact instead of
-    // silently shaping the median — both prior rounds' driver runs had
-    // invisible outliers that needed a manual rerun to adjudicate
     def timeQuery(name: String,
                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Seq[Double]) = {
+      // keep every sample so a one-off outlier (GC pause, page cache
+      // miss, driver contention) is visible in the artifact instead of
+      // silently shaping the median
       val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { exec(fn); (System.nanoTime() - t0) / 1e9 }
@@ -69,51 +88,103 @@ object Bench {
       val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
       (name, median, samples)
     }
-    // during-run load sampling: loadavg_before only sees load that
-    // predates the run — BENCH_r14/r15 both carried load spikes that
-    // LANDED mid-run and were invisible in the artifact, forcing hand
-    // adjudication. One 1-minute-loadavg read after each query makes the
-    // worst concurrent load part of the record.
-    var loadDuringMax = 0.0
-    def sampleLoad(): Unit = {
-      val l = BenchHarness.loadavg.split(" ").headOption
-        .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
-      if (l > loadDuringMax) loadDuringMax = l
-    }
-    val firstPass = queries.map { case (name, fn) =>
-      val r = timeQuery(name, fn); sampleLoad(); r
-    }
-    // self-adjudication (the BASELINE.md rule): a query whose warm
-    // samples spread more than 3x with the slowest above 0.3 s was hit
-    // by something transient (GC, page-cache miss, a load spike) — the
-    // r15 q52b anomaly's exact signature. Flagged queries get ONE rerun
-    // at the end (the spike has usually passed); the reported median is
-    // the BETTER of the two (noise only ever adds time), and both sample
-    // sets stay in the artifact so the adjudication is reviewable.
-    def suspect(samples: Seq[Double]): Boolean = {
-      val ok = samples.filter(_ >= 0)
-      ok.size >= 2 && ok.max > 0.3 && ok.max / ok.min.max(1e-9) > 3.0
-    }
-    val rerun = firstPass.filter { case (_, _, s) => suspect(s) }
-      .map { case (name, _, _) =>
-        val r = timeQuery(name, queries.toMap.apply(name)); sampleLoad(); r
-      }.map(r => r._1 -> r).toMap
-    val timings = firstPass.map { case (name, median, samples) =>
-      rerun.get(name) match {
-        case Some((_, m2, _)) if m2 >= 0 && (median < 0 || m2 < median) =>
-          (name, m2, samples)
-        case _ => (name, median, samples)
+
+    /** One full timed attempt: contention bookends (loadavg + steal +
+      * box probe), the timed passes with during-run load sampling, and
+      * the within-attempt transient rerun rule.
+      */
+    def runAttempt(): Attempt = {
+      val loadBefore = BenchHarness.loadavg
+      val stealBefore = BenchHarness.stealSeconds
+      if (BenchHarness.contended(loadBefore))
+        System.err.println(s"WARNING: bench starting on a contended box " +
+          s"(loadavg $loadBefore > 25% of cores); figures will be inflated")
+      // box-speed calibration: loadavg only sees CONCURRENT load; the
+      // probe sees a slower CPU profile too (round 13's uniform 1.26×
+      // inflation tripped neither flag).
+      val probeS = BenchHarness.cpuProbe()
+      val boxFactor = probeS / BenchHarness.probeBaseline
+      if (boxFactor > 1.15)
+        System.err.println(f"WARNING: box probe $probeS%.3f s = " +
+          f"$boxFactor%.2fx the recorded baseline; raw figures will read " +
+          "slow — compare normalized")
+      // during-run load sampling: loadavg_before only sees load that
+      // predates the run — BENCH_r14/r15 both carried load spikes that
+      // LANDED mid-run and were invisible in the artifact. One
+      // 1-minute-loadavg read after each query makes the worst
+      // concurrent load part of the record.
+      var loadDuringMax = 0.0
+      def sampleLoad(): Unit = {
+        val l = BenchHarness.loadavg.split(" ").headOption
+          .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+        if (l > loadDuringMax) loadDuringMax = l
       }
+      val firstPass = queries.map { case (name, fn) =>
+        val r = timeQuery(name, fn); sampleLoad(); r
+      }
+      // self-adjudication (the BASELINE.md rule): a query whose warm
+      // samples spread more than 3x with the slowest above 0.3 s was hit
+      // by something transient (GC, page-cache miss, a load spike) — the
+      // r15 q52b anomaly's exact signature. Flagged queries get ONE
+      // rerun at the end (the spike has usually passed); the reported
+      // median is the BETTER of the two (noise only ever adds time),
+      // and both sample sets stay in the artifact.
+      def suspect(samples: Seq[Double]): Boolean = {
+        val ok = samples.filter(_ >= 0)
+        ok.size >= 2 && ok.max > 0.3 && ok.max / ok.min.max(1e-9) > 3.0
+      }
+      val rerun = firstPass.filter { case (_, _, s) => suspect(s) }
+        .map { case (name, _, _) =>
+          val r = timeQuery(name, queries.toMap.apply(name)); sampleLoad(); r
+        }.map(r => r._1 -> r).toMap
+      val timings = firstPass.map { case (name, median, samples) =>
+        rerun.get(name) match {
+          case Some((_, m2, _)) if m2 >= 0 && (median < 0 || m2 < median) =>
+            (name, m2, samples)
+          case _ => (name, median, samples)
+        }
+      }
+      val loadAfter = BenchHarness.loadavg
+      // hypervisor steal across the run: the round-16 observed mode the
+      // probe and loadavg both miss (uniform multi-core slowdown, probe
+      // fast, load flat).
+      val stealAfter = BenchHarness.stealSeconds
+      val stealS =
+        if (stealBefore < 0 || stealAfter < 0) -1.0
+        else stealAfter - stealBefore
+      Attempt(timings, rerun, loadBefore, loadAfter, loadDuringMax,
+        stealS, probeS, boxFactor)
     }
+
+    // warm-up pass: untimed, once — JIT/codegen/file listings stay warm
+    // across retry attempts
+    queries.foreach { case (_, fn) =>
+      try exec(fn) catch { case _: Throwable => () }
+    }
+    // THE RECORD GATE: retry while an attempt fails it, up to the cap;
+    // the ledger keeps every attempt's summary for adjudication
+    var ledger = Vector(runAttempt())
+    while (!ledger.last.record && ledger.size < attemptsMax) {
+      val a = ledger.last
+      System.err.println(f"attempt ${ledger.size} is not a record " +
+        f"(steal ${a.stealS}%.1f s, box ${a.boxFactor}%.2fx, " +
+        f"load max ${a.loadDuringMax}%.2f) — retrying " +
+        f"(${attemptsMax - ledger.size} attempt(s) left)")
+      ledger :+= runAttempt()
+    }
+    // the reported attempt: the first record, else best-normalized
+    val chosen = ledger.find(_.record)
+      .getOrElse(ledger.minBy(a => a.total / a.boxFactor))
+    val timings = chosen.timings
+
     // cross-round band check (the r16 q97 lesson): the 3x-spread rerun
     // rule catches TRANSIENTS; a steady shift — consistent samples,
     // just slower than last round — tripped nothing and needed a judge
     // to spot. BENCH_BAND.json banks per-query NORMALIZED medians
     // (tools/make_band.py regenerates it from a trusted round
     // artifact); any query whose normalized median drifts past 1.25x
-    // its banked figure lands in the artifact's band_drift field, so
-    // steady regressions self-flag the way transients now do. Sub-50ms
-    // banked figures are skipped (scheduler noise dominates them).
+    // its banked figure lands in the artifact's band_drift field.
+    // Sub-50ms banked figures are skipped (scheduler noise dominates).
     val bandPath = java.nio.file.Paths.get(
       BenchHarness.env("SPARK_GRAFT_BENCH_BAND", "BENCH_BAND.json"))
     val band: Map[String, Double] =
@@ -138,17 +209,13 @@ object Bench {
       case (None, _)          => true
     }
     // Per-query ratios vs the bank, then flag RELATIVE to the run's
-    // median ratio: a box that is uniformly 1.3x slow (the r16 steal
-    // mode — probe fast, loadavg flat, steal under the 2% line) would
-    // otherwise flood the field with 50 false drifts and bury the one
-    // real one. A query flags only when it drifted 1.25x past the bank
-    // AND 1.25x past the run's own median drift; the median itself is
-    // recorded (band_ratio_median) as box-condition evidence.
+    // median ratio: a box that is uniformly 1.3x slow would otherwise
+    // flood the field with 50 false drifts and bury the one real one.
     val ratios =
       if (!sfMatches) Seq.empty
       else timings.flatMap { case (name, m, _) =>
         band.get(name).collect {
-          case b if m >= 0 && b >= 0.05 => name -> (m / boxFactor) / b
+          case b if m >= 0 && b >= 0.05 => name -> (m / chosen.boxFactor) / b
         }
       }
     val bandMedian =
@@ -161,37 +228,42 @@ object Bench {
     def fmt(d: Double): String = BenchHarness.fmt(d, scale = 6)
     // stdout line stays SHORT (3-decimal medians, no samples): the driver
     // scrapes a bounded tail of the sbt log, and rounds 1-4 all recorded
-    // "parsed": null because the full samples JSON outgrew that window and
-    // was truncated mid-line
+    // "parsed": null because the full samples JSON outgrew that window
     def fmt3(d: Double): String = BenchHarness.fmt(d, scale = 3)
     val qs = timings.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val qs3 = timings.map { case (k, v, _) => "\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
-    val ss = timings.map { case (k, _, s) => "\"" + k + "\":" + s.map(fmt).mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
-    val total = timings.map(_._2).filter(_ >= 0).sum
-    val loadAfter = BenchHarness.loadavg
-    // hypervisor steal across the run: the round-16 observed mode the
-    // probe and loadavg both miss (uniform multi-core slowdown, probe
-    // fast, load flat). Material steal (> 2% of the run's core-seconds)
-    // trips contended like everything else.
-    val stealAfter = BenchHarness.stealSeconds
-    val stealS =
-      if (stealBefore < 0 || stealAfter < 0) -1.0 else stealAfter - stealBefore
-    val contended = BenchHarness.contended(loadBefore) ||
-      BenchHarness.contended(s"$loadDuringMax") ||
-      (stealS > 0.02 * total * Runtime.getRuntime.availableProcessors())
-    val rr = rerun.values.map { case (k, m, s) =>
+    val ss = timings.map { case (k, _, s) =>
+      "\"" + k + "\":" + s.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = chosen.total
+    val rr = chosen.rerun.values.map { case (k, m, s) =>
       "\"" + k + "\":{\"median\":" + fmt(m) + ",\"samples\":" +
         s.map(fmt).mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
-    val probe = s""""probe_s":${fmt3(probeS)},"box_factor":${fmt3(boxFactor)},""" +
-      s""""value_normalized":${fmt3(total / boxFactor)}"""
+    val probe = s""""probe_s":${fmt3(chosen.probeS)},""" +
+      s""""box_factor":${fmt3(chosen.boxFactor)},""" +
+      s""""value_normalized":${fmt3(total / chosen.boxFactor)}"""
     val bd = bandDrift.map { case (k, r) => "\"" + k + "\":" + fmt3(r) }
       .mkString("{", ",", "}")
+    // the attempt ledger: every attempt's gate evidence, reviewable
+    val ledgerJson = ledger.zipWithIndex.map { case (a, i) =>
+      s"""{"attempt":${i + 1},"total":${fmt3(a.total)},""" +
+        s""""steal_s":${fmt3(a.stealS)},"box_factor":${fmt3(a.boxFactor)},""" +
+        s""""loadavg_during_max":${fmt3(a.loadDuringMax)},""" +
+        s""""contended":${a.contended},"record":${a.record}}"""
+    }.mkString("[", ",", "]")
+    val shared =
+      s""""runs":$runs,"sf":"$sfDir",""" +
+        s""""loadavg_before":"${chosen.loadBefore}",""" +
+        s""""loadavg_after":"${chosen.loadAfter}",""" +
+        s""""loadavg_during_max":${fmt3(chosen.loadDuringMax)},""" +
+        s""""steal_s":${fmt3(chosen.stealS)},""" +
+        s""""contended":${chosen.contended},"record":${chosen.record},""" +
+        s""""attempts":$ledgerJson"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"rerun":$rr,"band_drift":$bd,"runs":$runs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","loadavg_during_max":${fmt3(loadDuringMax)},"steal_s":${fmt3(stealS)},"contended":$contended,$probe}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$ss,"rerun":$rr,"band_drift":$bd,$shared,$probe}"""
     // full JSON (with per-sample arrays) is the file artifact of record;
     // a filtered run is NOT the record — it lands in BENCH_FILTERED.json
     // (gitignored scratch) so iterating on one family can never clobber
@@ -201,7 +273,7 @@ object Bench {
         if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_FILTERED.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     println(
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"runs":$runs,"sf":"$sfDir","loadavg_during_max":${fmt3(loadDuringMax)},"steal_s":${fmt3(stealS)},"contended":$contended,"rerun_n":${rerun.size},"band_drift":$bd,$probe}""")
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"runs":$runs,"sf":"$sfDir","loadavg_during_max":${fmt3(chosen.loadDuringMax)},"steal_s":${fmt3(chosen.stealS)},"contended":${chosen.contended},"record":${chosen.record},"attempt_n":${ledger.size},"rerun_n":${chosen.rerun.size},"band_drift":$bd,$probe}""")
     spark.stop()
   }
 }

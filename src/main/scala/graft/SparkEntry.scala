@@ -423,6 +423,14 @@ object SparkEntry {
     "q158_crawl_digest_dedup" -> crawlDigestDedupSql,
     "q159_crawl_latest_fetch" -> crawlLatestFetchSql,
     "q160_key_index_card" -> keyIndexCardSql,
+    // q161: the q148 intake CTEs over PII-planted pages + the q45 regex
+    // chain + the q93 stages — see redactedCurationSql
+    "q161_redacted_curation" -> redactedCurationSql,
+    "q162_robots_gate" -> robotsGateSql,
+    "q163_robots_profile" -> robotsProfileSql,
+    // q164: q148 intake CTEs + the q33 language arithmetic + the q93
+    // fragments with source := language — see languageCurationSql
+    "q164_language_curation" -> languageCurationSql,
     // q144: the identical planted mess (combining acute/grave, tabs, a
     // C0 control byte, double spaces) and the identical normalization
     // order: NFC -> lower -> control strip -> whitespace collapse ->
@@ -1976,8 +1984,14 @@ object SparkEntry {
     * lockstep across three oracle strings.
     */
   private def budgetThresholdCtes(totCte: String, frCte: String,
-                                  thrCte: String): String = {
-    val arms = graft.queries.Extensions.tokenBudgets.toSeq.sorted.map {
+                                  thrCte: String): String =
+    budgetThresholdCtesFor(graft.queries.Extensions.tokenBudgets,
+      totCte, frCte, thrCte)
+
+  private def budgetThresholdCtesFor(budgets: Map[String, Long],
+                                     totCte: String, frCte: String,
+                                     thrCte: String): String = {
+    val arms = budgets.toSeq.sorted.map {
       case (src, b) => s"WHEN '$src' THEN ${b}.0"
     }.mkString("\n  ")
     // NOT stripped here: the fragment interpolates into |-margined
@@ -2672,7 +2686,10 @@ object SparkEntry {
     * `decon` CTE, final SELECT included — shared by the q93 and q155
     * oracles.
     */
-  private def curationTailSql: String = {
+  private def curationTailSql: String =
+    curationTailSqlFor(graft.queries.Extensions.tokenBudgets)
+
+  private def curationTailSqlFor(budgets: Map[String, Long]): String = {
     val bounds = (1 until 8).map { i =>
       s"(CASE WHEN _k >= '${graft.ops.Sampling.hexThreshold(i / 8.0)}' " +
         "THEN 1 ELSE 0 END)"
@@ -2681,7 +2698,7 @@ object SparkEntry {
        |           CAST(LEN(STRING_SPLIT(clean_text, ' ')) AS BIGINT) AS n_tokens
        |         FROM decon),
        |tot AS (SELECT source, SUM(n_tokens) AS tot FROM smp0 GROUP BY source),
-       |${budgetThresholdCtes("tot", "fr", "thr")},
+       |${budgetThresholdCtesFor(budgets, "tot", "fr", "thr")},
        |samp AS (SELECT s0.doc_id, s0.source, s0.n_tokens FROM smp0 s0
        |         JOIN thr ON s0.source = thr.source
        |         WHERE MD5(CAST(s0.doc_id AS VARCHAR)) < thr.thr),
@@ -3559,6 +3576,72 @@ object SparkEntry {
           standingScreen = false, benchmarkScreen = false)},
        |$curationTailSql""".stripMargin
 
+  /** q164 oracle: the per-language curation routing — the q148 intake
+    * CTEs, the q33 stopword arithmetic over each representative's
+    * normalized text (the SAME IN-lists the q33 oracle embeds), then
+    * the q93 fragments with source := the language decision and the
+    * per-LANGUAGE budgets. Languages outside the recipe drop at the
+    * budget join (the not-in-the-recipe rule).
+    */
+  private def languageCurationSql: String = {
+    val g = "GREATEST(s_de, s_en, s_es, s_fr)"
+    s"""WITH $webIntakeCtes,
+       |ltok AS (SELECT doc_id, UNNEST(STRING_SPLIT(norm_text, ' ')) AS w
+       |         FROM intake),
+       |lsc AS (SELECT doc_id,
+       |  SUM(CASE WHEN w IN $deIn THEN 1 ELSE 0 END) AS s_de,
+       |  SUM(CASE WHEN w IN $enIn THEN 1 ELSE 0 END) AS s_en,
+       |  SUM(CASE WHEN w IN $esIn THEN 1 ELSE 0 END) AS s_es,
+       |  SUM(CASE WHEN w IN $frIn THEN 1 ELSE 0 END) AS s_fr
+       |  FROM ltok GROUP BY doc_id),
+       |lg AS (SELECT doc_id, CASE
+       |  WHEN $g = 0 THEN 'und'
+       |  WHEN s_de = $g THEN 'de'
+       |  WHEN s_en = $g THEN 'en'
+       |  WHEN s_es = $g THEN 'es'
+       |  ELSE 'fr' END AS lang FROM lsc),
+       |${curationDeconCtesFrom(
+          "raw AS (SELECT i.doc_id, lg.lang AS source, i.norm_text AS text\n" +
+          "             FROM intake i JOIN lg USING (doc_id))",
+          standingScreen = false, benchmarkScreen = false)},
+       |${curationTailSqlFor(graft.queries.Extensions.languageBudgets)}""".stripMargin
+  }
+
+  /** The q45 regex chain as a SQL expression over `$inner` — patterns
+    * embed verbatim from `TextAnalysis.piiPatterns` (DuckDB
+    * single-quoted strings do not process backslash escapes, so the
+    * runtime regex text is identical; the explicit 'g' flag matches
+    * Spark's global-by-default regexp_replace). None of the patterns
+    * contains `|`, so the fragment survives outer stripMargin passes.
+    */
+  private def piiFoldSql(inner: String): String =
+    graft.ops.TextAnalysis.piiPatterns.foldLeft(inner) {
+      case (in, (re, token)) => s"REGEXP_REPLACE($in, '$re', '$token', 'g')"
+    }
+
+  /** q161 oracle: the PII-redacting curation composition — the q148
+    * intake CTEs over PII-planted pages (the q45 synthetic construction
+    * inside the page body), the q45 regex chain applied between intake
+    * and the q93 stages (Config.redactPii's position: after the
+    * caller's normalization, before the screens), then the shared
+    * curation fragments. The %11 pages differ only in their per-doc
+    * PII, so redaction makes them EXACT duplicates and the clean
+    * stage's representative screen collapses them — the composition
+    * pins that interplay, not just the regexes.
+    */
+  private def redactedCurationSql: String = {
+    val pii = "' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@example.com at +1-555-0' || CAST(doc_id AS VARCHAR) || " +
+      "' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    s"""WITH ${webIntakeCtesWith(pii)},
+       |${curationDeconCtesFrom(
+          "raw AS (SELECT i.doc_id, dd.source, " +
+            piiFoldSql("i.norm_text") + " AS text\n" +
+          "             FROM intake i JOIN documents dd USING (doc_id))",
+          standingScreen = false, benchmarkScreen = false)},
+       |$curationTailSql""".stripMargin
+  }
+
   /** q159 oracle: the re-fetch fixture's winner per canonical url is
     * deterministic — doc_id%4==1 pages carry a newer v2 fetch (whose
     * messy url canonicalizes to the v1 key), everything else keeps its
@@ -3673,6 +3756,44 @@ object SparkEntry {
        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
   }
 
+  /** q162 oracle: the robots-gate fixture is deterministic per doc_id
+    * class — %3==1 carries a noindex meta, %5==2 a noindex
+    * X-Robots-Tag header, %7==6 a nofollow-only meta that must SURVIVE.
+    * The kept set and each survivor's exact page rebuild from the
+    * documents table through the same template constants the fixture
+    * writer reads (the q153 convention); the engines can only disagree
+    * on the gate itself.
+    */
+  private def robotsGateSql: String =
+    s"""SELECT doc_id,
+       |  'https://ex.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       |  CAST(200 AS INTEGER) AS http_status,
+       |  '<html><head>'
+       |    || CASE WHEN doc_id % 7 = 6
+       |         THEN '<meta name="robots" content="nofollow">' ELSE '' END
+       |    || '</head><body><p>doc ' || CAST(doc_id AS VARCHAR) || ': '
+       |    || text || '</p></body></html>' AS html
+       |FROM documents
+       |WHERE text IS NOT NULL
+       |  AND NOT (doc_id % 3 = 1 OR doc_id % 5 = 2)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q163 oracle: the kill card's counts from the same class
+    * arithmetic — header wins overlaps (it kills before decode).
+    */
+  private def robotsProfileSql: String =
+    s"""WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+       |SELECT kill, n_pages FROM (
+       |  SELECT 'header' AS kill, COUNT(*) AS n_pages FROM d
+       |    WHERE doc_id % 5 = 2
+       |  UNION ALL
+       |  SELECT 'kept', COUNT(*) FROM d
+       |    WHERE NOT (doc_id % 3 = 1 OR doc_id % 5 = 2)
+       |  UNION ALL
+       |  SELECT 'meta', COUNT(*) FROM d
+       |    WHERE doc_id % 3 = 1 AND doc_id % 5 <> 2
+       |) WHERE n_pages > 0 ORDER BY kill""".stripMargin
+
   /** q148 oracle: the intake chain composed from the stages' own
     * generated fragments — the q145 html fold over the plant, the q146
     * stats CTEs + keep condition, the q144 normalize fold, then the
@@ -3684,13 +3805,18 @@ object SparkEntry {
 
   /** The q148 chain as a reusable CTE block ending at
     * `intake (doc_id, norm_text, n_dupes)` — shared by the q148 oracle
-    * and the q155 composition.
+    * and the q155/q157/q161 compositions. `bodySuffixSql` optionally
+    * appends extra SQL-expression content inside the page body (the
+    * q161 PII plant); empty = the q148 pages verbatim.
     */
-  private def webIntakeCtes: String = {
+  private def webIntakeCtes: String = webIntakeCtesWith("")
+
+  private def webIntakeCtesWith(bodySuffixSql: String): String = {
     val fixed = "'" + graft.queries.Extensions.webIntakeFixedText + "'"
+    val suffix = if (bodySuffixSql.isEmpty) "" else s" || $bodySuffixSql"
     val plant = Seq(
       "'<html><body><h1>Hdr</h1><p>'",
-      s"(CASE WHEN doc_id % 11 = 0 THEN $fixed ELSE text END)",
+      s"(CASE WHEN doc_id % 11 = 0 THEN $fixed ELSE text END)$suffix",
       "'</p><ul><li>alpha&nbsp;caf&eacute;</li>" +
         "<li>beta&#8212;&#x2014;end</li></ul></body></html>'")
       .mkString(" || ")

@@ -143,6 +143,17 @@ object Curation {
                     // the "no domain dominates" throttle BEFORE budgets
                     // divide what is left
                     capPerSource: Option[Int] = None,
+                    // PII-redaction rung ([[TextAnalysis.redactPiiCol]],
+                    // the q45 chain): scrub emails / IPv4s / phone
+                    // numbers to typed placeholders at the HEAD of the
+                    // pipeline — between the caller's normalization and
+                    // the screens — so every downstream stage (screens,
+                    // dedup keys, excision grams, decontamination
+                    // shingles, token counts, packed ids) sees only the
+                    // redacted text, and docs differing only in PII
+                    // collapse at the exact screen. A pure map-side
+                    // projection folded into the stage-1 scan.
+                    redactPii: Boolean = false,
                     materialize: String =
                       sys.props.getOrElse("graft.curate.materialize", "local"))
 
@@ -231,6 +242,34 @@ object Curation {
     } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
+  /** [[curate]] keyed on the document's PREDICTED LANGUAGE (the q33
+    * [[TextAnalysis.languageId]] decision) instead of a provenance
+    * column — per-LANGUAGE budgets drive the recipe (`cfg.budgets`
+    * keyed by language code; languages absent from the map drop, the
+    * not-in-the-recipe rule — 'und' included only if budgeted). The
+    * language is one extra map-side tokenProfile projection on the
+    * stage-1 scan; everything downstream is [[curate]] verbatim with
+    * `source` = the language.
+    */
+  def curateByLanguage(spark: SparkSession, batch: DataFrame, idCol: String,
+                       textCol: String, keyIndexPath: Option[String],
+                       benchmark: Option[DataFrame],
+                       cfg: Config): DataFrame =
+    curate(spark, TextAnalysis.withLanguage(batch, textCol), idCol,
+      textCol, "_lang", keyIndexPath, benchmark, cfg)
+
+  /** [[curateTokens]] keyed on predicted language — the
+    * [[curateByLanguage]] routing applied to the token-id terminal.
+    */
+  def curateTokensByLanguage(spark: SparkSession, batch: DataFrame,
+                             idCol: String, textCol: String,
+                             keyIndexPath: Option[String],
+                             benchmark: Option[DataFrame], cfg: Config,
+                             encoder: graft.functions.TokenEncoder)
+      : DataFrame =
+    curateTokens(spark, TextAnalysis.withLanguage(batch, textCol), idCol,
+      textCol, "_lang", keyIndexPath, benchmark, cfg, encoder)
+
   private def curateTokensImpl(spark: SparkSession, batch: DataFrame,
                                idCol: String, textCol: String,
                                sourceCol: String,
@@ -296,9 +335,15 @@ object Curation {
                           benchmark: Option[DataFrame], cfg: Config,
                           persisted: scala.collection.mutable.Buffer[DataFrame])
       : DataFrame = {
+    // 0. optional PII rung — redact BEFORE anything reads the text, so
+    // screens/keys/grams/shingles/counts all operate on what will
+    // actually train (and PII-only differences dedup away)
+    val textExpr =
+      if (cfg.redactPii) TextAnalysis.redactPiiCol(col(textCol))
+      else col(textCol)
     val docs = batch.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
-        col(textCol).as("text"))
+        textExpr.as("text"))
 
     // 1. CLEAN — the q74 screens as survivor filters. Absence semantics
     // mirror q74's COALESCEs: no quality row => drop (coalesce 0), no

@@ -62,13 +62,38 @@ object TextAnalysis {
         col("doc_id") +:
           langs.zipWithIndex.map { case (l, i) =>
             col("_p.hits").getItem(i).as(s"s_$l") }: _*)
-    val best = greatest(langs.map(l => col(s"s_$l")): _*)
-    val pred = langs.foldRight(lit("und")) { (l, rest) =>
-      when(best > 0 && col(s"s_$l") === best, lit(l)).otherwise(rest)
+    scored.select(col("doc_id"),
+      languagePred(langs, i => col(s"s_${langs(i)}")).as("pred_lang"))
+  }
+
+  /** The language-ID DECISION over per-language hit counts: argmax with
+    * 'und' when nothing matched, alphabetical tie-break (foldRight keeps
+    * alphabetical priority — the FIRST when() in the chain is the
+    * alphabetically smallest language). Shared by [[languageId]] and
+    * the per-language curation routing so the two can never drift.
+    */
+  private def languagePred(langs: Seq[String], hit: Int => Column): Column = {
+    val best = greatest(langs.indices.map(hit): _*)
+    langs.zipWithIndex.foldRight(lit("und")) { case ((l, i), rest) =>
+      when(best > 0 && hit(i) === best, lit(l)).otherwise(rest)
     }
-    // foldRight keeps alphabetical priority: the FIRST when() in the chain
-    // is the alphabetically smallest language.
-    scored.select(col("doc_id"), pred.as("pred_lang"))
+  }
+
+  /** [[languageId]] as two stacked projections over an arbitrary frame —
+    * appends `langCol` (the q33 `pred_lang` decision, byte-identical)
+    * while keeping every input column: the per-language curation
+    * routing's shape ([[graft.ops.Curation.curateByLanguage]]). The
+    * profile lands in a named intermediate column so the decision's
+    * 4+ references share ONE tokenProfile pass.
+    */
+  def withLanguage(df: DataFrame, textCol: String,
+                   langCol: String = "_lang"): DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted
+    df.withColumn("_lang_p", graft.functions.VectorFunctions
+        .tokenProfile(col(textCol), langs.map(stopwords)))
+      .withColumn(langCol,
+        languagePred(langs, i => col("_lang_p.hits").getItem(i)))
+      .drop("_lang_p")
   }
 
   /** Quality score in [0,1]: length saturation + type-token ratio +
@@ -1008,6 +1033,19 @@ object TextAnalysis {
     ("\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
     ("\\+[0-9][0-9-]{6,}[0-9]", "<PHONE>"))
 
+  /** The [[piiPatterns]] chain as a Column — the composable form the
+    * curation/intake rung threads between normalization and the screens
+    * ([[graft.ops.Curation.Config.redactPii]], [[graft.ops.Web.intake]]).
+    * Codegen'd regexp_replace projections, zero shuffle; idempotent by
+    * construction (no placeholder token matches any pattern), so
+    * composing the rung at more than one pipeline position cannot
+    * double-mangle.
+    */
+  def redactPiiCol(text: Column): Column =
+    piiPatterns.foldLeft(text) {
+      case (c, (re, token)) => regexp_replace(c, re, token)
+    }
+
   /** PII redaction — the scrub-before-training step: emails, IPv4
     * addresses and +-prefixed phone numbers are replaced with typed
     * placeholder tokens. A chain of `regexp_replace` projections:
@@ -1015,12 +1053,9 @@ object TextAnalysis {
     * result is deterministic and oracle-checkable. Null text passes
     * through as null.
     */
-  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val redacted = piiPatterns.foldLeft(col(textCol)) {
-      case (c, (re, token)) => regexp_replace(c, re, token)
-    }
-    df.select(col(idCol).as("doc_id"), redacted.as("redacted"))
-  }
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      redactPiiCol(col(textCol)).as("redacted"))
 
   /** Repetition/shape quality signals (the Gopher-rule family): mean word
     * length, fraction of purely-numeric tokens, and the highest single-

@@ -305,6 +305,54 @@ object Web {
       "left_anti")
 
   // ------------------------------------------------------------------
+  // Robots/noindex compliance gate
+  // ------------------------------------------------------------------
+  //
+  // The OTHER crawl-policy filter beside the domain blocklist: a page
+  // that asks not to be indexed (`X-Robots-Tag: noindex` response
+  // header, or `<meta name="robots" content="… noindex …">` in the
+  // head) is asking not to be kept — standard crawl-pipeline practice
+  // honors it at intake, before any text leaves the reader. Both
+  // checks are pure map-side predicates (one rlike each, inside the
+  // scan's codegen span): the header check needs no decode at all; the
+  // meta check runs on the decoded html the intake already paid for.
+
+  /** `noindex` as a directive token in an `X-Robots-Tag` value —
+    * matched case-insensitively at token boundaries so `noindex`,
+    * `NOINDEX, nofollow` and the agent-scoped `googlebot: noindex`
+    * all hit, while a hypothetical `nonoindex` token does not. Null
+    * (header absent) is NOT noindex.
+    */
+  def robotsHeaderNoindex(header: Column): Column =
+    coalesce(header.rlike("(?i)(^|[\\s,:;])noindex([\\s,;]|$)"), lit(false))
+
+  /** `<meta name="robots" …>` whose content carries a `noindex`
+    * directive — both attribute orders, quoted or bare values,
+    * case-insensitive across tag/attribute/directive. Null html is
+    * NOT noindex (nothing asked for anything).
+    */
+  def metaRobotsNoindex(html: Column): Column = {
+    val nameFirst = "(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']?robots\\b" +
+      "[^>]*\\bcontent\\s*=\\s*[\"']?[^\"'>]*\\bnoindex\\b"
+    val contentFirst = "(?is)<meta\\b[^>]*\\bcontent\\s*=\\s*[\"']?" +
+      "[^\"'>]*\\bnoindex\\b[^>]*\\bname\\s*=\\s*[\"']?robots\\b"
+    coalesce(html.rlike(nameFirst) || html.rlike(contentFirst), lit(false))
+  }
+
+  /** The compliance drop-gate over a decoded responses frame: keep rows
+    * that neither header- nor meta-opt out. `robotsCol` may be absent
+    * (frames that predate the reader's header surface) — then only the
+    * meta check applies.
+    */
+  def robotsGate(df: DataFrame, htmlCol: String,
+                 robotsCol: String = "http_robots"): DataFrame = {
+    val headerHit =
+      if (df.columns.contains(robotsCol)) robotsHeaderNoindex(col(robotsCol))
+      else lit(false)
+    df.where(!headerHit && !metaRobotsNoindex(col(htmlCol)))
+  }
+
+  // ------------------------------------------------------------------
   // HTML → text extraction
   // ------------------------------------------------------------------
   //
@@ -583,24 +631,32 @@ object Web {
     *
     * One row per surviving representative: (doc_id, norm_text, n_dupes).
     *
-    * Scale shape: extract + gate + normalize are ONE map-side codegen'd
-    * projection over the scan (no UDF, no exchange); the dedup is a
-    * single shuffle whose key is the fixed-width md5 of the normalized
-    * text — the document rides as the min-struct payload, never as the
-    * shuffle KEY (the [[Dedup.exact]] scaladoc's 100-TB rule), with
-    * map-side combine collapsing each partition's duplicates before the
-    * wire.
+    * `redactPii` threads the q45 scrub ([[TextAnalysis.redactPiiCol]])
+    * between normalization and the dedup — pages differing only in
+    * embedded PII (session-stamped emails, per-visitor IPs in chrome)
+    * then collapse as the duplicates they are, and nothing downstream
+    * ever sees the raw identifiers.
+    *
+    * Scale shape: extract + gate + normalize (+ redact) are ONE
+    * map-side codegen'd projection over the scan (no UDF, no exchange);
+    * the dedup is a single shuffle whose key is the fixed-width md5 of
+    * the normalized text — the document rides as the min-struct
+    * payload, never as the shuffle KEY (the [[Dedup.exact]] scaladoc's
+    * 100-TB rule), with map-side combine collapsing each partition's
+    * duplicates before the wire.
     */
   def intake(df: DataFrame, idCol: String, htmlCol: String,
              th: TextAnalysis.GopherThresholds =
                TextAnalysis.GopherThresholds(),
-             lowercase: Boolean = false): DataFrame = {
+             lowercase: Boolean = false,
+             redactPii: Boolean = false): DataFrame = {
     val plain = htmlToText(col(htmlCol))
+    val norm = TextAnalysis.normalizeText(col("plain_text"), lowercase)
     df.where(col(htmlCol).isNotNull)
       .select(col(idCol).as("doc_id"), plain.as("plain_text"))
       .where(TextAnalysis.gopherKeep(col("plain_text"), th))
       .select(col("doc_id"),
-        TextAnalysis.normalizeText(col("plain_text"), lowercase)
+        (if (redactPii) TextAnalysis.redactPiiCol(norm) else norm)
           .as("norm_text"))
       .select(md5(col("norm_text")).as("_k"),
         struct(col("doc_id"), col("norm_text")).as("_r"))

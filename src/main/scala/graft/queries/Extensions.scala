@@ -575,6 +575,59 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // q161 the PII-REDACTING curation composition: the q148 intake pages
+  // with synthetic PII planted into every body (the q45 construction —
+  // a doc_id-derived email, phone and IPv4 per page), fed through the
+  // q93 stages with Config.redactPii on. The rung sits between intake's
+  // normalization and the curation screens, so (a) every downstream
+  // stage sees only placeholder tokens, and (b) the %11 pages — whose
+  // bodies are identical EXCEPT for their per-doc PII — collapse at the
+  // exact screen the way true duplicates should. The oracle conjoins
+  // the q148 CTEs, the q45 regex chain and the q93 fragments.
+  private def webIntakePagesPii(docs: DataFrame): DataFrame = {
+    val body = when(col("doc_id") % 11 === 0, lit(webIntakeFixedText))
+      .otherwise(col("text"))
+    val pii = concat(lit(" contact user"), col("doc_id"),
+      lit("@example.com at +1-555-0"), col("doc_id"),
+      lit(" ip 10.0.0."), col("doc_id") % 256)
+    val html = concat(lit("<html><body><h1>Hdr</h1><p>"), body, pii,
+      lit("</p><ul><li>alpha&nbsp;caf&eacute;</li>" +
+        "<li>beta&#8212;&#x2014;end</li></ul></body></html>"))
+    docs.select(col("doc_id"), html.as("html"))
+  }
+
+  val q161_redacted_curation: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+    val taken = Web.intake(webIntakePagesPii(docs), "doc_id", "html",
+      webIntakeThresholds)
+    val withSource = taken
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    Curation.curate(s, withSource, "doc_id", "norm_text", "source",
+        keyIndexPath = None, benchmark = None,
+        cfg = Curation.Config(budgets = tokenBudgets, redactPii = true))
+      .orderBy(col("doc_id"))
+  }
+
+  // q164 PER-LANGUAGE curation routing: the q148 intake feeding the
+  // q93 stages with the stratum DERIVED — the q33 language decision
+  // over each page's normalized text — instead of joined provenance.
+  // Budgets key by language code; languages outside the recipe drop
+  // (the not-in-the-recipe rule, exercised here: only en/und carry
+  // budgets). The oracle conjoins the q148 CTEs, the q33 stopword
+  // arithmetic and the q93 fragments with source := language.
+  val languageBudgets: Map[String, Long] =
+    Map("en" -> 3000L, "und" -> 1500L)
+
+  val q164_language_curation: Q = (s, d) => {
+    val docs = t(s, d, "documents").where(col("text").isNotNull)
+    val taken = Web.intake(webIntakePages(docs), "doc_id", "html",
+      webIntakeThresholds)
+    Curation.curateByLanguage(s, taken, "doc_id", "norm_text",
+        keyIndexPath = None, benchmark = None,
+        cfg = Curation.Config(budgets = languageBudgets))
+      .orderBy(col("doc_id"))
+  }
+
   // q149 per-source rule-kill report (TextAnalysis.gopherReport): the
   // q146 verdicts rolled up per source — the threshold-retuning card.
   // Same plant and thresholds as q146, so the two queries pin the same
@@ -893,6 +946,79 @@ object Extensions {
       .groupBy(col("charset"), col("http_status"), col("textish"))
       .agg(count(lit(1)).as("n_pages"))
       .orderBy(col("charset"))
+  }
+
+  // ---------------------------------------------------------------
+  // q162/q163 robots/noindex compliance gate — the crawl-policy rung
+  // beside the q150 blocklist: pages opting out via the X-Robots-Tag
+  // response header or a <meta name="robots"> noindex directive drop
+  // at the reader, with per-reason kill accounting (the q156 card
+  // convention). The fixture varies attribute order, quoting and case
+  // across deterministic doc_id classes so the oracle recomputes the
+  // kept set and the kill counts from arithmetic alone:
+  //   - doc_id%3==1  -> a noindex META (two spellings by doc_id%2);
+  //   - doc_id%5==2  -> an X-Robots-Tag noindex HEADER (two spellings);
+  //   - doc_id%7==6  -> a nofollow-only meta (must NOT drop);
+  //   - overlaps drop once, like any gate.
+  // ---------------------------------------------------------------
+  private def robotsHead(id: Long): String =
+    if (id % 3 == 1)
+      (if (id % 2 == 0) "<meta name=\"robots\" content=\"noindex, nofollow\">"
+       else "<META content='noindex' name='Robots'>")
+    else if (id % 7 == 6) "<meta name=\"robots\" content=\"nofollow\">"
+    else ""
+  private val warcRobotsDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def warcRobotsFixture(s: SparkSession, d: String): String =
+    warcRobotsDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q162_warc_").toString + "/crawl.warc.gz"
+      val docRows = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+        .collect() // fixture construction: bounded by the documents table
+      graft.sources.WarcWriter.write(s, p, docRows.iterator.map { r =>
+        val id = r.getLong(0)
+        val html = s"<html><head>${robotsHead(id)}</head><body><p>" +
+          s"doc $id: ${r.getString(1)}</p></body></html>"
+        val headers =
+          if (id % 5 == 2)
+            Seq("X-Robots-Tag" ->
+              (if (id % 2 == 0) "noindex" else "googlebot: NOINDEX, nofollow"))
+          else Nil
+        graft.sources.WarcWriter.responseRecord(
+          s"https://ex.com/doc/$id", "2026-01-02T03:04:05Z",
+          s"<urn:doc:$id>", html, "utf-8", declareInHeader = true,
+          httpHeaders = headers)
+      })
+      p
+    })
+
+  val q162_robots_gate: Q = (s, d) => {
+    val file = warcRobotsFixture(s, d)
+    graft.sources.WarcReader.responses(
+        graft.sources.WarcReader.read(s, file), robotsGate = true)
+      .select(
+        regexp_extract(col("url"), "([0-9]+)$", 1).cast("bigint")
+          .as("doc_id"),
+        col("url"), col("http_status"), col("html"))
+      .orderBy(col("doc_id"))
+  }
+
+  // the kill card: every response classified header / meta / kept —
+  // header wins ties (it kills before decode), exactly the gate's
+  // evaluation order
+  val q163_robots_profile: Q = (s, d) => {
+    val file = warcRobotsFixture(s, d)
+    graft.sources.WarcReader.read(s, file).toDF()
+      .where(col("warc_type") === "response")
+      .select(
+        when(Web.robotsHeaderNoindex(col("http_robots")), lit("header"))
+          .when(Web.metaRobotsNoindex(
+            graft.functions.VectorFunctions.decodeCharset(
+              col("payload"), col("http_content_type"))), lit("meta"))
+          .otherwise(lit("kept")).as("kill"))
+      .groupBy(col("kill"))
+      .agg(count(lit(1)).as("n_pages"))
+      .orderBy(col("kill"))
   }
 
   // q59 int8-quantized brute-force top-k: q25's retrieval over 4×-smaller
@@ -2146,5 +2272,9 @@ object Extensions {
     "q157_crawl_token_ids" -> q157_crawl_token_ids,
     "q158_crawl_digest_dedup" -> q158_crawl_digest_dedup,
     "q159_crawl_latest_fetch" -> q159_crawl_latest_fetch,
-    "q160_key_index_card" -> q160_key_index_card)
+    "q160_key_index_card" -> q160_key_index_card,
+    "q161_redacted_curation" -> q161_redacted_curation,
+    "q162_robots_gate" -> q162_robots_gate,
+    "q163_robots_profile" -> q163_robots_profile,
+    "q164_language_curation" -> q164_language_curation)
 }

@@ -60,6 +60,10 @@ object WarcReader {
       payload_digest: Option[String],
       http_status: Option[Int],
       http_content_type: Option[String],
+      // the response's `X-Robots-Tag` header verbatim, when present —
+      // the crawl-compliance signal the robots gate reads (None for
+      // non-response records and responses without the header)
+      http_robots: Option[String],
       payload: Array[Byte])
 
   /** All records under `path` (a file, directory or glob; `.gz` decoded
@@ -170,21 +174,35 @@ object WarcReader {
     * [[readMany]] callers and the digest-dedup path compose with.
     * `decodeContentTypes` is the [[textish]] gate's pattern list;
     * pass `Nil` to decode every response payload regardless of type.
+    *
+    * `robotsGate = true` honors noindex opt-outs at the reader
+    * ([[graft.ops.Web.robotsHeaderNoindex]] /
+    * [[graft.ops.Web.metaRobotsNoindex]]): header-opted-out records
+    * drop BEFORE their payload is charset-decoded (the header check is
+    * free); meta-opted-out pages drop right after decode, before any
+    * text leaves the reader. Both are map-side predicates in the scan's
+    * codegen span — no exchange, no extra pass.
     */
   def responses(records: Dataset[WarcRecord],
-                decodeContentTypes: Seq[String] = textishContentTypes)
+                decodeContentTypes: Seq[String] = textishContentTypes,
+                robotsGate: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val base = records.where(col("warc_type") === "response")
     val gated =
       if (decodeContentTypes.isEmpty) base
       else base.where(textish(col("http_content_type"), decodeContentTypes))
-    gated
+    val polite =
+      if (!robotsGate) gated
+      else gated.where(!graft.ops.Web.robotsHeaderNoindex(col("http_robots")))
+    val decoded = polite
       .select(col("url"), col("warc_date"), col("record_id"),
         col("http_status"), col("http_content_type"),
         graft.functions.VectorFunctions
           .decodeCharset(col("payload"), col("http_content_type"))
           .as("html"))
+    if (!robotsGate) decoded
+    else decoded.where(!graft.ops.Web.metaRobotsNoindex(col("html")))
   }
 
   /** Digest-keyed PRE-DECODE exact dedup — the rung that runs before
@@ -255,13 +273,15 @@ object WarcReader {
           coalesce(normDigest(col("payload_digest")), md5(col("payload")))
             .as("payload_digest"),
           col("warc_type"), col("url"), col("warc_date"), col("record_id"),
-          col("http_status"), col("http_content_type"), col("payload"))
+          col("http_status"), col("http_content_type"), col("http_robots"),
+          col("payload"))
       else {
         val resp = base.where(col("warc_type") === "response")
           .select(md5(col("payload")).as("payload_digest"),
             normDigest(col("payload_digest")).as("_claimed"),
             col("warc_type"), col("url"), col("warc_date"), col("record_id"),
-            col("http_status"), col("http_content_type"), col("payload"))
+            col("http_status"), col("http_content_type"), col("http_robots"),
+            col("payload"))
         // claimed → verified key map, from the responses that claimed
         // one; aggregated BEFORE the join so a revisit joining a heavily
         // re-fetched digest contributes one row, not one per fetch. min
@@ -275,19 +295,22 @@ object WarcReader {
         val revisits = base.where(col("warc_type") === "revisit")
           .select(normDigest(col("payload_digest")).as("_claimed"),
             col("warc_type"), col("url"), col("warc_date"), col("record_id"),
-            col("http_status"), col("http_content_type"), col("payload"))
+            col("http_status"), col("http_content_type"), col("http_robots"),
+            col("payload"))
           .join(claimMap, Seq("_claimed"))
         resp.drop("_claimed").unionByName(revisits.drop("_claimed"))
       }
     keyed
       .groupBy(col("payload_digest"))
       .agg(
-        // min over a struct ordered by its leading fields; null (= no
-        // response in the group) when only revisits carry the digest
+        // min over a struct ordered by its leading fields (record ids
+        // unique → fields after record_id never decide the winner);
+        // null (= no response in the group) when only revisits carry
+        // the digest
         min(when(col("warc_type") === "response",
           struct(col("warc_date"), col("record_id"), col("url"),
             col("http_status"), col("http_content_type"),
-            col("payload")))).as("_r"),
+            col("http_robots"), col("payload")))).as("_r"),
         count(lit(1)).as("n_fetches"),
         sum(when(col("warc_type") === "revisit", 1L).otherwise(0L))
           .as("n_revisits"))
@@ -296,6 +319,7 @@ object WarcReader {
         col("_r.record_id").as("record_id"),
         col("_r.http_status").as("http_status"),
         col("_r.http_content_type").as("http_content_type"),
+        col("_r.http_robots").as("http_robots"),
         col("_r.payload").as("payload"),
         col("payload_digest"), col("n_fetches"), col("n_revisits"))
   }
@@ -420,11 +444,11 @@ object WarcReader {
     val block = readFully(file, in, len)
     val warcType = headers.getOrElse("warc-type", "")
     val contentType = headers.getOrElse("content-type", "")
-    val (status, httpCt, payload) =
+    val (status, httpCt, httpRobots, payload) =
       if (warcType == "response" &&
           contentType.toLowerCase.startsWith("application/http"))
         splitHttp(block)
-      else (None, None, block)
+      else (None, None, None, block)
     WarcRecord(
       warc_file = file,
       warc_type = warcType,
@@ -435,6 +459,7 @@ object WarcReader {
       payload_digest = headers.get("warc-payload-digest"),
       http_status = status,
       http_content_type = httpCt,
+      http_robots = httpRobots,
       payload = payload)
   }
 
@@ -468,7 +493,8 @@ object WarcReader {
     out.toMap
   }
 
-  /** HTTP head off a response block: (status, Content-Type, body).
+  /** HTTP head off a response block: (status, Content-Type,
+    * X-Robots-Tag, body).
     * No CRLFCRLF head terminator → the whole block passes through.
     *
     * The body is decoded the way a client would read it — WARC
@@ -485,10 +511,10 @@ object WarcReader {
     * server's malformed chunk stream must not kill a corpus-scale scan
     * — unlike record-level truncation, which still throws.
     */
-  private def splitHttp(
-      block: Array[Byte]): (Option[Int], Option[String], Array[Byte]) = {
+  private def splitHttp(block: Array[Byte])
+      : (Option[Int], Option[String], Option[String], Array[Byte]) = {
     val sep = indexOfDoubleCrlf(block)
-    if (sep < 0) return (None, None, block)
+    if (sep < 0) return (None, None, None, block)
     val lines = new String(block, 0, sep, ISO_8859_1).split("\r\n")
     val status = lines.headOption
       .filter(_.startsWith("HTTP/"))
@@ -498,6 +524,7 @@ object WarcReader {
       .find(_.toLowerCase.startsWith(name + ":"))
       .map(l => l.substring(l.indexOf(':') + 1).trim)
     val ct = header("content-type")
+    val robots = header("x-robots-tag")
     var body = java.util.Arrays.copyOfRange(block, sep + 4, block.length)
     if (header("transfer-encoding").exists(_.toLowerCase.contains("chunked")))
       dechunk(body).foreach(body = _)
@@ -506,7 +533,7 @@ object WarcReader {
       case Some("deflate")               => inflate(body).foreach(body = _)
       case _                             => ()
     }
-    (status, ct, body)
+    (status, ct, robots, body)
   }
 
   /** De-chunk an HTTP/1.1 chunked body; None on any malformed framing

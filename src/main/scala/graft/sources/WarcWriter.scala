@@ -18,11 +18,18 @@ import java.util.zip.GZIPOutputStream
   */
 object WarcWriter {
 
-  /** An HTTP response block: status line + minimal headers + body. */
+  /** An HTTP response block: status line + minimal headers + body.
+    * `extraHttpHeaders` carries additional response headers verbatim
+    * (X-Robots-Tag, Cache-Control, …).
+    */
   def httpResponseBlock(status: Int, contentType: String,
-                        body: Array[Byte]): Array[Byte] = {
+                        body: Array[Byte],
+                        extraHttpHeaders: Seq[(String, String)] = Nil)
+      : Array[Byte] = {
+    val extra = extraHttpHeaders
+      .map { case (k, v) => s"$k: $v\r\n" }.mkString
     val head = s"HTTP/1.1 $status OK\r\n" +
-      s"Content-Type: $contentType\r\n" +
+      s"Content-Type: $contentType\r\n" + extra +
       s"Content-Length: ${body.length}\r\n\r\n"
     val h = head.getBytes(ISO_8859_1)
     val out = new Array[Byte](h.length + body.length)
@@ -91,11 +98,12 @@ object WarcWriter {
     */
   def responseRecord(url: String, date: String, recordId: String,
                      html: String, charset: String,
-                     declareInHeader: Boolean): Array[Byte] = {
+                     declareInHeader: Boolean,
+                     httpHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val ct = if (declareInHeader) s"text/html; charset=$charset"
       else "text/html"
     mediaResponseRecord(url, date, recordId, ct,
-      html.getBytes(java.nio.charset.Charset.forName(charset)))
+      html.getBytes(java.nio.charset.Charset.forName(charset)), httpHeaders)
   }
 
   /** A `response` record with an ARBITRARY HTTP Content-Type and raw
@@ -103,11 +111,12 @@ object WarcWriter {
     * the body's [[payloadDigest]].
     */
   def mediaResponseRecord(url: String, date: String, recordId: String,
-                          contentType: String,
-                          body: Array[Byte]): Array[Byte] =
+                          contentType: String, body: Array[Byte],
+                          httpHeaders: Seq[(String, String)] = Nil)
+      : Array[Byte] =
     record("response", url, date, recordId,
       "application/http; msgtype=response",
-      httpResponseBlock(200, contentType, body),
+      httpResponseBlock(200, contentType, body, httpHeaders),
       extraHeaders = Seq("WARC-Payload-Digest" -> payloadDigest(body)))
 
   /** A `revisit` record (ISO 28500 §6.7.2, identical-payload-digest

@@ -253,12 +253,13 @@ object Streams {
                     outPath: String, keyIndexPath: String, checkpoint: String,
                     th: graft.ops.TextAnalysis.GopherThresholds =
                       graft.ops.TextAnalysis.GopherThresholds(),
-                    lowercase: Boolean = false)
+                    lowercase: Boolean = false,
+                    redactPii: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         intakeBatch(spark, batch, idCol, htmlCol, outPath, keyIndexPath,
-          th, lowercase)
+          th, lowercase, redactPii)
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -271,8 +272,10 @@ object Streams {
                           batch: DataFrame, idCol: String, htmlCol: String,
                           outPath: String, keyIndexPath: String,
                           th: graft.ops.TextAnalysis.GopherThresholds,
-                          lowercase: Boolean): Unit = {
-    val reps = graft.ops.Web.intake(batch, idCol, htmlCol, th, lowercase)
+                          lowercase: Boolean,
+                          redactPii: Boolean = false): Unit = {
+    val reps = graft.ops.Web.intake(batch, idCol, htmlCol, th, lowercase,
+      redactPii)
     // persisted: two consumers (output append, key admission) must
     // not re-run the extract/gate/dedup chain twice
     val admitted = graft.ops.Dedup.exactDedupAgainstIndex(
@@ -320,7 +323,8 @@ object Streams {
                        graft.ops.TextAnalysis.GopherThresholds(),
                      lowercase: Boolean = false,
                      pathGlob: String = "*.warc*",
-                     digestIndexPath: Option[String] = None)
+                     digestIndexPath: Option[String] = None,
+                     robotsGate: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     warcPathStream(spark, dir, pathGlob)
       .writeStream
@@ -329,7 +333,7 @@ object Streams {
           .as(org.apache.spark.sql.Encoders.STRING).collect()
         if (paths.nonEmpty) {
           val (decoded, digestAdmitted) =
-            decodeWarcBatch(spark, paths.toSeq, digestIndexPath)
+            decodeWarcBatch(spark, paths.toSeq, digestIndexPath, robotsGate)
           try {
             intakeBatch(spark, decoded, "record_id", "html", outPath,
               keyIndexPath, th, lowercase)
@@ -383,11 +387,14 @@ object Streams {
     */
   private def decodeWarcBatch(spark: org.apache.spark.sql.SparkSession,
                               paths: Seq[String],
-                              digestIndexPath: Option[String])
+                              digestIndexPath: Option[String],
+                              robotsGate: Boolean = false)
       : (DataFrame, Option[DataFrame]) = {
     val recs = graft.sources.WarcReader.readMany(spark, paths)
     digestIndexPath match {
-      case None => (graft.sources.WarcReader.responses(recs), None)
+      case None =>
+        (graft.sources.WarcReader.responses(recs, robotsGate = robotsGate),
+          None)
       case Some(dp) =>
         val gated = recs.where(graft.sources.WarcReader
           .textish(col("http_content_type")))
@@ -395,10 +402,17 @@ object Streams {
         val admitted = graft.ops.Dedup.dedupAgainstKeyIndex(spark,
           graft.sources.WarcReader.dedupByDigest(gated),
           "payload_digest", dp).persist()
-        (admitted.select(col("url"), col("warc_date"), col("record_id"),
-          col("http_status"), col("http_content_type"),
+        // the robots gate applies to what flows toward TRAINING, not to
+        // the digest admissions: a noindex page's digest still enters
+        // the seen-bytes index, so its re-fetches stay one Bloom probe
+        // (the index records what was crawled, never what trains)
+        val decoded = admitted.select(col("url"), col("warc_date"),
+          col("record_id"), col("http_status"), col("http_content_type"),
+          col("http_robots"),
           graft.functions.VectorFunctions.decodeCharset(
-            col("payload"), col("http_content_type")).as("html")),
+            col("payload"), col("http_content_type")).as("html"))
+        ((if (robotsGate) graft.ops.Web.robotsGate(decoded, "html")
+          else decoded).drop("http_robots"),
           Some(admitted))
     }
   }
@@ -481,7 +495,8 @@ object Streams {
                       pathGlob: String = "*.warc*",
                       digestIndexPath: Option[String] = None,
                       sourceKey: org.apache.spark.sql.Column =
-                        graft.ops.Web.urlDomain(col("url")))
+                        graft.ops.Web.urlDomain(col("url")),
+                      robotsGate: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     warcPathStream(spark, dir, pathGlob)
       .writeStream
@@ -490,7 +505,7 @@ object Streams {
           .as(org.apache.spark.sql.Encoders.STRING).collect()
         if (paths.nonEmpty) {
           val (decoded, digestAdmitted) =
-            decodeWarcBatch(spark, paths.toSeq, digestIndexPath)
+            decodeWarcBatch(spark, paths.toSeq, digestIndexPath, robotsGate)
           try {
             val pages = decoded.select(col("record_id").as("doc_id"),
               sourceKey.as("source"), col("html"))

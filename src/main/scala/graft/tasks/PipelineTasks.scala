@@ -51,14 +51,17 @@ object PipelineTasks {
         // (WarcTask's mode=deduped, available to EVERY pipeline task;
         // `"verify_digest": true` recomputes keys locally instead of
         // trusting the writer's claims — the untrusted-crawl setting);
-        // `"latest": true` the canonical-url newest-fetch rung.
+        // `"latest": true` the canonical-url newest-fetch rung;
+        // `"robots_gate": true` honors noindex opt-outs (X-Robots-Tag
+        // header pre-decode, meta robots post-decode).
         val recs = graft.sources.WarcReader.read(ctx.spark, path)
         if (src.flag("digest_dedup"))
           graft.sources.WarcReader.responsesDeduped(recs,
             verifyDigests = src.flag("verify_digest"))
         else if (src.flag("latest"))
           graft.sources.WarcReader.latestByUrl(recs)
-        else graft.sources.WarcReader.responses(recs)
+        else graft.sources.WarcReader.responses(recs,
+          robotsGate = src.flag("robots_gate"))
       case f => throw new IllegalArgumentException(s"unknown source format: $f")
     }
   }
@@ -354,16 +357,26 @@ object PipelineTasks {
 
   /** `intake`: the composed web-corpus intake (q148) — html extraction,
     * Gopher keep gate, canonical normalization, exact dedup to min-id
-    * representatives. Output: (doc_id, norm_text, n_dupes).
+    * representatives. `"redact_pii": true` threads the q45 scrub
+    * between normalization and the dedup (pages differing only in
+    * embedded PII collapse); `"robots_gate": true` drops noindex
+    * opt-outs first ([[graft.ops.Web.robotsGate]] — meta robots always,
+    * the X-Robots-Tag header when the source carries `http_robots`,
+    * e.g. a warc source). Output: (doc_id, norm_text, n_dupes).
     */
   object IntakeTask extends Task {
     def run(ctx: TaskContext, task: Node, log: TaskLog): Unit =
       Tasks.etl(ctx, task, log, "intake")(sourceDf(ctx, task)) { (df, lg, meter) =>
         val cfg = task("intake")
-        sink(ctx, task)(graft.ops.Web.intake(df,
-          cfg.str("id", "doc_id"), cfg.str("html", "html"),
+        val html = cfg.str("html", "html")
+        val polite =
+          if (cfg.flag("robots_gate")) graft.ops.Web.robotsGate(df, html)
+          else df
+        sink(ctx, task)(graft.ops.Web.intake(polite,
+          cfg.str("id", "doc_id"), html,
           gopherTh(cfg),
-          lowercase = cfg.flag("lowercase")), lg, meter)
+          lowercase = cfg.flag("lowercase"),
+          redactPii = cfg.flag("redact_pii")), lg, meter)
       }
   }
 
@@ -376,7 +389,9 @@ object PipelineTasks {
     * re-fetch dedup: canonical-url key, NEWEST fetch kept — adds
     * canon_url/n_fetches), or `records` (every record type, raw
     * payload bytes). `decode_all` disables the
-    * text-ish content-type gate on the decoding modes. The standard
+    * text-ish content-type gate on the decoding modes; `robots_gate`
+    * (responses mode) honors noindex opt-outs — X-Robots-Tag header
+    * kills pre-decode, meta robots post-decode. The standard
     * transform block and sink apply, so `warc` → filter → parquet is
     * one task; the full crawl→training-text path is this source under
     * an `intake` task (`"source": {"format": "warc"}`).
@@ -391,7 +406,8 @@ object PipelineTasks {
         else graft.sources.WarcReader.textishContentTypes
       val df = cfg.str("mode", "responses") match {
         case "responses" => graft.sources.WarcReader.responses(
-          graft.sources.WarcReader.read(ctx.spark, path), gate)
+          graft.sources.WarcReader.read(ctx.spark, path), gate,
+          robotsGate = cfg.flag("robots_gate"))
         case "deduped"   => graft.sources.WarcReader.responsesDeduped(
           graft.sources.WarcReader.read(ctx.spark, path), gate,
           verifyDigests = cfg.flag("verify_digest"))
@@ -583,23 +599,33 @@ object PipelineTasks {
           pplMaxBits = cfg.str("ppl_max_bits", "0").toDouble,
           nbModel = cfg.strOpt("nb_model").map(ctx.dir),
           nbMinLogOdds = cfg.str("nb_min_log_odds", "0").toDouble,
-          capPerSource = cfg.intOpt("cap_per_source"))
+          capPerSource = cfg.intOpt("cap_per_source"),
+          redactPii = cfg.flag("redact_pii"))
         // `"tokenizer"` switches the terminal: unset = the q93 offset
         // rows; set (an id-emitting tokenizer name) = the q115 token-id
-        // sequences — the pipeline ends at training-ready array<int>
-        val out = cfg.strOpt("tokenizer") match {
-          case None =>
-            Curation.curate(ctx.spark, df,
-              cfg.str("id", "doc_id"), cfg.str("text", "text"),
-              cfg.str("stratum", "source"),
-              keyIndexPath = cfg.strOpt("key_index").map(ctx.dir),
-              benchmark = bench, cfg = conf)
-          case Some(tk) =>
-            Curation.curateTokens(ctx.spark, df,
-              cfg.str("id", "doc_id"), cfg.str("text", "text"),
-              cfg.str("stratum", "source"),
-              keyIndexPath = cfg.strOpt("key_index").map(ctx.dir),
-              benchmark = bench, cfg = conf,
+        // sequences — the pipeline ends at training-ready array<int>.
+        // `"by_language": true` routes the mixture machinery on the
+        // document's PREDICTED language (the q33 decision) instead of a
+        // provenance stratum column — budgets/weights then key by
+        // language code ('und' included only if budgeted).
+        val id = cfg.str("id", "doc_id")
+        val text = cfg.str("text", "text")
+        val keyIdx = cfg.strOpt("key_index").map(ctx.dir)
+        val byLang = cfg.flag("by_language")
+        val out = (cfg.strOpt("tokenizer"), byLang) match {
+          case (None, false) =>
+            Curation.curate(ctx.spark, df, id, text,
+              cfg.str("stratum", "source"), keyIdx, bench, conf)
+          case (None, true) =>
+            Curation.curateByLanguage(ctx.spark, df, id, text,
+              keyIdx, bench, conf)
+          case (Some(tk), false) =>
+            Curation.curateTokens(ctx.spark, df, id, text,
+              cfg.str("stratum", "source"), keyIdx, bench, conf,
+              graft.functions.TokenCounters.encoderForName(tk))
+          case (Some(tk), true) =>
+            Curation.curateTokensByLanguage(ctx.spark, df, id, text,
+              keyIdx, bench, conf,
               graft.functions.TokenCounters.encoderForName(tk))
         }
         sink(ctx, task)(out, lg, meter)

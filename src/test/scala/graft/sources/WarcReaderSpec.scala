@@ -539,7 +539,7 @@ class WarcReaderSpec extends SparkSpec {
     assert(raw.count() == 6)
     assert(raw.columns.toSet == Set("warc_file", "warc_type", "url",
       "warc_date", "record_id", "content_type", "payload_digest",
-      "http_status", "http_content_type", "payload"))
+      "http_status", "http_content_type", "http_robots", "payload"))
     // deduped mode: the 3 byte-identical even pages collapse on their
     // writer-emitted digest to the min record_id, pre-decode
     val dd = spark.read.parquet(s"$wd/output/deduped")
@@ -617,6 +617,72 @@ class WarcReaderSpec extends SparkSpec {
       .collect()
     assert(bv.length == 2 && bv.forall(_.getAs[Long]("n_fetches") == 1L),
       bv.mkString("\n"))
+  }
+
+  test("robots gate: header and meta noindex variants drop, nofollow-only and plain pages survive") {
+    import org.apache.spark.sql.functions.col
+    def page(head: String, body: String) =
+      s"<html><head>$head</head><body><p>$body and some ordinary page " +
+        "text to carry the body</p></body></html>"
+    val recs = Seq(
+      // header opt-outs, spelling variants — all must die pre-decode
+      WarcWriter.responseRecord("https://ex.com/h1", date, rid(1),
+        page("", "h1"), "utf-8", declareInHeader = true,
+        httpHeaders = Seq("X-Robots-Tag" -> "noindex")),
+      WarcWriter.responseRecord("https://ex.com/h2", date, rid(2),
+        page("", "h2"), "utf-8", declareInHeader = true,
+        httpHeaders = Seq("X-Robots-Tag" -> "NOINDEX, nofollow")),
+      WarcWriter.responseRecord("https://ex.com/h3", date, rid(3),
+        page("", "h3"), "utf-8", declareInHeader = true,
+        httpHeaders = Seq("X-Robots-Tag" -> "googlebot: noindex")),
+      // meta opt-outs: both attribute orders, quote styles, case
+      WarcWriter.responseRecord("https://ex.com/m1", date, rid(4),
+        page("<meta name=\"robots\" content=\"noindex, nofollow\">", "m1"),
+        "utf-8", declareInHeader = true),
+      WarcWriter.responseRecord("https://ex.com/m2", date, rid(5),
+        page("<META content='noindex' name='Robots'>", "m2"),
+        "utf-8", declareInHeader = true),
+      WarcWriter.responseRecord("https://ex.com/m3", date, rid(6),
+        page("<meta name=robots content=noindex>", "m3"),
+        "utf-8", declareInHeader = true),
+      // survivors: nofollow-only meta, an unrelated header value, a
+      // description meta whose TEXT contains the word, a plain page
+      WarcWriter.responseRecord("https://ex.com/k1", date, rid(7),
+        page("<meta name=\"robots\" content=\"nofollow\">", "k1"),
+        "utf-8", declareInHeader = true),
+      WarcWriter.responseRecord("https://ex.com/k2", date, rid(8),
+        page("", "k2"), "utf-8", declareInHeader = true,
+        httpHeaders = Seq("X-Robots-Tag" -> "nofollow, noarchive")),
+      WarcWriter.responseRecord("https://ex.com/k3", date, rid(9),
+        page("<meta name=\"description\" content=\"how to noindex a page\">",
+          "k3"), "utf-8", declareInHeader = true),
+      WarcWriter.responseRecord("https://ex.com/k4", date, rid(10),
+        page("", "k4"), "utf-8", declareInHeader = true))
+    val wd = tmpDir("graft_warc_robots_")
+    WarcWriter.write(spark, s"$wd/d.warc.gz", recs.iterator)
+    val raw = WarcReader.read(spark, s"$wd/d.warc.gz")
+    // the header surfaces verbatim on the record
+    assert(raw.collect().find(_.record_id == rid(3))
+      .get.http_robots.contains("googlebot: noindex"))
+    val kept = WarcReader.responses(raw, robotsGate = true)
+      .select(col("record_id")).collect().map(_.getString(0)).toSet
+    assert(kept == Set(rid(7), rid(8), rid(9), rid(10)), s"$kept")
+    // gate off: everything decodes (the default is unchanged behavior)
+    assert(WarcReader.responses(raw).count() == 10)
+    // task knob: the warc source's robots_gate flag drives the same gate
+    val json =
+      s"""{"tasks": [
+         |  {"type": "warc", "name": "w",
+         |   "source": {"folder": ".", "file": "d.warc.gz"},
+         |   "warc": {"mode": "responses", "robots_gate": true},
+         |   "target": {"file": "polite", "truncate": true}}
+         |]}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$wd/task.json"), json)
+    graft.runner.TaskRunner.runFile(s"$wd/task.json", spark, wd,
+      graft.runner.TaskLog.Silent)
+    assert(spark.read.parquet(s"$wd/output/polite")
+      .select("record_id").collect().map(_.getString(0)).toSet == kept)
   }
 
   test("warc shard target: truncate clears stale shards and tmp files; no-truncate fails loudly on a shard collision") {

@@ -725,6 +725,128 @@ class StreamsSpec extends SparkSpec {
     assert(viaOps == Set(11L, 14L))
   }
 
+  test("robots gate on the streaming twins: header and meta opt-outs never reach intake; digests still admit") {
+    import graft.sources.{WarcReader, WarcWriter}
+    import graft.ops.Dedup
+    val body = "The fast brown fox ran over the low stone wall and kept " +
+      "pace with the hounds that chased it through the long grass"
+    val dir = tmpDir("graft_robotsstream_")
+    val crawl = s"$dir/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(crawl))
+    WarcWriter.write(spark, s"$crawl/shard-1.warc.gz", Iterator(
+      WarcWriter.responseRecord("https://ex.com/meta", "2026-01-01T00:00:00Z",
+        "<urn:r:1>", "<html><head><meta name=\"robots\" content=\"noindex\">" +
+          s"</head><body><p>$body meta page</p></body></html>",
+        "utf-8", declareInHeader = true),
+      WarcWriter.responseRecord("https://ex.com/hdr", "2026-01-01T00:00:00Z",
+        "<urn:r:2>", s"<html><body><p>$body header page</p></body></html>",
+        "utf-8", declareInHeader = true,
+        httpHeaders = Seq("X-Robots-Tag" -> "noindex")),
+      WarcWriter.responseRecord("https://ex.com/ok", "2026-01-01T00:00:00Z",
+        "<urn:r:3>", s"<html><body><p>$body plain page</p></body></html>",
+        "utf-8", declareInHeader = true)))
+    val th = graft.ops.TextAnalysis.GopherThresholds(minWords = 10)
+    Dedup.buildExactKeyIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "norm_text"), "norm_text",
+      s"$dir/keys", expectedKeys = 100L)
+    Dedup.buildKeyIndex(
+      Seq.empty[String].toDF("payload_digest"), "payload_digest",
+      s"$dir/digests", expectedKeys = 100L)
+    val q = Streams.warcIngestSink(spark, crawl, s"$dir/out", s"$dir/keys",
+      s"$dir/ckpt", th, digestIndexPath = Some(s"$dir/digests"),
+      robotsGate = true)
+    try q.processAllAvailable() finally q.stop()
+    val admitted = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[String].collect().toSet
+    assert(admitted == Set("<urn:r:3>"),
+      s"only the plain page may train: $admitted")
+    // the seen-bytes digest index admits ALL fetched pages (incl. the
+    // opted-out ones) — re-fetches of a noindex page must stay one
+    // Bloom probe, never a transcode
+    assert(spark.read.parquet(s"$dir/digests/keys").count() == 3)
+  }
+
+  test("PII rung on the streaming twins: webIntakeSink redacts pre-dedup; crawlTokensSink Config.redactPii matches the batch composition") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.{WarcReader, WarcWriter}
+    import graft.ops.{Curation, Dedup, Web}
+    val body = "The fast brown fox ran over the low stone wall and kept " +
+      "pace with the hounds that chased it through the long grass"
+    def page(b: String) = s"<html><body><h1>Hdr</h1><p>$b</p></body></html>"
+    val th = graft.ops.TextAnalysis.GopherThresholds(minWords = 10)
+    // — webIntakeSink(redactPii = true): the scrub lands between
+    //   normalize and the dedup, so PII-only page variants collapse as
+    //   the duplicates they are and the output carries placeholders.
+    //   Empty-seed index built with the expectedKeys capacity hint.
+    val dir = tmpDir("graft_piistream_")
+    Dedup.buildExactKeyIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "norm_text"), "norm_text",
+      s"$dir/keys", expectedKeys = 100L)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.webIntakeSink(spark, mem.toDF().toDF("doc_id", "html"),
+      "doc_id", "html", s"$dir/out", s"$dir/keys", s"$dir/ckpt", th,
+      redactPii = true)
+    try {
+      mem.addData(
+        (1L, page(body + " mail alice@example.com from 10.1.2.3 today")),
+        // the SAME page fetched by someone else: differs only in PII
+        (2L, page(body + " mail bob@other.org from 10.9.8.7 today")),
+        (3L, page(body + " a different closing line entirely here")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "norm_text", "n_dupes").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set(1L, 3L), s"${rows.keySet}")
+    assert(rows(1L)._2 == 2L, "PII-only variants must collapse as duplicates")
+    assert(rows(1L)._1.contains("<EMAIL>") && rows(1L)._1.contains("<IP>") &&
+      !rows(1L)._1.contains("alice@"), rows(1L)._1)
+    // — crawlTokensSink: redactPii rides inside the threaded Config; a
+    //   single-batch feed reproduces the redacting batch composition
+    //   byte-for-byte, and the rung provably changed the packed ids
+    def rec(i: Int, b: String) =
+      WarcWriter.responseRecord(s"https://alpha.com/p$i",
+        "2026-01-02T03:04:05Z", f"<urn:pii:$i%04d>",
+        page(b), "utf-8", declareInHeader = true)
+    val crawlDir = tmpDir("graft_piicrawl_")
+    WarcWriter.write(spark, s"$crawlDir/shard-1.warc.gz", Iterator(
+      // 1 and 2 differ ONLY in their visitor email: post-redaction they
+      // are exact duplicates and must collapse at the curate screen
+      rec(1, s"$body visitor u1@ex.com writing today"),
+      rec(2, s"$body visitor u2@ex.com writing today"),
+      rec(3, s"$body visitor u3@other.net on another matter")))
+    val cfg = Curation.Config(budgets = Map("alpha.com" -> 100000L),
+      minQuality = 0.0, seqLen = 16, redactPii = true)
+    val enc = graft.functions.TokenCounters.tinyBpe
+    def twin(c: Curation.Config): Set[(String, Long, String)] = {
+      val pages = WarcReader.responses(spark, s"$crawlDir/shard-1.warc.gz")
+        .select(col("record_id").as("doc_id"),
+          Web.urlDomain(col("url")).as("source"), col("html"))
+      val reps = Web.intake(pages, "doc_id", "html", th)
+      val withSource = reps.join(pages.select("doc_id", "source"), Seq("doc_id"))
+      Curation.curateTokens(spark, withSource, "doc_id", "norm_text",
+          "source", keyIndexPath = None, benchmark = None, c, enc)
+        .collect().map(r => (r.getAs[String]("source"),
+          r.getAs[Long]("seq_id"),
+          r.getAs[Seq[Int]]("token_ids").mkString(","))).toSet
+    }
+    Dedup.buildExactKeyIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "norm_text"), "norm_text",
+      s"$dir/ckeys", expectedKeys = 100L)
+    val q2 = Streams.crawlTokensSink(spark, crawlDir, s"$dir/cout",
+      s"$dir/ckeys", s"$dir/cckpt", enc, cfg, th)
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = spark.read.parquet(s"$dir/cout")
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("seq_id"),
+        r.getAs[Seq[Int]]("token_ids").mkString(","))).toSet
+    assert(streamed == twin(cfg),
+      s"streamed packed ids must equal the redacting batch twin")
+    assert(twin(cfg) != twin(cfg.copy(redactPii = false)),
+      "the rung must actually change what packs (placeholders + the " +
+        "PII-only pair collapsing at the exact screen)")
+  }
+
   test("streaming gram-excise gate: standing and cross-batch spans excised, empty rows dropped") {
     implicit val sqlCtx = spark.sqlContext
     val passage = "alpha beta gamma delta epsilon zeta eta theta" // w=8

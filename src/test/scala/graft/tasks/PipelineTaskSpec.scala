@@ -410,6 +410,72 @@ class PipelineTaskSpec extends SparkSpec {
         cfg = Curation.Config(budgets = Map("src1" -> 2000L, "src2" -> 1000L)))))
   }
 
+  test("redact_pii knob: curate and intake tasks == the ops with the rung on") {
+    import graft.ops.Web
+    val wd = tmpDir("graft_pipetask_pii_")
+    // PII-planted corpus (the q45 construction) for the curate rung
+    val withPii = docs.select(col("doc_id"), col("source"),
+      concat(col("text"), lit(" mail user"), col("doc_id"),
+        lit("@example.com from 10.0.0."), col("doc_id") % 256).as("text"))
+    withPii.write.parquet(s"$wd/pii_docs")
+    withPii.select(col("doc_id"),
+        concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
+          .as("html"))
+      .write.parquet(s"$wd/pii_pages")
+    runTask(wd,
+      s"""{"tasks": [
+         |  {"type": "curate", "name": "c",
+         |   "source": {"folder": "$wd", "file": "pii_docs"},
+         |   "curate": {"budgets": {"src1": 2000, "src2": 1000},
+         |              "redact_pii": true},
+         |   "target": {"file": "cur_red", "truncate": true}},
+         |  {"type": "intake", "name": "i",
+         |   "source": {"folder": "$wd", "file": "pii_pages"},
+         |   "intake": {"min_words": 10, "min_stop_hits": 0,
+         |              "redact_pii": true},
+         |   "target": {"file": "intake_red", "truncate": true}}
+         |]}""".stripMargin)
+    assert(rows(outParquet(wd, "cur_red")) ==
+      rows(Curation.curate(spark, withPii, "doc_id", "text", "source",
+        keyIndexPath = None, benchmark = None,
+        cfg = Curation.Config(
+          budgets = Map("src1" -> 2000L, "src2" -> 1000L),
+          redactPii = true))))
+    val th = graft.ops.TextAnalysis.GopherThresholds(
+      minWords = 10, minStopHits = 0)
+    val viaOp = Web.intake(
+      withPii.select(col("doc_id"),
+        concat(lit("<html><body><p>"), col("text"),
+          lit("</p></body></html>")).as("html")),
+      "doc_id", "html", th, redactPii = true)
+    assert(rows(outParquet(wd, "intake_red")) == rows(viaOp))
+    // the rung fired: placeholders in the intake output, raw PII gone
+    val sample = outParquet(wd, "intake_red")
+      .where(col("norm_text").contains("<EMAIL>"))
+    assert(sample.count() > 0, "placeholders must appear")
+    assert(outParquet(wd, "intake_red")
+      .where(col("norm_text").contains("@example.com")).count() == 0)
+  }
+
+  test("by_language knob: curate task routes the mixture on the q33 language decision") {
+    val wd = tmpDir("graft_pipetask_lang_")
+    runTask(wd,
+      s"""{"tasks": [{"type": "curate", "name": "cl",
+         |  "source": {"folder": "$sfDir", "file": "documents.parquet"},
+         |  "curate": {"budgets": {"en": 3000, "und": 1500},
+         |             "by_language": true},
+         |  "target": {"file": "cur_lang", "truncate": true}}]}""".stripMargin)
+    val viaOp = Curation.curateByLanguage(spark, docs, "doc_id", "text",
+      keyIndexPath = None, benchmark = None,
+      cfg = Curation.Config(budgets = Map("en" -> 3000L, "und" -> 1500L)))
+    assert(rows(outParquet(wd, "cur_lang")) == rows(viaOp))
+    // the stratum really is the language decision, not provenance
+    val strata = outParquet(wd, "cur_lang").select("source")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(strata.nonEmpty && strata.subsetOf(Set("de", "en", "es", "fr", "und")),
+      s"strata must be language codes: $strata")
+  }
+
   test("curate task accepts a mixture recipe: weights+total_tokens == the mixtureTargets budgets") {
     val wd = tmpDir("graft_pipetask_")
     runTask(wd,
