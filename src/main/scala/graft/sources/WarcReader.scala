@@ -342,7 +342,7 @@ object WarcReader {
         textish(col("http_content_type"), decodeContentTypes))
     dedupByDigest(gated, verifyDigests)
       .select(col("url"), col("warc_date"), col("record_id"),
-        col("http_status"), col("http_content_type"),
+        col("http_status"), col("http_content_type"), col("http_robots"),
         col("payload_digest"), col("n_fetches"), col("n_revisits"),
         graft.functions.VectorFunctions
           .decodeCharset(col("payload"), col("http_content_type"))
@@ -378,17 +378,22 @@ object WarcReader {
         coalesce(graft.ops.Web.canonicalizeUrl(col("url")), col("url"))
           .as("canon_url"),
         col("warc_date"), col("record_id"), col("url"),
-        col("http_status"), col("http_content_type"), col("payload"))
+        col("http_status"), col("http_content_type"), col("http_robots"),
+        col("payload"))
       .groupBy(col("canon_url"))
       .agg(
+        // max over (warc_date, record_id, …): record ids unique, so
+        // fields after record_id never decide the winner
         max(struct(col("warc_date"), col("record_id"), col("url"),
-          col("http_status"), col("http_content_type"), col("payload")))
+          col("http_status"), col("http_content_type"),
+          col("http_robots"), col("payload")))
           .as("_r"),
         count(lit(1)).as("n_fetches"))
       .select(col("_r.url").as("url"), col("_r.warc_date").as("warc_date"),
         col("_r.record_id").as("record_id"),
         col("_r.http_status").as("http_status"),
         col("_r.http_content_type").as("http_content_type"),
+        col("_r.http_robots").as("http_robots"),
         col("canon_url"), col("n_fetches"),
         graft.functions.VectorFunctions
           .decodeCharset(col("_r.payload"), col("_r.http_content_type"))

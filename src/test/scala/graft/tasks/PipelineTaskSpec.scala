@@ -567,6 +567,93 @@ class PipelineTaskSpec extends SparkSpec {
       s"$wd/output/ingested") == 1)
   }
 
+  test("crawl recipe e2e: one task file runs digest rung + robots gate + PII scrub + language-routed curation + WET shipping") {
+    import graft.sources.{WarcReader, WarcWriter}
+    import spark.implicits._
+    val wd = tmpDir("graft_pipetask_recipe_")
+    Files.createDirectories(Paths.get(s"$wd/input"))
+    val base = "The fast brown fox ran over the low stone wall and kept " +
+      "pace with the hounds that chased it through the long grass"
+    def page(head: String, body: String) =
+      s"<html><head>$head</head><body><p>$body</p></body></html>"
+    def resp(i: Int, html: String, hdrs: Seq[(String, String)] = Nil) =
+      WarcWriter.responseRecord(s"https://ex.com/p$i",
+        "2026-01-02T03:04:05Z", f"<urn:rcp:$i%04d>", html, "utf-8",
+        declareInHeader = true, httpHeaders = hdrs)
+    WarcWriter.write(spark, s"$wd/input/crawl.warc.gz", Iterator(
+      // 1 and 2: byte-identical (the digest rung collapses pre-decode)
+      resp(1, page("", s"$base mail one@ex.com today")),
+      resp(2, page("", s"$base mail one@ex.com today")),
+      // 3: meta-robots noindex — must never reach training
+      resp(3, page("<meta name=\"robots\" content=\"noindex\">",
+        s"$base mail three@ex.com today")),
+      // 4: header opt-out — dies pre-decode
+      resp(4, page("", s"$base mail four@ex.com today"),
+        hdrs = Seq("X-Robots-Tag" -> "noindex")),
+      // 5: differs from 1 ONLY in its PII — collapses after redaction
+      resp(5, page("", s"$base mail five@ex.com today")),
+      // 6: genuinely distinct survivor
+      resp(6, page("", s"$base and a closing thought from 10.1.2.3"))))
+    runTask(wd,
+      s"""{"tasks": [
+         |  {"type": "intake", "name": "clean",
+         |   "source": {"format": "warc", "folder": "input",
+         |              "file": "crawl.warc.gz", "digest_dedup": true},
+         |   "intake": {"id": "record_id", "min_words": 10,
+         |              "min_stop_hits": 0, "robots_gate": true,
+         |              "redact_pii": true},
+         |   "target": {"file": "clean", "truncate": true}},
+         |  {"type": "curate", "name": "recipe",
+         |   "source": {"folder": "$wd", "file": "output/clean"},
+         |   "curate": {"text": "norm_text", "by_language": true,
+         |              "budgets": {"en": 100000, "und": 100000},
+         |              "min_quality": 0.0},
+         |   "target": {"file": "recipe", "truncate": true}},
+         |  {"type": "dedup", "name": "ship",
+         |   "source": {"folder": "$wd", "file": "output/clean"},
+         |   "dedup": {"id": "doc_id", "key": "doc_id"},
+         |   "target": {"format": "wet", "file": "textcrawl",
+         |              "truncate": true, "shards": 1}}
+         |]}""".stripMargin)
+    // the clean table: 4 died at the digest rung (dup of 1... no — 2
+    // died there), robots header (4), robots meta (3); 1≡5 collapse at
+    // the redacted exact dedup; 6 survives alone
+    val clean = outParquet(wd, "clean")
+      .select("doc_id", "norm_text", "n_dupes").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(clean.keySet == Set("<urn:rcp:0001>", "<urn:rcp:0006>"),
+      s"${clean.keySet}")
+    assert(clean("<urn:rcp:0001>")._2 == 2L,
+      "the PII-only variant must collapse into the representative " +
+        s"(got ${clean("<urn:rcp:0001>")})")
+    assert(clean.values.forall { case (t, _) =>
+      t.contains("<EMAIL>") || t.contains("<IP>") },
+      "placeholders must appear in every surviving text")
+    assert(clean.values.forall(v => !v._1.contains("@ex.com")),
+      "raw PII must be gone")
+    // the curated table: language-routed strata, parity vs the ops
+    val recipe = outParquet(wd, "recipe")
+    val strata = recipe.select("source").distinct()
+      .as[String].collect().toSet
+    assert(strata.subsetOf(Set("de", "en", "es", "fr", "und")) &&
+      strata.nonEmpty, s"$strata")
+    val viaOps = graft.ops.Curation.curateByLanguage(spark,
+      outParquet(wd, "clean"), "doc_id", "norm_text",
+      keyIndexPath = None, benchmark = None,
+      cfg = Curation.Config(
+        budgets = Map("en" -> 100000L, "und" -> 100000L),
+        minQuality = 0.0))
+    assert(rows(recipe) == rows(viaOps), "task recipe == ops composition")
+    // the WET shipment (task 3): the clean text as conversion records
+    val shipped = WarcReader.read(spark, s"$wd/output/textcrawl")
+      .collect()
+    assert(shipped.length == 2 &&
+      shipped.forall(_.warc_type == "conversion"))
+    assert(shipped.forall(r =>
+      new String(r.payload, "UTF-8").contains("<EMAIL>") ||
+        new String(r.payload, "UTF-8").contains("<IP>")))
+  }
+
   test("compact task: latest mode is compactLatest byte-for-byte") {
     import spark.implicits._
     val wd = tmpDir("graft_pipetask_cl_")
