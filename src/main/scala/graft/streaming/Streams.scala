@@ -461,7 +461,11 @@ object Streams {
     *     `keyIndexPath`;
     *  3. a `source` key per admitted page — `sourceKey` over the
     *     decoded frame; the default is the URL's registered domain,
-    *     the stratum a crawl actually budgets by;
+    *     the stratum a crawl actually budgets by. `byLanguage = true`
+    *     instead routes on the q33 language DECISION over the admitted
+    *     page's normalized text ([[graft.ops.Curation
+    *     .curateTokensByLanguage]] — budgets key by language code, the
+    *     q164 streaming twin; `sourceKey` is then unused);
     *  4. the [[graft.ops.Curation.curateTokens]] stages over the
     *     admitted batch (clean / excise / decontaminate under `cfg`,
     *     token-budget sampling in the ENCODER's currency, packTokens)
@@ -496,7 +500,8 @@ object Streams {
                       digestIndexPath: Option[String] = None,
                       sourceKey: org.apache.spark.sql.Column =
                         graft.ops.Web.urlDomain(col("url")),
-                      robotsGate: Boolean = false)
+                      robotsGate: Boolean = false,
+                      byLanguage: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     warcPathStream(spark, dir, pathGlob)
       .writeStream
@@ -517,15 +522,25 @@ object Streams {
               spark, reps, "norm_text", keyIndexPath).persist()
             try {
               if (!admitted.isEmpty) {
+                // stratum: the q164 LANGUAGE routing (the decision over
+                // the admitted page's normalized text — one map-side
+                // tokenProfile pass, no join), or the provenance
                 // source join-back: a batch-bounded 2-column broadcast
                 // (column pruning cuts the decode out of this branch —
                 // the domain needs only the url)
-                val withSource = admitted.join(
-                  broadcast(pages.select(col("doc_id"), col("source"))),
-                  Seq("doc_id"))
-                graft.ops.Curation.curateTokens(spark, withSource,
-                    "doc_id", "norm_text", "source",
-                    keyIndexPath = None, benchmark = None, cfg, encoder)
+                val packed =
+                  if (byLanguage)
+                    graft.ops.Curation.curateTokensByLanguage(spark,
+                      admitted, "doc_id", "norm_text",
+                      keyIndexPath = None, benchmark = None, cfg, encoder)
+                  else
+                    graft.ops.Curation.curateTokens(spark,
+                      admitted.join(
+                        broadcast(pages.select(col("doc_id"), col("source"))),
+                        Seq("doc_id")),
+                      "doc_id", "norm_text", "source",
+                      keyIndexPath = None, benchmark = None, cfg, encoder)
+                packed
                   .withColumn("batch_id", lit(batchId))
                   .write.mode("append").parquet(outPath)
               }

@@ -766,6 +766,60 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/digests/keys").count() == 3)
   }
 
+  test("byLanguage on crawlTokensSink: the stream routes the mixture on the q33 decision, matching curateTokensByLanguage") {
+    import graft.sources.{WarcReader, WarcWriter}
+    import graft.ops.{Curation, Dedup, Web}
+    // an English page (stopword hits) and a stopword-free one ('und')
+    val en = "the quick brown fox jumped over the lazy dog and it is " +
+      "a fine day to run far in the open field with the pack"
+    val und = "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii " +
+      "hh gg ff ee dd cc bb aa zz yy xx ww"
+    def page(b: String) = s"<html><body><p>$b</p></body></html>"
+    val dir = tmpDir("graft_langstream_")
+    val crawl = s"$dir/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(crawl))
+    WarcWriter.write(spark, s"$crawl/shard-1.warc.gz", Iterator(
+      WarcWriter.responseRecord("https://alpha.com/en1",
+        "2026-01-01T00:00:00Z", "<urn:l:1>", page(en + " one"), "utf-8",
+        declareInHeader = true),
+      WarcWriter.responseRecord("https://beta.org/en2",
+        "2026-01-01T00:00:00Z", "<urn:l:2>", page(en + " two"), "utf-8",
+        declareInHeader = true),
+      WarcWriter.responseRecord("https://alpha.com/u1",
+        "2026-01-01T00:00:00Z", "<urn:l:3>", page(und), "utf-8",
+        declareInHeader = true)))
+    val th = graft.ops.TextAnalysis.GopherThresholds(
+      minWords = 10, minStopHits = 0, minMeanWordLen = 0.0)
+    // 'und' budgeted at zero tokens... absent: only English trains —
+    // the not-in-the-recipe rule exercised on the stream
+    val cfg = Curation.Config(budgets = Map("en" -> 100000L),
+      minQuality = 0.0, seqLen = 16)
+    val enc = graft.functions.TokenCounters.tinyBpe
+    Dedup.buildExactKeyIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "norm_text"), "norm_text",
+      s"$dir/keys", expectedKeys = 100L)
+    val q = Streams.crawlTokensSink(spark, crawl, s"$dir/out",
+      s"$dir/keys", s"$dir/ckpt", enc, cfg, th, byLanguage = true)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    val strata = out.select("source").distinct().as[String].collect().toSet
+    assert(strata == Set("en"),
+      s"only the budgeted language may pack: $strata")
+    // parity: the batch twin over the same crawl
+    val pages = WarcReader.responses(spark, s"$crawl/shard-1.warc.gz")
+      .select(col("record_id").as("doc_id"), col("html"))
+    val reps = Web.intake(pages, "doc_id", "html", th)
+    val twin = Curation.curateTokensByLanguage(spark, reps, "doc_id",
+        "norm_text", keyIndexPath = None, benchmark = None, cfg, enc)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("seq_id"),
+        r.getAs[Seq[Int]]("token_ids").mkString(","))).toSet
+    val streamed = out.collect().map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("seq_id"),
+      r.getAs[Seq[Int]]("token_ids").mkString(","))).toSet
+    assert(streamed == twin, s"stream must equal the batch twin")
+  }
+
   test("PII rung on the streaming twins: webIntakeSink redacts pre-dedup; crawlTokensSink Config.redactPii matches the batch composition") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.{WarcReader, WarcWriter}
