@@ -431,6 +431,9 @@ object SparkEntry {
     // q164: q148 intake CTEs + the q33 language arithmetic + the q93
     // fragments with source := language — see languageCurationSql
     "q164_language_curation" -> languageCurationSql,
+    // q165: the crawl-recipe capstone — robots kills + digest collapse
+    // + PII fold + language routing conjoined — see crawlRecipeSql
+    "q165_crawl_recipe" -> crawlRecipeSql,
     // q144: the identical planted mess (combining acute/grave, tabs, a
     // C0 control byte, double spaces) and the identical normalization
     // order: NFC -> lower -> control strip -> whitespace collapse ->
@@ -2689,7 +2692,9 @@ object SparkEntry {
   private def curationTailSql: String =
     curationTailSqlFor(graft.queries.Extensions.tokenBudgets)
 
-  private def curationTailSqlFor(budgets: Map[String, Long]): String = {
+  private def curationTailSqlFor(budgets: Map[String, Long],
+                                 extraJoin: String = "",
+                                 extraCols: String = ""): String = {
     val bounds = (1 until 8).map { i =>
       s"(CASE WHEN _k >= '${graft.ops.Sampling.hexThreshold(i / 8.0)}' " +
         "THEN 1 ELSE 0 END)"
@@ -2716,8 +2721,8 @@ object SparkEntry {
        |SELECT doc_id, source, n_tokens, start_off, seq_first, seq_last,
        |  CAST(shard AS BIGINT) AS shard,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY _k, doc_id) - 1
-       |       AS BIGINT) AS pos
-       |FROM sh8 ORDER BY doc_id"""
+       |       AS BIGINT) AS pos$extraCols
+       |FROM sh8 $extraJoin ORDER BY doc_id"""
     // NOT stripped here (the budgetThresholdCtes convention): the
     // fragment interpolates into |-margined outer templates whose own
     // stripMargin pass handles these lines — stripping twice would eat
@@ -3583,10 +3588,14 @@ object SparkEntry {
     * per-LANGUAGE budgets. Languages outside the recipe drop at the
     * budget join (the not-in-the-recipe rule).
     */
-  private def languageCurationSql: String = {
+  /** The q33 language decision over `intake.norm_text` as a CTE block
+    * ending at `lg (doc_id, lang)` — shared by the q164 and q165
+    * compositions. NOT |-margined (the budgetThresholdCtes convention):
+    * interpolates into outer templates whose own stripMargin handles it.
+    */
+  private def languageRoutingCtes: String = {
     val g = "GREATEST(s_de, s_en, s_es, s_fr)"
-    s"""WITH $webIntakeCtes,
-       |ltok AS (SELECT doc_id, UNNEST(STRING_SPLIT(norm_text, ' ')) AS w
+    s"""ltok AS (SELECT doc_id, UNNEST(STRING_SPLIT(norm_text, ' ')) AS w
        |         FROM intake),
        |lsc AS (SELECT doc_id,
        |  SUM(CASE WHEN w IN $deIn THEN 1 ELSE 0 END) AS s_de,
@@ -3599,13 +3608,17 @@ object SparkEntry {
        |  WHEN s_de = $g THEN 'de'
        |  WHEN s_en = $g THEN 'en'
        |  WHEN s_es = $g THEN 'es'
-       |  ELSE 'fr' END AS lang FROM lsc),
+       |  ELSE 'fr' END AS lang FROM lsc)"""
+  }
+
+  private def languageCurationSql: String =
+    s"""WITH $webIntakeCtes,
+       |$languageRoutingCtes,
        |${curationDeconCtesFrom(
           "raw AS (SELECT i.doc_id, lg.lang AS source, i.norm_text AS text\n" +
           "             FROM intake i JOIN lg USING (doc_id))",
           standingScreen = false, benchmarkScreen = false)},
        |${curationTailSqlFor(graft.queries.Extensions.languageBudgets)}""".stripMargin
-  }
 
   /** The q45 regex chain as a SQL expression over `$inner` — patterns
     * embed verbatim from `TextAnalysis.piiPatterns` (DuckDB
@@ -3640,6 +3653,41 @@ object SparkEntry {
           "             FROM intake i JOIN documents dd USING (doc_id))",
           standingScreen = false, benchmarkScreen = false)},
        |$curationTailSql""".stripMargin
+  }
+
+  /** q165 oracle: the crawl-recipe capstone — every rung's own
+    * generated fragment conjoined in the engine's composition order.
+    * The WARC plants are deterministic doc_id arithmetic, so the whole
+    * recipe recomputes from the documents table: the robots opt-outs
+    * (doc_id%3==1 meta, %5==2 header — the q162/q163 classes) never
+    * enter intake; the byte-identical %4==3 re-fetch collapses at the
+    * digest rung, so it appears ONLY as n_fetches=2 (the head's robots
+    * meta folds to nothing — tags strip; the q148 page text is
+    * unchanged); the q148 intake CTEs run over the PII-planted
+    * surviving pages (per-doc PII ⇒ every norm_text unique ⇒ intake
+    * n_dupes = 1 — a leaked replica would read 2 and hash-mismatch);
+    * the q33 language decision reads the UN-redacted norm_text
+    * (curateByLanguage routes before stage 1's scrub); the q45 fold
+    * applies in `raw`; the q93 fragments spend the per-LANGUAGE
+    * budgets.
+    */
+  private def crawlRecipeSql: String = {
+    val pii = "' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@example.com at +1-555-0' || CAST(doc_id AS VARCHAR) || " +
+      "' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    val nFetches = ", i2.n_dupes, CASE WHEN doc_id % 4 = 3 " +
+      "THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS n_fetches"
+    s"""WITH ${webIntakeCtesWith(pii,
+          " AND NOT (doc_id % 3 = 1 OR doc_id % 5 = 2)")},
+       |$languageRoutingCtes,
+       |${curationDeconCtesFrom(
+          "raw AS (SELECT i.doc_id, lg.lang AS source, " +
+            piiFoldSql("i.norm_text") + " AS text\n" +
+          "             FROM intake i JOIN lg USING (doc_id))",
+          standingScreen = false, benchmarkScreen = false)},
+       |${curationTailSqlFor(graft.queries.Extensions.languageBudgets,
+          extraJoin = "JOIN intake i2 USING (doc_id)",
+          extraCols = nFetches)}""".stripMargin
   }
 
   /** q159 oracle: the re-fetch fixture's winner per canonical url is
@@ -3811,7 +3859,8 @@ object SparkEntry {
     */
   private def webIntakeCtes: String = webIntakeCtesWith("")
 
-  private def webIntakeCtesWith(bodySuffixSql: String): String = {
+  private def webIntakeCtesWith(bodySuffixSql: String,
+                                extraWhere: String = ""): String = {
     val fixed = "'" + graft.queries.Extensions.webIntakeFixedText + "'"
     val suffix = if (bodySuffixSql.isEmpty) "" else s" || $bodySuffixSql"
     val plant = Seq(
@@ -3823,7 +3872,7 @@ object SparkEntry {
     val th = graft.queries.Extensions.webIntakeThresholds
     s"""plain AS (
        |  SELECT doc_id, ${htmlFoldSql(s"($plant)")} AS t
-       |  FROM documents WHERE text IS NOT NULL),
+       |  FROM documents WHERE text IS NOT NULL$extraWhere),
        |${gopherStatsCtes("plain")},
        |kept AS (SELECT plain.doc_id,
        |    ${normalizeFoldSql("plain.t", lowercase = false)} AS norm_text

@@ -1021,6 +1021,78 @@ object Extensions {
       .orderBy(col("kill"))
   }
 
+  // ---------------------------------------------------------------
+  // q165 the crawl-RECIPE capstone — the WHOLE round-19 story as ONE
+  // oracle-sealed query: a WARC landing with every crawl multiplicity
+  // planted (the q162 robots opt-outs in head/header, the q161 per-doc
+  // PII inside every body, a byte-identical re-fetch for doc_id%4==3,
+  // the q148 %11 fixed-page mass), run through digest dedup → robots
+  // gate → intake → PII-redacting per-LANGUAGE curation. Each rung is
+  // oracle-pinned alone (q158/q162/q161/q164); this pins their
+  // COMPOSITION ORDER: replicas collapse before any decode, opt-outs
+  // die before intake, the language decision reads the UN-redacted
+  // normalized text (Curation.curateByLanguage routes before stage 1's
+  // scrub), the %11 pages — identical except their PII — collapse at
+  // the curate screen, budgets spend per language. The join-backs make
+  // the pre-intake rungs observable in the hash: n_fetches counts the
+  // digest collapse (a leaked replica would also bump intake's
+  // n_dupes), so a silently skipped or misgrouped rung mismatches.
+  // ---------------------------------------------------------------
+  private val warcRecipeDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def warcRecipeFixture(s: SparkSession, d: String): String =
+    warcRecipeDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q165_warc_").toString + "/crawl.warc.gz"
+      val docRows = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+        .collect() // fixture construction: bounded by the documents table
+      graft.sources.WarcWriter.write(s, p, docRows.iterator.flatMap { r =>
+        val id = r.getLong(0)
+        val body = if (id % 11 == 0) webIntakeFixedText else r.getString(1)
+        val pii = s" contact user$id@example.com at +1-555-0$id " +
+          s"ip 10.0.0.${id % 256}"
+        val html = s"<html><head>${robotsHead(id)}</head>" +
+          s"<body><h1>Hdr</h1><p>$body$pii</p>" +
+          "<ul><li>alpha&nbsp;caf&eacute;</li>" +
+          "<li>beta&#8212;&#x2014;end</li></ul></body></html>"
+        val headers =
+          if (id % 5 == 2)
+            Seq("X-Robots-Tag" ->
+              (if (id % 2 == 0) "noindex" else "googlebot: NOINDEX, nofollow"))
+          else Nil
+        val first = graft.sources.WarcWriter.responseRecord(
+          s"https://ex.com/doc/$id", "2026-01-02T03:04:05Z",
+          s"<urn:recipe:$id>", html, "utf-8", declareInHeader = true,
+          httpHeaders = headers)
+        // the byte-identical re-fetch: same payload, later fetch — the
+        // digest rung must collapse it onto the min-(date, id) original
+        if (id % 4 == 3)
+          Seq(first, graft.sources.WarcWriter.responseRecord(
+            s"https://ex.com/doc/$id", "2026-01-06T07:08:09Z",
+            s"<urn:recipe:$id:r2>", html, "utf-8", declareInHeader = true,
+            httpHeaders = headers))
+        else Seq(first)
+      })
+      p
+    })
+
+  val q165_crawl_recipe: Q = (s, d) => {
+    val file = warcRecipeFixture(s, d)
+    val pages = graft.sources.WarcReader.responsesDeduped(
+        graft.sources.WarcReader.read(s, file), robotsGate = true)
+      .select(
+        regexp_extract(col("url"), "([0-9]+)$", 1).cast("bigint")
+          .as("doc_id"),
+        col("html"), col("n_fetches"))
+    val taken = Web.intake(pages, "doc_id", "html", webIntakeThresholds)
+    Curation.curateByLanguage(s, taken, "doc_id", "norm_text",
+        keyIndexPath = None, benchmark = None,
+        cfg = Curation.Config(budgets = languageBudgets, redactPii = true))
+      .join(taken.select(col("doc_id"), col("n_dupes")), Seq("doc_id"))
+      .join(pages.select(col("doc_id"), col("n_fetches")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // q59 int8-quantized brute-force top-k: q25's retrieval over 4×-smaller
   // vectors (symmetric per-vector quantization, scale-free cosine on the
   // byte arrays — no dequantization in the rank). Deterministic
@@ -2276,5 +2348,6 @@ object Extensions {
     "q161_redacted_curation" -> q161_redacted_curation,
     "q162_robots_gate" -> q162_robots_gate,
     "q163_robots_profile" -> q163_robots_profile,
-    "q164_language_curation" -> q164_language_curation)
+    "q164_language_curation" -> q164_language_curation,
+    "q165_crawl_recipe" -> q165_crawl_recipe)
 }

@@ -330,23 +330,37 @@ object WarcReader {
     * decoder. Output adds (payload_digest, n_fetches, n_revisits) to
     * the [[responses]] projection. Revisits pass the gate regardless
     * of the pattern list (no HTTP head by profile → null content type).
+    *
+    * `robotsGate = true` applies the [[responses]] noindex opt-out
+    * discipline AFTER the digest collapse — the cheap order: the
+    * header check ([[graft.ops.Web.robotsHeaderNoindex]], the
+    * `X-Robots-Tag` each representative carried through the rung)
+    * kills before its payload is decoded, the meta check right after
+    * decode; the collapsed copies were never decoded at all.
     */
   def responsesDeduped(records: Dataset[WarcRecord],
                        decodeContentTypes: Seq[String] = textishContentTypes,
-                       verifyDigests: Boolean = false)
+                       verifyDigests: Boolean = false,
+                       robotsGate: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val gated =
       if (decodeContentTypes.isEmpty) records
       else records.where(
         textish(col("http_content_type"), decodeContentTypes))
-    dedupByDigest(gated, verifyDigests)
+    val deduped = dedupByDigest(gated, verifyDigests)
+    val polite =
+      if (!robotsGate) deduped
+      else deduped.where(!graft.ops.Web.robotsHeaderNoindex(col("http_robots")))
+    val decoded = polite
       .select(col("url"), col("warc_date"), col("record_id"),
         col("http_status"), col("http_content_type"), col("http_robots"),
         col("payload_digest"), col("n_fetches"), col("n_revisits"),
         graft.functions.VectorFunctions
           .decodeCharset(col("payload"), col("http_content_type"))
           .as("html"))
+    if (!robotsGate) decoded
+    else decoded.where(!graft.ops.Web.metaRobotsNoindex(col("html")))
   }
 
   def responsesDeduped(spark: SparkSession, path: String)

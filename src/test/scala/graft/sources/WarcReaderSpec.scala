@@ -685,6 +685,43 @@ class WarcReaderSpec extends SparkSpec {
       .select("record_id").collect().map(_.getString(0)).toSet == kept)
   }
 
+  test("responsesDeduped robotsGate: collapse first, then the opt-out kills — replicas of opted-out pages never decode twice") {
+    import org.apache.spark.sql.functions.col
+    def page(head: String, body: String) =
+      s"<html><head>$head</head><body><p>$body carries enough ordinary " +
+        "page text for the fixture</p></body></html>"
+    val meta = "<meta name=\"robots\" content=\"noindex\">"
+    val recs = Seq(
+      // a kept page re-fetched byte-identically: one row, n_fetches = 2
+      WarcWriter.responseRecord("https://ex.com/a", date, rid(1),
+        page("", "alpha"), "utf-8", declareInHeader = true),
+      WarcWriter.responseRecord("https://ex.com/a", "2026-01-09T00:00:00Z",
+        rid(2), page("", "alpha"), "utf-8", declareInHeader = true),
+      // a header-opted-out page, also re-fetched — collapses, then dies
+      WarcWriter.responseRecord("https://ex.com/h", date, rid(3),
+        page("", "hdr"), "utf-8", declareInHeader = true,
+        httpHeaders = Seq("X-Robots-Tag" -> "noindex")),
+      WarcWriter.responseRecord("https://ex.com/h", "2026-01-09T00:00:00Z",
+        rid(4), page("", "hdr"), "utf-8", declareInHeader = true,
+        httpHeaders = Seq("X-Robots-Tag" -> "noindex")),
+      // a meta-opted-out page: survives the rung, dies after decode
+      WarcWriter.responseRecord("https://ex.com/m", date, rid(5),
+        page(meta, "meta"), "utf-8", declareInHeader = true),
+      // a plain single-fetch survivor
+      WarcWriter.responseRecord("https://ex.com/k", date, rid(6),
+        page("", "kept"), "utf-8", declareInHeader = true))
+    val wd = tmpDir("graft_warc_ddgate_")
+    WarcWriter.write(spark, s"$wd/d.warc.gz", recs.iterator)
+    val raw = WarcReader.read(spark, s"$wd/d.warc.gz")
+    val out = WarcReader.responsesDeduped(raw, robotsGate = true)
+      .select(col("record_id"), col("n_fetches")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map(rid(1) -> 2L, rid(6) -> 1L), s"$out")
+    // gate off: the opted-out representatives still surface (default
+    // behavior unchanged), each group one row
+    assert(WarcReader.responsesDeduped(raw).count() == 4)
+  }
+
   test("warc shard target: truncate clears stale shards and tmp files; no-truncate fails loudly on a shard collision") {
     val wd = tmpDir("graft_warc_trunc_")
     java.nio.file.Files.createDirectories(
