@@ -820,6 +820,88 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == twin, s"stream must equal the batch twin")
   }
 
+  test("crawl recipe, ALL knobs on the stream: digest rung + robots gate + redactPii + byLanguage == the q165-shaped batch composition") {
+    import graft.sources.{WarcReader, WarcWriter}
+    import graft.ops.{Curation, Dedup, Web}
+    val en = "the quick brown fox jumped over the lazy dog and it is " +
+      "a fine day to run far in the open field with the pack"
+    val und = "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii " +
+      "hh gg ff ee dd cc bb aa zz yy xx ww"
+    def page(head: String, b: String) =
+      s"<html><head>$head</head><body><p>$b</p></body></html>"
+    def rec(i: Int, date: String, html: String,
+            headers: Seq[(String, String)] = Nil) =
+      WarcWriter.responseRecord(s"https://ex.com/p$i", date,
+        f"<urn:rcp:$i%04d>", html, "utf-8", declareInHeader = true,
+        httpHeaders = headers)
+    val dupHtml = page("", en + " first english page")
+    val dir = tmpDir("graft_recipestream_")
+    val crawl = s"$dir/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(crawl))
+    WarcWriter.write(spark, s"$crawl/shard-1.warc.gz", Iterator(
+      // byte-identical re-fetch: the digest rung collapses pre-decode
+      rec(1, "2026-01-01T00:00:00Z", dupHtml),
+      rec(2, "2026-01-05T00:00:00Z", dupHtml),
+      // PII-only variants: exact duplicates AFTER the redaction rung
+      rec(3, "2026-01-01T00:00:00Z",
+        page("", en + " visitor u3@ex.com writing notes")),
+      rec(4, "2026-01-01T00:00:00Z",
+        page("", en + " visitor u4@other.net writing notes")),
+      // opt-outs: header kill pre-decode, meta kill post-decode
+      rec(5, "2026-01-01T00:00:00Z", page("", en + " header opted out"),
+        headers = Seq("X-Robots-Tag" -> "noindex")),
+      rec(6, "2026-01-01T00:00:00Z",
+        page("<meta name=\"robots\" content=\"noindex\">",
+          en + " meta opted out")),
+      // not in the recipe: 'und' admits to the index but never packs
+      rec(7, "2026-01-01T00:00:00Z", page("", und))))
+    val th = graft.ops.TextAnalysis.GopherThresholds(
+      minWords = 10, minStopHits = 0, minMeanWordLen = 0.0)
+    val cfg = Curation.Config(budgets = Map("en" -> 100000L),
+      minQuality = 0.0, seqLen = 16, redactPii = true)
+    val enc = graft.functions.TokenCounters.tinyBpe
+    Dedup.buildExactKeyIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "norm_text"), "norm_text",
+      s"$dir/keys", expectedKeys = 100L)
+    Dedup.buildKeyIndex(
+      Seq.empty[String].toDF("payload_digest"), "payload_digest",
+      s"$dir/digests", expectedKeys = 100L)
+    val q = Streams.crawlTokensSink(spark, crawl, s"$dir/out",
+      s"$dir/keys", s"$dir/ckpt", enc, cfg, th,
+      digestIndexPath = Some(s"$dir/digests"), robotsGate = true,
+      byLanguage = true)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.select("source").distinct().as[String].collect().toSet
+      == Set("en"), "only the budgeted language packs")
+    // the batch twin is exactly the q165 composition at the tokens
+    // terminal: deduped+gated reader -> intake -> redacting by-language
+    // curation
+    val pages = WarcReader.responsesDeduped(
+        WarcReader.read(spark, s"$crawl/shard-1.warc.gz"),
+        robotsGate = true)
+      .select(col("record_id").as("doc_id"), col("html"))
+    val reps = Web.intake(pages, "doc_id", "html", th)
+    val twin = Curation.curateTokensByLanguage(spark, reps, "doc_id",
+        "norm_text", keyIndexPath = None, benchmark = None, cfg, enc)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("seq_id"),
+        r.getAs[Seq[Int]]("token_ids").mkString(","))).toSet
+    val streamed = out.collect().map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("seq_id"),
+      r.getAs[Seq[Int]]("token_ids").mkString(","))).toSet
+    assert(streamed == twin, "stream must equal the q165-shaped twin")
+    // the seen-bytes index admitted every distinct payload (opt-outs
+    // included — a re-fetch of a noindex page must die at the Bloom),
+    // with the re-fetch pair contributing ONE key
+    assert(spark.read.parquet(s"$dir/digests/keys").count() == 6)
+    // and the standing text index holds only what passed the gates:
+    // the dup representative, the collapsed PII pair's survivor + its
+    // variant... the PII pair does NOT collapse at intake (redaction
+    // lives in curate), so: p1, p3, p4, p7
+    assert(spark.read.parquet(s"$dir/keys/keys").count() == 4)
+  }
+
   test("PII rung on the streaming twins: webIntakeSink redacts pre-dedup; crawlTokensSink Config.redactPii matches the batch composition") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.{WarcReader, WarcWriter}
