@@ -83,7 +83,8 @@ object PlanAudit {
       "q156_warc_charset_profile", "q157_crawl_token_ids",
       "q158_crawl_digest_dedup", "q159_crawl_latest_fetch",
       "q160_key_index_card", "q161_redacted_curation", "q162_robots_gate",
-      "q163_robots_profile", "q164_language_curation", "q165_crawl_recipe")
+      "q163_robots_profile", "q164_language_curation", "q165_crawl_recipe",
+      "q166_verified_digest_dedup")
     // optional args = audit only these queries (iterating on one
     // operator); a trailing `--json <path>` additionally writes the
     // table as the per-round PLANAUDIT artifact, so plan-shape

@@ -434,6 +434,7 @@ object SparkEntry {
     // q165: the crawl-recipe capstone — robots kills + digest collapse
     // + PII fold + language routing conjoined — see crawlRecipeSql
     "q165_crawl_recipe" -> crawlRecipeSql,
+    "q166_verified_digest_dedup" -> verifiedDigestDedupSql,
     // q144: the identical planted mess (combining acute/grave, tabs, a
     // C0 control byte, double spaces) and the identical normalization
     // order: NFC -> lower -> control strip -> whitespace collapse ->
@@ -3688,6 +3689,31 @@ object SparkEntry {
        |${curationTailSqlFor(graft.queries.Extensions.languageBudgets,
           extraJoin = "JOIN intake i2 USING (doc_id)",
           extraCols = nFetches)}""".stripMargin
+  }
+
+  /** q166 oracle: the verify-mode digest rung over the hostile fixture.
+    * Verified keys make every outcome doc_id arithmetic again: forged
+    * shared claims DON'T merge (each %5==0 doc keeps its row), the
+    * digest-less/claimed byte-identical %9==4 pair DOES (n_fetches 2),
+    * and the forged-claim revisit lands on the claimant whose LOCAL
+    * md5 key is minimal — mirrored as ORDER BY MD5(page) LIMIT 1 over
+    * the same utf-8 page bytes the engine hashes (hex md5 ordering
+    * agrees across engines; both emit lowercase hex).
+    */
+  private def verifiedDigestDedupSql: String = {
+    val page = "'<html><body><p>doc ' || CAST(doc_id AS VARCHAR) || " +
+      "': ' || text || '</p></body></html>'"
+    s"""WITH fm AS (SELECT doc_id AS fdoc FROM documents
+       |  WHERE text IS NOT NULL AND doc_id % 5 = 0
+       |  ORDER BY MD5($page) LIMIT 1)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN doc_id % 9 = 4 AND doc_id % 5 <> 0 THEN 2
+       |    WHEN doc_id = (SELECT fdoc FROM fm) THEN 2
+       |    ELSE 1 END AS BIGINT) AS n_fetches,
+       |  CAST(CASE WHEN doc_id = (SELECT fdoc FROM fm) THEN 1
+       |    ELSE 0 END AS BIGINT) AS n_revisits,
+       |  $page AS html
+       |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
   }
 
   /** q159 oracle: the re-fetch fixture's winner per canonical url is

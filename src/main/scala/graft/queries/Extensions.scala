@@ -887,6 +887,77 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------
+  // q166 digest dedup under the VERIFY trust mode
+  // (WarcReader.dedupByDigest(verifyDigests = true)) over a HOSTILE /
+  // sloppy crawl — the two trust holes the default (claim-keyed) rung
+  // documents, planted and neutralized:
+  //   - doc_id%5==0 responses all CLAIM the same forged digest over
+  //     their own distinct bodies — the default rung would collapse
+  //     them all onto one survivor; verify mode keys every response on
+  //     a locally computed hash, so each keeps its row;
+  //   - doc_id%9==4 (and not %5==0) pages are fetched twice
+  //     byte-identically, once by a writer that OMITS the digest and
+  //     once by one that claims it — the default rung can't group the
+  //     pair (md5 fallback vs claimed sha1); verify mode collapses it
+  //     (n_fetches = 2, the earlier digest-less fetch representative);
+  //   - one revisit claims the forged digest — the claim-map remap
+  //     routes it to the min-LOCAL-key claimant (deterministic under
+  //     forgery), never double-counted into every claimant.
+  // The oracle recomputes everything from the documents table; the
+  // remap target is ORDER BY MD5(page) LIMIT 1 — the same min the
+  // engine's claim map takes over the utf-8 page bytes.
+  // ---------------------------------------------------------------
+  val warcForgedClaim = "sha1:FORGEDCLAIMVALUE234567ABCDEFGH"
+  private val warcForgeDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def warcForgeFixture(s: SparkSession, d: String): String =
+    warcForgeDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q166_warc_").toString + "/crawl.warc.gz"
+      val docRows = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+        .collect() // fixture construction: bounded by the documents table
+      import graft.sources.WarcWriter
+      graft.sources.WarcWriter.write(s, p, docRows.iterator.flatMap { r =>
+        val id = r.getLong(0)
+        val body = warcDupPage(s"doc $id: ${r.getString(1)}")
+          .getBytes("UTF-8")
+        def resp(date: String, rid: String,
+                 digest: Option[String]): Array[Byte] =
+          WarcWriter.record("response", s"https://ex.com/doc/$id", date,
+            rid, "application/http; msgtype=response",
+            WarcWriter.httpResponseBlock(200, "text/html; charset=utf-8",
+              body),
+            extraHeaders =
+              digest.map("WARC-Payload-Digest" -> _).toSeq)
+        if (id % 5 == 0)
+          Seq(resp("2026-01-02T03:04:05Z", f"<urn:doc:$id%012d>",
+            Some(warcForgedClaim)))
+        else if (id % 9 == 4)
+          Seq(
+            resp("2026-01-02T03:04:05Z", f"<urn:doc:$id%012d>", None),
+            resp("2026-01-02T03:04:06Z", f"<urn:dup:$id%012d>",
+              Some(WarcWriter.payloadDigest(body))))
+        else
+          Seq(resp("2026-01-02T03:04:05Z", f"<urn:doc:$id%012d>",
+            Some(WarcWriter.payloadDigest(body))))
+      } ++ Iterator(graft.sources.WarcWriter.revisitRecord(
+        "https://ex.com/revisit", "2026-01-03T00:00:00Z",
+        "<urn:rev:forged>", warcForgedClaim)))
+      p
+    })
+
+  val q166_verified_digest_dedup: Q = (s, d) => {
+    val file = warcForgeFixture(s, d)
+    graft.sources.WarcReader.responsesDeduped(
+        graft.sources.WarcReader.read(s, file), verifyDigests = true)
+      .select(
+        regexp_extract(col("url"), "([0-9]+)$", 1).cast("bigint")
+          .as("doc_id"),
+        col("n_fetches"), col("n_revisits"), col("html"))
+      .orderBy(col("doc_id"))
+  }
+
   val q153_warc_responses: Q = (s, d) => {
     val file = warcFixture(s, d)
     graft.sources.WarcReader.responses(s, file)
@@ -2349,5 +2420,6 @@ object Extensions {
     "q162_robots_gate" -> q162_robots_gate,
     "q163_robots_profile" -> q163_robots_profile,
     "q164_language_curation" -> q164_language_curation,
-    "q165_crawl_recipe" -> q165_crawl_recipe)
+    "q165_crawl_recipe" -> q165_crawl_recipe,
+    "q166_verified_digest_dedup" -> q166_verified_digest_dedup)
 }
