@@ -31,13 +31,16 @@ import org.apache.spark.sql.functions._
   * Scale shape: the stages keep their individual contracts (banded/
   * bucketed equi-joins, Bloom prefilters, bounded driver actions — the
   * only collects are the per-source token totals and the benchmark Bloom,
-  * both bounded by strata/benchmark size, not corpus size). Two stage
-  * boundaries are MATERIALIZED (`localCheckpoint`): `fresh` (post-dedup)
-  * because excision consumes it twice (gram pass + source join-back), and
-  * the token-counted survivors because the budget fracs are
-  * data-dependent — computing them requires one pass, and without a
-  * checkpoint the sampler would re-run the entire upstream chain a second
-  * time. At a real 100 TB run each boundary is a parquet write (stage
+  * both bounded by strata/benchmark size, not corpus size). Three stage
+  * boundaries are MATERIALIZED (`localCheckpoint`): the stage-0 input
+  * projection (`docs`) because the stage-1 screens consume it from three
+  * subtrees — each of which would otherwise re-execute the whole
+  * upstream chain (PII redaction, language profiling, an HTML-intake or
+  * WARC composition); `fresh` (post-dedup) because excision consumes it
+  * twice (gram pass + source join-back); and the token-counted survivors
+  * because the budget fracs are data-dependent — computing them requires
+  * one pass, and without a checkpoint the sampler would re-run the
+  * entire upstream chain a second time. At a real 100 TB run each boundary is a parquet write (stage
   * outputs are restart points, exactly the reference runner's per-task
   * CSV/DB handoff); `localCheckpoint` is the single-job, in-memory stand-
   * in with the same run-once semantics. Narrow schemas are cut BEFORE
@@ -290,7 +293,7 @@ object Curation {
       cfg.budgets)
     val sampled = Sampling.stratifiedSample(withTok, "doc_id", "source", fracs)
     Packing.packTokens(sampled, "doc_id", "clean_text", "source",
-      seqLen = cfg.seqLen, encoder)
+      seqLen = cfg.seqLen, encoder, nTokensCol = Some("n_tokens"))
   }
 
   private def curateImpl(spark: SparkSession, batch: DataFrame, idCol: String,
@@ -341,20 +344,31 @@ object Curation {
     val textExpr =
       if (cfg.redactPii) TextAnalysis.redactPiiCol(col(textCol))
       else col(textCol)
-    val docs = batch.where(col(textCol).isNotNull)
+    val docs0 = batch.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
         textExpr.as("text"))
+    // Stage-0 materialization: stage 1 consumes `docs` from THREE
+    // subtrees (the exact-rep aggregate, the span-pressure window, the
+    // main branch — plus any learned screens); without a boundary here
+    // every consumer re-executes the whole upstream chain — the PII
+    // regex rung, the language tokenProfile, or an entire HTML-intake /
+    // WARC-read composition — once per subtree. Same run-once discipline
+    // as the other stage boundaries (see the object doc).
+    val docs = materialize(docs0, cfg, persisted)
 
     // 1. CLEAN — the q74 screens as survivor filters. Absence semantics
     // mirror q74's COALESCEs: no quality row => drop (coalesce 0), no
     // span row => keep (a doc with no shareable spans has nothing
-    // duplicated, coalesce 1) — hence semi vs anti below.
+    // duplicated, coalesce 1) — hence semi vs anti below. The quality
+    // floor is a PURE per-row projection ([[TextAnalysis.qualityCol]]),
+    // so it rides the main branch as an inline filter instead of the
+    // former build-a-keep-table-and-semi-join (one less pass over the
+    // corpus and one less join; identical keep set — `idCol` identifies
+    // a row, the contract every stage here already assumes).
     val reps = Dedup.exact(docs, "doc_id", "text").select(col("doc_id"))
     val spanDrop = Dedup.dupSpanFrac(docs, "doc_id", "text",
         dupThreshold = cfg.spanThreshold)
       .where(col("keep") === 0).select(col("doc_id"))
-    val qualKeep = TextAnalysis.qualityScore(docs, "doc_id", "text")
-      .where(col("quality") >= cfg.minQuality).select(col("doc_id"))
     // 1b. optional LEARNED screens — frozen-model semi-joins alongside
     // the heuristic floor: the scorers emit only scorable doc_ids, so a
     // semi-join also drops what a model cannot rate (the admission-gate
@@ -368,8 +382,8 @@ object Curation {
           .where(col("log_odds") > cfg.nbMinLogOdds).select(col("doc_id"))))
       .flatten
     val clean = learnedKeeps.foldLeft(docs
+        .where(TextAnalysis.qualityCol(col("text")) >= cfg.minQuality)
         .join(reps, Seq("doc_id"), "left_semi")
-        .join(qualKeep, Seq("doc_id"), "left_semi")
         .join(spanDrop, Seq("doc_id"), "left_anti"))(
       (d, keep) => d.join(keep, Seq("doc_id"), "left_semi"))
 

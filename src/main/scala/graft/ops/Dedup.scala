@@ -1661,13 +1661,24 @@ object Dedup {
   /** Re-join each doc's kept words: `exPos` = (doc_id, _ex: array<int>)
     * of 1-based excised positions; docs absent from it pass through
     * (normalized). Output (doc_id, clean_text, n_words, n_excised).
+    *
+    * Kept positions come from `array_except(sequence, _ex)` — a
+    * hash-set difference, O(words + excised) per doc and
+    * order-preserving — instead of the earlier
+    * `filter(_words, NOT array_contains(_ex, i+1))`, whose per-word
+    * membership scan made a heavily-excised document quadratic in its
+    * own length. Same kept set, same order, same seam.
     */
   private def rebuildWithoutPositions(docs: DataFrame,
                                       exPos: DataFrame): DataFrame =
     docs.join(exPos, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        concat_ws(" ", expr("filter(_words, (x, i) -> NOT array_contains(" +
-          "coalesce(_ex, cast(array() as array<int>)), i + 1))")).as("clean_text"),
+        // size = 0 guarded: sequence(1, 0) DESCENDS to [1, 0] and the
+        // element_at would throw under ANSI — an empty doc is ''
+        expr("CASE WHEN size(_words) = 0 THEN '' ELSE concat_ws(' ', " +
+          "transform(array_except(sequence(1, size(_words)), " +
+          "coalesce(_ex, cast(array() as array<int>))), " +
+          "p -> element_at(_words, p))) END").as("clean_text"),
         size(col("_words")).cast("bigint").as("n_words"),
         coalesce(size(col("_ex")), lit(0)).cast("bigint").as("n_excised"))
 

@@ -82,13 +82,25 @@ object Packing {
   def packTokens(df: DataFrame, idCol: String, textCol: String,
                  shardCol: String, seqLen: Int,
                  encoder: graft.functions.TokenEncoder,
-                 padId: Option[Int] = None): DataFrame = {
+                 padId: Option[Int] = None,
+                 nTokensCol: Option[String] = None): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     val docs = df.where(col(textCol).isNotNull)
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
-    val offsets = docs.select(col(shardCol), col(idCol),
-        graft.functions.TokenCounters.count(encoder, col(textCol))
-          .as("_n"))
+    // `nTokensCol` lets a caller that ALREADY carries the encoder's
+    // count (the curateTokens budget stage computed it for the fracs)
+    // feed the offset window directly — the greedy BPE walk is the
+    // expensive part of this operator, and recomputing the count here
+    // would run it a second full time over every surviving document.
+    // The caller owns the contract that the column IS this encoder's
+    // count (curateTokens passes the same encoder both places).
+    val counted = nTokensCol match {
+      case Some(c) => docs.select(col(shardCol), col(idCol),
+        col(c).cast("long").as("_n"))
+      case None => docs.select(col(shardCol), col(idCol),
+        graft.functions.TokenCounters.count(encoder, col(textCol)).as("_n"))
+    }
+    val offsets = counted
       .withColumn("_start", sum(col("_n")).over(w) - col("_n"))
       .select(col(shardCol), col(idCol), col("_start"))
     val packed = docs.join(offsets, Seq(shardCol, idCol))

@@ -48,8 +48,21 @@ object Similarity {
     * the hot aggregation path for a row the embedding-card audit
     * ([[embeddingCard]]) exists to surface and purge upstream.
     */
-  def cosineGuarded(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
+  def cosineGuarded(a: Column, b: Column): Column =
+    cosineWithNorms(a, b, norm(a), norm(b))
+
+  /** [[cosineGuarded]] with the two norms PRECOMPUTED as columns — the
+    * pair-scan form ([[topPairs]]' idiom, applied family-wide): inside a
+    * cross join / bucket join / cell join the same vector participates
+    * in MANY pairs, and a norm is a per-ROW quantity — evaluating it per
+    * PAIR triples the rank arithmetic (dot(a,b) + dot(a,a) + dot(b,b)
+    * where one fused dot suffices). Bit-identical to [[cosineGuarded]]:
+    * the precomputed value is the same `sqrt(dot(v,v))` double (IEEE
+    * doubles survive shuffle/broadcast exactly), and the guard, operand
+    * order and division are unchanged.
+    */
+  def cosineWithNorms(a: Column, b: Column, an: Column, bn: Column): Column = {
+    val d = an * bn
     when(d > 0.0d, dot(a, b) / d).otherwise(lit(0.0d))
   }
 
@@ -64,9 +77,13 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, scale: Int = 6): DataFrame = {
     val e = emb.select(col(idCol), asDouble(col(vecCol)).as("_v"))
-    val q = e.filter(col(idCol) === queryId).select(col("_v").as("_qv"))
+      .withColumn("_vn", norm(col("_v")))
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("_v").as("_qv"), col("_vn").as("_qn"))
     e.crossJoin(broadcast(q))
-      .select(col(idCol), round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim"))
+      .select(col(idCol),
+        round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+          scale).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -91,10 +108,13 @@ object Similarity {
         .cast(org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType))
         .as("_q8"))
-    val q = e.filter(col(idCol) === queryId).select(col("_q8").as("_qq"))
+      .withColumn("_q8n", norm(col("_q8")))
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("_q8").as("_qq"), col("_q8n").as("_qqn"))
     e.crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosineGuarded(col("_q8"), col("_qq")), scale).as("qcos_sim"))
+        round(cosineWithNorms(col("_q8"), col("_qq"), col("_q8n"), col("_qqn")),
+          scale).as("qcos_sim"))
       .orderBy(col("qcos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -150,7 +170,7 @@ object Similarity {
         when(substring(col("_qb"), i, 1) === "1", "0").otherwise("1"),
         substring(col("_qb"), i + 1, nBits - i))
     }
-    qb.select(explode(array(probes: _*)).as("_qb"), col("_qv"))
+    qb.select(explode(array(probes: _*)).as("_qb"), col("_qv"), col("_qn"))
   }
 
   /** ANN top-k via LSH: restrict the scan to the query vector's bucket
@@ -165,10 +185,15 @@ object Similarity {
     val bucketed = lshBuckets(emb, idCol, vecCol, dim, nBits)
     val qb = bucketed.filter(col(idCol) === queryId)
       .select(col("bucket").as("_qb"), asDouble(col(vecCol)).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
     val probes = if (multiProbe) hamming1Probes(qb, nBits) else qb
-    bucketed.join(broadcast(probes), col("bucket") === col("_qb"))
+    bucketed
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"), col("bucket"))
+      .withColumn("_vn", norm(col("_v")))
+      .join(broadcast(probes), col("bucket") === col("_qb"))
       .select(col(idCol),
-        round(cosineGuarded(asDouble(col(vecCol)), col("_qv")), 6).as("cos_sim"))
+        round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+          6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -224,11 +249,14 @@ object Similarity {
     // filter-the-corpus form would re-scan everything at execution time
     // just to re-fetch one row the driver holds
     val q = Seq(Tuple1(qv.toSeq)).toDF("_qv")
+      .withColumn("_qn", norm(col("_qv")))
     e.withColumn("_cell", cellOf)
       .filter(col("_cell").isin(probes.toIndexedSeq: _*))
+      .withColumn("_vn", norm(col("_v")))
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim"))
+        round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+          scale).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -258,7 +286,8 @@ object Similarity {
         when(substring(col("_qb"), i, 1) === "1", "0").otherwise("1"),
         substring(col("_qb"), i + 1, nBits - i))
     } else Nil)
-    qb.select(col("q_id"), col("_qv"), explode(array(probeCols: _*)).as("_pb"))
+    qb.select(col("q_id"), col("_qv"), col("_qn"),
+      explode(array(probeCols: _*)).as("_pb"))
   }
 
   /** Bounded per-query top-k over (q_id, idCol, cos_sim) candidates —
@@ -296,13 +325,18 @@ object Similarity {
     val bucketed = lshBuckets(corpus, idCol, vecCol, dim, nBits)
     val qb = queries
       .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
       .withColumn("_qb", lshBucket(col("_qv"), dim, nBits))
     val probed = hammingProbesPerQuery(qb, nBits, multiProbe)
     val probeSide = if (broadcastQueries) broadcast(probed) else probed
     topKPerQuery(
-      bucketed.join(probeSide, col("bucket") === col("_pb"))
+      bucketed
+        .select(col(idCol), asDouble(col(vecCol)).as("_v"), col("bucket"))
+        .withColumn("_vn", norm(col("_v")))
+        .join(probeSide, col("bucket") === col("_pb"))
         .select(col("q_id"), col(idCol),
-          round(cosineGuarded(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim")),
+          round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+            scale).as("cos_sim")),
       idCol, k)
   }
 
@@ -338,9 +372,11 @@ object Similarity {
       .collect()
       .map(_.getSeq[Double](1).toArray)
     val corpusCells = e.withColumn("_cell",
-      graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids))
+        graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids))
+      .withColumn("_vn", norm(col("_v")))
     val probed = queries
       .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
       .withColumn("_probe", explode(
         graft.functions.VectorFunctions.nearestCentroids(col("_qv"), centroids, nProbe)))
     val probeSide = if (broadcastQueries) broadcast(probed) else probed
@@ -352,7 +388,8 @@ object Similarity {
       if (excludeSelf) joined.where(col(idCol) =!= col("q_id")) else joined
     topKPerQuery(
       inPlay.select(col("q_id"), col(idCol),
-        round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim")),
+        round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+          scale).as("cos_sim")),
       idCol, k)
   }
 
@@ -408,11 +445,14 @@ object Similarity {
                    k: Int, scale: Int = 6): DataFrame = {
     requireIntegralId(corpus, idCol, "bruteKnnJoin")
     val qb = queries.select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
     topKPerQuery(
       corpus.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+        .withColumn("_vn", norm(col("_v")))
         .crossJoin(broadcast(qb))
         .select(col("q_id"), col(idCol),
-          round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim")),
+          round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+            scale).as("cos_sim")),
       idCol, k)
   }
 
@@ -453,18 +493,24 @@ object Similarity {
     val proj = graft.functions.VectorFunctions.randomProject(_: Column, dim, outDim)
     val qb = queries
       .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
       .withColumn("_qpv", proj(col("_qv")))
+      .withColumn("_qpn", norm(col("_qpv")))
     val cands = topKPerQuery(
       corpus.select(col(idCol), proj(asDouble(col(vecCol))).as("_pv"))
-        .crossJoin(broadcast(qb.select(col("q_id"), col("_qpv"))))
+        .withColumn("_pn", norm(col("_pv")))
+        .crossJoin(broadcast(qb.select(col("q_id"), col("_qpv"), col("_qpn"))))
         .select(col("q_id"), col(idCol),
-          round(cosineGuarded(col("_pv"), col("_qpv")), scale).as("cos_sim")),
+          round(cosineWithNorms(col("_pv"), col("_qpv"), col("_pn"), col("_qpn")),
+            scale).as("cos_sim")),
       idCol, kCand).select(col("q_id"), col(idCol))
     val scored = corpus.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_vn", norm(col("_v")))
       .join(broadcast(cands), Seq(idCol))
-      .join(broadcast(qb.select(col("q_id"), col("_qv"))), Seq("q_id"))
+      .join(broadcast(qb.select(col("q_id"), col("_qv"), col("_qn"))), Seq("q_id"))
       .select(col("q_id"), col(idCol),
-        round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim"))
+        round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+          scale).as("cos_sim"))
     topKPerQuery(scored, idCol, k)
   }
 
@@ -516,13 +562,16 @@ object Similarity {
     requireIntegralId(corpus, idCol, "hardNegatives")
     require(minSim <= maxSim, s"empty band: [$minSim, $maxSim]")
     val qb = queries.select(col(qIdCol).as("q_id"),
-      asDouble(col(qVecCol)).as("_qv"), col(qLabelCol).as("_ql"))
+        asDouble(col(qVecCol)).as("_qv"), col(qLabelCol).as("_ql"))
+      .withColumn("_qn", norm(col("_qv")))
     val cand = corpus
       .select(col(idCol), asDouble(col(vecCol)).as("_v"), col(labelCol).as("_l"))
+      .withColumn("_vn", norm(col("_v")))
       .crossJoin(broadcast(qb))
       .where(col("_l") =!= col("_ql"))
       .select(col("q_id"), col(idCol),
-        round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim"))
+        round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+          scale).as("cos_sim"))
       .where(col("cos_sim") >= minSim && col("cos_sim") <= maxSim)
     topKPerQuery(cand, idCol, k)
   }
@@ -558,17 +607,20 @@ object Similarity {
       .collect()
       .map(_.getSeq[Double](1).toArray)
     val corpusCells = e.withColumn("_cell",
-      graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids))
+        graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids))
+      .withColumn("_vn", norm(col("_v")))
     val probed = queries
       .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"),
         col(qLabelCol).as("_ql"))
+      .withColumn("_qn", norm(col("_qv")))
       .withColumn("_probe", explode(
         graft.functions.VectorFunctions.nearestCentroids(col("_qv"), centroids, nProbe)))
     val probeSide = if (broadcastQueries) broadcast(probed) else probed
     val cand = corpusCells.join(probeSide, col("_cell") === col("_probe"))
       .where(col("_l") =!= col("_ql"))
       .select(col("q_id"), col(idCol),
-        round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim"))
+        round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+          scale).as("cos_sim"))
       .where(col("cos_sim") >= minSim && col("cos_sim") <= maxSim)
     topKPerQuery(cand, idCol, k)
   }
@@ -606,7 +658,9 @@ object Similarity {
                   broadcastLabeled: Boolean = false): DataFrame = {
     requireIntegralId(corpus, idCol, "knnClassify")
     val qb = queries.select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
     val cb = corpus.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_vn", norm(col("_v")))
     // default: bounded queries broadcast against the big labeled corpus
     // (the audit direction). broadcastLabeled flips it for the
     // AUTO-LABELING direction — a small labeled seed broadcast against a
@@ -618,7 +672,8 @@ object Similarity {
     val inPlay = if (excludeSelf) pairs.where(col(idCol) =!= col("q_id")) else pairs
     val neigh = topKPerQuery(
       inPlay.select(col("q_id"), col(idCol),
-        round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim")),
+        round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+          scale).as("cos_sim")),
       idCol, k)
     voteOnNeighbors(neigh, corpus, idCol, labelCol, broadcastLabeled)
   }
@@ -827,7 +882,10 @@ object Similarity {
     val e = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(col(idCol), asDouble(col(vecCol)).as("_v"))
     val centroids = ivfCentroids(e, idCol, nCells, kmeansIters = 0)
-    e.select(col(idCol), col("_v"),
+    // norm precomputed BELOW the cell exchange (8 bytes/row on the wire)
+    // so the within-cell quadratic pair scan pays one dot per pair, not
+    // three — see [[cosineWithNorms]]
+    e.select(col(idCol), col("_v"), norm(col("_v")).as("_vn"),
       graft.functions.VectorFunctions.nearestCentroid(col("_v"), centroids)
         .as("cell"))
   }
@@ -839,7 +897,8 @@ object Similarity {
       .join(part.as("b"),
         col("a.cell") === col("b.cell") &&
           col(s"b.$idCol") < col(s"a.$idCol") &&
-          cosineGuarded(col("a._v"), col("b._v")) >= tau)
+          cosineWithNorms(col("a._v"), col("b._v"),
+            col("a._vn"), col("b._vn")) >= tau)
       .select(col(s"b.$idCol").as("d1"), col(s"a.$idCol").as("d2"))
   }
 
@@ -1201,12 +1260,15 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
     val probes = nearestCells(cents, queryVec, nProbe)
     val q = Seq(Tuple1(quantizeDriver(queryVec).toSeq)).toDF("_qq")
+      .withColumn("_qqn", norm(col("_qq")))
     spark.read.parquet(s"$path/data")
       .filter(col("cell").isin(probes.toIndexedSeq: _*))
+      .select(col(idCol), col("q").cast("array<double>").as("_z"))
+      .withColumn("_zn", norm(col("_z")))
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosineGuarded(col("q").cast("array<double>"), col("_qq")), scale)
-          .as("qcos_sim"))
+        round(cosineWithNorms(col("_z"), col("_qq"), col("_zn"), col("_qqn")),
+          scale).as("qcos_sim"))
       .orderBy(col("qcos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -1227,11 +1289,15 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
     val probes = nearestCells(cents, queryVec, nProbe)
     val q = Seq(Tuple1(queryVec.toSeq)).toDF("_qv")
+      .withColumn("_qn", norm(col("_qv")))
     spark.read.parquet(s"$path/data")
       .filter(col("cell").isin(probes.toIndexedSeq: _*))
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_vn", norm(col("_v")))
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosineGuarded(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
+        round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+          scale).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -1281,12 +1347,15 @@ object Similarity {
         qb.updated(i, if (qb(i) == '1') '0' else '1'))
     else Seq(qb)).map("b" + _)
     val q = Seq(Tuple1(quantizeDriver(queryVec).toSeq)).toDF("_qq")
+      .withColumn("_qqn", norm(col("_qq")))
     spark.read.parquet(s"$path/data")
       .filter(col("bucket").isin(probes: _*))
+      .select(col(idCol), col("q").cast("array<double>").as("_z"))
+      .withColumn("_zn", norm(col("_z")))
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosineGuarded(col("q").cast("array<double>"), col("_qq")), scale)
-          .as("qcos_sim"))
+        round(cosineWithNorms(col("_z"), col("_qq"), col("_zn"), col("_qqn")),
+          scale).as("qcos_sim"))
       .orderBy(col("qcos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -1304,18 +1373,22 @@ object Similarity {
                                multiProbe: Boolean = true, scale: Int = 6): DataFrame = {
     val qb = queries
       .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
       .withColumn("_qb", lshBucket(col("_qv"), dim, nBits))
     val probed = hammingProbesPerQuery(qb, nBits, multiProbe)
       .withColumn("_qq", graft.functions.VectorFunctions.quantizeInt8(col("_qv"))
         .getField("q").cast("array<double>"))
-      .select(col("q_id"), col("_qq"), concat(lit("b"), col("_pb")).as("_pb"))
+      .select(col("q_id"), col("_qq"), norm(col("_qq")).as("_qqn"),
+        concat(lit("b"), col("_pb")).as("_pb"))
     val index = spark.read.parquet(s"$path/data")
     requireIntegralId(index, idCol, "lshIndexQuantizedKnnJoin")
     def joinWith(idx: DataFrame): DataFrame =
-      idx.join(broadcast(probed), col("bucket") === col("_pb"))
+      idx.withColumn("_z", col("q").cast("array<double>"))
+        .withColumn("_zn", norm(col("_z")))
+        .join(broadcast(probed), col("bucket") === col("_pb"))
         .select(col("q_id"), col(idCol),
-          round(cosineGuarded(col("q").cast("array<double>"), col("_qq")), scale)
-            .as("cos_sim"))
+          round(cosineWithNorms(col("_z"), col("_qq"), col("_zn"), col("_qqn")),
+            scale).as("cos_sim"))
     topKPerQuery(
       repairPartitionPruning(index, "bucket", probed, "_pb", joinWith), idCol, k)
       .withColumnRenamed("cos_sim", "qcos_sim")
@@ -1947,10 +2020,14 @@ object Similarity {
     val ids = pqIndexTopK(spark, path, idCol, queryVec, kCand)
       .select(col(idCol)).collect().map(_.get(0))
     val q = Seq(Tuple1(queryVec.toSeq)).toDF("_qv")
+      .withColumn("_qn", norm(col("_qv")))
     corpus.filter(col(idCol).isin(ids.toIndexedSeq: _*))
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_vn", norm(col("_v")))
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosineGuarded(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
+        round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+          scale).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -1971,12 +2048,15 @@ object Similarity {
     val cands = pqIndexKnnJoin(spark, path, idCol, queries, qIdCol, qVecCol, kCand)
       .select(col("q_id"), col(idCol))
     val qv = queries.select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
     val scored = corpus
       .select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_vn", norm(col("_v")))
       .join(broadcast(cands), Seq(idCol))
       .join(broadcast(qv), Seq("q_id"))
       .select(col("q_id"), col(idCol),
-        round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim"))
+        round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+          scale).as("cos_sim"))
     topKPerQuery(scored, idCol, k)
   }
 
@@ -2001,12 +2081,15 @@ object Similarity {
         queries, qIdCol, qVecCol, kCand, nProbe)
       .select(col("q_id"), col(idCol))
     val qv = queries.select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
     val scored = corpus
       .select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_vn", norm(col("_v")))
       .join(broadcast(cands), Seq(idCol))
       .join(broadcast(qv), Seq("q_id"))
       .select(col("q_id"), col(idCol),
-        round(cosineGuarded(col("_v"), col("_qv")), scale).as("cos_sim"))
+        round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+          scale).as("cos_sim"))
     topKPerQuery(scored, idCol, k)
   }
 
@@ -2150,18 +2233,23 @@ object Similarity {
                       multiProbe: Boolean = true, scale: Int = 6): DataFrame = {
     val qb = queries
       .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
       .withColumn("_qb", lshBucket(col("_qv"), dim, nBits))
     // the on-disk partition values carry the 'b' prefix (anti type
     // inference); broadcast is mandatory here — it is what lets the scan
     // prune partitions dynamically
     val probed = hammingProbesPerQuery(qb, nBits, multiProbe)
-      .select(col("q_id"), col("_qv"), concat(lit("b"), col("_pb")).as("_pb"))
+      .select(col("q_id"), col("_qv"), col("_qn"),
+        concat(lit("b"), col("_pb")).as("_pb"))
     val index = spark.read.parquet(s"$path/data")
     requireIntegralId(index, idCol, "lshIndexKnnJoin")
     def joinWith(idx: DataFrame): DataFrame =
-      idx.join(broadcast(probed), col("bucket") === col("_pb"))
+      idx.withColumn("_v", asDouble(col(vecCol)))
+        .withColumn("_vn", norm(col("_v")))
+        .join(broadcast(probed), col("bucket") === col("_pb"))
         .select(col("q_id"), col(idCol),
-          round(cosineGuarded(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
+          round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+            scale).as("cos_sim"))
     topKPerQuery(
       repairPartitionPruning(index, "bucket", probed, "_pb", joinWith), idCol, k)
   }
@@ -2189,14 +2277,18 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
     val probed = queries
       .select(col(qIdCol).as("q_id"), asDouble(col(qVecCol)).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
       .withColumn("_probe", explode(
         graft.functions.VectorFunctions.nearestCentroids(col("_qv"), cents, nProbe)))
     val index = spark.read.parquet(s"$path/data")
     requireIntegralId(index, idCol, "ivfIndexKnnJoin")
     def joinWith(idx: DataFrame): DataFrame =
-      idx.join(broadcast(probed), col("cell") === col("_probe"))
+      idx.withColumn("_v", asDouble(col(vecCol)))
+        .withColumn("_vn", norm(col("_v")))
+        .join(broadcast(probed), col("cell") === col("_probe"))
         .select(col("q_id"), col(idCol),
-          round(cosineGuarded(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
+          round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+            scale).as("cos_sim"))
     topKPerQuery(
       repairPartitionPruning(index, "cell", probed, "_probe", joinWith), idCol, k)
   }
@@ -2227,14 +2319,16 @@ object Similarity {
         .getField("q").cast("array<double>"))
       .withColumn("_probe", explode(
         graft.functions.VectorFunctions.nearestCentroids(col("_qv"), cents, nProbe)))
-      .select(col("q_id"), col("_qq"), col("_probe"))
+      .select(col("q_id"), col("_qq"), norm(col("_qq")).as("_qqn"), col("_probe"))
     val index = spark.read.parquet(s"$path/data")
     requireIntegralId(index, idCol, "ivfIndexQuantizedKnnJoin")
     def joinWith(idx: DataFrame): DataFrame =
-      idx.join(broadcast(probed), col("cell") === col("_probe"))
+      idx.withColumn("_z", col("q").cast("array<double>"))
+        .withColumn("_zn", norm(col("_z")))
+        .join(broadcast(probed), col("cell") === col("_probe"))
         .select(col("q_id"), col(idCol),
-          round(cosineGuarded(col("q").cast("array<double>"), col("_qq")), scale)
-            .as("cos_sim"))
+          round(cosineWithNorms(col("_z"), col("_qq"), col("_zn"), col("_qqn")),
+            scale).as("cos_sim"))
     topKPerQuery(
       repairPartitionPruning(index, "cell", probed, "_probe", joinWith), idCol, k)
       .withColumnRenamed("cos_sim", "qcos_sim")
@@ -2257,11 +2351,15 @@ object Similarity {
         qb.updated(i, if (qb(i) == '1') '0' else '1'))
     else Seq(qb)).map("b" + _)
     val q = Seq(Tuple1(queryVec.toSeq)).toDF("_qv")
+      .withColumn("_qn", norm(col("_qv")))
     spark.read.parquet(s"$path/data")
       .filter(col("bucket").isin(probes: _*))
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_vn", norm(col("_v")))
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosineGuarded(asDouble(col(vecCol)), col("_qv")), scale).as("cos_sim"))
+        round(cosineWithNorms(col("_v"), col("_qv"), col("_vn"), col("_qn")),
+          scale).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }

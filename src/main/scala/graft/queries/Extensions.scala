@@ -1149,13 +1149,21 @@ object Extensions {
 
   val q165_crawl_recipe: Q = (s, d) => {
     val file = warcRecipeFixture(s, d)
+    // materialized once (localCheckpoint — the Curation stage-boundary
+    // discipline applied at the composition level): `pages` feeds the
+    // intake AND the n_fetches join-back, `taken` feeds curation AND the
+    // n_dupes join-back — without the boundaries each join-back would
+    // re-run the whole WARC read + digest dedup + robots gate (+ intake)
+    // chain. Same rows either way; this is an execution boundary only.
     val pages = graft.sources.WarcReader.responsesDeduped(
         graft.sources.WarcReader.read(s, file), robotsGate = true)
       .select(
         regexp_extract(col("url"), "([0-9]+)$", 1).cast("bigint")
           .as("doc_id"),
         col("html"), col("n_fetches"))
+      .localCheckpoint(true)
     val taken = Web.intake(pages, "doc_id", "html", webIntakeThresholds)
+      .localCheckpoint(true)
     Curation.curateByLanguage(s, taken, "doc_id", "norm_text",
         keyIndexPath = None, benchmark = None,
         cfg = Curation.Config(budgets = languageBudgets, redactPii = true))
@@ -2046,18 +2054,21 @@ object Extensions {
       .select(col("doc_id"), lit(1L).as("keep_exact"))
     val span = Dedup.dupSpanFrac(docs, "doc_id", "text")
       .select(col("doc_id"), col("keep").as("keep_span"))
-    val qual = TextAnalysis.qualityScore(docs, "doc_id", "text")
-      .select(col("doc_id"),
-        when(col("quality") >= 0.5, 1L).otherwise(0L).as("keep_quality"))
-    docs.select(col("doc_id"))
+    // the quality flag is a pure per-row projection (qualityCol — the
+    // same expression qualityScore wraps), so it rides the main branch
+    // inline instead of a build-and-join-back (one less corpus pass +
+    // join; identical values — every docs row is scored, so the old
+    // left-join coalesce(_, 0) branch never fired)
+    docs.select(col("doc_id"),
+        when(TextAnalysis.qualityCol(col("text")) >= 0.5, 1L).otherwise(0L)
+          .as("keep_quality"))
       .join(reps, Seq("doc_id"), "left")
       .join(span, Seq("doc_id"), "left")
-      .join(qual, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("keep_exact"), lit(0L)).as("keep_exact"),
         // a doc with no shareable spans has nothing duplicated
         coalesce(col("keep_span"), lit(1L)).as("keep_span"),
-        coalesce(col("keep_quality"), lit(0L)).as("keep_quality"))
+        col("keep_quality"))
       .withColumn("keep",
         (col("keep_exact") === 1 && col("keep_span") === 1 &&
           col("keep_quality") === 1).cast("long"))
@@ -2186,21 +2197,21 @@ object Extensions {
       .select(col("doc_id"), lit(1L).as("keep_exact"))
     val span = Dedup.dupSpanFrac(docs, "doc_id", "text")
       .select(col("doc_id"), col("keep").as("keep_span"))
-    val qual = TextAnalysis.qualityScore(docs, "doc_id", "text")
-      .select(col("doc_id"),
-        when(col("quality") >= 0.5, 1L).otherwise(0L).as("keep_quality"))
     val sem = Similarity.semDedup(t(s, d, "embeddings"), "vec_id",
         "embedding", nCells = 16, tau = 0.4)
       .select(col("vec_id").as("doc_id"), col("keep").as("keep_semantic"))
-    docs.select(col("doc_id"))
+    // quality flag inlined on the main branch (the q74 rationale): a
+    // pure per-row projection needs no build-and-join-back pass
+    docs.select(col("doc_id"),
+        when(TextAnalysis.qualityCol(col("text")) >= 0.5, 1L).otherwise(0L)
+          .as("keep_quality"))
       .join(reps, Seq("doc_id"), "left")
       .join(span, Seq("doc_id"), "left")
-      .join(qual, Seq("doc_id"), "left")
       .join(sem, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("keep_exact"), lit(0L)).as("keep_exact"),
         coalesce(col("keep_span"), lit(1L)).as("keep_span"),
-        coalesce(col("keep_quality"), lit(0L)).as("keep_quality"),
+        col("keep_quality"),
         coalesce(col("keep_semantic"), lit(1L)).as("keep_semantic"))
       .withColumn("keep",
         (col("keep_exact") === 1 && col("keep_span") === 1 &&

@@ -964,14 +964,12 @@ object Streams {
         val reps = graft.ops.Dedup.exact(withText, idCol, textCol)
           .select(col(idCol))
         val deduped = withText.join(broadcast(reps), Seq(idCol), "left_semi")
+        // quality floor inlined (the batch-curate convention): a pure
+        // per-row projection needs no build-and-semi-join-back pass
         val scored =
           if (minQuality <= 0.0) deduped
-          else deduped.join(
-            broadcast(graft.ops.TextAnalysis
-              .qualityScore(deduped, idCol, textCol)
-              .where(col("quality") >= minQuality)
-              .select(col("doc_id").as(idCol))),
-            Seq(idCol), "left_semi")
+          else deduped.where(
+            graft.ops.TextAnalysis.qualityCol(col(textCol)) >= minQuality)
         // ── rung 1L (optional): the learned screens, batch-curate order ──
         val learnedScreens: Seq[DataFrame => DataFrame] = Seq(
           pplModelPath.map(p => (d: DataFrame) => d.join(
@@ -1048,6 +1046,7 @@ object Streams {
               .where(col("_vec").isNotNull && size(col("_vec")) > 0 &&
                 exists(col("_vec"), _ =!= 0.0f))
               .withColumn("_v", transform(col("_vec"), _.cast("double")))
+              .withColumn("_vn", graft.ops.Similarity.norm(col("_v")))
               .withColumn("cell", graft.functions.VectorFunctions
                 .nearestCentroid(col("_v"), centroids))
               .repartition(col("cell"))
@@ -1057,8 +1056,9 @@ object Streams {
                 .join(vecs.as("b"),
                   col("a.cell") === col("b.cell") &&
                     col("b.doc_id") < col("a.doc_id") &&
-                    graft.ops.Similarity
-                      .cosineGuarded(col("a._v"), col("b._v")) >= tau)
+                    graft.ops.Similarity.cosineWithNorms(
+                      col("a._v"), col("b._v"),
+                      col("a._vn"), col("b._vn")) >= tau)
                 .select(col("a.doc_id")).distinct()
               val survVec = vecs.join(inBatchDups, Seq("doc_id"), "left_anti")
               val probeCells = survVec.select(col("cell")).distinct()
@@ -1069,10 +1069,11 @@ object Streams {
                   spark.read.parquet(s"$ivfIndexPath/data")
                     .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
                     .select(col("cell").as("_icell"),
-                      transform(col(ivfVecCol), _.cast("double")).as("_iv")),
+                      transform(col(ivfVecCol), _.cast("double")).as("_iv"))
+                    .withColumn("_ivn", graft.ops.Similarity.norm(col("_iv"))),
                   col("cell") === col("_icell") &&
-                    graft.ops.Similarity
-                      .cosineGuarded(col("_v"), col("_iv")) >= tau,
+                    graft.ops.Similarity.cosineWithNorms(
+                      col("_v"), col("_iv"), col("_vn"), col("_ivn")) >= tau,
                   "left_semi").select(col("doc_id"))
               val semDrop = inBatchDups.unionByName(standingDups).distinct()
               val survivors = screened
@@ -1190,14 +1191,12 @@ object Streams {
         val reps = graft.ops.Dedup.exact(withText, idCol, textCol)
           .select(col(idCol))
         val deduped = withText.join(broadcast(reps), Seq(idCol), "left_semi")
+        // quality floor inlined (the batch-curate convention): a pure
+        // per-row projection needs no build-and-semi-join-back pass
         val scored =
           if (minQuality <= 0.0) deduped.unionByName(nullText)
-          else deduped.join(
-            broadcast(graft.ops.TextAnalysis
-              .qualityScore(deduped, idCol, textCol)
-              .where(col("quality") >= minQuality)
-              .select(col("doc_id").as(idCol))),
-            Seq(idCol), "left_semi")
+          else deduped.where(
+            graft.ops.TextAnalysis.qualityCol(col(textCol)) >= minQuality)
         val admitted = graft.ops.Dedup.exactDedupAgainstIndex(
           spark, scored, textCol, keyIndexPath).persist()
         try {
@@ -1612,19 +1611,22 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch
           .withColumn("_v", transform(col(vecCol), _.cast("double")))
+          .withColumn("_vn", graft.ops.Similarity.norm(col("_v")))
           .withColumn("cell", graft.functions.VectorFunctions.nearestCentroid(
             col("_v"), centroids))
-        val part = b.select(col(idCol), col("cell"), col("_v"))
+        val part = b.select(col(idCol), col("cell"), col("_v"), col("_vn"))
           .repartition(col("cell"))
-        // cosineGuarded: defense in depth for zero-norm INDEX rows (a
-        // pre-existing layout may carry them) — an undefined cosine
-        // never matches, rather than killing the batch with an ANSI
-        // DIVIDE_BY_ZERO that checkpoint replay would re-throw forever
+        // the guarded-cosine form: defense in depth for zero-norm INDEX
+        // rows (a pre-existing layout may carry them) — an undefined
+        // cosine never matches, rather than killing the batch with an
+        // ANSI DIVIDE_BY_ZERO that checkpoint replay would re-throw
+        // forever
         val inBatchDups = part.as("a")
           .join(part.as("b"),
             col("a.cell") === col("b.cell") &&
               col(s"b.$idCol") < col(s"a.$idCol") &&
-              graft.ops.Similarity.cosineGuarded(col("a._v"), col("b._v")) >= tau)
+              graft.ops.Similarity.cosineWithNorms(col("a._v"), col("b._v"),
+                col("a._vn"), col("b._vn")) >= tau)
           .select(col(s"a.$idCol")).distinct()
         // persisted: both the probe-cell collect and the admitted write
         // replay this DAG (assignment + quadratic within-batch screen) —
@@ -1640,12 +1642,14 @@ object Streams {
                 .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
                 .select(col("cell").as("_icell"),
                   transform(col(vecCol), _.cast("double")).as("_iv"))
+                .withColumn("_ivn", graft.ops.Similarity.norm(col("_iv")))
               surv.join(idx,
                 col("cell") === col("_icell") &&
-                  graft.ops.Similarity.cosineGuarded(col("_v"), col("_iv")) >= tau,
+                  graft.ops.Similarity.cosineWithNorms(
+                    col("_v"), col("_iv"), col("_vn"), col("_ivn")) >= tau,
                 "left_anti")
             }
-          admitted.drop("_v")
+          admitted.drop("_v", "_vn")
             .write.mode("append").partitionBy("cell").parquet(s"$indexPath/data")
         } finally surv.unpersist()
       }
