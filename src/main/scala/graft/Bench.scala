@@ -296,6 +296,17 @@ object Bench {
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     println(
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"runs":$runs,"sf":"$sfDir","loadavg_during_max":${fmt3(chosen.loadDuringMax)},"steal_s":${fmt3(chosen.stealS)},"contended":${chosen.contended},"record":${chosen.record},"attempt_n":${ledger.size},"rerun_n":${chosen.rerun.size},"band_drift":$bd,$probe}""")
+    // LAST line: a compact summary that FITS the driver's bounded log
+    // tail. The full contract line above (with the 171-entry per-query
+    // map) is ~5 KB — every driver round through r19 recorded
+    // "parsed": null because the scraped tail window is 2000 chars and
+    // the line's START falls outside it (BENCH_r01..r19 all carry
+    // tail_len=2000). 171 names alone exceed 2.5 KB, so no encoding of
+    // the per-query map can fit; the full map stays one line up and in
+    // the $out artifact of record. This line carries the total and every
+    // gate field in < 400 chars so the driver can finally parse the run.
+    println(
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","n_queries":${timings.size},"runs":$runs,"sf":"$sfDir","loadavg_during_max":${fmt3(chosen.loadDuringMax)},"steal_s":${fmt3(chosen.stealS)},"contended":${chosen.contended},"record":${chosen.record},"attempt_n":${ledger.size},"rerun_n":${chosen.rerun.size},"band_drift_n":${bandDrift.size},$probe}""")
     spark.stop()
   }
 }

@@ -25,6 +25,10 @@ object ExplainDump {
     val spark = BenchHarness.session(BenchHarness.cpus(default = 4))
     graft.functions.VectorFunctions.registerSql(spark)
     new java.io.File(outDir).mkdirs()
+    // a failed dump must fail the RUN: committed before/after plan
+    // artifacts silently going stale (e.g. a missing fixture dir failing
+    // every query) is worse than a loud nonzero exit
+    var failed = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
@@ -37,9 +41,14 @@ object ExplainDump {
             plan.getBytes("UTF-8"))
           println(s"[explain] $name -> $outDir/${name}_$suffix.txt")
         } catch { case e: Throwable =>
+          failed += 1
           System.err.println(s"[explain] $name failed: ${e.getMessage}")
         }
       }
     spark.stop()
+    if (failed > 0) {
+      System.err.println(s"[explain] $failed dump(s) failed")
+      System.exit(1)
+    }
   }
 }

@@ -107,13 +107,6 @@ final case class BpeTokenCounter(merges: Seq[(String, String)])
 
   override def name: String = "bpe"
 
-  // (left, right) -> rank; lower rank merges first
-  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.size * 2)
-    merges.zipWithIndex.foreach { case ((l, r), i) => m.put(l + " " + r, i) }
-    m
-  }
-
   // merged-symbol string -> id (MERGED_ID_BASE + first producing rank).
   // Every multi-code-point symbol the greedy walk can emit is some
   // rule's concatenation, so this map is total over merged outputs;
@@ -126,6 +119,36 @@ final case class BpeTokenCounter(merges: Seq[(String, String)])
     m
   }
 
+  /** Canonical token id of a rule-side string: single code point → the
+    * code point, else the merged-output id ([[symIds]]) — the exact id
+    * space [[encodeTokens]] emits, injective with symbol strings, so
+    * rank lookups keyed on (leftId, rightId) agree with the string walk
+    * pair for pair. −1 = a side no merge sequence can ever produce (the
+    * rule is dead; the string walk could never match it either).
+    */
+  private def idOf(s: String): Int =
+    if (s.codePointCount(0, s.length) == 1) s.codePointAt(0)
+    else {
+      val id = symIds.get(s)
+      if (id == null) -1 else id.intValue
+    }
+
+  // (leftId, rightId) packed long -> (rank, mergedId) packed long.
+  // put-overwrites like the old string map, so a duplicated (l, r) rule
+  // keeps its LAST rank; the merged id is the canonical (first-rank)
+  // id of the concatenation regardless of which rule fired.
+  @transient private lazy val pairTable: BpeTokenCounter.LongLongMap = {
+    val t = new BpeTokenCounter.LongLongMap(merges.size)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      val li = idOf(l)
+      val ri = idOf(r)
+      if (li >= 0 && ri >= 0)
+        t.put((li.toLong << 32) | (ri.toLong & 0xffffffffL),
+          (i.toLong << 32) | (symIds.get(l + r).toLong & 0xffffffffL))
+    }
+    t
+  }
+
   override def countTokens(text: String): Long = {
     var total = 0L
     val len = text.length
@@ -134,7 +157,7 @@ final case class BpeTokenCounter(merges: Seq[(String, String)])
       while (i < len && text.charAt(i) == ' ') i += 1
       val start = i
       while (i < len && text.charAt(i) != ' ') i += 1
-      if (i > start) total += countWord(text, start, i)
+      if (i > start) total += mergeWord(text, start, i)._2.toLong
     }
     total
   }
@@ -148,59 +171,109 @@ final case class BpeTokenCounter(merges: Seq[(String, String)])
       val start = i
       while (i < len && text.charAt(i) != ' ') i += 1
       if (i > start) {
-        val (syms, n) = mergeWord(text, start, i)
+        val (ids, n) = mergeWord(text, start, i)
         var j = 0
-        while (j < n) {
-          val id = symIds.get(syms(j))
-          out += (if (id != null) id.intValue else syms(j).codePointAt(0))
-          j += 1
-        }
+        while (j < n) { out += ids(j); j += 1 }
       }
     }
     out.result()
   }
 
-  private def countWord(text: String, from: Int, until: Int): Long =
-    mergeWord(text, from, until)._2.toLong
-
-  /** The greedy walk shared by count and encode: final symbols (first
-    * `n` slots of the returned array) after leftmost-lowest-rank
-    * merging.
+  /** The greedy walk shared by count and encode, as a (rank, position)
+    * min-heap over a doubly-linked symbol list — O(symbols·log symbols)
+    * per word instead of the old rescan-and-shift O(symbols²·rules).
+    * Symbols are tracked as their canonical token ids (injective with
+    * symbol strings), so pair-rank lookups and the emitted ids agree
+    * with the string walk exactly; the packed (rank << 32 | position)
+    * heap order IS the leftmost-lowest-rank tie-break, and stale heap
+    * entries are skipped by a liveness + rank re-check (ranks are
+    * unique per rule, and a slot's symbol string only ever lengthens,
+    * so a matching rank proves the recorded pair is still current).
+    * Returns the final token ids compacted into the first `n` slots.
     */
   private def mergeWord(text: String, from: Int, until: Int)
-      : (Array[String], Int) = {
-    // split the word into code-point symbols
-    var syms = new Array[String](until - from)
+      : (Array[Int], Int) = {
+    // split the word into code-point symbol ids
+    val ids = new Array[Int](until - from)
     var n = 0
     var i = from
     while (i < until) {
       val cp = text.codePointAt(i)
-      val w = Character.charCount(cp)
-      syms(n) = text.substring(i, i + w)
+      ids(n) = cp
       n += 1
-      i += w
+      i += Character.charCount(cp)
     }
-    // greedy: merge the leftmost lowest-rank adjacent pair until none left
-    var done = n <= 1
-    while (!done) {
-      var best = -1
-      var bestRank = Int.MaxValue
-      var j = 0
-      while (j < n - 1) {
-        val r = ranks.get(syms(j) + " " + syms(j + 1))
-        if (r != null && r < bestRank) { bestRank = r; best = j }
-        j += 1
+    if (n <= 1) return (ids, n)
+    val table = pairTable
+    // fast path: two symbols, at most one merge possible
+    if (n == 2) {
+      val v = table.get((ids(0).toLong << 32) | (ids(1).toLong & 0xffffffffL))
+      if (v < 0L) return (ids, 2)
+      ids(0) = (v & 0xffffffffL).toInt
+      return (ids, 1)
+    }
+    // initial candidates; a word with no applicable rule allocates
+    // nothing beyond the ids array
+    var heap: Array[Long] = null
+    var hn = 0
+    var j = 0
+    while (j < n - 1) {
+      val v = table.get((ids(j).toLong << 32) | (ids(j + 1).toLong & 0xffffffffL))
+      if (v >= 0L) {
+        // pushes are bounded: n-1 initial + 2 per merge × (n-1) merges
+        if (heap == null) heap = new Array[Long](3 * n)
+        hn = BpeTokenCounter.heapPush(heap, hn, (v >>> 32 << 32) | j.toLong)
       }
-      if (best < 0) done = true
-      else {
-        syms(best) = syms(best) + syms(best + 1)
-        var k = best + 1
-        while (k < n - 1) { syms(k) = syms(k + 1); k += 1 }
-        n -= 1
-        if (n <= 1) done = true
+      j += 1
+    }
+    if (hn == 0) return (ids, n)
+    val nxt = new Array[Int](n)
+    val prv = new Array[Int](n)
+    j = 0
+    while (j < n) { nxt(j) = j + 1; prv(j) = j - 1; j += 1 }
+    var live = n
+    while (hn > 0 && live > 1) {
+      val top = heap(0)
+      hn = BpeTokenCounter.heapPopMin(heap, hn)
+      val pos = (top & 0xffffffffL).toInt
+      val rank = (top >>> 32).toInt
+      if (ids(pos) >= 0) {  // left slot still live
+        val q = nxt(pos)
+        if (q < n) {        // still has a right neighbor
+          val v = table.get(
+            (ids(pos).toLong << 32) | (ids(q).toLong & 0xffffffffL))
+          if (v >= 0L && (v >>> 32).toInt == rank) {  // pair still current
+            ids(pos) = (v & 0xffffffffL).toInt
+            ids(q) = -1
+            val q2 = nxt(q)
+            nxt(pos) = q2
+            if (q2 < n) prv(q2) = pos
+            live -= 1
+            val p = prv(pos)
+            if (p >= 0) {
+              val v2 = table.get(
+                (ids(p).toLong << 32) | (ids(pos).toLong & 0xffffffffL))
+              if (v2 >= 0L)
+                hn = BpeTokenCounter.heapPush(heap, hn,
+                  (v2 >>> 32 << 32) | p.toLong)
+            }
+            if (q2 < n) {
+              val v3 = table.get(
+                (ids(pos).toLong << 32) | (ids(q2).toLong & 0xffffffffL))
+              if (v3 >= 0L)
+                hn = BpeTokenCounter.heapPush(heap, hn,
+                  (v3 >>> 32 << 32) | pos.toLong)
+            }
+          }
+        }
       }
     }
-    (syms, n)
+    // compact the live ids left-to-right (slot 0 never dies: it has no
+    // left neighbor to absorb it)
+    var w = 0
+    j = 0
+    while (j < n) { ids(w) = ids(j); w += 1; j = nxt(j) }
+    (ids, live)
   }
 }
 
@@ -209,6 +282,88 @@ object BpeTokenCounter {
     * point, so code-point ids and merged ids can never collide.
     */
   val MergedIdBase: Int = 0x110000
+
+  /** Open-addressed long→long table (linear probe, ≤0.5 load, key −1 =
+    * empty — packed (id, id) keys are always ≥ 0). The pair-rank lookup
+    * is the single hottest call in the BPE walk; `java.util.HashMap`
+    * would box every probe and the old string keys allocated a fresh
+    * concatenation per probe.
+    */
+  private[functions] final class LongLongMap(nEntries: Int)
+    extends Serializable {
+    private val cap = {
+      var c = 4
+      while (c < nEntries * 2) c <<= 1
+      c
+    }
+    private val mask = cap - 1
+    private val keys = {
+      val a = new Array[Long](cap)
+      java.util.Arrays.fill(a, -1L)
+      a
+    }
+    private val vals = new Array[Long](cap)
+
+    private def slot(k: Long): Int = {
+      var h = k * 0x9E3779B97F4A7C15L
+      h ^= h >>> 32
+      h.toInt & mask
+    }
+
+    def put(k: Long, v: Long): Unit = {
+      var i = slot(k)
+      while (keys(i) != -1L && keys(i) != k) i = (i + 1) & mask
+      keys(i) = k
+      vals(i) = v
+    }
+
+    /** Value for `k`, or a negative sentinel when absent (stored values
+      * pack (rank, mergedId), both ≥ 0, so every present value is ≥ 0).
+      */
+    def get(k: Long): Long = {
+      var i = slot(k)
+      var kk = keys(i)
+      while (kk != k) {
+        if (kk == -1L) return Long.MinValue
+        i = (i + 1) & mask
+        kk = keys(i)
+      }
+      vals(i)
+    }
+  }
+
+  /** Binary min-heap over packed (rank << 32 | position) longs — the
+    * natural long order is exactly (rank, then leftmost). Static with
+    * explicit (array, size) so the per-word walk stays closure-free.
+    */
+  private[functions] def heapPush(h: Array[Long], size: Int, v: Long): Int = {
+    var c = size
+    h(c) = v
+    while (c > 0 && h((c - 1) >> 1) > h(c)) {
+      val p = (c - 1) >> 1
+      val t = h(p); h(p) = h(c); h(c) = t
+      c = p
+    }
+    size + 1
+  }
+
+  /** Removes h(0) (read it before calling); returns the new size. */
+  private[functions] def heapPopMin(h: Array[Long], size: Int): Int = {
+    val m = size - 1
+    h(0) = h(m)
+    var c = 0
+    var done = false
+    while (!done) {
+      val l = 2 * c + 1
+      val r = l + 1
+      var s = c
+      if (l < m && h(l) < h(s)) s = l
+      if (r < m && h(r) < h(s)) s = r
+      if (s == c) done = true
+      else { val t = h(s); h(s) = h(c); h(c) = t; c = s }
+    }
+    m
+  }
 }
 
 object TokenCounters {

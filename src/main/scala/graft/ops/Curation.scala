@@ -50,26 +50,44 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** A stage/composition boundary under the `materialize` strategy
+    * vocabulary — public so query compositions that need an execution
+    * boundary OUTSIDE the pipeline (q165's WARC-read/intake join-backs)
+    * honor the same knob (`-Dgraft.curate.materialize=none` keeps the
+    * whole chain one explainable tree for plan-level consumers, and a
+    * 100 TB profile can choose parquet-write boundaries instead).
+    * Callers choosing `disk`/`memdisk` own the unpersist.
+    */
+  def boundary(df: DataFrame,
+               strategy: String =
+                 sys.props.getOrElse("graft.curate.materialize", "local"))
+      : DataFrame =
+    strategy match {
+      case "local"   => df.localCheckpoint(true)
+      case "disk"    =>
+        df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case "memdisk" =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case "none"    => df
+      case other => throw new IllegalArgumentException(
+        s"Curation.Config.materialize: unknown strategy '$other' " +
+          "(local | disk | memdisk | none)")
+    }
+
   /** Stage-boundary materialization under `cfg.materialize`; lazy
     * persists are recorded in `persisted` so a write-terminal caller
     * ([[curateTo]]) can unpersist them once its action completes.
     */
   private def materialize(df: DataFrame, cfg: Config,
                           persisted: scala.collection.mutable.Buffer[DataFrame])
-      : DataFrame =
+      : DataFrame = {
+    val out = boundary(df, cfg.materialize)
     cfg.materialize match {
-      case "local"   => df.localCheckpoint(true)
-      case "disk"    =>
-        val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        persisted += p; p
-      case "memdisk" =>
-        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        persisted += p; p
-      case "none"    => df
-      case other => throw new IllegalArgumentException(
-        s"Curation.Config.materialize: unknown strategy '$other' " +
-          "(local | disk | memdisk | none)")
+      case "disk" | "memdisk" => persisted += out
+      case _ => ()
     }
+    out
+  }
 
   /** Stage parameters; every default is the matching qNN query's value.
     *
@@ -158,7 +176,18 @@ object Curation {
                     // projection folded into the stage-1 scan.
                     redactPii: Boolean = false,
                     materialize: String =
-                      sys.props.getOrElse("graft.curate.materialize", "local"))
+                      sys.props.getOrElse("graft.curate.materialize", "local"),
+                    // stage-0 override: "" = follow `materialize`. The
+                    // stage-0 boundary materializes the WIDEST frame in
+                    // the pipeline (full pre-clean text); callers whose
+                    // upstream is a cheap parquet scan (q93/q115 read
+                    // the table directly) can set "none" here to trade
+                    // three cheap scans for no write, while an
+                    // expensive-upstream composition (HTML intake, WARC
+                    // read, PII regex rung) keeps the run-once boundary
+                    stage0Materialize: String =
+                      sys.props.getOrElse("graft.curate.materialize.stage0",
+                        ""))
 
   /** Run the full pipeline over `batch` (docs with a null `textCol` are
     * dropped up front — nothing to train on).
@@ -354,7 +383,12 @@ object Curation {
     // regex rung, the language tokenProfile, or an entire HTML-intake /
     // WARC-read composition — once per subtree. Same run-once discipline
     // as the other stage boundaries (see the object doc).
-    val docs = materialize(docs0, cfg, persisted)
+    // `stage0Materialize` can override just this boundary (see Config).
+    val docs = materialize(docs0,
+      if (cfg.stage0Materialize.nonEmpty)
+        cfg.copy(materialize = cfg.stage0Materialize)
+      else cfg,
+      persisted)
 
     // 1. CLEAN — the q74 screens as survivor filters. Absence semantics
     // mirror q74's COALESCEs: no quality row => drop (coalesce 0), no

@@ -78,6 +78,18 @@ object Packing {
     * at any corpus size, skew capped by construction. Deterministic end
     * to end: offsets are (shard, id)-ordered, the in-sequence sort key
     * is the global token position.
+    *
+    * Single-walk formulations were A/B'd in round 20 and LOSE to this
+    * recompute shape now that the greedy-BPE walk is heap-ordered
+    * (O(n log n) per word, Tokenize.scala): (a) sharing one encode
+    * projection through a reused exchange is defeated by
+    * InferFiltersFromGenerate, which re-expands the ids alias into a
+    * pushed filter on one branch only — breaking reuse AND adding a
+    * third walk; (b) a localCheckpoint boundary at the encoded frame
+    * computes the walk once but its materialization costs more than
+    * the walk it saves (q113 min-of-5 1.42×, q164 1.17× — the token
+    * terminals never had a second walk to save, their count rides in
+    * via `nTokensCol`).
     */
   def packTokens(df: DataFrame, idCol: String, textCol: String,
                  shardCol: String, seqLen: Int,
@@ -89,11 +101,12 @@ object Packing {
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
     // `nTokensCol` lets a caller that ALREADY carries the encoder's
     // count (the curateTokens budget stage computed it for the fracs)
-    // feed the offset window directly — the greedy BPE walk is the
-    // expensive part of this operator, and recomputing the count here
-    // would run it a second full time over every surviving document.
-    // The caller owns the contract that the column IS this encoder's
-    // count (curateTokens passes the same encoder both places).
+    // feed the offset window directly — recomputing the count here
+    // would run the walk a second full time over every surviving
+    // document. The caller owns the contract that the column IS this
+    // encoder's count (curateTokens passes the same encoder both
+    // places); a drifted count silently corrupts global offsets, so
+    // callers without that guarantee must leave it None.
     val counted = nTokensCol match {
       case Some(c) => docs.select(col(shardCol), col(idCol),
         col(c).cast("long").as("_n"))

@@ -1149,21 +1149,22 @@ object Extensions {
 
   val q165_crawl_recipe: Q = (s, d) => {
     val file = warcRecipeFixture(s, d)
-    // materialized once (localCheckpoint — the Curation stage-boundary
-    // discipline applied at the composition level): `pages` feeds the
-    // intake AND the n_fetches join-back, `taken` feeds curation AND the
-    // n_dupes join-back — without the boundaries each join-back would
-    // re-run the whole WARC read + digest dedup + robots gate (+ intake)
-    // chain. Same rows either way; this is an execution boundary only.
-    val pages = graft.sources.WarcReader.responsesDeduped(
+    // materialized once (the Curation stage-boundary discipline applied
+    // at the composition level, under the same materialize knob —
+    // `-Dgraft.curate.materialize=none` keeps the chain explainable):
+    // `pages` feeds the intake AND the n_fetches join-back, `taken`
+    // feeds curation AND the n_dupes join-back — without the boundaries
+    // each join-back would re-run the whole WARC read + digest dedup +
+    // robots gate (+ intake) chain. Same rows either way; this is an
+    // execution boundary only.
+    val pages = Curation.boundary(graft.sources.WarcReader.responsesDeduped(
         graft.sources.WarcReader.read(s, file), robotsGate = true)
       .select(
         regexp_extract(col("url"), "([0-9]+)$", 1).cast("bigint")
           .as("doc_id"),
-        col("html"), col("n_fetches"))
-      .localCheckpoint(true)
-    val taken = Web.intake(pages, "doc_id", "html", webIntakeThresholds)
-      .localCheckpoint(true)
+        col("html"), col("n_fetches")))
+    val taken = Curation.boundary(
+      Web.intake(pages, "doc_id", "html", webIntakeThresholds))
     Curation.curateByLanguage(s, taken, "doc_id", "norm_text",
         keyIndexPath = None, benchmark = None,
         cfg = Curation.Config(budgets = languageBudgets, redactPii = true))

@@ -162,6 +162,62 @@ class TokenizeSpec extends SparkSpec {
       Seq(BpeTokenCounter.MergedIdBase + 1))
   }
 
+  test("heap walk matches the rescan-reference walk on random tables and texts") {
+    // reference: the original O(n²) string algorithm — rescan for the
+    // leftmost lowest-rank adjacent pair, merge, repeat; emit the
+    // first-producing-rank id for merged symbols, the code point for
+    // singles. The production walk (id-tracked, heap-ordered) must be
+    // indistinguishable on every input.
+    def reference(merges: Seq[(String, String)], text: String): Seq[Int] = {
+      val ranks = merges.zipWithIndex
+        .foldLeft(Map.empty[String, Int]) { case (m, ((l, r), i)) =>
+          m.updated(l + " " + r, i) // put-overwrite: later duplicate wins
+        }
+      val symIds = merges.zipWithIndex
+        .foldLeft(Map.empty[String, Int]) { case (m, ((l, r), i)) =>
+          if (m.contains(l + r)) m
+          else m.updated(l + r, BpeTokenCounter.MergedIdBase + i)
+        }
+      text.split(" ").filter(_.nonEmpty).toSeq.flatMap { word =>
+        var syms = word.codePoints().toArray.toSeq
+          .map(cp => new String(Character.toChars(cp)))
+        var done = false
+        while (!done && syms.size > 1) {
+          val best = syms.zip(syms.tail).zipWithIndex
+            .flatMap { case ((a, b), i) => ranks.get(a + " " + b).map(r => (r, i)) }
+            .sorted.headOption
+          best match {
+            case None => done = true
+            case Some((_, i)) =>
+              syms = syms.patch(i, Seq(syms(i) + syms(i + 1)), 2)
+          }
+        }
+        syms.map(s => symIds.getOrElse(s, s.codePointAt(0)))
+      }
+    }
+    val rng = new scala.util.Random(4242)
+    val alphabet = "abcdet éφ𝄞"  // includes a space, accents, a surrogate pair
+    def randWord(): String =
+      (1 to (1 + rng.nextInt(12))).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    for (trial <- 1 to 60) {
+      val pieces = Seq("a", "b", "c", "d", "e", "t", "é", "ab", "bc", "ta",
+        "abc", "φ", "𝄞")
+      val table = (1 to (1 + rng.nextInt(14))).map { _ =>
+        pieces(rng.nextInt(pieces.size)) -> pieces(rng.nextInt(pieces.size))
+      }
+      val bpe2 = BpeTokenCounter(table)
+      val text = (1 to (1 + rng.nextInt(8))).map(_ => randWord()).mkString(" ")
+      val want = reference(table, text)
+      val got = bpe2.encodeTokens(text).toSeq
+      assert(got == want, s"trial $trial: table $table text '$text'")
+      assert(bpe2.countTokens(text) == want.size.toLong, s"count, trial $trial")
+    }
+    // the pinned table over longer mixed text, against the same reference
+    val longText = "the stream strains tabletable data struggle batch " +
+      "query inline growth éé 𝄞𝄞 agg eggs matter"
+    assert(bpe.encodeTokens(longText).toSeq == reference(TokenCounters.tinyMerges, longText))
+  }
+
   test("encoderForName: bpe resolves, count-only tokenizers fail loudly") {
     assert(TokenCounters.encoderForName("bpe").isInstanceOf[BpeTokenCounter])
     val e = intercept[IllegalArgumentException](
