@@ -35,7 +35,13 @@ object Dedup {
     * the exploded form.
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    // the explicit null screen is semantically redundant (a null text
+    // yields a null set, which size(set) > 0 already drops) but it is
+    // the PUSHABLE form: IsNotNull reaches the parquet scan as a
+    // PushedFilter, where the expression filter on the shingle array
+    // cannot — and the shingle expression never evaluates on null rows
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
         graft.functions.VectorFunctions.wordShingles(col(textCol), w).as("set"))
       .filter(size(col("set")) > 0)
       .withColumn("n", size(col("set")).cast("long"))
